@@ -1,0 +1,492 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2B: scans, filters,
+  * projections, joins, aggregations, windows, sort/limit, set ops, dedup).
+  *
+  * Design rules applied throughout:
+  *  - declare plans with the DataFrame API and let Catalyst choose physical
+  *    strategies (pushdown/pruning verified in PlanShapeSpec);
+  *  - broadcast dimension tables explicitly where the star schema makes the
+  *    small side obvious; hint `merge` where a shuffle join is the point;
+  *  - every query output is totally ordered with a unique tiebreaker
+  *    (SURVEY.md §5, §7 "oracle determinism");
+  *  - floating-point results are made engine- and order-independent via
+  *    [[Det]]: addends are scaled to integers before summing (an integer
+  *    double sum is exact in any order), and rounding is expressed as
+  *    `round(x*10^k, 0)/10^k` which Spark and DuckDB evaluate identically
+  *    (native `round(x, k)` differs between the engines on exact decimal
+  *    boundaries: Spark rounds the shortest decimal representation, DuckDB
+  *    rounds the binary value).
+  */
+object Det {
+  /** Cross-engine-stable rounding: round(x*f, 0)/f. Safe whenever both
+    * engines hold the identical double x (halves are exactly representable,
+    * and both engines round exact halves away from zero).
+    */
+  def r(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    round(c * f, 0) / f
+  }
+
+  /** Exact, order-independent monetary sum: scale each addend to an integer
+    * (exact for |x*f| < 2^53), sum exactly in any partial-aggregation order,
+    * then scale back. Bit-identical across Spark and DuckDB regardless of
+    * shuffle/merge order.
+    */
+  def sumExact(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f, 0)) / f
+  }
+
+  /** Order-independent mean built on [[sumExact]]; both engines evaluate
+    * sum/f/count identically.
+    */
+  def avgExact(c: Column, scale: Int): Column =
+    sumExact(c, scale) / count(lit(1))
+
+  /** SQL (DuckDB) counterparts of the expressions above. */
+  def sqlR(e: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"round(($e) * $f, 0) / $f"
+  }
+  def sqlSumExact(e: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"sum(round(($e) * $f, 0)) / $f"
+  }
+  def sqlAvgExact(e: String, scale: Int): String =
+    s"${sqlSumExact(e, scale)} / count(*)"
+}
+
+object Relational {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ---------------------------------------------------------------- scans
+
+  /** q_scan_parquet — full-table scan, all columns projected. */
+  def scanParquet(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").orderBy("p_partkey")
+
+  /** q_scan_pruned — column pruning + predicate pushdown reach the Parquet
+    * scan (reference lands daily files then reads selectively, README.md:9).
+    */
+  def scanPruned(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice")
+      .orderBy("l_orderkey", "l_extendedprice")
+
+  /** q_sink_partitioned — daily-partitioned write + partition-pruned re-read
+    * (the reference's yesterday-cadence landing, script-dag-dock-report:59).
+    * Writes under java.io.tmpdir; mode overwrite mirrors `replace=True`
+    * (script-dag-dock-report:172).
+    */
+  def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_sink_partitioned"
+    t(s, d, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    // re-read with a partition filter: only `day=2024-01-02` files are listed
+    // (partition values are type-inferred as dates; cast back for the output)
+    s.read.parquet(out)
+      .where(col("day") === "2024-01-02")
+      .withColumn("day", col("day").cast("string"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  // ------------------------------------------------------- filter / project
+
+  /** q_filter_predicate — compound predicate (TPC-H Q6 shape). */
+  def filterPredicate(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q_project_expr — computed columns; per-row arithmetic evaluates in the
+    * same order on both engines, so [[Det.r]] is exact.
+    */
+  def projectExpr(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
+        r(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2)
+          .as("revenue_tax"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ----------------------------------------------------------------- joins
+
+  /** q_join_broadcast — fact ⋈ small dim with an explicit broadcast hint:
+    * no shuffle of the 600k-row (and at cluster scale, multi-TB) fact side.
+    */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sumExact(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("p_brand")
+
+  /** q_join_shuffle — large-large equi-join; `merge` hint pins sort-merge so
+    * the query exercises the shuffle path even at small SF (at 100 TB both
+    * sides are far beyond any broadcast threshold). Per-order quantity sums
+    * are integer-valued doubles, so they are exact without scaling.
+    */
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").hint("merge")
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("o_orderkey")
+
+  /** q_join_multiway — TPC-H Q5-shaped star join. The dim chain
+    * region→nation→customer broadcasts; only lineitem⋈orders shuffles.
+    */
+  def joinMultiway(s: SparkSession, d: String): DataFrame = {
+    val dim = broadcast(
+      t(s, d, "region").where(col("r_name") === "ASIA")
+        .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name"))
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders").where(year(col("o_orderdate")) === 1997),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** q_join_semi_anti — EXISTS / NOT EXISTS as left-semi / left-anti (no
+    * payload columns from the right side ever cross the shuffle).
+    */
+  def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select("c_custkey")
+    val o = t(s, d, "orders").select("o_custkey")
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_orders"))
+    semi.unionAll(anti).orderBy("c_custkey", "tag")
+  }
+
+  /** q_join_outer — left outer join preserving order-less customers;
+    * count(col) ignores nulls so they report 0 orders.
+    */
+  def joinOuter(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sumExact(coalesce(col("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** q_join_asof_range — as-of join: for every purchase event, the latest
+    * click by the same user at-or-before the purchase. Implemented the
+    * scale-friendly way: one shuffle on user_id and a running-max window over
+    * the unioned event stream — NOT an O(n²) range self-join. This is the
+    * financial "state as of t" semantics the reference's statement window
+    * implies (script-dag-dock-statements.py:60-61).
+    */
+  def joinAsofRange(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_ts"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------- aggregations
+
+  /** q_agg_hash — TPC-H Q1-shaped rollup: the daily balance report the
+    * reference exists to produce (reference README.md:11), as a hash
+    * aggregate with map-side partial aggregation.
+    */
+  def aggHash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        avgExact(col("l_extendedprice"), 2).as("avg_price"),
+        avgExact(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q_agg_distinct — exact distinct counts (oracle-checked). The HLL
+    * approximate path (`approx_count_distinct`) is exercised in AggSpec —
+    * sketches differ across engines so it cannot be part of the hash-checked
+    * output.
+    */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** q_agg_rollup_cube — grouping sets via ROLLUP, expressed through the SQL
+    * front-end (the DataFrame `rollup` API trips Spark's ambiguous-self-join
+    * detection when the base is a join — SQL resolution does not). The
+    * grouping bitmask (`grouping_id`/`GROUPING(a,b)`) is identical across
+    * engines: first grouping column is the most-significant bit.
+    */
+  def aggRollupCube(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_rollup_base")
+    s.sql(
+      s"""SELECT n_name, yr, ${sqlSumExact("o_totalprice", 2)} AS revenue,
+         |count(*) AS n_orders, CAST(grouping_id() AS INT) AS gid
+         |FROM graft_rollup_base GROUP BY ROLLUP (n_name, yr)
+         |ORDER BY n_name ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
+  }
+
+  // -------------------------------------------------------------- sort/topk
+
+  /** q_sort_limit — global order + limit. */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+
+  /** q_topk — top-k without a global sort: Spark plans TakeOrderedAndProject,
+    * which keeps a bounded heap per partition (asserted in PlanShapeSpec).
+    */
+  def topk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(50)
+
+  // ---------------------------------------------------------------- set ops
+
+  /** q_set_ops — union / intersect / except over yearly active-customer key
+    * sets, tagged and stacked into one deterministic result.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    def activeIn(yr: Int) = t(s, d, "orders")
+      .where(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey").as("ck"))
+    val a = activeIn(1997)
+    val b = activeIn(1998)
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionAll(a.except(b).withColumn("op", lit("except")))
+      .orderBy("op", "ck")
+  }
+
+  /** q_dedup_exact — exact deduplication: project to the dedup key space and
+    * dropDuplicates (hash groupBy underneath; map-side combine keeps the
+    * shuffle small at scale).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select("l_partkey", "l_returnflag")
+      .dropDuplicates("l_partkey", "l_returnflag")
+      .orderBy("l_partkey", "l_returnflag")
+
+  // ---------------------------------------------------------------- windows
+
+  /** q_window_rank — top-N per group; row_number over a unique-total order,
+    * rank/dense_rank over the value alone (tie semantics shown).
+    */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val byValue = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("rk", rank().over(byValue))
+      .withColumn("drk", dense_rank().over(byValue))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q_window_running — per-account running balance + lag: the statement
+    * semantics of the reference's digital-accounts DAG
+    * (script-dag-dock-statements.py:54). Addends are scaled to integers so
+    * the running sum is exact on both engines.
+    */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_bal",
+        sum(round(col("o_totalprice") * 100, 0)).over(frame) / 100)
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q_window_range_frame — 7-day moving average per user over event time.
+    * The range frame is anchored on integer epoch seconds on BOTH engines so
+    * frame membership is identical (timestamps carry microseconds); the mean
+    * is sumExact-based so it is order-independent.
+    */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val secs = col("ts").cast("long")
+    val w = Window.partitionBy("user_id").orderBy(secs.asc)
+      .rangeBetween(-7L * 86400, 0)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("mavg_7d",
+        sum(round(col("value") * 100, 0)).over(w) / 100 / count(lit(1)).over(w))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------- contract
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet" -> scanParquet _,
+    "q_scan_pruned" -> scanPruned _,
+    "q_sink_partitioned" -> sinkPartitioned _,
+    "q_filter_predicate" -> filterPredicate _,
+    "q_project_expr" -> projectExpr _,
+    "q_join_broadcast" -> joinBroadcast _,
+    "q_join_shuffle" -> joinShuffle _,
+    "q_join_multiway" -> joinMultiway _,
+    "q_join_semi_anti" -> joinSemiAnti _,
+    "q_join_outer" -> joinOuter _,
+    "q_join_asof_range" -> joinAsofRange _,
+    "q_agg_hash" -> aggHash _,
+    "q_agg_distinct" -> aggDistinct _,
+    "q_agg_rollup_cube" -> aggRollupCube _,
+    "q_sort_limit" -> sortLimit _,
+    "q_topk" -> topk _,
+    "q_set_ops" -> setOps _,
+    "q_dedup_exact" -> dedupExact _,
+    "q_window_rank" -> windowRank _,
+    "q_window_running" -> windowRunning _,
+    "q_window_range_frame" -> windowRangeFrame _)
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
+    "q_scan_pruned" ->
+      ("SELECT l_orderkey, l_extendedprice FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '2000-01-01' ORDER BY l_orderkey, l_extendedprice"),
+    "q_sink_partitioned" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, " +
+        s"${sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-02' " +
+        "GROUP BY day, event_type ORDER BY day, event_type"),
+    "q_filter_predicate" ->
+      ("SELECT * FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_project_expr" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        s"${sqlR("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue, " +
+        s"${sqlR("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 2)} AS revenue_tax " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_join_broadcast" ->
+      (s"SELECT p_brand, count(*) AS n, ${sqlSumExact("l_extendedprice", 2)} AS sum_price " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand"),
+    "q_join_shuffle" ->
+      ("SELECT o_orderkey, o_totalprice, count(*) AS n_items, sum(l_quantity) AS sum_qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey"),
+    "q_join_multiway" ->
+      (s"SELECT n_name, ${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997 " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "q_join_semi_anti" ->
+      ("SELECT c_custkey, 'has_orders' AS tag FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "UNION ALL " +
+        "SELECT c_custkey, 'no_orders' AS tag FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey, tag"),
+    "q_join_outer" ->
+      ("SELECT c_custkey, c_name, count(o_orderkey) AS n_orders, " +
+        s"${sqlSumExact("coalesce(o_totalprice, 0.0)", 2)} AS total_spend " +
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "q_join_asof_range" ->
+      ("SELECT event_id, user_id, purchase_ts, last_click_ts FROM (" +
+        "SELECT event_id, user_id, event_type, ts AS purchase_ts, " +
+        "max(CASE WHEN event_type = 'click' THEN ts END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts FROM events) " +
+        "WHERE event_type = 'purchase' ORDER BY event_id"),
+    "q_agg_hash" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        s"${sqlSumExact("l_extendedprice", 2)} AS sum_base_price, " +
+        s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price, " +
+        "sum(l_quantity) / count(*) AS avg_qty, " +
+        s"${sqlAvgExact("l_extendedprice", 2)} AS avg_price, " +
+        s"${sqlAvgExact("l_discount", 2)} AS avg_disc, count(*) AS n " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_agg_rollup_cube" ->
+      (s"SELECT n_name, yr, ${sqlSumExact("o_totalprice", 2)} AS revenue, count(*) AS n_orders, " +
+        "CAST(grouping(n_name, yr) AS INT) AS gid " +
+        "FROM (SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey) " +
+        "GROUP BY ROLLUP (n_name, yr) " +
+        "ORDER BY n_name NULLS FIRST, yr NULLS FIRST"),
+    "q_sort_limit" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q_topk" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50"),
+    "q_set_ops" ->
+      ("WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1997), " +
+        "b AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1998) " +
+        "SELECT ck, op FROM (" +
+        "SELECT ck, 'union' AS op FROM (SELECT ck FROM a UNION SELECT ck FROM b) " +
+        "UNION ALL SELECT ck, 'intersect' AS op FROM (SELECT ck FROM a INTERSECT SELECT ck FROM b) " +
+        "UNION ALL SELECT ck, 'except' AS op FROM (SELECT ck FROM a EXCEPT SELECT ck FROM b)) " +
+        "ORDER BY op, ck"),
+    "q_dedup_exact" ->
+      "SELECT DISTINCT l_partkey, l_returnflag FROM lineitem ORDER BY l_partkey, l_returnflag",
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn, " +
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk, " +
+        "dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drk " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+        "sum(round(o_totalprice * 100, 0)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_bal, " +
+        "lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "q_window_range_frame" ->
+      ("SELECT event_id, user_id, ts, value, " +
+        "sum(round(value * 100, 0)) OVER w / 100 / count(*) OVER w AS mavg_7d " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) " +
+        "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"))
+}
