@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{FeeExpr, GraftFunctions, WeightedAvg}
+
+/** Scalar-function, UDF/UDAF/UDTF, and text-statistics surface
+  * (SURVEY.md §2B rows q_scalar_*, q_udf_scalar, q_agg_custom_typed,
+  * q_udtf_explode, q_text_stats).
+  *
+  * Everything here is built from codegen'd built-in functions or native
+  * Catalyst expressions — no Scala closures in the hot path. JSON access is
+  * deliberately dynamic (`get_json_object`) to mirror the reference's
+  * schemaless `.get(key)` style (script-dag-dock-report:74).
+  */
+object Scalars {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** q_scalar_string — string kernel over documents.text. */
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        lower(substring(col("text"), 1, 24)).as("prefix24"),
+        upper(regexp_extract(col("text"), "^(\\w+)", 1)).as("first_word"),
+        col("text").like("%data%").as("has_data"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  /** q_scalar_datetime — the reference's date arithmetic surface
+    * (yesterday-window + ISO formatting, script-dag-dock-report:59).
+    */
+  def scalarDatetime(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+        date_sub(col("o_orderdate").cast("date"), 1).as("yesterday"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  /** q_scalar_math — math kernel; sqrt is IEEE-exact, log is rounded through
+    * [[Det.r]] because libm implementations may differ in the last ulp.
+    */
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r(col("l_extendedprice"), 1).as("price_r1"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        r(log(col("l_extendedprice")), 6).as("ln_price"),
+        floor(col("l_tax") * 100).as("tax_pct_floor"),
+        ceil(col("l_tax") * 100).as("tax_pct_ceil"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q_scalar_json — dynamic JSON field extraction from events.props
+    * (mirrors the reference's `.get("ticket")`-style access with null-check
+    * fail-fast semantics, script-dag-dock-report:73-76).
+    */
+  def scalarJson(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+      .orderBy("event_id")
+
+  /** q_scalar_array — higher-order functions over embeddings.embedding.
+    * Both engines left-fold the aggregate lambda, so the float→double sums
+    * are bit-identical without rounding.
+    */
+  def scalarArray(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2"),
+        transform(col("embedding"), x => (x.cast("double") * lit(2.0)).cast("float")).as("doubled"))
+      .orderBy("vec_id")
+
+  /** q_udf_scalar — the native [[FeeExpr]] Catalyst expression, called
+    * through the SQL function registry like a built-in (stays inside
+    * whole-stage codegen; asserted in PlanShapeSpec).
+    */
+  def udfScalar(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r(expr("graft_fee(l_extendedprice, l_discount, l_tax)"), 4).as("fee"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q_agg_custom_typed — typed [[WeightedAvg]] Aggregator through udaf():
+    * quantity-weighted average price per return flag.
+    */
+  def aggCustomTyped(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(WeightedAvg)
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(r(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_udtf_explode — tokenizer as a generator: one row per whitespace
+    * token (explode(split(...)) plans a codegen'd Generate node — no custom
+    * Generator needed, SURVEY.md §2B).
+    */
+  def udtfExplode(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .orderBy("doc_id", "token")
+
+  /** q_text_stats — corpus term statistics: top-50 tokens by frequency with
+    * document frequency (north-star text analysis over the landed corpus).
+    */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(50)
+
+  // ------------------------------------------------------------- contract
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_string" -> scalarString _,
+    "q_scalar_datetime" -> scalarDatetime _,
+    "q_scalar_math" -> scalarMath _,
+    "q_scalar_json" -> scalarJson _,
+    "q_scalar_array" -> scalarArray _,
+    "q_udf_scalar" -> udfScalar _,
+    "q_agg_custom_typed" -> aggCustomTyped _,
+    "q_udtf_explode" -> udtfExplode _,
+    "q_text_stats" -> textStats _)
+
+  val oracle: Map[String, String] = Map(
+    "q_scalar_string" ->
+      ("SELECT doc_id, CAST(length(text) AS INT) AS len, " +
+        "lower(substr(text, 1, 24)) AS prefix24, " +
+        "upper(regexp_extract(text, '^(\\w+)', 1)) AS first_word, " +
+        "text LIKE '%data%' AS has_data, " +
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "q_scalar_datetime" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, " +
+        "CAST(month(o_orderdate) AS INT) AS mo, " +
+        "CAST(dayofmonth(o_orderdate) AS INT) AS dom, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS day_str, " +
+        "CAST(o_orderdate - INTERVAL 1 DAY AS DATE) AS yesterday, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002 " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_scalar_math" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        s"${sqlR("l_extendedprice", 1)} AS price_r1, " +
+        "abs(l_discount - 0.05) AS abs_d, " +
+        "power(l_quantity, 2) AS qty_sq, " +
+        "sqrt(l_extendedprice) AS sqrt_price, " +
+        s"${sqlR("ln(l_extendedprice)", 6)} AS ln_price, " +
+        "CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor, " +
+        "CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_scalar_json" ->
+      ("SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_int, " +
+        "json_extract_string(props, '$.k') IS NOT NULL AS has_k " +
+        "FROM events ORDER BY event_id"),
+    "q_scalar_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, " +
+        "embedding[1:4] AS head4, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS sumsq, " +
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS l2, " +
+        "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT)) AS doubled " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_udf_scalar" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        s"${sqlR(FeeExpr.sql("l_extendedprice", "l_discount", "l_tax"), 4)} AS fee " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_agg_custom_typed" ->
+      (s"SELECT l_returnflag, ${sqlR(WeightedAvg.sql("l_extendedprice", "l_quantity"), 4)} AS wavg_price, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_udtf_explode" ->
+      ("SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents " +
+        "ORDER BY doc_id, token"),
+    "q_text_stats" ->
+      ("SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS n_docs FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY freq DESC, token LIMIT 50"))
+}
