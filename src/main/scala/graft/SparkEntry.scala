@@ -20,12 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Scalars.queries
+    operators.Relational.queries ++ operators.Scalars.queries ++
+      operators.LlmData.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's weaker
     * rows-only check (probabilistic / side-effecting / streaming ops).
     */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle ++ operators.Scalars.oracle
+    operators.Relational.oracle ++ operators.Scalars.oracle ++
+      operators.LlmData.oracle
 }

@@ -1,0 +1,415 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+
+/** LLM-training-data operator surface (SURVEY.md §2B north star): near-
+  * duplicate detection (MinHash-LSH, SimHash, exact n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + IVF-style), text
+  * analysis (language-ID, quality scoring, token counting, winnowing
+  * fingerprints), and multimodal column plumbing.
+  *
+  * Scale design notes (the point of these operators is 100 TB corpora):
+  *  - candidate generation is always index-based (LSH band join, inverted
+  *    shingle index, hash buckets) — never an O(n²) cross join;
+  *  - per-document kernels (shingling, signatures, hashes) are pure per-row
+  *    higher-order-function compute: embarrassingly parallel, no shuffle;
+  *  - the only shuffles are the candidate-pair joins, keyed on band/bucket
+  *    hashes that distribute uniformly by construction;
+  *  - hot shingles (stop-phrases) are the classic skew risk in the inverted
+  *    index join — `q_dedup_ngram` caps document frequency of a shingle at
+  *    [[LlmData.MaxShingleDf]] before the join, which cannot change any
+  *    pair at or above the Jaccard threshold for realistic corpus sizes but
+  *    bounds the worst bucket.
+  */
+object LlmData {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** documents with distinct 3-gram shingle sets (docs with <3 tokens have
+    * no shingles and drop out — they cannot be 3-gram near-dups).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", TextOps.tokens("text"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(TextOps.shingles3("toks")).as("shs"))
+
+  // ------------------------------------------------------------------ dedup
+
+  /** Jaccard threshold shared by the near-dup detectors. */
+  val JaccardThreshold = 0.5
+
+  /** q_dedup_ngram — EXACT n-gram (3-shingle) Jaccard near-dup pairs via an
+    * inverted shingle index: explode distinct shingles, self-join on the
+    * shingle, count common shingles per pair, then J = |∩| / (na+nb-|∩|).
+    * Pairs with J ≥ 0.5 must share ≥ 1/3 of either side's shingles, so the
+    * inverted-index join finds every qualifying pair — this is exact, not
+    * probabilistic, and oracle-checked.
+    */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val shs = shingled(s, d)
+    val sh = shs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jac") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "na", "nb", "common", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_dedup_near — MinHash + LSH near-dup pairs: 32-hash signature, 16
+    * bands × 2 rows (candidate threshold ≈ (1/16)^(1/2) ≈ 0.25, so recall at
+    * J ≥ 0.5 is 1-(1-0.25)^16 ≈ 99%), then exact Jaccard verification of
+    * candidates. Probabilistic by design → no SQL oracle; recall against the
+    * exact `q_dedup_ngram` result is asserted in DedupSpec.
+    */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val shs = shingled(s, d)
+      .withColumn("hashes", expr("transform(shs, x -> xxhash64(x))"))
+      .withColumn("sig", TextOps.minhashSignature("hashes", k = 32))
+      .withColumn("bands", TextOps.bandKeys("sig", bands = 16, rows = 2))
+    val bandRows = shs.select(col("doc_id"), col("shs"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cands = bandRows.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("band_idx"), col("band_hash"))
+      .join(bandRows.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("band_idx").as("bi"), col("band_hash").as("bh")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "shs_a", "shs_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("common")))
+      .where(col("jac") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_dedup_simhash — 64-bit SimHash near-dup pairs: banding on 4×16-bit
+    * chunks guarantees every pair within Hamming distance 3 collides on at
+    * least one chunk (pigeonhole); verified with exact bit_count(xor).
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val h = t(s, d, "documents")
+      .withColumn("toks", TextOps.tokens("text"))
+      .where(size(col("toks")) >= 1)
+      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
+      .select(col("doc_id"), TextOps.simhash64("hashes").as("sh64"))
+      .withColumn("chunks", TextOps.simhashChunks("sh64"))
+    val rows = h.select(col("doc_id"), col("sh64"),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+    rows.select(col("doc_id").as("doc_a"), col("sh64").as("ha"),
+        col("chunk_idx"), col("chunk_val"))
+      .join(rows.select(col("doc_id").as("doc_b"), col("sh64").as("hb"),
+        col("chunk_idx").as("ci"), col("chunk_val").as("cv")),
+        col("chunk_idx") === col("ci") && col("chunk_val") === col("cv") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_dedup_embed — embedding-cosine near-dup candidates: two independent
+    * 6-bit random-hyperplane LSH tables (union), exact cosine verification
+    * within buckets. The fixtures are near-orthogonal random vectors (max
+    * pairwise cosine ≈ 0.45), so the report threshold is 0.25 — with real
+    * near-duplicate embeddings (cos ≥ 0.95) the same plan collides with
+    * probability ≥ 1-(1-0.87^6)² ≈ 0.8 per table.
+    */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val dims = 64
+    def table(tbl: Int): DataFrame =
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.lshBucket("embedding", nBits = 6, dims = dims, table = tbl).as("bucket"),
+          lit(tbl).as("tbl"))
+    val buckets = table(0).unionAll(table(1))
+    buckets.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("bucket"), col("tbl"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("bucket").as("bk"), col("tbl").as("tb")),
+        col("bucket") === col("bk") && col("tbl") === col("tb") &&
+          col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "ea", "eb")
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", r(VectorOps.cosine(col("ea"), col("eb")), 4))
+      .where(col("cos") >= 0.25)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ------------------------------------------------------------- simsearch
+
+  /** q_simsearch_topk — brute-force cosine top-k: broadcast the query
+    * vector, scan-side fold for the dot product, TakeOrderedAndProject for
+    * the top-k (no global sort; at cluster scale each executor keeps a
+    * 50-row heap). Oracle-checked: both engines left-fold identically and
+    * order by the rounded score.
+    */
+  def simsearchTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(50)
+  }
+
+  /** q_simsearch_ivf — IVF-style ANN: 16 deterministic anchor directions
+    * (hash-sign vectors) act as a coarse quantizer; every vector is assigned
+    * to its argmax-dot cell (pure per-row compute), the query probes its top
+    * 2 cells, and exact cosine runs only inside the probed cells (~1/8 of
+    * the corpus). Approximate by design → no SQL oracle; recall vs the
+    * brute-force result is measured in SimSearchSpec.
+    */
+  def simsearchIvf(s: SparkSession, d: String): DataFrame = {
+    val dims = 64
+    val nCells = 16
+    // cell scores: dot(v, anchor_c) for each of the 16 anchors; anchor
+    // components are deterministic ±1 signs (same construction as lshBucket)
+    def cellsExpr(embCol: String) =
+      s"""transform(sequence(0, ${nCells - 1}),
+         |  c -> aggregate(
+         |    zip_with($embCol, transform(sequence(0, ${dims - 1}),
+         |      j -> IF((xxhash64(c * $dims + j + 900000) & 1) = 1, 1.0D, -1.0D)),
+         |      (x, sg) -> CAST(x AS DOUBLE) * sg),
+         |    0D, (acc, v) -> acc + v))""".stripMargin
+    def argmax(scores: String) =
+      s"array_position($scores, array_max($scores))"
+    val emb = t(s, d, "embeddings")
+      .withColumn("cell", expr(s"${argmax(cellsExpr("embedding"))}"))
+    val q = t(s, d, "embeddings").where(col("vec_id") === 0)
+      .withColumn("scores", expr(cellsExpr("embedding")))
+      // top-2 cells of the query: argmax, then argmax with the best removed
+      .withColumn("c1", expr("array_position(scores, array_max(scores))"))
+      .withColumn("c2", expr(
+        "array_position(scores, array_max(array_remove(scores, array_max(scores))))"))
+      .select(col("embedding").as("q_emb"), col("c1"), col("c2"))
+    emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 0 && (col("cell") === col("c1") || col("cell") === col("c2")))
+      .select(col("vec_id"), r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(20)
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** q_multimodal_join — text + vector modalities in one frame:
+    * documents ⋈ embeddings on doc_id = vec_id.
+    */
+  def multimodalJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), size(col("embedding")).as("dim"))
+      .orderBy("doc_id")
+
+  /** q_multimodal_binary — opaque-binary column plumbing: text encoded to a
+    * binary payload column with typed metadata (byte length, content
+    * hashes). This is the schema pattern for image/audio/video blobs: the
+    * engine treats content as bytes + metadata and never interprets it
+    * in-plan (the reference moves opaque files the same way,
+    * SFTPToS3Operator at script-dag-dock-report:166-175).
+    */
+  def multimodalBinary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("content", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("content")).as("byte_len"),
+        md5(col("content")).as("md5_hex"),
+        sha2(col("content"), 256).as("sha256_hex"))
+      .orderBy("doc_id")
+
+  /** q_multimodal_frames — frame-sampling over binary media, STUBBED decode:
+    * the container has no image/audio codecs, so "decode" is a deterministic
+    * fake (fixed-width byte frames + xxhash features). The Spark-side
+    * plumbing is real and is what matters at scale: binary column in, one
+    * row per media item out, per-frame feature array, all computed columnar
+    * with no data leaving the executors. On a real cluster the marked stub
+    * is the seam where a vectorized decode batch UDF (mapInPandas-style)
+    * plugs in.
+    */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("content", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("content")))
+      // STUB DECODE: treat every 128-byte stride as a "frame", sample its
+      // first 32 bytes, hash as the frame "feature". A real decoder would
+      // replace exactly this expression with codec output.
+      .withColumn("frame_hashes", expr(
+        """transform(sequence(0, CAST(floor((octet_length(content) - 1) / 128) AS INT)),
+          |  i -> xxhash64(substring(content, i * 128 + 1, 32)))""".stripMargin))
+      .select(col("doc_id"), col("n_bytes"),
+        size(col("frame_hashes")).as("n_frames"),
+        xxhash64(col("frame_hashes")).as("frames_sig"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------ text
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Per-language seed lexicons for the n-gram language-ID heuristic. */
+  private val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "pour"),
+    "zh" -> Seq("de", "shi", "le", "zai", "wo", "you", "he", "ni"))
+
+  /** q_text_langid — lexicon-overlap language ID: score = |tokens ∩
+    * lexicon_l| per language, prediction = argmax with deterministic
+    * tie-break on language code. Oracle-checked (pure set arithmetic).
+    */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .withColumn("dtoks", array_distinct(TextOps.tokens("text")))
+    val scored = Lexicons.foldLeft(base) { case (df, (lang, lex)) =>
+      df.withColumn(s"s_$lang",
+        size(array_intersect(col("dtoks"), array(lex.map(lit): _*))))
+    }
+    // deterministic argmax: first language (in declared order) achieving the
+    // max — built inside-out so 'en' is the outermost (first-checked) branch
+    val langs = Lexicons.map(_._1)
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val predFirst = langs.reverse.foldLeft(lit("und"): Column) { (acc, l) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.select(
+        col("doc_id") +: langs.map(l => col(s"s_$l")) :+ predFirst.as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** q_text_quality — composite document quality score from length,
+    * punctuation ratio, stopword ratio, and mean token length (the standard
+    * cheap pre-filters of LLM corpus curation). All ratios are integer
+    * divisions evaluated in the same order on both engines → exact oracle.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_punct", length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+      .withColumn("n_stop", size(expr(
+        s"filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))")))
+      .select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"),
+        (col("n_stop") * lit(1.0) / col("n_tokens")).as("stop_ratio"),
+        (col("n_punct") * lit(1.0) / length(col("text"))).as("punct_ratio"),
+        (length(col("text")) * lit(1.0) / col("n_tokens")).as("mean_tok_len"))
+      .withColumn("quality",
+        lit(0.4) * col("stop_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.2) * least(col("mean_tok_len") / lit(10.0), lit(1.0)))
+      .orderBy("doc_id")
+
+  /** q_text_tokens — token counting two ways: whitespace and a BPE-ish
+    * regex pretokenizer (`\w+|[^\w\s]`, the GPT-2-style word/punct split).
+    */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("n_bpe"),
+        length(col("text")).as("n_chars_txt"))
+      .orderBy("doc_id")
+
+  /** q_text_fingerprint — winnowing document fingerprints (token hashes,
+    * window 4): distinct window-minima survive small edits, so matching
+    * `fp_sig` clusters exact and near-exact documents. Hash-based → no SQL
+    * oracle; invariance properties asserted in TextSpec.
+    */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", TextOps.tokens("text"))
+      .where(size(col("toks")) >= 1)
+      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
+      .withColumn("fps", TextOps.winnowFingerprints("hashes", w = 4))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        xxhash64(col("fps")).as("fp_sig"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- contract
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_ngram" -> dedupNgram _,
+    "q_dedup_near" -> dedupNear _,
+    "q_dedup_simhash" -> dedupSimhash _,
+    "q_dedup_embed" -> dedupEmbed _,
+    "q_simsearch_topk" -> simsearchTopk _,
+    "q_simsearch_ivf" -> simsearchIvf _,
+    "q_multimodal_join" -> multimodalJoin _,
+    "q_multimodal_binary" -> multimodalBinary _,
+    "q_multimodal_frames" -> multimodalFrames _,
+    "q_text_langid" -> textLangid _,
+    "q_text_quality" -> textQuality _,
+    "q_text_tokens" -> textTokens _,
+    "q_text_fingerprint" -> textFingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_ngram" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
+        "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common " +
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, a.n AS na, b.n AS nb, common, " +
+        "common * 1.0 / (a.n + b.n - common) AS jac " +
+        "FROM pairs JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
+        "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_simsearch_topk" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 50"),
+    "q_multimodal_join" ->
+      ("SELECT doc_id, lang, source, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+    "q_multimodal_binary" ->
+      ("SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len, md5(text) AS md5_hex, " +
+        "sha256(text) AS sha256_hex FROM documents ORDER BY doc_id"),
+    "q_text_langid" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        Lexicons.map { case (l, lex) =>
+          s"CAST(len(list_intersect(dt, [${lex.map(w => s"'$w'").mkString(", ")}])) AS INT) AS s_$l"
+        }.mkString(", ") +
+        " FROM d) SELECT doc_id, " + Lexicons.map { case (l, _) => s"s_$l" }.mkString(", ") + ", " +
+        "CASE " + Lexicons.map { case (l, _) =>
+          s"WHEN s_$l = greatest(${Lexicons.map { case (m, _) => s"s_$m" }.mkString(", ")}) THEN '$l'"
+        }.mkString(" ") + " ELSE 'und' END AS lang_pred " +
+        "FROM s ORDER BY doc_id"),
+    "q_text_quality" ->
+      ("WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks, " +
+        "CAST(strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS n_punct FROM documents), " +
+        "c AS (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens, n_punct, " +
+        s"CAST(len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop " +
+        "FROM b) " +
+        "SELECT doc_id, n_tokens, n_punct, n_stop, " +
+        "n_stop * 1.0 / n_tokens AS stop_ratio, " +
+        "n_punct * 1.0 / strlen(text) AS punct_ratio, " +
+        "strlen(text) * 1.0 / n_tokens AS mean_tok_len, " +
+        "0.4 * (n_stop * 1.0 / n_tokens) + 0.4 * (1.0 - n_punct * 1.0 / strlen(text)) + " +
+        "0.2 * least((strlen(text) * 1.0 / n_tokens) / 10.0, 1.0) AS quality " +
+        "FROM c ORDER BY doc_id"),
+    "q_text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe, " +
+        "CAST(length(text) AS INT) AS n_chars_txt " +
+        "FROM documents ORDER BY doc_id"))
+}
