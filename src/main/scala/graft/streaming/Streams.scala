@@ -1,0 +1,254 @@
+package graft.streaming
+
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+import graft.operators.Det
+
+/** Event row for MemoryStream-fed queries (Instant keeps microsecond
+  * precision end-to-end; java.sql.Timestamp would truncate to millis in
+  * comparators).
+  */
+case class Ev(event_id: Long, ts: Instant, user_id: Long, event_type: String, value: Double)
+
+/** Open-session state for sessionization (micros timestamps; cents are
+  * integer-exact so emission order cannot change totals).
+  */
+case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, total_value: Double)
+
+/** Structured Streaming operator surface (SURVEY.md §2B q_stream_*): the
+  * reference's daily sensor-poll + landing cadence (SFTPSensor,
+  * script-dag-dock-report:135-141) re-expressed as native streaming — file
+  * sources discover arrivals, watermarks bound lateness like the sensor
+  * timeout bounded waiting, and state functions carry the running balances
+  * the statements DAG implies.
+  *
+  * Each `queries` entry runs its streaming query synchronously
+  * (Trigger.AvailableNow / processAllAvailable into a memory sink) and
+  * returns the result as a batch DataFrame, so the driver's Verify/Bench
+  * harness can treat streaming like any other operator. Batch-replay
+  * equivalence makes three of the four oracle-checkable in DuckDB.
+  */
+object Streams {
+  import Det._
+
+  private val runId = new AtomicInteger(0)
+
+  /** Streaming read of the events fixture (schema from the batch footer;
+    * nanos ts handled exactly as in [[graft.Tables]]).
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // the source needs a dir
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DF to completion into a memory sink; return the table. */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** q_stream_tumbling — per-type counts + exact sums in 1-minute tumbling
+    * windows, complete mode (no watermark: the full aggregation is the
+    * batch-replay equivalent, hence oracle-checkable).
+    */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** q_stream_sliding_session — 10-minute windows sliding every 5 minutes
+    * (every event lands in exactly two windows), complete mode.
+    */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "win_end", "event_type")
+  }
+
+  /** Collected fixture events, sorted by (ts, event_id) for deterministic
+    * MemoryStream batches.
+    */
+  private def collectEvents(s: SparkSession, d: String): Seq[Ev] = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts, e.event_id))
+  }
+
+  /** q_stream_watermark_late — hourly tumbling counts in APPEND mode with a
+    * 10-minute watermark, demonstrating late-data drop (the streaming
+    * analogue of the reference's bounded sensor wait,
+    * script-dag-dock-report:139-140):
+    *   batch 1: all events;
+    *   batch 2: a far-future sentinel advances the watermark so every real
+    *            window finalizes and emits (the sentinel's own window never
+    *            finalizes, so it is naturally absent);
+    *   batch 3: stale copies of the earliest events — all dropped, leaving
+    *            the emitted counts equal to the clean batch replay (the
+    *            oracle-checked equivalence).
+    */
+  def streamWatermarkLate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = collectEvents(s, d)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+    val name = s"graft_stream_wm_${runId.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(name).start()
+    stream.addData(events)
+    q.processAllAvailable()
+    stream.addData(Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)))
+    q.processAllAvailable()
+    stream.addData(events.take(100)) // stale rows, older than the watermark: dropped
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, micros
+
+  /** Sessionization state function: sorts the batch's events, extends or
+    * closes the open session on each >30-minute gap, emits closed sessions,
+    * and keeps the open one in state with an event-time timeout. A session
+    * whose close time is already behind the watermark can never be extended
+    * (no older rows can arrive), so it emits immediately.
+    */
+  private def sessionize(userId: Long, rows: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    def out(st: SessionState) =
+      SessionOut(userId, st.startUs, st.lastUs, st.n, st.cents.toDouble / 100)
+    def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    // round-half-away-from-zero == Spark/DuckDB round(x, 0)
+    def cents(v: Double): Long =
+      if (v >= 0) math.floor(v * 100 + 0.5).toLong else math.ceil(v * 100 - 0.5).toLong
+    if (!rows.hasNext) { // timeout fired: close and emit the open session
+      val st = state.get
+      state.remove()
+      Iterator.single(out(st))
+    } else {
+      val evs = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = state.getOption.orNull
+      evs.foreach { e =>
+        val t = us(e.ts)
+        if (cur == null) cur = SessionState(t, t, 1, cents(e.value))
+        else if (t - cur.lastUs > GapUs) {
+          closed += out(cur)
+          cur = SessionState(t, t, 1, cents(e.value))
+        } else cur = SessionState(cur.startUs, t, cur.n + 1, cur.cents + cents(e.value))
+      }
+      val wmMs = state.getCurrentWatermarkMs()
+      val closeAtMs = cur.lastUs / 1000 + GapUs / 1000
+      if (closeAtMs <= wmMs) { // already unreachable by any future row
+        closed += out(cur)
+        state.remove()
+      } else {
+        state.update(cur)
+        state.setTimeoutTimestamp(closeAtMs)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** q_stream_stateful — per-user session totals via flatMapGroupsWithState
+    * (custom state, SURVEY.md §2B): 30-minute-gap sessionization with
+    * event-time timeouts. Batch-replay equivalent is lag-based gap
+    * sessionization in SQL → oracle-checked.
+    */
+  def streamStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = collectEvents(s, d)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val sessions = stream.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        sessionize)
+    val name = s"graft_stream_sess_${runId.incrementAndGet()}"
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(name).start()
+    stream.addData(events)
+    q.processAllAvailable()
+    // sentinel advances the watermark past every real session's close time
+    stream.addData(Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  // ------------------------------------------------------------- contract
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> streamTumbling _,
+    "q_stream_sliding_session" -> streamSliding _,
+    "q_stream_watermark_late" -> streamWatermarkLate _,
+    "q_stream_stateful" -> streamStateful _)
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      ("SELECT date_trunc('minute', ts) AS win_start, " +
+        "date_trunc('minute', ts) + INTERVAL 1 MINUTE AS win_end, " +
+        s"event_type, count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+    "q_stream_sliding_session" ->
+      ("WITH g AS (SELECT *, to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS g5 " +
+        "FROM events), " +
+        "w AS (SELECT event_type, value, unnest([g5, g5 - INTERVAL 5 MINUTE]) AS win_start FROM g) " +
+        "SELECT CAST(win_start AS TIMESTAMP) AS win_start, " +
+        "CAST(win_start + INTERVAL 10 MINUTE AS TIMESTAMP) AS win_end, event_type, " +
+        s"count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
+        "FROM w GROUP BY 1, 2, 3 ORDER BY win_start, win_end, event_type"),
+    "q_stream_watermark_late" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, " +
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, " +
+        s"event_type, count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+    "q_stream_stateful" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "sids AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
+        "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"))
+}
