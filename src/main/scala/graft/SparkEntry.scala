@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Scalars.queries ++
-      operators.LlmData.queries ++ streaming.Streams.queries
+      operators.LlmData.queries ++ streaming.Streams.queries ++
+      sources.PipelineIngest.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's weaker
@@ -29,5 +30,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.Scalars.oracle ++
-      operators.LlmData.oracle ++ streaming.Streams.oracle
+      operators.LlmData.oracle ++ streaming.Streams.oracle ++
+      sources.PipelineIngest.oracle
 }

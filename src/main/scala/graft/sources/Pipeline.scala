@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Det
+
+/** The reference pipeline re-expressed in-engine (SURVEY.md §2A →
+  * q_pipeline_ingest): discover landed archives → suffix-filter → decompress
+  * → parse → validate fail-fast → write day-partitioned parquet → re-read.
+  *
+  * Scale design: `binaryFile` scans distribute archives across executors;
+  * [[Zip.unzip]] streams entries inside `flatMap` so peak memory per task is
+  * one decompressed entry; parsing/validation are codegen'd column ops; the
+  * day-partitioned write is the reference's daily landing layout
+  * (script-dag-dock-report:59) and enables partition pruning downstream. The
+  * Lambda fan-out of the reference (script-dag-dock-report:209-216) becomes
+  * ordinary task parallelism.
+  */
+object PipelineIngest {
+  import Det._
+
+  /** Expected per-day totals of the deterministic landing fixtures —
+    * computed from the same formula that generates them, used to build the
+    * static VALUES oracle (integer-cent sums, so this is exact).
+    */
+  private val expected: Seq[(String, Long, BigDecimal)] =
+    (0 until 4).map { dayIdx =>
+      val day = f"2024-01-${1 + dayIdx}%02d"
+      val cents = (0 until 1000).filter(_ % 4 == dayIdx).map(i => (i * 37) % 1000).sum
+      (day, 250L, BigDecimal(cents).bigDecimal.movePointLeft(2): BigDecimal)
+    }
+
+  /** q_pipeline_ingest — the §2A flow end-to-end. */
+  def pipelineIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val landing = Paths.get(sys.props("java.io.tmpdir"), "graft_landing")
+    if (!Files.exists(landing.resolve("balance_00.zip")))
+      Zip.writeLandingFixtures(landing)
+    // sense_file: bounded availability poll (SFTPSensor semantics)
+    require(LandingSensor.await(landing.resolve("balance_00.zip"), timeoutMs = 5000),
+      "landing file did not appear within the sensor timeout")
+
+    // list_filter_suffix: only *.zip, the README.txt decoy is skipped
+    val archives = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip").load(landing.toString)
+
+    // fanout_invoke → in-engine: stream-decompress each archive in parallel
+    val lines = archives.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        Zip.unzip(bytes).flatMap { case (entry, data) =>
+          new String(data, UTF_8).linesIterator.drop(1).map(line => (entry, line))
+        }
+      }
+      .toDF("entry", "line")
+
+    // parse + fail-fast validation (null-checked like the reference's
+    // extract-and-raise, script-dag-dock-report:75-76): malformed rows drop
+    val parsed = lines
+      .withColumn("parts", split(col("line"), ","))
+      .select(
+        // try_cast: malformed values become NULL for the validation filter
+        // (ANSI-mode cast would fail the whole job on one bad row)
+        expr("try_cast(parts[0] AS BIGINT)").as("id"),
+        col("parts").getItem(1).as("day"),
+        expr("try_cast(parts[2] AS DOUBLE)").as("amount"))
+      .where(col("id").isNotNull &&
+        col("day").rlike("^\\d{4}-\\d{2}-\\d{2}$") &&
+        col("amount").isNotNull)
+
+    // idempotent overwrite (replace=True, script-dag-dock-report:172),
+    // day-partitioned like the reference's daily cadence
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_pipeline_ingest"
+    parsed.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    s.read.parquet(out)
+      .withColumn("day", col("day").cast("string"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sumExact(col("amount"), 2).as("sum_amount"))
+      .orderBy("day")
+  }
+
+  /** q_ingest_json — the REST-response field-extraction stage as a query:
+    * dynamic JSON scalar extraction with fail-fast null checks
+    * (script-dag-dock-report:73-76, 110-113), yesterday-window date
+    * arithmetic anchored on a literal (script-dag-dock-report:59), and
+    * URL templating (script-dag-dock-report:62).
+    */
+  def ingestJson(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val resp =
+      """{"access_token": "tok-abc", "ticket": "T-123", "file": "balance_2024-01-01.zip"}"""
+    Seq(resp).toDF("resp")
+      .select(
+        get_json_object(col("resp"), "$.ticket").as("ticket"),
+        get_json_object(col("resp"), "$.file").as("file"),
+        get_json_object(col("resp"), "$.access_token").isNotNull.as("has_token"),
+        date_format(date_sub(lit("2024-01-02").cast("date"), 1), "yyyy-MM-dd").as("day_requested"),
+        format_string("https://api.example/report?compressZipService=0&date=BALANCE&day=%s",
+          date_format(date_sub(lit("2024-01-02").cast("date"), 1), "yyyy-MM-dd")).as("url"))
+      .where(col("ticket").isNotNull && col("file").isNotNull) // fail-fast
+  }
+
+  // ------------------------------------------------------------- contract
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_ingest" -> pipelineIngest _,
+    "q_ingest_json" -> ingestJson _)
+
+  val oracle: Map[String, String] = Map(
+    "q_pipeline_ingest" ->
+      ("SELECT * FROM (VALUES " +
+        expected.map { case (day, n, amt) => s"('$day', CAST($n AS BIGINT), CAST($amt AS DOUBLE))" }
+          .mkString(", ") +
+        ") t(day, n, sum_amount) ORDER BY day"),
+    "q_ingest_json" ->
+      ("SELECT 'T-123' AS ticket, 'balance_2024-01-01.zip' AS file, " +
+        "CAST(true AS BOOLEAN) AS has_token, " +
+        "strftime(DATE '2024-01-02' - INTERVAL 1 DAY, '%Y-%m-%d') AS day_requested, " +
+        "'https://api.example/report?compressZipService=0&date=BALANCE&day=' || " +
+        "strftime(DATE '2024-01-02' - INTERVAL 1 DAY, '%Y-%m-%d') AS url"))
+}
