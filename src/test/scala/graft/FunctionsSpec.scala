@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{FeeExpr, WeightedAvg}
+import graft.sources.{CronSchedule, HttpTransport, LandingSensor, RestIngest, Retry, Zip}
+
+/** Unit tests for the custom expression, typed aggregator, and the §2A
+  * driver shims (per-component testing doctrine, reference README.md:67).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf
+
+  test("FeeExpr: codegen result equals the reference compute() on fixture rows") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    val rows = Tables(s, d, "lineitem").limit(200)
+      .select(col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        expr("graft_fee(l_extendedprice, l_discount, l_tax)").as("fee"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) === FeeExpr.compute(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    }
+  }
+
+  test("FeeExpr: tier boundary behaves as specified") {
+    assert(FeeExpr.compute(1000.0, 0.0, 0.0) === 2.0) // base = 1000, no tier-2
+    assert(FeeExpr.compute(2000.0, 0.5, 0.0) === 2.0) // discounted to 1000
+    assert(FeeExpr.compute(3000.0, 0.0, 0.0) === 3000 * 0.002 + 2000 * 0.001)
+  }
+
+  test("WeightedAvg equals a hand-computed weighted mean") {
+    import s.implicits._
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("v", "w")
+    val got = df.agg(udaf(WeightedAvg).apply(col("v"), col("w"))).collect()(0).getDouble(0)
+    assert(math.abs(got - (10 * 1 + 20 * 3) / 4.0) < 1e-12)
+  }
+
+  test("WeightedAvg is invariant to partitioning (exact integer-cent sums)") {
+    import s.implicits._
+    val data = (1 to 1000).map(i => (i * 0.01 + 0.001, (i % 7 + 1).toDouble))
+    val one = data.toDF("v", "w").coalesce(1)
+      .agg(udaf(WeightedAvg).apply(col("v"), col("w"))).collect()(0).getDouble(0)
+    val many = s.createDataFrame(data).toDF("v", "w").repartition(13)
+      .agg(udaf(WeightedAvg).apply(col("v"), col("w"))).collect()(0).getDouble(0)
+    assert(one === many)
+  }
+
+  test("Retry retries exactly up to the attempt budget") {
+    var calls = 0
+    val out = Retry.withRetry(3, 1) { calls += 1; if (calls < 3) sys.error("boom"); 42 }
+    assert(out === 42 && calls === 3)
+    calls = 0
+    intercept[RuntimeException] {
+      Retry.withRetry(2, 1) { calls += 1; sys.error("always") }
+    }
+    assert(calls === 2)
+  }
+
+  test("CronSchedule: daily 08:30 fires today before 08:30, tomorrow after") {
+    val midnight = 1700000000L - java.lang.Math.floorMod(1700000000L, 86400L)
+    val at0830 = midnight + 8 * 3600 + 30 * 60
+    assert(CronSchedule.nextAfter("30 8 * * *", midnight) === at0830)
+    assert(CronSchedule.nextAfter("30 8 * * *", at0830) === at0830 + 86400)
+  }
+
+  test("LandingSensor finds an appearing file and times out on a missing one") {
+    val dir = Files.createTempDirectory("graft_sensor")
+    val target = dir.resolve("late.txt")
+    new Thread(() => { Thread.sleep(100); Files.write(target, "x".getBytes) }).start()
+    assert(LandingSensor.await(target, timeoutMs = 3000, pokeIntervalMs = 20))
+    assert(!LandingSensor.await(dir.resolve("never.txt"), timeoutMs = 150, pokeIntervalMs = 20))
+  }
+
+  test("RestIngest extracts fields and fails fast on missing ones") {
+    val http = new HttpTransport {
+      def fetch(url: String, auth: Option[(String, String)]): String =
+        if (url.contains("oauth2")) """{"access_token": "tok-1"}"""
+        else if (url.contains("ticket=")) """{"file": "balance.zip"}"""
+        else if (url.contains("date=BALANCE")) """{"ticket": "T-9"}"""
+        else "{}"
+    }
+    val ingest = new RestIngest(http, "https://api.example")
+    val tok = ingest.authenticate("id", "secret")
+    assert(tok === "tok-1")
+    val ticket = ingest.requestReport(tok, "2024-01-01")
+    assert(ticket === "T-9")
+    assert(ingest.getTicketFile(tok, ticket) === "balance.zip")
+    val empty = new HttpTransport {
+      def fetch(url: String, auth: Option[(String, String)]): String = "{}"
+    }
+    intercept[IllegalStateException] {
+      new RestIngest(empty, "x").authenticate("a", "b")
+    }
+  }
+
+  test("Zip round-trips entries and skips directories") {
+    val entries = Seq(("a.csv", "1,2,3".getBytes), ("b/c.csv", "x".getBytes))
+    val unzipped = Zip.unzip(Zip.zip(entries)).toSeq
+    assert(unzipped.map(_._1) === Seq("a.csv", "b/c.csv"))
+    assert(unzipped.map(e => new String(e._2)) === Seq("1,2,3", "x"))
+  }
+}

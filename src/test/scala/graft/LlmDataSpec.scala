@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmData
+
+/** Dedup / similarity / multimodal / text-analysis checks on sf0.001,
+  * including the probabilistic operators that have no SQL oracle: MinHash
+  * recall is measured against the exact n-gram result, SimHash and the
+  * vector LSH are checked on planted duplicates built inside the test.
+  */
+class LlmDataSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf
+
+  private def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q_dedup_near recovers the exact n-gram Jaccard pairs (high recall, no false positives)") {
+    val exact = pairs(LlmData.dedupNgram(s, d), "doc_a", "doc_b")
+    val near = pairs(LlmData.dedupNear(s, d), "doc_a", "doc_b")
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    assert(near.subsetOf(exact), "near-dup output is exact-verified, so no false positives")
+    val recall = near.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall too low: $recall")
+  }
+
+  test("q_dedup_simhash: planted near-identical docs collide at small Hamming distance") {
+    val r = LlmData.dedupSimhash(s, d)
+    assert(r.count() > 0)
+    assert(r.where(col("hamming") > 3).count() === 0)
+  }
+
+  test("SimHash of an identical document pair has Hamming distance zero") {
+    import graft.functions.TextOps
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now then"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
+      .select(col("doc_id"), TextOps.simhash64("hashes").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(docs(1L) === docs(2L))
+    assert(java.lang.Long.bitCount(docs(1L) ^ docs(3L)) > 0)
+  }
+
+  test("q_dedup_embed: every reported pair meets the cosine threshold") {
+    val r = LlmData.dedupEmbed(s, d).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Double]("cos") >= 0.25))
+  }
+
+  test("vector LSH buckets collide for a vector and its tiny perturbation") {
+    import graft.functions.VectorOps
+    import s.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 1e-4f
+    val far = Array.tabulate(64)(i => math.cos(i * 2.3).toFloat)
+    val df = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), VectorOps.lshBucket("embedding", 6, 64, 0).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df(1L) === df(2L), "near-identical vectors must share an LSH bucket")
+  }
+
+  test("q_simsearch_topk matches a driver-side brute force") {
+    val want = Tables(s, d, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = want.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(v: Array[Float]) = {
+      val x = v.map(_.toDouble)
+      val dot = x.zip(q).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(x.map(a => a * a).sum) * math.sqrt(q.map(a => a * a).sum))
+    }
+    val expected = want.filter(_._1 != 0L)
+      .map { case (id, v) => (id, math.round(cos(v) * 10000) / 10000.0) }
+      .sortBy { case (id, c) => (-c, id) }.take(50).map(_._1).toSeq
+    val got = LlmData.simsearchTopk(s, d).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
+
+  test("q_simsearch_ivf: reported cosines are genuine and recall@20 is positive") {
+    val brute = LlmData.simsearchTopk(s, d).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = LlmData.simsearchIvf(s, d).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.size === 20)
+    val recall = ivf.intersect(brute).size.toDouble / 20
+    assert(recall > 0.0, "probing 2 of 16 cells should recover some true neighbors")
+  }
+
+  test("q_multimodal_join aligns doc and vector modalities one-to-one") {
+    val r = LlmData.multimodalJoin(s, d)
+    assert(r.count() === 500)
+    assert(r.where(col("dim") =!= 64).count() === 0)
+  }
+
+  test("q_multimodal_binary hashes are well-formed") {
+    val r = LlmData.multimodalBinary(s, d).limit(5).collect()
+    r.foreach { row =>
+      assert(row.getAs[String]("md5_hex").matches("[0-9a-f]{32}"))
+      assert(row.getAs[String]("sha256_hex").matches("[0-9a-f]{64}"))
+      assert(row.getAs[Int]("byte_len") > 0)
+    }
+  }
+
+  test("q_multimodal_frames is deterministic across runs") {
+    val a = LlmData.multimodalFrames(s, d).collect().toSeq
+    val b = LlmData.multimodalFrames(s, d).collect().toSeq
+    assert(a === b)
+  }
+
+  test("q_text_langid scores are bounded by lexicon size and pred is an argmax") {
+    val r = LlmData.textLangid(s, d).limit(50).collect()
+    r.foreach { row =>
+      val scores = Seq("s_en", "s_de", "s_es", "s_fr", "s_zh").map(c => row.getAs[Int](c))
+      assert(scores.forall(v => v >= 0 && v <= 8))
+      val best = scores.max
+      val predIdx = Seq("en", "de", "es", "fr", "zh").indexOf(row.getAs[String]("lang_pred"))
+      assert(predIdx >= 0 && scores(predIdx) === best)
+    }
+  }
+
+  test("q_text_quality components stay in range") {
+    val r = LlmData.textQuality(s, d).collect()
+    r.foreach { row =>
+      assert(row.getAs[Double]("stop_ratio") >= 0 && row.getAs[Double]("stop_ratio") <= 1)
+      assert(row.getAs[Double]("punct_ratio") >= 0 && row.getAs[Double]("punct_ratio") <= 1)
+      assert(row.getAs[Double]("quality") >= 0 && row.getAs[Double]("quality") <= 1.000001)
+    }
+  }
+
+  test("q_text_fingerprint: identical text gives identical fingerprints, and they are stable") {
+    import graft.functions.TextOps
+    import s.implicits._
+    val df = Seq((1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"),
+      (3L, "eight nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
+      .select(col("doc_id"), TextOps.winnowFingerprints("hashes", 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L) === df(2L))
+    assert(df(1L) !== df(3L))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Scalars}
+
+/** Plan-shape assertions (SURVEY.md §4/§5 item 5): the efficiency claims —
+  * pushdown, pruning, broadcast, bounded top-k, whole-stage codegen — are
+  * verified against the actual physical plans, not assumed. These are the
+  * properties that decide whether the same query survives a 100 TB input.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_scan_pruned pushes the shipdate filter into the Parquet scan") {
+    val p = plan(Relational.scanPruned(s, d))
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"expected pushed filter on l_shipdate in:\n$p")
+  }
+
+  test("q_scan_pruned reads only the projected+filter columns") {
+    val p = plan(Relational.scanPruned(s, d))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads more columns than needed: $readSchema")
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin (fact side never shuffles)") {
+    assert(plan(Relational.joinBroadcast(s, d)).contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_shuffle honors the merge hint with a SortMergeJoin") {
+    assert(plan(Relational.joinShuffle(s, d)).contains("SortMergeJoin"))
+  }
+
+  test("q_topk plans TakeOrderedAndProject (bounded per-partition heaps, no global sort)") {
+    assert(plan(Relational.topk(s, d)).contains("TakeOrderedAndProject"))
+  }
+
+  test("q_udf_scalar's native expression stays inside WholeStageCodegen") {
+    val df = Scalars.udfScalar(s, d)
+    df.collect() // finalize THIS df's adaptive plan so codegen stages materialize
+    val p = df.queryExecution.executedPlan.toString
+    val feeLine = p.linesIterator.find(_.contains("graft_fee")).getOrElse("")
+    // '*(n)' prefixes mark operators compiled into a WholeStageCodegen stage
+    assert(feeLine.trim.matches("""^[+\-:\s]*\*\(\d+\).*"""),
+      s"graft_fee projection not codegen'd: $feeLine\n$p")
+  }
+
+  test("q_agg_hash uses hash aggregation with a partial (map-side) phase") {
+    val p = plan(Relational.aggHash(s, d))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), s"no partial aggregation phase in:\n$p")
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Per-operator checks over the relational surface on sf0.001 — small
+  * hand-checkable invariants that are independent of the DuckDB oracle
+  * (SURVEY.md §5 item 2).
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf
+
+  test("q_scan_parquet returns the full part table, ordered") {
+    val r = Relational.scanParquet(s, d)
+    assert(r.count() === 200)
+    assert(r.columns.toSeq === Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    val keys = r.select("p_partkey").collect().map(_.getLong(0)).toSeq
+    assert(keys === keys.sorted)
+  }
+
+  test("q_scan_pruned only projects two columns and respects the predicate") {
+    val r = Relational.scanPruned(s, d)
+    assert(r.columns.toSeq === Seq("l_orderkey", "l_extendedprice"))
+    val full = Tables(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")).count()
+    assert(r.count() === full)
+  }
+
+  test("q_filter_predicate agrees with a hand-rolled filter") {
+    val manual = Tables(s, d, "lineitem").collect().count { row =>
+      val disc = row.getAs[Double]("l_discount")
+      disc >= 0.05 && disc <= 0.07 && row.getAs[Double]("l_quantity") < 24
+    }
+    assert(Relational.filterPredicate(s, d).count() === manual)
+  }
+
+  test("q_join_broadcast row count equals lineitem rows with matching parts") {
+    val n = Relational.joinBroadcast(s, d).agg(sum("n")).collect()(0).getLong(0)
+    assert(n === Tables(s, d, "lineitem")
+      .join(Tables(s, d, "part"), col("l_partkey") === col("p_partkey")).count())
+  }
+
+  test("q_join_semi_anti partitions customers exactly") {
+    val r = Relational.joinSemiAnti(s, d)
+    assert(r.count() === 150)
+    val byTag = r.groupBy("tag").count().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val withOrders = Tables(s, d, "orders").select("o_custkey").distinct().count()
+    assert(byTag.getOrElse("has_orders", 0L) === withOrders)
+    assert(byTag.getOrElse("has_orders", 0L) + byTag.getOrElse("no_orders", 0L) === 150)
+  }
+
+  test("q_join_outer keeps every customer and zero-counts the orderless") {
+    val r = Relational.joinOuter(s, d)
+    assert(r.count() === 150)
+    val zeroes = r.where(col("n_orders") === 0).count()
+    val anti = Tables(s, d, "customer")
+      .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(zeroes === anti)
+  }
+
+  test("q_join_asof_range: as-of timestamp is never after the purchase") {
+    val r = Relational.joinAsofRange(s, d).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val p = row.getAs[java.sql.Timestamp]("purchase_ts")
+      Option(row.getAs[java.sql.Timestamp]("last_click_ts")).foreach(c => assert(!c.after(p)))
+    }
+  }
+
+  test("q_agg_hash totals reconcile with raw sums") {
+    val r = Relational.aggHash(s, d)
+    val totalN = r.agg(sum("n")).collect()(0).getLong(0)
+    val expected = Tables(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp")).count()
+    assert(totalN === expected)
+  }
+
+  test("q_agg_distinct: exact vs approx distinct within published HLL error") {
+    val exact = Relational.aggDistinct(s, d)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val approx = Tables(s, d, "events").groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("a"))
+      .agg(sum("a")).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+
+  test("q_agg_rollup_cube: grand total row equals orders count") {
+    val r = Relational.aggRollupCube(s, d)
+    val grand = r.where(col("gid") === 3).collect()
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n_orders") === 1500)
+  }
+
+  test("q_window_running: final running balance equals the group sum") {
+    val r = Relational.windowRunning(s, d)
+    val lastPerCust = r.groupBy("o_custkey").agg(max("running_bal").as("final"))
+    val direct = Tables(s, d, "orders").groupBy("o_custkey")
+      .agg((sum(round(col("o_totalprice") * 100, 0)) / 100).as("total"))
+    val joined = lastPerCust.join(direct, "o_custkey")
+      .where(abs(col("final") - col("total")) > 1e-9)
+    assert(joined.count() === 0)
+  }
+
+  test("q_window_rank keeps at most 3 rows per customer, correctly ranked") {
+    val r = Relational.windowRank(s, d)
+    val over = r.groupBy("o_custkey").count().where(col("count") > 3).count()
+    assert(over === 0)
+    assert(r.where(col("rn") === 1).count() ===
+      Tables(s, d, "orders").select("o_custkey").distinct().count())
+  }
+
+  test("q_topk returns the true top 50 by extendedprice") {
+    val got = Relational.topk(s, d).select("l_extendedprice").collect().map(_.getDouble(0))
+    val want = Tables(s, d, "lineitem").select("l_extendedprice")
+      .collect().map(_.getDouble(0)).sorted(Ordering[Double].reverse).take(50)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q_set_ops algebra: |union| = |A| + |B| - |intersect|") {
+    val r = Relational.setOps(s, d).groupBy("op").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    def keysIn(yr: Int) = Tables(s, d, "orders")
+      .where(year(col("o_orderdate")) === yr).select("o_custkey").distinct().count()
+    assert(r("union") === keysIn(1997) + keysIn(1998) - r("intersect"))
+    assert(r("except") === keysIn(1997) - r("intersect"))
+  }
+
+  test("q_dedup_exact is idempotent and matches distinct()") {
+    val r = Relational.dedupExact(s, d)
+    assert(r.count() === r.dropDuplicates("l_partkey", "l_returnflag").count())
+    assert(r.count() ===
+      Tables(s, d, "lineitem").select("l_partkey", "l_returnflag").distinct().count())
+  }
+}

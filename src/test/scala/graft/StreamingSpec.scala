@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Det
+import graft.streaming.Streams
+
+/** Streaming semantics checks (SURVEY.md §5 item 4): batch-replay
+  * equivalence for windowed aggregations, late-row drop under the watermark,
+  * and sessionization state correctness — all on sf0.001 via the same
+  * synchronous harness the queries use.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import Det._
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf
+
+  test("q_stream_tumbling equals its batch replay") {
+    val streamed = Streams.streamTumbling(s, d).collect().toSeq
+    val batch = Tables(s, d, "events")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("q_stream_sliding_session: every event lands in exactly two windows") {
+    val total = Streams.streamSliding(s, d).agg(sum("n")).collect()(0).getLong(0)
+    assert(total === 2 * Tables(s, d, "events").count())
+  }
+
+  test("q_stream_watermark_late: late duplicates are dropped (output equals clean replay)") {
+    // the query itself injects 100 stale rows in a third batch; equality with
+    // the clean batch replay proves they were dropped by the watermark
+    val streamed = Streams.streamWatermarkLate(s, d)
+    val cleanN = Tables(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+    assert(streamed.count() === cleanN)
+    val totalEvents = streamed.agg(sum("n")).collect()(0).getLong(0)
+    assert(totalEvents === Tables(s, d, "events").count(),
+      "late duplicate rows must not inflate any window")
+  }
+
+  test("q_stream_stateful sessionization: totals and session structure reconcile") {
+    val sessions = Streams.streamStateful(s, d)
+    // every event is in exactly one session
+    assert(sessions.agg(sum("n_events")).collect()(0).getLong(0) ===
+      Tables(s, d, "events").count())
+    // sessions of one user never overlap and respect the 30-min gap
+    val byUser = sessions.orderBy("user_id", "session_start").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          val aEnd = a.getAs[java.sql.Timestamp]("session_end").getTime
+          val bStart = b.getAs[java.sql.Timestamp]("session_start").getTime
+          assert(bStart - aEnd > 30 * 60 * 1000L,
+            "consecutive sessions must be separated by more than the gap")
+        case _ =>
+      }
+    }
+  }
+}
