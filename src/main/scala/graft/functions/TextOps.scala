@@ -47,6 +47,19 @@ object TextOps {
     expr(s"""transform(sequence(0, ${bands - 1}),
             |  b -> xxhash64(slice($sigCol, b * $rows + 1, $rows)))""".stripMargin)
 
+  /** Band keys computed directly from the shingle-hash array, skipping the
+    * intermediate signature column: band b = xxhash64 of its `rows` minhash
+    * values. Exactly `bands*rows` array_min passes — referencing a separate
+    * sig column instead would let ProjectCollapse re-inline the whole
+    * signature expression once per band (a 16× blowup that took one query
+    * from 2 s to 335 s at sf0.01). Callers should still materialize the
+    * hash column behind a shuffle/persist barrier.
+    */
+  def bandKeysFromHashes(hashesCol: String, bands: Int, rows: Int): Column =
+    expr(s"""transform(sequence(0, ${bands - 1}),
+            |  b -> xxhash64(transform(sequence(0, ${rows - 1}),
+            |    r -> array_min(transform($hashesCol, h -> xxhash64(h, b * $rows + r))))))""".stripMargin)
+
   /** 64-bit SimHash of a (multiset) token-hash array column: per bit, sum
     * +1/-1 over tokens by that bit of the token hash, then take signs.
     */

@@ -75,21 +75,38 @@ object LlmData {
     * exact `q_dedup_ngram` result is asserted in DedupSpec.
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
-    val shs = shingled(s, d)
-      .withColumn("hashes", expr("transform(shs, x -> xxhash64(x))"))
-      .withColumn("sig", TextOps.minhashSignature("hashes", k = 32))
-      .withColumn("bands", TextOps.bandKeys("sig", bands = 16, rows = 2))
-    val bandRows = shs.select(col("doc_id"), col("shs"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val cands = bandRows.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
-        col("band_idx"), col("band_hash"))
-      .join(bandRows.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+    // Signature computation is explode + codegen'd hash aggregation, NOT
+    // array lambdas: higher-order-function lambdas evaluate interpreted in
+    // Spark (measured ~10 s for the equivalent per-row transform/array_min
+    // pipeline at sf0.01 vs <1 s for this shape), while min()-aggregates of
+    // xxhash64 run inside whole-stage codegen and combine map-side.
+    val k = 32
+    val exploded = shingled(s, d)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sigs = exploded.groupBy("doc_id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    // 16 bands x 2 rows: band hash of (m_{2b}, m_{2b+1})
+    val bandCols = (0 until 16).map(b =>
+      xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+    // candidate generation is ID-only: band rows are (doc_id, band, hash) —
+    // 24 bytes each — so the LSH join shuffles no payload. Shingle sets are
+    // re-attached to the (few) surviving pairs afterwards; carrying them
+    // through the 16-way band explosion would inflate the shuffle 16x.
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val cands = bandRows.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      .join(bandRows.select(col("doc_id").as("doc_b"),
         col("band_idx").as("bi"), col("band_hash").as("bh")),
         col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
           col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "shs_a", "shs_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    val sets = shingled(s, d)
     cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jac", col("common").cast("double") /
         (size(col("shs_a")) + size(col("shs_b")) - col("common")))
@@ -103,11 +120,21 @@ object LlmData {
     * least one chunk (pigeonhole); verified with exact bit_count(xor).
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val h = t(s, d, "documents")
-      .withColumn("toks", TextOps.tokens("text"))
-      .where(size(col("toks")) >= 1)
-      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
-      .select(col("doc_id"), TextOps.simhash64("hashes").as("sh64"))
+    // explode + codegen'd aggregation (same rationale as in dedupNear): one
+    // row per token, 64 conditional-sum aggregates, then recombine the sign
+    // bits — every step stays inside whole-stage codegen with map-side
+    // partial aggregation.
+    val tokenHashes = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = tokenHashes.groupBy("doc_id")
+      .agg(sum(expr("IF((shiftright(h, 0) & 1) = 1, 1L, -1L)")).as("b0"),
+        (1 until 64).map(i =>
+          sum(expr(s"IF((shiftright(h, $i) & 1) = 1, 1L, -1L)")).as(s"b$i")): _*)
+    val sh64 = (0 until 64).map(i =>
+        when(col(s"b$i") >= 0, expr(s"shiftleft(1L, $i)")).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val h = bitSums.select(col("doc_id"), sh64.as("sh64"))
       .withColumn("chunks", TextOps.simhashChunks("sh64"))
     val rows = h.select(col("doc_id"), col("sh64"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
@@ -139,15 +166,19 @@ object LlmData {
         .select(col("vec_id"), col("embedding"),
           VectorOps.lshBucket("embedding", nBits = 6, dims = dims, table = tbl).as("bucket"),
           lit(tbl).as("tbl"))
-    val buckets = table(0).unionAll(table(1))
-    buckets.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("bucket"), col("tbl"))
-      .join(buckets.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+    // ID-only candidate generation (no vector payload in the LSH shuffle);
+    // vectors are re-attached to surviving pairs for exact verification
+    val buckets = table(0).unionAll(table(1)).select("vec_id", "bucket", "tbl")
+    val emb = t(s, d, "embeddings")
+    buckets.select(col("vec_id").as("vec_a"), col("bucket"), col("tbl"))
+      .join(buckets.select(col("vec_id").as("vec_b"),
         col("bucket").as("bk"), col("tbl").as("tb")),
         col("bucket") === col("bk") && col("tbl") === col("tb") &&
           col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "ea", "eb")
+      .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("cos", r(VectorOps.cosine(col("ea"), col("eb")), 4))
       .where(col("cos") >= 0.25)
       .select("vec_a", "vec_b", "cos")
