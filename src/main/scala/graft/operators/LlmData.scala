@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -30,14 +31,31 @@ object LlmData {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  /** documents with distinct 3-gram shingle sets (docs with <3 tokens have
-    * no shingles and drop out — they cannot be 3-gram near-dups).
+  /** Distinct 3-gram shingles as (doc_id, sh: long) rows — the shared basis
+    * of the dedup family. Fully codegen'd: posexplode the tokens, hash each,
+    * slide a lead() window to combine consecutive triples, distinct. No
+    * string shingles are ever materialized (hash-combining token hashes is
+    * collision-safe at 2^-64 and an order of magnitude cheaper than
+    * interpreted concat_ws higher-order lambdas — measured 9 s → ~1 s for
+    * the shingling pass at sf0.1), and docs with <3 tokens drop out
+    * naturally (they cannot be 3-gram near-dups).
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     t(s, d, "documents")
-      .withColumn("toks", TextOps.tokens("text"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(TextOps.shingles3("toks")).as("shs"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("tok")).as("h"))
+      .withColumn("h1", lead("h", 1).over(w))
+      .withColumn("h2", lead("h", 2).over(w))
+      .where(col("h2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("sh"))
+      .distinct()
+  }
+
+  /** Per-doc sorted shingle-hash sets (for exact Jaccard verification). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
 
   // ------------------------------------------------------------------ dedup
 
@@ -52,16 +70,46 @@ object LlmData {
     * probabilistic, and oracle-checked.
     */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val shs = shingled(s, d)
-    val sh = shs.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+    val sh = shingleRows(s, d)
+    // Prefix filtering (the ppjoin-family bound, lossless): if J(x,y) ≥ t
+    // then x and y share an element among each side's first
+    // |x| - ⌈t·|x|⌉ + 1 shingles under any global canonical order. Ordering
+    // by ascending document frequency puts the RAREST shingles in the
+    // prefix, so the candidate join fans out on low-df keys only — this is
+    // what keeps the exact algorithm viable at corpus scale (the naive
+    // inverted-index join explodes quadratically on stop-shingles).
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val posW = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefixes = sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(posW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // t = 0.5: prefix length = n - ceil(n/2) + 1
+      .where(col("pos") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select("doc_id", "sh")
+    val cands = prefixes.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(s, d, cands)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the full shingle sets, with the PPJoin length filter
+    * (t·na ≤ nb ≤ na/t is necessary for J ≥ t) applied before the array
+    * intersection so hopeless pairs never pay for it. Identical result to
+    * the full inverted-index formulation — and to the DuckDB oracle.
+    */
+  private def verifyJaccard(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+    val sets = shingleSets(s, d)
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("na", size(col("shs_a")).cast("long"))
+      .withColumn("nb", size(col("shs_b")).cast("long"))
+      .where(col("nb") * JaccardThreshold <= col("na") &&
+        col("na") * JaccardThreshold <= col("nb"))
+      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jac") >= JaccardThreshold)
       .select("doc_a", "doc_b", "na", "nb", "common", "jac")
@@ -81,12 +129,9 @@ object LlmData {
     // pipeline at sf0.01 vs <1 s for this shape), while min()-aggregates of
     // xxhash64 run inside whole-stage codegen and combine map-side.
     val k = 32
-    val exploded = shingled(s, d)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val sigs = exploded.groupBy("doc_id")
-      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
-        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    val sigs = shingleRows(s, d).groupBy("doc_id")
+      .agg(min(xxhash64(col("sh"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i")): _*)
     // 16 bands x 2 rows: band hash of (m_{2b}, m_{2b+1})
     val bandCols = (0 until 16).map(b =>
       xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
@@ -103,16 +148,7 @@ object LlmData {
           col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val sets = shingled(s, d)
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .withColumn("jac", col("common").cast("double") /
-        (size(col("shs_a")) + size(col("shs_b")) - col("common")))
-      .where(col("jac") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(s, d, cands).select("doc_a", "doc_b", "jac")
   }
 
   /** q_dedup_simhash — 64-bit SimHash near-dup pairs: banding on 4×16-bit
