@@ -313,20 +313,29 @@ object LlmData {
     * is the seam where a vectorized decode batch UDF (mapInPandas-style)
     * plugs in.
     */
-  def multimodalFrames(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    val framed = t(s, d, "documents")
       .withColumn("content", col("text").cast("binary"))
       .withColumn("n_bytes", octet_length(col("content")))
-      // STUB DECODE: treat every 128-byte stride as a "frame", sample its
-      // first 32 bytes, hash as the frame "feature". A real decoder would
-      // replace exactly this expression with codec output.
+      // STUB frame sampling: treat every 128-byte stride as a "frame",
+      // sample its first 32 bytes, hash as the frame "feature". A real
+      // decoder would replace exactly this expression with codec output.
       .withColumn("frame_hashes", expr(
         """transform(sequence(0, CAST(floor((octet_length(content) - 1) / 128) AS INT)),
           |  i -> xxhash64(substring(content, i * 128 + 1, 32)))""".stripMargin))
+    // batched decode seam (mapInPandas-shaped): deterministic fake metadata
+    // through graft.functions.BinaryBatch, rejoined to the columnar plan
+    val meta = graft.functions.BinaryBatch
+      .decode(s, framed.select(col("doc_id"), col("content"))).toDF()
+      .select(col("doc_id"), col("fake_width"), col("fake_height"),
+        col("fake_duration_ms"))
+    framed
       .select(col("doc_id"), col("n_bytes"),
         size(col("frame_hashes")).as("n_frames"),
         xxhash64(col("frame_hashes")).as("frames_sig"))
+      .join(meta, "doc_id")
       .orderBy("doc_id")
+  }
 
   // ------------------------------------------------------------------ text
 

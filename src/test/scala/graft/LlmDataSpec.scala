@@ -110,6 +110,20 @@ class LlmDataSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("BinaryBatch decode sees full batches and preserves every row") {
+    import graft.functions.BinaryBatch
+    import s.implicits._
+    val df = (0 until 200).map(i => (i.toLong, Array.fill[Byte](i % 50 + 1)(i.toByte)))
+      .toDF("doc_id", "content").repartition(2)
+    val out = BinaryBatch.decode(s, df).collect()
+    assert(out.length === 200)
+    assert(out.map(_.doc_id).toSet === (0 until 200).map(_.toLong).toSet)
+    // batch shape: every batch the decoder saw is bounded by BatchSize and
+    // most rows travel in full batches (the amortization a codec wants)
+    assert(out.forall(_.decoder_batch_size <= BinaryBatch.BatchSize))
+    assert(out.count(_.decoder_batch_size === BinaryBatch.BatchSize) >= 100)
+  }
+
   test("q_text_langid scores are bounded by lexicon size and pred is an argmax") {
     val r = LlmData.textLangid(s, d).limit(50).collect()
     r.foreach { row =>
