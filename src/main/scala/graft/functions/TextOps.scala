@@ -18,47 +18,12 @@ object TextOps {
   /** Whitespace tokens of a text column. */
   def tokens(textCol: String): Column = split(col(textCol), " ")
 
-  /** Word k-gram shingles (k=3) of a token-array column: one string per
-    * consecutive token triple. Callers must guard `size >= 3` (an undersized
-    * array yields an empty shingle list via the sequence guard).
-    */
-  def shingles3(tokensCol: String): Column =
-    expr(s"""CASE WHEN size($tokensCol) >= 3 THEN
-            |transform(sequence(1, size($tokensCol) - 2),
-            |  i -> concat_ws(' ', element_at($tokensCol, i),
-            |                 element_at($tokensCol, i + 1),
-            |                 element_at($tokensCol, i + 2)))
-            |ELSE array() END""".stripMargin)
-
-  /** MinHash signature (k independent permutations approximated by seeded
-    * xxhash64 re-hashing) over a distinct-shingle-hash array column.
-    * `sig[i] = min_s xxhash64(hash(s), i)` — standard one-permutation-per-
-    * seed MinHash; deterministic and shuffle-free (pure per-row compute).
-    */
-  def minhashSignature(hashesCol: String, k: Int): Column =
-    expr(s"""transform(sequence(0, ${k - 1}),
-            |  i -> array_min(transform($hashesCol, h -> xxhash64(h, i))))""".stripMargin)
-
-  /** LSH band keys: hash `r` consecutive signature rows per band; two docs
-    * collide on a band iff those rows all match (b bands of r rows gives the
-    * standard s-curve with threshold ≈ (1/b)^(1/r)).
-    */
-  def bandKeys(sigCol: String, bands: Int, rows: Int): Column =
-    expr(s"""transform(sequence(0, ${bands - 1}),
-            |  b -> xxhash64(slice($sigCol, b * $rows + 1, $rows)))""".stripMargin)
-
-  /** Band keys computed directly from the shingle-hash array, skipping the
-    * intermediate signature column: band b = xxhash64 of its `rows` minhash
-    * values. Exactly `bands*rows` array_min passes — referencing a separate
-    * sig column instead would let ProjectCollapse re-inline the whole
-    * signature expression once per band (a 16× blowup that took one query
-    * from 2 s to 335 s at sf0.01). Callers should still materialize the
-    * hash column behind a shuffle/persist barrier.
-    */
-  def bandKeysFromHashes(hashesCol: String, bands: Int, rows: Int): Column =
-    expr(s"""transform(sequence(0, ${bands - 1}),
-            |  b -> xxhash64(transform(sequence(0, ${rows - 1}),
-            |    r -> array_min(transform($hashesCol, h -> xxhash64(h, b * $rows + r))))))""".stripMargin)
+  // NOTE: shingling and MinHash signatures deliberately do NOT live here as
+  // array-lambda Column builders. Higher-order-function lambdas evaluate
+  // interpreted in Spark, and per-row signature loops are 1-2 orders of
+  // magnitude slower than the codegen'd explode + hash-aggregate formulation
+  // used in graft.operators.LlmData (posexplode + lead() windows for
+  // shingles, min(xxhash64(sh, seed)) aggregates for signatures).
 
   /** 64-bit SimHash of a (multiset) token-hash array column: per bit, sum
     * +1/-1 over tokens by that bit of the token hash, then take signs.

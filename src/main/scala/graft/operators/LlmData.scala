@@ -203,9 +203,13 @@ object LlmData {
           VectorOps.lshBucket("embedding", nBits = 6, dims = dims, table = tbl).as("bucket"),
           lit(tbl).as("tbl"))
     // ID-only candidate generation (no vector payload in the LSH shuffle);
-    // vectors are re-attached to surviving pairs for exact verification
+    // pre-normalized vectors re-attach to surviving pairs, so verification
+    // is one dot-product fold per pair instead of three (norms are computed
+    // once per vector, not once per candidate pair)
     val buckets = table(0).unionAll(table(1)).select("vec_id", "bucket", "tbl")
     val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        (lit(1.0) / VectorOps.norm(col("embedding"))).as("inv_norm"))
     buckets.select(col("vec_id").as("vec_a"), col("bucket"), col("tbl"))
       .join(buckets.select(col("vec_id").as("vec_b"),
         col("bucket").as("bk"), col("tbl").as("tb")),
@@ -213,9 +217,12 @@ object LlmData {
           col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-      .withColumn("cos", r(VectorOps.cosine(col("ea"), col("eb")), 4))
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("inv_norm").as("inv_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("inv_norm").as("inv_b")), "vec_b")
+      .withColumn("cos",
+        r(VectorOps.dot(col("ea"), col("eb")) * col("inv_a") * col("inv_b"), 4))
       .where(col("cos") >= 0.25)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
