@@ -1,0 +1,22 @@
+package graft
+
+/** Dumps formatted physical plans of flagship queries (used to generate
+  * docs/PLANS.md; also handy interactively).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val s = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    for (q <- Seq("q_scan_pruned", "q_join_broadcast", "q_join_multiway",
+        "q_agg_hash", "q_topk", "q_udf_scalar", "q_dedup_near")) {
+      println(s"\n===== $q =====")
+      println(SparkEntry.queries(q)(s, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(4000))
+    }
+    s.stop()
+  }
+}

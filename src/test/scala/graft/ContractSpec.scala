@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract: every operator key committed in SURVEY.md §2B
+  * exists in SparkEntry.queries, module maps don't collide, and every
+  * oracle entry has a query.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  /** The §2B inventory (SURVEY.md) — one key per row. */
+  val surveyKeys: Set[String] = Set(
+    "q_scan_parquet", "q_scan_pruned", "q_sink_partitioned",
+    "q_filter_predicate", "q_project_expr",
+    "q_join_broadcast", "q_join_shuffle", "q_join_multiway",
+    "q_join_semi_anti", "q_join_outer", "q_join_asof_range",
+    "q_agg_hash", "q_agg_distinct", "q_agg_rollup_cube", "q_agg_custom_typed",
+    "q_window_rank", "q_window_running", "q_window_range_frame",
+    "q_sort_limit", "q_topk", "q_set_ops", "q_dedup_exact",
+    "q_scalar_string", "q_scalar_datetime", "q_scalar_math", "q_scalar_json",
+    "q_scalar_array", "q_udf_scalar", "q_udtf_explode", "q_text_stats",
+    "q_dedup_near", "q_simsearch_topk", "q_multimodal_join",
+    "q_stream_tumbling", "q_stream_sliding_session", "q_stream_watermark_late",
+    "q_stream_stateful", "q_pipeline_ingest")
+
+  /** North-star additions beyond §2B (training-data pipeline operators). */
+  val extraKeys: Set[String] = Set(
+    "q_dedup_ngram", "q_dedup_simhash", "q_dedup_embed", "q_simsearch_ivf",
+    "q_multimodal_binary", "q_multimodal_frames",
+    "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_fingerprint",
+    "q_ingest_json")
+
+  test("every SURVEY.md §2B key is implemented") {
+    val missing = surveyKeys -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"unimplemented §2B keys: $missing")
+  }
+
+  test("the full inventory is exactly §2B plus the declared extras") {
+    assert(SparkEntry.queries.keySet === surveyKeys ++ extraKeys)
+  }
+
+  test("module query maps do not shadow each other") {
+    val sizes = Seq(operators.Relational.queries.size, operators.Scalars.queries.size,
+      operators.LlmData.queries.size, streaming.Streams.queries.size,
+      sources.PipelineIngest.queries.size)
+    assert(sizes.sum === SparkEntry.queries.size, "duplicate keys across modules")
+  }
+
+  test("every oracle entry has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("oracle coverage is complete for the deterministic surface") {
+    // only probabilistic/hash-defined/approximate/side-effect queries may
+    // skip the DuckDB oracle (SURVEY.md §2B oracle column)
+    val allowedNoOracle = Set("q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
+      "q_simsearch_ivf", "q_multimodal_frames", "q_text_fingerprint",
+      "q_text_langid", "q_sink_partitioned")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.subsetOf(allowedNoOracle),
+      s"queries missing an oracle without justification: ${noOracle -- allowedNoOracle}")
+  }
+}
