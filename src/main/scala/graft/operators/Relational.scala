@@ -260,6 +260,22 @@ object Relational {
          |ORDER BY n_name ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q_agg_cube — full CUBE over (o_orderpriority, yr): all four grouping
+    * sets, distinguishing it from the hierarchical ROLLUP in
+    * [[aggRollupCube]]. Same SQL-front-end route and grouping_id parity.
+    */
+  def aggCube(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("graft_cube_base")
+    s.sql(
+      s"""SELECT o_orderpriority, yr, ${sqlSumExact("o_totalprice", 2)} AS revenue,
+         |count(*) AS n_orders, CAST(grouping_id() AS INT) AS gid
+         |FROM graft_cube_base GROUP BY CUBE (o_orderpriority, yr)
+         |ORDER BY o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
+  }
+
   // -------------------------------------------------------------- sort/topk
 
   /** q_sort_limit — global order + limit. */
@@ -371,6 +387,7 @@ object Relational {
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_rollup_cube" -> aggRollupCube _,
+    "q_agg_cube" -> aggCube _,
     "q_sort_limit" -> sortLimit _,
     "q_topk" -> topk _,
     "q_set_ops" -> setOps _,
@@ -453,6 +470,12 @@ object Relational {
         "JOIN nation ON c_nationkey = n_nationkey) " +
         "GROUP BY ROLLUP (n_name, yr) " +
         "ORDER BY n_name NULLS FIRST, yr NULLS FIRST"),
+    "q_agg_cube" ->
+      (s"SELECT o_orderpriority, yr, ${sqlSumExact("o_totalprice", 2)} AS revenue, " +
+        "count(*) AS n_orders, CAST(grouping(o_orderpriority, yr) AS INT) AS gid " +
+        "FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice " +
+        "FROM orders) GROUP BY CUBE (o_orderpriority, yr) " +
+        "ORDER BY o_orderpriority NULLS FIRST, yr NULLS FIRST"),
     "q_sort_limit" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),

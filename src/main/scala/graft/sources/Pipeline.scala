@@ -105,11 +105,30 @@ object PipelineIngest {
       .where(col("ticket").isNotNull && col("file").isNotNull) // fail-fast
   }
 
+  /** q_source_json_roundtrip — JSON-lines source/sink breadth: a daily
+    * events extract written as JSON lines (the reference's API payloads are
+    * JSON, script-dag-dock-report:39), schema-inferred back in, aggregated,
+    * and oracle-checked against the original parquet. Demonstrates that
+    * landed semi-structured exports re-enter the engine losslessly.
+    */
+  def sourceJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_source_json"
+    graft.Tables(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(out)
+    s.read.json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_ingest" -> pipelineIngest _,
-    "q_ingest_json" -> ingestJson _)
+    "q_ingest_json" -> ingestJson _,
+    "q_source_json_roundtrip" -> sourceJsonRoundtrip _)
 
   val oracle: Map[String, String] = Map(
     "q_pipeline_ingest" ->
@@ -117,6 +136,9 @@ object PipelineIngest {
         expected.map { case (day, n, amt) => s"('$day', CAST($n AS BIGINT), CAST($amt AS DOUBLE))" }
           .mkString(", ") +
         ") t(day, n, sum_amount) ORDER BY day"),
+    "q_source_json_roundtrip" ->
+      (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value, " +
+        "max(event_id) AS max_event_id FROM events GROUP BY event_type ORDER BY event_type"),
     "q_ingest_json" ->
       ("SELECT 'T-123' AS ticket, 'balance_2024-01-01.zip' AS file, " +
         "CAST(true AS BOOLEAN) AS has_token, " +
