@@ -335,7 +335,7 @@ object LlmData {
     val meta = graft.functions.BinaryBatch
       .decode(s, framed.select(col("doc_id"), col("content"))).toDF()
       .select(col("doc_id"), col("fake_width"), col("fake_height"),
-        col("fake_duration_ms"))
+        col("fake_duration_ms"), col("resized_sig"))
     framed
       .select(col("doc_id"), col("n_bytes"),
         size(col("frame_hashes")).as("n_frames"),
