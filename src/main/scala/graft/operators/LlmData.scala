@@ -116,6 +116,20 @@ object LlmData {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_dedup_survivors — the dedup operation itself: documents surviving
+    * near-duplicate removal. Any document with a near-dup partner of smaller
+    * doc_id is dropped (the standard keep-first policy; doc_a < doc_b in
+    * every detected pair, so survivors are exactly the docs never appearing
+    * as doc_b). Built on the exact detector so it is oracle-checkable.
+    */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val dropped = dedupNgram(s, d).select(col("doc_b").as("doc_id")).distinct()
+    t(s, d, "documents")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_near — MinHash + LSH near-dup pairs: 32-hash signature, 16
     * bands × 2 rows (candidate threshold ≈ (1/16)^(1/2) ≈ 0.25, so recall at
     * J ≥ 0.5 is 1-(1-0.25)^16 ≈ 99%), then exact Jaccard verification of
@@ -430,6 +444,7 @@ object LlmData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_ngram" -> dedupNgram _,
+    "q_dedup_survivors" -> dedupSurvivors _,
     "q_dedup_near" -> dedupNear _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_embed" -> dedupEmbed _,
@@ -455,6 +470,18 @@ object LlmData {
         "common * 1.0 / (a.n + b.n - common) AS jac " +
         "FROM pairs JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
         "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_dedup_survivors" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
+        "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common " +
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "dropped AS (SELECT DISTINCT doc_b FROM pairs " +
+        "JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
+        "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_b FROM dropped) ORDER BY doc_id"),
     "q_simsearch_topk" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
