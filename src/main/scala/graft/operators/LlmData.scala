@@ -40,17 +40,26 @@ object LlmData {
     * the shingling pass at sf0.1), and docs with <3 tokens drop out
     * naturally (they cannot be 3-gram near-dups).
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    t(s, d, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("tok")).as("h"))
-      .withColumn("h1", lead("h", 1).over(w))
-      .withColumn("h2", lead("h", 2).over(w))
-      .where(col("h2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("sh"))
-      .distinct()
-  }
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    // persisted once per (session, dataset): the shingle table is the shared
+    // expensive artifact of the dedup family (q_dedup_ngram/near/survivors
+    // all consume it, several times each) — on a cluster this is exactly the
+    // signature table SCALING.md says to persist
+    shingleCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"), xxhash64(col("tok")).as("h"))
+        .withColumn("h1", lead("h", 1).over(w))
+        .withColumn("h2", lead("h", 2).over(w))
+        .where(col("h2").isNotNull)
+        .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("sh"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Per-doc sorted shingle-hash sets (for exact Jaccard verification). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =

@@ -26,6 +26,14 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall too low: $recall")
   }
 
+  test("q_dedup_survivors drops exactly the larger-id side of each near-dup pair") {
+    val dropped = pairs(LlmData.dedupNgram(s, d), "doc_a", "doc_b").map(_._2)
+    val survivors = LlmData.dedupSurvivors(s, d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.size === 500 - dropped.size)
+    assert(survivors.intersect(dropped).isEmpty)
+  }
+
   test("q_dedup_simhash: planted near-identical docs collide at small Hamming distance") {
     val r = LlmData.dedupSimhash(s, d)
     assert(r.count() > 0)
