@@ -137,6 +137,34 @@ object Streams {
       .orderBy("win_start", "event_type")
   }
 
+  /** q_stream_dedup — exactly-once semantics over an at-least-once source:
+    * the reference retries failed transfers (3×3 min,
+    * script-dag-dock-report:21-22), which redelivers data; the streaming
+    * engine deduplicates on event_id within the watermark. A second batch
+    * redelivers 1000 already-seen events — all dropped, so the output equals
+    * the distinct batch replay (oracle-checked).
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = collectEvents(s, d)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val deduped = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(name).start()
+    stream.addData(events)
+    q.processAllAvailable()
+    stream.addData(events.take(1000)) // redelivery: every row already seen
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, micros
 
   /** Sessionization state function: sorts the batch's events, extends or
@@ -220,7 +248,8 @@ object Streams {
     "q_stream_tumbling" -> streamTumbling _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
-    "q_stream_stateful" -> streamStateful _)
+    "q_stream_stateful" -> streamStateful _,
+    "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -241,6 +270,8 @@ object Streams {
         "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, " +
         s"event_type, count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
         "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+    "q_stream_dedup" ->
+      ("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"),
     "q_stream_stateful" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
