@@ -121,28 +121,41 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
-    val name = s"graft_stream_wm_${runId.incrementAndGet()}"
-    val q = agg.writeStream.outputMode(OutputMode.Append()).format("memory")
-      .queryName(name).start()
-    stream.addData(events)
-    q.processAllAvailable()
-    stream.addData(Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)))
-    q.processAllAvailable()
-    stream.addData(events.take(100)) // stale rows, older than the watermark: dropped
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    val sentinel = Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)
+    runBatchesToTable(s, agg, stream, "graft_stream_wm",
+      Seq(events, Seq(sentinel),
+        events.take(100))) // stale rows, older than the watermark: dropped
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
   }
 
+  /** Shared MemoryStream harness: start `out` into a memory sink, feed each
+    * batch with a full processAllAvailable between (so watermarks advance
+    * batch-by-batch), stop, return the sink table.
+    */
+  private def runBatchesToTable(s: SparkSession, out: DataFrame,
+      stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev],
+      prefix: String, batches: Seq[Seq[Ev]]): DataFrame = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val q = out.writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(name).start()
+    batches.foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    s.table(name)
+  }
+
   /** q_stream_dedup — exactly-once semantics over an at-least-once source:
     * the reference retries failed transfers (3×3 min,
     * script-dag-dock-report:21-22), which redelivers data; the streaming
-    * engine deduplicates on event_id within the watermark. A second batch
-    * redelivers 1000 already-seen events — all dropped, so the output equals
-    * the distinct batch replay (oracle-checked).
+    * engine deduplicates on event_id within the watermark. The second batch
+    * redelivers the newest rows — the ones whose dedup state is still LIVE
+    * (ts + delay ahead of the watermark), so they are dropped by key
+    * matching, not by the late-data filter; output equals the distinct
+    * batch replay (oracle-checked).
     */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -152,15 +165,13 @@ object Streams {
     val deduped = stream.toDF()
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
-    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val q = deduped.writeStream.outputMode(OutputMode.Append()).format("memory")
-      .queryName(name).start()
-    stream.addData(events)
-    q.processAllAvailable()
-    stream.addData(events.take(1000)) // redelivery: every row already seen
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    // redelivery aimed at live state: rows within 5 min of the max event
+    // time (watermark is max-10min, state survives until ts+10min > wm)
+    val maxTs = events.last.ts
+    val redelivered = events.filter(e => !e.ts.isBefore(maxTs.minusSeconds(300)))
+    require(redelivered.nonEmpty, "fixture must have rows near max ts")
+    runBatchesToTable(s, deduped, stream, "graft_stream_dedup",
+      Seq(events, redelivered))
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
@@ -225,16 +236,10 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         sessionize)
-    val name = s"graft_stream_sess_${runId.incrementAndGet()}"
-    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append()).format("memory")
-      .queryName(name).start()
-    stream.addData(events)
-    q.processAllAvailable()
     // sentinel advances the watermark past every real session's close time
-    stream.addData(Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)))
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    val sentinel = Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)
+    runBatchesToTable(s, sessions.toDF(), stream, "graft_stream_sess",
+      Seq(events, Seq(sentinel)))
       .where(col("user_id") =!= -1L)
       .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
         expr("timestamp_micros(end_us)").as("session_end"),

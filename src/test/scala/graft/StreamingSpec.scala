@@ -44,6 +44,13 @@ class StreamingSpec extends AnyFunSuite {
       "late duplicate rows must not inflate any window")
   }
 
+  test("q_stream_dedup: redelivered in-watermark rows are dropped by key state") {
+    val r = Streams.streamDedup(s, d)
+    assert(r.count() === Tables(s, d, "events").count(),
+      "redelivery must not inflate the output")
+    assert(r.select("event_id").distinct().count() === r.count())
+  }
+
   test("q_stream_stateful sessionization: totals and session structure reconcile") {
     val sessions = Streams.streamStateful(s, d)
     // every event is in exactly one session
