@@ -21,15 +21,38 @@ import graft.functions.{TextOps, VectorOps}
   *  - the only shuffles are the candidate-pair joins, keyed on band/bucket
   *    hashes that distribute uniformly by construction;
   *  - hot shingles (stop-phrases) are the classic skew risk in the inverted
-  *    index join — `q_dedup_ngram` caps document frequency of a shingle at
-  *    [[LlmData.MaxShingleDf]] before the join, which cannot change any
-  *    pair at or above the Jaccard threshold for realistic corpus sizes but
-  *    bounds the worst bucket.
+  *    index join — `q_dedup_ngram` orders each document's shingles by
+  *    ascending document frequency and joins only on the PPJoin prefix, so
+  *    the hottest shingles never become join keys (lossless for pairs at or
+  *    above the Jaccard threshold).
   */
 object LlmData {
   import Det._
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Session-scoped memo for persisted intermediate tables. Weak keys: the
+    * session object itself keys the map (no hash-collision risk, unlike
+    * identityHashCode), and a stopped+unreferenced session lets its entries
+    * and their persisted blocks be collected instead of pinning them for
+    * the JVM lifetime.
+    */
+  private val sessionCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = sessionCache.synchronized {
+      var m = sessionCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        sessionCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Distinct 3-gram shingles as (doc_id, sh: long) rows — the shared basis
     * of the dedup family. Fully codegen'd: posexplode the tokens, hash each,
@@ -40,15 +63,12 @@ object LlmData {
     * the shingling pass at sf0.1), and docs with <3 tokens drop out
     * naturally (they cannot be 3-gram near-dups).
     */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     // persisted once per (session, dataset): the shingle table is the shared
     // expensive artifact of the dedup family (q_dedup_ngram/near/survivors
     // all consume it, several times each) — on a cluster this is exactly the
     // signature table SCALING.md says to persist
-    shingleCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    memo(s, s"shingles:$d") {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -58,8 +78,7 @@ object LlmData {
         .where(col("h2").isNotNull)
         .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("sh"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Per-doc sorted shingle-hash sets (for exact Jaccard verification). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
@@ -78,7 +97,7 @@ object LlmData {
     * inverted-index join finds every qualifying pair — this is exact, not
     * probabilistic, and oracle-checked.
     */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+  def dedupNgram(s: SparkSession, d: String): DataFrame = memo(s, s"ngram_pairs:$d") {
     val sh = shingleRows(s, d)
     // Prefix filtering (the ppjoin-family bound, lossless): if J(x,y) ≥ t
     // then x and y share an element among each side's first
@@ -350,9 +369,12 @@ object LlmData {
       // STUB frame sampling: treat every 128-byte stride as a "frame",
       // sample its first 32 bytes, hash as the frame "feature". A real
       // decoder would replace exactly this expression with codec output.
+      // Empty payloads get zero frames (an unguarded sequence(0, -1) would
+      // count DOWN and fabricate two phantom frames).
       .withColumn("frame_hashes", expr(
-        """transform(sequence(0, CAST(floor((octet_length(content) - 1) / 128) AS INT)),
-          |  i -> xxhash64(substring(content, i * 128 + 1, 32)))""".stripMargin))
+        """CASE WHEN octet_length(content) = 0 THEN array()
+          |ELSE transform(sequence(0, CAST(floor((octet_length(content) - 1) / 128) AS INT)),
+          |  i -> xxhash64(substring(content, i * 128 + 1, 32))) END""".stripMargin))
     // batched decode seam (mapInPandas-shaped): deterministic fake metadata
     // through graft.functions.BinaryBatch, rejoined to the columnar plan
     val meta = graft.functions.BinaryBatch

@@ -37,7 +37,8 @@ object Retry extends Logging {
     while (true) {
       try return body
       catch {
-        case e: Throwable if remaining > 1 =>
+        // NonFatal: never retry on OOM/interrupt-style fatal conditions
+        case scala.util.control.NonFatal(e) if remaining > 1 =>
           remaining -= 1
           logWarning(s"attempt failed (${e.getMessage}); retrying in ${delayMs}ms")
           Thread.sleep(delayMs)
@@ -57,7 +58,8 @@ object LandingSensor extends Logging {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var found = Files.exists(path)
     while (!found && System.nanoTime() < deadline) {
-      Thread.sleep(math.min(pokeIntervalMs, 50L)) // clamped for tests
+      val remainingMs = (deadline - System.nanoTime()) / 1000000L
+      Thread.sleep(math.max(1L, math.min(pokeIntervalMs, remainingMs)))
       found = Files.exists(path)
     }
     found
@@ -78,6 +80,8 @@ object CronSchedule {
     require(parts.length == 5 && parts.drop(2).forall(_ == "*"),
       s"only daily 'M H * * *' crons are supported: $cron")
     val (minute, hour) = (parts(0).toInt, parts(1).toInt)
+    require(minute >= 0 && minute <= 59 && hour >= 0 && hour <= 23,
+      s"minute/hour out of range in cron: $cron")
     val daySec = 86400L
     val todayStart = nowEpochSec - java.lang.Math.floorMod(nowEpochSec, daySec)
     val todayFire = todayStart + hour * 3600L + minute * 60L
@@ -89,8 +93,11 @@ object CronSchedule {
   * API (SURVEY.md §7 "keep the HTTP client behind a trait").
   */
 trait HttpTransport {
-  /** GET/POST `url`, return the response body. */
-  def fetch(url: String, basicAuth: Option[(String, String)] = None): String
+  /** GET/POST `url` with optional basic-auth credentials and headers,
+    * return the response body.
+    */
+  def fetch(url: String, basicAuth: Option[(String, String)] = None,
+      headers: Map[String, String] = Map.empty): String
 }
 
 /** REST ingestion flow of the balance-report DAG (script-dag-dock-report:
@@ -117,16 +124,20 @@ class RestIngest(http: HttpTransport, baseUrl: String) extends Logging {
     required(http.fetch(s"$baseUrl/oauth2/token", Some((clientId, secret))),
       "access_token", "authenticate")
 
-  /** Request yesterday's balance report; returns the ticket id. */
+  /** Request yesterday's balance report; returns the ticket id. The token
+    * travels in the Authorization header exactly as in the reference
+    * (`headers = {"Authorization": token}`, script-dag-dock-report:64).
+    */
   def requestReport(token: String, day: String): String =
-    required(http.fetch(s"$baseUrl/report?compressZipService=0&date=BALANCE&day=$day"),
-      "ticket", "request_data")
+    required(http.fetch(s"$baseUrl/report?compressZipService=0&date=BALANCE&day=$day",
+      headers = Map("Authorization" -> token)), "ticket", "request_data")
 
   /** Poll a ticket for the produced file name (the reference re-
     * authenticates per call, script-dag-dock-report:97 — callers do too).
     */
   def getTicketFile(token: String, ticket: String): String =
-    required(http.fetch(s"$baseUrl/report?ticket=$ticket"), "file", "get_ticket")
+    required(http.fetch(s"$baseUrl/report?ticket=$ticket",
+      headers = Map("Authorization" -> token)), "file", "get_ticket")
 }
 
 /** Zip helpers: the decompression the reference offloads to the

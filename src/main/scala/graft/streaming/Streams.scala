@@ -35,7 +35,7 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
   * (Trigger.AvailableNow / processAllAvailable into a memory sink) and
   * returns the result as a batch DataFrame, so the driver's Verify/Bench
   * harness can treat streaming like any other operator. Batch-replay
-  * equivalence makes three of the four oracle-checkable in DuckDB.
+  * equivalence makes every one of the five oracle-checkable in DuckDB.
   */
 object Streams {
   import Det._

@@ -78,8 +78,12 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("RestIngest extracts fields and fails fast on missing ones") {
     val http = new HttpTransport {
-      def fetch(url: String, auth: Option[(String, String)]): String =
+      def fetch(url: String, auth: Option[(String, String)],
+          headers: Map[String, String]): String =
         if (url.contains("oauth2")) """{"access_token": "tok-1"}"""
+        // data endpoints must carry the token in the Authorization header
+        // (reference script-dag-dock-report:64)
+        else if (headers.get("Authorization") != Some("tok-1")) "{}"
         else if (url.contains("ticket=")) """{"file": "balance.zip"}"""
         else if (url.contains("date=BALANCE")) """{"ticket": "T-9"}"""
         else "{}"
@@ -91,7 +95,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ticket === "T-9")
     assert(ingest.getTicketFile(tok, ticket) === "balance.zip")
     val empty = new HttpTransport {
-      def fetch(url: String, auth: Option[(String, String)]): String = "{}"
+      def fetch(url: String, auth: Option[(String, String)],
+          headers: Map[String, String]): String = "{}"
     }
     intercept[IllegalStateException] {
       new RestIngest(empty, "x").authenticate("a", "b")
