@@ -50,8 +50,16 @@ object LlmData {
       }
       m
     }
-    perSession.computeIfAbsent(key, _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // get/putIfAbsent, NOT computeIfAbsent: builds are reentrant (the ngram
+    // pair-set build calls the shingle build on the same map) and
+    // ConcurrentHashMap.computeIfAbsent rejects recursive updates
+    val existing = perSession.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = perSession.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
   }
 
   /** Distinct 3-gram shingles as (doc_id, sh: long) rows — the shared basis
