@@ -78,19 +78,29 @@ object Scalars {
 
   /** q_scalar_array — higher-order functions over embeddings.embedding.
     * Both engines left-fold the aggregate lambda, so the float→double sums
-    * are bit-identical without rounding.
+    * are bit-identical without rounding. Array-valued outputs are emitted as
+    * integer-scaled string signatures (round(x*1e6)→bigint, comma-joined):
+    * the driver's pandas comparator sorts rows by every column and cannot
+    * hash numpy arrays, while scaled-integer strings render identically in
+    * both engines (the float→double product and away-from-zero half rounding
+    * are engine-independent).
     */
+  private def arraySig(a: Column): Column =
+    concat_ws(",", transform(a,
+      x => round(x.cast("double") * 1000000d, 0).cast("bigint").cast("string")))
+
   def scalarArray(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        slice(col("embedding"), 1, 4).as("head4"),
+        arraySig(slice(col("embedding"), 1, 4)).as("head4_sig"),
         aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"),
         sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2"),
-        transform(col("embedding"), x => (x.cast("double") * lit(2.0)).cast("float")).as("doubled"))
+        arraySig(transform(col("embedding"),
+          x => (x.cast("double") * lit(2.0)).cast("float"))).as("doubled_sig"))
       .orderBy("vec_id")
 
   /** q_udf_scalar — the native [[FeeExpr]] Catalyst expression, called
@@ -184,12 +194,14 @@ object Scalars {
         "FROM events ORDER BY event_id"),
     "q_scalar_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, " +
-        "embedding[1:4] AS head4, " +
+        "array_to_string(list_transform(embedding[1:4], " +
+        "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS VARCHAR)), ',') AS head4_sig, " +
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS sumsq, " +
         "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS l2, " +
-        "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT)) AS doubled " +
+        "array_to_string(list_transform(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT)), " +
+        "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS VARCHAR)), ',') AS doubled_sig " +
         "FROM embeddings ORDER BY vec_id"),
     "q_udf_scalar" ->
       ("SELECT l_orderkey, l_linenumber, " +
