@@ -10,9 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.Tables
 import graft.operators.Det
 
-/** Event row for MemoryStream-fed queries (Instant keeps microsecond
-  * precision end-to-end; java.sql.Timestamp would truncate to millis in
-  * comparators).
+/** Event row for the staged-batch streaming queries (Instant keeps
+  * microsecond precision end-to-end; java.sql.Timestamp would truncate to
+  * millis in comparators).
   */
 case class Ev(event_id: Long, ts: Instant, user_id: Long, event_type: String, value: Double)
 
@@ -42,6 +42,27 @@ object Streams {
 
   private val runId = new AtomicInteger(0)
 
+  /** Number of state-store partitions for the streaming queries (fixed at
+    * query start from spark.sql.shuffle.partitions; recorded in the
+    * checkpoint thereafter). Unlike batch shuffles, streaming state cost is
+    * paid per partition per MICRO-BATCH (store open/snapshot/commit), so the
+    * right size tracks open-state volume, not input volume: windows ×
+    * event_types here is a few hundred rows, and even a 100 TB/day feed has
+    * open state orders of magnitude smaller than its throughput. Default 8
+    * locally; deployments with hundred-GB state raise it (env override).
+    */
+  private def streamStateParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
+  /** Run `body` with shuffle partitions (→ state partitions) sized for
+    * streaming state; restore the batch setting after.
+    */
+  private def withStreamParts[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming read of the events fixture (schema from the batch footer;
     * nanos ts handled exactly as in [[graft.Tables]]).
     */
@@ -55,13 +76,14 @@ object Streams {
   }
 
   /** Run a streaming DF to completion into a memory sink; return the table. */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame =
+    withStreamParts(df.sparkSession) {
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
 
   /** q_stream_tumbling — per-type counts + exact sums in 1-minute tumbling
     * windows, complete mode (no watermark: the full aggregation is the
@@ -90,14 +112,49 @@ object Streams {
       .orderBy("win_start", "win_end", "event_type")
   }
 
-  /** Collected fixture events, sorted by (ts, event_id) for deterministic
-    * MemoryStream batches.
+  /** Fixture events projected to the [[Ev]] shape (ts already truncated to
+    * micros by [[graft.Tables]]). Stays a distributed DataFrame end-to-end.
     */
-  private def collectEvents(s: SparkSession, d: String): Seq[Ev] = {
-    import s.implicits._
+  private def normalizedEvents(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().toSeq.sortBy(e => (e.ts, e.event_id))
+
+  /** One-row constant batch whose far-future timestamp advances the
+    * watermark past every real window/session close time.
+    */
+  private def sentinelBatch(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)).toDF()
+  }
+
+  /** Staged-file-batch harness: batch 1 is written (distributed) to a fresh
+    * staging dir, a file-source stream starts over it, and each later batch
+    * is appended and fully drained (`processAllAvailable`) before the next —
+    * so watermarks advance batch-by-batch exactly as an arriving-files
+    * deployment would see them. Nothing touches the driver: every batch is
+    * an ordinary distributed write job, so the same harness runs unchanged
+    * against 100 TB of events (the earlier MemoryStream harness collected
+    * the whole table to the driver — an OOM at scale).
+    */
+  private def runStagedBatches(s: SparkSession, build: DataFrame => DataFrame,
+      batches: Seq[DataFrame]): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_stage_").toString
+    batches.head.write.mode("append").parquet(dir)
+    // no maxFilesPerTrigger → each drain consumes every staged file in one
+    // micro-batch, keeping intra-batch rows ahead of the watermark
+    val src = s.readStream.schema(batches.head.schema).parquet(dir)
+    withStreamParts(s) {
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val q = build(src).writeStream.outputMode(OutputMode.Append()).format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(name)
+    }
   }
 
   /** q_stream_watermark_late — hourly tumbling counts in APPEND mode with a
@@ -113,39 +170,18 @@ object Streams {
     *            oracle-checked equivalence).
     */
   def streamWatermarkLate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = collectEvents(s, d)
-    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    val agg = stream.toDF()
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
-    val sentinel = Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)
-    runBatchesToTable(s, agg, stream, "graft_stream_wm",
-      Seq(events, Seq(sentinel),
-        events.take(100))) // stale rows, older than the watermark: dropped
+    val ev = normalizedEvents(s, d)
+    // stale redelivery: the 100 earliest events, far behind the watermark
+    val stale = ev.orderBy("ts", "event_id").limit(100)
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
+      Seq(ev, sentinelBatch(s), stale))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
-  }
-
-  /** Shared MemoryStream harness: start `out` into a memory sink, feed each
-    * batch with a full processAllAvailable between (so watermarks advance
-    * batch-by-batch), stop, return the sink table.
-    */
-  private def runBatchesToTable(s: SparkSession, out: DataFrame,
-      stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev],
-      prefix: String, batches: Seq[Seq[Ev]]): DataFrame = {
-    val name = s"${prefix}_${runId.incrementAndGet()}"
-    val q = out.writeStream.outputMode(OutputMode.Append()).format("memory")
-      .queryName(name).start()
-    batches.foreach { b =>
-      stream.addData(b)
-      q.processAllAvailable()
-    }
-    q.stop()
-    s.table(name)
   }
 
   /** q_stream_dedup — exactly-once semantics over an at-least-once source:
@@ -158,20 +194,20 @@ object Streams {
     * batch replay (oracle-checked).
     */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = collectEvents(s, d)
-    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    val deduped = stream.toDF()
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+    val ev = normalizedEvents(s, d)
     // redelivery aimed at live state: rows within 5 min of the max event
-    // time (watermark is max-10min, state survives until ts+10min > wm)
-    val maxTs = events.last.ts
-    val redelivered = events.filter(e => !e.ts.isBefore(maxTs.minusSeconds(300)))
-    require(redelivered.nonEmpty, "fixture must have rows near max ts")
-    runBatchesToTable(s, deduped, stream, "graft_stream_dedup",
-      Seq(events, redelivered))
+    // time (watermark is max-10min, state survives until ts+10min > wm);
+    // the max-ts row itself always qualifies, so the batch is never empty.
+    // Broadcast of a one-row aggregate keeps the selection fully in-engine.
+    val redelivered = ev
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("redeliver_from"))))
+      .where(col("ts") >= col("redeliver_from") - expr("INTERVAL 5 MINUTES"))
+      .drop("redeliver_from")
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id"),
+      Seq(ev, redelivered))
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
@@ -228,18 +264,17 @@ object Streams {
     */
   def streamStateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = collectEvents(s, d)
-    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    val sessions = stream.toDS()
-      .withWatermark("ts", "10 minutes")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        sessionize)
+    val ev = normalizedEvents(s, d)
     // sentinel advances the watermark past every real session's close time
-    val sentinel = Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)
-    runBatchesToTable(s, sessions.toDF(), stream, "graft_stream_sess",
-      Seq(events, Seq(sentinel)))
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+          sessionize)
+        .toDF(),
+      Seq(ev, sentinelBatch(s)))
       .where(col("user_id") =!= -1L)
       .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
         expr("timestamp_micros(end_us)").as("session_end"),
