@@ -138,6 +138,25 @@ class RestIngest(http: HttpTransport, baseUrl: String) extends Logging {
   def getTicketFile(token: String, ticket: String): String =
     required(http.fetch(s"$baseUrl/report?ticket=$ticket",
       headers = Map("Authorization" -> token)), "file", "get_ticket")
+
+  /** Statements-DAG flow (script-dag-dock-statements.py:52-91): request a
+    * digital account's statement for the [yesterday, today] window —
+    * `{base}/accounts/{id}/statements?startDate={y}&endDate={t}` with the
+    * token in the Authorization header (:66-71) — and return the produced
+    * `fileName`, null-checked fail-fast (:84-86). `today` is a parameter so
+    * the window arithmetic (:60-62) is deterministic under test.
+    */
+  def requestStatements(token: String, accountId: String,
+      today: java.time.LocalDate): String = {
+    val startDate = today.minusDays(1).toString // ISO yyyy-MM-dd, as strftime("%Y-%m-%d")
+    val endDate = today.toString
+    logInfo(s"requesting statements for account $accountId, $startDate..$endDate")
+    required(
+      http.fetch(
+        s"$baseUrl/accounts/$accountId/statements?startDate=$startDate&endDate=$endDate",
+        headers = Map("Authorization" -> token, "Accept" -> "application/json")),
+      "fileName", "request_statements")
+  }
 }
 
 /** Zip helpers: the decompression the reference offloads to the

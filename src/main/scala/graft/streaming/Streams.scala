@@ -212,6 +212,32 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** q_stream_session_window — Spark's native session windows (30-minute
+    * gap) in append mode: the sentinel advances the watermark past every
+    * real session's close so all of them flush. Cross-validates the custom
+    * [[sessionize]] operator (q_stream_stateful) against the built-in: the
+    * two differ only in the documented semantics gap — session_window starts
+    * a new session at gap ≥ 30 min (windows [ts, ts+gap) must OVERLAP to
+    * merge) and reports session_end = last event + gap, while the custom
+    * sessionizer breaks at gap > 30 min and reports session_end = last
+    * event — both oracle-checked with their exact semantics.
+    */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = normalizedEvents(s, d)
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value")),
+      Seq(ev, sentinelBatch(s)))
+      .where(col("user_id") =!= -1L) // sentinel's own session never flushes; belt+braces
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, micros
 
   /** Sessionization state function: sorts the batch's events, extends or
@@ -288,6 +314,7 @@ object Streams {
     "q_stream_tumbling" -> streamTumbling _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
+    "q_stream_session_window" -> streamSessionWindow _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_dedup" -> streamDedup _)
 
@@ -312,6 +339,17 @@ object Streams {
         "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
     "q_stream_dedup" ->
       ("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"),
+    "q_stream_session_window" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "sids AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
+        "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "q_stream_stateful" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +

@@ -21,7 +21,8 @@ class ContractSpec extends AnyFunSuite {
     "q_scalar_array", "q_udf_scalar", "q_udtf_explode", "q_text_stats",
     "q_dedup_near", "q_simsearch_topk", "q_multimodal_join",
     "q_stream_tumbling", "q_stream_sliding_session", "q_stream_watermark_late",
-    "q_stream_stateful", "q_pipeline_ingest")
+    "q_stream_session_window", "q_stream_stateful", "q_pipeline_ingest",
+    "q_transfer_file")
 
   /** North-star additions beyond §2B (training-data pipeline operators). */
   val extraKeys: Set[String] = Set(
@@ -43,7 +44,7 @@ class ContractSpec extends AnyFunSuite {
   test("module query maps do not shadow each other") {
     val sizes = Seq(operators.Relational.queries.size, operators.Scalars.queries.size,
       operators.LlmData.queries.size, streaming.Streams.queries.size,
-      sources.PipelineIngest.queries.size)
+      sources.PipelineIngest.queries.size, sources.Transfer.queries.size)
     assert(sizes.sum === SparkEntry.queries.size, "duplicate keys across modules")
   }
 

@@ -103,6 +103,35 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RestIngest statements flow builds the [yesterday, today] URL and " +
+      "extracts fileName") {
+    var seenUrl = ""
+    val http = new HttpTransport {
+      def fetch(url: String, auth: Option[(String, String)],
+          headers: Map[String, String]): String =
+        if (url.contains("oauth2")) """{"access_token": "tok-2"}"""
+        else if (headers.get("Authorization") != Some("tok-2")) "{}"
+        else { seenUrl = url; """{"fileName": "stmts_2024-02-29.zip"}""" }
+    }
+    val ingest = new RestIngest(http, "https://api.example")
+    val tok = ingest.authenticate("id", "secret")
+    // leap-day window: yesterday must be computed by calendar arithmetic
+    val file = ingest.requestStatements(tok, "acct-7",
+      java.time.LocalDate.of(2024, 3, 1))
+    assert(file === "stmts_2024-02-29.zip")
+    assert(seenUrl === "https://api.example/accounts/acct-7/statements" +
+      "?startDate=2024-02-29&endDate=2024-03-01")
+    // fileName missing → fail fast, like the reference's ValueError (:85)
+    val empty = new HttpTransport {
+      def fetch(url: String, auth: Option[(String, String)],
+          headers: Map[String, String]): String = "{}"
+    }
+    intercept[IllegalStateException] {
+      new RestIngest(empty, "x").requestStatements("t", "a",
+        java.time.LocalDate.of(2024, 1, 2))
+    }
+  }
+
   test("Zip round-trips entries and skips directories") {
     val entries = Seq(("a.csv", "1,2,3".getBytes), ("b/c.csv", "x".getBytes))
     val unzipped = Zip.unzip(Zip.zip(entries)).toSeq
