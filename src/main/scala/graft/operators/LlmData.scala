@@ -115,10 +115,14 @@ object LlmData {
     // what keeps the exact algorithm viable at corpus scale (the naive
     // inverted-index join explodes quadratically on stop-shingles).
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // pos and n share one window spec (the count takes the whole-partition
+    // frame), so Catalyst plans a single WindowExec over a single
+    // (doc_id, df, sh) sort — not two window passes
     val posW = Window.partitionBy("doc_id").orderBy("df", "sh")
     val prefixes = sh.join(dfreq, "sh")
       .withColumn("pos", row_number().over(posW))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("n", count(lit(1)).over(
+        posW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       // t = 0.5: prefix length = n - ceil(n/2) + 1
       .where(col("pos") <= col("n") - expr("(n + 1) div 2") + 1)
       .select("doc_id", "sh")
@@ -206,21 +210,35 @@ object LlmData {
     * least one chunk (pigeonhole); verified with exact bit_count(xor).
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // explode + codegen'd aggregation (same rationale as in dedupNear): one
-    // row per token, 64 conditional-sum aggregates, then recombine the sign
-    // bits — every step stays inside whole-stage codegen with map-side
-    // partial aggregation.
+    // explode + codegen'd aggregation (same rationale as in dedupNear), with
+    // the per-bit counts LANE-PACKED: the wide pass over every token row
+    // maintains 16 packed sums (4 bit-counts per long, 16-bit lanes) instead
+    // of 64 separate aggregates — 4x fewer aggregation buffers on the hot
+    // path. Lanes cannot overflow because tokens are pre-chunked into
+    // ≤ 32768-row groups (pos div 32768), so a lane holds at most 32768;
+    // the per-doc recombine then unpacks and sums the (tiny, ~one row per
+    // doc) chunk table with exact 64-wide aggregates. Bit i of the final
+    // simhash is set iff 2·cnt1_i ≥ n — identical to the ±1 formulation.
     val tokenHashes = t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = tokenHashes.groupBy("doc_id")
-      .agg(sum(expr("IF((shiftright(h, 0) & 1) = 1, 1L, -1L)")).as("b0"),
-        (1 until 64).map(i =>
-          sum(expr(s"IF((shiftright(h, $i) & 1) = 1, 1L, -1L)")).as(s"b$i")): _*)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") / 32768).cast("int").as("chunk"),
+        xxhash64(col("tok")).as("h"))
+    def lanePack(k: Int): Column = expr(
+      s"((shiftright(h, ${4 * k}) & 1)) | " +
+        s"(shiftleft(shiftright(h, ${4 * k + 1}) & 1, 16)) | " +
+        s"(shiftleft(shiftright(h, ${4 * k + 2}) & 1, 32)) | " +
+        s"(shiftleft(shiftright(h, ${4 * k + 3}) & 1, 48))")
+    val packed = tokenHashes.groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("cnt"),
+        (0 until 16).map(k => sum(lanePack(k)).as(s"p$k")): _*)
+    val counts = packed.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n"),
+        (0 until 64).map(i =>
+          sum(expr(s"(shiftright(p${i / 4}, ${16 * (i % 4)})) & 65535")).as(s"c$i")): _*)
     val sh64 = (0 until 64).map(i =>
-        when(col(s"b$i") >= 0, expr(s"shiftleft(1L, $i)")).otherwise(lit(0L)))
+        when(col(s"c$i") * 2 >= col("n"), expr(s"shiftleft(1L, $i)")).otherwise(lit(0L)))
       .reduce(_ + _)
-    val h = bitSums.select(col("doc_id"), sh64.as("sh64"))
+    val h = counts.select(col("doc_id"), sh64.as("sh64"))
       .withColumn("chunks", TextOps.simhashChunks("sh64"))
     val rows = h.select(col("doc_id"), col("sh64"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))

@@ -230,15 +230,32 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** q_agg_distinct — exact distinct counts (oracle-checked). The HLL
-    * approximate path (`approx_count_distinct`) is exercised in AggSpec —
-    * sketches differ across engines so it cannot be part of the hash-checked
-    * output.
+    * approximate path is first-class in [[aggApproxDistinct]] (and also
+    * exercised in RelationalSpec).
     */
   def aggDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** q_agg_approx_distinct — the approximate-distinct surface
+    * (`approx_count_distinct`, HLL++ rsd=2%): sketch values differ across
+    * engines, so the hash-checked output carries the exact count plus an
+    * error-bound BOOLEAN — HLL is deterministic for fixed data, and the
+    * DuckDB oracle asserts the bound holds (`true` per group). At scale the
+    * sketch is the point: it aggregates with constant memory per group and
+    * map-side partials, where countDistinct must shuffle every distinct key.
+    */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.1)
+          .as("approx_within_10pct"))
       .orderBy("event_type")
 
   /** q_agg_rollup_cube — grouping sets via ROLLUP, expressed through the SQL
@@ -386,6 +403,7 @@ object Relational {
     "q_join_asof_range" -> joinAsofRange _,
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
+    "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_rollup_cube" -> aggRollupCube _,
     "q_agg_cube" -> aggCube _,
     "q_sort_limit" -> sortLimit _,
@@ -461,6 +479,10 @@ object Relational {
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q_agg_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_agg_approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
+        "true AS approx_within_10pct " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_agg_rollup_cube" ->
       (s"SELECT n_name, yr, ${sqlSumExact("o_totalprice", 2)} AS revenue, count(*) AS n_orders, " +
