@@ -379,34 +379,38 @@ object LlmData {
         sha2(col("content"), 256).as("sha256_hex"))
       .orderBy("doc_id")
 
-  /** q_multimodal_frames — frame-sampling over binary media, STUBBED decode:
-    * the container has no image/audio codecs, so "decode" is a deterministic
-    * fake (fixed-width byte frames + xxhash features). The Spark-side
-    * plumbing is real and is what matters at scale: binary column in, one
-    * row per media item out, per-frame feature array, all computed columnar
-    * with no data leaving the executors. On a real cluster the marked stub
-    * is the seam where a vectorized decode batch UDF (mapInPandas-style)
-    * plugs in.
+  /** q_multimodal_frames — REAL image decode over landed binary media: a
+    * `binaryFile` scan of deterministic PNG fixtures, batched ImageIO decode
+    * through the [[graft.functions.BinaryBatch]] seam (mapInPandas-shaped:
+    * whole batches per codec call), real width/height/pixel counts, a
+    * nearest-neighbor downsample signature as the resize stage, and
+    * byte-stride frame sampling on the encoded payload. Everything stays on
+    * the executors; the decode output rejoins the columnar plan by doc_id.
+    * Dimensions are asserted against the fixture formula in LlmDataSpec;
+    * signatures are hash-defined → rows-only driver check.
     */
   def multimodalFrames(s: SparkSession, d: String): DataFrame = {
-    val framed = t(s, d, "documents")
-      .withColumn("content", col("text").cast("binary"))
+    val media = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_media")
+    if (!java.nio.file.Files.exists(media.resolve("img_000.png")))
+      graft.functions.BinaryBatch.writeMediaFixtures(media)
+    val framed = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(media.toString)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        col("content"))
       .withColumn("n_bytes", octet_length(col("content")))
-      // STUB frame sampling: treat every 128-byte stride as a "frame",
-      // sample its first 32 bytes, hash as the frame "feature". A real
-      // decoder would replace exactly this expression with codec output.
-      // Empty payloads get zero frames (an unguarded sequence(0, -1) would
-      // count DOWN and fabricate two phantom frames).
+      // frame sampling on the encoded stream: every 128-byte stride is a
+      // "frame", its first 32 bytes hash to the frame feature. Empty
+      // payloads get zero frames (an unguarded sequence(0, -1) would count
+      // DOWN and fabricate two phantom frames).
       .withColumn("frame_hashes", expr(
         """CASE WHEN octet_length(content) = 0 THEN array()
           |ELSE transform(sequence(0, CAST(floor((octet_length(content) - 1) / 128) AS INT)),
           |  i -> xxhash64(substring(content, i * 128 + 1, 32))) END""".stripMargin))
-    // batched decode seam (mapInPandas-shaped): deterministic fake metadata
-    // through graft.functions.BinaryBatch, rejoined to the columnar plan
     val meta = graft.functions.BinaryBatch
       .decode(s, framed.select(col("doc_id"), col("content"))).toDF()
-      .select(col("doc_id"), col("fake_width"), col("fake_height"),
-        col("fake_duration_ms"), col("resized_sig"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_pixels"), col("resized_sig"))
     framed
       .select(col("doc_id"), col("n_bytes"),
         size(col("frame_hashes")).as("n_frames"),

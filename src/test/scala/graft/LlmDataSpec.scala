@@ -118,6 +118,20 @@ class LlmDataSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("q_multimodal_frames decodes real PNG dimensions via ImageIO") {
+    val rows = LlmData.multimodalFrames(s, d).collect()
+    assert(rows.length === 48) // the decoy notes.txt is suffix-filtered out
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id").toInt
+      // the fixture generator's dimension formula, recovered by the codec
+      assert(r.getAs[Int]("width") === 8 + id % 16)
+      assert(r.getAs[Int]("height") === 8 + (id * 7) % 16)
+      assert(r.getAs[Long]("n_pixels") ===
+        (8 + id % 16).toLong * (8 + (id * 7) % 16))
+      assert(r.getAs[Int]("n_frames") > 0)
+    }
+  }
+
   test("BinaryBatch decode sees full batches and preserves every row") {
     import graft.functions.BinaryBatch
     import s.implicits._
