@@ -258,6 +258,37 @@ object Relational {
           .as("approx_within_10pct"))
       .orderBy("event_type")
 
+  /** q_agg_percentile — exact interpolated percentiles per group (both
+    * engines implement the standard (n-1)·p linear interpolation; results
+    * round through [[Det.r]] to absorb last-ulp libm differences). Exact
+    * percentile sorts each group's values — fine for bounded groups like
+    * these; an unbounded-cardinality group at 100 TB should switch to
+    * `approx_percentile`, which aggregates with constant memory.
+    */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        r(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        r(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        r(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** q_pivot_wide — pivot to a wide frame: yearly revenue per order status
+    * column. The pivot values are DECLARED, not discovered — at scale an
+    * undeclared pivot first runs a distinct scan over the full input to
+    * find the columns; declaring them keeps the plan a single pass.
+    */
+  def pivotWide(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"), col("o_totalprice"))
+      .groupBy("yr")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sumExact(col("o_totalprice"), 2))
+      .select(col("yr"), col("F").as("rev_f"), col("O").as("rev_o"), col("P").as("rev_p"))
+      .orderBy("yr")
+
   /** q_agg_rollup_cube — grouping sets via ROLLUP, expressed through the SQL
     * front-end (the DataFrame `rollup` API trips Spark's ambiguous-self-join
     * detection when the base is a join — SQL resolution does not). The
@@ -404,6 +435,8 @@ object Relational {
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_percentile" -> aggPercentile _,
+    "q_pivot_wide" -> pivotWide _,
     "q_agg_rollup_cube" -> aggRollupCube _,
     "q_agg_cube" -> aggCube _,
     "q_sort_limit" -> sortLimit _,
@@ -484,6 +517,18 @@ object Relational {
       ("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
         "true AS approx_within_10pct " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_agg_percentile" ->
+      ("SELECT o_orderstatus, " +
+        s"${sqlR("quantile_cont(o_totalprice, 0.5)", 4)} AS p50, " +
+        s"${sqlR("quantile_cont(o_totalprice, 0.9)", 4)} AS p90, " +
+        s"${sqlR("quantile_cont(o_totalprice, 0.99)", 4)} AS p99, " +
+        "count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_pivot_wide" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS yr, " +
+        "sum(round(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END * 100, 0)) / 100 AS rev_f, " +
+        "sum(round(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END * 100, 0)) / 100 AS rev_o, " +
+        "sum(round(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END * 100, 0)) / 100 AS rev_p " +
+        "FROM orders GROUP BY yr ORDER BY yr"),
     "q_agg_rollup_cube" ->
       (s"SELECT n_name, yr, ${sqlSumExact("o_totalprice", 2)} AS revenue, count(*) AS n_orders, " +
         "CAST(grouping(n_name, yr) AS INT) AS gid " +

@@ -123,12 +123,51 @@ object PipelineIngest {
       .orderBy("event_type")
   }
 
+  /** q_source_csv_roundtrip — CSV source/sink breadth: a headered CSV
+    * extract of orders (the reference's landed files are CSV-in-zip,
+    * script-dag-dock-report:209-216), schema-inferred back in and
+    * aggregated against the original parquet. Spark prints doubles with
+    * shortest-round-trip precision, so the re-parsed values are
+    * bit-identical and the exact-cent sums hash-match.
+    */
+  def sourceCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_source_csv"
+    graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("sum_price"),
+        max(col("o_orderkey")).as("max_orderkey"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q_source_orc_roundtrip — ORC source/sink breadth, same shape as the
+    * CSV/JSON round-trips (columnar binary format with predicate pushdown,
+    * the main parquet alternative in lake deployments). The oracle
+    * aggregates the original parquet — equality proves the ORC round-trip
+    * was lossless.
+    */
+  def sourceOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_source_orc"
+    graft.Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        sumExact(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
-    "q_source_json_roundtrip" -> sourceJsonRoundtrip _)
+    "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
+    "q_source_csv_roundtrip" -> sourceCsvRoundtrip _,
+    "q_source_orc_roundtrip" -> sourceOrcRoundtrip _)
 
   val oracle: Map[String, String] = Map(
     "q_pipeline_ingest" ->
@@ -139,6 +178,13 @@ object PipelineIngest {
     "q_source_json_roundtrip" ->
       (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value, " +
         "max(event_id) AS max_event_id FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_source_csv_roundtrip" ->
+      (s"SELECT o_orderstatus, count(*) AS n, ${Det.sqlSumExact("o_totalprice", 2)} AS sum_price, " +
+        "max(o_orderkey) AS max_orderkey FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_source_orc_roundtrip" ->
+      (s"SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty, " +
+        s"${Det.sqlSumExact("l_extendedprice", 2)} AS sum_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_ingest_json" ->
       ("SELECT 'T-123' AS ticket, 'balance_2024-01-01.zip' AS file, " +
         "CAST(true AS BOOLEAN) AS has_token, " +

@@ -238,6 +238,37 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** q_stream_join_interval — stream-stream INTERVAL join: clicks joined to
+    * the same user's purchases within the following hour (the classic
+    * attribution join). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark retains only one hour + watermark
+    * of state per side — the bounded-state form of stream-stream join that
+    * survives an unbounded feed. Inner joins emit on match (no watermark
+    * wait), so the single-batch replay equals the batch SQL join → oracle.
+    */
+  def streamJoinInterval(s: SparkSession, d: String): DataFrame = {
+    val ev = normalizedEvents(s, d)
+    runStagedBatches(s,
+      src => {
+        val clicks = src.where(col("event_type") === "click")
+          .select(col("event_id").as("c_event"), col("user_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = src.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", "10 minutes")
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"))
+      },
+      Seq(ev))
+      .select(col("c_event"), col("p_event"), col("user_id"),
+        col("value").as("purchase_value"))
+      .orderBy("c_event", "p_event")
+  }
+
   private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, micros
 
   /** Sessionization state function: sorts the batch's events, extends or
@@ -315,6 +346,7 @@ object Streams {
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
+    "q_stream_join_interval" -> streamJoinInterval _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_dedup" -> streamDedup _)
 
@@ -339,6 +371,13 @@ object Streams {
         "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
     "q_stream_dedup" ->
       ("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"),
+    "q_stream_join_interval" ->
+      ("SELECT c.event_id AS c_event, p.event_id AS p_event, " +
+        "c.user_id AS user_id, p.value AS purchase_value " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE " +
+        "ORDER BY c_event, p_event"),
     "q_stream_session_window" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +

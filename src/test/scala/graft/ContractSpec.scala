@@ -30,7 +30,9 @@ class ContractSpec extends AnyFunSuite {
     "q_multimodal_binary", "q_multimodal_frames",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_fingerprint",
     "q_ingest_json", "q_agg_cube", "q_source_json_roundtrip",
-    "q_dedup_survivors", "q_stream_dedup", "q_agg_approx_distinct")
+    "q_dedup_survivors", "q_stream_dedup", "q_agg_approx_distinct",
+    "q_agg_percentile", "q_pivot_wide", "q_stream_join_interval",
+    "q_source_csv_roundtrip", "q_source_orc_roundtrip")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
