@@ -289,6 +289,85 @@ object Relational {
       .select(col("yr"), col("F").as("rev_f"), col("O").as("rev_o"), col("P").as("rev_p"))
       .orderBy("yr")
 
+  /** q_unpivot_long — the inverse reshape of [[pivotWide]]: wide revenue
+    * columns melted back to (yr, status, revenue) rows via `Dataset.unpivot`
+    * (null cells dropped, matching SQL UNPIVOT's default). Pure per-row
+    * expansion — no shuffle beyond the pivot it consumes.
+    */
+  def unpivotLong(s: SparkSession, d: String): DataFrame =
+    pivotWide(s, d)
+      .unpivot(Array(col("yr")),
+        Array(col("rev_f").as("F"), col("rev_o").as("O"), col("rev_p").as("P")),
+        "o_orderstatus", "revenue")
+      .where(col("revenue").isNotNull)
+      .orderBy("yr", "o_orderstatus")
+
+  /** Session-scoped bucketed-table setup: orders and customer written as
+    * parquet tables bucketed by the join key (8 buckets). Bucketing is the
+    * co-located-join strategy SCALING.md prescribes: both sides cluster
+    * rows by `hash(key) % buckets` at WRITE time, so the join reads
+    * bucket-aligned splits and needs no exchange at all — at 100 TB this
+    * converts every repeated join on the key into a scan-local operation.
+    */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (ot, ct) = (s"graft_orders_bkt_$tag", s"graft_customer_bkt_$tag")
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+      // EXTERNAL tables under a stable path: the in-memory catalog dies with
+      // the session but the files survive, and a managed saveAsTable would
+      // refuse the leftover location — external + overwrite is idempotent
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bkt"
+      def write(src: DataFrame, name: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        src.write.mode("overwrite").format("parquet")
+          .option("path", s"$base/$name")
+          .bucketBy(8, key).sortBy(key).saveAsTable(name)
+      }
+      write(t(s, d, "orders"), ot, "o_custkey")
+      write(t(s, d, "customer"), ct, "c_custkey")
+    }
+    (ot, ct)
+  }
+
+  /** q_join_bucketed — exchange-free equi-join over pre-bucketed tables
+    * (PlanShapeSpec asserts the bucketed plan has NO shuffle on either join
+    * side, broadcast disabled). Result is oracle-identical to the plain
+    * join; the difference is purely physical.
+    */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val (ot, ct) = bucketedTables(s, d)
+    s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q_join_skew_salted — the explicit skew-mitigation pattern: the big
+    * (probe) side salts its key with a deterministic hash into `S` lanes,
+    * the small (build) side replicates each row across all `S` salts, and
+    * the join key becomes (key, salt) — a single hot key now spreads over
+    * `S` shuffle partitions instead of one straggler task. Results are
+    * provably identical to the unsalted join (each probe row meets exactly
+    * one replica of its match). AQE's skewJoin handles moderate skew
+    * automatically; explicit salting is the tool for the pathological keys
+    * AQE's split granularity can't fix, so the engine ships it as a named
+    * operator.
+    */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val probe = t(s, d, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val build = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+    probe.join(build,
+        probe("l_orderkey") === build("o_orderkey") && probe("salt") === build("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q_agg_rollup_cube — grouping sets via ROLLUP, expressed through the SQL
     * front-end (the DataFrame `rollup` API trips Spark's ambiguous-self-join
     * detection when the base is a join — SQL resolution does not). The
@@ -437,6 +516,9 @@ object Relational {
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_percentile" -> aggPercentile _,
     "q_pivot_wide" -> pivotWide _,
+    "q_unpivot_long" -> unpivotLong _,
+    "q_join_bucketed" -> joinBucketed _,
+    "q_join_skew_salted" -> joinSkewSalted _,
     "q_agg_rollup_cube" -> aggRollupCube _,
     "q_agg_cube" -> aggCube _,
     "q_sort_limit" -> sortLimit _,
@@ -523,6 +605,20 @@ object Relational {
         s"${sqlR("quantile_cont(o_totalprice, 0.9)", 4)} AS p90, " +
         s"${sqlR("quantile_cont(o_totalprice, 0.99)", 4)} AS p99, " +
         "count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_unpivot_long" ->
+      ("WITH wide AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus, " +
+        "sum(round(o_totalprice * 100, 0)) / 100 AS revenue " +
+        "FROM orders GROUP BY yr, o_orderstatus) " +
+        "SELECT yr, o_orderstatus, revenue FROM wide ORDER BY yr, o_orderstatus"),
+    "q_join_bucketed" ->
+      (s"SELECT c_mktsegment, count(*) AS n_orders, ${sqlSumExact("o_totalprice", 2)} AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_join_skew_salted" ->
+      (s"SELECT o_orderpriority, count(*) AS n_items, " +
+        s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_pivot_wide" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS yr, " +
         "sum(round(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END * 100, 0)) / 100 AS rev_f, " +

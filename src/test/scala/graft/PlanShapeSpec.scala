@@ -57,4 +57,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(p.contains("partial_"), s"no partial aggregation phase in:\n$p")
   }
+
+  test("q_join_bucketed joins without shuffling either side (bucket co-location)") {
+    // disable broadcast so the join must pick SMJ — the point is that the
+    // bucketed layout satisfies its distribution requirement with NO exchange
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.joinBucketed(s, d)
+      val p = plan(df)
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SortMergeJoin in:\n$p")
+      // no Exchange may appear below the join (between it and the scans)
+      assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles a side:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"not a bucketed scan:\n$p")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_pivot_wide plans a single aggregation pass (no pivot-value discovery job)") {
+    // declared pivot values → the plan is exactly one partial+final hash
+    // aggregation over the scan; an undeclared pivot would first run a
+    // separate distinct query before this plan even exists
+    val p = plan(Relational.pivotWide(s, d))
+    assert(p.contains("HashAggregate") && p.contains("partial_"))
+  }
 }
