@@ -238,6 +238,34 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** q_stream_sink_files — the streaming FILE sink: events stream →
+    * transform → transactional parquet sink with a checkpoint (the sink's
+    * commit log gives exactly-once file visibility; readers never see
+    * partial batches). The returned aggregate re-reads the sink and carries
+    * a distinct-count alongside the row count — their equality in the
+    * oracle check is the exactly-once evidence.
+    */
+  def streamSinkFiles(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_out", "q_stream_sink")
+    // idempotent rerun: the sink's exactly-once log is per checkpoint —
+    // wipe data+checkpoint so every invocation is a fresh run
+    if (java.nio.file.Files.exists(base))
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    val q = eventsStream(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.format("parquet")
+      .option("path", base.resolve("data").toString)
+      .option("checkpointLocation", base.resolve("checkpoint").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(base.resolve("data").toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"),
+        sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** q_stream_join_interval — stream-stream INTERVAL join: clicks joined to
     * the same user's purchases within the following hour (the classic
     * attribution join). Both sides carry watermarks and the join condition
@@ -347,6 +375,7 @@ object Streams {
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
     "q_stream_join_interval" -> streamJoinInterval _,
+    "q_stream_sink_files" -> streamSinkFiles _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_dedup" -> streamDedup _)
 
@@ -371,6 +400,10 @@ object Streams {
         "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
     "q_stream_dedup" ->
       ("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"),
+    "q_stream_sink_files" ->
+      ("SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_distinct, " +
+        s"${sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_stream_join_interval" ->
       ("SELECT c.event_id AS c_event, p.event_id AS p_event, " +
         "c.user_id AS user_id, p.value AS purchase_value " +

@@ -33,7 +33,8 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_survivors", "q_stream_dedup", "q_agg_approx_distinct",
     "q_agg_percentile", "q_pivot_wide", "q_stream_join_interval",
     "q_source_csv_roundtrip", "q_source_orc_roundtrip",
-    "q_unpivot_long", "q_join_bucketed", "q_join_skew_salted")
+    "q_unpivot_long", "q_join_bucketed", "q_join_skew_salted",
+    "q_corpus_filter", "q_stream_sink_files")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

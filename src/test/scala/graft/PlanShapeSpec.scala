@@ -75,6 +75,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_simsearch_ivf probes via static partition pruning on the cell index") {
+    val df = graft.operators.LlmData.simsearchIvf(s, d)
+    val p = plan(df)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"),
+      s"expected a cell partition filter on the index scan:\n$p")
+  }
+
   test("q_pivot_wide plans a single aggregation pass (no pivot-value discovery job)") {
     // declared pivot values → the plan is exactly one partial+final hash
     // aggregation over the scan; an undeclared pivot would first run a
