@@ -72,10 +72,21 @@ object GraftFunctions {
     * asserts nothing — `AbstractDataType` is private[sql] in Spark 4, so
     * input coercion is done here instead of via ExpectsInputTypes).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fee",
       exprs => FeeExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
         Cast(exprs(2), DoubleType)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotExpr(exprs(0), exprs(1)), "scala_udf")
+    // literal-int config args evaluated at registration-build time
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bucket",
+      exprs => SignProjectExpr(exprs(0),
+        nBits = exprs(1).eval().asInstanceOf[Int],
+        dims = exprs(2).eval().asInstanceOf[Int],
+        salt = exprs(3).eval().asInstanceOf[Int]),
+      "scala_udf")
+  }
 }

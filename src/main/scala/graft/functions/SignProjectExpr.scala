@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native sign-random-projection LSH bucket over an `array<float>` embedding
+  * — the candidate-generation kernel of `q_dedup_embed`.
+  *
+  * Replicates the HOF formulation bit-for-bit: hyperplane sign (p, j) is the
+  * low bit of `xxhash64((p + salt·1000)·dims + j)` (Spark's int-typed
+  * xxhash64, seed 42), the projection is an ascending-j left fold of
+  * x_j·sign in double precision, and bit p of the bucket is set iff the
+  * projection is ≥ 0. Two wins over the nested `aggregate(transform(...))`
+  * expression it replaces: the lambdas there evaluate interpreted (~nBits ×
+  * dims dispatches per row), and the sign vectors are recomputed per row —
+  * here they are precomputed once on the driver and the codegen'd loop is
+  * primitive multiply-adds.
+  */
+case class SignProjectExpr(child: Expression, nBits: Int, dims: Int, salt: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  /** Hyperplane signs, row-major by (p, j) — deterministic constants. */
+  @transient private lazy val signs: Array[Double] = {
+    val out = new Array[Double](nBits * dims)
+    var p = 0
+    while (p < nBits) {
+      var j = 0
+      while (j < dims) {
+        val h = XXH64.hashInt((p + salt * 1000) * dims + j, 42L)
+        out(p * dims + j) = if ((h & 1L) == 1L) 1.0 else -1.0
+        j += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = math.min(dims, arr.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < nBits) {
+      var acc = 0.0
+      val off = p * dims
+      var j = 0
+      while (j < n) { acc += arr.getFloat(j).toDouble * signs(off + j); j += 1 }
+      if (acc >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+      val (p, j, n, acc, off) = (ctx.freshName("p"), ctx.freshName("j"),
+        ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("off"))
+      s"""
+         |int $n = java.lang.Math.min($dims, $a.numElements());
+         |${ev.value} = 0L;
+         |for (int $p = 0; $p < $nBits; $p++) {
+         |  double $acc = 0.0;
+         |  int $off = $p * $dims;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += (double) $a.getFloat($j) * $signsRef[$off + $j];
+         |  }
+         |  if ($acc >= 0.0) ${ev.value} |= (1L << $p);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjectExpr =
+    copy(child = newChild)
+}

@@ -264,6 +264,7 @@ object LlmData {
     * probability ≥ 1-(1-0.87^6)² ≈ 0.8 per table.
     */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native graft_dot
     val dims = 64
     def table(tbl: Int): DataFrame =
       t(s, d, "embeddings")
@@ -305,6 +306,7 @@ object LlmData {
     * order by the rounded score.
     */
   def simsearchTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native graft_dot
     val emb = t(s, d, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     emb.crossJoin(broadcast(q))
@@ -327,6 +329,7 @@ object LlmData {
     * measured in SimSearchSpec.
     */
   def simsearchIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native graft_dot
     val dims = 64
     val nCells = 16
     // cell scores: dot(v, anchor_c) for each of the 16 anchors; anchor

@@ -132,6 +132,25 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_dot and graft_lsh_bucket are bit-equal to the HOF formulations") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    graft.functions.GraftFunctions.register(s)
+    val emb = graft.Tables(s, TestSpark.sf, "embeddings").limit(200)
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val mismatches = emb.select(
+        graft.functions.VectorOps.dot(col("embedding"), col("embedding")).as("nat_dot"),
+        hofDot.as("hof_dot"),
+        graft.functions.VectorOps.lshBucket("embedding", 6, 64, 1).as("nat_b"),
+        graft.functions.VectorOps.lshBucketHof("embedding", 6, 64, 1).as("hof_b"))
+      .where(col("nat_dot") =!= col("hof_dot") || col("nat_b") =!= col("hof_b"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("Zip round-trips entries and skips directories") {
     val entries = Seq(("a.csv", "1,2,3".getBytes), ("b/c.csv", "x".getBytes))
     val unzipped = Zip.unzip(Zip.zip(entries)).toSeq
