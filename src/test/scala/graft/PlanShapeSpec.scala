@@ -83,6 +83,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a cell partition filter on the index scan:\n$p")
   }
 
+  test("GraftExtensions rewrites the HOF dot-product pattern to native graft_dot") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables(s, d, "embeddings").limit(100)
+    // the idiomatic user-written HOF formulation, via SQL text
+    val hof = emb.select(col("vec_id"), expr(
+      "aggregate(zip_with(embedding, embedding, " +
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+      .as("sumsq"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"rewrite did not fire:\n${hof.queryExecution.optimizedPlan}")
+    // and the rewrite is semantics-preserving vs the unrewritten session
+    graft.functions.GraftFunctions.register(s)
+    val native = emb.select(col("vec_id"),
+      graft.functions.VectorOps.dot(col("embedding"), col("embedding")).as("sumsq"))
+    assert(hof.orderBy("vec_id").collect() === native.orderBy("vec_id").collect())
+  }
+
   test("q_pivot_wide plans a single aggregation pass (no pivot-value discovery job)") {
     // declared pivot values → the plan is exactly one partial+final hash
     // aggregation over the scan; an undeclared pivot would first run a
