@@ -368,6 +368,69 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q_window_ntile — the rank-fraction window family: decile bucketing,
+    * percent_rank, cume_dist. All three are exact rationals of (rank, n)
+    * with a deterministic tie-break order, so no rounding is needed.
+    */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q_agg_stats — second-moment statistics per group: sample stddev /
+    * variance, correlation, covariance. Both engines use numerically stable
+    * one-pass moment updates whose low bits can differ with merge order, so
+    * outputs round through [[Det.r]].
+    */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        r(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        r(var_samp(col("l_quantity")), 4).as("var_qty"),
+        r(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        r(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q_subquery — the subquery surface: an uncorrelated scalar subquery
+    * (half the global max — exact arithmetic, no float-threshold ambiguity)
+    * and a correlated EXISTS (plans as a semi join). Expressed through the
+    * SQL front-end, which is where users write subqueries.
+    */
+  def subquery(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_sq_orders")
+    t(s, d, "lineitem").createOrReplaceTempView("graft_sq_lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_sq_orders o
+        |WHERE o_totalprice > (SELECT 0.5 * max(o_totalprice) FROM graft_sq_orders)
+        |AND EXISTS (SELECT 1 FROM graft_sq_lineitem l
+        |            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q_agg_collect — array aggregation: per-order line numbers as a sorted
+    * list and distinct return flags as a sorted set, serialized to strings
+    * so the oracle comparator can hash them (same pattern as
+    * q_scalar_array's signatures).
+    */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_orderkey") <= 400)
+      .groupBy("l_orderkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("l_linenumber").cast("string"))))
+          .as("linenos"),
+        concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("flags"),
+        count(lit(1)).as("n"))
+      .orderBy("l_orderkey")
+
   /** q_agg_rollup_cube — grouping sets via ROLLUP, expressed through the SQL
     * front-end (the DataFrame `rollup` API trips Spark's ambiguous-self-join
     * detection when the base is a join — SQL resolution does not). The
@@ -519,6 +582,10 @@ object Relational {
     "q_unpivot_long" -> unpivotLong _,
     "q_join_bucketed" -> joinBucketed _,
     "q_join_skew_salted" -> joinSkewSalted _,
+    "q_window_ntile" -> windowNtile _,
+    "q_agg_stats" -> aggStats _,
+    "q_subquery" -> subquery _,
+    "q_agg_collect" -> aggCollect _,
     "q_agg_rollup_cube" -> aggRollupCube _,
     "q_agg_cube" -> aggCube _,
     "q_sort_limit" -> sortLimit _,
@@ -605,6 +672,33 @@ object Relational {
         s"${sqlR("quantile_cont(o_totalprice, 0.9)", 4)} AS p90, " +
         s"${sqlR("quantile_cont(o_totalprice, 0.99)", 4)} AS p99, " +
         "count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_window_ntile" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+        "CAST(ntile(10) OVER w AS INT) AS decile, " +
+        "percent_rank() OVER w AS pct_rank, " +
+        "cume_dist() OVER w AS cume " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_orderkey"),
+    "q_agg_stats" ->
+      ("SELECT l_returnflag, " +
+        s"${sqlR("stddev_samp(l_extendedprice)", 2)} AS sd_price, " +
+        s"${sqlR("var_samp(l_quantity)", 4)} AS var_qty, " +
+        s"${sqlR("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price, " +
+        s"${sqlR("covar_samp(l_quantity, l_extendedprice)", 2)} AS cov_qty_price, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders o " +
+        "WHERE o_totalprice > (SELECT 0.5 * max(o_totalprice) FROM orders) " +
+        "AND EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49) " +
+        "ORDER BY o_orderkey"),
+    "q_agg_collect" ->
+      ("SELECT l_orderkey, " +
+        "array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',') AS linenos, " +
+        "array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags, " +
+        "count(*) AS n FROM lineitem WHERE l_orderkey <= 400 " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey"),
     "q_unpivot_long" ->
       ("WITH wide AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus, " +
         "sum(round(o_totalprice * 100, 0)) / 100 AS revenue " +

@@ -103,6 +103,22 @@ object Scalars {
           x => (x.cast("double") * lit(2.0)).cast("float"))).as("doubled_sig"))
       .orderBy("vec_id")
 
+  /** q_scalar_null — the null-semantics kernel: coalesce fallback, nullif,
+    * null-safe comparison (IS DISTINCT FROM), null predicates, and
+    * conditional nulling. These are the semantics ETL validation logic
+    * (the reference's fail-fast `.get(k)` null checks) leans on.
+    */
+  def scalarNull(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        coalesce(get_json_object(col("props"), "$.nope"), lit("-")).as("k_or_dash"),
+        nullif(col("event_type"), lit("error")).as("type_or_null"),
+        expr("event_type IS DISTINCT FROM 'error'").as("not_error"),
+        nullif(col("event_type"), lit("error")).isNull.as("was_error"),
+        when(col("value") > 0, col("value")).as("pos_value"))
+      .orderBy("event_id")
+
   /** q_udf_scalar — the native [[FeeExpr]] Catalyst expression, called
     * through the SQL function registry like a built-in (stays inside
     * whole-stage codegen; asserted in PlanShapeSpec).
@@ -156,6 +172,7 @@ object Scalars {
     "q_scalar_math" -> scalarMath _,
     "q_scalar_json" -> scalarJson _,
     "q_scalar_array" -> scalarArray _,
+    "q_scalar_null" -> scalarNull _,
     "q_udf_scalar" -> udfScalar _,
     "q_agg_custom_typed" -> aggCustomTyped _,
     "q_udtf_explode" -> udtfExplode _,
@@ -203,6 +220,14 @@ object Scalars {
         "array_to_string(list_transform(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT)), " +
         "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS VARCHAR)), ',') AS doubled_sig " +
         "FROM embeddings ORDER BY vec_id"),
+    "q_scalar_null" ->
+      ("SELECT event_id, " +
+        "coalesce(json_extract_string(props, '$.nope'), '-') AS k_or_dash, " +
+        "nullif(event_type, 'error') AS type_or_null, " +
+        "event_type IS DISTINCT FROM 'error' AS not_error, " +
+        "nullif(event_type, 'error') IS NULL AS was_error, " +
+        "CASE WHEN value > 0 THEN value END AS pos_value " +
+        "FROM events ORDER BY event_id"),
     "q_udf_scalar" ->
       ("SELECT l_orderkey, l_linenumber, " +
         s"${sqlR(FeeExpr.sql("l_extendedprice", "l_discount", "l_tax"), 4)} AS fee " +

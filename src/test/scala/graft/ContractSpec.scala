@@ -34,7 +34,9 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_percentile", "q_pivot_wide", "q_stream_join_interval",
     "q_source_csv_roundtrip", "q_source_orc_roundtrip",
     "q_unpivot_long", "q_join_bucketed", "q_join_skew_salted",
-    "q_corpus_filter", "q_stream_sink_files")
+    "q_corpus_filter", "q_stream_sink_files",
+    "q_window_ntile", "q_agg_stats", "q_subquery", "q_agg_collect",
+    "q_scalar_null")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
