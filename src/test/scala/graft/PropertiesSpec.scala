@@ -44,6 +44,41 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("DotExpr eval matches a BigDecimal-free reference fold on random float vectors") {
+    val cases = samples(for {
+      n <- Gen.choose(1, 128)
+      xs <- Gen.listOfN(n, Gen.choose(-8f, 8f))
+      ys <- Gen.listOfN(n, Gen.choose(-8f, 8f))
+    } yield (xs.toArray, ys.toArray), 100)
+    cases.foreach { case (xs, ys) =>
+      val expr = graft.functions.DotExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(xs,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(ys,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+      // reference: the exact ascending left fold the oracle performs
+      var acc = 0.0
+      var i = 0
+      while (i < xs.length) { acc += xs(i).toDouble * ys(i).toDouble; i += 1 }
+      assert(expr.eval(null) === acc)
+    }
+  }
+
+  test("Det.sumExact equals BigDecimal cent arithmetic for random amounts in any order") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = samples(Gen.listOfN(500, Gen.choose(-100000L, 100000L)), 5)
+    cases.foreach { cents =>
+      val amounts = cents.map(_ / 100.0)
+      val expected = BigDecimal(cents.sum) / 100
+      val got = amounts.toDF("v").repartition(7)
+        .agg(graft.operators.Det.sumExact(col("v"), 2).as("s"))
+        .head().getDouble(0)
+      assert(got === expected.toDouble)
+    }
+  }
+
   test("CronSchedule.nextAfter always lands strictly in the future, within 24h, at M/H") {
     val cases = samples(for {
       now <- Gen.choose(0L, 2000000000L)
