@@ -517,6 +517,30 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_pack_sequences — training-sequence packing layout: documents are
+    * concatenated in doc_id order and cut into fixed 512-token sequences;
+    * each doc reports its token offset and the [first, last] sequence it
+    * spans. Pure integer arithmetic over an exclusive prefix sum → exact
+    * oracle. The global single-ordering window here is the per-shard step:
+    * at 100 TB packing runs per shard (partitionBy(shard) in the window),
+    * embarrassingly parallel across shards, exactly as tokenizer-sharded
+    * pretraining pipelines lay out their data.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val seqLen = 512
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("off"),
+        // integer division (div), never fp `/`: offsets past 2^53 would
+        // round in double arithmetic
+        expr(s"off div $seqLen").as("first_seq"),
+        expr(s"(off + n_tok - 1) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .orderBy("doc_id")
+  }
+
   /** q_text_tokens — token counting two ways: whitespace and a BPE-ish
     * regex pretokenizer (`\w+|[^\w\s]`, the GPT-2-style word/punct split).
     */
@@ -560,7 +584,8 @@ object LlmData {
     "q_text_quality" -> textQuality _,
     "q_text_tokens" -> textTokens _,
     "q_text_fingerprint" -> textFingerprint _,
-    "q_corpus_filter" -> corpusFilter _)
+    "q_corpus_filter" -> corpusFilter _,
+    "q_pack_sequences" -> packSequences _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_ngram" ->
@@ -626,6 +651,15 @@ object LlmData {
         "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe, " +
         "CAST(length(text) AS INT) AS n_chars_txt " +
         "FROM documents ORDER BY doc_id"),
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "o AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t) " +
+        "SELECT doc_id, n_tok, off, off // 512 AS first_seq, " +
+        "(off + n_tok - 1) // 512 AS last_seq, " +
+        "(off + n_tok - 1) // 512 - off // 512 + 1 AS n_seqs " +
+        "FROM o ORDER BY doc_id"),
     "q_corpus_filter" -> {
       val langScores = Lexicons.map { case (l, lex) =>
         s"CAST(len(list_intersect(dt, [${lex.map(w => s"'$w'").mkString(", ")}])) AS INT) AS s_$l"

@@ -431,6 +431,21 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_orderkey")
 
+  /** q_sample_stratified — per-stratum Bernoulli sampling (`sampleBy` with a
+    * fixed seed): the corpus-subsampling step of dataset curation, with
+    * per-language rates. Sampling hashes are engine-specific → no SQL
+    * oracle; determinism and per-stratum rate bounds are asserted in
+    * RelationalSpec. One scan, no shuffle before the tiny aggregate.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1)
+    t(s, d, "documents")
+      .stat.sampleBy("lang", rates, seed = 42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars_sampled"))
+      .orderBy("lang")
+  }
+
   /** q_agg_rollup_cube — grouping sets via ROLLUP, expressed through the SQL
     * front-end (the DataFrame `rollup` API trips Spark's ambiguous-self-join
     * detection when the base is a join — SQL resolution does not). The
@@ -583,6 +598,7 @@ object Relational {
     "q_join_bucketed" -> joinBucketed _,
     "q_join_skew_salted" -> joinSkewSalted _,
     "q_window_ntile" -> windowNtile _,
+    "q_sample_stratified" -> sampleStratified _,
     "q_agg_stats" -> aggStats _,
     "q_subquery" -> subquery _,
     "q_agg_collect" -> aggCollect _,

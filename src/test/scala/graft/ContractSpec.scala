@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     "q_unpivot_long", "q_join_bucketed", "q_join_skew_salted",
     "q_corpus_filter", "q_stream_sink_files",
     "q_window_ntile", "q_agg_stats", "q_subquery", "q_agg_collect",
-    "q_scalar_null")
+    "q_scalar_null", "q_pack_sequences", "q_sample_stratified")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
@@ -64,7 +64,7 @@ class ContractSpec extends AnyFunSuite {
     // skip the DuckDB oracle (SURVEY.md §2B oracle column)
     val allowedNoOracle = Set("q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
       "q_simsearch_ivf", "q_multimodal_frames", "q_text_fingerprint",
-      "q_text_langid", "q_sink_partitioned")
+      "q_text_langid", "q_sink_partitioned", "q_sample_stratified")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(allowedNoOracle),
       s"queries missing an oracle without justification: ${noOracle -- allowedNoOracle}")

@@ -128,6 +128,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("except") === keysIn(1997) - r("intersect"))
   }
 
+  test("q_sample_stratified is deterministic and respects per-stratum rates") {
+    val a = Relational.sampleStratified(s, d).collect().toSeq
+    val b = Relational.sampleStratified(s, d).collect().toSeq
+    assert(a === b)
+    val totals = Tables(s, d, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1)
+    a.foreach { row =>
+      val lang = row.getString(0)
+      val frac = row.getLong(1).toDouble / totals(lang)
+      // Bernoulli sampling: observed fraction within a wide 3σ-ish band
+      assert(frac > rates(lang) - 0.25 && frac < rates(lang) + 0.25,
+        s"$lang sampled at $frac, expected ~${rates(lang)}")
+    }
+  }
+
   test("q_dedup_exact is idempotent and matches distinct()") {
     val r = Relational.dedupExact(s, d)
     assert(r.count() === r.dropDuplicates("l_partkey", "l_returnflag").count())
