@@ -12,7 +12,9 @@ object Plans {
     s.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     for (q <- Seq("q_scan_pruned", "q_join_broadcast", "q_join_multiway",
-        "q_agg_hash", "q_topk", "q_udf_scalar", "q_dedup_near")) {
+        "q_agg_hash", "q_topk", "q_udf_scalar", "q_dedup_near",
+        "q_join_bucketed", "q_join_skew_salted", "q_simsearch_ivf",
+        "q_pivot_wide", "q_pack_sequences")) {
       println(s"\n===== $q =====")
       println(SparkEntry.queries(q)(s, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(4000))
