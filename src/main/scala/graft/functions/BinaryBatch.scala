@@ -77,6 +77,58 @@ object BinaryBatch {
       .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
 
+  /** Decoded audio metadata: all fields come from the REAL wav codec
+    * (javax.sound.sampled), not from file names or formulas.
+    */
+  case class AudioMeta(audio_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long)
+
+  /** Decode one batch of WAV payloads through the JDK's audio codec. */
+  def decodeAudioBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioMeta] =
+    batch.map { case (id, bytes) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          frames * 1000L / fmt.getSampleRate.toLong)
+      } finally ais.close()
+    }
+
+  /** Batched audio decode over an (audio_id, content) frame. */
+  def decodeAudio(spark: SparkSession, df: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeAudioBatch(g.toSeq)))
+  }
+
+  /** Write deterministic 16-bit mono PCM WAV fixtures `audio_<id>.wav`
+    * (8 kHz, 800 + 40·id frames of a (440 + 10·id) Hz sine).
+    */
+  def writeAudioFixtures(dir: java.nio.file.Path, n: Int = 24): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val rate = 8000
+    (0 until n).foreach { id =>
+      val frames = 800 + 40 * id
+      val freq = 440.0 + 10 * id
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val v = (StrictMath.sin(2 * StrictMath.PI * freq * i / rate) * 12000).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, frames.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        dir.resolve(f"audio_$id%03d.wav").toFile)
+    }
+  }
+
   /** Write deterministic PNG fixtures `img_<id>.png` (dimensions and pixels
     * are pure functions of the id) plus one non-image decoy that the
     * suffix filter must skip — the landed state a media ingest produces.

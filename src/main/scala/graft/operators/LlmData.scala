@@ -442,6 +442,26 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_multimodal_audio — REAL audio decode: `binaryFile` scan of generated
+    * WAV fixtures, batched javax.sound codec parse (sample rate, channels,
+    * frame count, duration all from the codec). The oracle is the fixture
+    * generator's formula — equality proves the codec really parsed the
+    * payloads. Completes the image/audio modality pair through the same
+    * batch-decode seam.
+    */
+  def multimodalAudio(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_audio")
+    if (!java.nio.file.Files.exists(dir.resolve("audio_000.wav")))
+      graft.functions.BinaryBatch.writeAudioFixtures(dir)
+    val scanned = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "audio_(\\d+)\\.wav$", 1).cast("long").as("audio_id"),
+        col("content"))
+    graft.functions.BinaryBatch.decodeAudio(s, scanned).toDF()
+      .orderBy("audio_id")
+  }
+
   // ------------------------------------------------------------------ text
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
@@ -580,6 +600,7 @@ object LlmData {
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_multimodal_frames" -> multimodalFrames _,
+    "q_multimodal_audio" -> multimodalAudio _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
     "q_text_tokens" -> textTokens _,
@@ -651,6 +672,13 @@ object LlmData {
         "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe, " +
         "CAST(length(text) AS INT) AS n_chars_txt " +
         "FROM documents ORDER BY doc_id"),
+    "q_multimodal_audio" ->
+      ("SELECT * FROM (VALUES " +
+        (0 until 24).map { id =>
+          val frames = 800 + 40 * id
+          s"(CAST($id AS BIGINT), 8000, 1, CAST($frames AS BIGINT), CAST(${frames * 1000 / 8000} AS BIGINT))"
+        }.mkString(", ") +
+        ") t(audio_id, sample_rate, channels, n_frames, duration_ms) ORDER BY audio_id"),
     "q_pack_sequences" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
         "FROM documents), " +

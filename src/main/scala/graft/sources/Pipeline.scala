@@ -160,6 +160,37 @@ object PipelineIngest {
       .orderBy("l_returnflag")
   }
 
+  /** q_upsert_partition — incremental re-landing via DYNAMIC partition
+    * overwrite (the reference's per-day `replace=True`, scaled): land all
+    * days once, then re-land ONLY the latest day with corrected values —
+    * `partitionOverwriteMode=dynamic` replaces exactly the partitions
+    * present in the incoming frame and leaves every other day untouched. At
+    * 100 TB this is the difference between rewriting one day and rewriting
+    * the lake. The re-read aggregate proves old days kept original values
+    * and the corrected day carries the fix (oracle re-derives it in SQL).
+    */
+  def upsertPartition(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_upsert_partition"
+    val ev = graft.Tables(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // corrected re-extract of the max day only (broadcast one-row scalar)
+      ev.join(broadcast(ev.agg(max(col("day")).as("mx"))), col("day") === col("mx"))
+        .drop("mx")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(out)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,7 +198,8 @@ object PipelineIngest {
     "q_ingest_json" -> ingestJson _,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip _,
-    "q_source_orc_roundtrip" -> sourceOrcRoundtrip _)
+    "q_source_orc_roundtrip" -> sourceOrcRoundtrip _,
+    "q_upsert_partition" -> upsertPartition _)
 
   val oracle: Map[String, String] = Map(
     "q_pipeline_ingest" ->
@@ -185,6 +217,11 @@ object PipelineIngest {
       (s"SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty, " +
         s"${Det.sqlSumExact("l_extendedprice", 2)} AS sum_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_upsert_partition" ->
+      ("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n, " +
+        "sum(round(CASE WHEN CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events) " +
+        "THEN value * 2 ELSE value END * 100, 0)) / 100 AS sum_value " +
+        "FROM events GROUP BY day ORDER BY day"),
     "q_ingest_json" ->
       ("SELECT 'T-123' AS ticket, 'balance_2024-01-01.zip' AS file, " +
         "CAST(true AS BOOLEAN) AS has_token, " +

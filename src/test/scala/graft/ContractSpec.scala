@@ -36,7 +36,8 @@ class ContractSpec extends AnyFunSuite {
     "q_unpivot_long", "q_join_bucketed", "q_join_skew_salted",
     "q_corpus_filter", "q_stream_sink_files",
     "q_window_ntile", "q_agg_stats", "q_subquery", "q_agg_collect",
-    "q_scalar_null", "q_pack_sequences", "q_sample_stratified")
+    "q_scalar_null", "q_pack_sequences", "q_sample_stratified",
+    "q_multimodal_audio", "q_upsert_partition")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
