@@ -80,6 +80,8 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => ShinglesExpr(exprs(0)), "scala_udf")
     // literal-int config args evaluated at registration-build time
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_bucket",

@@ -63,13 +63,13 @@ object LlmData {
   }
 
   /** Distinct 3-gram shingles as (doc_id, sh: long) rows — the shared basis
-    * of the dedup family. Fully codegen'd: posexplode the tokens, hash each,
-    * slide a lead() window to combine consecutive triples, distinct. No
-    * string shingles are ever materialized (hash-combining token hashes is
-    * collision-safe at 2^-64 and an order of magnitude cheaper than
-    * interpreted concat_ws higher-order lambdas — measured 9 s → ~1 s for
-    * the shingling pass at sf0.1), and docs with <3 tokens drop out
-    * naturally (they cannot be 3-gram near-dups).
+    * of the dedup family, computed as a pure scan-side projection with the
+    * native [[graft.functions.ShinglesExpr]] kernel (per-doc hashing + in-row
+    * dedup, then explode) — ZERO shuffles. The earlier formulation (token
+    * posexplode + lead() window + global distinct) paid two full exchanges
+    * of the token rows; no string shingles are ever materialized either way
+    * (hash-combining is collision-safe at 2^-64), and docs with <3 tokens
+    * drop out naturally (they cannot be 3-gram near-dups).
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     // persisted once per (session, dataset): the shingle table is the shared
@@ -77,15 +77,10 @@ object LlmData {
     // all consume it, several times each) — on a cluster this is exactly the
     // signature table SCALING.md says to persist
     memo(s, s"shingles:$d") {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      graft.functions.GraftFunctions.register(s)
       t(s, d, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("pos"), xxhash64(col("tok")).as("h"))
-        .withColumn("h1", lead("h", 1).over(w))
-        .withColumn("h2", lead("h", 2).over(w))
-        .where(col("h2").isNotNull)
-        .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("sh"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", split(col("text"), " "))).as("sh"))
     }
 
   /** Per-doc sorted shingle-hash sets (for exact Jaccard verification). */

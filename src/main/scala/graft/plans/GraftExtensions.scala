@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.{DotExpr, FeeExpr, SignProjectExpr}
+import graft.functions.{DotExpr, FeeExpr, ShinglesExpr, SignProjectExpr}
 
 /** Catalyst optimizer rule: rewrite the interpreted higher-order-function
   * dot-product pattern
@@ -68,6 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShinglesExpr(exprs(0))))
     ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[SignProjectExpr].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => SignProjectExpr(exprs(0),
