@@ -17,23 +17,33 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `list_reduce` (FP addition order matters; q_simsearch_topk's hash check
   * would catch any deviation).
   *
-  * Internal-use contract: inputs must be `array<float>` with non-null
-  * elements (the embeddings fixture schema); lengths are folded to the
-  * shorter side.
+  * Null semantics also mirror the HOF exactly — `zip_with` pads the shorter
+  * array with nulls and `acc + null` poisons the fold — so mismatched
+  * lengths or any null element yield NULL. This is what makes the
+  * [[graft.plans.DotProductRewrite]] optimizer rule semantics-preserving,
+  * not just numerically equal on clean inputs.
   */
 case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -41,10 +51,15 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
        """.stripMargin
     })

@@ -66,29 +66,48 @@ object FeeExpr {
 
 /** Session-level registration of the engine's native functions, so they are
   * callable from SQL text and `expr(...)` like any built-in.
+  *
+  * Arguments are coerced with `Cast` at registration (the expressions
+  * themselves assert nothing — `AbstractDataType` is private[sql] in
+  * Spark 4, so input coercion happens here instead of via
+  * ExpectsInputTypes): doubles for graft_fee, `array<float>` for the vector
+  * kernels (an `array<double>` embedding column is cast, not misread), and
+  * `array<string>` for graft_shingles. The SAME builders back both the
+  * imperative [[register]] path and the `spark.sql.extensions` path
+  * ([[graft.plans.GraftExtensions]]) — one definition, two entry points.
   */
 object GraftFunctions {
-  /** Arguments are cast to double at registration (the expression itself
-    * asserts nothing — `AbstractDataType` is private[sql] in Spark 4, so
-    * input coercion is done here instead of via ExpectsInputTypes).
-    */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fee",
-      exprs => FeeExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
-        Cast(exprs(2), DoubleType)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotExpr(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles", exprs => ShinglesExpr(exprs(0)), "scala_udf")
-    // literal-int config args evaluated at registration-build time
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_bucket",
-      exprs => SignProjectExpr(exprs(0),
-        nBits = exprs(1).eval().asInstanceOf[Int],
-        dims = exprs(2).eval().asInstanceOf[Int],
-        salt = exprs(3).eval().asInstanceOf[Int]),
-      "scala_udf")
+  import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+
+  private def floatArray(e: Expression): Expression =
+    Cast(e, ArrayType(FloatType, containsNull = true))
+
+  /** Tolerant literal-int extraction for config args (accepts int/long). */
+  private def intArg(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got: $other")
   }
+
+  /** (name, implementing class, coercing builder) — the single source of
+    * truth for every registration path.
+    */
+  val defs: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_fee", classOf[FeeExpr],
+      exprs => FeeExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
+        Cast(exprs(2), DoubleType))),
+    ("graft_dot", classOf[DotExpr],
+      exprs => DotExpr(floatArray(exprs(0)), floatArray(exprs(1)))),
+    ("graft_shingles", classOf[ShinglesExpr],
+      exprs => ShinglesExpr(Cast(exprs(0), ArrayType(StringType, containsNull = true)))),
+    ("graft_lsh_bucket", classOf[SignProjectExpr],
+      exprs => SignProjectExpr(floatArray(exprs(0)),
+        nBits = intArg(exprs(1)), dims = intArg(exprs(2)), salt = intArg(exprs(3)))))
+
+  def register(spark: SparkSession): Unit =
+    defs.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

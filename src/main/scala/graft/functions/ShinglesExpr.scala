@@ -33,8 +33,13 @@ case class ShinglesExpr(child: Expression) extends UnaryExpression with CodegenF
       val hs = new Array[Long](n)
       var i = 0
       while (i < n) {
-        val t = arr.getUTF8String(i)
-        hs(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        // null tokens hash to the seed, mirroring xxhash64's null-skip
+        // (split() never produces them; registered-SQL callers might)
+        hs(i) = if (arr.isNullAt(i)) 42L
+        else {
+          val t = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        }
         i += 1
       }
       val seen = new java.util.HashSet[java.lang.Long](n * 2)

@@ -42,13 +42,18 @@ case class SignProjectExpr(child: Expression, nBits: Int, dims: Int, salt: Int)
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
-    val n = math.min(dims, arr.numElements())
+    val n = arr.numElements()
+    // HOF parity: a length mismatch or null element null-poisons every
+    // plane's fold, its CASE predicate, and thus every bit → bucket 0
+    if (n != dims) return 0L
+    var j = 0
+    while (j < n) { if (arr.isNullAt(j)) return 0L; j += 1 }
     var bucket = 0L
     var p = 0
     while (p < nBits) {
       var acc = 0.0
       val off = p * dims
-      var j = 0
+      j = 0
       while (j < n) { acc += arr.getFloat(j).toDouble * signs(off + j); j += 1 }
       if (acc >= 0.0) bucket |= (1L << p)
       p += 1
@@ -59,18 +64,25 @@ case class SignProjectExpr(child: Expression, nBits: Int, dims: Int, salt: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
-      val (p, j, n, acc, off) = (ctx.freshName("p"), ctx.freshName("j"),
-        ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("off"))
+      val (p, j, n, acc, off, ok) = (ctx.freshName("p"), ctx.freshName("j"),
+        ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("off"),
+        ctx.freshName("ok"))
       s"""
-         |int $n = java.lang.Math.min($dims, $a.numElements());
+         |int $n = $a.numElements();
          |${ev.value} = 0L;
-         |for (int $p = 0; $p < $nBits; $p++) {
-         |  double $acc = 0.0;
-         |  int $off = $p * $dims;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    $acc += (double) $a.getFloat($j) * $signsRef[$off + $j];
+         |boolean $ok = ($n == $dims);
+         |for (int $j = 0; $ok && $j < $n; $j++) {
+         |  if ($a.isNullAt($j)) $ok = false;
+         |}
+         |if ($ok) {
+         |  for (int $p = 0; $p < $nBits; $p++) {
+         |    double $acc = 0.0;
+         |    int $off = $p * $dims;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc += (double) $a.getFloat($j) * $signsRef[$off + $j];
+         |    }
+         |    if ($acc >= 0.0) ${ev.value} |= (1L << $p);
          |  }
-         |  if ($acc >= 0.0) ${ev.value} |= (1L << $p);
          |}
        """.stripMargin
     })

@@ -210,13 +210,16 @@ object LlmData {
     // maintains 16 packed sums (4 bit-counts per long, 16-bit lanes) instead
     // of 64 separate aggregates — 4x fewer aggregation buffers on the hot
     // path. Lanes cannot overflow because tokens are pre-chunked into
-    // ≤ 32768-row groups (pos div 32768), so a lane holds at most 32768;
-    // the per-doc recombine then unpacks and sums the (tiny, ~one row per
-    // doc) chunk table with exact 64-wide aggregates. Bit i of the final
-    // simhash is set iff 2·cnt1_i ≥ n — identical to the ±1 formulation.
+    // ≤ 16384-row groups (pos div 16384): the top lane (shift 48) then sums
+    // to at most 16384·2^48 = 2^62 < Long.MaxValue — sized for the SIGNED
+    // sum, not just the unpack mask (2^15·2^48 = 2^63 would overflow, an
+    // error under Spark 4's default ANSI mode). The per-doc recombine then
+    // unpacks and sums the (tiny, ~one row per doc) chunk table with exact
+    // 64-wide aggregates. Bit i of the final simhash is set iff
+    // 2·cnt1_i ≥ n — identical to the ±1 formulation.
     val tokenHashes = t(s, d, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), (col("pos") / 32768).cast("int").as("chunk"),
+      .select(col("doc_id"), (col("pos") / 16384).cast("int").as("chunk"),
         xxhash64(col("tok")).as("h"))
     def lanePack(k: Int): Column = expr(
       s"((shiftright(h, ${4 * k}) & 1)) | " +
@@ -338,7 +341,15 @@ object LlmData {
          |    0D, (acc, v) -> acc + v))""".stripMargin
     def argmax(scores: String) =
       s"array_position($scores, array_max($scores))"
-    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    // index identity = source path PLUS a (name, size, mtime) fingerprint of
+    // the source parquet — a regenerated fixture or a sanitization collision
+    // ("/sf0.1" vs "/sf0_1") gets its own index instead of silently serving
+    // another dataset's vectors
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val fp = java.lang.Long.toHexString(java.util.Arrays.hashCode(Array[Long](
+      d.hashCode.toLong, java.nio.file.Files.size(src),
+      java.nio.file.Files.getLastModifiedTime(src).toMillis)).toLong & 0xffffffffL)
+    val tag = s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val indexPath = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_ivf", tag)
     if (!java.nio.file.Files.exists(indexPath.resolve("_SUCCESS"))) {
@@ -353,18 +364,23 @@ object LlmData {
       .withColumn("c2", expr(
         "array_position(scores, array_max(array_remove(scores, array_max(scores))))"))
       .select(col("embedding").as("q_emb"), col("c1"), col("c2"))
-    val Array(row) = q.select("c1", "c2").collect() // 1 row: the routing decision
-    probeCells(s, indexPath.toString, q, Seq(row.getLong(0), row.getLong(1)))
+    // single evaluation: one collect yields both the routing cells and the
+    // query vector (re-deriving q inside the probe would re-run the scoring
+    // scan a second time)
+    val Array(row) = q.collect()
+    probeCells(s, indexPath.toString,
+      typedlit(row.getAs[scala.collection.Seq[Float]]("q_emb")),
+      Seq(row.getAs[Long]("c1"), row.getAs[Long]("c2")))
   }
 
   /** Probe: scan only the given cells of the partitioned index (static
     * partition pruning), exact cosine inside, bounded top-k.
     */
-  private def probeCells(s: SparkSession, indexPath: String, q: DataFrame,
+  private def probeCells(s: SparkSession, indexPath: String, qEmb: Column,
       cells: Seq[Long]): DataFrame =
     s.read.parquet(indexPath)
       .where(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
-      .crossJoin(broadcast(q.select(col("q_emb"))))
+      .withColumn("q_emb", qEmb)
       .select(col("vec_id"), r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(20)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.{DotExpr, FeeExpr, ShinglesExpr, SignProjectExpr}
+import graft.functions.DotExpr
 
 /** Catalyst optimizer rule: rewrite the interpreted higher-order-function
   * dot-product pattern
@@ -61,21 +61,10 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
-    ext.injectFunction((FunctionIdentifier("graft_fee"),
-      new ExpressionInfo(classOf[FeeExpr].getName, "graft_fee"),
-      (exprs: Seq[Expression]) => FeeExpr(Cast(exprs(0), DoubleType),
-        Cast(exprs(1), DoubleType), Cast(exprs(2), DoubleType))))
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
-    ext.injectFunction((FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) => ShinglesExpr(exprs(0))))
-    ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
-      new ExpressionInfo(classOf[SignProjectExpr].getName, "graft_lsh_bucket"),
-      (exprs: Seq[Expression]) => SignProjectExpr(exprs(0),
-        nBits = exprs(1).eval().asInstanceOf[Int],
-        dims = exprs(2).eval().asInstanceOf[Int],
-        salt = exprs(3).eval().asInstanceOf[Int])))
+    // same coercing builders as GraftFunctions.register — one source of truth
+    graft.functions.GraftFunctions.defs.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
   }
 }

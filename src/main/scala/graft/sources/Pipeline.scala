@@ -136,6 +136,9 @@ object PipelineIngest {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").option("header", "true").csv(out)
     s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      // pin the key type: inference narrows int64 keys that happen to fit
+      // int32 at this SF, and the oracle's max(o_orderkey) is BIGINT
+      .withColumn("o_orderkey", col("o_orderkey").cast("long"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("sum_price"),
         max(col("o_orderkey")).as("max_orderkey"))

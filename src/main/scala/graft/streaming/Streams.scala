@@ -147,12 +147,20 @@ object Streams {
       val name = s"graft_stream_${runId.incrementAndGet()}"
       val q = build(src).writeStream.outputMode(OutputMode.Append()).format("memory")
         .queryName(name).start()
-      q.processAllAvailable()
-      batches.tail.foreach { b =>
-        b.write.mode("append").parquet(dir)
+      try {
         q.processAllAvailable()
+        batches.tail.foreach { b =>
+          b.write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        // the memory sink holds the results; the staged copies would
+        // otherwise accumulate one events-table clone per invocation
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
-      q.stop()
       s.table(name)
     }
   }

@@ -63,9 +63,12 @@ class ContractSpec extends AnyFunSuite {
   test("oracle coverage is complete for the deterministic surface") {
     // only probabilistic/hash-defined/approximate/side-effect queries may
     // skip the DuckDB oracle (SURVEY.md §2B oracle column)
+    // exactly the probabilistic / hash-defined / engine-specific-sampling
+    // queries; everything else (incl. q_text_langid and q_sink_partitioned,
+    // once listed here) carries a DuckDB oracle
     val allowedNoOracle = Set("q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
       "q_simsearch_ivf", "q_multimodal_frames", "q_text_fingerprint",
-      "q_text_langid", "q_sink_partitioned", "q_sample_stratified")
+      "q_sample_stratified")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(allowedNoOracle),
       s"queries missing an oracle without justification: ${noOracle -- allowedNoOracle}")

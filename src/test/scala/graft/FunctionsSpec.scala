@@ -137,18 +137,23 @@ class FunctionsSpec extends AnyFunSuite {
     val s = TestSpark.spark
     graft.functions.GraftFunctions.register(s)
     val emb = graft.Tables(s, TestSpark.sf, "embeddings").limit(200)
-    val hofDot = aggregate(
-      zip_with(col("embedding"), col("embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val mismatches = emb.select(
+    // the dot reference fold runs DRIVER-side: TestSpark loads
+    // GraftExtensions, whose DotProductRewrite would turn an in-plan HOF
+    // formulation into DotExpr and make the comparison vacuous
+    val rows = emb.select(col("vec_id"),
         graft.functions.VectorOps.dot(col("embedding"), col("embedding")).as("nat_dot"),
-        hofDot.as("hof_dot"),
         graft.functions.VectorOps.lshBucket("embedding", 6, 64, 1).as("nat_b"),
-        graft.functions.VectorOps.lshBucketHof("embedding", 6, 64, 1).as("hof_b"))
-      .where(col("nat_dot") =!= col("hof_dot") || col("nat_b") =!= col("hof_b"))
-      .count()
-    assert(mismatches === 0)
+        graft.functions.VectorOps.lshBucketHof("embedding", 6, 64, 1).as("hof_b"),
+        col("embedding"))
+      .collect()
+    assert(rows.length === 200)
+    rows.foreach { row =>
+      val e = row.getAs[scala.collection.Seq[Float]]("embedding")
+      var acc = 0.0
+      e.foreach(x => acc += x.toDouble * x.toDouble) // ascending left fold
+      assert(row.getAs[Double]("nat_dot") === acc)
+      assert(row.getAs[Long]("nat_b") === row.getAs[Long]("hof_b"))
+    }
   }
 
   test("Zip round-trips entries and skips directories") {
