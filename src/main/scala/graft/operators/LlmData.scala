@@ -552,20 +552,45 @@ object LlmData {
     * concatenated in doc_id order and cut into fixed 512-token sequences;
     * each doc reports its token offset and the [first, last] sequence it
     * spans. Pure integer arithmetic over an exclusive prefix sum → exact
-    * oracle. The global single-ordering window here is the per-shard step:
-    * at 100 TB packing runs per shard (partitionBy(shard) in the window),
-    * embarrassingly parallel across shards, exactly as tokenizer-sharded
-    * pretraining pipelines lay out their data.
+    * oracle.
+    *
+    * Distributed layout: a naive `Window.orderBy(doc_id)` with no partition
+    * spec funnels the whole corpus through ONE task. Instead the prefix sum
+    * is computed in two exact integer stages, the classic distributed scan:
+    *   1. shard = doc_id div shardSize — contiguous doc_id ranges, so
+    *      per-shard order concatenates to the global order;
+    *   2. per-shard exclusive prefix sum under
+    *      `Window.partitionBy(shard).orderBy(doc_id)` — embarrassingly
+    *      parallel across shards;
+    *   3. shard base offsets: one tiny aggregate (#shards rows — ~15k rows
+    *      for a 1B-doc corpus at the cluster shardSize of 65536) whose own
+    *      prefix sum is a single-partition window over that tiny relation,
+    *      then broadcast-joined back and added to the local offsets.
+    * The result is bit-identical to the global window (exact BIGINT math,
+    * `div` not fp `/` so offsets past 2^53 never round).
     */
   def packSequences(s: SparkSession, d: String): DataFrame = {
     val seqLen = 512
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    t(s, d, "documents")
+    // 256 docs/shard exercises multiple shards at test SFs (500–5000 docs);
+    // at cluster scale the same layout runs with e.g. 65536 docs/shard
+    val shardSize = 256L
+    val toks = t(s, d, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    // exclusive prefix of per-shard totals: tiny input, broadcast out
+    val shardBase = toks.groupBy("shard").agg(sum("n_tok").as("shard_tok"))
+      .withColumn("base", coalesce(
+        sum(col("shard_tok")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("shard", "base")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("local_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(broadcast(shardBase), "shard")
+      .withColumn("off", col("base") + col("local_off"))
       .select(col("doc_id"), col("n_tok"), col("off"),
-        // integer division (div), never fp `/`: offsets past 2^53 would
-        // round in double arithmetic
         expr(s"off div $seqLen").as("first_seq"),
         expr(s"(off + n_tok - 1) div $seqLen").as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
@@ -693,8 +718,10 @@ object LlmData {
     "q_pack_sequences" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
         "FROM documents), " +
-        "o AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER " +
-        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t) " +
+        // CAST: DuckDB sum() OVER returns HUGEINT, which the comparator
+        // materializes as float64 — the cast keeps the whole row int64
+        "o AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM t) " +
         "SELECT doc_id, n_tok, off, off // 512 AS first_seq, " +
         "(off + n_tok - 1) // 512 AS last_seq, " +
         "(off + n_tok - 1) // 512 - off // 512 + 1 AS n_seqs " +

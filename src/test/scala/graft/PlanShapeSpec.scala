@@ -100,6 +100,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hof.orderBy("vec_id").collect() === native.orderBy("vec_id").collect())
   }
 
+  test("q_pack_sequences has no single-partition window over the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = graft.operators.LlmData.packSequences(s, d)
+    // inspect the pre-adaptive plan: AQE's finalized tree hides subtrees
+    // inside leaf QueryStageExec nodes, but partition specs are static
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected window operators in the packing plan:\n$root")
+    // the per-document prefix sum MUST be partitioned (by shard); the only
+    // unpartitioned window allowed is the shard-base prefix over the tiny
+    // post-aggregate relation (input rows = #shards, not #docs)
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"no partitioned window found — corpus prefix sum is single-partition:\n$root")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case h: BaseAggregateExec => h }.isDefined,
+        s"unpartitioned window not over a pre-aggregated tiny input:\n$w")
+    }
+  }
+
   test("q_pivot_wide plans a single aggregation pass (no pivot-value discovery job)") {
     // declared pivot values → the plan is exactly one partial+final hash
     // aggregation over the scan; an undeclared pivot would first run a
