@@ -35,7 +35,11 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
   * (Trigger.AvailableNow / processAllAvailable into a memory sink) and
   * returns the result as a batch DataFrame, so the driver's Verify/Bench
   * harness can treat streaming like any other operator. Batch-replay
-  * equivalence makes every one of the five oracle-checkable in DuckDB.
+  * equivalence makes all eight oracle-checkable in DuckDB. Every query runs
+  * APPEND mode with a watermark — state is bounded by open windows/sessions
+  * and each result row is emitted exactly once, the only aggregation shape
+  * that survives an unbounded feed (complete mode re-emits and retains
+  * every group forever).
   */
 object Streams {
   import Det._
@@ -75,38 +79,40 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Run a streaming DF to completion into a memory sink; return the table. */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame =
-    withStreamParts(df.sparkSession) {
-      val name = s"graft_stream_${runId.incrementAndGet()}"
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      df.sparkSession.table(name)
-    }
-
   /** q_stream_tumbling — per-type counts + exact sums in 1-minute tumbling
-    * windows, complete mode (no watermark: the full aggregation is the
-    * batch-replay equivalent, hence oracle-checkable).
+    * windows, APPEND mode with a 10-minute watermark: each window emits
+    * exactly once when the watermark passes its end, and its state is then
+    * dropped — bounded state on an unbounded feed (complete mode would
+    * retain and re-emit every window ever seen). The far-future sentinel
+    * batch advances the watermark past every real window so the finite
+    * fixture flushes fully; emitted rows equal the batch replay → oracle.
     */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
-    val agg = eventsStream(s, d)
-      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
-    runToTable(agg, OutputMode.Complete())
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
+      Seq(normalizedEvents(s, d), sentinelBatch(s)))
+      .where(col("event_type") =!= "sentinel") // its window never flushes; belt+braces
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
   }
 
   /** q_stream_sliding_session — 10-minute windows sliding every 5 minutes
-    * (every event lands in exactly two windows), complete mode.
+    * (every event lands in exactly two windows), append mode + watermark +
+    * sentinel flush exactly as [[streamTumbling]]: per-window state emits
+    * once and is dropped, so state is bounded by open windows only.
     */
   def streamSliding(s: SparkSession, d: String): DataFrame = {
-    val agg = eventsStream(s, d)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
-    runToTable(agg, OutputMode.Complete())
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
+      Seq(normalizedEvents(s, d), sentinelBatch(s)))
+      .where(col("event_type") =!= "sentinel")
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "win_end", "event_type")
