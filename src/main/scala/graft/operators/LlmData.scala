@@ -326,51 +326,110 @@ object LlmData {
     * Approximate by design → no SQL oracle; recall vs brute force is
     * measured in SimSearchSpec.
     */
-  def simsearchIvf(s: SparkSession, d: String): DataFrame = {
+  def simsearchIvf(s: SparkSession, d: String): DataFrame =
+    simsearchIvfProbe(s, d, nProbe = 2)
+
+  /** IVF probe with a configurable probe width. nProbe trades scan fraction
+    * for recall (~nProbe/16 of the index files are read); the measured
+    * recall@20 curve on the fixtures is recorded in docs/SCALING.md and the
+    * nProbe=2 floor is asserted in LlmDataSpec.
+    */
+  def simsearchIvfProbe(s: SparkSession, d: String, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
-    val dims = 64
     val nCells = 16
-    // cell scores: dot(v, anchor_c) for each of the 16 anchors; anchor
-    // components are deterministic ±1 signs (same construction as lshBucket)
+    val emb = t(s, d, "embeddings")
+    // Coarse quantizer = 16 evenly-spaced DATA vectors, unit-normalized
+    // (argmax dot(v, ĉ) == argmax cosine(v, c)). Sampling the corpus —
+    // rather than random hyperplane anchors — is what makes this IVF: cells
+    // track the data's own cluster structure, so a query's nearest cells
+    // hold most of its true neighbors (measured curve in docs/SCALING.md).
+    // The codebook is a driver-held model (16×64 floats, O(1) like the
+    // routing row fetch), exactly how IVF centroids ship to query routers.
+    val nVecs = emb.count()
+    val step = math.max(nVecs / nCells, 1L)
+    val centroids = emb.where(col("vec_id") % step === 0)
+      .orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / norm)
+      }
+    // per-cell scores as literal-centroid graft_dot calls: codegen'd native
+    // kernels, no interpreted lambdas in the index-build scan
     def cellsExpr(embCol: String) =
-      s"""transform(sequence(0, ${nCells - 1}),
-         |  c -> aggregate(
-         |    zip_with($embCol, transform(sequence(0, ${dims - 1}),
-         |      j -> IF((xxhash64(c * $dims + j + 900000) & 1) = 1, 1.0D, -1.0D)),
-         |      (x, sg) -> CAST(x AS DOUBLE) * sg),
-         |    0D, (acc, v) -> acc + v))""".stripMargin
+      "array(" + centroids.map(c =>
+        s"graft_dot($embCol, array(${c.mkString("D, ")}D))").mkString(", ") + ")"
     def argmax(scores: String) =
       s"array_position($scores, array_max($scores))"
-    // index identity = source path PLUS a (name, size, mtime) fingerprint of
-    // the source parquet — a regenerated fixture or a sanitization collision
-    // ("/sf0.1" vs "/sf0_1") gets its own index instead of silently serving
-    // another dataset's vectors
-    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val fp = java.lang.Long.toHexString(java.util.Arrays.hashCode(Array[Long](
-      d.hashCode.toLong, java.nio.file.Files.size(src),
-      java.nio.file.Files.getLastModifiedTime(src).toMillis)).toLong & 0xffffffffL)
-    val tag = s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
-    val indexPath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ivf", tag)
-    if (!java.nio.file.Files.exists(indexPath.resolve("_SUCCESS"))) {
-      t(s, d, "embeddings")
-        .withColumn("cell", expr(s"${argmax(cellsExpr("embedding"))}"))
-        .write.mode("overwrite").partitionBy("cell").parquet(indexPath.toString)
-    }
+    val indexPath = ivfIndex(s, d, df =>
+      df.withColumn("cell", expr(s"${argmax(cellsExpr("embedding"))}")))
+    // ranked probe cells: pair (score, cell-ordinal), sort descending by
+    // score (ordinal breaks ties deterministically), take the top nProbe
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
       .withColumn("scores", expr(cellsExpr("embedding")))
-      // top-2 cells of the query: argmax, then argmax with the best removed
-      .withColumn("c1", expr("array_position(scores, array_max(scores))"))
-      .withColumn("c2", expr(
-        "array_position(scores, array_max(array_remove(scores, array_max(scores))))"))
-      .select(col("embedding").as("q_emb"), col("c1"), col("c2"))
+      .withColumn("probe_cells", expr(
+        s"""transform(slice(array_sort(
+           |  zip_with(scores, sequence(1, $nCells), (sc, i) -> struct(-sc AS s, i AS i))),
+           |  1, $nProbe), p -> CAST(p.i AS BIGINT))""".stripMargin))
+      .select(col("embedding").as("q_emb"), col("probe_cells"))
     // single evaluation: one collect yields both the routing cells and the
     // query vector (re-deriving q inside the probe would re-run the scoring
     // scan a second time)
     val Array(row) = q.collect()
-    probeCells(s, indexPath.toString,
+    probeCells(s, indexPath,
       typedlit(row.getAs[scala.collection.Seq[Float]]("q_emb")),
-      Seq(row.getAs[Long]("c1"), row.getAs[Long]("c2")))
+      row.getAs[scala.collection.Seq[Long]]("probe_cells").toSeq)
+  }
+
+  /** Build-or-reuse the persisted cell-partitioned IVF index.
+    *
+    * Identity: the source dir PLUS a fingerprint over the LEAF parquet
+    * files (relative path, size, mtime of each — recursed when
+    * embeddings.parquet is itself a directory of part-files) — a
+    * regenerated fixture or a sanitization collision ("/sf0.1" vs
+    * "/sf0_1") gets its own index instead of silently serving another
+    * dataset's vectors.
+    *
+    * Publication is ATOMIC: the build lands in a process-unique staging
+    * dir which is renamed into place, so a concurrent Verify/Bench/test
+    * run either sees the complete index or builds its own copy — never a
+    * half-written overwrite (mode("overwrite") deletes _SUCCESS and data
+    * in place first). First publisher wins; losers discard their staging.
+    */
+  private def ivfIndex(s: SparkSession, d: String,
+      assign: DataFrame => DataFrame): String = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val leaves = {
+      val st = java.nio.file.Files.walk(src)
+      try st.filter(java.nio.file.Files.isRegularFile(_)).sorted()
+        .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      finally st.close()
+    }
+    val fpInput = (d.hashCode.toLong +: leaves.flatMap(p => Seq(
+      src.relativize(p).toString.hashCode.toLong,
+      java.nio.file.Files.size(p),
+      java.nio.file.Files.getLastModifiedTime(p).toMillis))).toArray
+    val fp = java.lang.Long.toHexString(
+      java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
+    // v2: sampled-centroid quantizer — the scheme version keys the index so
+    // a binary upgrade never serves cells assigned by an older quantizer
+    val tag = s"v2_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    val indexPath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf", tag)
+    if (!java.nio.file.Files.exists(indexPath.resolve("_SUCCESS"))) {
+      val staging = indexPath.resolveSibling(
+        s"${tag}_staging_${java.util.UUID.randomUUID()}")
+      assign(t(s, d, "embeddings"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      try java.nio.file.Files.move(staging, indexPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // another run published first: its index is complete — use it
+        case _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
+    }
+    indexPath.toString
   }
 
   /** Probe: scan only the given cells of the partitioned index (static

@@ -88,13 +88,25 @@ class LlmDataSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
-  test("q_simsearch_ivf: reported cosines are genuine and recall@20 is positive") {
+  test("q_simsearch_ivf: recall@20 floors hold across the nProbe curve") {
     val brute = LlmData.simsearchTopk(s, d).limit(20)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val ivf = LlmData.simsearchIvf(s, d).select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(ivf.size === 20)
-    val recall = ivf.intersect(brute).size.toDouble / 20
-    assert(recall > 0.0, "probing 2 of 16 cells should recover some true neighbors")
+    def recallAt(nProbe: Int): Double = {
+      val ivf = LlmData.simsearchIvfProbe(s, d, nProbe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ivf.size === 20, s"nProbe=$nProbe returned ${ivf.size} rows")
+      ivf.intersect(brute).size.toDouble / 20
+    }
+    val curve = Seq(1, 2, 4, 8, 16).map(n => n -> recallAt(n))
+    info(s"recall@20 curve: ${curve.map { case (n, r) => s"nProbe=$n:$r" }.mkString(", ")}")
+    val r = curve.toMap
+    // measured floors (docs/SCALING.md records the curve — 0.85 at nProbe=2
+    // on this fixture): the declared q_simsearch_ivf runs nProbe=2, and
+    // scanning 1/8 of the index must keep well over half the true top-20
+    assert(r(2) >= 0.6, s"nProbe=2 recall ${r(2)} below the 0.6 floor")
+    assert(r(16) === 1.0, "probing every cell must reproduce brute force exactly")
+    // monotone non-decreasing in nProbe: wider probes never lose neighbors
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
   test("q_multimodal_join aligns doc and vector modalities one-to-one") {
