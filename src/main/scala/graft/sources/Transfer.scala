@@ -2,7 +2,6 @@ package graft.sources
 
 import java.nio.file.Paths
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,6 +19,23 @@ import org.apache.spark.sql.functions._
   * DataFrame is the integrity proof: source vs destination re-scan joined on
   * file name, comparing sizes and xxhash64 content checksums in-engine.
   */
+/** Java-serializable carrier for a Hadoop Configuration (which is Writable
+  * but not Serializable) so the session's spark.hadoop.* settings travel to
+  * executor tasks inside closures/broadcasts.
+  */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object Transfer {
 
   /** Copy every file in `srcDir` into `dstDir` (flat, overwrite), then
@@ -30,11 +46,16 @@ object Transfer {
     val src = s.read.format("binaryFile").load(srcDir)
       .select(col("path"), col("content"))
 
-    // distributed byte-copy; executors resolve the FS from the URI (default
-    // Configuration covers file:; cluster deployments ship their hadoop conf)
+    // distributed byte-copy; executors resolve the FS from the URI using the
+    // SESSION's Hadoop configuration (broadcast — Configuration itself is not
+    // Serializable), so spark.hadoop.* settings (s3a credentials/endpoints,
+    // hdfs overrides, custom fs.<scheme>.impl registrations) reach the copy
+    // tasks — asserted by the cross-scheme test in FunctionsSpec
+    val hconf = s.sparkContext.broadcast(
+      new SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
     src.as[(String, Array[Byte])].foreachPartition {
       part: Iterator[(String, Array[Byte])] =>
-        val conf = new Configuration()
+        val conf = hconf.value.value
         part.foreach { case (path, bytes) =>
           val name = Paths.get(new java.net.URI(path).getPath).getFileName.toString
           val target = new HPath(dstDir, name)

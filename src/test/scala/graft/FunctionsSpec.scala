@@ -162,4 +162,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(unzipped.map(_._1) === Seq("a.csv", "b/c.csv"))
     assert(unzipped.map(e => new String(e._2)) === Seq("1,2,3", "x"))
   }
+
+  test("transferDir copies to a NON-file scheme resolved from the session Hadoop conf") {
+    // a second FileSystem scheme, registered ONLY in the session conf — the
+    // copy tasks must resolve graftfs:// through the propagated session
+    // configuration (a default `new Configuration()` on the executor would
+    // throw UnsupportedFileSystemException)
+    s.sparkContext.hadoopConfiguration.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val tmp = Files.createTempDirectory("graft_xfs_")
+    val srcDir = Files.createDirectory(tmp.resolve("src"))
+    val payloads = Map("a.bin" -> "alpha-bytes", "b.bin" -> "beta-bytes")
+    payloads.foreach { case (n, c) => Files.write(srcDir.resolve(n), c.getBytes) }
+    val dst = s"graftfs://${tmp.resolve("dst")}"
+    val rows = graft.sources.Transfer.transferDir(s, srcDir.toString, dst).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("bytes_match") && r.getAs[Boolean]("checksum_match"),
+        s"integrity row failed: $r")
+    }
+    // and the bytes genuinely travelled through the alternate scheme onto disk
+    payloads.foreach { case (n, c) =>
+      assert(new String(Files.readAllBytes(tmp.resolve("dst").resolve(n))) === c)
+    }
+  }
+}
+
+/** RawLocalFileSystem under its own URI scheme: the minimal second Hadoop
+  * filesystem (the standard Hadoop-test trick) proving [[graft.sources
+  * .Transfer.transferDir]] resolves destinations per-URI from the session
+  * configuration rather than assuming file:.
+  */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
