@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -40,6 +42,17 @@ case class SignProjectExpr(child: Expression, nBits: Int, dims: Int, salt: Int)
     out
   }
 
+  // HOF parity for a NULL embedding: each plane's CASE falls to ELSE 0 and
+  // the outer fold sums zeros → bucket 0, never SQL NULL. The expression is
+  // therefore total (nullable = false) and nullable inputs group identically
+  // under either formulation.
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) 0L else nullSafeEval(a)
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -61,31 +74,35 @@ case class SignProjectExpr(child: Expression, nBits: Int, dims: Int, salt: Int)
     bucket
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
-      val (p, j, n, acc, off, ok) = (ctx.freshName("p"), ctx.freshName("j"),
-        ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("off"),
-        ctx.freshName("ok"))
-      s"""
-         |int $n = $a.numElements();
-         |${ev.value} = 0L;
-         |boolean $ok = ($n == $dims);
-         |for (int $j = 0; $ok && $j < $n; $j++) {
-         |  if ($a.isNullAt($j)) $ok = false;
-         |}
-         |if ($ok) {
-         |  for (int $p = 0; $p < $nBits; $p++) {
-         |    double $acc = 0.0;
-         |    int $off = $p * $dims;
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      $acc += (double) $a.getFloat($j) * $signsRef[$off + $j];
-         |    }
-         |    if ($acc >= 0.0) ${ev.value} |= (1L << $p);
-         |  }
-         |}
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+    val a = c.value
+    val (p, j, n, acc, off, ok) = (ctx.freshName("p"), ctx.freshName("j"),
+      ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("off"),
+      ctx.freshName("ok"))
+    ev.copy(isNull = FalseLiteral, code = code"""
+      ${c.code}
+      long ${ev.value} = 0L;
+      if (!${c.isNull}) {
+        int $n = $a.numElements();
+        boolean $ok = ($n == $dims);
+        for (int $j = 0; $ok && $j < $n; $j++) {
+          if ($a.isNullAt($j)) $ok = false;
+        }
+        if ($ok) {
+          for (int $p = 0; $p < $nBits; $p++) {
+            double $acc = 0.0;
+            int $off = $p * $dims;
+            for (int $j = 0; $j < $n; $j++) {
+              $acc += (double) $a.getFloat($j) * $signsRef[$off + $j];
+            }
+            if ($acc >= 0.0) ${ev.value} |= (1L << $p);
+          }
+        }
+      }
+    """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SignProjectExpr =
     copy(child = newChild)

@@ -156,6 +156,31 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_lsh_bucket: NULL, null-element, and wrong-length embeddings all match HOF bucket 0") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val full = (0 until 64).map(i => Option((i % 7).toFloat))
+    val df = Seq(
+      (1L, Some(Seq(Option(1f), Option(2f)))),          // wrong length
+      (2L, Option.empty[Seq[Option[Float]]]),           // top-level NULL array
+      (3L, Some(full.updated(7, Option.empty[Float]))), // null element
+      (4L, Some(full))                                  // control: a real bucket
+    ).toDF("id", "embedding")
+      .select(col("id"),
+        graft.functions.VectorOps.lshBucket("embedding", 6, 64, 1).as("nat_b"),
+        graft.functions.VectorOps.lshBucketHof("embedding", 6, 64, 1).as("hof_b"))
+    assert(df.schema("nat_b").nullable === false)
+    df.collect().sortBy(_.getLong(0)).foreach { r =>
+      assert(!r.isNullAt(1), s"native bucket NULL for id=${r.getLong(0)}")
+      assert(!r.isNullAt(2), s"hof bucket NULL for id=${r.getLong(0)}")
+      assert(r.getLong(1) === r.getLong(2),
+        s"id=${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}")
+      if (r.getLong(0) < 4) assert(r.getLong(1) === 0L)
+    }
+  }
+
   test("Zip round-trips entries and skips directories") {
     val entries = Seq(("a.csv", "1,2,3".getBytes), ("b/c.csv", "x".getBytes))
     val unzipped = Zip.unzip(Zip.zip(entries)).toSeq
