@@ -482,7 +482,7 @@ object LlmData {
     * Dimensions are asserted against the fixture formula in LlmDataSpec;
     * signatures are hash-defined → rows-only driver check.
     */
-  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+  private def framesDecoded(s: SparkSession, d: String): DataFrame = {
     val media = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_media")
     if (!java.nio.file.Files.exists(media.resolve("img_000.png")))
       graft.functions.BinaryBatch.writeMediaFixtures(media)
@@ -511,6 +511,26 @@ object LlmData {
       .join(meta, "doc_id")
       .orderBy("doc_id")
   }
+
+  /** Decode metadata only: dimensions and pixel counts are pure functions
+    * of the fixture id, so this projection is checked against a formula
+    * VALUES oracle — independent evidence that the ImageIO decode genuinely
+    * recovers what the generator drew (same doctrine as
+    * [[multimodalAudio]]'s generator-formula oracle).
+    */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    framesDecoded(s, d).select("doc_id", "width", "height", "n_pixels")
+      .orderBy("doc_id")
+
+  /** Codec- and hash-defined outputs of the frame pipeline (PNG byte
+    * counts, stride-frame hashes, downsample signature): deterministic per
+    * environment but not formula-expressible → rows-only driver check;
+    * invariants asserted in LlmDataSpec.
+    */
+  def multimodalFramesSigs(s: SparkSession, d: String): DataFrame =
+    framesDecoded(s, d)
+      .select("doc_id", "n_bytes", "n_frames", "frames_sig", "resized_sig")
+      .orderBy("doc_id")
 
   /** q_multimodal_audio — REAL audio decode: `binaryFile` scan of generated
     * WAV fixtures, batched javax.sound codec parse (sample rate, channels,
@@ -695,6 +715,7 @@ object LlmData {
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_multimodal_frames" -> multimodalFrames _,
+    "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
@@ -767,6 +788,14 @@ object LlmData {
         "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe, " +
         "CAST(length(text) AS INT) AS n_chars_txt " +
         "FROM documents ORDER BY doc_id"),
+    "q_multimodal_frames" ->
+      ("SELECT * FROM (VALUES " +
+        (0 until 48).map { id =>
+          val w = 8 + id % 16
+          val h = 8 + (id * 7) % 16
+          s"(CAST($id AS BIGINT), $w, $h, CAST(${w * h} AS BIGINT))"
+        }.mkString(", ") +
+        ") t(doc_id, width, height, n_pixels) ORDER BY doc_id"),
     "q_multimodal_audio" ->
       ("SELECT * FROM (VALUES " +
         (0 until 24).map { id =>

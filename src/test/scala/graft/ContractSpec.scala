@@ -27,7 +27,7 @@ class ContractSpec extends AnyFunSuite {
   /** North-star additions beyond §2B (training-data pipeline operators). */
   val extraKeys: Set[String] = Set(
     "q_dedup_ngram", "q_dedup_simhash", "q_dedup_embed", "q_simsearch_ivf",
-    "q_multimodal_binary", "q_multimodal_frames",
+    "q_multimodal_binary", "q_multimodal_frames", "q_multimodal_frames_sigs",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_fingerprint",
     "q_ingest_json", "q_agg_cube", "q_source_json_roundtrip",
     "q_dedup_survivors", "q_stream_dedup", "q_agg_approx_distinct",
@@ -67,7 +67,7 @@ class ContractSpec extends AnyFunSuite {
     // queries; everything else (incl. q_text_langid and q_sink_partitioned,
     // once listed here) carries a DuckDB oracle
     val allowedNoOracle = Set("q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
-      "q_simsearch_ivf", "q_multimodal_frames", "q_text_fingerprint",
+      "q_simsearch_ivf", "q_multimodal_frames_sigs", "q_text_fingerprint",
       "q_sample_stratified")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(allowedNoOracle),

@@ -124,9 +124,9 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
-  test("q_multimodal_frames is deterministic across runs") {
-    val a = LlmData.multimodalFrames(s, d).collect().toSeq
-    val b = LlmData.multimodalFrames(s, d).collect().toSeq
+  test("q_multimodal_frames_sigs is deterministic across runs") {
+    val a = LlmData.multimodalFramesSigs(s, d).collect().toSeq
+    val b = LlmData.multimodalFramesSigs(s, d).collect().toSeq
     assert(a === b)
   }
 
@@ -140,8 +140,18 @@ class LlmDataSpec extends AnyFunSuite {
       assert(r.getAs[Int]("height") === 8 + (id * 7) % 16)
       assert(r.getAs[Long]("n_pixels") ===
         (8 + id % 16).toLong * (8 + (id * 7) % 16))
-      assert(r.getAs[Int]("n_frames") > 0)
     }
+  }
+
+  test("q_multimodal_frames_sigs: every fixture has frames and a non-degenerate signature") {
+    val rows = LlmData.multimodalFramesSigs(s, d).collect()
+    assert(rows.length === 48)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_frames") > 0)
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+    // signatures distinguish the fixtures (hash-defined, but not constant)
+    assert(rows.map(_.getAs[Long]("resized_sig")).distinct.length === 48)
   }
 
   test("BinaryBatch decode sees full batches and preserves every row") {
