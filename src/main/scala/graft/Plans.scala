@@ -19,6 +19,14 @@ object Plans {
       println(SparkEntry.queries(q)(s, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(4000))
     }
+    // streaming: run the staged-batch harness, then dump the physical plan
+    // of the last executed micro-batch (state stores, watermark placement)
+    for (q <- Seq("q_stream_tumbling", "q_stream_watermark_late",
+        "q_stream_stateful", "q_stream_join_interval")) {
+      SparkEntry.queries(q)(s, d).collect()
+      println(s"\n===== $q (last micro-batch) =====")
+      println(streaming.Streams.lastMicroBatchPlan.take(4000))
+    }
     s.stop()
   }
 }

@@ -46,6 +46,12 @@ object Streams {
 
   private val runId = new AtomicInteger(0)
 
+  /** Physical plan of the LAST micro-batch of the most recent staged-batch
+    * run (for docs/PLANS.md generation via [[graft.Plans]]; reflection
+    * because StreamingQueryWrapper/StreamExecution are private[sql]).
+    */
+  @volatile var lastMicroBatchPlan: String = ""
+
   /** Number of state-store partitions for the streaming queries (fixed at
     * query start from spark.sql.shuffle.partitions; recorded in the
     * checkpoint thereafter). Unlike batch shuffles, streaming state cost is
@@ -159,6 +165,12 @@ object Streams {
           b.write.mode("append").parquet(dir)
           q.processAllAvailable()
         }
+        lastMicroBatchPlan =
+          try {
+            val se = q.getClass.getMethod("streamingQuery").invoke(q)
+            val ex = se.getClass.getMethod("lastExecution").invoke(se)
+            ex.getClass.getMethod("executedPlan").invoke(ex).toString
+          } catch { case scala.util.control.NonFatal(_) => "(unavailable)" }
       } finally {
         q.stop()
         // the memory sink holds the results; the staged copies would
