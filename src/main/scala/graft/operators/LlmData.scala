@@ -345,16 +345,18 @@ object LlmData {
     // hold most of its true neighbors (measured curve in docs/SCALING.md).
     // The codebook is a driver-held model (16×64 floats, O(1) like the
     // routing row fetch), exactly how IVF centroids ship to query routers.
-    val nVecs = emb.count()
-    val step = math.max(nVecs / nCells, 1L)
-    val centroids = emb.where(col("vec_id") % step === 0)
-      .orderBy("vec_id").limit(nCells)
-      .select("embedding").collect()
-      .map { r =>
-        val v = r.getSeq[Float](0).map(_.toDouble).toArray
-        val norm = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / norm)
-      }
+    val centroids = ivfCodebook.computeIfAbsent(d, _ => {
+      val nVecs = emb.count()
+      val step = math.max(nVecs / nCells, 1L)
+      emb.where(col("vec_id") % step === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select("embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble).toArray
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / norm)
+        }
+    })
     // per-cell scores as literal-centroid graft_dot calls: codegen'd native
     // kernels, no interpreted lambdas in the index-build scan
     def cellsExpr(embCol: String) =
@@ -381,6 +383,13 @@ object LlmData {
       typedlit(row.getAs[scala.collection.Seq[Float]]("q_emb")),
       row.getAs[scala.collection.Seq[Long]]("probe_cells").toSeq)
   }
+
+  /** JVM-lifetime cache of the per-dataset IVF codebook (16×64 doubles):
+    * the quantizer is a deterministic function of the immutable fixture, so
+    * repeat probes skip the count + 16-row collect routing jobs.
+    */
+  private val ivfCodebook =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** Build-or-reuse the persisted cell-partitioned IVF index.
     *
@@ -482,7 +491,12 @@ object LlmData {
     * Dimensions are asserted against the fixture formula in LlmDataSpec;
     * signatures are hash-defined → rows-only driver check.
     */
-  private def framesDecoded(s: SparkSession, d: String): DataFrame = {
+  // memoized: one binaryFile scan + ImageIO decode pass serves both the
+  // metadata and the signatures query (48 tiny rows persisted)
+  private def framesDecoded(s: SparkSession, d: String): DataFrame =
+    memo(s, s"frames_$d") { framesDecodedBuild(s, d) }
+
+  private def framesDecodedBuild(s: SparkSession, d: String): DataFrame = {
     val media = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_media")
     if (!java.nio.file.Files.exists(media.resolve("img_000.png")))
       graft.functions.BinaryBatch.writeMediaFixtures(media)

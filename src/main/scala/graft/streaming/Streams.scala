@@ -99,7 +99,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      Seq(normalizedEvents(s, d), sentinelBatch(s)))
+      d, Seq(sentinelBatch(s)))
       .where(col("event_type") =!= "sentinel") // its window never flushes; belt+braces
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
@@ -117,7 +117,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      Seq(normalizedEvents(s, d), sentinelBatch(s)))
+      d, Seq(sentinelBatch(s)))
       .where(col("event_type") =!= "sentinel")
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
@@ -139,9 +139,26 @@ object Streams {
     Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)).toDF()
   }
 
-  /** Staged-file-batch harness: batch 1 is written (distributed) to a fresh
-    * staging dir, a file-source stream starts over it, and each later batch
-    * is appended and fully drained (`processAllAvailable`) before the next —
+  /** Per-dataset immutable staging of the events table (one distributed
+    * parquet write per JVM per dataset): every staged-batch streaming query
+    * starts from the full events table, so staging it once and sharing it
+    * read-only removes one events-table write job from EACH streaming query
+    * (7 queries × ~1 s at sf0.1). The dir lives directly under tmpdir so it
+    * can appear in a single-component {shared,own} source glob.
+    */
+  private val stagedEvents = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedEventsDir(s: SparkSession, d: String): String =
+    stagedEvents.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_events_")
+      normalizedEvents(s, d).write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** Staged-file-batch harness: batch 1 is the SHARED immutable staged
+    * events dir, later batches are appended (distributed writes) to a
+    * query-private dir, and the file source watches both through one glob.
+    * Each batch is fully drained (`processAllAvailable`) before the next —
     * so watermarks advance batch-by-batch exactly as an arriving-files
     * deployment would see them. Nothing touches the driver: every batch is
     * an ordinary distributed write job, so the same harness runs unchanged
@@ -149,20 +166,23 @@ object Streams {
     * the whole table to the driver — an OOM at scale).
     */
   private def runStagedBatches(s: SparkSession, build: DataFrame => DataFrame,
-      batches: Seq[DataFrame]): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_stage_").toString
-    batches.head.write.mode("append").parquet(dir)
+      d: String, laterBatches: Seq[DataFrame]): DataFrame = {
+    val shared = java.nio.file.Paths.get(stagedEventsDir(s, d))
+    val own = java.nio.file.Files.createTempDirectory("graft_stream_stage_")
+    // single-component alternation (both dirs sit in tmpdir) — Hadoop globs
+    // do not allow '/' inside {}
+    val glob = s"${shared.getParent}/{${shared.getFileName},${own.getFileName}}"
     // no maxFilesPerTrigger → each drain consumes every staged file in one
     // micro-batch, keeping intra-batch rows ahead of the watermark
-    val src = s.readStream.schema(batches.head.schema).parquet(dir)
+    val src = s.readStream.schema(normalizedEvents(s, d).schema).parquet(glob)
     withStreamParts(s) {
       val name = s"graft_stream_${runId.incrementAndGet()}"
       val q = build(src).writeStream.outputMode(OutputMode.Append()).format("memory")
         .queryName(name).start()
       try {
         q.processAllAvailable()
-        batches.tail.foreach { b =>
-          b.write.mode("append").parquet(dir)
+        laterBatches.foreach { b =>
+          b.write.mode("append").parquet(own.toString)
           q.processAllAvailable()
         }
         lastMicroBatchPlan =
@@ -173,9 +193,10 @@ object Streams {
           } catch { case scala.util.control.NonFatal(_) => "(unavailable)" }
       } finally {
         q.stop()
-        // the memory sink holds the results; the staged copies would
-        // otherwise accumulate one events-table clone per invocation
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        // the memory sink holds the results; the query-private staged
+        // copies would otherwise accumulate per invocation (the shared
+        // events staging is one copy per dataset per JVM, reused read-only)
+        java.nio.file.Files.walk(own)
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
@@ -204,7 +225,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      Seq(ev, sentinelBatch(s), stale))
+      d, Seq(sentinelBatch(s), stale))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
@@ -233,7 +254,7 @@ object Streams {
       src => src
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id"),
-      Seq(ev, redelivered))
+      d, Seq(redelivered))
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
@@ -249,13 +270,12 @@ object Streams {
     * event — both oracle-checked with their exact semantics.
     */
   def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
-    val ev = normalizedEvents(s, d)
     runStagedBatches(s,
       src => src
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value")),
-      Seq(ev, sentinelBatch(s)))
+      d, Seq(sentinelBatch(s)))
       .where(col("user_id") =!= -1L) // sentinel's own session never flushes; belt+braces
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
@@ -301,7 +321,6 @@ object Streams {
     * wait), so the single-batch replay equals the batch SQL join → oracle.
     */
   def streamJoinInterval(s: SparkSession, d: String): DataFrame = {
-    val ev = normalizedEvents(s, d)
     runStagedBatches(s,
       src => {
         val clicks = src.where(col("event_type") === "click")
@@ -317,7 +336,7 @@ object Streams {
             col("p_ts") >= col("c_ts") &&
             col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"))
       },
-      Seq(ev))
+      d, Seq.empty)
       .select(col("c_event"), col("p_event"), col("user_id"),
         col("value").as("purchase_value"))
       .orderBy("c_event", "p_event")
@@ -375,7 +394,6 @@ object Streams {
     */
   def streamStateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = normalizedEvents(s, d)
     // sentinel advances the watermark past every real session's close time
     runStagedBatches(s,
       src => src
@@ -385,7 +403,7 @@ object Streams {
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
           sessionize)
         .toDF(),
-      Seq(ev, sentinelBatch(s)))
+      d, Seq(sentinelBatch(s)))
       .where(col("user_id") =!= -1L)
       .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
         expr("timestamp_micros(end_us)").as("session_end"),
