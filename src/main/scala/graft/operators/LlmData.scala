@@ -701,6 +701,92 @@ object LlmData {
         length(col("text")).as("n_chars_txt"))
       .orderBy("doc_id")
 
+  /** q_text_repetition — Gopher-style repetition signals (Rae et al. 2021
+    * §A1.1): the fraction of 3-gram occurrences that are duplicates within
+    * the document, and the most-frequent token's share of the document.
+    * High values flag boilerplate/spam for corpus filtering.
+    *
+    * Scale: explode → (doc_id, gram) hash aggregate — keys carry the
+    * doc_id, so gram skew across the corpus cannot hot-spot a partition,
+    * and partial (map-side) aggregation collapses within-doc duplicates
+    * before the shuffle. Exact integer counts; ratios are single divisions.
+    */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .where(col("n_toks") >= 3)
+    val gramCounts = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val rep = gramCounts.groupBy("doc_id").agg(
+      sum("cnt").as("n_grams"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
+    // top token: max count, ties broken by the lexicographically smallest
+    // token — min over (-count, token) encodes both in one aggregate
+    val top = toks
+      .select(col("doc_id"), col("n_toks"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "n_toks", "tok").agg(count(lit(1)).as("tn"))
+      .groupBy("doc_id", "n_toks")
+      .agg(min(struct((-col("tn")).as("neg"), col("tok").as("tok"))).as("m"))
+      .select(col("doc_id"), col("n_toks"),
+        (-col("m.neg")).as("top_tok_n"), col("m.tok").as("top_tok"))
+    rep.join(top, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        (col("dup_grams") * 1.0 / col("n_grams")).as("dup_frac"),
+        col("top_tok"), col("top_tok_n"),
+        (col("top_tok_n") * 1.0 / col("n_toks")).as("top_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q_text_unigram_lp — corpus-unigram language-model scoring: token
+    * probabilities from the whole corpus's term frequencies, each token's
+    * log10-prob fixed-point-scaled to an integer micro-log (round(lp·1e6)),
+    * summed EXACTLY per document (integer addition is order-independent —
+    * a float sum would vary with partitioning), and presented with the mean
+    * as the quality signal (low = improbable/gibberish, the classic
+    * perplexity-style filter).
+    *
+    * Scale: the unigram table is vocabulary-sized — broadcast to the token
+    * join (never a shuffle of the corpus); per-doc aggregation is a keyed
+    * hash agg with map-side partials.
+    */
+  def textUnigramLp(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .select(col("tok"),
+        expr("CAST(round(log10(cnt * 1.0 / total) * 1000000) AS BIGINT)")
+          .as("lp_micro"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("lp_micro").as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_toks"), col("sum_lp_micro"),
+        r(col("sum_lp_micro") / 1e6 / col("n_toks"), 4).as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
+  /** q_corpus_domain_cap — domain-mixture capping: no source contributes
+    * more than `cap` documents (the standard rebalancing step before
+    * training-mix weighting; deterministic — first `cap` doc_ids win).
+    *
+    * Scale: `row_number` partitioned by source is key-bound parallel; a
+    * source with billions of docs makes that partition the straggler, so
+    * at extreme skew pre-filter with an approximate per-source count first.
+    */
+  def corpusDomainCap(s: SparkSession, d: String): DataFrame = {
+    val cap = 20
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    t(s, d, "documents")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** q_text_fingerprint — winnowing document fingerprints (token hashes,
     * window 4): distinct window-minima survive small edits, so matching
     * `fp_sig` clusters exact and near-exact documents. Hash-based → no SQL
@@ -734,6 +820,9 @@ object LlmData {
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
     "q_text_tokens" -> textTokens _,
+    "q_text_repetition" -> textRepetition _,
+    "q_text_unigram_lp" -> textUnigramLp _,
+    "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _)
@@ -797,6 +886,41 @@ object LlmData {
         "0.4 * (n_stop * 1.0 / n_tokens) + 0.4 * (1.0 - n_punct * 1.0 / strlen(text)) + " +
         "0.2 * least((strlen(text) * 1.0 / n_tokens) / 10.0, 1.0) AS quality " +
         "FROM c ORDER BY doc_id"),
+    "q_text_repetition" ->
+      ("WITH base AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram FROM base), " +
+        "gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2), " +
+        "rep AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, " +
+        "CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup_grams " +
+        "FROM gc GROUP BY 1), " +
+        "tc AS (SELECT doc_id, n_toks, unnest(t) AS tok FROM base), " +
+        "tn AS (SELECT doc_id, n_toks, tok, count(*) AS cnt FROM tc GROUP BY 1, 2, 3), " +
+        "tt AS (SELECT doc_id, n_toks, tok AS top_tok, CAST(cnt AS BIGINT) AS top_tok_n, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rk FROM tn) " +
+        "SELECT r.doc_id, r.n_grams, r.dup_grams, " +
+        "r.dup_grams * 1.0 / r.n_grams AS dup_frac, " +
+        "tt.top_tok, tt.top_tok_n, tt.top_tok_n * 1.0 / tt.n_toks AS top_frac " +
+        "FROM rep r JOIN tt ON r.doc_id = tt.doc_id AND tt.rk = 1 ORDER BY r.doc_id"),
+    "q_text_unigram_lp" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS total FROM tok), " +
+        "lp AS (SELECT tok, CAST(round(log10(cnt * 1.0 / total) * 1000000) AS BIGINT) " +
+        "AS lp_micro FROM v, tot), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro " +
+        "FROM tok JOIN lp USING (tok) GROUP BY 1) " +
+        "SELECT doc_id, n_toks, sum_lp_micro, " +
+        "round(sum_lp_micro / 1000000.0 / n_toks * 10000, 0) / 10000 AS mean_lp " +
+        "FROM agg ORDER BY doc_id"),
+    "q_corpus_domain_cap" ->
+      ("SELECT doc_id, source, lang, n_chars FROM " +
+        "(SELECT doc_id, source, lang, n_chars, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 20 ORDER BY doc_id"),
     "q_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe, " +

@@ -109,6 +109,59 @@ class LlmDataSpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("q_text_repetition bounds hold and a hand-built doc scores exactly") {
+    val rows = LlmData.textRepetition(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, tf) = (r.getAs[Double]("dup_frac"), r.getAs[Double]("top_frac"))
+      assert(df >= 0.0 && df <= 1.0)
+      assert(tf > 0.0 && tf <= 1.0)
+      assert(r.getAs[Long]("dup_grams") <= r.getAs[Long]("n_grams"))
+      // a duplicated gram contributes at least 2 occurrences
+      assert(r.getAs[Long]("dup_grams") !== 1L)
+    }
+    // driver-side recomputation for one fixture doc: exact counts
+    val doc = Tables(s, d, "documents").where(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val toks = doc.split(" ").toSeq
+    val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+    val dup = grams.groupBy(identity).values.filter(_.size > 1).map(_.size).sum
+    val top = toks.groupBy(identity).map { case (t, o) => (t, o.size) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.head
+    val got = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(got.getAs[Long]("n_grams") === grams.size.toLong)
+    assert(got.getAs[Long]("dup_grams") === dup.toLong)
+    assert(got.getAs[String]("top_tok") === top._1)
+    assert(got.getAs[Long]("top_tok_n") === top._2.toLong)
+  }
+
+  test("q_text_unigram_lp: integer micro-log sums are exact and rank plausibly") {
+    val rows = LlmData.textUnigramLp(s, d).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_lp_micro") < 0L) // probabilities < 1
+      val mean = r.getAs[Double]("mean_lp")
+      assert(mean < 0.0 && mean > -10.0)
+      // mean is the rounded sum/(n·1e6) — recompute from the row itself
+      val expect = math.rint(r.getAs[Long]("sum_lp_micro") / 1e6 /
+        r.getAs[Long]("n_toks") * 10000) / 10000
+      assert(math.abs(mean - expect) < 1e-12)
+    }
+  }
+
+  test("q_corpus_domain_cap keeps at most 20 docs per source, smallest doc_ids first") {
+    val rows = LlmData.corpusDomainCap(s, d).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.values.forall(_.length <= 20))
+    // determinism: the kept docs are exactly the smallest doc_ids per source
+    val all = Tables(s, d, "documents").select("doc_id", "source").collect()
+      .groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, kept) =>
+      val expect = all(src).map(_.getAs[Long]("doc_id")).sorted.take(20).toSet
+      assert(kept.map(_.getAs[Long]("doc_id")).toSet === expect)
+    }
+  }
+
   test("q_multimodal_join aligns doc and vector modalities one-to-one") {
     val r = LlmData.multimodalJoin(s, d)
     assert(r.count() === 500)
