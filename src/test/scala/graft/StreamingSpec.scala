@@ -51,6 +51,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.select("event_id").distinct().count() === r.count())
   }
 
+  test("stateful queries run unchanged on the RocksDB state store (production posture)") {
+    // docs/SCALING.md prescribes the RocksDB provider for hundred-GB state;
+    // prove the claim: the same queries produce identical results under it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tumbling = Streams.streamTumbling(s, d).collect().toSeq
+      val sessions = Streams.streamStateful(s, d).collect().toSeq
+      s.conf.unset(key) // default (HDFS-backed) provider for the reference run
+      assert(tumbling === Streams.streamTumbling(s, d).collect().toSeq)
+      assert(sessions === Streams.streamStateful(s, d).collect().toSeq)
+    } finally {
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
   test("q_stream_stateful sessionization: totals and session structure reconcile") {
     val sessions = Streams.streamStateful(s, d)
     // every event is in exactly one session
