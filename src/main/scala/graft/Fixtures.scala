@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Atomic publish-once for deterministic fixture directories under
+  * java.io.tmpdir (landing zips, media PNGs, audio WAVs).
+  *
+  * The previous pattern — `if (!exists(sentinelFile)) writeAll(dir)` — was
+  * an unsynchronized check-then-write: a concurrent Verify/Bench/test JVM
+  * could read the directory mid-build and see a partial fixture set. Here
+  * the build lands in a process-unique staging dir, a `_COMPLETE` marker is
+  * written LAST, and the whole dir is atomically renamed into place: readers
+  * see either nothing or everything. First publisher wins; losers discard
+  * their staging. A legacy marker-less dir (built by an older binary, or a
+  * crashed partial) is swapped aside and replaced by the freshly-built
+  * complete copy, so the tree self-heals to marker-verified state.
+  */
+object Fixtures {
+
+  def ensure(dir: Path)(build: Path => Unit): Path = {
+    if (!Files.exists(dir.resolve("_COMPLETE"))) {
+      val staging = dir.resolveSibling(
+        s"${dir.getFileName}_staging_${java.util.UUID.randomUUID()}")
+      build(staging)
+      Files.createFile(staging.resolve("_COMPLETE"))
+      if (!publish(staging, dir) && !Files.exists(dir.resolve("_COMPLETE"))) {
+        // target exists but is legacy/partial: retire it, then try once more
+        val retired = dir.resolveSibling(
+          s"${dir.getFileName}_retired_${java.util.UUID.randomUUID()}")
+        try Files.move(dir, retired, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException => } // raced: other mover won
+        publish(staging, dir)
+      }
+      if (Files.exists(staging))
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    }
+    dir
+  }
+
+  /** Atomic rename; false when the target already exists (concurrent winner
+    * or legacy dir).
+    */
+  private def publish(staging: Path, dir: Path): Boolean =
+    try {
+      Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.nio.file.FileSystemException => false }
+}

@@ -497,9 +497,9 @@ object LlmData {
     memo(s, s"frames_$d") { framesDecodedBuild(s, d) }
 
   private def framesDecodedBuild(s: SparkSession, d: String): DataFrame = {
-    val media = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_media")
-    if (!java.nio.file.Files.exists(media.resolve("img_000.png")))
-      graft.functions.BinaryBatch.writeMediaFixtures(media)
+    val media = graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_media"))(
+      graft.functions.BinaryBatch.writeMediaFixtures(_))
     val framed = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.png").load(media.toString)
       .select(
@@ -554,9 +554,9 @@ object LlmData {
     * batch-decode seam.
     */
   def multimodalAudio(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_audio")
-    if (!java.nio.file.Files.exists(dir.resolve("audio_000.wav")))
-      graft.functions.BinaryBatch.writeAudioFixtures(dir)
+    val dir = graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_audio"))(
+      graft.functions.BinaryBatch.writeAudioFixtures(_))
     val scanned = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.wav").load(dir.toString)
       .select(

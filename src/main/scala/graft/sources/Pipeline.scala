@@ -37,9 +37,9 @@ object PipelineIngest {
   /** q_pipeline_ingest — the §2A flow end-to-end. */
   def pipelineIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val landing = Paths.get(sys.props("java.io.tmpdir"), "graft_landing")
-    if (!Files.exists(landing.resolve("balance_00.zip")))
-      Zip.writeLandingFixtures(landing)
+    val landing = graft.Fixtures.ensure(
+      Paths.get(sys.props("java.io.tmpdir"), "graft_landing"))(
+      Zip.writeLandingFixtures(_))
     // sense_file: bounded availability poll (SFTPSensor semantics)
     require(LandingSensor.await(landing.resolve("balance_00.zip"), timeoutMs = 5000),
       "landing file did not appear within the sensor timeout")

@@ -86,9 +86,9 @@ object Transfer {
     * ingest's list_filter_suffix) and prove byte-for-byte integrity.
     */
   def transferFile(s: SparkSession, d: String): DataFrame = {
-    val landing = Paths.get(sys.props("java.io.tmpdir"), "graft_landing")
-    if (!java.nio.file.Files.exists(landing.resolve("balance_00.zip")))
-      Zip.writeLandingFixtures(landing)
+    val landing = graft.Fixtures.ensure(
+      Paths.get(sys.props("java.io.tmpdir"), "graft_landing"))(
+      Zip.writeLandingFixtures(_))
     val dst = s"${sys.props("java.io.tmpdir")}/graft_out/q_transfer_file"
     transferDir(s, landing.toString, dst)
   }
@@ -98,10 +98,12 @@ object Transfer {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transfer_file" -> transferFile _)
 
-  /** Static oracle: the five fixture files, all byte-identical after the
-    * copy. Sizes/checksums are compared engine-side (zip bytes embed
-    * fixture-creation mtimes, so literal checksums would be nondeterministic);
-    * the booleans are the invariant.
+  /** Static oracle: the five fixture DATA files (4 archives + the README
+    * decoy — transfer is suffix-blind but Spark file sources hide
+    * underscore-prefixed metadata like the `_COMPLETE` publish marker), all
+    * byte-identical after the copy. Sizes/checksums are compared engine-side
+    * (zip bytes embed fixture-creation mtimes, so literal checksums would be
+    * nondeterministic); the booleans are the invariant.
     */
   val oracle: Map[String, String] = Map(
     "q_transfer_file" ->
