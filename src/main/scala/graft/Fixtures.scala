@@ -17,6 +17,29 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object Fixtures {
 
+  /** Temp dirs pending removal at JVM exit (session-lifetime artifacts —
+    * staged events copies, per-JVM bucketed-table locations — that cannot
+    * be deleted per query but must not accumulate in tmpdir across runs).
+    */
+  private val cleanupAtExit =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private lazy val exitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupAtExit.forEach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        catch { case _: Throwable => () }
+      }))
+
+  def tempDirCleanedAtExit(prefix: String): Path = {
+    exitHook
+    val dir = Files.createTempDirectory(prefix)
+    cleanupAtExit.add(dir)
+    dir
+  }
+
+  /** For dirs already removed on the normal path — keeps the hook's set small. */
+  def removeFromExitCleanup(dir: Path): Unit = cleanupAtExit.remove(dir)
+
   def ensure(dir: Path)(build: Path => Unit): Path = {
     if (!Files.exists(dir.resolve("_COMPLETE"))) {
       val staging = dir.resolveSibling(

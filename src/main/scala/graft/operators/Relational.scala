@@ -313,10 +313,12 @@ object Relational {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val (ot, ct) = (s"graft_orders_bkt_$tag", s"graft_customer_bkt_$tag")
     if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
-      // EXTERNAL tables under a stable path: the in-memory catalog dies with
-      // the session but the files survive, and a managed saveAsTable would
-      // refuse the leftover location — external + overwrite is idempotent
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bkt"
+      // EXTERNAL tables under a JVM-PRIVATE path (cleaned at exit): the
+      // in-memory catalog dies with the session, so every JVM rebuilds
+      // anyway — a private location means concurrent Verify/Bench/test JVMs
+      // can never overwrite a bucketed dir another one is mid-read on,
+      // and tmpdir does not accumulate table copies across runs
+      val base = graft.Fixtures.tempDirCleanedAtExit("graft_bkt_")
       def write(src: DataFrame, name: String, key: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $name")
         src.write.mode("overwrite").format("parquet")

@@ -148,30 +148,12 @@ object Streams {
     */
   private val stagedEvents = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Staging dirs pending removal at JVM exit: the shared events copies
-    * live for the whole session (reused across queries), so they cannot be
-    * deleted per query — without this hook every Verify/Bench/test JVM
-    * would leave one events-table clone per dataset in tmpdir forever.
-    */
-  private val cleanupAtExit =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-  private lazy val exitHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      cleanupAtExit.forEach { p =>
-        try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-        catch { case _: Throwable => () }
-      }))
-
-  private def tempDirCleanedAtExit(prefix: String): java.nio.file.Path = {
-    exitHook
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    cleanupAtExit.add(dir)
-    dir
-  }
-
   private def stagedEventsDir(s: SparkSession, d: String): String =
     stagedEvents.computeIfAbsent(d, _ => {
-      val dir = tempDirCleanedAtExit("graft_stream_events_")
+      // exit-hook cleanup: the shared copy lives for the whole session, so
+      // without it every Verify/Bench/test JVM would leave one events-table
+      // clone per dataset in tmpdir forever
+      val dir = graft.Fixtures.tempDirCleanedAtExit("graft_stream_events_")
       normalizedEvents(s, d).write.mode("overwrite").parquet(dir.toString)
       dir.toString
     })
@@ -191,7 +173,7 @@ object Streams {
     val shared = java.nio.file.Paths.get(stagedEventsDir(s, d))
     // registered for exit cleanup too: the finally below removes it on the
     // normal path, the hook covers a JVM killed mid-query
-    val own = tempDirCleanedAtExit("graft_stream_stage_")
+    val own = graft.Fixtures.tempDirCleanedAtExit("graft_stream_stage_")
     // single-component alternation (both dirs sit in tmpdir) — Hadoop globs
     // do not allow '/' inside {}
     val glob = s"${shared.getParent}/{${shared.getFileName},${own.getFileName}}"
@@ -222,7 +204,7 @@ object Streams {
         java.nio.file.Files.walk(own)
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        cleanupAtExit.remove(own)
+        graft.Fixtures.removeFromExitCleanup(own)
       }
       s.table(name)
     }
