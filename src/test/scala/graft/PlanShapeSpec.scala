@@ -124,6 +124,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // the 100 TB posture for selective dim ⋈ huge fact when the dim exceeds
+    // broadcast size: Spark's InjectRuntimeFilter builds a bloom filter of
+    // the selective side's join keys and applies it to the fact scan, so
+    // most fact rows die before the shuffle. Assert the optimizer actually
+    // injects it on this engine's join shapes under the documented confs.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val sel = Tables(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+      val j = Tables(s, d, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom filter built on the selective side:\n$p")
+      assert(p.contains("might_contain"),
+        s"no bloom probe applied to the fact side:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+    }
+  }
+
   test("q_pivot_wide plans a single aggregation pass (no pivot-value discovery job)") {
     // declared pivot values → the plan is exactly one partial+final hash
     // aggregation over the scan; an undeclared pivot would first run a
