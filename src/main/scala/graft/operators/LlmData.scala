@@ -179,6 +179,55 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_dedup_cluster — duplicate-CLUSTER resolution: connected components
+    * over the exact near-dup pair graph, labeling every involved document
+    * with its component's minimum doc_id (the canonical representative a
+    * keep-one-per-cluster dedup retains). Pairwise output alone
+    * under-deletes: {A~B, B~C} is one 3-document cluster even when A~C was
+    * never emitted.
+    *
+    * Scale: Pregel-style min-label propagation on DataFrames — per
+    * iteration one join + one keyed aggregate, all distributed; the driver
+    * only checks the converged flag (a count, control-plane not data).
+    * Iterations are bounded by component diameter, which for near-dup
+    * clusters is tiny (transitively-similar docs collapse in 2–3 hops).
+    * Exact and deterministic → recursive-CTE oracle in DuckDB.
+    */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgram(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy("src").agg(min("dst_label").as("nbr_label"))
+        .select(col("src").as("node"), col("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the parent
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .join(labels, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   /** q_dedup_near — MinHash + LSH near-dup pairs: 32-hash signature, 16
     * bands × 2 rows (candidate threshold ≈ (1/16)^(1/2) ≈ 0.25, so recall at
     * J ≥ 0.5 is 1-(1-0.25)^16 ≈ 99%), then exact Jaccard verification of
@@ -820,6 +869,7 @@ object LlmData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_ngram" -> dedupNgram _,
+    "q_dedup_cluster" -> dedupCluster _,
     "q_dedup_survivors" -> dedupSurvivors _,
     "q_dedup_near" -> dedupNear _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -853,6 +903,25 @@ object LlmData {
         "common * 1.0 / (a.n + b.n - common) AS jac " +
         "FROM pairs JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
         "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_dedup_cluster" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
+        "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common " +
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "good AS (SELECT doc_a, doc_b FROM pr " +
+        "JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
+        "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM good " +
+        "UNION ALL SELECT doc_b, doc_a FROM good), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster " +
+        "FROM reach GROUP BY src) " +
+        "SELECT l.doc_id, l.cluster, CAST(c.n AS BIGINT) AS cluster_size " +
+        "FROM lab l JOIN (SELECT cluster, count(*) AS n FROM lab GROUP BY 1) c " +
+        "USING (cluster) ORDER BY l.doc_id"),
     "q_dedup_survivors" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +

@@ -38,7 +38,8 @@ class ContractSpec extends AnyFunSuite {
     "q_window_ntile", "q_agg_stats", "q_subquery", "q_agg_collect",
     "q_scalar_null", "q_pack_sequences", "q_sample_stratified",
     "q_multimodal_audio", "q_upsert_partition",
-    "q_text_repetition", "q_text_unigram_lp", "q_corpus_domain_cap")
+    "q_text_repetition", "q_text_unigram_lp", "q_corpus_domain_cap",
+    "q_dedup_cluster")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -109,6 +109,26 @@ class LlmDataSpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("q_dedup_cluster: components are closed over pairs and labeled by their minimum") {
+    val pairs = LlmData.dedupNgram(s, d).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = LlmData.dedupCluster(s, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"))).toMap
+    // every paired doc is labeled, both ends share a component
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 === clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the label IS the minimum member, and sizes count the members exactly
+    clusters.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+      members.values.foreach { case (_, size) => assert(size === members.size.toLong) }
+    }
+    // only paired docs appear (singletons carry no dedup decision)
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.keySet === paired)
+  }
+
   test("q_text_repetition bounds hold and a hand-built doc scores exactly") {
     val rows = LlmData.textRepetition(s, d).collect()
     assert(rows.nonEmpty)
