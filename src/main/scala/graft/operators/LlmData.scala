@@ -392,6 +392,14 @@ object LlmData {
   def simsearchIvf(s: SparkSession, d: String): DataFrame =
     simsearchIvfProbe(s, d, nProbe = 2)
 
+  /** q_simsearch_ivf_full — the IVF probe at nProbe = nCells: every cell is
+    * scanned, so the result must EQUAL brute force — which makes this the
+    * oracle-checked end of the nProbe dial (the approximate nProbe=2 probe
+    * shares all its machinery: index, codebook, routing, pruning path).
+    */
+  def simsearchIvfFull(s: SparkSession, d: String): DataFrame =
+    simsearchIvfProbe(s, d, nProbe = 16)
+
   /** IVF probe with a configurable probe width. nProbe trades scan fraction
     * for recall (~nProbe/16 of the index files are read); the measured
     * recall@20 curve on the fixtures is recorded in docs/SCALING.md and the
@@ -876,6 +884,7 @@ object LlmData {
     "q_dedup_embed" -> dedupEmbed _,
     "q_simsearch_topk" -> simsearchTopk _,
     "q_simsearch_ivf" -> simsearchIvf _,
+    "q_simsearch_ivf_full" -> simsearchIvfFull _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -939,6 +948,12 @@ object LlmData {
         "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
         ") * 10000, 0) / 10000 AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 50"),
+    // full-probe IVF ≡ brute force: same fold, top-20
+    "q_simsearch_ivf_full" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 20"),
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, source, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
         "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),

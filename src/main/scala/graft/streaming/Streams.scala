@@ -348,6 +348,57 @@ object Streams {
       .orderBy("c_event", "p_event")
   }
 
+  /** q_stream_join_outer — stream-stream LEFT OUTER interval join: clicks
+    * with no purchase in the following hour emit with NULL purchase columns
+    * — but only once the watermark proves no match can still arrive (the
+    * semantics complete-audit attribution needs; inner joins simply drop
+    * those clicks). The watermark is applied BEFORE the type filters so the
+    * far-future sentinel advances it through both join inputs even though
+    * it is neither a click nor a purchase; state stays bounded exactly as
+    * in the inner variant (~70 min of events per side).
+    */
+  def streamJoinOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // TYPED sentinels — one click, one purchase — so each filtered branch's
+    // own watermark sees a far-future row (a filter above a shared
+    // watermark node gets pushed below it, starving it of a neutral
+    // sentinel). 2030-01 vs 2030-06 are >60 min apart, so the sentinels can
+    // never match each other; the sentinel click's own null row would only
+    // emit past ITS eviction horizon, which never arrives — and the final
+    // filter drops negative ids regardless. Sent TWICE: null rows are
+    // emitted by state eviction, which runs while processing a batch under
+    // the already-advanced watermark (the first sentinel batch advances it
+    // post-commit, the second drives the eviction pass —
+    // processAllAvailable does not wait for Spark's internal
+    // watermark-only no-data batch).
+    val sentinels = Seq(
+      Ev(-2L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "click", 0.0),
+      Ev(-3L, Instant.parse("2030-06-01T00:00:00Z"), -2L, "purchase", 0.0)).toDF()
+    runStagedBatches(s,
+      src => {
+        val clicks = src.where(col("event_type") === "click")
+          .select(col("event_id").as("c_event"), col("user_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = src.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", "10 minutes")
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"),
+          "left_outer")
+      },
+      d, Seq(sentinels, sentinels))
+      .where(col("c_event") >= 0)
+      .select(col("c_event"), col("p_event"), col("user_id"),
+        col("value").as("purchase_value"))
+      // NULLS FIRST pinned on both engines: Spark defaults nulls-first,
+      // DuckDB defaults nulls-last — an unpinned sort would hash-mismatch
+      .orderBy(col("c_event"), col("p_event").asc_nulls_first)
+  }
+
   private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, micros
 
   /** Sessionization state function: sorts the batch's events, extends or
@@ -425,6 +476,7 @@ object Streams {
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
     "q_stream_join_interval" -> streamJoinInterval _,
+    "q_stream_join_outer" -> streamJoinOuter _,
     "q_stream_sink_files" -> streamSinkFiles _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_dedup" -> streamDedup _)
@@ -461,6 +513,14 @@ object Streams {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE " +
         "ORDER BY c_event, p_event"),
+    "q_stream_join_outer" ->
+      ("SELECT c.event_id AS c_event, p.event_id AS p_event, " +
+        "c.user_id AS user_id, p.value AS purchase_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE " +
+        "ORDER BY c_event, p_event NULLS FIRST"),
     "q_stream_session_window" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +

@@ -51,6 +51,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.select("event_id").distinct().count() === r.count())
   }
 
+  test("q_stream_join_outer equals the batch left join (null rows emitted exactly once)") {
+    val ev = Tables(s, d, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") && col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"), "left_outer")
+      .select(col("c_event"), col("p_event"), col("user_id"),
+        col("value").as("purchase_value"))
+      .orderBy(col("c_event"), col("p_event").asc_nulls_first)
+      .collect().toSeq
+    val streamed = Streams.streamJoinOuter(s, d).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(_.isNullAt(1)), "fixture should contain unmatched clicks")
+  }
+
   test("stateful queries run unchanged on the RocksDB state store (production posture)") {
     // docs/SCALING.md prescribes the RocksDB provider for hundred-GB state;
     // prove the claim: the same queries produce identical results under it
