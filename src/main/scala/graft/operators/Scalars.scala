@@ -144,6 +144,43 @@ object Scalars {
       .orderBy("l_returnflag")
   }
 
+  /** q_agg_grouped_fit — per-group custom compute through the TYPED
+    * `mapGroups` seam (the batch analogue of a grouped-map `applyInPandas`
+    * UDF): an OLS fit of characters-per-document on tokens-per-document,
+    * per source. The fold accumulates the five sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy) as EXACT Longs — order-independent, streaming
+    * O(1) memory per group — and the slope/intercept are single double
+    * divisions from those integers, so both engines compute bit-identical
+    * results from identical sums (rounded 6dp for the hash compare).
+    *
+    * Scale: shuffles once on the group key; per-group state is five Longs
+    * regardless of group size (an iterator fold, never a materialized
+    * group). Long Σxy overflows past ~10^18 token·chars per source — shard
+    * groups first at that volume.
+    */
+  def aggGroupedFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").cast("long").as("y"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (src, rows) =>
+        var n = 0L; var sx = 0L; var sy = 0L; var sxx = 0L; var sxy = 0L
+        rows.foreach { case (_, x, y) =>
+          n += 1; sx += x; sy += y; sxx += x * x; sxy += x * y
+        }
+        val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+        val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+        (src, n, slope, intercept)
+      }
+      .toDF("source", "n_docs", "slope_raw", "intercept_raw")
+      .select(col("source"), col("n_docs"),
+        r(col("slope_raw"), 6).as("slope"), r(col("intercept_raw"), 6).as("intercept"))
+      .orderBy("source")
+  }
+
   /** q_udtf_explode — tokenizer as a generator: one row per whitespace
     * token (explode(split(...)) plans a codegen'd Generate node — no custom
     * Generator needed, SURVEY.md §2B).
@@ -176,7 +213,8 @@ object Scalars {
     "q_udf_scalar" -> udfScalar _,
     "q_agg_custom_typed" -> aggCustomTyped _,
     "q_udtf_explode" -> udtfExplode _,
-    "q_text_stats" -> textStats _)
+    "q_text_stats" -> textStats _,
+    "q_agg_grouped_fit" -> aggGroupedFit _)
 
   val oracle: Map[String, String] = Map(
     "q_scalar_string" ->
@@ -241,5 +279,18 @@ object Scalars {
     "q_text_stats" ->
       ("SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS n_docs FROM (" +
         "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
-        "GROUP BY token ORDER BY freq DESC, token LIMIT 50"))
+        "GROUP BY token ORDER BY freq DESC, token LIMIT 50"),
+    "q_agg_grouped_fit" ->
+      ("WITH b AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x, " +
+        "CAST(n_chars AS BIGINT) AS y FROM documents), " +
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy FROM b GROUP BY 1), " +
+        "f AS (SELECT source, n, sx, sy, " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope " +
+        "FROM a) " +
+        "SELECT source, n AS n_docs, round(slope * 1000000, 0) / 1000000 AS slope, " +
+        "round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) " +
+        "* 1000000, 0) / 1000000 AS intercept " +
+        "FROM f ORDER BY source"))
 }

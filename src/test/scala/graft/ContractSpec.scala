@@ -39,7 +39,8 @@ class ContractSpec extends AnyFunSuite {
     "q_scalar_null", "q_pack_sequences", "q_sample_stratified",
     "q_multimodal_audio", "q_upsert_partition",
     "q_text_repetition", "q_text_unigram_lp", "q_corpus_domain_cap",
-    "q_dedup_cluster", "q_simsearch_ivf_full", "q_stream_join_outer")
+    "q_dedup_cluster", "q_simsearch_ivf_full", "q_stream_join_outer",
+    "q_agg_grouped_fit")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

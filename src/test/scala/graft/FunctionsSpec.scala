@@ -181,6 +181,19 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_grouped_fit: per-source OLS recovers chars-per-token with O(1) group state") {
+    val rows = graft.operators.Scalars.aggGroupedFit(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // fixture text is space-joined words: chars grow with tokens, so the
+      // slope is the mean token length + 1 separator — strictly positive
+      // and bounded by the longest vocabulary word
+      val slope = r.getAs[Double]("slope")
+      assert(slope > 1.0 && slope < 20.0, s"implausible slope in $r")
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+  }
+
   test("Zip round-trips entries and skips directories") {
     val entries = Seq(("a.csv", "1,2,3".getBytes), ("b/c.csv", "x".getBytes))
     val unzipped = Zip.unzip(Zip.zip(entries)).toSeq
