@@ -199,6 +199,20 @@ object LlmData {
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the iteration shuffles to the PAIR GRAPH, not the corpus: dup
+    // pairs are orders of magnitude fewer than documents, and each
+    // propagation round pays per-partition scheduling overhead × iteration
+    // count (32 corpus-sized partitions on a 50-edge fixture graph spent
+    // ~5 s on pure task dispatch)
+    val parts = math.max(1L, edges.count() / 500000L).toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try dedupClusterIterate(s, edges)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def dedupClusterIterate(s: SparkSession,
+      edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
