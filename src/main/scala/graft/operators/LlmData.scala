@@ -747,11 +747,15 @@ object LlmData {
     * The result is bit-identical to the global window (exact BIGINT math,
     * `div` not fp `/` so offsets past 2^53 never round).
     */
-  def packSequences(s: SparkSession, d: String): DataFrame = {
-    val seqLen = 512
+  def packSequences(s: SparkSession, d: String): DataFrame =
     // 256 docs/shard exercises multiple shards at test SFs (500–5000 docs);
-    // at cluster scale the same layout runs with e.g. 65536 docs/shard
-    val shardSize = 256L
+    // at cluster scale the same layout runs with e.g. 65536 docs/shard.
+    // Shard size NEVER changes results (exact rebase; property-tested).
+    packSequencesSharded(s, d, shardSize = 256L)
+
+  private[graft] def packSequencesSharded(s: SparkSession, d: String,
+      shardSize: Long): DataFrame = {
+    val seqLen = 512
     val toks = t(s, d, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))

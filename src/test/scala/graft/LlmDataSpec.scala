@@ -109,6 +109,16 @@ class LlmDataSpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("q_pack_sequences is invariant to shard size (exact distributed prefix rebase)") {
+    // 7: many tiny shards; 1_000_000: one shard ≡ the naive global window.
+    // The two-level integer rebase must be bit-identical across all of them.
+    val reference = LlmData.packSequencesSharded(s, d, 256L).collect().toSeq
+    Seq(7L, 64L, 1000000L).foreach { size =>
+      assert(LlmData.packSequencesSharded(s, d, size).collect().toSeq === reference,
+        s"shardSize=$size changed the packing layout")
+    }
+  }
+
   test("q_dedup_cluster: components are closed over pairs and labeled by their minimum") {
     val pairs = LlmData.dedupNgram(s, d).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
