@@ -163,6 +163,29 @@ object PipelineIngest {
       .orderBy("l_returnflag")
   }
 
+  /** q_source_corrupt_tolerant — fault-tolerant lake reads: a corrupt
+    * part-file planted among good parquet must not kill the scan (at 100 TB
+    * one truncated/garbage file among millions is a WHEN, not an if). The
+    * per-relation `ignoreCorruptFiles` read option (scoped to this scan, no
+    * session-wide blast radius) skips it; the aggregate over the surviving
+    * rows equals the clean fixture aggregate — which is exactly what the
+    * oracle checks.
+    */
+  def sourceCorruptTolerant(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Fixtures.tempDirCleanedAtExit("graft_corrupt_")
+    val ev = graft.Tables(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(dir.toString)
+    java.nio.file.Files.write(dir.resolve("part-99999-garbage.snappy.parquet"),
+      "these bytes are not a parquet file".getBytes(UTF_8))
+    s.read.schema(ev.schema) // explicit schema: inference must not trip on the bad footer
+      .option("ignoreCorruptFiles", "true")
+      .parquet(dir.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** q_upsert_partition — incremental re-landing via DYNAMIC partition
     * overwrite (the reference's per-day `replace=True`, scaled): land all
     * days once, then re-land ONLY the latest day with corrected values —
@@ -202,7 +225,8 @@ object PipelineIngest {
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "q_source_orc_roundtrip" -> sourceOrcRoundtrip _,
-    "q_upsert_partition" -> upsertPartition _)
+    "q_upsert_partition" -> upsertPartition _,
+    "q_source_corrupt_tolerant" -> sourceCorruptTolerant _)
 
   val oracle: Map[String, String] = Map(
     "q_pipeline_ingest" ->
@@ -225,6 +249,10 @@ object PipelineIngest {
         "sum(round(CASE WHEN CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events) " +
         "THEN value * 2 ELSE value END * 100, 0)) / 100 AS sum_value " +
         "FROM events GROUP BY day ORDER BY day"),
+    "q_source_corrupt_tolerant" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "sum(round(value * 100, 0)) / 100 AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_ingest_json" ->
       ("SELECT 'T-123' AS ticket, 'balance_2024-01-01.zip' AS file, " +
         "CAST(true AS BOOLEAN) AS has_token, " +
