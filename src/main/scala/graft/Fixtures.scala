@@ -44,18 +44,30 @@ object Fixtures {
     if (!Files.exists(dir.resolve("_COMPLETE"))) {
       val staging = dir.resolveSibling(
         s"${dir.getFileName}_staging_${java.util.UUID.randomUUID()}")
-      build(staging)
-      Files.createFile(staging.resolve("_COMPLETE"))
-      if (!publish(staging, dir) && !Files.exists(dir.resolve("_COMPLETE"))) {
-        // target exists but is legacy/partial: retire it, then try once more
-        val retired = dir.resolveSibling(
-          s"${dir.getFileName}_retired_${java.util.UUID.randomUUID()}")
-        try Files.move(dir, retired, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException => } // raced: other mover won
-        publish(staging, dir)
+      try {
+        build(staging)
+        Files.createFile(staging.resolve("_COMPLETE"))
+        // re-check the marker RIGHT BEFORE retiring: a concurrent publisher
+        // may have landed a complete dir since our first check, and moving
+        // that aside would yank files out from under its lazy Spark scans
+        if (!publish(staging, dir) && !Files.exists(dir.resolve("_COMPLETE"))) {
+          // target exists but is legacy/partial: retire it, then try once
+          // more (retired copies are swept at JVM exit, not leaked)
+          val retired = dir.resolveSibling(
+            s"${dir.getFileName}_retired_${java.util.UUID.randomUUID()}")
+          try {
+            Files.move(dir, retired, StandardCopyOption.ATOMIC_MOVE)
+            cleanupAtExit.add(retired)
+          } catch { case _: java.nio.file.FileSystemException => } // raced: other mover won
+          exitHook
+          publish(staging, dir)
+        }
+      } finally {
+        // covers build/marker failures AND the lost-publish case — a
+        // staging dir must never outlive the attempt that created it
+        if (Files.exists(staging))
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       }
-      if (Files.exists(staging))
-        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
     }
     dir
   }

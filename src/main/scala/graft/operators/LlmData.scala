@@ -193,7 +193,7 @@ object LlmData {
     * clusters is tiny (transitively-similar docs collapse in 2–3 hops).
     * Exact and deterministic → recursive-CTE oracle in DuckDB.
     */
-  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+  def dedupCluster(s: SparkSession, d: String): DataFrame = memo(s, s"cluster:$d") {
     val pairs = dedupNgram(s, d).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -238,6 +238,12 @@ object LlmData {
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         col("cluster_size"))
       .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) result, then release ALL iteration state —
+    // without this the final labels frame stays pinned in the block
+    // manager for the session lifetime on every invocation
+    out.count()
+    labels.unpersist()
     edges.unpersist()
     out
   }
@@ -421,27 +427,40 @@ object LlmData {
     */
   def simsearchIvfProbe(s: SparkSession, d: String, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
-    val nCells = 16
     val emb = t(s, d, "embeddings")
-    // Coarse quantizer = 16 evenly-spaced DATA vectors, unit-normalized
-    // (argmax dot(v, ĉ) == argmax cosine(v, c)). Sampling the corpus —
-    // rather than random hyperplane anchors — is what makes this IVF: cells
-    // track the data's own cluster structure, so a query's nearest cells
-    // hold most of its true neighbors (measured curve in docs/SCALING.md).
-    // The codebook is a driver-held model (16×64 floats, O(1) like the
-    // routing row fetch), exactly how IVF centroids ship to query routers.
-    val centroids = ivfCodebook.computeIfAbsent(d, _ => {
+    // Identity for BOTH the codebook cache and the persisted index: path +
+    // leaf-file fingerprint. Keying the codebook by the same fingerprint as
+    // the index means a regenerated fixture invalidates them TOGETHER — a
+    // stale cached codebook could otherwise be baked into a fresh
+    // fingerprint-keyed index that later JVMs would trust.
+    val tag = ivfTag(d)
+    // Coarse quantizer = up to 16 evenly-spaced DATA vectors, unit-
+    // normalized (argmax dot(v, ĉ) == argmax cosine(v, c)). Sampling the
+    // corpus — rather than random hyperplane anchors — is what makes this
+    // IVF: cells track the data's own cluster structure, so a query's
+    // nearest cells hold most of its true neighbors (measured curve in
+    // docs/SCALING.md). The codebook is a driver-held model (≤16×64
+    // floats, O(1) like the routing row fetch), exactly how IVF centroids
+    // ship to query routers.
+    val centroids = ivfCodebook.computeIfAbsent(tag, _ => {
       val nVecs = emb.count()
-      val step = math.max(nVecs / nCells, 1L)
+      val step = math.max(nVecs / 16L, 1L)
       emb.where(col("vec_id") % step === 0)
-        .orderBy("vec_id").limit(nCells)
+        .orderBy("vec_id").limit(16)
         .select("embedding").collect()
         .map { r =>
           val v = r.getSeq[Float](0).map(_.toDouble).toArray
           val norm = math.sqrt(v.map(x => x * x).sum)
-          v.map(_ / norm)
+          // zero-norm sample: keep the raw (all-zero) direction instead of
+          // dividing to NaN — its dot is 0 with everything, a valid cell
+          val safe = if (norm == 0.0) 1.0 else norm
+          v.map(_ / safe)
         }
     })
+    // degenerate datasets (< 16 vectors) yield fewer cells; the probe must
+    // never rank phantom null-padded cells ahead of real ones
+    val nCells = centroids.length
+    val probeN = math.min(nProbe, nCells)
     // per-cell scores as literal-centroid graft_dot calls: codegen'd native
     // kernels, no interpreted lambdas in the index-build scan
     def cellsExpr(embCol: String) =
@@ -449,16 +468,16 @@ object LlmData {
         s"graft_dot($embCol, array(${c.mkString("D, ")}D))").mkString(", ") + ")"
     def argmax(scores: String) =
       s"array_position($scores, array_max($scores))"
-    val indexPath = ivfIndex(s, d, df =>
+    val indexPath = ivfIndex(s, d, tag, df =>
       df.withColumn("cell", expr(s"${argmax(cellsExpr("embedding"))}")))
     // ranked probe cells: pair (score, cell-ordinal), sort descending by
-    // score (ordinal breaks ties deterministically), take the top nProbe
+    // score (ordinal breaks ties deterministically), take the top probeN
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
       .withColumn("scores", expr(cellsExpr("embedding")))
       .withColumn("probe_cells", expr(
         s"""transform(slice(array_sort(
            |  zip_with(scores, sequence(1, $nCells), (sc, i) -> struct(-sc AS s, i AS i))),
-           |  1, $nProbe), p -> CAST(p.i AS BIGINT))""".stripMargin))
+           |  1, $probeN), p -> CAST(p.i AS BIGINT))""".stripMargin))
       .select(col("embedding").as("q_emb"), col("probe_cells"))
     // single evaluation: one collect yields both the routing cells and the
     // query vector (re-deriving q inside the probe would re-run the scoring
@@ -469,30 +488,24 @@ object LlmData {
       row.getAs[scala.collection.Seq[Long]]("probe_cells").toSeq)
   }
 
-  /** JVM-lifetime cache of the per-dataset IVF codebook (16×64 doubles):
-    * the quantizer is a deterministic function of the immutable fixture, so
-    * repeat probes skip the count + 16-row collect routing jobs.
+  /** JVM-lifetime cache of the per-dataset IVF codebook (≤16×64 doubles),
+    * keyed by [[ivfTag]] (path + leaf-file fingerprint — NOT just the
+    * path, so a regenerated fixture gets fresh centroids): the quantizer
+    * is a deterministic function of the fixture bytes, so repeat probes
+    * skip the count + 16-row collect routing jobs.
     */
   private val ivfCodebook =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  /** Build-or-reuse the persisted cell-partitioned IVF index.
-    *
-    * Identity: the source dir PLUS a fingerprint over the LEAF parquet
-    * files (relative path, size, mtime of each — recursed when
-    * embeddings.parquet is itself a directory of part-files) — a
+  /** Index/codebook identity: sanitized source dir + a fingerprint over
+    * the LEAF parquet files (relative path, size, mtime of each — recursed
+    * when embeddings.parquet is itself a directory of part-files) — a
     * regenerated fixture or a sanitization collision ("/sf0.1" vs
     * "/sf0_1") gets its own index instead of silently serving another
-    * dataset's vectors.
-    *
-    * Publication is ATOMIC: the build lands in a process-unique staging
-    * dir which is renamed into place, so a concurrent Verify/Bench/test
-    * run either sees the complete index or builds its own copy — never a
-    * half-written overwrite (mode("overwrite") deletes _SUCCESS and data
-    * in place first). First publisher wins; losers discard their staging.
+    * dataset's vectors. The v2 scheme-version prefix keys out indexes
+    * assigned by the older (hash-anchor) quantizer.
     */
-  private def ivfIndex(s: SparkSession, d: String,
-      assign: DataFrame => DataFrame): String = {
+  private def ivfTag(d: String): String = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
     val leaves = {
       val st = java.nio.file.Files.walk(src)
@@ -506,25 +519,22 @@ object LlmData {
       java.nio.file.Files.getLastModifiedTime(p).toMillis))).toArray
     val fp = java.lang.Long.toHexString(
       java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
-    // v2: sampled-centroid quantizer — the scheme version keys the index so
-    // a binary upgrade never serves cells assigned by an older quantizer
-    val tag = s"v2_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
-    val indexPath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ivf", tag)
-    if (!java.nio.file.Files.exists(indexPath.resolve("_SUCCESS"))) {
-      val staging = indexPath.resolveSibling(
-        s"${tag}_staging_${java.util.UUID.randomUUID()}")
+    s"v2_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+  }
+
+  /** Build-or-reuse the persisted cell-partitioned IVF index under the
+    * given identity tag. Publication goes through [[graft.Fixtures.ensure]]
+    * — staged build, completeness marker, atomic rename, staging cleaned
+    * up on failure — so a concurrent Verify/Bench/test run either sees the
+    * complete index or builds its own copy, never a half-written overwrite.
+    */
+  private def ivfIndex(s: SparkSession, d: String, tag: String,
+      assign: DataFrame => DataFrame): String =
+    graft.Fixtures.ensure(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf", tag)) { staging =>
       assign(t(s, d, "embeddings"))
         .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-      try java.nio.file.Files.move(staging, indexPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // another run published first: its index is complete — use it
-        case _: java.nio.file.FileSystemException =>
-          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      }
-    }
-    indexPath.toString
-  }
+    }.toString
 
   /** Probe: scan only the given cells of the partitioned index (static
     * partition pruning), exact cosine inside, bounded top-k.

@@ -173,8 +173,12 @@ class LlmDataSpec extends AnyFunSuite {
       val mean = r.getAs[Double]("mean_lp")
       assert(mean < 0.0 && mean > -10.0)
       // mean is the rounded sum/(n·1e6) — recompute from the row itself
-      val expect = math.rint(r.getAs[Long]("sum_lp_micro") / 1e6 /
-        r.getAs[Long]("n_toks") * 10000) / 10000
+      // with the engines' HALF-AWAY-FROM-ZERO rounding (math.rint rounds
+      // half-to-even and would flake on exact .5 boundaries)
+      val scaled = r.getAs[Long]("sum_lp_micro") / 1e6 /
+        r.getAs[Long]("n_toks") * 10000
+      val expect = (if (scaled >= 0) math.floor(scaled + 0.5)
+                    else math.ceil(scaled - 0.5)) / 10000
       assert(math.abs(mean - expect) < 1e-12)
     }
   }
