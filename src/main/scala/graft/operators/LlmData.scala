@@ -213,8 +213,11 @@ object LlmData {
 
   private def dedupClusterIterate(s: SparkSession,
       edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with the FIRST hop for free: label₀ = min(node, min neighbor)
+    // (one aggregate instead of a distinct + a full propagation round)
+    var labels = edges.select(col("src").as("node"), col("dst"))
+      .groupBy("node")
+      .agg(least(col("node"), min(col("dst"))).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     while (!converged) {
@@ -222,15 +225,16 @@ object LlmData {
         .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy("src").agg(min("dst_label").as("nbr_label"))
         .select(col("src").as("node"), col("nbr_label"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the parent
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") < col("prev")).isEmpty
+      // ONE job both materializes `next` and decides convergence (the
+      // retained prev column spares a separate comparison join)
+      converged = next.where(col("label") < col("prev")).count() == 0
       labels.unpersist()
-      labels = next
+      labels = next.drop("prev")
     }
     val out = labels
       .groupBy("label").agg(count(lit(1)).as("cluster_size"))
