@@ -24,6 +24,73 @@ case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, total_value: Double)
 
+/** 30-minute-gap sessionizer on the Spark 4 arbitrary-state API: one
+  * [[org.apache.spark.sql.streaming.ValueState]] row per open session per
+  * user plus an event-time timer at the session's close time. Semantics are
+  * identical to [[Streams.sessionize]] (gap > 30 min breaks, session_end =
+  * last event): batches sort-fold their rows, closed sessions emit
+  * immediately, and the open session either emits at once (already behind
+  * the watermark) or waits for its timer; a stale timer (session extended
+  * since registration) is ignored by re-checking the close time against
+  * the current watermark.
+  */
+class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Ev, SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+
+  private val GapUs = 30L * 60 * 1000000
+  @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState[SessionState]("session",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  private def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+  // round-half-away-from-zero == Spark/DuckDB round(x, 0)
+  private def cents(v: Double): Long =
+    if (v >= 0) math.floor(v * 100 + 0.5).toLong else math.ceil(v * 100 - 0.5).toLong
+  private def out(uid: Long, st: SessionState) =
+    SessionOut(uid, st.startUs, st.lastUs, st.n, st.cents.toDouble / 100)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[SessionOut] = {
+    val evs = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+    val closed = Seq.newBuilder[SessionOut]
+    var cur = if (session.exists()) session.get() else null
+    evs.foreach { e =>
+      val t = us(e.ts)
+      if (cur == null) cur = SessionState(t, t, 1, cents(e.value))
+      else if (t - cur.lastUs > GapUs) {
+        closed += out(userId, cur)
+        cur = SessionState(t, t, 1, cents(e.value))
+      } else cur = SessionState(cur.startUs, t, cur.n + 1, cur.cents + cents(e.value))
+    }
+    val closeAtMs = cur.lastUs / 1000 + GapUs / 1000
+    if (closeAtMs <= tv.getCurrentWatermarkInMs()) { // unreachable by any future row
+      closed += out(userId, cur)
+      session.clear()
+    } else {
+      session.update(cur)
+      getHandle.registerTimer(closeAtMs)
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(userId: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessionOut] = {
+    if (session.exists()) {
+      val st = session.get()
+      // stale-timer guard: only close if THIS session's close time is
+      // genuinely behind the watermark (a later event may have extended it)
+      if (st.lastUs / 1000 + GapUs / 1000 <= tv.getCurrentWatermarkInMs()) {
+        session.clear()
+        return Iterator.single(out(userId, st))
+      }
+    }
+    Iterator.empty
+  }
+}
+
 /** Structured Streaming operator surface (SURVEY.md §2B q_stream_*): the
   * reference's daily sensor-poll + landing cadence (SFTPSensor,
   * script-dag-dock-report:135-141) re-expressed as native streaming — file
@@ -468,6 +535,42 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** q_stream_stateful_tws — the SAME 30-minute-gap sessionization on
+    * Spark 4's arbitrary-state API ([[StatefulProcessor]] via
+    * `transformWithState`): typed ValueState + event-time timers replace
+    * flatMapGroupsWithState's GroupState. Cross-validating the two APIs
+    * against one lag-gap SQL oracle pins the semantics to the engine, not
+    * to either API's quirks. Requires the RocksDB state store (the only
+    * provider implementing the new state format) — scoped to this query.
+    */
+  def streamStatefulTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runStagedBatches(s,
+        src => src
+          .withWatermark("ts", "10 minutes")
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionProcessor(),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+          .toDF(),
+        d, Seq(sentinelBatch(s)))
+        .where(col("user_id") =!= -1L)
+        .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
+          expr("timestamp_micros(end_us)").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -479,6 +582,7 @@ object Streams {
     "q_stream_join_outer" -> streamJoinOuter _,
     "q_stream_sink_files" -> streamSinkFiles _,
     "q_stream_stateful" -> streamStateful _,
+    "q_stream_stateful_tws" -> streamStatefulTws _,
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
@@ -530,6 +634,16 @@ object Streams {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
         "SELECT user_id, min(ts) AS session_start, " +
         "max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
+        "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "q_stream_stateful_tws" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "sids AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
         s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
         "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "q_stream_stateful" ->
