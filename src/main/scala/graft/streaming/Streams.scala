@@ -65,13 +65,15 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
         cur = SessionState(t, t, 1, cents(e.value))
       } else cur = SessionState(cur.startUs, t, cur.n + 1, cur.cents + cents(e.value))
     }
-    val closeAtMs = cur.lastUs / 1000 + GapUs / 1000
-    if (closeAtMs <= tv.getCurrentWatermarkInMs()) { // unreachable by any future row
-      closed += out(userId, cur)
-      session.clear()
-    } else {
-      session.update(cur)
-      getHandle.registerTimer(closeAtMs)
+    if (cur != null) { // defensive: empty input + no state leaves nothing open
+      val closeAtMs = cur.lastUs / 1000 + GapUs / 1000
+      if (closeAtMs <= tv.getCurrentWatermarkInMs()) { // unreachable by any future row
+        closed += out(userId, cur)
+        session.clear()
+      } else {
+        session.update(cur)
+        getHandle.registerTimer(closeAtMs)
+      }
     }
     closed.result().iterator
   }
