@@ -219,6 +219,10 @@ object LlmData {
       .groupBy("node")
       .agg(least(col("node"), min(col("dst"))).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersist must target the EXACT persisted frame: calling it on a
+    // projection of it (e.g. next.drop("prev")) is a silent no-op and every
+    // iteration's cache would stay pinned for the session lifetime
+    var pinned = labels
     var converged = false
     while (!converged) {
       val nbrMin = edges
@@ -233,7 +237,8 @@ object LlmData {
       // ONE job both materializes `next` and decides convergence (the
       // retained prev column spares a separate comparison join)
       converged = next.where(col("label") < col("prev")).count() == 0
-      labels.unpersist()
+      pinned.unpersist()
+      pinned = next
       labels = next.drop("prev")
     }
     val out = labels
@@ -247,7 +252,7 @@ object LlmData {
     // without this the final labels frame stays pinned in the block
     // manager for the session lifetime on every invocation
     out.count()
-    labels.unpersist()
+    pinned.unpersist()
     edges.unpersist()
     out
   }

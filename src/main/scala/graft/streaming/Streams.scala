@@ -24,39 +24,39 @@ case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, total_value: Double)
 
-/** 30-minute-gap sessionizer on the Spark 4 arbitrary-state API: one
-  * [[org.apache.spark.sql.streaming.ValueState]] row per open session per
-  * user plus an event-time timer at the session's close time. Semantics are
-  * identical to [[Streams.sessionize]] (gap > 30 min breaks, session_end =
-  * last event): batches sort-fold their rows, closed sessions emit
-  * immediately, and the open session either emits at once (already behind
-  * the watermark) or waits for its timer; a stale timer (session extended
-  * since registration) is ignored by re-checking the close time against
-  * the current watermark.
+/** API-independent sessionization kernel shared by BOTH state APIs
+  * ([[Streams.sessionize]] on GroupState and [[SessionProcessor]] on
+  * transformWithState): one fold, one gap rule, one close-time formula —
+  * so the two queries genuinely cross-validate the ENGINES' state
+  * machinery, not two implementations that could silently diverge.
   */
-class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
-    Long, Ev, SessionOut] {
-  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+object SessionFold {
+  val GapUs: Long = 30L * 60 * 1000000 // 30-minute session gap, micros
 
-  private val GapUs = 30L * 60 * 1000000
-  @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+  def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    session = getHandle.getValueState[SessionState]("session",
-      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
-
-  private def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
   // round-half-away-from-zero == Spark/DuckDB round(x, 0)
-  private def cents(v: Double): Long =
+  def cents(v: Double): Long =
     if (v >= 0) math.floor(v * 100 + 0.5).toLong else math.ceil(v * 100 - 0.5).toLong
-  private def out(uid: Long, st: SessionState) =
+
+  def out(uid: Long, st: SessionState): SessionOut =
     SessionOut(uid, st.startUs, st.lastUs, st.n, st.cents.toDouble / 100)
 
-  override def handleInputRows(userId: Long, rows: Iterator[Ev],
-      tv: TimerValues): Iterator[SessionOut] = {
-    val evs = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+  /** Millisecond close time (floor). A session is safely closeable only
+    * when the watermark is STRICTLY past this: at equality a sub-ms-later
+    * event with ts == watermark is not late and gap == 30 min does not
+    * break (the rule is gap > 30 min), so it would still extend the
+    * session — compare with `<`, never `<=`.
+    */
+  def closeAtMs(st: SessionState): Long = st.lastUs / 1000 + GapUs / 1000
+
+  /** Fold time-sorted events onto an (optional) open session: emits closed
+    * sessions, returns the still-open one (null iff no input and no state).
+    */
+  def fold(userId: Long, evs: Seq[Ev],
+      initial: SessionState): (Seq[SessionOut], SessionState) = {
     val closed = Seq.newBuilder[SessionOut]
-    var cur = if (session.exists()) session.get() else null
+    var cur = initial
     evs.foreach { e =>
       val t = us(e.ts)
       if (cur == null) cur = SessionState(t, t, 1, cents(e.value))
@@ -65,14 +65,44 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
         cur = SessionState(t, t, 1, cents(e.value))
       } else cur = SessionState(cur.startUs, t, cur.n + 1, cur.cents + cents(e.value))
     }
+    (closed.result(), cur)
+  }
+}
+
+/** 30-minute-gap sessionizer on the Spark 4 arbitrary-state API: one
+  * [[org.apache.spark.sql.streaming.ValueState]] row per open session per
+  * user plus an event-time timer just past the session's close time.
+  * Semantics come from the shared [[SessionFold]] kernel; this class adds
+  * only the state/timer plumbing. A session's prior timer is deleted on
+  * every update (otherwise one stale timer per extension accumulates and
+  * fires into the stale-guard for nothing).
+  */
+class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Ev, SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+  import SessionFold.{closeAtMs, fold, out}
+
+  @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState[SessionState]("session",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[SessionOut] = {
+    val evs = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+    val prior = if (session.exists()) session.get() else null
+    val (closedNow, cur) = fold(userId, evs, prior)
+    val closed = Seq.newBuilder[SessionOut] ++= closedNow
+    if (prior != null) getHandle.deleteTimer(closeAtMs(prior) + 1)
     if (cur != null) { // defensive: empty input + no state leaves nothing open
-      val closeAtMs = cur.lastUs / 1000 + GapUs / 1000
-      if (closeAtMs <= tv.getCurrentWatermarkInMs()) { // unreachable by any future row
+      if (closeAtMs(cur) < tv.getCurrentWatermarkInMs()) { // strictly past: unreachable
         closed += out(userId, cur)
         session.clear()
       } else {
         session.update(cur)
-        getHandle.registerTimer(closeAtMs)
+        // +1: fire only when the watermark is STRICTLY past the close time
+        getHandle.registerTimer(closeAtMs(cur) + 1)
       }
     }
     closed.result().iterator
@@ -82,9 +112,9 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
       info: ExpiredTimerInfo): Iterator[SessionOut] = {
     if (session.exists()) {
       val st = session.get()
-      // stale-timer guard: only close if THIS session's close time is
-      // genuinely behind the watermark (a later event may have extended it)
-      if (st.lastUs / 1000 + GapUs / 1000 <= tv.getCurrentWatermarkInMs()) {
+      // stale-timer guard (belt+braces with deleteTimer): close only if
+      // THIS session's close time is strictly behind the watermark
+      if (closeAtMs(st) < tv.getCurrentWatermarkInMs()) {
         session.clear()
         return Iterator.single(out(userId, st))
       }
@@ -468,46 +498,34 @@ object Streams {
       .orderBy(col("c_event"), col("p_event").asc_nulls_first)
   }
 
-  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, micros
-
-  /** Sessionization state function: sorts the batch's events, extends or
+  /** Sessionization state function on GroupState (semantics from the
+    * shared [[SessionFold]] kernel): sorts the batch's events, extends or
     * closes the open session on each >30-minute gap, emits closed sessions,
     * and keeps the open one in state with an event-time timeout. A session
-    * whose close time is already behind the watermark can never be extended
-    * (no older rows can arrive), so it emits immediately.
+    * whose close time is STRICTLY behind the watermark can never be
+    * extended (a ts == watermark event is not late and an exact-30-minute
+    * gap does not break), so it emits immediately; otherwise the timeout
+    * is pinned past both the close time and the current watermark (Spark
+    * rejects a timeout at or behind the watermark).
     */
   private def sessionize(userId: Long, rows: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
-    def out(st: SessionState) =
-      SessionOut(userId, st.startUs, st.lastUs, st.n, st.cents.toDouble / 100)
-    def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
-    // round-half-away-from-zero == Spark/DuckDB round(x, 0)
-    def cents(v: Double): Long =
-      if (v >= 0) math.floor(v * 100 + 0.5).toLong else math.ceil(v * 100 - 0.5).toLong
-    if (!rows.hasNext) { // timeout fired: close and emit the open session
+    import SessionFold.{closeAtMs, fold, out}
+    if (!rows.hasNext) { // timeout fired: wm is strictly past close — emit
       val st = state.get
       state.remove()
-      Iterator.single(out(st))
+      Iterator.single(out(userId, st))
     } else {
       val evs = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-      val closed = Seq.newBuilder[SessionOut]
-      var cur = state.getOption.orNull
-      evs.foreach { e =>
-        val t = us(e.ts)
-        if (cur == null) cur = SessionState(t, t, 1, cents(e.value))
-        else if (t - cur.lastUs > GapUs) {
-          closed += out(cur)
-          cur = SessionState(t, t, 1, cents(e.value))
-        } else cur = SessionState(cur.startUs, t, cur.n + 1, cur.cents + cents(e.value))
-      }
+      val (closedNow, cur) = fold(userId, evs, state.getOption.orNull)
+      val closed = Seq.newBuilder[SessionOut] ++= closedNow
       val wmMs = state.getCurrentWatermarkMs()
-      val closeAtMs = cur.lastUs / 1000 + GapUs / 1000
-      if (closeAtMs <= wmMs) { // already unreachable by any future row
-        closed += out(cur)
+      if (closeAtMs(cur) < wmMs) { // already unreachable by any future row
+        closed += out(userId, cur)
         state.remove()
       } else {
         state.update(cur)
-        state.setTimeoutTimestamp(closeAtMs)
+        state.setTimeoutTimestamp(math.max(closeAtMs(cur), wmMs + 1))
       }
       closed.result().iterator
     }
@@ -638,24 +656,19 @@ object Streams {
         "max(ts) + INTERVAL 30 MINUTE AS session_end, " +
         s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
         "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"),
-    "q_stream_stateful_tws" ->
-      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
-        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
-        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS brk FROM events), " +
-        "sids AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
-        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
-        s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
-        "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"),
-    "q_stream_stateful" ->
-      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
-        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
-        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS brk FROM events), " +
-        "sids AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
-        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
-        s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
-        "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"))
+    // both sessionizer queries share ONE oracle: they cross-validate two
+    // state APIs against the same committed semantics
+    "q_stream_stateful_tws" -> sessionOracleSql,
+    "q_stream_stateful" -> sessionOracleSql)
+
+  private lazy val sessionOracleSql: String =
+    "WITH g AS (SELECT user_id, ts, event_id, value, " +
+      "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+      "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS brk FROM events), " +
+      "sids AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+      "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+      s"count(*) AS n_events, ${sqlSumExact("value", 2)} AS total_value " +
+      "FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"
 }

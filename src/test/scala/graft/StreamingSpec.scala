@@ -72,8 +72,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("restart from checkpoint resumes exactly-once: second run processes only new files") {
     import org.apache.spark.sql.streaming.Trigger
-    val src = java.nio.file.Files.createTempDirectory("graft_resume_src_")
-    val out = java.nio.file.Files.createTempDirectory("graft_resume_out_")
+    val src = Fixtures.tempDirCleanedAtExit("graft_resume_src_")
+    val out = Fixtures.tempDirCleanedAtExit("graft_resume_out_")
     val ev = Tables(s, d, "events").select("event_id", "event_type", "value")
     def runToSink(): Unit = {
       val q = s.readStream.schema(ev.schema).parquet(src.toString)
