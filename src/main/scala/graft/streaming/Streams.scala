@@ -134,7 +134,7 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   * (Trigger.AvailableNow / processAllAvailable into a memory sink) and
   * returns the result as a batch DataFrame, so the driver's Verify/Bench
   * harness can treat streaming like any other operator. Batch-replay
-  * equivalence makes all eight oracle-checkable in DuckDB. Every query runs
+  * equivalence makes all ten oracle-checkable in DuckDB. Every query runs
   * APPEND mode with a watermark — state is bounded by open windows/sessions
   * and each result row is emitted exactly once, the only aggregation shape
   * that survives an unbounded feed (complete mode re-emits and retains
