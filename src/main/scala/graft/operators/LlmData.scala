@@ -557,6 +557,36 @@ object LlmData {
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(20)
 
+  /** q_embed_quantize — int8 embedding quantization audit: symmetric
+    * per-vector quantization (scale = max|x|/127, q = round(x/scale)) with
+    * reconstruction-error metrics — the storage-reduction step vector
+    * stores apply before serving, evaluated before committing to it.
+    * Error SUM is computed in integer micro-units per element (exact under
+    * any order on both engines); max error and scale are Det-rounded.
+    * Per-row HOF folds here are ~64 interpreted lambda evals/row — at
+    * corpus scale promote to a native Expression exactly like DotExpr.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127D")
+          .as("scale_raw"))
+      .select(col("vec_id"), r(col("scale_raw"), 8).as("scale"),
+        expr(
+          """CASE WHEN scale_raw = 0D THEN 0L ELSE
+            |aggregate(transform(embedding,
+            |  x -> CAST(round(abs(CAST(x AS DOUBLE) -
+            |    round(CAST(x AS DOUBLE) / scale_raw) * scale_raw) * 1000000) AS BIGINT)),
+            |  0L, (a, b) -> a + b) END""".stripMargin).as("err_sum_micro"),
+        expr(
+          """CASE WHEN scale_raw = 0D THEN 0D ELSE
+            |array_max(transform(embedding,
+            |  x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale_raw) * scale_raw)))
+            |END""".stripMargin).as("err_max_raw"))
+      .select(col("vec_id"), col("scale"), col("err_sum_micro"),
+        r(col("err_max_raw"), 8).as("err_max"))
+      .orderBy("vec_id")
+
   // ------------------------------------------------------------ multimodal
 
   /** q_multimodal_join — text + vector modalities in one frame:
@@ -922,6 +952,7 @@ object LlmData {
     "q_simsearch_topk" -> simsearchTopk _,
     "q_simsearch_ivf" -> simsearchIvf _,
     "q_simsearch_ivf_full" -> simsearchIvfFull _,
+    "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -985,6 +1016,21 @@ object LlmData {
         "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
         ") * 10000, 0) / 10000 AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 50"),
+    "q_embed_quantize" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale_raw " +
+        "FROM embeddings) " +
+        "SELECT vec_id, round(scale_raw * 100000000, 0) / 100000000 AS scale, " +
+        "CASE WHEN scale_raw = 0 THEN 0 ELSE " +
+        "CAST(list_sum(list_transform(embedding, " +
+        "x -> CAST(round(abs(CAST(x AS DOUBLE) - " +
+        "round(CAST(x AS DOUBLE) / scale_raw) * scale_raw) * 1000000) AS BIGINT))) AS BIGINT) " +
+        "END AS err_sum_micro, " +
+        "CASE WHEN scale_raw = 0 THEN 0 ELSE " +
+        "round(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale_raw) * scale_raw))) " +
+        "* 100000000, 0) / 100000000 END AS err_max " +
+        "FROM b ORDER BY vec_id"),
     // full-probe IVF ≡ brute force: same fold, top-20
     "q_simsearch_ivf_full" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
