@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct tests of the atomic publish-once fixture machinery: the rest of
+  * the suite exercises it only through the operators that use it.
+  */
+class FixturesSpec extends AnyFunSuite {
+
+  private def tmp(): Path = Files.createTempDirectory("graft_fixspec_")
+
+  test("ensure builds once, marks completion, and is idempotent") {
+    val dir = tmp().resolve("fx")
+    var builds = 0
+    def build(p: Path): Unit = {
+      builds += 1
+      Files.createDirectories(p)
+      Files.write(p.resolve("data.txt"), "payload".getBytes)
+    }
+    Fixtures.ensure(dir)(build)
+    Fixtures.ensure(dir)(build)
+    assert(builds === 1, "second ensure must reuse the published dir")
+    assert(Files.exists(dir.resolve("_COMPLETE")))
+    assert(new String(Files.readAllBytes(dir.resolve("data.txt"))) === "payload")
+  }
+
+  test("a legacy marker-less dir is retired and replaced by a complete build") {
+    val dir = tmp().resolve("fx")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("stale.txt"), "partial".getBytes) // no _COMPLETE
+    Fixtures.ensure(dir) { p =>
+      Files.createDirectories(p)
+      Files.write(p.resolve("fresh.txt"), "complete".getBytes)
+    }
+    assert(Files.exists(dir.resolve("_COMPLETE")), "legacy dir not replaced")
+    assert(Files.exists(dir.resolve("fresh.txt")))
+    assert(!Files.exists(dir.resolve("stale.txt")), "stale content must not survive")
+  }
+
+  test("a failed build leaves no staging dir behind and publishes nothing") {
+    val parent = tmp()
+    val dir = parent.resolve("fx")
+    intercept[RuntimeException] {
+      Fixtures.ensure(dir) { p =>
+        Files.createDirectories(p)
+        Files.write(p.resolve("half.txt"), "x".getBytes)
+        throw new RuntimeException("disk full")
+      }
+    }
+    assert(!Files.exists(dir), "failed build must not publish")
+    val leftovers = Files.list(parent).toArray.toSeq
+    assert(leftovers.isEmpty, s"staging leaked: $leftovers")
+    // and a later successful build still goes through
+    Fixtures.ensure(dir) { p =>
+      Files.createDirectories(p)
+      Files.write(p.resolve("ok.txt"), "y".getBytes)
+    }
+    assert(Files.exists(dir.resolve("_COMPLETE")))
+  }
+}
