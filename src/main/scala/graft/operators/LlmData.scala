@@ -925,6 +925,33 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_pii_scrub — PII redaction, the privacy pass every training
+    * corpus runs before release: emails and phone numbers are replaced
+    * with typed placeholders and the redaction counts are audited. The
+    * fixture text contains no PII, so deterministic synthetic PII is
+    * INJECTED first (derived from doc_id) — the scrub is then provably
+    * non-vacuous, and the md5 of the scrubbed text pins the exact output
+    * byte-for-byte in both engines. Regexes stay in the RE2 ∩ Java-regex
+    * dialect so Spark and DuckDB match identically.
+    */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]{7}"
+    t(s, d, "documents")
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(col("doc_id").cast("string"), 7, "0")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("aug"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("aug"), lit(phoneRe)).as("n_phones"),
+        length(col("scrubbed")).as("n_chars_scrubbed"),
+        md5(col("scrubbed").cast("binary")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   /** q_text_fingerprint — winnowing document fingerprints (token hashes,
     * window 4): distinct window-minima survive small edits, so matching
     * `fp_sig` clusters exact and near-exact documents. Hash-based → no SQL
@@ -964,6 +991,7 @@ object LlmData {
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
+    "q_text_pii_scrub" -> textPiiScrub _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _)
@@ -1097,6 +1125,19 @@ object LlmData {
         "SELECT doc_id, n_toks, sum_lp_micro, " +
         "round(sum_lp_micro / 1000000.0 / n_toks * 10000, 0) / 10000 AS mean_lp " +
         "FROM agg ORDER BY doc_id"),
+    "q_text_pii_scrub" ->
+      ("WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS aug " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, aug, " +
+        "regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'), " +
+        "'\\+1-555-[0-9]{7}', '[PHONE]', 'g') AS scrubbed FROM a) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(aug, '\\+1-555-[0-9]{7}')) AS INT) AS n_phones, " +
+        "CAST(length(scrubbed) AS INT) AS n_chars_scrubbed, " +
+        "md5(scrubbed) AS scrub_md5 " +
+        "FROM sc ORDER BY doc_id"),
     "q_corpus_domain_cap" ->
       ("SELECT doc_id, source, lang, n_chars FROM " +
         "(SELECT doc_id, source, lang, n_chars, " +

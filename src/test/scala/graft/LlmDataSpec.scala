@@ -139,6 +139,27 @@ class LlmDataSpec extends AnyFunSuite {
     assert(clusters.keySet === paired)
   }
 
+  test("q_text_pii_scrub: every doc redacts its injected PII and no address survives") {
+    val rows = LlmData.textPiiScrub(s, d).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      // the injection guarantees at least one of each — the scrub is never vacuous
+      assert(r.getAs[Int]("n_emails") >= 1)
+      assert(r.getAs[Int]("n_phones") >= 1)
+    }
+    // and the scrubbed text genuinely contains no addresses anymore
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad, regexp_count, regexp_replace}
+    val survivors = Tables(s, d, "documents")
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(col("doc_id").cast("string"), 7, "0")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("aug"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"),
+          "\\+1-555-[0-9]{7}", "[PHONE]"))
+      .where(regexp_count(col("scrubbed"), lit("[a-z0-9]+@[a-z]+\\.[a-z]+")) > 0)
+    assert(survivors.isEmpty, "scrubbed text still contains an email address")
+  }
+
   test("q_text_repetition bounds hold and a hand-built doc scores exactly") {
     val rows = LlmData.textRepetition(s, d).collect()
     assert(rows.nonEmpty)
