@@ -941,12 +941,15 @@ object LlmData {
       .withColumn("aug", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
         lpad(col("doc_id").cast("string"), 7, "0")))
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(col("aug"), emailRe, "[EMAIL]"),
-          phoneRe, "[PHONE]"))
+      // the scrub is SEQUENTIAL (emails first), so each audit count is
+      // taken on the text that pass actually saw — counting both patterns
+      // on the raw text would overcount when matches overlap (an email
+      // whose local part swallows a phone prefix)
+      .withColumn("no_email", regexp_replace(col("aug"), emailRe, "[EMAIL]"))
+      .withColumn("scrubbed", regexp_replace(col("no_email"), phoneRe, "[PHONE]"))
       .select(col("doc_id"),
         regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
-        regexp_count(col("aug"), lit(phoneRe)).as("n_phones"),
+        regexp_count(col("no_email"), lit(phoneRe)).as("n_phones"),
         length(col("scrubbed")).as("n_chars_scrubbed"),
         md5(col("scrubbed").cast("binary")).as("scrub_md5"))
       .orderBy("doc_id")
@@ -1050,9 +1053,12 @@ object LlmData {
         "FROM embeddings) " +
         "SELECT vec_id, round(scale_raw * 100000000, 0) / 100000000 AS scale, " +
         "CASE WHEN scale_raw = 0 THEN 0 ELSE " +
-        "CAST(list_sum(list_transform(embedding, " +
+        // list_reduce fold, NOT list_sum: the fold is bit-faithful to
+        // Spark's aggregate() (NULL elements poison, empty arrays = seed)
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding, " +
         "x -> CAST(round(abs(CAST(x AS DOUBLE) - " +
-        "round(CAST(x AS DOUBLE) / scale_raw) * scale_raw) * 1000000) AS BIGINT))) AS BIGINT) " +
+        "round(CAST(x AS DOUBLE) / scale_raw) * scale_raw) * 1000000) AS BIGINT))), " +
+        "(acc, v) -> acc + v) AS BIGINT) " +
         "END AS err_sum_micro, " +
         "CASE WHEN scale_raw = 0 THEN 0 ELSE " +
         "round(list_max(list_transform(embedding, " +
@@ -1129,12 +1135,13 @@ object LlmData {
       ("WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
         "'@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS aug " +
         "FROM documents), " +
-        "sc AS (SELECT doc_id, aug, " +
-        "regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'), " +
-        "'\\+1-555-[0-9]{7}', '[PHONE]', 'g') AS scrubbed FROM a) " +
+        "e AS (SELECT doc_id, aug, " +
+        "regexp_replace(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g') AS no_email FROM a), " +
+        "sc AS (SELECT doc_id, aug, no_email, " +
+        "regexp_replace(no_email, '\\+1-555-[0-9]{7}', '[PHONE]', 'g') AS scrubbed FROM e) " +
         "SELECT doc_id, " +
         "CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INT) AS n_emails, " +
-        "CAST(len(regexp_extract_all(aug, '\\+1-555-[0-9]{7}')) AS INT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(no_email, '\\+1-555-[0-9]{7}')) AS INT) AS n_phones, " +
         "CAST(length(scrubbed) AS INT) AS n_chars_scrubbed, " +
         "md5(scrubbed) AS scrub_md5 " +
         "FROM sc ORDER BY doc_id"),

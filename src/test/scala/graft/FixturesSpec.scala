@@ -50,7 +50,8 @@ class FixturesSpec extends AnyFunSuite {
       }
     }
     assert(!Files.exists(dir), "failed build must not publish")
-    val leftovers = Files.list(parent).toArray.toSeq
+    val listing = Files.list(parent)
+    val leftovers = try listing.toArray.toSeq finally listing.close()
     assert(leftovers.isEmpty, s"staging leaked: $leftovers")
     // and a later successful build still goes through
     Fixtures.ensure(dir) { p =>

@@ -147,17 +147,21 @@ class LlmDataSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_emails") >= 1)
       assert(r.getAs[Int]("n_phones") >= 1)
     }
-    // and the scrubbed text genuinely contains no addresses anymore
+    // and the scrubbed text genuinely contains NEITHER pattern anymore
     import org.apache.spark.sql.functions.{col, concat, lit, lpad, regexp_count, regexp_replace}
-    val survivors = Tables(s, d, "documents")
+    val scrubbed = Tables(s, d, "documents")
       .withColumn("aug", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
         lpad(col("doc_id").cast("string"), 7, "0")))
       .withColumn("scrubbed",
         regexp_replace(regexp_replace(col("aug"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"),
           "\\+1-555-[0-9]{7}", "[PHONE]"))
+    assert(scrubbed
       .where(regexp_count(col("scrubbed"), lit("[a-z0-9]+@[a-z]+\\.[a-z]+")) > 0)
-    assert(survivors.isEmpty, "scrubbed text still contains an email address")
+      .isEmpty, "scrubbed text still contains an email address")
+    assert(scrubbed
+      .where(regexp_count(col("scrubbed"), lit("\\+1-555-[0-9]{7}")) > 0)
+      .isEmpty, "scrubbed text still contains a phone number")
   }
 
   test("q_text_repetition bounds hold and a hand-built doc scores exactly") {
