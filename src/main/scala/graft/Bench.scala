@@ -1,5 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Prints ONE machine-readable JSON line as the very
+  * last stdout bytes, sized to survive the driver's 2000-char tail capture:
+  *
+  *   - r1–r3 post-mortem: the driver keeps only the final 2000 characters
+  *     of stdout. 87 full query names alone are 1,389 chars; with values
+  *     the canonical line is ~2.1–2.2 KB, so every previous round lost the
+  *     leading entries AND the `"metric":"total"` header (parsed: null).
+  *   - Fix: the stdout line drops the shared `q_` name prefix (declared
+  *     via `"prefix":"q_"`) and reports integer milliseconds (declared via
+  *     `"unit":"ms"`), which measures ~1.93 KB — inside the window.
+  *     `build.sbt` sets `run / outputStrategy := StdoutOutput` (no sbt
+  *     `[info]` prefix on the line) and `Global / showSuccess := false`
+  *     (no `[success] Total time …` trailer after it).
+  *   - The complete canonical record (full `q_*` names, 3-decimal seconds,
+  *     per-query + total) is additionally written to `bench_full.json` in
+  *     the working directory so the full data survives regardless of the
+  *     capture window.
+  *
+  * A failed query records -1 (−1000 ms) rather than masquerading as fast.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,26 +39,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries
+    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1)
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must not masquerade as a fast success: record -1
-      val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      name -> sec
-    }
-    // millisecond precision keeps the single JSON line short — the round-2
-    // capture was tail-truncated by line length, losing per-query data
+        val t0 = System.nanoTime()
+        val sec =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        name -> sec
+      }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // complete canonical record — full names, seconds — to a repo file
+    val fullQs = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // compact stdout line — must fit the 2000-char tail window whole
+    def compact(scale: Long, unit: String): String = {
+      val qs = results.map { case (k, v) =>
+        s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","queries":$qs}"""
+    }
+    val ms = compact(1000L, "ms")
+    // centisecond fallback only if an unusually slow run overflows the window
+    println(if (ms.length <= 1950) ms else compact(100L, "cs"))
     spark.stop()
   }
 }
