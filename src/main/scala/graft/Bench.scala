@@ -39,6 +39,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up. Whichever query runs first otherwise absorbs ~4.5 s
+    // of one-time session cost (codegen JIT, file-format writer/committer
+    // init): r3's "q_source_orc_roundtrip regressed 4.5x" was exactly this
+    // attribution artifact — 5.8 s as the session's first query, 1.4 s
+    // steady-state (docs/PLANS.md "r4 bench warm-up").
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_warm").toString
+      val warm = spark.range(0, 100000)
+        .selectExpr("id", "cast(id as string) s", "cast(id as double) d")
+      warm.groupBy(org.apache.spark.sql.functions.expr("id % 7")).count().count()
+      Seq("parquet", "orc", "csv", "json").foreach { f =>
+        val p = s"$tmp/$f"
+        warm.limit(1000).write.format(f).mode("overwrite").save(p)
+        spark.read.format(f).load(p).count()
+      }
+    }
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .sortBy(_._1)
