@@ -36,12 +36,28 @@ object TextOps {
             |         THEN shiftleft(1L, i) ELSE 0L END),
             |  0L, (acc, b) -> acc + b)""".stripMargin)
 
-  /** 16-bit chunk `j` (0..3) of a 64-bit simhash column — the banding key
-    * for Hamming-distance candidate generation: two hashes within Hamming
-    * distance 3 of each other must agree on at least one of 4 chunks.
+  /** Banding keys for Hamming-distance-≤3 candidate generation over a
+    * 64-bit simhash: the hash splits into 5 blocks (13+13+13+13+12 bits)
+    * and the 10 bands are all pairs of blocks packed into one 26-bit value.
+    * Pigeonhole: ≤3 differing bits touch ≤3 blocks, so ≥2 blocks are
+    * identical and their pair-band collides — candidate generation stays
+    * exact for Hamming ≤ 3 (Manku et al., WWW'07 block-permutation scheme).
+    *
+    * Why pairs instead of single blocks: a single-block key has at most
+    * 2^16 distinct values, so at corpus scale every band bucket holds
+    * ~n/65k docs and the within-bucket self-join is quadratic (the skew
+    * the r3 verdict flagged). A 26-bit pair key gives 2^26 ≈ 67M distinct
+    * values — bucket sizes shrink 1000×, at the cost of exploding 10 band
+    * rows per doc instead of 4 (each row is ~24 bytes; docs/SCALING.md
+    * "SimHash banding keyspace").
     */
-  def simhashChunks(simhashCol: String): Column =
-    expr(s"transform(sequence(0, 3), j -> shiftright($simhashCol, j * 16) & 65535)")
+  def simhashBands(simhashCol: String): Column = {
+    val offs = Seq((0, 8191L), (13, 8191L), (26, 8191L), (39, 8191L), (52, 4095L))
+    def block(i: Int) = s"(shiftright($simhashCol, ${offs(i)._1}) & ${offs(i)._2})"
+    val bands = for (i <- 0 until 5; j <- i + 1 until 5)
+      yield s"(shiftleft(${block(i)}, 13) | ${block(j)})"
+    expr(bands.mkString("array(", ",", ")"))
+  }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 style): hash every
     * token, take the minimum hash of each sliding window of `w` hashes, and

@@ -292,11 +292,36 @@ object LlmData {
     verifyJaccard(s, d, cands).select("doc_a", "doc_b", "jac")
   }
 
-  /** q_dedup_simhash — 64-bit SimHash near-dup pairs: banding on 4×16-bit
-    * chunks guarantees every pair within Hamming distance 3 collides on at
-    * least one chunk (pigeonhole); verified with exact bit_count(xor).
+  /** q_dedup_simhash — 64-bit SimHash near-dup pairs: banding on all 10
+    * pairs of 5 ~13-bit blocks (26-bit keys) guarantees every pair within
+    * Hamming distance 3 collides on at least one band (pigeonhole over
+    * blocks); verified with exact bit_count(xor). The 26-bit key space is
+    * the de-skew: a 16-bit key caps bands at 65k distinct buckets, which
+    * is quadratic within buckets at corpus scale (docs/SCALING.md).
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val rows = simhashes(s, d)
+      .withColumn("bands", graft.functions.TextOps.simhashBands("sh64"))
+      .select(col("doc_id"), col("sh64"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    rows.select(col("doc_id").as("doc_a"), col("sh64").as("ha"),
+        col("band_idx"), col("band_val"))
+      .join(rows.select(col("doc_id").as("doc_b"), col("sh64").as("hb"),
+        col("band_idx").as("bi"), col("band_val").as("bv")),
+        col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 64-bit SimHash over whitespace-token xxhash64s (exposed
+    * for the brute-force parity test in LlmDataSpec).
+    */
+  def simhashes(s: SparkSession, d: String): DataFrame = {
     // explode + codegen'd aggregation (same rationale as in dedupNear), with
     // the per-bit counts LANE-PACKED: the wide pass over every token row
     // maintains 16 packed sums (4 bit-counts per long, 16-bit lanes) instead
@@ -328,22 +353,13 @@ object LlmData {
     val sh64 = (0 until 64).map(i =>
         when(col(s"c$i") * 2 >= col("n"), expr(s"shiftleft(1L, $i)")).otherwise(lit(0L)))
       .reduce(_ + _)
-    val h = counts.select(col("doc_id"), sh64.as("sh64"))
-      .withColumn("chunks", TextOps.simhashChunks("sh64"))
-    val rows = h.select(col("doc_id"), col("sh64"),
-      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
-    rows.select(col("doc_id").as("doc_a"), col("sh64").as("ha"),
-        col("chunk_idx"), col("chunk_val"))
-      .join(rows.select(col("doc_id").as("doc_b"), col("sh64").as("hb"),
-        col("chunk_idx").as("ci"), col("chunk_val").as("cv")),
-        col("chunk_idx") === col("ci") && col("chunk_val") === col("cv") &&
-          col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb")
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .where(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    // The trailing same-key aggregate reuses hashpartitioning(doc_id) (no
+    // extra exchange) and is a ProjectCollapse barrier: the 10-band fan-out
+    // reads the aggregated sh64 attribute instead of inlining the 64-term
+    // bit expression once per block reference (20x), which blows the janino
+    // 64KB method limit and drops the whole stage to interpreted mode.
+    counts.select(col("doc_id"), sh64.as("sh64"))
+      .groupBy("doc_id").agg(max("sh64").as("sh64"))
   }
 
   /** q_dedup_embed — embedding-cosine near-dup candidates: two independent

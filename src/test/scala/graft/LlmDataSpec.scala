@@ -40,6 +40,21 @@ class LlmDataSpec extends AnyFunSuite {
     assert(r.where(col("hamming") > 3).count() === 0)
   }
 
+  test("q_dedup_simhash pair-band candidates are exactly the brute-force Hamming<=3 pairs") {
+    // the banding scheme is complete for Hamming <= 3 (pigeonhole over 5
+    // blocks), so the distributed output must equal an all-pairs scan of
+    // the per-doc hashes — any lost pair here is a banding bug
+    val sh = LlmData.simhashes(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val want = (for {
+      i <- sh.indices.iterator; j <- (i + 1) until sh.length
+      h = java.lang.Long.bitCount(sh(i)._2 ^ sh(j)._2) if h <= 3
+    } yield (sh(i)._1, sh(j)._1, h)).toSet
+    val got = LlmData.dedupSimhash(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
   test("SimHash of an identical document pair has Hamming distance zero") {
     import graft.functions.TextOps
     import s.implicits._
