@@ -100,6 +100,38 @@ trait HttpTransport {
       headers: Map[String, String] = Map.empty): String
 }
 
+/** Production [[HttpTransport]] over the JDK's `java.net.http.HttpClient`.
+  * Verb selection mirrors the reference exactly: the one call that carries
+  * credentials is a POST with basic auth (`requests.post(url, auth=...)`,
+  * script-dag-dock-report:37), every other call is a GET with the token in
+  * the Authorization header (script-dag-dock-report:71,108).
+  */
+class JdkHttpTransport(timeoutMs: Long = 30000) extends HttpTransport {
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+    .build()
+
+  override def fetch(url: String, basicAuth: Option[(String, String)],
+      headers: Map[String, String]): String = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+    basicAuth match {
+      case Some((user, pass)) =>
+        val enc = java.util.Base64.getEncoder
+          .encodeToString(s"$user:$pass".getBytes("UTF-8"))
+        b.header("Authorization", s"Basic $enc")
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody())
+      case None => b.GET()
+    }
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new IllegalStateException(s"HTTP ${resp.statusCode()} from $url")
+    resp.body()
+  }
+}
+
 /** REST ingestion flow of the balance-report DAG (script-dag-dock-report:
   * 25-118): authenticate → request report for yesterday → poll ticket for
   * the produced file name. JSON fields are extracted dynamically and

@@ -223,6 +223,52 @@ class FunctionsSpec extends AnyFunSuite {
       assert(new String(Files.readAllBytes(tmp.resolve("dst").resolve(n))) === c)
     }
   }
+
+  test("JdkHttpTransport drives the full RestIngest flow over real HTTP") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    // token endpoint: POST + preemptive basic auth, like requests.post(url,
+    // auth=(client_id, secret)) in the reference (script-dag-dock-report:37)
+    server.createContext("/oauth2/token", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val want = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("id:secret".getBytes("UTF-8"))
+      if (ex.getRequestMethod != "POST") reply(ex, 405, "{}")
+      else if (!auth.contains(want)) reply(ex, 401, "{}")
+      else reply(ex, 200, """{"access_token": "tok-http"}""")
+    })
+    // data endpoint: GET with the raw token in the Authorization header
+    server.createContext("/report", (ex: HttpExchange) => {
+      if (ex.getRequestMethod != "GET") reply(ex, 405, "{}")
+      else if (Option(ex.getRequestHeaders.getFirst("Authorization")) != Some("tok-http"))
+        reply(ex, 401, "{}")
+      else if (ex.getRequestURI.getQuery.contains("ticket=")) reply(ex, 200,
+        """{"file": "balance_http.zip"}""")
+      else reply(ex, 200, """{"ticket": "T-http"}""")
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val ingest = new RestIngest(new graft.sources.JdkHttpTransport(), base)
+      val tok = ingest.authenticate("id", "secret")
+      assert(tok === "tok-http")
+      val ticket = ingest.requestReport(tok, "2024-01-01")
+      assert(ticket === "T-http")
+      assert(ingest.getTicketFile(tok, ticket) === "balance_http.zip")
+      // non-2xx must fail loudly, not parse an error body
+      val bad = intercept[IllegalStateException] {
+        new RestIngest(new graft.sources.JdkHttpTransport(), base)
+          .authenticate("id", "wrong-secret")
+      }
+      assert(bad.getMessage.contains("401"))
+    } finally server.stop(0)
+  }
 }
 
 /** RawLocalFileSystem under its own URI scheme: the minimal second Hadoop
