@@ -36,17 +36,26 @@ object PipelineIngest {
 
   /** q_pipeline_ingest — the §2A flow end-to-end. */
   def pipelineIngest(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val landing = graft.Fixtures.ensure(
       Paths.get(sys.props("java.io.tmpdir"), "graft_landing"))(
       Zip.writeLandingFixtures(_))
     // sense_file: bounded availability poll (SFTPSensor semantics)
     require(LandingSensor.await(landing.resolve("balance_00.zip"), timeoutMs = 5000),
       "landing file did not appear within the sensor timeout")
+    ingestLanding(s, landing.toString,
+      s"${sys.props("java.io.tmpdir")}/graft_out/q_pipeline_ingest")
+  }
 
+  /** The decompress→parse→validate→land→re-read core of the ingest flow,
+    * over any landed directory (also the final stage of
+    * [[PipelineMain.runReportDag]], where the input is the transferred copy
+    * rather than the original landing).
+    */
+  def ingestLanding(s: SparkSession, landingDir: String, out: String): DataFrame = {
+    import s.implicits._
     // list_filter_suffix: only *.zip, the README.txt decoy is skipped
     val archives = s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.zip").load(landing.toString)
+      .option("pathGlobFilter", "*.zip").load(landingDir)
 
     // fanout_invoke → in-engine: stream-decompress each archive in parallel
     val lines = archives.select(col("path"), col("content"))
@@ -74,7 +83,6 @@ object PipelineIngest {
 
     // idempotent overwrite (replace=True, script-dag-dock-report:172),
     // day-partitioned like the reference's daily cadence
-    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_pipeline_ingest"
     parsed.write.mode("overwrite").partitionBy("day").parquet(out)
 
     s.read.parquet(out)
