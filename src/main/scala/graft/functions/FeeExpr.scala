@@ -103,7 +103,11 @@ object GraftFunctions {
       exprs => ShinglesExpr(Cast(exprs(0), ArrayType(StringType, containsNull = true)))),
     ("graft_lsh_bucket", classOf[SignProjectExpr],
       exprs => SignProjectExpr(floatArray(exprs(0)),
-        nBits = intArg(exprs(1)), dims = intArg(exprs(2)), salt = intArg(exprs(3)))))
+        nBits = intArg(exprs(1)), dims = intArg(exprs(2)), salt = intArg(exprs(3)))),
+    ("graft_sumsq", classOf[SumSqExpr],
+      exprs => SumSqExpr(floatArray(exprs(0)))),
+    ("graft_quant_err", classOf[QuantErrExpr],
+      exprs => QuantErrExpr(floatArray(exprs(0)))))
 
   def register(spark: SparkSession): Unit =
     defs.foreach { case (name, _, builder) =>

@@ -579,29 +579,20 @@ object LlmData {
     * stores apply before serving, evaluated before committing to it.
     * Error SUM is computed in integer micro-units per element (exact under
     * any order on both engines); max error and scale are Det-rounded.
-    * Per-row HOF folds here are ~64 interpreted lambda evals/row — at
-    * corpus scale promote to a native Expression exactly like DotExpr.
+    * r4: the four interpreted HOF walks (~64 lambda evals/row each) are
+    * promoted to ONE native codegen'd pass ([[graft.functions
+    * .QuantErrExpr]]), bit-parity with the HOF formulation asserted in
+    * FunctionsSpec and by the unchanged oracle rows.
     */
-  def embedQuantize(s: SparkSession, d: String): DataFrame =
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127D")
-          .as("scale_raw"))
-      .select(col("vec_id"), r(col("scale_raw"), 8).as("scale"),
-        expr(
-          """CASE WHEN scale_raw = 0D THEN 0L ELSE
-            |aggregate(transform(embedding,
-            |  x -> CAST(round(abs(CAST(x AS DOUBLE) -
-            |    round(CAST(x AS DOUBLE) / scale_raw) * scale_raw) * 1000000) AS BIGINT)),
-            |  0L, (a, b) -> a + b) END""".stripMargin).as("err_sum_micro"),
-        expr(
-          """CASE WHEN scale_raw = 0D THEN 0D ELSE
-            |array_max(transform(embedding,
-            |  x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale_raw) * scale_raw)))
-            |END""".stripMargin).as("err_max_raw"))
-      .select(col("vec_id"), col("scale"), col("err_sum_micro"),
-        r(col("err_max_raw"), 8).as("err_max"))
+      .select(col("vec_id"), expr("graft_quant_err(embedding)").as("q"))
+      .select(col("vec_id"), r(col("q.scale_raw"), 8).as("scale"),
+        col("q.err_sum_micro").as("err_sum_micro"),
+        r(col("q.err_max_raw"), 8).as("err_max"))
       .orderBy("vec_id")
+  }
 
   // ------------------------------------------------------------ multimodal
 

@@ -89,19 +89,22 @@ object Scalars {
     concat_ws(",", transform(a,
       x => round(x.cast("double") * 1000000d, 0).cast("bigint").cast("string")))
 
-  def scalarArray(s: SparkSession, d: String): DataFrame =
+  def scalarArray(s: SparkSession, d: String): DataFrame = {
+    // sum-of-squares / l2 through the native codegen'd fold (r4 promotion;
+    // the HOF aggregate lambda evaluates interpreted per element — parity
+    // asserted in FunctionsSpec "SumSqExpr matches the HOF fold")
+    graft.functions.GraftFunctions.register(s)
     t(s, d, "embeddings")
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         arraySig(slice(col("embedding"), 1, 4)).as("head4_sig"),
-        aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"),
-        sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2"),
+        expr("graft_sumsq(embedding)").as("sumsq"),
+        sqrt(expr("graft_sumsq(embedding)")).as("l2"),
         arraySig(transform(col("embedding"),
           x => (x.cast("double") * lit(2.0)).cast("float"))).as("doubled_sig"))
       .orderBy("vec_id")
+  }
 
   /** q_scalar_null — the null-semantics kernel: coalesce fallback, nullif,
     * null-safe comparison (IS DISTINCT FROM), null predicates, and

@@ -224,6 +224,65 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SumSqExpr matches the HOF fold bit-for-bit on every fixture vector") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    val rows = Tables(s, d, "embeddings")
+      .select(
+        expr("graft_sumsq(embedding)").as("native"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("QuantErrExpr matches the HOF quantization audit bit-for-bit") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    val rows = Tables(s, d, "embeddings")
+      .select(col("embedding"),
+        expr("graft_quant_err(embedding)").as("q"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127D")
+          .as("scale_raw"))
+      .select(col("q.scale_raw").as("n_scale"), col("q.err_sum_micro").as("n_sum"),
+        col("q.err_max_raw").as("n_max"),
+        col("scale_raw").as("h_scale"),
+        expr(
+          """CASE WHEN scale_raw = 0D THEN 0L ELSE
+            |aggregate(transform(embedding,
+            |  x -> CAST(round(abs(CAST(x AS DOUBLE) -
+            |    round(CAST(x AS DOUBLE) / scale_raw) * scale_raw) * 1000000) AS BIGINT)),
+            |  0L, (a, b) -> a + b) END""".stripMargin).as("h_sum"),
+        expr(
+          """CASE WHEN scale_raw = 0D THEN 0D ELSE
+            |array_max(transform(embedding,
+            |  x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale_raw) * scale_raw)))
+            |END""".stripMargin).as("h_max"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      assert(r.getLong(1) === r.getLong(4))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(5)))
+    }
+  }
+
+  test("QuantErrExpr: all-zero vector hits the zero-scale branch") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    import s.implicits._
+    val r = Seq((1L, Seq(0f, 0f, 0f))).toDF("id", "embedding")
+      .select(expr("graft_quant_err(embedding)").as("q"))
+      .select("q.scale_raw", "q.err_sum_micro", "q.err_max_raw")
+      .head()
+    assert(r.getDouble(0) === 0.0 && r.getLong(1) === 0L && r.getDouble(2) === 0.0)
+  }
+
   test("JdkHttpTransport drives the full RestIngest flow over real HTTP") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
