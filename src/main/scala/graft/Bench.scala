@@ -54,6 +54,36 @@ object Bench {
         warm.limit(1000).write.format(f).mode("overwrite").save(p)
         spark.read.format(f).load(p).count()
       }
+      // streaming infra warm-up (StreamExecution, memory sink, state store
+      // providers — HDFSBacked default AND RocksDB, which
+      // q_stream_stateful_tws needs): a 2-row windowed aggregate per
+      // provider, nothing resembling the timed queries' plans
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, window}
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val evEnc: org.apache.spark.sql.Encoder[graft.streaming.Ev] =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Ev]
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val defaultProvider = spark.conf.get(providerKey)
+      Seq(defaultProvider,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .foreach { prov =>
+          spark.conf.set(providerKey, prov)
+          try {
+            val ms = MemoryStream[graft.streaming.Ev]
+            val q = ms.toDF().withWatermark("ts", "1 minute")
+              .groupBy(window(col("ts"), "1 minute")).count()
+              .writeStream.outputMode("append").format("memory")
+              .queryName("graft_bench_warm_stream").start()
+            ms.addData(graft.streaming.Ev(1L,
+              java.time.Instant.parse("2024-01-01T00:00:00Z"), 1L, "w", 1.0))
+            q.processAllAvailable()
+            ms.addData(graft.streaming.Ev(2L,
+              java.time.Instant.parse("2030-01-01T00:00:00Z"), 1L, "w", 1.0))
+            q.processAllAvailable()
+            q.stop()
+          } finally spark.conf.set(providerKey, defaultProvider)
+        }
     }
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }

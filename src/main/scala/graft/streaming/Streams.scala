@@ -198,7 +198,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      d, Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
       .where(col("event_type") =!= "sentinel") // its window never flushes; belt+braces
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
@@ -216,7 +216,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      d, Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
       .where(col("event_type") =!= "sentinel")
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
@@ -268,7 +268,8 @@ object Streams {
     * the whole table to the driver — an OOM at scale).
     */
   private def runStagedBatches(s: SparkSession, build: DataFrame => DataFrame,
-      d: String, laterBatches: Seq[DataFrame]): DataFrame = {
+      d: String, laterBatches: Seq[DataFrame],
+      firstBatchExtra: Seq[DataFrame] = Nil): DataFrame = {
     val shared = java.nio.file.Paths.get(stagedEventsDir(s, d))
     // registered for exit cleanup too: the finally below removes it on the
     // normal path, the hook covers a JVM killed mid-query
@@ -276,6 +277,14 @@ object Streams {
     // single-component alternation (both dirs sit in tmpdir) — Hadoop globs
     // do not allow '/' inside {}
     val glob = s"${shared.getParent}/{${shared.getFileName},${own.getFileName}}"
+    // frames staged BEFORE the query starts join the events table in micro-
+    // batch 1. For append-mode AGGREGATIONS the flush sentinel can ride
+    // along here: the watermark advances after batch 1 commits and the
+    // stateful operator reports requiresAnotherBatch, so processAllAvailable
+    // runs-and-awaits the watermark-only flush batch — one data batch
+    // instead of two. (Stream-stream OUTER-join eviction does NOT run in
+    // that no-data batch — q_stream_join_outer keeps its double-sentinel.)
+    firstBatchExtra.foreach(_.write.mode("append").parquet(own.toString))
     // no maxFilesPerTrigger → each drain consumes every staged file in one
     // micro-batch, keeping intra-batch rows ahead of the watermark
     val src = s.readStream.schema(normalizedEvents(s, d).schema).parquet(glob)
@@ -380,7 +389,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value")),
-      d, Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
       .where(col("user_id") =!= -1L) // sentinel's own session never flushes; belt+braces
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
@@ -547,7 +556,7 @@ object Streams {
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
           sessionize)
         .toDF(),
-      d, Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
       .where(col("user_id") =!= -1L)
       .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
         expr("timestamp_micros(end_us)").as("session_end"),
@@ -579,7 +588,7 @@ object Streams {
             org.apache.spark.sql.streaming.TimeMode.EventTime(),
             OutputMode.Append())
           .toDF(),
-        d, Seq(sentinelBatch(s)))
+        d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
         .where(col("user_id") =!= -1L)
         .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
           expr("timestamp_micros(end_us)").as("session_end"),
