@@ -171,6 +171,30 @@ object PipelineIngest {
       .orderBy("l_returnflag")
   }
 
+  /** q_source_xml_roundtrip — XML source/sink breadth via Spark 4's
+    * BUILT-IN xml datasource (the spark-xml donation, no external package):
+    * a part-catalog extract written as `<part>` rows, schema-inferred back
+    * in, aggregated, and oracle-checked against the original parquet.
+    * Semi-structured XML exports (the enterprise sibling of the
+    * reference's JSON payloads) re-enter the engine losslessly.
+    */
+  def sourceXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_source_xml"
+    graft.Tables(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "parts").option("rowTag", "part").save(out)
+    s.read.format("xml").option("rowTag", "part").load(out)
+      // pin the key type: inference narrows int64 keys that fit int32 at
+      // this SF, and the oracle's max(p_partkey) is BIGINT
+      .withColumn("p_partkey", col("p_partkey").cast("long"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("p_size")).as("sum_size"),
+        sumExact(col("p_retailprice"), 2).as("sum_price"),
+        max(col("p_partkey")).as("max_partkey"))
+      .orderBy("p_brand")
+  }
+
   /** q_source_corrupt_tolerant — fault-tolerant lake reads: a corrupt
     * part-file planted among good parquet must not kill the scan (at 100 TB
     * one truncated/garbage file among millions is a WHEN, not an if). The
@@ -233,6 +257,7 @@ object PipelineIngest {
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "q_source_orc_roundtrip" -> sourceOrcRoundtrip _,
+    "q_source_xml_roundtrip" -> sourceXmlRoundtrip _,
     "q_upsert_partition" -> upsertPartition _,
     "q_source_corrupt_tolerant" -> sourceCorruptTolerant _)
 
@@ -252,6 +277,12 @@ object PipelineIngest {
       (s"SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty, " +
         s"${Det.sqlSumExact("l_extendedprice", 2)} AS sum_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_source_xml_roundtrip" ->
+      // CAST: DuckDB sums INTEGER into HUGEINT, which the comparator would
+      // coerce to float64 against Spark's int64 (the pack_sequences lesson)
+      (s"SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size, " +
+        s"${Det.sqlSumExact("p_retailprice", 2)} AS sum_price, " +
+        "max(p_partkey) AS max_partkey FROM part GROUP BY p_brand ORDER BY p_brand"),
     "q_upsert_partition" ->
       ("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n, " +
         "sum(round(CASE WHEN CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events) " +

@@ -600,6 +600,69 @@ object Streams {
     }
   }
 
+  /** q_stream_foreach_upsert — the streaming lake-merge pattern:
+    * `foreachBatch` lands each micro-batch into a day-partitioned parquet
+    * lake under DYNAMIC partition overwrite, so a batch replaces exactly
+    * the days it carries and leaves every other day untouched — the
+    * streaming form of `q_upsert_partition` (the reference's per-day
+    * `replace=True`, continuous). Batch 1 lands the full feed; batch 2 is
+    * a corrected re-extract of the max day only (values doubled), which
+    * overwrites that single partition. Idempotence is the production
+    * story: a retried micro-batch re-overwrites its own partitions, so
+    * at-least-once delivery still yields exactly-once lake state. The
+    * re-read aggregate proves old days kept original values and the
+    * corrected day carries the fix (same invariant — and oracle — as the
+    * batch upsert).
+    */
+  def streamForeachUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_out", "q_stream_foreach_upsert")
+    if (java.nio.file.Files.exists(base))
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    val dataDir = base.resolve("data").toString
+    val ev = normalizedEvents(s, d)
+    // corrected re-extract of the max day only (broadcast one-row scalar)
+    val corrected = ev
+      .crossJoin(broadcast(ev.agg(max(to_date(col("ts"))).as("mx"))))
+      .where(to_date(col("ts")) === col("mx")).drop("mx")
+      .withColumn("value", col("value") * 2)
+    val shared = java.nio.file.Paths.get(stagedEventsDir(s, d))
+    val own = graft.Fixtures.tempDirCleanedAtExit("graft_stream_stage_")
+    val glob = s"${shared.getParent}/{${shared.getFileName},${own.getFileName}}"
+    val src = s.readStream.schema(ev.schema).parquet(glob)
+    withStreamParts(s) {
+      val q = src.writeStream
+        .option("checkpointLocation", base.resolve("checkpoint").toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val spark = batch.sparkSession
+          val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try batch
+            .withColumn("day", to_date(col("ts"))).drop("ts")
+            .write.mode("overwrite").partitionBy("day").parquet(dataDir)
+          finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        corrected.write.mode("append").parquet(own.toString)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        java.nio.file.Files.walk(own)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        graft.Fixtures.removeFromExitCleanup(own)
+      }
+    }
+    s.read.parquet(dataDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -612,6 +675,7 @@ object Streams {
     "q_stream_sink_files" -> streamSinkFiles _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_stateful_tws" -> streamStatefulTws _,
+    "q_stream_foreach_upsert" -> streamForeachUpsert _,
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
@@ -668,6 +732,12 @@ object Streams {
     // both sessionizer queries share ONE oracle: they cross-validate two
     // state APIs against the same committed semantics
     "q_stream_stateful_tws" -> sessionOracleSql,
+    // same invariant as the batch upsert: old days original, max day doubled
+    "q_stream_foreach_upsert" ->
+      ("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n, " +
+        "sum(round(CASE WHEN CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events) " +
+        "THEN value * 2 ELSE value END * 100, 0)) / 100 AS sum_value " +
+        "FROM events GROUP BY day ORDER BY day"),
     "q_stream_stateful" -> sessionOracleSql)
 
   private lazy val sessionOracleSql: String =

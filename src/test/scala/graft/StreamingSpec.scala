@@ -113,6 +113,16 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_foreach_upsert is idempotent: a rerun (retry) leaves identical lake state") {
+    // the production claim is that at-least-once delivery yields exactly-
+    // once lake state because a retried batch re-overwrites its own
+    // partitions — a full rerun is the strongest form of that retry
+    val first = Streams.streamForeachUpsert(s, d).collect().toSeq
+    val rerun = Streams.streamForeachUpsert(s, d).collect().toSeq
+    assert(first.nonEmpty)
+    assert(rerun === first)
+  }
+
   test("q_stream_stateful sessionization: totals and session structure reconcile") {
     val sessions = Streams.streamStateful(s, d)
     // every event is in exactly one session
