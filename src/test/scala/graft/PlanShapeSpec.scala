@@ -124,6 +124,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_simhash band exchanges carry ID-only rows (no payload through the 10x explode)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // at the test SF the band table broadcasts; disable broadcast to get
+    // the shuffle plan a corpus-scale input would use, and AQE so the
+    // static tree carries the ShuffleExchangeExec nodes (AQE's pre-
+    // preparation inputPlan predates EnsureRequirements — no exchanges yet)
+    val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.LlmData.dedupSimhash(s, d)
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val bandExchanges = root.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band") => e
+      }
+      assert(bandExchanges.nonEmpty, s"expected band-keyed exchanges in:\n$root")
+      // the de-skew explodes 10 band rows per doc — each must be the
+      // ~32-byte (doc_id, sh64, band_idx, band_val) tuple, never payload
+      bandExchanges.foreach { e =>
+        assert(e.child.output.length <= 4 &&
+          !e.child.output.exists(a => Set("text", "tok", "toks").contains(a.name)),
+          s"band exchange carries payload columns: ${e.child.output.mkString(", ")}")
+      }
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      s.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // the 100 TB posture for selective dim ⋈ huge fact when the dim exceeds
     // broadcast size: Spark's InjectRuntimeFilter builds a bloom filter of
