@@ -258,6 +258,35 @@ object Relational {
           .as("approx_within_10pct"))
       .orderBy("event_type")
 
+  /** q_agg_sketch_merge — REAGGREGATABLE distinct-count sketches (Apache
+    * DataSketches HLL, built into Spark 4): daily per-type sketches are the
+    * precomputed artifact, merged per type WITHOUT rescanning the feed —
+    * at 100 TB this is the difference between a daily incremental sketch
+    * job plus a cheap union and a full-history re-scan for every rollup
+    * window. `approx_count_distinct` (q_agg_approx_distinct) cannot do
+    * this: its HLL++ buffer is not exposed as a storable/mergeable column.
+    * lgK=14 gives ~0.8 % relative error; the oracle pins the exact counts
+    * and asserts the merged estimate lands within a generous 5 % + 16
+    * absolute bound (deterministic: the sketch hash is seed-fixed).
+    */
+  def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    // level 1: the per-day sketch table (what a production job would persist)
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    // level 2: union daily sketches per type — no raw-data access
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")) <= col("n_exact") * 0.05 + 16)
+          .as("merged_est_ok"))
+      .orderBy("event_type")
+  }
+
   /** q_agg_percentile — exact interpolated percentiles per group (both
     * engines implement the standard (n-1)·p linear interpolation; results
     * round through [[Det.r]] to absorb last-ulp libm differences). Exact
@@ -594,6 +623,7 @@ object Relational {
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_sketch_merge" -> aggSketchMerge _,
     "q_agg_percentile" -> aggPercentile _,
     "q_pivot_wide" -> pivotWide _,
     "q_unpivot_long" -> unpivotLong _,
@@ -683,6 +713,12 @@ object Relational {
     "q_agg_approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
         "true AS approx_within_10pct " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    // exact counts pinned in SQL; the deterministic (seed-fixed) sketch
+    // estimate is asserted within its error bound as a boolean
+    "q_agg_sketch_merge" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
+        "true AS merged_est_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_agg_percentile" ->
       ("SELECT o_orderstatus, " +

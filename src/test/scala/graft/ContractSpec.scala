@@ -42,7 +42,8 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_cluster", "q_simsearch_ivf_full", "q_stream_join_outer",
     "q_agg_grouped_fit", "q_source_corrupt_tolerant", "q_stream_stateful_tws",
     "q_embed_quantize", "q_text_pii_scrub",
-    "q_source_xml_roundtrip", "q_stream_foreach_upsert")
+    "q_source_xml_roundtrip", "q_stream_foreach_upsert",
+    "q_agg_sketch_merge")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
