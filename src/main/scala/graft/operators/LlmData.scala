@@ -257,6 +257,81 @@ object LlmData {
     out
   }
 
+  /** Containment threshold (asymmetric near-dup measure). */
+  val ContainmentThreshold = 0.8
+
+  /** q_text_containment — asymmetric CONTAINMENT dedup: pairs where the
+    * smaller document's shingle set is ≥ 80% inside the other's
+    * (C = |∩| / min(na, nb)). Jaccard misses exactly these — a 40-token
+    * excerpt quoted inside a 400-token article has J ≈ 0.1 but C = 1.0 —
+    * and quote-inclusion/boilerplate-nesting dups are endemic in crawled
+    * training corpora. The fixture corpus has no nested docs, so
+    * deterministic EXCERPT docs are INJECTED first (first 40 tokens of
+    * every 50th doc, doc_id offset by 10^9), making the containment-only
+    * path provably non-vacuous — every injected excerpt must surface with
+    * C = 1.0 (asserted in LlmDataSpec); the DuckDB oracle replays the same
+    * injection in SQL.
+    *
+    * Exact, not probabilistic: PPJoin-style prefix filtering adapted to the
+    * containment bound — if C ≥ t then the MIN side shares a shingle among
+    * its (n − ⌈t·n⌉ + 1) rarest (df-ascending) shingles, so prefixes of
+    * EVERY doc (any one could be the min side) join against the full
+    * inverted index; the positional bound 1 + min(np−posp, nf−posf) ≥
+    * ⌈t·min(np,nf)⌉ holds at the pair's first shared canonical shingle and
+    * prunes the rest. df-ordering keeps hot stop-shingles out of prefixes,
+    * so the index side's heavy keys never meet a large probe side — the
+    * same skew-avoidance that makes the Jaccard PPJoin viable at corpus
+    * scale. Candidates are verified with the exact set intersection.
+    */
+  def textContainment(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = memo(s, s"cont_shingles:$d") {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      docs.union(excerpts)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", split(col("text"), " "))).as("sh"))
+    }
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val posW = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(posW).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        posW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long"))
+      .select("doc_id", "sh", "pos", "n")
+    // t = 0.8: prefix length = n - ceil(4n/5) + 1
+    val prefixes = ranked.where(col("pos") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
+    val cands = prefixes
+      .select(col("doc_id").as("doc_p"), col("sh"),
+        col("pos").as("pos_p"), col("n").as("np"))
+      .join(ranked.select(col("doc_id").as("doc_f"), col("sh").as("sh_f"),
+        col("pos").as("pos_f"), col("n").as("nf")),
+        col("sh") === col("sh_f") && col("doc_p") =!= col("doc_f") &&
+          lit(1L) + least(col("np") - col("pos_p"), col("nf") - col("pos_f")) >=
+            expr("(least(np, nf) * 4 + 4) div 5"))
+      .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_f")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = memo(s, s"cont_sets:$d") {
+      sh.groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("shs"))
+    }
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("na", size(col("shs_a")).cast("long"))
+      .withColumn("nb", size(col("shs_b")).cast("long"))
+      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("cont", col("common").cast("double") / least(col("na"), col("nb")))
+      .where(col("cont") >= ContainmentThreshold)
+      .withColumn("jac",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select("doc_a", "doc_b", "na", "nb", "common", "cont", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q_dedup_near — MinHash + LSH near-dup pairs: 32-hash signature, 16
     * bands × 2 rows (candidate threshold ≈ (1/16)^(1/2) ≈ 0.25, so recall at
     * J ≥ 0.5 is 1-(1-0.25)^16 ≈ 99%), then exact Jaccard verification of
@@ -1002,11 +1077,28 @@ object LlmData {
     "q_text_unigram_lp" -> textUnigramLp _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
+    "q_text_containment" -> textContainment _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _)
 
   val oracle: Map[String, String] = Map(
+    "q_text_containment" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000000 AS doc_id, " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text " +
+        "FROM documents WHERE doc_id % 50 = 0), " +
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
+        "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common " +
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, a.n AS na, b.n AS nb, common, " +
+        "common * 1.0 / least(a.n, b.n) AS cont, " +
+        "common * 1.0 / (a.n + b.n - common) AS jac " +
+        "FROM pairs JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
+        "WHERE common * 1.0 / least(a.n, b.n) >= 0.8 ORDER BY doc_a, doc_b"),
     "q_dedup_ngram" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +

@@ -606,6 +606,105 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------- layout
+
+  /** One interleave step of the classic Morton bit-spread: doubles the gap
+    * between the occupied bits. Five steps spread a 32-bit value across the
+    * even bits of a long — pure integer shift/mask arithmetic, evaluated
+    * bit-identically by Spark and DuckDB (the oracle runs the same five
+    * steps as chained CTEs).
+    */
+  private val spreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  private def spreadBits(c: Column): Column =
+    spreadSteps.foldLeft(c.cast("long")) { case (x, (sh, mask)) =>
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    }
+
+  /** Morton (Z-order) interleave of two non-negative int columns. */
+  def zvalue(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** q_layout_zorder — multi-dimensional DATA LAYOUT: orders are laid out on
+    * a Z-order (Morton) curve over (o_custkey, order day), range-partitioned
+    * and sorted by the interleaved key, written, and then probed with a 2-D
+    * box predicate.
+    *
+    * Why this is a first-class operator at 100 TB: min/max file skipping
+    * only prunes on the leading sort column, so a layout sorted by custkey
+    * alone reads the FULL table for a date-range probe and vice versa. The
+    * Z-curve makes file-level (x, y) min/max ranges simultaneously tight in
+    * both dimensions, so a box probe prunes files in either or both —
+    * LayoutSpec asserts the written files' zval ranges are disjoint and
+    * that the box probe's row-group stats eliminate most files. The write
+    * itself is one range exchange (sampled range partitioner) + local sort:
+    * exactly the shuffle shape of a global ORDER BY, amortized over every
+    * probe that follows.
+    *
+    * The oracle replays the identical shift/mask interleave in DuckDB CTEs
+    * over the source table — layout must never change query results.
+    */
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_layout_zorder"
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day"))
+      .withColumn("zval", zvalue(col("o_custkey"), col("day")))
+      .repartitionByRange(16, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .where(col("o_custkey") < 40 &&
+        col("day") >= lit(9862) && col("day") < lit(10227)) // 1997-01-01..1998-01-01
+      .select("o_orderkey", "o_custkey", "day", "zval")
+      .orderBy("zval", "o_orderkey")
+  }
+
+  // ------------------------------------------------------ mergeable hist
+
+  /** q_agg_histogram_merge — REAGGREGATABLE QUANTILES via fixed-bin
+    * histogram sketches: per-day (event_type, bin) counts are the persisted
+    * artifact; coarser rollups merge histograms by pure count addition —
+    * never rescanning raw data — and read any quantile off the merged
+    * cumulative histogram. The distribution-valued complement of
+    * [[aggSketchMerge]]'s HLL rollup: `percentile` cannot reaggregate (it
+    * buffers raw values), `approx_percentile` cannot persist its buffer as
+    * a column. Binning is floor(value / 10) — deterministic IEEE division
+    * + floor, so unlike KLL/t-digest the sketch is exactly reproducible on
+    * both engines and the whole rollup is hash-checked, with bin-width
+    * resolution as the only (declared, fixed) approximation.
+    */
+  def aggHistogramMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / 10.0d).cast("long").as("bin"))
+    // level 1: the per-day histogram table a production job would persist
+    val daily = ev.groupBy("event_type", "day", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    // level 2: merge per type — count addition only, no raw-data access
+    val merged = daily.groupBy("event_type", "bin")
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+    // quantile q = lower bound of the first bin whose cumulative count
+    // reaches q·n — the integer cross-multiplied compare (cum·100 ≥ n·q100)
+    // avoids any float threshold, so both engines pick the same bin
+    cum.groupBy("event_type")
+      .agg(
+        min(when(col("cum") * 100L >= col("n") * 50L, col("bin") * 10)).as("p50_lo"),
+        min(when(col("cum") * 100L >= col("n") * 90L, col("bin") * 10)).as("p90_lo"),
+        min(when(col("cum") * 100L >= col("n") * 99L, col("bin") * 10)).as("p99_lo"),
+        max(col("n")).as("n"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -624,6 +723,8 @@ object Relational {
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_sketch_merge" -> aggSketchMerge _,
+    "q_agg_histogram_merge" -> aggHistogramMerge _,
+    "q_layout_zorder" -> layoutZorder _,
     "q_agg_percentile" -> aggPercentile _,
     "q_pivot_wide" -> pivotWide _,
     "q_unpivot_long" -> unpivotLong _,
@@ -716,6 +817,35 @@ object Relational {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     // exact counts pinned in SQL; the deterministic (seed-fixed) sketch
     // estimate is asserted within its error bound as a boolean
+    "q_layout_zorder" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        "o_custkey AS x, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y FROM orders), " +
+        spreadSteps.zipWithIndex.map { case ((sh, mask), i) =>
+          val prev = if (i == 0) "base" else s"s$i"
+          s"s${i + 1} AS (SELECT o_orderkey, o_custkey, day, " +
+            s"(x | (x << $sh)) & $mask AS x, (y | (y << $sh)) & $mask AS y FROM $prev)"
+        }.mkString(", ") + ", " +
+        s"z AS (SELECT o_orderkey, o_custkey, day, x | (y << 1) AS zval FROM s${spreadSteps.size}) " +
+        "SELECT o_orderkey, o_custkey, day, zval FROM z " +
+        "WHERE o_custkey < 40 AND day >= 9862 AND day < 10227 " +
+        "ORDER BY zval, o_orderkey"),
+    "q_agg_histogram_merge" ->
+      ("WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(floor(value / 10.0) AS BIGINT) AS bin FROM events), " +
+        "daily AS (SELECT event_type, day, bin, count(*) AS cnt FROM ev GROUP BY 1, 2, 3), " +
+        "merged AS (SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS cnt " +
+        "FROM daily GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, bin, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM merged) " +
+        "SELECT event_type, " +
+        "min(CASE WHEN cum * 100 >= n * 50 THEN bin * 10 END) AS p50_lo, " +
+        "min(CASE WHEN cum * 100 >= n * 90 THEN bin * 10 END) AS p90_lo, " +
+        "min(CASE WHEN cum * 100 >= n * 99 THEN bin * 10 END) AS p99_lo, " +
+        "max(n) AS n FROM cum GROUP BY event_type ORDER BY event_type"),
     "q_agg_sketch_merge" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
         "true AS merged_est_ok " +

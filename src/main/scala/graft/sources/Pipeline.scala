@@ -249,9 +249,56 @@ object PipelineIngest {
       .orderBy("day")
   }
 
+  /** q_maintain_compact — small-file COMPACTION, the lake-maintenance
+    * operator every long-lived 100 TB table needs: streaming sinks and
+    * per-partition upserts accrete thousands of KB-scale files, and scan
+    * cost becomes file-open/metadata bound (one scheduler task + one
+    * footer read per tiny file) instead of byte bound. Here a fragmented
+    * landing (64 shards of a small table — the pathological shape) is
+    * bin-packed by the MEASURED on-disk bytes: target file count =
+    * ceil(totalBytes / target), one round-robin repartition, rewrite,
+    * atomic swap into place. The re-read aggregate proves compaction is
+    * content-neutral — which is exactly what the oracle checks against the
+    * source table — and CompactionSpec asserts the file-count collapse.
+    * At scale the same bytes-measured sizing yields ~128 MB files
+    * regardless of row width, where a rows-based heuristic misses by the
+    * compression ratio.
+    */
+  def maintainCompact(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_compact"
+    val frag = s"$root/fragmented"
+    val li = graft.Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(frag))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    // local target is tiny so the test exercises >1 output file; the 100 TB
+    // setting is 128 MB (spark.sql.files.maxPartitionBytes-aligned)
+    val targetBytes = 256L * 1024
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val compacted = s"$root/compacted_next"
+    s.read.parquet(frag).repartition(nFiles)
+      .write.mode("overwrite").parquet(compacted)
+    // atomic publish: readers of $root/compacted never see a half-written set
+    val live = new Path(s"$root/compacted")
+    fs.delete(live, true)
+    fs.rename(new Path(compacted), live)
+    s.read.parquet(live.toString)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("l_quantity"), 2).as("sum_qty"),
+        sumExact(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_maintain_compact" -> maintainCompact _,
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
@@ -262,6 +309,10 @@ object PipelineIngest {
     "q_source_corrupt_tolerant" -> sourceCorruptTolerant _)
 
   val oracle: Map[String, String] = Map(
+    "q_maintain_compact" ->
+      (s"SELECT l_returnflag, count(*) AS n, ${Det.sqlSumExact("l_quantity", 2)} AS sum_qty, " +
+        s"${Det.sqlSumExact("l_extendedprice", 2)} AS sum_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_pipeline_ingest" ->
       ("SELECT * FROM (VALUES " +
         expected.map { case (day, n, amt) => s"('$day', CAST($n AS BIGINT), CAST($amt AS DOUBLE))" }

@@ -43,7 +43,8 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_grouped_fit", "q_source_corrupt_tolerant", "q_stream_stateful_tws",
     "q_embed_quantize", "q_text_pii_scrub",
     "q_source_xml_roundtrip", "q_stream_foreach_upsert",
-    "q_agg_sketch_merge")
+    "q_agg_sketch_merge", "q_agg_histogram_merge", "q_layout_zorder",
+    "q_maintain_compact", "q_text_containment")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

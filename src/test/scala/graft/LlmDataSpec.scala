@@ -154,6 +154,31 @@ class LlmDataSpec extends AnyFunSuite {
     assert(clusters.keySet === paired)
   }
 
+  test("q_text_containment surfaces every injected excerpt at containment 1.0") {
+    val rows = LlmData.textContainment(s, d).collect()
+    // expected parents: every 50th doc with enough tokens to shingle
+    val parents = Tables(s, d, "documents")
+      .where(pmod(col("doc_id"), lit(50)) === 0 &&
+        size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(parents.nonEmpty, "fixture must yield injected excerpts")
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Double]("cont"), r.getAs[Double]("jac")))
+    parents.foreach { p =>
+      val hit = found.find { case (a, b, _, _) => a == p && b == p + 1000000000L }
+      assert(hit.nonEmpty, s"excerpt pair for parent $p missing")
+      assert(hit.get._3 === 1.0, s"excerpt of $p must be fully contained")
+    }
+    // the operator's reason to exist: at least one pair is containment-only
+    // (would be MISSED by the Jaccard detectors at their 0.5 threshold)
+    assert(found.exists { case (_, _, cont, jac) => cont >= 0.8 && jac < 0.5 },
+      "no containment-only pair found — the asymmetric path is vacuous")
+    // and every reported pair respects the threshold + measure bounds
+    found.foreach { case (_, _, cont, jac) =>
+      assert(cont >= 0.8 && cont <= 1.0 && jac <= cont)
+    }
+  }
+
   test("q_text_pii_scrub: every doc redacts its injected PII and no address survives") {
     val rows = LlmData.textPiiScrub(s, d).collect()
     assert(rows.length === 500)

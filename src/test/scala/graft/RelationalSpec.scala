@@ -87,6 +87,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 
+  test("q_agg_histogram_merge: merged-sketch quantiles bracket the exact ones") {
+    val hist = Relational.aggHistogramMerge(s, d).collect()
+    // the sketch's quantile definition is the ⌈q·n⌉-th smallest value's bin
+    // (ceil rank, like percentile_disc) — compute that exact value per group
+    val sorted = Tables(s, d, "events").groupBy("event_type")
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[scala.collection.Seq[Double]]("vs")).toMap
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val vs = sorted(r.getAs[String]("event_type"))
+      val (h50, h90, h99) = (r.getAs[Long]("p50_lo"), r.getAs[Long]("p90_lo"),
+        r.getAs[Long]("p99_lo"))
+      assert(h50 <= h90 && h90 <= h99, "quantile bins must be monotone")
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      Seq((h50, 0.5), (h90, 0.9), (h99, 0.99)).foreach { case (lo, q) =>
+        val exact = vs(math.ceil(q * vs.length).toInt - 1)
+        assert(exact >= lo && exact < lo + 10,
+          s"ceil-rank q=$q value $exact outside sketch bin [$lo, ${lo + 10})")
+      }
+    }
+  }
+
   test("q_agg_rollup_cube: grand total row equals orders count") {
     val r = Relational.aggRollupCube(s, d)
     val grand = r.where(col("gid") === 3).collect()
