@@ -286,13 +286,17 @@ object LlmData {
   def textContainment(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sh = memo(s, s"cont_shingles:$d") {
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val excerpts = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      // the full corpus reuses the dedup family's memoized shingle table —
+      // shingling is per-doc, so only the injected excerpts (2% of docs)
+      // are shingled fresh; at scale this is the same shared corpus
+      // signature table SCALING.md prescribes for the whole dedup family
+      val excerpts = t(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(50)) === 0)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
-      docs.union(excerpts)
         .select(col("doc_id"),
           explode(call_function("graft_shingles", split(col("text"), " "))).as("sh"))
+      shingleRows(s, d).union(excerpts)
     }
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val posW = Window.partitionBy("doc_id").orderBy("df", "sh")
