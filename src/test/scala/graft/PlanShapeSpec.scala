@@ -159,6 +159,54 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_layout_zorder's write shape is one range exchange + local sort") {
+    import org.apache.spark.sql.functions._
+    // the frame layoutZorder writes, reconstructed pre-write
+    val frame = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day"))
+      .withColumn("zval", Relational.zvalue(col("o_custkey"), col("day")))
+      .repartitionByRange(16, col("zval"))
+      .sortWithinPartitions("zval")
+    val p = frame.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning(zval"),
+      s"expected a zval range exchange in:\n$p")
+    assert("Exchange ".r.findAllIn(p).length == 1,
+      s"layout write should cost exactly one exchange:\n$p")
+    // the interleave itself must be codegen'd integer ops, not an UDF
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("q_text_containment's shingle-keyed exchanges carry index rows, not document text") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.LlmData.textContainment(s, d)
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val shExchanges = root.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("sh") &&
+              !e.outputPartitioning.toString.contains("shs") => e
+      }
+      assert(shExchanges.nonEmpty, s"expected shingle-keyed exchanges in:\n$root")
+      shExchanges.foreach { e =>
+        assert(e.child.output.length <= 5 &&
+          !e.child.output.exists(a => Set("text", "shs").contains(a.name)),
+          s"shingle exchange carries payload: ${e.child.output.mkString(", ")}")
+      }
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      s.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // the 100 TB posture for selective dim ⋈ huge fact when the dim exceeds
     // broadcast size: Spark's InjectRuntimeFilter builds a bloom filter of
