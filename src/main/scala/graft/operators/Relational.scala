@@ -705,6 +705,66 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // -------------------------------------------------------- heavy hitters
+
+  /** q_agg_heavy_hitters — EXACT top-k frequent items (the top-20 most
+    * active users) computed the way that survives 100 TB: a per-partition
+    * Misra–Gries(m) pass emits at most m candidate ids per partition, the
+    * merged candidate set is broadcast back for an exact recount, and the
+    * MG frequency guarantee turns the sketch into a PROOF of exactness —
+    * any id absent from every partition summary has global count
+    * ≤ N/(m+1), so when the k-th recounted candidate strictly exceeds
+    * N/(m+1), no non-candidate can reach (or tie into) the top k. The
+    * operator CHECKS that bound on the recount (a k-row collect —
+    * control-plane, not data) and falls back to the full groupBy only if
+    * the distribution is too flat to certify, so the output is exact top-k
+    * either way and the DuckDB oracle is a plain GROUP BY / ORDER BY /
+    * LIMIT. m = 2048 certifies all fixture SFs; the point at scale: the
+    * shuffle carries ≤ m·partitions candidate rows instead of every
+    * distinct key (a full distinct-key shuffle of user ids at 100 TB is
+    * the single biggest exchange this query would otherwise have).
+    */
+  def aggHeavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHittersImpl(s, d)._1
+
+  /** Implementation returning (result, certified) so RelationalSpec can
+    * assert the fixture distribution is certified by the sketch path (the
+    * fallback exists for flat distributions, but must not be what the
+    * fixtures exercise).
+    */
+  private[graft] def heavyHittersImpl(s: SparkSession, d: String): (DataFrame, Boolean) = {
+    import s.implicits._
+    val k = 20
+    val m = 2048
+    val ev = t(s, d, "events").select(col("user_id"))
+    val cands = ev.as[Long].mapPartitions { it =>
+      val counts = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { u =>
+        if (counts.contains(u)) counts(u) += 1L
+        else if (counts.size < m) counts(u) = 1L
+        else {
+          // decrement-all step: every live counter pays one; zeros drop out
+          val kept = scala.collection.mutable.LongMap.empty[Long]
+          counts.foreach { case (key, c) => if (c > 1L) kept(key) = c - 1L }
+          counts.clear()
+          kept.foreach { case (key, c) => counts(key) = c }
+        }
+      }
+      counts.keysIterator
+    }.toDF("user_id").distinct()
+    val total = ev.count()
+    val recount = ev.join(broadcast(cands), "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val top = recount.orderBy(col("n").desc, col("user_id")).limit(k).collect()
+    val kthN = if (top.length == k) top.last.getAs[Long]("n") else 0L
+    val certified =
+      kthN * (m + 1L) > total || (top.length < k && (m + 1L) > total)
+    val exact =
+      if (certified) recount
+      else ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    (exact.orderBy(col("n").desc, col("user_id")).limit(k), certified)
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -724,6 +784,7 @@ object Relational {
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_sketch_merge" -> aggSketchMerge _,
     "q_agg_histogram_merge" -> aggHistogramMerge _,
+    "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
     "q_agg_percentile" -> aggPercentile _,
     "q_pivot_wide" -> pivotWide _,
@@ -831,6 +892,9 @@ object Relational {
         "SELECT o_orderkey, o_custkey, day, zval FROM z " +
         "WHERE o_custkey < 40 AND day >= 9862 AND day < 10227 " +
         "ORDER BY zval, o_orderkey"),
+    "q_agg_heavy_hitters" ->
+      ("SELECT user_id, count(*) AS n FROM events " +
+        "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20"),
     "q_agg_histogram_merge" ->
       ("WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
         "CAST(floor(value / 10.0) AS BIGINT) AS bin FROM events), " +

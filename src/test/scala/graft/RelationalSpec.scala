@@ -110,6 +110,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_heavy_hitters: sketch path certifies on the fixture and matches full groupBy") {
+    val (df, certified) = Relational.heavyHittersImpl(s, d)
+    assert(certified, "fixture distribution should be certified by the MG bound")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Tables(s, d, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === want.toSeq)
+    // descending with id tiebreak — the deterministic-order contract
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    }
+  }
+
   test("q_agg_rollup_cube: grand total row equals orders count") {
     val r = Relational.aggRollupCube(s, d)
     val grand = r.where(col("gid") === 3).collect()
