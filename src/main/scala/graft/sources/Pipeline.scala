@@ -295,9 +295,62 @@ object PipelineIngest {
       .orderBy("l_returnflag")
   }
 
+  /** q_maintain_delete — COPY-ON-WRITE targeted row deletion (GDPR
+    * "right to be forgotten"): remove one user's rows by rewriting ONLY
+    * the files that contain them. The landing is range-partitioned on
+    * user_id precisely so a per-user delete is file-local — the locate
+    * scan (pushdown on user_id) names the affected files via
+    * `input_file_name`, those files alone are re-read minus the target
+    * rows and swapped back; every other file is untouched (byte-identical,
+    * asserted in LayoutSpec). At 100 TB this is the difference between
+    * rewriting ~1/16th of one partition and rewriting the lake — the same
+    * reason Delta/Iceberg COW deletes key their file layout by the delete
+    * predicate's column. The affected-file list is control-plane (bounded
+    * by file count, never rows). Swap is per-file delete+rename — atomic
+    * per file but not across files; a production lake gets cross-file
+    * atomicity from a table-format commit (or the version-dir pattern of
+    * [[maintainCompact]]), which is orthogonal to the COW rewrite shown
+    * here. The re-read aggregate equals the source minus the target user —
+    * exactly what the oracle checks.
+    */
+  def maintainDelete(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_delete"
+    val land = s"$root/table"
+    val target = 7L
+    val ev = graft.Tables(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.repartitionByRange(16, col("user_id"))
+      .write.mode("overwrite").parquet(land)
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val affected = s.read.parquet(land)
+      .where(col("user_id") === target)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    if (affected.nonEmpty) {
+      val staged = s"$root/rewrite"
+      s.read.parquet(affected: _*)
+        .where(col("user_id") =!= target)
+        .repartition(affected.length)
+        .write.mode("overwrite").parquet(staged)
+      affected.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
+      fs.listStatus(new Path(staged))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (st, i) =>
+          fs.rename(st.getPath, new Path(land, s"rw-$i-${st.getPath.getName}"))
+        }
+      fs.delete(new Path(staged), true)
+    }
+    s.read.parquet(land)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_maintain_delete" -> maintainDelete _,
     "q_maintain_compact" -> maintainCompact _,
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
@@ -309,6 +362,9 @@ object PipelineIngest {
     "q_source_corrupt_tolerant" -> sourceCorruptTolerant _)
 
   val oracle: Map[String, String] = Map(
+    "q_maintain_delete" ->
+      (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events WHERE user_id <> 7 GROUP BY event_type ORDER BY event_type"),
     "q_maintain_compact" ->
       (s"SELECT l_returnflag, count(*) AS n, ${Det.sqlSumExact("l_quantity", 2)} AS sum_qty, " +
         s"${Det.sqlSumExact("l_extendedprice", 2)} AS sum_price " +

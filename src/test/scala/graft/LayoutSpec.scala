@@ -77,6 +77,24 @@ class LayoutSpec extends AnyFunSuite {
       s"compaction should collapse 64 shards to a handful, saw $compacted")
   }
 
+  test("q_maintain_delete rewrites only the files holding the target user") {
+    sources.PipelineIngest.maintainDelete(spark, sf).collect()
+    val land = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_delete/table"
+    val files = new java.io.File(land).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
+    val rewritten = files.count(_.startsWith("rw-"))
+    val untouched = files.count(_.startsWith("part-"))
+    // range-partitioned on user_id: one user lives in very few of 16 files
+    assert(rewritten >= 1 && rewritten <= 2,
+      s"delete should be file-local, rewrote $rewritten of ${files.length}")
+    assert(untouched >= 14, s"most files must survive untouched, saw $untouched")
+    // and the target user is fully gone while nothing else was lost
+    val after = spark.read.parquet(land)
+    assert(after.where(col("user_id") === 7L).isEmpty)
+    val expect = Tables(spark, sf, "events").where(col("user_id") =!= 7L).count()
+    assert(after.count() === expect)
+  }
+
   test("q_maintain_compact preserves content exactly") {
     sources.PipelineIngest.maintainCompact(spark, sf).collect()
     val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_compact"
