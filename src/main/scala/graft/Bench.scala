@@ -116,11 +116,16 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","queries":$qs}"""
     }
-    val ms = compact(1000L, "ms")
-    // centisecond fallback only if an unusually slow run overflows the
-    // 2000-char window (nothing prints after this line — build.sbt
-    // suppresses the sbt trailer — so the budget is the window itself)
-    println(if (ms.length <= 1990) ms else compact(100L, "cs"))
+    // Degrade precision until the line fits the window; if even integer
+    // seconds overflow (r4 post-mortem: the cs fallback was itself 2052
+    // chars at 96 queries), drop the per-query map from stdout entirely —
+    // bench_full.json above carries the canonical per-query record.
+    val totalOnly =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"bench_full.json"}"""
+    val line = Seq(compact(1000L, "ms"), compact(100L, "cs"),
+        compact(10L, "ds"), compact(1L, "s"))
+      .find(_.length <= 1990).getOrElse(totalOnly)
+    println(line)
     spark.stop()
   }
 }

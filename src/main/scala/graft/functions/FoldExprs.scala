@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
   * non-null elements; the HOF's mixed semantics for null elements
   * (array_max skips nulls, the sum fold poisons) are intentionally not
   * reproduced — documented per the SignProjectExpr parity-scope precedent.
+  *
+  * Non-finite scope: likewise out of parity. The scale loop's `>` skips
+  * NaN where HOF `array_max` ranks NaN highest; what IS guaranteed is no
+  * crash — `round0` passes NaN/Infinity through exactly like Catalyst's
+  * `Round` on DoubleType (asserted in FunctionsSpec).
   */
 case class SumSqExpr(child: Expression) extends UnaryExpression {
 
@@ -150,8 +155,11 @@ object QuantErrExpr {
   /** Catalyst `Round(_, 0)` on DoubleType, exactly: decimal (shortest-
     * representation) HALF_UP — NOT `Math.floor(v + 0.5)`, which differs on
     * values like 0.49999999999999994 where `v + 0.5` rounds up in binary.
+    * NaN/Infinity pass through unchanged (BigDecimal.valueOf would throw),
+    * matching Round's DoubleType behavior on non-finite inputs.
     */
   def round0(v: Double): Double =
-    java.math.BigDecimal.valueOf(v)
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
 }

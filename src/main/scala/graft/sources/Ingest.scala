@@ -115,15 +115,19 @@ class JdkHttpTransport(timeoutMs: Long = 30000) extends HttpTransport {
       headers: Map[String, String]): String = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
+    // headers first, basic auth last via setHeader: Builder.header APPENDS,
+    // so a caller passing both basicAuth and an Authorization entry would
+    // otherwise send two Authorization headers. setHeader replaces, making
+    // the explicit credentials authoritative.
+    headers.foreach { case (k, v) => b.header(k, v) }
     basicAuth match {
       case Some((user, pass)) =>
         val enc = java.util.Base64.getEncoder
           .encodeToString(s"$user:$pass".getBytes("UTF-8"))
-        b.header("Authorization", s"Basic $enc")
+        b.setHeader("Authorization", s"Basic $enc")
           .POST(java.net.http.HttpRequest.BodyPublishers.noBody())
       case None => b.GET()
     }
-    headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)

@@ -283,6 +283,57 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 0.0 && r.getLong(1) === 0L && r.getDouble(2) === 0.0)
   }
 
+  test("QuantErrExpr: non-finite elements don't crash and round0 passes them through") {
+    import graft.functions.{GraftFunctions, QuantErrExpr}
+    // Catalyst Round on DoubleType passes non-finite through; BigDecimal
+    // .valueOf(NaN) would throw NumberFormatException instead
+    assert(QuantErrExpr.round0(Double.NaN).isNaN)
+    assert(QuantErrExpr.round0(Double.PositiveInfinity) === Double.PositiveInfinity)
+    assert(QuantErrExpr.round0(Double.NegativeInfinity) === Double.NegativeInfinity)
+    assert(QuantErrExpr.round0(0.49999999999999994) === 0.0)
+    GraftFunctions.register(s)
+    import s.implicits._
+    val r = Seq((1L, Seq(1f, Float.NaN, 2f)), (2L, Seq(Float.PositiveInfinity, 1f)))
+      .toDF("id", "embedding")
+      .select(expr("graft_quant_err(embedding)").as("q"))
+      .select("q.scale_raw", "q.err_sum_micro", "q.err_max_raw")
+      .collect()
+    // Non-finite is out of parity scope (docstring): the max loop's `>`
+    // skips NaN (HOF array_max would rank it highest), Infinity dominates.
+    // What matters here: the audit survives and yields something sane.
+    assert(r.length === 2)
+    assert(r(0).getDouble(0) === 2.0 / 127d)
+    assert(r(1).getDouble(0) === Double.PositiveInfinity)
+    assert(r(1).getLong(1) === 0L)
+  }
+
+  test("JdkHttpTransport sends exactly one Authorization header with basicAuth + headers") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var authValues: java.util.List[String] = null
+    server.createContext("/probe", (ex: HttpExchange) => {
+      authValues = ex.getRequestHeaders.get("Authorization")
+      val bytes = "{}".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // a caller passing BOTH basicAuth and an Authorization header entry:
+      // the explicit credentials must win (setHeader replaces), not stack
+      new graft.sources.JdkHttpTransport().fetch(s"$base/probe",
+        basicAuth = Some(("id", "secret")),
+        headers = Map("Authorization" -> "stale-token", "X-Trace" -> "t1"))
+      val want = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("id:secret".getBytes("UTF-8"))
+      assert(authValues !== null)
+      assert(authValues.size() === 1)
+      assert(authValues.get(0) === want)
+    } finally server.stop(0)
+  }
+
   test("JdkHttpTransport drives the full RestIngest flow over real HTTP") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
