@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the engine's fee computation — the
   * `q_udf_scalar` surface (SURVEY.md §2B). A tiered processing fee over a
@@ -107,7 +107,9 @@ object GraftFunctions {
     ("graft_sumsq", classOf[SumSqExpr],
       exprs => SumSqExpr(floatArray(exprs(0)))),
     ("graft_quant_err", classOf[QuantErrExpr],
-      exprs => QuantErrExpr(floatArray(exprs(0)))))
+      exprs => QuantErrExpr(floatArray(exprs(0)))),
+    ("graft_bloom_contains", classOf[BloomContainsExpr],
+      exprs => BloomContainsExpr(Cast(exprs(0), LongType), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     defs.foreach { case (name, _, builder) =>

@@ -399,6 +399,41 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q_join_bloom_pruned — SEMI-JOIN REDUCTION via an explicit Bloom
+    * filter: a selective dimension-side predicate (urgent finalized orders,
+    * ~6.6% of lineitem) is turned into a ~KB membership sketch that prunes
+    * the 100 TB probe side AT THE SCAN, before any exchange. The filter is
+    * built distributed (`stat.bloomFilter` runs a partial-aggregate per
+    * partition and merges ~KB summaries on the driver — control-plane
+    * state, the IVF-codebook precedent), then rides to executors as a plan
+    * literal probed by the codegen'd [[graft.functions.BloomContainsExpr]].
+    *
+    * Why explicit when AQE has `runtime.bloomFilter`: the built-in rewrite
+    * only fires past cost thresholds and can't see through every plan
+    * shape; the named operator guarantees the reduction. Since Bloom
+    * filters have no false negatives the final exact join keeps results
+    * identical to the plain join — false positives only cost shuffle bytes
+    * (fpp 1%) — so the DuckDB oracle is the plain join. PlanShapeSpec
+    * asserts the probe predicate sits below the join's exchange.
+    */
+  def joinBloomPruned(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val build = t(s, d, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bf = build.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val pruned = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .where(call_function("graft_bloom_contains", col("l_orderkey"), lit(bos.toByteArray)))
+    pruned.join(build.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy("o_year")
+  }
+
   /** q_window_ntile — the rank-fraction window family: decile bucketing,
     * percent_rank, cume_dist. All three are exact rationals of (rank, n)
     * with a deterministic tie-break order, so no rounding is needed.
@@ -663,6 +698,58 @@ object Relational {
       .orderBy("zval", "o_orderkey")
   }
 
+  /** q_scan_manifest_skip — MANIFEST-BASED FILE SKIPPING, the explicit-index
+    * complement of [[layoutZorder]]'s implicit row-group stats: the table is
+    * landed range-partitioned on the skip column (so each file owns a tight
+    * date range), and a persisted MANIFEST (file → min/max o_orderdate +
+    * rows) is computed in the same pass a lake format would. A probe first
+    * consults the manifest — control-plane: one row per FILE, collected on
+    * the driver like Iceberg's planning scan over manifests — and hands the
+    * surviving file list to the reader, so non-overlapping files are never
+    * listed, opened, or footer-read. At 100 TB with ~10^6 files this moves
+    * pruning from "open every footer" (row-group stats) to "read a KB-scale
+    * index", which is the entire reason table formats keep manifests. The
+    * residual in-file predicate still applies (file grain is coarser than
+    * row grain), so results are identical to the full scan + filter — which
+    * is exactly the DuckDB oracle. LayoutSpec asserts the probe reads a
+    * strict subset of the files.
+    */
+  def scanManifestSkip(s: SparkSession, d: String): DataFrame =
+    scanManifestSkipImpl(s, d)._1
+
+  /** Implementation returning (result, filesRead, filesTotal) so LayoutSpec
+    * can assert real file-level pruning happened.
+    */
+  private[graft] def scanManifestSkipImpl(
+      s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_scan_manifest_skip"
+    t(s, d, "orders")
+      .repartitionByRange(16, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(s"$root/table")
+    // the manifest a lake format would persist at commit time: per-file
+    // min/max of the skip column (+ row count for planning)
+    s.read.parquet(s"$root/table")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"),
+        count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    val manifest = s.read.parquet(s"$root/manifest")
+    val (probeLo, probeHi) = ("1997-01-01", "1998-01-01")
+    val survivors = manifest
+      .where(col("hi") >= lit(probeLo).cast("timestamp") &&
+        col("lo") < lit(probeHi).cast("timestamp"))
+      .select("file").collect().map(_.getString(0))
+    val total = manifest.count().toInt
+    val probed = s.read.parquet(survivors: _*)
+      .where(col("o_orderdate") >= lit(probeLo).cast("timestamp") &&
+        col("o_orderdate") < lit(probeHi).cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+    (probed, survivors.length, total)
+  }
+
   // ------------------------------------------------------ mergeable hist
 
   /** q_agg_histogram_merge — REAGGREGATABLE QUANTILES via fixed-bin
@@ -786,11 +873,13 @@ object Relational {
     "q_agg_histogram_merge" -> aggHistogramMerge _,
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
+    "q_scan_manifest_skip" -> scanManifestSkip _,
     "q_agg_percentile" -> aggPercentile _,
     "q_pivot_wide" -> pivotWide _,
     "q_unpivot_long" -> unpivotLong _,
     "q_join_bucketed" -> joinBucketed _,
     "q_join_skew_salted" -> joinSkewSalted _,
+    "q_join_bloom_pruned" -> joinBloomPruned _,
     "q_window_ntile" -> windowNtile _,
     "q_sample_stratified" -> sampleStratified _,
     "q_agg_stats" -> aggStats _,
@@ -961,6 +1050,22 @@ object Relational {
         s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // file skipping must be invisible to results: the oracle is the plain
+    // full-scan filter over the source table
+    "q_scan_manifest_skip" ->
+      ("SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n, " +
+        s"${sqlSumExact("o_totalprice", 2)} AS revenue " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY month ORDER BY month"),
+    // the Bloom prune has no false negatives, so the oracle is the PLAIN
+    // join — any filter-induced result change would hash-mismatch here
+    "q_join_bloom_pruned" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_items, " +
+        s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' " +
+        "GROUP BY o_year ORDER BY o_year"),
     "q_pivot_wide" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS yr, " +
         "sum(round(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END * 100, 0)) / 100 AS rev_f, " +

@@ -347,9 +347,62 @@ object PipelineIngest {
       .orderBy("event_type")
   }
 
+  /** q_maintain_scd2 — SLOWLY-CHANGING-DIMENSION TYPE-2 MERGE, the lake
+    * pattern behind every "current + full history" dimension table: a
+    * persisted SCD2 dim (one validity interval [valid_from, valid_to) per
+    * attribute version, open-ended = current) absorbs a new change batch by
+    * (a) CLOSING each touched user's current row at the user's first batch
+    * timestamp and (b) APPENDING the batch's own intervals, last one open.
+    *
+    * The correctness statement is the strong one: the incremental merge
+    * must equal a FULL REBUILD of SCD2 over all of history — and that full
+    * rebuild (one window lead per user) is exactly the DuckDB oracle, so
+    * the equivalence is hash-checked, not asserted.
+    *
+    * Scale shape: history is touched only via a join against the per-user
+    * first-batch-timestamp table — bounded by the BATCH's user count and
+    * broadcast, so a daily batch against a 100 TB dim moves no history
+    * rows between executors (the untouched-user rows stream through
+    * map-side). The window runs per user WITHIN the small batch only;
+    * nothing re-sorts accumulated history. Both dim and merged dim are
+    * persisted+re-read (lake realism, like the other maintain_* ops).
+    */
+  def maintainScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_scd2"
+    val cutoff = "2024-01-25"
+    val ev = graft.Tables(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("value").as("attr_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from").asc, col("event_id").asc)
+    def scd2(df: DataFrame): DataFrame = df
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+    // the persisted dim: SCD2 over history (everything before the cutoff)
+    scd2(ev.where(col("valid_from") < lit(cutoff).cast("timestamp")))
+      .write.mode("overwrite").parquet(s"$root/dim")
+    val dim = s.read.parquet(s"$root/dim")
+    val batch = ev.where(col("valid_from") >= lit(cutoff).cast("timestamp"))
+    // control-plane-sized: one row per user PRESENT IN THE BATCH
+    val firstBatch = batch.groupBy("user_id")
+      .agg(min(col("valid_from")).as("batch_from"))
+    val closed = dim.join(broadcast(firstBatch), Seq("user_id"), "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("batch_from").isNotNull, col("batch_from"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("batch_from").isNull)
+      .drop("batch_from")
+    closed.unionByName(scd2(batch))
+      .write.mode("overwrite").parquet(s"$root/dim_next")
+    s.read.parquet(s"$root/dim_next")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_maintain_scd2" -> maintainScd2 _,
     "q_maintain_delete" -> maintainDelete _,
     "q_maintain_compact" -> maintainCompact _,
     "q_pipeline_ingest" -> pipelineIngest _,
@@ -362,6 +415,12 @@ object PipelineIngest {
     "q_source_corrupt_tolerant" -> sourceCorruptTolerant _)
 
   val oracle: Map[String, String] = Map(
+    // the FULL REBUILD over all history — the merge must reproduce it exactly
+    "q_maintain_scd2" ->
+      ("SELECT user_id, event_id, ts AS valid_from, value AS attr_value, " +
+        "lead(ts) OVER w AS valid_to, (lead(ts) OVER w IS NULL) AS is_current " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, valid_from, event_id"),
     "q_maintain_delete" ->
       (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value " +
         "FROM events WHERE user_id <> 7 GROUP BY event_type ORDER BY event_type"),

@@ -307,6 +307,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(1).getLong(1) === 0L)
   }
 
+  test("BloomContainsExpr: no false negatives, bounded false positives, interpreted ≡ codegen") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    val orders = Tables(s, d, "orders")
+    val keys = orders.where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bf = keys.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    def probe = call_function("graft_bloom_contains", col("o_orderkey"), lit(bytes))
+    // no false negatives: every inserted key probes true through the
+    // DataFrame (codegen) path — this is what makes prune-then-join exact
+    assert(keys.where(!probe).count() === 0L)
+    // false positives on non-member keys stay near the declared 1% fpp
+    val nonMembers = orders.where(col("o_orderpriority") =!= "1-URGENT")
+    val fpr = nonMembers.where(probe).count().toDouble / nonMembers.count()
+    assert(fpr < 0.05, s"false-positive rate $fpr far above declared 1%")
+    // interpreted eval agrees with the codegen'd path
+    val someKeys = orders.select("o_orderkey").limit(64).collect().map(_.getLong(0))
+    val exprInst = graft.functions.BloomContainsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      org.apache.spark.sql.catalyst.expressions.Literal(bytes))
+    someKeys.foreach { k =>
+      assert(exprInst.test(k) === bf.mightContainLong(k))
+    }
+  }
+
   test("JdkHttpTransport sends exactly one Authorization header with basicAuth + headers") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)

@@ -64,6 +64,54 @@ class LayoutSpec extends AnyFunSuite {
       "increasing either coordinate increases zval from a fixed cell")
   }
 
+  test("q_scan_manifest_skip reads a strict subset of the files, correctly") {
+    val (df, read, total) = operators.Relational.scanManifestSkipImpl(spark, sf)
+    // the probe year is ~1/6.5 of the table's date span: range-partitioned
+    // files must let the manifest eliminate most of them
+    assert(read < total, s"manifest pruned nothing: $read of $total files")
+    assert(read.toDouble / total <= 0.5, s"weak pruning: $read of $total files")
+    // and skipping is invisible to results: equals the full-scan filter
+    val full = Tables(spark, sf, "orders")
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        operators.Det.sumExact(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+    assert(df.collect() === full.collect())
+  }
+
+  test("q_maintain_scd2 merge equals the full SCD2 rebuild; intervals tile per user") {
+    val merged = sources.PipelineIngest.maintainScd2(spark, sf).collect()
+    // full rebuild over ALL history in one window pass
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from").asc, col("event_id").asc)
+    val rebuilt = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("value").as("attr_value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+      .select("user_id", "event_id", "valid_from", "attr_value",
+        "valid_to", "is_current")
+    assert(merged === rebuilt.collect())
+    // structural invariants: exactly one current row per user, and each
+    // user's intervals tile history (next valid_from == previous valid_to)
+    val byUser = merged.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rows) =>
+      assert(rows.count(_.getAs[Boolean]("is_current")) === 1, s"user $u")
+      val sorted = rows.sortBy(r =>
+        (r.getAs[java.sql.Timestamp]("valid_from").getTime, r.getAs[Long]("event_id")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ===
+            b.getAs[java.sql.Timestamp]("valid_from"), s"gap for user $u")
+        case _ =>
+      }
+    }
+  }
+
   test("q_maintain_compact collapses the fragmented file set") {
     sources.PipelineIngest.maintainCompact(spark, sf).collect()
     val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_compact"
@@ -84,10 +132,14 @@ class LayoutSpec extends AnyFunSuite {
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
     val rewritten = files.count(_.startsWith("rw-"))
     val untouched = files.count(_.startsWith("part-"))
-    // range-partitioned on user_id: one user lives in very few of 16 files
+    // range-partitioned on user_id: one user lives in very few of 16 files.
+    // The non-empty file count varies with range-sampling boundaries (15
+    // distinct users at sf0.001 can land as 13-15 non-empty partitions),
+    // so assert the PROPORTION untouched, not an absolute count.
     assert(rewritten >= 1 && rewritten <= 2,
       s"delete should be file-local, rewrote $rewritten of ${files.length}")
-    assert(untouched >= 14, s"most files must survive untouched, saw $untouched")
+    assert(untouched.toDouble / files.length >= 0.8,
+      s"most files must survive untouched, saw $untouched of ${files.length}")
     // and the target user is fully gone while nothing else was lost
     val after = spark.read.parquet(land)
     assert(after.where(col("user_id") === 7L).isEmpty)

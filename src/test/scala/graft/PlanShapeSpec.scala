@@ -75,6 +75,20 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_join_bloom_pruned probes the filter below the join, pruning before the exchange") {
+    val df = Relational.joinBloomPruned(s, d)
+    val p = plan(df)
+    assert(p.contains("graft_bloom_contains"), s"no bloom probe in plan:\n$p")
+    // the probe must sit on the scan side BELOW the join (tree print is
+    // top-down, so the filter line appears after the join line and the
+    // probe-side exchange, i.e. rows are dropped before being shuffled)
+    val lines = p.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    val bloomIdx = lines.indexWhere(_.contains("graft_bloom_contains"))
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      s"bloom filter not below the join (join@$joinIdx, bloom@$bloomIdx):\n$p")
+  }
+
   test("q_simsearch_ivf probes via static partition pruning on the cell index") {
     val df = graft.operators.LlmData.simsearchIvf(s, d)
     val p = plan(df)
