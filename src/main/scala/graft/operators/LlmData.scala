@@ -993,6 +993,116 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_tfidf — BM25 term scoring (Robertson & Walker's Okapi weighting,
+    * k1 = 1.2, b = 0.75): per-document top-3 terms by
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))` with
+    * `idf = log10((N − df + 0.5)/(df + 0.5) + 1)` — the retrieval-grade
+    * relevance signal used for corpus curation (keyword extraction, query
+    * mining, boilerplate detection via top-term stability).
+    *
+    * Cross-engine determinism: every input is an exact integer (tf, df, N,
+    * len); the one float expression is written with the IDENTICAL text and
+    * association in Spark and DuckDB and fixed-point-scaled to an integer
+    * micro-score (the unigram-LM precedent), so ranking and output both
+    * hash-match.
+    *
+    * Scale: df and the doc-frequency table are VOCABULARY-sized →
+    * broadcast; tf and len are doc-keyed hash aggregates with map-side
+    * partials; the only corpus-sized shuffle is the (doc_id, tok) tf
+    * aggregate, keys carrying doc_id so corpus-wide token skew cannot
+    * hot-spot a partition. The top-3 window runs per doc over ≤|vocab| rows.
+    */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val dft = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dlen")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("tok").asc)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("score_micro", expr(bm25Micro))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("doc_id", "rk", "tok", "tf", "df", "score_micro")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** The BM25 micro-score expression — identical text in Spark and DuckDB
+    * so both engines build the same double-arithmetic tree.
+    */
+  private val bm25Micro: String =
+    "CAST(round(log10((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))) * " +
+      "1000000, 0) AS BIGINT)"
+
+  /** q_embed_kmeans_step — one exact Lloyd iteration over the embedding
+    * corpus with k = 8 seed centroids (the vectors of vec_id 0..7):
+    * nearest-centroid assignment by squared L2, then per-cluster size,
+    * inertia, and the leading dimensions of the updated (mean) centroid.
+    * This is the kernel of corpus clustering / semantic bucketing /
+    * IVF-codebook training.
+    *
+    * Scale shape — the important part: the assignment is ZERO-shuffle. The
+    * k centroids are control-plane state (driver-collected like the IVF
+    * codebook, k·dims doubles) and enter the plan as array LITERALS, so
+    * each row computes its 8 distances and argmin entirely inside the scan
+    * projection via the codegen'd [[graft.functions.DotExpr]] — no
+    * explode-by-k, no per-(row,centroid) join, nothing resembling the
+    * cross join a naive formulation shuffles. The only exchange is the
+    * 8-group aggregate, collapsed to ≤ 8 rows per partition by map-side
+    * partials. Distances decompose as x·x − 2·x·c + c·c with every dot an
+    * ascending-index double fold — bit-identical to the DuckDB oracle's
+    * `list_reduce` (the q_simsearch_topk doctrine), so the argmin picks
+    * the same cluster in both engines; ties break to the smaller centroid
+    * id via `least`-then-first-match.
+    */
+  def embedKmeansStep(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val k = 8
+    val emb = t(s, d, "embeddings")
+    // control-plane: k seed vectors; c·c computed on the driver with the
+    // same ascending double fold the engines use
+    val seeds: Map[Int, (Seq[Float], Double)] = emb
+      .where(col("vec_id") < k).select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var cc = 0.0
+        var i = 0
+        while (i < v.length) { cc += v(i).toDouble * v(i).toDouble; i += 1 }
+        r.getLong(0).toInt -> (v, cc)
+      }.toMap
+    val d2Cols = (0 until k).map { c =>
+      val (v, cc) = seeds(c)
+      (VectorOps.dot(col("embedding"), col("embedding"))
+        - lit(2.0) * VectorOps.dot(col("embedding"), typedlit(v))
+        + lit(cc)).as(s"d2_$c")
+    }
+    val withD2 = emb.select(col("vec_id") +: col("embedding") +: d2Cols: _*)
+      .withColumn("d2", least((0 until k).map(c => col(s"d2_$c")): _*))
+    // first centroid matching the min distance = smallest id on ties
+    val cluster = (0 until k).foldRight(lit(-1): Column) { (c, e) =>
+      when(col(s"d2_$c") === col("d2"), lit(c)).otherwise(e)
+    }
+    withD2.withColumn("cluster_id", cluster)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("d2"), 6).as("inertia"),
+        (sumExact(col("embedding").getItem(0).cast("double"), 6) / count(lit(1)))
+          .as("c0_mean"),
+        (sumExact(col("embedding").getItem(1).cast("double"), 6) / count(lit(1)))
+          .as("c1_mean"),
+        (sumExact(col("embedding").getItem(2).cast("double"), 6) / count(lit(1)))
+          .as("c2_mean"))
+      .orderBy("cluster_id")
+  }
+
   /** q_corpus_domain_cap — domain-mixture capping: no source contributes
     * more than `cap` documents (the standard rebalancing step before
     * training-mix weighting; deterministic — first `cap` doc_ids win).
@@ -1079,6 +1189,8 @@ object LlmData {
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
+    "q_text_tfidf" -> textTfidf _,
+    "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
     "q_text_containment" -> textContainment _,
@@ -1087,6 +1199,37 @@ object LlmData {
     "q_pack_sequences" -> packSequences _)
 
   val oracle: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tfq AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok), " +
+        "dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id), " +
+        "dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "ad AS (SELECT sum(dlen) * 1.0 / count(*) AS avgdl FROM dl), " +
+        "scored AS (SELECT tfq.doc_id AS doc_id, tfq.tok AS tok, tfq.tf AS tf, dft.df AS df, " +
+        s"$bm25Micro AS score_micro " +
+        "FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id JOIN dft ON tfq.tok = dft.tok " +
+        "CROSS JOIN nd CROSS JOIN ad), " +
+        "ranked AS (SELECT doc_id, tok, tf, df, score_micro, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rk " +
+        "FROM scored) " +
+        "SELECT doc_id, rk, tok, tf, df, score_micro FROM ranked WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"),
+    "q_embed_kmeans_step" ->
+      ("WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid, " +
+        s"(${graft.functions.VectorOps.sqlDot("e.embedding", "e.embedding")} - " +
+        s"2.0 * ${graft.functions.VectorOps.sqlDot("e.embedding", "c.ce")} + " +
+        s"${graft.functions.VectorOps.sqlDot("c.ce", "c.ce")}) AS d2 " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "m AS (SELECT vec_id, embedding, cid, d2, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM a) " +
+        "SELECT cid AS cluster_id, count(*) AS n, " +
+        s"${Det.sqlSumExact("d2", 6)} AS inertia, " +
+        s"${Det.sqlSumExact("CAST(embedding[1] AS DOUBLE)", 6)} / count(*) AS c0_mean, " +
+        s"${Det.sqlSumExact("CAST(embedding[2] AS DOUBLE)", 6)} / count(*) AS c1_mean, " +
+        s"${Det.sqlSumExact("CAST(embedding[3] AS DOUBLE)", 6)} / count(*) AS c2_mean " +
+        "FROM m WHERE rk = 1 GROUP BY cid ORDER BY cluster_id"),
     "q_text_containment" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000000 AS doc_id, " +

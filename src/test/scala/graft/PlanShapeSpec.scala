@@ -89,6 +89,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom filter not below the join (join@$joinIdx, bloom@$bloomIdx):\n$p")
   }
 
+  test("q_embed_kmeans_step assignment is join-free and explode-free (one agg exchange)") {
+    val df = graft.operators.LlmData.embedKmeansStep(s, d)
+    val p = plan(df)
+    // centroids are literals: no join, no explode-by-k — the naive
+    // cross-join formulation would shuffle 8x the corpus
+    assert(!p.contains("Join"), s"assignment should not join:\n$p")
+    assert(!p.contains("Generate"), s"assignment should not explode:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"expected exactly the one 8-group agg exchange, saw $hashEx:\n$p")
+  }
+
+  test("q_text_tfidf broadcasts the vocabulary-sized df table") {
+    val p = plan(graft.operators.LlmData.textTfidf(s, d))
+    assert(p.contains("BroadcastHashJoin"), s"df join should broadcast:\n$p")
+  }
+
   test("q_simsearch_ivf probes via static partition pruning on the cell index") {
     val df = graft.operators.LlmData.simsearchIvf(s, d)
     val p = plan(df)
