@@ -1103,6 +1103,29 @@ object LlmData {
       .orderBy("cluster_id")
   }
 
+  /** q_sample_hash — DETERMINISTIC, ENGINE-PORTABLE stratified sampling:
+    * each document's md5 over a salted doc_id yields a uniform 256-bucket
+    * key, and per-language hex thresholds keep 50% of `en`, 25% of the
+    * rest. This is the reproducible-corpus-split primitive (train/eval
+    * splits, ablation subsets): membership is a pure function of
+    * (salt, doc_id), so ANY engine — Spark here, DuckDB in the oracle,
+    * any warehouse later — materializes the identical subset, unlike
+    * `sampleBy`'s engine-private RNG (`q_sample_stratified`, which is
+    * deliberately kept as the API demo with a rows-only check). Changing
+    * the salt re-rolls the split; keeping it pins the split forever.
+    *
+    * Scale: embarrassingly parallel scan-side projection + filter, no
+    * shuffle, codegen'd md5.
+    */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("bucket",
+        substring(md5(concat(lit("graft:"), col("doc_id").cast("string"))), 1, 2))
+      .where((col("lang") === "en" && col("bucket") < "80") ||
+        (col("lang") =!= "en" && col("bucket") < "40"))
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy("doc_id")
+
   /** q_corpus_domain_cap — domain-mixture capping: no source contributes
     * more than `cap` documents (the standard rebalancing step before
     * training-mix weighting; deterministic — first `cap` doc_ids win).
@@ -1190,6 +1213,7 @@ object LlmData {
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
     "q_text_tfidf" -> textTfidf _,
+    "q_sample_hash" -> sampleHash _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -1199,6 +1223,13 @@ object LlmData {
     "q_pack_sequences" -> packSequences _)
 
   val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      ("SELECT doc_id, lang, source, bucket FROM (" +
+        "SELECT doc_id, lang, source, " +
+        "substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket " +
+        "FROM documents) " +
+        "WHERE (lang = 'en' AND bucket < '80') OR (lang <> 'en' AND bucket < '40') " +
+        "ORDER BY doc_id"),
     "q_text_tfidf" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "tfq AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok), " +

@@ -792,6 +792,44 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q_agg_incremental — EXACT INCREMENTAL ROLLUP MAINTENANCE, the additive
+    * complement of [[aggSketchMerge]] (approx-distinct) and
+    * [[aggHistogramMerge]] (quantiles): a persisted per-(type, day)
+    * partial-aggregate table (count, integer-cent sum, min, max — all
+    * mergeable) absorbs a new day's delta by pure partial-merge, and the
+    * final per-type totals equal a full recompute over raw data — which is
+    * exactly the DuckDB oracle, so "incremental ≡ full" is hash-checked.
+    *
+    * At 100 TB this is THE daily-rollup pattern: yesterday's raw events
+    * are never rescanned — the merge reads |types|·|days| partial rows plus
+    * one day of raw delta. Integer-cent sums make the merge exact in any
+    * combine order; avg is derived post-merge (sum/n), never averaged
+    * across partials.
+    */
+  def aggIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_agg_incremental"
+    val cutoff = "2024-01-25"
+    val ev = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0)).as("sum_cents"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    // the persisted rollup state as of the cutoff
+    partials(ev.where(col("day") < lit(cutoff).cast("date")))
+      .write.mode("overwrite").parquet(s"$root/daily")
+    // merge: stored partials + fresh-delta partials, no raw-history rescan
+    s.read.parquet(s"$root/daily")
+      .unionByName(partials(ev.where(col("day") >= lit(cutoff).cast("date"))))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        (sum(col("sum_cents")) / 100).as("sum_value"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .withColumn("avg_value", r(col("sum_value") / col("n"), 4))
+      .orderBy("event_type")
+  }
+
   // -------------------------------------------------------- heavy hitters
 
   /** q_agg_heavy_hitters — EXACT top-k frequent items (the top-20 most
@@ -871,6 +909,7 @@ object Relational {
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_sketch_merge" -> aggSketchMerge _,
     "q_agg_histogram_merge" -> aggHistogramMerge _,
+    "q_agg_incremental" -> aggIncremental _,
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
     "q_scan_manifest_skip" -> scanManifestSkip _,
@@ -1050,6 +1089,13 @@ object Relational {
         s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // incremental merge must equal the full recompute over raw history
+    "q_agg_incremental" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "sum(round(value * 100, 0)) / 100 AS sum_value, " +
+        "min(value) AS min_value, max(value) AS max_value, " +
+        "round((sum(round(value * 100, 0)) / 100 / count(*)) * 10000, 0) / 10000 AS avg_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // file skipping must be invisible to results: the oracle is the plain
     // full-scan filter over the source table
     "q_scan_manifest_skip" ->

@@ -46,7 +46,8 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_sketch_merge", "q_agg_histogram_merge", "q_layout_zorder",
     "q_maintain_compact", "q_maintain_delete", "q_text_containment",
     "q_agg_heavy_hitters", "q_join_bloom_pruned", "q_maintain_scd2",
-    "q_scan_manifest_skip", "q_text_tfidf", "q_embed_kmeans_step")
+    "q_scan_manifest_skip", "q_text_tfidf", "q_embed_kmeans_step",
+    "q_agg_incremental", "q_sample_hash")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
