@@ -9,11 +9,13 @@ import org.apache.spark.sql.SparkSession
   *     the canonical line is ~2.1–2.2 KB, so every previous round lost the
   *     leading entries AND the `"metric":"total"` header (parsed: null).
   *   - Fix: the stdout line drops the shared `q_` name prefix (declared
-  *     via `"prefix":"q_"`) and reports integer milliseconds (declared via
-  *     `"unit":"ms"`), which measures ~1.93 KB — inside the window.
-  *     `build.sbt` sets `run / outputStrategy := StdoutOutput` (no sbt
-  *     `[info]` prefix on the line) and `Global / showSuccess := false`
-  *     (no `[success] Total time …` trailer after it).
+  *     via `"prefix":"q_"`) and degrades precision ms→cs→ds→s until the
+  *     line fits; past ~100 queries no full map fits at any precision, so
+  *     the line keeps the SLOWEST entries up to the byte budget plus an
+  *     `"elided"` count. `build.sbt` sets `run / outputStrategy :=
+  *     StdoutOutput` (no sbt `[info]` prefix on the line) and
+  *     `Global / showSuccess := false` (no `[success] Total time …`
+  *     trailer after it).
   *   - The complete canonical record (full `q_*` names, 3-decimal seconds,
   *     per-query + total) is additionally written to `bench_full.json` in
   *     the working directory so the full data survives regardless of the
@@ -116,15 +118,31 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","queries":$qs}"""
     }
-    // Degrade precision until the line fits the window; if even integer
-    // seconds overflow (r4 post-mortem: the cs fallback was itself 2052
-    // chars at 96 queries), drop the per-query map from stdout entirely —
-    // bench_full.json above carries the canonical per-query record.
-    val totalOnly =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"bench_full.json"}"""
+    // Degrade precision until the line fits the window. If even integer
+    // seconds overflow (96 queries put the cs line at 2052 chars in r4;
+    // 104 put the s line past it too), keep the SLOWEST queries — the
+    // entries a reader acts on — up to the byte budget and say how many
+    // were elided; bench_full.json above carries the canonical record.
+    def slowest(scale: Long, unit: String): String = {
+      val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","n":${results.size},"queries_file":"bench_full.json","slowest":{"""
+      val entries = results.sortBy(-_._2).iterator
+        .map { case (k, v) => s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}" }
+      val sb = new StringBuilder(header)
+      var n = 0
+      var done = false
+      entries.takeWhile(_ => !done).foreach { e =>
+        val sep = if (n == 0) 0 else 1
+        // +40 slack for the closing `},"elided":NNN}` tail
+        if (sb.length + sep + e.length + 40 <= 1990) {
+          if (n > 0) sb.append(',')
+          sb.append(e); n += 1
+        } else done = true
+      }
+      sb.append(s"""},"elided":${results.size - n}}""").toString
+    }
     val line = Seq(compact(1000L, "ms"), compact(100L, "cs"),
         compact(10L, "ds"), compact(1L, "s"))
-      .find(_.length <= 1990).getOrElse(totalOnly)
+      .find(_.length <= 1990).getOrElse(slowest(1000L, "ms"))
     println(line)
     spark.stop()
   }

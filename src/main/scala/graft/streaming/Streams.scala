@@ -318,6 +318,36 @@ object Streams {
     }
   }
 
+  /** q_stream_topk — windowed TRENDING TOP-K (most-active users per
+    * 10-minute window), the two-stage shape every production trending
+    * feature uses because ranking is not an incremental streaming
+    * aggregate: stage 1 runs INSIDE the stream — per-(window, user) counts
+    * in append mode, watermark-flushed, state bounded by open windows —
+    * and stage 2 ranks the FLUSHED aggregate rows (orders of magnitude
+    * smaller than the feed: one row per active user per window) with an
+    * ordinary batch window function, ties broken by user_id. At 100 TB/day
+    * the stream stage absorbs the volume with map-side partials into keyed
+    * state; the rank stage's input is bounded by users-per-window, not
+    * events.
+    */
+  def streamTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flushed = runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      .where(col("user_id") =!= -1L) // sentinel's window never flushes; belt+braces
+    val rk = Window.partitionBy("win_start").orderBy(col("n").desc, col("user_id").asc)
+    flushed
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("user_id"), col("n"))
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= 3)
+      .orderBy("win_start", "rk")
+  }
+
   /** q_stream_watermark_late — hourly tumbling counts in APPEND mode with a
     * 10-minute watermark, demonstrating late-data drop (the streaming
     * analogue of the reference's bounded sensor wait,
@@ -667,6 +697,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling _,
+    "q_stream_topk" -> streamTopk _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
@@ -679,6 +710,14 @@ object Streams {
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q_stream_topk" ->
+      ("WITH wc AS (SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) " +
+        "AS w0, user_id, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT w0, user_id, n, " +
+        "row_number() OVER (PARTITION BY w0 ORDER BY n DESC, user_id) AS rk FROM wc) " +
+        "SELECT CAST(w0 AS TIMESTAMP) AS win_start, " +
+        "CAST(w0 + INTERVAL 10 MINUTE AS TIMESTAMP) AS win_end, user_id, n, rk " +
+        "FROM r WHERE rk <= 3 ORDER BY win_start, rk"),
     "q_stream_tumbling" ->
       ("SELECT date_trunc('minute', ts) AS win_start, " +
         "date_trunc('minute', ts) + INTERVAL 1 MINUTE AS win_end, " +
