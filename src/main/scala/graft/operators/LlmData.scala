@@ -1103,6 +1103,32 @@ object LlmData {
       .orderBy("cluster_id")
   }
 
+  /** q_text_bpe_step — the BPE-TRAINING INNER STEP at corpus scale: count
+    * every adjacent token pair and emit the top merge candidates (byte-pair
+    * encoding trains by repeatedly merging the most frequent adjacent
+    * pair — Sennrich et al., ACL'16; this is one iteration's candidate
+    * scan, the part that touches the whole corpus). Ties break
+    * lexicographically so the merge choice is deterministic.
+    *
+    * Scale: pair extraction is a scan-side explode (no shuffle); the count
+    * is a keyed hash aggregate whose map-side partials collapse each
+    * partition to its distinct-pair set before the exchange — the shuffle
+    * carries vocabulary², not corpus, rows; top-10 is a bounded heap
+    * (`TakeOrderedAndProject`), never a global sort.
+    */
+  def textBpeStep(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+    toks.select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("pr"))
+      .select("pr.a", "pr.b")
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b"))
+      .limit(10)
+  }
+
   /** q_sample_hash — DETERMINISTIC, ENGINE-PORTABLE stratified sampling:
     * each document's md5 over a salted doc_id yields a uniform 256-bucket
     * key, and per-language hex thresholds keep 50% of `en`, 25% of the
@@ -1214,6 +1240,7 @@ object LlmData {
     "q_text_unigram_lp" -> textUnigramLp _,
     "q_text_tfidf" -> textTfidf _,
     "q_sample_hash" -> sampleHash _,
+    "q_text_bpe_step" -> textBpeStep _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -1223,6 +1250,12 @@ object LlmData {
     "q_pack_sequences" -> packSequences _)
 
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_step" ->
+      ("SELECT a, b, count(*) AS n FROM (" +
+        "SELECT unnest(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> {'a': string_split(text, ' ')[i], 'b': string_split(text, ' ')[i+1]}), " +
+        "recursive := true) FROM documents) " +
+        "GROUP BY a, b ORDER BY n DESC, a, b LIMIT 10"),
     "q_sample_hash" ->
       ("SELECT doc_id, lang, source, bucket FROM (" +
         "SELECT doc_id, lang, source, " +

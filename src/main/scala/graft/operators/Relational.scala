@@ -830,6 +830,44 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q_funnel_steps — ORDERED-EVENT FUNNEL (the windowFunnel analytic):
+    * how many users progress view → click → purchase, each step the FIRST
+    * qualifying event at-or-after the previous step's time and within 7
+    * days of it. Produces one row per step with reach and conversion-
+    * from-previous, the product-analytics staple.
+    *
+    * Scale shape: each step is a per-user min-aggregate (map-side
+    * partials) followed by a user-keyed join of user-cardinality tables —
+    * never an event×event product; the event table is scanned once per
+    * step with the type filter pushed to the scan. Conversions are exact
+    * integer ratios rounded via [[Det]].
+    */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val winSec = 7L * 86400
+    val step1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val step2 = ev.where(col("event_type") === "click")
+      .join(step1, "user_id")
+      .where(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr(s"INTERVAL $winSec SECONDS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val step3 = ev.where(col("event_type") === "purchase")
+      .join(step2, "user_id")
+      .where(col("ts") >= col("t2") &&
+        col("ts") <= col("t2") + expr(s"INTERVAL $winSec SECONDS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val counts = step1.agg(count(lit(1)).as("n")).withColumn("step", lit(1))
+      .unionByName(step2.agg(count(lit(1)).as("n")).withColumn("step", lit(2)))
+      .unionByName(step3.agg(count(lit(1)).as("n")).withColumn("step", lit(3)))
+    val w = Window.orderBy("step") // 3 rows — driver-trivial window
+    counts
+      .withColumn("conv_from_prev",
+        r(col("n") * lit(1.0) / coalesce(lag(col("n"), 1).over(w), col("n")), 4))
+      .select("step", "n", "conv_from_prev")
+      .orderBy("step")
+  }
+
   // -------------------------------------------------------- heavy hitters
 
   /** q_agg_heavy_hitters — EXACT top-k frequent items (the top-20 most
@@ -910,6 +948,7 @@ object Relational {
     "q_agg_sketch_merge" -> aggSketchMerge _,
     "q_agg_histogram_merge" -> aggHistogramMerge _,
     "q_agg_incremental" -> aggIncremental _,
+    "q_funnel_steps" -> funnelSteps _,
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
     "q_scan_manifest_skip" -> scanManifestSkip _,
@@ -1089,6 +1128,22 @@ object Relational {
         s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_funnel_steps" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts >= s1.t1 " +
+        "AND e.ts <= s1.t1 + INTERVAL 604800 SECONDS GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 " +
+        "AND e.ts <= s2.t2 + INTERVAL 604800 SECONDS GROUP BY e.user_id), " +
+        "c AS (SELECT 1 AS step, count(*) AS n FROM s1 " +
+        "UNION ALL SELECT 2, count(*) FROM s2 " +
+        "UNION ALL SELECT 3, count(*) FROM s3) " +
+        "SELECT step, n, round((n * 1.0 / coalesce(lag(n) OVER (ORDER BY step), n)) " +
+        "* 10000, 0) / 10000 AS conv_from_prev FROM c ORDER BY step"),
     // incremental merge must equal the full recompute over raw history
     "q_agg_incremental" ->
       ("SELECT event_type, count(*) AS n, " +
