@@ -868,6 +868,57 @@ object Relational {
       .orderBy("step")
   }
 
+  /** q_analyze_stats — ANALYZE TABLE re-expressed: per-column row count,
+    * null count, exact NDV, and min/max over lineitem in ONE scan — the
+    * statistics that feed cost-based optimization (join reorder, broadcast
+    * decisions) and data-quality monitors. Numeric and text columns carry
+    * their extrema in typed columns (doubles stay doubles — no
+    * double→string formatting, which the engines do differently; the date
+    * column is pinned through an explicit `yyyy-MM-dd` format).
+    *
+    * Scale: the multi-distinct aggregate plans as one scan + Expand (rows
+    * × #distinct-aggs before partial aggregation) — exact NDV is the
+    * oracle-checkable choice here; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct`/HLL sketches (`q_agg_sketch_merge` is the
+    * persisted form) and the plan loses the Expand entirely.
+    */
+  def analyzeStats(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def statsStruct(c: String, mn: Column, mx: Column,
+        mnT: Column, mxT: Column) = struct(
+      lit(c).as("col_name"), col(s"ndv_$c").as("ndv"), col(s"nn_$c").as("n_nulls"),
+      mn.as("min_num"), mx.as("max_num"), mnT.as("min_txt"), mxT.as("max_txt"))
+    val aggs =
+      numCols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
+      Seq("l_returnflag").flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) ++
+      Seq(
+        countDistinct(col("l_shipdate")).as("ndv_l_shipdate"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn_l_shipdate"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("mn_l_shipdate"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("mx_l_shipdate"))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), explode(array(
+        numCols.map(c =>
+          statsStruct(c, col(s"mn_$c"), col(s"mx_$c"), nullS, nullS)) ++
+        Seq(
+          statsStruct("l_returnflag", nullD, nullD,
+            col("mn_l_returnflag"), col("mx_l_returnflag")),
+          statsStruct("l_shipdate", nullD, nullD,
+            col("mn_l_shipdate"), col("mx_l_shipdate"))): _*)).as("st"))
+      .select(col("st.col_name"), col("n_rows"), col("st.ndv"), col("st.n_nulls"),
+        col("st.min_num"), col("st.max_num"), col("st.min_txt"), col("st.max_txt"))
+      .orderBy("col_name")
+  }
+
   // -------------------------------------------------------- heavy hitters
 
   /** q_agg_heavy_hitters — EXACT top-k frequent items (the top-20 most
@@ -949,6 +1000,7 @@ object Relational {
     "q_agg_histogram_merge" -> aggHistogramMerge _,
     "q_agg_incremental" -> aggIncremental _,
     "q_funnel_steps" -> funnelSteps _,
+    "q_analyze_stats" -> analyzeStats _,
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
     "q_scan_manifest_skip" -> scanManifestSkip _,
@@ -1128,6 +1180,8 @@ object Relational {
         s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_analyze_stats" ->
+      ("SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(DISTINCT l_quantity) AS ndv, sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_quantity) AS min_num, max(l_quantity) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows, count(DISTINCT l_extendedprice) AS ndv, sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_extendedprice) AS min_num, max(l_extendedprice) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_discount' AS col_name, count(*) AS n_rows, count(DISTINCT l_discount) AS ndv, sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_discount) AS min_num, max(l_discount) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_tax' AS col_name, count(*) AS n_rows, count(DISTINCT l_tax) AS ndv, sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_tax) AS min_num, max(l_tax) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_returnflag' AS col_name, count(*) AS n_rows, count(DISTINCT l_returnflag) AS ndv, sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min(l_returnflag) AS min_txt, max(l_returnflag) AS max_txt FROM lineitem UNION ALL SELECT 'l_shipdate' AS col_name, count(*) AS n_rows, count(DISTINCT l_shipdate) AS ndv, sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, strftime(min(l_shipdate), '%Y-%m-%d') AS min_txt, strftime(max(l_shipdate), '%Y-%m-%d') AS max_txt FROM lineitem ORDER BY col_name"),
     "q_funnel_steps" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +

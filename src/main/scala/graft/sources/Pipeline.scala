@@ -195,6 +195,39 @@ object PipelineIngest {
       .orderBy("p_brand")
   }
 
+  /** q_source_schema_evolution — SCHEMA EVOLUTION on read: a long-lived
+    * lake table gains a column mid-life (here `event_type` appears only in
+    * the post-cutoff landing), and `mergeSchema` reads old and new files
+    * through the UNIFIED schema with nulls for the pre-evolution rows —
+    * the additive-evolution contract every lake format guarantees. The
+    * aggregate proves the semantics: per merged `event_type` (pre-evolution
+    * rows group under NULL→'(pre)') counts and exact sums equal the source
+    * table with the same CASE applied — which is exactly the DuckDB oracle.
+    *
+    * Scale note: `mergeSchema` reconciles footers at planning time (cost
+    * per file, driver-side); production lakes amortize it by recording the
+    * merged schema in the table commit — the READ semantics shown here are
+    * identical either way.
+    */
+  def sourceSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_source_schema_evolution"
+    val cutoff = "2024-01-15"
+    val ev = graft.Tables(s, d, "events")
+    // generation 1: landed before event_type existed in the schema
+    ev.where(col("ts") < lit(cutoff).cast("timestamp"))
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    // generation 2: the evolved schema adds event_type
+    ev.where(col("ts") >= lit(cutoff).cast("timestamp"))
+      .select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$root/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$root/gen1", s"$root/gen2")
+      .withColumn("event_type", coalesce(col("event_type"), lit("(pre)")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** q_source_corrupt_tolerant — fault-tolerant lake reads: a corrupt
     * part-file planted among good parquet must not kill the scan (at 100 TB
     * one truncated/garbage file among millions is a WHEN, not an if). The
@@ -412,9 +445,16 @@ object PipelineIngest {
     "q_source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "q_source_xml_roundtrip" -> sourceXmlRoundtrip _,
     "q_upsert_partition" -> upsertPartition _,
-    "q_source_corrupt_tolerant" -> sourceCorruptTolerant _)
+    "q_source_corrupt_tolerant" -> sourceCorruptTolerant _,
+    "q_source_schema_evolution" -> sourceSchemaEvolution _)
 
   val oracle: Map[String, String] = Map(
+    "q_source_schema_evolution" ->
+      ("SELECT event_type, count(*) AS n, " +
+        s"${Det.sqlSumExact("value", 2)} AS sum_value FROM (" +
+        "SELECT CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN event_type " +
+        "ELSE '(pre)' END AS event_type, value FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
     // the FULL REBUILD over all history — the merge must reproduce it exactly
     "q_maintain_scd2" ->
       ("SELECT user_id, event_id, ts AS valid_from, value AS attr_value, " +

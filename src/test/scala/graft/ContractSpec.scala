@@ -48,7 +48,8 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_heavy_hitters", "q_join_bloom_pruned", "q_maintain_scd2",
     "q_scan_manifest_skip", "q_text_tfidf", "q_embed_kmeans_step",
     "q_agg_incremental", "q_sample_hash", "q_stream_topk",
-    "q_text_bpe_step", "q_funnel_steps")
+    "q_text_bpe_step", "q_funnel_steps", "q_source_schema_evolution",
+    "q_analyze_stats")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
