@@ -481,6 +481,35 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q_sql_recursive — RECURSIVE CTE through the SQL front end (Spark 4's
+    * `WITH RECURSIVE`, UNION ALL form): a date spine generated by the
+    * recursion is left-joined against per-day activity so silent gap days
+    * surface as explicit zero rows — the calendar-dimension idiom every
+    * reporting stack needs (a bare GROUP BY day cannot SHOW a day with no
+    * data; the reference's daily-cadence pipeline is precisely where a
+    * missed landing must appear as a zero, not as absence). DuckDB runs
+    * the same recursion, so the whole shape is hash-checked.
+    *
+    * Scale: the recursion materializes the SPINE (days — control-plane
+    * cardinality), never data; each step is one tiny micro-plan and the
+    * spine broadcast-joins the aggregated daily table.
+    */
+  def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_rec_events")
+    s.sql(
+      """WITH RECURSIVE spine(day) AS (
+        |  SELECT DATE '2024-01-01'
+        |  UNION ALL SELECT date_add(day, 1) FROM spine WHERE day < DATE '2024-01-30'
+        |),
+        |daily AS (SELECT to_date(ts) AS day, count(*) AS n,
+        |                 count(DISTINCT user_id) AS nu
+        |          FROM graft_rec_events GROUP BY 1)
+        |SELECT date_format(s.day, 'yyyy-MM-dd') AS day,
+        |       coalesce(d.n, 0) AS n_events, coalesce(d.nu, 0) AS n_users
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY day""".stripMargin)
+  }
+
   /** q_agg_collect — array aggregation: per-order line numbers as a sorted
     * list and distinct return flags as a sorted set, serialized to strings
     * so the oracle comparator can hash them (same pattern as
@@ -1001,6 +1030,7 @@ object Relational {
     "q_agg_incremental" -> aggIncremental _,
     "q_funnel_steps" -> funnelSteps _,
     "q_analyze_stats" -> analyzeStats _,
+    "q_sql_recursive" -> sqlRecursive _,
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
     "q_scan_manifest_skip" -> scanManifestSkip _,
@@ -1180,6 +1210,14 @@ object Relational {
         s"${sqlSumExact("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_sql_recursive" ->
+      ("WITH RECURSIVE spine(day) AS (SELECT DATE '2024-01-01' " +
+        "UNION ALL SELECT day + 1 FROM spine WHERE day < DATE '2024-01-30'), " +
+        "daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "count(DISTINCT user_id) AS nu FROM events GROUP BY 1) " +
+        "SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_events, " +
+        "coalesce(d.nu, 0) AS n_users FROM spine s LEFT JOIN daily d ON s.day = d.day " +
+        "ORDER BY day"),
     "q_analyze_stats" ->
       ("SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(DISTINCT l_quantity) AS ndv, sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_quantity) AS min_num, max(l_quantity) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows, count(DISTINCT l_extendedprice) AS ndv, sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_extendedprice) AS min_num, max(l_extendedprice) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_discount' AS col_name, count(*) AS n_rows, count(DISTINCT l_discount) AS ndv, sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_discount) AS min_num, max(l_discount) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_tax' AS col_name, count(*) AS n_rows, count(DISTINCT l_tax) AS ndv, sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_tax) AS min_num, max(l_tax) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_returnflag' AS col_name, count(*) AS n_rows, count(DISTINCT l_returnflag) AS ndv, sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min(l_returnflag) AS min_txt, max(l_returnflag) AS max_txt FROM lineitem UNION ALL SELECT 'l_shipdate' AS col_name, count(*) AS n_rows, count(DISTINCT l_shipdate) AS ndv, sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, strftime(min(l_shipdate), '%Y-%m-%d') AS min_txt, strftime(max(l_shipdate), '%Y-%m-%d') AS max_txt FROM lineitem ORDER BY col_name"),
     "q_funnel_steps" ->

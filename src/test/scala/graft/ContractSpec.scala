@@ -49,7 +49,7 @@ class ContractSpec extends AnyFunSuite {
     "q_scan_manifest_skip", "q_text_tfidf", "q_embed_kmeans_step",
     "q_agg_incremental", "q_sample_hash", "q_stream_topk",
     "q_text_bpe_step", "q_funnel_steps", "q_source_schema_evolution",
-    "q_analyze_stats")
+    "q_analyze_stats", "q_sql_recursive", "q_scalar_variant")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
