@@ -770,7 +770,13 @@ object Relational {
         col("lo") < lit(probeHi).cast("timestamp"))
       .select("file").collect().map(_.getString(0))
     val total = manifest.count().toInt
-    val probed = s.read.parquet(survivors: _*)
+    // a no-overlap probe prunes EVERY file; varargs-empty read would throw
+    // "Unable to infer schema", so fall back to the full table under an
+    // always-false filter — same (empty) result, schema preserved
+    val source =
+      if (survivors.isEmpty) s.read.parquet(s"$root/table").where(lit(false))
+      else s.read.parquet(survivors: _*)
+    val probed = source
       .where(col("o_orderdate") >= lit(probeLo).cast("timestamp") &&
         col("o_orderdate") < lit(probeHi).cast("timestamp"))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
@@ -1219,7 +1225,7 @@ object Relational {
         "coalesce(d.nu, 0) AS n_users FROM spine s LEFT JOIN daily d ON s.day = d.day " +
         "ORDER BY day"),
     "q_analyze_stats" ->
-      ("SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(DISTINCT l_quantity) AS ndv, sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_quantity) AS min_num, max(l_quantity) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows, count(DISTINCT l_extendedprice) AS ndv, sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_extendedprice) AS min_num, max(l_extendedprice) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_discount' AS col_name, count(*) AS n_rows, count(DISTINCT l_discount) AS ndv, sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_discount) AS min_num, max(l_discount) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_tax' AS col_name, count(*) AS n_rows, count(DISTINCT l_tax) AS ndv, sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS n_nulls, min(l_tax) AS min_num, max(l_tax) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_returnflag' AS col_name, count(*) AS n_rows, count(DISTINCT l_returnflag) AS ndv, sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min(l_returnflag) AS min_txt, max(l_returnflag) AS max_txt FROM lineitem UNION ALL SELECT 'l_shipdate' AS col_name, count(*) AS n_rows, count(DISTINCT l_shipdate) AS ndv, sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, strftime(min(l_shipdate), '%Y-%m-%d') AS min_txt, strftime(max(l_shipdate), '%Y-%m-%d') AS max_txt FROM lineitem ORDER BY col_name"),
+      ("SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(DISTINCT l_quantity) AS ndv, CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_quantity) AS min_num, max(l_quantity) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows, count(DISTINCT l_extendedprice) AS ndv, CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_extendedprice) AS min_num, max(l_extendedprice) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_discount' AS col_name, count(*) AS n_rows, count(DISTINCT l_discount) AS ndv, CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_discount) AS min_num, max(l_discount) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_tax' AS col_name, count(*) AS n_rows, count(DISTINCT l_tax) AS ndv, CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_tax) AS min_num, max(l_tax) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_returnflag' AS col_name, count(*) AS n_rows, count(DISTINCT l_returnflag) AS ndv, CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min(l_returnflag) AS min_txt, max(l_returnflag) AS max_txt FROM lineitem UNION ALL SELECT 'l_shipdate' AS col_name, count(*) AS n_rows, count(DISTINCT l_shipdate) AS ndv, CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, strftime(min(l_shipdate), '%Y-%m-%d') AS min_txt, strftime(max(l_shipdate), '%Y-%m-%d') AS max_txt FROM lineitem ORDER BY col_name"),
     "q_funnel_steps" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +

@@ -272,9 +272,9 @@ object Scalars {
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "q_scalar_variant" ->
       ("SELECT event_type, 'OBJECT<k: BIGINT>' AS vschema, count(*) AS n, " +
-        "sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, " +
-        "sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 " +
-        "THEN 1 ELSE 0 END) AS n_high " +
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
         "FROM events GROUP BY event_type ORDER BY event_type, vschema"),
     "q_scalar_json" ->
       ("SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +

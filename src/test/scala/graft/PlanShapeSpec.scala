@@ -76,17 +76,26 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q_join_bloom_pruned probes the filter below the join, pruning before the exchange") {
-    val df = Relational.joinBloomPruned(s, d)
-    val p = plan(df)
-    assert(p.contains("graft_bloom_contains"), s"no bloom probe in plan:\n$p")
-    // the probe must sit on the scan side BELOW the join (tree print is
-    // top-down, so the filter line appears after the join line and the
-    // probe-side exchange, i.e. rows are dropped before being shuffled)
-    val lines = p.linesIterator.toIndexedSeq
-    val joinIdx = lines.indexWhere(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
-    val bloomIdx = lines.indexWhere(_.contains("graft_bloom_contains"))
-    assert(joinIdx >= 0 && bloomIdx > joinIdx,
-      s"bloom filter not below the join (join@$joinIdx, bloom@$bloomIdx):\n$p")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE wraps stages in leaf QueryStageExec nodes that a tree walk can't
+    // cross; disable it so the executed plan is the full static tree
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Relational.joinBloomPruned(s, d)
+      val p = plan(df)
+      assert(p.contains("graft_bloom_contains"), s"no bloom probe in plan:\n$p")
+      // the probe must prune rows BEFORE they are shuffled: walk the executed
+      // plan and require the bloom predicate inside the SUBTREE UNDER a
+      // shuffle exchange (line-order in the print can't tell above/below)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(exchanges.nonEmpty, s"no shuffle exchange in:\n$p")
+      assert(exchanges.exists(_.children.exists(
+          _.toString.contains("graft_bloom_contains"))),
+        s"bloom probe not below any shuffle exchange (rows shuffle unpruned):\n$p")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("q_embed_kmeans_step assignment is join-free and explode-free (one agg exchange)") {
