@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Scalars.queries ++
       operators.LlmData.queries ++ streaming.Streams.queries ++
-      sources.PipelineIngest.queries ++ sources.Transfer.queries
+      sources.PipelineIngest.queries ++ sources.Transfer.queries ++
+      operators.Quality.queries ++ operators.Analytics.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's weaker
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.Scalars.oracle ++
       operators.LlmData.oracle ++ streaming.Streams.oracle ++
-      sources.PipelineIngest.oracle ++ sources.Transfer.oracle
+      sources.PipelineIngest.oracle ++ sources.Transfer.oracle ++
+      operators.Quality.oracle ++ operators.Analytics.oracle
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph / time-series / interval analytics over the landed star schema —
+  * the "further analysis" layer (reference README.md:9) beyond plain
+  * relational rollups. All three are oracle-checked with exact arithmetic.
+  *
+  * Scale posture (100 TB):
+  *   - [[graphPagerankStep]] is ONE synchronous Pregel superstep expressed
+  *     relationally (join + keyed agg); the driver iterates steps, each a
+  *     self-contained shuffle-bounded job whose rank state is a (vertex,
+  *     rank) table — never driver-resident. Fixed-point micro-units make
+  *     the contribution sum order-independent (a double `1/outdeg` sum is
+  *     not), so ranks are bit-stable across partitionings and engines.
+  *   - [[timeseriesGapfill]] generates the date spine DISTRIBUTED
+  *     (per-account `sequence()` + `explode` — the spine never exists on
+  *     the driver) and fills gaps with one bounded-frame window pass.
+  *   - [[joinRangeBucket]] turns a pure time-range join — which Spark
+  *     plans as an O(N·M) broadcast nested loop — into an equi-join on a
+  *     time BUCKET equal to the window length: each probe row lands in
+  *     exactly one bucket, each window overlaps ≤ 2 buckets, so the build
+  *     side replicates ×2 and the join is a plain shuffle/broadcast hash
+  *     join with an exact residual range filter. O(N+M) state, no
+  *     quadratic blowup — the standard banded interval-join trick.
+  */
+object Analytics {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ------------------------------------------------------------- pagerank
+
+  /** q_graph_pagerank_step — one PageRank superstep over the customer →
+    * supplier purchase graph (edges = distinct (o_custkey, l_suppkey) pairs
+    * via lineitem ⋈ orders). Ranks start uniform at 1.0, expressed in
+    * integer micro-units: each customer contributes ⌊1e6 / outdeg⌋ to every
+    * supplier it bought from, and the new supplier rank is
+    * 0.15 + 0.85·Σcontrib, folded as 150000 + (850·Σw) div 1000 — all
+    * integer ops, so the result is exact and order-independent where a
+    * floating contribution sum would depend on merge order. Shape per step:
+    * edge join (SMJ on orderkey), distinct, degree agg, degree join,
+    * contribution agg — each shuffle keyed, no driver state.
+    */
+  def graphPagerankStep(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    val deg = e.groupBy("c").agg(count(lit(1)).as("deg"))
+    e.join(deg, "c")
+      .select(col("sp"), expr("1000000 div deg").as("w"))
+      .groupBy("sp")
+      .agg(count(lit(1)).as("n_in"),
+        expr("CAST(150000 + (850 * sum(w)) div 1000 AS BIGINT)").as("rank_micro"))
+      .select(col("sp").as("s_suppkey"), col("n_in"), col("rank_micro"))
+      .orderBy("s_suppkey")
+  }
+
+  // -------------------------------------------------------------- gapfill
+
+  /** q_timeseries_gapfill — DAILY SERIES GAP-FILL with forward fill (LOCF):
+    * per account (custkey mod 20 — a bounded book of accounts), the daily
+    * order total is observed on active days and carried forward across the
+    * account's [first, last] activity range, statement-style (the running
+    * "balance as of day X" the reference's daily report materializes,
+    * report:59). The spine is generated per-account with `sequence(lo, hi)`
+    * + `explode` — fully distributed, proportional to output — then one
+    * left join against observations and one UNBOUNDED PRECEDING→CURRENT
+    * `last(ignoreNulls)` window pass fills the gaps. Day totals are exact
+    * integer-cent sums, so carried values hash-match bit-exactly.
+    */
+  def timeseriesGapfill(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy("acct", "day")
+      .agg(sumExact(col("o_totalprice"), 2).as("day_total"))
+    val spine = obs.groupBy("acct")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("acct"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("acct").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("acct", "day"), "left_outer")
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        last(col("day_total"), ignoreNulls = true).over(w).as("filled"),
+        col("day_total").isNotNull.as("observed"))
+      .orderBy("acct", "day_str")
+  }
+
+  // --------------------------------------------------------- range bucket
+
+  /** q_join_range_bucket — BANDED TIME-RANGE JOIN: for every click event,
+    * count and sum all events (any type) inside its 10-minute lookahead
+    * window [ts, ts+10min). No equi key exists, so the naive plan is a
+    * broadcast nested loop over N·M pairs; instead both sides are keyed by
+    * ⌊epoch_micros / 600e6⌋ (bucket = window length): an event belongs to
+    * exactly one bucket and a window overlaps at most two, so the probe
+    * side emits 2 bucket keys per click and the join is a plain equi hash
+    * join + exact residual filter — each event pair is tested in exactly
+    * one bucket, so no dedup pass is needed. Clicks match themselves
+    * (ts ≥ ts), so the inner join drops no probe rows.
+    */
+  def joinRangeBucket(s: SparkSession, d: String): DataFrame = {
+    val band = 600L * 1000000L // 10 min in micros
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    // `div` (exact integer floor division) — a double `/` + cast truncates
+    // through a 53-bit mantissa and can mis-bucket near band boundaries
+    val probe = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("us").as("c_us"),
+        explode(array(expr(s"us div ${band}L"),
+          expr(s"us div ${band}L") + 1)).as("bucket"))
+    val build = ev.select(col("event_id"), col("value"), col("us"),
+      expr(s"us div ${band}L").as("bucket"))
+    probe.join(build, "bucket")
+      .where(col("us") >= col("c_us") && col("us") < col("c_us") + band)
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_win"), sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("click_id")
+  }
+
+  // ---------------------------------------------------------- registration
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank_step" -> graphPagerankStep _,
+    "q_timeseries_gapfill" -> timeseriesGapfill _,
+    "q_join_range_bucket" -> joinRangeBucket _)
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank_step" ->
+      ("WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+        "deg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY c) " +
+        "SELECT e.sp AS s_suppkey, CAST(count(*) AS BIGINT) AS n_in, " +
+        "CAST(150000 + (850 * sum(1000000 // deg.deg)) // 1000 AS BIGINT) AS rank_micro " +
+        "FROM e JOIN deg ON e.c = deg.c " +
+        "GROUP BY e.sp ORDER BY s_suppkey"),
+    "q_timeseries_gapfill" ->
+      ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        s"${sqlSumExact("o_totalprice", 2)} AS day_total " +
+        "FROM orders GROUP BY 1, 2), " +
+        "b AS (SELECT acct, min(day) AS lo, max(day) AS hi FROM obs GROUP BY acct), " +
+        "spine AS (SELECT acct, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), " +
+        "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+        "j AS (SELECT s.acct, s.day, o.day_total " +
+        "FROM spine s LEFT JOIN obs o ON s.acct = o.acct AND s.day = o.day) " +
+        "SELECT acct, strftime(day, '%Y-%m-%d') AS day_str, " +
+        "last_value(day_total IGNORE NULLS) OVER (PARTITION BY acct ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, " +
+        "day_total IS NOT NULL AS observed " +
+        "FROM j ORDER BY acct, day_str"),
+    "q_join_range_bucket" ->
+      ("SELECT c.event_id AS click_id, CAST(count(*) AS BIGINT) AS n_win, " +
+        s"${sqlSumExact("e.value", 2)} AS sum_value " +
+        "FROM events c JOIN events e ON e.ts >= c.ts " +
+        "AND e.ts < c.ts + INTERVAL 600 SECOND " +
+        "WHERE c.event_type = 'click' " +
+        "GROUP BY c.event_id ORDER BY click_id"))
+}

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Financial data-quality / reconciliation operators — the control surface a
+  * production landing pipeline runs AFTER files land (reference README.md:9
+  * "organized and accessible for further analysis"; the reference itself has
+  * no data-plane checks beyond non-null field validation at
+  * script-dag-dock-report:74-79, which `q_dq_rules` generalizes).
+  *
+  * All four are oracle-checked (CAST-to-BIGINT on every integer aggregate —
+  * DuckDB promotes integer `sum()` to HUGEINT, Spark stays BIGINT, and the
+  * driver's hash compare is type-sensitive).
+  *
+  * Scale posture (100 TB):
+  *   - [[reconcileDiff]]/[[cdcApply]] shuffle each input ONCE on the business
+  *     key — the information-theoretic minimum for a full-snapshot diff /
+  *     changelog fold; with both sides bucketed on the key (q_join_bucketed's
+  *     layout) the exchanges disappear entirely.
+  *   - [[dqRules]] evaluates all scan-local rules in ONE pass (sum-of-CASE
+  *     partial aggregates, map-side combined) plus ONE join pass for the
+  *     referential rules — rule count does not multiply scan count.
+  *   - [[anomalyZscore]] is the classic two-pass: tiny per-group stats table
+  *     (|event_type| rows) broadcast back over one more scan; per-row state
+  *     is O(1) and the outlier test is exact integer arithmetic, so the
+  *     flagging is bit-identical regardless of partitioning or merge order.
+  */
+object Quality {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ------------------------------------------------------------- reconcile
+
+  /** q_reconcile_diff — SNAPSHOT RECONCILIATION: full-outer diff of two
+    * versions of the orders table into added/removed/changed/unchanged
+    * classes with per-class row counts and key checksums. The daily recon
+    * every financial lake runs between yesterday's and today's landing
+    * (the reference re-lands a full daily report file, report:59 — recon is
+    * how you audit what the re-land changed). v2 is derived deterministically
+    * from v1 so both engines agree on it: keys ≡0 (mod 101) deleted, keys
+    * ≡0 (mod 97) repriced (+10.50), keys ≡0 (mod 103) re-keyed +1e8 as
+    * inserts. One sort-merge join on the key = one shuffle per side; AQE
+    * handles the skew; bucketed layout would make it exchange-free.
+    */
+  def reconcileDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = v1.where(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 10.5)
+          .otherwise(col("o_totalprice")))
+      .unionByName(
+        v1.where(col("o_orderkey") % 103 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice")))
+    val a = v1.as("a"); val b = v2.as("b")
+    a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("k"),
+        when(col("a.o_orderkey").isNull, "added")
+          .when(col("b.o_orderkey").isNull, "removed")
+          .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("key_sum"))
+      .orderBy("status")
+  }
+
+  // -------------------------------------------------------------- dq rules
+
+  /** q_dq_rules — DECLARATIVE DATA-QUALITY RULE ENGINE over lineitem: six
+    * rules (not-null, two range checks, a domain check, a cross-table date
+    * ordering, and foreign-key integrity) evaluated as ONE scan-aggregate
+    * pass for the scan-local rules plus ONE left-join pass for the
+    * referential pair — never one scan per rule. Violation counts come out
+    * of sum-of-CASE partial aggregates (map-side combined; the reduced state
+    * is one row regardless of input size), then `stack` unpivots the single
+    * wide row into the (rule, n_violations, n_checked) report. This is the
+    * generalization of the reference's landing validation — it nulls-checks
+    * three fields and fails the task (report:74-79); here the rule outcomes
+    * land as a queryable report instead.
+    */
+  def dqRules(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val v = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val scanLocal = li.agg(
+        count(lit(1)).as("n"),
+        v(col("l_orderkey").isNull).as("v_null_key"),
+        v(!(col("l_quantity") > 0 && col("l_quantity") <= 45)).as("v_qty"),
+        v(!(col("l_discount") >= 0 && col("l_discount") <= 0.08)).as("v_disc"),
+        v(!col("l_returnflag").isin("A", "N", "R")).as("v_flag"))
+      .select(expr(
+        """stack(4,
+          |  'discount_range', v_disc,
+          |  'flag_domain',    v_flag,
+          |  'not_null_orderkey', v_null_key,
+          |  'qty_range',      v_qty) AS (rule, n_violations)""".stripMargin),
+        col("n").as("n_checked"))
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val referential = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, li("l_orderkey") === o("o_orderkey"), "left_outer")
+      .agg(
+        count(lit(1)).as("n"),
+        v(col("o_orderkey").isNull).as("v_fk"),
+        v(col("o_orderkey").isNotNull &&
+          col("l_shipdate") < col("o_orderdate")).as("v_ship"))
+      .select(expr(
+        """stack(2,
+          |  'fk_orders',        v_fk,
+          |  'ship_after_order', v_ship) AS (rule, n_violations)""".stripMargin),
+        col("n").as("n_checked"))
+    scanLocal.unionByName(referential).orderBy("rule")
+  }
+
+  // -------------------------------------------------------------- z-score
+
+  /** q_anomaly_zscore — PER-GROUP OUTLIER FLAGGING with exact arithmetic:
+    * per event_type, count values whose population z-score exceeds 2 in
+    * magnitude. The naive formulation (stddev_samp then compare doubles) is
+    * order-dependent in floating point and can disagree across engines on
+    * boundary rows; instead values are scaled to integer cents and the test
+    *   |z| > 2  ⟺  (n·v − S)² > 4·(n·Q − S²)
+    * (S = Σv, Q = Σv² in cents) is evaluated in exact decimal(38,0) /
+    * HUGEINT arithmetic — bit-identical regardless of partitioning, shuffle
+    * order, or engine. Two passes: a |event_type|-row stats aggregate is
+    * broadcast back over the scan (classic 100 TB shape: the second pass is
+    * embarrassingly parallel, per-row state O(1)). Bound: |v| ≤ 2^26 cents
+    * and n ≤ 2^52 keep every intermediate within 38 digits.
+    */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = t(s, d, "events")
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("v"))
+    val st = c.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("s"),
+      sum(col("v").cast(dec) * col("v").cast(dec)).as("q"))
+    val nD = col("n").cast(dec)
+    val lhs = nD * col("v").cast(dec) - col("s")
+    val outlier = lhs * lhs > lit(4).cast(dec) * (nD * col("q") - col("s") * col("s"))
+    c.join(broadcast(st), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n"),
+        sum(when(outlier, 1L).otherwise(0L)).as("n_outliers"),
+        r(max(col("s")).cast("double") / 100.0 / max(col("n")), 2).as("mean_value"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------ cdc apply
+
+  /** q_cdc_apply — CHANGELOG APPLICATION (CDC compaction): fold an ordered
+    * insert/update/delete stream down to final table state. The changelog is
+    * derived deterministically from orders (seq 0 inserts everything, seq 1
+    * reprices keys ≡0 mod 5 at +5.00, seq 2 deletes keys ≡0 mod 7); apply =
+    * keep each key's highest-seq record, drop it if that record is a delete.
+    * Implemented as `max(struct(seq, …))` — a hash aggregate with map-side
+    * partial combine (state per key is ONE struct), NOT a window sort: at
+    * 100 TB the window formulation pays a full per-partition sort and holds
+    * whole partitions, while the struct-max folds incrementally and never
+    * sorts. Seq is unique per key so the struct comparison is total. This is
+    * the batch half of the engine's CDC story — the streaming half is
+    * `q_stream_foreach_upsert`'s idempotent lake merge.
+    */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "orders").select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"))
+    val log = base.select(col("k"), lit(0).as("seq"), lit("I").as("op"), col("price"))
+      .unionByName(base.where(col("k") % 5 === 0)
+        .select(col("k"), lit(1).as("seq"), lit("U").as("op"),
+          (col("price") + 5.0).as("price")))
+      .unionByName(base.where(col("k") % 7 === 0)
+        .select(col("k"), lit(2).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price")))
+    log.groupBy("k")
+      .agg(max(struct(col("seq"), col("op"), col("price"))).as("last"))
+      .where(col("last.op") =!= "D")
+      .select(col("k"), col("last.seq").as("applied_seq"), col("last.price").as("price"))
+      .orderBy("k")
+  }
+
+  // ---------------------------------------------------------- registration
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reconcile_diff" -> reconcileDiff _,
+    "q_dq_rules" -> dqRules _,
+    "q_anomaly_zscore" -> anomalyZscore _,
+    "q_cdc_apply" -> cdcApply _)
+
+  val oracle: Map[String, String] = Map(
+    "q_reconcile_diff" ->
+      ("WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders), " +
+        "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 " +
+        "THEN o_totalprice + 10.5 ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 101 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 100000000, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 103 = 0), " +
+        "j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k, " +
+        "CASE WHEN a.o_orderkey IS NULL THEN 'added' " +
+        "WHEN b.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN a.o_totalprice <> b.o_totalprice THEN 'changed' " +
+        "ELSE 'unchanged' END AS status " +
+        "FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey) " +
+        "SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum " +
+        "FROM j GROUP BY status ORDER BY status"),
+    "q_dq_rules" ->
+      ("WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc, " +
+        "CAST(sum(CASE WHEN NOT l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag, " +
+        "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_key, " +
+        "CAST(sum(CASE WHEN NOT (l_quantity > 0 AND l_quantity <= 45) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty " +
+        "FROM lineitem), " +
+        "j AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk, " +
+        "CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL AND l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS v_ship " +
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey) " +
+        "SELECT 'discount_range' AS rule, v_disc AS n_violations, n AS n_checked FROM b " +
+        "UNION ALL SELECT 'flag_domain', v_flag, n FROM b " +
+        "UNION ALL SELECT 'not_null_orderkey', v_null_key, n FROM b " +
+        "UNION ALL SELECT 'qty_range', v_qty, n FROM b " +
+        "UNION ALL SELECT 'fk_orders', v_fk, n FROM j " +
+        "UNION ALL SELECT 'ship_after_order', v_ship, n FROM j " +
+        "ORDER BY rule"),
+    "q_anomaly_zscore" ->
+      ("WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v FROM events), " +
+        "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s, " +
+        "CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q " +
+        "FROM c GROUP BY event_type) " +
+        "SELECT c.event_type, max(st.n) AS n, " +
+        "CAST(sum(CASE WHEN (st.n * c.v - st.s) * (st.n * c.v - st.s) > " +
+        "4 * (st.n * st.q - st.s * st.s) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "round(CAST(max(st.s) AS DOUBLE) / 100.0 / max(st.n) * 100, 0) / 100 AS mean_value " +
+        "FROM c JOIN st ON c.event_type = st.event_type " +
+        "GROUP BY c.event_type ORDER BY c.event_type"),
+    "q_cdc_apply" ->
+      ("WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders), " +
+        "log AS (SELECT k, 0 AS seq, 'I' AS op, price FROM base " +
+        "UNION ALL SELECT k, 1, 'U', price + 5.0 FROM base WHERE k % 5 = 0 " +
+        "UNION ALL SELECT k, 2, 'D', CAST(NULL AS DOUBLE) FROM base WHERE k % 7 = 0), " +
+        "last AS (SELECT k, seq, op, price, " +
+        "row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) " +
+        "SELECT k, seq AS applied_seq, price FROM last " +
+        "WHERE rn = 1 AND op <> 'D' ORDER BY k"))
+}

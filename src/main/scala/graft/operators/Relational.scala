@@ -386,7 +386,12 @@ object Relational {
     */
   def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
     val salts = 8
+    // project BEFORE salting: only the join key + aggregation inputs ride
+    // the (key, salt) shuffle — the other 7 lineitem columns never leave
+    // the scan (at 100 TB the shuffle is the cost; width is the lever)
     val probe = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
     val build = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))

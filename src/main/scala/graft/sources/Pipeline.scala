@@ -314,7 +314,12 @@ object PipelineIngest {
     val targetBytes = 256L * 1024
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val compacted = s"$root/compacted_next"
-    s.read.parquet(frag).repartition(nFiles)
+    // coalesce, NOT repartition: compaction is content-neutral, so merging
+    // adjacent input splits without a shuffle is correct — the rewrite is
+    // scan+write only. A repartition would shuffle every byte of a 100 TB
+    // table just to change file boundaries; coalesce keeps file sizes
+    // balanced as long as inputs are (they are: same bin-pack target).
+    s.read.parquet(frag).coalesce(nFiles)
       .write.mode("overwrite").parquet(compacted)
     // atomic publish: readers of $root/compacted never see a half-written set
     val live = new Path(s"$root/compacted")

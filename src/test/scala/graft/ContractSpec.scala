@@ -49,7 +49,9 @@ class ContractSpec extends AnyFunSuite {
     "q_scan_manifest_skip", "q_text_tfidf", "q_embed_kmeans_step",
     "q_agg_incremental", "q_sample_hash", "q_stream_topk",
     "q_text_bpe_step", "q_funnel_steps", "q_source_schema_evolution",
-    "q_analyze_stats", "q_sql_recursive", "q_scalar_variant")
+    "q_analyze_stats", "q_sql_recursive", "q_scalar_variant",
+    "q_reconcile_diff", "q_dq_rules", "q_anomaly_zscore", "q_cdc_apply",
+    "q_graph_pagerank_step", "q_timeseries_gapfill", "q_join_range_bucket")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
@@ -63,7 +65,8 @@ class ContractSpec extends AnyFunSuite {
   test("module query maps do not shadow each other") {
     val sizes = Seq(operators.Relational.queries.size, operators.Scalars.queries.size,
       operators.LlmData.queries.size, streaming.Streams.queries.size,
-      sources.PipelineIngest.queries.size, sources.Transfer.queries.size)
+      sources.PipelineIngest.queries.size, sources.Transfer.queries.size,
+      operators.Quality.queries.size, operators.Analytics.queries.size)
     assert(sizes.sum === SparkEntry.queries.size, "duplicate keys across modules")
   }
 

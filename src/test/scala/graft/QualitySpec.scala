@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+
+/** Invariants for the reconciliation / data-quality family beyond the
+  * DuckDB oracle: class partitions, rule-count conservation, exact-z-score
+  * cross-checks against the floating formulation, and CDC fold laws.
+  */
+class QualitySpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf
+
+  test("q_reconcile_diff classes partition both snapshots exactly") {
+    val rows = Quality.reconcileDiff(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOrders = Tables(s, d, "orders").count()
+    val nDeleted = Tables(s, d, "orders")
+      .where(col("o_orderkey") % 101 === 0).count()
+    val nAdded = Tables(s, d, "orders")
+      .where(col("o_orderkey") % 103 === 0).count()
+    // v1 rows are exactly removed + changed + unchanged; v2-only rows = added
+    assert(rows("removed") === nDeleted)
+    assert(rows("added") === nAdded)
+    assert(rows.getOrElse("changed", 0L) + rows.getOrElse("unchanged", 0L)
+      === nOrders - nDeleted)
+    // changed keys are the repriced ones that survived deletion (key 0 is
+    // ≡0 mod everything → deleted by the 101 rule, so never 'changed')
+    val nChanged = Tables(s, d, "orders")
+      .where(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 101 =!= 0)
+      .count()
+    assert(rows.getOrElse("changed", 0L) === nChanged)
+  }
+
+  test("q_dq_rules reports all six rules over the full row count, and fires") {
+    val rows = Quality.dqRules(s, d).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("discount_range",
+      "fk_orders", "flag_domain", "not_null_orderkey", "qty_range",
+      "ship_after_order"))
+    val nLi = Tables(s, d, "lineitem").count()
+    assert(rows.forall(_.getLong(2) === nLi), "every rule checked every row")
+    val byRule = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // clean-by-construction rules stay clean; range rules genuinely fire
+    assert(byRule("not_null_orderkey") === 0 && byRule("fk_orders") === 0)
+    assert(byRule("qty_range") > 0 && byRule("discount_range") > 0)
+    assert(byRule.values.forall(v => v >= 0 && v <= nLi))
+  }
+
+  test("q_anomaly_zscore exact integer test agrees with the floating z-score") {
+    val got = Quality.anomalyZscore(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // independent floating formulation (population stddev over cents)
+    val c = Tables(s, d, "events")
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("v"))
+    val st = c.groupBy("event_type").agg(
+      avg(col("v")).as("mu"), stddev_pop(col("v")).as("sd"))
+    val ref = c.join(st, "event_type")
+      .where(abs(col("v") - col("mu")) > lit(2.0) * col("sd"))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, n) =>
+      val f = ref.getOrElse(k, 0L)
+      // the exact test uses a strict inequality on integers; the floating
+      // check can disagree only on rows where z is within double-rounding
+      // distance of exactly 2 — allow a tiny boundary band
+      assert(math.abs(n - f) <= 2, s"type $k: exact=$n floating=$f")
+    }
+    assert(got.values.sum > 0, "no outliers flagged at all")
+  }
+
+  test("q_cdc_apply folds the changelog to correct final state") {
+    val out = Quality.cdcApply(s, d)
+    val orders = Tables(s, d, "orders")
+    val nDel = orders.where(col("o_orderkey") % 7 === 0).count()
+    assert(out.count() === orders.count() - nDel, "deletes removed exactly")
+    assert(out.where(col("k") % 7 === 0).count() === 0, "no deleted key survives")
+    // every surviving %5 key carries the update, everything else the insert
+    val seqs = out.groupBy("applied_seq").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nUpd = orders.where(col("o_orderkey") % 5 === 0 &&
+      col("o_orderkey") % 7 =!= 0).count()
+    assert(seqs.getOrElse(1, 0L) === nUpd)
+    assert(seqs.getOrElse(2, 0L) === 0L, "no delete rows in output")
+    // spot-check an updated price: +5.00 over the base
+    val k5 = orders.where(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice")).limit(1).collect()
+    if (k5.nonEmpty) {
+      val base = k5.head
+      val got = out.where(col("k") === base.getLong(0)).collect().head
+      assert(got.getDouble(2) === base.getDouble(1) + 5.0)
+    }
+  }
+}
