@@ -127,12 +127,68 @@ object Analytics {
       .orderBy("click_id")
   }
 
+  // -------------------------------------------------------- gaps & islands
+
+  /** q_window_gaps_islands — the classic GAPS-AND-ISLANDS decomposition:
+    * per user, consecutive-day activity streaks from events. Island id is
+    * the textbook `day_index − row_number()` (constant within a run of
+    * consecutive days, strictly decreasing across gaps), computed under one
+    * per-user window; per-island lengths then roll up to per-user streak
+    * statistics (active days, island count, longest streak). All exact
+    * integer arithmetic — no rounding anywhere. Scale: one shuffle on
+    * user_id for the window, then keyed aggregates; nothing global. The
+    * engagement-streak / consecutive-login signal every activity warehouse
+    * computes.
+    */
+  def windowGapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp",
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("len")).cast("long").as("n_days"),
+        max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------ retention cohort
+
+  /** q_agg_retention_cohort — COHORT RETENTION: users cohorted by first
+    * active day; for each (cohort, day-offset) cell, how many of that
+    * cohort's users were active. The product-analytics matrix behind every
+    * retention curve. Two shuffles: first-day per user (keyed agg), then a
+    * join back on user_id (at 100 TB both sides partition on user_id — the
+    * join co-locates; the first-day table is |users| rows, far smaller
+    * than the activity table) and the (cohort, offset) cell aggregate —
+    * cells are bounded by span², tiny. Exact integers; (user, day) is
+    * distinct before counting so each user counts once per cell.
+    */
+  def aggRetentionCohort(s: SparkSession, d: String): DataFrame = {
+    val act = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    act.join(first, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        // cast: Spark datediff is INT, DuckDB's is BIGINT — the driver's
+        // compare is type-sensitive
+        datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   // ---------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank_step" -> graphPagerankStep _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
-    "q_join_range_bucket" -> joinRangeBucket _)
+    "q_join_range_bucket" -> joinRangeBucket _,
+    "q_window_gaps_islands" -> windowGapsIslands _,
+    "q_agg_retention_cohort" -> aggRetentionCohort _)
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank_step" ->
@@ -158,6 +214,24 @@ object Analytics {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, " +
         "day_total IS NOT NULL AS observed " +
         "FROM j ORDER BY acct, day_str"),
+    "q_window_gaps_islands" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "isl AS (SELECT user_id, " +
+        "datediff('day', DATE '2024-01-01', day) " +
+        "- row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM days), " +
+        "pi AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len " +
+        "FROM isl GROUP BY user_id, grp) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, " +
+        "CAST(sum(len) AS BIGINT) AS n_days, CAST(max(len) AS BIGINT) AS max_streak " +
+        "FROM pi GROUP BY user_id ORDER BY user_id"),
+    "q_agg_retention_cohort" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id) " +
+        "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day, " +
+        "datediff('day', f.cohort, act.day) AS offset_days, " +
+        "CAST(count(*) AS BIGINT) AS n_active " +
+        "FROM act JOIN f ON act.user_id = f.user_id " +
+        "GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days"),
     "q_join_range_bucket" ->
       ("SELECT c.event_id AS click_id, CAST(count(*) AS BIGINT) AS n_win, " +
         s"${sqlSumExact("e.value", 2)} AS sum_value " +

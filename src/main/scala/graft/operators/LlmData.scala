@@ -1042,6 +1042,62 @@ object LlmData {
       "((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))) * " +
       "1000000, 0) AS BIGINT)"
 
+  /** q_text_collocation_pmi — COLLOCATION MINING via pointwise mutual
+    * information over adjacent token bigrams: PMI = log10(p(xy)/(p(x)p(y))),
+    * the classic measure of "these two tokens co-occur far more than
+    * chance" (multi-word expressions, named entities, domain phrases — a
+    * tokenizer-curriculum signal alongside [[textBpeStep]]'s pair counts).
+    * Top-50 bigrams with support ≥ 5, ranked by PMI with a total (x, y)
+    * tie-break.
+    *
+    * Cross-engine determinism: counts are exact integers; the single float
+    * expression is written with IDENTICAL text and association in both
+    * engines and fixed-point-scaled to an integer micro-score (the
+    * unigram-LM/BM25 precedent), so ranking and output hash-match.
+    *
+    * Scale: unigram and bigram count tables are VOCABULARY-sized →
+    * broadcast joins; the corpus-sized work is two explode+hash-agg passes
+    * with map-side partials; ranking is a bounded top-k
+    * (TakeOrderedAndProject), never a global sort.
+    */
+  def textCollocationPmi(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+    val uni = docs.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nt = docs.select(explode(col("toks")).as("tok"))
+      .agg(count(lit(1)).as("nt"))
+    val bigrams = docs.select(explode(expr(
+      "transform(sequence(0, size(toks) - 2), " +
+        "i -> named_struct('x', toks[i], 'y', toks[i+1]))")).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+    val nb = bigrams.agg(count(lit(1)).as("nb"))
+    bigrams.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .where(col("cxy") >= 5)
+      .join(broadcast(uni.select(col("tok").as("x"), col("c").as("cx"))), "x")
+      .join(broadcast(uni.select(col("tok").as("y"), col("c").as("cy"))), "y")
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi_micro", expr(pmiMicro))
+      .select("x", "y", "cxy", "cx", "cy", "pmi_micro")
+      .orderBy(col("pmi_micro").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
+  /** The PMI micro-score expression — identical text in Spark and DuckDB
+    * so both engines build the same double-arithmetic tree. The operands
+    * enter via explicit CAST(… AS DOUBLE), NOT a `* 1.0` promotion: Spark
+    * SQL types the literal `1.0` as DECIMAL(2,1), and the product of two
+    * decimal divisions caps at precision 38 with scale collapsed to 6 —
+    * a ~1e-4 relative error on ~1e-3 probabilities that shifted PMI by
+    * dozens of micro-units (DuckDB types `1.0` as DOUBLE, so the same
+    * text diverged across engines).
+    */
+  private val pmiMicro: String =
+    "CAST(round(log10((CAST(cxy AS DOUBLE) / nb) / " +
+      "((CAST(cx AS DOUBLE) / nt) * (CAST(cy AS DOUBLE) / nt))) * 1000000, 0) AS BIGINT)"
+
   /** q_embed_kmeans_step — one exact Lloyd iteration over the embedding
     * corpus with k = 8 seed centroids (the vectors of vec_id 0..7):
     * nearest-centroid assignment by squared L2, then per-cluster size,
@@ -1239,6 +1295,7 @@ object LlmData {
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
     "q_text_tfidf" -> textTfidf _,
+    "q_text_collocation_pmi" -> textCollocationPmi _,
     "q_sample_hash" -> sampleHash _,
     "q_text_bpe_step" -> textBpeStep _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
@@ -1263,6 +1320,23 @@ object LlmData {
         "FROM documents) " +
         "WHERE (lang = 'en' AND bucket < '80') OR (lang <> 'en' AND bucket < '40') " +
         "ORDER BY doc_id"),
+    "q_text_collocation_pmi" ->
+      ("WITH docs AS (SELECT string_split(text, ' ') AS a FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "uni AS (SELECT unnest(a) AS tok FROM docs), " +
+        "uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok), " +
+        "ntq AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM uni), " +
+        "bi AS (SELECT unnest(list_transform(range(1, len(a)), " +
+        "i -> {'x': a[i], 'y': a[i+1]}), recursive := true) FROM docs), " +
+        "nbq AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi), " +
+        "bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM bi " +
+        "GROUP BY x, y HAVING count(*) >= 5) " +
+        "SELECT bc.x, bc.y, bc.cxy, ucx.c AS cx, ucy.c AS cy, " +
+        "CAST(round(log10((CAST(cxy AS DOUBLE) / nb) / " +
+        "((CAST(cx AS DOUBLE) / nt) * (CAST(cy AS DOUBLE) / nt))) * 1000000, 0) AS BIGINT) AS pmi_micro " +
+        "FROM bc JOIN uc ucx ON bc.x = ucx.tok JOIN uc ucy ON bc.y = ucy.tok " +
+        "CROSS JOIN ntq CROSS JOIN nbq " +
+        "ORDER BY pmi_micro DESC, x, y LIMIT 50"),
     "q_text_tfidf" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "tfq AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok), " +

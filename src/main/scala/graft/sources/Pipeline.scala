@@ -333,6 +333,48 @@ object PipelineIngest {
       .orderBy("l_returnflag")
   }
 
+  /** q_maintain_clone — ZERO-COPY SHALLOW CLONE with snapshot isolation:
+    * a clone of a landed table is a MANIFEST of the source's current data
+    * files — no data bytes move (Delta SHALLOW CLONE / Iceberg snapshot
+    * semantics). The op proves the two properties that matter:
+    * (1) zero-copy — the clone directory contains only the manifest
+    * (CloneSpec asserts its size is a sliver of the source's); (2) snapshot
+    * PINNING — after the clone, the source takes an append, and the clone
+    * still reads exactly the pre-append content (the oracle is the plain
+    * pre-append aggregate, so pinning is hash-checked, not asserted). At
+    * 100 TB a clone costs one file listing regardless of table size; the
+    * corollary recorded here is that compaction/vacuum must respect clone
+    * manifests as GC roots — same discipline as [[maintainCompact]]'s
+    * version-dir swap.
+    */
+  def maintainClone(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_clone"
+    val src = s"$root/source"
+    val orders = graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.repartition(8).write.mode("overwrite").parquet(src)
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(src))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => (st.getPath.toString, st.getLen))
+    val clone = s"$root/clone_v1"
+    fs.delete(new Path(clone), true)
+    import s.implicits._
+    files.toSeq.toDF("path", "bytes").coalesce(1)
+      .write.mode("overwrite").parquet(s"$clone/manifest")
+    // the source moves on: an append lands AFTER the clone was taken
+    orders.where(col("o_orderkey") % 10 === 0)
+      .repartition(2).write.mode("append").parquet(src)
+    // read THROUGH the clone: the scan is planned from the pinned file list
+    val pinned = s.read.parquet(s"$clone/manifest")
+      .select("path").collect().map(_.getString(0))
+    s.read.parquet(pinned: _*)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q_maintain_delete — COPY-ON-WRITE targeted row deletion (GDPR
     * "right to be forgotten"): remove one user's rows by rewriting ONLY
     * the files that contain them. The landing is range-partitioned on
@@ -443,6 +485,7 @@ object PipelineIngest {
     "q_maintain_scd2" -> maintainScd2 _,
     "q_maintain_delete" -> maintainDelete _,
     "q_maintain_compact" -> maintainCompact _,
+    "q_maintain_clone" -> maintainClone _,
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
@@ -469,6 +512,10 @@ object PipelineIngest {
     "q_maintain_delete" ->
       (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value " +
         "FROM events WHERE user_id <> 7 GROUP BY event_type ORDER BY event_type"),
+    // the clone must see exactly the PRE-APPEND snapshot — the plain table
+    "q_maintain_clone" ->
+      (s"SELECT o_orderstatus, count(*) AS n, ${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_maintain_compact" ->
       (s"SELECT l_returnflag, count(*) AS n, ${Det.sqlSumExact("l_quantity", 2)} AS sum_qty, " +
         s"${Det.sqlSumExact("l_extendedprice", 2)} AS sum_price " +

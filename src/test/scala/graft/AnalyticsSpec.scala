@@ -85,6 +85,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.values.forall(_._1 >= 1))
   }
 
+  test("q_window_gaps_islands streak laws hold") {
+    val out = Analytics.windowGapsIslands(s, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nIslands, nDays, maxStreak) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nIslands >= 1 && maxStreak >= 1)
+      assert(maxStreak <= nDays, "longest streak can't exceed active days")
+      assert(nIslands <= nDays, "can't have more islands than days")
+      // pigeonhole: maxStreak >= ceil(nDays / nIslands)
+      assert(maxStreak >= (nDays + nIslands - 1) / nIslands)
+    }
+    // total active days across users == |distinct (user, day)|
+    val totalDays = out.map(_.getLong(2)).sum
+    val expect = Tables(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(totalDays === expect)
+  }
+
+  test("q_agg_retention_cohort cells partition activity; offset 0 is cohort size") {
+    val out = Analytics.aggRetentionCohort(s, d).collect()
+    val act = Tables(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // every (user, day) activity lands in exactly one (cohort, offset) cell
+    assert(out.map(_.getLong(2)).sum === act.count())
+    assert(out.forall(_.getLong(1) >= 0), "offsets are non-negative")
+    // per cohort, the offset-0 cell counts every cohort member (first day)
+    val day0 = out.filter(_.getLong(1) == 0L)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val cohortSizes = act.groupBy("user_id").agg(min(col("day")).as("c"))
+      .groupBy(date_format(col("c"), "yyyy-MM-dd").as("cd")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(day0 === cohortSizes)
+    // retention never exceeds cohort size at any offset
+    out.foreach(r => assert(r.getLong(2) <= cohortSizes(r.getString(0))))
+  }
+
   test("q_join_range_bucket plans an equi hash/merge join, not a nested loop") {
     val p = Analytics.joinRangeBucket(s, d).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

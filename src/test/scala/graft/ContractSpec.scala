@@ -51,7 +51,9 @@ class ContractSpec extends AnyFunSuite {
     "q_text_bpe_step", "q_funnel_steps", "q_source_schema_evolution",
     "q_analyze_stats", "q_sql_recursive", "q_scalar_variant",
     "q_reconcile_diff", "q_dq_rules", "q_anomaly_zscore", "q_cdc_apply",
-    "q_graph_pagerank_step", "q_timeseries_gapfill", "q_join_range_bucket")
+    "q_graph_pagerank_step", "q_timeseries_gapfill", "q_join_range_bucket",
+    "q_text_collocation_pmi", "q_window_gaps_islands",
+    "q_agg_retention_cohort", "q_maintain_clone")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

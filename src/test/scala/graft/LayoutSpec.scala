@@ -155,4 +155,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(a.count() === b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("q_maintain_clone is zero-copy and pins the pre-append snapshot") {
+    sources.PipelineIngest.maintainClone(spark, sf).collect()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_clone"
+    def bytes(dir: java.io.File): Long =
+      dir.listFiles().map(f => if (f.isDirectory) bytes(f) else f.length).sum
+    val srcBytes = bytes(new java.io.File(s"$root/source"))
+    val cloneBytes = bytes(new java.io.File(s"$root/clone_v1"))
+    // zero-copy: the clone holds a file manifest, a sliver of the data
+    assert(cloneBytes.toDouble / srcBytes < 0.25,
+      s"clone should be metadata-sized: $cloneBytes of $srcBytes bytes")
+    // pinning: the source took an append AFTER the clone; reading through
+    // the manifest must see the original row count, the source sees more
+    val pinned = spark.read.parquet(s"$root/clone_v1/manifest")
+      .select("path").collect().map(_.getString(0))
+    val nOrders = Tables(spark, sf, "orders").count()
+    assert(spark.read.parquet(pinned: _*).count() === nOrders)
+    assert(spark.read.parquet(s"$root/source").count() > nOrders)
+  }
 }

@@ -354,4 +354,28 @@ class LlmDataSpec extends AnyFunSuite {
     assert(df(1L) === df(2L))
     assert(df(1L) !== df(3L))
   }
+
+  test("q_text_collocation_pmi ranks by PMI with sane count bounds") {
+    val rows = LlmData.textCollocationPmi(s, d).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // descending pmi with (x, y) tiebreak = a strictly decreasing sort key
+    val keys = rows.map(r => (-r.getLong(5), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "not sorted by (pmi desc, x, y)")
+    // support threshold and count consistency: a bigram can't outnumber
+    // either of its unigrams
+    rows.foreach { r =>
+      val (cxy, cx, cy) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cxy >= 5 && cxy <= math.min(cx, cy))
+    }
+    // recompute the top row's score from its counts with the same formula
+    val toks = Tables(s, d, "documents")
+      .select(split(col("text"), " ").as("t")).where(size(col("t")) >= 2)
+    val nt = toks.select(explode(col("t"))).count()
+    val nb = toks.select((size(col("t")) - 1).as("m"))
+      .agg(sum("m")).collect().head.getLong(0)
+    val top = rows.head
+    val want = math.round(math.log10((top.getLong(2).toDouble / nb) /
+      ((top.getLong(3).toDouble / nt) * (top.getLong(4).toDouble / nt))) * 1e6)
+    assert(top.getLong(5) === want)
+  }
 }
