@@ -181,6 +181,38 @@ object Analytics {
       .orderBy("cohort_day", "offset_days")
   }
 
+  // --------------------------------------------------------- active users
+
+  /** q_agg_active_users — ROLLING DISTINCT ACTIVES (DAU + 7-day actives per
+    * day): the engagement denominator every activity warehouse reports.
+    * Exact distinct over a sliding window can't reuse adjacent windows
+    * (distinct doesn't subtract), so the exact formulation EXPLODES each
+    * (day, user) activity into the ≤7 window-ends it contributes to, then
+    * runs one (window_day, user) distinct + count pass — replication is
+    * bounded by the window length, state by |distinct users per window|,
+    * and everything partitions by day. The unbounded/wide-window scale
+    * path is the persisted-sketch rollup (`q_agg_sketch_merge` merges
+    * daily HLLs without rescanning); this operator is its exact,
+    * short-window complement. Reported for each ACTIVE day (dau > 0 by
+    * construction; the fixture has activity every day).
+    */
+  def aggActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val act = t(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val bounds = act.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val contrib = act.select(col("user_id"),
+      explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("w_day"))
+    val a7 = contrib.groupBy("w_day")
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(a7, dau("day") === a7("w_day"))
+      .crossJoin(broadcast(bounds))
+      .where(col("day") >= col("lo") && col("day") <= col("hi"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("dau"), col("active_7d"))
+      .orderBy("day_str")
+  }
+
   // ---------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,7 +220,8 @@ object Analytics {
     "q_timeseries_gapfill" -> timeseriesGapfill _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
-    "q_agg_retention_cohort" -> aggRetentionCohort _)
+    "q_agg_retention_cohort" -> aggRetentionCohort _,
+    "q_agg_active_users" -> aggActiveUsers _)
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank_step" ->
@@ -232,6 +265,19 @@ object Analytics {
         "CAST(count(*) AS BIGINT) AS n_active " +
         "FROM act JOIN f ON act.user_id = f.user_id " +
         "GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days"),
+    "q_agg_active_users" ->
+      ("WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM act), " +
+        "contrib AS (SELECT user_id, CAST(unnest(generate_series(" +
+        "CAST(day AS TIMESTAMP), CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) " +
+        "AS w_day FROM act), " +
+        "a7 AS (SELECT w_day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d " +
+        "FROM contrib GROUP BY w_day), " +
+        "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day) " +
+        "SELECT strftime(dau.day, '%Y-%m-%d') AS day_str, dau.dau, a7.active_7d " +
+        "FROM dau JOIN a7 ON dau.day = a7.w_day CROSS JOIN b " +
+        "WHERE dau.day >= b.lo AND dau.day <= b.hi " +
+        "ORDER BY day_str"),
     "q_join_range_bucket" ->
       ("SELECT c.event_id AS click_id, CAST(count(*) AS BIGINT) AS n_win, " +
         s"${sqlSumExact("e.value", 2)} AS sum_value " +

@@ -599,6 +599,22 @@ object Relational {
       .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
       .limit(50)
 
+  /** q_topk_per_key — top-3 orders per customer through the engine's
+    * custom whole-operator extension [[graft.plans.TopKPerKey]] (logical
+    * node → strategy → bounded-heap SparkPlan): per-key heaps of size k
+    * replace the window formulation's full per-partition sort, with a
+    * map-side partial phase so the shuffle carries ≤ k rows per key per
+    * partition. Same results as `row_number() <= 3` (the oracle checks
+    * that); PlanShapeSpec asserts the two-phase heap plan with no Window
+    * and no pre-shuffle Sort. The trailing orderBy exists only for the
+    * deterministic oracle dump.
+    */
+  def topkPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey(
+        t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .orderBy(asc("o_custkey"), desc("o_totalprice"), asc("o_orderkey"))
+
   // ---------------------------------------------------------------- set ops
 
   /** q_set_ops — union / intersect / except over yearly active-customer key
@@ -1060,6 +1076,7 @@ object Relational {
     "q_agg_cube" -> aggCube _,
     "q_sort_limit" -> sortLimit _,
     "q_topk" -> topk _,
+    "q_topk_per_key" -> topkPerKey _,
     "q_set_ops" -> setOps _,
     "q_dedup_exact" -> dedupExact _,
     "q_window_rank" -> windowRank _,
@@ -1296,6 +1313,14 @@ object Relational {
     "q_topk" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50"),
+    // the custom heap operator must equal the window formulation exactly
+    "q_topk_per_key" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 " +
+        "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"),
     "q_set_ops" ->
       ("WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1997), " +
         "b AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1998) " +

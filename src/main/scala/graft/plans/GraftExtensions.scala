@@ -61,6 +61,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     // same coercing builders as GraftFunctions.register — one source of truth
     graft.functions.GraftFunctions.defs.foreach { case (name, cls, builder) =>
       ext.injectFunction((FunctionIdentifier(name),

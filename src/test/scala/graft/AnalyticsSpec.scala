@@ -121,6 +121,19 @@ class AnalyticsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) <= cohortSizes(r.getString(0))))
   }
 
+  test("q_agg_active_users: dau <= active_7d <= trailing-7-day dau sum") {
+    val rows = Analytics.aggActiveUsers(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, dau, a7) =>
+      assert(a7 >= dau, s"$day: window actives below daily actives")
+      val d0 = java.time.LocalDate.parse(day)
+      val trailing = (0 to 6).map(i => dauByDay.getOrElse(d0.minusDays(i).toString, 0L)).sum
+      assert(a7 <= trailing, s"$day: distinct actives exceed trailing dau sum")
+    }
+  }
+
   test("q_join_range_bucket plans an equi hash/merge join, not a nested loop") {
     val p = Analytics.joinRangeBucket(s, d).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

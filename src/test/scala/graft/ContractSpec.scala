@@ -53,7 +53,8 @@ class ContractSpec extends AnyFunSuite {
     "q_reconcile_diff", "q_dq_rules", "q_anomaly_zscore", "q_cdc_apply",
     "q_graph_pagerank_step", "q_timeseries_gapfill", "q_join_range_bucket",
     "q_text_collocation_pmi", "q_window_gaps_islands",
-    "q_agg_retention_cohort", "q_maintain_clone")
+    "q_agg_retention_cohort", "q_maintain_clone",
+    "q_agg_active_users", "q_topk_per_key")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

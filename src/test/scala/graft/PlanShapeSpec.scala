@@ -98,6 +98,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_topk_per_key plans two-phase bounded heaps: no Window, no pre-shuffle Sort") {
+    // the raw operator, without the oracle dump's trailing orderBy
+    val df = graft.plans.TopKPerKey(
+      Tables(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    val p = df.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toIndexedSeq
+    val fin = lines.indexWhere(_.contains("TopKPerKey(final)"))
+    val part = lines.indexWhere(_.contains("TopKPerKey(partial)"))
+    assert(fin >= 0 && part > fin, s"expected final above partial in:\n$p")
+    assert(lines.slice(fin, part).exists(_.contains("Exchange hashpartitioning")),
+      s"no key exchange between heap phases:\n$p")
+    assert(!p.contains("Window"), s"heap operator must not plan a Window:\n$p")
+    assert(!p.contains("Sort"), s"heap operator must not sort anything:\n$p")
+  }
+
   test("q_embed_kmeans_step assignment is join-free and explode-free (one agg exchange)") {
     val df = graft.operators.LlmData.embedKmeansStep(s, d)
     val p = plan(df)

@@ -157,6 +157,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q_topk_per_key equals the window formulation, for any k, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    def windowed(k: Int) = base
+      .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))))
+      .where(col("rn") <= k).drop("rn")
+      .collect().map(_.toSeq).toSet
+    def heaped(df: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.plans.TopKPerKey(df,
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k)
+        .collect().map(_.toSeq).toSet
+    assert(heaped(base, 3) === windowed(3))
+    // k exceeding every group size degenerates to the identity
+    assert(heaped(base, 100000) === base.collect().map(_.toSeq).toSet)
+    // result is partitioning-invariant (heap merge is order-independent)
+    assert(heaped(base.repartition(17), 3) === windowed(3))
+    assert(heaped(base.repartition(1), 3) === windowed(3))
+  }
+
   test("q_set_ops algebra: |union| = |A| + |B| - |intersect|") {
     val r = Relational.setOps(s, d).groupBy("op").count()
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
