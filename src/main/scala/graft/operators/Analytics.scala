@@ -199,15 +199,15 @@ object Analytics {
   def aggActiveUsers(s: SparkSession, d: String): DataFrame = {
     val act = t(s, d, "events")
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-    val bounds = act.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     val contrib = act.select(col("user_id"),
       explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("w_day"))
     val a7 = contrib.groupBy("w_day")
       .agg(countDistinct(col("user_id")).as("active_7d"))
     val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    // the inner join on activity days already bounds the report to the
+    // observed [first, last] range — window-ends past the last day have no
+    // dau row and drop out; no explicit bounds filter needed
     dau.join(a7, dau("day") === a7("w_day"))
-      .crossJoin(broadcast(bounds))
-      .where(col("day") >= col("lo") && col("day") <= col("hi"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day_str"),
         col("dau"), col("active_7d"))
       .orderBy("day_str")
@@ -267,7 +267,6 @@ object Analytics {
         "GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days"),
     "q_agg_active_users" ->
       ("WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
-        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM act), " +
         "contrib AS (SELECT user_id, CAST(unnest(generate_series(" +
         "CAST(day AS TIMESTAMP), CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) " +
         "AS w_day FROM act), " +
@@ -275,8 +274,7 @@ object Analytics {
         "FROM contrib GROUP BY w_day), " +
         "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day) " +
         "SELECT strftime(dau.day, '%Y-%m-%d') AS day_str, dau.dau, a7.active_7d " +
-        "FROM dau JOIN a7 ON dau.day = a7.w_day CROSS JOIN b " +
-        "WHERE dau.day >= b.lo AND dau.day <= b.hi " +
+        "FROM dau JOIN a7 ON dau.day = a7.w_day " +
         "ORDER BY day_str"),
     "q_join_range_bucket" ->
       ("SELECT c.event_id AS click_id, CAST(count(*) AS BIGINT) AS n_win, " +

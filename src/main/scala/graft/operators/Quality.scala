@@ -157,12 +157,16 @@ object Quality {
     * derived deterministically from orders (seq 0 inserts everything, seq 1
     * reprices keys ≡0 mod 5 at +5.00, seq 2 deletes keys ≡0 mod 7); apply =
     * keep each key's highest-seq record, drop it if that record is a delete.
-    * Implemented as `max(struct(seq, …))` — a hash aggregate with map-side
-    * partial combine (state per key is ONE struct), NOT a window sort: at
-    * 100 TB the window formulation pays a full per-partition sort and holds
-    * whole partitions, while the struct-max folds incrementally and never
-    * sorts. Seq is unique per key so the struct comparison is total. This is
-    * the batch half of the engine's CDC story — the streaming half is
+    * Implemented as `max(struct(seq, …))` — an aggregate with map-side
+    * partial combine (state per key is ONE struct), NOT a window: the
+    * window formulation shuffles EVERY changelog row and sorts each
+    * post-shuffle partition by (key, seq), while the partial fold bounds
+    * the exchange to one reduced row per key per input partition. Spark
+    * plans the fold as SortAggregate (struct buffers aren't
+    * hash-aggregable), so the local pre-reduction key-sorts remain — but
+    * nothing downstream ever holds or sorts the full changelog. Seq is
+    * unique per key so the struct comparison is total. This is the batch
+    * half of the engine's CDC story — the streaming half is
     * `q_stream_foreach_upsert`'s idempotent lake merge.
     */
   def cdcApply(s: SparkSession, d: String): DataFrame = {

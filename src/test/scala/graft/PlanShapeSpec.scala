@@ -114,6 +114,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Sort"), s"heap operator must not sort anything:\n$p")
   }
 
+  test("q_anomaly_zscore broadcasts the stats table back over the scan") {
+    val p = plan(graft.operators.Quality.anomalyZscore(s, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats re-attach should broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join expected:\n$p")
+  }
+
+  test("q_cdc_apply folds via partial aggregation, never a Window") {
+    val p = plan(graft.operators.Quality.cdcApply(s, d))
+    // struct buffers plan as SortAggregate; the property that matters is
+    // the partial (map-side) phase bounding the exchange to one row per
+    // key per partition — and the absence of any window operator
+    assert(p.contains("partial_max"),
+      s"changelog fold should partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"fold must not plan a Window:\n$p")
+  }
+
+  test("q_agg_active_users explodes windows instead of any quadratic join") {
+    val p = plan(graft.operators.Analytics.aggActiveUsers(s, d))
+    assert(p.contains("Generate explode"), s"expected the window explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rolling distinct must not plan a quadratic join:\n$p")
+  }
+
   test("q_embed_kmeans_step assignment is join-free and explode-free (one agg exchange)") {
     val df = graft.operators.LlmData.embedKmeansStep(s, d)
     val p = plan(df)

@@ -79,6 +79,33 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPerKey equals per-key sort-take on random tables, any k, any partitioning") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cases = samples(for {
+      n <- Gen.choose(0, 400)
+      nKeys <- Gen.choose(1, 8)
+      k <- Gen.choose(1, 6)
+      parts <- Gen.choose(1, 7)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0L, nKeys.toLong - 1)
+        v <- Gen.choose(-1000, 1000)
+      } yield (key, v))
+    } yield (rows, k, parts), 12)
+    cases.foreach { case (rows, k, parts) =>
+      // id column makes the ordering total, so expected output is unique
+      val df = rows.zipWithIndex.map { case ((key, v), id) => (key, v, id.toLong) }
+        .toDF("key", "v", "id").repartition(parts)
+      val got = graft.plans.TopKPerKey(df, Seq("key"),
+          Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = rows.zipWithIndex.map { case ((key, v), id) => (key, v, id.toLong) }
+        .groupBy(_._1).values.flatMap(g =>
+          g.sortBy(t => (-t._2, t._3)).take(k)).toSet
+      assert(got === want, s"k=$k parts=$parts n=${rows.length}")
+    }
+  }
+
   test("CronSchedule.nextAfter always lands strictly in the future, within 24h, at M/H") {
     val cases = samples(for {
       now <- Gen.choose(0L, 2000000000L)
