@@ -124,7 +124,9 @@ object Bench {
     // entries a reader acts on — up to the byte budget and say how many
     // were elided; bench_full.json above carries the canonical record.
     def slowest(scale: Long, unit: String): String = {
-      val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","n":${results.size},"queries_file":"bench_full.json","slowest":{"""
+      // mean_ms normalizes totals across rounds with growing query counts
+      val meanMs = if (results.nonEmpty) math.round(total * 1000 / results.size) else 0L
+      val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","n":${results.size},"mean_ms":$meanMs,"queries_file":"bench_full.json","slowest":{"""
       val entries = results.sortBy(-_._2).iterator
         .map { case (k, v) => s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}" }
       val sb = new StringBuilder(header)

@@ -45,6 +45,8 @@ case class TopKPerKeyNode(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(keys.nonEmpty,
+    "TopKPerKey needs at least one key; global top-k is TakeOrderedAndProject (orderBy.limit)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
