@@ -479,6 +479,159 @@ object PipelineIngest {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** q_maintain_vacuum — ORPHAN-FILE GARBAGE COLLECTION, the third leg of
+    * the lake-maintenance tripod (compact rewrites, clone pins, vacuum
+    * reclaims): every rewrite-style operation ([[maintainCompact]],
+    * [[maintainDelete]], failed/aborted writes) leaves data files on disk
+    * that no live manifest references, and at 100 TB un-GC'd rewrites
+    * double storage within weeks. Vacuum is pure METADATA arithmetic —
+    * (directory listing) ∖ (manifest file set) → delete — never a data
+    * scan, so its cost is bounded by file count regardless of table bytes.
+    * Here a landed table is compacted manifest-style (new files written,
+    * manifest swapped to reference only them), stranding the original
+    * files as orphans; vacuum removes exactly those. The re-read aggregate
+    * through the manifest equals the plain source table — vacuum is
+    * invisible to readers, which is what the oracle hash-checks —
+    * and VacuumSpec asserts the directory file set collapses to exactly
+    * the manifest set while orphans existed beforehand. Production nuance
+    * recorded here: a real lake vacuums behind a RETENTION horizon (file
+    * mtime older than the oldest pinned snapshot / in-flight read) and
+    * must treat clone manifests ([[maintainClone]]) as GC roots; both are
+    * list-side predicates on this same set-difference, orthogonal to the
+    * mechanism shown.
+    */
+  def maintainVacuum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_vacuum"
+    val tableDir = s"$root/table"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val src = graft.Tables(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    // v1 landing: 8 files, all referenced by manifest v1 (implicit)
+    src.repartition(8).write.mode("overwrite").parquet(tableDir)
+    def dataFiles(): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(tableDir))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    val v1Files = dataFiles().map(_.getPath.getName).toSet
+    // a compaction rewrite lands NEW files beside the old and commits a
+    // manifest referencing only the new generation — v1 files are now
+    // orphans (exactly what maintainCompact's version-dir swap avoids
+    // having to GC; manifest-tracked tables GC with vacuum instead)
+    val staged = s"$root/staged"
+    s.read.parquet(tableDir).coalesce(2).write.mode("overwrite").parquet(staged)
+    fs.listStatus(new Path(staged))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .zipWithIndex.foreach { case (st, i) =>
+        fs.rename(st.getPath, new Path(tableDir, s"gen2-$i-${st.getPath.getName}"))
+      }
+    fs.delete(new Path(staged), true)
+    import s.implicits._
+    val live = dataFiles().filter(_.getPath.getName.startsWith("gen2-"))
+      .map(st => (new Path(tableDir, st.getPath.getName).toString, st.getLen)).toSeq
+    live.toDF("path", "bytes").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    // VACUUM: directory listing minus manifest set; control-plane only
+    val manifested = s.read.parquet(s"$root/manifest")
+      .select("path").collect().map(r => new Path(r.getString(0)).getName).toSet
+    val orphans = dataFiles().filterNot(st => manifested(st.getPath.getName))
+    require(orphans.map(_.getPath.getName).toSet == v1Files,
+      "vacuum must identify exactly the pre-compaction generation as orphans")
+    orphans.foreach(st => fs.delete(st.getPath, false))
+    // readers see identical content through the manifest (the oracle check)
+    val pinned = s.read.parquet(s"$root/manifest")
+      .select("path").collect().map(_.getString(0))
+    s.read.parquet(pinned: _*)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sumExact(col("p_retailprice"), 2).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** q_scan_time_travel — VERSIONED SNAPSHOT READS (time travel): each
+    * committed version of a table is a MANIFEST naming its data files, so
+    * reading "the table as of version N" is planning the scan from
+    * manifest N — no data is copied per version (append-only versions
+    * share every carried-over file, Delta/Iceberg snapshot semantics, the
+    * read-side dual of [[maintainClone]]'s write-side pin). Here v1 lands
+    * 90% of orders, an append commits v2 = v1's files + the new ones, and
+    * the op reads BOTH versions through their manifests into one result
+    * keyed by version — the v1 half must equal the pre-append content
+    * even though the append already landed, which is exactly what the
+    * oracle hash-checks (a stale-read bug would drag v2 rows into v1).
+    * At 100 TB: version history costs one small manifest per commit;
+    * time-travel reads plan in O(manifest) and prune files like any scan;
+    * vacuum ([[maintainVacuum]]) bounds history depth by retiring
+    * manifests past retention and GC-ing files no surviving manifest
+    * references.
+    */
+  def scanTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_scan_time_travel"
+    val tableDir = s"$root/table"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val orders = graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.where(col("o_orderkey") % 10 =!= 0)
+      .repartition(8).write.mode("overwrite").parquet(tableDir)
+    def listData(): Seq[String] = fs.listStatus(new Path(tableDir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq.sorted
+    import s.implicits._
+    val v1 = listData()
+    v1.toDF("path").coalesce(1).write.mode("overwrite").parquet(s"$root/v1")
+    // the append commit: new files only; v2 = v1 ∪ appended
+    orders.where(col("o_orderkey") % 10 === 0)
+      .repartition(2).write.mode("append").parquet(tableDir)
+    listData().toDF("path").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/v2")
+    def readAt(v: String): DataFrame = {
+      val files = s.read.parquet(s"$root/$v").select("path")
+        .collect().map(_.getString(0))
+      s.read.parquet(files: _*)
+    }
+    def agg(df: DataFrame, version: Int): DataFrame = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("sum_price"))
+      .select(lit(version).as("version"), col("o_orderstatus"), col("n"), col("sum_price"))
+    agg(readAt("v1"), 1).unionByName(agg(readAt("v2"), 2))
+      .orderBy("version", "o_orderstatus")
+  }
+
+  /** q_join_dpp — DYNAMIC PARTITION PRUNING: the fact side is a
+    * day-partitioned lake table, the filter lives on the DIMENSION
+    * (an attribute of the day, not the partition key itself), and Spark
+    * must prune fact partitions AT RUNTIME from the dim join keys — the
+    * single biggest scan-reduction lever for star-schema queries over
+    * partitioned 100 TB facts (static pruning can't see through the join;
+    * without DPP every partition is read and the filter applies
+    * post-scan). The dim is broadcast (it is day-grain tiny), DPP reuses
+    * the broadcast result as an IN-subquery partition filter on the fact
+    * scan, and PlanShapeSpec asserts `dynamicpruning` appears in the fact
+    * scan's PartitionFilters — the plan property that, at scale, turns a
+    * 40-partition read into the ~6 the dim filter selects. Result equality
+    * with the flat predicate is what the oracle hash-checks.
+    */
+  def joinDpp(s: SparkSession, d: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_join_dpp"
+    val factDir = s"$root/events_by_day"
+    val ev = graft.Tables(s, d, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(factDir)
+    val fact = s.read.parquet(factDir)
+    // day-grain dim with a derived attribute; the filter is on the
+    // ATTRIBUTE (audit days: day-of-month ≡ 3 mod 7), not the join key
+    val dim = fact.select(col("day")).distinct()
+      .withColumn("dom", dayofmonth(col("day")))
+      .where(col("dom") % 7 === 3)
+    fact.join(broadcast(dim), Seq("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -486,6 +639,9 @@ object PipelineIngest {
     "q_maintain_delete" -> maintainDelete _,
     "q_maintain_compact" -> maintainCompact _,
     "q_maintain_clone" -> maintainClone _,
+    "q_maintain_vacuum" -> maintainVacuum _,
+    "q_scan_time_travel" -> scanTimeTravel _,
+    "q_join_dpp" -> joinDpp _,
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
@@ -497,6 +653,25 @@ object PipelineIngest {
     "q_source_schema_evolution" -> sourceSchemaEvolution _)
 
   val oracle: Map[String, String] = Map(
+    // vacuum is invisible to manifest readers: content == plain source
+    "q_maintain_vacuum" ->
+      (s"SELECT p_brand, count(*) AS n, ${Det.sqlSumExact("p_retailprice", 2)} AS sum_price " +
+        "FROM part GROUP BY p_brand ORDER BY p_brand"),
+    // v1 sees exactly the pre-append 90%; v2 sees everything
+    "q_scan_time_travel" ->
+      (s"SELECT CAST(1 AS INT) AS version, o_orderstatus, count(*) AS n, " +
+        s"${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
+        "FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY o_orderstatus " +
+        "UNION ALL " +
+        s"SELECT CAST(2 AS INT) AS version, o_orderstatus, count(*) AS n, " +
+        s"${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
+        "FROM orders GROUP BY o_orderstatus " +
+        "ORDER BY version, o_orderstatus"),
+    // DPP result == the flat attribute predicate applied directly
+    "q_join_dpp" ->
+      (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events WHERE day(CAST(ts AS DATE)) % 7 = 3 " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_source_schema_evolution" ->
       ("SELECT event_type, count(*) AS n, " +
         s"${Det.sqlSumExact("value", 2)} AS sum_value FROM (" +

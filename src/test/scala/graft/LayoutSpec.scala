@@ -174,4 +174,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(pinned: _*).count() === nOrders)
     assert(spark.read.parquet(s"$root/source").count() > nOrders)
   }
+
+  test("q_maintain_vacuum leaves the directory holding exactly the manifest set") {
+    sources.PipelineIngest.maintainVacuum(spark, sf).collect()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_vacuum"
+    val onDisk = new java.io.File(s"$root/table").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val manifested = spark.read.parquet(s"$root/manifest")
+      .select("path").collect()
+      .map(r => new java.io.File(r.getString(0)).getName).toSet
+    assert(onDisk == manifested,
+      s"vacuum left orphans or deleted live files: disk=$onDisk manifest=$manifested")
+    // the whole pre-compaction generation was reclaimed: only gen2 remains
+    assert(onDisk.nonEmpty && onDisk.forall(_.startsWith("gen2-")))
+  }
+
+  test("q_scan_time_travel: v1 sees the pre-append snapshot, v2 the append too") {
+    val rows = sources.PipelineIngest.scanTimeTravel(spark, sf).collect()
+    val n = rows.groupBy(_.getAs[Int]("version")).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val expectedV2 = Tables(spark, sf, "orders").count()
+    val expectedV1 = Tables(spark, sf, "orders")
+      .where(col("o_orderkey") % 10 =!= 0).count()
+    assert(n(1) === expectedV1, s"v1 read drifted: ${n(1)} vs $expectedV1")
+    assert(n(2) === expectedV2, s"v2 read drifted: ${n(2)} vs $expectedV2")
+  }
 }

@@ -322,4 +322,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Relational.pivotWide(s, d))
     assert(p.contains("HashAggregate") && p.contains("partial_"))
   }
+
+  test("q_join_dpp prunes fact partitions at runtime from the dim join keys") {
+    val df = sources.PipelineIngest.joinDpp(s, d)
+    val p = plan(df)
+    // the fact scan must carry a dynamicpruning partition filter — the
+    // property that turns a full-lake read into the dim-selected subset
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    // and the filter lands on the PARTITION column, not a post-scan filter
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+    assert(scanLine.isDefined, s"dynamicpruning not in PartitionFilters:\n$p")
+  }
 }
