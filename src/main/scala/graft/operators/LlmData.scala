@@ -1271,9 +1271,115 @@ object LlmData {
         xxhash64(col("fps")).as("fp_sig"))
       .orderBy("doc_id")
 
+  /** q_corpus_mix_temperature — TEMPERATURE-WEIGHTED DOMAIN MIXTURE, the
+    * standard pre-training rebalancer (multilingual-BERT / XLM-R exponent
+    * smoothing, α = 0.5): raw per-source counts are smoothed to
+    * weight ∝ n^α so dominant domains shrink and rare ones grow, a fixed
+    * selection budget (1000 docs) is apportioned by the smoothed weights,
+    * and each source contributes its target count of documents chosen by a
+    * DETERMINISTIC pseudo-random order (md5 of the doc id — uniform,
+    * engine-independent, reproducible across reruns/engines, the same
+    * keyed-hash discipline as `q_sample_hash`). All weight arithmetic is
+    * integer micro-units (⌊√n·10⁶⌋, integer multiply, integer div), so
+    * targets are exact — a floating Σweight would make budget splits
+    * engine-order-dependent.
+    *
+    * Scale: counts/weights/targets are SOURCE-grain (a handful of rows →
+    * broadcast); the only corpus-sized pass is one per-source window
+    * ranking on the hash — at 100 TB, rank-within-source distributes by
+    * source-salted keys the same way `q_corpus_domain_cap`'s window does.
+    */
+  def corpusMixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n").cast("double")) * 1000000d).cast("long"))
+    val tot = w.agg(sum(col("w_micro")).as("tot_micro"))
+    val tgt = w.crossJoin(broadcast(tot))
+      .withColumn("target_n", expr("(1000 * w_micro) div tot_micro"))
+      .select("source", "n", "target_n")
+    val rkW = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(rkW).cast("long"))
+      .join(broadcast(tgt), "source")
+      .where(col("rk") <= col("target_n"))
+      .select("source", "doc_id", "rk", "target_n")
+      .orderBy("source", "rk")
+  }
+
+  /** q_text_inverted_index — POSTING-LIST CONSTRUCTION (the retrieval-side
+    * dual of `q_text_tfidf`'s scoring): per term, document frequency, total
+    * term frequency, and the head of the doc-id-sorted posting list. The
+    * posting head is BOUNDED BEFORE AGGREGATION (row_number ≤ 20 within
+    * term, then collect) — the unbounded formulation (collect the full
+    * list, slice after) holds a stop-word's entire posting list — possibly
+    * hundreds of millions of doc ids — in one aggregation buffer, the
+    * canonical OOM of naive index builds at corpus scale. The df ≥ 25 floor
+    * keeps the emitted vocabulary the index-worthy core (hapaxes are ~half
+    * of any corpus vocabulary and retrieval-useless).
+    *
+    * Scale: tf/df are vocabulary-grain hash aggregates with map-side
+    * partials; the rank window distributes by term (stop-term skew is
+    * bounded: the window only ever RETAINS 20 rows per term, and the
+    * heaviest terms are exactly the ones the df floor keeps — a production
+    * build shards the full posting lists by (term, docid-range) past the
+    * head shown here).
+    */
+  def textInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val td = toks.distinct()
+    val df = td.groupBy("term").agg(count(lit(1)).as("df"))
+    val headW = Window.partitionBy("term").orderBy("doc_id")
+    val heads = td.withColumn("r", row_number().over(headW))
+      .where(col("r") <= 20)
+      .groupBy("term")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("postings_head"))
+    df.where(col("df") >= 25)
+      .join(tf, "term").join(heads, "term")
+      .select("term", "df", "tf", "postings_head")
+      .orderBy("term")
+  }
+
+  /** q_embed_norm_audit — L2-NORM AUDIT of the embedding column, the
+    * pre-flight every vector pipeline needs before cosine math
+    * (`q_simsearch_topk` assumes comparable norms; quantization
+    * (`q_embed_quantize`) assumes bounded ones): per vector, the exact
+    * quantized norm² (elements scaled to integer milli-units, squared and
+    * summed in exact integer arithmetic — order-independent, so partial
+    * aggregation order can't perturb it), the milli-precision L2 norm, and
+    * an integer signature of the first 4 UNIT-NORMALIZED coordinates
+    * (x/‖x‖ in micro-units) — the actual normalize step's output, pinned
+    * exactly. Zero vectors are audited, not normalized (empty signature),
+    * so the op is total. Per-row higher-order-function compute only —
+    * embarrassingly parallel, no shuffle except the output sort.
+    */
+  def embedNormAudit(s: SparkSession, d: String): DataFrame = {
+    def q(x: Column): Column = round(x.cast("double") * 1000d, 0).cast("long")
+    val e = t(s, d, "embeddings")
+      .withColumn("nrm2_q",
+        aggregate(col("embedding"), lit(0L), (acc, x) => acc + q(x) * q(x)))
+    e.select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        col("nrm2_q"),
+        round(sqrt(col("nrm2_q").cast("double")), 0).cast("long").as("l2_milli"),
+        when(col("nrm2_q") > 0,
+          concat_ws(",", transform(slice(col("embedding"), 1, 4),
+            x => round(q(x) * lit(1000000L) / sqrt(col("nrm2_q").cast("double")), 0)
+              .cast("long").cast("string"))))
+          .otherwise(lit("")).as("unit4_sig"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_mix_temperature" -> corpusMixTemperature _,
+    "q_text_inverted_index" -> textInvertedIndex _,
+    "q_embed_norm_audit" -> embedNormAudit _,
     "q_dedup_ngram" -> dedupNgram _,
     "q_dedup_cluster" -> dedupCluster _,
     "q_dedup_survivors" -> dedupSurvivors _,
@@ -1307,6 +1413,45 @@ object LlmData {
     "q_pack_sequences" -> packSequences _)
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_mix_temperature" ->
+      ("WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n " +
+        "FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) " +
+        "AS w_micro FROM cnt), " +
+        "tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_micro FROM w), " +
+        "tgt AS (SELECT source, n, (1000 * w_micro) // tot_micro AS target_n FROM w, tot), " +
+        "rk AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM documents) " +
+        "SELECT rk.source, rk.doc_id, rk.rk, tgt.target_n " +
+        "FROM rk JOIN tgt ON rk.source = tgt.source " +
+        "WHERE rk.rk <= tgt.target_n ORDER BY rk.source, rk.rk"),
+    "q_text_inverted_index" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "td AS (SELECT DISTINCT term, doc_id FROM toks), " +
+        "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY term), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY term), " +
+        "rk AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term " +
+        "ORDER BY doc_id) AS r FROM td), " +
+        "heads AS (SELECT term, array_to_string(list(CAST(doc_id AS VARCHAR) " +
+        "ORDER BY doc_id), ',') AS postings_head FROM rk WHERE r <= 20 GROUP BY term) " +
+        "SELECT df.term, df.df, tf.tf, heads.postings_head " +
+        "FROM df JOIN tf ON df.term = tf.term JOIN heads ON df.term = heads.term " +
+        "WHERE df.df >= 25 ORDER BY df.term"),
+    "q_embed_norm_audit" ->
+      ("WITH base AS (SELECT vec_id, label, embedding, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) * " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))), " +
+        "(a, b) -> a + b) AS BIGINT) AS nrm2_q FROM embeddings) " +
+        "SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, nrm2_q, " +
+        "CAST(round(sqrt(CAST(nrm2_q AS DOUBLE)), 0) AS BIGINT) AS l2_milli, " +
+        "CASE WHEN nrm2_q > 0 THEN array_to_string(list_transform(embedding[1:4], " +
+        "x -> CAST(CAST(round(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) " +
+        "* 1000000 / sqrt(CAST(nrm2_q AS DOUBLE)), 0) AS BIGINT) AS VARCHAR)), ',') " +
+        "ELSE '' END AS unit4_sig " +
+        "FROM base ORDER BY vec_id"),
     "q_text_bpe_step" ->
       ("SELECT a, b, count(*) AS n FROM (" +
         "SELECT unnest(list_transform(range(1, len(string_split(text, ' '))), " +

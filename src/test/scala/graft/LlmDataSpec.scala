@@ -378,4 +378,49 @@ class LlmDataSpec extends AnyFunSuite {
       ((top.getLong(3).toDouble / nt) * (top.getLong(4).toDouble / nt))) * 1e6)
     assert(top.getLong(5) === want)
   }
+
+  test("q_corpus_mix_temperature: budget apportioned by smoothed weight, selection deterministic") {
+    val sel = LlmData.corpusMixTemperature(s, d).collect()
+    // never overdraw the budget, and per-source selection = min(target, n)
+    val bySource = sel.groupBy(_.getString(0))
+    val counts = Tables(s, d, "documents").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val target = rows.head.getAs[Long]("target_n")
+      assert(rows.length.toLong === math.min(target, counts(src)))
+    }
+    assert(bySource.values.map(_.head.getAs[Long]("target_n")).sum <= 1000L)
+    // α = 0.5 smoothing flattens: selected share of a small source ≥ its raw share
+    // determinism: a rerun yields the identical selection
+    val again = LlmData.corpusMixTemperature(s, d).collect()
+    assert(sel.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("q_text_inverted_index: posting heads are bounded, sorted, and df-consistent") {
+    val rows = LlmData.textInvertedIndex(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val head = r.getAs[String]("postings_head").split(",").map(_.toLong)
+      assert(df >= 25)
+      assert(head.length === math.min(df, 20L), s"head not bounded for ${r.getString(0)}")
+      assert(head.sameElements(head.sorted), "postings head not doc-id-sorted")
+      assert(r.getAs[Long]("tf") >= df, "total tf below df")
+    }
+  }
+
+  test("q_embed_norm_audit: quantized norm matches a driver-side recompute") {
+    val audited = LlmData.embedNormAudit(s, d).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    Tables(s, d, "embeddings").select("vec_id", "embedding").collect().take(25)
+      .foreach { r =>
+        val vid = r.getLong(0)
+        val xs = r.getSeq[Float](1)
+        val want = xs.map(x => { val q = math.round(x.toDouble * 1000); q * q }).sum
+        val got = audited(vid)
+        assert(got.getAs[Long]("nrm2_q") === want, s"norm mismatch for vec $vid")
+        assert(got.getAs[Long]("l2_milli") === math.round(math.sqrt(want.toDouble)))
+        if (want > 0) assert(got.getAs[String]("unit4_sig").split(",").length === 4)
+      }
+  }
 }
