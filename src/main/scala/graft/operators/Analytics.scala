@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,7 +215,67 @@ object Analytics {
 
   // ---------------------------------------------------------- registration
 
+  /** q_graph_triangles — TRIANGLE COUNT with DEGREE-ORDERED ORIENTATION
+    * over the part co-purchase graph (parts linked when they appear in the
+    * same order). The naive wedge join — every (edge, edge) pair sharing a
+    * vertex — explodes as Σ deg², which a single celebrity vertex turns
+    * into an O(n²) shuffle at corpus scale. Orienting every edge from its
+    * lower-(degree, id) endpoint to its higher one makes each triangle
+    * countable exactly once AND caps out-degree at O(√m), so the wedge
+    * join is Σ outdeg² = O(m^1.5) worst-case — the Suri-Vassilvitskii
+    * MapReduce bound; on this fixture it turns the graph's skewiest
+    * vertices (stop-part hubs) into wedge SINKS instead of wedge sources.
+    * Everything is equi-join + hash agg (the closing-edge probe is a pure
+    * equality join on the oriented pair — no OR-disjunction, which would
+    * forbid hash joins); result is one exact row, with the closure rate in
+    * integer micro-units (`3·tri / wedges` is the global clustering
+    * coefficient's oriented analogue).
+    */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val po = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = po.as("x").join(po.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val precedes = (da: Column, ia: Column, db: Column, ib: Column) =>
+      da < db || (da === db && ia < ib)
+    val o = e
+      .join(deg.select(col("n").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("b"))
+          .otherwise(col("a")).as("dst"),
+        when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("degb"))
+          .otherwise(col("dega")).as("dst_deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          precedes(col("o1.dst_deg"), col("o1.dst"), col("o2.dst_deg"), col("o2.dst")))
+      .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
+    val stats = wedges.join(o, col("x") === col("src") && col("y") === col("dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(1000000 * n_triangles) div n_wedges").as("closure_micro"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("closure_micro"))
+    val out = stats.collect()
+    e.unpersist(); o.unpersist()
+    import s.implicits._
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_triangles" -> graphTriangles _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
     "q_join_range_bucket" -> joinRangeBucket _,
@@ -224,6 +284,29 @@ object Analytics {
     "q_agg_active_users" -> aggActiveUsers _)
 
   val oracle: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      ("WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b " +
+        "FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n), " +
+        "o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) " +
+        "THEN e.a ELSE e.b END AS src, " +
+        "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) " +
+        "THEN e.b ELSE e.a END AS dst, " +
+        "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) " +
+        "THEN db.deg ELSE da.deg END AS dst_deg " +
+        "FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n), " +
+        "w AS (SELECT o1.dst AS x, o2.dst AS y FROM o o1 JOIN o o2 " +
+        "ON o1.src = o2.src AND (o1.dst_deg < o2.dst_deg OR " +
+        "(o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))), " +
+        "stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM w JOIN o " +
+        "ON w.x = o.src AND w.y = o.dst) AS n_triangles) " +
+        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+        "(1000000 * n_triangles) // n_wedges AS closure_micro FROM stats"),
     "q_graph_pagerank_step" ->
       ("WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
