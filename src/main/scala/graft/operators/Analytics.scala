@@ -222,14 +222,16 @@ object Analytics {
     * into an O(n²) shuffle at corpus scale. Orienting every edge from its
     * lower-(degree, id) endpoint to its higher one makes each triangle
     * countable exactly once AND caps out-degree at O(√m), so the wedge
-    * join is Σ outdeg² = O(m^1.5) worst-case — the Suri-Vassilvitskii
+    * work is Σ outdeg² = O(m^1.5) worst-case — the Suri-Vassilvitskii
     * MapReduce bound; on this fixture it turns the graph's skewiest
     * vertices (stop-part hubs) into wedge SINKS instead of wedge sources.
-    * Everything is equi-join + hash agg (the closing-edge probe is a pure
-    * equality join on the oriented pair — no OR-disjunction, which would
-    * forbid hash joins); result is one exact row, with the closure rate in
-    * integer micro-units (`3·tri / wedges` is the global clustering
-    * coefficient's oriented analogue).
+    * The wedge set itself is never materialized: its count is degree
+    * arithmetic (Σ C(outdeg, 2)), and triangles come from the
+    * adjacency-intersection form — per oriented edge (u,v),
+    * |N⁺(u) ∩ N⁺(v)| — so the only data moved are the m edges plus
+    * out-neighbor arrays the orientation bounds at O(√m) each. All
+    * equi-joins and hash aggs; result is one exact row, with the closure
+    * rate in integer micro-units.
     */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val po = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -250,23 +252,34 @@ object Analytics {
         when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("a"))
           .otherwise(col("b")).as("src"),
         when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("b"))
-          .otherwise(col("a")).as("dst"),
-        when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("degb"))
-          .otherwise(col("dega")).as("dst_deg"))
+          .otherwise(col("a")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wedges = o.as("o1").join(o.as("o2"),
-        col("o1.src") === col("o2.src") &&
-          precedes(col("o1.dst_deg"), col("o1.dst"), col("o2.dst_deg"), col("o2.dst")))
-      .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
-    val stats = wedges.join(o, col("x") === col("src") && col("y") === col("dst"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+    // Never MATERIALIZE the wedge set (Σ outdeg² rows — 41M on the sf0.1
+    // fixture, the whole cost of the naive two-pass formulation): the wedge
+    // COUNT is pure degree arithmetic, and the triangle count is the
+    // adjacency-intersection form — for each oriented edge (u,v),
+    // |N⁺(u) ∩ N⁺(v)| — whose joins move only edge-count rows plus
+    // out-neighbor arrays bounded O(√m) by the orientation.
+    // adjacency is NODE-grain with O(√m)-bounded arrays — broadcast it so
+    // the edge table never shuffles for either neighbor lookup (on a
+    // cluster this is the size call SCALING.md makes per dim table; node
+    // grain ≪ edge grain is what makes it safe)
+    val adj = broadcast(
+      o.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val nTri = o
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    val nWedges = o.groupBy("src").agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
+    val stats = nTri
+      .crossJoin(nWedges)
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        expr("(1000000 * n_triangles) div n_wedges").as("closure_micro"))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"), col("closure_micro"))
+        col("n_triangles"),
+        expr("(1000000 * n_triangles) div n_wedges").as("closure_micro"))
     val out = stats.collect()
     e.unpersist(); o.unpersist()
     import s.implicits._

@@ -54,7 +54,10 @@ class ContractSpec extends AnyFunSuite {
     "q_graph_pagerank_step", "q_timeseries_gapfill", "q_join_range_bucket",
     "q_text_collocation_pmi", "q_window_gaps_islands",
     "q_agg_retention_cohort", "q_maintain_clone",
-    "q_agg_active_users", "q_topk_per_key")
+    "q_agg_active_users", "q_topk_per_key",
+    "q_maintain_vacuum", "q_scan_time_travel", "q_join_dpp",
+    "q_corpus_mix_temperature", "q_text_inverted_index",
+    "q_embed_norm_audit", "q_graph_triangles")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
