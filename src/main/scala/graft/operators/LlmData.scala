@@ -1374,9 +1374,73 @@ object LlmData {
       .orderBy("vec_id")
   }
 
+  /** q_corpus_contamination — BENCHMARK DECONTAMINATION, the release-gate
+    * scan every training corpus runs before a model ships: fraction of
+    * each training document's 3-gram shingles that also occur in the
+    * held-out evaluation set (here the deterministic doc_id ≡ 0 mod 97
+    * slice stands in for the benchmark). A ≥ 10% overlap flags the doc
+    * for removal — the n-gram-overlap rule of the GPT-3/PaLM
+    * decontamination appendices. Counting is on DISTINCT shingles per side
+    * (occurrence counts would let one repeated phrase dominate), the flag
+    * threshold is the integer cross-multiplication `10·|∩| ≥ |D|` (no
+    * float ratio can flip on engine rounding), and the reported rate is an
+    * integer ppm.
+    *
+    * Scale: the eval shingle set is BENCHMARK-sized — thousands of docs
+    * against a 100 TB corpus — so it broadcasts, and the whole scan is one
+    * map-side semi-join + per-doc count: no corpus-keyed shuffle at all
+    * beyond the per-doc aggregate (shingles stay hash-longs end to end, the
+    * [[shingleRows]] kernel).
+    */
+  def corpusContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val train = sh.where(col("doc_id") % 97 =!= 0)
+    val evalSh = sh.where(col("doc_id") % 97 === 0).select("sh").distinct()
+    val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val contaminated = train.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    perDoc.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        expr("(1000000 * n_hit) div n_sh").as("contam_ppm"),
+        (col("n_hit") * 10 >= col("n_sh")).as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** q_text_entropy — CHARACTER-ENTROPY quality scoring: Shannon entropy
+    * of each document's character distribution, the cheap proxy for the
+    * compression-ratio filter (low entropy ⇒ repeated boilerplate /
+    * keyword stuffing; implausibly high ⇒ random or encoded bytes) used
+    * alongside `q_text_quality`'s ratio features. Computed as
+    * H = log10(n) − (Σ cᵢ·log10(cᵢ))/n via the micro-log trick
+    * (`q_text_unigram_lp` precedent): the per-character-class sum is an
+    * EXACT integer (counts × fixed-point logs), order-independent under
+    * partial aggregation, and the final two-operation float expression is
+    * written identically in both engines, so the milli-entropy output
+    * hash-matches. Per-doc character histograms are doc-keyed hash
+    * aggregates with map-side partials — no corpus-wide state.
+    */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    val chars = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_classes"),
+        sum(col("c") * round(log10(col("c").cast("double")) * 1000000d, 0).cast("long"))
+          .as("sum_clog_micro"))
+      .select(col("doc_id"), col("n_chars"), col("n_classes"),
+        round(log10(col("n_chars").cast("double")) * 1000d -
+          col("sum_clog_micro") * lit(1.0d) / (col("n_chars") * lit(1000L)), 0)
+          .cast("long").as("entropy_milli"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_contamination" -> corpusContamination _,
+    "q_text_entropy" -> textEntropy _,
     "q_corpus_mix_temperature" -> corpusMixTemperature _,
     "q_text_inverted_index" -> textInvertedIndex _,
     "q_embed_norm_audit" -> embedNormAudit _,
@@ -1413,6 +1477,33 @@ object LlmData {
     "q_pack_sequences" -> packSequences _)
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_contamination" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s " +
+        "FROM toks WHERE len(t) >= 3), " +
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0), " +
+        "nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM tr GROUP BY doc_id), " +
+        "hit AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit " +
+        "FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id) " +
+        "SELECT nc.doc_id, nc.n_sh, COALESCE(hit.n_hit, CAST(0 AS BIGINT)) AS n_hit, " +
+        "(1000000 * COALESCE(hit.n_hit, CAST(0 AS BIGINT))) // nc.n_sh AS contam_ppm, " +
+        "COALESCE(hit.n_hit, CAST(0 AS BIGINT)) * 10 >= nc.n_sh AS is_contaminated " +
+        "FROM nc LEFT JOIN hit ON nc.doc_id = hit.doc_id ORDER BY nc.doc_id"),
+    "q_text_entropy" ->
+      ("WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c " +
+        "FROM chars GROUP BY doc_id, ch), " +
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, " +
+        "CAST(count(*) AS BIGINT) AS n_classes, " +
+        "CAST(sum(c * CAST(round(log10(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)) " +
+        "AS BIGINT) AS sum_clog_micro FROM h GROUP BY doc_id) " +
+        "SELECT doc_id, n_chars, n_classes, " +
+        "CAST(round(log10(CAST(n_chars AS DOUBLE)) * 1000 - " +
+        "sum_clog_micro * 1.0 / (n_chars * 1000), 0) AS BIGINT) AS entropy_milli " +
+        "FROM agg ORDER BY doc_id"),
     "q_corpus_mix_temperature" ->
       ("WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n " +
         "FROM documents GROUP BY source), " +

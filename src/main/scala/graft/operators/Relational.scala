@@ -659,6 +659,31 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** q_window_first_last — the positional window kernel
+    * (first/last/nth_value): each order annotated with its customer's
+    * first order price, latest order price, and second-order price — the
+    * "customer lifecycle" frame every churn/LTV rollup needs. The frame is
+    * pinned to UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING explicitly:
+    * last_value under the ANSI default frame (ending CURRENT ROW) silently
+    * returns the current row, the classic window bug — and the ordering
+    * carries the o_orderkey tiebreak so both engines see one total order.
+    * One window spec → Catalyst plans a single sort+window pass per
+    * partition; at scale this shuffles each customer's orders once,
+    * identical cost to any other single-window query.
+    */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .withColumn("first_price", first(col("o_totalprice")).over(w))
+      .withColumn("last_price", last(col("o_totalprice")).over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "first_price", "last_price", "second_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q_window_running — per-account running balance + lag: the statement
     * semantics of the reference's digital-accounts DAG
     * (script-dag-dock-statements.py:54). Addends are scaled to integers so
@@ -1080,6 +1105,7 @@ object Relational {
     "q_set_ops" -> setOps _,
     "q_dedup_exact" -> dedupExact _,
     "q_window_rank" -> windowRank _,
+    "q_window_first_last" -> windowFirstLast _,
     "q_window_running" -> windowRunning _,
     "q_window_range_frame" -> windowRangeFrame _)
 
@@ -1331,6 +1357,15 @@ object Relational {
         "ORDER BY op, ck"),
     "q_dedup_exact" ->
       "SELECT DISTINCT l_partkey, l_returnflag FROM lineitem ORDER BY l_partkey, l_returnflag",
+    "q_window_first_last" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "first_value(o_totalprice) OVER w AS first_price, " +
+        "last_value(o_totalprice) OVER w AS last_price, " +
+        "nth_value(o_totalprice, 2) OVER w AS second_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +

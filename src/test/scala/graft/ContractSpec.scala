@@ -57,7 +57,8 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_active_users", "q_topk_per_key",
     "q_maintain_vacuum", "q_scan_time_travel", "q_join_dpp",
     "q_corpus_mix_temperature", "q_text_inverted_index",
-    "q_embed_norm_audit", "q_graph_triangles")
+    "q_embed_norm_audit", "q_graph_triangles",
+    "q_corpus_contamination", "q_text_entropy", "q_window_first_last")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

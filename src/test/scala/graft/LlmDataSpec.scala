@@ -409,6 +409,43 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_contamination flags the planted eval-overlap docs; rates are sane") {
+    val rows = LlmData.corpusContamination(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_sh"))
+      val ppm = r.getAs[Long]("contam_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getAs[Boolean]("is_contaminated") ===
+        (r.getAs[Long]("n_hit") * 10 >= r.getAs[Long]("n_sh")))
+    }
+    // the fixture's planted near-dups guarantee real eval overlap exists
+    assert(rows.exists(_.getAs[Long]("n_hit") > 0),
+      "no training doc overlaps the eval slice — the scan is vacuous")
+    // no eval doc may appear as a training row
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0))
+  }
+
+  test("q_text_entropy is bounded by uniform entropy and matches a recompute") {
+    val rows = LlmData.textEntropy(s, d).collect()
+    rows.foreach { r =>
+      val h = r.getAs[Long]("entropy_milli")
+      val maxH = math.log10(r.getAs[Long]("n_classes").toDouble) * 1000
+      assert(h >= 0 && h <= maxH + 1, s"entropy $h outside [0, $maxH]")
+    }
+    // driver-side recompute of one document with the same micro-log folding
+    val doc = Tables(s, d, "documents").select("doc_id", "text")
+      .orderBy("doc_id").limit(1).collect().head
+    val counts = doc.getString(1).split("").filter(_.nonEmpty)
+      .groupBy(identity).map(_._2.length.toLong)
+    val n = counts.sum
+    val sumClog = counts.map(c => c * math.round(math.log10(c.toDouble) * 1e6)).sum
+    val want = math.round(math.log10(n.toDouble) * 1000 - sumClog * 1.0 / (n * 1000))
+    val got = rows.find(_.getAs[Long]("doc_id") == doc.getLong(0)).get
+      .getAs[Long]("entropy_milli")
+    assert(got === want)
+  }
+
   test("q_embed_norm_audit: quantized norm matches a driver-side recompute") {
     val audited = LlmData.embedNormAudit(s, d).collect()
       .map(r => r.getAs[Long]("vec_id") -> r).toMap

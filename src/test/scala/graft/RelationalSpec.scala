@@ -208,4 +208,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.count() ===
       Tables(s, d, "lineitem").select("l_partkey", "l_returnflag").distinct().count())
   }
+
+  test("q_window_first_last: frame laws per customer") {
+    val rows = Relational.windowFirstLast(s, d).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, grp) =>
+      // every row of a customer carries the same first/last values
+      assert(grp.map(_.getAs[Double]("first_price")).distinct.length === 1)
+      assert(grp.map(_.getAs[Double]("last_price")).distinct.length === 1)
+      if (grp.length == 1) {
+        // single-order customer: first == last == own price, no second
+        val r = grp.head
+        assert(r.getAs[Double]("first_price") === r.getAs[Double]("o_totalprice"))
+        assert(r.getAs[Double]("last_price") === r.getAs[Double]("o_totalprice"))
+        assert(r.isNullAt(r.fieldIndex("second_price")))
+      } else assert(!grp.head.isNullAt(grp.head.fieldIndex("second_price")))
+    }
+  }
 }
