@@ -16,7 +16,9 @@ object Plans {
         "q_join_bucketed", "q_join_skew_salted", "q_simsearch_ivf",
         "q_pivot_wide", "q_pack_sequences",
         "q_join_bloom_pruned", "q_embed_kmeans_step", "q_scan_manifest_skip",
-        "q_join_dpp", "q_graph_triangles", "q_corpus_contamination")) {
+        // NOT q_graph_triangles: it executes eagerly (tiny collected result)
+        // — its plan shape is asserted piecewise in AnalyticsSpec instead
+        "q_join_dpp", "q_corpus_contamination")) {
       println(s"\n===== $q =====")
       println(SparkEntry.queries(q)(s, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(4000))

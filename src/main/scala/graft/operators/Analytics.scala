@@ -279,7 +279,11 @@ object Analytics {
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
-        expr("(1000000 * n_triangles) div n_wedges").as("closure_micro"))
+        // wedge-free graph (all oriented out-degrees ≤ 1): rate is 0, not
+        // a NULL division that would NPE the collect below
+        expr("CASE WHEN n_wedges > 0 " +
+          "THEN (1000000 * n_triangles) div n_wedges ELSE 0 END")
+          .as("closure_micro"))
     val out = stats.collect()
     e.unpersist(); o.unpersist()
     import s.implicits._

@@ -157,11 +157,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_triangles") === brute,
       s"degree-ordered count ${row.getAs[Long]("n_triangles")} != brute $brute")
     assert(row.getAs[Long]("n_edges") === e.count())
-    // the scale bound: max oriented out-degree stays well under max raw degree
+    // the scale bound the operator sells: degree-ordered orientation caps
+    // max out-degree at √(2m) (out-neighbors all have degree ≥ the source's,
+    // so outdeg² ≤ Σdeg = 2m) — recompute the orientation here and check
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .groupBy("n").count()
-    val maxRaw = deg.agg(max("count")).collect().head.getLong(0)
-    assert(row.getAs[Long]("n_wedges") > 0 && maxRaw > 0)
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("src"))
+    val maxOut = oriented.groupBy("src").agg(count(lit(1)).as("od"))
+      .agg(max("od")).collect().head.getLong(0)
+    val m = row.getAs[Long]("n_edges")
+    assert(maxOut <= math.ceil(math.sqrt(2.0 * m)).toLong,
+      s"orientation lost the sqrt(2m) out-degree cap: $maxOut vs m=$m")
+    val maxRaw = deg.agg(max("deg")).collect().head.getLong(0)
+    assert(maxOut <= maxRaw)
     e.unpersist()
   }
 }

@@ -390,7 +390,13 @@ class LlmDataSpec extends AnyFunSuite {
       assert(rows.length.toLong === math.min(target, counts(src)))
     }
     assert(bySource.values.map(_.head.getAs[Long]("target_n")).sum <= 1000L)
-    // α = 0.5 smoothing flattens: selected share of a small source ≥ its raw share
+    // α = 0.5 smoothing: targets must follow the ⌊√n·10⁶⌋ integer-weight
+    // apportionment exactly (a regression to raw-n weighting fails here)
+    val wMicro = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+    val totMicro = wMicro.values.sum
+    bySource.foreach { case (src, rows) =>
+      assert(rows.head.getAs[Long]("target_n") === 1000L * wMicro(src) / totMicro)
+    }
     // determinism: a rerun yields the identical selection
     val again = LlmData.corpusMixTemperature(s, d).collect()
     assert(sel.map(_.toString).toSeq === again.map(_.toString).toSeq)
