@@ -291,6 +291,126 @@ object Analytics {
       .toSeq.toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_micro")
   }
 
+  // ------------------------------------------------------------ sweep line
+
+  /** q_interval_active_peak — PEAK CONCURRENCY via the sweep-line
+    * decomposition: each event opens a 10-minute half-open interval
+    * [ts, ts+10min), and the question is the maximum number simultaneously
+    * open per event_type — the "peak concurrent sessions" metric behind
+    * capacity planning. The naive formulation is an interval self-join
+    * (O(N·M) pairs); the sweep line instead unfolds each interval into a
+    * +1 at its start and a −1 at its end, sorts once per type, and takes
+    * the max of the running sum — O(N log N), one shuffle on event_type,
+    * window state O(1). Half-open semantics are pinned by the sort key
+    * (us, delta): at equal timestamps the −1 sorts first, so an interval
+    * ending exactly when another starts never counts as overlap. The max
+    * is insensitive to ordering among equal (us, delta) rows (the running
+    * sum is monotone within such a tie group), so the result is
+    * deterministic without a unique tiebreaker.
+    */
+  def intervalActivePeak(s: SparkSession, d: String): DataFrame = {
+    val span = 600L * 1000000L // 10 min in micros
+    val ev = t(s, d, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val pts = ev.select(col("event_type"), col("us"), lit(1).as("delta"))
+      .unionAll(ev.select(col("event_type"), (col("us") + span).as("us"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy("event_type").orderBy(col("us"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum(col("delta")).over(w))
+      .groupBy("event_type")
+      .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"),
+        max(col("conc")).cast("long").as("peak_concurrent"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------ exact mode
+
+  /** q_agg_mode_exact — EXACT PER-GROUP MODE with a pinned tie-break
+    * (smallest value wins): the most frequent l_quantity per returnflag.
+    * Built-in `mode()` is tie-nondeterministic in both engines, so the
+    * mode is computed from first principles: a (group, value) hash
+    * aggregate (map-side combined — the reduced state is |distinct values|
+    * per group, not rows) followed by one row_number window over the tiny
+    * counts table ordered (count DESC, value ASC). Two keyed shuffles,
+    * nothing global, deterministic on any engine. The heavy lifting is in
+    * the first aggregate, which at 100 TB reduces each scan partition to
+    * its local distinct-value counts before anything moves.
+    */
+  def aggModeExact(s: SparkSession, d: String): DataFrame = {
+    val cnt = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_quantity").asc)
+    cnt.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // -------------------------------------------------------- weighted median
+
+  /** q_agg_weighted_median — EXACT WEIGHTED MEDIAN per group: the smallest
+    * price (in integer cents) whose cumulative quantity-weight reaches half
+    * the group's total weight — the robust "typical traded price" statistic
+    * (an exact, order-independent alternative to approx_percentile, whose
+    * sketch is merge-order-sensitive). Shape: (group, value) weight
+    * aggregate → cumulative-weight window ordered by value → min value
+    * where 2·cum ≥ total. All integer arithmetic (cents × integer
+    * quantities), so the crossing row is bit-identical across engines.
+    * Scale: the window runs over the REDUCED (group, distinct-value) table,
+    * not raw rows; per-group state is one running long.
+    */
+  def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        round(col("l_quantity"), 0).cast("long").as("wt"))
+      .groupBy("l_returnflag", "cents")
+      .agg(sum(col("wt")).as("w"))
+    val cum = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("l_returnflag")
+    g.withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("totw", sum(col("w")).over(tot))
+      .where(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("cents")).as("wmedian_cents"), min(col("totw")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------------- drawdown
+
+  /** q_window_drawdown — MAX DRAWDOWN per account: cumulative daily balance,
+    * its running peak, and the deepest peak-to-trough fall — the classic
+    * financial risk statistic over the statement series the reference's
+    * daily reports materialize (report:59). Everything is integer cents
+    * (exact at any merge order): one keyed day-aggregate, then two stacked
+    * UNBOUNDED PRECEDING windows (cumulative sum, running max) in a single
+    * per-account sort, then one keyed rollup. At 100 TB this partitions by
+    * account — the window never sees more than one account's days — and the
+    * day-grain pre-aggregate bounds window input to |days| rows per account.
+    */
+  def windowDrawdown(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("acct").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("bal", sum(col("cents")).over(w))
+      .withColumn("peak", max(col("bal")).over(w))
+      .groupBy("acct")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("peak")).as("peak_cents"),
+        max(col("peak") - col("bal")).as("max_drawdown_cents"),
+        sum(col("cents")).as("final_cents"))
+      .orderBy("acct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> graphTriangles _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
@@ -298,7 +418,11 @@ object Analytics {
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
     "q_agg_retention_cohort" -> aggRetentionCohort _,
-    "q_agg_active_users" -> aggActiveUsers _)
+    "q_agg_active_users" -> aggActiveUsers _,
+    "q_interval_active_peak" -> intervalActivePeak _,
+    "q_agg_mode_exact" -> aggModeExact _,
+    "q_agg_weighted_median" -> aggWeightedMedian _,
+    "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
     "q_graph_triangles" ->
@@ -382,5 +506,50 @@ object Analytics {
         "FROM events c JOIN events e ON e.ts >= c.ts " +
         "AND e.ts < c.ts + INTERVAL 600 SECOND " +
         "WHERE c.event_type = 'click' " +
-        "GROUP BY c.event_id ORDER BY click_id"))
+        "GROUP BY c.event_id ORDER BY click_id"),
+    "q_interval_active_peak" ->
+      ("WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
+        "pts AS (SELECT event_type, us, 1 AS delta FROM ev " +
+        "UNION ALL SELECT event_type, us + 600000000, -1 FROM ev), " +
+        "run AS (SELECT event_type, delta, " +
+        "sum(delta) OVER (PARTITION BY event_type ORDER BY us, delta " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts) " +
+        "SELECT event_type, " +
+        "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals, " +
+        "CAST(max(conc) AS BIGINT) AS peak_concurrent " +
+        "FROM run GROUP BY event_type ORDER BY event_type"),
+    "q_agg_mode_exact" ->
+      ("WITH cnt AS (SELECT l_returnflag, l_quantity, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), " +
+        "rk AS (SELECT l_returnflag, l_quantity, n, " +
+        "row_number() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY n DESC, l_quantity ASC) AS rk FROM cnt) " +
+        "SELECT l_returnflag, l_quantity AS mode_qty, n FROM rk " +
+        "WHERE rk = 1 ORDER BY l_returnflag"),
+    "q_agg_weighted_median" ->
+      ("WITH g AS (SELECT l_returnflag, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +
+        "CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, cents, " +
+        "CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw, " +
+        "CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw FROM g) " +
+        "SELECT l_returnflag, min(cents) AS wmedian_cents, " +
+        "min(totw) AS total_weight FROM c " +
+        "WHERE cumw * 2 >= totw GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_window_drawdown" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "r AS (SELECT acct, day, cents, " +
+        "CAST(sum(cents) OVER (PARTITION BY acct ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bal FROM daily), " +
+        "p AS (SELECT acct, cents, bal, " +
+        "CAST(max(bal) OVER (PARTITION BY acct ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak FROM r) " +
+        "SELECT acct, CAST(count(*) AS BIGINT) AS n_days, max(peak) AS peak_cents, " +
+        "max(peak - bal) AS max_drawdown_cents, CAST(sum(cents) AS BIGINT) AS final_cents " +
+        "FROM p GROUP BY acct ORDER BY acct"))
 }

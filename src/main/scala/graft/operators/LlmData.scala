@@ -1374,6 +1374,35 @@ object LlmData {
       .orderBy("vec_id")
   }
 
+  /** q_embed_pca_power — one GRAM-MATRIX-FREE POWER-ITERATION step toward
+    * the corpus's dominant principal direction: v₁ = Mᵀ(M·v₀) with v₀ the
+    * all-ones probe, over milli-quantized integer embeddings — so the step
+    * is exact and order-independent (a floating formulation's partial sums
+    * drift with merge order; the integer one is bit-stable across engines
+    * and partitionings). The driver iterates steps and normalizes between
+    * them, exactly like [[graft.operators.Analytics.graphPagerankStep]]'s
+    * fixed-point superstep discipline.
+    *
+    * Scale: the d×d Gram matrix is NEVER materialized (at d=4096 that's
+    * the classic driver OOM); each row contributes dot·row, computed
+    * row-locally. The posexplode is CPU-only fan-out, and the per-dim sum
+    * has map-side partial aggregation — each task emits ≤ d rows into the
+    * shuffle regardless of row count, so the exchange moves
+    * O(d · n_tasks), not O(N·d).
+    */
+  def embedPcaPower(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(expr("transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("e"))
+      .withColumn("dot", expr("aggregate(e, 0L, (acc, x) -> acc + x)"))
+    e.select(col("dot"), posexplode(col("e")).as(Seq("pos", "val")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        (col("dot") * col("val")).as("c"))
+      .groupBy("dim")
+      .agg(sum(col("c")).as("comp_raw"), count(lit(1)).as("n_rows"))
+      .orderBy("dim")
+  }
+
   /** q_corpus_contamination — BENCHMARK DECONTAMINATION, the release-gate
     * scan every training corpus runs before a model ships: fraction of
     * each training document's 3-gram shingles that also occur in the
@@ -1444,6 +1473,7 @@ object LlmData {
     "q_corpus_mix_temperature" -> corpusMixTemperature _,
     "q_text_inverted_index" -> textInvertedIndex _,
     "q_embed_norm_audit" -> embedNormAudit _,
+    "q_embed_pca_power" -> embedPcaPower _,
     "q_dedup_ngram" -> dedupNgram _,
     "q_dedup_cluster" -> dedupCluster _,
     "q_dedup_survivors" -> dedupSurvivors _,
@@ -1543,6 +1573,17 @@ object LlmData {
         "* 1000000 / sqrt(CAST(nrm2_q AS DOUBLE)), 0) AS BIGINT) AS VARCHAR)), ',') " +
         "ELSE '' END AS unit4_sig " +
         "FROM base ORDER BY vec_id"),
+    "q_embed_pca_power" ->
+      ("WITH q AS (SELECT list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS e " +
+        "FROM embeddings), " +
+        "dots AS (SELECT e, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), e), " +
+        "(a, b) -> a + b) AS BIGINT) AS dot FROM q), " +
+        "ex AS (SELECT CAST(generate_subscripts(e, 1) AS BIGINT) AS dim, " +
+        "unnest(e) AS val, dot FROM dots) " +
+        "SELECT dim, CAST(sum(dot * val) AS BIGINT) AS comp_raw, " +
+        "CAST(count(*) AS BIGINT) AS n_rows " +
+        "FROM ex GROUP BY dim ORDER BY dim"),
     "q_text_bpe_step" ->
       ("SELECT a, b, count(*) AS n FROM (" +
         "SELECT unnest(list_transform(range(1, len(string_split(text, ' '))), " +

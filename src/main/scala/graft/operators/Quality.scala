@@ -186,13 +186,56 @@ object Quality {
       .orderBy("k")
   }
 
+  // -------------------------------------------------------------- benford
+
+  /** Benford expected first-digit frequencies, log10(1+1/d) in integer
+    * millionths (floor) — hardcoded identically in the oracle SQL so the
+    * comparison is exact-integer on both engines.
+    */
+  private val benfordMicro: Map[Int, Long] = Map(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** q_dq_benford — BENFORD'S-LAW FIRST-DIGIT AUDIT over order totals: the
+    * classic financial forensic screen (fabricated amounts skew the leading
+    * digit away from log10(1+1/d)). The digit is extracted through exact
+    * integer cents → decimal string → first char — never via floating
+    * log10, whose boundary behavior differs across engines. Output per
+    * digit: count, observed frequency in integer millionths (floor
+    * division), the hardcoded Benford expectation, and |deviation|. One
+    * scan-aggregate (map-side combined, 9-row result) plus a broadcast of
+    * the 1-row total — O(1) reduced state at any scale, and the only
+    * full-scan pass is the digit histogram.
+    */
+  def dqBenford(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(round(col("o_totalprice") * 100, 0).cast("long")
+      .cast("string"), 1, 1).cast("int").as("digit")
+    val counts = t(s, d, "orders").select(digit)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = benfordMicro.foldLeft(lit(null).cast("long")) {
+      case (acc, (dg, micro)) => when(col("digit") === dg, micro).otherwise(acc)
+    }
+    // total via a global window over the ALREADY-REDUCED 9-row aggregate —
+    // one scan total; a crossJoin(counts.agg(sum)) would re-derive the
+    // histogram from a second full pass over orders
+    counts.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) div total").as("obs_millionths"),
+        expected.as("exp_millionths"))
+      .withColumn("dev_millionths",
+        abs(col("obs_millionths") - col("exp_millionths")))
+      .orderBy("digit")
+  }
+
   // ---------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_reconcile_diff" -> reconcileDiff _,
     "q_dq_rules" -> dqRules _,
     "q_anomaly_zscore" -> anomalyZscore _,
-    "q_cdc_apply" -> cdcApply _)
+    "q_cdc_apply" -> cdcApply _,
+    "q_dq_benford" -> dqBenford _)
 
   val oracle: Map[String, String] = Map(
     "q_reconcile_diff" ->
@@ -248,5 +291,19 @@ object Quality {
         "last AS (SELECT k, seq, op, price, " +
         "row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) " +
         "SELECT k, seq AS applied_seq, price FROM last " +
-        "WHERE rn = 1 AND op <> 'D' ORDER BY k"))
+        "WHERE rn = 1 AND op <> 'D' ORDER BY k"),
+    "q_dq_benford" ->
+      ("WITH dg AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) " +
+        "AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), " +
+        "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY digit), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c), " +
+        "e AS (SELECT c.digit, c.n, " +
+        "CAST((1000000 * c.n) // t.total AS BIGINT) AS obs_millionths, " +
+        "CAST(CASE c.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 " +
+        "WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+        "WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152 " +
+        "WHEN 9 THEN 45757 END AS BIGINT) AS exp_millionths FROM c, t) " +
+        "SELECT digit, n, obs_millionths, exp_millionths, " +
+        "abs(obs_millionths - exp_millionths) AS dev_millionths " +
+        "FROM e ORDER BY digit"))
 }

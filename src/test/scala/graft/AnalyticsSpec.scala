@@ -177,4 +177,92 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(maxOut <= maxRaw)
     e.unpersist()
   }
+
+  test("q_interval_active_peak equals the naive covering-count maximum") {
+    val out = Analytics.intervalActivePeak(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // concurrency only rises at interval starts, so the peak is the max
+    // over start points p of |{e : e.us <= p.us < e.us + span}| — a naive
+    // quadratic self-join, ground truth at test scale
+    val span = 600L * 1000000L
+    val ev = Tables(s, d, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val naive = ev.as("p").join(ev.as("e"),
+        col("p.event_type") === col("e.event_type") &&
+          col("e.us") <= col("p.us") && col("p.us") < col("e.us") + span)
+      .groupBy(col("p.event_type"), col("p.us")).agg(count(lit(1)).as("c"))
+      .groupBy("event_type").agg(max("c").as("peak"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === naive.keySet)
+    out.foreach { case (t, (n, peak)) =>
+      assert(peak === naive(t), s"$t: sweep=$peak naive=${naive(t)}")
+      assert(peak >= 1 && peak <= n)
+    }
+    // interval counts partition the event table
+    assert(out.values.map(_._1).sum ===
+      Tables(s, d, "events").count())
+  }
+
+  test("q_agg_mode_exact picks the max-frequency value, lowest-value tiebreak") {
+    val out = Analytics.aggModeExact(s, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val counts = Tables(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").count().collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.keySet === counts.map(_._1).toSet)
+    out.foreach { case (flag, (qty, n)) =>
+      val grp = counts.filter(_._1 == flag)
+      val maxN = grp.map(_._3).max
+      assert(n === maxN, s"$flag: reported frequency $n != max $maxN")
+      val winners = grp.filter(_._3 == maxN).map(_._2)
+      assert(qty === winners.min, s"$flag: tie-break not lowest value")
+    }
+  }
+
+  test("q_agg_weighted_median is the exact cumulative-weight crossing point") {
+    val out = Analytics.aggWeightedMedian(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val rows = Tables(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        round(col("l_quantity"), 0).cast("long").as("wt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (flag, med, totW) =>
+      val grp = rows.filter(_._1 == flag)
+      assert(totW === grp.map(_._3).sum)
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val upto = grp.filter(_._2 <= med).map(_._3).sum
+      // med is the SMALLEST value whose cumulative weight reaches half
+      assert(upto * 2 >= totW, s"$flag: median too low")
+      assert(below * 2 < totW, s"$flag: a smaller value already crosses half")
+    }
+  }
+
+  test("q_window_drawdown matches a driver-side simulation of each account") {
+    val out = Analytics.windowDrawdown(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val daily = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day").agg(sum("cents").as("cents"))
+      .orderBy("acct", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.keySet === daily.map(_._1).toSet)
+    out.foreach { case (acct, (nDays, peak, maxDd, fin)) =>
+      val series = daily.filter(_._1 == acct).map(_._2)
+      var bal = 0L; var pk = Long.MinValue; var dd = 0L
+      series.foreach { c =>
+        bal += c; pk = math.max(pk, bal); dd = math.max(dd, pk - bal)
+      }
+      assert(nDays === series.length.toLong)
+      assert(peak === pk, s"acct $acct peak")
+      assert(maxDd === dd, s"acct $acct drawdown")
+      assert(fin === bal, s"acct $acct final balance")
+      assert(maxDd >= 0 && peak >= fin)
+    }
+  }
 }

@@ -58,7 +58,9 @@ class ContractSpec extends AnyFunSuite {
     "q_maintain_vacuum", "q_scan_time_travel", "q_join_dpp",
     "q_corpus_mix_temperature", "q_text_inverted_index",
     "q_embed_norm_audit", "q_graph_triangles",
-    "q_corpus_contamination", "q_text_entropy", "q_window_first_last")
+    "q_corpus_contamination", "q_text_entropy", "q_window_first_last",
+    "q_interval_active_peak", "q_agg_mode_exact", "q_agg_weighted_median",
+    "q_window_drawdown", "q_dq_benford", "q_embed_pca_power")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -466,4 +466,24 @@ class LlmDataSpec extends AnyFunSuite {
         if (want > 0) assert(got.getAs[String]("unit4_sig").split(",").length === 4)
       }
   }
+
+  test("q_embed_pca_power equals the driver-side Mᵀ(M·1) recompute") {
+    val out = LlmData.embedPcaPower(s, d).collect()
+      .map(r => r.getAs[Long]("dim") -> (r.getAs[Long]("comp_raw"), r.getAs[Long]("n_rows")))
+      .toMap
+    val vecs = Tables(s, d, "embeddings").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.round(x.toDouble * 1000)).toArray)
+    val dim = vecs.head.length
+    assert(out.keySet === (1 to dim).map(_.toLong).toSet)
+    val want = Array.fill(dim)(0L)
+    vecs.foreach { v =>
+      val dot = v.sum
+      var j = 0
+      while (j < dim) { want(j) += dot * v(j); j += 1 }
+    }
+    (1 to dim).foreach { j =>
+      assert(out(j.toLong)._1 === want(j - 1), s"component $j drifted")
+      assert(out(j.toLong)._2 === vecs.length.toLong)
+    }
+  }
 }

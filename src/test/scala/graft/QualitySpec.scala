@@ -92,4 +92,24 @@ class QualitySpec extends AnyFunSuite {
       assert(got.getDouble(2) === base.getDouble(1) + 5.0)
     }
   }
+
+  test("q_dq_benford histogram partitions orders; constants match log10(1+1/d)") {
+    val rows = Quality.dqBenford(s, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet.subsetOf((1 to 9).toSet))
+    assert(rows.map(_._2).sum === Tables(s, d, "orders").count(),
+      "digit counts must partition the table")
+    // observed frequencies are floor millionths: sum within 9 of 1e6
+    val obsSum = rows.map(_._3).sum
+    assert(obsSum > 1000000L - 9 && obsSum <= 1000000L)
+    rows.foreach { case (dg, n, obs, exp, dev) =>
+      assert(n > 0)
+      assert(exp === math.floor(math.log10(1.0 + 1.0 / dg) * 1e6).toLong,
+        s"digit $dg: hardcoded Benford constant drifted")
+      assert(dev === math.abs(obs - exp))
+    }
+    // the fixture's totals are uniform-ish, not Benford — the audit must
+    // actually flag deviation somewhere (non-vacuous screen)
+    assert(rows.map(_._5).max > 0)
+  }
 }
