@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Graph / time-series / interval analytics over the landed star schema —
-  * the "further analysis" layer (reference README.md:9) beyond plain
-  * relational rollups. All three are oracle-checked with exact arithmetic.
+/** Graph / time-series / interval / order-statistic analytics over the
+  * landed star schema — the "further analysis" layer (reference
+  * README.md:9) beyond plain relational rollups: PageRank and triangle
+  * supersteps, gap-fill, banded range joins, gaps-and-islands, cohort
+  * retention, rolling actives, sweep-line concurrency, exact mode and
+  * weighted median, drawdown, OHLC resampling, Gini concentration, and
+  * SCD2 snapshot reconstruction. All oracle-checked with exact (integer
+  * or decimal) arithmetic.
   *
   * Scale posture (100 TB):
   *   - [[graphPagerankStep]] is ONE synchronous Pregel superstep expressed
@@ -411,7 +416,116 @@ object Analytics {
       .orderBy("acct")
   }
 
+  // ----------------------------------------------------------------- ohlc
+
+  /** q_timeseries_ohlc — WEEKLY OHLC BARS over the per-account daily
+    * balance series: open/high/low/close plus volume and active-day count
+    * per (account, ISO week) — the resample-and-summarize primitive behind
+    * every financial charting/reporting layer (the reference's daily
+    * report, report:59, rolled up to week grain). Open/close are
+    * `min_by/max_by(cents, day)` over the day-grain pre-aggregate — the
+    * day is UNIQUE within (account, week), so the selection is total, with
+    * no tie to break. Two keyed hash aggregates (day grain, then week
+    * grain), both map-side combined; nothing global but the output sort.
+    */
+  def timeseriesOhlc(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+    daily
+      .withColumn("week", date_format(date_trunc("week", col("day")), "yyyy-MM-dd"))
+      .groupBy("acct", "week")
+      .agg(count(lit(1)).as("n_days"),
+        min_by(col("cents"), col("day")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("day")).as("close_cents"),
+        sum(col("cents")).as("volume_cents"))
+      .orderBy("acct", "week")
+  }
+
+  // ----------------------------------------------------------------- gini
+
+  /** q_agg_gini — GINI CONCENTRATION of customer spend per market segment:
+    * the revenue-concentration risk metric (how much of a segment's volume
+    * sits with its top customers). Uses the rank formulation
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over spend sorted ascending —
+    * Σ i·xᵢ is invariant under permutations of equal x, so the (x, custkey)
+    * sort is fully deterministic. The scaled numerator exceeds int64
+    * (1e6 · Σ i·x ~ 1e22 at sf0.1), so the fold runs in decimal(38,0) —
+    * exact, order-independent, HUGEINT-parity with DuckDB. Shape: one
+    * join + per-customer keyed agg (map-side combined), a per-segment
+    * window over the |customers| rows, one final 5-row agg.
+    */
+  def aggGini(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spend = t(s, d, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100, 0)
+        .cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("x"))
+      .join(t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("x").asc, col("o_custkey").asc)
+    spend.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_cents"),
+        sum(col("i").cast(dec) * col("x").cast(dec)).as("s1"))
+      .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+        expr(s"CAST((CAST(1000000 AS $dec) * " +
+          s"(CAST(2 AS $dec) * s1 - CAST(n + 1 AS $dec) * CAST(sum_cents AS $dec))) " +
+          s"div (CAST(n AS $dec) * CAST(sum_cents AS $dec)) AS BIGINT)")
+          .as("gini_micro"))
+      .orderBy("c_mktsegment")
+  }
+
+  // -------------------------------------------------------- scd2 snapshot
+
+  /** q_scd2_snapshot — DAILY SNAPSHOT RECONSTRUCTION from SCD2 history:
+    * for every midnight in the observed window, each user's attribute
+    * version valid at that instant — the "rebuild any day's state from the
+    * slowly-changing dimension" read that backs point-in-time reporting
+    * and ML feature backfills. The naive plan is a nested-loop range join
+    * (spine × versions); instead each version EXPLODES into exactly the
+    * snapshot days it covers (`sequence(ceil_day(valid_from),
+    * floor_day(valid_to))` — the same bounded-band fan-out as
+    * [[joinRangeBucket]]), so the work is O(output) with no quadratic
+    * pass. Event timestamps are never exactly midnight (microsecond
+    * jitter), so ceil = date+1 and the empty-range guard handles
+    * same-day version flips. Versions come from the same lead()-window
+    * discipline as the SCD2 lake op (`q_maintain_scd2`).
+    */
+  def scd2Snapshot(s: SparkSession, d: String): DataFrame = {
+    val hi = "2024-01-31"
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from").asc, col("event_id").asc)
+    val dim = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        round(col("value") * 100, 0).cast("long").as("attr_cents"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val covered = dim
+      .withColumn("lo", date_add(to_date(col("valid_from")), 1))
+      .withColumn("hi", coalesce(to_date(col("valid_to")), lit(hi).cast("date")))
+      // same-day version flip covers no midnight; Spark sequence(lo, hi)
+      // with lo > hi would generate a DESCENDING range, so guard first
+      .where(col("lo") <= col("hi"))
+      .select(col("user_id"), col("attr_cents"),
+        unix_micros(col("valid_from")).as("version_us"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("snap_day"))
+    covered
+      .select(date_format(col("snap_day"), "yyyy-MM-dd").as("snap_day"),
+        col("user_id"), col("attr_cents"), col("version_us"))
+      .orderBy("snap_day", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_timeseries_ohlc" -> timeseriesOhlc _,
+    "q_agg_gini" -> aggGini _,
+    "q_scd2_snapshot" -> scd2Snapshot _,
     "q_graph_triangles" -> graphTriangles _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
@@ -425,6 +539,46 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_timeseries_ohlc" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2) " +
+        "SELECT acct, strftime(date_trunc('week', day), '%Y-%m-%d') AS week, " +
+        "CAST(count(*) AS BIGINT) AS n_days, " +
+        "arg_min(cents, day) AS open_cents, max(cents) AS high_cents, " +
+        "min(cents) AS low_cents, arg_max(cents, day) AS close_cents, " +
+        "CAST(sum(cents) AS BIGINT) AS volume_cents " +
+        "FROM daily GROUP BY acct, week ORDER BY acct, week"),
+    "q_agg_gini" ->
+      ("WITH spend AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM orders GROUP BY o_custkey), " +
+        "j AS (SELECT s.o_custkey, s.x, c.c_mktsegment " +
+        "FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey), " +
+        "r AS (SELECT c_mktsegment, x, o_custkey, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY x, o_custkey) AS i FROM j), " +
+        "g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sum_cents, " +
+        "sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS s1 FROM r GROUP BY c_mktsegment) " +
+        "SELECT c_mktsegment, n, sum_cents, " +
+        "CAST((CAST(1000000 AS HUGEINT) * " +
+        "(2 * s1 - CAST(n + 1 AS HUGEINT) * CAST(sum_cents AS HUGEINT))) " +
+        "// (CAST(n AS HUGEINT) * CAST(sum_cents AS HUGEINT)) AS BIGINT) AS gini_micro " +
+        "FROM g ORDER BY c_mktsegment"),
+    "q_scd2_snapshot" ->
+      ("WITH dim AS (SELECT user_id, event_id, ts AS valid_from, " +
+        "CAST(round(value * 100, 0) AS BIGINT) AS attr_cents, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to " +
+        "FROM events), " +
+        "cov AS (SELECT user_id, attr_cents, epoch_us(valid_from) AS version_us, " +
+        "CAST(valid_from AS DATE) + 1 AS lo, " +
+        "coalesce(CAST(valid_to AS DATE), DATE '2024-01-31') AS hi FROM dim), " +
+        "ex AS (SELECT user_id, attr_cents, version_us, " +
+        "CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), " +
+        "INTERVAL 1 DAY)) AS DATE) AS snap_day FROM cov WHERE lo <= hi) " +
+        "SELECT strftime(snap_day, '%Y-%m-%d') AS snap_day, user_id, attr_cents, " +
+        "version_us FROM ex ORDER BY snap_day, user_id"),
     "q_graph_triangles" ->
       ("WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
         "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b " +

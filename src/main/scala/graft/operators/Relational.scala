@@ -499,6 +499,28 @@ object Relational {
     * cardinality), never data; each step is one tiny micro-plan and the
     * spine broadcast-joins the aggregated daily table.
     */
+  /** q_sql_lateral — CORRELATED LATERAL SUBQUERY in the SQL front-end: each
+    * customer's top-2 orders by price, written as `FROM customer, LATERAL
+    * (... WHERE o_custkey = c.c_custkey ORDER BY ... LIMIT 2)` — the
+    * per-row-subquery surface ANSI/DuckDB/Postgres users expect. Catalyst
+    * decorrelates it into a ranked join (the same WindowGroupLimit shape as
+    * `q_window_rank`/`q_topk_per_key`) rather than executing the subquery
+    * per driving row — which is exactly why the construct survives a
+    * 100 TB driving table. Deterministic: (price DESC, orderkey) total
+    * order inside the lateral, (custkey, price DESC, orderkey) outside.
+    */
+  def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("graft_lat_customer")
+    t(s, d, "orders").createOrReplaceTempView("graft_lat_orders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        |FROM graft_lat_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""".stripMargin)
+  }
+
   def sqlRecursive(s: SparkSession, d: String): DataFrame = {
     t(s, d, "events").createOrReplaceTempView("graft_rec_events")
     s.sql(
@@ -1083,6 +1105,7 @@ object Relational {
     "q_funnel_steps" -> funnelSteps _,
     "q_analyze_stats" -> analyzeStats _,
     "q_sql_recursive" -> sqlRecursive _,
+    "q_sql_lateral" -> sqlLateral _,
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
     "q_scan_manifest_skip" -> scanManifestSkip _,
@@ -1272,6 +1295,12 @@ object Relational {
         "SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_events, " +
         "coalesce(d.nu, 0) AS n_users FROM spine s LEFT JOIN daily d ON s.day = d.day " +
         "ORDER BY day"),
+    "q_sql_lateral" ->
+      ("SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice " +
+        "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l " +
+        "ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"),
     "q_analyze_stats" ->
       ("SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(DISTINCT l_quantity) AS ndv, CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_quantity) AS min_num, max(l_quantity) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows, count(DISTINCT l_extendedprice) AS ndv, CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_extendedprice) AS min_num, max(l_extendedprice) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_discount' AS col_name, count(*) AS n_rows, count(DISTINCT l_discount) AS ndv, CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_discount) AS min_num, max(l_discount) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_tax' AS col_name, count(*) AS n_rows, count(DISTINCT l_tax) AS ndv, CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, min(l_tax) AS min_num, max(l_tax) AS max_num, CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt FROM lineitem UNION ALL SELECT 'l_returnflag' AS col_name, count(*) AS n_rows, count(DISTINCT l_returnflag) AS ndv, CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min(l_returnflag) AS min_txt, max(l_returnflag) AS max_txt FROM lineitem UNION ALL SELECT 'l_shipdate' AS col_name, count(*) AS n_rows, count(DISTINCT l_shipdate) AS ndv, CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, strftime(min(l_shipdate), '%Y-%m-%d') AS min_txt, strftime(max(l_shipdate), '%Y-%m-%d') AS max_txt FROM lineitem ORDER BY col_name"),
     "q_funnel_steps" ->

@@ -265,4 +265,79 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(maxDd >= 0 && peak >= fin)
     }
   }
+
+  test("q_timeseries_ohlc bars bound their days; weeks partition the series") {
+    val out = Analytics.timeseriesOhlc(s, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, o, h, l, c, v) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(l <= o && o <= h, "open outside [low, high]")
+      assert(l <= c && c <= h, "close outside [low, high]")
+      assert(n >= 1 && v >= l * n, "volume below n*low")
+      assert(v <= h * n, "volume above n*high")
+    }
+    // Σ n_days over all bars == |day-grain rows|; Σ volume == total cents
+    val daily = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day").agg(sum("cents").as("cents"))
+    assert(out.map(_.getLong(2)).sum === daily.count())
+    assert(out.map(_.getLong(7)).sum ===
+      daily.agg(sum("cents")).collect().head.getLong(0))
+  }
+
+  test("q_agg_gini matches a driver-side exact recompute per segment") {
+    val out = Analytics.aggGini(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    val spend = Tables(s, d, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100, 0)
+        .cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("x"))
+      .join(Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_custkey", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (seg, (n, sumC, gini)) =>
+      val xs = spend.filter(_._1 == seg).sortBy(t => (t._3, t._2)).map(_._3)
+      assert(n === xs.length.toLong)
+      assert(sumC === xs.sum)
+      val s1 = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * BigInt(x) }.sum
+      val want = (BigInt(1000000) * (2 * s1 - BigInt(n + 1) * BigInt(sumC))) /
+        (BigInt(n) * BigInt(sumC))
+      assert(gini === want.toLong, s"$seg: gini drifted")
+      assert(gini >= 0 && gini < 1000000L)
+    }
+  }
+
+  test("q_scd2_snapshot: one version per (day, user); attr is latest-as-of") {
+    val out = Analytics.scd2Snapshot(s, d)
+    val dupes = out.groupBy("snap_day", "user_id").count()
+      .where(col("count") > 1).count()
+    assert(dupes === 0, "SCD2 versions must partition time per user")
+    // spot-check: the snapshot attr equals the latest event strictly before
+    // the snapshot midnight
+    val sample = out.limit(5).collect()
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    sample.foreach { r =>
+      val (day, uid, attr) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val want = ev.where(col("user_id") === uid &&
+          col("ts") < lit(day).cast("timestamp"))
+        .orderBy(col("ts").desc).limit(1).collect().head.getLong(2)
+      assert(attr === want, s"user $uid @ $day")
+    }
+    // no snapshot rows before a user's first event day
+    val firsts = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    out.collect().foreach { r =>
+      assert(r.getString(0) > firsts(r.getLong(1)),
+        s"snapshot before first version for user ${r.getLong(1)}")
+    }
+  }
 }

@@ -335,4 +335,36 @@ class PlanShapeSpec extends AnyFunSuite {
       .find(l => l.contains("PartitionFilters") && l.contains("dynamicpruning"))
     assert(scanLine.isDefined, s"dynamicpruning not in PartitionFilters:\n$p")
   }
+
+  test("q_agg_mode_exact plans WindowGroupLimit before the group shuffle") {
+    // the row_number()=1 filter must become a pre-shuffle partial group
+    // limit: each map task forwards one candidate row per group, not the
+    // whole value histogram
+    val p = plan(operators.Analytics.aggModeExact(s, d))
+    assert(p.contains("WindowGroupLimit"),
+      s"mode's rank filter did not plan as a group limit:\n$p")
+    assert(p.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix(": ")
+      .contains("WindowGroupLimit")) >= 2 || p.contains("Partial"),
+      s"no partial (pre-shuffle) group limit phase:\n$p")
+  }
+
+  test("q_scd2_snapshot and q_interval_active_peak avoid nested-loop plans") {
+    // both replace a quadratic formulation (spine x versions range join;
+    // interval self-join) with linear-shuffle shapes — a regression to
+    // BroadcastNestedLoopJoin/CartesianProduct is the failure mode
+    Seq(operators.Analytics.scd2Snapshot(s, d),
+      operators.Analytics.intervalActivePeak(s, d)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"quadratic plan:\n$p")
+    }
+  }
+
+  test("q_dq_benford reads orders exactly once") {
+    val p = plan(operators.Quality.dqBenford(s, d))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders.parquet"))
+    assert(scans === 1, s"benford must derive its total from the 9-row " +
+      s"histogram, not a second scan (found $scans):\n$p")
+  }
 }

@@ -224,4 +224,25 @@ class RelationalSpec extends AnyFunSuite {
       } else assert(!grp.head.isNullAt(grp.head.fieldIndex("second_price")))
     }
   }
+
+  test("q_sql_lateral equals the window-rank top-2 and decorrelates") {
+    val df = Relational.sqlLateral(s, d)
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // reference: row_number <= 2 per customer over the same total order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = Tables(s, d, "orders")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.toSet === want)
+    assert(out.length === want.size, "lateral duplicated rows")
+    // Catalyst must decorrelate — per-driving-row re-execution shows up as
+    // a nested loop / cartesian in the physical plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"lateral did not decorrelate:\n$p")
+  }
 }
