@@ -1403,6 +1403,90 @@ object LlmData {
       .orderBy("dim")
   }
 
+  /** q_text_hash_vectorizer — FEATURE HASHING (the HashingTF / "hashing
+    * trick" vectorizer): each token hashes into one of 256 buckets
+    * (md5 prefix — engine-portable, unlike murmur/xxhash which DuckDB
+    * lacks), and a document becomes its bucket→count sparse vector,
+    * serialized as a sorted "bucket:count" signature plus nnz/token
+    * totals. This is the stateless, vocabulary-free featurization step
+    * (no dictionary to build, ship, or keep consistent across a 100 TB
+    * corpus — the whole point of hashing features).
+    *
+    * Scale: tokenize+hash is scan-side codegen; the (doc, bucket) count
+    * aggregate map-side combines to ≤256 rows per doc before the exchange,
+    * and the signature aggregate is bounded by 256 entries per doc. One
+    * keyed shuffle total.
+    */
+  def textHashVectorizer(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    toks
+      .withColumn("b", substring(md5(col("tok")), 1, 2))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_toks"),
+        count(lit(1)).as("nnz"),
+        concat_ws(",", sort_array(collect_list(
+          concat(col("b"), lit(":"), col("n"))))).as("sig"))
+      .orderBy("doc_id")
+  }
+
+  /** q_corpus_boilerplate — CROSS-DOCUMENT BOILERPLATE SPAN DETECTION: an
+    * exact 8-token span that appears in ≥ 5 DISTINCT documents is
+    * boilerplate (headers, footers, license blurbs, nav chrome — the
+    * CommonCrawl cleanup every corpus needs); each document then reports
+    * what fraction of its span positions are boilerplate-covered and is
+    * flagged at ≥ 10%. Complements [[textRepetition]] (within-doc
+    * repetition) and [[corpusContamination]] (overlap vs a fixed eval
+    * set): this one finds mass-duplicated spans ACROSS the corpus with no
+    * reference set. Integer ppm + cross-multiplied flag — no float ratio
+    * can flip on engine rounding.
+    *
+    * The fixture corpus is random word soup with no naturally repeated
+    * 8-gram, so — same discipline as `q_text_pii_scrub`'s injected PII — a
+    * deterministic 12-token license footer is appended to every doc_id ≡ 0
+    * (mod 9) BEFORE detection: its five 8-gram spans then occur in |docs|/9
+    * ≥ 5 documents, and LlmDataSpec asserts the detector fires on exactly
+    * the injected set (n_boiler ≥ 5 injected, 0 elsewhere) — provably
+    * non-vacuous, still oracle-checked end to end.
+    *
+    * Scale: the span table is scan-side generation (bounded ×~|tokens|
+    * fan-out); the distinct-doc count is one span-keyed aggregate whose
+    * map-side partials collapse repeats, and the per-doc hit count is a
+    * span-keyed semi-join — at corpus scale both key on a span HASH
+    * (collision-safe at 2^-64) instead of the span text so the exchanges
+    * carry 8-byte keys; the string key here keeps the oracle portable.
+    */
+  val BoilerFooter =
+    "this corpus is provided under the graft open data license version one"
+
+  def corpusBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val minDocs = 5
+    val spans = t(s, d, "documents")
+      .select(col("doc_id"),
+        split(when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" " + BoilerFooter)))
+          .otherwise(col("text")), " ").as("tk"))
+      .where(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), " +
+          "i -> array_join(slice(tk, i, 8), ' '))")).as("span"))
+    val boiler = spans.select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("span")
+    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val hits = spans.join(boiler, "span")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm", expr("(1000000 * n_boiler) div n_spans"))
+      .withColumn("flagged", col("n_boiler") * 10 >= col("n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** q_corpus_contamination — BENCHMARK DECONTAMINATION, the release-gate
     * scan every training corpus runs before a model ships: fraction of
     * each training document's 3-gram shingles that also occur in the
@@ -1474,6 +1558,8 @@ object LlmData {
     "q_text_inverted_index" -> textInvertedIndex _,
     "q_embed_norm_audit" -> embedNormAudit _,
     "q_embed_pca_power" -> embedPcaPower _,
+    "q_text_hash_vectorizer" -> textHashVectorizer _,
+    "q_corpus_boilerplate" -> corpusBoilerplate _,
     "q_dedup_ngram" -> dedupNgram _,
     "q_dedup_cluster" -> dedupCluster _,
     "q_dedup_survivors" -> dedupSurvivors _,
@@ -1584,6 +1670,35 @@ object LlmData {
         "SELECT dim, CAST(sum(dot * val) AS BIGINT) AS comp_raw, " +
         "CAST(count(*) AS BIGINT) AS n_rows " +
         "FROM ex GROUP BY dim ORDER BY dim"),
+    "q_text_hash_vectorizer" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "bk AS (SELECT doc_id, substr(md5(tok), 1, 2) AS b, " +
+        "CAST(count(*) AS BIGINT) AS n FROM toks WHERE len(tok) > 0 " +
+        "GROUP BY doc_id, b) " +
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks, " +
+        "CAST(count(*) AS BIGINT) AS nnz, " +
+        "string_agg(b || ':' || CAST(n AS VARCHAR), ',' ORDER BY b) AS sig " +
+        "FROM bk GROUP BY doc_id ORDER BY doc_id"),
+    "q_corpus_boilerplate" ->
+      ("WITH doc2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 " +
+        s"THEN text || ' $BoilerFooter' ELSE text END AS text FROM documents), " +
+        "tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM doc2 " +
+        "WHERE len(string_split(text, ' ')) >= 8), " +
+        "spans AS (SELECT doc_id, array_to_string(list_slice(tk, i, i + 7), ' ') AS span " +
+        "FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk) - 7)) AS i) g), " +
+        "boiler AS (SELECT span FROM (SELECT span, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM spans GROUP BY span) " +
+        "WHERE n_docs >= 5), " +
+        "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans " +
+        "FROM spans GROUP BY doc_id), " +
+        "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler " +
+        "FROM spans JOIN boiler USING (span) GROUP BY doc_id) " +
+        "SELECT p.doc_id, p.n_spans, coalesce(h.n_boiler, 0) AS n_boiler, " +
+        "(1000000 * coalesce(h.n_boiler, 0)) // p.n_spans AS boiler_ppm, " +
+        "coalesce(h.n_boiler, 0) * 10 >= p.n_spans AS flagged " +
+        "FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id " +
+        "ORDER BY p.doc_id"),
     "q_text_bpe_step" ->
       ("SELECT a, b, count(*) AS n FROM (" +
         "SELECT unnest(list_transform(range(1, len(string_split(text, ' '))), " +

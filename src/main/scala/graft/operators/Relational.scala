@@ -209,6 +209,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q_join_asof_tolerance — AS-OF JOIN WITH MAX-STALENESS TOLERANCE
+    * (pandas merge_asof(tolerance=...) / kdb aj semantics): each purchase
+    * attributes to its user's most recent click ONLY if that click is at
+    * most 2 hours old; staler state is treated as no-match (the attribution
+    * window every marketing/risk pipeline enforces — state older than the
+    * tolerance is not "current" in any meaningful sense). Same single
+    * running-max window shape as [[joinAsofRange]] — one shuffle on the
+    * key, O(1) window state, no range self-join — with the tolerance
+    * applied as a post-window null-out, all in exact integer micros.
+    */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 2L * 3600L * 1000000L
+    val e = t(s, d, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("p_us", unix_micros(col("ts")))
+      .withColumn("matched", col("last_click_us").isNotNull &&
+        col("p_us") - col("last_click_us") <= tolUs)
+      .select(col("event_id"), col("user_id"), col("p_us").as("purchase_us"),
+        when(col("matched"), col("last_click_us")).as("click_us"),
+        when(col("matched"),
+          expr("(p_us - last_click_us) div 1000000")).as("staleness_s"),
+        col("matched"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- aggregations
 
   /** q_agg_hash — TPC-H Q1-shaped rollup: the daily balance report the
@@ -1096,6 +1125,7 @@ object Relational {
     "q_join_semi_anti" -> joinSemiAnti _,
     "q_join_outer" -> joinOuter _,
     "q_join_asof_range" -> joinAsofRange _,
+    "q_join_asof_tolerance" -> joinAsofTolerance _,
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
@@ -1295,6 +1325,18 @@ object Relational {
         "SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_events, " +
         "coalesce(d.nu, 0) AS n_users FROM spine s LEFT JOIN daily d ON s.day = d.day " +
         "ORDER BY day"),
+    "q_join_asof_tolerance" ->
+      ("SELECT event_id, user_id, purchase_us, " +
+        "CASE WHEN matched THEN last_click_us END AS click_us, " +
+        "CASE WHEN matched THEN (purchase_us - last_click_us) // 1000000 END AS staleness_s, " +
+        "matched FROM (" +
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS purchase_us, " +
+        "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us, " +
+        "last_click_us IS NOT NULL AND " +
+        "epoch_us(ts) - last_click_us <= 7200000000 AS matched " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
     "q_sql_lateral" ->
       ("SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice " +
         "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +

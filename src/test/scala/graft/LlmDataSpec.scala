@@ -467,6 +467,45 @@ class LlmDataSpec extends AnyFunSuite {
       }
   }
 
+  test("q_text_hash_vectorizer: signatures reconstruct token counts") {
+    val out = LlmData.textHashVectorizer(s, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("nnz"), r.getAs[String]("sig")))
+      .toMap
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === docs.keySet)
+    docs.take(25).foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val (nToks, nnz, sig) = out(id)
+      assert(nToks === toks.length.toLong, s"doc $id token count")
+      val entries = sig.split(",").map { e =>
+        val Array(b, n) = e.split(":"); b -> n.toLong
+      }
+      assert(entries.length === nnz.toInt)
+      assert(entries.map(_._2).sum === nToks, s"doc $id counts don't sum")
+      assert(entries.map(_._1).toSeq === entries.map(_._1).sorted.toSeq,
+        "signature not sorted")
+      assert(entries.forall(e => e._1.length == 2 && e._2 >= 1))
+    }
+  }
+
+  test("q_corpus_boilerplate fires on exactly the injected footer set") {
+    val out = LlmData.corpusBoilerplate(s, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_boiler"))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (nSpans, nBoiler)) =>
+      assert(nBoiler <= nSpans)
+      if (id % 9 == 0)
+        // the 12-token footer contributes exactly 5 repeated 8-gram spans;
+        // boundary spans (doc suffix + footer prefix) are doc-unique
+        assert(nBoiler >= 5, s"injected doc $id not detected")
+      else
+        assert(nBoiler === 0L, s"false positive on clean doc $id")
+    }
+  }
+
   test("q_embed_pca_power equals the driver-side Mᵀ(M·1) recompute") {
     val out = LlmData.embedPcaPower(s, d).collect()
       .map(r => r.getAs[Long]("dim") -> (r.getAs[Long]("comp_raw"), r.getAs[Long]("n_rows")))

@@ -225,6 +225,28 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_asof_tolerance: matches iff within 2h; agrees with plain asof") {
+    val tol = Relational.joinAsofTolerance(s, d).collect()
+      .map(r => (r.getLong(0), r.isNullAt(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5))).toList
+    assert(tol.nonEmpty)
+    // matched rows carry staleness in [0, 7200]; unmatched carry nulls
+    tol.foreach { case (id, clickNull, stale, matched) =>
+      if (matched) assert(!clickNull && stale >= 0 && stale <= 7200, s"event $id")
+      else assert(clickNull && stale == -1L, s"event $id")
+    }
+    // every match is also a plain-asof match with the same click instant
+    val plain = Relational.joinAsofRange(s, d).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    tol.foreach { case (id, _, _, matched) =>
+      if (matched) assert(plain(id).isDefined)
+    }
+    // the tolerance must actually exclude something (non-vacuous)
+    val plainMatched = plain.count(_._2.isDefined)
+    assert(tol.count(_._4) < plainMatched,
+      "tolerance excluded nothing — staleness cut is vacuous on this fixture")
+  }
+
   test("q_sql_lateral equals the window-rank top-2 and decorrelates") {
     val df = Relational.sqlLateral(s, d)
     val out = df.collect()
