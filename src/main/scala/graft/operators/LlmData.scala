@@ -1454,9 +1454,11 @@ object LlmData {
     * Scale: the span table is scan-side generation (bounded ×~|tokens|
     * fan-out); the distinct-doc count is one span-keyed aggregate whose
     * map-side partials collapse repeats, and the per-doc hit count is a
-    * span-keyed semi-join — at corpus scale both key on a span HASH
-    * (collision-safe at 2^-64) instead of the span text so the exchanges
-    * carry 8-byte keys; the string key here keeps the oracle portable.
+    * span-keyed semi-join. Every exchange keys on the 8-byte xxhash64 of
+    * the span, never the span text (the same 2^-64 collision-safety
+    * argument as [[shingleRows]]' hash-combined shingles) — the oracle
+    * keys on the string and agrees because per-doc counts only diverge on
+    * a collision.
     */
   val BoilerFooter =
     "this corpus is provided under the graft open data license version one"
@@ -1471,13 +1473,13 @@ object LlmData {
       .where(size(col("tk")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 7), " +
-          "i -> array_join(slice(tk, i, 8), ' '))")).as("span"))
-    val boiler = spans.select("doc_id", "span").distinct()
-      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+          "i -> xxhash64(array_join(slice(tk, i, 8), ' ')))")).as("sh"))
+    val boiler = spans.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
-      .select("span")
+      .select("sh")
     val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val hits = spans.join(boiler, "span")
+    val hits = spans.join(boiler, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
     perDoc.join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_spans"),
