@@ -360,6 +360,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE converts a statically-planned SortMergeJoin to broadcast at runtime") {
+    // the 100 TB posture SCALING.md prescribes: a filtered side whose
+    // STATIC size estimate exceeds the broadcast threshold but whose
+    // RUNTIME shuffle stats are tiny must be re-planned as a broadcast
+    // join — Catalyst's AQE does this between stages; losing it means a
+    // needless full-fact shuffle whenever a filter is selective
+    import org.apache.spark.sql.functions._
+    val o = Tables(s, d, "orders")
+    val small = o.where(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey").as("k"))
+    val li = Tables(s, d, "lineitem")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // static planning must NOT broadcast (threshold off) …
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // … but AQE's runtime re-plan may (its own threshold left at default)
+      val df = li.join(small, li("l_orderkey") === small("k"))
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") || p.contains("BroadcastHashJoin"),
+        s"AQE did not re-plan the tiny filtered side:\n$p")
+      assert(p.contains("isFinalPlan=true"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_dq_benford reads orders exactly once") {
     val p = plan(operators.Quality.dqBenford(s, d))
     val scans = p.linesIterator.count(l =>
