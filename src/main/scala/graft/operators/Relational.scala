@@ -238,6 +238,29 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q_join_nullsafe — NULL-SAFE EQUALITY JOIN (`<=>` / ANSI IS NOT
+    * DISTINCT FROM): joins where NULL keys match each other — the
+    * semantics reconciliation and SCD pipelines need when "key unknown" is
+    * itself a join class (a plain equi-join silently drops every NULL row
+    * on both sides). Nulls are derived deterministically (custkey ≡ 0
+    * mod 11 → NULL on both sides) so the oracle sees the same data; the
+    * output groups by match class to keep it small. Plans as a hash join
+    * on the null-safe key (Spark rewrites `<=>` into a join key coalesce
+    * internally) — NOT a nested loop; still one shuffle per side.
+    */
+  def joinNullsafe(s: SparkSession, d: String): DataFrame = {
+    val nullify = (c: Column) => when(c % 11 === 0, lit(null)).otherwise(c)
+    val cust = t(s, d, "customer")
+      .select(nullify(col("c_custkey")).as("ck"), col("c_mktsegment"))
+    val ords = t(s, d, "orders")
+      .select(nullify(col("o_custkey")).as("ok"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    cust.join(ords, col("ck") <=> col("ok"))
+      .groupBy(col("ck").isNull.as("null_key"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("sum_cents"))
+      .orderBy("null_key", "c_mktsegment")
+  }
+
   // ---------------------------------------------------------- aggregations
 
   /** q_agg_hash — TPC-H Q1-shaped rollup: the daily balance report the
@@ -298,6 +321,44 @@ object Relational {
     * and asserts the merged estimate lands within a generous 5 % + 16
     * absolute bound (deterministic: the sketch hash is seed-fixed).
     */
+  /** q_agg_cms_merge — REAGGREGATABLE FREQUENCY SKETCHES, the count-min
+    * complement of [[aggSketchMerge]]'s HLL distinct-count rollup: per-day
+    * CMS sketches over event user activity are persisted-shaped (one
+    * binary column per day), merged WITHOUT rescanning raw data, and
+    * probed for per-user frequencies. CMS guarantees est ≥ true and
+    * est ≤ true + ε·N with probability ≥ δ — both bounds are emitted as
+    * oracle-checked booleans against the exact counts (the estimate
+    * itself is sketch-defined, like the HLL op's). Fixed seed → the
+    * sketch, and therefore the booleans, are deterministic.
+    *
+    * Scale: day-grain sketches are KB each at ANY row count; merging
+    * |days| of them is control-plane work (the driver fold here — on a
+    * cluster, a treeReduce), so any date-range frequency question costs
+    * O(range) sketch reads instead of an O(raw) rescan. This is the
+    * pattern `approx_count_distinct`/plain counts cannot express: their
+    * buffers are not storable columns.
+    */
+  def aggCmsMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.001
+    val ev = t(s, d, "events").select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("cms"))
+    val merged = daily.select("cms").collect().map { r =>
+      CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
+    }.reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val exact = ev.where(col("user_id") < 5)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = merged.totalCount()
+    import s.implicits._
+    exact.toSeq.map { case (uid, nExact) =>
+      val est = merged.estimateCount(java.lang.Long.valueOf(uid))
+      (uid, nExact, est >= nExact, est <= nExact + (eps * n).toLong)
+    }.toDF("user_id", "n_exact", "lower_bound_ok", "upper_bound_ok")
+  }
+
   def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
@@ -1126,6 +1187,8 @@ object Relational {
     "q_join_outer" -> joinOuter _,
     "q_join_asof_range" -> joinAsofRange _,
     "q_join_asof_tolerance" -> joinAsofTolerance _,
+    "q_join_nullsafe" -> joinNullsafe _,
+    "q_agg_cms_merge" -> aggCmsMerge _,
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
@@ -1325,6 +1388,21 @@ object Relational {
         "SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_events, " +
         "coalesce(d.nu, 0) AS n_users FROM spine s LEFT JOIN daily d ON s.day = d.day " +
         "ORDER BY day"),
+    "q_agg_cms_merge" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact, " +
+        "true AS lower_bound_ok, true AS upper_bound_ok " +
+        "FROM events WHERE user_id < 5 GROUP BY user_id ORDER BY user_id"),
+    "q_join_nullsafe" ->
+      ("WITH cust AS (SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL " +
+        "ELSE c_custkey END AS ck, c_mktsegment FROM customer), " +
+        "ords AS (SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL " +
+        "ELSE o_custkey END AS ok, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) " +
+        "SELECT cust.ck IS NULL AS null_key, c_mktsegment, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM cust JOIN ords ON cust.ck IS NOT DISTINCT FROM ords.ok " +
+        "GROUP BY null_key, c_mktsegment ORDER BY null_key, c_mktsegment"),
     "q_join_asof_tolerance" ->
       ("SELECT event_id, user_id, purchase_us, " +
         "CASE WHEN matched THEN last_click_us END AS click_us, " +

@@ -62,7 +62,8 @@ class ContractSpec extends AnyFunSuite {
     "q_interval_active_peak", "q_agg_mode_exact", "q_agg_weighted_median",
     "q_window_drawdown", "q_dq_benford", "q_embed_pca_power",
     "q_timeseries_ohlc", "q_agg_gini", "q_scd2_snapshot", "q_sql_lateral",
-    "q_join_asof_tolerance", "q_text_hash_vectorizer", "q_corpus_boilerplate")
+    "q_join_asof_tolerance", "q_text_hash_vectorizer", "q_corpus_boilerplate",
+    "q_join_nullsafe", "q_agg_cms_merge")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

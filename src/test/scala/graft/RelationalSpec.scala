@@ -225,6 +225,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_cms_merge: merged daily sketches respect both CMS bounds") {
+    val out = Relational.aggCmsMerge(s, d).collect()
+    assert(out.length === 5)
+    val exact = Tables(s, d, "events").where(col("user_id") < 5)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (uid, n, lo, hi) = (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3))
+      assert(n === exact(uid), s"user $uid exact count")
+      assert(lo, s"user $uid: CMS estimate below true count — impossible " +
+        "for count-min unless the merge corrupted the sketch")
+      assert(hi, s"user $uid: CMS estimate above the eps*N bound")
+    }
+  }
+
+  test("q_join_nullsafe: NULL keys cross-match; plan stays a hash join") {
+    val df = Relational.joinNullsafe(s, d)
+    val out = df.collect()
+    val nullPairs = out.filter(_.getBoolean(0)).map(_.getLong(2)).sum
+    val nCust = Tables(s, d, "customer")
+      .where(col("c_custkey") % 11 === 0).count()
+    val nOrd = Tables(s, d, "orders")
+      .where(col("o_custkey") % 11 === 0).count()
+    // every NULL cust row pairs with every NULL order row (cross class)
+    assert(nullPairs === nCust * nOrd, "null-null cross product wrong")
+    assert(nullPairs > 0, "fixture produced no NULL keys — vacuous")
+    // non-null classes agree with the plain equi-join
+    val plainPairs = Tables(s, d, "orders")
+      .where(col("o_custkey") % 11 =!= 0)
+      .join(Tables(s, d, "customer").where(col("c_custkey") % 11 =!= 0),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(out.filter(!_.getBoolean(0)).map(_.getLong(2)).sum === plainPairs)
+    // the <=> key must plan as a hash/merge join, not a nested loop
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe join degenerated to a quadratic plan:\n$p")
+  }
+
   test("q_join_asof_tolerance: matches iff within 2h; agrees with plain asof") {
     val tol = Relational.joinAsofTolerance(s, d).collect()
       .map(r => (r.getLong(0), r.isNullAt(3), if (r.isNullAt(4)) -1L else r.getLong(4),
