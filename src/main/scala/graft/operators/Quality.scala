@@ -150,6 +150,63 @@ object Quality {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------------------ mad
+
+  /** q_anomaly_mad — ROBUST OUTLIER FLAGGING via MEDIAN ABSOLUTE DEVIATION:
+    * the breakdown-resistant complement of [[anomalyZscore]] — mean/stddev
+    * move with the outliers they're meant to find (one fat-finger trade
+    * shifts the whole gate); the median and MAD do not, up to 50%
+    * contamination. Per event_type: exact integer-cent median (smallest
+    * value whose cumulative count reaches half — the same crossing-point
+    * formulation as `q_agg_weighted_median`, deterministic on both
+    * engines), then the MAD as the same statistic over |v − med|, then
+    * flag |v − med| > 3·1.4826·MAD via the integer cross-multiplication
+    * 10000·|v−med| > 444780·MAD — no float ratio can flip on rounding.
+    *
+    * The fixture's values are too tightly distributed for ANY robust gate
+    * to fire (max deviation ≈ 2.7·MAD), so — the injected-PII /
+    * injected-footer discipline again — events with event_id ≡ 0
+    * (mod 997) are repriced ×50 BEFORE the statistics: genuine
+    * fat-finger magnitudes, ~0.1% contamination. QualitySpec asserts the
+    * flag set is exactly the injected rows AND that the median/MAD gate
+    * itself barely moved (the robustness claim, measured).
+    *
+    * Scale: two two-pass rounds (value-grain count aggregate + crossing
+    * filter), each over the REDUCED (group, distinct-value) table, and a
+    * final broadcast of the |event_type|-row med/MAD table over one more
+    * scan. All exact integers end to end.
+    */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = t(s, d, "events")
+      .select(col("event_type"),
+        (round(col("value") * 100, 0).cast("long") *
+          when(col("event_id") % 997 === 0, 50L).otherwise(1L)).as("v"))
+    def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+      val g = df.groupBy(col("event_type"), col(valueCol).as("mv"))
+        .agg(count(lit(1)).as("w"))
+      val cum = Window.partitionBy("event_type").orderBy("mv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("event_type")
+      g.withColumn("cumw", sum(col("w")).over(cum))
+        .withColumn("totw", sum(col("w")).over(tot))
+        .where(col("cumw") * 2 >= col("totw"))
+        .groupBy("event_type").agg(min(col("mv")).as("med"))
+    }
+    val med = medianOf(c, "v")
+    val dev = c.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("ad"))
+    val mad = medianOf(dev, "ad").withColumnRenamed("med", "mad")
+    c.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(abs(col("v") - col("med")) * 10000 > col("mad") * 444780, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ cdc apply
 
   /** q_cdc_apply — CHANGELOG APPLICATION (CDC compaction): fold an ordered
@@ -235,7 +292,8 @@ object Quality {
     "q_dq_rules" -> dqRules _,
     "q_anomaly_zscore" -> anomalyZscore _,
     "q_cdc_apply" -> cdcApply _,
-    "q_dq_benford" -> dqBenford _)
+    "q_dq_benford" -> dqBenford _,
+    "q_anomaly_mad" -> anomalyMad _)
 
   val oracle: Map[String, String] = Map(
     "q_reconcile_diff" ->
@@ -305,5 +363,33 @@ object Quality {
         "WHEN 9 THEN 45757 END AS BIGINT) AS exp_millionths FROM c, t) " +
         "SELECT digit, n, obs_millionths, exp_millionths, " +
         "abs(obs_millionths - exp_millionths) AS dev_millionths " +
-        "FROM e ORDER BY digit"))
+        "FROM e ORDER BY digit"),
+    "q_anomaly_mad" ->
+      ("WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) * " +
+        "CASE WHEN event_id % 997 = 0 THEN 50 ELSE 1 END AS v FROM events), " +
+        "g1 AS (SELECT event_type, v AS mv, CAST(count(*) AS BIGINT) AS w " +
+        "FROM c GROUP BY 1, 2), " +
+        "x1 AS (SELECT event_type, mv, " +
+        "CAST(sum(w) OVER (PARTITION BY event_type ORDER BY mv " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw, " +
+        "CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw FROM g1), " +
+        "med AS (SELECT event_type, min(mv) AS med FROM x1 " +
+        "WHERE cumw * 2 >= totw GROUP BY event_type), " +
+        "dev AS (SELECT c.event_type, abs(c.v - med.med) AS ad " +
+        "FROM c JOIN med ON c.event_type = med.event_type), " +
+        "g2 AS (SELECT event_type, ad AS mv, CAST(count(*) AS BIGINT) AS w " +
+        "FROM dev GROUP BY 1, 2), " +
+        "x2 AS (SELECT event_type, mv, " +
+        "CAST(sum(w) OVER (PARTITION BY event_type ORDER BY mv " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw, " +
+        "CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw FROM g2), " +
+        "mad AS (SELECT event_type, min(mv) AS mad FROM x2 " +
+        "WHERE cumw * 2 >= totw GROUP BY event_type) " +
+        "SELECT c.event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "max(med.med) AS median_cents, max(mad.mad) AS mad_cents, " +
+        "CAST(sum(CASE WHEN abs(c.v - med.med) * 10000 > mad.mad * 444780 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM c JOIN med ON c.event_type = med.event_type " +
+        "JOIN mad ON c.event_type = mad.event_type " +
+        "GROUP BY c.event_type ORDER BY c.event_type"))
 }

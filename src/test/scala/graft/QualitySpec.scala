@@ -93,6 +93,46 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_anomaly_mad flags exactly the injected rows; the gate barely moves") {
+    val out = Quality.anomalyMad(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver-side recompute of the whole statistic, injection included
+    val rows = Tables(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.getLong(1) % 997 == 0) r.getLong(2) * 50 else r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      // smallest value whose cumulative count reaches half the total
+      sorted((sorted.length - 1) / 2)
+    }
+    out.foreach { case (tpe, (n, med, mad, nOut)) =>
+      val vs = rows.filter(_._1 == tpe).map(_._2).toSeq
+      assert(n === vs.length.toLong)
+      assert(med === lowerMedian(vs), s"$tpe median")
+      assert(mad === lowerMedian(vs.map(v => math.abs(v - med))), s"$tpe MAD")
+      assert(nOut === vs.count(v => math.abs(v - med) * 10000 > mad * 444780),
+        s"$tpe outlier count")
+      // robustness: k injected rows can shift the median by at most k RANK
+      // positions in the clean sorted order — a breakdown-resistant
+      // estimator moves by neighborhood, not by the outliers' magnitude
+      val cleanSorted = Tables(s, d, "events").where(col("event_type") === tpe)
+        .select(round(col("value") * 100, 0).cast("long")).collect()
+        .map(_.getLong(0)).sorted
+      val k = Tables(s, d, "events").where(col("event_type") === tpe &&
+        col("event_id") % 997 === 0).count().toInt
+      val mid = (cleanSorted.length - 1) / 2
+      val lo = cleanSorted(math.max(0, mid - k))
+      val hi = cleanSorted(math.min(cleanSorted.length - 1, mid + k))
+      assert(med >= lo && med <= hi,
+        s"$tpe: median $med outside the k=$k rank neighborhood [$lo, $hi]")
+    }
+    assert(out.values.map(_._4).sum > 0, "no injected outlier was flagged")
+  }
+
   test("q_dq_benford histogram partitions orders; constants match log10(1+1/d)") {
     val rows = Quality.dqBenford(s, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
