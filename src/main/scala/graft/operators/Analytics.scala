@@ -522,7 +522,39 @@ object Analytics {
       .orderBy("snap_day", "user_id")
   }
 
+  // --------------------------------------------------------- rolling median
+
+  /** q_window_rolling_median — TRAILING-WINDOW ORDER STATISTIC: the exact
+    * median of each account's daily totals over a 7-day RANGE frame — the
+    * robust smoother (a trailing mean jumps on every fat-finger day; the
+    * trailing median doesn't). RANGE, not ROWS: the frame is defined in
+    * DAYS on the ordinal, so gaps in activity shrink the window's
+    * membership instead of silently reaching further back in time.
+    * Integer-cent inputs make the interpolated midpoint exact (x.5 is
+    * exactly representable), so the doubles hash-match across engines.
+    * Scale: the window runs over the day-grain pre-aggregate, partitioned
+    * by account; per-frame state is bounded by the 7-day span, not data
+    * volume.
+    */
+  def windowRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("d",
+        datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("acct").orderBy("d").rangeBetween(-6, 0)
+    daily
+      .withColumn("med7", expr("percentile(cents, 0.5)").over(w))
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("med7"))
+      .orderBy("acct", "day_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rolling_median" -> windowRollingMedian _,
     "q_timeseries_ohlc" -> timeseriesOhlc _,
     "q_agg_gini" -> aggGini _,
     "q_scd2_snapshot" -> scd2Snapshot _,
@@ -539,6 +571,17 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_window_rolling_median" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "o AS (SELECT acct, day, cents, " +
+        "CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT) AS d FROM daily) " +
+        "SELECT acct, strftime(day, '%Y-%m-%d') AS day_str, cents, " +
+        "quantile_cont(cents, 0.5) OVER (PARTITION BY acct ORDER BY d " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7 " +
+        "FROM o ORDER BY acct, day_str"),
     "q_timeseries_ohlc" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

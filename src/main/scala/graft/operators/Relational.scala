@@ -261,6 +261,33 @@ object Relational {
       .orderBy("null_key", "c_mktsegment")
   }
 
+  /** q_join_null_aware_anti — NOT IN over a NULLABLE subquery, the SQL
+    * trap and the plan that saves it: `k NOT IN (S)` is three-valued —
+    * one NULL in S makes EVERY row's membership UNKNOWN, so the result is
+    * EMPTY, and most engines historically planned the general case as a
+    * nested loop. Spark plans the single-column case as a null-aware
+    * BroadcastHashJoin LeftAnti (the NAAJ flag PlanShapeSpec asserts) —
+    * hash-join cost with exact ANSI semantics. The op emits both counts:
+    * NOT IN against the raw nullable subquery (0 — the trap, oracle-pinned
+    * against DuckDB's identical semantics) and against the null-filtered
+    * subquery (the count people usually mean).
+    */
+  def joinNullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("graft_naaj_customer")
+    t(s, d, "orders").createOrReplaceTempView("graft_naaj_orders")
+    s.sql(
+      """WITH sub AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |                         ELSE o_custkey END AS k FROM graft_naaj_orders
+        |            WHERE o_orderpriority = '1-URGENT')
+        |SELECT
+        |  (SELECT count(*) FROM graft_naaj_customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_with_nulls,
+        |  (SELECT count(*) FROM graft_naaj_customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+        |    AS n_null_filtered,
+        |  (SELECT count(*) FROM graft_naaj_customer) AS n_customers""".stripMargin)
+  }
+
   // ---------------------------------------------------------- aggregations
 
   /** q_agg_hash — TPC-H Q1-shaped rollup: the daily balance report the
@@ -1188,6 +1215,7 @@ object Relational {
     "q_join_asof_range" -> joinAsofRange _,
     "q_join_asof_tolerance" -> joinAsofTolerance _,
     "q_join_nullsafe" -> joinNullsafe _,
+    "q_join_null_aware_anti" -> joinNullAwareAnti _,
     "q_agg_cms_merge" -> aggCmsMerge _,
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
@@ -1388,6 +1416,16 @@ object Relational {
         "SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_events, " +
         "coalesce(d.nu, 0) AS n_users FROM spine s LEFT JOIN daily d ON s.day = d.day " +
         "ORDER BY day"),
+    "q_join_null_aware_anti" ->
+      ("WITH sub AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL " +
+        "ELSE o_custkey END AS k FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "SELECT " +
+        "(SELECT count(*) FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_with_nulls, " +
+        "(SELECT count(*) FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)) " +
+        "AS n_null_filtered, " +
+        "(SELECT count(*) FROM customer) AS n_customers"),
     "q_agg_cms_merge" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact, " +
         "true AS lower_bound_ok, true AS upper_bound_ok " +

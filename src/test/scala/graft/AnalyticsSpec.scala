@@ -266,6 +266,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_window_rolling_median equals the driver-side trailing-7-day median") {
+    val out = Analytics.windowRollingMedian(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val byAcct = out.groupBy(_._1)
+    byAcct.foreach { case (_, rows) =>
+      val series = rows.sortBy(_._2)
+        .map(r => java.time.LocalDate.parse(r._2).toEpochDay -> r._3)
+      rows.foreach { case (_, dayStr, _, med7) =>
+        val d0 = java.time.LocalDate.parse(dayStr).toEpochDay
+        val frame = series.filter(p => p._1 >= d0 - 6 && p._1 <= d0)
+          .map(_._2).sorted
+        val n = frame.length
+        val want =
+          if (n % 2 == 1) frame(n / 2).toDouble
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        assert(med7 === want, s"day $dayStr trailing median")
+      }
+    }
+  }
+
   test("q_timeseries_ohlc bars bound their days; weeks partition the series") {
     val out = Analytics.timeseriesOhlc(s, d).collect()
     assert(out.nonEmpty)

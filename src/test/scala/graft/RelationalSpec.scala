@@ -225,6 +225,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_null_aware_anti: ANSI NOT IN semantics; NAAJ hash plan") {
+    val row = Relational.joinNullAwareAnti(s, d).collect().head
+    val (withNulls, filtered, nCust) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // one NULL in the subquery makes NOT IN empty — the ANSI trap
+    assert(withNulls === 0L)
+    assert(nCust === Tables(s, d, "customer").count())
+    // the null-filtered variant equals a plain anti join on the same subset
+    val urgent = Tables(s, d, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_custkey").as("k"))
+    val want = Tables(s, d, "customer")
+      .join(urgent, col("c_custkey") === col("k"), "left_anti").count()
+    assert(filtered === want)
+    assert(filtered > 0, "subset too broad — filtered NOT IN is vacuous")
+    // the single-column NOT IN must plan as a null-aware hash anti join,
+    // not the nested loop the general case would require
+    Tables(s, d, "orders").createOrReplaceTempView("graft_naaj_o2")
+    Tables(s, d, "customer").createOrReplaceTempView("graft_naaj_c2")
+    val p = s.sql(
+      """SELECT count(*) FROM graft_naaj_c2 WHERE c_custkey NOT IN
+        |(SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END
+        | FROM graft_naaj_o2 WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not plan as a null-aware anti join:\n$p")
+  }
+
   test("q_agg_cms_merge: merged daily sketches respect both CMS bounds") {
     val out = Relational.aggCmsMerge(s, d).collect()
     assert(out.length === 5)
