@@ -1489,6 +1489,51 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_zipf — ZIPF-LAW FIT over the corpus token-frequency
+    * distribution: the OLS slope of log10(count) on log10(rank) — natural
+    * text sits near slope −1, and drift is a corpus-health signal
+    * (boilerplate flattens the head, spam fattens the tail; the
+    * Gopher/C4-style distribution screens). Ranks are deterministic
+    * (count DESC, token ASC tie-break), logs are element-wise
+    * micro-rounded BEFORE summation ([[textUnigramLp]]'s discipline —
+    * order-independent and engine-portable), and the OLS closed form runs
+    * in exact decimal(38,0) / HUGEINT with a floor-div micro result.
+    *
+    * Scale: vocabulary-grain everything after one token count — the rank
+    * window and the 5 sufficient-statistic sums see |vocab| rows, not
+    * corpus rows, and the sums partial-aggregate map-side.
+    */
+  def textZipf(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    val xy = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        expr("CAST(round(log10(rank) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(log10(cnt) * 1000000) AS BIGINT)").as("y"),
+        col("cnt"))
+    xy.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+      .select(col("n_types"), col("n_tokens"),
+        // NEGATED numerator: the Zipf slope is negative, and integral
+        // division diverges across engines below zero (Spark `div`
+        // truncates toward zero, DuckDB `//` floors) — dividing two
+        // POSITIVE exact integers is the only portable form
+        expr(s"CAST((CAST(1000000 AS $dec) * " +
+          s"(sx * sy - CAST(n_types AS $dec) * sxy)) div " +
+          s"(CAST(n_types AS $dec) * sxx - sx * sx) AS BIGINT)")
+          .as("neg_slope_micro"))
+  }
+
   /** q_corpus_contamination — BENCHMARK DECONTAMINATION, the release-gate
     * scan every training corpus runs before a model ships: fraction of
     * each training document's 3-gram shingles that also occur in the
@@ -1562,6 +1607,7 @@ object LlmData {
     "q_embed_pca_power" -> embedPcaPower _,
     "q_text_hash_vectorizer" -> textHashVectorizer _,
     "q_corpus_boilerplate" -> corpusBoilerplate _,
+    "q_text_zipf" -> textZipf _,
     "q_dedup_ngram" -> dedupNgram _,
     "q_dedup_cluster" -> dedupCluster _,
     "q_dedup_survivors" -> dedupSurvivors _,
@@ -1672,6 +1718,21 @@ object LlmData {
         "SELECT dim, CAST(sum(dot * val) AS BIGINT) AS comp_raw, " +
         "CAST(count(*) AS BIGINT) AS n_rows " +
         "FROM ex GROUP BY dim ORDER BY dim"),
+    "q_text_zipf" ->
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks " +
+        "WHERE len(tok) > 0 GROUP BY tok), " +
+        "xy AS (SELECT CAST(round(log10(CAST(row_number() OVER " +
+        "(ORDER BY cnt DESC, tok ASC) AS BIGINT)) * 1000000) AS BIGINT) AS x, " +
+        "CAST(round(log10(cnt) * 1000000) AS BIGINT) AS y, cnt FROM counts), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+        "sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, " +
+        "sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx FROM xy) " +
+        "SELECT n_types, n_tokens, " +
+        "CAST((CAST(1000000 AS HUGEINT) * (sx * sy - n_types * sxy)) // " +
+        "(n_types * sxx - sx * sx) AS BIGINT) AS neg_slope_micro FROM st"),
     "q_text_hash_vectorizer" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
         "FROM documents), " +

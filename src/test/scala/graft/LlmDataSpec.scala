@@ -506,6 +506,29 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_zipf matches an exact driver-side OLS recompute") {
+    val row = LlmData.textZipf(s, d).collect().head
+    val toks = Tables(s, d, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    assert(row.getLong(0) === counts.size.toLong)
+    assert(row.getLong(1) === toks.length.toLong)
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+    val xs = ranked.map { case (_, i) =>
+      math.round(math.log10((i + 1).toDouble) * 1e6) }
+    val ys = ranked.map { case ((_, c), _) =>
+      math.round(math.log10(c.toDouble) * 1e6) }
+    val n = BigInt(xs.length)
+    val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(a => BigInt(a) * a).sum
+    val want = (BigInt(1000000) * (sx * sy - n * sxy)) / (n * sxx - sx * sx)
+    assert(row.getLong(2) === want.toLong, "slope drifted from exact OLS")
+    // word-soup fixture: distribution is flat, so the fit must sit far from
+    // the natural-text slope of -1 — the corpus-health screen fires
+    assert(row.getLong(2) < 800000L)
+  }
+
   test("q_embed_pca_power equals the driver-side Mᵀ(M·1) recompute") {
     val out = LlmData.embedPcaPower(s, d).collect()
       .map(r => r.getAs[Long]("dim") -> (r.getAs[Long]("comp_raw"), r.getAs[Long]("n_rows")))
