@@ -239,20 +239,35 @@ object Analytics {
     * rate in integer micro-units.
     */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val po = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = po.as("x").join(po.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+    // Edge build: ONE shuffle. groupBy(order) dedups parts within the order
+    // in the same exchange a distinct() would cost on its own, and the pair
+    // set comes from a double posexplode (native Generate operators — no
+    // self-join re-shuffle of the 600 K-row (order, part) table, no
+    // interpreted HOF lambdas). least/greatest canonicalizes a<b so the
+    // edge set is independent of collect_set's arrival order.
+    val parts = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .where(size(col("ps")) > 1)
+    val e = parts
+      .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
+      .select(col("i"), col("x"), posexplode(col("ps")).as(Seq("j", "y")))
+      .where(col("i") < col("j"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val precedes = (da: Column, ia: Column, db: Column, ib: Column) =>
       da < db || (da === db && ia < ib)
+    // deg is NODE-grain (20 K rows here; |V| ≪ |E| generally) — broadcast
+    // it so orientation never shuffles the edge table; the two probes are
+    // map-side hash lookups over the persisted edges. (Measured: the two
+    // shuffle joins this replaces were 4.4 s of the original 15 s.)
+    val degB = broadcast(deg)
     val o = e
-      .join(deg.select(col("n").as("a"), col("deg").as("dega")), "a")
-      .join(deg.select(col("n").as("b"), col("deg").as("degb")), "b")
+      .join(degB.select(col("n").as("a"), col("deg").as("dega")), "a")
+      .join(degB.select(col("n").as("b"), col("deg").as("degb")), "b")
       .select(
         when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("a"))
           .otherwise(col("b")).as("src"),
@@ -261,26 +276,33 @@ object Analytics {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Never MATERIALIZE the wedge set (Σ outdeg² rows — 41M on the sf0.1
     // fixture, the whole cost of the naive two-pass formulation): the wedge
-    // COUNT is pure degree arithmetic, and the triangle count is the
-    // adjacency-intersection form — for each oriented edge (u,v),
-    // |N⁺(u) ∩ N⁺(v)| — whose joins move only edge-count rows plus
-    // out-neighbor arrays bounded O(√m) by the orientation.
+    // COUNT is pure degree arithmetic over the adjacency out-degrees, and
+    // the triangle count is the adjacency-intersection form — for each
+    // oriented edge (u,v), |N⁺(u) ∩ N⁺(v)| — whose joins move only
+    // edge-count rows plus out-neighbor arrays bounded O(√m) by the
+    // orientation (max 97 here).
     // adjacency is NODE-grain with O(√m)-bounded arrays — broadcast it so
     // the edge table never shuffles for either neighbor lookup (on a
     // cluster this is the size call SCALING.md makes per dim table; node
-    // grain ≪ edge grain is what makes it safe)
-    val adj = broadcast(
-      o.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    // grain ≪ edge grain is what makes it safe). Persisted at node grain so
+    // the wedge count reuses it instead of re-shuffling the edges.
+    val adjRaw = o.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = broadcast(adjRaw)
     val nTri = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
-    val nWedges = o.groupBy("src").agg(count(lit(1)).as("od"))
+    val nWedges = adjRaw
+      .select(size(col("nbrs")).cast("long").as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
     val stats = nTri
       .crossJoin(nWedges)
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      // |oriented edges| ≡ |edges| (orientation is a bijection) — count the
+      // already-persisted o rather than re-touching e
+      .crossJoin(o.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -290,7 +312,7 @@ object Analytics {
           "THEN (1000000 * n_triangles) div n_wedges ELSE 0 END")
           .as("closure_micro"))
     val out = stats.collect()
-    e.unpersist(); o.unpersist()
+    e.unpersist(); o.unpersist(); adjRaw.unpersist()
     import s.implicits._
     out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq.toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_micro")
