@@ -575,7 +575,93 @@ object Analytics {
       .orderBy("acct", "day_str")
   }
 
+  // -------------------------------------------------------------- skyline
+
+  /** q_skyline_pareto — 2-D SKYLINE (Pareto frontier) per brand: the parts
+    * no other same-brand part dominates (cheaper-or-equal AND
+    * bigger-or-equal, strict in at least one) — the "best tradeoffs"
+    * query behind buy-side screens and feature-selection frontiers. The
+    * textbook formulation is a quadratic dominance self-join (NOT EXISTS
+    * over N·N pairs — exactly what the DuckDB oracle runs); this plans it
+    * as ONE sort: order each brand by price, then a row is on the frontier
+    * iff no strictly-cheaper row had size ≥ its own (running max over a
+    * RANGE frame ending 1 cent before the current price — value-based, so
+    * price ties never see each other) and no equal-price row beats its
+    * size (max over the (brand, price) partition). O(n log n) vs O(n²),
+    * window state one long.
+    *
+    * Scale: partitioned by brand — each frontier sort sees one brand's
+    * parts; no cross-partition state, no self-join. At 100 TB this is the
+    * difference between a sort and an unrunnable N² join.
+    */
+  def skylinePareto(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part").select(col("p_brand"), col("p_partkey"),
+      round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"),
+      col("p_size"))
+    val cheaper = Window.partitionBy("p_brand").orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy("p_brand", "price_cents")
+    p.withColumn("max_sz_cheaper", max(col("p_size")).over(cheaper))
+      .withColumn("max_sz_same", max(col("p_size")).over(samePrice))
+      .where((col("max_sz_cheaper").isNull || col("max_sz_cheaper") < col("p_size")) &&
+        col("p_size") === col("max_sz_same"))
+      .select("p_brand", "p_partkey", "price_cents", "p_size")
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  // ----------------------------------------------------------------- ewma
+
+  /** q_window_ewma — EXACT EXPONENTIALLY-WEIGHTED MOVING AVERAGE of daily
+    * account flows, decay 1/2 per DAY (time-based, so gaps decay through
+    * missing days rather than being ignored), truncated at 30 days — the
+    * trend-smoothing statistic dashboards layer over the reference's daily
+    * balance reports. Dyadic decay makes it EXACT: each term is
+    * cents·2^(29−lag) — an integer — so numerator and denominator are
+    * order-independent integer sums and the smoothed value is bit-identical
+    * across engines and partitionings (a float α-recurrence is neither
+    * order-independent nor truncatable). Terms beyond 30 days contribute
+    * < 2^-30 of a cent — below any reportable resolution.
+    *
+    * Shape: one keyed day-aggregate, then a single per-account RANGE window
+    * (-29..0 days) carrying struct(day, cents); the weighted fold runs over
+    * that ≤30-element frame. Numerator bound: Σ cents·2^(29-lag) <
+    * max_daily_cents·2^30 — overflow-safe while daily flow < 2^33 cents
+    * (~$86 M/day/account); past that, narrow the window or move to
+    * DECIMAL(38,0).
+    *
+    * Scale: partitioned by account, frame state ≤ 30 structs; the window
+    * never sees more than one account's days. The HOF fold is interpreted
+    * (30 long-multiply-adds per row) — the documented native-Expression
+    * promotion path (DotExpr precedent) applies if it ever shows in a
+    * profile.
+    */
+  def windowEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("d",
+        datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("acct").orderBy("d").rangeBetween(-29, 0)
+    daily
+      .withColumn("frame", collect_list(struct(col("d").as("fd"), col("cents").as("fc"))).over(w))
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"),
+        expr("aggregate(frame, CAST(0 AS BIGINT), (acc, s) -> " +
+          "acc + s.fc * shiftleft(CAST(1 AS BIGINT), CAST(29 - (d - s.fd) AS INT)))")
+          .as("ewma_num"),
+        expr("aggregate(frame, CAST(0 AS BIGINT), (acc, s) -> " +
+          "acc + shiftleft(CAST(1 AS BIGINT), CAST(29 - (d - s.fd) AS INT)))")
+          .as("ewma_den"))
+      .withColumn("ewma_cents", expr("ewma_num div ewma_den"))
+      .orderBy("acct", "day_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline_pareto" -> skylinePareto _,
+    "q_window_ewma" -> windowEwma _,
     "q_window_rolling_median" -> windowRollingMedian _,
     "q_timeseries_ohlc" -> timeseriesOhlc _,
     "q_agg_gini" -> aggGini _,
@@ -593,6 +679,35 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    // deliberately the QUADRATIC dominance formulation — an independent
+    // derivation validating the single-sort window plan
+    "q_skyline_pareto" ->
+      ("WITH p AS (SELECT p_brand, p_partkey, " +
+        "CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents, p_size " +
+        "FROM part) " +
+        "SELECT p_brand, p_partkey, price_cents, p_size FROM p x " +
+        "WHERE NOT EXISTS (SELECT 1 FROM p y WHERE y.p_brand = x.p_brand " +
+        "AND y.price_cents <= x.price_cents AND y.p_size >= x.p_size " +
+        "AND (y.price_cents < x.price_cents OR y.p_size > x.p_size)) " +
+        "ORDER BY p_brand, p_partkey"),
+    // independent self-join formulation of the same dyadic decay
+    "q_window_ewma" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "o AS (SELECT acct, day, cents, " +
+        "CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT) AS d FROM daily) " +
+        "SELECT a.acct, strftime(a.day, '%Y-%m-%d') AS day_str, a.cents, " +
+        "CAST(sum(b.cents * (CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT))) " +
+        "AS BIGINT) AS ewma_num, " +
+        "CAST(sum(CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT)) " +
+        "AS BIGINT) AS ewma_den, " +
+        "CAST(sum(b.cents * (CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT))) " +
+        "AS BIGINT) // CAST(sum(CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT)) " +
+        "AS BIGINT) AS ewma_cents " +
+        "FROM o a JOIN o b ON a.acct = b.acct AND b.d BETWEEN a.d - 29 AND a.d " +
+        "GROUP BY a.acct, a.day, a.cents ORDER BY a.acct, day_str"),
     "q_window_rolling_median" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

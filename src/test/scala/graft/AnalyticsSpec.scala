@@ -361,4 +361,53 @@ class AnalyticsSpec extends AnyFunSuite {
         s"snapshot before first version for user ${r.getLong(1)}")
     }
   }
+
+  test("q_skyline_pareto is exactly the undominated set (brute-force check)") {
+    val sky = Analytics.skylinePareto(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sky.nonEmpty)
+    val parts = Tables(s, d, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("pc"), col("p_size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byBrand = parts.groupBy(_._1)
+    parts.foreach { case (b, k, pc, sz) =>
+      val dominated = byBrand(b).exists { case (_, k2, pc2, sz2) =>
+        k2 != k && pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+      assert(sky.contains((b, k)) === !dominated, s"part $k brand $b")
+    }
+    // the point of the operator: single sort, no self-join in the plan
+    val plan = Analytics.skylinePareto(s, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "skyline must not plan a dominance join")
+  }
+
+  test("q_window_ewma matches a driver-side decayed recurrence per account") {
+    val out = Analytics.windowEwma(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.nonEmpty)
+    val daily = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (acct, rows) =>
+      val series = rows.map(t => t._2 -> t._3).sortBy(_._1)(Ordering.by(_.toEpochDay))
+      series.foreach { case (day, cents) =>
+        val frame = series.filter { case (d2, _) =>
+          val lag = day.toEpochDay - d2.toEpochDay; lag >= 0 && lag <= 29
+        }
+        val num = frame.map { case (d2, c2) =>
+          c2 * (1L << (29 - (day.toEpochDay - d2.toEpochDay))) }.sum
+        val den = frame.map { case (d2, _) =>
+          1L << (29 - (day.toEpochDay - d2.toEpochDay)) }.sum
+        val got = out((acct, day.toString))
+        assert(got === ((cents, num, den, num / den)), s"acct $acct day $day")
+      }
+    }
+    // weights: today = 2^29, halves per day of LAG (gap-aware decay)
+    assert((1L << 29) === 536870912L)
+  }
 }
