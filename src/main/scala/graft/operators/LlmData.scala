@@ -993,6 +993,69 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_bigram_lp — BIGRAM language-model scoring with STUPID BACKOFF
+    * (Brants et al. 2007, the web-scale n-gram recipe): the corpus bigram
+    * table pruned at count ≥ 3 is the model; each document scores its
+    * first token by unigram log-prob and every subsequent token by the
+    * conditional bigram log-prob when the bigram is in the model, else by
+    * 0.4 · unigram (the fixed backoff penalty — no normalization, which is
+    * exactly what makes the method scale). Complements [[textUnigramLp]]:
+    * the bigram score is sequence-aware, so shuffled-word gibberish that
+    * the unigram filter cannot see scores visibly lower. Micro-log
+    * integers end-to-end (the unigram precedent): sums are exact and
+    * order-independent; the backoff constant round(log10(0.4)·1e6) =
+    * −397940 is pinned literally in both engines.
+    *
+    * Scale: the unigram table is vocabulary-sized → broadcast. The bigram
+    * model is bigram-vocabulary-sized — too big to assume broadcastable at
+    * corpus scale, so the doc-bigram → model lookup is a key-partitioned
+    * shuffle join on the bigram string (count pruning also caps the model:
+    * hapax bigrams — the long tail — never enter it). Per-doc aggregation
+    * is a keyed hash agg with map-side partials.
+    */
+  def textBigramLp(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = docs.select(col("doc_id"), explode(col("t")).as("tok"))
+    val uniLp = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .select(col("tok"),
+        expr("CAST(round(log10(cnt * 1.0 / total) * 1000000) AS BIGINT)")
+          .as("lp_uni_micro"))
+    // bigrams as single 'w1 w2' strings (tokens are space-split, so the
+    // space is an unambiguous separator — the trigram-shingle precedent)
+    val bi = docs.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")).as("g"))
+    val biCnt = bi.groupBy("g").agg(count(lit(1)).as("bcnt"))
+    val ctx = biCnt
+      .groupBy(expr("split_part(g, ' ', 1)").as("w1"))
+      .agg(sum("bcnt").as("ccnt"))
+    val model = biCnt.where(col("bcnt") >= 3)
+      .join(ctx, expr("split_part(g, ' ', 1)") === ctx("w1"))
+      .select(col("g"),
+        expr("CAST(round(log10(bcnt * 1.0 / ccnt) * 1000000) AS BIGINT)")
+          .as("lp_bi_micro"))
+    val first = docs
+      .select(col("doc_id"), col("t")(0).as("tok"))
+      .join(broadcast(uniLp), "tok")
+      .select(col("doc_id"), col("lp_uni_micro").as("lp"), lit(0L).as("backoff"))
+    val rest = bi
+      .join(model, Seq("g"), "left")
+      .join(broadcast(uniLp.withColumnRenamed("tok", "w2")),
+        expr("split_part(g, ' ', 2)") === col("w2"))
+      .select(col("doc_id"),
+        coalesce(col("lp_bi_micro"), col("lp_uni_micro") + lit(-397940L)).as("lp"),
+        when(col("lp_bi_micro").isNull, lit(1L)).otherwise(lit(0L)).as("backoff"))
+    first.unionByName(rest)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum("backoff").as("n_backoff"),
+        sum("lp").as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_scored"), col("n_backoff"), col("sum_lp_micro"),
+        r(col("sum_lp_micro") / 1e6 / col("n_scored"), 4).as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
   /** q_text_tfidf — BM25 term scoring (Robertson & Walker's Okapi weighting,
     * k1 = 1.2, b = 0.75): per-document top-3 terms by
     * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))` with
@@ -1628,6 +1691,7 @@ object LlmData {
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
+    "q_text_bigram_lp" -> textBigramLp _,
     "q_text_tfidf" -> textTfidf _,
     "q_text_collocation_pmi" -> textCollocationPmi _,
     "q_sample_hash" -> sampleHash _,
@@ -1970,6 +2034,34 @@ object LlmData {
         "SELECT doc_id, n_toks, sum_lp_micro, " +
         "round(sum_lp_micro / 1000000.0 / n_toks * 10000, 0) / 10000 AS mean_lp " +
         "FROM agg ORDER BY doc_id"),
+    "q_text_bigram_lp" ->
+      ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(t) AS tok FROM docs), " +
+        "v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS total FROM tok), " +
+        "ulp AS (SELECT tok, CAST(round(log10(cnt * 1.0 / total) * 1000000) AS BIGINT) " +
+        "AS lp_uni_micro FROM v, tot), " +
+        "bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i + 1])) AS g FROM docs WHERE len(t) >= 2), " +
+        "bcnt AS (SELECT g, count(*) AS bcnt FROM bi GROUP BY 1), " +
+        "ctx AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(bcnt) AS BIGINT) AS ccnt " +
+        "FROM bcnt GROUP BY 1), " +
+        "model AS (SELECT g, CAST(round(log10(bcnt * 1.0 / ccnt) * 1000000) AS BIGINT) " +
+        "AS lp_bi_micro FROM bcnt JOIN ctx ON split_part(g, ' ', 1) = ctx.w1 " +
+        "WHERE bcnt >= 3), " +
+        "first AS (SELECT doc_id, lp_uni_micro AS lp, 0 AS backoff " +
+        "FROM docs JOIN ulp ON t[1] = ulp.tok), " +
+        "rest AS (SELECT doc_id, " +
+        "coalesce(m.lp_bi_micro, u.lp_uni_micro + (-397940)) AS lp, " +
+        "CASE WHEN m.lp_bi_micro IS NULL THEN 1 ELSE 0 END AS backoff " +
+        "FROM bi LEFT JOIN model m USING (g) " +
+        "JOIN ulp u ON split_part(bi.g, ' ', 2) = u.tok), " +
+        "u AS (SELECT * FROM first UNION ALL SELECT * FROM rest) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, " +
+        "CAST(sum(backoff) AS BIGINT) AS n_backoff, " +
+        "CAST(sum(lp) AS BIGINT) AS sum_lp_micro, " +
+        "round(sum(lp) / 1000000.0 / count(*) * 10000, 0) / 10000 AS mean_lp " +
+        "FROM u GROUP BY doc_id ORDER BY doc_id"),
     "q_text_pii_scrub" ->
       ("WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
         "'@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS aug " +

@@ -146,6 +146,43 @@ object Scalars {
         when(col("value") > 0, col("value")).as("pos_value"))
       .orderBy("event_id")
 
+  /** q_scalar_decimal — EXACT DECIMAL MONEY ARITHMETIC, the financial
+    * engine's core typing discipline: prices as DECIMAL(18,2), rates as
+    * DECIMAL(4,2), discounted price and tax charge as decimal PRODUCTS
+    * (scales 4 and 6 — exact, no float drift), aggregated per return flag.
+    * Every intermediate is exactly representable at its scale, so nothing
+    * rounds anywhere and the sums are bit-identical across engines and
+    * merge orders — the property double arithmetic cannot give and the
+    * reason money columns are decimal-typed in production schemas.
+    * Division is deliberately absent: quotient precision/scale inference
+    * differs across engines (Spark's p+s rules vs DuckDB's), so portable
+    * decimal pipelines keep ratios in scaled integers ([[Det]]) and
+    * decimals for sums/products. Outputs are cast to pinned widths
+    * (DECIMAL(38,4)/(38,6)) because sum() widens differently per engine.
+    *
+    * Scale: one map-side-partial hash aggregate; decimal sums carry a
+    * 16-byte unscaled value — order-independent, overflow-checked at
+    * precision 38 (≈10^34 dollars of headroom).
+    */
+  def scalarDecimal(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("price"),
+        expr("CAST(l_discount AS DECIMAL(4,2))").as("disc"),
+        expr("CAST(l_tax AS DECIMAL(4,2))").as("tax"))
+      .select(col("l_returnflag"), col("price"),
+        expr("price * (CAST(1.00 AS DECIMAL(3,2)) - disc)").as("disc_price"),
+        expr("price * (CAST(1.00 AS DECIMAL(3,2)) - disc) * " +
+          "(CAST(1.00 AS DECIMAL(3,2)) + tax)").as("charge"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(price) AS DECIMAL(38,4))").as("sum_base"),
+        expr("CAST(sum(disc_price) AS DECIMAL(38,4))").as("sum_disc_price"),
+        expr("CAST(sum(charge) AS DECIMAL(38,6))").as("sum_charge"),
+        expr("CAST(min(price) AS DECIMAL(18,2))").as("min_price"),
+        expr("CAST(max(price) AS DECIMAL(18,2))").as("max_price"))
+      .orderBy("l_returnflag")
+
   /** q_udf_scalar — the native [[FeeExpr]] Catalyst expression, called
     * through the SQL function registry like a built-in (stays inside
     * whole-stage codegen; asserted in PlanShapeSpec).
@@ -238,6 +275,7 @@ object Scalars {
     "q_scalar_variant" -> scalarVariant _,
     "q_scalar_array" -> scalarArray _,
     "q_scalar_null" -> scalarNull _,
+    "q_scalar_decimal" -> scalarDecimal _,
     "q_udf_scalar" -> udfScalar _,
     "q_agg_custom_typed" -> aggCustomTyped _,
     "q_udtf_explode" -> udtfExplode _,
@@ -245,6 +283,22 @@ object Scalars {
     "q_agg_grouped_fit" -> aggGroupedFit _)
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_decimal" ->
+      ("WITH base AS (SELECT l_returnflag, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price, " +
+        "CAST(l_discount AS DECIMAL(4,2)) AS disc, " +
+        "CAST(l_tax AS DECIMAL(4,2)) AS tax FROM lineitem), " +
+        "x AS (SELECT l_returnflag, price, " +
+        "price * (CAST(1.00 AS DECIMAL(3,2)) - disc) AS disc_price, " +
+        "price * (CAST(1.00 AS DECIMAL(3,2)) - disc) * " +
+        "(CAST(1.00 AS DECIMAL(3,2)) + tax) AS charge FROM base) " +
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(price) AS DECIMAL(38,4)) AS sum_base, " +
+        "CAST(sum(disc_price) AS DECIMAL(38,4)) AS sum_disc_price, " +
+        "CAST(sum(charge) AS DECIMAL(38,6)) AS sum_charge, " +
+        "CAST(min(price) AS DECIMAL(18,2)) AS min_price, " +
+        "CAST(max(price) AS DECIMAL(18,2)) AS max_price " +
+        "FROM x GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_scalar_string" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS len, " +
         "lower(substr(text, 1, 24)) AS prefix24, " +

@@ -65,7 +65,8 @@ class ContractSpec extends AnyFunSuite {
     "q_join_asof_tolerance", "q_text_hash_vectorizer", "q_corpus_boilerplate",
     "q_join_nullsafe", "q_agg_cms_merge", "q_anomaly_mad",
     "q_window_rolling_median", "q_join_null_aware_anti", "q_text_zipf",
-    "q_skyline_pareto", "q_window_ewma")
+    "q_skyline_pareto", "q_window_ewma", "q_text_bigram_lp",
+    "q_scalar_decimal")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -406,6 +406,33 @@ class FunctionsSpec extends AnyFunSuite {
       assert(bad.getMessage.contains("401"))
     } finally server.stop(0)
   }
+
+  test("q_scalar_decimal sums equal an exact integer-cents recompute") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Scalars.scalarDecimal(s, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    // recompute in scaled longs: price in cents (c), disc/tax in hundredths
+    // (dc, tc) → disc_price = c*(100-dc) in 10^-4, charge in 10^-6 dollars
+    val rows = Tables(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
+        round(col("l_discount") * 100, 0).cast("long").as("dc"),
+        round(col("l_tax") * 100, 0).cast("long").as("tc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val got = out(flag)
+      assert(got.getLong(1) === rs.size.toLong)
+      val sumBase = rs.map(_._2).sum                       // cents
+      val sumDisc = rs.map(t => t._2 * (100 - t._3)).sum   // 10^-4 dollars
+      val sumCharge = rs.map(t => t._2 * (100 - t._3) * (100 + t._4)).sum // 10^-6
+      assert(got.getDecimal(2) === new java.math.BigDecimal(sumBase).movePointLeft(2).setScale(4))
+      assert(got.getDecimal(3) === new java.math.BigDecimal(sumDisc).movePointLeft(4).setScale(4))
+      assert(got.getDecimal(4) === new java.math.BigDecimal(sumCharge).movePointLeft(6).setScale(6))
+      assert(got.getDecimal(5) === new java.math.BigDecimal(rs.map(_._2).min).movePointLeft(2).setScale(2))
+      assert(got.getDecimal(6) === new java.math.BigDecimal(rs.map(_._2).max).movePointLeft(2).setScale(2))
+    }
+  }
 }
 
 /** RawLocalFileSystem under its own URI scheme: the minimal second Hadoop

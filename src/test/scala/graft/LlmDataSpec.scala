@@ -548,4 +548,39 @@ class LlmDataSpec extends AnyFunSuite {
       assert(out(j.toLong)._2 === vecs.length.toLong)
     }
   }
+
+  test("q_text_bigram_lp matches a driver-side stupid-backoff recompute") {
+    val out = LlmData.textBigramLp(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    // full model recompute on the small fixture
+    val texts = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val toks = texts.flatMap(_._2)
+    val uniCnt = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = toks.size.toLong
+    def uniLp(t: String): Long =
+      math.round(math.log10(uniCnt(t).toDouble / total) * 1e6)
+    val bigrams = texts.flatMap { case (_, t) => t.sliding(2).filter(_.size == 2) }
+      .map(p => p.head + " " + p(1))
+    val biCnt = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctxCnt = biCnt.toSeq.groupBy(_._1.split(" ", -1).head)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    texts.take(25).foreach { case (id, t) =>
+      var sum = uniLp(t.head)
+      var backoff = 0L
+      t.sliding(2).filter(_.size == 2).foreach { p =>
+        val g = p.head + " " + p(1)
+        if (biCnt(g) >= 3)
+          sum += math.round(math.log10(biCnt(g).toDouble / ctxCnt(p.head)) * 1e6)
+        else { sum += uniLp(p(1)) - 397940L; backoff += 1 }
+      }
+      assert(out(id) === ((t.size.toLong, backoff, sum)), s"doc $id")
+    }
+    // sequence-awareness: the model must actually use bigram probabilities
+    // somewhere (not degenerate to all-backoff or all-hit on the fixture)
+    val hits = out.values.map { case (n, b, _) => (n - 1) - b }.sum
+    val backs = out.values.map(_._2).sum
+    assert(hits > 0 && backs > 0, s"degenerate model: hits=$hits backoffs=$backs")
+  }
 }
