@@ -659,7 +659,89 @@ object Analytics {
       .orderBy("acct", "day_str")
   }
 
+  // --------------------------------------------------------- interval merge
+
+  /** q_interval_merge — INTERVAL COALESCING: per user, merge the 10-minute
+    * half-open activity intervals [ts, ts+10 min) into maximal covered
+    * spans — the primitive behind billable-time rollups, uptime windows,
+    * and retention locks (and the batch complement of
+    * [[intervalActivePeak]]'s sweep-line, which counts overlap depth
+    * where this one dissolves it). Classic single-sort algorithm: within
+    * each user order intervals by start; a row OPENS a new span iff its
+    * start exceeds the running max of all previous ends (touching spans
+    * merge — half-open adjacency is contiguous coverage); the span id is
+    * the running count of opens, then spans aggregate to per-user coverage
+    * statistics. All integer microseconds end-to-end.
+    *
+    * Scale: one shuffle on user_id; two stacked windows over the same sort
+    * (running max, running sum) with O(1) state — the naive alternative is
+    * an interval self-join that goes quadratic inside dense sessions.
+    */
+  def intervalMerge(s: SparkSession, d: String): DataFrame = {
+    val iv = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("en"))
+    val ord = Window.partitionBy("user_id").orderBy("st", "en", "event_id")
+    val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = iv
+      .withColumn("new_span",
+        when(col("st") <= coalesce(max(col("en")).over(prevMax), lit(-1L)), 0L)
+          .otherwise(1L))
+      .withColumn("span_id", sum(col("new_span")).over(cum))
+      .groupBy("user_id", "span_id")
+      .agg(min(col("st")).as("s0"), max(col("en")).as("e0"),
+        count(lit(1)).as("n"))
+    spans.groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("n")).as("n_intervals"),
+        sum(col("e0") - col("s0")).as("covered_us"),
+        max(col("e0") - col("s0")).as("max_span_us"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------------ rsi
+
+  /** q_window_rsi — RELATIVE STRENGTH INDEX (Wilder's momentum oscillator,
+    * simple-average variant) over daily account flows: up-moves vs
+    * down-moves across the trailing 14 day-over-day deltas,
+    * rsi = 100·ΣG/(ΣG+ΣL) — the overbought/oversold signal layered on the
+    * reference's daily balance series. Emitted only where all 14 deltas
+    * exist (the standard warm-up rule), in integer micro-units:
+    * ΣG, ΣL are exact long sums and the ratio is one integral division, so
+    * the oscillator is bit-identical across engines. The no-movement
+    * window (ΣG+ΣL = 0) is pinned to the neutral 500000 rather than a
+    * division error.
+    *
+    * Scale: partitioned by account; lag + two trailing sums share one sort,
+    * O(1) window state. Σ bound: 14 deltas × |flow| < 2^34, ×10^6 < 2^54.
+    */
+  def windowRsi(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+    val ord = Window.partitionBy("acct").orderBy("day")
+    val w14 = ord.rowsBetween(-13, 0)
+    daily
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(ord))
+      .withColumn("sum_gain", sum(greatest(col("delta"), lit(0L))).over(w14))
+      .withColumn("sum_loss", sum(greatest(-col("delta"), lit(0L))).over(w14))
+      .withColumn("nd", count(col("delta")).over(w14))
+      .where(col("nd") === 14)
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("sum_gain"), col("sum_loss"),
+        when(col("sum_gain") + col("sum_loss") === 0, lit(500000L))
+          .otherwise(expr("(1000000 * sum_gain) div (sum_gain + sum_loss)"))
+          .as("rsi_micro"))
+      .orderBy("acct", "day_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_merge" -> intervalMerge _,
+    "q_window_rsi" -> windowRsi _,
     "q_skyline_pareto" -> skylinePareto _,
     "q_window_ewma" -> windowEwma _,
     "q_window_rolling_median" -> windowRollingMedian _,
@@ -679,6 +761,42 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_interval_merge" ->
+      ("WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st, " +
+        "epoch_us(ts) + 600000000 AS en FROM events), " +
+        "f AS (SELECT user_id, st, en, CASE WHEN st <= coalesce(" +
+        "max(en) OVER (PARTITION BY user_id ORDER BY st, en, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+        "THEN 0 ELSE 1 END AS new_span, event_id FROM iv), " +
+        "sp AS (SELECT user_id, st, en, sum(new_span) OVER (" +
+        "PARTITION BY user_id ORDER BY st, en, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM f), " +
+        "g AS (SELECT user_id, span_id, min(st) AS s0, max(en) AS e0, " +
+        "count(*) AS n FROM sp GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(n) AS BIGINT) AS n_intervals, " +
+        "CAST(sum(e0 - s0) AS BIGINT) AS covered_us, " +
+        "CAST(max(e0 - s0) AS BIGINT) AS max_span_us " +
+        "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q_window_rsi" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "x AS (SELECT acct, day, cents, " +
+        "cents - lag(cents) OVER (PARTITION BY acct ORDER BY day) AS delta " +
+        "FROM daily), " +
+        "y AS (SELECT acct, day, cents, " +
+        "sum(greatest(delta, 0)) OVER w14 AS sum_gain, " +
+        "sum(greatest(-delta, 0)) OVER w14 AS sum_loss, " +
+        "count(delta) OVER w14 AS nd FROM x " +
+        "WINDOW w14 AS (PARTITION BY acct ORDER BY day " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT acct, strftime(day, '%Y-%m-%d') AS day_str, cents, " +
+        "CAST(sum_gain AS BIGINT) AS sum_gain, CAST(sum_loss AS BIGINT) AS sum_loss, " +
+        "CAST(CASE WHEN sum_gain + sum_loss = 0 THEN 500000 " +
+        "ELSE (1000000 * sum_gain) // (sum_gain + sum_loss) END AS BIGINT) AS rsi_micro " +
+        "FROM y WHERE nd = 14 ORDER BY acct, day_str"),
     // deliberately the QUADRATIC dominance formulation — an independent
     // derivation validating the single-sort window plan
     "q_skyline_pareto" ->

@@ -285,9 +285,50 @@ object Quality {
       .orderBy("digit")
   }
 
+  // ------------------------------------------------------------ k-anonymity
+
+  /** q_privacy_kanon — K-ANONYMITY AUDIT with a two-level generalization
+    * ladder (k = 10) over the quasi-identifier (market segment, nation):
+    * the data-governance gate a training-data or reporting pipeline runs
+    * before release. Cells meeting k publish at nation grain; failing
+    * cells GENERALIZE — their members re-aggregate to (segment, region) —
+    * and region cells still under k are SUPPRESSED into one per-segment
+    * bucket. Output is the released cell table (grain, segment, geo, n):
+    * every row has n ≥ k or grain='suppressed', and members are counted
+    * exactly once (the spec proves both invariants).
+    *
+    * Scale: cell tables are |quasi-identifier-domain|-sized (tiny) after
+    * one keyed count of the subject table; the ladder is pure arithmetic
+    * on cells — no second scan of subjects, no per-row state. Nation and
+    * region dims broadcast.
+    */
+  def privacyKanon(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val dims = broadcast(t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name")))
+    val cells = t(s, d, "customer")
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_name"), col("r_name"))
+      .agg(count(lit(1)).as("n"))
+    val natOk = cells.where(col("n") >= k)
+      .select(lit("nation").as("grain"), col("seg"), col("n_name").as("geo"), col("n"))
+    val regCells = cells.where(col("n") < k)
+      .groupBy("seg", "r_name").agg(sum(col("n")).as("n"))
+    val regOk = regCells.where(col("n") >= k)
+      .select(lit("region").as("grain"), col("seg"), col("r_name").as("geo"), col("n"))
+    val suppressed = regCells.where(col("n") < k)
+      .groupBy("seg").agg(sum(col("n")).as("n"))
+      .select(lit("suppressed").as("grain"), col("seg"), lit("*").as("geo"), col("n"))
+    natOk.unionByName(regOk).unionByName(suppressed)
+      .orderBy("grain", "seg", "geo")
+  }
+
   // ---------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_kanon" -> privacyKanon _,
     "q_reconcile_diff" -> reconcileDiff _,
     "q_dq_rules" -> dqRules _,
     "q_anomaly_zscore" -> anomalyZscore _,
@@ -296,6 +337,21 @@ object Quality {
     "q_anomaly_mad" -> anomalyMad _)
 
   val oracle: Map[String, String] = Map(
+    "q_privacy_kanon" ->
+      ("WITH cells AS (SELECT c_mktsegment AS seg, n_name, r_name, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2, 3), " +
+        "nat_ok AS (SELECT 'nation' AS grain, seg, n_name AS geo, n " +
+        "FROM cells WHERE n >= 10), " +
+        "reg_cells AS (SELECT seg, r_name, CAST(sum(n) AS BIGINT) AS n " +
+        "FROM cells WHERE n < 10 GROUP BY 1, 2), " +
+        "reg_ok AS (SELECT 'region' AS grain, seg, r_name AS geo, n " +
+        "FROM reg_cells WHERE n >= 10), " +
+        "supp AS (SELECT 'suppressed' AS grain, seg, '*' AS geo, " +
+        "CAST(sum(n) AS BIGINT) AS n FROM reg_cells WHERE n < 10 GROUP BY 1, 2, 3) " +
+        "SELECT * FROM (SELECT * FROM nat_ok UNION ALL SELECT * FROM reg_ok " +
+        "UNION ALL SELECT * FROM supp) ORDER BY grain, seg, geo"),
     "q_reconcile_diff" ->
       ("WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders), " +
         "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 " +

@@ -410,4 +410,61 @@ class AnalyticsSpec extends AnyFunSuite {
     // weights: today = 2^29, halves per day of LAG (gap-aware decay)
     assert((1L << 29) === 536870912L)
   }
+
+  test("q_interval_merge equals a driver-side sweep per user") {
+    val out = Analytics.intervalMerge(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.nonEmpty)
+    val iv = Tables(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    iv.groupBy(_._1).foreach { case (uid, rows) =>
+      val sorted = rows.map(_._2).sorted
+      var spans = List.empty[(Long, Long)] // (start, end) accumulated reversed
+      sorted.foreach { st =>
+        val en = st + 600000000L
+        spans match {
+          case (s0, e0) :: tail if st <= e0 => spans = (s0, math.max(e0, en)) :: tail
+          case _ => spans = (st, en) :: spans
+        }
+      }
+      val covered = spans.map { case (a, b) => b - a }.sum
+      val maxSpan = spans.map { case (a, b) => b - a }.max
+      assert(out(uid) === ((spans.size.toLong, rows.size.toLong, covered, maxSpan)),
+        s"user $uid")
+    }
+  }
+
+  test("q_window_rsi matches a driver-side recompute and stays in [0, 1e6]") {
+    val out = Analytics.windowRsi(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.nonEmpty)
+    assert(out.values.forall { case (_, _, rsi) => rsi >= 0L && rsi <= 1000000L })
+    val daily = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (acct, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      val days = rows.sortBy(_._2).map(_._2)
+      val deltas = series.zip(series.drop(1)).map { case (a, b) => b - a }
+      deltas.indices.foreach { i =>
+        if (i >= 13) { // 14 full deltas ending at delta index i → day i+1
+          val win = deltas.slice(i - 13, i + 1)
+          val g = win.filter(_ > 0).sum
+          val l = -win.filter(_ < 0).sum
+          val rsi = if (g + l == 0) 500000L else (1000000L * g) / (g + l)
+          assert(out((acct, days(i + 1))) === ((g, l, rsi)), s"acct $acct day ${days(i + 1)}")
+        }
+      }
+      // warm-up rows are absent
+      days.take(math.min(14, days.size)).foreach { dd =>
+        assert(!out.contains((acct, dd)), s"warm-up row leaked: $acct $dd")
+      }
+    }
+  }
 }

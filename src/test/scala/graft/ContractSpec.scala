@@ -66,7 +66,8 @@ class ContractSpec extends AnyFunSuite {
     "q_join_nullsafe", "q_agg_cms_merge", "q_anomaly_mad",
     "q_window_rolling_median", "q_join_null_aware_anti", "q_text_zipf",
     "q_skyline_pareto", "q_window_ewma", "q_text_bigram_lp",
-    "q_scalar_decimal")
+    "q_scalar_decimal", "q_interval_merge", "q_window_rsi",
+    "q_privacy_kanon")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

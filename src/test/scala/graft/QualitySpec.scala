@@ -152,4 +152,23 @@ class QualitySpec extends AnyFunSuite {
     // actually flag deviation somewhere (non-vacuous screen)
     assert(rows.map(_._5).max > 0)
   }
+
+  test("q_privacy_kanon: released cells meet k, members counted exactly once") {
+    val rows = Quality.privacyKanon(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every released (non-suppressed) cell meets k = 10
+    rows.foreach { case (grain, seg, geo, n) =>
+      if (grain != "suppressed") assert(n >= 10L, s"cell $grain/$seg/$geo n=$n")
+      else assert(geo === "*")
+    }
+    // no duplicate released cells
+    assert(rows.map(t => (t._1, t._2, t._3)).distinct.length === rows.length)
+    // partition: every customer is in exactly one released row
+    val total = Tables(s, d, "customer").count()
+    assert(rows.map(_._4).sum === total)
+    // the ladder is non-vacuous on the fixture: some cell generalized or
+    // suppressed (otherwise the operator degenerates to a plain rollup)
+    assert(rows.exists(_._1 != "nation"))
+  }
 }
