@@ -739,7 +739,94 @@ object Analytics {
       .orderBy("acct", "day_str")
   }
 
+  // ------------------------------------------------------------ seasonality
+
+  /** q_timeseries_seasonal — WEEKLY SEASONALITY PROFILE: per (account,
+    * day-of-week), the mean daily flow and its deviation from the
+    * account's overall mean — the additive-decomposition baseline behind
+    * "is Monday always heavy?" staffing/liquidity questions on the daily
+    * balance series. Day-of-week is PURE INTEGER arithmetic (days since
+    * Monday 1995-01-02, mod 7 — no engine dayofweek(), whose week-start
+    * conventions differ), means are integral divisions of exact cent sums,
+    * and the deviation is micro-scaled — bit-identical everywhere.
+    *
+    * Scale: day-grain pre-aggregate, then two cell tables (account×7 and
+    * account grain) joined at cell grain — no second scan of orders, no
+    * window. The profile table is 7·|accounts| rows at any data volume.
+    */
+  def timeseriesSeasonal(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+      // 1995-01-02 is a Monday: dow 0 = Monday in both engines by the
+      // same subtraction — no dayofweek() convention to reconcile
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1995-01-02").cast("date")), lit(7)).cast("long"))
+    val overall = daily.groupBy("acct")
+      .agg(sum(col("cents")).as("tot"), count(lit(1)).as("nd"))
+      .select(col("acct"), expr("tot div nd").as("mean_all"))
+    daily.groupBy("acct", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sum_cents"))
+      .join(overall, "acct")
+      .select(col("acct"), col("dow"), col("n_days"), col("sum_cents"),
+        expr("sum_cents div n_days").as("mean_cents"),
+        // negated-numerator form: integral division only ever sees
+        // positives (Spark div truncates, DuckDB // floors — they agree
+        // only above zero; the q_text_zipf precedent)
+        expr("CASE WHEN sum_cents div n_days >= mean_all " +
+          "THEN (1000000 * (sum_cents div n_days - mean_all)) div mean_all " +
+          "ELSE -((1000000 * (mean_all - sum_cents div n_days)) div mean_all) END")
+          .as("dev_micro"))
+      .orderBy("acct", "dow")
+  }
+
+  // ------------------------------------------------------------- bollinger
+
+  /** q_window_bollinger — BOLLINGER BAND BREACHES in exact integer
+    * arithmetic: a day breaches when its flow sits more than k=2 rolling
+    * standard deviations from the rolling 20-day mean. The float-free
+    * trick: (c − S/n)² > k²·(nQ − S²)/n²  ⟺  (c·n − S)² > k²·(nQ − S²)
+    * with S = Σc, Q = Σc² over the window — both sides are integers, so
+    * the breach flag is bit-identical across engines with no sqrt, no
+    * division, no epsilon. Squares run in DECIMAL(38,0) (the Gini
+    * precedent): (c·n − S)² exceeds int64 once daily flows pass ~2^31
+    * cents. Emitted for full windows only.
+    *
+    * Scale: one per-account sort feeding three trailing ROWS-frame sums
+    * (S, Q, n) with O(1) state; the breach test is per-row arithmetic.
+    */
+  def windowBollinger(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+    val w20 = Window.partitionBy("acct").orderBy("day").rowsBetween(-19, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w20))
+      .withColumn("s", sum(col("cents")).over(w20))
+      .withColumn("q", sum(col("cents") * col("cents")).over(w20))
+      .where(col("n") === 20)
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("s").as("roll_sum"),
+        expr("CAST(CAST(cents AS DECIMAL(38,0)) * 20 - s AS DECIMAL(38,0))").as("dev_n"),
+        expr("CAST(20 * CAST(q AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s " +
+          "AS DECIMAL(38,0))").as("var_n2"))
+      .select(col("acct"), col("day_str"), col("cents"), col("roll_sum"),
+        (col("dev_n") > 0 && col("dev_n") * col("dev_n") > col("var_n2") * 4)
+          .as("breach_hi"),
+        (col("dev_n") < 0 && col("dev_n") * col("dev_n") > col("var_n2") * 4)
+          .as("breach_lo"))
+      .orderBy("acct", "day_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_timeseries_seasonal" -> timeseriesSeasonal _,
+    "q_window_bollinger" -> windowBollinger _,
     "q_interval_merge" -> intervalMerge _,
     "q_window_rsi" -> windowRsi _,
     "q_skyline_pareto" -> skylinePareto _,
@@ -761,6 +848,42 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_timeseries_seasonal" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "x AS (SELECT acct, cents, CAST(((datediff('day', DATE '1995-01-02', day) " +
+        "% 7) + 7) % 7 AS BIGINT) AS dow FROM daily), " +
+        "ov AS (SELECT acct, CAST(sum(cents) AS BIGINT) // count(*) AS mean_all " +
+        "FROM x GROUP BY 1), " +
+        "g AS (SELECT acct, dow, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM x GROUP BY 1, 2) " +
+        "SELECT g.acct, dow, n_days, sum_cents, " +
+        "sum_cents // n_days AS mean_cents, " +
+        "CASE WHEN sum_cents // n_days >= mean_all " +
+        "THEN (1000000 * (sum_cents // n_days - mean_all)) // mean_all " +
+        "ELSE -((1000000 * (mean_all - sum_cents // n_days)) // mean_all) END " +
+        "AS dev_micro " +
+        "FROM g JOIN ov ON g.acct = ov.acct ORDER BY g.acct, dow"),
+    "q_window_bollinger" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "x AS (SELECT acct, day, cents, " +
+        "count(*) OVER w20 AS n, CAST(sum(cents) OVER w20 AS BIGINT) AS s, " +
+        "CAST(sum(cents * cents) OVER w20 AS HUGEINT) AS q FROM daily " +
+        "WINDOW w20 AS (PARTITION BY acct ORDER BY day " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
+        "SELECT acct, strftime(day, '%Y-%m-%d') AS day_str, cents, s AS roll_sum, " +
+        "(CAST(cents AS HUGEINT) * 20 - s > 0 AND " +
+        "(CAST(cents AS HUGEINT) * 20 - s) * (CAST(cents AS HUGEINT) * 20 - s) > " +
+        "(20 * q - CAST(s AS HUGEINT) * s) * 4) AS breach_hi, " +
+        "(CAST(cents AS HUGEINT) * 20 - s < 0 AND " +
+        "(CAST(cents AS HUGEINT) * 20 - s) * (CAST(cents AS HUGEINT) * 20 - s) > " +
+        "(20 * q - CAST(s AS HUGEINT) * s) * 4) AS breach_lo " +
+        "FROM x WHERE n = 20 ORDER BY acct, day_str"),
     "q_interval_merge" ->
       ("WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st, " +
         "epoch_us(ts) + 600000000 AS en FROM events), " +

@@ -1271,6 +1271,41 @@ object LlmData {
       .select("doc_id", "lang", "source", "bucket")
       .orderBy("doc_id")
 
+  /** q_sample_weighted — WEIGHTED SAMPLING ∝ length via SYSTEMATIC PPS
+    * (Madow's probability-proportional-to-size selection): per source,
+    * exactly 20 picks fall where the cumulative weight crosses the 20
+    * equi-spaced thresholds m·W/20 — inclusion probability proportional to
+    * n_chars, the standard one-pass way to draw a training mix weighted by
+    * length/quality. Chosen over the Efraimidis–Spirakis exponential race
+    * DELIBERATELY: the race needs log(u)/w priorities, and a last-ulp libm
+    * divergence between engines flips a rank at a rounding boundary
+    * (observed in testing — one row in 500 moved); the systematic walk is
+    * PURE INTEGER arithmetic (picks_i = ⌊C_i·20/W⌋ − ⌊C_{i−1}·20/W⌋), so
+    * the sample is bit-identical everywhere and Σ picks = 20 exactly. A
+    * doc heavier than W/20 legitimately absorbs multiple picks — the
+    * multiplicity column reports it (with-replacement semantics at the
+    * tail, as in survey practice).
+    *
+    * Scale: one per-source cumulative-sum window over scan-local weights;
+    * O(1) window state, no priority sort, no global state. ⌊C·20⌋ needs
+    * decimal(38,0) once W exceeds ~2^58 total chars per source.
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val ord = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("source")
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
+      .withColumn("c", sum(col("w")).over(ord))
+      .withColumn("totw", sum(col("w")).over(tot))
+      .select(col("doc_id"), col("source"), col("w"),
+        (expr(s"(c * $k) div totw") - expr(s"((c - w) * $k) div totw"))
+          .as("n_picks"))
+      .where(col("n_picks") > 0)
+      .orderBy("source", "doc_id")
+  }
+
   /** q_corpus_domain_cap — domain-mixture capping: no source contributes
     * more than `cap` documents (the standard rebalancing step before
     * training-mix weighting; deterministic — first `cap` doc_ids win).
@@ -1695,6 +1730,7 @@ object LlmData {
     "q_text_tfidf" -> textTfidf _,
     "q_text_collocation_pmi" -> textCollocationPmi _,
     "q_sample_hash" -> sampleHash _,
+    "q_sample_weighted" -> sampleWeighted _,
     "q_text_bpe_step" -> textBpeStep _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
@@ -1839,6 +1875,16 @@ object LlmData {
         "FROM documents) " +
         "WHERE (lang = 'en' AND bucket < '80') OR (lang <> 'en' AND bucket < '40') " +
         "ORDER BY doc_id"),
+    "q_sample_weighted" ->
+      ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS totw " +
+        "FROM documents) " +
+        "SELECT doc_id, source, w, " +
+        "CAST((c * 20) // totw - ((c - w) * 20) // totw AS BIGINT) AS n_picks " +
+        "FROM p WHERE (c * 20) // totw - ((c - w) * 20) // totw > 0 " +
+        "ORDER BY source, doc_id"),
     "q_text_collocation_pmi" ->
       ("WITH docs AS (SELECT string_split(text, ' ') AS a FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 2), " +

@@ -467,4 +467,54 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_timeseries_seasonal: dow partitions days; profile sums to the total") {
+    val rows = Analytics.timeseriesSeasonal(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(t => t._2 >= 0 && t._2 <= 6))
+    // 1995-01-02 was a Monday; pin the convention: dow 0 = Monday
+    assert(java.time.LocalDate.of(1995, 1, 2).getDayOfWeek ===
+      java.time.DayOfWeek.MONDAY)
+    rows.groupBy(_._1).foreach { case (acct, g) =>
+      val meanAll = g.map(_._4).sum / g.map(_._3).sum // tot div n_days
+      g.foreach { case (_, _, nd, sc, mc, dev) =>
+        assert(mc === sc / nd)
+        val diff = mc - meanAll
+        val want = if (diff >= 0) 1000000 * diff / meanAll
+                   else -(1000000 * -diff / meanAll)
+        assert(dev === want, s"acct $acct")
+      }
+    }
+  }
+
+  test("q_window_bollinger flags match a driver-side exact recompute") {
+    val out = Analytics.windowBollinger(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(out.nonEmpty)
+    val daily = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    var breaches = 0
+    daily.groupBy(_._1).foreach { case (acct, g) =>
+      val series = g.sortBy(_._2)
+      series.indices.drop(19).foreach { i =>
+        val win = series.slice(i - 19, i + 1).map(_._3).map(BigInt(_))
+        val c = BigInt(series(i)._3)
+        val sS = win.sum; val q = win.map(x => x * x).sum
+        val dev = c * 20 - sS
+        val varN2 = q * 20 - sS * sS
+        val hi = dev > 0 && dev * dev > varN2 * 4
+        val lo = dev < 0 && dev * dev > varN2 * 4
+        assert(out((acct, series(i)._2)) === ((hi, lo)), s"acct $acct ${series(i)._2}")
+        if (hi || lo) breaches += 1
+      }
+    }
+    assert(breaches > 0, "band never breached — vacuous fixture")
+  }
 }

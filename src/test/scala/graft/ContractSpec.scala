@@ -67,7 +67,8 @@ class ContractSpec extends AnyFunSuite {
     "q_window_rolling_median", "q_join_null_aware_anti", "q_text_zipf",
     "q_skyline_pareto", "q_window_ewma", "q_text_bigram_lp",
     "q_scalar_decimal", "q_interval_merge", "q_window_rsi",
-    "q_privacy_kanon")
+    "q_privacy_kanon", "q_timeseries_seasonal", "q_window_bollinger",
+    "q_sample_weighted")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -583,4 +583,30 @@ class LlmDataSpec extends AnyFunSuite {
     val backs = out.values.map(_._2).sum
     assert(hits > 0 && backs > 0, s"degenerate model: hits=$hits backoffs=$backs")
   }
+
+  test("q_sample_weighted: exactly 20 picks per source, heavy docs guaranteed in") {
+    val rows = LlmData.sampleWeighted(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 > 0))
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (src, g) =>
+      assert(g.map(_._4).sum === 20L, s"source $src pick mass")
+    }
+    // systematic PPS guarantee: any doc with w > W/k is always selected
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sampled = rows.map(t => (t._1, t._2)).toSet
+    docs.groupBy(_._2).foreach { case (src, g) =>
+      val tot = g.map(_._3).sum
+      g.foreach { case (id, _, w) =>
+        if (w * 20 > tot) assert(sampled.contains((id, src)), s"heavy doc $id missing")
+      }
+    }
+    // weighting is real: mean weight of sampled docs exceeds corpus mean
+    val meanAll = docs.map(_._3).sum.toDouble / docs.length
+    val meanSampled = rows.map(_._3).sum.toDouble / rows.length
+    assert(meanSampled > meanAll, f"sampled mean $meanSampled%.1f <= corpus mean $meanAll%.1f")
+  }
 }
