@@ -824,7 +824,65 @@ object Analytics {
       .orderBy("acct", "day_str")
   }
 
+  // ------------------------------------------------------------------- bfs
+
+  /** q_graph_bfs — BOUNDED BREADTH-FIRST SEARCH (3 hops) from the smallest
+    * part in the co-purchase graph: per depth, how many parts are first
+    * reached there — the reachability/blast-radius primitive behind
+    * recommendation neighborhoods and contagion analyses. Textbook
+    * distributed BFS: the FRONTIER expands one hop per superstep
+    * (frontier ⋈ edges), an ANTI-JOIN against the visited set keeps only
+    * first arrivals, and the visited set accumulates — each superstep is
+    * a self-contained shuffle-bounded job, state lives in DataFrames
+    * (never on the driver), the [[LlmData.dedupCluster]] iteration
+    * discipline. The oracle walks the same graph INDEPENDENTLY: a
+    * recursive-CTE enumeration of ALL ≤3-hop paths reduced by min(dist) —
+    * exponential in depth and only runnable at oracle scale, which is
+    * exactly the point of the frontier formulation.
+    *
+    * Scale: each hop shuffles |frontier ⋈ edges| rows keyed by node; the
+    * visited anti-join is node-grain. Per-hop distinct() bounds frontier
+    * rows at |V|. Depth is a constant (3), so the lineage stays shallow;
+    * persists are dropped as soon as the next round lands.
+    */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val po = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = po.as("x").join(po.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(MEMORY_AND_DISK)
+    val seed = e.agg(min(col("a")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    var visited = seed.persist(MEMORY_AND_DISK)
+    var frontier = seed
+    (1 to 3).foreach { depth =>
+      val next = frontier.join(e, frontier("node") === e("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth.toLong).as("dist"))
+      val grown = visited.unionByName(next).persist(MEMORY_AND_DISK)
+      grown.count() // materialize before dropping the parent
+      visited.unpersist()
+      visited = grown
+      frontier = next
+    }
+    val out = visited.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy("dist")
+    val collected = out.collect()
+    visited.unpersist(); e.unpersist()
+    import s.implicits._
+    collected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.toDF("dist", "n_nodes", "sum_nodes", "min_node", "max_node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_bfs" -> graphBfs _,
     "q_timeseries_seasonal" -> timeseriesSeasonal _,
     "q_window_bollinger" -> windowBollinger _,
     "q_interval_merge" -> intervalMerge _,
@@ -848,6 +906,22 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    // independent formulation: enumerate ALL <=3-hop paths recursively,
+    // then reduce by min(dist) — exponential, oracle-scale only
+    "q_graph_bfs" ->
+      ("WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM po a " +
+        "JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und), " +
+        "walk(node, dist) AS (" +
+        "SELECT (SELECT min(a) FROM e), 0 " +
+        "UNION ALL SELECT e.b, walk.dist + 1 FROM walk JOIN e ON walk.node = e.a " +
+        "WHERE walk.dist < 3), " +
+        "md AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node) " +
+        "SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(sum(node) AS BIGINT) AS sum_nodes, " +
+        "CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node " +
+        "FROM md GROUP BY dist ORDER BY dist"),
     "q_timeseries_seasonal" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

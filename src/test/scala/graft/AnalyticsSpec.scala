@@ -517,4 +517,35 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(breaches > 0, "band never breached — vacuous fixture")
   }
+
+  test("q_graph_bfs layers match a driver-side queue BFS") {
+    val out = Analytics.graphBfs(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.nonEmpty && out.contains(0L))
+    // rebuild the graph and BFS it in plain Scala
+    val po = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    po.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2)
+      for (x <- ps; y <- ps if x < y) {
+        adj.getOrElseUpdate(x, scala.collection.mutable.Set.empty) += y
+        adj.getOrElseUpdate(y, scala.collection.mutable.Set.empty) += x
+      }
+    }
+    val seed = adj.keys.min
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Set(seed)
+    (1 to 3).foreach { dd =>
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = dd.toLong)
+    }
+    val want = dist.toSeq.groupBy(_._2).map { case (dd, ns) =>
+      dd -> ((ns.size.toLong, ns.map(_._1).sum, ns.map(_._1).min, ns.map(_._1).max))
+    }
+    assert(out === want)
+    // non-vacuous: expansion actually happened beyond the seed's ego net
+    assert(out.keySet.max >= 2L, s"graph saturated at 1 hop: ${out.keySet}")
+  }
 }
