@@ -41,7 +41,7 @@ object LlmData {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  private[operators] def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = sessionCache.synchronized {
       var m = sessionCache.get(s)
       if (m == null) {
