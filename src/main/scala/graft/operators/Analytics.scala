@@ -891,7 +891,83 @@ object Analytics {
       .toSeq.toDF("dist", "n_nodes", "sum_nodes", "min_node", "max_node")
   }
 
+  // ----------------------------------------------------------- spatial grid
+
+  /** q_join_spatial_grid — RADIUS JOIN via GRID BUCKETING: all
+    * (customer, supplier) pairs within Euclidean distance r = 250 on a
+    * 10000×10000 plane — the proximity-join primitive behind geo matching
+    * and 2-D blocking, and the two-dimensional generalization of
+    * [[joinRangeBucket]]'s banded interval trick. Coordinates are derived
+    * deterministically from the keys (Knuth multiplicative hashes mod the
+    * plane — integer arithmetic both engines share, the fixture has no geo
+    * columns). The naive plan is the full cross product with a distance
+    * filter — exactly what the DuckDB oracle runs; the engine instead
+    * buckets the plane into r×r cells so a point's matches can only lie in
+    * the 3×3 neighborhood: suppliers replicate 9× onto neighbor cells
+    * (explode — scan-side, no shuffle amplification beyond the constant),
+    * the join is a plain EQUI-join on cell id, and the exact integer
+    * (dx² + dy² ≤ r²) residual keeps it lossless. O(N + 9M) state vs
+    * O(N·M) — the standard spatial-blocking argument.
+    *
+    * Scale: cell ids distribute uniformly by construction (hash-derived
+    * coords); both sides shuffle once on cell id, or broadcast the
+    * supplier side when it is dim-sized (Catalyst picks — it is here).
+    */
+  def joinSpatialGrid(s: SparkSession, d: String): DataFrame = {
+    val r = 250L
+    val cust = t(s, d, "customer").select(col("c_custkey"),
+      expr("(c_custkey * 2654435761) % 10000").as("cx"),
+      expr("(c_custkey * 40503) % 10000").as("cy"))
+      .withColumn("cellx", expr(s"cx div $r")).withColumn("celly", expr(s"cy div $r"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"),
+      expr("(s_suppkey * 2654435761) % 10000").as("sx"),
+      expr("(s_suppkey * 40503) % 10000").as("sy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        (expr(s"sx div $r") + col("dx")).as("cellx"),
+        (expr(s"sy div $r") + col("dy")).as("celly"))
+    cust.join(supp, Seq("cellx", "celly"))
+      .where(expr(s"(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= ${r * r}"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)").as("dist2"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  // ------------------------------------------------------------ mix epochs
+
+  /** q_corpus_mix_epochs — TRAINING-MIX EPOCH PLANNER: given a token
+    * budget of 2× the corpus and an equal-share-per-source target, how
+    * many epochs (repeats, in exact milli-units) of each source reach its
+    * share — capped at 4 epochs (the standard repeated-data quality rule),
+    * with the realized shortfall reported. This is the arithmetic behind
+    * every published data-mixture table; integral end-to-end so the plan
+    * is bit-identical across engines.
+    *
+    * Scale: one keyed token count per source (map-side partials), then
+    * pure cell-table arithmetic over |sources| rows.
+    */
+  def corpusMixEpochs(s: SparkSession, d: String): DataFrame = {
+    val stats = t(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    val nSrc = stats.agg(count(lit(1)).as("n_sources"),
+      sum(col("n_tokens")).as("corpus_tokens"))
+    stats.crossJoin(broadcast(nSrc))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(2 * corpus_tokens) div n_sources").as("target_tokens"))
+      .withColumn("epochs_milli",
+        expr("least((1000 * target_tokens) div n_tokens, 4000)"))
+      .withColumn("realized_tokens", expr("(n_tokens * epochs_milli) div 1000"))
+      .withColumn("shortfall_tokens",
+        expr("greatest(target_tokens - realized_tokens, 0)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_spatial_grid" -> joinSpatialGrid _,
+    "q_corpus_mix_epochs" -> corpusMixEpochs _,
     "q_graph_bfs" -> graphBfs _,
     "q_timeseries_seasonal" -> timeseriesSeasonal _,
     "q_window_bollinger" -> windowBollinger _,
@@ -916,6 +992,30 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    // the naive O(N·M) cross-product formulation the grid join replaces
+    "q_join_spatial_grid" ->
+      ("WITH c AS (SELECT c_custkey, (c_custkey * 2654435761) % 10000 AS cx, " +
+        "(c_custkey * 40503) % 10000 AS cy FROM customer), " +
+        "sp AS (SELECT s_suppkey, (s_suppkey * 2654435761) % 10000 AS sx, " +
+        "(s_suppkey * 40503) % 10000 AS sy FROM supplier) " +
+        "SELECT c_custkey, s_suppkey, " +
+        "CAST((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS BIGINT) AS dist2 " +
+        "FROM c, sp WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 62500 " +
+        "ORDER BY c_custkey, s_suppkey"),
+    "q_corpus_mix_epochs" ->
+      ("WITH stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_sources, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM stats), " +
+        "x AS (SELECT source, n_docs, n_tokens, " +
+        "(2 * corpus_tokens) // n_sources AS target_tokens, " +
+        "least((1000 * ((2 * corpus_tokens) // n_sources)) // n_tokens, 4000) " +
+        "AS epochs_milli FROM stats, t) " +
+        "SELECT source, n_docs, n_tokens, target_tokens, epochs_milli, " +
+        "(n_tokens * epochs_milli) // 1000 AS realized_tokens, " +
+        "greatest(target_tokens - (n_tokens * epochs_milli) // 1000, 0) " +
+        "AS shortfall_tokens FROM x ORDER BY source"),
     // independent formulation: enumerate ALL <=3-hop paths recursively,
     // then reduce by min(dist) — exponential, oracle-scale only
     "q_graph_bfs" ->

@@ -548,4 +548,43 @@ class AnalyticsSpec extends AnyFunSuite {
     // non-vacuous: expansion actually happened beyond the seed's ego net
     assert(out.keySet.max >= 2L, s"graph saturated at 1 hop: ${out.keySet}")
   }
+
+  test("q_join_spatial_grid equals the brute-force radius join; no cartesian plan") {
+    val out = Analytics.joinSpatialGrid(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    val cs = Tables(s, d, "customer").select("c_custkey").collect().map(_.getLong(0))
+    val ss = Tables(s, d, "supplier").select("s_suppkey").collect().map(_.getLong(0))
+    def coords(k: Long) = ((k * 2654435761L) % 10000, (k * 40503L) % 10000)
+    val want = (for {
+      c <- cs; sp <- ss
+      (cx, cy) = coords(c); (sx, sy) = coords(sp)
+      d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      if d2 <= 62500L
+    } yield (c, sp) -> d2).toMap
+    assert(out === want)
+    // the point of the grid: an equi-join on cell id, never a cross product
+    val plan = Analytics.joinSpatialGrid(s, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "spatial join degenerated to a cross product")
+  }
+
+  test("q_corpus_mix_epochs: cap, realized, and shortfall laws hold") {
+    val rows = Analytics.corpusMixEpochs(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val corpus = rows.map(_._3).sum
+    val nSrc = rows.length
+    rows.foreach { case (src, nd, toks, target, epochs, realized, shortfall) =>
+      assert(nd > 0 && toks > 0)
+      assert(target === 2 * corpus / nSrc, s"$src target")
+      assert(epochs === math.min(1000L * target / toks, 4000L), s"$src epochs")
+      assert(epochs >= 1000L || target < toks) // under-1-epoch only when over-share
+      assert(realized === toks * epochs / 1000, s"$src realized")
+      assert(shortfall === math.max(target - realized, 0L), s"$src shortfall")
+      // a shortfall beyond milli-truncation slack implies the 4-epoch cap
+      if (shortfall > toks / 1000 + 1) assert(epochs === 4000L, s"$src uncapped shortfall")
+    }
+  }
 }

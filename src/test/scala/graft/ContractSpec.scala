@@ -68,7 +68,8 @@ class ContractSpec extends AnyFunSuite {
     "q_skyline_pareto", "q_window_ewma", "q_text_bigram_lp",
     "q_scalar_decimal", "q_interval_merge", "q_window_rsi",
     "q_privacy_kanon", "q_timeseries_seasonal", "q_window_bollinger",
-    "q_sample_weighted", "q_graph_bfs")
+    "q_sample_weighted", "q_graph_bfs", "q_join_spatial_grid",
+    "q_corpus_mix_epochs")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
