@@ -396,8 +396,11 @@ object Analytics {
     * aggregate → cumulative-weight window ordered by value → min value
     * where 2·cum ≥ total. All integer arithmetic (cents × integer
     * quantities), so the crossing row is bit-identical across engines.
-    * Scale: the window runs over the REDUCED (group, distinct-value) table,
-    * not raw rows; per-group state is one running long.
+    * Scale: two-pass bucket refinement (inline note below) — the
+    * cumulative window only ever sorts one 2^16-cent bucket's slice per
+    * group, so the operator stays parallel even with a handful of groups;
+    * the single-window formulation it replaces was key-bound at |groups|
+    * tasks.
     */
   def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
     val g = t(s, d, "lineitem")
@@ -406,15 +409,44 @@ object Analytics {
         round(col("l_quantity"), 0).cast("long").as("wt"))
       .groupBy("l_returnflag", "cents")
       .agg(sum(col("wt")).as("w"))
+    // TWO-PASS BUCKET REFINEMENT instead of one window over the whole
+    // per-group value sort: with only |groups| window partitions (3 flags
+    // here) a plain cumulative window is key-bound — 3 tasks sort
+    // everything at any cluster size. Pass 1 coarsens values into 2^16-cent
+    // buckets (fully parallel keyed agg), a bucket-grain window (~160 rows
+    // per group) locates the bucket containing the weighted-median
+    // crossing plus the cumulative weight BEFORE it; pass 2 re-sorts only
+    // the crossing bucket's slice (~1/160 of rows). Exactness is
+    // unchanged — the crossing value is in the crossing bucket because
+    // weights are positive. The value table is deliberately NOT persisted:
+    // two pruned scans with map-side partials beat pinning it, and beat
+    // the key-bound sort by construction.
+    val bucketed = g.withColumn("bkt", expr("cents div 65536"))
+      .groupBy("l_returnflag", "bkt").agg(sum(col("w")).as("bw"))
+    val bord = Window.partitionBy("l_returnflag").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val btot = Window.partitionBy("l_returnflag")
+    // crossing bucket per group + cumulative weight strictly BEFORE it
+    val crossing = bucketed
+      .withColumn("cumb", sum(col("bw")).over(bord))
+      .withColumn("totw", sum(col("bw")).over(btot))
+      .where(col("cumb") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min(struct(col("bkt").as("bkt"),
+        (col("cumb") - col("bw")).as("off"), col("totw").as("totw"))).as("c"))
+      .select(col("l_returnflag"), col("c.bkt").as("bkt"),
+        col("c.off").as("offset"), col("c.totw").as("totw"))
+    val slice = g.join(broadcast(crossing), Seq("l_returnflag"))
+      .where(expr("cents div 65536") === col("bkt"))
     val cum = Window.partitionBy("l_returnflag").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy("l_returnflag")
-    g.withColumn("cumw", sum(col("w")).over(cum))
-      .withColumn("totw", sum(col("w")).over(tot))
+    val out = slice
+      .withColumn("cumw", sum(col("w")).over(cum) + col("offset"))
       .where(col("cumw") * 2 >= col("totw"))
       .groupBy("l_returnflag")
       .agg(min(col("cents")).as("wmedian_cents"), min(col("totw")).as("total_weight"))
       .orderBy("l_returnflag")
+    out
   }
 
   // ------------------------------------------------------------- drawdown
