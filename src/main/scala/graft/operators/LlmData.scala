@@ -1306,6 +1306,44 @@ object LlmData {
       .orderBy("source", "doc_id")
   }
 
+  /** q_dedup_url — URL CANONICALIZATION + DEDUP, the first pass of every
+    * web-corpus pipeline (the same page arrives as http/HTTPS, with and
+    * without www., with fragments and tracking params — exact-text dedup
+    * misses all of it). The fixture has no URL column, so deterministic
+    * URL variants are INJECTED from doc_id (the PII-scrub precedent):
+    * 120 canonical pages, each dressed with doc_id-dependent scheme case,
+    * www. prefix, #fragment, and ?utm_ tracking noise. Canonicalization
+    * is a fixed regexp/lowering chain (RE2 ∩ Java dialect, identical text
+    * in both engines); output is the canonical-URL group table with
+    * multiplicity and the surviving representative (min doc_id — the
+    * "keep first crawl" rule).
+    *
+    * Scale: canonicalization is scan-local string work; the dedup is one
+    * keyed aggregate on the canonical URL (map-side partials). URL keys
+    * are near-uniform after canonicalization; a hot page (true crawl
+    * frequency skew) lands on AQE skew-split like any hot key.
+    */
+  def dedupUrl(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("Example.COM/pages/"), (col("doc_id") % 120).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("?utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+    val canon = raw.withColumn("curl",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("url")), "#.*$", ""),
+          "\\?utm_[^#]*$", ""),
+        "^(https?://)www\\.", "$1"))
+    canon.groupBy("curl")
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
+      .orderBy("curl")
+  }
+
   /** q_corpus_domain_cap — domain-mixture capping: no source contributes
     * more than `cap` documents (the standard rebalancing step before
     * training-mix weighting; deterministic — first `cap` doc_ids win).
@@ -1731,6 +1769,7 @@ object LlmData {
     "q_text_collocation_pmi" -> textCollocationPmi _,
     "q_sample_hash" -> sampleHash _,
     "q_sample_weighted" -> sampleWeighted _,
+    "q_dedup_url" -> dedupUrl _,
     "q_text_bpe_step" -> textBpeStep _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
@@ -1875,6 +1914,20 @@ object LlmData {
         "FROM documents) " +
         "WHERE (lang = 'en' AND bucket < '80') OR (lang <> 'en' AND bucket < '40') " +
         "ORDER BY doc_id"),
+    "q_dedup_url" ->
+      ("WITH raw AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || " +
+        "'Example.COM/pages/' || CAST(doc_id % 120 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "lower(url), '#.*$', ''), '\\?utm_[^#]*$', ''), " +
+        "'^(https?://)www\\.', '\\1') AS curl FROM raw) " +
+        "SELECT curl, CAST(count(*) AS BIGINT) AS n_dups, " +
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc " +
+        "FROM c GROUP BY curl ORDER BY curl"),
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
         "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +

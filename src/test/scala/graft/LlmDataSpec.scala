@@ -609,4 +609,23 @@ class LlmDataSpec extends AnyFunSuite {
     val meanSampled = rows.map(_._3).sum.toDouble / rows.length
     assert(meanSampled > meanAll, f"sampled mean $meanSampled%.1f <= corpus mean $meanAll%.1f")
   }
+
+  test("q_dedup_url canonicalization collapses every injected variant") {
+    val rows = LlmData.dedupUrl(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables(s, d, "documents").count()
+    // every doc lands in exactly one canonical group; 120 injected pages
+    assert(rows.map(_._2).sum === nDocs)
+    assert(rows.length === math.min(120L, nDocs).toInt)
+    rows.foreach { case (curl, n, keep) =>
+      assert(curl === curl.toLowerCase, s"case survived: $curl")
+      assert(!curl.contains("#") && !curl.contains("utm_") && !curl.contains("www."),
+        s"noise survived: $curl")
+      assert(curl.startsWith("https://example.com/pages/"))
+      // representative is the smallest doc_id mapping to this page
+      assert(keep % 120 === curl.stripPrefix("https://example.com/pages/").toLong)
+    }
+    // the dedup is non-vacuous: variants genuinely differed pre-canon
+    assert(rows.exists(_._2 > 1))
+  }
 }
