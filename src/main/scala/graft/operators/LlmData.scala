@@ -1732,6 +1732,170 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_chunk — CONTEXT-WINDOW CHUNKING: each document's token stream
+    * cut into fixed 32-token windows with stride 24 (8-token overlap) — the
+    * sliding-window prep that turns a curated corpus into training examples
+    * bounded by a model's context length. Chunk starts are the multiples of
+    * the stride up to the first window that reaches the document's end
+    * (every token is covered; the final chunk may be short), and the md5 of
+    * each chunk's text pins the exact slice content in the oracle.
+    *
+    * Scale: chunking is embarrassingly parallel — a narrow explode with NO
+    * shuffle, NO window function and no global coordination (chunk ids are
+    * (doc_id, start div stride), derivable row-locally), so it pipelines
+    * inside the scan stage at any corpus size. Output is ~n_tokens/stride
+    * rows per document, proportional to input.
+    */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val W = 32; val S = 24
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(
+          s"sequence(0, CAST(((greatest(n - $W, 0) + ${S - 1}) div $S) * $S AS INT), $S)"))
+          .as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start div $S AS INT)").as("chunk_id"),
+        col("start").cast("int").as("start_tok"),
+        expr(s"CAST(least($W, n - start) AS INT)").as("n_chunk_toks"),
+        md5(expr(s"array_join(slice(toks, start + 1, least($W, n - start)), ' ')"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q_shuffle_shard — DETERMINISTIC TRAINING SHUFFLE: the reproducible
+    * epoch-0 global example order every training run needs, computed
+    * WITHOUT a global sort. Each doc gets a Knuth multiplicative mix
+    * h = (doc_id · 2654435761) mod 2³², its shard is h mod 16, and its
+    * position within the shard is the rank by (h, doc_id); readers stream
+    * shards in order → a uniform, reproducible permutation of the corpus.
+    *
+    * Scale: this is the shuffle without `ORDER BY rand()`: the mix is a
+    * pure row-local projection; the only exchange is the hash partition on
+    * `shard` (16-way here, thousands-wide in production) and the rank is a
+    * sort WITHIN each shard — exactly the `repartition(shard) +
+    * sortWithinPartitions` write-path plan that never materializes a total
+    * order on one node. Integer arithmetic only, so the permutation is
+    * bit-stable across engines, partitionings and reruns.
+    */
+  def shuffleShard(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("(doc_id * 2654435761) % 4294967296").as("h"))
+      .withColumn("shard", expr("CAST(h % 16 AS INT)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** q_dedup_semantic — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * semantic dedup via cluster-then-compare. Injected near-dup variants
+    * (every 25th vector, component 0 nudged +0.05 and re-cast to float so
+    * both engines hold identical bits; the fixtures are unit-norm, so the
+    * nudge gives cos ≥ 0.9987 against the original) stand in for
+    * re-encoded/paraphrase duplicates — natural pairs are near-orthogonal
+    * (max cos ≈ 0.51), so the 0.99 gate separates cleanly. K = 8 seed
+    * centroids (vec_id < k, the [[embedKmeansStep]] convention) partition
+    * the space by argmin squared distance; ONLY within-cluster pairs are
+    * compared (cos_micro ≥ 990000) and each duplicate keeps its lowest
+    * vec_id partner — the standard greedy representative rule.
+    *
+    * Scale: clustering is what kills the quadratic — pair volume drops from
+    * N² to Σ|cluster|², bounded by growing K with the corpus (SemDeDup's
+    * recipe keeps clusters ~O(√N)). The centroid table is model-sized so
+    * assignment is a broadcast projection; the only corpus shuffle is the
+    * cluster-keyed self-join, and the pair stream is filtered inside the
+    * join stage (never shuffled). The explicit approximation: cross-cluster
+    * near-dups are not compared — K is the recall/cost dial.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native graft_dot
+    val k = 8
+    val emb = t(s, d, "embeddings")
+    val variants = emb.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.05))
+            .cast("float")),
+          expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(variants)
+    // control-plane: k seed vectors from the BASE corpus; c·c computed on
+    // the driver with the same ascending double fold the engines use
+    val seeds: Map[Int, (Seq[Float], Double)] = emb
+      .where(col("vec_id") < k).select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var cc = 0.0
+        var i = 0
+        while (i < v.length) { cc += v(i).toDouble * v(i).toDouble; i += 1 }
+        r.getLong(0).toInt -> (v, cc)
+      }.toMap
+    val d2Cols = (0 until k).map { c =>
+      val (v, cc) = seeds(c)
+      (VectorOps.dot(col("embedding"), col("embedding"))
+        - lit(2.0) * VectorOps.dot(col("embedding"), typedlit(v))
+        + lit(cc)).as(s"d2_$c")
+    }
+    val withD2 = corpus.select(col("vec_id") +: col("embedding") +: d2Cols: _*)
+      .withColumn("d2", least((0 until k).map(c => col(s"d2_$c")): _*))
+    val cluster = (0 until k).foldRight(lit(-1): Column) { (c, e) =>
+      when(col(s"d2_$c") === col("d2"), lit(c)).otherwise(e)
+    }
+    val asg = withD2.withColumn("cluster_id", cluster)
+      .select("vec_id", "embedding", "cluster_id")
+    val pairs = asg
+      .select(col("cluster_id"), col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(asg.select(col("cluster_id"), col("vec_id").as("vb"),
+        col("embedding").as("eb")), Seq("cluster_id"))
+      .where(col("va") < col("vb"))
+      .withColumn("cos_micro",
+        round(VectorOps.cosine(col("ea"), col("eb")) * 1000000, 0).cast("long"))
+      .where(col("cos_micro") >= 990000)
+    val dropped = pairs.groupBy(col("vb").as("vec_id"))
+      .agg(min("va").as("dropped_by"))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("dropped_by"),
+        col("dropped_by").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** q_search_bm25 — RANKED RETRIEVAL: top-20 documents for a fixed
+    * three-term query by summed Okapi BM25 (k1 = 1.2, b = 0.75 — the
+    * [[textTfidf]] weighting, micro-integer scored). The missing half of
+    * the tfidf / inverted-index pair: tfidf scores terms per document,
+    * this ranks documents per query.
+    *
+    * Scale: the query-term filter lands BEFORE every aggregate — tf, df
+    * and the score join flow only the query terms' postings (an inverted-
+    * index probe, not a corpus-wide vocabulary build; the one full pass is
+    * the per-doc length table, which a real deployment materializes once
+    * alongside the index). Ranking is a bounded top-k
+    * (TakeOrderedAndProject) — each executor keeps a 20-row heap, never a
+    * global sort.
+    */
+  def searchBm25(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("spark", "join", "window")
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val hits = toks.where(col("tok").isin(qterms: _*))
+    val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = hits.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dlen")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("score_micro", expr(bm25Micro))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("score_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1777,7 +1941,11 @@ object LlmData {
     "q_text_containment" -> textContainment _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_corpus_filter" -> corpusFilter _,
-    "q_pack_sequences" -> packSequences _)
+    "q_pack_sequences" -> packSequences _,
+    "q_text_chunk" -> textChunk _,
+    "q_shuffle_shard" -> shuffleShard _,
+    "q_dedup_semantic" -> dedupSemantic _,
+    "q_search_bm25" -> searchBm25 _)
 
   val oracle: Map[String, String] = Map(
     "q_corpus_contamination" ->
@@ -2239,5 +2407,59 @@ object LlmData {
         "FROM documents d JOIN q USING (doc_id) JOIN lp USING (doc_id) " +
         "WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped) " +
         "AND q.quality >= 0.53 AND lp.lang_pred = d.lang ORDER BY doc_id"
-    })
+    },
+    "q_text_chunk" ->
+      ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "n0 AS (SELECT doc_id, toks, len(toks) AS n FROM b), " +
+        "st AS (SELECT doc_id, toks, n, " +
+        "unnest(generate_series(0, ((greatest(n - 32, 0) + 23) // 24) * 24, 24)) AS start " +
+        "FROM n0) " +
+        "SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id, CAST(start AS INT) AS start_tok, " +
+        "CAST(least(32, n - start) AS INT) AS n_chunk_toks, " +
+        "md5(array_to_string(list_slice(toks, start + 1, start + least(32, n - start)), ' ')) " +
+        "AS chunk_md5 FROM st ORDER BY doc_id, chunk_id"),
+    "q_shuffle_shard" ->
+      ("WITH m AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents), " +
+        "sh AS (SELECT doc_id, h, CAST(h % 16 AS INT) AS shard FROM m) " +
+        "SELECT doc_id, h, shard, " +
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS rk " +
+        "FROM sh ORDER BY doc_id"),
+    "q_dedup_semantic" ->
+      ("WITH var AS (SELECT vec_id + 1000000 AS vec_id, " +
+        "list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.05 AS FLOAT), embedding[2:]) " +
+        "AS embedding FROM embeddings WHERE vec_id % 25 = 0), " +
+        "corpus AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id, embedding FROM var), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid, " +
+        s"(${VectorOps.sqlDot("e.embedding", "e.embedding")} - " +
+        s"2.0 * ${VectorOps.sqlDot("e.embedding", "c.ce")} + " +
+        s"${VectorOps.sqlDot("c.ce", "c.ce")}) AS d2 " +
+        "FROM corpus e CROSS JOIN c), " +
+        "m AS (SELECT vec_id, embedding, cid, d2, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM a), " +
+        "asg AS (SELECT vec_id, embedding, cid FROM m WHERE rk = 1), " +
+        "p AS (SELECT x.vec_id AS va, y.vec_id AS vb " +
+        "FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id " +
+        s"WHERE CAST(round((${VectorOps.sqlCosine("x.embedding", "y.embedding")}) " +
+        "* 1000000, 0) AS BIGINT) >= 990000), " +
+        "drp AS (SELECT vb AS vec_id, min(va) AS dropped_by FROM p GROUP BY vb) " +
+        "SELECT asg.vec_id, asg.cid AS cluster_id, drp.dropped_by, " +
+        "drp.dropped_by IS NULL AS kept " +
+        "FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id ORDER BY asg.vec_id"),
+    "q_search_bm25" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id), " +
+        "hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'join', 'window')), " +
+        "tfq AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY doc_id, tok), " +
+        "dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "ad AS (SELECT sum(dlen) * 1.0 / count(*) AS avgdl FROM dl), " +
+        "scored AS (SELECT tfq.doc_id AS doc_id, tfq.tf AS tf, dft.df AS df, dl.dlen AS dlen, " +
+        "nd.n_docs AS n_docs, ad.avgdl AS avgdl " +
+        "FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id JOIN dft ON tfq.tok = dft.tok " +
+        "CROSS JOIN nd CROSS JOIN ad) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, " +
+        s"CAST(sum($bm25Micro) AS BIGINT) AS score_micro " +
+        "FROM scored GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20"))
 }

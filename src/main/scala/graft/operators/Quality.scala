@@ -325,9 +325,60 @@ object Quality {
       .orderBy("grain", "seg", "geo")
   }
 
+  // -------------------------------------------------------------- drift
+
+  /** q_dq_drift — POPULATION-STABILITY drift monitor (PSI): week 1 of the
+    * event stream is the reference window; the rest of the month is the
+    * candidate. A deterministic mix shift is INJECTED into the candidate
+    * (every second small-ticket event, `value < 50 AND event_id % 2 = 0`,
+    * is withheld — a payments-mix change hitting the POPULATED bins, so the
+    * gate is non-vacuous) and PSI = Σ (p_ref − p_cur)·(log₁₀p_ref −
+    * log₁₀p_cur), the standard pre-deploy drift gate on a model feature.
+    * Amounts bin into 10 fixed $50 buckets and each side's shares are
+    * Laplace-smoothed (c+1)/(t+10) so empty bins stay finite. The alarm is
+    * the conventional 0.1-nat threshold expressed in the micro-log10 units
+    * used throughout this repo: 0.1/ln(10) = 43429 micro.
+    *
+    * Cross-engine determinism: counts are exact integers; each log10 is
+    * fixed-point-rounded to an integer micro-log BEFORE the product (the
+    * unigram-LM precedent); the share difference is an exact double
+    * division/subtraction; and the per-bin contribution re-rounds to an
+    * integer micro-PSI, so the total is an order-independent integer sum.
+    *
+    * Scale: ONE conditional-aggregation pass over the stream (10 grouped
+    * keys, map-side partials) plus a broadcast of the two totals — drift
+    * monitoring costs one scan regardless of bin count or corpus size, and
+    * composes with the incremental-agg pattern (store per-bin counts,
+    * re-derive PSI without rescanning history).
+    */
+  def dqDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .where(expr("ts < TIMESTAMP '2024-01-08 00:00:00' " +
+        "OR NOT (value < 50 AND event_id % 2 = 0)"))
+      .select(expr("CAST(least(9, CAST(floor(value / 50) AS INT)) AS INT)").as("bin"),
+        expr("ts < TIMESTAMP '2024-01-08 00:00:00'").as("is_ref"))
+    val counts = ev.groupBy("bin").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val tot = counts.agg(sum("c_ref").as("t_ref"), sum("c_cur").as("t_cur"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_ref", expr("(c_ref + 1.0) / (t_ref + 10.0)"))
+      .withColumn("p_cur", expr("(c_cur + 1.0) / (t_cur + 10.0)"))
+      .withColumn("lr_micro", expr("CAST(round(log10(p_ref) * 1000000) AS BIGINT)"))
+      .withColumn("lc_micro", expr("CAST(round(log10(p_cur) * 1000000) AS BIGINT)"))
+      .withColumn("psi_part_micro",
+        expr("CAST(round((p_ref - p_cur) * (lr_micro - lc_micro)) AS BIGINT)"))
+      .withColumn("psi_total_micro", expr("sum(psi_part_micro) OVER ()"))
+      .select(col("bin"), col("c_ref"), col("c_cur"), col("psi_part_micro"),
+        col("psi_total_micro"),
+        (col("psi_total_micro") > 43429L).as("is_drifted"))
+      .orderBy("bin")
+  }
+
   // ---------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_drift" -> dqDrift _,
     "q_privacy_kanon" -> privacyKanon _,
     "q_reconcile_diff" -> reconcileDiff _,
     "q_dq_rules" -> dqRules _,
@@ -337,6 +388,30 @@ object Quality {
     "q_anomaly_mad" -> anomalyMad _)
 
   val oracle: Map[String, String] = Map(
+    "q_dq_drift" ->
+      ("WITH ev AS (SELECT CAST(least(9, CAST(floor(value / 50) AS INT)) AS INT) AS bin, " +
+        "ts < TIMESTAMP '2024-01-08 00:00:00' AS is_ref FROM events " +
+        "WHERE ts < TIMESTAMP '2024-01-08 00:00:00' " +
+        "OR NOT (value < 50 AND event_id % 2 = 0)), " +
+        "counts AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref, " +
+        "CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur " +
+        "FROM ev GROUP BY bin), " +
+        "tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref, " +
+        "CAST(sum(c_cur) AS BIGINT) AS t_cur FROM counts), " +
+        "p AS (SELECT bin, c_ref, c_cur, " +
+        "(c_ref + 1.0) / (t_ref + 10.0) AS p_ref, " +
+        "(c_cur + 1.0) / (t_cur + 10.0) AS p_cur FROM counts CROSS JOIN tot), " +
+        "q AS (SELECT bin, c_ref, c_cur, p_ref, p_cur, " +
+        "CAST(round(log10(p_ref) * 1000000) AS BIGINT) AS lr_micro, " +
+        "CAST(round(log10(p_cur) * 1000000) AS BIGINT) AS lc_micro FROM p), " +
+        "r AS (SELECT bin, c_ref, c_cur, " +
+        "CAST(round((p_ref - p_cur) * (lr_micro - lc_micro)) AS BIGINT) AS psi_part_micro " +
+        "FROM q) " +
+        "SELECT bin, c_ref, c_cur, psi_part_micro, " +
+        "CAST(sum(psi_part_micro) OVER () AS BIGINT) AS psi_total_micro, " +
+        "CAST(sum(psi_part_micro) OVER () AS BIGINT) > 43429 AS is_drifted " +
+        "FROM r ORDER BY bin"),
     "q_privacy_kanon" ->
       ("WITH cells AS (SELECT c_mktsegment AS seg, n_name, r_name, " +
         "CAST(count(*) AS BIGINT) AS n " +

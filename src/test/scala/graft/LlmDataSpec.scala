@@ -628,4 +628,87 @@ class LlmDataSpec extends AnyFunSuite {
     // the dedup is non-vacuous: variants genuinely differed pre-canon
     assert(rows.exists(_._2 > 1))
   }
+
+  test("q_text_chunk covers every token: stride-24 starts, full-width tail") {
+    val chunks = LlmData.textChunk(s, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val nToks = Tables(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = nToks(doc)
+      // chunk ids are 0..k, starts are exactly chunk_id * stride
+      assert(sorted.map(_._2).toSeq === sorted.indices)
+      sorted.foreach { case (_, cid, start, len) =>
+        assert(start === cid * 24)
+        assert(len >= 1 && len <= 32)
+        assert(start + len <= n)
+      }
+      // full coverage: last chunk reaches the end; consecutive chunks
+      // overlap by 8 (width 32 > stride 24), so no token is skipped
+      assert(sorted.last._3 + sorted.last._4 === n)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) => assert(s2 <= s1 + l1)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_shuffle_shard is a bit-stable permutation: contiguous ranks per shard") {
+    val rows = LlmData.shuffleShard(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val nDocs = Tables(s, d, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    // the mix is the documented Knuth multiplicative hash
+    rows.foreach { case (id, h, shard, _) =>
+      assert(h === (id * 2654435761L) % 4294967296L)
+      assert(shard === (h % 16).toInt)
+    }
+    // within each shard the ranks are exactly 1..count (a permutation,
+    // no gaps or duplicates — the property a shard reader relies on)
+    rows.groupBy(_._3).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1L to g.length).toSeq)
+    }
+    // deterministic: a re-run yields the identical assignment
+    val again = LlmData.shuffleShard(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("q_dedup_semantic drops exactly the injected variants, onto their originals") {
+    val rows = LlmData.dedupSemantic(s, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    val nVecs = Tables(s, d, "embeddings").count()
+    val nVariants = Tables(s, d, "embeddings")
+      .where(col("vec_id") % 25 === 0).count()
+    assert(rows.length.toLong === nVecs + nVariants)
+    val (dropped, kept) = rows.partition(!_._4)
+    // every injected variant is deduped onto its own original (cos ≥ 0.9987
+    // by construction; natural pairs top out near 0.51) — and nothing else
+    assert(dropped.length.toLong === nVariants)
+    dropped.foreach { case (id, _, by, _) =>
+      assert(id >= 1000000L)
+      assert(by === Some(id - 1000000L))
+    }
+    assert(kept.forall(_._3.isEmpty))
+  }
+
+  test("q_search_bm25 ranks by summed BM25, descending, capped at 20") {
+    val rows = LlmData.searchBm25(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (_, hit, score) =>
+      assert(hit >= 1L && hit <= 3L)
+      assert(score > 0L)
+    }
+    // ordering contract: score desc, doc_id tie-break
+    rows.sliding(2).foreach {
+      case Array((d1, _, s1), (d2, _, s2)) =>
+        assert(s1 > s2 || (s1 === s2 && d1 < d2))
+      case _ =>
+    }
+  }
 }

@@ -171,4 +171,25 @@ class QualitySpec extends AnyFunSuite {
     // suppressed (otherwise the operator degenerates to a plain rollup)
     assert(rows.exists(_._1 != "nation"))
   }
+
+  test("q_dq_drift: counts reconcile, PSI totals its parts, injected shift fires") {
+    val rows = Quality.dqDrift(s, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // counts partition the (injection-filtered) stream exactly
+    val ev = Tables(s, d, "events")
+    val nRef = ev.where("ts < TIMESTAMP '2024-01-08 00:00:00'").count()
+    val nCur = ev.where("ts >= TIMESTAMP '2024-01-08 00:00:00' " +
+      "AND NOT (value < 50 AND event_id % 2 = 0)").count()
+    assert(rows.map(_._2).sum === nRef)
+    assert(rows.map(_._3).sum === nCur)
+    // the reported total is the exact integer sum of the per-bin parts
+    val total = rows.head._5
+    assert(rows.map(_._4).sum === total)
+    assert(rows.forall(_._5 === total))
+    // the injected small-ticket withholding is a real mix shift: the gate
+    // fires (0.1 nats = 43429 micro-log10)
+    assert(total > 43429L)
+    assert(rows.forall(_._6))
+  }
 }
