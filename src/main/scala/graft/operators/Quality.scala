@@ -360,8 +360,13 @@ object Quality {
     val counts = ev.groupBy("bin").agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
       sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
-    val tot = counts.agg(sum("c_ref").as("t_ref"), sum("c_cur").as("t_cur"))
-    counts.crossJoin(broadcast(tot))
+    // totals via an unbounded window over the 10-row bin table — NOT an
+    // agg+crossJoin, which would re-derive (and re-scan) the event pipeline
+    // on the second branch; this keeps the whole monitor one source pass
+    // (asserted in PlanShapeSpec)
+    counts
+      .withColumn("t_ref", expr("sum(c_ref) OVER ()"))
+      .withColumn("t_cur", expr("sum(c_cur) OVER ()"))
       .withColumn("p_ref", expr("(c_ref + 1.0) / (t_ref + 10.0)"))
       .withColumn("p_cur", expr("(c_cur + 1.0) / (t_cur + 10.0)"))
       .withColumn("lr_micro", expr("CAST(round(log10(p_ref) * 1000000) AS BIGINT)"))
@@ -397,11 +402,12 @@ object Quality {
         "CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref, " +
         "CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur " +
         "FROM ev GROUP BY bin), " +
-        "tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref, " +
-        "CAST(sum(c_cur) AS BIGINT) AS t_cur FROM counts), " +
+        "tot AS (SELECT bin, c_ref, c_cur, " +
+        "CAST(sum(c_ref) OVER () AS BIGINT) AS t_ref, " +
+        "CAST(sum(c_cur) OVER () AS BIGINT) AS t_cur FROM counts), " +
         "p AS (SELECT bin, c_ref, c_cur, " +
         "(c_ref + 1.0) / (t_ref + 10.0) AS p_ref, " +
-        "(c_cur + 1.0) / (t_cur + 10.0) AS p_cur FROM counts CROSS JOIN tot), " +
+        "(c_cur + 1.0) / (t_cur + 10.0) AS p_cur FROM tot), " +
         "q AS (SELECT bin, c_ref, c_cur, p_ref, p_cur, " +
         "CAST(round(log10(p_ref) * 1000000) AS BIGINT) AS lr_micro, " +
         "CAST(round(log10(p_cur) * 1000000) AS BIGINT) AS lc_micro FROM p), " +

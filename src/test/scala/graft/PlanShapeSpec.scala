@@ -393,4 +393,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans === 1, s"benford must derive its total from the 9-row " +
       s"histogram, not a second scan (found $scans):\n$p")
   }
+
+  test("q_text_chunk is shuffle-free: no hash exchange, no aggregate, no window") {
+    // the only exchange allowed is the presentation sort's range partition;
+    // the chunking itself must pipeline inside the scan stage
+    val p = plan(operators.LlmData.textChunk(s, d))
+    assert(!p.contains("Exchange hashpartitioning"), s"chunking shuffled:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"chunking must be a pure narrow explode/project:\n$p")
+    assert(p.contains("Generate explode"), s"expected an explode:\n$p")
+  }
+
+  test("q_shuffle_shard exchanges once on the shard id (plus the presentation sort)") {
+    val p = plan(operators.LlmData.shuffleShard(s, d))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size === 1, s"expected exactly one hash exchange:\n$p")
+    assert(hashEx.head.contains("shard"),
+      s"the one exchange must partition by shard (repartition+sortWithinPartitions " +
+        s"shape): ${hashEx.head}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing may funnel through one partition:\n$p")
+  }
+
+  test("q_search_bm25 bounds the ranking (TakeOrdered) and broadcasts the df table") {
+    val p = plan(operators.LlmData.searchBm25(s, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized df/avgdl tables must broadcast:\n$p")
+  }
+
+  test("q_dedup_semantic: centroid assignment is join-free, pair join is equi on cluster") {
+    val p = plan(operators.LlmData.dedupSemantic(s, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic plan leaked into SemDeDup:\n$p")
+    // the centroid model is folded into scan-stage projections (graft_dot
+    // against literal seed vectors), not a join against a centroid table
+    assert(p.contains("graft_dot"), s"expected the native dot kernel:\n$p")
+  }
+
+  test("q_dq_drift reads events exactly once (conditional aggregation)") {
+    val p = plan(operators.Quality.dqDrift(s, d))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events.parquet"))
+    assert(scans === 1, s"drift must fold ref/cur sides in one pass " +
+      s"(found $scans scans):\n$p")
+  }
 }
