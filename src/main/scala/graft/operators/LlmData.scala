@@ -1860,6 +1860,41 @@ object LlmData {
       .orderBy("vec_id")
   }
 
+  /** q_embed_project — JOHNSON-LINDENSTRAUSS SIGN PROJECTION: 64-dim
+    * embeddings down to 8 dims through a deterministic ±1 matrix, the
+    * dimensionality-reduction front end for coarse quantizers / cheap
+    * distance sketches (Achlioptas 2003: a Rademacher matrix satisfies the
+    * JL lemma — no Gaussians needed, so the matrix can be a pure hash).
+    * Sign(p, j) = +1 iff the first hex digit of md5("graftproj:p:j") is in
+    * 0..7 — BOTH engines derive the matrix independently (the driver via
+    * MessageDigest for the compiled literal rows, the DuckDB oracle via its
+    * own md5()), so the oracle check also proves the derivations agree.
+    *
+    * Scale: the matrix is k·d literal floats COMPILED INTO the projection
+    * (k codegen'd [[DotExpr]] kernels per row) — no broadcast, no state, no
+    * shuffle; the operator is a scan-stage map whose output is k/d of its
+    * input. The dense-vector dual of `q_text_hash_vectorizer`.
+    */
+  def embedProject(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native graft_dot
+    val k = 8; val dims = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, j: Int): Float = {
+      val hex = md.digest(s"graftproj:$p:$j".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+    }
+    val rows: Seq[Seq[Float]] =
+      (0 until k).map(p => (0 until dims).map(j => sign(p, j)))
+    val dots = (0 until k).map(p =>
+      VectorOps.dot(col("embedding"), typedlit(rows(p))))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(array(dots: _*)).as(Seq("p", "y")))
+      .select(col("vec_id"), col("p"),
+        expr("CAST(round(y * 1000000) AS BIGINT)").as("y_micro"))
+      .orderBy("vec_id", "p")
+  }
+
   /** q_search_bm25 — RANKED RETRIEVAL: top-20 documents for a fixed
     * three-term query by summed Okapi BM25 (k1 = 1.2, b = 0.75 — the
     * [[textTfidf]] weighting, micro-integer scored). The missing half of
@@ -1945,7 +1980,8 @@ object LlmData {
     "q_text_chunk" -> textChunk _,
     "q_shuffle_shard" -> shuffleShard _,
     "q_dedup_semantic" -> dedupSemantic _,
-    "q_search_bm25" -> searchBm25 _)
+    "q_search_bm25" -> searchBm25 _,
+    "q_embed_project" -> embedProject _)
 
   val oracle: Map[String, String] = Map(
     "q_corpus_contamination" ->
@@ -2461,5 +2497,16 @@ object LlmData {
         "CROSS JOIN nd CROSS JOIN ad) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, " +
         s"CAST(sum($bm25Micro) AS BIGINT) AS score_micro " +
-        "FROM scored GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20"))
+        "FROM scored GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20"),
+    "q_embed_project" ->
+      // the oracle RE-DERIVES the sign matrix from md5 — agreement with the
+      // driver-compiled literal rows is part of what the check proves
+      ("WITH sm AS (SELECT p, list_transform(range(0, 64), j -> " +
+        "CASE WHEN substr(md5('graftproj:' || CAST(p AS VARCHAR) || ':' || " +
+        "CAST(j AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sv " +
+        "FROM (SELECT unnest(range(0, 8)) AS p)) " +
+        "SELECT e.vec_id, CAST(sm.p AS INT) AS p, " +
+        s"CAST(round((${VectorOps.sqlDot("e.embedding", "sm.sv")}) * 1000000) AS BIGINT) " +
+        "AS y_micro FROM embeddings e CROSS JOIN sm ORDER BY e.vec_id, p"))
 }

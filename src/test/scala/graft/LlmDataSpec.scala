@@ -696,6 +696,20 @@ class LlmDataSpec extends AnyFunSuite {
     assert(kept.forall(_._3.isEmpty))
   }
 
+  test("q_embed_project: all 8 dims per vector, JL norm ratio in band") {
+    val rows = LlmData.embedProject(s, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nVecs = Tables(s, d, "embeddings").count()
+    assert(rows.length.toLong === nVecs * 8)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq === (0 until 8))
+      // fixtures are unit-norm: E[‖y‖²/k] = ‖v‖² = 1 (JL / Rademacher);
+      // χ²₈-style concentration makes these bounds safely loose
+      val ratio = g.map(t => { val y = t._3 / 1e6; y * y }).sum / 8.0
+      assert(ratio > 0.05 && ratio < 5.0, s"JL norm ratio out of band: $ratio")
+    }
+  }
+
   test("q_search_bm25 ranks by summed BM25, descending, capped at 20") {
     val rows = LlmData.searchBm25(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
