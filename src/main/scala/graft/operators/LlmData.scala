@@ -1860,6 +1860,41 @@ object LlmData {
       .orderBy("vec_id")
   }
 
+  /** q_text_classify — LINEAR QUALITY CLASSIFIER over hashed features: the
+    * fastText-shaped scorer every production curation stack runs alongside
+    * the rule-based filters (`q_text_quality`) — score = Σ_tokens w(h(tok))
+    * over the 256 [[textHashVectorizer]] buckets, label = score > 0. The
+    * weight vector is a deterministic md5-derived stand-in for trained
+    * weights (w(b) ∈ [−127, 127] from the hex of md5("graftw:" ‖ b)): the
+    * plumbing — hashed features, in-expression weight lookup, one keyed
+    * aggregate — is exactly the production shape; only the weight VALUES
+    * change when a real model ships.
+    *
+    * Cross-engine determinism: weights and sums are exact integers; no
+    * division anywhere (a mean would hit the div-vs-floor divergence on
+    * negative scores), so the output is bit-stable by construction.
+    *
+    * Scale: the "model" is a pure expression — no broadcast, no dictionary,
+    * no state to version against a 100 TB corpus (the hashing-trick
+    * argument); scoring is scan-stage codegen plus ONE doc-keyed hash agg
+    * with map-side partials. A real weight table would broadcast at
+    * |buckets| rows — still never a corpus shuffle.
+    */
+  def textClassify(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", substring(md5(col("tok")), 1, 2))
+      .withColumn("w", expr(
+        "(ascii(substr(md5(concat('graftw:', b)), 1, 1)) * 31 + " +
+          "ascii(substr(md5(concat('graftw:', b)), 2, 1))) % 255 - 127"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("w")).cast("long").as("score"))
+      .select(col("doc_id"), col("n_toks"), col("score"),
+        (col("score") > 0L).as("label"))
+      .orderBy("doc_id")
+  }
+
   /** q_embed_project — JOHNSON-LINDENSTRAUSS SIGN PROJECTION: 64-dim
     * embeddings down to 8 dims through a deterministic ±1 matrix, the
     * dimensionality-reduction front end for coarse quantizers / cheap
@@ -1981,7 +2016,8 @@ object LlmData {
     "q_shuffle_shard" -> shuffleShard _,
     "q_dedup_semantic" -> dedupSemantic _,
     "q_search_bm25" -> searchBm25 _,
-    "q_embed_project" -> embedProject _)
+    "q_embed_project" -> embedProject _,
+    "q_text_classify" -> textClassify _)
 
   val oracle: Map[String, String] = Map(
     "q_corpus_contamination" ->
@@ -2508,5 +2544,15 @@ object LlmData {
         "FROM (SELECT unnest(range(0, 8)) AS p)) " +
         "SELECT e.vec_id, CAST(sm.p AS INT) AS p, " +
         s"CAST(round((${VectorOps.sqlDot("e.embedding", "sm.sv")}) * 1000000) AS BIGINT) " +
-        "AS y_micro FROM embeddings e CROSS JOIN sm ORDER BY e.vec_id, p"))
+        "AS y_micro FROM embeddings e CROSS JOIN sm ORDER BY e.vec_id, p"),
+    "q_text_classify" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "wt AS (SELECT doc_id, " +
+        "(ascii(substr(md5('graftw:' || substr(md5(tok), 1, 2)), 1, 1)) * 31 + " +
+        "ascii(substr(md5('graftw:' || substr(md5(tok), 1, 2)), 2, 1))) % 255 - 127 AS w " +
+        "FROM toks) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "CAST(sum(w) AS BIGINT) AS score, CAST(sum(w) AS BIGINT) > 0 AS label " +
+        "FROM wt GROUP BY doc_id ORDER BY doc_id"))
 }

@@ -696,6 +696,30 @@ class LlmDataSpec extends AnyFunSuite {
     assert(kept.forall(_._3.isEmpty))
   }
 
+  test("q_text_classify matches a driver-side md5-weight recompute; both labels occur") {
+    val rows = LlmData.textClassify(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length === docs.size)
+    def md5hex(x: String): String = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+      dg.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    rows.take(25).foreach { case (id, nToks, score, label) =>
+      val toks = docs(id).split(" ", -1)
+      val expected = toks.map { tok =>
+        val wm = md5hex("graftw:" + md5hex(tok).substring(0, 2))
+        (wm(0).toInt * 31 + wm(1).toInt) % 255 - 127
+      }.map(_.toLong).sum
+      assert(nToks === toks.length.toLong)
+      assert(score === expected, s"doc $id score mismatch")
+      assert(label === (score > 0))
+    }
+    // the hash-derived weights are centered: both classes occur
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("q_embed_project: all 8 dims per vector, JL norm ratio in band") {
     val rows = LlmData.embedProject(s, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
