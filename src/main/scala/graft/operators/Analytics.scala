@@ -1020,7 +1020,180 @@ object Analytics {
       .orderBy("source")
   }
 
+  // ----------------------------------------------------------- basket lift
+
+  /** q_basket_lift — MARKET-BASKET ASSOCIATION RULES over order baskets:
+    * for part pairs co-purchased in ≥ 3 orders, exact support / confidence
+    * / lift in integer micro-units, top-50 by lift. The classic retail
+    * affinity screen (and the pair-counting kernel behind co-occurrence
+    * embedding methods), kept exact: lift_micro = (1e6·n_ab·N) div
+    * (n_a·n_b) — all BIGINT, no float division anywhere, so ordering and
+    * values are bit-identical across engines.
+    *
+    * Scale shape: pair generation NEVER self-joins the lineitem table —
+    * baskets are collected per order (one shuffle, the same exchange a
+    * distinct would cost) and pairs come from a double posexplode
+    * (native Generate), so pair work is Σ C(|basket|,2), bounded by the
+    * basket-size cap, not |lineitem|². Item counts and the order total
+    * are map-side-partial hash aggs; the min-support filter prunes the
+    * pair table BEFORE the item-count joins (two broadcast-joinable
+    * part-grain sides); output is bounded top-50 via TakeOrdered.
+    */
+  def basketLift(s: SparkSession, d: String): DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val pairs = baskets
+      .where(size(col("ps")) > 1)
+      .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
+      .select(col("i"), col("x"), posexplode(col("ps")).as(Seq("j", "y")))
+      .where(col("i") < col("j"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+    val item = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val total = baskets.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(item.select(col("l_partkey").as("a"), col("n_item").as("n_a"))), "a")
+      .join(broadcast(item.select(col("l_partkey").as("b"), col("n_item").as("n_b"))), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_ab) div n_orders").as("support_micro"),
+        expr("(1000000 * n_ab) div n_a").as("conf_a_to_b"),
+        expr("(1000000 * n_ab) div n_b").as("conf_b_to_a"),
+        expr("(1000000 * n_ab * n_orders) div (n_a * n_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  // ------------------------------------------------------------------- rfm
+
+  /** q_agg_rfm — RFM CUSTOMER SEGMENTATION (recency / frequency /
+    * monetary quintiles), the standard CRM value grid. Scores are
+    * VALUE-GRAIN quintiles: every customer sharing a value shares a score
+    * (score = ⌊5·|values strictly worse|/n⌋ folded into [1..5]), so the
+    * result is order-free — no per-row tie-break, no engine-specific
+    * ntile split of ties.
+    *
+    * Scale shape: the per-customer base is one keyed agg over orders.
+    * Score cutoffs are computed on the VALUE-grain table (groupBy value →
+    * count, cumulate, broadcast back) — recency collapses to the date
+    * range and frequency to a handful of small integers, so their
+    * cumulations are over tiny tables; monetary's value grain is
+    * customer-grain worst-case, where the 100 TB path swaps the exact
+    * cumulation for approx_percentile cutoffs (the q_agg_percentile
+    * bridge) at the cost of exactness on the quintile boundary.
+    */
+  def aggRfm(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val refDate = o.agg(max(col("o_orderdate")).as("ref"))
+    val base = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100, 0)).cast("long").as("monetary_cents"))
+      .crossJoin(broadcast(refDate))
+      .select(col("o_custkey"),
+        datediff(col("ref"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    // value-grain ascending quintile: all rows with value v score
+    // ⌊5·(#rows with value < v)/n⌋ + 1 — deterministic under ties
+    def scoreAsc(vcol: String): DataFrame = {
+      val vg = base.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vg.select(col(vcol),
+        (sum(col("cnt")).over(w) - col("cnt")).as("cumb"))
+        .select(col(vcol), expr(s"(cumb * 5) div $n + 1").as(s"score_$vcol"))
+    }
+    val out = base
+      .join(broadcast(scoreAsc("recency_days")), "recency_days")
+      .join(broadcast(scoreAsc("frequency")), "frequency")
+      .join(broadcast(scoreAsc("monetary_cents")), "monetary_cents")
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        // recency inverts: most recent (smallest) = 5
+        (lit(6) - col("score_recency_days")).as("r_score"),
+        col("score_frequency").as("f_score"),
+        col("score_monetary_cents").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("o_custkey")
+    out
+  }
+
+  // ------------------------------------------------------- event transition
+
+  /** q_event_transition — first-order MARKOV TRANSITION MATRIX over each
+    * user's event sequence: counts and exact micro-unit probabilities of
+    * event_type → next event_type, the kernel behind next-action
+    * prediction, funnel leak analysis, and session path mining.
+    *
+    * Scale shape: the lead() window partitions by user — every partition
+    * key is independent, no global sort; the transition matrix is a
+    * |types|² hash agg with map-side partials, and the per-from-type
+    * denominator is a window over that tiny grouped table.
+    */
+  def eventTransition(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = t(s, d, "events")
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("n_from", sum(col("n")).over(tot))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div n_from").as("prob_micro"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // ------------------------------------------------------------ fuzzy join
+
+  /** q_join_fuzzy_name — BLOCKED APPROXIMATE STRING SELF-JOIN (record
+    * linkage): distinct part names within Levenshtein distance ≤ 2,
+    * each pair tagged with how many parts carry each spelling. The
+    * entity-resolution primitive (catalog dedup, vendor-name matching).
+    *
+    * Scale shape: matching runs on the DISTINCT-NAME table (64 rows
+    * here; vocabulary-sized generally), extracted first with one hash
+    * agg so the edit-distance work never touches row grain. The
+    * candidate space is then cut by LENGTH-BAND BLOCKING — edit distance
+    * ≤ t implies |len(a)−len(b)| ≤ t, so one side replicates into the
+    * 2t+1 = 5 adjacent length buckets and the join is a plain equi-join
+    * on candidate length instead of an all-pairs cross product; the
+    * thresholded levenshtein() is the exact residual filter. Lossless
+    * (unlike first-letter or phonetic blocking, which would drop
+    * cross-block true pairs like "cold bolt"/"old bolt").
+    */
+  def joinFuzzyName(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val probe = names.select(col("p_name").as("name_a"),
+        col("n_parts").as("n_parts_a"),
+        explode(expr("sequence(length(p_name) - 2, length(p_name) + 2)"))
+          .as("cand_len"))
+    val build = names.select(col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"), length(col("p_name")).as("cand_len"))
+    probe.join(build, "cand_len")
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift" -> basketLift _,
+    "q_agg_rfm" -> aggRfm _,
+    "q_event_transition" -> eventTransition _,
+    "q_join_fuzzy_name" -> joinFuzzyName _,
     "q_join_spatial_grid" -> joinSpatialGrid _,
     "q_corpus_mix_epochs" -> corpusMixEpochs _,
     "q_graph_bfs" -> graphBfs _,
@@ -1047,6 +1220,60 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    // the naive self-join pair formulation the posexplode basket replaces
+    "q_basket_lift" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT b1.p AS a, b2.p AS b, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "i AS (SELECT p AS k, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem) " +
+        "SELECT a, b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b, " +
+        "(1000000 * n_ab) // n_orders AS support_micro, " +
+        "(1000000 * n_ab) // ia.n_item AS conf_a_to_b, " +
+        "(1000000 * n_ab) // ib.n_item AS conf_b_to_a, " +
+        "(1000000 * n_ab * n_orders) // (ia.n_item * ib.n_item) AS lift_micro " +
+        "FROM pr JOIN i ia ON pr.a = ia.k JOIN i ib ON pr.b = ib.k, t " +
+        "ORDER BY lift_micro DESC, a, b LIMIT 50"),
+    // rank()-1 ≡ the engine's value-grain cumulation (ties share a rank)
+    "q_agg_rfm" ->
+      ("WITH base AS (SELECT o_custkey, " +
+        "CAST(date_diff('day', max(o_orderdate), " +
+        "(SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days, " +
+        "CAST(count(*) AS BIGINT) AS frequency, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS monetary_cents " +
+        "FROM orders GROUP BY o_custkey), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base), " +
+        "scored AS (SELECT o_custkey, recency_days, frequency, monetary_cents, " +
+        "((CAST(rank() OVER (ORDER BY recency_days) AS BIGINT) - 1) * 5) " +
+        "// (SELECT n FROM n) + 1 AS s_r, " +
+        "((CAST(rank() OVER (ORDER BY frequency) AS BIGINT) - 1) * 5) " +
+        "// (SELECT n FROM n) + 1 AS s_f, " +
+        "((CAST(rank() OVER (ORDER BY monetary_cents) AS BIGINT) - 1) * 5) " +
+        "// (SELECT n FROM n) + 1 AS s_m FROM base) " +
+        "SELECT o_custkey, recency_days, frequency, monetary_cents, " +
+        "6 - s_r AS r_score, s_f AS f_score, s_m AS m_score, " +
+        "(6 - s_r) * 100 + s_f * 10 + s_m AS rfm " +
+        "FROM scored ORDER BY o_custkey"),
+    "q_event_transition" ->
+      ("WITH nx AS (SELECT user_id, event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events), " +
+        "g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "(1000000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) " +
+        "AS prob_micro FROM g ORDER BY from_type, to_type"),
+    // the all-pairs formulation the length-band blocking replaces
+    "q_join_fuzzy_name" ->
+      ("WITH nm AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts " +
+        "FROM part GROUP BY 1) " +
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, " +
+        "a.n_parts AS n_parts_a, b.n_parts AS n_parts_b " +
+        "FROM nm a JOIN nm b ON a.p_name < b.p_name " +
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2 " +
+        "ORDER BY name_a, name_b"),
     // the naive O(N·M) cross-product formulation the grid join replaces
     "q_join_spatial_grid" ->
       ("WITH c AS (SELECT c_custkey, (c_custkey * 2654435761) % 10000 AS cx, " +

