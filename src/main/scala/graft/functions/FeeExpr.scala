@@ -109,7 +109,11 @@ object GraftFunctions {
     ("graft_quant_err", classOf[QuantErrExpr],
       exprs => QuantErrExpr(floatArray(exprs(0)))),
     ("graft_bloom_contains", classOf[BloomContainsExpr],
-      exprs => BloomContainsExpr(Cast(exprs(0), LongType), exprs(1))))
+      exprs => BloomContainsExpr(Cast(exprs(0), LongType), exprs(1))),
+    ("graft_isect_count", classOf[SortedIntersectCountExpr],
+      exprs => SortedIntersectCountExpr(
+        Cast(exprs(0), ArrayType(LongType, containsNull = true)),
+        Cast(exprs(1), ArrayType(LongType, containsNull = true)))))
 
   def register(spark: SparkSession): Unit =
     defs.foreach { case (name, _, builder) =>

@@ -239,6 +239,36 @@ class FunctionsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("SortedIntersectCountExpr equals size(array_intersect) on sorted arrays") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    // adversarial shapes: disjoint, identical, interleaved, empty, bounds
+    val fixtures = Seq(
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 4L, 9L, 16L), Seq(2L, 4L, 8L, 16L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)),
+      (Seq(7L), Seq.empty[Long]))
+    import s.implicits._
+    val rows = fixtures.toDF("a", "b")
+      .select(expr("graft_isect_count(a, b)").as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // and on real data: every oriented adjacency pair of the triangle plan
+    // (random long sets, sorted) — property-style cross-check
+    val rnd = new scala.util.Random(42)
+    val prop = Seq.fill(200)((
+      Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted))
+    val got = prop.toDF("a", "b")
+      .select(expr("graft_isect_count(a, b)").as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("QuantErrExpr matches the HOF quantization audit bit-for-bit") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(s)
