@@ -1194,7 +1194,113 @@ object Analytics {
       .orderBy("name_a", "name_b")
   }
 
+  // ------------------------------------------------------------- seq match
+
+  /** q_seq_match — SEQUENTIAL PATTERN MATCHING over per-user event
+    * journeys (the MATCH_RECOGNIZE / funnel-regex primitive): each user's
+    * events compress to an ordered type-initial string ("vvcp…"), and
+    * declared regex patterns (ordered funnel, instant conversion, error
+    * burst, signup-first) count matching users. Regexes stay in the
+    * dialect both engines' matchers (java.util.regex / RE2) treat
+    * identically — literals, `.*`, doubling, `^` anchor.
+    *
+    * Scale shape: ONE keyed collect builds each user's journey (struct
+    * sort_array puts (ts, event_id) order inside the group — no window,
+    * no secondary shuffle), and all patterns evaluate in the SAME
+    * aggregation pass as sum-of-CASE partials; pattern count never
+    * multiplies scan count. The tiny 1-row result explodes to pattern
+    * grain at the end. Journey length is bounded by per-user activity;
+    * a pathological power user would cap via slicing the collect —
+    * documented, not needed at fixture scale.
+    */
+  def seqMatch(s: SparkSession, d: String): DataFrame = {
+    val patterns = Seq(
+      ("error_burst", "ee"),
+      ("instant_convert", "vp"),
+      ("ordered_funnel", "v.*c.*p"),
+      ("signup_first", "^s"))
+    val seqs = t(s, d, "events")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("e"))
+      .groupBy("user_id")
+      .agg(concat_ws("", expr("transform(sort_array(collect_list(e)), x -> x.ch)"))
+        .as("journey"))
+    val aggCols = count(lit(1)).as("n_total") +:
+      patterns.map { case (name, re) =>
+        sum(when(col("journey").rlike(re), 1L).otherwise(0L)).as(s"m_$name")
+      }
+    val agg = seqs.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(explode(array(patterns.map { case (name, re) =>
+        struct(lit(name).as("pattern_name"), lit(re).as("pattern"),
+          col(s"m_$name").as("n_users"), col("n_total").as("n_total"))
+      }: _*)).as("r"))
+      .select(col("r.pattern_name"), col("r.pattern"), col("r.n_users"),
+        col("r.n_total"),
+        expr("(1000000 * r.n_users) div r.n_total").as("share_micro"))
+      .orderBy("pattern_name")
+  }
+
+  // ------------------------------------------------------- survival hazard
+
+  /** q_survival_hazard — DISCRETE-TIME SURVIVAL / HAZARD TABLE for the
+    * signup→purchase conversion process with right-censoring: per
+    * duration day, the at-risk count, conversion events, censored exits,
+    * and the exact discrete hazard (1e6·d_t div n_t). The
+    * time-to-event primitive behind activation, churn, and LTV curves —
+    * Kaplan-Meier's cumulative product is a float fold, so the engine
+    * reports the exact hazard table it would feed (the survival curve is
+    * a trivial driver-side fold of this output).
+    *
+    * Scale shape: two keyed min-aggs (first signup, first qualifying
+    * purchase), one broadcast of the global censor date, one duration
+    * hash agg — all map-side-partial friendly; the reverse-cumulative
+    * at-risk sum runs on the DURATION-grain table (≤ observation window
+    * in days), not on users.
+    */
+  def survivalHazard(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .where(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min(col("ts")).as("te"))
+    val censor = ev.agg(max(to_date(col("ts"))).as("maxday"))
+    // administrative 3-day follow-up horizon: conversions past the horizon
+    // (or past the observation window for late signups) are CENSORED at
+    // their available follow-up — this is what makes the censoring path
+    // provably non-vacuous on the fixture (every signup converts
+    // eventually; not every signup converts within 3 days)
+    val durations = signup.join(firstPurchase, Seq("user_id"), "left")
+      .crossJoin(broadcast(censor))
+      .select(
+        datediff(to_date(col("te")), to_date(col("t0"))).cast("long").as("dur_p"),
+        least(lit(3L), datediff(col("maxday"), to_date(col("t0"))).cast("long"))
+          .as("avail"))
+      .select(
+        when(col("dur_p").isNotNull && col("dur_p") <= col("avail"), col("dur_p"))
+          .otherwise(col("avail")).as("dur_days"),
+        when(col("dur_p").isNotNull && col("dur_p") <= col("avail"), 1L)
+          .otherwise(0L).as("conv"))
+    val g = durations.groupBy("dur_days")
+      .agg(sum(col("conv")).as("n_events"),
+        (count(lit(1)) - sum(col("conv"))).as("n_censored"),
+        count(lit(1)).as("n_end"))
+    // duration-grain reverse cumulation: everyone ending at t' ≥ t was at
+    // risk at t (single partition over ≤ observation-window rows)
+    val w = Window.orderBy(col("dur_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("at_risk", sum(col("n_end")).over(w))
+      .select(col("dur_days"), col("at_risk"), col("n_events"),
+        col("n_censored"),
+        expr("(1000000 * n_events) div at_risk").as("hazard_micro"))
+      .orderBy("dur_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_match" -> seqMatch _,
+    "q_survival_hazard" -> survivalHazard _,
     "q_basket_lift" -> basketLift _,
     "q_agg_rfm" -> aggRfm _,
     "q_event_transition" -> eventTransition _,
@@ -1225,6 +1331,44 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_seq_match" ->
+      ("WITH sq AS (SELECT user_id, string_agg(substr(event_type, 1, 1), '' " +
+        "ORDER BY ts, event_id) AS journey FROM events GROUP BY user_id), " +
+        "p AS (SELECT * FROM (VALUES ('error_burst', 'ee'), " +
+        "('instant_convert', 'vp'), ('ordered_funnel', 'v.*c.*p'), " +
+        "('signup_first', '^s')) v(pattern_name, pattern)), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sq) " +
+        "SELECT pattern_name, pattern, " +
+        "CAST(sum(CASE WHEN regexp_matches(journey, pattern) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_users, (SELECT n_total FROM n) AS n_total, " +
+        "(1000000 * CAST(sum(CASE WHEN regexp_matches(journey, pattern) " +
+        "THEN 1 ELSE 0 END) AS BIGINT)) // (SELECT n_total FROM n) AS share_micro " +
+        "FROM sq, p GROUP BY pattern_name, pattern ORDER BY pattern_name"),
+    "q_survival_hazard" ->
+      ("WITH s AS (SELECT user_id, min(ts) AS t0 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "pu AS (SELECT e.user_id, min(e.ts) AS te FROM events e " +
+        "JOIN s ON e.user_id = s.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts >= s.t0 GROUP BY e.user_id), " +
+        "m AS (SELECT max(CAST(ts AS DATE)) AS maxday FROM events), " +
+        "b0 AS (SELECT CAST(date_diff('day', CAST(t0 AS DATE), CAST(te AS DATE)) " +
+        "AS BIGINT) AS dur_p, " +
+        "least(3, CAST(date_diff('day', CAST(t0 AS DATE), " +
+        "(SELECT maxday FROM m)) AS BIGINT)) AS avail " +
+        "FROM s LEFT JOIN pu USING (user_id)), " +
+        "b AS (SELECT CASE WHEN dur_p IS NOT NULL AND dur_p <= avail " +
+        "THEN dur_p ELSE avail END AS dur_days, " +
+        "CASE WHEN dur_p IS NOT NULL AND dur_p <= avail THEN 1 ELSE 0 END AS conv " +
+        "FROM b0), " +
+        "g AS (SELECT dur_days, CAST(sum(conv) AS BIGINT) AS n_events, " +
+        "CAST(count(*) - sum(conv) AS BIGINT) AS n_censored, " +
+        "CAST(count(*) AS BIGINT) AS n_end FROM b GROUP BY dur_days) " +
+        "SELECT dur_days, CAST(sum(n_end) OVER (ORDER BY dur_days DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk, " +
+        "n_events, n_censored, " +
+        "(1000000 * n_events) // CAST(sum(n_end) OVER (ORDER BY dur_days DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_micro " +
+        "FROM g ORDER BY dur_days"),
     // the naive self-join pair formulation the posexplode basket replaces
     "q_basket_lift" ->
       ("WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +

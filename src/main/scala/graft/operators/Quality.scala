@@ -382,7 +382,54 @@ object Quality {
 
   // ---------------------------------------------------------- registration
 
+  // ------------------------------------------------------------ referential
+
+  /** q_dq_referential — REFERENTIAL-INTEGRITY AUDIT across the whole star
+    * schema: for every FK edge (lineitem→orders/part/supplier,
+    * orders→customer, customer/supplier→nation, nation→region), row count,
+    * orphan count, and orphan rate in exact micro-units. The fixture is
+    * referentially clean, so each child side INJECTS deterministic orphan
+    * keys (negative keys, mirrored literally in the oracle SQL) — the audit
+    * provably detects what it claims to detect instead of vacuously
+    * reporting zero.
+    *
+    * Scale shape: each FK check is child-key projection → LEFT ANTI join
+    * against the parent's key column → count. Catalyst broadcasts every
+    * dim-sized parent (region/nation/supplier/part); the two fact-sized
+    * checks (lineitem→orders, orders→customer) shuffle once on the key —
+    * and become exchange-free under the bucketed layout. All eight checks
+    * union into ONE plan / one action, so the scheduler overlaps them.
+    */
+  def dqReferential(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def check(label: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, inject: Seq[Long]): DataFrame = {
+      val keys = child.select(col(key).as("k"))
+        .union(inject.toDF("k"))
+      val orphans = keys.join(parent.select(col(pkey).as("pk")),
+          col("k") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      keys.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+        .select(lit(label).as("fk"), col("n_rows"), col("n_orphans"),
+          expr("(1000000 * n_orphans) div n_rows").as("orphan_micro"))
+    }
+    val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+    val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+    val p = t(s, d, "part"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+    Seq(
+      check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", Seq(-1L)),
+      check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", Seq(-1L, -2L, -3L)),
+      check("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey", Seq(-1L, -2L, -3L)),
+      check("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey", Seq(-1L, -2L, -3L)),
+      check("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey", Seq(-1L)),
+      check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", Seq(-1L, -2L)),
+      check("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey", Seq(-1L)))
+      .reduce(_ unionByName _)
+      .orderBy("fk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
     "q_privacy_kanon" -> privacyKanon _,
     "q_reconcile_diff" -> reconcileDiff _,
@@ -393,6 +440,33 @@ object Quality {
     "q_anomaly_mad" -> anomalyMad _)
 
   val oracle: Map[String, String] = Map(
+    "q_dq_referential" -> {
+      def chk(label: String, childSel: String, child: String,
+          parent: String, pkey: String, inject: String) =
+        s"SELECT '$label' AS fk, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(CASE WHEN p.$pkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, " +
+          s"(1000000 * CAST(sum(CASE WHEN p.$pkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)) " +
+          s"// CAST(count(*) AS BIGINT) AS orphan_micro " +
+          s"FROM (SELECT $childSel AS k FROM $child UNION ALL " +
+          s"SELECT * FROM (VALUES $inject) v(k)) ck " +
+          s"LEFT JOIN $parent p ON ck.k = p.$pkey"
+      Seq(
+        chk("customer.c_nationkey->nation", "c_nationkey", "customer",
+          "nation", "n_nationkey", "(-1)"),
+        chk("lineitem.l_orderkey->orders", "l_orderkey", "lineitem",
+          "orders", "o_orderkey", "(-1),(-2),(-3)"),
+        chk("lineitem.l_partkey->part", "l_partkey", "lineitem",
+          "part", "p_partkey", "(-1),(-2),(-3)"),
+        chk("lineitem.l_suppkey->supplier", "l_suppkey", "lineitem",
+          "supplier", "s_suppkey", "(-1),(-2),(-3)"),
+        chk("nation.n_regionkey->region", "n_regionkey", "nation",
+          "region", "r_regionkey", "(-1)"),
+        chk("orders.o_custkey->customer", "o_custkey", "orders",
+          "customer", "c_custkey", "(-1),(-2)"),
+        chk("supplier.s_nationkey->nation", "s_nationkey", "supplier",
+          "nation", "n_nationkey", "(-1)"))
+        .mkString("", " UNION ALL ", " ORDER BY fk")
+    },
     "q_dq_drift" ->
       ("WITH ev AS (SELECT CAST(least(9, CAST(floor(value / 50) AS INT)) AS INT) AS bin, " +
         "ts < TIMESTAMP '2024-01-08 00:00:00' AS is_ref FROM events " +

@@ -661,6 +661,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum === expected)
   }
 
+  test("q_seq_match counts equal a driver-side regex over rebuilt journeys") {
+    val out = Analytics.seqMatch(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 4)
+    val journeys = Tables(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (_, es) =>
+        es.sortBy(e => (e._2.getTime, e._3)).map(_._4.head).mkString
+      }.toSeq
+    out.foreach { case (_, re, nUsers, nTotal, share) =>
+      assert(nTotal === journeys.length.toLong)
+      val expected = journeys.count(j => re.r.findFirstIn(j).isDefined).toLong
+      assert(nUsers === expected, s"pattern $re")
+      assert(share === 1000000L * nUsers / nTotal)
+    }
+    // patterns are non-vacuous both ways: something matches, not everything
+    assert(out.exists(_._3 > 0) && out.exists(o => o._3 < o._4))
+  }
+
+  test("q_survival_hazard: at-risk telescopes, horizon censors, hazard exact") {
+    val rows = Analytics.survivalHazard(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // durations bounded by the 3-day administrative horizon
+    assert(rows.forall(_._1 <= 3))
+    // telescoping: at_risk(t_i) - ends(t_i) = at_risk(t_{i+1})
+    rows.sliding(2).foreach {
+      case Array((_, ar1, e1, c1, _), (_, ar2, _, _, _)) =>
+        assert(ar1 - e1 - c1 === ar2)
+      case _ =>
+    }
+    // first at-risk = all subjects = every ending accounted for
+    assert(rows.head._2 === rows.map(r => r._3 + r._4).sum)
+    // exact hazard; censoring genuinely happens on this fixture
+    rows.foreach { case (_, ar, e, _, h) => assert(h === 1000000L * e / ar) }
+    assert(rows.map(_._4).sum > 0, "censoring path is vacuous")
+  }
+
   test("q_join_fuzzy_name equals the all-pairs formulation; blocking is lossless") {
     val out = Analytics.joinFuzzyName(s, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -72,7 +72,8 @@ class ContractSpec extends AnyFunSuite {
     "q_corpus_mix_epochs", "q_dedup_url",
     "q_text_chunk", "q_shuffle_shard", "q_dedup_semantic", "q_search_bm25",
     "q_dq_drift", "q_embed_project", "q_text_classify",
-    "q_basket_lift", "q_agg_rfm", "q_event_transition", "q_join_fuzzy_name")
+    "q_basket_lift", "q_agg_rfm", "q_event_transition", "q_join_fuzzy_name",
+    "q_dq_referential", "q_seq_match", "q_survival_hazard")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -192,4 +192,28 @@ class QualitySpec extends AnyFunSuite {
     assert(total > 43429L)
     assert(rows.forall(_._6))
   }
+
+  test("q_dq_referential: orphans are exactly the injected keys; fixture is clean") {
+    val rows = graft.operators.Quality.dqReferential(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 7)
+    val injected = Map(
+      "customer.c_nationkey->nation" -> 1L,
+      "lineitem.l_orderkey->orders" -> 3L,
+      "lineitem.l_partkey->part" -> 3L,
+      "lineitem.l_suppkey->supplier" -> 3L,
+      "nation.n_regionkey->region" -> 1L,
+      "orders.o_custkey->customer" -> 2L,
+      "supplier.s_nationkey->nation" -> 1L)
+    rows.foreach { case (fk, n, orphans, micro) =>
+      // the underlying fixture is referentially clean, so the audit must
+      // find the injected orphans and NOTHING else — detection is real,
+      // false-positive rate is zero
+      assert(orphans === injected(fk), fk)
+      assert(micro === 1000000L * orphans / n, fk)
+    }
+    // row counts are child-table counts plus the injection
+    val li = Tables(s, d, "lineitem").count()
+    assert(rows.filter(_._1.startsWith("lineitem")).forall(_._2 === li + 3))
+  }
 }
