@@ -1732,6 +1732,41 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_lexical — LEXICAL-DIVERSITY quality scoring: per-doc
+    * type-token ratio, hapax-legomena share, mean token length, and
+    * vowel-group (syllable-proxy) density — the vocabulary-richness
+    * complement of `q_text_quality`'s surface ratios and
+    * `q_text_entropy`'s character distribution (a keyword-stuffed page has
+    * healthy entropy but a collapsed TTR; boilerplate has near-zero hapax
+    * share). All micro/milli-unit integer arithmetic — exact, order-free.
+    *
+    * Scale shape: one explode → (doc, token) hash agg → doc-grain
+    * reduction, all map-side-partial friendly; the vowel-group count rides
+    * the documents scan via codegen'd `regexp_count` (no second tokenize).
+    * The doc-grain join is keyed on doc_id — co-partitioned with every
+    * other per-doc signal under the same layout.
+    */
+  def textLexical(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(length(col("tok")) * col("c")).cast("long").as("sum_len"))
+    val vowels = t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("regexp_count(text, '[aeiou]+')").cast("long").as("n_vgroups"))
+    toks.join(vowels, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_micro"),
+        expr("(1000000 * n_hapax) div n_types").as("hapax_micro"),
+        expr("(1000 * sum_len) div n_tokens").as("toklen_milli"),
+        expr("(1000000 * n_vgroups) div n_tokens").as("vowel_micro"))
+      .orderBy("doc_id")
+  }
+
   /** q_text_chunk — CONTEXT-WINDOW CHUNKING: each document's token stream
     * cut into fixed 32-token windows with stride 24 (8-token overlap) — the
     * sliding-window prep that turns a curated corpus into training examples
@@ -1971,6 +2006,7 @@ object LlmData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_contamination" -> corpusContamination _,
     "q_text_entropy" -> textEntropy _,
+    "q_text_lexical" -> textLexical _,
     "q_corpus_mix_temperature" -> corpusMixTemperature _,
     "q_text_inverted_index" -> textInvertedIndex _,
     "q_embed_norm_audit" -> embedNormAudit _,
@@ -2047,6 +2083,23 @@ object LlmData {
         "CAST(round(log10(CAST(n_chars AS DOUBLE)) * 1000 - " +
         "sum_clog_micro * 1.0 / (n_chars * 1000), 0) AS BIGINT) AS entropy_milli " +
         "FROM agg ORDER BY doc_id"),
+    "q_text_lexical" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c " +
+        "FROM toks GROUP BY doc_id, tok), " +
+        "g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "CAST(sum(length(tok) * c) AS BIGINT) AS sum_len FROM tc GROUP BY doc_id), " +
+        "v AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[aeiou]+')) " +
+        "AS BIGINT) AS n_vgroups FROM documents) " +
+        "SELECT g.doc_id, n_tokens, n_types, n_hapax, " +
+        "(1000000 * n_types) // n_tokens AS ttr_micro, " +
+        "(1000000 * n_hapax) // n_types AS hapax_micro, " +
+        "(1000 * sum_len) // n_tokens AS toklen_milli, " +
+        "(1000000 * n_vgroups) // n_tokens AS vowel_micro " +
+        "FROM g JOIN v ON g.doc_id = v.doc_id ORDER BY g.doc_id"),
     "q_corpus_mix_temperature" ->
       ("WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n " +
         "FROM documents GROUP BY source), " +

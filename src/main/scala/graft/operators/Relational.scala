@@ -386,6 +386,74 @@ object Relational {
     }.toDF("user_id", "n_exact", "lower_bound_ok", "upper_bound_ok")
   }
 
+  /** q_agg_hll_overlap — AUDIENCE OVERLAP from sketches: for every pair of
+    * event types, the intersection of their user sets estimated by
+    * inclusion-exclusion over HLL sketches (|A∩B| ≈ est(A) + est(B) −
+    * est(A∪B)) — the cross-segment overlap question ("how many purchasers
+    * also clicked?") answered WITHOUT a raw-data pass per pair. At 100 TB
+    * the per-type sketches are tiny persisted columns; every pairwise
+    * overlap is sketch arithmetic on the driver-side-sized sketch table,
+    * while the exact formulation needs a (type,user)×(type,user) self-join
+    * per pair. Exact counts (one distinct pass + one user-keyed pair join)
+    * ride along as the oracle surface; the sketch estimates are asserted
+    * within the compounded HLL error envelope (three estimates stack, so
+    * the bound is on n_a + n_b, not n_int).
+    */
+  def aggHllOverlap(s: SparkSession, d: String): DataFrame = {
+    val du = t(s, d, "events").select(col("event_type"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = du.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).as("n_exact"))
+    val pairsEst = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("n_exact").as("n_a"))
+      .crossJoin(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("n_exact").as("n_b")))
+      .where(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        expr("hll_sketch_estimate(sk_a)").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_u"))
+    val exactInt = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_int"))
+    val out = pairsEst.join(exactInt, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") - col("n_int")).as("n_union"), col("n_int"),
+        (abs(col("est_a") + col("est_b") - col("est_u") - col("n_int")) <=
+          (col("n_a") + col("n_b")) * 0.05 + 32).as("overlap_est_ok"),
+        (abs(col("est_u") - (col("n_a") + col("n_b") - col("n_int"))) <=
+          (col("n_a") + col("n_b") - col("n_int")) * 0.05 + 16).as("union_est_ok"))
+      .orderBy("type_a", "type_b")
+    out
+  }
+
+  /** q_agg_approx_quantile — the CONSTANT-MEMORY QUANTILE PATH
+    * (`approx_percentile`, Greenwald-Khanna style rank error ≤ 1/accuracy)
+    * validated against its own contract: the approximate p50/p90 must land
+    * between the EXACT percentiles at p ± 2·(1/accuracy) rank slack. This
+    * is the unbounded-group scale path q_agg_percentile's scaladoc
+    * promises — here it is exercised and bound-checked per group, the same
+    * estimate-plus-exact-envelope pattern as the HLL/CMS rollups. The
+    * oracle recomputes the exact envelope and expects the bound booleans
+    * to hold (literal true), so a rank-contract violation fails the gate.
+    */
+  def aggApproxQuantile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        r(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        r(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"),
+        (expr("approx_percentile(o_totalprice, 0.5, 100)")
+          .between(expr("percentile(o_totalprice, 0.48)"),
+            expr("percentile(o_totalprice, 0.52)"))).as("p50_approx_ok"),
+        (expr("approx_percentile(o_totalprice, 0.9, 100)")
+          .between(expr("percentile(o_totalprice, 0.88)"),
+            expr("percentile(o_totalprice, 0.92)"))).as("p90_approx_ok"))
+      .orderBy("o_orderstatus")
+
   def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
@@ -1221,6 +1289,8 @@ object Relational {
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_sketch_merge" -> aggSketchMerge _,
+    "q_agg_hll_overlap" -> aggHllOverlap _,
+    "q_agg_approx_quantile" -> aggApproxQuantile _,
     "q_agg_histogram_merge" -> aggHistogramMerge _,
     "q_agg_incremental" -> aggIncremental _,
     "q_funnel_steps" -> funnelSteps _,
@@ -1361,6 +1431,26 @@ object Relational {
       ("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
         "true AS merged_est_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_agg_hll_overlap" ->
+      ("WITH du AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact " +
+        "FROM du GROUP BY 1), " +
+        "i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n_int " +
+        "FROM du a JOIN du b ON a.user_id = b.user_id " +
+        "AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, na.n_exact AS n_a, nb.n_exact AS n_b, " +
+        "na.n_exact + nb.n_exact - n_int AS n_union, n_int, " +
+        "true AS overlap_est_ok, true AS union_est_ok " +
+        "FROM i JOIN n na ON i.type_a = na.event_type " +
+        "JOIN n nb ON i.type_b = nb.event_type " +
+        "ORDER BY type_a, type_b"),
+    "q_agg_approx_quantile" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        s"${sqlR("quantile_cont(o_totalprice, 0.5)", 4)} AS p50_exact, " +
+        s"${sqlR("quantile_cont(o_totalprice, 0.9)", 4)} AS p90_exact, " +
+        "true AS p50_approx_ok, true AS p90_approx_ok " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_agg_percentile" ->
       ("SELECT o_orderstatus, " +
         s"${sqlR("quantile_cont(o_totalprice, 0.5)", 4)} AS p50, " +

@@ -153,6 +153,32 @@ object PipelineIngest {
       .orderBy("o_orderstatus")
   }
 
+  /** q_source_text_roundtrip — RAW TEXT-LINES source/sink: documents
+    * serialized one-per-line as `doc_id<TAB>text` (the fixture corpus is
+    * newline/tab-free — asserted by the split arity filter below), re-read
+    * with `spark.read.text` and re-parsed by splitting on the first tab.
+    * This is the wire format of classic crawl/log corpora (WET files, JSONL
+    * precursors) — the ingest seam where a 100 TB text pipeline actually
+    * starts; line-grain means splittable scans with no format metadata.
+    * The aggregate over the re-parse equals the oracle's over the original
+    * parquet, proving the round-trip lossless.
+    */
+  def sourceTextRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_source_text"
+    graft.Tables(s, d, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .where(size(col("kv")) === 2)
+      .select(col("kv").getItem(0).cast("long").as("doc_id"),
+        col("kv").getItem(1).as("text"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"), max(col("doc_id")).as("max_doc"))
+  }
+
   /** q_source_orc_roundtrip — ORC source/sink breadth, same shape as the
     * CSV/JSON round-trips (columnar binary format with predicate pushdown,
     * the main parquet alternative in lake deployments). The oracle
@@ -647,6 +673,7 @@ object PipelineIngest {
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "q_source_orc_roundtrip" -> sourceOrcRoundtrip _,
+    "q_source_text_roundtrip" -> sourceTextRoundtrip _,
     "q_source_xml_roundtrip" -> sourceXmlRoundtrip _,
     "q_upsert_partition" -> upsertPartition _,
     "q_source_corrupt_tolerant" -> sourceCorruptTolerant _,
@@ -710,6 +737,11 @@ object PipelineIngest {
       (s"SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty, " +
         s"${Det.sqlSumExact("l_extendedprice", 2)} AS sum_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_source_text_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, " +
+        "max(doc_id) AS max_doc FROM documents"),
     "q_source_xml_roundtrip" ->
       // CAST: DuckDB sums INTEGER into HUGEINT, which the comparator would
       // coerce to float64 against Spark's int64 (the pack_sequences lesson)

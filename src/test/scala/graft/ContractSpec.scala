@@ -73,7 +73,9 @@ class ContractSpec extends AnyFunSuite {
     "q_text_chunk", "q_shuffle_shard", "q_dedup_semantic", "q_search_bm25",
     "q_dq_drift", "q_embed_project", "q_text_classify",
     "q_basket_lift", "q_agg_rfm", "q_event_transition", "q_join_fuzzy_name",
-    "q_dq_referential", "q_seq_match", "q_survival_hazard")
+    "q_dq_referential", "q_seq_match", "q_survival_hazard",
+    "q_agg_hll_overlap", "q_agg_approx_quantile", "q_text_lexical",
+    "q_source_text_roundtrip")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -749,4 +749,28 @@ class LlmDataSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q_text_lexical matches a driver-side recompute per document") {
+    val rows = LlmData.textLexical(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size, "one row per document")
+    rows.take(25).foreach { case (id, nTok, nTyp, nHap, ttr, hap, len, vow) =>
+      val toks = docs(id).split(" ", -1).toSeq
+      val counts = toks.groupBy(identity).map { case (_, v) => v.size }
+      assert(nTok === toks.length.toLong)
+      assert(nTyp === counts.size.toLong)
+      assert(nHap === counts.count(_ == 1).toLong)
+      assert(ttr === 1000000L * nTyp / nTok)
+      assert(hap === 1000000L * nHap / nTyp)
+      assert(len === 1000L * toks.map(_.length.toLong).sum / nTok)
+      val vg = "[aeiou]+".r.findAllIn(docs(id)).length.toLong
+      assert(vow === 1000000L * vg / nTok)
+    }
+    // diversity is a real signal on the fixture: TTR varies across docs
+    assert(rows.map(_._5).distinct.length > 1)
+  }
 }

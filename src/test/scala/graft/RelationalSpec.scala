@@ -333,4 +333,31 @@ class RelationalSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"lateral did not decorrelate:\n$p")
   }
+
+  test("q_agg_hll_overlap: inclusion-exclusion exact; estimates in envelope") {
+    val rows = operators.Relational.aggHllOverlap(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(rows.length === 10, "5 event types give C(5,2)=10 pairs")
+    val du = Tables(s, d, "events").select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { case (a, b, na, nb, nu, ni, okO, okU) =>
+      assert(na === du(a).size.toLong && nb === du(b).size.toLong)
+      assert(ni === du(a).intersect(du(b)).size.toLong, s"($a,$b)")
+      assert(nu === na + nb - ni)
+      assert(ni <= math.min(na, nb) && nu >= math.max(na, nb))
+      assert(okO && okU, s"($a,$b) sketch estimate outside envelope")
+    }
+  }
+
+  test("q_agg_approx_quantile: rank contract holds; exact envelope sane") {
+    val rows = operators.Relational.aggApproxQuantile(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"${r.getString(0)} p50 outside rank envelope")
+      assert(r.getBoolean(5), s"${r.getString(0)} p90 outside rank envelope")
+      assert(r.getDouble(2) <= r.getDouble(3), "p50 exceeds p90")
+    }
+  }
 }
