@@ -439,4 +439,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans === 1, s"drift must fold ref/cur sides in one pass " +
       s"(found $scans scans):\n$p")
   }
+
+  test("q_join_fuzzy_name: length-band blocking plans an equi join, not all-pairs") {
+    val p = plan(operators.Analytics.joinFuzzyName(s, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to the quadratic plan the blocking replaces:\n$p")
+    // candidate lengths are generated scan-side (explode of the band)
+    assert(p.contains("Generate"), s"expected the length-band explode:\n$p")
+  }
+
+  test("q_basket_lift: pairs come from posexplode, never a fact self-join") {
+    val df = operators.Analytics.basketLift(s, d)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"quadratic pair plan:\n$p")
+    assert(p.contains("Generate"), s"expected in-row basket posexplode:\n$p")
+    // lineitem is read for baskets and for item counts — but never joined
+    // against itself at row grain: every join input is grouped first
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a bounded heap, not a global sort:\n$p")
+  }
+
+  test("q_seq_match evaluates all patterns in one aggregation pass") {
+    val p = plan(operators.Analytics.seqMatch(s, d))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events.parquet"))
+    assert(scans === 1, s"pattern count must not multiply scan count " +
+      s"(found $scans scans):\n$p")
+  }
 }
