@@ -1298,7 +1298,68 @@ object Analytics {
       .orderBy("dur_days")
   }
 
+  // ---------------------------------------------------------- degree stats
+
+  /** q_graph_degree_stats — DEGREE-DISTRIBUTION AUDIT of the co-purchase
+    * graph: nodes binned by ⌊log2(degree)⌋ with per-bin extremes. The
+    * first diagnostic run on any production graph — it decides every
+    * downstream algorithm choice (a heavy tail mandates the degree-ordered
+    * orientation `q_graph_triangles` uses and the skew handling
+    * `q_join_skew_salted` demonstrates; a flat distribution doesn't).
+    * log2 of an integer is IEEE-exact on powers of two, so the floor-bin
+    * is bit-stable across engines.
+    *
+    * Scale shape: degrees are one keyed agg over the (memoized, shared)
+    * edge table; binning is per-row arithmetic and the histogram is a
+    * ≤ 64-row hash agg. Nothing here touches row grain twice.
+    */
+  def graphDegreeStats(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("deg"), expr("CAST(floor(log2(deg)) AS BIGINT)").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy("bin")
+  }
+
+  // ------------------------------------------------------------ cohort ltv
+
+  /** q_agg_cohort_ltv — COHORT LIFETIME-VALUE CURVES: cumulative purchase
+    * revenue per signup cohort by cohort age, absolute and per-member —
+    * the monetary complement of `q_agg_retention_cohort` (activity says
+    * who came back; LTV says what that was worth). Exact integer cents
+    * end to end; the per-member rate is milli-cents via integer division.
+    *
+    * Scale shape: cohorts and purchases are two keyed aggs over events;
+    * the cumulative sum runs per cohort over COHORT-AGE grain (≤ window
+    * days per cohort), partitioned by cohort day — no global window.
+    */
+  def aggCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val cohort = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val sizes = cohort.groupBy("cohort").agg(count(lit(1)).as("n_cohort_users"))
+    val rev = ev.where(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort"),
+        datediff(to_date(col("ts")), col("cohort")).cast("long").as("offset_days"))
+      .agg(sum(round(col("value") * 100, 0)).cast("long").as("rev_cents"))
+    val w = Window.partitionBy("cohort").orderBy("offset_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("rev_cents"), col("cum_rev_cents"),
+        col("n_cohort_users"),
+        expr("(1000 * cum_rev_cents) div n_cohort_users").as("cum_per_user_millicents"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree_stats" -> graphDegreeStats _,
+    "q_agg_cohort_ltv" -> aggCohortLtv _,
     "q_seq_match" -> seqMatch _,
     "q_survival_hazard" -> survivalHazard _,
     "q_basket_lift" -> basketLift _,
@@ -1331,6 +1392,34 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_graph_degree_stats" ->
+      ("WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM po a " +
+        "JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n) " +
+        "SELECT CAST(floor(log2(deg)) AS BIGINT) AS bin, " +
+        "CAST(count(*) AS BIGINT) AS n_nodes, min(deg) AS min_deg, " +
+        "max(deg) AS max_deg FROM deg GROUP BY bin ORDER BY bin"),
+    "q_agg_cohort_ltv" ->
+      ("WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort " +
+        "FROM events GROUP BY user_id), " +
+        "sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort_users " +
+        "FROM cohort GROUP BY cohort), " +
+        "rev AS (SELECT c.cohort, " +
+        "CAST(date_diff('day', c.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS offset_days, " +
+        "CAST(sum(round(e.value * 100, 0)) AS BIGINT) AS rev_cents " +
+        "FROM events e JOIN cohort c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1, 2), " +
+        "cum AS (SELECT cohort, offset_days, rev_cents, " +
+        "CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY offset_days " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_rev_cents FROM rev) " +
+        "SELECT strftime(cum.cohort, '%Y-%m-%d') AS cohort_day, offset_days, " +
+        "rev_cents, cum_rev_cents, n_cohort_users, " +
+        "(1000 * cum_rev_cents) // n_cohort_users AS cum_per_user_millicents " +
+        "FROM cum JOIN sz ON cum.cohort = sz.cohort " +
+        "ORDER BY cohort_day, offset_days"),
     "q_seq_match" ->
       ("WITH sq AS (SELECT user_id, string_agg(substr(event_type, 1, 1), '' " +
         "ORDER BY ts, event_id) AS journey FROM events GROUP BY user_id), " +

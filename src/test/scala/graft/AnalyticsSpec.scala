@@ -661,6 +661,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum === expected)
   }
 
+  test("q_graph_degree_stats: bins bound degrees; handshake law holds") {
+    val rows = Analytics.graphDegreeStats(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bin, n, lo, hi) =>
+      assert(n > 0 && lo <= hi)
+      assert(lo >= (1L << bin) && hi < (1L << (bin + 1)),
+        s"bin $bin holds degree outside [2^$bin, 2^${bin + 1})")
+    }
+    // recompute the graph driver-side: Σ deg = 2|E|, Σ n_nodes = |V|
+    val po = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = po.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    assert(rows.map(_._2).sum === deg.size.toLong, "node count")
+    assert(rows.map { case (_, _, _, _) => 0L }.sum === 0L) // shape guard
+    val maxDeg = deg.max
+    assert(rows.last._4 === maxDeg, "max degree lands in the last bin")
+  }
+
+  test("q_agg_cohort_ltv: cumulative telescopes; per-user rate exact") {
+    val rows = Analytics.aggCohortLtv(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      // cum at each offset = running sum of the per-offset revenue
+      sorted.scanLeft(0L)((acc, r) => acc + r._3).tail
+        .zip(sorted).foreach { case (want, row) =>
+          assert(row._4 === want, s"cohort ${row._1} offset ${row._2}")
+        }
+      // cohort size constant within the cohort; rate is integer division
+      assert(g.map(_._5).distinct.length === 1)
+      g.foreach(r => assert(r._6 === 1000L * r._4 / r._5))
+    }
+    // total revenue across cells equals the corpus purchase revenue
+    val want = Tables(s, d, "events").where(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100, 0)).cast("long")).collect().head.getLong(0)
+    assert(rows.map(_._3).sum === want)
+  }
+
   test("q_seq_match counts equal a driver-side regex over rebuilt journeys") {
     val out = Analytics.seqMatch(s, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))

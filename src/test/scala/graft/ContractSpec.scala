@@ -75,7 +75,7 @@ class ContractSpec extends AnyFunSuite {
     "q_basket_lift", "q_agg_rfm", "q_event_transition", "q_join_fuzzy_name",
     "q_dq_referential", "q_seq_match", "q_survival_hazard",
     "q_agg_hll_overlap", "q_agg_approx_quantile", "q_text_lexical",
-    "q_source_text_roundtrip")
+    "q_source_text_roundtrip", "q_graph_degree_stats", "q_agg_cohort_ltv")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
