@@ -1103,17 +1103,18 @@ object Analytics {
       .select(col("o_custkey"),
         datediff(col("ref"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = base.count()
+    val nDF = base.agg(count(lit(1)).as("n_total"))
     // value-grain ascending quintile: all rows with value v score
-    // ⌊5·(#rows with value < v)/n⌋ + 1 — deterministic under ties
+    // ⌊5·(#rows with value < v)/n⌋ + 1 — deterministic under ties. Fully
+    // lazy: n rides in as a broadcast 1-row frame, no driver-side action
     def scoreAsc(vcol: String): DataFrame = {
       val vg = base.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy(col(vcol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       vg.select(col(vcol),
         (sum(col("cnt")).over(w) - col("cnt")).as("cumb"))
-        .select(col(vcol), expr(s"(cumb * 5) div $n + 1").as(s"score_$vcol"))
+        .crossJoin(broadcast(nDF))
+        .select(col(vcol), expr("(cumb * 5) div n_total + 1").as(s"score_$vcol"))
     }
     val out = base
       .join(broadcast(scoreAsc("recency_days")), "recency_days")
