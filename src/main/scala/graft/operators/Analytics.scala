@@ -1358,7 +1358,134 @@ object Analytics {
       .orderBy("cohort_day", "offset_days")
   }
 
+  // ------------------------------------------------------------ sessionize
+
+  /** q_event_sessionize — TIME-GAP SESSIONIZATION (30-minute inactivity
+    * cut): per user, events are split into sessions wherever the gap to
+    * the previous event exceeds the threshold, then each session reports
+    * its span, event count, and exact spend — the batch counterpart of
+    * `q_stream_session_window` (same cut rule, computed on landed data in
+    * one pass instead of on arrival with state). The classic two-window
+    * form: a lag() marks session starts, a running sum of the marks
+    * numbers sessions within the user — both under the SAME
+    * (user_id; ts, event_id) ordering, so the decomposition is
+    * deterministic even with equal timestamps.
+    *
+    * Scale: both windows and the final rollup share one shuffle keyed by
+    * user_id; per-partition state is one row (lag) / one counter (sum).
+    * Users are the natural parallelism unit — no global ordering anywhere.
+    * A single user with billions of events would serialize that key; that
+    * pathological case (a bot) is exactly what `q_corpus_domain_cap`-style
+    * capping removes upstream.
+    */
+  def eventSessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L // 30 min in micros
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        sum(round(col("value") * 100, 0)).cast("long").as("spend_cents"))
+      .withColumn("dur_s", expr("(end_us - start_us) div 1000000"))
+      .orderBy("user_id", "sess_idx")
+  }
+
+  // ---------------------------------------------------- correlation matrix
+
+  /** q_agg_corr_matrix — GROUPED PAIRWISE CORRELATION MATRIX: Pearson r
+    * for every pair of the four lineitem measures, per return flag, in
+    * long (group, col_a, col_b, r) form — the dependence screen run before
+    * feature selection / factor models (`q_agg_stats` reports one pair;
+    * this is the full triangle). ONE aggregation pass computes all six
+    * coefficients (map-side-combinable moment sums — the scan cost does
+    * not grow with pair count), and the wide row unfolds to long form by
+    * an inline explode of (name, value) structs — no re-scan, no shuffle
+    * beyond the group agg. r is rounded to 6 dp on both engines (the
+    * `q_agg_stats` determinism precedent).
+    */
+  def aggCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      r(corr(col(a), col(b)), 6).as(s"r_${a}_$b")
+    }
+    val unfold = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"r_${a}_$b").as("corr_r"))
+    }
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), explode(array(unfold: _*)).as("p"))
+      .select(col("l_returnflag"), col("p.col_a"), col("p.col_b"),
+        col("p.corr_r"))
+      .orderBy("l_returnflag", "col_a", "col_b")
+  }
+
+  // ------------------------------------------------------- interpolation
+
+  /** q_timeseries_interpolate — LINEAR GAP INTERPOLATION over the daily
+    * account series: missing days take the straight line between the
+    * surrounding observed days — the estimation complement of
+    * [[timeseriesGapfill]]'s LOCF (carry-forward answers "balance as of";
+    * interpolation answers "best estimate of flow"). Endpoints need no
+    * special case: the spine spans [first, last] observed days, so both
+    * neighbors always exist. Exact-integer-cents observations; the
+    * interpolated value rounds a double whose operands are identical on
+    * both engines (products < 2^53), the cross-engine-stable `Det.r`
+    * contract.
+    *
+    * Scale: same shape as gapfill — distributed per-account spine
+    * (`sequence` + `explode`, never driver-resident), then TWO bounded
+    * window passes (backward-looking last-observed, forward-looking
+    * first-observed) over the account-keyed shuffle; all state is O(1)
+    * per partition row.
+    */
+  def timeseriesInterpolate(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy("acct", "day")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val spine = obs.groupBy("acct")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("acct"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val base = Window.partitionBy("acct").orderBy("day")
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("acct", "day"), "left_outer")
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(back))
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(back))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(fwd))
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents").isNotNull.as("observed"),
+        when(col("cents").isNotNull, col("cents")).otherwise(
+          // CAST ... AS DOUBLE on both operands: a bare `* 1.0` literal is
+          // DECIMAL in SparkSQL, and decimal-division scale rules differ
+          // from DuckDB's — IEEE double division is the cross-engine-stable
+          // form (off-by-one at the rounding boundary otherwise)
+          expr("CAST(round(pv + (nv - pv) * (CAST(datediff(day, pd) AS DOUBLE)" +
+            " / CAST(datediff(nd, pd) AS DOUBLE)), 0) AS BIGINT)")).as("est_cents"))
+      .orderBy("acct", "day_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_sessionize" -> eventSessionize _,
+    "q_agg_corr_matrix" -> aggCorrMatrix _,
+    "q_timeseries_interpolate" -> timeseriesInterpolate _,
     "q_graph_degree_stats" -> graphDegreeStats _,
     "q_agg_cohort_ltv" -> aggCohortLtv _,
     "q_seq_match" -> seqMatch _,
@@ -1393,6 +1520,65 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_event_sessionize" ->
+      ("WITH ev AS (SELECT user_id, event_id, value, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "m AS (SELECT user_id, event_id, value, us, " +
+        "CASE WHEN us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) <= 1800000000 " +
+        "THEN 0 ELSE 1 END AS new_sess FROM ev), " +
+        "sx AS (SELECT user_id, value, us, " +
+        "sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx " +
+        "FROM m) " +
+        "SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        "min(us) AS start_us, max(us) AS end_us, " +
+        "CAST(sum(round(value * 100, 0)) AS BIGINT) AS spend_cents, " +
+        "CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s " +
+        "FROM sx GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx"),
+    "q_agg_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val blocks = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield s"SELECT l_returnflag, '${cols(i)}' AS col_a, " +
+        s"'${cols(j)}' AS col_b, " +
+        s"${sqlR(s"corr(${cols(i)}, ${cols(j)})", 6)} AS corr_r " +
+        "FROM lineitem GROUP BY l_returnflag"
+      blocks.mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY l_returnflag, col_a, col_b")
+    },
+    "q_timeseries_interpolate" ->
+      ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "b AS (SELECT acct, min(day) AS lo, max(day) AS hi FROM obs " +
+        "GROUP BY acct), " +
+        "spine AS (SELECT acct, CAST(unnest(generate_series(" +
+        "CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) " +
+        "AS DATE) AS day FROM b), " +
+        "j AS (SELECT s.acct, s.day, o.cents FROM spine s " +
+        "LEFT JOIN obs o ON s.acct = o.acct AND s.day = o.day), " +
+        "f AS (SELECT acct, day, cents, " +
+        "last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER wb AS pd, " +
+        "last_value(cents IGNORE NULLS) OVER wb AS pv, " +
+        "first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER wf AS nd, " +
+        "first_value(cents IGNORE NULLS) OVER wf AS nv FROM j " +
+        "WINDOW wb AS (PARTITION BY acct ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY acct ORDER BY day " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT acct, strftime(day, '%Y-%m-%d') AS day_str, " +
+        "cents IS NOT NULL AS observed, " +
+        "CASE WHEN cents IS NOT NULL THEN cents " +
+        "ELSE CAST(round(pv + (nv - pv) * " +
+        "(CAST(date_diff('day', pd, day) AS DOUBLE) / " +
+        "CAST(date_diff('day', pd, nd) AS DOUBLE)), 0) " +
+        "AS BIGINT) END AS est_cents " +
+        "FROM f ORDER BY acct, day_str"),
     "q_graph_degree_stats" ->
       ("WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
         "und AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM po a " +

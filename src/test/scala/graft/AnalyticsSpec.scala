@@ -767,4 +767,81 @@ class AnalyticsSpec extends AnyFunSuite {
     } yield (a, b, lev(a, b).toLong)
     assert(out.sorted.toSeq === brute.sorted.toSeq)
   }
+
+  test("q_event_sessionize partitions every event; gaps obey the 30-min cut") {
+    val out = Analytics.eventSessionize(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // every event lands in exactly one session
+    val nEvents = Tables(s, d, "events").count()
+    assert(out.map(_._3).sum === nEvents)
+    val gapUs = 1800L * 1000000L
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      // session indices are 1..k dense per user
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      // sessions are disjoint and ordered, and consecutive sessions are
+      // separated by MORE than the threshold (else they'd have merged)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 - a._5 > gapUs)
+        case _ =>
+      }
+      // span is consistent with the reported duration (integer seconds)
+      sorted.foreach(r => assert(r._7 === (r._5 - r._4) / 1000000L))
+    }
+    // the cut is non-vacuous: some user has >1 session, and some session
+    // has >1 event (intra-session gaps ≤ threshold by construction)
+    assert(out.exists(_._2 > 1) && out.exists(_._3 > 1))
+  }
+
+  test("q_agg_corr_matrix: full triangle, r ∈ [-1,1], matches direct corr") {
+    val rows = Analytics.aggCorrMatrix(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val flags = Tables(s, d, "lineitem").select("l_returnflag").distinct().count()
+    // 6 pairs per group, every pair present exactly once, lexicographic long form
+    assert(rows.length === 6 * flags)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(r => (r._2, r._3)).toSet ===
+        (for (i <- cols.indices; j <- cols.indices if i < j)
+          yield (cols(i), cols(j))).toSet)
+    }
+    assert(rows.forall(r => r._4.isNaN || (r._4 >= -1.0 && r._4 <= 1.0)))
+    // one cell spot-checked against the independent single-pair aggregate
+    val want = Tables(s, d, "lineitem").where(col("l_returnflag") === "A")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .collect().head.getDouble(0)
+    val got = rows.find(r => r._1 == "A" && r._2 == "l_quantity" &&
+      r._3 == "l_extendedprice").get._4
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("q_timeseries_interpolate: observed pass through; estimates bracketed") {
+    val out = Analytics.timeseriesInterpolate(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val byAcct = out.groupBy(_._1)
+    byAcct.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      // spine is continuous and endpoints are observed (no extrapolation)
+      assert(sorted.head._3 && sorted.last._3)
+      // every interpolated value lies within [min, max] of its bracketing
+      // observed neighbors (linearity implies betweenness)
+      var prev = sorted.head._4
+      var i = 1
+      while (i < sorted.length) {
+        if (!sorted(i)._3) {
+          val next = sorted.drop(i).find(_._3).get._4
+          val lo = math.min(prev, next); val hi = math.max(prev, next)
+          assert(sorted(i)._4 >= lo && sorted(i)._4 <= hi,
+            s"acct ${sorted(i)._1} day ${sorted(i)._2}")
+        } else prev = sorted(i)._4
+        i += 1
+      }
+    }
+    // interpolation actually happened somewhere
+    assert(out.exists(!_._3))
+  }
 }
