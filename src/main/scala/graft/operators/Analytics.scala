@@ -1482,7 +1482,85 @@ object Analytics {
       .orderBy("acct", "day_str")
   }
 
+  // ------------------------------------------------------- autocorrelation
+
+  /** q_timeseries_autocorr — AUTOCORRELATION FUNCTION (lags 1–7) of the
+    * daily revenue series: Pearson r between the series and itself shifted
+    * by k calendar days, over the day pairs where both ends are observed —
+    * the seasonality/persistence diagnostic read before any forecasting
+    * model (weekly cadence shows up as a lag-7 peak). The shifted pairing
+    * is an EQUI-join (`day2 = day + lag`, one explode of the 7 lags on the
+    * probe side) — no global window, no per-lag re-scan: one join, one
+    * keyed aggregate computing all seven coefficients.
+    *
+    * Scale: the raw 100 TB fact scan collapses to DAY grain first (exact
+    * integer cents, map-side combinable); everything after runs on a
+    * series bounded by calendar length (≤ 3.7k rows/decade), replicated
+    * 7× by the lag explode — trivially broadcastable. r rounds to 6 dp
+    * (the `q_agg_stats` cross-engine determinism precedent).
+    */
+  def timeseriesAutocorr(s: SparkSession, d: String): DataFrame = {
+    val ser = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val probe = ser
+      .select(col("day"), col("cents").as("x"),
+        explode(expr("sequence(1, 7)")).as("lag"))
+      .withColumn("day2", expr("date_add(day, lag)"))
+    probe
+      .join(ser.select(col("day").as("day2"), col("cents").as("y")), "day2")
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), r(corr(col("x"), col("y")), 6).as("acf_r"))
+      .orderBy("lag")
+  }
+
+  // ----------------------------------------------------------------- cusum
+
+  /** q_anomaly_cusum — CUSUM DRIFT DETECTION over the daily revenue
+    * series: the sequential change-point statistic that catches sustained
+    * small shifts the per-point detectors (`q_anomaly_zscore`/`_mad`)
+    * can't see. The textbook recursion S_t = max(0, S_{t-1} + dev_t) is
+    * non-associative state — useless distributed as written — but it has
+    * a closed windowed form: S_t = P_t − min(0, min_{j≤t} P_j) with P the
+    * running deviation sum, so TWO stacked window passes (sum, then min)
+    * compute it exactly; the mirrored statistic detects downward drift.
+    * Deviations are against the series' own mean, the threshold is 5×
+    * the mean absolute deviation — both exact integer milli-cents
+    * (integer `div`), so breach flags hash-match bit-exactly.
+    *
+    * Scale: like [[timeseriesAutocorr]], the fact scan reduces to DAY
+    * grain before any windowing; the day-ordered windows run on a
+    * calendar-bounded series (single partition by design — the series
+    * CANNOT be large), not on raw facts. Per-account parallel variants
+    * partition the same windows by account.
+    */
+  def anomalyCusum(s: SparkSession, d: String): DataFrame = {
+    val ser = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val stats = ser.agg(
+      expr("(1000 * sum(cents)) div count(*)").as("mean_milli"),
+      count(lit(1)).as("n_days"))
+    val dev = ser.crossJoin(broadcast(stats))
+      .withColumn("dev_milli", col("cents") * 1000 - col("mean_milli"))
+    val mad = dev.agg(expr("sum(abs(dev_milli)) div count(*)").as("mad_milli"))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev.crossJoin(broadcast(mad))
+      .withColumn("p", sum(col("dev_milli")).over(wRun))
+      .withColumn("cusum_hi", col("p") - least(lit(0L), min(col("p")).over(wRun)))
+      .withColumn("cusum_lo",
+        greatest(lit(0L), max(col("p")).over(wRun)) - col("p"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("cusum_hi"), col("cusum_lo"),
+        (col("cusum_hi") > col("mad_milli") * 5).as("breach_hi"),
+        (col("cusum_lo") > col("mad_milli") * 5).as("breach_lo"))
+      .orderBy("day_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_timeseries_autocorr" -> timeseriesAutocorr _,
+    "q_anomaly_cusum" -> anomalyCusum _,
     "q_event_sessionize" -> eventSessionize _,
     "q_agg_corr_matrix" -> aggCorrMatrix _,
     "q_timeseries_interpolate" -> timeseriesInterpolate _,
@@ -1520,6 +1598,41 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_timeseries_autocorr" ->
+      ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "probe AS (SELECT a.day, a.cents AS x, t.lag FROM ser a, " +
+        "(SELECT unnest(generate_series(1, 7)) AS lag) t) " +
+        "SELECT CAST(p.lag AS BIGINT) AS lag, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        s"${sqlR("corr(p.x, b.cents)", 6)} AS acf_r " +
+        "FROM probe p JOIN ser b ON b.day = p.day + CAST(p.lag AS INT) " +
+        "GROUP BY p.lag ORDER BY lag"),
+    "q_anomaly_cusum" ->
+      ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "st AS (SELECT (1000 * sum(cents)) // count(*) AS mean_milli " +
+        "FROM ser), " +
+        "dev AS (SELECT day, cents, cents * 1000 - mean_milli AS dev_milli " +
+        "FROM ser, st), " +
+        "md AS (SELECT sum(abs(dev_milli)) // count(*) AS mad_milli FROM dev), " +
+        "pr AS (SELECT day, cents, " +
+        "sum(dev_milli) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM dev), " +
+        "cs AS (SELECT day, cents, " +
+        "p - least(0, min(p) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_hi, " +
+        "greatest(0, max(p) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p AS cusum_lo " +
+        "FROM pr) " +
+        "SELECT strftime(day, '%Y-%m-%d') AS day_str, cents, " +
+        "CAST(cusum_hi AS BIGINT) AS cusum_hi, " +
+        "CAST(cusum_lo AS BIGINT) AS cusum_lo, " +
+        "cusum_hi > mad_milli * 5 AS breach_hi, " +
+        "cusum_lo > mad_milli * 5 AS breach_lo " +
+        "FROM cs, md ORDER BY day_str"),
     "q_event_sessionize" ->
       ("WITH ev AS (SELECT user_id, event_id, value, epoch_us(ts) AS us " +
         "FROM events), " +

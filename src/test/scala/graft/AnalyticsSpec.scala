@@ -844,4 +844,45 @@ class AnalyticsSpec extends AnyFunSuite {
     // interpolation actually happened somewhere
     assert(out.exists(!_._3))
   }
+
+  test("q_timeseries_autocorr: 7 lags, r in [-1,1], lag-1 matches direct corr") {
+    val out = Analytics.timeseriesAutocorr(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out.map(_._1).toSeq === (1L to 7L))
+    assert(out.forall(r => r._3.isNaN || (r._3 >= -1.0 && r._3 <= 1.0)))
+    // independent recomputation of lag-1 via a self-join on the day grain
+    val ser = Tables(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val want = ser.as("a")
+      .join(ser.as("b"), expr("b.day = date_add(a.day, 1)"))
+      .agg(corr(col("a.cents"), col("b.cents"))).collect().head.getDouble(0)
+    val got = out.find(_._1 == 1L).get._3
+    assert(math.abs(got - want) < 1e-6)
+    // pair counts can't exceed the series length and shrink (weakly) with lag
+    val nDays = ser.count()
+    assert(out.forall(_._2 <= nDays - 1))
+  }
+
+  test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
+    val rows = Analytics.anomalyCusum(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    // rebuild mean / MAD in integer milli-cents exactly as the query does
+    val cents = rows.map(_._2)
+    val meanMilli = cents.map(c => BigInt(c) * 1000).sum / cents.length
+    val dev = cents.map(c => BigInt(c) * 1000 - meanMilli)
+    val madMilli = dev.map(_.abs).sum / dev.length
+    // S_t = max(0, S_{t-1} + dev_t), both directions, sequential reference
+    var hi = BigInt(0); var lo = BigInt(0)
+    rows.zip(dev).foreach { case ((_, _, cHi, cLo, bHi, bLo), dv) =>
+      hi = (hi + dv).max(0); lo = (lo - dv).max(0)
+      assert(BigInt(cHi) === hi, s"cusum_hi mismatch")
+      assert(BigInt(cLo) === lo, s"cusum_lo mismatch")
+      assert(bHi === (hi > madMilli * 5) && bLo === (lo > madMilli * 5))
+    }
+  }
 }
