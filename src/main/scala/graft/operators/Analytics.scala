@@ -1558,7 +1558,216 @@ object Analytics {
       .orderBy("day_str")
   }
 
+  // ------------------------------------------------- common-neighbor score
+
+  /** q_graph_common_neighbors — LINK-PREDICTION scoring over the supplier
+    * co-purchase graph: for supplier pairs sharing customers, the common-
+    * neighbor count and Jaccard overlap (|A∩B| / |A∪B|), top-20 by common
+    * count. The classic "who else should this buyer see" primitive. Pair
+    * generation is the standard customer-keyed wedge self-join (a.c = b.c,
+    * a.sp < b.sp — each unordered pair produced exactly once); degrees are
+    * a keyed agg broadcast back onto the bounded pair table.
+    *
+    * Scale: wedge count per customer is deg², so the hub customers own the
+    * cost — at 100 TB the standard mitigation (cap or sample neighbor
+    * lists above a degree threshold, as in [[graphTriangles]]' oriented
+    * variant) applies; the pair table is bounded by |suppliers|² regardless
+    * of fact rows. Top-20 runs as TakeOrdered (per-partition partial top-k,
+    * no global sort); the (common DESC, sp1, sp2) key is total, so the cut
+    * is deterministic. Jaccard rounds at 6 dp from exact integer counts.
+    */
+  def graphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    val deg = e.groupBy(col("sp")).agg(count(lit(1)).as("deg"))
+    val pairs = e.as("a")
+      .join(e.as("b"), col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("sp1"), col("b.sp").as("sp2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(deg).withColumnRenamed("sp", "sp1")
+        .withColumnRenamed("deg", "d1"), "sp1")
+      .join(broadcast(deg).withColumnRenamed("sp", "sp2")
+        .withColumnRenamed("deg", "d2"), "sp2")
+      .select(col("sp1"), col("sp2"), col("common"), col("d1"), col("d2"),
+        r(col("common") / (col("d1") + col("d2") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy(col("common").desc, col("sp1"), col("sp2"))
+      .limit(20)
+  }
+
+  // -------------------------------------------------- revenue concentration
+
+  /** q_agg_concentration — PER-NATION REVENUE CONCENTRATION: how few
+    * customers carry the book. For each nation: customer count, total
+    * revenue (exact cents), the minimum number of customers covering 80%
+    * of revenue (count of prefix rows of the spend-descending order whose
+    * running total BEFORE them is still under 80% — `5·cum_prev < 4·total`,
+    * all integer), and the revenue share of the top decile by count
+    * (`(rn−1)·10 < n` ⟺ rn ≤ ⌈n/10⌉). The Lorenz/Pareto audit behind
+    * "80/20" claims, exact where [[aggGini]] is the summary coefficient.
+    *
+    * Scale: one fact-side keyed agg to (nation, customer) grain, then all
+    * windows partition BY NATION — per-partition state is that nation's
+    * customer count, never the global book. Integer cents throughout; the
+    * only double is the final 6 dp share ratio.
+    */
+  def aggConcentration(s: SparkSession, d: String): DataFrame = {
+    val spend = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val wOrd = Window.partitionBy("n_name")
+      .orderBy(col("cents").desc, col("c_custkey"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("n_name")
+    spend
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cum", sum(col("cents")).over(wRun))
+      .withColumn("total", sum(col("cents")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("n_name"))
+      .agg(
+        max(col("n")).as("n_customers"),
+        max(col("total")).as("total_cents"),
+        sum(when((col("cum") - col("cents")) * 5 < col("total") * 4, 1L)
+          .otherwise(0L)).as("n_top80"),
+        r(sum(when((col("rn") - 1) * 10 < col("n"), col("cents"))
+          .otherwise(0L)) / max(col("total")), 6).as("top_decile_share"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------------------------ rolling beta
+
+  /** q_window_beta — ROLLING 30-DAY MARKET BETA of each nation's daily
+    * revenue against the whole-book daily series: the covariance/variance
+    * ratio computed from EXACT integer power sums over the trailing frame —
+    * β = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) — so the only floating step is
+    * the final division (two exact longs → one IEEE divide, identical on
+    * both engines, 6 dp). Emitted only for full 30-day frames; NULL where
+    * the frame's market variance is zero.
+    *
+    * Scale: the fact scan reduces to (nation, day) grain first; the market
+    * series is a second keyed agg on the SAME grain table (no re-scan).
+    * Windows partition by nation over a calendar-bounded series. Daily
+    * units are whole dollars so the Σxy/Σxx power sums stay well inside
+    * long range at fixture scale; at 100 TB grain, rescale units (e.g.
+    * thousands) before the power sums — the formula is unit-invariant.
+    */
+  def windowBeta(s: SparkSession, d: String): DataFrame = {
+    val grain = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 1, 0)).cast("long").as("x"))
+    val market = grain.groupBy(col("day")).agg(sum(col("x")).as("y"))
+    val w = Window.partitionBy("n_name").orderBy("day").rowsBetween(-29, 0)
+    grain.join(market, "day")
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .where(col("nw") === 30)
+      .select(col("n_name"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("x").as("dollars"),
+        r((col("nw") * col("sxy") - col("sx") * col("sy")) /
+          (col("nw") * col("sxx") - col("sx") * col("sx")), 6).as("beta_30d"))
+      .orderBy("n_name", "day_str")
+  }
+
+  // ------------------------------------------------------- MA decomposition
+
+  /** q_timeseries_decompose — classical ADDITIVE DECOMPOSITION of the
+    * daily revenue series: trend = centered 7-day moving average (exact
+    * integer milli-cents via `(1000·Σ₇) div 7`), weekly seasonal index =
+    * per-day-of-week integer mean of the detrended series, remainder =
+    * detrended − seasonal. Emitted only where the full centered window
+    * exists. Day-of-week is pure date arithmetic (`datediff % 7` from a
+    * fixed Monday epoch) — identical on both engines, unlike the engines'
+    * 0-vs-1-based `dayofweek`.
+    *
+    * Scale: like [[anomalyCusum]], the fact scan collapses to DAY grain
+    * before any windowing; the centered window and the 7-row seasonal
+    * join (broadcast) run on a calendar-bounded series. Everything is
+    * integer — the decomposition re-adds bit-exactly.
+    */
+  def timeseriesDecompose(s: SparkSession, d: String): DataFrame = {
+    val ser = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val wC = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = ser
+      .withColumn("nw", count(lit(1)).over(wC))
+      .withColumn("s7", sum(col("cents")).over(wC))
+      .where(col("nw") === 7)
+      .withColumn("trend_milli", expr("(1000 * s7) div 7"))
+      .withColumn("detrend_milli", col("cents") * 1000 - col("trend_milli"))
+      .withColumn("dow",
+        datediff(col("day"), to_date(lit("1970-01-05"))) % 7)
+    // the detrended sum CAN be negative, and integer division semantics
+    // diverge on negatives (Spark `div` truncates toward zero, DuckDB `//`
+    // floors) — so divide magnitudes and reapply the sign explicitly
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(expr("(CASE WHEN sum(detrend_milli) < 0 THEN -1 ELSE 1 END) * " +
+        "(abs(sum(detrend_milli)) div count(*))").as("seasonal_milli"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("trend_milli"), col("seasonal_milli"),
+        (col("detrend_milli") - col("seasonal_milli")).as("remainder_milli"))
+      .orderBy("day_str")
+  }
+
+  // --------------------------------------------------------------- VaR/CVaR
+
+  /** q_agg_var_cvar — HISTORICAL VALUE-AT-RISK of the day-over-day revenue
+    * change: at the 95% and 99% levels, VaR is the k-th smallest daily
+    * delta with k = ⌈n·tail⌉ (percentile_disc semantics — an OBSERVED
+    * value, integer cents, no interpolation), and CVaR (expected
+    * shortfall) is the mean of the k tail deltas — exact long sum, one
+    * final IEEE divide at 6 dp. Ties rank deterministically by
+    * (delta, day).
+    *
+    * Scale: delta + rank run on the calendar-bounded day-grain series
+    * (single ordered window by design); both levels are answered in ONE
+    * pass by broadcasting the 2-row level table across the ranked series
+    * and aggregating per level — no per-level re-scan, no driver loop.
+    */
+  def aggVarCvar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ser = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val wDay = Window.orderBy("day")
+    val deltas = ser
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(wDay))
+      .where(col("delta").isNotNull)
+    val ranked = deltas
+      .withColumn("rn", row_number().over(Window.orderBy(col("delta"), col("day"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val levels = Seq((95L, 5L), (99L, 1L)).toDF("level", "tp")
+    ranked.crossJoin(broadcast(levels))
+      .withColumn("k", expr("(n * tp + 99) div 100"))
+      .where(col("rn") <= col("k"))
+      .groupBy(col("level"), col("n").as("n_deltas"), col("k").as("k_tail"))
+      .agg(
+        max(when(col("rn") === col("k"), col("delta"))).as("var_cents"),
+        r(sum(col("delta")) / max(col("k")), 6).as("cvar_cents"))
+      .orderBy("level")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_common_neighbors" -> graphCommonNeighbors _,
+    "q_agg_concentration" -> aggConcentration _,
+    "q_window_beta" -> windowBeta _,
+    "q_timeseries_decompose" -> timeseriesDecompose _,
+    "q_agg_var_cvar" -> aggVarCvar _,
     "q_timeseries_autocorr" -> timeseriesAutocorr _,
     "q_anomaly_cusum" -> anomalyCusum _,
     "q_event_sessionize" -> eventSessionize _,
@@ -1598,6 +1807,88 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_graph_common_neighbors" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "deg AS (SELECT sp, count(*) AS dg FROM e GROUP BY sp), " +
+        "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS common " +
+        "FROM e a JOIN e b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2) " +
+        "SELECT sp1, sp2, common, d1.dg AS d1, d2.dg AS d2, " +
+        s"${sqlR("common / (d1.dg + d2.dg - common)", 6)} AS jaccard " +
+        "FROM p JOIN deg d1 ON d1.sp = p.sp1 JOIN deg d2 ON d2.sp = p.sp2 " +
+        "ORDER BY common DESC, sp1, sp2 LIMIT 20"),
+    "q_agg_concentration" ->
+      ("WITH spend AS (SELECT n_name, c_custkey, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "w AS (SELECT n_name, c_custkey, cents, " +
+        "row_number() OVER ord AS rn, " +
+        "sum(cents) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS cum, " +
+        "sum(cents) OVER (PARTITION BY n_name) AS total, " +
+        "count(*) OVER (PARTITION BY n_name) AS n FROM spend " +
+        "WINDOW ord AS (PARTITION BY n_name ORDER BY cents DESC, c_custkey)) " +
+        "SELECT n_name, CAST(max(n) AS BIGINT) AS n_customers, " +
+        "CAST(max(total) AS BIGINT) AS total_cents, " +
+        "CAST(sum(CASE WHEN (cum - cents) * 5 < total * 4 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_top80, " +
+        s"${sqlR("sum(CASE WHEN (rn - 1) * 10 < n THEN cents ELSE 0 END) " +
+          "/ max(total)", 6)} AS top_decile_share " +
+        "FROM w GROUP BY n_name ORDER BY n_name"),
+    "q_window_beta" ->
+      ("WITH grain AS (SELECT n_name, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(round(o_totalprice * 1, 0)) AS BIGINT) AS x " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "market AS (SELECT day, CAST(sum(x) AS BIGINT) AS y " +
+        "FROM grain GROUP BY 1), " +
+        "w AS (SELECT n_name, day, x, count(*) OVER fr AS nw, " +
+        "sum(x) OVER fr AS sx, sum(y) OVER fr AS sy, " +
+        "sum(x * y) OVER fr AS sxy, sum(x * x) OVER fr AS sxx " +
+        "FROM grain JOIN market USING (day) " +
+        "WINDOW fr AS (PARTITION BY n_name ORDER BY day " +
+        "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) " +
+        "SELECT n_name, strftime(day, '%Y-%m-%d') AS day_str, x AS dollars, " +
+        "CASE WHEN nw * sxx - sx * sx = 0 THEN NULL ELSE " +
+        s"${sqlR("(nw * sxy - sx * sy) / (nw * sxx - sx * sx)", 6)} END " +
+        "AS beta_30d " +
+        "FROM w WHERE nw = 30 ORDER BY n_name, day_str"),
+    "q_timeseries_decompose" ->
+      ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "wdw AS (SELECT day, cents, count(*) OVER c AS nw, " +
+        "sum(cents) OVER c AS s7 FROM ser " +
+        "WINDOW c AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "tr AS (SELECT day, cents, (1000 * s7) // 7 AS trend_milli, " +
+        "cents * 1000 - (1000 * s7) // 7 AS detrend_milli, " +
+        "(day - DATE '1970-01-05') % 7 AS dow FROM wdw WHERE nw = 7), " +
+        "se AS (SELECT dow, (CASE WHEN sum(detrend_milli) < 0 THEN -1 " +
+        "ELSE 1 END) * (abs(sum(detrend_milli)) // count(*)) " +
+        "AS seasonal_milli FROM tr GROUP BY 1) " +
+        "SELECT strftime(day, '%Y-%m-%d') AS day_str, cents, " +
+        "CAST(trend_milli AS BIGINT) AS trend_milli, " +
+        "CAST(seasonal_milli AS BIGINT) AS seasonal_milli, " +
+        "CAST(detrend_milli - seasonal_milli AS BIGINT) AS remainder_milli " +
+        "FROM tr JOIN se USING (dow) ORDER BY day_str"),
+    "q_agg_var_cvar" ->
+      ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "dl AS (SELECT day, cents - lag(cents) OVER (ORDER BY day) AS delta " +
+        "FROM ser), " +
+        "dd AS (SELECT day, delta FROM dl WHERE delta IS NOT NULL), " +
+        "rk AS (SELECT delta, row_number() OVER (ORDER BY delta, day) AS rn, " +
+        "count(*) OVER () AS n FROM dd), " +
+        "j AS (SELECT lv.level, rk.delta, rk.rn, rk.n, " +
+        "(rk.n * lv.tp + 99) // 100 AS k FROM rk " +
+        "CROSS JOIN (VALUES (95, 5), (99, 1)) lv(level, tp)) " +
+        "SELECT CAST(level AS BIGINT) AS level, " +
+        "CAST(n AS BIGINT) AS n_deltas, CAST(k AS BIGINT) AS k_tail, " +
+        "CAST(max(CASE WHEN rn = k THEN delta END) AS BIGINT) AS var_cents, " +
+        s"${sqlR("sum(delta) / max(k)", 6)} AS cvar_cents " +
+        "FROM j WHERE rn <= k GROUP BY level, n, k ORDER BY level"),
     "q_timeseries_autocorr" ->
       ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +

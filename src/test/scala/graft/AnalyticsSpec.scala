@@ -865,6 +865,121 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.forall(_._2 <= nDays - 1))
   }
 
+  test("q_graph_common_neighbors: bounds, ordering, one pair recounted") {
+    val out = Analytics.graphCommonNeighbors(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length === 20)
+    out.foreach { case (sp1, sp2, common, d1, d2, j) =>
+      assert(sp1 < sp2)
+      assert(common <= math.min(d1, d2))
+      assert(j > 0.0 && j <= 1.0)
+      // jaccard is consistent with its own integer ingredients
+      assert(math.abs(j - common.toDouble / (d1 + d2 - common)) < 1e-6)
+    }
+    // sorted by common desc with deterministic tie-break
+    assert(out.map(_._3).toSeq === out.map(_._3).sortBy(-_).toSeq)
+    // recount the top pair's common neighbors independently
+    val (sp1, sp2, common, _, _, _) = out.head
+    val e = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+    val want = e.where(col("sp") === sp1).select("c")
+      .intersect(e.where(col("sp") === sp2).select("c")).count()
+    assert(common === want)
+  }
+
+  test("q_agg_concentration: prefix minimality and share bounds hold") {
+    val rows = Analytics.aggConcentration(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, total, n80, share) =>
+      assert(n80 >= 1 && n80 <= n)
+      assert(share > 0.0 && share <= 1.0)
+      assert(total > 0)
+    }
+    // recompute one nation's n_top80 from the sorted spend vector
+    val (nat, _, total, n80, _) = rows.head
+    val spend = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === nat)
+      .groupBy(col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+      .collect().map(_.getLong(1))
+    assert(spend.sum === total)
+    var cum = 0L; var k = 0
+    while (k < spend.length && cum * 5 < total * 4) { cum += spend(k); k += 1 }
+    assert(n80.toInt === k)
+  }
+
+  test("q_timeseries_decompose re-adds bit-exactly: trend+seasonal+remainder") {
+    val rows = Analytics.timeseriesDecompose(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cents, trend, seasonal, rem) =>
+      assert(trend + seasonal + rem === cents * 1000)
+    }
+    // seasonal index sums to ~0 across the week (means of a zero-mean-ish
+    // detrended series): magnitude far below the daily scale
+    val uniq = rows.map(r => (r._4)).distinct
+    assert(uniq.length <= 7)
+  }
+
+  test("q_agg_var_cvar matches a local sort of the delta series") {
+    val out = Analytics.aggVarCvar(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(95L, 99L))
+    val cents = Tables(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("c"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val deltas = cents.sliding(2).map(p => p(1) - p(0)).toArray.sorted
+    out.foreach { case (lvl, n, k, varC, cvar) =>
+      assert(n === deltas.length)
+      val tp = if (lvl == 95) 5 else 1
+      assert(k === (n * tp + 99) / 100)
+      assert(varC === deltas(k.toInt - 1))
+      val want = deltas.take(k.toInt).sum.toDouble / k
+      assert(math.abs(cvar - want) < 1e-6)
+      // CVaR (mean of the tail) can never exceed VaR (the tail's max)
+      assert(cvar <= varC + 1e-9)
+    }
+  }
+
+  test("q_window_beta: full frames only; one frame recomputed exactly") {
+    val out = Analytics.windowBeta(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(out.nonEmpty)
+    // pick one nation and recompute its last emitted beta from the grain
+    val nat = out.head._1
+    val mine = out.filter(_._1 == nat).sortBy(_._2)
+    val grain = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 1, 0)).cast("long").as("x"))
+    val xs = grain.where(col("n_name") === nat).orderBy("day")
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2)))
+    val market = grain.groupBy("day").agg(sum("x").as("y"))
+      .orderBy("day").collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    // the nation's first emitted day is its 30th observed day
+    assert(mine.head._2 === xs(29)._1)
+    val frame = xs.take(30).map { case (dayS, x) => (x, market(dayS)) }
+    val n = frame.length.toLong
+    val sx = frame.map(_._1).sum; val sy = frame.map(_._2).sum
+    val sxy = frame.map(p => p._1 * p._2).sum
+    val sxx = frame.map(p => p._1 * p._1).sum
+    val want = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(math.abs(mine.head._4 - want) < 1e-6)
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
