@@ -1762,7 +1762,136 @@ object Analytics {
       .orderBy("level")
   }
 
+  // ------------------------------------------------------------ attribution
+
+  /** q_event_attribution — FIRST-TOUCH vs LAST-TOUCH MARKETING ATTRIBUTION:
+    * each purchase's revenue is credited to the user's earliest touch
+    * (click/view) ever seen, and to the most recent touch at purchase time —
+    * both carried by `first/last(..., ignoreNulls)` over ONE running
+    * user-keyed window (ties broken by event_id, total order). Purchases
+    * with no preceding touch credit the `none` channel. Both models unfold
+    * from the same pass via `stack`, so the answer is one shuffle on
+    * user_id plus one tiny keyed aggregate.
+    *
+    * Scale: the carried state per row is two small strings — no join of
+    * events against events, no per-purchase backward scan. Revenue is exact
+    * cents; the output is |models|×|channels| rows.
+    */
+  def eventAttribution(s: SparkSession, d: String): DataFrame = {
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        col("value"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("stack(2, 'first', coalesce(first_touch, 'none'), " +
+          "'last', coalesce(last_touch, 'none')) AS (model, channel)"))
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("model", "channel")
+  }
+
+  // --------------------------------------------------------------------- HHI
+
+  /** q_agg_hhi — HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of supplier
+    * revenue within each nation: HHI = Σ share_i² = Σx_i² / (Σx_i)², plus
+    * the single largest share — the antitrust-style complement of
+    * [[aggConcentration]]'s Lorenz prefix. Both power sums are EXACT longs
+    * (whole-dollar units); the only floating steps are the two final
+    * divisions at 6 dp, so shuffle/merge order cannot move the answer
+    * (a direct Σ(double share²) would).
+    *
+    * Scale: one keyed agg to (nation, supplier) grain, one keyed agg to
+    * nation — both map-side combinable. Dollar units keep Σx² inside long
+    * range at fixture scale; at 100 TB grain, rescale units first (the
+    * ratio is unit-invariant).
+    */
+  def aggHhi(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 1, 0)).cast("long").as("x"))
+    rev.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("x")).as("total"),
+        sum(col("x") * col("x")).as("sumsq"), max(col("x")).as("maxx"))
+      .select(col("n_name"), col("n_suppliers"),
+        col("total").as("total_dollars"),
+        r(col("sumsq") / (col("total") * col("total")), 6).as("hhi"),
+        r(col("maxx") / col("total"), 6).as("top_share"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------------------------ k-core peel
+
+  /** q_graph_kcore_peel — one PEEL STEP of core decomposition over the
+    * customer–supplier co-purchase bipartite graph, with a SCALE-FREE
+    * threshold: each side peels its vertices of degree strictly below that
+    * side's exact (lower) median degree, then drops the edges they carried;
+    * reported per side: the median used, survivor counts, and the
+    * post-peel degree range. The driver iterates peels to a fixpoint
+    * exactly as it iterates [[graphPagerankStep]] — each step is a
+    * self-contained shuffle-bounded job whose state is the surviving edge
+    * table.
+    *
+    * Scale: the exact median is NOT a global sort of the vertex table — it
+    * reads off a cumulative window over the tiny degree-VALUE histogram
+    * (distinct degree values, not vertices; same two-level trick as the
+    * parallel weighted median). Degrees are keyed aggs; the drop is two
+    * semi joins against broadcastable survivor key sets. All counts exact,
+    * and the median threshold tracks the graph's own density at any SF.
+    */
+  def graphKcorePeel(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    val dc = e.groupBy("c").agg(count(lit(1)).as("deg"))
+    val dsp = e.groupBy("sp").agg(count(lit(1)).as("deg"))
+    // exact lower median from the degree-value histogram: the value whose
+    // cumulative count first reaches ceil(n/2)
+    def median(degT: DataFrame): DataFrame = {
+      val wCum = Window.orderBy("deg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      degT.groupBy("deg").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .where(col("cum") >= expr("(n + 1) div 2") &&
+          col("cum") - col("cnt") < expr("(n + 1) div 2"))
+        .select(col("deg").as("med"))
+    }
+    val mc = median(dc); val msp = median(dsp)
+    val e2 = e
+      .join(dc.crossJoin(broadcast(mc)).where(col("deg") >= col("med"))
+        .select("c"), Seq("c"), "left_semi")
+      .join(dsp.crossJoin(broadcast(msp)).where(col("deg") >= col("med"))
+        .select("sp"), Seq("sp"), "left_semi")
+    val edgesAfter = e2.agg(count(lit(1)).as("n_edges_after"))
+    def side(name: String, before: DataFrame, med: DataFrame,
+        keyAfter: String): DataFrame =
+      before.agg(count(lit(1)).as("n_before"))
+        .crossJoin(broadcast(med))
+        .crossJoin(e2.groupBy(keyAfter).agg(count(lit(1)).as("deg2"))
+          .agg(count(lit(1)).as("n_after"), min(col("deg2")).as("min_deg_after"),
+            max(col("deg2")).as("max_deg_after")))
+        .crossJoin(edgesAfter)
+        .select(lit(name).as("side"), col("med").as("k_med"), col("n_before"),
+          col("n_after"), col("min_deg_after"), col("max_deg_after"),
+          col("n_edges_after"))
+    side("cust", dc, mc, "c").unionByName(side("supp", dsp, msp, "sp"))
+      .orderBy("side")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_attribution" -> eventAttribution _,
+    "q_agg_hhi" -> aggHhi _,
+    "q_graph_kcore_peel" -> graphKcorePeel _,
     "q_graph_common_neighbors" -> graphCommonNeighbors _,
     "q_agg_concentration" -> aggConcentration _,
     "q_window_beta" -> windowBeta _,
@@ -1807,6 +1936,71 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_event_attribution" ->
+      ("WITH ev AS (SELECT user_id, event_id, event_type, value, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT event_type, value, " +
+        "first_value(CASE WHEN event_type IN ('click', 'view') " +
+        "THEN event_type END IGNORE NULLS) OVER fr AS first_touch, " +
+        "last_value(CASE WHEN event_type IN ('click', 'view') " +
+        "THEN event_type END IGNORE NULLS) OVER fr AS last_touch " +
+        "FROM ev WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "p AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents, " +
+        "coalesce(first_touch, 'none') AS fc, " +
+        "coalesce(last_touch, 'none') AS lc " +
+        "FROM m WHERE event_type = 'purchase'), " +
+        "u AS (SELECT 'first' AS model, fc AS channel, cents FROM p " +
+        "UNION ALL SELECT 'last' AS model, lc AS channel, cents FROM p) " +
+        "SELECT model, channel, CAST(count(*) AS BIGINT) AS n_purchases, " +
+        "CAST(sum(cents) AS BIGINT) AS revenue_cents " +
+        "FROM u GROUP BY model, channel ORDER BY model, channel"),
+    "q_agg_hhi" ->
+      ("WITH rev AS (SELECT n_name, s_suppkey, " +
+        "CAST(sum(round(l_extendedprice * 1, 0)) AS BIGINT) AS x " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2) " +
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers, " +
+        "CAST(sum(x) AS BIGINT) AS total_dollars, " +
+        s"${sqlR("sum(x * x) / (sum(x) * sum(x))", 6)} AS hhi, " +
+        s"${sqlR("max(x) / sum(x)", 6)} AS top_share " +
+        "FROM rev GROUP BY n_name ORDER BY n_name"),
+    "q_graph_kcore_peel" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "dc AS (SELECT c, count(*) AS deg FROM e GROUP BY c), " +
+        "dsp AS (SELECT sp, count(*) AS deg FROM e GROUP BY sp), " +
+        "hc AS (SELECT deg, count(*) AS cnt FROM dc GROUP BY deg), " +
+        "hsp AS (SELECT deg, count(*) AS cnt FROM dsp GROUP BY deg), " +
+        "mc AS (SELECT deg AS med FROM (SELECT deg, cnt, " +
+        "sum(cnt) OVER (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS cum, sum(cnt) OVER () AS n FROM hc) " +
+        "WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2), " +
+        "msp AS (SELECT deg AS med FROM (SELECT deg, cnt, " +
+        "sum(cnt) OVER (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS cum, sum(cnt) OVER () AS n FROM hsp) " +
+        "WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2), " +
+        "e2 AS (SELECT c, sp FROM e " +
+        "WHERE c IN (SELECT c FROM dc, mc WHERE deg >= med) " +
+        "AND sp IN (SELECT sp FROM dsp, msp WHERE deg >= med)), " +
+        "ea AS (SELECT count(*) AS n_edges_after FROM e2), " +
+        "dc2 AS (SELECT c, count(*) AS deg2 FROM e2 GROUP BY c), " +
+        "dsp2 AS (SELECT sp, count(*) AS deg2 FROM e2 GROUP BY sp) " +
+        "SELECT 'cust' AS side, CAST((SELECT med FROM mc) AS BIGINT) AS k_med, " +
+        "CAST((SELECT count(*) FROM dc) AS BIGINT) AS n_before, " +
+        "CAST(count(*) AS BIGINT) AS n_after, " +
+        "CAST(min(deg2) AS BIGINT) AS min_deg_after, " +
+        "CAST(max(deg2) AS BIGINT) AS max_deg_after, " +
+        "CAST((SELECT n_edges_after FROM ea) AS BIGINT) AS n_edges_after " +
+        "FROM dc2 " +
+        "UNION ALL SELECT 'supp' AS side, " +
+        "CAST((SELECT med FROM msp) AS BIGINT) AS k_med, " +
+        "CAST((SELECT count(*) FROM dsp) AS BIGINT) AS n_before, " +
+        "CAST(count(*) AS BIGINT) AS n_after, " +
+        "CAST(min(deg2) AS BIGINT) AS min_deg_after, " +
+        "CAST(max(deg2) AS BIGINT) AS max_deg_after, " +
+        "CAST((SELECT n_edges_after FROM ea) AS BIGINT) AS n_edges_after " +
+        "FROM dsp2 ORDER BY side"),
     "q_graph_common_neighbors" ->
       ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +

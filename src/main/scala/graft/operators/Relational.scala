@@ -788,6 +788,28 @@ object Relational {
          |ORDER BY o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q_sql_grouping_sets — an ARBITRARY grouping-set list,
+    * `((flag,status),(status),())` — non-hierarchical (it skips `(flag)`),
+    * so neither ROLLUP nor CUBE can express it; this is the general form
+    * the other two desugar into. Same single-scan expand-and-aggregate
+    * plan and `grouping_id` bit parity as [[aggRollupCube]]; one partial
+    * agg per grouping set, map-side combined, so the scan count stays 1
+    * regardless of how many sets are listed.
+    */
+  def sqlGroupingSets(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .createOrReplaceTempView("graft_gs_base")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |CAST(${sqlSumExact("l_quantity", 2)} AS DOUBLE) AS sum_qty,
+         |CAST(grouping_id() AS INT) AS gid
+         |FROM graft_gs_base
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   // -------------------------------------------------------------- sort/topk
 
   /** q_sort_limit — global order + limit. */
@@ -1270,6 +1292,7 @@ object Relational {
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_grouping_sets" -> sqlGroupingSets _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
     "q_sink_partitioned" -> sinkPartitioned _,
@@ -1324,6 +1347,14 @@ object Relational {
     "q_window_range_frame" -> windowRangeFrame _)
 
   val oracle: Map[String, String] = Map(
+    "q_sql_grouping_sets" ->
+      (s"SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        s"CAST(${sqlSumExact("l_quantity", 2)} AS DOUBLE) AS sum_qty, " +
+        "CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), " +
+        "(l_linestatus), ()) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
     "q_scan_parquet" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "q_scan_pruned" ->

@@ -980,6 +980,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(mine.head._4 - want) < 1e-6)
   }
 
+  test("q_event_attribution: models agree on totals; channels are touches") {
+    val rows = Analytics.eventAttribution(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("click", "view", "none")(r._2)))
+    val byModel = rows.groupBy(_._1)
+    assert(byModel.keySet === Set("first", "last"))
+    // both models partition the SAME purchase set → identical totals
+    val totals = byModel.view.mapValues(g => (g.map(_._3).sum, g.map(_._4).sum)).toMap
+    assert(totals("first") === totals("last"))
+    // and the total equals the directly computed purchase revenue
+    val want = Tables(s, d, "events").where(col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(round(col("value") * 100, 0)).cast("long"))
+      .collect().head
+    assert(totals("first") === ((want.getLong(0), want.getLong(1))))
+  }
+
+  test("q_agg_hhi: bounds 1/n <= HHI <= 1 and top_share^2 <= HHI <= top_share") {
+    val rows = Analytics.aggHhi(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, n, total, hhi, top) =>
+      assert(total > 0 && n > 0)
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9, s"$nat hhi=$hhi")
+      assert(hhi >= top * top - 1e-6, s"$nat: hhi below max share squared")
+      assert(hhi <= top + 1e-6, s"$nat: hhi above max share")
+    }
+  }
+
+  test("q_graph_kcore_peel: median threshold peels both sides; counts agree") {
+    val rows = Analytics.graphKcorePeel(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq === Seq("cust", "supp"))
+    val ne = rows.map(_._7).distinct
+    assert(ne.length === 1 && ne.head > 0)
+    rows.foreach { case (_, med, before, after, minD, maxD, edges) =>
+      assert(med >= 1)
+      assert(after <= before && after > 0)
+      assert(minD >= 1 && minD <= maxD && maxD <= edges)
+    }
+    // the median threshold actually cuts somewhere at this SF
+    assert(rows.exists(r => r._4 < r._3))
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -466,4 +466,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans === 1, s"pattern count must not multiply scan count " +
       s"(found $scans scans):\n$p")
   }
+
+  test("q_event_attribution: both models from one window pass, no self-join") {
+    val p = plan(operators.Analytics.eventAttribution(s, d))
+    assert(!p.contains("Join"), s"attribution must carry touches in a " +
+      s"window, not join events to events:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events.parquet"))
+    assert(scans === 1, s"two models must not re-scan (found $scans):\n$p")
+    assert(p.contains("Generate"), s"expected stack() unfold:\n$p")
+  }
+
+  test("q_agg_hhi: nation broadcasts; both agg levels have partial phases") {
+    val p = plan(operators.Analytics.aggHhi(s, d))
+    assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("q_graph_common_neighbors: top-20 is a bounded heap; degrees broadcast") {
+    val p = plan(operators.Analytics.graphCommonNeighbors(s, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree re-attach must broadcast, not shuffle the pair table:\n$p")
+  }
+
+  test("q_window_beta and q_agg_concentration windows are partitioned (never global)") {
+    Seq(operators.Analytics.windowBeta(s, d),
+      operators.Analytics.aggConcentration(s, d)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty)
+      winLines.foreach(l => assert(l.contains("n_name"),
+        s"window not partitioned by n_name (single-partition hazard):\n$l"))
+    }
+  }
 }

@@ -351,6 +351,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sql_grouping_sets: exactly the three declared sets; totals nest") {
+    val rows = Relational.sqlGroupingSets(s, d).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    // gid bitmask: flag is the MSB → (flag,status)=0, (status)=2, ()=3
+    assert(rows.map(_._5).toSet === Set(0, 2, 3))
+    val leaf = rows.filter(_._5 == 0)
+    val byStatus = rows.filter(_._5 == 2)
+    val all = rows.filter(_._5 == 3)
+    assert(all.length === 1 && all.head._1.isEmpty && all.head._2.isEmpty)
+    // counts roll up exactly across the non-hierarchical sets
+    assert(leaf.map(_._3).sum === all.head._3)
+    assert(byStatus.map(_._3).sum === all.head._3)
+    byStatus.foreach { case (_, st, n, qty, _) =>
+      val mine = leaf.filter(_._2 == st)
+      assert(mine.map(_._3).sum === n)
+      assert(math.abs(mine.map(_._4).sum - qty) < 1e-6, s"status $st")
+    }
+  }
+
   test("q_agg_approx_quantile: rank contract holds; exact envelope sane") {
     val rows = operators.Relational.aggApproxQuantile(s, d).collect()
     assert(rows.nonEmpty)
