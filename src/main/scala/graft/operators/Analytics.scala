@@ -1888,7 +1888,76 @@ object Analytics {
       .orderBy("side")
   }
 
+  // ---------------------------------------------------------- funnel latency
+
+  /** q_funnel_latency — TIME-TO-CONVERT distribution from first signup to
+    * first subsequent purchase: conversion rate plus EXACT p50/p90 latency
+    * (percentile_disc semantics — the k-th smallest observed latency,
+    * k = ⌈n·q⌉, deterministic ties by user). The latency complement of
+    * [[Relational.funnelSteps]]' step counts: not just HOW MANY convert,
+    * but how long conversion takes.
+    *
+    * Scale: two keyed min-aggs (first signup, first qualifying purchase)
+    * and one rank over the CONVERTED-USER latency vector — the ranked set
+    * is already reduced to one row per converted user. Latencies are
+    * integer seconds; the only double is the 6 dp conversion rate.
+    */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .where(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("p_ts"))
+      .select(col("user_id"),
+        expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 1000000").as("lat_s"))
+    val ranked = conv
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("lat_s"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("k50", expr("(n * 50 + 99) div 100"))
+      .withColumn("k90", expr("(n * 90 + 99) div 100"))
+    ranked
+      .agg(max(col("n")).as("n_converted"),
+        max(when(col("rn") === col("k50"), col("lat_s"))).as("p50_latency_s"),
+        max(when(col("rn") === col("k90"), col("lat_s"))).as("p90_latency_s"))
+      .crossJoin(broadcast(su.agg(count(lit(1)).as("n_signup_users"))))
+      .select(col("n_signup_users"), col("n_converted"),
+        r(col("n_converted") / col("n_signup_users"), 6).as("conv_rate"),
+        col("p50_latency_s"), col("p90_latency_s"))
+  }
+
+  // ---------------------------------------------------------- growth ratios
+
+  /** q_timeseries_growth — WEEK-OVER-WEEK growth of revenue on the
+    * Monday-truncated weekly grain: exact weekly cents, the WoW ratio
+    * (6 dp, NULL on the first week), and the trailing 4-week average in
+    * exact integer milli-cents (NULL until the frame fills). The
+    * growth-reporting twin of [[timeseriesAutocorr]]'s lag diagnostics.
+    *
+    * Scale: facts collapse to WEEK grain (map-side combinable) before the
+    * single ordered window over a calendar-bounded series.
+    */
+  def timeseriesGrowth(s: SparkSession, d: String): DataFrame = {
+    val wk = t(s, d, "orders")
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val w = Window.orderBy("week")
+    val w4 = w.rowsBetween(-3, 0)
+    wk.withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("nw", count(lit(1)).over(w4))
+      .withColumn("s4", sum(col("cents")).over(w4))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week_str"),
+        col("cents"),
+        r(col("cents") / col("prev"), 6).as("wow_ratio"),
+        when(col("nw") === 4, expr("(1000 * s4) div 4")).as("avg4_milli"))
+      .orderBy("week_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_latency" -> funnelLatency _,
+    "q_timeseries_growth" -> timeseriesGrowth _,
     "q_event_attribution" -> eventAttribution _,
     "q_agg_hhi" -> aggHhi _,
     "q_graph_kcore_peel" -> graphKcorePeel _,
@@ -1936,6 +2005,43 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_latency" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "su AS (SELECT user_id, min(us) AS s_us FROM ev " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "conv AS (SELECT e.user_id, " +
+        "(min(e.us) - su.s_us) // 1000000 AS lat_s " +
+        "FROM ev e JOIN su ON e.user_id = su.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.us >= su.s_us " +
+        "GROUP BY e.user_id, su.s_us), " +
+        "rk AS (SELECT lat_s, " +
+        "row_number() OVER (ORDER BY lat_s, user_id) AS rn, " +
+        "count(*) OVER () AS n FROM conv), " +
+        "agg AS (SELECT max(n) AS n_converted, " +
+        "max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_s END) AS p50, " +
+        "max(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_s END) AS p90 " +
+        "FROM rk), " +
+        "ns AS (SELECT count(*) AS n_signup_users FROM su) " +
+        "SELECT CAST(n_signup_users AS BIGINT) AS n_signup_users, " +
+        "CAST(n_converted AS BIGINT) AS n_converted, " +
+        s"${sqlR("n_converted / n_signup_users", 6)} AS conv_rate, " +
+        "CAST(p50 AS BIGINT) AS p50_latency_s, " +
+        "CAST(p90 AS BIGINT) AS p90_latency_s FROM agg, ns"),
+    "q_timeseries_growth" ->
+      ("WITH wk AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) " +
+        "AS week, CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "w AS (SELECT week, cents, " +
+        "lag(cents) OVER (ORDER BY week) AS prev, " +
+        "count(*) OVER fr AS nw, sum(cents) OVER fr AS s4 FROM wk " +
+        "WINDOW fr AS (ORDER BY week ROWS BETWEEN 3 PRECEDING AND " +
+        "CURRENT ROW)) " +
+        "SELECT strftime(week, '%Y-%m-%d') AS week_str, cents, " +
+        s"${sqlR("cents / prev", 6)} AS wow_ratio, " +
+        "CAST(CASE WHEN nw = 4 THEN (1000 * s4) // 4 END AS BIGINT) " +
+        "AS avg4_milli " +
+        "FROM w ORDER BY week_str"),
     "q_event_attribution" ->
       ("WITH ev AS (SELECT user_id, event_id, event_type, value, " +
         "epoch_us(ts) AS us FROM events), " +

@@ -788,6 +788,27 @@ object Relational {
          |ORDER BY o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q_agg_bitmap_distinct — EXACT distinct counting via BITMAP MERGE, the
+    * scale path `count(DISTINCT)` doesn't have: ids bucket into fixed
+    * 32k-bit ranges (`bitmap_bucket_number`/`bitmap_bit_position`), each
+    * (type, bucket) group folds to ONE bitmap via `bitmap_construct_agg`
+    * (partial-aggregatable — bitmaps OR together associatively), and the
+    * final count is a sum of per-bucket popcounts. Rows shuffled =
+    * #distinct buckets, not #distinct ids: a 10⁹-user distinct count
+    * moves ~30k bitmap rows per group instead of 10⁹ id rows, and unlike
+    * [[aggApproxDistinct]]'s HLL it is EXACT — the DuckDB oracle's
+    * `count(DISTINCT)` must match it to the row.
+    */
+  def aggBitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events")
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+      .orderBy("event_type")
+  }
+
   /** q_sql_grouping_sets — an ARBITRARY grouping-set list,
     * `((flag,status),(status),())` — non-hierarchical (it skips `(flag)`),
     * so neither ROLLUP nor CUBE can express it; this is the general form
@@ -1292,6 +1313,7 @@ object Relational {
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bitmap_distinct" -> aggBitmapDistinct _,
     "q_sql_grouping_sets" -> sqlGroupingSets _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
@@ -1347,6 +1369,9 @@ object Relational {
     "q_window_range_frame" -> windowRangeFrame _)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bitmap_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) " +
+        "AS n_distinct FROM events GROUP BY event_type ORDER BY event_type"),
     "q_sql_grouping_sets" ->
       (s"SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         s"CAST(${sqlSumExact("l_quantity", 2)} AS DOUBLE) AS sum_qty, " +

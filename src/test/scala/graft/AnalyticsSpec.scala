@@ -1026,6 +1026,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(r => r._4 < r._3))
   }
 
+  test("q_funnel_latency: rate and exact disc percentiles recompute locally") {
+    val row = Analytics.funnelLatency(s, d).collect().head
+    val (nSign, nConv, rate, p50, p90) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getLong(3), row.getLong(4))
+    assert(nConv <= nSign && nConv > 0)
+    assert(math.abs(rate - nConv.toDouble / nSign) < 1e-6)
+    assert(p50 <= p90 && p50 >= 0)
+    // local recomputation from raw events
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val signups = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    assert(nSign === signups.size)
+    val lats = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, t0) => signups.get(u)
+        .filter(_ <= t0).map(st => (u, t0 - st)) }
+      .groupBy(_._1).map { case (_, g) => g.map(_._2).min / 1000000 }
+      .toArray.sorted
+    assert(nConv === lats.length)
+    assert(p50 === lats((lats.length * 50 + 99) / 100 - 1))
+    assert(p90 === lats((lats.length * 90 + 99) / 100 - 1))
+  }
+
+  test("q_timeseries_growth: ratio and trailing average law") {
+    val rows = Analytics.timeseriesGrowth(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.length > 4)
+    assert(rows.head._3.isEmpty, "first week has no WoW ratio")
+    assert(rows.take(3).forall(_._4.isEmpty), "trailing avg needs 4 weeks")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        b._3.foreach(wow => assert(math.abs(wow - b._2.toDouble / a._2) < 1e-6))
+      case _ =>
+    }
+    rows.sliding(4).filter(_.length == 4).foreach { win =>
+      win.last._4.foreach { avg4 =>
+        assert(avg4 === 1000L * win.map(_._2).sum / 4)
+      }
+    }
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

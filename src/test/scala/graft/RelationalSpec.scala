@@ -351,6 +351,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_bitmap_distinct equals count(DISTINCT) exactly") {
+    val got = Relational.aggBitmapDistinct(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables(s, d, "events").select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want)
+    // the merge path never shuffles raw ids: the second aggregate's input
+    // is (type, bucket, bitmap) rows, asserted by the plan containing the
+    // bitmap fold below the final exchange
+    val p = Relational.aggBitmapDistinct(s, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bitmap_construct_agg") && p.contains("partial_"),
+      s"bitmap fold must partial-aggregate map-side:\n$p")
+  }
+
   test("q_sql_grouping_sets: exactly the three declared sets; totals nest") {
     val rows = Relational.sqlGroupingSets(s, d).collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
