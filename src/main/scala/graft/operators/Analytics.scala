@@ -1955,7 +1955,104 @@ object Analytics {
       .orderBy("week_str")
   }
 
+  // ------------------------------------------------------------ lag features
+
+  /** q_window_lag_features — FORECASTING FEATURE GENERATION: for each
+    * (nation, day) revenue point, the lag-1/7/28 values, the trailing
+    * 7-day mean (exact integer milli-cents) and max — the standard
+    * supervised-learning feature block for demand models, emitted only
+    * where the deepest lag exists so every training row is complete.
+    *
+    * Scale: facts collapse to (nation, day) grain first; ONE
+    * nation-partitioned ordered window serves all five features (Spark
+    * plans a single Window operator for same-spec frames — no repeated
+    * sort). Integer everywhere.
+    */
+  def windowLagFeatures(s: SparkSession, d: String): DataFrame = {
+    val grain = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val w = Window.partitionBy("n_name").orderBy("day")
+    val w7 = w.rowsBetween(-6, 0)
+    grain
+      .withColumn("lag1", lag(col("cents"), 1).over(w))
+      .withColumn("lag7", lag(col("cents"), 7).over(w))
+      .withColumn("lag28", lag(col("cents"), 28).over(w))
+      .withColumn("nw", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("cents")).over(w7))
+      .withColumn("max7", max(col("cents")).over(w7))
+      .where(col("lag28").isNotNull && col("nw") === 7)
+      .select(col("n_name"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("lag1"), col("lag7"), col("lag28"),
+        expr("(1000 * s7) div 7").as("mean7_milli"), col("max7"))
+      .orderBy("n_name", "day_str")
+  }
+
+  // ------------------------------------------------------- balanced sampling
+
+  /** q_sample_balanced — CLASS-BALANCED DOWNSAMPLING for training mixes:
+    * every language keeps exactly m documents, m = the smallest class
+    * count, selected as the m smallest values of a Knuth multiplicative
+    * hash of doc_id — a deterministic, engine-portable "random" choice
+    * (pure BIGINT arithmetic, unlike engine-specific xxhash/rand), so the
+    * kept SET is bit-stable and the oracle can replay it. Output is the
+    * per-class audit: original count, kept count, and the kept-set id
+    * checksum.
+    *
+    * Scale: selection is a rank inside each class partition (bounded by
+    * class size), no global sort, no driver-side list; the hash rank
+    * prunes before any payload column is touched — ids only until the
+    * final checksum.
+    */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("h", expr("(doc_id * 2654435761) % 4294967296"))
+    val m = docs.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+    val mMin = m.agg(min(col("n_orig")).as("m"))
+    val ranked = docs.withColumn("rk", row_number().over(
+      Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+    ranked.crossJoin(broadcast(mMin))
+      .where(col("rk") <= col("m"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      .join(m, "lang")
+      .select(col("lang"), col("n_orig"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------- path trigrams
+
+  /** q_event_trigrams — TOP-20 THREE-STEP BEHAVIOR PATHS: consecutive
+    * event-type trigrams per user (ordered by time, ties by event_id),
+    * counted globally — the sequence-depth extension of
+    * [[eventTransition]]'s bigram matrix, read for "what do users do in
+    * threes" funnel design.
+    *
+    * Scale: two `lead`s over one user-keyed window (no self-joins), then
+    * a keyed count and a distributed TakeOrdered top-20 with a total
+    * (count DESC, path) tie-break.
+    */
+  def eventTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_lag_features" -> windowLagFeatures _,
+    "q_sample_balanced" -> sampleBalanced _,
+    "q_event_trigrams" -> eventTrigrams _,
     "q_funnel_latency" -> funnelLatency _,
     "q_timeseries_growth" -> timeseriesGrowth _,
     "q_event_attribution" -> eventAttribution _,
@@ -2005,6 +2102,49 @@ object Analytics {
     "q_window_drawdown" -> windowDrawdown _)
 
   val oracle: Map[String, String] = Map(
+    "q_window_lag_features" ->
+      ("WITH grain AS (SELECT n_name, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "w AS (SELECT n_name, day, cents, " +
+        "lag(cents, 1) OVER o AS lag1, lag(cents, 7) OVER o AS lag7, " +
+        "lag(cents, 28) OVER o AS lag28, " +
+        "count(*) OVER f7 AS nw, sum(cents) OVER f7 AS s7, " +
+        "max(cents) OVER f7 AS max7 FROM grain " +
+        "WINDOW o AS (PARTITION BY n_name ORDER BY day), " +
+        "f7 AS (PARTITION BY n_name ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT n_name, strftime(day, '%Y-%m-%d') AS day_str, cents, " +
+        "lag1, lag7, lag28, " +
+        "CAST((1000 * s7) // 7 AS BIGINT) AS mean7_milli, max7 " +
+        "FROM w WHERE lag28 IS NOT NULL AND nw = 7 " +
+        "ORDER BY n_name, day_str"),
+    "q_sample_balanced" ->
+      ("WITH docs AS (SELECT doc_id, lang, " +
+        "(doc_id * 2654435761) % 4294967296 AS h FROM documents), " +
+        "m AS (SELECT lang, count(*) AS n_orig FROM docs GROUP BY lang), " +
+        "mm AS (SELECT min(n_orig) AS mv FROM m), " +
+        "rk AS (SELECT doc_id, lang, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk " +
+        "FROM docs), " +
+        "kept AS (SELECT lang, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS kept_id_sum " +
+        "FROM rk, mm WHERE rk <= mv GROUP BY lang) " +
+        "SELECT k.lang, CAST(m.n_orig AS BIGINT) AS n_orig, " +
+        "CAST(k.n_kept AS BIGINT) AS n_kept, k.kept_id_sum " +
+        "FROM kept k JOIN m ON k.lang = m.lang ORDER BY k.lang"),
+    "q_event_trigrams" ->
+      ("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) " +
+        "AS us FROM events), " +
+        "t3 AS (SELECT event_type AS e1, " +
+        "lead(event_type, 1) OVER o AS e2, " +
+        "lead(event_type, 2) OVER o AS e3 FROM ev " +
+        "WINDOW o AS (PARTITION BY user_id ORDER BY us, event_id)) " +
+        "SELECT e1 || '>' || e2 || '>' || e3 AS path, " +
+        "CAST(count(*) AS BIGINT) AS n FROM t3 " +
+        "WHERE e2 IS NOT NULL AND e3 IS NOT NULL " +
+        "GROUP BY 1 ORDER BY n DESC, path LIMIT 20"),
     "q_funnel_latency" ->
       ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us " +
         "FROM events), " +

@@ -1070,6 +1070,67 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_window_lag_features: lags point at the true shifted rows") {
+    val rows = Analytics.windowLagFeatures(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // rebuild one nation's full series and check each feature row against it
+    val nat = rows.head._1
+    val ser = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === nat)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val idx = ser.map(_._1).zipWithIndex.toMap
+    rows.filter(_._1 == nat).foreach {
+      case (_, dayS, cents, l1, l7, l28, mean7, max7) =>
+        val i = idx(dayS)
+        assert(i >= 28, "emitted before lag28 exists")
+        assert(cents === ser(i)._2 && l1 === ser(i - 1)._2 &&
+          l7 === ser(i - 7)._2 && l28 === ser(i - 28)._2)
+        val win = ser.slice(i - 6, i + 1).map(_._2)
+        assert(mean7 === 1000L * win.sum / 7 && max7 === win.max)
+    }
+  }
+
+  test("q_sample_balanced: every class keeps exactly the min class size") {
+    val rows = Analytics.sampleBalanced(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val m = rows.map(_._2).min
+    rows.foreach { case (lang, orig, kept, ckSum) =>
+      assert(kept === m, s"$lang kept $kept != min class $m")
+      assert(kept <= orig && ckSum > 0)
+    }
+    // the kept set is the deterministic hash-min prefix: replay one class
+    val (lang, _, _, ckSum) = rows.head
+    val want = Tables(s, d, "documents").where(col("lang") === lang)
+      .select("doc_id").collect().map(_.getLong(0))
+      .sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+      .take(m.toInt).sum
+    assert(ckSum === want)
+  }
+
+  test("q_event_trigrams: counts match a local sequence scan") {
+    val out = Analytics.eventTrigrams(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === 20)
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val local = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    out.foreach { case (path, n) => assert(local(path) === n, path) }
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -75,7 +75,14 @@ class ContractSpec extends AnyFunSuite {
     "q_basket_lift", "q_agg_rfm", "q_event_transition", "q_join_fuzzy_name",
     "q_dq_referential", "q_seq_match", "q_survival_hazard",
     "q_agg_hll_overlap", "q_agg_approx_quantile", "q_text_lexical",
-    "q_source_text_roundtrip", "q_graph_degree_stats", "q_agg_cohort_ltv")
+    "q_source_text_roundtrip", "q_graph_degree_stats", "q_agg_cohort_ltv",
+    "q_event_sessionize", "q_agg_corr_matrix", "q_timeseries_interpolate",
+    "q_timeseries_autocorr", "q_anomaly_cusum", "q_graph_common_neighbors",
+    "q_agg_concentration", "q_window_beta", "q_timeseries_decompose",
+    "q_agg_var_cvar", "q_event_attribution", "q_agg_hhi",
+    "q_graph_kcore_peel", "q_sql_grouping_sets", "q_agg_bitmap_distinct",
+    "q_funnel_latency", "q_timeseries_growth", "q_window_lag_features",
+    "q_sample_balanced", "q_event_trigrams")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
