@@ -1568,7 +1568,11 @@ object Analytics {
     * a.sp < b.sp — each unordered pair produced exactly once); degrees are
     * a keyed agg broadcast back onto the bounded pair table.
     *
-    * Scale: wedge count per customer is deg², so the hub customers own the
+    * Scale: wedge generation is IN-ROW double `posexplode` over each
+    * customer's neighbor set ([[basketLift]]'s pattern) — no edge-table
+    * self-join, so the only shuffles are the neighbor-set groupBy and the
+    * map-side-combined pair count (wedges partial-aggregate before
+    * moving). Wedge count per customer is deg², so hub customers own the
     * cost — at 100 TB the standard mitigation (cap or sample neighbor
     * lists above a degree threshold, as in [[graphTriangles]]' oriented
     * variant) applies; the pair table is bounded by |suppliers|² regardless
@@ -1577,15 +1581,31 @@ object Analytics {
     * is deterministic. Jaccard rounds at 6 dp from exact integer counts.
     */
   def graphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // the neighbor-list table is the SHARED state both the degree and the
+    // wedge branch read; without pinning it, AQE replans each branch
+    // separately and the fact join + distinct re-execute per branch (5
+    // lineitem scans measured). Persisting the customer-grain lists —
+    // exactly the state an iterative graph engine keeps resident — makes
+    // the edge build run once; MEMORY_AND_DISK spills rather than OOMs at
+    // scale.
+    val nbrs = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .distinct()
-    val deg = e.groupBy(col("sp")).agg(count(lit(1)).as("deg"))
-    val pairs = e.as("a")
-      .join(e.as("b"), col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
-      .groupBy(col("a.sp").as("sp1"), col("b.sp").as("sp2"))
+      .groupBy(col("c"))
+      .agg(collect_set(col("sp")).as("sps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = nbrs.select(explode(col("sps")).as("sp"))
+      .groupBy(col("sp")).agg(count(lit(1)).as("deg"))
+    val pairs = nbrs
+      .where(size(col("sps")) > 1)
+      .select(posexplode(col("sps")).as(Seq("i", "x")), col("sps"))
+      .select(col("i"), col("x"), posexplode(col("sps")).as(Seq("j", "y")))
+      .where(col("i") < col("j"))
+      .select(least(col("x"), col("y")).as("sp1"),
+        greatest(col("x"), col("y")).as("sp2"))
+      .groupBy(col("sp1"), col("sp2"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(broadcast(deg).withColumnRenamed("sp", "sp1")
@@ -1847,44 +1867,53 @@ object Analytics {
     * and the median threshold tracks the graph's own density at any SF.
     */
   def graphKcorePeel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // the edge list is the iterated state — persist it (GraphX-style) so
+    // the fact join + distinct run once, not once per consuming branch
+    // (20 lineitem scans measured unpersisted: AQE replans every branch)
     val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .distinct()
-    val dc = e.groupBy("c").agg(count(lit(1)).as("deg"))
-    val dsp = e.groupBy("sp").agg(count(lit(1)).as("deg"))
-    // exact lower median from the degree-value histogram: the value whose
-    // cumulative count first reaches ceil(n/2)
-    def median(degT: DataFrame): DataFrame = {
-      val wCum = Window.orderBy("deg")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      degT.groupBy("deg").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-        .where(col("cum") >= expr("(n + 1) div 2") &&
-          col("cum") - col("cnt") < expr("(n + 1) div 2"))
-        .select(col("deg").as("med"))
-    }
-    val mc = median(dc); val msp = median(dsp)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both sides' degrees from ONE unpivoted pass over e; the vertex-grain
+    // result is tiny and feeds four consumers (medians, counts, keep sets)
+    def degrees(edges: DataFrame): DataFrame = edges
+      .select(explode(array(
+        struct(lit("cust").as("side"), col("c").as("v")),
+        struct(lit("supp").as("side"), col("sp").as("v")))).as("sv"))
+      .select(col("sv.side").as("side"), col("sv.v").as("v"))
+      .groupBy(col("side"), col("v")).agg(count(lit(1)).as("deg"))
+    val deg = degrees(e).persist(StorageLevel.MEMORY_AND_DISK)
+    // exact lower median per side from the degree-value histogram: the
+    // value whose cumulative count first reaches ceil(n/2)
+    val wCum = Window.partitionBy("side").orderBy("deg")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = deg.groupBy(col("side"), col("deg")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("side")))
+      .where(col("cum") >= expr("(n + 1) div 2") &&
+        col("cum") - col("cnt") < expr("(n + 1) div 2"))
+      .select(col("side"), col("deg").as("med"))
+    val keep = deg.join(broadcast(med), "side")
+      .where(col("deg") >= col("med"))
     val e2 = e
-      .join(dc.crossJoin(broadcast(mc)).where(col("deg") >= col("med"))
-        .select("c"), Seq("c"), "left_semi")
-      .join(dsp.crossJoin(broadcast(msp)).where(col("deg") >= col("med"))
-        .select("sp"), Seq("sp"), "left_semi")
-    val edgesAfter = e2.agg(count(lit(1)).as("n_edges_after"))
-    def side(name: String, before: DataFrame, med: DataFrame,
-        keyAfter: String): DataFrame =
-      before.agg(count(lit(1)).as("n_before"))
-        .crossJoin(broadcast(med))
-        .crossJoin(e2.groupBy(keyAfter).agg(count(lit(1)).as("deg2"))
-          .agg(count(lit(1)).as("n_after"), min(col("deg2")).as("min_deg_after"),
-            max(col("deg2")).as("max_deg_after")))
-        .crossJoin(edgesAfter)
-        .select(lit(name).as("side"), col("med").as("k_med"), col("n_before"),
-          col("n_after"), col("min_deg_after"), col("max_deg_after"),
-          col("n_edges_after"))
-    side("cust", dc, mc, "c").unionByName(side("supp", dsp, msp, "sp"))
+      .join(keep.where(col("side") === "cust").select(col("v").as("c")),
+        Seq("c"), "left_semi")
+      .join(keep.where(col("side") === "supp").select(col("v").as("sp")),
+        Seq("sp"), "left_semi")
+    // post-peel stats: again ONE unpivoted pass; Σdeg2 per side ≡ |e2|, so
+    // the edge count needs no extra subtree
+    val stats2 = degrees(e2).groupBy(col("side"))
+      .agg(count(lit(1)).as("n_after"), min(col("deg")).as("min_deg_after"),
+        max(col("deg")).as("max_deg_after"),
+        sum(col("deg")).as("n_edges_after"))
+    val before = deg.groupBy(col("side")).agg(count(lit(1)).as("n_before"))
+    before.join(med, "side").join(stats2, "side")
+      .select(col("side"), col("med").as("k_med"), col("n_before"),
+        col("n_after"), col("min_deg_after"), col("max_deg_after"),
+        col("n_edges_after"))
       .orderBy("side")
   }
 
