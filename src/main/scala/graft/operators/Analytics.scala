@@ -2078,7 +2078,33 @@ object Analytics {
       .limit(20)
   }
 
+  // ------------------------------------------------------- STL-residual IDs
+
+  /** q_timeseries_anomaly_stl — DESEASONALIZED ANOMALY DETECTION: flags
+    * days whose [[timeseriesDecompose]] REMAINDER exceeds 5× the
+    * remainder's mean absolute deviation. Raw-series detectors
+    * ([[Quality]]'s z-score, the MAD variant) fire on every weekly peak;
+    * subtracting trend + day-of-week seasonality first means only
+    * genuinely irregular days breach — the practical reason decomposition
+    * exists. Integer milli-cents end to end; the threshold is one
+    * broadcast scalar.
+    *
+    * Scale: inherits the decomposition's posture (day-grain collapse
+    * before any window); the MAD pass and the flag pass both run on the
+    * calendar-bounded series.
+    */
+  def timeseriesAnomalyStl(s: SparkSession, d: String): DataFrame = {
+    val dec = timeseriesDecompose(s, d)
+    val mad = dec.agg(
+      expr("sum(abs(remainder_milli)) div count(*)").as("mad_milli"))
+    dec.crossJoin(broadcast(mad))
+      .select(col("day_str"), col("cents"), col("remainder_milli"),
+        (abs(col("remainder_milli")) > col("mad_milli") * 5).as("breach"))
+      .orderBy("day_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_timeseries_anomaly_stl" -> timeseriesAnomalyStl _,
     "q_window_lag_features" -> windowLagFeatures _,
     "q_sample_balanced" -> sampleBalanced _,
     "q_event_trigrams" -> eventTrigrams _,
@@ -2129,6 +2155,25 @@ object Analytics {
     "q_agg_mode_exact" -> aggModeExact _,
     "q_agg_weighted_median" -> aggWeightedMedian _,
     "q_window_drawdown" -> windowDrawdown _)
+
+  /** Shared CTE for the STL pair: decomposition body ending in the `stl`
+    * relation (day, cents, trend/seasonal/remainder milli, dow). */
+  private val stlCte: String =
+    "WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+      "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY 1), " +
+      "wdw AS (SELECT day, cents, count(*) OVER c AS nw, " +
+      "sum(cents) OVER c AS s7 FROM ser " +
+      "WINDOW c AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+      "tr AS (SELECT day, cents, (1000 * s7) // 7 AS trend_milli, " +
+      "cents * 1000 - (1000 * s7) // 7 AS detrend_milli, " +
+      "(day - DATE '1970-01-05') % 7 AS dow FROM wdw WHERE nw = 7), " +
+      "se AS (SELECT dow, (CASE WHEN sum(detrend_milli) < 0 THEN -1 " +
+      "ELSE 1 END) * (abs(sum(detrend_milli)) // count(*)) " +
+      "AS seasonal_milli FROM tr GROUP BY 1), " +
+      "stl AS (SELECT day, cents, trend_milli, seasonal_milli, " +
+      "detrend_milli - seasonal_milli AS remainder_milli " +
+      "FROM tr JOIN se USING (dow))"
 
   val oracle: Map[String, String] = Map(
     "q_window_lag_features" ->
@@ -2324,23 +2369,18 @@ object Analytics {
         "AS beta_30d " +
         "FROM w WHERE nw = 30 ORDER BY n_name, day_str"),
     "q_timeseries_decompose" ->
-      ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
-        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
-        "FROM orders GROUP BY 1), " +
-        "wdw AS (SELECT day, cents, count(*) OVER c AS nw, " +
-        "sum(cents) OVER c AS s7 FROM ser " +
-        "WINDOW c AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
-        "tr AS (SELECT day, cents, (1000 * s7) // 7 AS trend_milli, " +
-        "cents * 1000 - (1000 * s7) // 7 AS detrend_milli, " +
-        "(day - DATE '1970-01-05') % 7 AS dow FROM wdw WHERE nw = 7), " +
-        "se AS (SELECT dow, (CASE WHEN sum(detrend_milli) < 0 THEN -1 " +
-        "ELSE 1 END) * (abs(sum(detrend_milli)) // count(*)) " +
-        "AS seasonal_milli FROM tr GROUP BY 1) " +
-        "SELECT strftime(day, '%Y-%m-%d') AS day_str, cents, " +
+      (stlCte + " SELECT strftime(day, '%Y-%m-%d') AS day_str, cents, " +
         "CAST(trend_milli AS BIGINT) AS trend_milli, " +
         "CAST(seasonal_milli AS BIGINT) AS seasonal_milli, " +
-        "CAST(detrend_milli - seasonal_milli AS BIGINT) AS remainder_milli " +
-        "FROM tr JOIN se USING (dow) ORDER BY day_str"),
+        "CAST(remainder_milli AS BIGINT) AS remainder_milli " +
+        "FROM stl ORDER BY day_str"),
+    "q_timeseries_anomaly_stl" ->
+      (stlCte + ", md AS (SELECT sum(abs(remainder_milli)) // count(*) " +
+        "AS mad_milli FROM stl) " +
+        "SELECT strftime(day, '%Y-%m-%d') AS day_str, cents, " +
+        "CAST(remainder_milli AS BIGINT) AS remainder_milli, " +
+        "abs(remainder_milli) > 5 * mad_milli AS breach " +
+        "FROM stl, md ORDER BY day_str"),
     "q_agg_var_cvar" ->
       ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +

@@ -428,7 +428,33 @@ object Quality {
       .orderBy("fk")
   }
 
+  /** q_privacy_ldiversity — L-DIVERSITY AUDIT, the release gate k-anonymity
+    * ([[privacyKanon]]) misses: a (nation, segment) cell can hold ≥ k
+    * customers yet expose them all if the SENSITIVE attribute (here the
+    * account-balance band, $1000 granularity) is uniform inside the cell.
+    * Reports per cell: size, distinct sensitive values (exact), and the
+    * l ≥ 3 release flag — publish only `ok` cells.
+    *
+    * Scale: one keyed agg over the customer dimension (dims broadcast);
+    * the exact distinct runs inside the same aggregation (Spark's expand
+    * path), grain-bounded by |nations|×|segments| output cells.
+    */
+  def privacyLdiversity(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .groupBy(col("n_name"), col("seg"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("band")).as("l_distinct"))
+      .select(col("n_name"), col("seg"), col("n"), col("l_distinct"),
+        (col("l_distinct") >= 3).as("ok"))
+      .orderBy("n_name", "seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_ldiversity" -> privacyLdiversity _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
     "q_privacy_kanon" -> privacyKanon _,
@@ -440,6 +466,14 @@ object Quality {
     "q_anomaly_mad" -> anomalyMad _)
 
   val oracle: Map[String, String] = Map(
+    "q_privacy_ldiversity" ->
+      ("SELECT n_name, c_mktsegment AS seg, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) " +
+        "AS BIGINT) AS l_distinct, " +
+        "count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS ok " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name, c_mktsegment ORDER BY n_name, seg"),
     "q_dq_referential" -> {
       def chk(label: String, childSel: String, child: String,
           parent: String, pkey: String, inject: String) =

@@ -1131,6 +1131,20 @@ class AnalyticsSpec extends AnyFunSuite {
     out.foreach { case (path, n) => assert(local(path) === n, path) }
   }
 
+  test("q_timeseries_anomaly_stl: breach law matches recomputed MAD") {
+    val rows = Analytics.timeseriesAnomalyStl(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val mad = rows.map(r => BigInt(r._3).abs).sum / rows.length
+    rows.foreach { case (day, _, rem, breach) =>
+      assert(breach === (BigInt(rem).abs > mad * 5), day)
+    }
+    // the deseasonalized detector is non-degenerate: not everything is an
+    // anomaly, and the remainder has both signs
+    assert(rows.count(_._4) < rows.length / 2)
+    assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0))
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

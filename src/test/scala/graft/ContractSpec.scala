@@ -82,7 +82,8 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_var_cvar", "q_event_attribution", "q_agg_hhi",
     "q_graph_kcore_peel", "q_sql_grouping_sets", "q_agg_bitmap_distinct",
     "q_funnel_latency", "q_timeseries_growth", "q_window_lag_features",
-    "q_sample_balanced", "q_event_trigrams")
+    "q_sample_balanced", "q_event_trigrams", "q_privacy_ldiversity",
+    "q_timeseries_anomaly_stl")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -216,4 +216,24 @@ class QualitySpec extends AnyFunSuite {
     val li = Tables(s, d, "lineitem").count()
     assert(rows.filter(_._1.startsWith("lineitem")).forall(_._2 === li + 3))
   }
+
+  test("q_privacy_ldiversity: one cell recounted; flag obeys l >= 3") {
+    val rows = Quality.privacyLdiversity(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, l, ok) =>
+      assert(l >= 1 && l <= n)
+      assert(ok === (l >= 3))
+    }
+    // cells partition the customer table exactly
+    assert(rows.map(_._3).sum === Tables(s, d, "customer").count())
+    // recount the first cell's sensitive diversity directly
+    val (nat, seg, _, l, _) = rows.head
+    val want = Tables(s, d, "customer")
+      .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === nat && col("c_mktsegment") === seg)
+      .select(floor(col("c_acctbal") / 1000).cast("long")).distinct().count()
+    assert(l === want)
+  }
 }
