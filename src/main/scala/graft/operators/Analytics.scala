@@ -2103,7 +2103,52 @@ object Analytics {
       .orderBy("day_str")
   }
 
+  // ------------------------------------------------------------- A/B z-test
+
+  /** q_agg_ab_test — TWO-PROPORTION Z-TEST on purchase conversion between
+    * the two experiment arms: users are ASSIGNED by the parity of a Knuth
+    * multiplicative hash of user_id — exactly how production experiment
+    * bucketing works (deterministic, uniform, engine-portable; the same
+    * hash family as [[sampleBalanced]]) — and the conversion flag
+    * (HIGH-VALUE purchaser: ≥ $500 lifetime purchase value, exact cents)
+    * folds in ONE user-grain aggregate. The four cell counts are exact
+    * longs; the
+    * pooled z-statistic is the only floating computation (fixed IEEE op
+    * sequence over exact integers → 6 dp, cross-engine stable). The
+    * experiment-readout primitive every growth dashboard runs.
+    *
+    * Scale: one keyed agg to user grain (map-side combinable boolean
+    * max-fold), one 2-row group-by — no joins at all. The z formula
+    * reads off the 2×2 table regardless of corpus size.
+    */
+  def aggAbTest(s: SparkSession, d: String): DataFrame = {
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("cents"))
+      .select(col("user_id"),
+        when(col("cents") >= 50000L, 1L).otherwise(0L).as("converted"))
+      .withColumn("exposed",
+        expr("((user_id * 2654435761) % 4294967296) % 2"))
+    val cells = users.groupBy(col("exposed"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val wide = cells.agg(
+      max(when(col("exposed") === 1L, col("n"))).as("n1"),
+      max(when(col("exposed") === 1L, col("x"))).as("x1"),
+      max(when(col("exposed") === 0L, col("n"))).as("n2"),
+      max(when(col("exposed") === 0L, col("x"))).as("x2"))
+    wide.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      r(col("x1") / col("n1"), 6).as("rate_exposed"),
+      r(col("x2") / col("n2"), 6).as("rate_control"),
+      r(col("x1") / col("n1") - col("x2") / col("n2"), 6).as("uplift"),
+      r((col("x1") / col("n1") - col("x2") / col("n2")) /
+        sqrt(((col("x1") + col("x2")) / (col("n1") + col("n2"))) *
+          (lit(1.0) - (col("x1") + col("x2")) / (col("n1") + col("n2"))) *
+          (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("z_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ab_test" -> aggAbTest _,
     "q_timeseries_anomaly_stl" -> timeseriesAnomalyStl _,
     "q_window_lag_features" -> windowLagFeatures _,
     "q_sample_balanced" -> sampleBalanced _,
@@ -2176,6 +2221,27 @@ object Analytics {
       "FROM tr JOIN se USING (dow))"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_ab_test" ->
+      ("WITH u AS (SELECT user_id, " +
+        "((user_id * 2654435761) % 4294967296) % 2 AS exposed, " +
+        "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN " +
+        "CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) >= 50000 " +
+        "THEN 1 ELSE 0 END AS conv " +
+        "FROM events GROUP BY user_id), " +
+        "w AS (SELECT " +
+        "CAST(sum(CASE WHEN exposed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN exposed = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1, " +
+        "CAST(sum(CASE WHEN exposed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(sum(CASE WHEN exposed = 0 THEN conv ELSE 0 END) AS BIGINT) AS x2 " +
+        "FROM u) " +
+        "SELECT n1, x1, n2, x2, " +
+        s"${sqlR("x1 / n1", 6)} AS rate_exposed, " +
+        s"${sqlR("x2 / n2", 6)} AS rate_control, " +
+        s"${sqlR("x1 / n1 - x2 / n2", 6)} AS uplift, " +
+        s"${sqlR("(x1 / n1 - x2 / n2) / " +
+          "sqrt(((x1 + x2) / (n1 + n2)) * (1.0 - (x1 + x2) / (n1 + n2)) * " +
+          "(1.0 / n1 + 1.0 / n2))", 6)} AS z_score " +
+        "FROM w"),
     "q_window_lag_features" ->
       ("WITH grain AS (SELECT n_name, CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +

@@ -788,6 +788,41 @@ object Relational {
          |ORDER BY o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q_join_asof_nearest — NEAREST-in-time as-of join, both directions:
+    * each purchase matches the click minimizing |Δt| — backward OR forward
+    * — with ties preferring the backward (causal) match. Completes the
+    * as-of family: [[joinAsofRange]] is backward-only,
+    * [[joinAsofTolerance]] backward-bounded. Two carries over the SAME
+    * user-keyed ordered frame (running max of past click times, reverse
+    * running min of future ones) — never an event×event product.
+    *
+    * Scale: one shuffle on user_id serves both window passes; carried
+    * state is two longs per row. The signed gap is integer microseconds.
+    */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val clickUs = when(col("event_type") === "click", unix_micros(col("ts")))
+    val wB = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("back_us", max(clickUs).over(wB))
+      .withColumn("fwd_us", min(clickUs).over(wF))
+      .where(col("event_type") === "purchase")
+      .withColumn("p_us", unix_micros(col("ts")))
+      .withColumn("d_back", col("p_us") - col("back_us"))
+      .withColumn("d_fwd", col("fwd_us") - col("p_us"))
+      .withColumn("nearest_us",
+        when(col("back_us").isNull, col("fwd_us"))
+          .when(col("fwd_us").isNull, col("back_us"))
+          .when(col("d_back") <= col("d_fwd"), col("back_us"))
+          .otherwise(col("fwd_us")))
+      .select(col("event_id"), col("user_id"), col("p_us").as("purchase_us"),
+        col("nearest_us").as("click_us"),
+        (col("nearest_us") - col("p_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** q_agg_bitmap_distinct — EXACT distinct counting via BITMAP MERGE, the
     * scale path `count(DISTINCT)` doesn't have: ids bucket into fixed
     * 32k-bit ranges (`bitmap_bucket_number`/`bitmap_bit_position`), each
@@ -1313,6 +1348,7 @@ object Relational {
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> joinAsofNearest _,
     "q_agg_bitmap_distinct" -> aggBitmapDistinct _,
     "q_sql_grouping_sets" -> sqlGroupingSets _,
     "q_scan_parquet" -> scanParquet _,
@@ -1369,6 +1405,27 @@ object Relational {
     "q_window_range_frame" -> windowRangeFrame _)
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof_nearest" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) " +
+        "AS us FROM events), " +
+        "m AS (SELECT event_id, user_id, event_type, us, " +
+        "max(CASE WHEN event_type = 'click' THEN us END) " +
+        "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us, " +
+        "min(CASE WHEN event_type = 'click' THEN us END) " +
+        "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us " +
+        "FROM ev) " +
+        "SELECT event_id, user_id, us AS purchase_us, " +
+        "CASE WHEN back_us IS NULL THEN fwd_us " +
+        "WHEN fwd_us IS NULL THEN back_us " +
+        "WHEN us - back_us <= fwd_us - us THEN back_us " +
+        "ELSE fwd_us END AS click_us, " +
+        "(CASE WHEN back_us IS NULL THEN fwd_us " +
+        "WHEN fwd_us IS NULL THEN back_us " +
+        "WHEN us - back_us <= fwd_us - us THEN back_us " +
+        "ELSE fwd_us END) - us AS gap_us " +
+        "FROM m WHERE event_type = 'purchase' ORDER BY event_id"),
     "q_agg_bitmap_distinct" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) " +
         "AS n_distinct FROM events GROUP BY event_type ORDER BY event_type"),

@@ -267,7 +267,37 @@ object Scalars {
 
   // ------------------------------------------------------------- contract
 
+  /** q_scalar_rowhash — ROW-LEVEL INTEGRITY CHECKSUMS: an MD5 over the
+    * canonicalized order row (ids as decimal strings, money as exact
+    * integer cents, dates as ISO strings, '|'-joined) — the content
+    * fingerprint CDC reconciliation and cross-system audits diff on.
+    * Reported per priority class: row count, DISTINCT checksum count
+    * (equal ⇔ no intra-class duplicate rows), and the lexicographic
+    * min/max digests as spot-check anchors. Canonicalization is the
+    * whole trick: both engines must render the identical byte string
+    * before hashing, so every non-string column is cast through an
+    * integer or ISO form first — never a raw double.
+    *
+    * Scale: the hash is a codegen'd scan-stage projection; the audit
+    * aggregate is keyed by priority with map-side combine. Checksums
+    * travel instead of rows for cross-cluster comparisons.
+    */
+  def scalarRowhash(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .select(col("o_orderpriority"), md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderstatus"))).as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("h")).as("n_distinct_hash"),
+        min(col("h")).as("min_hash"), max(col("h")).as("max_hash"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_rowhash" -> scalarRowhash _,
     "q_scalar_string" -> scalarString _,
     "q_scalar_datetime" -> scalarDatetime _,
     "q_scalar_math" -> scalarMath _,
@@ -283,6 +313,15 @@ object Scalars {
     "q_agg_grouped_fit" -> aggGroupedFit _)
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_rowhash" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_hash, " +
+        "min(h) AS min_hash, max(h) AS max_hash FROM (" +
+        "SELECT o_orderpriority, md5(concat_ws('|', " +
+        "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), " +
+        "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), " +
+        "strftime(o_orderdate, '%Y-%m-%d'), o_orderstatus)) AS h " +
+        "FROM orders) GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_scalar_decimal" ->
       ("WITH base AS (SELECT l_returnflag, " +
         "CAST(l_extendedprice AS DECIMAL(18,2)) AS price, " +

@@ -1145,6 +1145,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0))
   }
 
+  test("q_agg_ab_test: cells recount locally; z matches the pooled formula") {
+    val row = Analytics.aggAbTest(s, d).collect().head
+    val (n1, x1, n2, x2) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = ev.groupBy(_._1).toSeq.map { case (u, g) =>
+      val conv = g.filter(_._2 == "purchase").map(_._3).sum >= 50000L
+      val arm = ((u * 2654435761L) % 4294967296L) % 2
+      (arm, conv)
+    }
+    assert(n1 === users.count(_._1 == 1))
+    assert(x1 === users.count(u => u._1 == 1 && u._2))
+    assert(n2 === users.count(_._1 == 0))
+    assert(x2 === users.count(u => u._1 == 0 && u._2))
+    // both arms populated, neither degenerate
+    assert(n1 > 0 && n2 > 0 && x1 < n1 && x2 < n2 && x1 > 0 && x2 > 0)
+    val p = (x1 + x2).toDouble / (n1 + n2)
+    val z = (x1.toDouble / n1 - x2.toDouble / n2) /
+      math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(row.getDouble(7) - z) < 1e-6)
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

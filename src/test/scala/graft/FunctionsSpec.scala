@@ -463,6 +463,38 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got.getDecimal(6) === new java.math.BigDecimal(rs.map(_._2).max).movePointLeft(2).setScale(2))
     }
   }
+
+  test("q_scalar_rowhash: digests are md5-shaped and rows are all distinct") {
+    val rows = graft.operators.Scalars.scalarRowhash(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val hex32 = "^[0-9a-f]{32}$".r
+    rows.foreach { case (pri, n, nd, lo, hi) =>
+      // orders rows are unique, so checksums must be collision-free here
+      assert(n === nd, s"$pri: duplicate checksums")
+      assert(hex32.matches(lo) && hex32.matches(hi) && lo <= hi)
+    }
+    assert(rows.map(_._2).sum === Tables(s, d, "orders").count())
+    // one digest recomputed off-engine proves the canonicalization contract
+    val o = Tables(s, d, "orders")
+      .orderBy("o_orderkey").limit(1)
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("o_totalprice") * 100, 0)
+          .cast("long"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("o_orderdate"), "yyyy-MM-dd"),
+        org.apache.spark.sql.functions.col("o_orderstatus"))
+      .collect().head
+    val canon = s"${o.getLong(1)}|${o.getLong(2)}|${o.getLong(3)}|${o.getString(4)}|${o.getString(5)}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grp = rows.find(_._1 == o.getString(0)).get
+    assert(grp._4 <= md && md <= grp._5, "digest outside its group's range")
+  }
 }
 
 /** RawLocalFileSystem under its own URI scheme: the minimal second Hadoop

@@ -351,6 +351,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_asof_nearest: the matched click truly minimizes |gap|") {
+    val out = Relational.joinAsofNearest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.nonEmpty)
+    val clicks = Tables(s, d, "events").where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, g) => u -> g.map(_._2) }
+    out.foreach { case (eid, u, pUs, clickUs, gap) =>
+      clicks.get(u) match {
+        case None => assert(clickUs.isEmpty && gap.isEmpty, s"event $eid")
+        case Some(cs) =>
+          val best = cs.map(c => c - pUs).minBy(g => (math.abs(g), g))
+          assert(gap.contains(best), s"event $eid: got $gap want $best")
+          assert(clickUs.contains(pUs + best))
+      }
+    }
+    // both directions actually occur in the fixture
+    assert(out.exists(_._5.exists(_ < 0)) && out.exists(_._5.exists(_ > 0)))
+  }
+
   test("q_agg_bitmap_distinct equals count(DISTINCT) exactly") {
     val got = Relational.aggBitmapDistinct(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
