@@ -693,9 +693,42 @@ object Streams {
       .orderBy("day")
   }
 
+  /** q_stream_join_static — STREAM-STATIC ENRICHMENT: the most common
+    * production streaming shape (join each arriving event to a broadcast
+    * dimension, then window-aggregate) that the stream-stream joins here
+    * don't cover. The nation dim joins on a derived key, the join is a
+    * per-micro-batch BroadcastHashJoin (the stream side NEVER shuffles for
+    * it — asserted on the captured micro-batch plan), and the hourly
+    * aggregate flushes append-mode behind the watermark. The flush
+    * sentinel flows through join and aggregate (a pre-watermark filter
+    * would be pushed below the EventTimeWatermark node and stop the
+    * watermark advancing); its far-future window never flushes, so it
+    * cannot appear in append-mode output.
+    *
+    * Scale: the dim re-broadcasts per micro-batch at dim-table cost —
+    * fine for true dimensions (KBs–GBs); state is bounded by open hourly
+    * windows exactly as in [[streamTumbling]].
+    */
+  def streamJoinStatic(s: SparkSession, d: String): DataFrame = {
+    val dim = broadcast(Tables(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name")))
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .withColumn("nk", pmod(col("user_id"), lit(25L)))
+        .join(dim, "nk")
+        .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("n_name"), col("n"), col("sum_value"))
+      .orderBy("win_start", "n_name")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join_static" -> streamJoinStatic _,
     "q_stream_tumbling" -> streamTumbling _,
     "q_stream_topk" -> streamTopk _,
     "q_stream_sliding_session" -> streamSliding _,
@@ -710,6 +743,12 @@ object Streams {
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q_stream_join_static" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, " +
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, n_name, " +
+        s"count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events JOIN nation ON n_nationkey = user_id % 25 " +
+        "GROUP BY 1, 2, 3 ORDER BY win_start, n_name"),
     "q_stream_topk" ->
       ("WITH wc AS (SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) " +
         "AS w0, user_id, count(*) AS n FROM events GROUP BY 1, 2), " +

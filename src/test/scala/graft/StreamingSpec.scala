@@ -123,6 +123,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rerun === first)
   }
 
+  test("q_stream_join_static: dim join broadcasts inside the micro-batch") {
+    val out = Streams.streamJoinStatic(s, d)
+    // batch-replay equivalence on totals: every event lands exactly once
+    val got = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(got === Tables(s, d, "events").count())
+    // the enrichment join must be a BroadcastHashJoin in the micro-batch
+    // plan — a shuffled stream side would re-partition every batch
+    val p = Streams.lastMicroBatchPlan
+    assert(p.contains("BroadcastHashJoin"),
+      s"stream-static join not broadcast:\n$p")
+    // exactly the nations reachable from the fixture's user-id key space
+    val wantNations = Tables(s, d, "events")
+      .select(pmod(col("user_id"), lit(25L))).distinct().count()
+    assert(out.select("n_name").distinct().count() === wantNations)
+  }
+
   test("q_stream_stateful sessionization: totals and session structure reconcile") {
     val sessions = Streams.streamStateful(s, d)
     // every event is in exactly one session
