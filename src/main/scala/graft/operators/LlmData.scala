@@ -803,22 +803,34 @@ object LlmData {
     * tie-break on language code. Oracle-checked (pure set arithmetic).
     */
   def textLangid(s: SparkSession, d: String): DataFrame = {
-    val base = t(s, d, "documents")
-      .withColumn("dtoks", array_distinct(TextOps.tokens("text")))
-    val scored = Lexicons.foldLeft(base) { case (df, (lang, lex)) =>
-      df.withColumn(s"s_$lang",
-        size(array_intersect(col("dtoks"), array(lex.map(lit): _*))))
+    val langs = Lexicons.map(_._1)
+    withLangScores(t(s, d, "documents"))
+      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ col("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Per-row language-ID core shared by [[textLangid]] and
+    * [[corpusFilter]]: lexicon-overlap scores per language plus the
+    * deterministic argmax (first language in declared order achieving the
+    * max — built inside-out so 'en' is the outermost, first-checked
+    * branch). Projections only, no sort. */
+  private def withLangScores(df: DataFrame): DataFrame = {
+    // reuse an upstream tokenization when composing (corpusFilter fuses
+    // this after withQualityScore) — identical expression either way
+    val toks =
+      if (df.columns.contains("toks")) col("toks") else TextOps.tokens("text")
+    val scored = Lexicons.foldLeft(
+      df.withColumn("dtoks", array_distinct(toks))) {
+      case (acc, (lang, lex)) =>
+        acc.withColumn(s"s_$lang",
+          size(array_intersect(col("dtoks"), array(lex.map(lit): _*))))
     }
-    // deterministic argmax: first language (in declared order) achieving the
-    // max — built inside-out so 'en' is the outermost (first-checked) branch
     val langs = Lexicons.map(_._1)
     val best = greatest(langs.map(l => col(s"s_$l")): _*)
     val predFirst = langs.reverse.foldLeft(lit("und"): Column) { (acc, l) =>
       when(col(s"s_$l") === best, lit(l)).otherwise(acc)
     }
-    scored.select(
-        col("doc_id") +: langs.map(l => col(s"s_$l")) :+ predFirst.as("lang_pred"): _*)
-      .orderBy("doc_id")
+    scored.withColumn("lang_pred", predFirst)
   }
 
   /** q_text_quality — composite document quality score from length,
@@ -827,35 +839,46 @@ object LlmData {
     * divisions evaluated in the same order on both engines → exact oracle.
     */
   def textQuality(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .withColumn("toks", TextOps.tokens("text"))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_punct", length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
-      .withColumn("n_stop", size(expr(
-        s"filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))")))
-      .select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"),
-        (col("n_stop") * lit(1.0) / col("n_tokens")).as("stop_ratio"),
-        (col("n_punct") * lit(1.0) / length(col("text"))).as("punct_ratio"),
-        (length(col("text")) * lit(1.0) / col("n_tokens")).as("mean_tok_len"))
-      .withColumn("quality",
-        lit(0.4) * col("stop_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio")) +
-          lit(0.2) * least(col("mean_tok_len") / lit(10.0), lit(1.0)))
+    withQualityScore(t(s, d, "documents"))
+      .select("doc_id", "n_tokens", "n_punct", "n_stop", "stop_ratio",
+        "punct_ratio", "mean_tok_len", "quality")
       .orderBy("doc_id")
+
+  /** Per-row quality core shared by [[textQuality]] and [[corpusFilter]] —
+    * pure scan-stage projections, no sort, so composers can fuse it with
+    * other per-row scorers on one documents pass. */
+  private def withQualityScore(df: DataFrame): DataFrame = df
+    .withColumn("toks", TextOps.tokens("text"))
+    .withColumn("n_tokens", size(col("toks")))
+    .withColumn("n_punct", length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+    .withColumn("n_stop", size(expr(
+      s"filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))")))
+    .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_tokens"))
+    .withColumn("punct_ratio", col("n_punct") * lit(1.0) / length(col("text")))
+    .withColumn("mean_tok_len", length(col("text")) * lit(1.0) / col("n_tokens"))
+    .withColumn("quality",
+      lit(0.4) * col("stop_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.2) * least(col("mean_tok_len") / lit(10.0), lit(1.0)))
 
   /** q_corpus_filter — the flagship training-set materialization: compose
     * near-dup removal (exact n-gram detector, keep-first), quality-score
     * thresholding, and language-ID agreement into the final curated corpus —
     * the full curation funnel a 100 TB pretraining pipeline runs before
-    * tokenization. Every stage is the already-oracle-checked operator; the
-    * composition reuses the session-memoized pair set, so the funnel costs
-    * one extra join pass, and the DuckDB oracle re-derives the whole funnel
-    * in SQL.
+    * tokenization. Every stage evaluates the SAME expressions as its
+    * already-oracle-checked standalone operator, but the quality score and
+    * the language argmax — both pure per-row projections — FUSE into one
+    * documents scan here instead of materializing two doc-grain tables and
+    * joining them (the standalone ops also end in a global ORDER BY whose
+    * range exchange would execute pointlessly under the join). Runtime is
+    * dominated by the near-dup survivor stage, whose pair set is
+    * session-memoized and shared with the dedup queries. The DuckDB oracle
+    * re-derives the whole funnel in SQL.
     */
   def corpusFilter(s: SparkSession, d: String): DataFrame = {
     val survivors = dedupSurvivors(s, d).select("doc_id", "lang", "n_chars")
-    val quality = textQuality(s, d).select("doc_id", "quality")
-    val langid = textLangid(s, d).select("doc_id", "lang_pred")
-    survivors.join(quality, "doc_id").join(langid, "doc_id")
+    val perDoc = withLangScores(withQualityScore(t(s, d, "documents")))
+      .select(col("doc_id"), col("quality"), col("lang_pred"))
+    survivors.join(perDoc, "doc_id")
       .where(col("quality") >= 0.53 && col("lang_pred") === col("lang"))
       .select("doc_id", "lang", "n_chars", "quality")
       .orderBy("doc_id")
