@@ -1815,6 +1815,47 @@ object Analytics {
       .orderBy("model", "channel")
   }
 
+  // ----------------------------------------------------- decayed attribution
+
+  /** q_event_attribution_decay — TIME-DECAYED last-touch attribution: the
+    * credited revenue fades linearly with touch staleness, hitting zero at
+    * the 7-day horizon — w = max(0, 1e6 − Δus/604800) in integer
+    * micro-weights, so the weighting is EXACT integer arithmetic (an
+    * exponential decay would drag libm `exp` differences across engines
+    * into the hash compare). Same one-window carry as
+    * [[eventAttribution]], now carrying the touch TIME as well; reported
+    * per channel: purchase counts, in-horizon counts, full and decayed
+    * credit.
+    *
+    * Scale: identical posture to [[eventAttribution]] — one user-keyed
+    * shuffle, two carried scalars, keyed aggregate out.
+    */
+  def eventAttributionDecay(s: SparkSession, d: String): DataFrame = {
+    val touchUs = when(col("event_type").isin("click", "view"),
+      unix_micros(col("ts")))
+    val touchTy = when(col("event_type").isin("click", "view"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        col("value"))
+      .withColumn("lt_us", last(touchUs, ignoreNulls = true).over(w))
+      .withColumn("lt_ty", last(touchTy, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("p_us", unix_micros(col("ts")))
+      .select(coalesce(col("lt_ty"), lit("none")).as("channel"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("CASE WHEN lt_us IS NULL THEN 0L ELSE " +
+          "greatest(0L, 1000000L - (p_us - lt_us) div 604800L) END")
+          .as("w_micro"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("w_micro") > 0, 1L).otherwise(0L)).as("n_in_horizon"),
+        sum(col("cents")).as("revenue_cents"),
+        sum(col("cents") * col("w_micro")).as("credit_micro_cents"))
+      .orderBy("channel")
+  }
+
   // --------------------------------------------------------------------- HHI
 
   /** q_agg_hhi — HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of supplier
@@ -2148,6 +2189,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_attribution_decay" -> eventAttributionDecay _,
     "q_agg_ab_test" -> aggAbTest _,
     "q_timeseries_anomaly_stl" -> timeseriesAnomalyStl _,
     "q_window_lag_features" -> windowLagFeatures _,
@@ -2221,6 +2263,27 @@ object Analytics {
       "FROM tr JOIN se USING (dow))"
 
   val oracle: Map[String, String] = Map(
+    "q_event_attribution_decay" ->
+      ("WITH ev AS (SELECT user_id, event_id, event_type, value, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT event_type, value, us, " +
+        "last_value(CASE WHEN event_type IN ('click', 'view') THEN us END " +
+        "IGNORE NULLS) OVER fr AS lt_us, " +
+        "last_value(CASE WHEN event_type IN ('click', 'view') " +
+        "THEN event_type END IGNORE NULLS) OVER fr AS lt_ty " +
+        "FROM ev WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "p AS (SELECT coalesce(lt_ty, 'none') AS channel, " +
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents, " +
+        "CASE WHEN lt_us IS NULL THEN 0 ELSE " +
+        "greatest(0, 1000000 - (us - lt_us) // 604800) END AS w_micro " +
+        "FROM m WHERE event_type = 'purchase') " +
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases, " +
+        "CAST(sum(CASE WHEN w_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_in_horizon, " +
+        "CAST(sum(cents) AS BIGINT) AS revenue_cents, " +
+        "CAST(sum(cents * w_micro) AS BIGINT) AS credit_micro_cents " +
+        "FROM p GROUP BY channel ORDER BY channel"),
     "q_agg_ab_test" ->
       ("WITH u AS (SELECT user_id, " +
         "((user_id * 2654435761) % 4294967296) % 2 AS exposed, " +

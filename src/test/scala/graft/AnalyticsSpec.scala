@@ -1170,6 +1170,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(7) - z) < 1e-6)
   }
 
+  test("q_event_attribution_decay: credit bounded by revenue; horizon law") {
+    val rows = Analytics.eventAttributionDecay(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ch, n, nIn, rev, credit) =>
+      assert(nIn <= n)
+      // micro-weights are ≤ 1e6, so credit ≤ revenue × 1e6; 'none' gets 0
+      assert(credit >= 0 && credit <= rev * 1000000L)
+      if (ch == "none") assert(credit === 0L && nIn === 0L)
+    }
+    // totals reconcile with the undecayed attribution's last-touch model
+    val undecayed = Analytics.eventAttribution(s, d).collect()
+      .filter(_.getString(0) == "last")
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val mine = rows.map(r => (r._1, r._2, r._4)).sortBy(_._1)
+    assert(mine.toSeq === undecayed.sortBy(_._1).toSeq)
+    // decay is non-vacuous: some credit strictly between 0 and max
+    assert(rows.exists(r => r._5 > 0 && r._5 < r._4 * 1000000L))
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
