@@ -1963,14 +1963,16 @@ object Analytics {
   /** q_funnel_latency — TIME-TO-CONVERT distribution from first signup to
     * first subsequent purchase: conversion rate plus EXACT p50/p90 latency
     * (percentile_disc semantics — the k-th smallest observed latency,
-    * k = ⌈n·q⌉, deterministic ties by user). The latency complement of
-    * [[Relational.funnelSteps]]' step counts: not just HOW MANY convert,
-    * but how long conversion takes.
+    * k = ⌈n·q⌉). The latency complement of [[Relational.funnelSteps]]'
+    * step counts: not just HOW MANY convert, but how long conversion
+    * takes.
     *
     * Scale: two keyed min-aggs (first signup, first qualifying purchase)
-    * and one rank over the CONVERTED-USER latency vector — the ranked set
-    * is already reduced to one row per converted user. Latencies are
-    * integer seconds; the only double is the 6 dp conversion rate.
+    * reduce to one row per converted user, then both percentiles read off
+    * a cumulative window over the latency-VALUE histogram — distinct
+    * seconds values, not users (the [[graphKcorePeel]] median trick), so
+    * no user-grain rank funnels through a single task at any corpus size.
+    * Latencies are integer seconds; the only double is the 6 dp rate.
     */
   def funnelLatency(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
@@ -1982,16 +1984,24 @@ object Analytics {
       .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("p_ts"))
       .select(col("user_id"),
         expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 1000000").as("lat_s"))
-    val ranked = conv
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("lat_s"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // exact disc percentiles off the latency-VALUE histogram: a cumulative
+    // window over DISTINCT seconds values (the graphKcorePeel median
+    // trick), never a user-grain rank through one task
+    val wCum = Window.orderBy("lat_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = conv.groupBy(col("lat_s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
       .withColumn("k50", expr("(n * 50 + 99) div 100"))
       .withColumn("k90", expr("(n * 90 + 99) div 100"))
-    ranked
+    hist
       .agg(max(col("n")).as("n_converted"),
-        max(when(col("rn") === col("k50"), col("lat_s"))).as("p50_latency_s"),
-        max(when(col("rn") === col("k90"), col("lat_s"))).as("p90_latency_s"))
+        max(when(col("cum") >= col("k50") &&
+          col("cum") - col("cnt") < col("k50"), col("lat_s")))
+          .as("p50_latency_s"),
+        max(when(col("cum") >= col("k90") &&
+          col("cum") - col("cnt") < col("k90"), col("lat_s")))
+          .as("p90_latency_s"))
       .crossJoin(broadcast(su.agg(count(lit(1)).as("n_signup_users"))))
       .select(col("n_signup_users"), col("n_converted"),
         r(col("n_converted") / col("n_signup_users"), 6).as("conv_rate"),
