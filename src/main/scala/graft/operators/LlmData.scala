@@ -1658,19 +1658,39 @@ object LlmData {
     * order-independent and engine-portable), and the OLS closed form runs
     * in exact decimal(38,0) / HUGEINT with a floor-div micro result.
     *
-    * Scale: vocabulary-grain everything after one token count — the rank
-    * window and the 5 sufficient-statistic sums see |vocab| rows, not
-    * corpus rows, and the sums partial-aggregate map-side.
+    * Scale: vocabulary-grain everything after one token count, and the
+    * rank itself is DISTRIBUTED: the OLS sums are invariant to which
+    * token takes which rank inside a count-tie group (y is constant there
+    * and the occupied rank set {base+1..base+k} is fixed), so instead of
+    * one global-order window over the vocabulary, tokens hash into
+    * shards, a tiny (count, shard) histogram yields exclusive base
+    * offsets (its cumulative window runs over |distinct counts|×shards
+    * rows — the power-law count distribution keeps that small), and a
+    * per-(count, shard) local row_number finishes the rank. The giant
+    * singleton tail splits across all shards instead of one task; size
+    * the shard count to vocab/cluster. Result is bit-identical to the
+    * canonical (count DESC, token ASC) ranking — the oracle still runs
+    * the canonical form.
     */
   def textZipf(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
+    val nShards = 32
     val counts = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+      .withColumn("shard", pmod(hash(col("tok")), lit(nShards)))
+    val wH = Window.orderBy(col("cnt").desc, col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts.groupBy(col("cnt"), col("shard"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("base", coalesce(sum(col("k")).over(wH), lit(0L)))
+      .select("cnt", "shard", "base")
     val xy = counts
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("cnt", "shard").orderBy("tok")).cast("long"))
+      .join(broadcast(bases), Seq("cnt", "shard"))
+      .withColumn("rank", col("base") + col("lr"))
       .select(
         expr("CAST(round(log10(rank) * 1000000) AS BIGINT)").as("x"),
         expr("CAST(round(log10(cnt) * 1000000) AS BIGINT)").as("y"),
