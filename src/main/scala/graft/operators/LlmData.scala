@@ -1672,9 +1672,14 @@ object LlmData {
     * canonical (count DESC, token ASC) ranking — the oracle still runs
     * the canonical form.
     */
-  def textZipf(s: SparkSession, d: String): DataFrame = {
+  def textZipf(s: SparkSession, d: String): DataFrame =
+    // 32 shards at test SFs; at cluster scale size to vocab/cluster. Shard
+    // count NEVER changes results (tie-sum invariance; property-tested).
+    textZipfSharded(s, d, nShards = 32)
+
+  private[graft] def textZipfSharded(s: SparkSession, d: String,
+      nShards: Int): DataFrame = {
     val dec = "decimal(38,0)"
-    val nShards = 32
     val counts = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) > 0)

@@ -134,6 +134,17 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_zipf is invariant to shard count (tie-sum invariance)") {
+    // 1: a single shard ≡ the naive global rank; the OLS sufficient
+    // statistics must be bit-identical for any sharding because rank
+    // assignment inside a count-tie group never moves Σx, Σx², Σxy
+    val reference = LlmData.textZipfSharded(s, d, 32).collect().toSeq
+    Seq(1, 5, 101).foreach { n =>
+      assert(LlmData.textZipfSharded(s, d, n).collect().toSeq === reference,
+        s"nShards=$n changed the Zipf fit")
+    }
+  }
+
   test("q_dedup_cluster: components are closed over pairs and labeled by their minimum") {
     val pairs = LlmData.dedupNgram(s, d).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
