@@ -482,6 +482,47 @@ object LlmData {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q_dedup_sweep — DEDUP THRESHOLD SENSITIVITY: before committing a
+    * near-dup cosine cutoff for a 100 TB corpus, measure what each
+    * candidate threshold would remove — on a deterministic ~10% Knuth-hash
+    * sample of the embedding table, all pairwise cosines (4 dp, the
+    * [[dedupEmbed]] precision) are swept across four cutoffs, reporting
+    * qualifying pair counts, distinct touched docs, and the pair rate in
+    * ppm. The tuning table read before running the full LSH dedup.
+    *
+    * Scale: the quadratic stage runs on the SAMPLE (n/10 → pairs/100);
+    * the sample is hash-deterministic so the sweep is reproducible and
+    * engine-portable, and all four thresholds share ONE pair pass (the
+    * 4-row threshold table broadcasts). The full-corpus dedup path stays
+    * [[dedupEmbed]]'s LSH — this operator only sizes its threshold.
+    */
+  def dedupSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val samp = t(s, d, "embeddings")
+      .where(expr("((vec_id * 2654435761) % 4294967296) % 10 = 0"))
+      .select(col("vec_id"), col("embedding"))
+    val pairs = samp.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(samp.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        r(VectorOps.cosine(col("ea"), col("eb")), 4).as("cos"))
+    val th = Seq(("0.99", 0.99), ("0.95", 0.95), ("0.90", 0.90), ("0.80", 0.80))
+      .toDF("thr", "thr_v")
+    val q = pairs.join(broadcast(th), col("cos") >= col("thr_v"))
+    val np = q.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+    val nd = q.select(col("thr"), explode(array(col("va"), col("vb"))).as("id"))
+      .groupBy(col("thr")).agg(countDistinct(col("id")).as("n_docs"))
+    th.join(np, Seq("thr"), "left").join(nd, Seq("thr"), "left")
+      .crossJoin(broadcast(samp.agg(count(lit(1)).as("n_sampled"))))
+      .select(col("thr"), col("n_sampled"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        expr("(2000000 * coalesce(n_pairs, 0)) div " +
+          "(n_sampled * (n_sampled - 1))").as("pair_rate_ppm"))
+      .orderBy("thr")
+  }
+
   // ------------------------------------------------------------- simsearch
 
   /** q_simsearch_topk — brute-force cosine top-k: broadcast the query
@@ -2068,6 +2109,7 @@ object LlmData {
     "q_dedup_near" -> dedupNear _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_embed" -> dedupEmbed _,
+    "q_dedup_sweep" -> dedupSweep _,
     "q_simsearch_topk" -> simsearchTopk _,
     "q_simsearch_ivf" -> simsearchIvf _,
     "q_simsearch_ivf_full" -> simsearchIvfFull _,
@@ -2385,6 +2427,27 @@ object LlmData {
         "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5) " +
         "SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_b FROM dropped) ORDER BY doc_id"),
+    "q_dedup_sweep" ->
+      ("WITH samp AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE ((vec_id * 2654435761) % 4294967296) % 10 = 0), " +
+        "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        "round((" + VectorOps.sqlCosine("a.embedding", "b.embedding") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM samp a JOIN samp b ON a.vec_id < b.vec_id), " +
+        "t(thr, thr_v) AS (VALUES ('0.99', 0.99), ('0.95', 0.95), " +
+        "('0.90', 0.90), ('0.80', 0.80)), " +
+        "q AS (SELECT thr, va, vb FROM p, t WHERE cos >= thr_v), " +
+        "np AS (SELECT thr, count(*) AS n_pairs FROM q GROUP BY 1), " +
+        "nd AS (SELECT thr, count(DISTINCT id) AS n_docs FROM " +
+        "(SELECT thr, unnest([va, vb]) AS id FROM q) GROUP BY 1), " +
+        "ns AS (SELECT count(*) AS n_sampled FROM samp) " +
+        "SELECT t.thr, CAST(n_sampled AS BIGINT) AS n_sampled, " +
+        "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, " +
+        "CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs, " +
+        "CAST((2000000 * coalesce(n_pairs, 0)) // " +
+        "(n_sampled * (n_sampled - 1)) AS BIGINT) AS pair_rate_ppm " +
+        "FROM t LEFT JOIN np ON t.thr = np.thr " +
+        "LEFT JOIN nd ON t.thr = nd.thr, ns ORDER BY t.thr"),
     "q_simsearch_topk" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +

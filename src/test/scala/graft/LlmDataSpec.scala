@@ -134,6 +134,41 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_sweep: monotone in threshold; one cell recounted brute-force") {
+    val rows = LlmData.dedupSweep(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq("0.80", "0.90", "0.95", "0.99"))
+    // lower threshold admits at least as many pairs/docs
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._3 >= hi._3 && lo._4 >= hi._4)
+      case _ =>
+    }
+    rows.foreach { case (_, ns, np, ndocs, ppm) =>
+      assert(ndocs <= 2 * np || np == 0)
+      assert(ppm === 2000000L * np / (ns * (ns - 1)))
+    }
+    // recount the 0.80 cell against an independent local sweep
+    val vecs = Tables(s, d, "embeddings")
+      .where(expr("((vec_id * 2654435761) % 4294967296) % 10 = 0"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    assert(rows.head._2 === vecs.length)
+    var nPairs = 0L
+    for (i <- vecs.indices; j <- vecs.indices if vecs(i)._1 < vecs(j)._1) {
+      val (a, b) = (vecs(i)._2, vecs(j)._2)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) {
+        dot += a(k).toDouble * b(k).toDouble
+        na += a(k).toDouble * a(k).toDouble; nb += b(k).toDouble * b(k).toDouble
+      }
+      val cos = math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000.0
+      if (cos >= 0.80) nPairs += 1
+    }
+    assert(rows.head._3 === nPairs)
+  }
+
   test("q_text_zipf is invariant to shard count (tie-sum invariance)") {
     // 1: a single shard ≡ the naive global rank; the OLS sufficient
     // statistics must be bit-identical for any sharding because rank
