@@ -2198,7 +2198,69 @@ object Analytics {
           (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("z_score"))
   }
 
+  // ------------------------------------------------------------------ CUPED
+
+  /** q_agg_ab_cuped — CUPED VARIANCE REDUCTION for the A/B readout: adjust
+    * each user's outcome metric (purchase cents) by their PRE-EXPOSURE
+    * covariate (click+view engagement cents) — Y' = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) — shrinking metric variance without biasing the
+    * arm difference (the covariate predates assignment). The workhorse
+    * trick for making experiments readable at a fraction of the sample.
+    * θ and every moment come from EXACT long power sums (dollar units to
+    * keep ΣXY in range); the only floating steps are the final divides,
+    * 6 dp. Arms are the same Knuth-hash buckets as [[aggAbTest]].
+    *
+    * Scale: one keyed agg to user grain, one global power-sum agg, one
+    * 2-row per-arm agg — the θ formula reads off exact sums regardless of
+    * corpus size; variance-reduction percent is reported from the same
+    * sums.
+    */
+  def aggAbCuped(s: SparkSession, d: String): DataFrame = {
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value"), 0).cast("long")).otherwise(0L)).as("y"),
+        sum(when(col("event_type").isin("click", "view"),
+          round(col("value"), 0).cast("long")).otherwise(0L)).as("x"))
+      .withColumn("arm", expr("((user_id * 2654435761) % 4294967296) % 2"))
+    val g = users.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val arms = users.groupBy(col("arm")).agg(count(lit(1)).as("na"),
+      sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    val wide = arms.agg(
+      max(when(col("arm") === 1L, col("na"))).as("n1"),
+      max(when(col("arm") === 1L, col("ax"))).as("x1"),
+      max(when(col("arm") === 1L, col("ay"))).as("y1"),
+      max(when(col("arm") === 0L, col("na"))).as("n0"),
+      max(when(col("arm") === 0L, col("ax"))).as("x0"),
+      max(when(col("arm") === 0L, col("ay"))).as("y0"))
+    wide.crossJoin(broadcast(g)).select(
+      col("n1"), col("n0"),
+      r(col("y1") / col("n1") - col("y0") / col("n0"), 6).as("uplift_raw"),
+      // θ = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²), exact longs → one divide
+      r((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("theta"),
+      // CUPED-adjusted uplift: Δȳ − θ·Δx̄ (the X̄ centering cancels in the
+      // arm DIFFERENCE, so the adjustment is exactly −θ·Δx̄)
+      r((col("y1") / col("n1") - col("y0") / col("n0")) -
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) *
+          (col("x1") / col("n1") - col("x0") / col("n0")), 6)
+        .as("uplift_cuped"),
+      // variance reduction = ρ² = cov²/(var_x·var_y). The squared products
+      // overflow long range, so BOTH engines cast the three exact long
+      // moments to double first — identical IEEE sequence either side
+      r((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("var_reduction"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
     "q_agg_ab_test" -> aggAbTest _,
     "q_timeseries_anomaly_stl" -> timeseriesAnomalyStl _,
@@ -2273,6 +2335,38 @@ object Analytics {
       "FROM tr JOIN se USING (dow))"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_ab_cuped" ->
+      ("WITH u AS (SELECT user_id, " +
+        "((user_id * 2654435761) % 4294967296) % 2 AS arm, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' " +
+        "THEN round(value, 0) ELSE 0 END) AS BIGINT) AS y, " +
+        "CAST(sum(CASE WHEN event_type IN ('click', 'view') " +
+        "THEN round(value, 0) ELSE 0 END) AS BIGINT) AS x " +
+        "FROM events GROUP BY user_id), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx, " +
+        "CAST(sum(y * y) AS BIGINT) AS syy FROM u), " +
+        "w AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS x1, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS y1, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS x0, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS y0 " +
+        "FROM u) " +
+        "SELECT n1, n0, " +
+        s"${sqlR("y1 / n1 - y0 / n0", 6)} AS uplift_raw, " +
+        s"${sqlR("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS theta, " +
+        s"${sqlR("(y1 / n1 - y0 / n0) - " +
+          "((n * sxy - sx * sy) / (n * sxx - sx * sx)) * " +
+          "(x1 / n1 - x0 / n0)", 6)} AS uplift_cuped, " +
+        s"${sqlR("CAST(n * sxy - sx * sy AS DOUBLE) * " +
+          "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+          "CAST(n * syy - sy * sy AS DOUBLE))", 6)} AS var_reduction " +
+        "FROM w, g"),
     "q_event_attribution_decay" ->
       ("WITH ev AS (SELECT user_id, event_id, event_type, value, " +
         "epoch_us(ts) AS us FROM events), " +

@@ -1191,6 +1191,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(r => r._5 > 0 && r._5 < r._4 * 1000000L))
   }
 
+  test("q_agg_ab_cuped: theta/uplift recompute locally; variance law holds") {
+    val row = Analytics.aggAbCuped(s, d).collect().head
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), col("event_type"), round(col("value"), 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = ev.groupBy(_._1).toSeq.map { case (u, g) =>
+      val y = g.filter(_._2 == "purchase").map(_._3).sum
+      val x = g.filter(e => e._2 == "click" || e._2 == "view").map(_._3).sum
+      val arm = ((u * 2654435761L) % 4294967296L) % 2
+      (arm, x, y)
+    }
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(math.abs(row.getDouble(3) - theta) < 1e-6)
+    val a1 = users.filter(_._1 == 1); val a0 = users.filter(_._1 == 0)
+    assert(row.getLong(0) === a1.length && row.getLong(1) === a0.length)
+    val dRaw = a1.map(_._3).sum.toDouble / a1.length -
+      a0.map(_._3).sum.toDouble / a0.length
+    val dX = a1.map(_._2).sum.toDouble / a1.length -
+      a0.map(_._2).sum.toDouble / a0.length
+    assert(math.abs(row.getDouble(2) - dRaw) < 1e-6)
+    assert(math.abs(row.getDouble(4) - (dRaw - theta * dX)) < 1e-6)
+    // ρ² is a valid proportion and the adjustment is non-vacuous
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) < 1.0)
+    assert(math.abs(row.getDouble(4) - row.getDouble(2)) > 1e-9)
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
