@@ -788,6 +788,34 @@ object Relational {
          |ORDER BY o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q_scalar_dense_ids — DICTIONARY ENCODING: assign contiguous dense ids
+    * 0..n−1 to the distinct user-id space, ordered by natural key — the
+    * primitive that makes sparse 64-bit ids bitmap-friendly
+    * ([[aggBitmapDistinct]]'s dense-id precondition) and shrinks join keys
+    * corpus-wide. A naive `row_number() OVER (ORDER BY id)` funnels every
+    * distinct id through ONE task; here ids shard by contiguous key range
+    * (`id div 256` — range-contiguous, so per-shard order concatenates to
+    * global order), a tiny per-shard count table yields exclusive base
+    * offsets, and a per-shard local row_number finishes — the
+    * [[LlmData.packSequences]] two-level layout applied to ranking.
+    * Bit-identical to the naive global window at any shard size.
+    */
+  def scalarDenseIds(s: SparkSession, d: String): DataFrame = {
+    val ids = t(s, d, "events").select(col("user_id")).distinct()
+      .withColumn("shard", expr("user_id div 256"))
+    val bases = ids.groupBy(col("shard")).agg(count(lit(1)).as("k"))
+      .withColumn("base", coalesce(
+        sum(col("k")).over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "base")
+    ids
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("shard").orderBy("user_id")).cast("long"))
+      .join(broadcast(bases), "shard")
+      .select(col("user_id"), (col("base") + col("lr") - 1).as("dense_id"))
+      .orderBy("user_id")
+  }
+
   /** q_join_asof_nearest — NEAREST-in-time as-of join, both directions:
     * each purchase matches the click minimizing |Δt| — backward OR forward
     * — with ties preferring the backward (causal) match. Completes the
@@ -1348,6 +1376,7 @@ object Relational {
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_dense_ids" -> scalarDenseIds _,
     "q_join_asof_nearest" -> joinAsofNearest _,
     "q_agg_bitmap_distinct" -> aggBitmapDistinct _,
     "q_sql_grouping_sets" -> sqlGroupingSets _,
@@ -1405,6 +1434,10 @@ object Relational {
     "q_window_range_frame" -> windowRangeFrame _)
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_dense_ids" ->
+      ("SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 " +
+        "AS BIGINT) AS dense_id " +
+        "FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id"),
     "q_join_asof_nearest" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) " +
         "AS us FROM events), " +

@@ -374,6 +374,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.exists(_._5.exists(_ < 0)) && out.exists(_._5.exists(_ > 0)))
   }
 
+  test("q_scalar_dense_ids: a bijection onto 0..n-1 preserving key order") {
+    val rows = Relational.scalarDenseIds(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables(s, d, "events").select("user_id").distinct().count()
+    assert(rows.length === n.toInt)
+    // dense ids are exactly 0..n-1 and monotone in the natural key
+    assert(rows.map(_._2).toSeq === (0L until n).toSeq)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+  }
+
   test("q_agg_bitmap_distinct equals count(DISTINCT) exactly") {
     val got = Relational.aggBitmapDistinct(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
