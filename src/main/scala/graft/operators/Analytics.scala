@@ -8,12 +8,17 @@ import graft.Tables
 
 /** Graph / time-series / interval / order-statistic analytics over the
   * landed star schema — the "further analysis" layer (reference
-  * README.md:9) beyond plain relational rollups: PageRank and triangle
-  * supersteps, gap-fill, banded range joins, gaps-and-islands, cohort
-  * retention, rolling actives, sweep-line concurrency, exact mode and
-  * weighted median, drawdown, OHLC resampling, Gini concentration, and
-  * SCD2 snapshot reconstruction. All oracle-checked with exact (integer
-  * or decimal) arithmetic.
+  * README.md:9) beyond plain relational rollups: PageRank, triangle,
+  * core-peel and modularity supersteps over shared memoized graph state;
+  * gap-fill, interpolation, additive decomposition, autocorrelation,
+  * CUSUM and STL-residual anomaly detection on calendar-grain series;
+  * banded range joins, gaps-and-islands, cohort retention/LTV, rolling
+  * actives, sweep-line concurrency; exact mode, weighted median,
+  * VaR/CVaR, drawdown, OHLC, rolling beta; Gini/HHI/Lorenz
+  * concentration; funnel latency, sessionization, first/last-touch and
+  * time-decayed attribution, A/B and CUPED experiment readouts; SCD2
+  * snapshot reconstruction. All oracle-checked with exact (integer or
+  * decimal) arithmetic.
   *
   * Scale posture (100 TB):
   *   - [[graphPagerankStep]] is ONE synchronous Pregel superstep expressed
