@@ -158,7 +158,13 @@ object Scalars {
     * differs across engines (Spark's p+s rules vs DuckDB's), so portable
     * decimal pipelines keep ratios in scaled integers ([[Det]]) and
     * decimals for sums/products. Outputs are cast to pinned widths
-    * (DECIMAL(38,4)/(38,6)) because sum() widens differently per engine.
+    * (DECIMAL(38,4)/(38,6)) because sum() widens differently per engine,
+    * then rendered as STRING: fixed-scale decimal-to-string is canonical
+    * ("383843.4900", trailing zeros kept) in both engines, whereas raw
+    * decimal columns hash differently per client (pyarrow keeps
+    * decimal.Decimal, other readers widen to float64) even when the
+    * unscaled values are bit-identical — the driver compare is on
+    * rendered values, so the exactness proof must survive rendering.
     *
     * Scale: one map-side-partial hash aggregate; decimal sums carry a
     * 16-byte unscaled value — order-independent, overflow-checked at
@@ -176,11 +182,16 @@ object Scalars {
           "(CAST(1.00 AS DECIMAL(3,2)) + tax)").as("charge"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        expr("CAST(sum(price) AS DECIMAL(38,4))").as("sum_base"),
-        expr("CAST(sum(disc_price) AS DECIMAL(38,4))").as("sum_disc_price"),
-        expr("CAST(sum(charge) AS DECIMAL(38,6))").as("sum_charge"),
-        expr("CAST(min(price) AS DECIMAL(18,2))").as("min_price"),
-        expr("CAST(max(price) AS DECIMAL(18,2))").as("max_price"))
+        expr("CAST(CAST(sum(price) AS DECIMAL(38,4)) AS STRING)")
+          .as("sum_base"),
+        expr("CAST(CAST(sum(disc_price) AS DECIMAL(38,4)) AS STRING)")
+          .as("sum_disc_price"),
+        expr("CAST(CAST(sum(charge) AS DECIMAL(38,6)) AS STRING)")
+          .as("sum_charge"),
+        expr("CAST(CAST(min(price) AS DECIMAL(18,2)) AS STRING)")
+          .as("min_price"),
+        expr("CAST(CAST(max(price) AS DECIMAL(18,2)) AS STRING)")
+          .as("max_price"))
       .orderBy("l_returnflag")
 
   /** q_udf_scalar — the native [[FeeExpr]] Catalyst expression, called
@@ -332,11 +343,12 @@ object Scalars {
         "price * (CAST(1.00 AS DECIMAL(3,2)) - disc) * " +
         "(CAST(1.00 AS DECIMAL(3,2)) + tax) AS charge FROM base) " +
         "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(price) AS DECIMAL(38,4)) AS sum_base, " +
-        "CAST(sum(disc_price) AS DECIMAL(38,4)) AS sum_disc_price, " +
-        "CAST(sum(charge) AS DECIMAL(38,6)) AS sum_charge, " +
-        "CAST(min(price) AS DECIMAL(18,2)) AS min_price, " +
-        "CAST(max(price) AS DECIMAL(18,2)) AS max_price " +
+        "CAST(CAST(sum(price) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base, " +
+        "CAST(CAST(sum(disc_price) AS DECIMAL(38,4)) AS VARCHAR) " +
+        "AS sum_disc_price, " +
+        "CAST(CAST(sum(charge) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge, " +
+        "CAST(CAST(min(price) AS DECIMAL(18,2)) AS VARCHAR) AS min_price, " +
+        "CAST(CAST(max(price) AS DECIMAL(18,2)) AS VARCHAR) AS max_price " +
         "FROM x GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_scalar_string" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS len, " +

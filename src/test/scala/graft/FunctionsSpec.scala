@@ -456,11 +456,11 @@ class FunctionsSpec extends AnyFunSuite {
       val sumBase = rs.map(_._2).sum                       // cents
       val sumDisc = rs.map(t => t._2 * (100 - t._3)).sum   // 10^-4 dollars
       val sumCharge = rs.map(t => t._2 * (100 - t._3) * (100 + t._4)).sum // 10^-6
-      assert(got.getDecimal(2) === new java.math.BigDecimal(sumBase).movePointLeft(2).setScale(4))
-      assert(got.getDecimal(3) === new java.math.BigDecimal(sumDisc).movePointLeft(4).setScale(4))
-      assert(got.getDecimal(4) === new java.math.BigDecimal(sumCharge).movePointLeft(6).setScale(6))
-      assert(got.getDecimal(5) === new java.math.BigDecimal(rs.map(_._2).min).movePointLeft(2).setScale(2))
-      assert(got.getDecimal(6) === new java.math.BigDecimal(rs.map(_._2).max).movePointLeft(2).setScale(2))
+      assert(got.getString(2) === new java.math.BigDecimal(sumBase).movePointLeft(2).setScale(4).toPlainString)
+      assert(got.getString(3) === new java.math.BigDecimal(sumDisc).movePointLeft(4).setScale(4).toPlainString)
+      assert(got.getString(4) === new java.math.BigDecimal(sumCharge).movePointLeft(6).setScale(6).toPlainString)
+      assert(got.getString(5) === new java.math.BigDecimal(rs.map(_._2).min).movePointLeft(2).setScale(2).toPlainString)
+      assert(got.getString(6) === new java.math.BigDecimal(rs.map(_._2).max).movePointLeft(2).setScale(2).toPlainString)
     }
   }
 
