@@ -29,7 +29,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional args: bench only these query names (local iteration aid;
     // the driver passes none → full run)
-    val only = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,9 +86,12 @@ object Bench {
           } finally spark.conf.set(providerKey, defaultProvider)
         }
     }
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .sortBy(_._1)
+    // args given → run exactly those, IN ARG ORDER (lets local iteration
+    // choose which family member pays a shared memo build); no args → the
+    // driver's full run, name-sorted for stable attribution
+    val results: Seq[(String, Double)] = (
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else args.toSeq.distinct.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val sec =

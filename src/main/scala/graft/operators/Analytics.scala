@@ -883,11 +883,13 @@ object Analytics {
     * reached there — the reachability/blast-radius primitive behind
     * recommendation neighborhoods and contagion analyses. Textbook
     * distributed BFS: the FRONTIER expands one hop per superstep
-    * (frontier ⋈ edges), an ANTI-JOIN against the visited set keeps only
-    * first arrivals, and the visited set accumulates — each superstep is
-    * a self-contained shuffle-bounded job, state lives in DataFrames
-    * (never on the driver), the [[LlmData.dedupCluster]] iteration
-    * discipline. The oracle walks the same graph INDEPENDENTLY: a
+    * (frontier ⋈ edges), and an ANTI-JOIN against the LAST TWO frontiers
+    * keeps only first arrivals — on an undirected graph a neighbor of a
+    * dist-(k−1) node sits at dist k−2/k−1/k, so two frontiers are a
+    * complete visited check and the state NEVER accumulates — each
+    * superstep is a self-contained shuffle-bounded job, state lives in
+    * DataFrames (never on the driver), the [[LlmData.dedupCluster]]
+    * iteration discipline. The oracle walks the same graph INDEPENDENTLY: a
     * recursive-CTE enumeration of ALL ≤3-hop paths reduced by min(dist) —
     * exponential in depth and only runnable at oracle scale, which is
     * exactly the point of the frontier formulation.
@@ -929,8 +931,18 @@ object Analytics {
     val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
     var frontier = seed
     (1 to 3).foreach { depth =>
-      val visited = frontiers.reduce(_ unionByName _)
-      // frontier and visited are NODE-grain (id-only longs, ≪ |E|) —
+      // UNDIRECTED two-frontier visited check: a neighbor of a dist-(k−1)
+      // node can only sit at dist k−2, k−1, or k, so anti-joining the LAST
+      // TWO frontiers (not the accumulated visited set) leaves exactly the
+      // dist-k nodes. This bounds the anti-join's broadcast at two frontier
+      // widths FOREVER — the accumulated-visited union the first cut
+      // broadcast grows to |V| and is the driver-memory scale killer on a
+      // billion-node graph. (Directed graphs lose this property — back
+      // edges reach any earlier level — and need the full visited set.)
+      val recent =
+        if (frontiers.size < 2) frontiers.last
+        else frontiers.takeRight(2).reduce(_ unionByName _)
+      // frontier and recent are NODE-grain (id-only longs, ≪ |E|) —
       // broadcast BOTH sides so no superstep ever shuffles the edge table:
       // the expansion is a map-side hash join over the persisted edges and
       // the visited check is a broadcast anti-join over the (small)
@@ -939,7 +951,7 @@ object Analytics {
       // the 2×|E| bidirectional edge set every depth.)
       val next = e.join(broadcast(frontier), frontier("node") === e("a"))
         .select(col("b").as("node")).distinct()
-        .join(broadcast(visited), Seq("node"), "left_anti")
+        .join(broadcast(recent), Seq("node"), "left_anti")
         .select(col("node"), lit(depth.toLong).as("dist"))
         .persist(MEMORY_AND_DISK)
       frontiers += next
