@@ -32,6 +32,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // Spark 4 defaults, pinned: docs/SCALING.md prescribes runtime
       // re-planning + skew-split as part of the 100 TB posture
       .config("spark.sql.adaptive.enabled", "true")
@@ -104,13 +105,17 @@ object Bench {
       }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
-    // complete canonical record — full names, seconds — to a repo file
+    // complete canonical record — full names, seconds — to a repo file.
+    // bench_full.json is cross-round comparable ONLY for full runs, so a
+    // subset run (args given) writes bench_subset.json instead of
+    // clobbering the canonical record with incomparable totals.
     val fullQs = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val recordFile = if (args.isEmpty) "bench_full.json" else "bench_subset.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
+        java.nio.file.Paths.get(recordFile),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // compact stdout line — must fit the 2000-char tail window whole

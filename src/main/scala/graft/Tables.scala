@@ -20,19 +20,34 @@ object Tables {
     * are left to Catalyst — callers express plain `select`/`where` and the
     * Parquet scan picks them up (asserted in PlanShapeSpec).
     *
-    * `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    * Parquet reader rejects; it is read as a long (legacy nanosAsLong conf)
-    * and truncated to microseconds — the same truncation DuckDB applies when
-    * it reads nanos into its micro-precision timestamps, so oracle parity is
-    * preserved.
+    * `events.ts` has shipped under two physical encodings across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized Parquet reader
+    * rejects — read as a long via the legacy nanosAsLong conf and truncated
+    * to micros, matching DuckDB's micro-precision truncation) and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false). The loader's CONTRACT is that
+    * `ts` comes out as classic TimestampType (LTZ) under the engine's UTC
+    * session timezone — every consumer uses `unix_micros`/`Row.getTimestamp`,
+    * which reject TIMESTAMP_NTZ — so NTZ inference is disabled for the scan
+    * (the micros value is identical; DuckDB reads the same naive micros) and
+    * a residual NTZ column is cast. The loader branches on the loaded type
+    * rather than assuming one encoding, so a fixture regeneration is a no-op
+    * here.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

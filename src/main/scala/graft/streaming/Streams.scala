@@ -173,15 +173,21 @@ object Streams {
   }
 
   /** Streaming read of the events fixture (schema from the batch footer;
-    * nanos ts handled exactly as in [[graft.Tables]]).
+    * both physical ts encodings handled exactly as in [[graft.Tables]]).
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(rawSchema)
+    val raw = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet") // the source needs a dir
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    rawSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** q_stream_tumbling — per-type counts + exact sums in 1-minute tumbling

@@ -60,4 +60,26 @@ class FixturesSpec extends AnyFunSuite {
     }
     assert(Files.exists(dir.resolve("_COMPLETE")))
   }
+
+  // --- schema-drift guard -------------------------------------------------
+  // The driver regenerates /root/testdata between rounds and the physical
+  // encoding of events.ts has already flipped once (TIMESTAMP(NANOS) →
+  // timestamp[us], round 7 — broke 61 queries). Tables.apply must normalize
+  // BOTH encodings to TimestampType; this test names the contract so the
+  // next regeneration is caught here, not 61 queries deep.
+  test("Tables.apply normalizes events.ts to TimestampType for any physical encoding") {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val s = TestSpark.spark
+    val raw = s.read.parquet(s"${TestSpark.sf}/events.parquet").schema("ts").dataType
+    assert(raw == LongType || raw == TimestampType || raw == TimestampNTZType,
+      s"fixture events.ts has a NEW physical encoding $raw — teach Tables.apply to handle it")
+    // The contract is classic TimestampType (LTZ), NOT TimestampNTZType:
+    // consumers use unix_micros/Row.getTimestamp, which reject NTZ (round-8
+    // post-mortem — the regenerated timestamp[us] fixture inferred NTZ and
+    // broke 23 tests past the loader).
+    val loaded = Tables(s, TestSpark.sf, "events").schema("ts").dataType
+    assert(loaded == TimestampType,
+      s"Tables.apply left events.ts as $loaded (raw was $raw) — " +
+        "the loader must normalize every physical encoding to TimestampType")
+  }
 }
