@@ -902,8 +902,9 @@ object Analytics {
   def graphBfs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // AQE is pinned OFF for the BFS DAG (restored in the finally): every
-    // join here is an explicit broadcast and every shuffle is node-grain,
-    // so runtime re-planning has nothing to improve — but AQE's per-stage
+    // join strategy here is chosen explicitly from exact frontier counts
+    // and every shuffle is node-grain, so runtime re-planning has nothing
+    // to improve — but AQE's per-stage
     // materialization serializes the iterative cached-union DAG into many
     // adaptive stages, measured 4-30x wall-clock on the supersteps
     // (0.9 s vs 3.7-31 s warm on the sf0.1 fixture). Static planning is
@@ -915,45 +916,67 @@ object Analytics {
     try graphBfsBody(s, d) finally s.conf.set(aqeKey, aqeWas)
   }
 
+  /** Frontier rows under this bound broadcast (~8 B/long-node → ≤ ~4 MB,
+    * inside the default 10 MB autoBroadcast budget with headroom); above
+    * it the superstep falls back to a shuffle join against the edge view
+    * pre-partitioned on `a`, where only the node-grain frontier moves.
+    */
+  private val bfsBroadcastMaxRows = 500000L
+
   private def graphBfsBody(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = copurchaseEdges(s, d)
     // both-directions view is a NARROW union over the memoized base —
     // two cache scans beat a third persisted copy of the edge set
     val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    // shuffle-path edge view: pre-partitioned on the join key and persisted
+    // LAZILY — it is materialized only if some superstep's frontier
+    // outgrows the broadcast bound, and from then on every such superstep
+    // is a local join on the cached partitioning (InMemoryTableScan keeps
+    // HashPartitioning(a)), so only the frontier side ever shuffles.
+    val eByA = e.repartition(col("a")).persist(MEMORY_AND_DISK)
     val seed = e.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
       .persist(MEMORY_AND_DISK)
-    // one persisted DataFrame PER DEPTH, one final action for the whole
-    // DAG: intermediate count() jobs (the first cut ran one per round to
-    // allow eager unpersists) doubled wall-clock through job overhead —
-    // node-grain frontiers are small enough to keep until the end
     val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    val sizes = scala.collection.mutable.ArrayBuffer[Long](1L) // seed = 1 node
     var frontier = seed
     (1 to 3).foreach { depth =>
       // UNDIRECTED two-frontier visited check: a neighbor of a dist-(k−1)
       // node can only sit at dist k−2, k−1, or k, so anti-joining the LAST
       // TWO frontiers (not the accumulated visited set) leaves exactly the
-      // dist-k nodes. This bounds the anti-join's broadcast at two frontier
+      // dist-k nodes. This bounds the anti-join state at two frontier
       // widths FOREVER — the accumulated-visited union the first cut
-      // broadcast grows to |V| and is the driver-memory scale killer on a
-      // billion-node graph. (Directed graphs lose this property — back
-      // edges reach any earlier level — and need the full visited set.)
+      // carried grows to |V| and is the scale killer on a billion-node
+      // graph. (Directed graphs lose this property — back edges reach any
+      // earlier level — and need the full visited set.)
       val recent =
         if (frontiers.size < 2) frontiers.last
         else frontiers.takeRight(2).reduce(_ unionByName _)
-      // frontier and recent are NODE-grain (id-only longs, ≪ |E|) —
-      // broadcast BOTH sides so no superstep ever shuffles the edge table:
-      // the expansion is a map-side hash join over the persisted edges and
-      // the visited check is a broadcast anti-join over the (small)
-      // candidate set. The only exchange per superstep is the node-grain
-      // distinct. (Measured: the three shuffle joins this replaces moved
-      // the 2×|E| bidirectional edge set every depth.)
-      val next = e.join(broadcast(frontier), frontier("node") === e("a"))
-        .select(col("b").as("node")).distinct()
-        .join(broadcast(recent), Seq("node"), "left_anti")
+      val recentRows = sizes.takeRight(2).sum
+      // SIZE-AWARE superstep join: while the frontier is provably small
+      // (its exact row count came from last superstep's materializing
+      // count) broadcast it — a map-side hash join over the persisted
+      // edges, no exchange but the node-grain distinct. Once a frontier
+      // crosses the bound — hop-2 of a co-purchase graph approaches
+      // O(|V|) — broadcasting it is the scale killer, so the expansion
+      // switches to the pre-partitioned edge view where the shuffle is
+      // bounded by the frontier, never the edges.
+      val small = sizes.last <= bfsBroadcastMaxRows
+      val expanded =
+        if (small) e.join(broadcast(frontier), frontier("node") === e("a"))
+        else eByA.join(frontier, frontier("node") === eByA("a"))
+      val cand = expanded.select(col("b").as("node")).distinct()
+      val next = (
+        if (recentRows <= bfsBroadcastMaxRows)
+          cand.join(broadcast(recent), Seq("node"), "left_anti")
+        else cand.join(recent, Seq("node"), "left_anti"))
         .select(col("node"), lit(depth.toLong).as("dist"))
         .persist(MEMORY_AND_DISK)
+      // the count materializes the persist (reused by every later join and
+      // the final action) AND yields the exact size the NEXT superstep's
+      // join choice needs — one node-grain job per depth
+      sizes += next.count()
       frontiers += next
       frontier = next
     }
@@ -963,6 +986,7 @@ object Analytics {
       .orderBy("dist")
     val collected = out.collect()
     frontiers.foreach(_.unpersist())
+    eByA.unpersist() // no-op if no superstep took the shuffle path
     import s.implicits._
     collected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq.toDF("dist", "n_nodes", "sum_nodes", "min_node", "max_node")

@@ -542,35 +542,53 @@ object LlmData {
       .limit(50)
   }
 
-  /** q_simsearch_ivf — IVF ANN with a PERSISTED index: 16 deterministic
-    * anchor directions (hash-sign vectors) act as a coarse quantizer; the
-    * one-time index build assigns every vector to its argmax-dot cell and
-    * lands the corpus as CELL-PARTITIONED parquet. A probe reads the query's
-    * top-2 cells via STATIC PARTITION PRUNING — the scan touches ~1/8 of the
-    * files, which is the property that makes IVF work at 100 TB (the
-    * in-plan variant still scans everything and filters; asserted in
-    * PlanShapeSpec). The two probe cells are fetched to the driver first —
-    * that is the query's O(1) routing decision, not a data collect.
-    * Approximate by design → no SQL oracle; recall vs brute force is
-    * measured in SimSearchSpec.
+  /** q_simsearch_ivf — IVF ANN with a PERSISTED index: ~√N deterministic
+    * sample-vector centroids ([[ivfCellCount]]) act as a coarse quantizer;
+    * the one-time index build assigns every vector to its argmax-dot cell
+    * and lands the corpus as CELL-PARTITIONED parquet. A probe reads the
+    * query's top ~⅛ of cells via STATIC PARTITION PRUNING — the scan
+    * touches ~1/8 of the files at ANY corpus size, which is the property
+    * that makes IVF work at 100 TB (the in-plan variant still scans
+    * everything and filters; asserted in PlanShapeSpec). The probe cells
+    * are fetched to the driver first — that is the query's O(1) routing
+    * decision, not a data collect. Approximate by design → no SQL oracle;
+    * recall vs brute force is measured in LlmDataSpec.
     */
   def simsearchIvf(s: SparkSession, d: String): DataFrame =
-    simsearchIvfProbe(s, d, nProbe = 2)
+    simsearchIvfCore(s, d, nCells => math.max(2, (nCells + 7) / 8))
 
   /** q_simsearch_ivf_full — the IVF probe at nProbe = nCells: every cell is
     * scanned, so the result must EQUAL brute force — which makes this the
-    * oracle-checked end of the nProbe dial (the approximate nProbe=2 probe
+    * oracle-checked end of the nProbe dial (the approximate ~⅛-probe
     * shares all its machinery: index, codebook, routing, pruning path).
     */
   def simsearchIvfFull(s: SparkSession, d: String): DataFrame =
-    simsearchIvfProbe(s, d, nProbe = 16)
+    simsearchIvfProbe(s, d, nProbe = Int.MaxValue)
 
-  /** IVF probe with a configurable probe width. nProbe trades scan fraction
-    * for recall (~nProbe/16 of the index files are read); the measured
-    * recall@20 curve on the fixtures is recorded in docs/SCALING.md and the
-    * nProbe=2 floor is asserted in LlmDataSpec.
+  /** IVF cell count for an n-vector corpus: ~√n — the classic IVF sizing
+    * rule (cell population ~√n keeps probe cost ~nProbe·√n) — clamped to
+    * [4, 256]. The clamp marks a real seam: past ~256 cells the
+    * literal-expression codebook below should become a broadcast-joined
+    * centroid table (the expressions stop being codegen-friendly), and a
+    * billion-vector corpus wants k-means-refined centroids, not samples.
     */
-  def simsearchIvfProbe(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+  private[operators] def ivfCellCount(nVecs: Long): Int =
+    math.max(4, math.min(256, math.ceil(math.sqrt(nVecs.toDouble)).toInt))
+
+  /** IVF probe with a fixed probe width. nProbe trades scan fraction for
+    * recall (~nProbe/nCells of the index files are read); the measured
+    * recall@20 curve on the fixtures is recorded in docs/SCALING.md and
+    * the declared-probe floor is asserted in LlmDataSpec.
+    */
+  def simsearchIvfProbe(s: SparkSession, d: String, nProbe: Int): DataFrame =
+    simsearchIvfCore(s, d, _ => nProbe)
+
+  /** Shared IVF machinery; `probeOf` maps the (corpus-derived) cell count
+    * to the probe width, so callers can pin either an absolute width or a
+    * scan fraction.
+    */
+  private def simsearchIvfCore(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
     val emb = t(s, d, "embeddings")
     // Identity for BOTH the codebook cache and the persisted index: path +
@@ -579,19 +597,21 @@ object LlmData {
     // stale cached codebook could otherwise be baked into a fresh
     // fingerprint-keyed index that later JVMs would trust.
     val tag = ivfTag(d)
-    // Coarse quantizer = up to 16 evenly-spaced DATA vectors, unit-
+    // Coarse quantizer = ~√N evenly-spaced DATA vectors ([[ivfCellCount]]),
+    // unit-
     // normalized (argmax dot(v, ĉ) == argmax cosine(v, c)). Sampling the
     // corpus — rather than random hyperplane anchors — is what makes this
     // IVF: cells track the data's own cluster structure, so a query's
     // nearest cells hold most of its true neighbors (measured curve in
-    // docs/SCALING.md). The codebook is a driver-held model (≤16×64
+    // docs/SCALING.md). The codebook is a driver-held model (≤256×64
     // floats, O(1) like the routing row fetch), exactly how IVF centroids
     // ship to query routers.
     val centroids = ivfCodebook.computeIfAbsent(tag, _ => {
       val nVecs = emb.count()
-      val step = math.max(nVecs / 16L, 1L)
+      val targetCells = ivfCellCount(nVecs)
+      val step = math.max(nVecs / targetCells.toLong, 1L)
       emb.where(col("vec_id") % step === 0)
-        .orderBy("vec_id").limit(16)
+        .orderBy("vec_id").limit(targetCells)
         .select("embedding").collect()
         .map { r =>
           val v = r.getSeq[Float](0).map(_.toDouble).toArray
@@ -602,10 +622,10 @@ object LlmData {
           v.map(_ / safe)
         }
     })
-    // degenerate datasets (< 16 vectors) yield fewer cells; the probe must
-    // never rank phantom null-padded cells ahead of real ones
+    // degenerate datasets (< targetCells vectors) yield fewer cells; the
+    // probe must never rank phantom null-padded cells ahead of real ones
     val nCells = centroids.length
-    val probeN = math.min(nProbe, nCells)
+    val probeN = math.min(math.max(probeOf(nCells), 1), nCells)
     // per-cell scores as literal-centroid graft_dot calls: codegen'd native
     // kernels, no interpreted lambdas in the index-build scan
     def cellsExpr(embCol: String) =
@@ -633,11 +653,11 @@ object LlmData {
       row.getAs[scala.collection.Seq[Long]]("probe_cells").toSeq)
   }
 
-  /** JVM-lifetime cache of the per-dataset IVF codebook (≤16×64 doubles),
+  /** JVM-lifetime cache of the per-dataset IVF codebook (≤256×64 doubles),
     * keyed by [[ivfTag]] (path + leaf-file fingerprint — NOT just the
     * path, so a regenerated fixture gets fresh centroids): the quantizer
     * is a deterministic function of the fixture bytes, so repeat probes
-    * skip the count + 16-row collect routing jobs.
+    * skip the count + centroid-sample collect routing jobs.
     */
   private val ivfCodebook =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
@@ -647,8 +667,9 @@ object LlmData {
     * when embeddings.parquet is itself a directory of part-files) — a
     * regenerated fixture or a sanitization collision ("/sf0.1" vs
     * "/sf0_1") gets its own index instead of silently serving another
-    * dataset's vectors. The v2 scheme-version prefix keys out indexes
-    * assigned by the older (hash-anchor) quantizer.
+    * dataset's vectors. The v3 scheme-version prefix keys out indexes
+    * assigned by older quantizers (v1 hash-anchor; v2 fixed 16 sample
+    * cells — v3 derives the cell count from the corpus size).
     */
   private def ivfTag(d: String): String = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
@@ -664,7 +685,7 @@ object LlmData {
       java.nio.file.Files.getLastModifiedTime(p).toMillis))).toArray
     val fp = java.lang.Long.toHexString(
       java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
-    s"v2_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    s"v3_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
   }
 
   /** Build-or-reuse the persisted cell-partitioned IVF index under the
@@ -1919,24 +1940,40 @@ object LlmData {
     * both engines hold identical bits; the fixtures are unit-norm, so the
     * nudge gives cos ≥ 0.9987 against the original) stand in for
     * re-encoded/paraphrase duplicates — natural pairs are near-orthogonal
-    * (max cos ≈ 0.51), so the 0.99 gate separates cleanly. K = 8 seed
-    * centroids (vec_id < k, the [[embedKmeansStep]] convention) partition
-    * the space by argmin squared distance; ONLY within-cluster pairs are
-    * compared (cos_micro ≥ 990000) and each duplicate keeps its lowest
-    * vec_id partner — the standard greedy representative rule.
+    * (max cos ≈ 0.51), so the 0.99 gate separates cleanly. K =
+    * [[semanticClusterCount]](N) ≈ √N seed centroids (vec_id < k, the
+    * [[embedKmeansStep]] convention) partition the space by argmin squared
+    * distance; ONLY pairs sharing a cell under TOP-2 soft assignment are
+    * compared (cos_micro ≥ 990000) — the multi-probe that recovers
+    * cluster-boundary near-dups K=√N would otherwise split — and each
+    * duplicate keeps its lowest vec_id partner — the standard greedy
+    * representative rule.
     *
-    * Scale: clustering is what kills the quadratic — pair volume drops from
-    * N² to Σ|cluster|², bounded by growing K with the corpus (SemDeDup's
-    * recipe keeps clusters ~O(√N)). The centroid table is model-sized so
-    * assignment is a broadcast projection; the only corpus shuffle is the
-    * cluster-keyed self-join, and the pair stream is filtered inside the
-    * join stage (never shuffled). The explicit approximation: cross-cluster
-    * near-dups are not compared — K is the recall/cost dial.
+    * Scale: clustering is what kills the quadratic — pair volume drops
+    * from N² to Σ|cluster|², and K ≈ √N (SemDeDup's recipe) keeps expected
+    * cluster population ~√N, so pair volume stays ~N·√N/K ≈ N at ANY
+    * corpus size instead of being pinned by a fixture-tuned constant. The
+    * centroid table is model-sized so assignment is a broadcast
+    * projection; the only corpus shuffle is the cluster-keyed self-join,
+    * and the pair stream is filtered inside the join stage (never
+    * shuffled). The explicit approximation: cross-cluster near-dups are
+    * not compared — K is the recall/cost dial. The oracle derives K with
+    * the SAME √count expression, so the knob stays oracle-checked.
     */
+  /** SemDeDup cluster count for an n-vector corpus: ⌈√n⌉ clamped to
+    * [8, 256] — mirrored EXACTLY by the oracle's
+    * `GREATEST(8, LEAST(256, CEIL(SQRT(count(*)))))` so both engines
+    * derive the same K from the same table. The 256 cap marks where the
+    * statically-expanded per-centroid distance columns should become a
+    * broadcast-joined centroid table.
+    */
+  private[operators] def semanticClusterCount(nVecs: Long): Int =
+    math.max(8, math.min(256, math.ceil(math.sqrt(nVecs.toDouble)).toInt))
+
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
-    val k = 8
     val emb = t(s, d, "embeddings")
+    val k = semanticClusterCount(emb.count())
     val variants = emb.where(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         concat(
@@ -1961,21 +1998,35 @@ object LlmData {
         - lit(2.0) * VectorOps.dot(col("embedding"), typedlit(v))
         + lit(cc)).as(s"d2_$c")
     }
-    val withD2 = corpus.select(col("vec_id") +: col("embedding") +: d2Cols: _*)
-      .withColumn("d2", least((0 until k).map(c => col(s"d2_$c")): _*))
-    val cluster = (0 until k).foldRight(lit(-1): Column) { (c, e) =>
-      when(col(s"d2_$c") === col("d2"), lit(c)).otherwise(e)
-    }
-    val asg = withD2.withColumn("cluster_id", cluster)
-      .select("vec_id", "embedding", "cluster_id")
-    val pairs = asg
-      .select(col("cluster_id"), col("vec_id").as("va"), col("embedding").as("ea"))
-      .join(asg.select(col("cluster_id"), col("vec_id").as("vb"),
-        col("embedding").as("eb")), Seq("cluster_id"))
+    // TOP-2 SOFT ASSIGNMENT (multi-probe): with K ≈ √N clusters, a near-dup
+    // pair straddling a cluster boundary is the dominant recall loss — the
+    // nudged twin's argmin can flip to the adjacent centroid. Each vector
+    // therefore joins the pair stage under its TWO nearest cells; a
+    // boundary pair then meets in at least one shared cell unless the two
+    // vectors' top-2 sets are disjoint (which needs a gap larger than the
+    // nudge — not a near-dup). Pair volume stays ≤ 4·Σ|cluster|²; the
+    // REPORTED cluster_id is still the argmin cell. array_sort on
+    // struct(d2, cid) orders (d2 asc, cid asc) — exactly the oracle's
+    // row_number() OVER (ORDER BY d2, cid).
+    val d2Arr = array((0 until k).map(c =>
+      struct(col(s"d2_$c").as("d2"), lit(c).as("cid"))): _*)
+    val asg = corpus.select(col("vec_id") +: col("embedding") +: d2Cols: _*)
+      .withColumn("top2", slice(array_sort(d2Arr), 1, 2))
+      .select(col("vec_id"), col("embedding"),
+        col("top2").getItem(0).getField("cid").as("cluster_id"), col("top2"))
+    val soft = asg.select(col("vec_id"), col("embedding"),
+      explode(expr("transform(top2, p -> p.cid)")).as("cell"))
+    val pairs = soft
+      .select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(soft.select(col("cell"), col("vec_id").as("vb"),
+        col("embedding").as("eb")), Seq("cell"))
       .where(col("va") < col("vb"))
       .withColumn("cos_micro",
         round(VectorOps.cosine(col("ea"), col("eb")) * 1000000, 0).cast("long"))
       .where(col("cos_micro") >= 990000)
+      // a pair can co-occur in both shared cells — gate first (cheap pairs
+      // survive rarely), then dedup on the key alone
+      .select("va", "vb").dropDuplicates("va", "vb")
     val dropped = pairs.groupBy(col("vb").as("vec_id"))
       .agg(min("va").as("dropped_by"))
     asg.join(dropped, Seq("vec_id"), "left")
@@ -2666,7 +2717,8 @@ object LlmData {
         "AS embedding FROM embeddings WHERE vec_id % 25 = 0), " +
         "corpus AS (SELECT vec_id, embedding FROM embeddings " +
         "UNION ALL SELECT vec_id, embedding FROM var), " +
-        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < " +
+        "(SELECT GREATEST(8, LEAST(256, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)), " +
         "a AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid, " +
         s"(${VectorOps.sqlDot("e.embedding", "e.embedding")} - " +
         s"2.0 * ${VectorOps.sqlDot("e.embedding", "c.ce")} + " +
@@ -2675,8 +2727,9 @@ object LlmData {
         "m AS (SELECT vec_id, embedding, cid, d2, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM a), " +
         "asg AS (SELECT vec_id, embedding, cid FROM m WHERE rk = 1), " +
-        "p AS (SELECT x.vec_id AS va, y.vec_id AS vb " +
-        "FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id " +
+        "soft AS (SELECT vec_id, embedding, cid FROM m WHERE rk <= 2), " +
+        "p AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb " +
+        "FROM soft x JOIN soft y ON x.cid = y.cid AND x.vec_id < y.vec_id " +
         s"WHERE CAST(round((${VectorOps.sqlCosine("x.embedding", "y.embedding")}) " +
         "* 1000000, 0) AS BIGINT) >= 990000), " +
         "drp AS (SELECT vb AS vec_id, min(va) AS dropped_by FROM p GROUP BY vb) " +

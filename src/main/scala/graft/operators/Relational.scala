@@ -358,12 +358,14 @@ object Relational {
     * itself is sketch-defined, like the HLL op's). Fixed seed → the
     * sketch, and therefore the booleans, are deterministic.
     *
-    * Scale: day-grain sketches are KB each at ANY row count; merging
-    * |days| of them is control-plane work (the driver fold here — on a
-    * cluster, a treeReduce), so any date-range frequency question costs
-    * O(range) sketch reads instead of an O(raw) rescan. This is the
-    * pattern `approx_count_distinct`/plain counts cannot express: their
-    * buffers are not storable columns.
+    * Scale: day-grain sketches are KB each at ANY row count; CMS merge is
+    * associative, so the fold runs ENGINE-SIDE — `Dataset.reduce` does a
+    * per-partition partial merge and the driver only combines one sketch
+    * per partition (≤ shuffle-partition count, never |days|), so any
+    * date-range frequency question costs O(range) sketch reads instead of
+    * an O(raw) rescan, and a years×keys sketch matrix folds without ever
+    * landing on the driver. This is the pattern `approx_count_distinct`/
+    * plain counts cannot express: their buffers are not storable columns.
     */
   def aggCmsMerge(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
@@ -371,10 +373,18 @@ object Relational {
     val ev = t(s, d, "events").select(to_date(col("ts")).as("day"), col("user_id"))
     val daily = ev.groupBy("day")
       .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("cms"))
-    val merged = daily.select("cms").collect().map { r =>
-      CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
-    }.reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val mergedBytes = daily.select("cms")
+      .as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
+      .reduce { (a, b) =>
+        val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(a))
+        sa.mergeInPlace(
+          CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+        val bos = new java.io.ByteArrayOutputStream()
+        sa.writeTo(bos)
+        bos.toByteArray
+      }
+    val merged =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(mergedBytes))
     val exact = ev.where(col("user_id") < 5)
       .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

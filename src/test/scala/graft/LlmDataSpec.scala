@@ -112,14 +112,21 @@ class LlmDataSpec extends AnyFunSuite {
       assert(ivf.size === 20, s"nProbe=$nProbe returned ${ivf.size} rows")
       ivf.intersect(brute).size.toDouble / 20
     }
-    val curve = Seq(1, 2, 4, 8, 16).map(n => n -> recallAt(n))
+    val curve = Seq(1, 2, 4, 8, Int.MaxValue).map(n => n -> recallAt(n))
     info(s"recall@20 curve: ${curve.map { case (n, r) => s"nProbe=$n:$r" }.mkString(", ")}")
     val r = curve.toMap
-    // measured floors (docs/SCALING.md records the curve — 0.85 at nProbe=2
-    // on this fixture): the declared q_simsearch_ivf runs nProbe=2, and
-    // scanning 1/8 of the index must keep well over half the true top-20
-    assert(r(2) >= 0.6, s"nProbe=2 recall ${r(2)} below the 0.6 floor")
-    assert(r(16) === 1.0, "probing every cell must reproduce brute force exactly")
+    // the DECLARED q_simsearch_ivf probes ~1/8 of the derived ~√N cells
+    // (scan fraction is the invariant, not an absolute cell count):
+    // reading an eighth of the index must keep well over half the true
+    // top-20 (docs/SCALING.md records the measured curve)
+    val declared = LlmData.simsearchIvf(s, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val declaredRecall = declared.intersect(brute).size.toDouble / 20
+    info(s"declared-probe recall@20: $declaredRecall")
+    assert(declaredRecall >= 0.6,
+      s"declared-probe recall $declaredRecall below the 0.6 floor")
+    assert(r(Int.MaxValue) === 1.0,
+      "probing every cell must reproduce brute force exactly")
     // monotone non-decreasing in nProbe: wider probes never lose neighbors
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
