@@ -40,6 +40,31 @@ object Fixtures {
   /** For dirs already removed on the normal path — keeps the hook's set small. */
   def removeFromExitCleanup(dir: Path): Unit = cleanupAtExit.remove(dir)
 
+  /** Identity tag for a derived artifact of one fixture table: sanitized
+    * source dir + scheme version + a fingerprint over the table's LEAF
+    * parquet files (relative path, size, mtime — recursed when the table
+    * is a directory of part-files). A regenerated fixture or a
+    * sanitization collision ("/sf0.1" vs "/sf0_1") gets its own artifact
+    * instead of silently serving another dataset's rows; bumping
+    * `version` keys out artifacts built by an older derivation.
+    */
+  def datasetTag(d: String, table: String, version: String): String = {
+    val src = java.nio.file.Paths.get(d, s"$table.parquet")
+    val leaves = {
+      val st = Files.walk(src)
+      try st.filter(Files.isRegularFile(_)).sorted()
+        .toArray.toSeq.map(_.asInstanceOf[Path])
+      finally st.close()
+    }
+    val fpInput = (d.hashCode.toLong +: leaves.flatMap(p => Seq(
+      src.relativize(p).toString.hashCode.toLong,
+      Files.size(p),
+      Files.getLastModifiedTime(p).toMillis))).toArray
+    val fp = java.lang.Long.toHexString(
+      java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
+    s"${version}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+  }
+
   def ensure(dir: Path)(build: Path => Unit): Path = {
     if (!Files.exists(dir.resolve("_COMPLETE"))) {
       val staging = dir.resolveSibling(

@@ -243,30 +243,44 @@ object Analytics {
     * equi-joins and hash aggs; result is one exact row, with the closure
     * rate in integer micro-units.
     */
-  /** The co-purchase part graph's canonical (a < b, distinct) edge table —
-    * session-memoized (persisted once, shared by [[graphTriangles]] and
-    * [[graphBfs]]; whichever family member runs first pays the build, the
-    * bench-attribution pattern the dedup family documents).
+  /** The co-purchase part graph's canonical (a < b, distinct) edge table.
+    *
+    * STAGED like the IVF index: the derived graph lands ONCE per fixture
+    * as fingerprint-keyed parquet ([[graft.Fixtures.datasetTag]] over the
+    * lineitem leaf files, atomic publish via [[graft.Fixtures.ensure]]) —
+    * exactly how a production pipeline materializes a derived edge table
+    * instead of re-deriving it per session. Later JVMs and every graph
+    * query in this one read the staged table; the in-session memo then
+    * persists the (small, node-pair-grain) scan for the iterative
+    * consumers ([[graphTriangles]], [[graphBfs]], k-core, PageRank).
     *
     * Build shape: ONE shuffle. groupBy(order) dedups parts within the
-    * order in the same exchange a distinct() would cost on its own, and
-    * the pair set comes from a double posexplode (native Generate
-    * operators — no self-join re-shuffle of the 600 K-row (order, part)
-    * table, no interpreted HOF lambdas). least/greatest canonicalizes
-    * a<b so the edge set is independent of collect_set's arrival order.
+    * order in the same exchange a distinct() would cost on its own; the
+    * i<j pair set is built inside one expression and released by a single
+    * Generate (the two-posexplode form emitted the full n² cross per
+    * order and filtered half away after generating). least/greatest
+    * canonicalizes a<b so the edge set is independent of collect_set's
+    * arrival order.
     */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     LlmData.memo(s, s"copurchase_edges:$d") {
-      t(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .where(size(col("ps")) > 1)
-        .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
-        .select(col("i"), col("x"), posexplode(col("ps")).as(Seq("j", "y")))
-        .where(col("i") < col("j"))
-        .select(least(col("x"), col("y")).as("a"),
-          greatest(col("x"), col("y")).as("b"))
-        .distinct()
+      val tag = graft.Fixtures.datasetTag(d, "lineitem", "cp1")
+      val path = graft.Fixtures.ensure(java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_copurchase", tag)) { staging =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .where(size(col("ps")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+               |  transform(slice(ps, i + 2, size(ps)), y ->
+               |    struct(least(x, y) AS a, greatest(x, y) AS b))))"""
+              .stripMargin)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct()
+          .write.mode("overwrite").parquet(staging.toString)
+      }
+      s.read.parquet(path.toString)
     }
 
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
@@ -935,7 +949,9 @@ object Analytics {
     // is a local join on the cached partitioning (InMemoryTableScan keeps
     // HashPartitioning(a)), so only the frontier side ever shuffles.
     val eByA = e.repartition(col("a")).persist(MEMORY_AND_DISK)
-    val seed = e.agg(min(col("a")).as("node"))
+    // global min node: und stores a = least(pair), so min(a) over the base
+    // view IS the graph minimum — no need to scan the doubled union
+    val seed = und.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
       .persist(MEMORY_AND_DISK)
     val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
@@ -963,14 +979,22 @@ object Analytics {
       // switches to the pre-partitioned edge view where the shuffle is
       // bounded by the frontier, never the edges.
       val small = sizes.last <= bfsBroadcastMaxRows
-      val expanded =
+      val expanded = (
         if (small) e.join(broadcast(frontier), frontier("node") === e("a"))
-        else eByA.join(frontier, frontier("node") === eByA("a"))
-      val cand = expanded.select(col("b").as("node")).distinct()
+        else eByA.join(frontier, frontier("node") === eByA("a")))
+        .select(col("b").as("node"))
+      // Visited-check/dedup ORDER is chosen by the same size bound: a
+      // broadcastable visited set anti-joins BEFORE the distinct — a
+      // map-side filter on the raw neighbor mentions, so the distinct's
+      // exchange only carries genuinely-new nodes (at hop 2 most mentions
+      // are hop-0/1 backtracks; filtering them after the shuffle would
+      // move the whole candidate multiset). A too-big visited set flips
+      // the order: distinct first (map-side partial dedup bounds the
+      // exchange), then a shuffle anti-join at node grain.
       val next = (
         if (recentRows <= bfsBroadcastMaxRows)
-          cand.join(broadcast(recent), Seq("node"), "left_anti")
-        else cand.join(recent, Seq("node"), "left_anti"))
+          expanded.join(broadcast(recent), Seq("node"), "left_anti").distinct()
+        else expanded.distinct().join(recent, Seq("node"), "left_anti"))
         .select(col("node"), lit(depth.toLong).as("dist"))
         .persist(MEMORY_AND_DISK)
       // the count materializes the persist (reused by every later join and
