@@ -36,4 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measured 3-10x their standalone time from full-GC pressure; 48g
   // restores standalone-equal timings). The host has 125 GB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // GC diagnostics for bench-variance hunts: GRAFT_GC_LOG=/path enables
+  // unified GC logging in the forked JVM (off by default — zero overhead)
+  sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq
