@@ -927,7 +927,22 @@ object Analytics {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey)
     s.conf.set(aqeKey, "false")
-    try graphBfsBody(s, d) finally s.conf.set(aqeKey, aqeWas)
+    try graphBfsBody(s, d, bfsBroadcastMaxRows)
+    finally s.conf.set(aqeKey, aqeWas)
+  }
+
+  /** Test seam: run the BFS with a caller-chosen broadcast bound — bound 0
+    * forces EVERY superstep onto the large-frontier shuffle path (the
+    * branch a small fixture can't reach naturally), so its equivalence to
+    * the broadcast path is asserted, not assumed (AnalyticsSpec).
+    */
+  private[graft] def graphBfsWithBound(s: SparkSession, d: String,
+      broadcastMaxRows: Long): DataFrame = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try graphBfsBody(s, d, broadcastMaxRows)
+    finally s.conf.set(aqeKey, aqeWas)
   }
 
   /** Frontier rows under this bound broadcast (~8 B/long-node → ≤ ~4 MB,
@@ -937,7 +952,8 @@ object Analytics {
     */
   private val bfsBroadcastMaxRows = 500000L
 
-  private def graphBfsBody(s: SparkSession, d: String): DataFrame = {
+  private def graphBfsBody(s: SparkSession, d: String,
+      broadcastMaxRows: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = copurchaseEdges(s, d)
     // both-directions view is a NARROW union over the memoized base —
@@ -978,7 +994,7 @@ object Analytics {
       // O(|V|) — broadcasting it is the scale killer, so the expansion
       // switches to the pre-partitioned edge view where the shuffle is
       // bounded by the frontier, never the edges.
-      val small = sizes.last <= bfsBroadcastMaxRows
+      val small = sizes.last <= broadcastMaxRows
       val expanded = (
         if (small) e.join(broadcast(frontier), frontier("node") === e("a"))
         else eByA.join(frontier, frontier("node") === eByA("a")))
@@ -992,7 +1008,7 @@ object Analytics {
       // the order: distinct first (map-side partial dedup bounds the
       // exchange), then a shuffle anti-join at node grain.
       val next = (
-        if (recentRows <= bfsBroadcastMaxRows)
+        if (recentRows <= broadcastMaxRows)
           expanded.join(broadcast(recent), Seq("node"), "left_anti").distinct()
         else expanded.distinct().join(recent, Seq("node"), "left_anti"))
         .select(col("node"), lit(depth.toLong).as("dist"))

@@ -549,6 +549,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.keySet.max >= 2L, s"graph saturated at 1 hop: ${out.keySet}")
   }
 
+  test("q_graph_bfs large-frontier shuffle path produces identical layers") {
+    // bound 0 forces every superstep onto the pre-partitioned shuffle-join
+    // path (expansion AND visited anti-join) — the branch real frontiers
+    // only reach past 500k rows, so a small fixture never exercises it
+    // naturally. Both paths must be layer-identical.
+    val broadcastPath = Analytics.graphBfs(s, d).collect().map(_.toSeq).toSeq
+    val shufflePath =
+      Analytics.graphBfsWithBound(s, d, 0L).collect().map(_.toSeq).toSeq
+    assert(shufflePath === broadcastPath)
+  }
+
   test("q_join_spatial_grid equals the brute-force radius join; no cartesian plan") {
     val out = Analytics.joinSpatialGrid(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
