@@ -731,6 +731,161 @@ object LlmData {
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(20)
 
+  // --------------------------------------------------- product quantization
+
+  /** JVM-lifetime cache of the per-dataset PQ codebook, keyed like
+    * [[ivfCodebook]] (leaf-file fingerprint, so a regenerated fixture gets
+    * fresh centroids). Layout: codebook(j)(c) = the c-th centroid of
+    * subspace j, as raw floats.
+    */
+  private val pqCodebook =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
+
+  /** PQ geometry: m subspaces over the embedding dims, ks centroids per
+    * subspace. ks is a STORAGE-FORMAT choice (log2 ks bits per code — 16
+    * cells = 4-bit codes), not a corpus-scale knob, so it stays fixed;
+    * the corpus-scale dial is m (code length) and, at real scale,
+    * k-means-trained centroids instead of samples.
+    */
+  private val pqM = 8
+  private val pqKs = 16
+
+  /** Sampled per-subspace centroids: the j-th slice of up to ks
+    * evenly-spaced data vectors (the [[simsearchIvfCore]] sampling
+    * pattern, UN-normalized — PQ quantizes raw subvectors in L2).
+    */
+  private def pqCentroids(s: SparkSession, d: String): Array[Array[Array[Float]]] =
+    pqCodebook.computeIfAbsent(ivfTag(d), _ => {
+      val emb = t(s, d, "embeddings")
+      val nVecs = emb.count()
+      val step = math.max(nVecs / pqKs.toLong, 1L)
+      val samples = emb.where(col("vec_id") % step === 0)
+        .orderBy("vec_id").limit(pqKs)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val dims = samples.head.length
+      require(dims % pqM == 0, s"dims $dims not divisible by m=$pqM")
+      val sub = dims / pqM
+      Array.tabulate(pqM)(j => samples.map(_.slice(j * sub, j * sub + sub)))
+    })
+
+  /** Ascending-index double fold of Σ aᵢ·bᵢ — the same arithmetic order as
+    * the codegen'd `graft_dot` and DuckDB's `list_reduce`, so driver-held
+    * codebook constants are bit-identical to what either engine computes.
+    */
+  private def foldDot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Per-subspace argmin columns for the PQ encoder: for each subspace j a
+    * struct(score, code) where score = c·c − 2·x_j·c (the x_j·x_j term is
+    * constant within a subspace, so the argmin is unchanged by dropping
+    * it) and code is the tie-lowest centroid — array_sort on the struct
+    * orders (score asc, code asc), exactly the oracle's
+    * row_number() OVER (ORDER BY score, c).
+    */
+  private def pqBestCols(cb: Array[Array[Array[Float]]]): Seq[Column] = {
+    val sub = cb(0)(0).length
+    (0 until pqM).map { j =>
+      val xs = expr(s"slice(embedding, ${j * sub + 1}, $sub)")
+      val cells = (0 until cb(j).length).map { c =>
+        val ce = cb(j)(c)
+        val cc = foldDot(ce, ce)
+        struct(
+          (lit(cc) - lit(2.0) * VectorOps.dot(xs, typedlit(ce.toSeq))).as("s"),
+          lit(c).as("c"))
+      }
+      element_at(array_sort(array(cells: _*)), 1).as(s"best_$j")
+    }
+  }
+
+  /** q_embed_pq — PRODUCT QUANTIZATION encode + reconstruction audit: the
+    * standard companion to IVF at vector-store scale (IVF routes to a
+    * cell, PQ shrinks what is stored and scanned inside it — 64 floats →
+    * m=8 4-bit codes here, a 64× storage cut). Each subvector is assigned
+    * its nearest per-subspace centroid; the audit reports the codes and
+    * the exact reconstruction error Σⱼ‖xⱼ − c(codeⱼ)‖², per-subspace
+    * integer-micro rounded BEFORE the sum so the total is order-free and
+    * bit-identical across engines. The codebook is corpus-sampled
+    * (driver-held, m·ks·subDim floats) and the oracle re-derives codes and
+    * error from the same literal centroids — the encode is fully
+    * oracle-checked, which pure-approximate ANN outputs cannot be.
+    *
+    * Scale: encoding is scan-stage codegen (m·ks literal-centroid dot
+    * kernels, no shuffle, no UDF); the codes column is what a 100 TB
+    * vector store persists. ks is a format constant; real deployments
+    * train centroids with k-means ([[embedKmeansStep]] is the building
+    * block) instead of sampling.
+    */
+  def embedPq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cb = pqCentroids(s, d)
+    val sub = cb(0)(0).length
+    val best = t(s, d, "embeddings")
+      .select(col("vec_id") +: col("embedding") +: pqBestCols(cb): _*)
+    val errCols = (0 until pqM).map { j =>
+      val xs = expr(s"slice(embedding, ${j * sub + 1}, $sub)")
+      round((VectorOps.dot(xs, xs) + col(s"best_$j").getField("s")) * 1000000, 0)
+        .cast("long")
+    }
+    best
+      .select(col("vec_id"),
+        array((0 until pqM).map(j => col(s"best_$j").getField("c")): _*).as("codes"),
+        errCols.reduce(_ + _).as("pq_err_micro"))
+      .orderBy("vec_id")
+  }
+
+  /** q_simsearch_pq_adc — ASYMMETRIC DISTANCE top-k over PQ codes: the
+    * query keeps full precision, the corpus is scanned as codes only, and
+    * each subspace's distance is a lookup into the query's precomputed
+    * m×ks table T[j][c] = ‖qⱼ − c‖² — the FAISS ADC scan shape, where
+    * per-vector cost is m table lookups instead of a dims-wide dot. T is
+    * integer-micro per cell (driver-computed with the same ascending fold
+    * both engines use), so the summed distance is exact and the ranking
+    * deterministic → fully oracle-checked, unlike sampled-recall-only ANN
+    * gates. Recall vs the exact scan is measured in LlmDataSpec.
+    *
+    * Scale: T is O(m·ks) per query (control-plane); the scan reads the
+    * codes column only — at 100 TB this is the difference between
+    * scanning 8 bytes and 256 bytes per vector, on top of IVF's cell
+    * pruning.
+    */
+  def simsearchPqAdc(s: SparkSession, d: String): DataFrame =
+    simsearchPqAdcTop(s, d, 20)
+
+  /** ADC scan with a caller-chosen candidate depth: the production funnel
+    * takes ADC top-(5–10·k) as CANDIDATES and re-ranks them with exact
+    * distances (LlmDataSpec measures both the pure top-20 recall and the
+    * top-100 candidate coverage this funnel depends on).
+    */
+  private[graft] def simsearchPqAdcTop(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cb = pqCentroids(s, d)
+    val q = t(s, d, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val sub = cb(0)(0).length
+    val tMicro: Seq[Seq[Long]] = (0 until pqM).map { j =>
+      val qs = q.slice(j * sub, j * sub + sub)
+      val qq = foldDot(qs, qs)
+      cb(j).toSeq.map { ce =>
+        math.round((qq + foldDot(ce, ce) - 2.0 * foldDot(qs, ce)) * 1000000)
+      }
+    }
+    val best = t(s, d, "embeddings").where(col("vec_id") =!= 0)
+      .select(col("vec_id") +: col("embedding") +: pqBestCols(cb): _*)
+    val adcCols = (0 until pqM).map { j =>
+      element_at(typedlit(tMicro(j)), col(s"best_$j").getField("c") + 1)
+    }
+    best
+      .select(col("vec_id"), adcCols.reduce(_ + _).as("adc_micro"))
+      .orderBy(asc("adc_micro"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** q_embed_quantize — int8 embedding quantization audit: symmetric
     * per-vector quantization (scale = max|x|/127, q = round(x/scale)) with
     * reconstruction-error metrics — the storage-reduction step vector
@@ -2181,6 +2336,8 @@ object LlmData {
     "q_simsearch_topk" -> simsearchTopk _,
     "q_simsearch_ivf" -> simsearchIvf _,
     "q_simsearch_ivf_full" -> simsearchIvfFull _,
+    "q_embed_pq" -> embedPq _,
+    "q_simsearch_pq_adc" -> simsearchPqAdc _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
@@ -2212,6 +2369,33 @@ object LlmData {
     "q_search_bm25" -> searchBm25 _,
     "q_embed_project" -> embedProject _,
     "q_text_classify" -> textClassify _)
+
+  /** Shared PQ oracle CTEs: centroids derived IN SQL from the same
+    * evenly-spaced sample the engine takes (count-derived step, ascending
+    * vec_id, limit 16 = [[pqKs]]), subvector slices at the fixture's
+    * 64/8 = 8 sub-dims, per-(vec, subspace) argmin via
+    * row_number(ORDER BY score, c) — the exact tie rule of the engine's
+    * struct sort. err_j is integer-micro per subspace BEFORE summation so
+    * the total is order-free.
+    */
+  private def pqSqlCtes: String =
+    "samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+      "embedding AS se FROM embeddings " +
+      "WHERE vec_id % (SELECT GREATEST(count(*) // 16, 1) FROM embeddings) = 0 " +
+      "ORDER BY vec_id LIMIT 16), " +
+      "cb AS (SELECT js.j AS j, samp.c AS c, " +
+      "samp.se[js.j*8+1 : js.j*8+8] AS ce " +
+      "FROM samp CROSS JOIN (SELECT unnest(range(8)) AS j) js), " +
+      "sub AS (SELECT e.vec_id AS vec_id, cb.j AS j, cb.c AS c, " +
+      "e.embedding[cb.j*8+1 : cb.j*8+8] AS xs, cb.ce AS ce " +
+      "FROM embeddings e CROSS JOIN cb), " +
+      s"sc AS (SELECT vec_id, j, c, (${VectorOps.sqlDot("ce", "ce")} " +
+      s"- 2.0 * ${VectorOps.sqlDot("xs", "ce")}) AS score, " +
+      s"${VectorOps.sqlDot("xs", "xs")} AS xx FROM sub), " +
+      "m AS (SELECT vec_id, j, c, score, xx, " +
+      "row_number() OVER (PARTITION BY vec_id, j ORDER BY score, c) AS rk FROM sc), " +
+      "best AS (SELECT vec_id, j, c AS code, " +
+      "CAST(round((xx + score) * 1000000, 0) AS BIGINT) AS err_j FROM m WHERE rk = 1)"
 
   val oracle: Map[String, String] = Map(
     "q_corpus_contamination" ->
@@ -2521,6 +2705,24 @@ object LlmData {
         "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
         ") * 10000, 0) / 10000 AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 50"),
+    "q_embed_pq" ->
+      (s"WITH $pqSqlCtes " +
+        "SELECT vec_id, list(code ORDER BY j) AS codes, " +
+        "CAST(sum(err_j) AS BIGINT) AS pq_err_micro " +
+        "FROM best GROUP BY vec_id ORDER BY vec_id"),
+    "q_simsearch_pq_adc" ->
+      (s"WITH $pqSqlCtes, " +
+        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "tj0 AS (SELECT cb.j AS j, cb.c AS c, cb.ce AS ce, " +
+        "qv.qe[cb.j*8+1 : cb.j*8+8] AS qs FROM cb CROSS JOIN qv), " +
+        "tj AS (SELECT j, c, CAST(round((" +
+        s"${VectorOps.sqlDot("qs", "qs")} + ${VectorOps.sqlDot("ce", "ce")} " +
+        s"- 2.0 * ${VectorOps.sqlDot("qs", "ce")}) * 1000000, 0) AS BIGINT) AS tv " +
+        "FROM tj0) " +
+        "SELECT b.vec_id AS vec_id, CAST(sum(tj.tv) AS BIGINT) AS adc_micro " +
+        "FROM best b JOIN tj ON b.j = tj.j AND b.code = tj.c " +
+        "WHERE b.vec_id <> 0 GROUP BY b.vec_id " +
+        "ORDER BY adc_micro, vec_id LIMIT 20"),
     "q_embed_quantize" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale_raw " +

@@ -131,6 +131,45 @@ class LlmDataSpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("q_embed_pq codes are valid and ADC recall@20 clears its floor") {
+    val enc = LlmData.embedPq(s, d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+    val nVecs = Tables(s, d, "embeddings").count()
+    assert(enc.length.toLong === nVecs)
+    // every vector gets exactly m codes, each inside the ks cell range,
+    // and reconstruction error is non-negative (micro-int rounding can
+    // produce tiny negatives only through fp cancellation — bound it)
+    enc.foreach { case (_, codes, err) =>
+      assert(codes.length === 8)
+      assert(codes.forall(c => c >= 0 && c < 16))
+      assert(err >= -8L, s"reconstruction error impossibly negative: $err")
+    }
+    // a sampled centroid reconstructs its own sample exactly: err == 0
+    assert(enc.exists(_._3 == 0L), "no vector reconstructs exactly — " +
+      "sampled centroids should encode their own source vectors losslessly")
+    // ADC top-20 vs the exact scan (unit-norm fixtures: L2 rank == cosine
+    // rank, so the cosine brute force is the ground truth)
+    val brute = LlmData.simsearchTopk(s, d).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val adc = LlmData.simsearchPqAdc(s, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(adc.size === 20)
+    val recall = adc.intersect(brute).size.toDouble / 20
+    info(s"PQ ADC recall@20: $recall")
+    // 8 subspaces x 4-bit sampled codebooks is a coarse sketch — the pure
+    // top-20 floor documents measured behavior (0.25 on this fixture),
+    // not a product promise; the production shape is the candidate funnel
+    // below (ADC top-5k candidates -> exact re-rank)
+    assert(recall >= 0.2, s"ADC recall $recall below the 0.2 floor")
+    // funnel coverage: ADC top-100 candidates must hold most of the true
+    // top-20, or re-ranking has nothing to recover
+    val cands = LlmData.simsearchPqAdcTop(s, d, 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val coverage = cands.intersect(brute).size.toDouble / 20
+    info(s"PQ ADC top-100 candidate coverage of true top-20: $coverage")
+    assert(coverage >= 0.6, s"candidate coverage $coverage below the 0.6 floor")
+  }
+
   test("q_pack_sequences is invariant to shard size (exact distributed prefix rebase)") {
     // 7: many tiny shards; 1_000_000: one shard ≡ the naive global window.
     // The two-level integer rebase must be bit-identical across all of them.
