@@ -196,6 +196,52 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_dedup_incremental — NEW-BATCH dedup against the standing corpus:
+    * the daily-increment shape every production dedup actually runs (the
+    * full pair scan is a backfill; day N+1 only asks "is anything in
+    * today's batch a near-dup of what we already hold"). The batch split
+    * is injected deterministically (doc_id % 10 = 0 → "new", the PII-scrub
+    * precedent); each new document reports whether it near-dups the
+    * corpus (J ≥ 0.5), its lowest-id corpus partner, and that partner's
+    * Jaccard in integer micro.
+    *
+    * Scale: the candidate join is new-batch shingles ⋈ the corpus's
+    * inverted shingle index — the NEW side is broadcast (a daily batch is
+    * ≪ the corpus by construction), so the corpus-side index never
+    * shuffles; per-pair work is one keyed count + the length-filtered
+    * Jaccard. At backfill scale the same join takes the [[dedupNgram]]
+    * prefix-filter bound; an increment's candidate fan-out is small
+    * enough that exact counting wins.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val isNew = col("doc_id") % 10 === 0
+    val newSh = sh.where(isNew)
+    val oldSh = sh.where(!isNew)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = broadcast(newSh.select(col("doc_id").as("new_doc"), col("sh")))
+      .join(oldSh.select(col("doc_id").as("corpus_doc"), col("sh")), "sh")
+      .groupBy("new_doc", "corpus_doc").agg(count(lit(1)).as("common"))
+    val qualifying = common
+      .join(sizes.select(col("doc_id").as("new_doc"), col("n").as("na")), "new_doc")
+      .join(sizes.select(col("doc_id").as("corpus_doc"), col("n").as("nb")), "corpus_doc")
+      .where(col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+        >= JaccardThreshold)
+    val best = qualifying.groupBy("new_doc").agg(min("corpus_doc").as("dup_of"))
+    val withJac = best.join(qualifying,
+        best("new_doc") === qualifying("new_doc") &&
+          best("dup_of") === qualifying("corpus_doc"))
+      .select(best("new_doc"), best("dup_of"),
+        round(col("common") * lit(1000000.0)
+          / (col("na") + col("nb") - col("common")), 0)
+          .cast("long").as("jac_micro"))
+    t(s, d, "documents").where(isNew).select("doc_id")
+      .join(withJac, col("doc_id") === withJac("new_doc"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jac_micro"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_cluster — duplicate-CLUSTER resolution: connected components
     * over the exact near-dup pair graph, labeling every involved document
     * with its component's minimum doc_id (the canonical representative a
@@ -2328,6 +2374,7 @@ object LlmData {
     "q_text_zipf" -> textZipf _,
     "q_dedup_ngram" -> dedupNgram _,
     "q_dedup_cluster" -> dedupCluster _,
+    "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_survivors" -> dedupSurvivors _,
     "q_dedup_near" -> dedupNear _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -2648,6 +2695,24 @@ object LlmData {
         "common * 1.0 / (a.n + b.n - common) AS jac " +
         "FROM pairs JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
         "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_dedup_incremental" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
+        "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "cand AS (SELECT nw.doc_id AS new_doc, o.doc_id AS corpus_doc, count(*) AS common " +
+        "FROM sh nw JOIN sh o ON nw.s = o.s " +
+        "WHERE nw.doc_id % 10 = 0 AND o.doc_id % 10 <> 0 GROUP BY 1, 2), " +
+        "q AS (SELECT new_doc, corpus_doc, common, a.n AS na, b.n AS nb " +
+        "FROM cand JOIN nc a ON a.doc_id = new_doc JOIN nc b ON b.doc_id = corpus_doc " +
+        "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5), " +
+        "best AS (SELECT new_doc, min(corpus_doc) AS dup_of FROM q GROUP BY 1), " +
+        "wj AS (SELECT b.new_doc AS new_doc, b.dup_of AS dup_of, " +
+        "CAST(round(q.common * 1000000.0 / (q.na + q.nb - q.common), 0) AS BIGINT) AS jac_micro " +
+        "FROM best b JOIN q ON q.new_doc = b.new_doc AND q.corpus_doc = b.dup_of) " +
+        "SELECT d.doc_id, wj.dup_of, wj.jac_micro, wj.dup_of IS NOT NULL AS is_dup " +
+        "FROM documents d LEFT JOIN wj ON wj.new_doc = d.doc_id " +
+        "WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id"),
     "q_dedup_cluster" ->
       ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +

@@ -131,6 +131,32 @@ class LlmDataSpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("q_dedup_incremental agrees with the full pair table restricted to new x corpus") {
+    val inc = LlmData.dedupIncremental(s, d).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3))).toSeq
+    val allNew = Tables(s, d, "documents").where(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc.map(_._1).toSet === allNew, "every new-batch doc must report")
+    // ground truth: the exact full pair table, restricted to pairs that
+    // cross the batch split, min corpus partner per new doc
+    val pairs = LlmData.dedupNgram(s, d).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    def upd(n: Long, c: Long): Unit =
+      if (!expect.contains(n) || c < expect(n)) expect(n) = c
+    pairs.foreach { case (a, b) =>
+      if (a % 10 == 0 && b % 10 != 0) upd(a, b)
+      if (b % 10 == 0 && a % 10 != 0) upd(b, a)
+    }
+    inc.foreach { case (id, dupOf, isDup) =>
+      assert(expect.get(id) === dupOf, s"doc $id partner mismatch")
+      assert(isDup === dupOf.isDefined)
+    }
+    // non-vacuous on both sides of the classification
+    assert(inc.exists(_._3) && inc.exists(!_._3))
+  }
+
   test("q_embed_pq codes are valid and ADC recall@20 clears its floor") {
     val enc = LlmData.embedPq(s, d).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
