@@ -652,6 +652,18 @@ object LlmData {
     */
   private def simsearchIvfCore(s: SparkSession, d: String,
       probeOf: Int => Int): DataFrame = {
+    val (indexPath, qEmb, cells) = ivfRoute(s, d, probeOf)
+    probeCells(s, indexPath, typedlit(qEmb), cells)
+  }
+
+  /** Shared IVF machinery: build-or-reuse the staged cell index (which
+    * also carries the PQ `codes` column — one index serves the raw-vector
+    * probe AND the IVFADC scan, exactly how production stores lay out
+    * IVF+PQ side by side), score the query against the codebook, and
+    * return (index path, query vector, ranked probe cells).
+    */
+  private def ivfRoute(s: SparkSession, d: String,
+      probeOf: Int => Int): (String, Seq[Float], Seq[Long]) = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
     val emb = t(s, d, "embeddings")
     // Identity for BOTH the codebook cache and the persisted index: path +
@@ -696,8 +708,15 @@ object LlmData {
         s"graft_dot($embCol, array(${c.mkString("D, ")}D))").mkString(", ") + ")"
     def argmax(scores: String) =
       s"array_position($scores, array_max($scores))"
-    val indexPath = ivfIndex(s, d, tag, df =>
-      df.withColumn("cell", expr(s"${argmax(cellsExpr("embedding"))}")))
+    val indexPath = ivfIndex(s, d, tag, df => {
+      val withBest = df.select(col("vec_id") +: col("embedding") +:
+        (pqBestCols(pqCentroids(s, d)) :+
+          expr(s"${argmax(cellsExpr("embedding"))}").as("cell")): _*)
+      withBest.select(col("vec_id"), col("embedding"),
+        array((0 until pqM).map(j => col(s"best_$j").getField("c")): _*)
+          .as("codes"),
+        col("cell"))
+    })
     // ranked probe cells: pair (score, cell-ordinal), sort descending by
     // score (ordinal breaks ties deterministically), take the top probeN
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
@@ -711,8 +730,8 @@ object LlmData {
     // query vector (re-deriving q inside the probe would re-run the scoring
     // scan a second time)
     val Array(row) = q.collect()
-    probeCells(s, indexPath,
-      typedlit(row.getAs[scala.collection.Seq[Float]]("q_emb")),
+    (indexPath,
+      row.getAs[scala.collection.Seq[Float]]("q_emb").toSeq,
       row.getAs[scala.collection.Seq[Long]]("probe_cells").toSeq)
   }
 
@@ -731,8 +750,9 @@ object LlmData {
     * regenerated fixture or a sanitization collision ("/sf0.1" vs
     * "/sf0_1") gets its own index instead of silently serving another
     * dataset's vectors. The v3 scheme-version prefix keys out indexes
-    * assigned by older quantizers (v1 hash-anchor; v2 fixed 16 sample
-    * cells — v3 derives the cell count from the corpus size).
+    * assigned by older quantizers/schemas (v1 hash-anchor; v2 fixed 16
+    * sample cells; v3 corpus-derived cell count — v4 adds the PQ codes
+    * column to the index rows).
     */
   private def ivfTag(d: String): String = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
@@ -748,7 +768,7 @@ object LlmData {
       java.nio.file.Files.getLastModifiedTime(p).toMillis))).toArray
     val fp = java.lang.Long.toHexString(
       java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
-    s"v3_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    s"v4_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
   }
 
   /** Build-or-reuse the persisted cell-partitioned IVF index under the
@@ -913,14 +933,7 @@ object LlmData {
     val cb = pqCentroids(s, d)
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
-    val sub = cb(0)(0).length
-    val tMicro: Seq[Seq[Long]] = (0 until pqM).map { j =>
-      val qs = q.slice(j * sub, j * sub + sub)
-      val qq = foldDot(qs, qs)
-      cb(j).toSeq.map { ce =>
-        math.round((qq + foldDot(ce, ce) - 2.0 * foldDot(qs, ce)) * 1000000)
-      }
-    }
+    val tMicro = pqAdcTable(cb, q)
     val best = t(s, d, "embeddings").where(col("vec_id") =!= 0)
       .select(col("vec_id") +: col("embedding") +: pqBestCols(cb): _*)
     val adcCols = (0 until pqM).map { j =>
@@ -930,6 +943,51 @@ object LlmData {
       .select(col("vec_id"), adcCols.reduce(_ + _).as("adc_micro"))
       .orderBy(asc("adc_micro"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** The query's m×ks asymmetric-distance table, integer-micro per cell:
+    * T[j][c] = ‖q_j − c‖², driver-computed with the same ascending fold
+    * both engines use.
+    */
+  private def pqAdcTable(cb: Array[Array[Array[Float]]],
+      q: Array[Float]): Seq[Seq[Long]] = {
+    val sub = cb(0)(0).length
+    (0 until pqM).map { j =>
+      val qs = q.slice(j * sub, j * sub + sub)
+      val qq = foldDot(qs, qs)
+      cb(j).toSeq.map { ce =>
+        math.round((qq + foldDot(ce, ce) - 2.0 * foldDot(qs, ce)) * 1000000)
+      }
+    }
+  }
+
+  /** q_simsearch_ivfpq — the composed FAISS-style IVFADC pipeline: IVF
+    * routing prunes WHICH cells are read (static partition pruning over
+    * the staged index, ~⅛ of the files), and inside the probed cells the
+    * scan reads the CODES column only, scoring each vector with m
+    * table lookups ([[pqAdcTable]]) instead of a dims-wide dot — cell
+    * pruning × 64→8-byte rows is the cost model that serves
+    * billion-vector stores. Approximate on two axes (cell recall ×
+    * code quantization) → no SQL oracle; LlmDataSpec measures recall
+    * against the exact scan and proves the full-probe variant EQUALS
+    * q_simsearch_pq_adc row-for-row (the index's stored codes are the
+    * encoder's codes, so pruning is the only divergence).
+    */
+  def simsearchIvfPq(s: SparkSession, d: String): DataFrame =
+    simsearchIvfPqProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+
+  private[graft] def simsearchIvfPqProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    val (indexPath, qEmb, cells) = ivfRoute(s, d, probeOf)
+    val tMicro = pqAdcTable(pqCentroids(s, d), qEmb.toArray)
+    val adc = (0 until pqM).map { j =>
+      element_at(typedlit(tMicro(j)), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    s.read.parquet(indexPath)
+      .where(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("adc_micro"))
+      .orderBy(asc("adc_micro"), asc("vec_id"))
+      .limit(20)
   }
 
   /** q_embed_quantize — int8 embedding quantization audit: symmetric
@@ -2385,6 +2443,7 @@ object LlmData {
     "q_simsearch_ivf_full" -> simsearchIvfFull _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
+    "q_simsearch_ivfpq" -> simsearchIvfPq _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,

@@ -43,6 +43,7 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_grouped_fit", "q_source_corrupt_tolerant", "q_stream_stateful_tws",
     "q_embed_quantize", "q_text_pii_scrub",
     "q_embed_pq", "q_simsearch_pq_adc", "q_dedup_incremental",
+    "q_simsearch_ivfpq",
     "q_source_xml_roundtrip", "q_stream_foreach_upsert",
     "q_agg_sketch_merge", "q_agg_histogram_merge", "q_layout_zorder",
     "q_maintain_compact", "q_maintain_delete", "q_text_containment",
@@ -118,7 +119,11 @@ class ContractSpec extends AnyFunSuite {
     // once listed here) carries a DuckDB oracle
     val allowedNoOracle = Set("q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
       "q_simsearch_ivf", "q_multimodal_frames_sigs", "q_text_fingerprint",
-      "q_sample_stratified")
+      "q_sample_stratified",
+      // approximate on two axes (cell recall × code quantization); its
+      // full-probe variant is proven row-equal to the oracle-checked
+      // q_simsearch_pq_adc in LlmDataSpec
+      "q_simsearch_ivfpq")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(allowedNoOracle),
       s"queries missing an oracle without justification: ${noOracle -- allowedNoOracle}")

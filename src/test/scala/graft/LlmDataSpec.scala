@@ -196,6 +196,28 @@ class LlmDataSpec extends AnyFunSuite {
     assert(coverage >= 0.6, s"candidate coverage $coverage below the 0.6 floor")
   }
 
+  test("q_simsearch_ivfpq: full probe equals the ADC oracle; pruned probe holds recall") {
+    // full-probe IVFADC must be ROW-IDENTICAL to the oracle-checked pure
+    // ADC scan: the index's stored codes are the encoder's codes, so with
+    // no cells pruned the two pipelines are the same computation
+    val fullIvfpq = LlmData.simsearchIvfPqProbe(s, d, _ => Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val pureAdc = LlmData.simsearchPqAdcTop(s, d, 20)
+      .collect().map(_.toSeq).toSeq
+    assert(fullIvfpq === pureAdc)
+    // declared pruned probe: recall vs the exact scan — both cell pruning
+    // and code quantization lose neighbors, so the floor sits under the
+    // pure-ADC one (measured 0.25 ADC x 0.75-recall cells on this fixture)
+    val brute = LlmData.simsearchTopk(s, d).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pruned = LlmData.simsearchIvfPq(s, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.size === 20)
+    val recall = pruned.intersect(brute).size.toDouble / 20
+    info(s"IVFPQ pruned-probe recall@20 vs exact: $recall")
+    assert(recall >= 0.1, s"IVFPQ recall $recall below the 0.1 floor")
+  }
+
   test("q_pack_sequences is invariant to shard size (exact distributed prefix rebase)") {
     // 7: many tiny shards; 1_000_000: one shard ≡ the naive global window.
     // The two-level integer rebase must be bit-identical across all of them.
