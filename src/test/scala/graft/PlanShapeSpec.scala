@@ -162,6 +162,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a cell partition filter on the index scan:\n$p")
   }
 
+  test("q_embed_pq encodes in the scan stage: no join, no aggregate exchange") {
+    val p = plan(graft.operators.LlmData.embedPq(s, d))
+    // the m·ks literal-centroid kernels are a projection over the scan —
+    // the only exchange the plan may contain is the final presentation sort
+    assert(!p.contains("Join"), s"PQ encode should not join:\n$p")
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      s"PQ encode should not shuffle on a key:\n$p")
+  }
+
+  test("q_simsearch_ivfpq prunes cells AND reads codes, not raw vectors") {
+    val df = graft.operators.LlmData.simsearchIvfPq(s, d)
+    val p = plan(df)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"),
+      s"expected a cell partition filter on the IVFADC scan:\n$p")
+    // column pruning is the other half of the cost model: the ADC scan
+    // must NOT materialize the raw embedding column
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("codes") && !readSchema.contains("embedding"),
+      s"ADC scan should read codes only:\n$readSchema")
+  }
+
   test("GraftExtensions rewrites the HOF dot-product pattern to native graft_dot") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables(s, d, "embeddings").limit(100)
