@@ -899,7 +899,8 @@ object LlmData {
     }
     best
       .select(col("vec_id"),
-        array((0 until pqM).map(j => col(s"best_$j").getField("c")): _*).as("codes"),
+        concat_ws(",", (0 until pqM).map(j =>
+          col(s"best_$j").getField("c").cast("string")): _*).as("codes"),
         errCols.reduce(_ + _).as("pq_err_micro"))
       .orderBy("vec_id")
   }
@@ -975,6 +976,17 @@ object LlmData {
     */
   def simsearchIvfPq(s: SparkSession, d: String): DataFrame =
     simsearchIvfPqProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+
+  /** q_simsearch_ivfpq_full — the composed IVFADC pipeline at nProbe =
+    * nCells: every cell is scanned, so pruning contributes nothing and the
+    * result must EQUAL the pure ADC scan — which makes this the
+    * oracle-checked end of the composed path (same SQL oracle as
+    * [[simsearchPqAdc]]), mirroring the [[simsearchIvf]]/[[simsearchIvfFull]]
+    * symmetry: the approximate ~⅛-probe variant shares all its machinery
+    * (staged index, stored codes, ADC table, routing) with this row.
+    */
+  def simsearchIvfPqFull(s: SparkSession, d: String): DataFrame =
+    simsearchIvfPqProbe(s, d, _ => Int.MaxValue)
 
   private[graft] def simsearchIvfPqProbe(s: SparkSession, d: String,
       probeOf: Int => Int): DataFrame = {
@@ -2444,6 +2456,7 @@ object LlmData {
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
     "q_simsearch_ivfpq" -> simsearchIvfPq _,
+    "q_simsearch_ivfpq_full" -> simsearchIvfPqFull _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
@@ -2485,15 +2498,20 @@ object LlmData {
     * the total is order-free.
     */
   private def pqSqlCtes: String =
-    "samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+    // geometry is interpolated from the SAME constants the engine uses
+    // (pqM, pqKs) and the sub-dim is derived from the data (len // m) on
+    // both sides, so a regenerated fixture with different dimensionality
+    // cannot make engine and oracle silently diverge
+    s"samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
       "embedding AS se FROM embeddings " +
-      "WHERE vec_id % (SELECT GREATEST(count(*) // 16, 1) FROM embeddings) = 0 " +
-      "ORDER BY vec_id LIMIT 16), " +
+      s"WHERE vec_id % (SELECT GREATEST(count(*) // $pqKs, 1) FROM embeddings) = 0 " +
+      s"ORDER BY vec_id LIMIT $pqKs), " +
       "cb AS (SELECT js.j AS j, samp.c AS c, " +
-      "samp.se[js.j*8+1 : js.j*8+8] AS ce " +
-      "FROM samp CROSS JOIN (SELECT unnest(range(8)) AS j) js), " +
+      s"samp.se[js.j*(len(samp.se)//$pqM)+1 : (js.j+1)*(len(samp.se)//$pqM)] AS ce " +
+      s"FROM samp CROSS JOIN (SELECT unnest(range($pqM)) AS j) js), " +
       "sub AS (SELECT e.vec_id AS vec_id, cb.j AS j, cb.c AS c, " +
-      "e.embedding[cb.j*8+1 : cb.j*8+8] AS xs, cb.ce AS ce " +
+      s"e.embedding[cb.j*(len(e.embedding)//$pqM)+1 : " +
+      s"(cb.j+1)*(len(e.embedding)//$pqM)] AS xs, cb.ce AS ce " +
       "FROM embeddings e CROSS JOIN cb), " +
       s"sc AS (SELECT vec_id, j, c, (${VectorOps.sqlDot("ce", "ce")} " +
       s"- 2.0 * ${VectorOps.sqlDot("xs", "ce")}) AS score, " +
@@ -2502,6 +2520,27 @@ object LlmData {
       "row_number() OVER (PARTITION BY vec_id, j ORDER BY score, c) AS rk FROM sc), " +
       "best AS (SELECT vec_id, j, c AS code, " +
       "CAST(round((xx + score) * 1000000, 0) AS BIGINT) AS err_j FROM m WHERE rk = 1)"
+
+  /** The ADC-scan oracle: rebuild the codebook + codes ([[pqSqlCtes]]),
+    * derive the query's m×ks integer-micro distance table, and sum the m
+    * lookups per vector — shared verbatim by `q_simsearch_pq_adc` and the
+    * full-probe `q_simsearch_ivfpq_full`, which are the same computation
+    * by construction.
+    */
+  private def pqAdcSql: String =
+    s"WITH $pqSqlCtes, " +
+      "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "tj0 AS (SELECT cb.j AS j, cb.c AS c, cb.ce AS ce, " +
+      s"qv.qe[cb.j*(len(qv.qe)//$pqM)+1 : (cb.j+1)*(len(qv.qe)//$pqM)] AS qs " +
+      "FROM cb CROSS JOIN qv), " +
+      "tj AS (SELECT j, c, CAST(round((" +
+      s"${VectorOps.sqlDot("qs", "qs")} + ${VectorOps.sqlDot("ce", "ce")} " +
+      s"- 2.0 * ${VectorOps.sqlDot("qs", "ce")}) * 1000000, 0) AS BIGINT) AS tv " +
+      "FROM tj0) " +
+      "SELECT b.vec_id AS vec_id, CAST(sum(tj.tv) AS BIGINT) AS adc_micro " +
+      "FROM best b JOIN tj ON b.j = tj.j AND b.code = tj.c " +
+      "WHERE b.vec_id <> 0 GROUP BY b.vec_id " +
+      "ORDER BY adc_micro, vec_id LIMIT 20"
 
   val oracle: Map[String, String] = Map(
     "q_corpus_contamination" ->
@@ -2831,22 +2870,15 @@ object LlmData {
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 50"),
     "q_embed_pq" ->
       (s"WITH $pqSqlCtes " +
-        "SELECT vec_id, list(code ORDER BY j) AS codes, " +
+        // codes is comma-joined to a VARCHAR on BOTH sides: the driver's
+        // pandas comparator sorts cell values and cannot hash a raw LIST
+        "SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes, " +
         "CAST(sum(err_j) AS BIGINT) AS pq_err_micro " +
         "FROM best GROUP BY vec_id ORDER BY vec_id"),
-    "q_simsearch_pq_adc" ->
-      (s"WITH $pqSqlCtes, " +
-        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
-        "tj0 AS (SELECT cb.j AS j, cb.c AS c, cb.ce AS ce, " +
-        "qv.qe[cb.j*8+1 : cb.j*8+8] AS qs FROM cb CROSS JOIN qv), " +
-        "tj AS (SELECT j, c, CAST(round((" +
-        s"${VectorOps.sqlDot("qs", "qs")} + ${VectorOps.sqlDot("ce", "ce")} " +
-        s"- 2.0 * ${VectorOps.sqlDot("qs", "ce")}) * 1000000, 0) AS BIGINT) AS tv " +
-        "FROM tj0) " +
-        "SELECT b.vec_id AS vec_id, CAST(sum(tj.tv) AS BIGINT) AS adc_micro " +
-        "FROM best b JOIN tj ON b.j = tj.j AND b.code = tj.c " +
-        "WHERE b.vec_id <> 0 GROUP BY b.vec_id " +
-        "ORDER BY adc_micro, vec_id LIMIT 20"),
+    "q_simsearch_pq_adc" -> pqAdcSql,
+    // full-probe IVFADC scans every cell, so pruning contributes nothing
+    // and the composed path must EQUAL the pure ADC scan — same oracle
+    "q_simsearch_ivfpq_full" -> pqAdcSql,
     "q_embed_quantize" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale_raw " +

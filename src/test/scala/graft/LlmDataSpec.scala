@@ -159,7 +159,7 @@ class LlmDataSpec extends AnyFunSuite {
 
   test("q_embed_pq codes are valid and ADC recall@20 clears its floor") {
     val enc = LlmData.embedPq(s, d).collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getString(1).split(",").toSeq.map(_.toInt), r.getLong(2)))
     val nVecs = Tables(s, d, "embeddings").count()
     assert(enc.length.toLong === nVecs)
     // every vector gets exactly m codes, each inside the ks cell range,
@@ -200,7 +200,7 @@ class LlmDataSpec extends AnyFunSuite {
     // full-probe IVFADC must be ROW-IDENTICAL to the oracle-checked pure
     // ADC scan: the index's stored codes are the encoder's codes, so with
     // no cells pruned the two pipelines are the same computation
-    val fullIvfpq = LlmData.simsearchIvfPqProbe(s, d, _ => Int.MaxValue)
+    val fullIvfpq = LlmData.simsearchIvfPqFull(s, d)
       .collect().map(_.toSeq).toSeq
     val pureAdc = LlmData.simsearchPqAdcTop(s, d, 20)
       .collect().map(_.toSeq).toSeq
