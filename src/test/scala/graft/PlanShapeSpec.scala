@@ -513,6 +513,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"degree re-attach must broadcast, not shuffle the pair table:\n$p")
   }
 
+  test("supplier neighbor lists carry the hub-degree cap in-plan") {
+    // the deg² wedge mitigation must be part of the plan, not prose: lists
+    // above the corpus-derived cap are cut to a deterministic hash-ordered
+    // sample (xxhash64 sort inside slice), and the pre-cap degree survives
+    // as the deg_full audit column. Inert on fixtures (max deg < the 128
+    // floor: the capped branch never fires), but the expression is present
+    // at any data size.
+    val nbrs = operators.Analytics.supplierNbrs(s, d)
+    val analyzed = nbrs.queryExecution.analyzed.toString
+    assert(analyzed.contains("xxhash64") && analyzed.contains("slice"),
+      s"hub cap expression missing from the neighbor-list plan:\n$analyzed")
+    assert(nbrs.columns.contains("deg_full"), "capped-degree audit column missing")
+    // fixture inertness: nothing at this SF reaches the cap floor
+    import org.apache.spark.sql.functions.{max => smax, col, size}
+    val maxDeg = nbrs.agg(smax(size(col("sps")))).head.getInt(0)
+    assert(maxDeg < 128, s"fixture max degree $maxDeg unexpectedly at/above the cap floor")
+    assert(operators.Analytics.hubDegreeCap(0L, 0L) === 128)
+    assert(operators.Analytics.hubDegreeCap(1000L, 40000L) === 640)
+  }
+
   test("q_window_beta and q_agg_concentration windows are partitioned (never global)") {
     Seq(operators.Analytics.windowBeta(s, d),
       operators.Analytics.aggConcentration(s, d)).foreach { df =>
