@@ -393,11 +393,13 @@ object Quality {
     * provably detects what it claims to detect instead of vacuously
     * reporting zero.
     *
-    * Scale shape: each FK check is child-key projection → LEFT ANTI join
-    * against the parent's key column → count. Catalyst broadcasts every
-    * dim-sized parent (region/nation/supplier/part); the two fact-sized
-    * checks (lineitem→orders, orders→customer) shuffle once on the key —
-    * and become exchange-free under the bucketed layout. All eight checks
+    * Scale shape: the three lineitem FK checks run from ONE projection of
+    * the fact table — (l_orderkey, l_partkey, l_suppkey) with the probe
+    * rows appended — left-joined against all three parents (orders
+    * shuffles once on the key and becomes exchange-free under the bucketed
+    * layout; part/supplier broadcast), with every orphan count taken from
+    * a single aggregation: one fact scan, not three. The dim-side checks
+    * stay child-key → LEFT ANTI → count with broadcast parents. All checks
     * union into ONE plan / one action, so the scheduler overlaps them.
     */
   def dqReferential(s: SparkSession, d: String): DataFrame = {
@@ -416,11 +418,40 @@ object Quality {
     val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
     val c = t(s, d, "customer"); val su = t(s, d, "supplier")
     val p = t(s, d, "part"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+    // one fact pass: each injected row carries all three probe keys, so
+    // every lineitem check still sees +3 rows / +3 provable orphans —
+    // byte-identical to the per-check Seq(-1,-2,-3) injection it replaces
+    val liKeys = li
+      .select(col("l_orderkey").as("ko"), col("l_partkey").as("kp"),
+        col("l_suppkey").as("ks"))
+      .union(Seq((-1L, -1L, -1L), (-2L, -2L, -2L), (-3L, -3L, -3L))
+        .toDF("ko", "kp", "ks"))
+    // parent keys are unique (primary keys), so the left joins cannot
+    // fan out rows and NULL parent-side keys mark orphans exactly
+    val probed = liKeys
+      .join(o.select(col("o_orderkey").as("po")), col("ko") === col("po"), "left")
+      .join(broadcast(p.select(col("p_partkey").as("pp"))),
+        col("kp") === col("pp"), "left")
+      .join(broadcast(su.select(col("s_suppkey").as("ps"))),
+        col("ks") === col("ps"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("po").isNull, 1)).as("orph_o"),
+        count(when(col("pp").isNull, 1)).as("orph_p"),
+        count(when(col("ps").isNull, 1)).as("orph_s"))
+    val liChecks = probed
+      .select(explode(array(
+        struct(lit("lineitem.l_orderkey->orders").as("fk"),
+          col("n_rows"), col("orph_o").as("n_orphans")),
+        struct(lit("lineitem.l_partkey->part").as("fk"),
+          col("n_rows"), col("orph_p").as("n_orphans")),
+        struct(lit("lineitem.l_suppkey->supplier").as("fk"),
+          col("n_rows"), col("orph_s").as("n_orphans")))).as("e"))
+      .select(col("e.fk").as("fk"), col("e.n_rows").as("n_rows"),
+        col("e.n_orphans").as("n_orphans"),
+        expr("(1000000 * e.n_orphans) div e.n_rows").as("orphan_micro"))
     Seq(
       check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", Seq(-1L)),
-      check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", Seq(-1L, -2L, -3L)),
-      check("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey", Seq(-1L, -2L, -3L)),
-      check("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey", Seq(-1L, -2L, -3L)),
+      liChecks,
       check("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey", Seq(-1L)),
       check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", Seq(-1L, -2L)),
       check("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey", Seq(-1L)))

@@ -416,6 +416,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"histogram, not a second scan (found $scans):\n$p")
   }
 
+  test("q_dq_referential reads lineitem exactly once (fused FK probes)") {
+    val p = plan(operators.Quality.dqReferential(s, d))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem.parquet"))
+    assert(scans === 1, s"the three lineitem FK checks must share one " +
+      s"fact scan (found $scans):\n$p")
+  }
+
   test("q_text_chunk is shuffle-free: no hash exchange, no aggregate, no window") {
     // the only exchange allowed is the presentation sort's range partition;
     // the chunking itself must pipeline inside the scan stage
