@@ -749,10 +749,11 @@ object LlmData {
     * when embeddings.parquet is itself a directory of part-files) — a
     * regenerated fixture or a sanitization collision ("/sf0.1" vs
     * "/sf0_1") gets its own index instead of silently serving another
-    * dataset's vectors. The v3 scheme-version prefix keys out indexes
+    * dataset's vectors. The v5 scheme-version prefix keys out indexes
     * assigned by older quantizers/schemas (v1 hash-anchor; v2 fixed 16
-    * sample cells; v3 corpus-derived cell count — v4 adds the PQ codes
-    * column to the index rows).
+    * sample cells; v3 corpus-derived cell count; v4 adds the PQ codes
+    * column to the index rows — v5 stores Lloyd-TRAINED codes, which
+    * differ row-for-row from v4's sampled-codebook codes).
     */
   private def ivfTag(d: String): String = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
@@ -768,7 +769,7 @@ object LlmData {
       java.nio.file.Files.getLastModifiedTime(p).toMillis))).toArray
     val fp = java.lang.Long.toHexString(
       java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
-    s"v4_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    s"v5_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
   }
 
   /** Build-or-reuse the persisted cell-partitioned IVF index under the
@@ -810,30 +811,104 @@ object LlmData {
   /** PQ geometry: m subspaces over the embedding dims, ks centroids per
     * subspace. ks is a STORAGE-FORMAT choice (log2 ks bits per code — 16
     * cells = 4-bit codes), not a corpus-scale knob, so it stays fixed;
-    * the corpus-scale dial is m (code length) and, at real scale,
-    * k-means-trained centroids instead of samples.
+    * the corpus-scale dials are m (code length) and the Lloyd training
+    * budget below.
     */
   private val pqM = 8
   private val pqKs = 16
 
-  /** Sampled per-subspace centroids: the j-th slice of up to ks
-    * evenly-spaced data vectors (the [[simsearchIvfCore]] sampling
-    * pattern, UN-normalized — PQ quantizes raw subvectors in L2).
+  /** Training budget: the Lloyd sample size (evenly spaced over vec_id,
+    * collected to the driver — training is control-plane on a bounded
+    * sample, never a full-corpus collect) and the iteration count. Both
+    * are mirrored literally in the oracle's unrolled training CTEs.
     */
-  private def pqCentroids(s: SparkSession, d: String): Array[Array[Array[Float]]] =
+  private val pqTrainN = 2048
+  private val pqLloydIters = 4
+
+  /** Evenly-spaced sample rows (ascending vec_id — the order every
+    * downstream fold depends on), as raw float vectors.
+    */
+  private def evenSample(s: SparkSession, d: String, n: Int): Array[Array[Float]] = {
+    val emb = t(s, d, "embeddings")
+    val step = math.max(emb.count() / n.toLong, 1L)
+    emb.where(col("vec_id") % step === 0)
+      .orderBy("vec_id").limit(n)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
+
+  /** SAMPLED per-subspace centroids: the j-th slice of up to ks
+    * evenly-spaced data vectors (the [[simsearchIvfCore]] sampling
+    * pattern, UN-normalized — PQ quantizes raw subvectors in L2). This is
+    * the Lloyd INIT (and the baseline the training spec measures against).
+    */
+  private[graft] def pqSampledCentroids(s: SparkSession, d: String): Array[Array[Array[Float]]] = {
+    val samples = evenSample(s, d, pqKs)
+    val dims = samples.head.length
+    require(dims % pqM == 0, s"dims $dims not divisible by m=$pqM")
+    val sub = dims / pqM
+    Array.tabulate(pqM)(j => samples.map(_.slice(j * sub, j * sub + sub)))
+  }
+
+  /** TRAINED per-subspace centroids: [[pqLloydIters]] Lloyd iterations
+    * per subspace over a [[pqTrainN]]-vector sample, starting from the
+    * sampled init. Every arithmetic step is deterministic and mirrored in
+    * the oracle's unrolled SQL: assignment is the ascending-index double
+    * fold with ties to the lowest centroid id, the mean update folds the
+    * assigned subvectors in ascending vec_id order, and each new centroid
+    * component rounds to FLOAT at iteration end — so engine and DuckDB
+    * hold bit-identical codebooks and the encode stays fully
+    * oracle-checked even though it is now trained, not sampled.
+    */
+  private[graft] def pqTrainedCentroids(s: SparkSession, d: String): Array[Array[Array[Float]]] =
     pqCodebook.computeIfAbsent(ivfTag(d), _ => {
-      val emb = t(s, d, "embeddings")
-      val nVecs = emb.count()
-      val step = math.max(nVecs / pqKs.toLong, 1L)
-      val samples = emb.where(col("vec_id") % step === 0)
-        .orderBy("vec_id").limit(pqKs)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray)
-      val dims = samples.head.length
-      require(dims % pqM == 0, s"dims $dims not divisible by m=$pqM")
-      val sub = dims / pqM
-      Array.tabulate(pqM)(j => samples.map(_.slice(j * sub, j * sub + sub)))
+      val init = pqSampledCentroids(s, d)
+      val train = evenSample(s, d, pqTrainN)
+      val sub = init(0)(0).length
+      Array.tabulate(pqM) { j =>
+        pqLloyd(init(j), train.map(_.slice(j * sub, j * sub + sub)))
+      }
     })
+
+  private def pqCentroids(s: SparkSession, d: String): Array[Array[Array[Float]]] =
+    pqTrainedCentroids(s, d)
+
+  /** One subspace's Lloyd loop (pure driver-side Scala over the bounded
+    * sample): T iterations of argmin assignment + float-rounded ordered
+    * mean update; empty clusters keep their previous centroid.
+    */
+  private[graft] def pqLloyd(init: Array[Array[Float]],
+      train: Array[Array[Float]]): Array[Array[Float]] = {
+    val sub = init(0).length
+    var cb = init
+    var it = 0
+    while (it < pqLloydIters) {
+      val cc = cb.map(ce => foldDot(ce, ce))
+      val sums = Array.ofDim[Double](cb.length, sub)
+      val counts = new Array[Long](cb.length)
+      train.foreach { xs =>
+        var bk = 0
+        var bs = Double.PositiveInfinity
+        var k = 0
+        while (k < cb.length) {
+          // strict < keeps the LOWEST k on ties — row_number(ORDER BY
+          // score, c) in the oracle's assignment CTE
+          val sc = cc(k) - 2.0 * foldDot(xs, cb(k))
+          if (sc < bs) { bs = sc; bk = k }
+          k += 1
+        }
+        counts(bk) += 1
+        var i = 0
+        while (i < sub) { sums(bk)(i) += xs(i).toDouble; i += 1 }
+      }
+      cb = Array.tabulate(cb.length) { k =>
+        if (counts(k) == 0) cb(k)
+        else Array.tabulate(sub)(i => (sums(k)(i) / counts(k)).toFloat)
+      }
+      it += 1
+    }
+    cb
+  }
 
   /** Ascending-index double fold of Σ aᵢ·bᵢ — the same arithmetic order as
     * the codegen'd `graft_dot` and DuckDB's `list_reduce`, so driver-held
@@ -875,20 +950,29 @@ object LlmData {
     * its nearest per-subspace centroid; the audit reports the codes and
     * the exact reconstruction error Σⱼ‖xⱼ − c(codeⱼ)‖², per-subspace
     * integer-micro rounded BEFORE the sum so the total is order-free and
-    * bit-identical across engines. The codebook is corpus-sampled
-    * (driver-held, m·ks·subDim floats) and the oracle re-derives codes and
-    * error from the same literal centroids — the encode is fully
-    * oracle-checked, which pure-approximate ANN outputs cannot be.
+    * bit-identical across engines. The codebook is Lloyd-TRAINED
+    * ([[pqTrainedCentroids]]: driver-held, m·ks·subDim floats, trained on
+    * a bounded deterministic sample) and the oracle re-derives the same
+    * codebook by replaying the training in unrolled SQL CTEs — the
+    * trained encode is fully oracle-checked, which pure-approximate ANN
+    * outputs cannot be.
     *
     * Scale: encoding is scan-stage codegen (m·ks literal-centroid dot
     * kernels, no shuffle, no UDF); the codes column is what a 100 TB
-    * vector store persists. ks is a format constant; real deployments
-    * train centroids with k-means ([[embedKmeansStep]] is the building
-    * block) instead of sampling.
+    * vector store persists. ks is a format constant; the training sample
+    * is driver-bounded ([[pqTrainN]]), so codebook build cost is
+    * independent of corpus size.
     */
-  def embedPq(s: SparkSession, d: String): DataFrame = {
+  def embedPq(s: SparkSession, d: String): DataFrame =
+    pqAudit(s, d, pqCentroids(s, d))
+
+  /** The encode + reconstruction audit under a caller-chosen codebook —
+    * the training spec runs it with both the sampled init and the trained
+    * centroids to prove the Lloyd pass strictly reduces total error.
+    */
+  private[graft] def pqAudit(s: SparkSession, d: String,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cb = pqCentroids(s, d)
     val sub = cb(0)(0).length
     val best = t(s, d, "embeddings")
       .select(col("vec_id") +: col("embedding") +: pqBestCols(cb): _*)
@@ -929,9 +1013,12 @@ object LlmData {
     * top-100 candidate coverage this funnel depends on).
     */
   private[graft] def simsearchPqAdcTop(s: SparkSession, d: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    simsearchPqAdcWith(s, d, k, pqCentroids(s, d))
+
+  private[graft] def simsearchPqAdcWith(s: SparkSession, d: String,
+      k: Int, cb: Array[Array[Array[Float]]]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cb = pqCentroids(s, d)
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     val tMicro = pqAdcTable(cb, q)
@@ -2489,37 +2576,68 @@ object LlmData {
     "q_embed_project" -> embedProject _,
     "q_text_classify" -> textClassify _)
 
-  /** Shared PQ oracle CTEs: centroids derived IN SQL from the same
-    * evenly-spaced sample the engine takes (count-derived step, ascending
-    * vec_id, limit 16 = [[pqKs]]), subvector slices at the fixture's
-    * 64/8 = 8 sub-dims, per-(vec, subspace) argmin via
-    * row_number(ORDER BY score, c) — the exact tie rule of the engine's
-    * struct sort. err_j is integer-micro per subspace BEFORE summation so
-    * the total is order-free.
+  /** Shared PQ oracle CTEs: the codebook is REPLAYED in SQL — sampled
+    * init (count-derived step, ascending vec_id, limit [[pqKs]]) followed
+    * by [[pqLloydIters]] unrolled Lloyd iterations over the same
+    * [[pqTrainN]]-vector sample the engine trains on. Every iteration is
+    * bit-faithful to [[pqLloyd]]: assignment scores are the ascending
+    * `list_reduce` fold with row_number(ORDER BY score, c) ties, the mean
+    * update folds `list(xs ORDER BY vec_id)` sequentially, and each new
+    * component CASTs to FLOAT — so the SQL codebook is bit-identical to
+    * the driver-trained one and the encode stays fully oracle-checked.
+    * Geometry (m, ks, train budget) is interpolated from the engine's
+    * constants and the sub-dim derived from the data (len // m), so a
+    * regenerated fixture cannot make the two sides silently diverge.
+    * err_j is integer-micro per subspace BEFORE summation so the total is
+    * order-free.
     */
-  private def pqSqlCtes: String =
-    // geometry is interpolated from the SAME constants the engine uses
-    // (pqM, pqKs) and the sub-dim is derived from the data (len // m) on
-    // both sides, so a regenerated fixture with different dimensionality
-    // cannot make engine and oracle silently diverge
-    s"samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+  private def pqSqlCtes: String = {
+    val js = s"(SELECT unnest(range($pqM)) AS j) js"
+    val sb = new StringBuilder
+    sb ++= s"samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
       "embedding AS se FROM embeddings " +
       s"WHERE vec_id % (SELECT GREATEST(count(*) // $pqKs, 1) FROM embeddings) = 0 " +
-      s"ORDER BY vec_id LIMIT $pqKs), " +
-      "cb AS (SELECT js.j AS j, samp.c AS c, " +
+      s"ORDER BY vec_id LIMIT $pqKs), "
+    sb ++= "cb0 AS (SELECT js.j AS j, samp.c AS c, " +
       s"samp.se[js.j*(len(samp.se)//$pqM)+1 : (js.j+1)*(len(samp.se)//$pqM)] AS ce " +
-      s"FROM samp CROSS JOIN (SELECT unnest(range($pqM)) AS j) js), " +
-      "sub AS (SELECT e.vec_id AS vec_id, cb.j AS j, cb.c AS c, " +
+      s"FROM samp CROSS JOIN $js), "
+    sb ++= s"tr AS (SELECT vec_id, embedding AS te FROM embeddings " +
+      s"WHERE vec_id % (SELECT GREATEST(count(*) // $pqTrainN, 1) FROM embeddings) = 0 " +
+      s"ORDER BY vec_id LIMIT $pqTrainN), "
+    sb ++= "trs AS (SELECT tr.vec_id AS vec_id, js.j AS j, " +
+      s"tr.te[js.j*(len(tr.te)//$pqM)+1 : (js.j+1)*(len(tr.te)//$pqM)] AS xs " +
+      s"FROM tr CROSS JOIN $js), "
+    for (it <- 1 to pqLloydIters) {
+      val prev = s"cb${it - 1}"
+      sb ++= s"asg$it AS (SELECT trs.vec_id AS vec_id, trs.j AS j, trs.xs AS xs, " +
+        "p.c AS c, row_number() OVER (PARTITION BY trs.vec_id, trs.j " +
+        s"ORDER BY (${VectorOps.sqlDot("p.ce", "p.ce")} " +
+        s"- 2.0 * ${VectorOps.sqlDot("trs.xs", "p.ce")}), p.c) AS rk " +
+        s"FROM trs JOIN $prev p ON trs.j = p.j), "
+      sb ++= s"upd$it AS (SELECT j, c, list(xs ORDER BY vec_id) AS lxs " +
+        s"FROM asg$it WHERE rk = 1 GROUP BY j, c), "
+      sb ++= s"cb$it AS (SELECT p.j AS j, p.c AS c, " +
+        "CASE WHEN u.lxs IS NULL THEN p.ce " +
+        "ELSE list_transform(range(1, len(p.ce) + 1), i -> " +
+        "CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(u.lxs, v -> CAST(v[i] AS DOUBLE))), " +
+        "(a, b) -> a + b) / len(u.lxs) AS FLOAT)) END AS ce " +
+        s"FROM $prev p LEFT JOIN upd$it u ON p.j = u.j AND p.c = u.c), "
+    }
+    sb ++= s"cb AS (SELECT j, c, ce FROM cb$pqLloydIters), "
+    sb ++= "sub AS (SELECT e.vec_id AS vec_id, cb.j AS j, cb.c AS c, " +
       s"e.embedding[cb.j*(len(e.embedding)//$pqM)+1 : " +
       s"(cb.j+1)*(len(e.embedding)//$pqM)] AS xs, cb.ce AS ce " +
-      "FROM embeddings e CROSS JOIN cb), " +
-      s"sc AS (SELECT vec_id, j, c, (${VectorOps.sqlDot("ce", "ce")} " +
+      "FROM embeddings e CROSS JOIN cb), "
+    sb ++= s"sc AS (SELECT vec_id, j, c, (${VectorOps.sqlDot("ce", "ce")} " +
       s"- 2.0 * ${VectorOps.sqlDot("xs", "ce")}) AS score, " +
-      s"${VectorOps.sqlDot("xs", "xs")} AS xx FROM sub), " +
-      "m AS (SELECT vec_id, j, c, score, xx, " +
-      "row_number() OVER (PARTITION BY vec_id, j ORDER BY score, c) AS rk FROM sc), " +
-      "best AS (SELECT vec_id, j, c AS code, " +
+      s"${VectorOps.sqlDot("xs", "xs")} AS xx FROM sub), "
+    sb ++= "m AS (SELECT vec_id, j, c, score, xx, " +
+      "row_number() OVER (PARTITION BY vec_id, j ORDER BY score, c) AS rk FROM sc), "
+    sb ++= "best AS (SELECT vec_id, j, c AS code, " +
       "CAST(round((xx + score) * 1000000, 0) AS BIGINT) AS err_j FROM m WHERE rk = 1)"
+    sb.toString
+  }
 
   /** The ADC-scan oracle: rebuild the codebook + codes ([[pqSqlCtes]]),
     * derive the query's m×ks integer-micro distance table, and sum the m

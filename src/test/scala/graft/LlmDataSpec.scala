@@ -170,9 +170,9 @@ class LlmDataSpec extends AnyFunSuite {
       assert(codes.forall(c => c >= 0 && c < 16))
       assert(err >= -8L, s"reconstruction error impossibly negative: $err")
     }
-    // a sampled centroid reconstructs its own sample exactly: err == 0
-    assert(enc.exists(_._3 == 0L), "no vector reconstructs exactly — " +
-      "sampled centroids should encode their own source vectors losslessly")
+    // (the pre-r9 sampled codebook reconstructed its own sample vectors
+    // exactly; trained centroids are means, so that identity is gone —
+    // the training test below asserts the stronger property instead)
     // ADC top-20 vs the exact scan (unit-norm fixtures: L2 rank == cosine
     // rank, so the cosine brute force is the ground truth)
     val brute = LlmData.simsearchTopk(s, d).limit(20)
@@ -194,6 +194,27 @@ class LlmDataSpec extends AnyFunSuite {
     val coverage = cands.intersect(brute).size.toDouble / 20
     info(s"PQ ADC top-100 candidate coverage of true top-20: $coverage")
     assert(coverage >= 0.6, s"candidate coverage $coverage below the 0.6 floor")
+  }
+
+  test("PQ Lloyd training beats the sampled codebook: error strictly down, recall not worse") {
+    val sampled = LlmData.pqSampledCentroids(s, d)
+    val trained = LlmData.pqTrainedCentroids(s, d)
+    // total reconstruction error (exact integer micro) must strictly drop
+    def totalErr(cb: Array[Array[Array[Float]]]): Long =
+      LlmData.pqAudit(s, d, cb).agg(org.apache.spark.sql.functions.sum("pq_err_micro"))
+        .head.getLong(0)
+    val (errS, errT) = (totalErr(sampled), totalErr(trained))
+    info(s"PQ reconstruction error micro: sampled=$errS trained=$errT")
+    assert(errT < errS, s"training did not reduce reconstruction error: $errT !< $errS")
+    // ADC recall@20 vs the exact scan must not degrade under training
+    val brute = LlmData.simsearchTopk(s, d).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(cb: Array[Array[Array[Float]]]): Int =
+      LlmData.simsearchPqAdcWith(s, d, 20, cb)
+        .select("vec_id").collect().map(_.getLong(0)).toSet.intersect(brute).size
+    val (rS, rT) = (recall(sampled), recall(trained))
+    info(s"ADC recall@20/20: sampled=$rS trained=$rT")
+    assert(rT >= rS, s"training degraded ADC recall: $rT < $rS")
   }
 
   test("q_simsearch_ivfpq: full probe equals the ADC oracle; pruned probe holds recall") {
