@@ -665,58 +665,14 @@ object LlmData {
   private def ivfRoute(s: SparkSession, d: String,
       probeOf: Int => Int): (String, Seq[Float], Seq[Long]) = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
-    val emb = t(s, d, "embeddings")
-    // Identity for BOTH the codebook cache and the persisted index: path +
-    // leaf-file fingerprint. Keying the codebook by the same fingerprint as
-    // the index means a regenerated fixture invalidates them TOGETHER — a
-    // stale cached codebook could otherwise be baked into a fresh
-    // fingerprint-keyed index that later JVMs would trust.
     val tag = ivfTag(d)
-    // Coarse quantizer = ~√N evenly-spaced DATA vectors ([[ivfCellCount]]),
-    // unit-
-    // normalized (argmax dot(v, ĉ) == argmax cosine(v, c)). Sampling the
-    // corpus — rather than random hyperplane anchors — is what makes this
-    // IVF: cells track the data's own cluster structure, so a query's
-    // nearest cells hold most of its true neighbors (measured curve in
-    // docs/SCALING.md). The codebook is a driver-held model (≤256×64
-    // floats, O(1) like the routing row fetch), exactly how IVF centroids
-    // ship to query routers.
-    val centroids = ivfCodebook.computeIfAbsent(tag, _ => {
-      val nVecs = emb.count()
-      val targetCells = ivfCellCount(nVecs)
-      val step = math.max(nVecs / targetCells.toLong, 1L)
-      emb.where(col("vec_id") % step === 0)
-        .orderBy("vec_id").limit(targetCells)
-        .select("embedding").collect()
-        .map { r =>
-          val v = r.getSeq[Float](0).map(_.toDouble).toArray
-          val norm = math.sqrt(v.map(x => x * x).sum)
-          // zero-norm sample: keep the raw (all-zero) direction instead of
-          // dividing to NaN — its dot is 0 with everything, a valid cell
-          val safe = if (norm == 0.0) 1.0 else norm
-          v.map(_ / safe)
-        }
-    })
+    val centroids = ivfCentroids(s, d, tag)
     // degenerate datasets (< targetCells vectors) yield fewer cells; the
     // probe must never rank phantom null-padded cells ahead of real ones
     val nCells = centroids.length
     val probeN = math.min(math.max(probeOf(nCells), 1), nCells)
-    // per-cell scores as literal-centroid graft_dot calls: codegen'd native
-    // kernels, no interpreted lambdas in the index-build scan
-    def cellsExpr(embCol: String) =
-      "array(" + centroids.map(c =>
-        s"graft_dot($embCol, array(${c.mkString("D, ")}D))").mkString(", ") + ")"
-    def argmax(scores: String) =
-      s"array_position($scores, array_max($scores))"
-    val indexPath = ivfIndex(s, d, tag, df => {
-      val withBest = df.select(col("vec_id") +: col("embedding") +:
-        (pqBestCols(pqCentroids(s, d)) :+
-          expr(s"${argmax(cellsExpr("embedding"))}").as("cell")): _*)
-      withBest.select(col("vec_id"), col("embedding"),
-        array((0 until pqM).map(j => col(s"best_$j").getField("c")): _*)
-          .as("codes"),
-        col("cell"))
-    })
+    def cellsExpr(embCol: String) = ivfCellsExpr(centroids, embCol)
+    val indexPath = ivfStagedIndex(s, d)
     // ranked probe cells: pair (score, cell-ordinal), sort descending by
     // score (ordinal breaks ties deterministically), take the top probeN
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
@@ -743,6 +699,69 @@ object LlmData {
     */
   private val ivfCodebook =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Coarse quantizer = ~√N evenly-spaced DATA vectors ([[ivfCellCount]]),
+    * unit-normalized (argmax dot(v, ĉ) == argmax cosine(v, c)). Sampling
+    * the corpus — rather than random hyperplane anchors — is what makes
+    * this IVF: cells track the data's own cluster structure, so a query's
+    * nearest cells hold most of its true neighbors (measured curve in
+    * docs/SCALING.md). The codebook is a driver-held model (≤256×64
+    * floats, O(1) like the routing row fetch), exactly how IVF centroids
+    * ship to query routers. Identity for BOTH the codebook cache and the
+    * persisted index is the same tag, so a regenerated fixture
+    * invalidates them TOGETHER — a stale cached codebook could otherwise
+    * be baked into a fresh fingerprint-keyed index that later JVMs would
+    * trust.
+    */
+  private def ivfCentroids(s: SparkSession, d: String,
+      tag: String): Array[Array[Double]] =
+    ivfCodebook.computeIfAbsent(tag, _ => {
+      val emb = t(s, d, "embeddings")
+      val nVecs = emb.count()
+      val targetCells = ivfCellCount(nVecs)
+      val step = math.max(nVecs / targetCells.toLong, 1L)
+      emb.where(col("vec_id") % step === 0)
+        .orderBy("vec_id").limit(targetCells)
+        .select("embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble).toArray
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          // zero-norm sample: keep the raw (all-zero) direction instead of
+          // dividing to NaN — its dot is 0 with everything, a valid cell
+          val safe = if (norm == 0.0) 1.0 else norm
+          v.map(_ / safe)
+        }
+    })
+
+  /** Per-cell scores as literal-centroid graft_dot calls: codegen'd native
+    * kernels, no interpreted lambdas in the index-build scan.
+    */
+  private def ivfCellsExpr(centroids: Array[Array[Double]],
+      embCol: String): String =
+    "array(" + centroids.map(c =>
+      s"graft_dot($embCol, array(${c.mkString("D, ")}D))").mkString(", ") + ")"
+
+  /** Build-or-reuse the staged cell-partitioned IVF+PQ index for the
+    * dataset (rows: vec_id, embedding, codes, cell) and return its path —
+    * the shared storage artifact of the single-query probes AND the
+    * batch ADC join.
+    */
+  private def ivfStagedIndex(s: SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val tag = ivfTag(d)
+    val centroids = ivfCentroids(s, d, tag)
+    def argmax(scores: String) =
+      s"array_position($scores, array_max($scores))"
+    ivfIndex(s, d, tag, df => {
+      val withBest = df.select(col("vec_id") +: col("embedding") +:
+        (pqBestCols(pqCentroids(s, d)) :+
+          expr(s"${argmax(ivfCellsExpr(centroids, "embedding"))}").as("cell")): _*)
+      withBest.select(col("vec_id"), col("embedding"),
+        array((0 until pqM).map(j => col(s"best_$j").getField("c")): _*)
+          .as("codes"),
+        col("cell"))
+    })
+  }
 
   /** Index/codebook identity: sanitized source dir + a fingerprint over
     * the LEAF parquet files (relative path, size, mtime of each — recursed
@@ -1074,6 +1093,56 @@ object LlmData {
     */
   def simsearchIvfPqFull(s: SparkSession, d: String): DataFrame =
     simsearchIvfPqProbe(s, d, _ => Int.MaxValue)
+
+  /** q_simsearch_batch — BATCHED ADC retrieval: a query TABLE (the
+    * vectors with vec_id < 8) scores the staged codes index in ONE plan,
+    * instead of one collected vector compiled into plan literals per
+    * query. The query-side ADC tables are built in-engine — queries ×
+    * the (m·ks)-row broadcast codebook table → integer-micro ‖q_j − c‖²
+    * per (query, subspace, centroid) — then the index's codes column
+    * explodes to (vec_id, j, code) and a broadcast join + keyed sum
+    * reassembles each (query, vector) distance from its m lookups;
+    * top-20 per query via a query-partitioned window. The per-cell
+    * distances are the same integer-micro values as [[simsearchPqAdc]],
+    * so the whole batch is fully oracle-checked per query_id.
+    *
+    * Scale: this is the production retrieval shape — queries are DATA,
+    * not plan literals, so batch size changes the plan's size not its
+    * shape; the corpus side reads the codes column only (8
+    * bytes/vector), the query-side table is nq·m·ks broadcast rows, and
+    * the (query, vector) sum partial-aggregates map-side before its one
+    * shuffle.
+    */
+  def simsearchBatch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val cb = pqCentroids(s, d)
+    val sub = cb(0)(0).length
+    val cbDf = (for { j <- 0 until pqM; c <- cb(j).indices }
+      yield (j, c, cb(j)(c).toSeq)).toDF("jj", "cc", "ce")
+    val adcT = t(s, d, "embeddings").where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(cbDf))
+      .withColumn("qs", expr(s"slice(embedding, jj * $sub + 1, $sub)"))
+      .select(col("query_id"), col("jj"), col("cc"),
+        round((VectorOps.dot(col("qs"), col("qs")) +
+          VectorOps.dot(col("ce"), col("ce")) -
+          lit(2.0) * VectorOps.dot(col("qs"), col("ce"))) * 1000000, 0)
+          .cast("long").as("tv"))
+    val codes = s.read.parquet(ivfStagedIndex(s, d))
+      .where(col("vec_id") >= 8)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_micro"), asc("vec_id"))
+    codes
+      .join(broadcast(adcT), col("j") === col("jj") && col("code") === col("cc"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tv")).as("adc_micro"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20)
+      .select("query_id", "vec_id", "adc_micro")
+      .orderBy("query_id", "adc_micro", "vec_id")
+  }
 
   private[graft] def simsearchIvfPqProbe(s: SparkSession, d: String,
       probeOf: Int => Int): DataFrame = {
@@ -2544,6 +2613,7 @@ object LlmData {
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
     "q_simsearch_ivfpq" -> simsearchIvfPq _,
     "q_simsearch_ivfpq_full" -> simsearchIvfPqFull _,
+    "q_simsearch_batch" -> simsearchBatch _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
@@ -2997,6 +3067,26 @@ object LlmData {
     // full-probe IVFADC scans every cell, so pruning contributes nothing
     // and the composed path must EQUAL the pure ADC scan — same oracle
     "q_simsearch_ivfpq_full" -> pqAdcSql,
+    "q_simsearch_batch" ->
+      (s"WITH $pqSqlCtes, " +
+        "qv AS (SELECT vec_id AS query_id, embedding AS qe " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "tj0 AS (SELECT qv.query_id AS query_id, cb.j AS j, cb.c AS c, " +
+        "cb.ce AS ce, " +
+        s"qv.qe[cb.j*(len(qv.qe)//$pqM)+1 : (cb.j+1)*(len(qv.qe)//$pqM)] AS qs " +
+        "FROM cb CROSS JOIN qv), " +
+        "tj AS (SELECT query_id, j, c, CAST(round((" +
+        s"${VectorOps.sqlDot("qs", "qs")} + ${VectorOps.sqlDot("ce", "ce")} " +
+        s"- 2.0 * ${VectorOps.sqlDot("qs", "ce")}) * 1000000, 0) AS BIGINT) AS tv " +
+        "FROM tj0), " +
+        "sc2 AS (SELECT tj.query_id AS query_id, b.vec_id AS vec_id, " +
+        "CAST(sum(tj.tv) AS BIGINT) AS adc_micro " +
+        "FROM best b JOIN tj ON b.j = tj.j AND b.code = tj.c " +
+        "WHERE b.vec_id >= 8 GROUP BY tj.query_id, b.vec_id), " +
+        "rkq AS (SELECT query_id, vec_id, adc_micro, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY adc_micro, vec_id) AS r FROM sc2) " +
+        "SELECT query_id, vec_id, adc_micro FROM rkq WHERE r <= 20 " +
+        "ORDER BY query_id, adc_micro, vec_id"),
     "q_embed_quantize" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale_raw " +

@@ -184,6 +184,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ADC scan should read codes only:\n$readSchema")
   }
 
+  test("q_simsearch_batch: codes-only corpus scan, broadcast query tables, partial agg") {
+    val p = plan(graft.operators.LlmData.simsearchBatch(s, d))
+    // the corpus side of the ADC join must read the codes column only —
+    // batch size must never pull raw vectors back into the scan
+    val idxScan = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("codes")).getOrElse("")
+    assert(idxScan.nonEmpty && !idxScan.contains("embedding"),
+      s"batch ADC corpus scan should read codes only:\n$p")
+    // query-side ADC tables join in broadcast (they are nq·m·ks rows)
+    assert(p.contains("BroadcastHashJoin"),
+      s"query ADC tables must broadcast, not shuffle the codes:\n$p")
+    // the (query, vector) distance sum partial-aggregates map-side
+    assert(p.contains("partial_sum"), s"no map-side partial for the ADC sum:\n$p")
+  }
+
   test("GraftExtensions rewrites the HOF dot-product pattern to native graft_dot") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables(s, d, "embeddings").limit(100)
