@@ -206,20 +206,42 @@ object LlmData {
     * Jaccard in integer micro.
     *
     * Scale: the candidate join is new-batch shingles ⋈ the corpus's
-    * inverted shingle index — the NEW side is broadcast (a daily batch is
-    * ≪ the corpus by construction), so the corpus-side index never
-    * shuffles; per-pair work is one keyed count + the length-filtered
-    * Jaccard. At backfill scale the same join takes the [[dedupNgram]]
-    * prefix-filter bound; an increment's candidate fan-out is small
-    * enough that exact counting wins.
+    * inverted shingle index — the NEW side broadcasts only when a
+    * control-plane count proves it fits the bound (the fixture's
+    * doc_id % 10 split is a FIXED FRACTION of the corpus, so "a daily
+    * batch is small" must be verified, not assumed — [[Analytics
+    * .graphBfs]]'s size-aware superstep pattern); above the bound the
+    * candidate join falls back to the keyed shuffle, where only
+    * shingle-grain rows move. Per-pair work is one keyed count + the
+    * length-filtered Jaccard. At backfill scale the same join takes the
+    * [[dedupNgram]] prefix-filter bound; an increment's candidate
+    * fan-out is small enough that exact counting wins.
     */
-  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    dedupIncrementalWithBound(s, d, incBroadcastMaxRows)
+
+  /** New-batch shingle rows under this bound broadcast (16 B/row →
+    * ≤ ~8 MB, inside the default 10 MB autoBroadcast budget); above it
+    * the candidate join shuffles on the shingle key.
+    */
+  private val incBroadcastMaxRows = 500000L
+
+  /** Test seam: bound 0 forces the shuffle path a small fixture can't
+    * reach naturally, so its equivalence to the broadcast path is
+    * asserted, not assumed (LlmDataSpec).
+    */
+  private[graft] def dedupIncrementalWithBound(s: SparkSession, d: String,
+      broadcastMaxRows: Long): DataFrame = {
     val sh = shingleRows(s, d)
     val isNew = col("doc_id") % 10 === 0
     val newSh = sh.where(isNew)
     val oldSh = sh.where(!isNew)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = broadcast(newSh.select(col("doc_id").as("new_doc"), col("sh")))
+    val newSide = newSh.select(col("doc_id").as("new_doc"), col("sh"))
+    // control-plane count over the persisted shingle memo, not a data pass
+    val newBatch =
+      if (newSh.count() <= broadcastMaxRows) broadcast(newSide) else newSide
+    val common = newBatch
       .join(oldSh.select(col("doc_id").as("corpus_doc"), col("sh")), "sh")
       .groupBy("new_doc", "corpus_doc").agg(count(lit(1)).as("common"))
     val qualifying = common
@@ -763,33 +785,18 @@ object LlmData {
     })
   }
 
-  /** Index/codebook identity: sanitized source dir + a fingerprint over
-    * the LEAF parquet files (relative path, size, mtime of each — recursed
-    * when embeddings.parquet is itself a directory of part-files) — a
-    * regenerated fixture or a sanitization collision ("/sf0.1" vs
-    * "/sf0_1") gets its own index instead of silently serving another
-    * dataset's vectors. The v5 scheme-version prefix keys out indexes
-    * assigned by older quantizers/schemas (v1 hash-anchor; v2 fixed 16
-    * sample cells; v3 corpus-derived cell count; v4 adds the PQ codes
-    * column to the index rows — v5 stores Lloyd-TRAINED codes, which
-    * differ row-for-row from v4's sampled-codebook codes).
+  /** Index/codebook identity: [[graft.Fixtures.datasetTag]] over the
+    * embeddings table (leaf-file fingerprint, so a regenerated fixture or
+    * sanitization collision gets its own index instead of silently
+    * serving another dataset's vectors). The v5 scheme-version prefix
+    * keys out indexes assigned by older quantizers/schemas (v1
+    * hash-anchor; v2 fixed 16 sample cells; v3 corpus-derived cell count;
+    * v4 adds the PQ codes column to the index rows — v5 stores
+    * Lloyd-TRAINED codes, which differ row-for-row from v4's
+    * sampled-codebook codes).
     */
-  private def ivfTag(d: String): String = {
-    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val leaves = {
-      val st = java.nio.file.Files.walk(src)
-      try st.filter(java.nio.file.Files.isRegularFile(_)).sorted()
-        .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-      finally st.close()
-    }
-    val fpInput = (d.hashCode.toLong +: leaves.flatMap(p => Seq(
-      src.relativize(p).toString.hashCode.toLong,
-      java.nio.file.Files.size(p),
-      java.nio.file.Files.getLastModifiedTime(p).toMillis))).toArray
-    val fp = java.lang.Long.toHexString(
-      java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
-    s"v5_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
-  }
+  private def ivfTag(d: String): String =
+    graft.Fixtures.datasetTag(d, "embeddings", "v5")
 
   /** Build-or-reuse the persisted cell-partitioned IVF index under the
     * given identity tag. Publication goes through [[graft.Fixtures.ensure]]

@@ -196,6 +196,15 @@ class LlmDataSpec extends AnyFunSuite {
     assert(coverage >= 0.6, s"candidate coverage $coverage below the 0.6 floor")
   }
 
+  test("q_dedup_incremental: forced shuffle path equals the broadcast path") {
+    // bound 0 forces the large-batch shuffle join a small fixture never
+    // reaches naturally; both paths must produce identical rows
+    val broadcastPath = LlmData.dedupIncremental(s, d).collect().map(_.toSeq).toSeq
+    val shufflePath = LlmData.dedupIncrementalWithBound(s, d, 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(shufflePath === broadcastPath)
+  }
+
   test("PQ Lloyd training beats the sampled codebook: error strictly down, recall not worse") {
     val sampled = LlmData.pqSampledCentroids(s, d)
     val trained = LlmData.pqTrainedCentroids(s, d)
