@@ -118,7 +118,7 @@ class LayoutSpec extends AnyFunSuite {
     def nFiles(p: String): Int =
       new java.io.File(p).listFiles().count(f =>
         f.isFile && f.getName.startsWith("part-"))
-    val frag = nFiles(s"$root/fragmented")
+    val frag = nFiles(sources.PipelineIngest.compactFragPath(sf))
     val compacted = nFiles(s"$root/compacted")
     assert(frag == 64, s"fragmented landing should have 64 shards, saw $frag")
     assert(compacted < frag / 4,
@@ -150,7 +150,7 @@ class LayoutSpec extends AnyFunSuite {
   test("q_maintain_compact preserves content exactly") {
     sources.PipelineIngest.maintainCompact(spark, sf).collect()
     val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_compact"
-    val a = spark.read.parquet(s"$root/fragmented")
+    val a = spark.read.parquet(sources.PipelineIngest.compactFragPath(sf))
     val b = spark.read.parquet(s"$root/compacted")
     assert(a.count() === b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
