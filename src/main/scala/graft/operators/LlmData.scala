@@ -1101,6 +1101,36 @@ object LlmData {
   def simsearchIvfPqFull(s: SparkSession, d: String): DataFrame =
     simsearchIvfPqProbe(s, d, _ => Int.MaxValue)
 
+  /** q_simsearch_rerank — the ADC CANDIDATE FUNNEL as a first-class
+    * operator: ADC top-100 candidates (codes-only scan, m lookups per
+    * vector) re-ranked by EXACT cosine over the candidates' raw vectors,
+    * top-20 out. This is the production serving shape the pure-ADC gate
+    * only documents: the cheap quantized pass bounds how many raw
+    * vectors are ever touched, the exact pass restores ranking quality
+    * (funnel recall@20 ≥ pure-ADC recall by construction; measured in
+    * LlmDataSpec). Both stages are deterministic (integer-micro ADC cut,
+    * 4 dp cosine with (cos DESC, vec_id) total order), so the whole
+    * funnel is fully oracle-checked.
+    *
+    * Scale: the exact stage reads raw vectors for 100 candidates
+    * (broadcast semi-join into the corpus scan) regardless of corpus
+    * size — the funnel converts an O(N·dims) exact scan into
+    * O(N·m lookups) + O(k·dims).
+    */
+  def simsearchRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cands = simsearchPqAdcTop(s, d, 100).select("vec_id")
+    val q = t(s, d, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    t(s, d, "embeddings")
+      .join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(20)
+  }
+
   /** q_simsearch_batch — BATCHED ADC retrieval: a query TABLE (the
     * vectors with vec_id < 8) scores the staged codes index in ONE plan,
     * instead of one collected vector compiled into plan literals per
@@ -2621,6 +2651,7 @@ object LlmData {
     "q_simsearch_ivfpq" -> simsearchIvfPq _,
     "q_simsearch_ivfpq_full" -> simsearchIvfPqFull _,
     "q_simsearch_batch" -> simsearchBatch _,
+    "q_simsearch_rerank" -> simsearchRerank _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
@@ -2716,14 +2747,14 @@ object LlmData {
     sb.toString
   }
 
-  /** The ADC-scan oracle: rebuild the codebook + codes ([[pqSqlCtes]]),
-    * derive the query's m×ks integer-micro distance table, and sum the m
-    * lookups per vector — shared verbatim by `q_simsearch_pq_adc` and the
-    * full-probe `q_simsearch_ivfpq_full`, which are the same computation
-    * by construction.
+  /** The ADC-scan oracle CTE chain: rebuild the codebook + codes
+    * ([[pqSqlCtes]]), derive the query's m×ks integer-micro distance
+    * table, and sum the m lookups per vector into `adc` (vec_id,
+    * adc_micro) — shared by `q_simsearch_pq_adc`, the full-probe
+    * `q_simsearch_ivfpq_full`, and the `q_simsearch_rerank` funnel.
     */
-  private def pqAdcSql: String =
-    s"WITH $pqSqlCtes, " +
+  private def pqAdcCtes: String =
+    s"$pqSqlCtes, " +
       "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
       "tj0 AS (SELECT cb.j AS j, cb.c AS c, cb.ce AS ce, " +
       s"qv.qe[cb.j*(len(qv.qe)//$pqM)+1 : (cb.j+1)*(len(qv.qe)//$pqM)] AS qs " +
@@ -2731,10 +2762,13 @@ object LlmData {
       "tj AS (SELECT j, c, CAST(round((" +
       s"${VectorOps.sqlDot("qs", "qs")} + ${VectorOps.sqlDot("ce", "ce")} " +
       s"- 2.0 * ${VectorOps.sqlDot("qs", "ce")}) * 1000000, 0) AS BIGINT) AS tv " +
-      "FROM tj0) " +
-      "SELECT b.vec_id AS vec_id, CAST(sum(tj.tv) AS BIGINT) AS adc_micro " +
+      "FROM tj0), " +
+      "adc AS (SELECT b.vec_id AS vec_id, CAST(sum(tj.tv) AS BIGINT) AS adc_micro " +
       "FROM best b JOIN tj ON b.j = tj.j AND b.code = tj.c " +
-      "WHERE b.vec_id <> 0 GROUP BY b.vec_id " +
+      "WHERE b.vec_id <> 0 GROUP BY b.vec_id)"
+
+  private def pqAdcSql: String =
+    s"WITH $pqAdcCtes SELECT vec_id, adc_micro FROM adc " +
       "ORDER BY adc_micro, vec_id LIMIT 20"
 
   val oracle: Map[String, String] = Map(
@@ -3074,6 +3108,14 @@ object LlmData {
     // full-probe IVFADC scans every cell, so pruning contributes nothing
     // and the composed path must EQUAL the pure ADC scan — same oracle
     "q_simsearch_ivfpq_full" -> pqAdcSql,
+    "q_simsearch_rerank" ->
+      (s"WITH $pqAdcCtes, " +
+        "cand AS (SELECT vec_id FROM adc ORDER BY adc_micro, vec_id LIMIT 100) " +
+        "SELECT e.vec_id AS vec_id, round((" +
+        VectorOps.sqlCosine("e.embedding", "qv.qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN qv " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
     "q_simsearch_batch" ->
       (s"WITH $pqSqlCtes, " +
         "qv AS (SELECT vec_id AS query_id, embedding AS qe " +

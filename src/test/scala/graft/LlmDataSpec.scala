@@ -194,6 +194,18 @@ class LlmDataSpec extends AnyFunSuite {
     val coverage = cands.intersect(brute).size.toDouble / 20
     info(s"PQ ADC top-100 candidate coverage of true top-20: $coverage")
     assert(coverage >= 0.6, s"candidate coverage $coverage below the 0.6 floor")
+    // the funnel operator realizes that coverage: exact re-rank recovers
+    // every true neighbor the candidate set holds, so its recall equals
+    // the coverage and dominates the pure-ADC top-20
+    val rerank = LlmData.simsearchRerank(s, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rerank.size === 20)
+    val rerankRecall = rerank.intersect(brute).size.toDouble / 20
+    info(s"funnel (rerank) recall@20: $rerankRecall")
+    assert(rerankRecall >= recall,
+      s"funnel recall $rerankRecall below pure-ADC recall $recall")
+    assert(rerankRecall === coverage,
+      s"exact re-rank must recover the full candidate coverage")
   }
 
   test("q_dedup_incremental: forced shuffle path equals the broadcast path") {
