@@ -1684,15 +1684,18 @@ object Analytics {
     */
   private[graft] def supplierNbrs(s: SparkSession, d: String): DataFrame =
     LlmData.memo(s, s"supplier_nbrs:$d") {
-      val lists = LlmData.memo(s, s"supplier_nbrs_raw:$d") {
-        t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-          .distinct()
-          .groupBy(col("c"))
-          .agg(collect_set(col("sp")).as("sps"))
-      }
+      import org.apache.spark.storage.StorageLevel
+      // the raw lists are persisted only for the duration of this build
+      // (stat action + capped materialization), then released — exactly
+      // ONE copy of the family's largest artifact stays resident
+      val lists = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .groupBy(col("c"))
+        .agg(collect_set(col("sp")).as("sps"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // HUB-DEGREE CAP: wedge cost per customer is deg², so one Zipf-heavy
       // hub owns the job at scale. Lists longer than the corpus-derived cap
       // ([[hubDegreeCap]]: 16× the mean degree, floored at 128 — inert on
@@ -1705,12 +1708,16 @@ object Analytics {
       val stat = lists.agg(count(lit(1)).cast("long"),
         coalesce(sum(size(col("sps"))).cast("long"), lit(0L))).head
       val cap = hubDegreeCap(stat.getLong(0), stat.getLong(1))
-      lists
+      val capped = lists
         .withColumn("deg_full", size(col("sps")))
         .withColumn("sps",
           when(size(col("sps")) <= cap, col("sps"))
             .otherwise(expr(("slice(transform(array_sort(transform(sps, " +
               s"x -> struct(xxhash64(x) AS h, x AS v))), p -> p.v), 1, $cap)"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      capped.count() // materialize from the resident raw copy...
+      lists.unpersist(false) // ...then release it
+      capped
     }
 
   /** The wedge-generation degree cap for an (nLists, nEdges) neighbor

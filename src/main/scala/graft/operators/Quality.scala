@@ -426,13 +426,16 @@ object Quality {
         col("l_suppkey").as("ks"))
       .union(Seq((-1L, -1L, -1L), (-2L, -2L, -2L), (-3L, -3L, -3L))
         .toDF("ko", "kp", "ks"))
-    // parent keys are unique (primary keys), so the left joins cannot
-    // fan out rows and NULL parent-side keys mark orphans exactly
+    // parent key sets are DISTINCT'd before the probes: an audit must not
+    // assume the very invariant it exists to check — a duplicated parent
+    // primary key would otherwise fan out child rows and corrupt all
+    // three counts. With clean parents the distinct is a no-op pass.
     val probed = liKeys
-      .join(o.select(col("o_orderkey").as("po")), col("ko") === col("po"), "left")
-      .join(broadcast(p.select(col("p_partkey").as("pp"))),
+      .join(o.select(col("o_orderkey").as("po")).distinct(),
+        col("ko") === col("po"), "left")
+      .join(broadcast(p.select(col("p_partkey").as("pp")).distinct()),
         col("kp") === col("pp"), "left")
-      .join(broadcast(su.select(col("s_suppkey").as("ps"))),
+      .join(broadcast(su.select(col("s_suppkey").as("ps")).distinct()),
         col("ks") === col("ps"), "left")
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("po").isNull, 1)).as("orph_o"),
