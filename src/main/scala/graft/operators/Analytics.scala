@@ -1712,8 +1712,7 @@ object Analytics {
         .withColumn("deg_full", size(col("sps")))
         .withColumn("sps",
           when(size(col("sps")) <= cap, col("sps"))
-            .otherwise(expr(("slice(transform(array_sort(transform(sps, " +
-              s"x -> struct(xxhash64(x) AS h, x AS v))), p -> p.v), 1, $cap)"))))
+            .otherwise(capListExpr("sps", cap)))
         .persist(StorageLevel.MEMORY_AND_DISK)
       capped.count() // materialize from the resident raw copy...
       lists.unpersist(false) // ...then release it
@@ -1730,6 +1729,17 @@ object Analytics {
   private[graft] def hubDegreeCap(nLists: Long, nEdges: Long): Int =
     math.max(128L, 16L * math.ceil(
       nEdges.toDouble / math.max(nLists, 1L)).toLong).min(Int.MaxValue).toInt
+
+  /** The deterministic hash-ordered cap of an array column: sort elements
+    * by xxhash64 (an unbiased pseudo-random order that is stable across
+    * runs, partitionings, and input order) and keep the first `cap`.
+    * Exposed for the spec that exercises the capped branch directly —
+    * the fixtures never reach the cap, so inertness alone would leave
+    * this expression untested.
+    */
+  private[graft] def capListExpr(colName: String, cap: Int): Column =
+    expr(s"slice(transform(array_sort(transform($colName, " +
+      s"x -> struct(xxhash64(x) AS h, x AS v))), p -> p.v), 1, $cap)")
 
   /** Common-customer-weighted supplier pair table (in-row wedge generation
     * over [[supplierNbrs]]) — memoized: the wedge aggregate is the

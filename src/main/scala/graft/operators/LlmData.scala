@@ -1178,6 +1178,21 @@ object LlmData {
     * shuffle.
     */
   def simsearchBatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_micro"), asc("vec_id"))
+    batchAdcScores(s, d)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20)
+      .select("query_id", "vec_id", "adc_micro")
+      .orderBy("query_id", "adc_micro", "vec_id")
+  }
+
+  /** The batch ADC scoring stage shared by [[simsearchBatch]] and
+    * [[simsearchBatchRerank]]: every (query, corpus vector) integer-micro
+    * ADC distance, from a codes-only index scan and broadcast query
+    * tables.
+    */
+  private def batchAdcScores(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val cb = pqCentroids(s, d)
@@ -1196,16 +1211,41 @@ object LlmData {
     val codes = s.read.parquet(ivfStagedIndex(s, d))
       .where(col("vec_id") >= 8)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(asc("adc_micro"), asc("vec_id"))
     codes
       .join(broadcast(adcT), col("j") === col("jj") && col("code") === col("cc"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("tv")).as("adc_micro"))
-      .withColumn("rk", row_number().over(w))
+  }
+
+  /** q_simsearch_batch_rerank — the BATCHED candidate funnel: per query,
+    * ADC top-100 candidates ([[batchAdcScores]], codes-only) re-ranked by
+    * exact cosine over the candidates' raw vectors, top-20 per query out.
+    * [[simsearchRerank]] at serving scale: the candidate set (nq×100
+    * rows) broadcast-semi-joins into ONE corpus scan and the query
+    * vectors broadcast once — exact work is O(nq·candidates·dims)
+    * regardless of corpus size, and every stage is deterministic, so the
+    * whole batched funnel is oracle-checked per query_id.
+    */
+  def simsearchBatchRerank(s: SparkSession, d: String): DataFrame = {
+    val wA = Window.partitionBy("query_id")
+      .orderBy(asc("adc_micro"), asc("vec_id"))
+    val cands = batchAdcScores(s, d)
+      .withColumn("rk", row_number().over(wA))
+      .where(col("rk") <= 100)
+      .select("query_id", "vec_id")
+    val queries = t(s, d, "embeddings").where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    t(s, d, "embeddings")
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wC))
       .where(col("rk") <= 20)
-      .select("query_id", "vec_id", "adc_micro")
-      .orderBy("query_id", "adc_micro", "vec_id")
+      .select("query_id", "vec_id", "cos")
+      .orderBy(col("query_id"), desc("cos"), col("vec_id"))
   }
 
   private[graft] def simsearchIvfPqProbe(s: SparkSession, d: String,
@@ -2678,6 +2718,7 @@ object LlmData {
     "q_simsearch_ivfpq" -> simsearchIvfPq _,
     "q_simsearch_ivfpq_full" -> simsearchIvfPqFull _,
     "q_simsearch_batch" -> simsearchBatch _,
+    "q_simsearch_batch_rerank" -> simsearchBatchRerank _,
     "q_simsearch_rerank" -> simsearchRerank _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
@@ -2797,6 +2838,28 @@ object LlmData {
   private def pqAdcSql: String =
     s"WITH $pqAdcCtes SELECT vec_id, adc_micro FROM adc " +
       "ORDER BY adc_micro, vec_id LIMIT 20"
+
+  /** The batched ADC oracle CTE chain: per-query distance tables over the
+    * replayed codebook, summed per (query, vector) into `sc2` — shared by
+    * `q_simsearch_batch` and the batched funnel `q_simsearch_batch_rerank`
+    * (qvb is the query table; named apart from the single-query `qv`).
+    */
+  private def batchAdcSqlCtes: String =
+    s"$pqSqlCtes, " +
+      "qvb AS (SELECT vec_id AS query_id, embedding AS qe " +
+      "FROM embeddings WHERE vec_id < 8), " +
+      "tjb0 AS (SELECT qvb.query_id AS query_id, cb.j AS j, cb.c AS c, " +
+      "cb.ce AS ce, " +
+      s"qvb.qe[cb.j*(len(qvb.qe)//$pqM)+1 : (cb.j+1)*(len(qvb.qe)//$pqM)] AS qs " +
+      "FROM cb CROSS JOIN qvb), " +
+      "tjb AS (SELECT query_id, j, c, CAST(round((" +
+      s"${VectorOps.sqlDot("qs", "qs")} + ${VectorOps.sqlDot("ce", "ce")} " +
+      s"- 2.0 * ${VectorOps.sqlDot("qs", "ce")}) * 1000000, 0) AS BIGINT) AS tv " +
+      "FROM tjb0), " +
+      "sc2 AS (SELECT tjb.query_id AS query_id, b.vec_id AS vec_id, " +
+      "CAST(sum(tjb.tv) AS BIGINT) AS adc_micro " +
+      "FROM best b JOIN tjb ON b.j = tjb.j AND b.code = tjb.c " +
+      "WHERE b.vec_id >= 8 GROUP BY tjb.query_id, b.vec_id)"
 
   val oracle: Map[String, String] = Map(
     "q_corpus_contamination" ->
@@ -3144,25 +3207,25 @@ object LlmData {
         "FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN qv " +
         "ORDER BY cos DESC, e.vec_id LIMIT 20"),
     "q_simsearch_batch" ->
-      (s"WITH $pqSqlCtes, " +
-        "qv AS (SELECT vec_id AS query_id, embedding AS qe " +
-        "FROM embeddings WHERE vec_id < 8), " +
-        "tj0 AS (SELECT qv.query_id AS query_id, cb.j AS j, cb.c AS c, " +
-        "cb.ce AS ce, " +
-        s"qv.qe[cb.j*(len(qv.qe)//$pqM)+1 : (cb.j+1)*(len(qv.qe)//$pqM)] AS qs " +
-        "FROM cb CROSS JOIN qv), " +
-        "tj AS (SELECT query_id, j, c, CAST(round((" +
-        s"${VectorOps.sqlDot("qs", "qs")} + ${VectorOps.sqlDot("ce", "ce")} " +
-        s"- 2.0 * ${VectorOps.sqlDot("qs", "ce")}) * 1000000, 0) AS BIGINT) AS tv " +
-        "FROM tj0), " +
-        "sc2 AS (SELECT tj.query_id AS query_id, b.vec_id AS vec_id, " +
-        "CAST(sum(tj.tv) AS BIGINT) AS adc_micro " +
-        "FROM best b JOIN tj ON b.j = tj.j AND b.code = tj.c " +
-        "WHERE b.vec_id >= 8 GROUP BY tj.query_id, b.vec_id), " +
+      (s"WITH $batchAdcSqlCtes, " +
         "rkq AS (SELECT query_id, vec_id, adc_micro, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY adc_micro, vec_id) AS r FROM sc2) " +
         "SELECT query_id, vec_id, adc_micro FROM rkq WHERE r <= 20 " +
         "ORDER BY query_id, adc_micro, vec_id"),
+    "q_simsearch_batch_rerank" ->
+      (s"WITH $batchAdcSqlCtes, " +
+        "cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, vec_id) " +
+        "AS r FROM sc2) WHERE r <= 100), " +
+        "rr AS (SELECT c.query_id AS query_id, e.vec_id AS vec_id, " +
+        "round((" + VectorOps.sqlCosine("e.embedding", "q.qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id " +
+        "JOIN qvb q ON q.query_id = c.query_id) " +
+        "SELECT query_id, vec_id, cos FROM (SELECT query_id, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
+        "AS r FROM rr) WHERE r <= 20 " +
+        "ORDER BY query_id, cos DESC, vec_id"),
     "q_embed_quantize" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale_raw " +

@@ -13,6 +13,35 @@ class AnalyticsSpec extends AnyFunSuite {
   lazy val s = TestSpark.spark
   val d = TestSpark.sf
 
+  test("hub-degree cap branch: deterministic, size-bounded, element-preserving") {
+    // the fixtures never reach the cap, so the capped branch is exercised
+    // directly: a 300-neighbor hub against cap 128
+    import org.apache.spark.sql.functions.{col, size => ssize, when}
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sps",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+    val hub = org.apache.spark.sql.Row((1L to 300L).toSeq)
+    val df = s.createDataFrame(Seq(hub).asJava, schema)
+    def capped() = df.select(
+      when(ssize(col("sps")) <= 128, col("sps"))
+        .otherwise(Analytics.capListExpr("sps", 128)).as("sps"))
+      .head.getSeq[Long](0)
+    val a = capped()
+    assert(a.length === 128, "cap must bound the list size")
+    assert(a.toSet.size === 128, "cap must not duplicate elements")
+    assert(a.forall(v => v >= 1L && v <= 300L), "cap must sample the input")
+    assert(capped() === a, "hash-ordered sample must be deterministic")
+    // an uncapped list passes through untouched
+    val small = org.apache.spark.sql.Row((1L to 50L).toSeq)
+    val smallOut = s.createDataFrame(Seq(small).asJava, schema).select(
+      when(ssize(col("sps")) <= 128, col("sps"))
+        .otherwise(Analytics.capListExpr("sps", 128)).as("sps"))
+      .head.getSeq[Long](0)
+    assert(smallOut === (1L to 50L).toSeq)
+  }
+
   test("q_graph_pagerank_step conserves contribution mass up to floor loss") {
     val out = Analytics.graphPagerankStep(s, d).collect()
     assert(out.nonEmpty)
