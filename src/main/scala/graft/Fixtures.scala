@@ -40,6 +40,10 @@ object Fixtures {
   /** For dirs already removed on the normal path — keeps the hook's set small. */
   def removeFromExitCleanup(dir: Path): Unit = cleanupAtExit.remove(dir)
 
+  /** Test seam: whether a path is registered for exit-time deletion. */
+  private[graft] def isPendingExitCleanup(p: Path): Boolean =
+    cleanupAtExit.contains(p)
+
   /** Identity tag for a derived artifact of one fixture table: sanitized
     * source dir + scheme version + a fingerprint over the table's LEAF
     * parquet files (relative path, size, mtime — recursed when the table
@@ -63,6 +67,48 @@ object Fixtures {
     val fp = java.lang.Long.toHexString(
       java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
     s"${version}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+  }
+
+  /** Stage-once home for a FINGERPRINT-TAGGED derived artifact of one
+    * fixture table (`$tmpdir/$family/<tag>` via [[datasetTag]] +
+    * [[ensure]]), with the sweep the bare composition lacked: every
+    * fixture regeneration mints a new tag, and the superseded sibling —
+    * a full fact-table copy for the compaction input — previously just
+    * accumulated. Stale tags (same family + version + dataset prefix,
+    * different fingerprint) are registered for EXIT-time deletion rather
+    * than deleted in place, because a concurrently running JVM may still
+    * hold lazy scans over the old tag; in-flight `_staging_` dirs are
+    * left to their owners.
+    */
+  def ensureDerived(family: String, d: String, table: String,
+      version: String)(build: Path => Unit): Path = {
+    val parent = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), family)
+    val tag = datasetTag(d, table, version)
+    val dir = ensure(parent.resolve(tag))(build)
+    sweepSuperseded(family, d, version, tag)
+    dir
+  }
+
+  /** Register stale sibling tags of a live artifact for exit-time
+    * deletion: same family + scheme version + sanitized dataset prefix,
+    * different fingerprint — i.e. builds of THIS artifact against a
+    * fixture generation that no longer exists. Other datasets' tags (a
+    * different sf dir) and other scheme versions never match the prefix,
+    * so they are untouched.
+    */
+  def sweepSuperseded(family: String, d: String, version: String,
+      liveTag: String): Unit = {
+    val parent = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), family)
+    if (!Files.isDirectory(parent)) return
+    val prefix = s"${version}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_"
+    val st = Files.list(parent)
+    try st.forEach { p =>
+      val n = p.getFileName.toString
+      if (n != liveTag && n.startsWith(prefix) && !n.contains("_staging_")) {
+        exitHook
+        cleanupAtExit.add(p)
+      }
+    } finally st.close()
   }
 
   def ensure(dir: Path)(build: Path => Unit): Path = {

@@ -338,8 +338,11 @@ object PipelineIngest {
     // (fingerprint-keyed, like the IVF index) instead of re-shuffling the
     // fact table into 64 shards on every invocation; the measured work is
     // the compaction itself
-    val frag = graft.Fixtures.ensure(
-      java.nio.file.Paths.get(compactFragPath(d))) { staging =>
+    // ensureDerived (not bare ensure): each fixture regeneration mints a
+    // new fragment tag, and the superseded one is a full fact-table copy —
+    // stale tags are registered for exit-time sweep instead of accreting
+    val frag = graft.Fixtures.ensureDerived(
+      "graft_frag", d, "lineitem", "frag64_v1") { staging =>
       graft.Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))

@@ -82,4 +82,29 @@ class FixturesSpec extends AnyFunSuite {
       s"Tables.apply left events.ts as $loaded (raw was $raw) — " +
         "the loader must normalize every physical encoding to TimestampType")
   }
+
+  test("sweepSuperseded registers only stale same-artifact tags for exit cleanup") {
+    val family = s"graft_test_sweep_${java.util.UUID.randomUUID()}"
+    val parent = Files.createDirectories(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), family))
+    try {
+      val live = Files.createDirectories(parent.resolve("v1_dsX_aaa"))
+      val stale = Files.createDirectories(parent.resolve("v1_dsX_bbb"))
+      val otherVersion = Files.createDirectories(parent.resolve("v2_dsX_ccc"))
+      val otherDataset = Files.createDirectories(parent.resolve("v1_dsY_ddd"))
+      val inFlight = Files.createDirectories(parent.resolve("v1_dsX_staging_e"))
+      Fixtures.sweepSuperseded(family, "dsX", "v1", liveTag = "v1_dsX_aaa")
+      assert(Fixtures.isPendingExitCleanup(stale),
+        "a superseded fingerprint of the same artifact must be swept at exit")
+      // deferred, not deleted in place: a concurrent JVM may still scan it
+      assert(Files.exists(stale))
+      Seq(live, otherVersion, otherDataset, inFlight).foreach { p =>
+        assert(!Fixtures.isPendingExitCleanup(p),
+          s"${p.getFileName} must NOT be swept (live / other scheme / other dataset / in-flight)")
+      }
+    } finally {
+      Fixtures.removeFromExitCleanup(parent.resolve("v1_dsX_bbb"))
+      org.apache.commons.io.FileUtils.deleteDirectory(parent.toFile)
+    }
+  }
 }
