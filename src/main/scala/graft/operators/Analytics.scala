@@ -264,9 +264,8 @@ object Analytics {
     */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     LlmData.memo(s, s"copurchase_edges:$d") {
-      val tag = graft.Fixtures.datasetTag(d, "lineitem", "cp1")
-      val path = graft.Fixtures.ensure(java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_copurchase", tag)) { staging =>
+      val path = graft.Fixtures.ensureDerived(
+        "graft_copurchase", d, "lineitem", "cp1") { staging =>
         t(s, d, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(collect_set(col("l_partkey")).as("ps"))
@@ -1700,8 +1699,12 @@ object Analytics {
       // hub owns the job at scale. Lists longer than the corpus-derived cap
       // ([[hubDegreeCap]]: 16× the mean degree, floored at 128 — inert on
       // every fixture, where max deg is 102 at sf0.1) are cut to a
-      // DETERMINISTIC hash-ordered sample (sort by xxhash64(sp), keep cap —
-      // an unbiased fixed-size sample, stable across runs/partitionings).
+      // DETERMINISTIC hash-ordered sample (sort by md5(sp), keep cap — an
+      // unbiased fixed-size sample, stable across runs/partitionings, and
+      // REPLAYABLE by the DuckDB oracle: md5 + ASCII hex ordering + the
+      // integer cap formula all exist on both engines, so the graph-family
+      // oracles apply the identical cap and stay hash-exact even on data
+      // where the cap actually fires — parity by replay, not by inertness.
       // `deg_full` carries the pre-cap degree as the audit column, so a
       // capped hub is visible to consumers rather than silently truncated.
       // The stats pass is one control-plane agg over the persisted lists.
@@ -1731,15 +1734,19 @@ object Analytics {
       nEdges.toDouble / math.max(nLists, 1L)).toLong).min(Int.MaxValue).toInt
 
   /** The deterministic hash-ordered cap of an array column: sort elements
-    * by xxhash64 (an unbiased pseudo-random order that is stable across
-    * runs, partitionings, and input order) and keep the first `cap`.
-    * Exposed for the spec that exercises the capped branch directly —
-    * the fixtures never reach the cap, so inertness alone would leave
-    * this expression untested.
+    * by md5 of their decimal string (an unbiased pseudo-random order that
+    * is stable across runs, partitionings, and input order) and keep the
+    * first `cap`. md5 — not xxhash64 — so the DuckDB oracle can replay the
+    * exact same selection with `row_number() OVER (ORDER BY
+    * md5(CAST(sp AS VARCHAR)), sp)`: both engines hash the same decimal
+    * rendering and compare the hex digests byte-wise (ASCII), so the kept
+    * subset is identical. Exposed for the spec that exercises the capped
+    * branch directly — the fixtures never reach the cap, so inertness
+    * alone would leave this expression untested.
     */
   private[graft] def capListExpr(colName: String, cap: Int): Column =
     expr(s"slice(transform(array_sort(transform($colName, " +
-      s"x -> struct(xxhash64(x) AS h, x AS v))), p -> p.v), 1, $cap)")
+      s"x -> struct(md5(cast(x AS string)) AS h, x AS v))), p -> p.v), 1, $cap)")
 
   /** Common-customer-weighted supplier pair table (in-row wedge generation
     * over [[supplierNbrs]]) — memoized: the wedge aggregate is the
@@ -2535,12 +2542,30 @@ object Analytics {
       "detrend_milli - seasonal_milli AS remainder_milli " +
       "FROM tr JOIN se USING (dow))"
 
+  /** DuckDB CTE chain replaying [[supplierNbrs]]'s hub-degree cap: the
+    * customer-grain edge set `e`, corpus stats, and the capped edge set
+    * `ec` — per customer, suppliers ranked by (md5 of decimal string,
+    * supplier id) with only the first [[hubDegreeCap]] kept, the exact
+    * selection [[capListExpr]] makes in the engine. Inert wherever every
+    * list is under the cap (all fixtures), but the oracle no longer
+    * DEPENDS on inertness: on data where the cap fires, both sides cut
+    * the same elements and the hash gate still matches.
+    */
+  private def cappedSupplierEdgeCtes: String =
+    "e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "cst AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_lists, " +
+      "CAST(count(*) AS BIGINT) AS n_edges FROM e), " +
+      "erk AS (SELECT c, sp, row_number() OVER (PARTITION BY c " +
+      "ORDER BY md5(CAST(sp AS VARCHAR)), sp) AS rk FROM e), " +
+      "ec AS (SELECT c, sp FROM erk, cst WHERE rk <= greatest(128, " +
+      "16 * CAST(ceil(n_edges * 1.0 / greatest(n_lists, 1)) AS BIGINT)))"
+
   val oracle: Map[String, String] = Map(
     "q_graph_modularity" ->
-      ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      (s"WITH $cappedSupplierEdgeCtes, " +
         "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +
-        "FROM e a JOIN e b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2), " +
+        "FROM ec a JOIN ec b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2), " +
         "dim AS (SELECT s_suppkey, n_name FROM supplier " +
         "JOIN nation ON s_nationkey = n_nationkey), " +
         "tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM p), " +
@@ -2779,11 +2804,10 @@ object Analytics {
         "CAST((SELECT n_edges_after FROM ea) AS BIGINT) AS n_edges_after " +
         "FROM dsp2 ORDER BY side"),
     "q_graph_common_neighbors" ->
-      ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
-        "deg AS (SELECT sp, count(*) AS dg FROM e GROUP BY sp), " +
+      (s"WITH $cappedSupplierEdgeCtes, " +
+        "deg AS (SELECT sp, count(*) AS dg FROM ec GROUP BY sp), " +
         "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS common " +
-        "FROM e a JOIN e b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2) " +
+        "FROM ec a JOIN ec b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2) " +
         "SELECT sp1, sp2, common, d1.dg AS d1, d2.dg AS d2, " +
         s"${sqlR("common / (d1.dg + d2.dg - common)", 6)} AS jaccard " +
         "FROM p JOIN deg d1 ON d1.sp = p.sp1 JOIN deg d2 ON d2.sp = p.sp2 " +

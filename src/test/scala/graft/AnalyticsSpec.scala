@@ -33,6 +33,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a.toSet.size === 128, "cap must not duplicate elements")
     assert(a.forall(v => v >= 1L && v <= 300L), "cap must sample the input")
     assert(capped() === a, "hash-ordered sample must be deterministic")
+    // the oracle replays the cap as row_number() OVER (ORDER BY md5(CAST(sp
+    // AS VARCHAR)), sp) <= cap — assert the engine expression keeps exactly
+    // that subset, so the two formulations cannot drift apart silently
+    import s.implicits._
+    val oracleStyle = (1L to 300L).toDF("sp")
+      .selectExpr("sp", "row_number() OVER (ORDER BY md5(cast(sp AS string)), sp) AS rk")
+      .where(col("rk") <= 128).select("sp")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.toSet === oracleStyle,
+      "engine cap and the oracle's row_number-over-md5 replay must select the same elements")
     // an uncapped list passes through untouched
     val small = org.apache.spark.sql.Row((1L to 50L).toSeq)
     val smallOut = s.createDataFrame(Seq(small).asJava, schema).select(
@@ -40,6 +50,44 @@ class AnalyticsSpec extends AnyFunSuite {
         .otherwise(Analytics.capListExpr("sps", 128)).as("sps"))
       .head.getSeq[Long](0)
     assert(smallOut === (1L to 50L).toSeq)
+  }
+
+  test("hub-degree cap bounds wedge volume on a power-law graph (scale evidence)") {
+    // the cap's scale argument, measured instead of argued: one Zipf hub
+    // (deg 4096) against 200 normal customers (deg 8). Uncapped, the hub
+    // ALONE is C(4096,2) ≈ 8.39M wedges — 1500× the rest of the graph
+    // combined; capped at 128 it contributes C(128,2) = 8128 and total
+    // wedge volume drops 611×. Wedge count is the deterministic cost
+    // driver behind the wall-time claim (wall times are info()'d, not
+    // asserted — CI timing is noise, the combinatorics are not).
+    import org.apache.spark.sql.functions.{col, posexplode, size => ssize, when}
+    import graft.operators.Analytics
+    import s.implicits._
+    val normal = (0 until 200).map(c =>
+      (c.toLong, (0 until 8).map(i => (c * 8 + i).toLong)))
+    val hub = Seq((999L, (0 until 4096).map(_.toLong)))
+    val lists = (normal ++ hub).toDF("c", "sps")
+    def wedges(df: org.apache.spark.sql.DataFrame): Long = df
+      .where(ssize(col("sps")) > 1)
+      .select(posexplode(col("sps")).as(Seq("i", "x")), col("sps"))
+      .select(col("i"), col("x"), posexplode(col("sps")).as(Seq("j", "y")))
+      .where(col("i") < col("j"))
+      .count()
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val capped = lists.withColumn("sps",
+      when(ssize(col("sps")) <= 128, col("sps"))
+        .otherwise(Analytics.capListExpr("sps", 128)))
+    val (unCnt, unSec) = timed(wedges(lists))
+    val (capCnt, capSec) = timed(wedges(capped))
+    info(f"uncapped: $unCnt wedges in $unSec%.2fs; capped: $capCnt wedges in $capSec%.2fs")
+    assert(unCnt === 200L * 28 + 4096L * 4095 / 2)
+    assert(capCnt === 200L * 28 + 128L * 127 / 2,
+      "capped volume must be the normal graph plus C(cap,2) for the hub")
+    assert(capCnt * 100 < unCnt,
+      "the cap must collapse the hub's quadratic wedge share")
   }
 
   test("q_graph_pagerank_step conserves contribution mass up to floor loss") {

@@ -539,13 +539,14 @@ class PlanShapeSpec extends AnyFunSuite {
   test("supplier neighbor lists carry the hub-degree cap in-plan") {
     // the deg² wedge mitigation must be part of the plan, not prose: lists
     // above the corpus-derived cap are cut to a deterministic hash-ordered
-    // sample (xxhash64 sort inside slice), and the pre-cap degree survives
-    // as the deg_full audit column. Inert on fixtures (max deg < the 128
-    // floor: the capped branch never fires), but the expression is present
-    // at any data size.
+    // sample (md5 sort inside slice — md5, not xxhash64, so the DuckDB
+    // oracle replays the identical selection), and the pre-cap degree
+    // survives as the deg_full audit column. Inert on fixtures (max deg <
+    // the 128 floor: the capped branch never fires), but the expression is
+    // present at any data size.
     val nbrs = operators.Analytics.supplierNbrs(s, d)
     val analyzed = nbrs.queryExecution.analyzed.toString
-    assert(analyzed.contains("xxhash64") && analyzed.contains("slice"),
+    assert(analyzed.contains("md5") && analyzed.contains("slice"),
       s"hub cap expression missing from the neighbor-list plan:\n$analyzed")
     assert(nbrs.columns.contains("deg_full"), "capped-degree audit column missing")
     // fixture inertness: nothing at this SF reaches the cap floor
