@@ -109,9 +109,8 @@ object LlmData {
     // fingerprint-keyed parquet and later JVMs read it back. The read
     // re-applies the canonical (doc_a, doc_b) order the consumers and the
     // oracle compare against.
-    val tag = graft.Fixtures.datasetTag(d, "documents", "ng1")
-    val path = graft.Fixtures.ensure(java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ngram_pairs", tag)) { staging =>
+    val path = graft.Fixtures.ensureDerived(
+      "graft_ngram_pairs", d, "documents", "ng1") { staging =>
       dedupNgramBuild(s, d).write.mode("overwrite").parquet(staging.toString)
     }
     s.read.parquet(path.toString).orderBy("doc_a", "doc_b")
@@ -220,9 +219,16 @@ object LlmData {
   def dedupIncremental(s: SparkSession, d: String): DataFrame =
     dedupIncrementalWithBound(s, d, incBroadcastMaxRows)
 
-  /** New-batch shingle rows under this bound broadcast (16 B/row →
-    * ≤ ~8 MB, inside the default 10 MB autoBroadcast budget); above it
-    * the candidate join shuffles on the shingle key.
+  /** New-batch shingle rows under this bound broadcast; above it the
+    * candidate join shuffles on the shingle key. The bound is an
+    * EXECUTOR-MEMORY budget, not an autoBroadcastJoinThreshold one — the
+    * explicit `broadcast()` hint bypasses that threshold entirely, and
+    * the built hash relation costs several times the raw 16 B/row
+    * (UnsafeRow framing + LongToUnsafeRowMap): 500k rows ≈ 8 MB raw ≈
+    * tens of MB as a relation, comfortably inside a multi-GB executor
+    * but large enough that an unbounded hint would eventually OOM the
+    * driver-side build at backfill batch sizes — which is why the bound
+    * exists and why crossing it falls back to the shuffle join.
     */
   private val incBroadcastMaxRows = 500000L
 
@@ -434,8 +440,21 @@ object LlmData {
   /** q_dedup_near — MinHash + LSH near-dup pairs: 32-hash signature, 16
     * bands × 2 rows (candidate threshold ≈ (1/16)^(1/2) ≈ 0.25, so recall at
     * J ≥ 0.5 is 1-(1-0.25)^16 ≈ 99%), then exact Jaccard verification of
-    * candidates. Probabilistic by design → no SQL oracle; recall against the
-    * exact `q_dedup_ngram` result is asserted in DedupSpec.
+    * candidates.
+    *
+    * ORACLE-CHECKED against the exact shingle-overlap CTE (the
+    * `q_dedup_ngram` pair set projected to this query's columns): the
+    * verification stage is exact Jaccard, so the output is correct
+    * whenever candidate generation recalls every qualifying pair — and on
+    * the gate fixtures it does (measured recall 1.0; per-pair miss
+    * probability at J = 0.5 is (1−0.25)² per band ^16 ≈ 1%, vanishing for
+    * the planted dups at J ≥ 0.7). The gate is therefore also a RECALL
+    * DETECTOR by design: an LSH regression that drops a true pair turns
+    * the row red instead of hiding behind a "probabilistic, no oracle"
+    * waiver. Candidate generation itself (xxhash64 minhashes) stays
+    * engine-side only — DuckDB never replays it, it just checks the exact
+    * end state. LlmDataSpec pins engine-side set equality with
+    * `q_dedup_ngram` at test scale for the same reason.
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     // Signature computation is explode + codegen'd hash aggregation, NOT
@@ -532,6 +551,77 @@ object LlmData {
     // reads the aggregated sh64 attribute instead of inlining the 64-term
     // bit expression once per block reference (20x), which blows the janino
     // 64KB method limit and drops the whole stage to interpreted mode.
+    counts.select(col("doc_id"), sh64.as("sh64"))
+      .groupBy("doc_id").agg(max("sh64").as("sh64"))
+  }
+
+  /** q_dedup_simhash_verified — the ORACLE-CHECKED end of the SimHash
+    * pipeline: identical banded candidate generation + Hamming ≤ 3
+    * verification to [[dedupSimhash]], but over a PORTABLE simhash whose
+    * token hashes are md5 bits ([[simhashesPortable]]) instead of
+    * xxhash64 — so the DuckDB oracle recomputes every signature from the
+    * raw text and brute-forces the exact Hamming ≤ 3 pair set. The match
+    * is STRUCTURAL, not fixture luck: banding on all 10 pairs of 5 blocks
+    * recalls every pair within Hamming 3 on ANY dataset (pigeonhole,
+    * [[graft.functions.TextOps.simhashBands]]) and verification is exact
+    * `bit_count`, so banded output ≡ brute force always — this row anchors
+    * the banding scheme the way `q_simsearch_ivf_full` anchors the IVF
+    * probe. [[dedupSimhash]] (xxhash64 tokens, no md5 cost) stays the
+    * declared fast path and keeps its no-oracle waiver; its own spec pins
+    * it band-equal to ITS brute force, and this key pins the shared
+    * banding+verification machinery to DuckDB.
+    *
+    * Scale: the extra cost over [[dedupSimhash]] is one md5 per token in
+    * the signature scan — embarrassingly parallel, no new shuffles; the
+    * candidate join is the same ID-only 26-bit-band self-join.
+    */
+  def dedupSimhashVerified(s: SparkSession, d: String): DataFrame = {
+    val rows = simhashesPortable(s, d)
+      .withColumn("bands", graft.functions.TextOps.simhashBands("sh64"))
+      .select(col("doc_id"), col("sh64"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    rows.select(col("doc_id").as("doc_a"), col("sh64").as("ha"),
+        col("band_idx"), col("band_val"))
+      .join(rows.select(col("doc_id").as("doc_b"), col("sh64").as("hb"),
+        col("band_idx").as("bi"), col("band_val").as("bv")),
+        col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 64-bit simhash built from PORTABLE token hashes: bit i
+    * of a token is bit (i mod 4) of hex digit ⌊i/4⌋ of md5(token), and
+    * simhash bit i is set iff tokens with that bit set are the (weak)
+    * majority (2·cnt ≥ n — the same ±1 formulation as [[simhashes]]).
+    * Everything here — md5, hex-digit indexing, integer shifts — exists
+    * identically in DuckDB, which is the whole point: the oracle rebuilds
+    * these signatures bit-for-bit from `documents.text`. Same explode +
+    * codegen'd-aggregation shape as [[simhashes]] (16 digit-value columns
+    * projected once per token, 64 packed-free sums per doc; the trailing
+    * same-key aggregate is the ProjectCollapse barrier keeping the 64-term
+    * bit expression out of the 10-band fan-out).
+    */
+  private[graft] def simhashesPortable(s: SparkSession, d: String): DataFrame = {
+    val hx = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("hx"))
+    val dv = hx.select(col("doc_id") +: (0 until 16).map(k =>
+      (expr(s"instr('0123456789abcdef', substring(hx, ${k + 1}, 1))") - lit(1))
+        .as(s"v$k")): _*)
+    val counts = dv.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      (0 until 64).map(i =>
+        sum(expr(s"shiftright(v${i / 4}, ${i % 4}) & 1")).as(s"c$i")): _*)
+    val sh64 = (0 until 64).map { i =>
+      // bit 63's mask is Long.MinValue — an OR-chain sidesteps the signed-
+      // overflow question a sum would raise (and mirrors the oracle's `|`)
+      val mask = if (i == 63) Long.MinValue else 1L << i
+      when(col(s"c$i") * 2 >= col("n"), lit(mask)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     counts.select(col("doc_id"), sh64.as("sh64"))
       .groupBy("doc_id").agg(max("sh64").as("sh64"))
   }
@@ -823,12 +913,16 @@ object LlmData {
     * complete index or builds its own copy, never a half-written overwrite.
     */
   private def ivfIndex(s: SparkSession, d: String, tag: String,
-      assign: DataFrame => DataFrame): String =
-    graft.Fixtures.ensure(java.nio.file.Paths.get(
+      assign: DataFrame => DataFrame): String = {
+    val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_ivf", tag)) { staging =>
       assign(t(s, d, "embeddings"))
         .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     }.toString
+    // superseded fingerprints of this index scheme die at JVM exit
+    graft.Fixtures.sweepSuperseded("graft_ivf", d, "v5", tag)
+    dir
+  }
 
   /** Probe: scan only the given cells of the partitioned index (static
     * partition pruning), exact cosine inside, bounded top-k.
@@ -1945,11 +2039,17 @@ object LlmData {
     * misses all of it). The fixture has no URL column, so deterministic
     * URL variants are INJECTED from doc_id (the PII-scrub precedent):
     * 120 canonical pages, each dressed with doc_id-dependent scheme case,
-    * www. prefix, #fragment, and ?utm_ tracking noise. Canonicalization
-    * is a fixed regexp/lowering chain (RE2 ∩ Java dialect, identical text
-    * in both engines); output is the canonical-URL group table with
-    * multiplicity and the surviving representative (min doc_id — the
-    * "keep first crawl" rule).
+    * www. prefix, explicit default `:443` port, `%7E`-vs-`~` percent
+    * escaping in the path, query-param ORDER (`?b=2&a=1` vs `?a=1&b=2`),
+    * #fragment, and ?utm_ tracking noise — the adversarial shapes real
+    * crawl URLs carry (r9 verdict nit: the earlier injection exercised
+    * only the easy three). Canonicalization is a fixed chain of lowering,
+    * anchored regexp rewrites (RE2 ∩ Java dialect — no lookarounds, each
+    * pattern matching at most once so first-match and global replace
+    * agree), one unreserved-escape decode, default-port strip, and a
+    * split→sort→join normalization of the residual query string; output
+    * is the canonical-URL group table with multiplicity and the surviving
+    * representative (min doc_id — the "keep first crawl" rule).
     *
     * Scale: canonicalization is scan-local string work; the dedup is one
     * keyed aggregate on the canonical URL (map-side partials). URL keys
@@ -1961,17 +2061,40 @@ object LlmData {
       concat(
         when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
         when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
-        lit("Example.COM/pages/"), (col("doc_id") % 120).cast("string"),
+        lit("Example.COM"),
+        // decor moduli 17/19 are COPRIME to the 120-page cycle (unlike
+        // 2/3/5), so port-carrying and escaped variants land in groups
+        // with plain-form siblings — each rule is a real MERGE, not a
+        // cosmetic rewrite constant across its group
+        when(col("doc_id") % 17 === 0, lit(":443")).otherwise(lit("")),
+        lit("/pages/"),
+        when(col("doc_id") % 19 === 0, lit("%7Earchive/"))
+          .otherwise(lit("~archive/")),
+        (col("doc_id") % 120).cast("string"),
         when(col("doc_id") % 7 === 0, lit("?utm_source=feed&utm_campaign=x"))
-          .otherwise(lit("")),
+          .otherwise(when(col("doc_id") % 11 === 0, lit("?b=2&a=1"))
+            .otherwise(when(col("doc_id") % 13 === 0, lit("?a=1&b=2"))
+              .otherwise(lit("")))),
         when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
         .as("url"))
+    // chain order matters: fragment off, tracking query off, unreserved
+    // escape decoded, default port off, www off — THEN the residual query
+    // (if any) is split/sorted/rejoined so parameter order is identity-free
     val canon = raw.withColumn("curl",
       regexp_replace(
         regexp_replace(
-          regexp_replace(lower(col("url")), "#.*$", ""),
-          "\\?utm_[^#]*$", ""),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(col("url")), "#.*$", ""),
+              "\\?utm_[^#]*$", ""),
+            "%7e", "~"),
+          "^(https?://[^/]+):443/", "$1/"),
         "^(https?://)www\\.", "$1"))
+      .withColumn("p", regexp_extract(col("curl"), "^([^?]*)", 1))
+      .withColumn("q", regexp_extract(col("curl"), "\\?(.*)$", 1))
+      .withColumn("curl", when(col("q") === "", col("p"))
+        .otherwise(concat(col("p"), lit("?"),
+          array_join(array_sort(split(col("q"), "&")), "&"))))
     canon.groupBy("curl")
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
       .orderBy("curl")
@@ -2748,9 +2871,39 @@ object LlmData {
     "q_text_chunk" -> textChunk _,
     "q_shuffle_shard" -> shuffleShard _,
     "q_dedup_semantic" -> dedupSemantic _,
+    "q_dedup_simhash_verified" -> dedupSimhashVerified _,
     "q_search_bm25" -> searchBm25 _,
     "q_embed_project" -> embedProject _,
     "q_text_classify" -> textClassify _)
+
+  /** DuckDB replay of [[simhashesPortable]] plus brute-force Hamming ≤ 3
+    * pair scan — the oracle side of `q_dedup_simhash_verified`. Signature
+    * reconstruction is bit-faithful: same md5 hex digits, same bit
+    * extraction, same 2·cnt ≥ n majority rule, same `|`-combined masks
+    * (bit 63 as the Long.MinValue literal, spelled without the bare
+    * -9223372036854775808 token DuckDB rejects). The all-pairs scan is
+    * oracle-scale-only (n²/2 `bit_count(xor)` at sf0.01 ≈ 12.5M cheap ops);
+    * the engine never runs it — its banded path is structurally equal.
+    */
+  private def simhashVerifiedSql: String = {
+    val digitCols = (0 until 16).map(k =>
+      s"instr('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1 AS v$k")
+      .mkString(", ")
+    val sums = (0 until 64).map(i =>
+      s"CAST(sum((v${i / 4} >> ${i % 4}) & 1) AS BIGINT) AS c$i").mkString(", ")
+    val orChain = (0 until 64).map { i =>
+      val mask = if (i == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $i)"
+      s"(CASE WHEN 2 * c$i >= n THEN $mask ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+    "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      s"dv AS (SELECT doc_id, $digitCols FROM tk), " +
+      s"ct AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $sums FROM dv GROUP BY doc_id), " +
+      s"sh AS (SELECT doc_id, $orChain AS h FROM ct) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY doc_a, doc_b"
+  }
 
   /** Shared PQ oracle CTEs: the codebook is REPLAYED in SQL — sampled
     * init (count-derived step, ascending vec_id, limit [[pqKs]]) followed
@@ -3017,13 +3170,24 @@ object LlmData {
       ("WITH raw AS (SELECT doc_id, " +
         "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) || " +
         "(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || " +
-        "'Example.COM/pages/' || CAST(doc_id % 120 AS VARCHAR) || " +
-        "(CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END) || " +
+        "'Example.COM' || (CASE WHEN doc_id % 17 = 0 THEN ':443' ELSE '' END) || " +
+        "'/pages/' || " +
+        "(CASE WHEN doc_id % 19 = 0 THEN '%7Earchive/' ELSE '~archive/' END) || " +
+        "CAST(doc_id % 120 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x' " +
+        "WHEN doc_id % 11 = 0 THEN '?b=2&a=1' " +
+        "WHEN doc_id % 13 = 0 THEN '?a=1&b=2' ELSE '' END) || " +
         "(CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url " +
         "FROM documents), " +
-        "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
-        "lower(url), '#.*$', ''), '\\?utm_[^#]*$', ''), " +
-        "'^(https?://)www\\.', '\\1') AS curl FROM raw) " +
+        "c0 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(" +
+        "lower(url), '#.*$', ''), '\\?utm_[^#]*$', ''), '%7e', '~'), " +
+        "'^(https?://[^/]+):443/', '\\1/'), " +
+        "'^(https?://)www\\.', '\\1') AS curl FROM raw), " +
+        "c AS (SELECT doc_id, CASE WHEN q = '' THEN p ELSE p || '?' || " +
+        "array_to_string(list_sort(string_split(q, '&')), '&') END AS curl " +
+        "FROM (SELECT doc_id, regexp_extract(curl, '^([^?]*)', 1) AS p, " +
+        "regexp_extract(curl, '\\?(.*)$', 1) AS q FROM c0)) " +
         "SELECT curl, CAST(count(*) AS BIGINT) AS n_dups, " +
         "CAST(min(doc_id) AS BIGINT) AS keep_doc " +
         "FROM c GROUP BY curl ORDER BY curl"),
@@ -3101,6 +3265,26 @@ object LlmData {
         "common * 1.0 / (a.n + b.n - common) AS jac " +
         "FROM pairs JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
         "WHERE common * 1.0 / least(a.n, b.n) >= 0.8 ORDER BY doc_a, doc_b"),
+    // brute-force replay of the PORTABLE simhash pipeline: DuckDB rebuilds
+    // every md5-bit signature from documents.text and scans all pairs for
+    // Hamming <= 3 — the engine's banded path is structurally equal
+    // (pigeonhole over the 5-block bands), see dedupSimhashVerified
+    "q_dedup_simhash_verified" -> simhashVerifiedSql,
+    // exact end-state of the MinHash-LSH pipeline: same shingle-overlap CTE
+    // as q_dedup_ngram, projected to (doc_a, doc_b, jac) — see the
+    // dedupNear scaladoc for why the probabilistic candidate stage is
+    // checkable against the exact pair set
+    "q_dedup_near" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
+        "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common " +
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, " +
+        "common * 1.0 / (a.n + b.n - common) AS jac " +
+        "FROM pairs JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
+        "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5 ORDER BY doc_a, doc_b"),
     "q_dedup_ngram" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +

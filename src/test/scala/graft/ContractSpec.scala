@@ -44,7 +44,7 @@ class ContractSpec extends AnyFunSuite {
     "q_embed_quantize", "q_text_pii_scrub",
     "q_embed_pq", "q_simsearch_pq_adc", "q_dedup_incremental",
     "q_simsearch_ivfpq", "q_simsearch_ivfpq_full", "q_simsearch_batch",
-    "q_simsearch_rerank", "q_simsearch_batch_rerank",
+    "q_simsearch_rerank", "q_simsearch_batch_rerank", "q_dedup_simhash_verified",
     "q_source_xml_roundtrip", "q_stream_foreach_upsert",
     "q_agg_sketch_merge", "q_agg_histogram_merge", "q_layout_zorder",
     "q_maintain_compact", "q_maintain_delete", "q_text_containment",
@@ -118,7 +118,10 @@ class ContractSpec extends AnyFunSuite {
     // exactly the probabilistic / hash-defined / engine-specific-sampling
     // queries; everything else (incl. q_text_langid and q_sink_partitioned,
     // once listed here) carries a DuckDB oracle
-    val allowedNoOracle = Set("q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
+    // q_dedup_near graduated OUT of this list in round 10: exact-Jaccard
+    // verification makes its end state checkable against the q_dedup_ngram
+    // shingle-overlap CTE (see dedupNear scaladoc)
+    val allowedNoOracle = Set("q_dedup_simhash", "q_dedup_embed",
       "q_simsearch_ivf", "q_multimodal_frames_sigs", "q_text_fingerprint",
       "q_sample_stratified",
       // approximate on two axes (cell recall × code quantization); its
