@@ -89,6 +89,50 @@ object PipelineMain extends Logging {
     landed.toDF("account_id", "file", "bytes").orderBy("account_id")
   }
 
+  /** BACKFILL driver — the operational piece the reference leaves switched
+    * off (`catchup=False`, script-dag-dock-report:228): deliberately re-land
+    * a closed date range, one day per run. Semantics mirror what an Airflow
+    * backfill with `max_active_runs=1` (script-dag-dock-report:229) would
+    * do over the per-day `replace=True` landing the reference's loader uses:
+    *
+    *  - STRICTLY SEQUENTIAL — one day's run completes (lands and is
+    *    readable) before the next starts; no two runs write concurrently.
+    *    Within each run the landing itself is fully distributed; it is the
+    *    RUNS that serialize, exactly like `max_active_runs=1`.
+    *  - PARTITION-SCOPED — each run is a dynamic-partition overwrite
+    *    carrying exactly one day, so it replaces that day and cannot touch
+    *    any other (the `q_upsert_partition` primitive in a loop).
+    *  - IDEMPOTENT — re-running any subrange overwrites those days with
+    *    identical content; a day with no source rows is a no-op run (the
+    *    dynamic overwrite of an empty frame replaces nothing), matching a
+    *    scheduler firing on a day with no data.
+    *
+    * Returns the lake's per-day terminal state (count + exact cent sum),
+    * the audit a backfill operator reads to confirm the re-land.
+    */
+  def backfillDays(s: SparkSession, sfDir: String, out: String,
+      from: java.time.LocalDate, nDays: Int): DataFrame = {
+    require(nDays >= 1, s"backfill range must be non-empty, got $nDays")
+    val ev = graft.Tables(s, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      (0 until nDays).map(from.plusDays(_)).foreach { day =>
+        logInfo(s"backfill: landing $day into $out")
+        ev.where(col("day") === lit(java.sql.Date.valueOf(day)))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+      }
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(out)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0)).cast("long").as("sum_cents"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day")
+  }
+
   /** In-process Dock API stub serving the reference's response shapes, so
     * `main` exercises the production transport over real HTTP.
     */

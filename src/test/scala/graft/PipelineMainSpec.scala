@@ -86,4 +86,38 @@ class PipelineMainSpec extends AnyFunSuite {
       assert(r.getLong(2) > 0)
     }
   }
+
+  test("backfill lands a 3-day range idempotently (sequential max_active_runs=1 loop)") {
+    val d = TestSpark.sf
+    val out = Fixtures.tempDirCleanedAtExit("graft_backfill_")
+      .resolve("lake").toString
+    // the first three calendar days the fixture actually contains
+    val fixtureDays = Tables(s, d, "events")
+      .select(to_date(col("ts")).as("day")).distinct().orderBy("day")
+      .collect().map(_.getDate(0).toLocalDate)
+    assert(fixtureDays.length >= 3, "fixture must span at least 3 days")
+    val from = fixtureDays.head
+    val span = (fixtureDays(2).toEpochDay - from.toEpochDay + 1).toInt
+    val first = PipelineMain.backfillDays(s, d, out, from, span)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the lake holds exactly the backfilled days, with the fixture's values
+    val want = Tables(s, d, "events")
+      .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      .where(col("day").between(
+        java.sql.Date.valueOf(from), java.sql.Date.valueOf(fixtureDays(2))))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0)).cast("long").as("sum_cents"))
+      .withColumn("day", col("day").cast("string")).orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(first === want)
+    assert(first.map(_._1).toSet ===
+      fixtureDays.take(3).map(_.toString).toSet,
+      "the lake must contain ONLY the backfilled range")
+    // IDEMPOTENCE: a second full backfill over the same range re-overwrites
+    // each day with identical content — byte-identical terminal state
+    val second = PipelineMain.backfillDays(s, d, out, from, span)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(second === first)
+  }
 }
