@@ -105,13 +105,38 @@ object Bench {
       }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
+    // ISOLATED RE-MEASURE (full runs only): the 10 slowest sweep entries
+    // re-run sequentially after the sweep, 3 passes each, keeping the
+    // fastest pass. Full-sweep numbers inherit one-time session costs,
+    // shared memo/staged-index builds, page-cache state from the ~225
+    // queries before them, and whatever else the sandbox runs concurrently
+    // — the r9 driver run showed five 4–10× "regressions" that re-measured
+    // clean in isolation (docs/SCALING.md "bench variance protocol").
+    // Recording both numbers per round makes a contention artifact
+    // distinguishable from a real regression without any external
+    // re-measure: isolated ≪ sweep ⇒ contention; isolated ≈ sweep ⇒ real.
+    val isolated: Seq[(String, Double)] =
+      if (args.nonEmpty) Seq.empty
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _) =>
+        val fn = SparkEntry.queries(name)
+        val passes = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
+        }
+        name -> (if (passes.min == Double.MaxValue) -1.0 else passes.min)
+      }
     // complete canonical record — full names, seconds — to a repo file.
     // bench_full.json is cross-round comparable ONLY for full runs, so a
     // subset run (args given) writes bench_subset.json instead of
     // clobbering the canonical record with incomparable totals.
     val fullQs = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val isoQs =
+      if (isolated.isEmpty) ""
+      else isolated.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+        .mkString(""","isolated":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs$isoQs,"sf":"$sfDir"}"""
     val recordFile = if (args.isEmpty) "bench_full.json" else "bench_subset.json"
     try {
       java.nio.file.Files.write(
