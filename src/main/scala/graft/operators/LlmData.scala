@@ -2148,19 +2148,30 @@ object LlmData {
       .orderBy("doc_id")
   }
 
-  /** q_text_fingerprint — winnowing document fingerprints (token hashes,
-    * window 4): distinct window-minima survive small edits, so matching
-    * `fp_sig` clusters exact and near-exact documents. Hash-based → no SQL
-    * oracle; invariance properties asserted in TextSpec.
+  /** q_text_fingerprint — winnowing document fingerprints (Schleimer et
+    * al., SIGMOD'03: hash every token, keep the distinct minima of each
+    * sliding window of 4 hashes): matching `fp_sig` clusters exact and
+    * near-exact documents, and the minima survive small edits. Token
+    * hashes are PORTABLE md5 hex strings — fixed-width lowercase hex
+    * compares lexicographically exactly like the number it encodes, so
+    * window minima, distinct-sort, and the joined-digest signature are
+    * all bit-identical in DuckDB and the ORACLE REBUILDS every
+    * fingerprint set from raw text (the `q_dedup_simhash_verified`
+    * portability doctrine applied to winnowing).
+    *
+    * Scale: one embarrassingly-parallel scan — per-row lambda pipeline
+    * (hash, slide, min, distinct), no explode, no shuffle before the
+    * trivially small output; md5-per-token is the same cost already
+    * accepted for [[simhashesPortable]].
     */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("toks", TextOps.tokens("text"))
       .where(size(col("toks")) >= 1)
-      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
+      .withColumn("hashes", expr("transform(toks, x -> md5(x))"))
       .withColumn("fps", TextOps.winnowFingerprints("hashes", w = 4))
       .select(col("doc_id"), size(col("fps")).as("n_fp"),
-        xxhash64(col("fps")).as("fp_sig"))
+        md5(concat_ws(",", col("fps")).cast("binary")).as("fp_sig"))
       .orderBy("doc_id")
 
   /** q_corpus_mix_temperature — TEMPERATURE-WEIGHTED DOMAIN MIXTURE, the
@@ -3270,6 +3281,19 @@ object LlmData {
     // Hamming <= 3 — the engine's banded path is structurally equal
     // (pigeonhole over the 5-block bands), see dedupSimhashVerified
     "q_dedup_simhash_verified" -> simhashVerifiedSql,
+    // full winnowing replay: md5 token hashes, sliding-window-of-4 minima
+    // (fixed-width lowercase hex orders like the number it encodes),
+    // distinct+sort, joined digest — bit-faithful to textFingerprint
+    "q_text_fingerprint" ->
+      ("WITH hs AS (SELECT doc_id, " +
+        "list_transform(string_split(text, ' '), t -> md5(t)) AS hashes " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 1), " +
+        "fp AS (SELECT doc_id, CASE WHEN len(hashes) >= 4 THEN " +
+        "list_sort(list_distinct(list_transform(range(1, len(hashes) - 2), " +
+        "i -> list_min(hashes[i:i+3])))) " +
+        "ELSE list_sort(list_distinct(hashes)) END AS fps FROM hs) " +
+        "SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, " +
+        "md5(array_to_string(fps, ',')) AS fp_sig FROM fp ORDER BY doc_id"),
     // exact end-state of the MinHash-LSH pipeline: same shingle-overlap CTE
     // as q_dedup_ngram, projected to (doc_a, doc_b, jac) — see the
     // dedupNear scaladoc for why the probabilistic candidate stage is

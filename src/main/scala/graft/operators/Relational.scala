@@ -748,16 +748,38 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_orderkey")
 
-  /** q_sample_stratified — per-stratum Bernoulli sampling (`sampleBy` with a
-    * fixed seed): the corpus-subsampling step of dataset curation, with
-    * per-language rates. Sampling hashes are engine-specific → no SQL
-    * oracle; determinism and per-stratum rate bounds are asserted in
-    * RelationalSpec. One scan, no shuffle before the tiny aggregate.
+  /** q_sample_stratified — EXACT-QUOTA stratified sampling: each language
+    * stratum contributes exactly ⌊pct·n_lang/100⌋ documents, chosen by a
+    * deterministic pseudo-random order (md5 over a salted doc_id, doc_id
+    * tiebreak — the `q_corpus_mix_temperature` discipline). This is the
+    * survey-sampling dual of `q_sample_hash`'s Bernoulli membership: a
+    * Bernoulli draw only hits the rate in expectation, while a curation
+    * quota ("exactly 25% of each language") needs the rank formulation.
+    * The quota test is pure integer arithmetic (rk·100 ≤ n·pct — no
+    * floating rate anywhere), so membership is bit-stable across engines
+    * and the DuckDB oracle replays the whole selection.
+    *
+    * Scale: `row_number` partitioned by lang is key-bound parallel; a
+    * billion-doc stratum makes that partition the straggler (the
+    * `q_corpus_domain_cap` caveat) — at extreme skew, pre-thin each
+    * stratum with a `q_sample_hash`-style Bernoulli filter at a slightly
+    * higher rate, then rank only the surviving sliver to take the exact
+    * quota. The spec pins determinism and the exact per-stratum counts.
     */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
-    val rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1)
+    val ratesPct = Seq("en" -> 50, "de" -> 25, "es" -> 25, "fr" -> 25, "zh" -> 10)
+    val pct = ratesPct.foldLeft(lit(0)) { case (acc, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    val ord = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("graftstrat:"), col("doc_id").cast("string"))),
+        col("doc_id"))
     t(s, d, "documents")
-      .stat.sampleBy("lang", rates, seed = 42L)
+      .select(col("doc_id"), col("lang"), col("n_chars"), pct.as("pct"))
+      .where(col("pct") > 0)
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("rk") * 100 <= col("n_lang") * col("pct"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars_sampled"))
       .orderBy("lang")
@@ -1444,6 +1466,20 @@ object Relational {
     "q_window_range_frame" -> windowRangeFrame _)
 
   val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      // replays the exact-quota selection: same salted-md5 order, same
+      // doc_id tiebreak, same integer quota test rk*100 <= n*pct
+      ("WITH r AS (SELECT lang, n_chars, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY " +
+        "md5('graftstrat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk, " +
+        "count(*) OVER (PARTITION BY lang) AS n_lang, " +
+        "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'es' THEN 25 " +
+        "WHEN 'fr' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END AS pct " +
+        "FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, " +
+        "CAST(sum(n_chars) AS BIGINT) AS chars_sampled " +
+        "FROM r WHERE pct > 0 AND rk * 100 <= n_lang * pct " +
+        "GROUP BY lang ORDER BY lang"),
     "q_scalar_dense_ids" ->
       ("SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 " +
         "AS BIGINT) AS dense_id " +

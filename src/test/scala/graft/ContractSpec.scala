@@ -122,8 +122,7 @@ class ContractSpec extends AnyFunSuite {
     // verification makes its end state checkable against the q_dedup_ngram
     // shingle-overlap CTE (see dedupNear scaladoc)
     val allowedNoOracle = Set("q_dedup_simhash", "q_dedup_embed",
-      "q_simsearch_ivf", "q_multimodal_frames_sigs", "q_text_fingerprint",
-      "q_sample_stratified",
+      "q_simsearch_ivf", "q_multimodal_frames_sigs",
       // approximate on two axes (cell recall × code quantization); its
       // full-probe variant is proven row-equal to the oracle-checked
       // q_simsearch_pq_adc in LlmDataSpec

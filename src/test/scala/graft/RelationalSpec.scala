@@ -186,19 +186,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("except") === keysIn(1997) - r("intersect"))
   }
 
-  test("q_sample_stratified is deterministic and respects per-stratum rates") {
+  test("q_sample_stratified is deterministic and hits exact per-stratum quotas") {
     val a = Relational.sampleStratified(s, d).collect().toSeq
     val b = Relational.sampleStratified(s, d).collect().toSeq
     assert(a === b)
     val totals = Tables(s, d, "documents").groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1)
+    val pct = Map("en" -> 50L, "de" -> 25L, "es" -> 25L, "fr" -> 25L, "zh" -> 10L)
+    assert(a.map(_.getString(0)).toSet === pct.keySet.filter(totals.getOrElse(_, 0L) > 0))
     a.foreach { row =>
       val lang = row.getString(0)
-      val frac = row.getLong(1).toDouble / totals(lang)
-      // Bernoulli sampling: observed fraction within a wide 3σ-ish band
-      assert(frac > rates(lang) - 0.25 && frac < rates(lang) + 0.25,
-        s"$lang sampled at $frac, expected ~${rates(lang)}")
+      // exact-quota selection: precisely floor(pct * n / 100) docs survive
+      assert(row.getLong(1) === totals(lang) * pct(lang) / 100,
+        s"$lang sampled ${row.getLong(1)}, expected ${totals(lang) * pct(lang) / 100}")
     }
   }
 
