@@ -633,11 +633,20 @@ object LlmData {
     * near-duplicate embeddings (cos ≥ 0.95) the same plan collides with
     * probability ≥ 1-(1-0.87^6)² ≈ 0.8 per table.
     */
-  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbed(s: SparkSession, d: String): DataFrame =
+    dedupEmbedFrom(s, t(s, d, "embeddings"), threshold = 0.25)
+
+  /** The [[dedupEmbed]] pipeline over an arbitrary (vec_id, embedding)
+    * frame — split out so the spec can plant true near-duplicates and
+    * assert END-TO-END recall through bucketing + verification (the
+    * fixture's near-orthogonal vectors exercise only the soundness side).
+    */
+  private[graft] def dedupEmbedFrom(
+      s: SparkSession, embIn: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
     val dims = 64
     def table(tbl: Int): DataFrame =
-      t(s, d, "embeddings")
+      embIn
         .select(col("vec_id"), col("embedding"),
           VectorOps.lshBucket("embedding", nBits = 6, dims = dims, table = tbl).as("bucket"),
           lit(tbl).as("tbl"))
@@ -646,7 +655,7 @@ object LlmData {
     // is one dot-product fold per pair instead of three (norms are computed
     // once per vector, not once per candidate pair)
     val buckets = table(0).unionAll(table(1)).select("vec_id", "bucket", "tbl")
-    val emb = t(s, d, "embeddings")
+    val emb = embIn
       .select(col("vec_id"), col("embedding"),
         (lit(1.0) / VectorOps.norm(col("embedding"))).as("inv_norm"))
     buckets.select(col("vec_id").as("vec_a"), col("bucket"), col("tbl"))
@@ -662,7 +671,7 @@ object LlmData {
         col("inv_norm").as("inv_b")), "vec_b")
       .withColumn("cos",
         r(VectorOps.dot(col("ea"), col("eb")) * col("inv_a") * col("inv_b"), 4))
-      .where(col("cos") >= 0.25)
+      .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
   }

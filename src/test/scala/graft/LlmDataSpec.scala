@@ -94,6 +94,35 @@ class LlmDataSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Double]("cos") >= 0.25))
   }
 
+  test("q_dedup_embed end-to-end: planted near-duplicates are recovered through bucketing + verification") {
+    import s.implicits._
+    // 8 planted near-dup pairs (base + 1e-4 perturbation → cos ≈ 1, same
+    // bucket by the sign-projection margin) among 16 decoys; asserts the
+    // COMPLETENESS side of the pipeline the fixture's near-orthogonal
+    // vectors never exercise (their pairs sit far below any threshold)
+    val planted = (0 until 8).map { k =>
+      val base = Array.tabulate(64)(i => math.sin(i * 1.7 + k).toFloat)
+      val near = base.clone(); near(k % 64) = near(k % 64) + 1e-4f
+      (100L + k, base.toSeq, 200L + k, near.toSeq)
+    }
+    // distinct frequencies per decoy — sampled sinusoids of well-separated
+    // frequency are near-orthogonal (phase-shifted copies would NOT be:
+    // shift 25 ≈ 0.13 mod 2π reproduces the vector almost exactly)
+    val decoys = (0 until 16).map { k =>
+      (300L + k, Array.tabulate(64)(i => math.cos(i * (2.3 + 0.41 * k))).map(_.toFloat).toSeq)
+    }
+    val emb = (planted.map(p => (p._1, p._2)) ++ planted.map(p => (p._3, p._4)) ++ decoys)
+      .toDF("vec_id", "embedding")
+    val got = LlmData.dedupEmbedFrom(s, emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { p =>
+      assert(got.contains((p._1, p._3)),
+        s"planted near-dup pair (${p._1}, ${p._3}) was not recovered")
+    }
+    // soundness: nothing else crosses the 0.99 verification threshold
+    assert(got === planted.map(p => (p._1, p._3)).toSet)
+  }
+
   test("vector LSH buckets collide for a vector and its tiny perturbation") {
     import graft.functions.VectorOps
     import s.implicits._
