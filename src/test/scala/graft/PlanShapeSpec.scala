@@ -75,6 +75,35 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_sample_stratified shares one lang exchange across windows and aggregate, prunes text") {
+    val df = Relational.sampleStratified(s, d)
+    val p = plan(df)
+    // both row_number/count windows AND the groupBy(lang) aggregate must
+    // ride the SAME hashpartitioning(lang) exchange — a second hash
+    // shuffle would re-move the corpus for an already-satisfied
+    // distribution (the final orderBy's rangepartitioning is separate)
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+    // quota selection never touches `text`: the scan must read only the
+    // id/lang/n_chars columns or a 100 TB corpus pays full-document I/O
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"scan reads text: $readSchema")
+    assert(readSchema.contains("lang") && readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q_text_fingerprint winnows in a single shuffle-free scan pipeline") {
+    val p = plan(graft.operators.LlmData.textFingerprint(s, d))
+    // hash/slide/min/distinct are all per-row lambdas: no explode, no
+    // aggregation, so the ONLY exchange is the output sort's range
+    // partition — any hashpartitioning here means an accidental shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fingerprint pipeline shuffles:\n$p")
+    assert(p.linesIterator.count(_.startsWith("(")) > 0 ||
+      p.contains("Scan parquet"), s"unexpected plan shape:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"expected a single documents scan:\n$p")
+  }
+
   test("q_join_bloom_pruned probes the filter below the join, pruning before the exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // AQE wraps stages in leaf QueryStageExec nodes that a tree walk can't
