@@ -106,6 +106,37 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints matches an independent reference on random token lists") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // adversarial shapes: empty lists, below/at/above the window width,
+    // heavy duplication (a small alphabet forces repeated minima)
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "aa", "bb", "x1", "tok-tok", "z"))
+    } yield toks
+    val cases = samples(gen, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // ONE Spark job for all cases (the PropertiesSpec job-count doctrine)
+    val got = cases.toDF("id", "toks")
+      .withColumn("hashes", expr("transform(toks, x -> md5(x))"))
+      .select(col("id"),
+        graft.functions.TextOps.winnowFingerprints("hashes", 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    cases.foreach { case (id, toks) =>
+      val hs = toks.map(md5hex)
+      // reference winnowing: plain Scala sliding-window minima (sliding(4)
+      // on a shorter list yields the whole list once, hence the guard)
+      val ref =
+        if (hs.size >= 4) hs.sliding(4).map(_.min).toList.distinct.sorted
+        else hs.distinct.sorted
+      assert(got(id) === ref, s"case $id toks=$toks")
+    }
+  }
+
   test("CronSchedule.nextAfter always lands strictly in the future, within 24h, at M/H") {
     val cases = samples(for {
       now <- Gen.choose(0L, 2000000000L)
