@@ -745,8 +745,11 @@ object LlmData {
     * that makes IVF work at 100 TB (the in-plan variant still scans
     * everything and filters; asserted in PlanShapeSpec). The probe cells
     * are fetched to the driver first — that is the query's O(1) routing
-    * decision, not a data collect. Approximate by design → no SQL oracle;
-    * recall vs brute force is measured in LlmDataSpec.
+    * decision, not a data collect. Approximate only in the RECALL sense:
+    * every step (centroid sample, assignment, probe choice, in-cell
+    * ranking) is deterministic, so the DuckDB oracle replays the whole
+    * pipeline from the parquet bytes ([[ivfRouteSqlCtes]]); recall vs
+    * brute force is additionally measured in LlmDataSpec.
     */
   def simsearchIvf(s: SparkSession, d: String): DataFrame =
     simsearchIvfCore(s, d, nCells => math.max(2, (nCells + 7) / 8))
@@ -1206,8 +1209,11 @@ object LlmData {
     * scan reads the CODES column only, scoring each vector with m
     * table lookups ([[pqAdcTable]]) instead of a dims-wide dot — cell
     * pruning × 64→8-byte rows is the cost model that serves
-    * billion-vector stores. Approximate on two axes (cell recall ×
-    * code quantization) → no SQL oracle; LlmDataSpec measures recall
+    * billion-vector stores. Approximate on two recall axes (cell probe ×
+    * code quantization), yet every step is deterministic, so the DuckDB
+    * oracle replays BOTH layers — the unrolled-Lloyd ADC chain
+    * ([[pqAdcCtes]]) filtered to the replayed probe cells
+    * ([[ivfRouteSqlCtes]]); LlmDataSpec additionally measures recall
     * against the exact scan and proves the full-probe variant EQUALS
     * q_simsearch_pq_adc row-for-row (the index's stored codes are the
     * encoder's codes, so pruning is the only divergence).
@@ -2994,6 +3000,53 @@ object LlmData {
     * adc_micro) — shared by `q_simsearch_pq_adc`, the full-probe
     * `q_simsearch_ivfpq_full`, and the `q_simsearch_rerank` funnel.
     */
+  /** DuckDB replay of the ENTIRE IVF routing layer ([[ivfCentroids]] +
+    * index assignment + [[ivfRoute]]'s probe selection) as CTEs, ending in
+    * `rasg` (vec_id → assigned cell) and `rqp` (the probed cells):
+    *
+    *  - `rcs`: the evenly-stepped, ascending-vec_id centroid sample with
+    *    the corpus-derived cell count (⌈√N⌉ clamped to [4,256]) — the same
+    *    count/step/limit arithmetic as the engine, derived IN SQL so a
+    *    regenerated fixture cannot diverge the two sides;
+    *  - `rcn`: unit-normalization with the zero-norm guard, per-element
+    *    division after an ascending-fold norm — bit-equal to the driver's
+    *    Scala fold because both are sequential IEEE double ops;
+    *  - `rasg`: argmax-dot assignment via row_number(score DESC, cell) —
+    *    exactly `array_position(scores, array_max(scores))` (first max);
+    *  - `rqp`: the query's top-⌈cells/8⌉ probe cells (score DESC, ordinal
+    *    tiebreak), the max(2,·) floor and [1, nCells] clamp included.
+    *
+    * Names are r-prefixed to compose with [[pqSqlCtes]] (whose `samp`/`sc`
+    * would otherwise clash) for the IVFADC replay.
+    */
+  private def ivfRouteSqlCtes: String = {
+    val dot = VectorOps.sqlDot _
+    "rn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings), " +
+      "rtc AS (SELECT GREATEST(4, LEAST(256, " +
+      "CAST(ceil(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT))) AS target FROM rn), " +
+      "rst AS (SELECT GREATEST(rn.cnt // rtc.target, 1) AS step FROM rn, rtc), " +
+      "rsamp AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, " +
+      "embedding AS ce FROM embeddings " +
+      "WHERE vec_id % (SELECT step FROM rst) = 0), " +
+      "rcs AS (SELECT cell, ce FROM rsamp " +
+      "WHERE cell <= (SELECT target FROM rtc)), " +
+      "rcn AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / " +
+      "(CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS cv " +
+      s"FROM (SELECT cell, ce, sqrt(${dot("ce", "ce")}) AS nrm FROM rcs)), " +
+      "rnc AS (SELECT CAST(count(*) AS BIGINT) AS ncells FROM rcs), " +
+      "rpn AS (SELECT LEAST(GREATEST(GREATEST(2, (ncells + 7) // 8), 1), " +
+      "ncells) AS probe_n FROM rnc), " +
+      "rsc AS (SELECT e.vec_id AS vec_id, c.cell AS cell, " +
+      s"${dot("e.embedding", "c.cv")} AS score " +
+      "FROM embeddings e CROSS JOIN rcn c), " +
+      "rasg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) " +
+      "AS rk FROM rsc) WHERE rk = 1), " +
+      "rqp AS (SELECT cell FROM (SELECT cell, " +
+      "row_number() OVER (ORDER BY score DESC, cell) AS rk " +
+      "FROM rsc WHERE vec_id = 0) WHERE rk <= (SELECT probe_n FROM rpn))"
+  }
+
   private def pqAdcCtes: String =
     s"$pqSqlCtes, " +
       "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
@@ -3467,6 +3520,29 @@ object LlmData {
         "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
         ") * 10000, 0) / 10000 AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 20"),
+    // FULL routing replay (see ivfRouteSqlCtes): the oracle re-derives the
+    // centroid sample, every cell assignment, and the probe-cell choice
+    // from the parquet bytes, then ranks exact cosine inside the probed
+    // cells — the partial-probe result is deterministic, so "approximate"
+    // (in the recall sense) does not mean "unreplayable"
+    "q_simsearch_ivf" ->
+      (s"WITH $ivfRouteSqlCtes, " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id AS vec_id, round((" +
+        VectorOps.sqlCosine("e.embedding", "q.qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
+        "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
+    // IVFADC = the ADC scan (replayed Lloyd codebook, pqAdcCtes) filtered
+    // to the replayed probe cells — routing and quantization each proven
+    // separately, composed here exactly as the engine composes them
+    "q_simsearch_ivfpq" ->
+      (s"WITH $pqAdcCtes, $ivfRouteSqlCtes " +
+        "SELECT adc.vec_id AS vec_id, adc.adc_micro AS adc_micro " +
+        "FROM adc JOIN rasg ON adc.vec_id = rasg.vec_id " +
+        "WHERE rasg.cell IN (SELECT cell FROM rqp) " +
+        "ORDER BY adc_micro, vec_id LIMIT 20"),
     "q_multimodal_join" ->
       ("SELECT doc_id, lang, source, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
         "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),

@@ -121,12 +121,14 @@ class ContractSpec extends AnyFunSuite {
     // q_dedup_near graduated OUT of this list in round 10: exact-Jaccard
     // verification makes its end state checkable against the q_dedup_ngram
     // shingle-overlap CTE (see dedupNear scaladoc)
+    // q_dedup_simhash: xxhash64 signatures (fast path) — the shared
+    // banding+verification machinery is oracle-anchored by the portable
+    // q_dedup_simhash_verified. q_dedup_embed: xxhash64 LSH planes — exact
+    // ends anchored by q_dedup_sweep/q_dedup_semantic, end-to-end planted
+    // recall in LlmDataSpec. q_multimodal_frames_sigs: PNG-codec-byte- and
+    // xxhash64-defined outputs no SQL engine can rebuild.
     val allowedNoOracle = Set("q_dedup_simhash", "q_dedup_embed",
-      "q_simsearch_ivf", "q_multimodal_frames_sigs",
-      // approximate on two axes (cell recall × code quantization); its
-      // full-probe variant is proven row-equal to the oracle-checked
-      // q_simsearch_pq_adc in LlmDataSpec
-      "q_simsearch_ivfpq")
+      "q_multimodal_frames_sigs")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(allowedNoOracle),
       s"queries missing an oracle without justification: ${noOracle -- allowedNoOracle}")
