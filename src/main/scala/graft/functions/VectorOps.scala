@@ -45,6 +45,28 @@ object VectorOps {
   def lshBucket(embCol: String, nBits: Int, dims: Int, table: Int): Column =
     call_function("graft_lsh_bucket", col(embCol), lit(nBits), lit(dims), lit(table))
 
+  /** PORTABLE random-hyperplane bucket: plane signs are an md5-derived
+    * Rademacher matrix (sign(t, p, j) = +1 iff the first hex digit of
+    * md5("graftlsh:t:p:j") is in 0..7 — the `embedProject` construction),
+    * compiled into `nBits` literal-plane [[DotExpr]] kernels; bit p of the
+    * bucket is dot(v, plane_p) ≥ 0. Everything — md5, the sign decision,
+    * the ascending dot fold — exists identically in DuckDB, so an oracle
+    * can rebuild every bucket from raw vectors (which xxhash64-plane
+    * [[lshBucket]] buckets cannot). Callers must have run
+    * [[GraftFunctions.register]].
+    */
+  def lshBucketPortable(embCol: String, nBits: Int, dims: Int, table: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, j: Int): Float = {
+      val hex = md.digest(s"graftlsh:$table:$p:$j".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+    }
+    (0 until nBits).map { p =>
+      val plane = typedlit((0 until dims).map(j => sign(p, j)))
+      when(dot(col(embCol), plane) >= 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** The interpreted HOF formulation of [[lshBucket]] (parity oracle). */
   def lshBucketHof(embCol: String, nBits: Int, dims: Int, table: Int): Column =
     expr(s"""aggregate(

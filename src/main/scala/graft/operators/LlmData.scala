@@ -634,21 +634,45 @@ object LlmData {
     * probability ≥ 1-(1-0.87^6)² ≈ 0.8 per table.
     */
   def dedupEmbed(s: SparkSession, d: String): DataFrame =
-    dedupEmbedFrom(s, t(s, d, "embeddings"), threshold = 0.25)
+    dedupEmbedFrom(s, t(s, d, "embeddings"), threshold = 0.25,
+      tbl => VectorOps.lshBucket("embedding", nBits = 6, dims = 64, table = tbl))
+
+  /** q_dedup_embed_verified — the ORACLE-CHECKED end of the embedding-LSH
+    * pipeline (the `q_dedup_simhash_verified` doctrine applied to
+    * vectors): identical two-table bucket-join + exact-cosine
+    * verification to [[dedupEmbed]], but over PORTABLE random-hyperplane
+    * buckets whose ±1 plane signs derive from md5 ("graftlsh:t:p:j" — the
+    * [[embedProject]] Rademacher construction), so the DuckDB oracle
+    * REBUILDS every bucket from the parquet bytes and replays candidate
+    * generation itself, not just the verified end state. [[dedupEmbed]]
+    * (xxhash64 planes, no md5 at build time) stays the declared fast path
+    * with its waiver; this row pins the shared bucket-join + re-attach +
+    * threshold machinery to the gate.
+    *
+    * Scale: identical plan shape to [[dedupEmbed]] — the sign matrix is
+    * 2×6×64 literals compiled into scan-stage [[graft.functions.DotExpr]]
+    * kernels (no broadcast, no shuffle), candidates stay ID-only.
+    */
+  def dedupEmbedVerified(s: SparkSession, d: String): DataFrame =
+    dedupEmbedFrom(s, t(s, d, "embeddings"), threshold = 0.25,
+      tbl => VectorOps.lshBucketPortable("embedding", nBits = 6, dims = 64, table = tbl))
 
   /** The [[dedupEmbed]] pipeline over an arbitrary (vec_id, embedding)
-    * frame — split out so the spec can plant true near-duplicates and
-    * assert END-TO-END recall through bucketing + verification (the
-    * fixture's near-orthogonal vectors exercise only the soundness side).
+    * frame and bucket builder — split out so the spec can plant true
+    * near-duplicates and assert END-TO-END recall through bucketing +
+    * verification (the fixture's near-orthogonal vectors exercise only
+    * the soundness side), and so the portable-bucket variant shares every
+    * downstream stage.
     */
-  private[graft] def dedupEmbedFrom(
-      s: SparkSession, embIn: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def dedupEmbedFrom(s: SparkSession, embIn: DataFrame,
+      threshold: Double,
+      bucketOf: Int => org.apache.spark.sql.Column =
+        tbl => VectorOps.lshBucket("embedding", nBits = 6, dims = 64, table = tbl)): DataFrame = {
     graft.functions.GraftFunctions.register(s) // native graft_dot
-    val dims = 64
     def table(tbl: Int): DataFrame =
       embIn
         .select(col("vec_id"), col("embedding"),
-          VectorOps.lshBucket("embedding", nBits = 6, dims = dims, table = tbl).as("bucket"),
+          bucketOf(tbl).as("bucket"),
           lit(tbl).as("tbl"))
     // ID-only candidate generation (no vector payload in the LSH shuffle);
     // pre-normalized vectors re-attach to surviving pairs, so verification
@@ -2858,6 +2882,7 @@ object LlmData {
     "q_dedup_near" -> dedupNear _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_embed" -> dedupEmbed _,
+    "q_dedup_embed_verified" -> dedupEmbedVerified _,
     "q_dedup_sweep" -> dedupSweep _,
     "q_simsearch_topk" -> simsearchTopk _,
     "q_simsearch_ivf" -> simsearchIvf _,
@@ -3000,6 +3025,41 @@ object LlmData {
     * adc_micro) — shared by `q_simsearch_pq_adc`, the full-probe
     * `q_simsearch_ivfpq_full`, and the `q_simsearch_rerank` funnel.
     */
+  /** DuckDB replay of [[dedupEmbedVerified]]: md5-derived plane signs →
+    * bucket bits (ascending dot fold ≥ 0 → 1<<p, summed per table) →
+    * two-table bucket self-join → exact-cosine verification in the
+    * engine's exact arithmetic shape (dot·(1/√aa)·(1/√bb), left-assoc,
+    * Det-rounded to 4 dp BEFORE the threshold).
+    */
+  private def dedupEmbedVerifiedSql: String = {
+    val dot = VectorOps.sqlDot _
+    "WITH pl AS (SELECT t.t AS t, p.p AS p, " +
+      "list_transform(range(0, 64), j -> CASE WHEN " +
+      "instr('01234567', substr(md5('graftlsh:' || CAST(t.t AS VARCHAR) " +
+      "|| ':' || CAST(p.p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) > 0 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sv " +
+      "FROM (SELECT unnest(range(0, 2)) AS t) t, " +
+      "(SELECT unnest(range(0, 6)) AS p) p), " +
+      "sb AS (SELECT e.vec_id AS vec_id, pl.t AS t, " +
+      s"CASE WHEN ${dot("e.embedding", "pl.sv")} >= 0 " +
+      "THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END AS bit " +
+      "FROM embeddings e CROSS JOIN pl), " +
+      "bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket " +
+      "FROM sb GROUP BY vec_id, t), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+      "FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id), " +
+      "pr AS (SELECT c.vec_a AS vec_a, c.vec_b AS vec_b, " +
+      s"round((${dot("x.embedding", "y.embedding")} " +
+      s"* (1.0 / sqrt(${dot("x.embedding", "x.embedding")})) " +
+      s"* (1.0 / sqrt(${dot("y.embedding", "y.embedding")}))) * 10000, 0) " +
+      "/ 10000 AS cos " +
+      "FROM cand c JOIN embeddings x ON x.vec_id = c.vec_a " +
+      "JOIN embeddings y ON y.vec_id = c.vec_b) " +
+      "SELECT vec_a, vec_b, cos FROM pr WHERE cos >= 0.25 " +
+      "ORDER BY vec_a, vec_b"
+  }
+
   /** DuckDB replay of the ENTIRE IVF routing layer ([[ivfCentroids]] +
     * index assignment + [[ivfRoute]]'s probe selection) as CTEs, ending in
     * `rasg` (vec_id → assigned cell) and `rqp` (the probed cells):
@@ -3343,6 +3403,11 @@ object LlmData {
     // Hamming <= 3 — the engine's banded path is structurally equal
     // (pigeonhole over the 5-block bands), see dedupSimhashVerified
     "q_dedup_simhash_verified" -> simhashVerifiedSql,
+    // full candidate-generation replay: the md5-derived Rademacher planes,
+    // every bucket bit (ascending dot fold >= 0), the two-table bucket
+    // join, AND the exact-cosine verification (same 1/sqrt re-attach
+    // multiplication order) are all rebuilt from the parquet bytes
+    "q_dedup_embed_verified" -> dedupEmbedVerifiedSql,
     // full winnowing replay: md5 token hashes, sliding-window-of-4 minima
     // (fixed-width lowercase hex orders like the number it encodes),
     // distinct+sort, joined digest — bit-faithful to textFingerprint

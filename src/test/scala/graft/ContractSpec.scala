@@ -45,6 +45,7 @@ class ContractSpec extends AnyFunSuite {
     "q_embed_pq", "q_simsearch_pq_adc", "q_dedup_incremental",
     "q_simsearch_ivfpq", "q_simsearch_ivfpq_full", "q_simsearch_batch",
     "q_simsearch_rerank", "q_simsearch_batch_rerank", "q_dedup_simhash_verified",
+    "q_dedup_embed_verified",
     "q_source_xml_roundtrip", "q_stream_foreach_upsert",
     "q_agg_sketch_merge", "q_agg_histogram_merge", "q_layout_zorder",
     "q_maintain_compact", "q_maintain_delete", "q_text_containment",
