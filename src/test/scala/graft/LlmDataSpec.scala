@@ -94,6 +94,37 @@ class LlmDataSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Double]("cos") >= 0.25))
   }
 
+  test("simhash banding: exact-dedup-first collapses the mass-duplication candidate blowup") {
+    import graft.functions.TextOps
+    import s.implicits._
+    // docs/SCALING.md "SimHash banding keyspace": true mass duplication
+    // (N identical docs → one simhash → one bucket) is the one skew no
+    // band-key design fixes — the prescribed discipline is q_dedup_exact
+    // FIRST (q_corpus_filter sequences it). This measures that claim:
+    // 300 identical docs alone are C(300,2) = 44,850 within-bucket pairs.
+    val dup = (0 until 300).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+    val uniq = (0 until 50).map(i => (1000L + i, s"doc $i unique tok$i content ${i * 7} x${i * 13}"))
+    val docs = (dup ++ uniq).toDF("doc_id", "text")
+    def candidatePairs(df: org.apache.spark.sql.DataFrame): Long = {
+      val sigs = df
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
+        .select(col("doc_id"), TextOps.simhash64("hashes").as("sh"))
+        .withColumn("bands", TextOps.simhashBands("sh"))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("bi", "bv")))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    val naive = candidatePairs(docs)
+    val collapsed = candidatePairs(docs.dropDuplicates("text"))
+    assert(naive >= 300L * 299 / 2,
+      s"mass duplication should quadratically blow up candidates, got $naive")
+    assert(collapsed * 100 < naive,
+      s"exact-dedup-first should collapse the blowup ≥100×: $collapsed vs $naive")
+  }
+
   test("q_dedup_embed end-to-end: planted near-duplicates are recovered through bucketing + verification") {
     import s.implicits._
     // 8 planted near-dup pairs (base + 1e-4 perturbation → cos ≈ 1, same
