@@ -44,13 +44,18 @@ object Fixtures {
   private[graft] def isPendingExitCleanup(p: Path): Boolean =
     cleanupAtExit.contains(p)
 
-  /** Identity tag for a derived artifact of one fixture table: sanitized
-    * source dir + scheme version + a fingerprint over the table's LEAF
-    * parquet files (relative path, size, mtime — recursed when the table
-    * is a directory of part-files). A regenerated fixture or a
-    * sanitization collision ("/sf0.1" vs "/sf0_1") gets its own artifact
-    * instead of silently serving another dataset's rows; bumping
-    * `version` keys out artifacts built by an older derivation.
+  /** Identity tag for a derived artifact of one fixture table: scheme
+    * version + sanitized source dir + a RAW-PATH identity hash + a
+    * fingerprint over the table's LEAF parquet files (relative path,
+    * size, mtime — recursed when the table is a directory of
+    * part-files). The identity hash makes the dataset component
+    * injective where sanitization is not ("/sf0.1" and "/sf0_1" share a
+    * sanitized name; "sf0.1" is a sanitized-name PREFIX of "sf0.1.x"),
+    * which [[sweepSuperseded]] depends on: its stale-tag prefix must
+    * match THIS dataset's builds only, never a sibling dataset whose
+    * live artifact would otherwise be registered for deletion. A
+    * regenerated fixture changes the fingerprint; bumping `version` keys
+    * out artifacts built by an older derivation.
     */
   def datasetTag(d: String, table: String, version: String): String = {
     val src = java.nio.file.Paths.get(d, s"$table.parquet")
@@ -66,7 +71,17 @@ object Fixtures {
       Files.getLastModifiedTime(p).toMillis))).toArray
     val fp = java.lang.Long.toHexString(
       java.util.Arrays.hashCode(fpInput).toLong & 0xffffffffL)
-    s"${version}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+    s"${datasetPrefix(d, version)}$fp"
+  }
+
+  /** The dataset-identity prefix shared by [[datasetTag]] and
+    * [[sweepSuperseded]]: version + sanitized dir + hex of the RAW dir's
+    * hashCode, underscore-terminated — everything in a tag except the
+    * per-generation fingerprint.
+    */
+  private def datasetPrefix(d: String, version: String): String = {
+    val idHex = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+    s"${version}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${idHex}_"
   }
 
   /** Stage-once home for a FINGERPRINT-TAGGED derived artifact of one
@@ -90,21 +105,32 @@ object Fixtures {
   }
 
   /** Register stale sibling tags of a live artifact for exit-time
-    * deletion: same family + scheme version + sanitized dataset prefix,
-    * different fingerprint — i.e. builds of THIS artifact against a
-    * fixture generation that no longer exists. Other datasets' tags (a
-    * different sf dir) and other scheme versions never match the prefix,
-    * so they are untouched.
+    * deletion: same family + scheme version + dataset identity (sanitized
+    * name AND raw-path hash — see [[datasetPrefix]]), different
+    * fingerprint — i.e. builds of THIS artifact against a fixture
+    * generation that no longer exists. Other datasets' tags and other
+    * scheme versions never match the identity prefix, and the remainder
+    * must parse as a bare fingerprint, so a sibling dataset's LIVE
+    * artifact can never be registered.
+    *
+    * Deferral to exit time protects THIS JVM's in-flight lazy scans over
+    * the old tag; it is best-effort toward OTHER JVMs (one that started
+    * before the regeneration and outlives this process can still lose
+    * the files at our exit). That is accepted single-host dev-harness
+    * hygiene — the staged artifacts are rebuildable caches; a cluster
+    * deployment manages index retention as a lifecycle policy, not a
+    * tmpdir sweep.
     */
   def sweepSuperseded(family: String, d: String, version: String,
       liveTag: String): Unit = {
     val parent = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), family)
     if (!Files.isDirectory(parent)) return
-    val prefix = s"${version}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_"
+    val prefix = datasetPrefix(d, version)
     val st = Files.list(parent)
     try st.forEach { p =>
       val n = p.getFileName.toString
-      if (n != liveTag && n.startsWith(prefix) && !n.contains("_staging_")) {
+      if (n != liveTag && n.startsWith(prefix) &&
+        n.drop(prefix.length).matches("[0-9a-f]{1,8}")) {
         exitHook
         cleanupAtExit.add(p)
       }

@@ -492,8 +492,19 @@ object LlmData {
     * the de-skew: a 16-bit key caps bands at 65k distinct buckets, which
     * is quadratic within buckets at corpus scale (docs/SCALING.md).
     */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val rows = simhashes(s, d)
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashBandVerify(simhashes(s, d))
+
+  /** The SINGLE copy of banded candidate generation + exact Hamming ≤ 3
+    * verification over a (doc_id, sh64) signature frame — both
+    * [[dedupSimhash]] (xxhash64 signatures, fast path) and
+    * [[dedupSimhashVerified]] (md5-bit portable signatures, oracle row)
+    * run exactly this machinery, so a band-width or Hamming-cut change
+    * cannot silently split the path the verified oracle anchors from the
+    * path production runs.
+    */
+  private def simhashBandVerify(sigs: DataFrame): DataFrame = {
+    val rows = sigs
       .withColumn("bands", graft.functions.TextOps.simhashBands("sh64"))
       .select(col("doc_id"), col("sh64"),
         posexplode(col("bands")).as(Seq("band_idx", "band_val")))
@@ -575,24 +586,8 @@ object LlmData {
     * the signature scan — embarrassingly parallel, no new shuffles; the
     * candidate join is the same ID-only 26-bit-band self-join.
     */
-  def dedupSimhashVerified(s: SparkSession, d: String): DataFrame = {
-    val rows = simhashesPortable(s, d)
-      .withColumn("bands", graft.functions.TextOps.simhashBands("sh64"))
-      .select(col("doc_id"), col("sh64"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    rows.select(col("doc_id").as("doc_a"), col("sh64").as("ha"),
-        col("band_idx"), col("band_val"))
-      .join(rows.select(col("doc_id").as("doc_b"), col("sh64").as("hb"),
-        col("band_idx").as("bi"), col("band_val").as("bv")),
-        col("band_idx") === col("bi") && col("band_val") === col("bv") &&
-          col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb")
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .where(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
-  }
+  def dedupSimhashVerified(s: SparkSession, d: String): DataFrame =
+    simhashBandVerify(simhashesPortable(s, d))
 
   /** Per-document 64-bit simhash built from PORTABLE token hashes: bit i
     * of a token is bit (i mod 4) of hex digit ⌊i/4⌋ of md5(token), and
@@ -939,8 +934,15 @@ object LlmData {
     * Lloyd-TRAINED codes, which differ row-for-row from v4's
     * sampled-codebook codes).
     */
+  /** Single source of truth for the IVF index scheme version — used by
+    * BOTH the identity tag and the superseded-sweep prefix, which must
+    * never desynchronize (an unmatched sweep prefix is a silent no-op
+    * that would quietly resurrect the stale-artifact leak).
+    */
+  private val ivfSchemeVersion = "v5"
+
   private def ivfTag(d: String): String =
-    graft.Fixtures.datasetTag(d, "embeddings", "v5")
+    graft.Fixtures.datasetTag(d, "embeddings", ivfSchemeVersion)
 
   /** Build-or-reuse the persisted cell-partitioned IVF index under the
     * given identity tag. Publication goes through [[graft.Fixtures.ensure]]
@@ -956,7 +958,7 @@ object LlmData {
         .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     }.toString
     // superseded fingerprints of this index scheme die at JVM exit
-    graft.Fixtures.sweepSuperseded("graft_ivf", d, "v5", tag)
+    graft.Fixtures.sweepSuperseded("graft_ivf", d, ivfSchemeVersion, tag)
     dir
   }
 
@@ -3069,8 +3071,12 @@ object LlmData {
     *    count/step/limit arithmetic as the engine, derived IN SQL so a
     *    regenerated fixture cannot diverge the two sides;
     *  - `rcn`: unit-normalization with the zero-norm guard, per-element
-    *    division after an ascending-fold norm — bit-equal to the driver's
-    *    Scala fold because both are sequential IEEE double ops;
+    *    division after an ascending-fold norm (sequential IEEE double
+    *    ops, bit-equal to the driver's Scala fold), then a CAST to FLOAT
+    *    — because the engine's `graft_dot` BUILDER coerces both argument
+    *    arrays to array<float> (GraftFunctions.floatArray), so the
+    *    compiled centroid literals are float-rounded before the score
+    *    fold and a full-double oracle would diverge on near-tie scores;
     *  - `rasg`: argmax-dot assignment via row_number(score DESC, cell) —
     *    exactly `array_position(scores, array_max(scores))` (first max);
     *  - `rqp`: the query's top-⌈cells/8⌉ probe cells (score DESC, ordinal
@@ -3090,8 +3096,8 @@ object LlmData {
       "WHERE vec_id % (SELECT step FROM rst) = 0), " +
       "rcs AS (SELECT cell, ce FROM rsamp " +
       "WHERE cell <= (SELECT target FROM rtc)), " +
-      "rcn AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / " +
-      "(CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS cv " +
+      "rcn AS (SELECT cell, list_transform(ce, x -> CAST(CAST(x AS DOUBLE) / " +
+      "(CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS FLOAT)) AS cv " +
       s"FROM (SELECT cell, ce, sqrt(${dot("ce", "ce")}) AS nrm FROM rcs)), " +
       "rnc AS (SELECT CAST(count(*) AS BIGINT) AS ncells FROM rcs), " +
       "rpn AS (SELECT LEAST(GREATEST(GREATEST(2, (ncells + 7) // 8), 1), " +

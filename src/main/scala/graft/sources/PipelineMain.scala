@@ -125,7 +125,23 @@ object PipelineMain extends Logging {
           .write.mode("overwrite").partitionBy("day").parquet(out)
       }
     } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    s.read.parquet(out)
+    // a range whose every day landed zero rows leaves no parquet footer to
+    // infer a schema from (or no lake dir at all) — that is the documented
+    // all-days-empty no-op, so return the empty audit instead of letting
+    // the read throw
+    val lake =
+      try s.read.parquet(out)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") ||
+              e.getMessage.contains("Path does not exist") =>
+          return ev.limit(0).groupBy("day")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100, 0)).cast("long").as("sum_cents"))
+            .withColumn("day", col("day").cast("string"))
+            .orderBy("day")
+      }
+    lake
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0)).cast("long").as("sum_cents"))

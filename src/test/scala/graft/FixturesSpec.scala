@@ -87,23 +87,35 @@ class FixturesSpec extends AnyFunSuite {
     val family = s"graft_test_sweep_${java.util.UUID.randomUUID()}"
     val parent = Files.createDirectories(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), family))
+    def idHex(d: String): String =
+      java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+    val pX = s"v1_dsX_${idHex("dsX")}_"
     try {
-      val live = Files.createDirectories(parent.resolve("v1_dsX_aaa"))
-      val stale = Files.createDirectories(parent.resolve("v1_dsX_bbb"))
-      val otherVersion = Files.createDirectories(parent.resolve("v2_dsX_ccc"))
-      val otherDataset = Files.createDirectories(parent.resolve("v1_dsY_ddd"))
-      val inFlight = Files.createDirectories(parent.resolve("v1_dsX_staging_e"))
-      Fixtures.sweepSuperseded(family, "dsX", "v1", liveTag = "v1_dsX_aaa")
+      val live = Files.createDirectories(parent.resolve(pX + "aaa"))
+      val stale = Files.createDirectories(parent.resolve(pX + "bbb"))
+      val otherVersion = Files.createDirectories(
+        parent.resolve(s"v2_dsX_${idHex("dsX")}_ccc"))
+      val otherDataset = Files.createDirectories(
+        parent.resolve(s"v1_dsY_${idHex("dsY")}_ddd"))
+      val inFlight = Files.createDirectories(parent.resolve(pX + "staging_e"))
+      // sanitization collision: "ds.X" and "ds_X" share a sanitized name
+      // but not the raw-path identity hash — the other dataset's LIVE
+      // artifact must never be registered (the r10 review finding)
+      val collision = Files.createDirectories(
+        parent.resolve(s"v1_ds_X_${idHex("ds_X")}_eee"))
+      Fixtures.sweepSuperseded(family, "dsX", "v1", liveTag = pX + "aaa")
+      Fixtures.sweepSuperseded(family, "ds.X", "v1",
+        liveTag = s"v1_ds_X_${idHex("ds.X")}_fff")
       assert(Fixtures.isPendingExitCleanup(stale),
         "a superseded fingerprint of the same artifact must be swept at exit")
       // deferred, not deleted in place: a concurrent JVM may still scan it
       assert(Files.exists(stale))
-      Seq(live, otherVersion, otherDataset, inFlight).foreach { p =>
+      Seq(live, otherVersion, otherDataset, inFlight, collision).foreach { p =>
         assert(!Fixtures.isPendingExitCleanup(p),
-          s"${p.getFileName} must NOT be swept (live / other scheme / other dataset / in-flight)")
+          s"${p.getFileName} must NOT be swept (live / other scheme / other dataset / in-flight / sanitize-collision)")
       }
     } finally {
-      Fixtures.removeFromExitCleanup(parent.resolve("v1_dsX_bbb"))
+      Fixtures.removeFromExitCleanup(parent.resolve(pX + "bbb"))
       org.apache.commons.io.FileUtils.deleteDirectory(parent.toFile)
     }
   }

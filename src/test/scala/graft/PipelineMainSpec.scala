@@ -120,4 +120,17 @@ class PipelineMainSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(second === first)
   }
+
+  test("backfill of a range with no source events returns an empty audit, not a crash") {
+    val d = TestSpark.sf
+    val out = Fixtures.tempDirCleanedAtExit("graft_backfill_empty_")
+      .resolve("lake").toString
+    // a decade before the fixture's span: every per-day landing is an empty
+    // dynamic overwrite, so no parquet footer ever exists to read back —
+    // the documented all-days-empty no-op must still produce the audit shape
+    val audit = PipelineMain.backfillDays(
+      s, d, out, java.time.LocalDate.of(1990, 1, 1), nDays = 3)
+    assert(audit.columns.toSeq === Seq("day", "n", "sum_cents"))
+    assert(audit.count() === 0L)
+  }
 }
