@@ -83,17 +83,25 @@ object BinaryBatch {
   case class AudioMeta(audio_id: Long, sample_rate: Int, channels: Int,
       n_frames: Long, duration_ms: Long)
 
-  /** Decode one batch of WAV payloads through the JDK's audio codec. */
+  /** Decode one batch of WAV payloads through the JDK's audio codec.
+    * Undecodable payloads degrade to a -1 stub row (mirroring the image
+    * path's fallback) instead of failing the task — one corrupt byte
+    * array must not kill a whole-corpus decode job.
+    */
   def decodeAudioBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioMeta] =
     batch.map { case (id, bytes) =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
       try {
-        val fmt = ais.getFormat
-        val frames = ais.getFrameLength
-        AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels, frames,
-          frames * 1000L / fmt.getSampleRate.toLong)
-      } finally ais.close()
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+            frames * 1000L / fmt.getSampleRate.toLong)
+        } finally ais.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => AudioMeta(id, -1, -1, -1L, -1L)
+      }
     }
 
   /** Batched audio decode over an (audio_id, content) frame. */

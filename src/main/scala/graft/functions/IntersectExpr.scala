@@ -21,9 +21,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * triangle plan); unsorted inputs would undercount, so the function is
   * exposed as `graft_isect_count` with the "sorted" requirement documented
   * rather than silently sorting (a per-row sort would give the allocation
-  * back). Null arrays yield NULL; a null ELEMENT yields NULL (mirroring the
-  * poison semantics of the vector kernels — sorted long arrays from
-  * `collect_list` never contain one).
+  * back). Null arrays yield NULL; a null ELEMENT — anywhere in EITHER
+  * array, including past the point where the shorter side exhausts —
+  * yields NULL (mirroring the poison semantics of the vector kernels;
+  * both arrays are scanned for nulls up front so the contract is total,
+  * not just over elements the merge walk happens to visit). Sorted long
+  * arrays from `collect_list` never contain one, so the scan is the
+  * fast path in practice.
   */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,11 +41,16 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     val m = y.numElements()
+    // total null-poison: scan BOTH arrays, not just elements the merge
+    // walk visits — a trailing null after one side exhausts must poison too
+    var k = 0
+    while (k < n) { if (x.isNullAt(k)) return null; k += 1 }
+    k = 0
+    while (k < m) { if (y.isNullAt(k)) return null; k += 1 }
     var i = 0
     var j = 0
     var c = 0L
     while (i < n && j < m) {
-      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i)
       val yv = y.getLong(j)
       if (xv < yv) i += 1
@@ -59,13 +68,17 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val k = ctx.freshName("k")
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
+         |for (int $k = 0; $k < $n && !${ev.isNull}; $k++)
+         |  if ($a.isNullAt($k)) ${ev.isNull} = true;
+         |for (int $k = 0; $k < $m && !${ev.isNull}; $k++)
+         |  if ($b.isNullAt($k)) ${ev.isNull} = true;
          |int $i = 0; int $j = 0;
          |${ev.value} = 0L;
-         |while ($i < $n && $j < $m) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |while (!${ev.isNull} && $i < $n && $j < $m) {
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }

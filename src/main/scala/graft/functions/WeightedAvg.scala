@@ -14,6 +14,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * result is independent of partitioning / merge order — required for the
   * DuckDB oracle hash-match, and a practice worth copying for any monetary
   * aggregate on a 1000-executor cluster.
+  *
+  * PRECONDITION — integer-valued weights: the order-independence argument
+  * needs `cents * weight` to stay an exact integer, which holds only when
+  * the weight itself is integral (the q_agg_custom_typed caller passes
+  * l_quantity, which is). A fractional weight (0.1, say) makes the partial
+  * sum an ordinary floating sum whose value depends on merge order —
+  * round or rescale such weights to integers before reusing this
+  * aggregator.
   */
 case class WeightedAvgBuf(var weightedCents: Double, var weightSum: Double)
 

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.time.Instant
-import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -143,8 +142,6 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
 object Streams {
   import Det._
 
-  private val runId = new AtomicInteger(0)
-
   /** Physical plan of the LAST micro-batch of the most recent staged-batch
     * run (for docs/PLANS.md generation via [[graft.Plans]]; reflection
     * because StreamingQueryWrapper/StreamExecution are private[sql]).
@@ -204,7 +201,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "tumbling")
       .where(col("event_type") =!= "sentinel") // its window never flushes; belt+braces
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
@@ -222,7 +219,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "sliding")
       .where(col("event_type") =!= "sentinel")
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
@@ -275,7 +272,33 @@ object Streams {
     */
   private def runStagedBatches(s: SparkSession, build: DataFrame => DataFrame,
       d: String, laterBatches: Seq[DataFrame],
-      firstBatchExtra: Seq[DataFrame] = Nil): DataFrame = {
+      firstBatchExtra: Seq[DataFrame] = Nil,
+      key: String = "anon"): DataFrame = {
+    withStreamParts(s) {
+      val name = s"graft_stream_$key"
+      // a re-invocation REPLACES the prior run's sink table instead of
+      // accumulating one full result set per run in driver memory for the
+      // JVM lifetime (a bench loop over R rounds would otherwise hold R
+      // copies of every streaming result; the sink name is per QUERY KEY,
+      // so live results of other queries are untouched)
+      s.catalog.dropTempView(name)
+      withStagedFeed(s, d, laterBatches, firstBatchExtra) { src =>
+        build(src).writeStream.outputMode(OutputMode.Append()).format("memory")
+          .queryName(name).start()
+      }
+      s.table(name)
+    }
+  }
+
+  /** The single copy of the staged-feed plumbing (query-private staging
+    * dir, {shared,own} glob source, first-batch extras, drain loop,
+    * last-plan capture, cleanup) shared by the memory-sink harness above
+    * and the foreachBatch upsert — a fix to the scaffold lands in one
+    * place.
+    */
+  private def withStagedFeed(s: SparkSession, d: String,
+      laterBatches: Seq[DataFrame], firstBatchExtra: Seq[DataFrame])(
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val shared = java.nio.file.Paths.get(stagedEventsDir(s, d))
     // registered for exit cleanup too: the finally below removes it on the
     // normal path, the hook covers a JVM killed mid-query
@@ -294,35 +317,35 @@ object Streams {
     // no maxFilesPerTrigger → each drain consumes every staged file in one
     // micro-batch, keeping intra-batch rows ahead of the watermark
     val src = s.readStream.schema(normalizedEvents(s, d).schema).parquet(glob)
-    withStreamParts(s) {
-      val name = s"graft_stream_${runId.incrementAndGet()}"
-      val q = build(src).writeStream.outputMode(OutputMode.Append()).format("memory")
-        .queryName(name).start()
-      try {
+    val q = start(src)
+    try {
+      q.processAllAvailable()
+      laterBatches.foreach { b =>
+        b.write.mode("append").parquet(own.toString)
         q.processAllAvailable()
-        laterBatches.foreach { b =>
-          b.write.mode("append").parquet(own.toString)
-          q.processAllAvailable()
-        }
-        lastMicroBatchPlan =
-          try {
-            val se = q.getClass.getMethod("streamingQuery").invoke(q)
-            val ex = se.getClass.getMethod("lastExecution").invoke(se)
-            ex.getClass.getMethod("executedPlan").invoke(ex).toString
-          } catch { case scala.util.control.NonFatal(_) => "(unavailable)" }
-      } finally {
-        q.stop()
-        // the memory sink holds the results; the query-private staged
-        // copies would otherwise accumulate per invocation (the shared
-        // events staging is one copy per dataset per JVM, reused read-only)
-        java.nio.file.Files.walk(own)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        graft.Fixtures.removeFromExitCleanup(own)
       }
-      s.table(name)
+      lastMicroBatchPlan =
+        try {
+          val se = q.getClass.getMethod("streamingQuery").invoke(q)
+          val ex = se.getClass.getMethod("lastExecution").invoke(se)
+          ex.getClass.getMethod("executedPlan").invoke(ex).toString
+        } catch { case scala.util.control.NonFatal(_) => "(unavailable)" }
+    } finally {
+      q.stop()
+      // the sink holds the results; the query-private staged copies would
+      // otherwise accumulate per invocation (the shared events staging is
+      // one copy per dataset per JVM, reused read-only)
+      deleteRecursively(own)
+      graft.Fixtures.removeFromExitCleanup(own)
     }
   }
+
+  /** One recursive delete for every staging/sink cleanup site (was four
+    * hand-rolled Files.walk copies with delete-vs-deleteIfExists drift).
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
 
   /** q_stream_topk — windowed TRENDING TOP-K (most-active users per
     * 10-minute window), the two-stage shape every production trending
@@ -343,7 +366,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n")),
-      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "topk")
       .where(col("user_id") =!= -1L) // sentinel's window never flushes; belt+braces
     val rk = Window.partitionBy("win_start").orderBy(col("n").desc, col("user_id").asc)
     flushed
@@ -375,7 +398,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      d, Seq(sentinelBatch(s), stale))
+      d, Seq(sentinelBatch(s), stale), key = "watermark_late")
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
@@ -404,7 +427,7 @@ object Streams {
       src => src
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id"),
-      d, Seq(redelivered))
+      d, Seq(redelivered), key = "dedup")
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
@@ -425,7 +448,7 @@ object Streams {
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value")),
-      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "session_window")
       .where(col("user_id") =!= -1L) // sentinel's own session never flushes; belt+braces
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
@@ -442,12 +465,11 @@ object Streams {
     * oracle check is the exactly-once evidence.
     */
   def streamSinkFiles(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_out", "q_stream_sink")
-    // idempotent rerun: the sink's exactly-once log is per checkpoint —
-    // wipe data+checkpoint so every invocation is a fresh run
-    if (java.nio.file.Files.exists(base))
-      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+    // per-INVOCATION base (exit-cleaned): a fixed shared path raced across
+    // concurrent JVMs — one JVM's idempotency wipe deleting another's live
+    // sink data + checkpoint mid-query; a fresh dir per run is both the
+    // idempotent-rerun story and the collision-free one
+    val base = graft.Fixtures.tempDirCleanedAtExit("graft_stream_sink_")
     val q = eventsStream(s, d)
       .select("event_id", "user_id", "event_type", "value")
       .writeStream.format("parquet")
@@ -486,7 +508,7 @@ object Streams {
             col("p_ts") >= col("c_ts") &&
             col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"))
       },
-      d, Seq.empty)
+      d, Seq.empty, key = "join_interval")
       .select(col("c_event"), col("p_event"), col("user_id"),
         col("value").as("purchase_value"))
       .orderBy("c_event", "p_event")
@@ -496,10 +518,12 @@ object Streams {
     * with no purchase in the following hour emit with NULL purchase columns
     * — but only once the watermark proves no match can still arrive (the
     * semantics complete-audit attribution needs; inner joins simply drop
-    * those clicks). The watermark is applied BEFORE the type filters so the
-    * far-future sentinel advances it through both join inputs even though
-    * it is neither a click nor a purchase; state stays bounded exactly as
-    * in the inner variant (~70 min of events per side).
+    * those clicks). Each branch FILTERS BY TYPE FIRST and then applies its
+    * own watermark, which is why the sentinels below are TYPED (one click,
+    * one purchase): a single neutral sentinel would be dropped by both
+    * filters and never reach either watermark node — see the inline
+    * comment. State stays bounded exactly as in the inner variant
+    * (~70 min of events per side).
     */
   def streamJoinOuter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -534,7 +558,7 @@ object Streams {
             col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"),
           "left_outer")
       },
-      d, Seq(sentinels, sentinels))
+      d, Seq(sentinels, sentinels), key = "join_outer")
       .where(col("c_event") >= 0)
       .select(col("c_event"), col("p_event"), col("user_id"),
         col("value").as("purchase_value"))
@@ -592,7 +616,7 @@ object Streams {
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
           sessionize)
         .toDF(),
-      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "stateful")
       .where(col("user_id") =!= -1L)
       .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
         expr("timestamp_micros(end_us)").as("session_end"),
@@ -624,7 +648,7 @@ object Streams {
             org.apache.spark.sql.streaming.TimeMode.EventTime(),
             OutputMode.Append())
           .toDF(),
-        d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+        d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "stateful_tws")
         .where(col("user_id") =!= -1L)
         .select(col("user_id"), expr("timestamp_micros(start_us)").as("session_start"),
           expr("timestamp_micros(end_us)").as("session_end"),
@@ -651,11 +675,9 @@ object Streams {
     * batch upsert).
     */
   def streamForeachUpsert(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_out", "q_stream_foreach_upsert")
-    if (java.nio.file.Files.exists(base))
-      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+    // per-INVOCATION base (exit-cleaned) — same collision-free rationale
+    // as streamSinkFiles
+    val base = graft.Fixtures.tempDirCleanedAtExit("graft_stream_upsert_")
     val dataDir = base.resolve("data").toString
     val ev = normalizedEvents(s, d)
     // corrected re-extract of the max day only (broadcast one-row scalar)
@@ -663,33 +685,21 @@ object Streams {
       .crossJoin(broadcast(ev.agg(max(to_date(col("ts"))).as("mx"))))
       .where(to_date(col("ts")) === col("mx")).drop("mx")
       .withColumn("value", col("value") * 2)
-    val shared = java.nio.file.Paths.get(stagedEventsDir(s, d))
-    val own = graft.Fixtures.tempDirCleanedAtExit("graft_stream_stage_")
-    val glob = s"${shared.getParent}/{${shared.getFileName},${own.getFileName}}"
-    val src = s.readStream.schema(ev.schema).parquet(glob)
     withStreamParts(s) {
-      val q = src.writeStream
-        .option("checkpointLocation", base.resolve("checkpoint").toString)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val spark = batch.sparkSession
-          val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try batch
-            .withColumn("day", to_date(col("ts"))).drop("ts")
-            .write.mode("overwrite").partitionBy("day").parquet(dataDir)
-          finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        }
-        .start()
-      try {
-        q.processAllAvailable()
-        corrected.write.mode("append").parquet(own.toString)
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        java.nio.file.Files.walk(own)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        graft.Fixtures.removeFromExitCleanup(own)
+      withStagedFeed(s, d, laterBatches = Seq(corrected),
+        firstBatchExtra = Nil) { src =>
+        src.writeStream
+          .option("checkpointLocation", base.resolve("checkpoint").toString)
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val spark = batch.sparkSession
+            val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try batch
+              .withColumn("day", to_date(col("ts"))).drop("ts")
+              .write.mode("overwrite").partitionBy("day").parquet(dataDir)
+            finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+          }
+          .start()
       }
     }
     s.read.parquet(dataDir)
@@ -725,7 +735,7 @@ object Streams {
         .join(dim, "nk")
         .groupBy(window(col("ts"), "1 hour"), col("n_name"))
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value")),
-      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)))
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "join_static")
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("n_name"), col("n"), col("sum_value"))
       .orderBy("win_start", "n_name")

@@ -269,6 +269,31 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("SortedIntersectCountExpr null-poisons trailing nulls past the shorter side") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    import s.implicits._
+    // a=[1], b=[2,null]: the merge walk exhausts a before visiting b[1] —
+    // the documented contract is NULL anyway (total poison, both engines)
+    val rows = Seq(
+      (Seq[java.lang.Long](1L), Seq[java.lang.Long](2L, null)),
+      (Seq[java.lang.Long](null), Seq[java.lang.Long](1L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+      .select(expr("graft_isect_count(a, b)").as("c")).collect()
+    assert(rows(0).isNullAt(0), "trailing null in b must poison")
+    assert(rows(1).isNullAt(0), "null in a must poison")
+    assert(rows(2).getLong(0) === 2L)
+  }
+
+  test("decodeAudioBatch degrades corrupt payloads to stub rows instead of failing") {
+    val corrupt = Array.tabulate[Byte](64)(_.toByte)
+    val out = graft.functions.BinaryBatch.decodeAudioBatch(
+      Seq((7L, corrupt), (8L, Array.emptyByteArray)))
+    assert(out.map(_.audio_id) === Seq(7L, 8L))
+    out.foreach(m => assert(m.sample_rate === -1 && m.channels === -1))
+  }
+
   test("QuantErrExpr matches the HOF quantization audit bit-for-bit") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(s)
