@@ -145,11 +145,17 @@ class JdkHttpTransport(timeoutMs: Long = 30000) extends HttpTransport {
 class RestIngest(http: HttpTransport, baseUrl: String) extends Logging {
   private def field(json: String, key: String): Option[String] = {
     // dynamic scalar extraction in the reference's .get(k) style; values in
-    // scope are strings/numbers (reference responses carry scalar fields)
+    // scope are strings/numbers (reference responses carry scalar fields).
+    // An explicit JSON null ({"ticket": null}) matches the unquoted-token
+    // arm as the text "null" — that is a MISSING value (the reference's
+    // result.get + raise), not a usable id, so map it to None and let the
+    // fail-fast fire instead of polling "?ticket=null"
     val m = java.util.regex.Pattern
-      .compile("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"?([^\",}]+)\"?")
+      .compile("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(\"([^\"]*)\"|([^,}\\s]+))")
       .matcher(json)
-    if (m.find()) Option(m.group(1)) else None
+    if (!m.find()) None
+    else if (m.group(2) != null) Some(m.group(2)) // quoted: verbatim, even "null"
+    else Option(m.group(3)).filter(_ != "null")
   }
 
   private def required(json: String, key: String, stage: String): String =

@@ -364,10 +364,22 @@ object PipelineIngest {
     // balanced as long as inputs are (they are: same bin-pack target).
     s.read.parquet(frag).coalesce(nFiles)
       .write.mode("overwrite").parquet(compacted)
-    // atomic publish: readers of $root/compacted never see a half-written set
+    // publish: retire the previous generation ASIDE (rename, not delete —
+    // delete-then-rename left a window with no live dir, and an unchecked
+    // failed rename would have destroyed the only copy), then swap the new
+    // set in with the rename CHECKED before the old generation is dropped
     val live = new Path(s"$root/compacted")
-    fs.delete(live, true)
-    fs.rename(new Path(compacted), live)
+    val retired = new Path(
+      s"$root/compacted_retired_${java.util.UUID.randomUUID()}")
+    val hadPrev = fs.exists(live) && fs.rename(live, retired)
+    if (!fs.rename(new Path(compacted), live)) {
+      // roll the previous generation back before failing — the lake must
+      // never be left with neither generation visible
+      if (hadPrev) fs.rename(retired, live)
+      throw new IllegalStateException(
+        s"compaction publish failed: could not rename $compacted to $live")
+    }
+    if (hadPrev) fs.delete(retired, true)
     s.read.parquet(live.toString)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),

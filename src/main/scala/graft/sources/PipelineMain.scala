@@ -37,15 +37,15 @@ object PipelineMain extends Logging {
       retryDelayMs: Long = 1000, sensorTimeoutMs: Long = 5000): DataFrame = {
     val ingest = new RestIngest(http, baseUrl)
     // each REST stage under the reference's retry budget; the token is
-    // re-acquired inside each retried stage (the reference re-authenticates
-    // per task, script-dag-dock-report:97)
-    val token = Retry.withRetry(attempts, retryDelayMs)(
-      ingest.authenticate(clientId, secret))
+    // re-acquired INSIDE each retried attempt (the reference
+    // re-authenticates per task, script-dag-dock-report:97) — a token that
+    // expires mid-DAG must not poison every remaining retry, which a
+    // single token captured up front would
     val day = today.minusDays(1).toString
     val ticket = Retry.withRetry(attempts, retryDelayMs)(
-      ingest.requestReport(token, day))
+      ingest.requestReport(ingest.authenticate(clientId, secret), day))
     val file = Retry.withRetry(attempts, retryDelayMs)(
-      ingest.getTicketFile(token, ticket))
+      ingest.getTicketFile(ingest.authenticate(clientId, secret), ticket))
     logInfo(s"report DAG: day=$day ticket=$ticket file=$file")
 
     // sense_file on the EXACT file the ticket promised
@@ -57,8 +57,13 @@ object PipelineMain extends Logging {
     // checksum mismatch aborts the run before ingest sees a byte
     val transferred = workDir.resolve("transferred")
     val integrity = Transfer.transferDir(s, landing.toString, transferred.toString)
+    // NULL-safe gate: a full_outer row where the file exists on only one
+    // side has NULL match flags — `!NULL` is NULL and a plain WHERE drops
+    // it, counting a MISSING file as not-broken; anything not provably
+    // matched is broken
     val broken = integrity
-      .where(!col("bytes_match") || !col("checksum_match")).count()
+      .where(not(col("bytes_match") <=> true) ||
+        not(col("checksum_match") <=> true)).count()
     require(broken == 0, s"$broken file(s) failed transfer integrity")
 
     PipelineIngest.ingestLanding(s, transferred.toString,
@@ -76,11 +81,12 @@ object PipelineMain extends Logging {
       retryDelayMs: Long = 1000, sensorTimeoutMs: Long = 5000): DataFrame = {
     import s.implicits._
     val ingest = new RestIngest(http, baseUrl)
-    val token = Retry.withRetry(attempts, retryDelayMs)(
-      ingest.authenticate(clientId, secret))
     val landed = accountIds.map { acct =>
+      // token re-acquired inside each attempt (same rationale as the
+      // report DAG): a stale token must not poison the retry budget
       val file = Retry.withRetry(attempts, retryDelayMs)(
-        ingest.requestStatements(token, acct, today))
+        ingest.requestStatements(
+          ingest.authenticate(clientId, secret), acct, today))
       require(LandingSensor.await(landing.resolve(file),
         timeoutMs = sensorTimeoutMs, pokeIntervalMs = 250),
         s"statements file $file for $acct did not appear")
@@ -125,28 +131,25 @@ object PipelineMain extends Logging {
           .write.mode("overwrite").partitionBy("day").parquet(out)
       }
     } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    // a range whose every day landed zero rows leaves no parquet footer to
-    // infer a schema from (or no lake dir at all) — that is the documented
-    // all-days-empty no-op, so return the empty audit instead of letting
-    // the read throw
-    val lake =
-      try s.read.parquet(out)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("Unable to infer schema") ||
-              e.getMessage.contains("Path does not exist") =>
-          return ev.limit(0).groupBy("day")
-            .agg(count(lit(1)).as("n"),
-              sum(round(col("value") * 100, 0)).cast("long").as("sum_cents"))
-            .withColumn("day", col("day").cast("string"))
-            .orderBy("day")
-      }
-    lake
+    // ONE audit shape for both exits — a schema change cannot silently
+    // diverge the empty-range result from the normal one
+    def audit(df: DataFrame): DataFrame = df
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0)).cast("long").as("sum_cents"))
       .withColumn("day", col("day").cast("string"))
       .orderBy("day")
+    // a range whose every day landed zero rows leaves no parquet footer to
+    // infer a schema from (or no lake dir at all) — that is the documented
+    // all-days-empty no-op, so return the empty audit instead of letting
+    // the read throw
+    try audit(s.read.parquet(out))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Unable to infer schema") ||
+            e.getMessage.contains("Path does not exist") =>
+        audit(ev.limit(0))
+    }
   }
 
   /** In-process Dock API stub serving the reference's response shapes, so
@@ -171,7 +174,9 @@ object PipelineMain extends Logging {
     // statements: each account maps to one of the landed fixture archives
     server.createContext("/accounts", (ex: HttpExchange) => {
       val acct = ex.getRequestURI.getPath.split("/")(2)
-      val idx = math.abs(acct.hashCode) % 4
+      // floorMod: math.abs(Int.MinValue) is still negative — a hashCode of
+      // Int.MinValue would otherwise mint a nonexistent file name
+      val idx = java.lang.Math.floorMod(acct.hashCode, 4)
       reply(ex, s"""{"fileName": "balance_0$idx.zip"}""")
     })
     server.start()

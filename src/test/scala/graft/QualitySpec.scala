@@ -93,7 +93,7 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
-  test("q_anomaly_mad flags exactly the injected rows; the gate barely moves") {
+  test("q_anomaly_mad matches a full driver recompute; the gate barely moves") {
     val out = Quality.anomalyMad(s, d).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
@@ -114,7 +114,9 @@ class QualitySpec extends AnyFunSuite {
       assert(n === vs.length.toLong)
       assert(med === lowerMedian(vs), s"$tpe median")
       assert(mad === lowerMedian(vs.map(v => math.abs(v - med))), s"$tpe MAD")
-      assert(nOut === vs.count(v => math.abs(v - med) * 10000 > mad * 444780),
+      // same 3·1.4826·MAD gate as the operator (3·1.4826·10000 = 44478 —
+      // the r10 review caught a 10×-too-lax 444780 here and in the engine)
+      assert(nOut === vs.count(v => math.abs(v - med) * 10000 > mad * 44478),
         s"$tpe outlier count")
       // robustness: k injected rows can shift the median by at most k RANK
       // positions in the clean sorted order — a breakdown-resistant
