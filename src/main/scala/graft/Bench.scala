@@ -115,11 +115,20 @@ object Bench {
     // Recording both numbers per round makes a contention artifact
     // distinguishable from a real regression without any external
     // re-measure: isolated ≪ sweep ⇒ contention; isolated ≈ sweep ⇒ real.
+    // Each pass drops the session memo first — the re-measure shares the
+    // sweep's JVM, so a memoized query would otherwise be timed as a cache
+    // read (q_dedup_cluster: 0.06 s "isolated" vs a 9 s sweep entry in
+    // r10), voiding the inference above. Cleared-memo isolation means a
+    // family member that amortized a shared build in the sweep pays it
+    // standalone here, so isolated > sweep is possible and honest; staged
+    // on-disk indices and trained codebooks are retained (they persist
+    // across JVMs, so both numbers reuse them alike).
     val isolated: Seq[(String, Double)] =
       if (args.nonEmpty) Seq.empty
       else results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _) =>
         val fn = SparkEntry.queries(name)
         val passes = (0 until 3).map { _ =>
+          graft.operators.LlmData.clearMemo(spark)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => Double.MaxValue }
