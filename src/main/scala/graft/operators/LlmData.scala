@@ -795,6 +795,197 @@ object LlmData {
   def simsearchIvfFull(s: SparkSession, d: String): DataFrame =
     simsearchIvfProbe(s, d, nProbe = Int.MaxValue)
 
+  /** q_simsearch_append — INCREMENTAL INDEX MAINTENANCE, the operational
+    * op the build/route/search/rerank serving stack was missing: a
+    * standing IVF index absorbs a new vector batch WITHOUT a rebuild. The
+    * coarse centroids are derived from the STANDING corpus only and then
+    * FROZEN (the production property — postings grow, the quantizer does
+    * not move); the batch is assigned under the frozen codebook and
+    * appended as new files into the existing cell partitions, touching no
+    * standing row. The probe then runs the ordinary partial-probe scan
+    * over the merged index.
+    *
+    * Oracle-checked end to end: every step (standing-subset centroid
+    * sample, frozen assignment of standing AND batch, probe-cell choice,
+    * in-cell exact-cosine ranking) is deterministic, so DuckDB replays
+    * the whole merged index from the embeddings bytes
+    * ([[ivfRouteSqlCtesOver]] with the standing predicate) — a dropped or
+    * duplicated batch row would change the probed cells' membership and
+    * fail the hash gate, so append COMPLETENESS is oracle-enforced, not
+    * just spec-asserted. LlmDataSpec additionally pins the frozen-
+    * assignment property per appended row and the full-probe ≡ brute-force
+    * identity.
+    *
+    * Scale: the append job scans only the batch (a day's arrivals, not
+    * the corpus) and writes ~batch/nCells files per touched cell; the
+    * standing index is never read or rewritten. Small-file accretion over
+    * many appends is the same fragmentation `q_maintain_compact` already
+    * handles — maintenance composes, it doesn't rebuild.
+    */
+  def simsearchAppend(s: SparkSession, d: String): DataFrame =
+    simsearchAppendProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+
+  /** Test seam: the append probe at a caller-chosen width — nProbe =
+    * MaxValue scans every cell of the merged index, so the result must
+    * EQUAL brute force over the full corpus (asserted in LlmDataSpec, the
+    * [[simsearchIvfFull]] symmetry).
+    */
+  private[graft] def simsearchAppendProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native graft_dot
+    val tag = ivfAppendTag(d)
+    val centroids = ivfAppendCentroids(s, d, tag)
+    val indexPath = ivfAppendIndexWith(s, d, tag, centroids)
+    val (qEmb, cells) = routeWith(s, d, centroids, probeOf)
+    probeCells(s, indexPath, typedlit(qEmb), cells)
+  }
+
+  /** Appended-index scheme: a1 — rows (vec_id, embedding, cell), coarse
+    * centroids derived from the STANDING subset only, the batch appended
+    * under the frozen codebook. Versioned apart from [[ivfSchemeVersion]]
+    * so the two index families never share a tag (or a codebook-cache
+    * key).
+    */
+  private val ivfAppendSchemeVersion = "a1"
+
+  /** Deterministic standing/batch split of the append scenario: vectors
+    * with vec_id ≡ 7 (mod 10) are "today's arrivals"; everything else
+    * (including query vector 0) is the standing corpus the index was
+    * originally built over. Engine and oracle share this literal.
+    */
+  private[operators] val appendBatchCond = "vec_id % 10 = 7"
+
+  private def ivfAppendTag(d: String): String =
+    graft.Fixtures.datasetTag(d, "embeddings", ivfAppendSchemeVersion)
+
+  /** The frozen coarse quantizer of the append scenario: the
+    * [[ivfCentroids]] derivation restricted to the standing subset — cell
+    * count, sample step, ordering, and normalization all mirror the base
+    * rule, so the oracle replays it with one extra WHERE. Cached under
+    * the APPEND tag (scheme a1), never colliding with the full-corpus
+    * codebook.
+    */
+  private def ivfAppendCentroids(s: SparkSession, d: String,
+      tag: String): Array[Array[Double]] =
+    ivfCodebook.computeIfAbsent(tag, _ => {
+      val standing = t(s, d, "embeddings")
+        .where(expr(s"NOT ($appendBatchCond)"))
+      val nVecs = standing.count()
+      val targetCells = ivfCellCount(nVecs)
+      sampledUnitCentroids(standing, targetCells,
+        math.max(nVecs / targetCells.toLong, 1L))
+    })
+
+  /** Build-or-reuse the appended index: the standing subset lands as the
+    * base cell-partitioned index, then the batch is assigned under the
+    * FROZEN standing centroids and appended as NEW files into the same
+    * cell partitions — no standing row is read or rewritten by the append
+    * job. Both steps run inside one staged [[graft.Fixtures.ensure]]
+    * build, so concurrent readers see the merged index or nothing.
+    */
+  private def ivfAppendIndexWith(s: SparkSession, d: String, tag: String,
+      centroids: Array[Array[Double]]): String = {
+    def assigned(df: DataFrame): DataFrame = {
+      val scores = ivfCellsExpr(centroids, "embedding")
+      df.select(col("vec_id"), col("embedding"),
+        expr(s"array_position($scores, array_max($scores))").as("cell"))
+    }
+    val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf_append", tag)) { staging =>
+      val emb = t(s, d, "embeddings")
+      assigned(emb.where(expr(s"NOT ($appendBatchCond)")))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      // the APPEND job: scans the batch only; mode("append") adds files
+      // under existing cell dirs without touching standing files
+      assigned(emb.where(expr(appendBatchCond)))
+        .write.mode("append").partitionBy("cell").parquet(staging.toString)
+    }.toString
+    graft.Fixtures.sweepSuperseded("graft_ivf_append", d,
+      ivfAppendSchemeVersion, tag)
+    dir
+  }
+
+  /** Test seam: the merged appended-index path (LlmDataSpec reads it to
+    * pin completeness and the per-row frozen-assignment property).
+    */
+  private[graft] def ivfAppendIndexPath(s: SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val tag = ivfAppendTag(d)
+    ivfAppendIndexWith(s, d, tag, ivfAppendCentroids(s, d, tag))
+  }
+
+  /** Test seam: every vector's cell under the FROZEN standing codebook,
+    * recomputed in-plan — row-for-row equality with the staged index is
+    * the completeness + frozen-assignment identity LlmDataSpec asserts.
+    */
+  private[graft] def ivfAppendAssignment(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = ivfAppendCentroids(s, d, ivfAppendTag(d))
+    val scores = ivfCellsExpr(centroids, "embedding")
+    t(s, d, "embeddings").select(col("vec_id"),
+      expr(s"array_position($scores, array_max($scores))").as("cell"))
+  }
+
+  /** q_simsearch_delete — TOMBSTONE DELETES over the standing IVF index,
+    * the remaining corner of the index lifecycle (build → append → delete
+    * → compact): vectors leave the serving set WITHOUT a rebuild and
+    * without rewriting a single index file. The delete set is a logical
+    * tombstone table; the probe runs the ordinary routed partial-probe
+    * scan over the UNCHANGED standing index, then drops tombstoned rows
+    * with a broadcast LEFT ANTI join applied AFTER cell pruning — so the
+    * delete costs O(|tombstones|) at write time (a tiny side table) and
+    * adds only a broadcast-hash lookup per probed row at read time.
+    *
+    * Production semantics deliberately mirrored: deletes do NOT retrain
+    * the quantizer (the codebook and every cell assignment stay exactly
+    * the standing index's — [[ivfRoute]] is reused verbatim), and the
+    * physical reclaim is a separate compaction concern
+    * (`q_maintain_compact`'s job), not the delete path's. LlmDataSpec
+    * additionally pins: no tombstoned id ever surfaces at any probe
+    * width; the full-probe tombstoned scan equals brute force over the
+    * surviving corpus; applying the tombstones PHYSICALLY (compaction)
+    * and re-probing without them yields the identical result; and the
+    * anti join broadcasts (plan-asserted).
+    *
+    * Oracle-checked: routing replay ([[ivfRouteSqlCtes]]) plus the same
+    * tombstone predicate in the final SELECT — a tombstoned row leaking
+    * through (or a surviving row over-deleted) fails the hash gate.
+    */
+  def simsearchDelete(s: SparkSession, d: String): DataFrame =
+    simsearchDeleteProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+
+  /** Deleted-today set of the tombstone scenario: vec_id ≡ 3 (mod 10) —
+    * never the query vector (0). Engine and oracle share this literal.
+    */
+  private[operators] val deleteTombCond = "vec_id % 10 = 3"
+
+  /** Test seam: the tombstoned probe at a caller-chosen width (MaxValue →
+    * the brute-force-minus-deleted identity LlmDataSpec asserts).
+    */
+  private[graft] def simsearchDeleteProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    val (indexPath, qEmb, cells) = ivfRoute(s, d, probeOf)
+    probeCells(s, indexPath, typedlit(qEmb), cells,
+      tombstones = Some(t(s, d, "embeddings")
+        .where(expr(deleteTombCond)).select(col("vec_id"))))
+  }
+
+  /** Test seam: PHYSICAL reclaim of the tombstones — rewrite the standing
+    * index minus the deleted rows into `compactDir` (what a cell-wise
+    * `q_maintain_compact` pass would do) and probe it with NO tombstone
+    * join. LlmDataSpec asserts this equals the logical-tombstone probe —
+    * the identity that makes "delete now, reclaim later" safe to serve.
+    */
+  private[graft] def simsearchDeleteCompactedProbe(s: SparkSession, d: String,
+      probeOf: Int => Int, compactDir: String): DataFrame = {
+    val (indexPath, qEmb, cells) = ivfRoute(s, d, probeOf)
+    s.read.parquet(indexPath)
+      .join(broadcast(t(s, d, "embeddings").where(expr(deleteTombCond))
+        .select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(compactDir)
+    probeCells(s, compactDir, typedlit(qEmb), cells)
+  }
+
   /** IVF cell count for an n-vector corpus: ~√n — the classic IVF sizing
     * rule (cell population ~√n keeps probe cost ~nProbe·√n) — clamped to
     * [4, 256]. The clamp marks a real seam: past ~256 cells the
@@ -834,16 +1025,28 @@ object LlmData {
     graft.functions.GraftFunctions.register(s) // native graft_dot
     val tag = ivfTag(d)
     val centroids = ivfCentroids(s, d, tag)
+    val indexPath = ivfStagedIndexWith(s, d, tag, centroids)
+    val (qEmb, cells) = routeWith(s, d, centroids, probeOf)
+    (indexPath, qEmb, cells)
+  }
+
+  /** The routing decision against a given codebook: score the query vector
+    * (vec_id 0) against every centroid and keep the top probe cells —
+    * shared by the standing-index probes ([[ivfRoute]]) and the
+    * appended-index probe ([[simsearchAppend]]), whose codebooks differ
+    * but whose routing is the same O(1) decision.
+    */
+  private def routeWith(s: SparkSession, d: String,
+      centroids: Array[Array[Double]],
+      probeOf: Int => Int): (Seq[Float], Seq[Long]) = {
     // degenerate datasets (< targetCells vectors) yield fewer cells; the
     // probe must never rank phantom null-padded cells ahead of real ones
     val nCells = centroids.length
     val probeN = math.min(math.max(probeOf(nCells), 1), nCells)
-    def cellsExpr(embCol: String) = ivfCellsExpr(centroids, embCol)
-    val indexPath = ivfStagedIndexWith(s, d, tag, centroids)
     // ranked probe cells: pair (score, cell-ordinal), sort descending by
     // score (ordinal breaks ties deterministically), take the top probeN
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
-      .withColumn("scores", expr(cellsExpr("embedding")))
+      .withColumn("scores", expr(ivfCellsExpr(centroids, "embedding")))
       .withColumn("probe_cells", expr(
         s"""transform(slice(array_sort(
            |  zip_with(scores, sequence(1, $nCells), (sc, i) -> struct(-sc AS s, i AS i))),
@@ -853,8 +1056,7 @@ object LlmData {
     // query vector (re-deriving q inside the probe would re-run the scoring
     // scan a second time)
     val Array(row) = q.collect()
-    (indexPath,
-      row.getAs[scala.collection.Seq[Float]]("q_emb").toSeq,
+    (row.getAs[scala.collection.Seq[Float]]("q_emb").toSeq,
       row.getAs[scala.collection.Seq[Long]]("probe_cells").toSeq)
   }
 
@@ -886,19 +1088,27 @@ object LlmData {
       val emb = t(s, d, "embeddings")
       val nVecs = emb.count()
       val targetCells = ivfCellCount(nVecs)
-      val step = math.max(nVecs / targetCells.toLong, 1L)
-      emb.where(col("vec_id") % step === 0)
-        .orderBy("vec_id").limit(targetCells)
-        .select("embedding").collect()
-        .map { r =>
-          val v = r.getSeq[Float](0).map(_.toDouble).toArray
-          val norm = math.sqrt(v.map(x => x * x).sum)
-          // zero-norm sample: keep the raw (all-zero) direction instead of
-          // dividing to NaN — its dot is 0 with everything, a valid cell
-          val safe = if (norm == 0.0) 1.0 else norm
-          v.map(_ / safe)
-        }
+      sampledUnitCentroids(emb, targetCells,
+        math.max(nVecs / targetCells.toLong, 1L))
     })
+
+  /** Evenly-spaced unit-normalized sample centroids over a (sub)corpus —
+    * the shared derivation of the full-corpus and standing-subset coarse
+    * quantizers.
+    */
+  private def sampledUnitCentroids(emb: DataFrame, targetCells: Int,
+      step: Long): Array[Array[Double]] =
+    emb.where(col("vec_id") % step === 0)
+      .orderBy("vec_id").limit(targetCells)
+      .select("embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        // zero-norm sample: keep the raw (all-zero) direction instead of
+        // dividing to NaN — its dot is 0 with everything, a valid cell
+        val safe = if (norm == 0.0) 1.0 else norm
+        v.map(_ / safe)
+      }
 
   /** Per-cell scores as literal-centroid graft_dot calls: codegen'd native
     * kernels, no interpreted lambdas in the index-build scan.
@@ -977,16 +1187,24 @@ object LlmData {
   }
 
   /** Probe: scan only the given cells of the partitioned index (static
-    * partition pruning), exact cosine inside, bounded top-k.
+    * partition pruning), exact cosine inside, bounded top-k. An optional
+    * tombstone id table is removed with a BROADCAST left-anti join BEFORE
+    * ranking — after cell pruning, so the lookup cost rides only the
+    * probed fraction, and broadcast because a delete batch is day-sized
+    * (an id list), never corpus-sized.
     */
   private def probeCells(s: SparkSession, indexPath: String, qEmb: Column,
-      cells: Seq[Long]): DataFrame =
-    s.read.parquet(indexPath)
+      cells: Seq[Long], tombstones: Option[DataFrame] = None): DataFrame = {
+    val pruned = s.read.parquet(indexPath)
       .where(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+    val live = tombstones.fold(pruned)(tomb =>
+      pruned.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+    live
       .withColumn("q_emb", qEmb)
       .select(col("vec_id"), r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(20)
+  }
 
   // --------------------------------------------------- product quantization
 
@@ -2903,6 +3121,8 @@ object LlmData {
     "q_simsearch_topk" -> simsearchTopk _,
     "q_simsearch_ivf" -> simsearchIvf _,
     "q_simsearch_ivf_full" -> simsearchIvfFull _,
+    "q_simsearch_append" -> simsearchAppend _,
+    "q_simsearch_delete" -> simsearchDelete _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
     "q_simsearch_ivfpq" -> simsearchIvfPq _,
@@ -3099,15 +3319,24 @@ object LlmData {
     * Names are r-prefixed to compose with [[pqSqlCtes]] (whose `samp`/`sc`
     * would otherwise clash) for the IVFADC replay.
     */
-  private def ivfRouteSqlCtes: String = {
+  private def ivfRouteSqlCtes: String = ivfRouteSqlCtesOver("TRUE")
+
+  /** The routing-replay CTE chain over a codebook SOURCE predicate:
+    * centroid count/step/sample derive from `FROM embeddings WHERE cond`
+    * (cond = TRUE replays the full-corpus codebook; the append oracle
+    * passes the standing predicate), while cell ASSIGNMENT always covers
+    * every vector — exactly what the staged index (base or appended)
+    * physically contains.
+    */
+  private def ivfRouteSqlCtesOver(cond: String): String = {
     val dot = VectorOps.sqlDot _
-    "rn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings), " +
+    s"rn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings WHERE $cond), " +
       "rtc AS (SELECT GREATEST(4, LEAST(256, " +
       "CAST(ceil(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT))) AS target FROM rn), " +
       "rst AS (SELECT GREATEST(rn.cnt // rtc.target, 1) AS step FROM rn, rtc), " +
       "rsamp AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, " +
       "embedding AS ce FROM embeddings " +
-      "WHERE vec_id % (SELECT step FROM rst) = 0), " +
+      s"WHERE ($cond) AND vec_id % (SELECT step FROM rst) = 0), " +
       "rcs AS (SELECT cell, ce FROM rsamp " +
       "WHERE cell <= (SELECT target FROM rtc)), " +
       "rcn AS (SELECT cell, list_transform(ce, x -> CAST(CAST(x AS DOUBLE) / " +
@@ -3618,6 +3847,33 @@ object LlmData {
         ") * 10000, 0) / 10000 AS cos " +
         "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
         "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
+    // append replay: the SAME routing chain with the codebook restricted
+    // to the STANDING subset (frozen centroids) while assignment covers
+    // every vector — i.e. exactly what the merged appended index contains,
+    // so a dropped or duplicated batch row fails the hash gate
+    "q_simsearch_append" ->
+      (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id AS vec_id, round((" +
+        VectorOps.sqlCosine("e.embedding", "q.qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
+        "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
+    // delete replay: the standing routing chain untouched (deletes never
+    // retrain the quantizer), the tombstone predicate applied in the final
+    // SELECT — a leaked tombstoned row or an over-deleted survivor fails
+    // the hash gate
+    "q_simsearch_delete" ->
+      (s"WITH $ivfRouteSqlCtes, " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id AS vec_id, round((" +
+        VectorOps.sqlCosine("e.embedding", "q.qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
+        "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
+        s"AND NOT (e.$deleteTombCond) " +
         "ORDER BY cos DESC, e.vec_id LIMIT 20"),
     // IVFADC = the ADC scan (replayed Lloyd codebook, pqAdcCtes) filtered
     // to the replayed probe cells — routing and quantization each proven

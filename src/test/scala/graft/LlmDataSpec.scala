@@ -210,6 +210,76 @@ class LlmDataSpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("q_simsearch_append: merged index is complete and every row keeps the frozen assignment") {
+    val idx = s.read.parquet(LlmData.ivfAppendIndexPath(s, d))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val expected = LlmData.ivfAppendAssignment(s, d)
+      .select(col("vec_id"), col("cell").cast("long").as("idx_cell"))
+    val n = Tables(s, d, "embeddings").count()
+    // completeness: the append lost nothing and duplicated nothing
+    assert(idx.count() === n, "merged index must hold every vector once")
+    assert(idx.select("vec_id").distinct().count() === n)
+    // frozen assignment: each row's stored cell (standing rows from the
+    // base build, batch rows from the append job) equals the argmax under
+    // the STANDING-subset codebook recomputed in-plan
+    val mismatches = idx.join(expected, "vec_id")
+      .where(col("cell") =!= col("idx_cell")).count()
+    assert(mismatches === 0L, s"$mismatches rows deviate from the frozen codebook")
+  }
+
+  test("q_simsearch_append: full probe over the merged index equals brute force") {
+    val app = LlmData.simsearchAppendProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = LlmData.simsearchTopk(s, d).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(app === brute,
+      "scanning every cell of the appended index must reproduce brute force")
+  }
+
+  test("q_simsearch_delete: tombstones never surface; full probe equals brute force over survivors") {
+    // default probe: no tombstoned id leaks through the anti join
+    LlmData.simsearchDelete(s, d).collect()
+      .foreach(r => assert(r.getLong(0) % 10 != 3, s"deleted ${r.getLong(0)} surfaced"))
+    // full probe ≡ brute force over the surviving corpus (computed
+    // independently here, not via the engine's probe machinery)
+    val del = LlmData.simsearchDeleteProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val emb = Tables(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val brute = emb.crossJoin(q)
+      .where(col("vec_id") =!= 0 && !expr("vec_id % 10 = 3"))
+      .select(col("vec_id"),
+        (round(graft.functions.VectorOps.cosine(col("embedding"), col("q_emb")) * 1e4) / 1e4)
+          .as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    val bruteTop = brute.limit(20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(del === bruteTop,
+      "full-probe tombstoned scan must equal brute force minus the deleted set")
+  }
+
+  test("q_simsearch_delete: physical compaction of the tombstones preserves the probe result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_compacted")
+    try {
+      val logical = LlmData.simsearchDelete(s, d)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val physical = LlmData.simsearchDeleteCompactedProbe(s, d,
+          nCells => math.max(2, (nCells + 7) / 8), tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(physical === logical,
+        "reclaiming tombstones physically must not change what the probe serves")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("q_simsearch_delete: the tombstone anti join broadcasts") {
+    val plan = LlmData.simsearchDelete(s, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone removal must be a broadcast left-anti join, got:\n$plan")
+  }
+
   test("q_dedup_incremental agrees with the full pair table restricted to new x corpus") {
     val inc = LlmData.dedupIncremental(s, d).collect()
       .map(r => (r.getLong(0),
