@@ -914,6 +914,22 @@ object LlmData {
     ivfAppendIndexWith(s, d, tag, ivfAppendCentroids(s, d, tag))
   }
 
+  /** The DuckDB replay of the appended/merged index probe: the routing
+    * chain with the codebook restricted to the STANDING subset (frozen
+    * centroids) while cell assignment covers every vector. Shared verbatim
+    * by `q_simsearch_append` and `q_simsearch_stream_append` — the two
+    * transports land the identical merged index.
+    */
+  private lazy val appendReplaySql: String =
+    s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
+      "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+      "SELECT e.vec_id AS vec_id, round((" +
+      VectorOps.sqlCosine("e.embedding", "q.qe") +
+      ") * 10000, 0) / 10000 AS cos " +
+      "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
+      "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
+      "ORDER BY cos DESC, e.vec_id LIMIT 20"
+
   /** Test seam: every vector's cell under the FROZEN standing codebook,
     * recomputed in-plan — row-for-row equality with the staged index is
     * the completeness + frozen-assignment identity LlmDataSpec asserts.
@@ -924,6 +940,114 @@ object LlmData {
     val scores = ivfCellsExpr(centroids, "embedding")
     t(s, d, "embeddings").select(col("vec_id"),
       expr(s"array_position($scores, array_max($scores))").as("cell"))
+  }
+
+  /** q_simsearch_stream_append — the STREAMING transport of
+    * [[simsearchAppend]]: the day's vector arrivals reach the index as a
+    * Structured Streaming flow (file source → frozen-codebook cell
+    * assignment → transactional parquet file sink, micro-batched under
+    * `Trigger.AvailableNow`) instead of one batch job, then the sink's
+    * committed files are published into the standing cell layout. The
+    * assignment projection is the SAME codegen'd literal-centroid
+    * expression the batch path uses — stateless, so it rides the stream
+    * unchanged — and the resulting merged index is BYTE-EQUIVALENT in
+    * content to the batch append's (spec-pinned row-for-row, both at the
+    * index and at the probe), which is why this key shares
+    * `q_simsearch_append`'s oracle SQL verbatim: same rows, different
+    * transport.
+    *
+    * Scale: this is the continuous-ingest posture — arrivals land as they
+    * come (per-micro-batch files under the sink's exactly-once commit
+    * log), the quantizer stays frozen, and compaction owns small files.
+    * The publish step moves the sink's committed part-files into the
+    * standing layout, exactly a lakehouse commit job.
+    */
+  def simsearchStreamAppend(s: SparkSession, d: String): DataFrame =
+    simsearchStreamAppendProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+
+  private[graft] def simsearchStreamAppendProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = ivfAppendCentroids(s, d, ivfAppendTag(d))
+    val indexPath = ivfStreamIndexWith(s, d, ivfStreamTag(d), centroids)
+    val (qEmb, cells) = routeWith(s, d, centroids, probeOf)
+    probeCells(s, indexPath, typedlit(qEmb), cells)
+  }
+
+  /** Stream-ingested index scheme: s1 — same row content as the a1
+    * appended scheme (vec_id, embedding, cell under the frozen standing
+    * codebook), built via the streaming transport. Its own family/version
+    * so batch and stream indexes never share a tag.
+    */
+  private val ivfStreamSchemeVersion = "s1"
+
+  private def ivfStreamTag(d: String): String =
+    graft.Fixtures.datasetTag(d, "embeddings", ivfStreamSchemeVersion)
+
+  /** Test seam: the stream-ingested index path (LlmDataSpec compares its
+    * full content row-for-row against the batch-appended index).
+    */
+  private[graft] def ivfStreamIndexPath(s: SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    ivfStreamIndexWith(s, d, ivfStreamTag(d),
+      ivfAppendCentroids(s, d, ivfAppendTag(d)))
+  }
+
+  /** Build-or-reuse the stream-ingested index: the standing subset lands
+    * as the base batch write; the arrival batch flows through a
+    * Structured Streaming file source → frozen assignment → parquet file
+    * sink (AvailableNow, checkpointed, exactly-once via the sink commit
+    * log); the sink's committed part-files are then moved into the
+    * standing cell dirs. All inside one staged [[graft.Fixtures.ensure]]
+    * build — readers see the complete merged index or nothing.
+    */
+  private def ivfStreamIndexWith(s: SparkSession, d: String, tag: String,
+      centroids: Array[Array[Double]]): String = {
+    val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf_stream", tag)) { staging =>
+      val scores = ivfCellsExpr(centroids, "embedding")
+      def assigned(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), col("embedding"),
+          expr(s"array_position($scores, array_max($scores))").as("cell"))
+      // base: the standing corpus, one batch write (the index as it stood
+      // before today's arrivals)
+      assigned(t(s, d, "embeddings").where(expr(s"NOT ($appendBatchCond)")))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      // the arrival stream: file source over the embeddings fixture,
+      // batch-predicate filtered, frozen assignment as a stateless
+      // streaming projection, transactional file sink
+      val work = graft.Fixtures.tempDirCleanedAtExit("graft_ivf_stream_work_")
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val sinkOut = work.resolve("data")
+      val q = assigned(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+          .where(expr(appendBatchCond)))
+        .writeStream.format("parquet")
+        .option("path", sinkOut.toString)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .partitionBy("cell")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // publish: move the sink's committed part-files into the standing
+      // cell dirs (a lakehouse commit job); the sink's _spark_metadata log
+      // stays behind in the discarded work dir, so the published dir reads
+      // as a plain parquet table
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(sinkOut).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("cell=")).foreach { cellDir =>
+          val target = staging.resolve(cellDir.getFileName.toString)
+          java.nio.file.Files.createDirectories(target)
+          java.nio.file.Files.list(cellDir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+              java.nio.file.Files.move(f,
+                target.resolve(s"stream-${f.getFileName.toString}"))
+            }
+        }
+    }.toString
+    graft.Fixtures.sweepSuperseded("graft_ivf_stream", d,
+      ivfStreamSchemeVersion, tag)
+    dir
   }
 
   /** q_simsearch_delete — TOMBSTONE DELETES over the standing IVF index,
@@ -3122,6 +3246,7 @@ object LlmData {
     "q_simsearch_ivf" -> simsearchIvf _,
     "q_simsearch_ivf_full" -> simsearchIvfFull _,
     "q_simsearch_append" -> simsearchAppend _,
+    "q_simsearch_stream_append" -> simsearchStreamAppend _,
     "q_simsearch_delete" -> simsearchDelete _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
@@ -3852,15 +3977,11 @@ object LlmData {
     // to the STANDING subset (frozen centroids) while assignment covers
     // every vector — i.e. exactly what the merged appended index contains,
     // so a dropped or duplicated batch row fails the hash gate
-    "q_simsearch_append" ->
-      (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
-        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
-        "SELECT e.vec_id AS vec_id, round((" +
-        VectorOps.sqlCosine("e.embedding", "q.qe") +
-        ") * 10000, 0) / 10000 AS cos " +
-        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
-        "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
-        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
+    "q_simsearch_append" -> appendReplaySql,
+    // the streaming transport lands the identical merged index (content
+    // equality spec-pinned), so it is checked against the SAME replay —
+    // same rows, different transport
+    "q_simsearch_stream_append" -> appendReplaySql,
     // delete replay: the standing routing chain untouched (deletes never
     // retrain the quantizer), the tombstone predicate applied in the final
     // SELECT — a leaked tombstoned row or an over-deleted survivor fails

@@ -236,6 +236,25 @@ class LlmDataSpec extends AnyFunSuite {
       "scanning every cell of the appended index must reproduce brute force")
   }
 
+  test("q_simsearch_stream_append: streaming transport lands the identical merged index") {
+    val batch = s.read.parquet(LlmData.ivfAppendIndexPath(s, d))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val streamed = s.read.parquet(LlmData.ivfStreamIndexPath(s, d))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed === batch,
+      "stream-ingested index must hold exactly the batch-appended rows")
+  }
+
+  test("q_simsearch_stream_append: probe result equals the batch append path") {
+    val st = LlmData.simsearchStreamAppend(s, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ba = LlmData.simsearchAppend(s, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(st === ba, "same rows, different transport — probes must agree")
+  }
+
   test("q_simsearch_delete: tombstones never surface; full probe equals brute force over survivors") {
     // default probe: no tombstoned id leaks through the anti join
     LlmData.simsearchDelete(s, d).collect()

@@ -191,6 +191,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a cell partition filter on the index scan:\n$p")
   }
 
+  test("lifecycle probes (append/stream-append/delete) keep static cell pruning on the index scan") {
+    Seq("append" -> graft.operators.LlmData.simsearchAppend(s, d),
+        "stream_append" -> graft.operators.LlmData.simsearchStreamAppend(s, d),
+        "delete" -> graft.operators.LlmData.simsearchDelete(s, d))
+      .foreach { case (name, df) =>
+        val p = plan(df)
+        assert(p.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("cell")),
+          s"$name probe lost the cell partition filter:\n$p")
+      }
+  }
+
   test("q_embed_pq encodes in the scan stage: no join, no aggregate exchange") {
     val p = plan(graft.operators.LlmData.embedPq(s, d))
     // the m·ks literal-centroid kernels are a projection over the scan —
