@@ -785,7 +785,17 @@ object LlmData {
     * brute force is additionally measured in LlmDataSpec.
     */
   def simsearchIvf(s: SparkSession, d: String): DataFrame =
-    simsearchIvfCore(s, d, nCells => math.max(2, (nCells + 7) / 8))
+    simsearchIvfCore(s, d, defaultProbe)
+
+  /** THE default probe-width policy — ~⅛ of the cells, floor 2 — shared by
+    * every partial-probe entry point (IVF, IVFADC, append, stream-append,
+    * delete) and mirrored LITERALLY by the oracle's `rpn` CTE
+    * (`GREATEST(2,(ncells+7)//8)` in [[ivfRouteSqlCtesOver]]). One copy on
+    * each side: a tuning change edits this value and that CTE, nothing
+    * else.
+    */
+  private[graft] val defaultProbe: Int => Int =
+    nCells => math.max(2, (nCells + 7) / 8)
 
   /** q_simsearch_ivf_full — the IVF probe at nProbe = nCells: every cell is
     * scanned, so the result must EQUAL brute force — which makes this the
@@ -823,7 +833,7 @@ object LlmData {
     * handles — maintenance composes, it doesn't rebuild.
     */
   def simsearchAppend(s: SparkSession, d: String): DataFrame =
-    simsearchAppendProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+    simsearchAppendProbe(s, d, defaultProbe)
 
   /** Test seam: the append probe at a caller-chosen width — nProbe =
     * MaxValue scans every cell of the merged index, so the result must
@@ -883,13 +893,23 @@ object LlmData {
     * job. Both steps run inside one staged [[graft.Fixtures.ensure]]
     * build, so concurrent readers see the merged index or nothing.
     */
+  /** THE frozen-codebook assignment projection — (vec_id, embedding,
+    * argmax-cell) under a given centroid set. Single definition shared by
+    * the batch append build, the streaming ingest build, and the
+    * in-plan assignment seam: the append/stream/assignment-parity
+    * contracts require these to be IDENTICAL, so there is exactly one
+    * copy to edit.
+    */
+  private def frozenAssign(centroids: Array[Array[Double]])(
+      df: DataFrame): DataFrame = {
+    val scores = ivfCellsExpr(centroids, "embedding")
+    df.select(col("vec_id"), col("embedding"),
+      expr(s"array_position($scores, array_max($scores))").as("cell"))
+  }
+
   private def ivfAppendIndexWith(s: SparkSession, d: String, tag: String,
       centroids: Array[Array[Double]]): String = {
-    def assigned(df: DataFrame): DataFrame = {
-      val scores = ivfCellsExpr(centroids, "embedding")
-      df.select(col("vec_id"), col("embedding"),
-        expr(s"array_position($scores, array_max($scores))").as("cell"))
-    }
+    val assigned = frozenAssign(centroids) _
     val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_ivf_append", tag)) { staging =>
       val emb = t(s, d, "embeddings")
@@ -937,9 +957,7 @@ object LlmData {
   private[graft] def ivfAppendAssignment(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centroids = ivfAppendCentroids(s, d, ivfAppendTag(d))
-    val scores = ivfCellsExpr(centroids, "embedding")
-    t(s, d, "embeddings").select(col("vec_id"),
-      expr(s"array_position($scores, array_max($scores))").as("cell"))
+    frozenAssign(centroids)(t(s, d, "embeddings")).select("vec_id", "cell")
   }
 
   /** q_simsearch_stream_append — the STREAMING transport of
@@ -963,7 +981,7 @@ object LlmData {
     * standing layout, exactly a lakehouse commit job.
     */
   def simsearchStreamAppend(s: SparkSession, d: String): DataFrame =
-    simsearchStreamAppendProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+    simsearchStreamAppendProbe(s, d, defaultProbe)
 
   private[graft] def simsearchStreamAppendProbe(s: SparkSession, d: String,
       probeOf: Int => Int): DataFrame = {
@@ -1005,49 +1023,82 @@ object LlmData {
       centroids: Array[Array[Double]]): String = {
     val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_ivf_stream", tag)) { staging =>
-      val scores = ivfCellsExpr(centroids, "embedding")
-      def assigned(df: DataFrame): DataFrame =
-        df.select(col("vec_id"), col("embedding"),
-          expr(s"array_position($scores, array_max($scores))").as("cell"))
+      val assigned = frozenAssign(centroids) _
       // base: the standing corpus, one batch write (the index as it stood
       // before today's arrivals)
       assigned(t(s, d, "embeddings").where(expr(s"NOT ($appendBatchCond)")))
         .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-      // the arrival stream: file source over the embeddings fixture,
+      // the arrival stream: file source over the embeddings table,
       // batch-predicate filtered, frozen assignment as a stateless
-      // streaming projection, transactional file sink
+      // streaming projection, transactional file sink. The source's
+      // basePath must be a DIRECTORY, and the fixture table may be either
+      // a single file or a directory of part-files (both are encodings
+      // Fixtures.datasetTag supports) — so branch on which one this is.
       val work = graft.Fixtures.tempDirCleanedAtExit("graft_ivf_stream_work_")
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val tablePath = s"$d/embeddings.parquet"
+      val schema = s.read.parquet(tablePath).schema
       val sinkOut = work.resolve("data")
-      val q = assigned(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-          .where(expr(appendBatchCond)))
+      val src =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tablePath)))
+          s.readStream.schema(schema).parquet(tablePath)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      val q = assigned(src.where(expr(appendBatchCond)))
         .writeStream.format("parquet")
         .option("path", sinkOut.toString)
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .partitionBy("cell")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // publish: move the sink's committed part-files into the standing
-      // cell dirs (a lakehouse commit job); the sink's _spark_metadata log
-      // stays behind in the discarded work dir, so the published dir reads
-      // as a plain parquet table
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(sinkOut).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("cell=")).foreach { cellDir =>
-          val target = staging.resolve(cellDir.getFileName.toString)
-          java.nio.file.Files.createDirectories(target)
-          java.nio.file.Files.list(cellDir).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-              java.nio.file.Files.move(f,
-                target.resolve(s"stream-${f.getFileName.toString}"))
-            }
-        }
+      // publish: move ONLY the files the sink's _spark_metadata commit log
+      // records into the standing cell dirs (a lakehouse commit job).
+      // Listing the sink dir instead would also publish orphans from
+      // failed/retried task attempts — duplicate rows the commit log
+      // exists to exclude. The log (and checkpoint) stay behind in the
+      // discarded work dir, so the published dir reads as a plain table.
+      streamSinkCommittedFiles(sinkOut).foreach { f =>
+        val cellName = f.getParent.getFileName.toString
+        require(cellName.startsWith("cell="),
+          s"sink file outside the cell layout: $f")
+        val target = staging.resolve(cellName)
+        java.nio.file.Files.createDirectories(target)
+        java.nio.file.Files.move(f,
+          target.resolve(s"stream-${f.getFileName.toString}"))
+      }
     }.toString
     graft.Fixtures.sweepSuperseded("graft_ivf_stream", d,
       ivfStreamSchemeVersion, tag)
     dir
+  }
+
+  /** The parquet files a streaming file sink actually COMMITTED, read from
+    * its `_spark_metadata` log (v1 format: one version-header line, then
+    * one JSON `SinkFileStatus` per line; `.compact` log files repeat prior
+    * entries, so paths dedupe through the Set). This — not a directory
+    * listing — is the sink's exactly-once boundary: orphaned part-files
+    * from failed or retried task attempts sit in the same dirs but never
+    * enter the log.
+    */
+  private def streamSinkCommittedFiles(
+      sinkOut: java.nio.file.Path): Set[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val meta = sinkOut.resolve("_spark_metadata")
+    require(java.nio.file.Files.isDirectory(meta),
+      s"streaming sink left no commit log at $meta")
+    val logFiles = {
+      val st = java.nio.file.Files.list(meta)
+      try st.iterator().asScala.toList finally st.close()
+    }
+    val pathRe = """"path":"([^"]+)"""".r
+    logFiles.filterNot(_.getFileName.toString.startsWith(".")).flatMap { lf =>
+      java.nio.file.Files.readAllLines(lf).asScala
+        .filter(_.startsWith("{")).map { line =>
+          val m = pathRe.findFirstMatchIn(line).getOrElse(
+            sys.error(s"unparseable sink commit-log line in $lf: $line"))
+          java.nio.file.Paths.get(java.net.URI.create(m.group(1)))
+        }
+    }.toSet
   }
 
   /** q_simsearch_delete — TOMBSTONE DELETES over the standing IVF index,
@@ -1076,7 +1127,7 @@ object LlmData {
     * through (or a surviving row over-deleted) fails the hash gate.
     */
   def simsearchDelete(s: SparkSession, d: String): DataFrame =
-    simsearchDeleteProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+    simsearchDeleteProbe(s, d, defaultProbe)
 
   /** Deleted-today set of the tombstone scenario: vec_id ≡ 3 (mod 10) —
     * never the query vector (0). Engine and oracle share this literal.
@@ -1601,7 +1652,7 @@ object LlmData {
     * encoder's codes, so pruning is the only divergence).
     */
   def simsearchIvfPq(s: SparkSession, d: String): DataFrame =
-    simsearchIvfPqProbe(s, d, nCells => math.max(2, (nCells + 7) / 8))
+    simsearchIvfPqProbe(s, d, defaultProbe)
 
   /** q_simsearch_ivfpq_full — the composed IVFADC pipeline at nProbe =
     * nCells: every cell is scanned, so pruning contributes nothing and the

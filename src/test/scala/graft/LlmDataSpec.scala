@@ -282,14 +282,16 @@ class LlmDataSpec extends AnyFunSuite {
       val logical = LlmData.simsearchDelete(s, d)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val physical = LlmData.simsearchDeleteCompactedProbe(s, d,
-          nCells => math.max(2, (nCells + 7) / 8), tmp.toString)
+          LlmData.defaultProbe, tmp.toString)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(physical === logical,
         "reclaiming tombstones physically must not change what the probe serves")
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      val w = java.nio.file.Files.walk(tmp)
+      try w.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
     }
   }
 
