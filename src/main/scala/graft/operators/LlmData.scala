@@ -504,7 +504,12 @@ object LlmData {
     * Hamming distance 3 collides on at least one band (pigeonhole over
     * blocks); verified with exact bit_count(xor). The 26-bit key space is
     * the de-skew: a 16-bit key caps bands at 65k distinct buckets, which
-    * is quadratic within buckets at corpus scale (docs/SCALING.md).
+    * is quadratic within buckets at corpus scale (docs/SCALING.md). Mass
+    * duplication — many documents, one fingerprint, the skew the key
+    * width cannot touch — is collapsed BEFORE banding
+    * ([[simhashSigPairs]]): the band join runs over distinct fingerprints
+    * only, so the candidate stage is group-size-independent even when
+    * exact dedup was skipped upstream.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     simhashBandVerify(simhashes(s, d))
@@ -517,23 +522,51 @@ object LlmData {
     * cannot silently split the path the verified oracle anchors from the
     * path production runs.
     */
-  private def simhashBandVerify(sigs: DataFrame): DataFrame = {
-    val rows = sigs
+  private[graft] def simhashBandVerify(sigs: DataFrame): DataFrame = {
+    val members = sigs.select(col("doc_id"), col("sh64"))
+    // cross-group doc pairs: every member of fingerprint ha against every
+    // member of fingerprint hb — expansion cost IS the true pair count,
+    // not a candidate blowup
+    val cross = simhashSigPairs(members)
+      .join(members.select(col("sh64").as("ha"), col("doc_id").as("da")), "ha")
+      .join(members.select(col("sh64").as("hb"), col("doc_id").as("db")), "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // intra-group doc pairs: identical fingerprints are Hamming 0 by
+    // definition — no banding or verification needed, straight to output
+    val intra = members.select(col("sh64"), col("doc_id").as("doc_a"))
+      .join(members.select(col("sh64"), col("doc_id").as("doc_b")), "sh64")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
+  /** Banded candidate generation + exact Hamming ≤ 3 verification over
+    * DISTINCT fingerprints only — the fingerprint collapse that removes
+    * mass duplication from the hot path: N identical documents used to put
+    * N band rows in the same bucket (N²/2 within-bucket candidates, the
+    * one skew no band-key design fixes); after the collapse the band join
+    * sees ONE row per distinct fingerprint regardless of how many
+    * documents share it, and duplicate groups re-enter only at output
+    * expansion above. Exact-dedup-first remains the discipline for
+    * bounding OUTPUT size, but the operator no longer depends on it for
+    * its candidate-stage bound. Exposed as a seam so the spec can assert
+    * the rep-level pair count stays group-size-independent.
+    */
+  private[graft] def simhashSigPairs(members: DataFrame): DataFrame = {
+    val rows = members.select("sh64").distinct()
       .withColumn("bands", graft.functions.TextOps.simhashBands("sh64"))
-      .select(col("doc_id"), col("sh64"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    rows.select(col("doc_id").as("doc_a"), col("sh64").as("ha"),
-        col("band_idx"), col("band_val"))
-      .join(rows.select(col("doc_id").as("doc_b"), col("sh64").as("hb"),
+      .select(col("sh64"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    rows.select(col("sh64").as("ha"), col("band_idx"), col("band_val"))
+      .join(rows.select(col("sh64").as("hb"),
         col("band_idx").as("bi"), col("band_val").as("bv")),
         col("band_idx") === col("bi") && col("band_val") === col("bv") &&
-          col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb")
-      .dropDuplicates("doc_a", "doc_b")
+          col("ha") < col("hb"))
+      .select("ha", "hb")
+      .dropDuplicates("ha", "hb")
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .where(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Per-document 64-bit SimHash over whitespace-token xxhash64s (exposed

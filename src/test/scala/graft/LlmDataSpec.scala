@@ -94,13 +94,34 @@ class LlmDataSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Double]("cos") >= 0.25))
   }
 
+  test("simhash operator: fingerprint collapse makes the band join group-size-independent") {
+    // 300 docs sharing ONE fingerprint plus two far-apart singletons
+    // (pairwise Hamming > 3 across the three distinct values): the
+    // rep-level band join must produce ZERO pairs — the 300-group never
+    // enters candidate generation — while the expanded operator output
+    // still carries every C(300,2) Hamming-0 pair. Output completeness
+    // comes from expansion, candidate cost from distinct fingerprints.
+    import s.implicits._
+    val members = ((0 until 300).map(i => (i.toLong, 42L)) ++
+      Seq((1000L, 0x0F0F0F0F0F0F0F0FL), (1001L, 0x3333333333333333L)))
+      .toDF("doc_id", "sh64")
+    assert(LlmData.simhashSigPairs(members).count() === 0L,
+      "no distinct-fingerprint pair is within Hamming 3 — band join must be empty")
+    val out = LlmData.simhashBandVerify(members)
+    assert(out.count() === 300L * 299 / 2,
+      "every intra-group pair must still reach the output")
+    assert(out.where(col("hamming") =!= 0).count() === 0L)
+  }
+
   test("simhash banding: exact-dedup-first collapses the mass-duplication candidate blowup") {
     import graft.functions.TextOps
     import s.implicits._
     // docs/SCALING.md "SimHash banding keyspace": true mass duplication
-    // (N identical docs → one simhash → one bucket) is the one skew no
-    // band-key design fixes — the prescribed discipline is q_dedup_exact
-    // FIRST (q_corpus_filter sequences it). This measures that claim:
+    // (N identical docs → one simhash → one bucket) used to be the one
+    // skew no band-key design fixes. The OPERATOR now collapses identical
+    // fingerprints before banding (previous test); this measures why the
+    // exact-dedup-first discipline (q_corpus_filter sequences it) still
+    // matters for bounding OUTPUT size and for naive banding generally:
     // 300 identical docs alone are C(300,2) = 44,850 within-bucket pairs.
     val dup = (0 until 300).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
     val uniq = (0 until 50).map(i => (1000L + i, s"doc $i unique tok$i content ${i * 7} x${i * 13}"))
