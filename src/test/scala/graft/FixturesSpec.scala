@@ -26,6 +26,49 @@ class FixturesSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(dir.resolve("data.txt"))) === "payload")
   }
 
+  test("ensure under concurrent callers: every caller sees a complete dir, no staging survives") {
+    // 8 threads race the same unbuilt target with a deliberately slow
+    // multi-file build: the doc-commented contract is that each caller
+    // either publishes or loses the publish race to a COMPLETE dir —
+    // never observes a half-written target, never leaks its staging copy
+    val base = tmp()
+    val target = base.resolve("artifact")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val callers = (1 to 8).map { _ =>
+        Future {
+          Fixtures.ensure(target) { staging =>
+            builds.incrementAndGet()
+            Files.createDirectories(staging)
+            (1 to 5).foreach { i =>
+              Files.write(staging.resolve(s"f$i"), Array(i.toByte))
+              Thread.sleep(5)
+            }
+          }
+        }
+      }
+      val dirs = Await.result(Future.sequence(callers),
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(dirs.forall(_ == target))
+    } finally pool.shutdown()
+    assert(builds.get() >= 1)
+    assert(Files.exists(target.resolve("_COMPLETE")))
+    (1 to 5).foreach(i => assert(Files.exists(target.resolve(s"f$i")),
+      s"published dir is missing f$i — a partial build escaped"))
+    import scala.jdk.CollectionConverters._
+    val leftovers = {
+      val st = Files.list(base)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_ != "artifact").toList
+      finally st.close()
+    }
+    assert(!leftovers.exists(_.contains("staging")),
+      s"losing callers leaked staging dirs: $leftovers")
+  }
+
   test("a legacy marker-less dir is retired and replaced by a complete build") {
     val dir = tmp().resolve("fx")
     Files.createDirectories(dir)
