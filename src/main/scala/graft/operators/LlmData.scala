@@ -97,10 +97,22 @@ object LlmData {
           explode(call_function("graft_shingles", split(col("text"), " "))).as("sh"))
     }
 
-  /** Per-doc sorted shingle-hash sets (for exact Jaccard verification). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+  /** Exact-text duplicate groups: every document mapped to the min-doc_id
+    * representative of its md5(text) group. The collapse that makes the
+    * pair-generating dedup operators duplication-independent (the SimHash
+    * fingerprint-collapse doctrine applied at the TEXT level, which is
+    * exact for shingle semantics: identical text ⇒ identical shingle set ⇒
+    * identical Jaccard against any third document). Mass duplication —
+    * millions of literally identical documents — therefore never reaches
+    * a candidate join: the expensive machinery runs over representatives
+    * only, and duplicate groups re-enter at output expansion, whose cost
+    * is the true pair count itself.
+    */
+  private def textMembers(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), md5(col("text")).as("gid"))
+    g.join(g.groupBy("gid").agg(min("doc_id").as("rep")), "gid")
+      .select("doc_id", "rep")
+  }
 
   // ------------------------------------------------------------------ dedup
 
@@ -130,8 +142,27 @@ object LlmData {
     s.read.parquet(path.toString).orderBy("doc_a", "doc_b")
   }
 
-  private def dedupNgramBuild(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
+  private def dedupNgramBuild(s: SparkSession, d: String): DataFrame =
+    dedupNgramFrom(s, t(s, d, "documents"), Some(shingleRows(s, d)))
+
+  /** The exact pair pipeline from an arbitrary (doc_id, text) frame —
+    * [[textMembers]] collapse first, the PPJoin machinery over
+    * representatives only, then output expansion (cross-group pairs
+    * inherit the representative stats EXACTLY, because identical text
+    * means identical shingle sets; intra-group pairs are J = 1 by
+    * definition). Seam so the spec can plant mass duplication the
+    * all-unique fixture does not contain.
+    */
+  private[graft] def dedupNgramFrom(s: SparkSession, docs: DataFrame,
+      shOpt: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
+      explode(call_function("graft_shingles", split(col("text"), " "))).as("sh")))
+    val members = textMembers(docs)
+    val repIds = members.where(col("doc_id") === col("rep")).select("doc_id")
+    val sh = shAll.join(repIds, "doc_id")
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
     // Prefix filtering (the ppjoin-family bound, lossless): if J(x,y) ≥ t
     // then x and y share an element among each side's first
     // |x| - ⌈t·|x|⌉ + 1 shingles under any global canonical order. Ordering
@@ -170,7 +201,36 @@ object LlmData {
             expr("(na + nb + 2) div 3"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(s, d, cands)
+    expandNgramPairs(verifyJaccardWith(sets, cands), members, sets)
+  }
+
+  /** Representative-pair expansion for the exact pair table: every member
+    * of rep doc_a's group against every member of rep doc_b's group
+    * (swapping the per-side sizes when the member ordering flips), plus
+    * all intra-group pairs at J = 1 with common = na = nb = the group's
+    * set size. Expansion cost IS the true pair count.
+    */
+  private def expandNgramPairs(repPairs: DataFrame, members: DataFrame,
+      sets: DataFrame): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("nb"),
+        col("common"), col("jac"))
+    // groups whose documents produced no shingles have no sets row and are
+    // correctly excluded — the oracle's J = 0/0 is NULL, never ≥ t
+    val repSizes = sets.select(col("doc_id").as("rep"),
+      size(col("shs")).cast("long").as("n"))
+    val intra = members.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+      .where(col("doc_a") < col("doc_b"))
+      .join(repSizes, "rep")
+      .select(col("doc_a"), col("doc_b"), col("n").as("na"), col("n").as("nb"),
+        col("n").as("common"), lit(1.0).as("jac"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
@@ -179,8 +239,7 @@ object LlmData {
     * intersection so hopeless pairs never pay for it. Identical result to
     * the full inverted-index formulation — and to the DuckDB oracle.
     */
-  private def verifyJaccard(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
-    val sets = shingleSets(s, d)
+  private def verifyJaccardWith(sets: DataFrame, cands: DataFrame): DataFrame = {
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
@@ -470,14 +529,33 @@ object LlmData {
     * end state. LlmDataSpec pins engine-side set equality with
     * `q_dedup_ngram` at test scale for the same reason.
     */
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    dedupNearFrom(s, t(s, d, "documents"), Some(shingleRows(s, d)))
+
+  /** The LSH pipeline from an arbitrary (doc_id, text) frame, with the
+    * [[textMembers]] exact-text collapse: signatures, banding, and
+    * verification run over representatives only (mass duplication never
+    * reaches the band join), then pairs expand exactly as in
+    * [[dedupNgramFrom]] — J is invariant across members of a group
+    * because their shingle sets are identical.
+    */
+  private[graft] def dedupNearFrom(s: SparkSession, docs: DataFrame,
+      shOpt: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
+      explode(call_function("graft_shingles", split(col("text"), " "))).as("sh")))
+    val members = textMembers(docs)
+    val repIds = members.where(col("doc_id") === col("rep")).select("doc_id")
+    val sh = shAll.join(repIds, "doc_id")
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
     // Signature computation is explode + codegen'd hash aggregation, NOT
     // array lambdas: higher-order-function lambdas evaluate interpreted in
     // Spark (measured ~10 s for the equivalent per-row transform/array_min
     // pipeline at sf0.01 vs <1 s for this shape), while min()-aggregates of
     // xxhash64 run inside whole-stage codegen and combine map-side.
     val k = 32
-    val sigs = shingleRows(s, d).groupBy("doc_id")
+    val sigs = sh.groupBy("doc_id")
       .agg(min(xxhash64(col("sh"), lit(0))).as("m0"),
         (1 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i")): _*)
     // 16 bands x 2 rows: band hash of (m_{2b}, m_{2b+1})
@@ -496,7 +574,18 @@ object LlmData {
           col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(s, d, cands).select("doc_a", "doc_b", "jac")
+    val repPairs = verifyJaccardWith(sets, cands).select("doc_a", "doc_b", "jac")
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    val intra = members.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+      .where(col("doc_a") < col("doc_b"))
+      .join(sets.select(col("doc_id").as("rep")), "rep")
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jac"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   /** q_dedup_simhash — 64-bit SimHash near-dup pairs: banding on all 10

@@ -94,6 +94,42 @@ class LlmDataSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Double]("cos") >= 0.25))
   }
 
+  test("ngram/near operators: exact-text collapse expands mass duplication correctly") {
+    import s.implicits._
+    // 120 literally identical docs, one cross-group near-dup pair, and two
+    // unrelated docs: the PPJoin/LSH machinery runs over 5 representatives,
+    // and the output must still carry every pair — all C(120,2) intra
+    // pairs at J = 1 with full stats, plus the near-dup pair, plus the
+    // dup-group × near-docs pairs only if they qualify (they don't here)
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val nearA = "one two three four five six seven eight nine ten eleven twelve"
+    val nearB = "one two three four five six seven eight nine ten eleven thirteen"
+    val docs = ((0 until 120).map(i => (i.toLong, dupText)) ++ Seq(
+      (500L, nearA), (501L, nearB),
+      (600L, "completely different words occupy this document here today"),
+      (601L, "unrelated content again entirely disjoint vocabulary throughout")))
+      .toDF("doc_id", "text")
+    val out = LlmData.dedupNgramFrom(s, docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val intraPairs = out.keys.filter { case (a, b) => a < 120 && b < 120 }
+    assert(intraPairs.size === 120 * 119 / 2,
+      s"expected every intra-group pair, got ${intraPairs.size}")
+    // identical 12-token docs: 10 3-shingles; stats must be (10,10,10,1.0)
+    intraPairs.foreach { p =>
+      assert(out(p) === ((10L, 10L, 10L, 1.0)), s"wrong stats for intra pair $p") }
+    assert(out.contains((500L, 501L)), "the cross-group near-dup pair must survive")
+    assert(out((500L, 501L))._4 >= 0.5 && out((500L, 501L))._4 < 1.0)
+    assert(out.size === 120 * 119 / 2 + 1, s"unexpected extra pairs: ${
+      out.keys.filterNot { case (a, b) => (a < 120 && b < 120) || (a, b) == ((500L, 501L)) }}")
+    // the LSH path must reproduce the exact pair set on the same corpus
+    val near = LlmData.dedupNearFrom(s, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near === out.keySet,
+      s"collapsed LSH must equal the exact pair set (diff: ${
+        (near diff out.keySet) ++ (out.keySet diff near)})")
+  }
+
   test("simhash operator: fingerprint collapse makes the band join group-size-independent") {
     // 300 docs sharing ONE fingerprint plus two far-apart singletons
     // (pairwise Hamming > 3 across the three distinct values): the
