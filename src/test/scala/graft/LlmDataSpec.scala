@@ -130,6 +130,26 @@ class LlmDataSpec extends AnyFunSuite {
         (near diff out.keySet) ++ (out.keySet diff near)})")
   }
 
+  test("ngram collapse: interleaved group ids exercise the per-side stat swap") {
+    import s.implicits._
+    // group {1, 10} (12 tokens → 10 shingles) and singleton 2 (13 tokens →
+    // 11 shingles, J = 10/11 against the group): expanding the rep pair
+    // (1, 2) to member pair (2, 10) flips the ordering, so doc_a = 2 must
+    // carry ITS OWN set size (11) as na — the swap a naive expansion gets
+    // wrong while still passing on non-interleaved ids
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = t1 + " extra"
+    val docs = Seq((1L, t1), (10L, t1), (2L, t2)).toDF("doc_id", "text")
+    val out = LlmData.dedupNgramFrom(s, docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set((1L, 10L), (1L, 2L), (2L, 10L)))
+    assert(out((1L, 10L)) === ((10L, 10L, 10L, 1.0)))
+    assert(out((1L, 2L)) === ((10L, 11L, 10L, 10.0 / 11)))
+    assert(out((2L, 10L)) === ((11L, 10L, 10L, 10.0 / 11)),
+      "doc_a = 2 must carry the 11-shingle size on the a side")
+  }
+
   test("simhash operator: fingerprint collapse makes the band join group-size-independent") {
     // 300 docs sharing ONE fingerprint plus two far-apart singletons
     // (pairwise Hamming > 3 across the three distinct values): the
