@@ -114,6 +114,46 @@ object LlmData {
       .select("doc_id", "rep")
   }
 
+  /** The shared collapse preamble of the pair-generating operators:
+    * membership map, representative-only shingle rows, and representative
+    * shingle sets — ONE definition, so a change to the collapse (text
+    * normalization, persistence) lands everywhere at once.
+    */
+  private def collapsedSets(s: SparkSession, docs: DataFrame,
+      shOpt: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
+      explode(call_function("graft_shingles", split(col("text"), " "))).as("sh")))
+    val members = textMembers(docs)
+    val sh = shAll.join(
+      members.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    (members, sh, sets)
+  }
+
+  /** Fixture-path collapse, [[memo]]-persisted per (session, dataset):
+    * members, rep shingles, and rep sets are each referenced several times
+    * per query (sets/signatures/prefixes, then two member scans in
+    * expansion), and Catalyst does not CSE common subplans — without the
+    * persist the md5 grouping re-executes ~5× per invocation (measured 2×
+    * wall on q_dedup_near at sf0.1).
+    */
+  private def collapsedSetsMemo(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    val members = memo(s, s"textmembers:$d") {
+      textMembers(t(s, d, "documents"))
+    }
+    val sh = memo(s, s"repshingles:$d") {
+      shingleRows(s, d).join(
+        members.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    }
+    val sets = memo(s, s"repsets:$d") {
+      sh.groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("shs"))
+    }
+    (members, sh, sets)
+  }
+
   // ------------------------------------------------------------------ dedup
 
   /** Jaccard threshold shared by the near-dup detectors. */
@@ -142,8 +182,10 @@ object LlmData {
     s.read.parquet(path.toString).orderBy("doc_a", "doc_b")
   }
 
-  private def dedupNgramBuild(s: SparkSession, d: String): DataFrame =
-    dedupNgramFrom(s, t(s, d, "documents"), Some(shingleRows(s, d)))
+  private def dedupNgramBuild(s: SparkSession, d: String): DataFrame = {
+    val (members, sh, sets) = collapsedSetsMemo(s, d)
+    dedupNgramCore(members, sh, sets)
+  }
 
   /** The exact pair pipeline from an arbitrary (doc_id, text) frame —
     * [[textMembers]] collapse first, the PPJoin machinery over
@@ -155,14 +197,12 @@ object LlmData {
     */
   private[graft] def dedupNgramFrom(s: SparkSession, docs: DataFrame,
       shOpt: Option[DataFrame] = None): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
-      explode(call_function("graft_shingles", split(col("text"), " "))).as("sh")))
-    val members = textMembers(docs)
-    val repIds = members.where(col("doc_id") === col("rep")).select("doc_id")
-    val sh = shAll.join(repIds, "doc_id")
-    val sets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    val (members, sh, sets) = collapsedSets(s, docs, shOpt)
+    dedupNgramCore(members, sh, sets)
+  }
+
+  private def dedupNgramCore(members: DataFrame, sh: DataFrame,
+      sets: DataFrame): DataFrame = {
     // Prefix filtering (the ppjoin-family bound, lossless): if J(x,y) ≥ t
     // then x and y share an element among each side's first
     // |x| - ⌈t·|x|⌉ + 1 shingles under any global canonical order. Ordering
@@ -251,7 +291,6 @@ object LlmData {
       .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jac") >= JaccardThreshold)
       .select("doc_a", "doc_b", "na", "nb", "common", "jac")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** q_dedup_survivors — the dedup operation itself: documents surviving
@@ -319,15 +358,41 @@ object LlmData {
     * asserted, not assumed (LlmDataSpec).
     */
   private[graft] def dedupIncrementalWithBound(s: SparkSession, d: String,
-      broadcastMaxRows: Long): DataFrame = {
-    val sh = shingleRows(s, d)
+      broadcastMaxRows: Long): DataFrame =
+    dedupIncrementalFrom(s, t(s, d, "documents"), Some(shingleRows(s, d)),
+      broadcastMaxRows,
+      Some(graft.Fixtures.datasetTag(d, "documents", "incn_v2")))
+
+  /** The incremental pipeline from an arbitrary (doc_id, text) frame,
+    * with a PER-SIDE [[textMembers]] collapse: a duplicate group SPANS
+    * the batch split (doc_id % 10 takes a fixed fraction of every group),
+    * so the uncollapsed shingle join was BILINEAR in the group —
+    * n_shingles × N_new × N_corpus candidate rows for one mass-duplicated
+    * text. After the collapse each side contributes one representative
+    * and the min-partner output survives exactly: a side's representative
+    * IS that side's min doc_id, so the min over qualifying corpus
+    * documents equals the min over qualifying corpus representatives, and
+    * every new-batch member inherits its representative's
+    * (dup_of, jac_micro) unchanged (identical text ⇒ identical Jaccard).
+    */
+  private[graft] def dedupIncrementalFrom(s: SparkSession, docs: DataFrame,
+      shOpt: Option[DataFrame], broadcastMaxRows: Long,
+      countKey: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
+      explode(call_function("graft_shingles", split(col("text"), " "))).as("sh")))
     val isNew = col("doc_id") % 10 === 0
-    val newSh = sh.where(isNew)
-    val oldSh = sh.where(!isNew)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val newMembers = textMembers(docs.where(isNew))
+    val corpusMembers = textMembers(docs.where(!isNew))
+    def repIds(m: DataFrame) =
+      m.where(col("doc_id") === col("rep")).select("doc_id")
+    val newSh = shAll.join(repIds(newMembers), "doc_id")
+    val oldSh = shAll.join(repIds(corpusMembers), "doc_id")
+    val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val newSide = newSh.select(col("doc_id").as("new_doc"), col("sh"))
-    val nNew: Long = incBatchRows.computeIfAbsent(
-      graft.Fixtures.datasetTag(d, "documents", "incn_v1"), _ => newSh.count())
+    def countNew(): Long = newSh.count()
+    val nNew: Long = countKey.fold(countNew())(k =>
+      incBatchRows.computeIfAbsent(k, _ => countNew()))
     val newBatch =
       if (nNew <= broadcastMaxRows) broadcast(newSide) else newSide
     val common = newBatch
@@ -346,8 +411,10 @@ object LlmData {
         round(col("common") * lit(1000000.0)
           / (col("na") + col("nb") - col("common")), 0)
           .cast("long").as("jac_micro"))
-    t(s, d, "documents").where(isNew).select("doc_id")
-      .join(withJac, col("doc_id") === withJac("new_doc"), "left")
+    // expansion: every new-batch member reports with its representative's
+    // verdict (left join — no-shingle or no-partner members stay null)
+    newMembers
+      .join(withJac, col("rep") === withJac("new_doc"), "left")
       .select(col("doc_id"), col("dup_of"), col("jac_micro"),
         col("dup_of").isNotNull.as("is_dup"))
       .orderBy("doc_id")
@@ -529,8 +596,10 @@ object LlmData {
     * end state. LlmDataSpec pins engine-side set equality with
     * `q_dedup_ngram` at test scale for the same reason.
     */
-  def dedupNear(s: SparkSession, d: String): DataFrame =
-    dedupNearFrom(s, t(s, d, "documents"), Some(shingleRows(s, d)))
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val (members, sh, sets) = collapsedSetsMemo(s, d)
+    dedupNearCore(members, sh, sets)
+  }
 
   /** The LSH pipeline from an arbitrary (doc_id, text) frame, with the
     * [[textMembers]] exact-text collapse: signatures, banding, and
@@ -541,14 +610,12 @@ object LlmData {
     */
   private[graft] def dedupNearFrom(s: SparkSession, docs: DataFrame,
       shOpt: Option[DataFrame] = None): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
-      explode(call_function("graft_shingles", split(col("text"), " "))).as("sh")))
-    val members = textMembers(docs)
-    val repIds = members.where(col("doc_id") === col("rep")).select("doc_id")
-    val sh = shAll.join(repIds, "doc_id")
-    val sets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    val (members, sh, sets) = collapsedSets(s, docs, shOpt)
+    dedupNearCore(members, sh, sets)
+  }
+
+  private def dedupNearCore(members: DataFrame, sh: DataFrame,
+      sets: DataFrame): DataFrame = {
     // Signature computation is explode + codegen'd hash aggregation, NOT
     // array lambdas: higher-order-function lambdas evaluate interpreted in
     // Spark (measured ~10 s for the equivalent per-row transform/array_min
@@ -574,18 +641,8 @@ object LlmData {
           col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val repPairs = verifyJaccardWith(sets, cands).select("doc_a", "doc_b", "jac")
-    val cross = repPairs
-      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
-      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
-    val intra = members.select(col("rep"), col("doc_id").as("doc_a"))
-      .join(members.select(col("rep"), col("doc_id").as("doc_b")), "rep")
-      .where(col("doc_a") < col("doc_b"))
-      .join(sets.select(col("doc_id").as("rep")), "rep")
-      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jac"))
-    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+    expandNgramPairs(verifyJaccardWith(sets, cands), members, sets)
+      .select("doc_a", "doc_b", "jac")
   }
 
   /** q_dedup_simhash — 64-bit SimHash near-dup pairs: banding on all 10

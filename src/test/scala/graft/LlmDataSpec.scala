@@ -130,6 +130,31 @@ class LlmDataSpec extends AnyFunSuite {
         (near diff out.keySet) ++ (out.keySet diff near)})")
   }
 
+  test("incremental collapse: a duplicate group spanning the batch split reports exactly") {
+    import s.implicits._
+    // group T1 spans the split: {10, 20} are new (doc_id % 10 = 0), {3, 7}
+    // are corpus — every new member must report dup_of = 3 (the corpus-side
+    // min) at jac 1.0; new doc 40 has a genuine near-dup corpus partner 8;
+    // new doc 50 is unique and must report is_dup = false
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (10L, t1), (20L, t1), (3L, t1), (7L, t1),
+      (40L, t2 + " extra"), (8L, t2),
+      (50L, "entirely unique vocabulary nothing shared with any other doc"))
+      .toDF("doc_id", "text")
+    val out = LlmData.dedupIncrementalFrom(s, docs, None, 500000L).collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+         if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(10L, 20L, 40L, 50L))
+    assert(out(10L) === ((3L, 1000000L, true)), "spanning-group member 10")
+    assert(out(20L) === ((3L, 1000000L, true)), "spanning-group member 20")
+    assert(out(40L)._1 === 8L)
+    assert(out(40L)._3 && out(40L)._2 < 1000000L && out(40L)._2 >= 500000L)
+    assert(out(50L) === ((-1L, -1L, false)))
+  }
+
   test("ngram collapse: interleaved group ids exercise the per-side stat swap") {
     import s.implicits._
     // group {1, 10} (12 tokens → 10 shingles) and singleton 2 (13 tokens →
