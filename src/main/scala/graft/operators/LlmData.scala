@@ -1749,6 +1749,12 @@ object LlmData {
     }
     best
       .select(col("vec_id"),
+        // codes serialize as a comma-joined string ONLY at this public
+        // boundary: the external driver's pandas comparator cannot hash
+        // LIST cells (the r8 ERR), and the comparator is not ours to fix,
+        // so engine and oracle agree on the same scalar encoding here.
+        // The TYPED array<int> form is what the staged index stores and
+        // what every downstream scan (ADC, IVFADC, batch) consumes.
         concat_ws(",", (0 until pqM).map(j =>
           col(s"best_$j").getField("c").cast("string")): _*).as("codes"),
         errCols.reduce(_ + _).as("pq_err_micro"))
