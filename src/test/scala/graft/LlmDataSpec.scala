@@ -130,6 +130,60 @@ class LlmDataSpec extends AnyFunSuite {
         (near diff out.keySet) ++ (out.keySet diff near)})")
   }
 
+  test("dedup collapse property: random duplicated corpora equal the brute-force pair table") {
+    import s.implicits._
+    // generative check over seeded random corpora with forced duplication:
+    // dedupNgramFrom must equal a driver-side brute force (pairwise exact
+    // Jaccard over the same shingle hashes) for ANY corpus shape — empty
+    // overlap, sub-3-token docs, all-identical groups, interleaved ids.
+    // The LSH path is held to no-false-positives plus full recall at
+    // J ≥ 0.7 (per-pair miss probability there is < 1e-4 by the band math;
+    // at the 0.5 threshold boundary a miss is by-design probable enough to
+    // flake a hard equality).
+    val pool = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "one two three four five six seven eight nine",
+      "one two three four five six seven eight ten eleven",
+      "lone words", // sub-3-token: no shingles, must never pair
+      "completely different vocabulary in this entry altogether")
+    graft.functions.GraftFunctions.register(s)
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val docs = (0 until 25).map(i => (i.toLong, pool(rnd.nextInt(pool.size))))
+      val df = docs.toDF("doc_id", "text")
+      // ground truth from the same shingle kernel, pairwise in the driver
+      val sets = df.select(col("doc_id"),
+          call_function("graft_shingles", split(col("text"), " ")).as("shs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val ids = docs.map(_._1)
+      val expected = (for {
+        a <- ids
+        b <- ids
+        if a < b
+        sa = sets(a)
+        sb = sets(b)
+        union = (sa union sb).size
+        if union > 0
+        common = (sa intersect sb).size
+        jac = common.toDouble / union
+        if jac >= 0.5
+      } yield (a, b) -> (sa.size.toLong, sb.size.toLong, common.toLong, jac)).toMap
+      val got = LlmData.dedupNgramFrom(s, df).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      assert(got === expected, s"trial $trial: ngram diverged from brute force " +
+        s"(missing ${expected.keySet diff got.keySet}, spurious ${got.keySet diff expected.keySet})")
+      val near = LlmData.dedupNearFrom(s, df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((near diff expected.keySet).isEmpty,
+        s"trial $trial: LSH produced false positives ${near diff expected.keySet}")
+      val mustRecall = expected.collect { case (p, (_, _, _, j)) if j >= 0.7 => p }.toSet
+      assert((mustRecall diff near).isEmpty,
+        s"trial $trial: LSH missed high-J pairs ${mustRecall diff near}")
+    }
+  }
+
   test("incremental collapse: a duplicate group spanning the batch split reports exactly") {
     import s.implicits._
     // group T1 spans the split: {10, 20} are new (doc_id % 10 = 0), {3, 7}
