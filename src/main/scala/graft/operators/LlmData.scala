@@ -658,7 +658,11 @@ object LlmData {
     * exact dedup was skipped upstream.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    simhashBandVerify(simhashes(s, d))
+    // memo-persisted: the fingerprint collapse references the signature
+    // frame ~5x (distinct, two cross-expansion scans, two intra sides) and
+    // Catalyst does not CSE common subplans — without the persist the
+    // lane-packed token aggregation re-executes per reference
+    simhashBandVerify(memo(s, s"simhash_sigs:$d")(simhashes(s, d)))
 
   /** The SINGLE copy of banded candidate generation + exact Hamming ≤ 3
     * verification over a (doc_id, sh64) signature frame — both
@@ -780,7 +784,8 @@ object LlmData {
     * candidate join is the same ID-only 26-bit-band self-join.
     */
   def dedupSimhashVerified(s: SparkSession, d: String): DataFrame =
-    simhashBandVerify(simhashesPortable(s, d))
+    // memoized for the same ~5-reference reason as [[dedupSimhash]]
+    simhashBandVerify(memo(s, s"simhash_sigs_md5:$d")(simhashesPortable(s, d)))
 
   /** Per-document 64-bit simhash built from PORTABLE token hashes: bit i
     * of a token is bit (i mod 4) of hex digit ⌊i/4⌋ of md5(token), and
