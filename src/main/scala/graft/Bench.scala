@@ -131,7 +131,13 @@ object Bench {
           graft.operators.LlmData.clearMemo(spark)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => Double.MaxValue }
+          catch {
+            case e: Throwable =>
+              // same diagnostics as the sweep path — a -1.0 in the
+              // canonical record must be explainable from the log
+              System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+              Double.MaxValue
+          }
         }
         name -> (if (passes.min == Double.MaxValue) -1.0 else passes.min)
       }

@@ -109,7 +109,15 @@ object LlmData {
     * is the true pair count itself.
     */
   private def textMembers(docs: DataFrame): DataFrame = {
-    val g = docs.select(col("doc_id"), md5(col("text")).as("gid"))
+    // NULL-safe group key: md5(NULL) is NULL and an equi-join drops NULL
+    // keys, which would silently erase NULL-text documents from every
+    // collapsed operator (they must still REPORT — e.g. is_dup = false in
+    // the incremental output). NULL texts form their own namespaced group
+    // (no md5 image can collide with "null:"), whose empty shingle set
+    // correctly produces no pairs downstream.
+    val g = docs.select(col("doc_id"),
+      when(col("text").isNull, lit("null:"))
+        .otherwise(concat(lit("t:"), md5(col("text")))).as("gid"))
     g.join(g.groupBy("gid").agg(min("doc_id").as("rep")), "gid")
       .select("doc_id", "rep")
   }
@@ -361,7 +369,8 @@ object LlmData {
       broadcastMaxRows: Long): DataFrame =
     dedupIncrementalFrom(s, t(s, d, "documents"), Some(shingleRows(s, d)),
       broadcastMaxRows,
-      Some(graft.Fixtures.datasetTag(d, "documents", "incn_v2")))
+      Some(graft.Fixtures.datasetTag(d, "documents", "incn_v2")),
+      memoTag = Some(d))
 
   /** The incremental pipeline from an arbitrary (doc_id, text) frame,
     * with a PER-SIDE [[textMembers]] collapse: a duplicate group SPANS
@@ -377,16 +386,22 @@ object LlmData {
     */
   private[graft] def dedupIncrementalFrom(s: SparkSession, docs: DataFrame,
       shOpt: Option[DataFrame], broadcastMaxRows: Long,
-      countKey: Option[String] = None): DataFrame = {
+      countKey: Option[String] = None,
+      memoTag: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // fixture path memo-persists the multiply-referenced frames (the
+    // collapsedSetsMemo rationale: Catalyst does not CSE common subplans,
+    // so the md5 grouping would re-execute per reference)
+    def m(name: String)(df: => DataFrame): DataFrame =
+      memoTag.fold(df)(tag => memo(s, s"$name:$tag")(df))
     val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
       explode(call_function("graft_shingles", split(col("text"), " "))).as("sh")))
     val isNew = col("doc_id") % 10 === 0
-    val newMembers = textMembers(docs.where(isNew))
-    val corpusMembers = textMembers(docs.where(!isNew))
-    def repIds(m: DataFrame) =
-      m.where(col("doc_id") === col("rep")).select("doc_id")
-    val newSh = shAll.join(repIds(newMembers), "doc_id")
+    val newMembers = m("inc_new_members")(textMembers(docs.where(isNew)))
+    val corpusMembers = m("inc_corpus_members")(textMembers(docs.where(!isNew)))
+    def repIds(mf: DataFrame) =
+      mf.where(col("doc_id") === col("rep")).select("doc_id")
+    val newSh = m("inc_new_sh")(shAll.join(repIds(newMembers), "doc_id"))
     val oldSh = shAll.join(repIds(corpusMembers), "doc_id")
     val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val newSide = newSh.select(col("doc_id").as("new_doc"), col("sh"))
@@ -1126,12 +1141,23 @@ object LlmData {
     */
   private lazy val appendReplaySql: String =
     s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
-      "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+      ivfProbeSelectSql()
+
+  /** The routed-probe SELECT body shared by every replayed probe oracle
+    * (standing IVF, append/stream-append, delete): exact cosine inside the
+    * replayed probe cells, the [[Det]] rounding, the (cos DESC, vec_id)
+    * tiebreak, LIMIT 20. ONE copy, parameterized by an extra predicate —
+    * a probe-shape change edits this and nothing else (the SQL-side
+    * [[defaultProbe]] doctrine).
+    */
+  private def ivfProbeSelectSql(extraPred: String = ""): String =
+    "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
       "SELECT e.vec_id AS vec_id, round((" +
       VectorOps.sqlCosine("e.embedding", "q.qe") +
       ") * 10000, 0) / 10000 AS cos " +
       "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
       "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
+      extraPred +
       "ORDER BY cos DESC, e.vec_id LIMIT 20"
 
   /** Test seam: every vector's cell under the FROZEN standing codebook,
@@ -2682,9 +2708,10 @@ object LlmData {
     * #fragment, and ?utm_ tracking noise — the adversarial shapes real
     * crawl URLs carry (r9 verdict nit: the earlier injection exercised
     * only the easy three). Canonicalization is a fixed chain of lowering,
-    * anchored regexp rewrites (RE2 ∩ Java dialect — no lookarounds, each
-    * pattern matching at most once so first-match and global replace
-    * agree), one unreserved-escape decode, default-port strip, and a
+    * anchored regexp rewrites (RE2 ∩ Java dialect — no lookarounds; the
+    * anchored patterns match at most once, and the one UNanchored rule,
+    * the %7e unescape, carries DuckDB's 'g' flag so both engines rewrite
+    * every occurrence), one unreserved-escape decode, default-port strip, and a
     * split→sort→join normalization of the residual query string; output
     * is the canonical-URL group table with multiplicity and the surviving
     * representative (min doc_id — the "keep first crawl" rule).
@@ -3927,9 +3954,12 @@ object LlmData {
         "WHEN doc_id % 13 = 0 THEN '?a=1&b=2' ELSE '' END) || " +
         "(CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url " +
         "FROM documents), " +
+        // the %7e unescape carries DuckDB's 'g' flag: Spark regexp_replace
+        // is global, DuckDB's is first-match by default, and unlike the
+        // anchored rules this literal can occur repeatedly in one path
         "c0 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
         "regexp_replace(regexp_replace(" +
-        "lower(url), '#.*$', ''), '\\?utm_[^#]*$', ''), '%7e', '~'), " +
+        "lower(url), '#.*$', ''), '\\?utm_[^#]*$', ''), '%7e', '~', 'g'), " +
         "'^(https?://[^/]+):443/', '\\1/'), " +
         "'^(https?://)www\\.', '\\1') AS curl FROM raw), " +
         "c AS (SELECT doc_id, CASE WHEN q = '' THEN p ELSE p || '?' || " +
@@ -4206,14 +4236,7 @@ object LlmData {
     // cells — the partial-probe result is deterministic, so "approximate"
     // (in the recall sense) does not mean "unreplayable"
     "q_simsearch_ivf" ->
-      (s"WITH $ivfRouteSqlCtes, " +
-        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
-        "SELECT e.vec_id AS vec_id, round((" +
-        VectorOps.sqlCosine("e.embedding", "q.qe") +
-        ") * 10000, 0) / 10000 AS cos " +
-        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
-        "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
-        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
+      (s"WITH $ivfRouteSqlCtes, " + ivfProbeSelectSql()),
     // append replay: the SAME routing chain with the codebook restricted
     // to the STANDING subset (frozen centroids) while assignment covers
     // every vector — i.e. exactly what the merged appended index contains,
@@ -4229,14 +4252,7 @@ object LlmData {
     // the hash gate
     "q_simsearch_delete" ->
       (s"WITH $ivfRouteSqlCtes, " +
-        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
-        "SELECT e.vec_id AS vec_id, round((" +
-        VectorOps.sqlCosine("e.embedding", "q.qe") +
-        ") * 10000, 0) / 10000 AS cos " +
-        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id, q " +
-        "WHERE rasg.cell IN (SELECT cell FROM rqp) AND e.vec_id <> 0 " +
-        s"AND NOT (e.$deleteTombCond) " +
-        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
+        ivfProbeSelectSql(s"AND NOT (e.$deleteTombCond) ")),
     // IVFADC = the ADC scan (replayed Lloyd codebook, pqAdcCtes) filtered
     // to the replayed probe cells — routing and quantization each proven
     // separately, composed here exactly as the engine composes them

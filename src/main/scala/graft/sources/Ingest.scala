@@ -154,7 +154,10 @@ class RestIngest(http: HttpTransport, baseUrl: String) extends Logging {
       .compile("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(\"([^\"]*)\"|([^,}\\s]+))")
       .matcher(json)
     if (!m.find()) None
-    else if (m.group(2) != null) Some(m.group(2)) // quoted: verbatim, even "null"
+    // quoted: verbatim, even "null" — but an EMPTY quoted value is as
+    // unusable as an explicit null (polling "?ticket=" until the sensor
+    // times out), so it too maps to None and the fail-fast fires
+    else if (m.group(2) != null) Some(m.group(2)).filter(_.nonEmpty)
     else Option(m.group(3)).filter(_ != "null")
   }
 

@@ -184,6 +184,28 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("collapse: NULL-text documents still report and never pair") {
+    import s.implicits._
+    // md5(NULL) is NULL and an equi-join drops NULL keys — an unguarded
+    // group key would erase NULL-text docs from the incremental report
+    // entirely (the oracle's LEFT JOIN keeps them). They must report
+    // is_dup = false and never appear in any pair table.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((10L, null.asInstanceOf[String]),
+      (20L, null.asInstanceOf[String]), (1L, t1), (30L, t1))
+      .toDF("doc_id", "text")
+    val inc = LlmData.dedupIncrementalFrom(s, docs, None, 500000L).collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3)))).toMap
+    assert(inc.keySet === Set(10L, 20L, 30L),
+      "every new-batch doc must report, NULL text included")
+    assert(inc(10L) === ((-1L, false)) && inc(20L) === ((-1L, false)))
+    assert(inc(30L) === ((1L, true)), "30 duplicates corpus doc 1 exactly")
+    val ng = LlmData.dedupNgramFrom(s, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng === Set((1L, 30L)), s"NULL docs must never pair, got $ng")
+  }
+
   test("incremental collapse: a duplicate group spanning the batch split reports exactly") {
     import s.implicits._
     // group T1 spans the split: {10, 20} are new (doc_id % 10 = 0), {3, 7}
@@ -553,6 +575,11 @@ class LlmDataSpec extends AnyFunSuite {
     val shufflePath =
       try {
         s.conf.set(threshKey, "-1")
+        // memoized frames embed their materialization-time physical plan
+        // in the executed-plan dump (InMemoryRelation keeps the cached
+        // plan it was built with, broadcast joins included) — clear them
+        // so every subtree genuinely replans under the disabled threshold
+        LlmData.clearMemo(s)
         val df = LlmData.dedupIncrementalWithBound(s, d, 0L)
         val rows = df.collect().map(_.toSeq).toSeq
         val plan = df.queryExecution.executedPlan.toString
@@ -561,7 +588,12 @@ class LlmDataSpec extends AnyFunSuite {
         assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
           "bound-0 path must execute a genuine shuffle join")
         rows
-      } finally s.conf.set(threshKey, prev)
+      } finally {
+        s.conf.set(threshKey, prev)
+        // drop the SMJ-planned caches so later tests rebuild under the
+        // restored default conf
+        LlmData.clearMemo(s)
+      }
     assert(shufflePath === broadcastPath)
   }
 
