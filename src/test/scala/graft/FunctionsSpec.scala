@@ -101,6 +101,20 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       new RestIngest(empty, "x").authenticate("a", "b")
     }
+    // unusable values fail fast exactly like a missing field: an explicit
+    // JSON null AND an empty quoted string would both otherwise poll a
+    // garbage ticket until the sensor timeout
+    Seq("""{"ticket": null}""", """{"ticket": ""}""").foreach { body =>
+      val bad = new HttpTransport {
+        def fetch(url: String, auth: Option[(String, String)],
+            headers: Map[String, String]): String =
+          if (url.contains("oauth2")) """{"access_token": "tok-1"}""" else body
+      }
+      val ing = new RestIngest(bad, "x")
+      intercept[IllegalStateException] {
+        ing.requestReport(ing.authenticate("a", "b"), "2024-01-01")
+      }
+    }
   }
 
   test("RestIngest statements flow builds the [yesterday, today] URL and " +
