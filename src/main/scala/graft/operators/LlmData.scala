@@ -1311,6 +1311,35 @@ object LlmData {
     }.toSet
   }
 
+  /** q_simsearch_filtered — FILTERED vector search, the ubiquitous
+    * production shape (top-k among vectors whose metadata matches a
+    * predicate): the label attribute rides the index rows (scheme v6), so
+    * the filter is SCAN-LOCAL — it pushes into the cell-pruned parquet
+    * scan (plan-asserted PushedFilters) instead of joining a corpus-sized
+    * allow-list at query time. Routing is unchanged (the quantizer knows
+    * nothing of filters); with a fixed probe width a highly selective
+    * filter costs recall — the production dial is widening nProbe — and
+    * the full-probe end is spec-pinned equal to brute force over the
+    * matching subset, the same oracle-anchoring pattern as the other
+    * probe dials.
+    *
+    * Oracle: the shared routed-probe replay plus the same predicate.
+    */
+  def simsearchFiltered(s: SparkSession, d: String): DataFrame =
+    simsearchFilteredProbe(s, d, defaultProbe)
+
+  /** The metadata predicate of the filtered-search scenario — engine and
+    * oracle share this literal.
+    */
+  private[operators] val filteredCond = "label % 3 = 1"
+
+  private[graft] def simsearchFilteredProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    val (indexPath, qEmb, cells) = ivfRoute(s, d, probeOf)
+    probeCells(s, indexPath, typedlit(qEmb), cells,
+      attrFilter = Some(expr(filteredCond)))
+  }
+
   /** q_simsearch_delete — TOMBSTONE DELETES over the standing IVF index,
     * the remaining corner of the index lifecycle (build → append → delete
     * → compact): vectors leave the serving set WITHOUT a rebuild and
@@ -1524,9 +1553,14 @@ object LlmData {
       s"array_position($scores, array_max($scores))"
     ivfIndex(s, d, tag, df => {
       val withBest = df.select(col("vec_id") +: col("embedding") +:
+        col("label") +:
         (pqBestCols(pqTrainedCentroidsTagged(s, d, tag)) :+
           expr(s"${argmax(ivfCellsExpr(centroids, "embedding"))}").as("cell")): _*)
-      withBest.select(col("vec_id"), col("embedding"),
+      // label rides the index rows so FILTERED search is scan-local: the
+      // metadata predicate pushes into the pruned parquet scan instead of
+      // joining a corpus-sized allow-list at query time (the production
+      // attribute-payload pattern)
+      withBest.select(col("vec_id"), col("embedding"), col("label"),
         array((0 until pqM).map(j => col(s"best_$j").getField("c")): _*)
           .as("codes"),
         col("cell"))
@@ -1536,19 +1570,20 @@ object LlmData {
   /** Index/codebook identity: [[graft.Fixtures.datasetTag]] over the
     * embeddings table (leaf-file fingerprint, so a regenerated fixture or
     * sanitization collision gets its own index instead of silently
-    * serving another dataset's vectors). The v5 scheme-version prefix
+    * serving another dataset's vectors). The v6 scheme-version prefix
     * keys out indexes assigned by older quantizers/schemas (v1
     * hash-anchor; v2 fixed 16 sample cells; v3 corpus-derived cell count;
-    * v4 adds the PQ codes column to the index rows — v5 stores
+    * v4 adds the PQ codes column to the index rows; v5 stores
     * Lloyd-TRAINED codes, which differ row-for-row from v4's
-    * sampled-codebook codes).
+    * sampled-codebook codes — v6 adds the label attribute payload for
+    * scan-local filtered search).
     */
   /** Single source of truth for the IVF index scheme version — used by
     * BOTH the identity tag and the superseded-sweep prefix, which must
     * never desynchronize (an unmatched sweep prefix is a silent no-op
     * that would quietly resurrect the stale-artifact leak).
     */
-  private val ivfSchemeVersion = "v5"
+  private val ivfSchemeVersion = "v6"
 
   private def ivfTag(d: String): String =
     graft.Fixtures.datasetTag(d, "embeddings", ivfSchemeVersion)
@@ -1579,9 +1614,14 @@ object LlmData {
     * (an id list), never corpus-sized.
     */
   private def probeCells(s: SparkSession, indexPath: String, qEmb: Column,
-      cells: Seq[Long], tombstones: Option[DataFrame] = None): DataFrame = {
+      cells: Seq[Long], tombstones: Option[DataFrame] = None,
+      attrFilter: Option[Column] = None): DataFrame = {
+    // attrFilter is a predicate over the index's own attribute payload
+    // (scan-local: it pushes into the pruned parquet scan, no join);
+    // tombstones is an id TABLE (day-sized, broadcast anti-join)
     val pruned = s.read.parquet(indexPath)
-      .where(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+      .where(attrFilter.foldLeft(
+        col("cell").isin(cells: _*) && col("vec_id") =!= 0)(_ && _))
     val live = tombstones.fold(pruned)(tomb =>
       pruned.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
     live
@@ -3516,6 +3556,7 @@ object LlmData {
     "q_simsearch_append" -> simsearchAppend _,
     "q_simsearch_stream_append" -> simsearchStreamAppend _,
     "q_simsearch_delete" -> simsearchDelete _,
+    "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
     "q_simsearch_ivfpq" -> simsearchIvfPq _,
@@ -4253,6 +4294,12 @@ object LlmData {
     "q_simsearch_delete" ->
       (s"WITH $ivfRouteSqlCtes, " +
         ivfProbeSelectSql(s"AND NOT (e.$deleteTombCond) ")),
+    // filtered replay: unchanged routing + the metadata predicate — a
+    // non-matching row leaking through the scan-local filter (or a
+    // matching row over-filtered) fails the hash gate
+    "q_simsearch_filtered" ->
+      (s"WITH $ivfRouteSqlCtes, " +
+        ivfProbeSelectSql(s"AND e.$filteredCond ")),
     // IVFADC = the ADC scan (replayed Lloyd codebook, pqAdcCtes) filtered
     // to the replayed probe cells — routing and quantization each proven
     // separately, composed here exactly as the engine composes them

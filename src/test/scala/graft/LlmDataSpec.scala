@@ -433,6 +433,27 @@ class LlmDataSpec extends AnyFunSuite {
     assert(st === ba, "same rows, different transport — probes must agree")
   }
 
+  test("q_simsearch_filtered: only matching labels surface; full probe equals brute force over the subset") {
+    val emb = Tables(s, d, "embeddings")
+    val matching = emb.where(expr("label % 3 = 1")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    LlmData.simsearchFiltered(s, d).collect().foreach(r =>
+      assert(matching.contains(r.getLong(0)),
+        s"non-matching vec ${r.getLong(0)} leaked through the filter"))
+    val full = LlmData.simsearchFilteredProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val brute = emb.crossJoin(q)
+      .where(col("vec_id") =!= 0 && expr("label % 3 = 1"))
+      .select(col("vec_id"),
+        (round(graft.functions.VectorOps.cosine(col("embedding"), col("q_emb")) * 1e4) / 1e4)
+          .as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute,
+      "full-probe filtered scan must equal brute force over the matching subset")
+  }
+
   test("q_simsearch_delete: tombstones never surface; full probe equals brute force over survivors") {
     // default probe: no tombstoned id leaks through the anti join
     LlmData.simsearchDelete(s, d).collect()

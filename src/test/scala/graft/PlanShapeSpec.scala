@@ -203,6 +203,18 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("q_simsearch_filtered pushes the label predicate into the cell-pruned scan") {
+    val df = graft.operators.LlmData.simsearchFiltered(s, d)
+    val p = plan(df)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")),
+      s"filtered probe lost the cell partition filter:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("label")),
+      s"label predicate must push into the index scan, not evaluate post-read:\n$p")
+    assert(!p.contains("Join"), s"filtered search must not join an allow-list:\n$p")
+  }
+
   test("q_embed_pq encodes in the scan stage: no join, no aggregate exchange") {
     val p = plan(graft.operators.LlmData.embedPq(s, d))
     // the m·ks literal-centroid kernels are a projection over the scan —
