@@ -2536,6 +2536,64 @@ object LlmData {
       "((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))) * " +
       "1000000, 0) AS BIGINT)"
 
+  /** The BM25 replay CTE chain + its top-20 SELECT, split so the hybrid
+    * fusion oracle can rank the same lexical result the standalone
+    * `q_search_bm25` oracle checks.
+    */
+  private lazy val bm25SqlCtes: String =
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id), " +
+      "hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'join', 'window')), " +
+      "tfq AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY doc_id, tok), " +
+      "dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok), " +
+      "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+      "ad AS (SELECT sum(dlen) * 1.0 / count(*) AS avgdl FROM dl), " +
+      "scored AS (SELECT tfq.doc_id AS doc_id, tfq.tf AS tf, dft.df AS df, dl.dlen AS dlen, " +
+      "nd.n_docs AS n_docs, ad.avgdl AS avgdl " +
+      "FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id JOIN dft ON tfq.tok = dft.tok " +
+      "CROSS JOIN nd CROSS JOIN ad)"
+
+  private lazy val bm25TopSelect: String =
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, " +
+      s"CAST(sum($bm25Micro) AS BIGINT) AS score_micro " +
+      "FROM scored GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20"
+
+  /** q_simsearch_hybrid — HYBRID RETRIEVAL: reciprocal-rank fusion of the
+    * lexical ranking ([[searchBm25]]'s top-20) and the vector ranking
+    * ([[simsearchTopk]]'s top-20), the standard production combination of
+    * keyword and semantic search. RRF (Cormack et al., SIGIR'09):
+    * score(d) = Σ 1/(60 + rank_d) over the lists containing d — robust to
+    * incomparable score scales precisely because it fuses RANKS. Both
+    * branches are deterministic and already oracle-anchored, so the fused
+    * ranking replays in SQL end to end; the 1/(60+r) terms are
+    * micro-integers (no r ≤ 20 makes 10⁶/(60+r) land on a rounding
+    * boundary — 2·10⁶ has no odd quotient by any 61..80).
+    *
+    * Scale: the rank windows run over the two ALREADY-LIMITED top-20
+    * frames (bounded 20-row single-partition windows — not corpus
+    * windows); the fusion is a 20×20 outer join. The expensive work is
+    * the branches themselves, each already bounded-top-k.
+    */
+  def simsearchHybrid(s: SparkSession, d: String): DataFrame = {
+    val rrfK = 60
+    def rrfMicro(rank: Column): Column =
+      round(lit(1000000.0) / (lit(rrfK) + rank)).cast("long")
+    val lex = searchBm25(s, d).select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+          .as("r_lex"))
+    val vec = simsearchTopk(s, d).limit(20).select(col("vec_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .as("r_vec"))
+    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        (coalesce(rrfMicro(col("r_lex")), lit(0L)) +
+          coalesce(rrfMicro(col("r_vec")), lit(0L))).as("rrf_micro"),
+        col("r_lex").isNotNull.as("in_lexical"),
+        col("r_vec").isNotNull.as("in_vector"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** q_text_collocation_pmi — COLLOCATION MINING via pointwise mutual
     * information over adjacent token bigrams: PMI = log10(p(xy)/(p(x)p(y))),
     * the classic measure of "these two tokens co-occur far more than
@@ -3594,6 +3652,7 @@ object LlmData {
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_simhash_verified" -> dedupSimhashVerified _,
     "q_search_bm25" -> searchBm25 _,
+    "q_simsearch_hybrid" -> simsearchHybrid _,
     "q_embed_project" -> embedProject _,
     "q_text_classify" -> textClassify _)
 
@@ -4517,21 +4576,27 @@ object LlmData {
         "SELECT asg.vec_id, asg.cid AS cluster_id, drp.dropped_by, " +
         "drp.dropped_by IS NULL AS kept " +
         "FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id ORDER BY asg.vec_id"),
-    "q_search_bm25" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-        "dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id), " +
-        "hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'join', 'window')), " +
-        "tfq AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY doc_id, tok), " +
-        "dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok), " +
-        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
-        "ad AS (SELECT sum(dlen) * 1.0 / count(*) AS avgdl FROM dl), " +
-        "scored AS (SELECT tfq.doc_id AS doc_id, tfq.tf AS tf, dft.df AS df, dl.dlen AS dlen, " +
-        "nd.n_docs AS n_docs, ad.avgdl AS avgdl " +
-        "FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id JOIN dft ON tfq.tok = dft.tok " +
-        "CROSS JOIN nd CROSS JOIN ad) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, " +
-        s"CAST(sum($bm25Micro) AS BIGINT) AS score_micro " +
-        "FROM scored GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20"),
+    "q_search_bm25" -> (s"WITH $bm25SqlCtes $bm25TopSelect"),
+    // hybrid replay: both branch rankings re-derived from their own
+    // already-proven CTEs, ranked, full-outer fused with integer-micro RRF
+    "q_simsearch_hybrid" ->
+      (s"WITH $bm25SqlCtes, " +
+        s"bmtop AS ($bm25TopSelect), " +
+        "bmr AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY score_micro DESC, doc_id) AS r_lex FROM bmtop), " +
+        "q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "vtop AS (SELECT vec_id, round((" +
+        VectorOps.sqlCosine("embedding", "qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings, q2 WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 20), " +
+        "vr AS (SELECT vec_id, row_number() OVER " +
+        "(ORDER BY cos DESC, vec_id) AS r_vec FROM vtop) " +
+        "SELECT coalesce(bmr.doc_id, vr.vec_id) AS doc_id, " +
+        "coalesce(CAST(round(1000000.0 / (60 + r_lex)) AS BIGINT), 0) + " +
+        "coalesce(CAST(round(1000000.0 / (60 + r_vec)) AS BIGINT), 0) AS rrf_micro, " +
+        "r_lex IS NOT NULL AS in_lexical, r_vec IS NOT NULL AS in_vector " +
+        "FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.vec_id " +
+        "ORDER BY rrf_micro DESC, doc_id LIMIT 10"),
     "q_embed_project" ->
       // the oracle RE-DERIVES the sign matrix from md5 — agreement with the
       // driver-compiled literal rows is part of what the check proves

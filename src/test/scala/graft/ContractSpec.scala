@@ -41,7 +41,7 @@ class ContractSpec extends AnyFunSuite {
     "q_text_repetition", "q_text_unigram_lp", "q_corpus_domain_cap",
     "q_dedup_cluster", "q_simsearch_ivf_full", "q_simsearch_append",
     "q_simsearch_delete", "q_simsearch_stream_append", "q_simsearch_filtered",
-    "q_stream_join_outer",
+    "q_simsearch_hybrid", "q_stream_join_outer",
     "q_agg_grouped_fit", "q_source_corrupt_tolerant", "q_stream_stateful_tws",
     "q_embed_quantize", "q_text_pii_scrub",
     "q_embed_pq", "q_simsearch_pq_adc", "q_dedup_incremental",

@@ -454,6 +454,21 @@ class LlmDataSpec extends AnyFunSuite {
       "full-probe filtered scan must equal brute force over the matching subset")
   }
 
+  test("q_simsearch_hybrid: fusion reproduces RRF over the two branch rankings") {
+    val lex = LlmData.searchBm25(s, d).collect().map(_.getLong(0)).toSeq
+    val vec = LlmData.simsearchTopk(s, d).limit(20).collect().map(_.getLong(0)).toSeq
+    assert(lex.nonEmpty && vec.nonEmpty)
+    def rrf(rank: Int): Long = math.round(1000000.0 / (60 + rank))
+    val expected = (lex.zipWithIndex.map { case (id, i) => id -> rrf(i + 1) } ++
+      vec.zipWithIndex.map { case (id, i) => id -> rrf(i + 1) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = LlmData.simsearchHybrid(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected,
+      s"fused ranking must equal driver-side RRF over the branches")
+  }
+
   test("q_simsearch_delete: tombstones never surface; full probe equals brute force over survivors") {
     // default probe: no tombstoned id leaks through the anti join
     LlmData.simsearchDelete(s, d).collect()
