@@ -98,7 +98,7 @@ object LlmData {
     }
 
   /** Exact-text duplicate groups: every document mapped to the min-doc_id
-    * representative of its md5(text) group. The collapse that makes the
+    * representative of its sha2-256(text) group. The collapse that makes the
     * pair-generating dedup operators duplication-independent (the SimHash
     * fingerprint-collapse doctrine applied at the TEXT level, which is
     * exact for shingle semantics: identical text ⇒ identical shingle set ⇒
@@ -115,9 +115,16 @@ object LlmData {
     // the incremental output). NULL texts form their own namespaced group
     // (no md5 image can collide with "null:"), whose empty shingle set
     // correctly produces no pairs downstream.
+    // sha2-256, not md5: md5 collisions are CONSTRUCTIBLE (identical- and
+    // chosen-prefix attacks, both producing equal-length pairs — so a
+    // (length, md5) composite would NOT break them), and a collision here
+    // silently MERGES two distinct texts' dedup groups and fabricates J=1
+    // pairs for an adversarial corpus. The group key is computed once per
+    // document in the collapse scan (memo-persisted), so the stronger hash
+    // costs one pass over text bytes, not anything per-pair.
     val g = docs.select(col("doc_id"),
       when(col("text").isNull, lit("null:"))
-        .otherwise(concat(lit("t:"), md5(col("text")))).as("gid"))
+        .otherwise(concat(lit("t:"), sha2(col("text"), 256))).as("gid"))
     g.join(g.groupBy("gid").agg(min("doc_id").as("rep")), "gid")
       .select("doc_id", "rep")
   }
@@ -1251,9 +1258,24 @@ object LlmData {
       val src =
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tablePath)))
           s.readStream.schema(schema).parquet(tablePath)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        else {
+          // single-file table: stage the ONE file into a dedicated source
+          // dir instead of globbing the shared dataset root — a
+          // pathGlobFilter over `d` would also match any nested
+          // .../embeddings.parquet a sibling artifact happens to contain
+          // (or trip partition discovery on a sibling table dir), silently
+          // feeding extra rows into the stream. Hardlink when the
+          // filesystem allows (zero-copy), plain copy otherwise.
+          val srcDir = work.resolve("src")
+          java.nio.file.Files.createDirectories(srcDir)
+          val staged = srcDir.resolve("embeddings.parquet")
+          try java.nio.file.Files.createLink(staged,
+            java.nio.file.Paths.get(tablePath))
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(java.nio.file.Paths.get(tablePath), staged)
+          }
+          s.readStream.schema(schema).parquet(srcDir.toString)
+        }
       val q = assigned(src.where(expr(appendBatchCond)))
         .writeStream.format("parquet")
         .option("path", sinkOut.toString)
@@ -1289,6 +1311,14 @@ object LlmData {
     * listing — is the sink's exactly-once boundary: orphaned part-files
     * from failed or retried task attempts sit in the same dirs but never
     * enter the log.
+    *
+    * Each log file's version header must be exactly `v1` — a Spark
+    * format bump fails loudly HERE instead of feeding a misparsed file
+    * set downstream — and each entry is parsed as JSON with its `action`
+    * field honored: retention/compaction can write `action="delete"`
+    * entries, and publishing such a file would resurrect data the sink
+    * already disowned. An entry with no action defaults to add (the shape
+    * current Spark writes); an UNKNOWN action aborts rather than guessing.
     */
   private def streamSinkCommittedFiles(
       sinkOut: java.nio.file.Path): Set[java.nio.file.Path] = {
@@ -1300,15 +1330,33 @@ object LlmData {
       val st = java.nio.file.Files.list(meta)
       try st.iterator().asScala.toList finally st.close()
     }
-    val pathRe = """"path":"([^"]+)"""".r
-    logFiles.filterNot(_.getFileName.toString.startsWith(".")).flatMap { lf =>
-      java.nio.file.Files.readAllLines(lf).asScala
-        .filter(_.startsWith("{")).map { line =>
-          val m = pathRe.findFirstMatchIn(line).getOrElse(
-            sys.error(s"unparseable sink commit-log line in $lf: $line"))
-          java.nio.file.Paths.get(java.net.URI.create(m.group(1)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    val deletes = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    logFiles.filterNot(_.getFileName.toString.startsWith(".")).foreach { lf =>
+      val lines = java.nio.file.Files.readAllLines(lf).asScala
+      val header = lines.headOption.getOrElse("")
+      require(header == "v1",
+        s"unsupported sink commit-log version '$header' in $lf — " +
+          "this publisher understands the v1 SinkFileStatus format only")
+      lines.filter(_.startsWith("{")).foreach { line =>
+        val node =
+          try mapper.readTree(line)
+          catch { case e: Exception =>
+            sys.error(s"unparseable sink commit-log line in $lf: $line ($e)")
+          }
+        val p = Option(node.get("path")).map(_.asText).getOrElse(
+          sys.error(s"sink commit-log entry without a path in $lf: $line"))
+        val path = java.nio.file.Paths.get(java.net.URI.create(p))
+        Option(node.get("action")).map(_.asText).getOrElse("add") match {
+          case "add"    => adds += path
+          case "delete" => deletes += path
+          case other => sys.error(
+            s"unknown sink commit-log action '$other' for $p in $lf")
         }
-    }.toSet
+      }
+    }
+    (adds -- deletes).toSet
   }
 
   /** q_simsearch_filtered — FILTERED vector search, the ubiquitous
@@ -1398,6 +1446,179 @@ object LlmData {
         .select(col("vec_id"))), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(compactDir)
     probeCells(s, compactDir, typedlit(qEmb), cells)
+  }
+
+  /** q_simsearch_compact — CELL-WISE COMPACTION of the stream-appended IVF
+    * index, closing the lifecycle loop (build → append → delete → COMPACT):
+    * continuous ingest accretes one small file per touched cell per
+    * micro-batch ([[simsearchStreamAppend]]'s sink publish), and after
+    * enough appends the probe's cost turns file-open/metadata bound —
+    * one scheduler task and one parquet footer read per KB-scale file —
+    * instead of byte bound, exactly the fragmentation `q_maintain_compact`
+    * handles for flat tables. This pass applies the same MEASURED-BYTES
+    * bin-packing rule per CELL: each cell partition rewrites to
+    * ceil(cellBytes / target) files, a cell already at its bin-pack
+    * target is moved without a rewrite job, and every per-cell rewrite is
+    * an independent small job (fanned out concurrently — compaction
+    * parallelism is per-partition, the same shape a table-maintenance
+    * scheduler ships). Rows never cross cells, the quantizer is untouched,
+    * and the compacted generation publishes through the staged-build
+    * pattern, so readers see the old or the new generation, never a mix.
+    *
+    * Content-neutrality is enforced three ways: the probe result is
+    * oracle-checked against the SAME merged-index replay as
+    * `q_simsearch_append`/`q_simsearch_stream_append` (same rows, third
+    * transport), LlmDataSpec pins row-for-row index equality plus the
+    * per-cell file-count collapse, and the probe-identity assertion
+    * mirrors [[simsearchDeleteCompactedProbe]]'s precedent.
+    *
+    * Scale: compaction reads and writes only FRAGMENTED cells' bytes — an
+    * untouched cell costs a metadata move, so the pass is proportional to
+    * accreted-small-file volume (a day's arrivals), not index size; at
+    * 100 TB the bin-pack target is the 128 MB scan-split size and the
+    * per-cell jobs fan out across the cluster.
+    */
+  def simsearchCompact(s: SparkSession, d: String): DataFrame =
+    simsearchCompactProbe(s, d, defaultProbe)
+
+  /** Compacted-index scheme: c1 — identical ROW content to the s1
+    * stream-ingested index (that identity is the point), new file layout.
+    * Its own family/version so the generations never share a tag.
+    */
+  private val ivfCompactSchemeVersion = "c1"
+
+  /** Test seam: the compacted probe at a caller-chosen width. */
+  private[graft] def simsearchCompactProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = ivfAppendCentroids(s, d, ivfAppendTag(d))
+    val source = ivfStreamIndexWith(s, d, ivfStreamTag(d), centroids)
+    val compacted = ivfCompactedIndexFrom(s, d, source)
+    val (qEmb, cells) = routeWith(s, d, centroids, probeOf)
+    probeCells(s, compacted, typedlit(qEmb), cells)
+  }
+
+  /** Test seam: the compacted index path (LlmDataSpec reads it for the
+    * content-equality and per-cell file-count assertions).
+    */
+  private[graft] def ivfCompactedIndexPath(s: SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = ivfAppendCentroids(s, d, ivfAppendTag(d))
+    ivfCompactedIndexFrom(s, d,
+      ivfStreamIndexWith(s, d, ivfStreamTag(d), centroids))
+  }
+
+  /** Build-or-reuse the compacted GENERATION of the stream-appended index:
+    * the cell-wise bin-pack rewrite of `sourceIdx` into a staged dir,
+    * published atomically under the c1 tag.
+    */
+  private def ivfCompactedIndexFrom(s: SparkSession, d: String,
+      sourceIdx: String): String = {
+    val tag = graft.Fixtures.datasetTag(d, "embeddings", ivfCompactSchemeVersion)
+    val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf_compact", tag)) { staging =>
+      compactCellLayout(s, sourceIdx, staging)
+    }.toString
+    graft.Fixtures.sweepSuperseded("graft_ivf_compact", d,
+      ivfCompactSchemeVersion, tag)
+    dir
+  }
+
+  /** The cell-wise compaction pass itself (shared seam for the spec's
+    * direct assertions): for every `cell=` partition of a cell-partitioned
+    * index, bin-pack by measured on-disk bytes — target file count =
+    * ceil(bytes / targetBytes) (the `q_maintain_compact` rule, applied per
+    * cell) — rewriting ONLY cells above their target; a cell already at
+    * target is copied file-for-file (what an in-place compactor would
+    * simply skip). Per-cell work is independent, so cells fan out across
+    * a bounded thread pool as concurrent small jobs.
+    */
+  private[graft] def compactCellLayout(s: SparkSession, sourceIdx: String,
+      staging: java.nio.file.Path, targetBytes: Long = 256L * 1024): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(sourceIdx).getFileSystem(conf)
+    val cellDirs = fs.listStatus(new Path(sourceIdx))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    require(cellDirs.nonEmpty, s"no cell layout to compact under $sourceIdx")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, cellDirs.length))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val work = cellDirs.toSeq.map { cd =>
+        scala.concurrent.Future {
+          val dataFiles = fs.listStatus(cd.getPath).filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          val bytes = dataFiles.map(_.getLen).sum
+          val nTarget =
+            math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          val target = new Path(staging.resolve(cd.getPath.getName).toString)
+          if (dataFiles.length <= nTarget) {
+            fs.mkdirs(target)
+            dataFiles.foreach { f =>
+              FileUtil.copy(fs, f.getPath, fs,
+                new Path(target, f.getPath.getName), false, conf)
+            }
+          } else {
+            // coalesce, NOT repartition: merging a cell's co-located small
+            // files needs no shuffle — the rewrite is scan+write only
+            s.read.parquet(cd.getPath.toString).coalesce(nTarget)
+              .write.mode("overwrite").parquet(target.toString)
+          }
+        }
+      }
+      work.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(600, "s")))
+    } finally pool.shutdown()
+  }
+
+  /** q_simsearch_append_delete — the APPEND × TOMBSTONE composition: a
+    * batch is appended under the frozen codebook ([[simsearchAppend]]'s
+    * merged index, reused verbatim), then PART OF THAT BATCH plus some
+    * standing rows are tombstoned, and the probe serves the surviving set
+    * — the cross-operation invariant the lifecycle needs pinned: deletes
+    * apply identically to appended and original rows (the index has no
+    * memory of which write delivered a row), and neither operation
+    * retrains the quantizer. The tombstone set deliberately INTERSECTS
+    * the appended batch (vec_id ≡ 7 mod 20 — half of the ≡ 7 mod 10
+    * arrivals — plus the standing ≡ 3 mod 10 rows), so a same-day
+    * "ingest then retract" row is exercised, not just independent sets.
+    *
+    * Oracle-checked end to end: the appended-index routing replay
+    * ([[ivfRouteSqlCtesOver]] with the standing predicate) composed with
+    * the tombstone predicate in the final SELECT — a retracted appended
+    * row leaking through (or a surviving batch row over-deleted) fails
+    * the hash gate.
+    */
+  def simsearchAppendDelete(s: SparkSession, d: String): DataFrame =
+    simsearchAppendDeleteProbe(s, d, defaultProbe)
+
+  /** The composed scenario's tombstone predicate over a vec_id reference —
+    * ONE template shared by the engine (`appendDeleteCond("vec_id")`) and
+    * the oracle (`appendDeleteCond("e.vec_id")`), so the two sides cannot
+    * drift. Intersects [[appendBatchCond]] (7 mod 20 ⊂ 7 mod 10) AND the
+    * standing corpus (3 mod 10); never the query vector (0).
+    */
+  private[operators] def appendDeleteCond(ref: String): String =
+    s"$ref % 20 = 7 OR $ref % 10 = 3"
+
+  /** Test seam: the composed probe at a caller-chosen width (MaxValue →
+    * brute force over standing+batch minus tombstones, asserted in
+    * LlmDataSpec).
+    */
+  private[graft] def simsearchAppendDeleteProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tag = ivfAppendTag(d)
+    val centroids = ivfAppendCentroids(s, d, tag)
+    val indexPath = ivfAppendIndexWith(s, d, tag, centroids)
+    val (qEmb, cells) = routeWith(s, d, centroids, probeOf)
+    probeCells(s, indexPath, typedlit(qEmb), cells,
+      tombstones = Some(t(s, d, "embeddings")
+        .where(expr(appendDeleteCond("vec_id"))).select(col("vec_id"))))
   }
 
   /** IVF cell count for an n-vector corpus: ~√n — the classic IVF sizing
@@ -2041,6 +2262,80 @@ object LlmData {
       .select(col("query_id"), col("vec_id"),
         r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
       .withColumn("rk", row_number().over(wC))
+      .where(col("rk") <= 20)
+      .select("query_id", "vec_id", "cos")
+      .orderBy(col("query_id"), desc("cos"), col("vec_id"))
+  }
+
+  /** q_simsearch_batch_routed — a query TABLE through the IVF CELL-PRUNED
+    * path, the production serving shape the single-vector probes and the
+    * full-scan [[simsearchBatch]] bracket but neither exercises: each of
+    * the nq queries routes to its own top-⅛ probe cells under the shared
+    * codebook, the probed cells UNION into ONE statically-pruned index
+    * scan, and per-(query, vector) exact cosine ranks only rows in that
+    * query's own cells. Routing the whole batch is one scan over the
+    * query table plus an O(nq·nCells) driver decision (queries are
+    * day-sized control plane, like the single-vector route); the data
+    * path is one pruned scan + a broadcast-hash join against the nq×probeN
+    * exploded (query, cell) routing table — batch size changes the
+    * broadcast's row count, never the plan shape.
+    *
+    * Fully oracle-checked: the routing replay ([[ivfRouteSqlCtes]])
+    * extended per query_id — the `rqpb` CTE ranks every query's cells
+    * with the same (score DESC, cell) rule — then per-query exact-cosine
+    * top-20, so a mis-routed query or a row served from another query's
+    * cells fails the hash gate.
+    *
+    * Scale: nq queries cost ONE scan of ~min(1, nq/8)·|index| probed
+    * bytes instead of nq scans; the scan fraction is the union of probe
+    * sets, which saturates only when the batch's queries cover all cells
+    * — exactly the amortization batched retrieval serves at 100 TB.
+    */
+  def simsearchBatchRouted(s: SparkSession, d: String): DataFrame =
+    simsearchBatchRoutedProbe(s, d, defaultProbe)
+
+  /** Test seam: the routed batch at a caller-chosen width — nProbe =
+    * MaxValue probes every cell for every query, so the result must EQUAL
+    * per-query brute force over the corpus (asserted in LlmDataSpec, the
+    * [[simsearchIvfFull]] symmetry batched).
+    */
+  private[graft] def simsearchBatchRoutedProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val tag = ivfTag(d)
+    val centroids = ivfCentroids(s, d, tag)
+    val indexPath = ivfStagedIndexWith(s, d, tag, centroids)
+    val nCells = centroids.length
+    val probeN = math.min(math.max(probeOf(nCells), 1), nCells)
+    // the batch's routing decision: per query the same ranked top-probeN
+    // cells as [[routeWith]] derives for one vector, one scan for all nq
+    val routed = t(s, d, "embeddings").where(col("vec_id") < 8)
+      .withColumn("scores", expr(ivfCellsExpr(centroids, "embedding")))
+      .withColumn("probe_cells", expr(
+        s"""transform(slice(array_sort(
+           |  zip_with(scores, sequence(1, $nCells), (sc, i) -> struct(-sc AS s, i AS i))),
+           |  1, $probeN), p -> CAST(p.i AS BIGINT))""".stripMargin))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("probe_cells"))
+      .collect() // nq routing rows — O(nq) control plane, not a data collect
+    val unionCells = routed
+      .flatMap(_.getAs[scala.collection.Seq[Long]]("probe_cells"))
+      .distinct.toSeq
+    val routesExpl = routed.toSeq.flatMap { row =>
+      val qid = row.getAs[Long]("query_id")
+      val qe = row.getAs[scala.collection.Seq[Float]]("q_emb").toSeq
+      row.getAs[scala.collection.Seq[Long]]("probe_cells").map(c => (qid, c, qe))
+    }.toDF("query_id", "cell", "q_emb")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    s.read.parquet(indexPath)
+      // static pruning on the UNION of probe sets; per-query membership is
+      // the broadcast equi-join on cell below
+      .where(col("cell").isin(unionCells: _*) && col("vec_id") >= 8)
+      .join(broadcast(routesExpl), "cell")
+      .select(col("query_id"), col("vec_id"),
+        r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 20)
       .select("query_id", "vec_id", "cos")
       .orderBy(col("query_id"), desc("cos"), col("vec_id"))
@@ -3614,6 +3909,8 @@ object LlmData {
     "q_simsearch_append" -> simsearchAppend _,
     "q_simsearch_stream_append" -> simsearchStreamAppend _,
     "q_simsearch_delete" -> simsearchDelete _,
+    "q_simsearch_compact" -> simsearchCompact _,
+    "q_simsearch_append_delete" -> simsearchAppendDelete _,
     "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
@@ -3621,6 +3918,7 @@ object LlmData {
     "q_simsearch_ivfpq_full" -> simsearchIvfPqFull _,
     "q_simsearch_batch" -> simsearchBatch _,
     "q_simsearch_batch_rerank" -> simsearchBatchRerank _,
+    "q_simsearch_batch_routed" -> simsearchBatchRouted _,
     "q_simsearch_rerank" -> simsearchRerank _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
@@ -4306,6 +4604,28 @@ object LlmData {
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
         "AS r FROM rr) WHERE r <= 20 " +
         "ORDER BY query_id, cos DESC, vec_id"),
+    // batched routed probe: the routing replay extended PER QUERY — rqpb
+    // ranks every query's probe cells with the same (score DESC, cell)
+    // rule the single-vector rqp uses — then per-query exact-cosine
+    // top-20 inside each query's own cells
+    "q_simsearch_batch_routed" ->
+      (s"WITH $ivfRouteSqlCtes, " +
+        "rqpb AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk " +
+        "FROM rsc WHERE vec_id < 8) WHERE rk <= (SELECT probe_n FROM rpn)), " +
+        "qb AS (SELECT vec_id AS query_id, embedding AS qe " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "candr AS (SELECT qb.query_id AS query_id, e.vec_id AS vec_id, " +
+        "round((" + VectorOps.sqlCosine("e.embedding", "qb.qe") +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id " +
+        "JOIN rqpb ON rasg.cell = rqpb.cell " +
+        "JOIN qb ON qb.query_id = rqpb.query_id " +
+        "WHERE e.vec_id >= 8) " +
+        "SELECT query_id, vec_id, cos FROM (SELECT query_id, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
+        "AS rr FROM candr) WHERE rr <= 20 " +
+        "ORDER BY query_id, cos DESC, vec_id"),
     "q_embed_quantize" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale_raw " +
@@ -4346,6 +4666,17 @@ object LlmData {
     // equality spec-pinned), so it is checked against the SAME replay —
     // same rows, different transport
     "q_simsearch_stream_append" -> appendReplaySql,
+    // compaction is content-neutral BY CONTRACT, so the compacted
+    // generation answers to the same merged-index replay — same rows,
+    // third layout; a row lost or duplicated by the rewrite fails the
+    // hash gate
+    "q_simsearch_compact" -> appendReplaySql,
+    // append × tombstone composition: the appended-index routing replay
+    // with the composed tombstone predicate in the final SELECT — the
+    // same-day ingest-then-retract rows must NOT surface
+    "q_simsearch_append_delete" ->
+      (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
+        ivfProbeSelectSql(s"AND NOT (${appendDeleteCond("e.vec_id")}) ")),
     // delete replay: the standing routing chain untouched (deletes never
     // retrain the quantizer), the tombstone predicate applied in the final
     // SELECT — a leaked tombstoned row or an over-deleted survivor fails

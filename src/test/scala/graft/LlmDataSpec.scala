@@ -515,6 +515,113 @@ class LlmDataSpec extends AnyFunSuite {
       s"tombstone removal must be a broadcast left-anti join, got:\n$plan")
   }
 
+  private def cellFileCounts(path: String): Map[String, (Int, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { cd =>
+        val files = fs.listStatus(cd.getPath).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        cd.getPath.getName -> (files.length, files.map(_.getLen).sum)
+      }.toMap
+  }
+
+  test("q_simsearch_compact: per-cell file counts collapse to the bin-pack target") {
+    val source = LlmData.ivfStreamIndexPath(s, d)
+    val compacted = LlmData.ivfCompactedIndexPath(s, d)
+    val before = cellFileCounts(source)
+    val after = cellFileCounts(compacted)
+    assert(after.keySet === before.keySet, "compaction must keep every cell")
+    val target = 256L * 1024
+    after.foreach { case (cell, (nAfter, _)) =>
+      val (nBefore, bytesBefore) = before(cell)
+      val binPack = math.max(1L, (bytesBefore + target - 1) / target).toInt
+      assert(nAfter <= nBefore, s"$cell grew: $nBefore -> $nAfter files")
+      assert(nAfter <= binPack,
+        s"$cell holds $nAfter files, bin-pack target $binPack")
+    }
+    val totalBefore = before.values.map(_._1).sum
+    val totalAfter = after.values.map(_._1).sum
+    assert(totalAfter < totalBefore,
+      s"stream accretion must actually compact: $totalBefore -> $totalAfter files")
+  }
+
+  test("q_simsearch_compact: the compacted generation holds exactly the source rows") {
+    val source = s.read.parquet(LlmData.ivfStreamIndexPath(s, d))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val compacted = s.read.parquet(LlmData.ivfCompactedIndexPath(s, d))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(compacted === source,
+      "compaction must be content-neutral row for row")
+  }
+
+  test("q_simsearch_compact: probe identity with the uncompacted stream index, at both widths") {
+    val c = LlmData.simsearchCompactProbe(s, d, LlmData.defaultProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val u = LlmData.simsearchStreamAppendProbe(s, d, LlmData.defaultProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(c === u, "compaction must not change what the probe serves")
+    val cf = LlmData.simsearchCompactProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val uf = LlmData.simsearchAppendProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(cf === uf, "full probe over the compacted generation must equal the merged index's")
+  }
+
+  test("q_simsearch_append_delete: retracted batch rows never surface; full probe equals brute force over survivors") {
+    LlmData.simsearchAppendDelete(s, d).collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(!(id % 20 == 7 || id % 10 == 3), s"tombstoned $id surfaced")
+    }
+    val composed = LlmData.simsearchAppendDeleteProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val emb = Tables(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val brute = emb.crossJoin(q)
+      .where(col("vec_id") =!= 0 && !expr("vec_id % 20 = 7 OR vec_id % 10 = 3"))
+      .select(col("vec_id"),
+        (round(graft.functions.VectorOps.cosine(col("embedding"), col("q_emb")) * 1e4) / 1e4)
+          .as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(composed === brute,
+      "full-probe appended+tombstoned scan must equal brute force minus the retracted set")
+  }
+
+  test("q_simsearch_batch_routed: full probe equals per-query brute force") {
+    val full = LlmData.simsearchBatchRoutedProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val emb = Tables(s, d, "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    val brute = emb.where(col("vec_id") >= 8).crossJoin(queries)
+      .select(col("query_id"), col("vec_id"),
+        (round(graft.functions.VectorOps.cosine(col("embedding"), col("q_emb")) * 1e4) / 1e4)
+          .as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 20)
+      .select("query_id", "vec_id", "cos")
+      .orderBy(col("query_id"), desc("cos"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full === brute,
+      "routing every query to every cell must reproduce per-query brute force")
+  }
+
+  test("q_simsearch_batch_routed: the routing join broadcasts (hash, not nested-loop)") {
+    val plan = LlmData.simsearchBatchRouted(s, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-query cell membership must be a broadcast HASH join, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the exploded (query, cell) table makes the membership join an equi-join")
+  }
+
   test("q_dedup_incremental agrees with the full pair table restricted to new x corpus") {
     val inc = LlmData.dedupIncremental(s, d).collect()
       .map(r => (r.getLong(0),
