@@ -109,12 +109,12 @@ object LlmData {
     * is the true pair count itself.
     */
   private def textMembers(docs: DataFrame): DataFrame = {
-    // NULL-safe group key: md5(NULL) is NULL and an equi-join drops NULL
+    // NULL-safe group key: sha2(NULL) is NULL and an equi-join drops NULL
     // keys, which would silently erase NULL-text documents from every
     // collapsed operator (they must still REPORT — e.g. is_dup = false in
     // the incremental output). NULL texts form their own namespaced group
-    // (no md5 image can collide with "null:"), whose empty shingle set
-    // correctly produces no pairs downstream.
+    // (no "t:"-prefixed hash image can collide with "null:"), whose empty
+    // shingle set correctly produces no pairs downstream.
     // sha2-256, not md5: md5 collisions are CONSTRUCTIBLE (identical- and
     // chosen-prefix attacks, both producing equal-length pairs — so a
     // (length, md5) composite would NOT break them), and a collision here
@@ -1320,7 +1320,7 @@ object LlmData {
     * already disowned. An entry with no action defaults to add (the shape
     * current Spark writes); an UNKNOWN action aborts rather than guessing.
     */
-  private def streamSinkCommittedFiles(
+  private[graft] def streamSinkCommittedFiles(
       sinkOut: java.nio.file.Path): Set[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     val meta = sinkOut.resolve("_spark_metadata")

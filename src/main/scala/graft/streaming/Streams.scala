@@ -535,10 +535,16 @@ object Streams {
     // emit past ITS eviction horizon, which never arrives — and the final
     // filter drops negative ids regardless. Sent TWICE: null rows are
     // emitted by state eviction, which runs while processing a batch under
-    // the already-advanced watermark (the first sentinel batch advances it
-    // post-commit, the second drives the eviction pass —
-    // processAllAvailable does not wait for Spark's internal
-    // watermark-only no-data batch).
+    // the already-advanced watermark — and processAllAvailable does not
+    // wait for Spark's internal watermark-only no-data batch. The FIRST
+    // sentinel pair rides ALONG WITH the data in micro-batch 1
+    // (firstBatchExtra): inner matches emit there and the commit advances
+    // both branch watermarks past every real event; the ONE later batch
+    // then drives the eviction pass that emits the null rows. Two
+    // micro-batches total where the r10 shape paid three — the harness
+    // floor is per-batch (state-store open/commit × partitions), so
+    // dropping a batch cuts ~1/3 of the fixed cost (measured in
+    // docs/SCALING.md "streaming harness floor").
     val sentinels = Seq(
       Ev(-2L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "click", 0.0),
       Ev(-3L, Instant.parse("2030-06-01T00:00:00Z"), -2L, "purchase", 0.0)).toDF()
@@ -558,7 +564,7 @@ object Streams {
             col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"),
           "left_outer")
       },
-      d, Seq(sentinels, sentinels), key = "join_outer")
+      d, Seq(sentinels), firstBatchExtra = Seq(sentinels), key = "join_outer")
       .where(col("c_event") >= 0)
       .select(col("c_event"), col("p_event"), col("user_id"),
         col("value").as("purchase_value"))

@@ -611,6 +611,54 @@ class LlmDataSpec extends AnyFunSuite {
     assert(cf === uf, "full probe over the compacted generation must equal the merged index's")
   }
 
+  test("sink commit-log parser: honors action=delete, rejects unknown versions and actions") {
+    import java.nio.file.{Files, Path}
+    def withLog(lines: Seq[String])(body: Path => Unit): Unit = {
+      val dir = Files.createTempDirectory("graft_sinklog")
+      try {
+        val meta = dir.resolve("_spark_metadata")
+        Files.createDirectories(meta)
+        Files.writeString(meta.resolve("0"), lines.mkString("\n") + "\n")
+        body(dir)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val w = Files.walk(dir)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+    }
+    def entry(name: String, action: String) =
+      s"""{"path":"file:///sink/cell=1/$name","size":10,"isDir":false,""" +
+        s""""modificationTime":1,"blockReplication":1,"blockSize":1,"action":"$action"}"""
+    // add-only log: both files published
+    withLog(Seq("v1", entry("a.parquet", "add"), entry("b.parquet", "add"))) { d =>
+      val got = operators.LlmData.streamSinkCommittedFiles(d)
+        .map(_.getFileName.toString)
+      assert(got === Set("a.parquet", "b.parquet"))
+    }
+    // a retention delete entry must EXCLUDE the file — republishing it
+    // would resurrect data the sink already disowned (r10 advice item)
+    withLog(Seq("v1", entry("a.parquet", "add"), entry("b.parquet", "add"),
+      entry("a.parquet", "delete"))) { d =>
+      val got = operators.LlmData.streamSinkCommittedFiles(d)
+        .map(_.getFileName.toString)
+      assert(got === Set("b.parquet"))
+    }
+    // a log-format bump must fail loudly at the parse site, not feed a
+    // misparsed file set downstream
+    withLog(Seq("v2", entry("a.parquet", "add"))) { d =>
+      val e = intercept[IllegalArgumentException](
+        operators.LlmData.streamSinkCommittedFiles(d))
+      assert(e.getMessage.contains("v1"))
+    }
+    // an unknown action aborts rather than guessing publish semantics
+    withLog(Seq("v1", entry("a.parquet", "archive"))) { d =>
+      val e = intercept[RuntimeException](
+        operators.LlmData.streamSinkCommittedFiles(d))
+      assert(e.getMessage.contains("archive"))
+    }
+  }
+
   test("q_simsearch_append_delete: retracted batch rows never surface; full probe equals brute force over survivors") {
     LlmData.simsearchAppendDelete(s, d).collect().foreach { r =>
       val id = r.getLong(0)
