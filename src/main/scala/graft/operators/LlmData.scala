@@ -1167,6 +1167,13 @@ object LlmData {
       extraPred +
       "ORDER BY cos DESC, e.vec_id LIMIT 20"
 
+  /** Test seam: the frozen standing-subset codebook itself (LlmDataSpec
+    * recomputes the drift monitor's best-dot sums from it driver-side).
+    */
+  private[graft] def ivfAppendCodebook(s: SparkSession,
+      d: String): Array[Array[Double]] =
+    ivfAppendCentroids(s, d, ivfAppendTag(d))
+
   /** Test seam: every vector's cell under the FROZEN standing codebook,
     * recomputed in-plan — row-for-row equality with the staged index is
     * the completeness + frozen-assignment identity LlmDataSpec asserts.
@@ -1604,6 +1611,48 @@ object LlmData {
     */
   private[operators] def appendDeleteCond(ref: String): String =
     s"$ref % 20 = 7 OR $ref % 10 = 3"
+
+  /** q_simsearch_drift — QUANTIZER DRIFT monitoring, the control signal
+    * that decides when the frozen-codebook lifecycle must rebuild: per
+    * cohort (standing corpus vs appended batch), the count and the mean
+    * best-centroid dot under the FROZEN standing codebook. A healthy
+    * append scores like the corpus the quantizer was trained on; a
+    * drifted arrival distribution scores systematically lower (its
+    * vectors sit far from every frozen centroid), and that gap —
+    * `mean_best(standing) − mean_best(batch)` — is the retrain trigger a
+    * production index monitors after every append. Deterministic end to
+    * end: per-vector best score is `array_max` over the same codegen'd
+    * literal-centroid scores the assignment uses, accumulated as exact
+    * integer micro units ([[Det]] doctrine) so the sum is order-free,
+    * and the mean is one double division of two exact integers on both
+    * engines.
+    *
+    * Oracle-checked: the routing replay's `rsc` score table (standing-
+    * predicate codebook) grouped per cohort — a drifted centroid, a
+    * miscounted cohort, or a single mis-scored vector fails the hash
+    * gate.
+    *
+    * Scale: one scan of the corpus + batch with a ≤256-literal score
+    * projection, one 2-row aggregate — the monitoring query is free
+    * relative to the append it audits; at a billion vectors the same
+    * aggregate rides the append job's existing scan.
+    */
+  def simsearchDrift(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids = ivfAppendCentroids(s, d, ivfAppendTag(d))
+    val scores = ivfCellsExpr(centroids, "embedding")
+    t(s, d, "embeddings")
+      .select(
+        when(expr(appendBatchCond), lit("batch")).otherwise(lit("standing"))
+          .as("cohort"),
+        expr(s"CAST(round(array_max($scores) * 1000000, 0) AS BIGINT)")
+          .as("bd_micro"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum(col("bd_micro")).as("sum_best_micro"))
+      .withColumn("mean_best",
+        r(col("sum_best_micro") / lit(1000000.0) / col("n"), 6))
+      .orderBy("cohort")
+  }
 
   /** Test seam: the composed probe at a caller-chosen width (MaxValue →
     * brute force over standing+batch minus tombstones, asserted in
@@ -3946,6 +3995,7 @@ object LlmData {
     "q_simsearch_delete" -> simsearchDelete _,
     "q_simsearch_compact" -> simsearchCompact _,
     "q_simsearch_append_delete" -> simsearchAppendDelete _,
+    "q_simsearch_drift" -> simsearchDrift _,
     "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
@@ -4723,6 +4773,19 @@ object LlmData {
     "q_simsearch_append_delete" ->
       (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
         ivfProbeSelectSql(s"AND NOT (${appendDeleteCond("e.vec_id")}) ")),
+    // drift monitor: the routing replay's score table (frozen standing
+    // codebook) reduced to per-vector best dots in exact integer micros,
+    // grouped per cohort — a drifted centroid or one mis-scored vector
+    // fails the hash gate
+    "q_simsearch_drift" ->
+      (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
+        "bq AS (SELECT vec_id, CAST(round(max(score) * 1000000, 0) AS BIGINT) " +
+        "AS bd FROM rsc GROUP BY vec_id) " +
+        s"SELECT CASE WHEN $appendBatchCond THEN 'batch' ELSE 'standing' END " +
+        "AS cohort, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(bd) AS BIGINT) AS sum_best_micro, " +
+        "round(sum(bd) / 1000000.0 / count(*) * 1000000, 0) / 1000000 AS mean_best " +
+        "FROM bq GROUP BY 1 ORDER BY cohort"),
     // delete replay: the standing routing chain untouched (deletes never
     // retrain the quantizer), the tombstone predicate applied in the final
     // SELECT — a leaked tombstoned row or an over-deleted survivor fails

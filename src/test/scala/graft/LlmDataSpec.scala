@@ -679,6 +679,33 @@ class LlmDataSpec extends AnyFunSuite {
       "full-probe appended+tombstoned scan must equal brute force minus the retracted set")
   }
 
+  test("q_simsearch_drift: cohort counts and best-dot sums match a driver recompute") {
+    val out = LlmData.simsearchDrift(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val emb = Tables(s, d, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // the engine's kernel float-casts the centroid literals, so the
+    // reference does too before the ascending double fold
+    val cb = LlmData.ivfAppendCodebook(s, d).map(_.map(_.toFloat))
+    def best(v: Array[Float]): Long = {
+      val m = cb.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { acc += v(i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }.max
+      math.round(m * 1000000)
+    }
+    val (bat, sta) = emb.partition(_._1 % 10 == 7)
+    assert(out.keySet === Set("batch", "standing"))
+    assert(out("batch")._1 === bat.length.toLong)
+    assert(out("standing")._1 === sta.length.toLong)
+    assert(out("batch")._2 === bat.map(e => best(e._2)).sum,
+      "batch best-dot micro sum must equal the driver fold")
+    assert(out("standing")._2 === sta.map(e => best(e._2)).sum,
+      "standing best-dot micro sum must equal the driver fold")
+  }
+
   test("q_simsearch_batch_routed: full probe equals per-query brute force") {
     val full = LlmData.simsearchBatchRoutedProbe(s, d, _ => Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
