@@ -1488,11 +1488,13 @@ object LlmData {
   def simsearchCompact(s: SparkSession, d: String): DataFrame =
     simsearchCompactProbe(s, d, defaultProbe)
 
-  /** Compacted-index scheme: c1 — identical ROW content to the s1
-    * stream-ingested index (that identity is the point), new file layout.
-    * Its own family/version so the generations never share a tag.
+  /** Compacted-index scheme: c1 OVER the stream scheme it derives from —
+    * identical ROW content to the stream-ingested index (that identity is
+    * the point), new file layout. The source scheme version is part of
+    * this tag, so bumping the stream scheme can never leave a stale
+    * compacted generation serving the old rows.
     */
-  private val ivfCompactSchemeVersion = "c1"
+  private def ivfCompactSchemeVersion = s"c1-$ivfStreamSchemeVersion"
 
   /** Test seam: the compacted probe at a caller-chosen width. */
   private[graft] def simsearchCompactProbe(s: SparkSession, d: String,
