@@ -191,10 +191,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a cell partition filter on the index scan:\n$p")
   }
 
-  test("lifecycle probes (append/stream-append/delete) keep static cell pruning on the index scan") {
+  test("lifecycle probes (append/stream-append/delete/compact/append-delete/batch-routed) keep static cell pruning on the index scan") {
     Seq("append" -> graft.operators.LlmData.simsearchAppend(s, d),
         "stream_append" -> graft.operators.LlmData.simsearchStreamAppend(s, d),
-        "delete" -> graft.operators.LlmData.simsearchDelete(s, d))
+        "delete" -> graft.operators.LlmData.simsearchDelete(s, d),
+        "compact" -> graft.operators.LlmData.simsearchCompact(s, d),
+        "append_delete" -> graft.operators.LlmData.simsearchAppendDelete(s, d),
+        "batch_routed" -> graft.operators.LlmData.simsearchBatchRouted(s, d))
       .foreach { case (name, df) =>
         val p = plan(df)
         assert(p.linesIterator.exists(l =>
