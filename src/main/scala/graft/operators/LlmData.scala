@@ -1541,9 +1541,15 @@ object LlmData {
     * target is copied file-for-file (what an in-place compactor would
     * simply skip). Per-cell work is independent, so cells fan out across
     * a bounded thread pool as concurrent small jobs.
+    *
+    * `purgeOf` turns the pass into PURGE-ON-COMPACT ([[simsearchReclaim]]):
+    * a cell mapped to Some(pred) is FORCED through the rewrite branch with
+    * the predicate applied — tombstoned rows die in the rewrite — while
+    * cells mapped to None keep the copy-or-bin-pack fast path untouched.
     */
   private[graft] def compactCellLayout(s: SparkSession, sourceIdx: String,
-      staging: java.nio.file.Path, targetBytes: Long = 256L * 1024): Unit = {
+      staging: java.nio.file.Path, targetBytes: Long = 256L * 1024,
+      purgeOf: Long => Option[Column] = _ => None): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new Path(sourceIdx).getFileSystem(conf)
@@ -1557,6 +1563,8 @@ object LlmData {
     try {
       val work = cellDirs.toSeq.map { cd =>
         scala.concurrent.Future {
+          val cellId = cd.getPath.getName.stripPrefix("cell=").toLong
+          val purge = purgeOf(cellId)
           val dataFiles = fs.listStatus(cd.getPath).filter { st =>
             val n = st.getPath.getName
             st.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -1565,7 +1573,7 @@ object LlmData {
           val nTarget =
             math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
           val target = new Path(staging.resolve(cd.getPath.getName).toString)
-          if (dataFiles.length <= nTarget) {
+          if (purge.isEmpty && dataFiles.length <= nTarget) {
             fs.mkdirs(target)
             dataFiles.foreach { f =>
               FileUtil.copy(fs, f.getPath, fs,
@@ -1574,7 +1582,8 @@ object LlmData {
           } else {
             // coalesce, NOT repartition: merging a cell's co-located small
             // files needs no shuffle — the rewrite is scan+write only
-            s.read.parquet(cd.getPath.toString).coalesce(nTarget)
+            purge.foldLeft(s.read.parquet(cd.getPath.toString))(_.where(_))
+              .coalesce(nTarget)
               .write.mode("overwrite").parquet(target.toString)
           }
         }
@@ -1582,6 +1591,91 @@ object LlmData {
       work.foreach(f => scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration(600, "s")))
     } finally pool.shutdown()
+  }
+
+  /** q_simsearch_reclaim — PHYSICAL TOMBSTONE RECLAIM as purge-on-compact,
+    * the last composition of the lifecycle loop: the appended index's
+    * tombstones ([[appendDeleteCond]]'s set — half the appended batch plus
+    * standing rows) are applied DURING a cell-wise compaction rewrite, and
+    * the probe then serves the reclaimed generation with NO tombstone
+    * join at all — storage and read cost both return to the no-delete
+    * baseline, which is what separates reclaim from the logical delete
+    * (`q_simsearch_delete` keeps paying the anti-join lookup forever).
+    *
+    * The rewrite is CELL-TARGETED: the tombstone ids route through the
+    * same frozen codebook the index was assigned under ([[frozenAssign]]),
+    * so only cells actually HOLDING a tombstone are rewritten (with the
+    * purge predicate fused into the rewrite's scan) — every other cell
+    * takes the untouched copy/bin-pack fast path, asserted file-for-file
+    * in LlmDataSpec. That routing is what keeps reclaim proportional to
+    * the delete set's cell footprint, not to index size, at 100 TB.
+    *
+    * Probe identity with the logical path is the contract: this key
+    * shares `q_simsearch_append_delete`'s oracle replay VERBATIM (same
+    * surviving rows, physical instead of logical removal), and LlmDataSpec
+    * additionally pins that no tombstoned id exists anywhere in the
+    * reclaimed index.
+    */
+  def simsearchReclaim(s: SparkSession, d: String): DataFrame =
+    simsearchReclaimProbe(s, d, defaultProbe)
+
+  /** Reclaimed-index scheme: derived from the appended index it purges, so
+    * an append-scheme bump invalidates the reclaimed generation with it.
+    */
+  private def ivfReclaimSchemeVersion = s"rc1-$ivfAppendSchemeVersion"
+
+  /** Test seam: the reclaimed probe at a caller-chosen width. */
+  private[graft] def simsearchReclaimProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tag = ivfAppendTag(d)
+    val centroids = ivfAppendCentroids(s, d, tag)
+    val source = ivfAppendIndexWith(s, d, tag, centroids)
+    val reclaimed = ivfReclaimedIndexFrom(s, d, source, centroids)
+    val (qEmb, cells) = routeWith(s, d, centroids, probeOf)
+    probeCells(s, reclaimed, typedlit(qEmb), cells)
+  }
+
+  /** Test seam: the reclaimed index path plus the purged cell set
+    * (LlmDataSpec asserts tombstone absence and that non-purged cells
+    * kept their exact source files).
+    */
+  private[graft] def ivfReclaimedIndexPath(s: SparkSession,
+      d: String): (String, Set[Long]) = {
+    graft.functions.GraftFunctions.register(s)
+    val tag = ivfAppendTag(d)
+    val centroids = ivfAppendCentroids(s, d, tag)
+    val source = ivfAppendIndexWith(s, d, tag, centroids)
+    (ivfReclaimedIndexFrom(s, d, source, centroids),
+      tombstoneCells(s, d, centroids)._1)
+  }
+
+  /** The tombstone set's cell footprint under the frozen codebook: the
+    * cells needing a purge rewrite, and the tombstoned ids themselves —
+    * one day-sized collect (the same control-plane shape as routing).
+    */
+  private def tombstoneCells(s: SparkSession, d: String,
+      centroids: Array[Array[Double]]): (Set[Long], Set[Long]) = {
+    val rows = frozenAssign(centroids)(
+      t(s, d, "embeddings").where(expr(appendDeleteCond("vec_id"))))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect()
+    (rows.map(_.getLong(1)).toSet, rows.map(_.getLong(0)).toSet)
+  }
+
+  private def ivfReclaimedIndexFrom(s: SparkSession, d: String,
+      sourceIdx: String, centroids: Array[Array[Double]]): String = {
+    val tag = graft.Fixtures.datasetTag(d, "embeddings", ivfReclaimSchemeVersion)
+    val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf_reclaim", tag)) { staging =>
+      val (cells, ids) = tombstoneCells(s, d, centroids)
+      val idList = ids.toSeq.sorted
+      compactCellLayout(s, sourceIdx, staging, purgeOf = c =>
+        if (cells.contains(c)) Some(!col("vec_id").isin(idList: _*)) else None)
+    }.toString
+    graft.Fixtures.sweepSuperseded("graft_ivf_reclaim", d,
+      ivfReclaimSchemeVersion, tag)
+    dir
   }
 
   /** q_simsearch_append_delete — the APPEND × TOMBSTONE composition: a
@@ -3997,6 +4091,7 @@ object LlmData {
     "q_simsearch_delete" -> simsearchDelete _,
     "q_simsearch_compact" -> simsearchCompact _,
     "q_simsearch_append_delete" -> simsearchAppendDelete _,
+    "q_simsearch_reclaim" -> simsearchReclaim _,
     "q_simsearch_drift" -> simsearchDrift _,
     "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
@@ -4773,6 +4868,14 @@ object LlmData {
     // with the composed tombstone predicate in the final SELECT — the
     // same-day ingest-then-retract rows must NOT surface
     "q_simsearch_append_delete" ->
+      (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
+        ivfProbeSelectSql(s"AND NOT (${appendDeleteCond("e.vec_id")}) ")),
+    // physical reclaim serves the SAME surviving rows as the logical
+    // composed delete — purge-on-compact must be row-neutral on the
+    // survivors, so the key shares q_simsearch_append_delete's replay
+    // verbatim; a survivor lost in the rewrite (or a tombstone kept)
+    // fails the hash gate
+    "q_simsearch_reclaim" ->
       (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
         ivfProbeSelectSql(s"AND NOT (${appendDeleteCond("e.vec_id")}) ")),
     // drift monitor: the routing replay's score table (frozen standing

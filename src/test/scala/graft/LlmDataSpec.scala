@@ -679,6 +679,49 @@ class LlmDataSpec extends AnyFunSuite {
       "full-probe appended+tombstoned scan must equal brute force minus the retracted set")
   }
 
+  test("q_simsearch_reclaim: probe identity with the logical delete; tombstones physically gone; untouched cells keep their files") {
+    // probe identity at both widths: purge-on-compact must serve exactly
+    // what the logical tombstone join serves
+    val rec = LlmData.simsearchReclaimProbe(s, d, LlmData.defaultProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val log = LlmData.simsearchAppendDeleteProbe(s, d, LlmData.defaultProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rec === log, "reclaimed probe must equal the logical composed delete")
+    val recF = LlmData.simsearchReclaimProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val logF = LlmData.simsearchAppendDeleteProbe(s, d, _ => Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(recF === logF, "full-probe identity must hold too")
+    val (recPath, purgedCells) = LlmData.ivfReclaimedIndexPath(s, d)
+    // the tombstoned ids exist NOWHERE in the reclaimed generation
+    val leaked = s.read.parquet(recPath)
+      .where(expr("vec_id % 20 = 7 OR vec_id % 10 = 3")).count()
+    assert(leaked === 0L, s"$leaked tombstoned rows survived the purge")
+    // survivors are complete: reclaimed row count = source minus tombstones
+    val srcPath = LlmData.ivfAppendIndexPath(s, d)
+    val srcN = s.read.parquet(srcPath).count()
+    val tombN = s.read.parquet(srcPath)
+      .where(expr("vec_id % 20 = 7 OR vec_id % 10 = 3")).count()
+    assert(s.read.parquet(recPath).count() === srcN - tombN)
+    assert(purgedCells.nonEmpty, "the tombstone set must touch some cells")
+    // the purge is CELL-TARGETED: purgedCells is exactly the tombstones'
+    // frozen-codebook footprint, and every tombstone-free cell survives
+    // with its full row content (the rewrite there is bin-packing only —
+    // purge never leaks outside its footprint)
+    val srcCells = s.read.parquet(srcPath)
+      .where(expr("vec_id % 20 = 7 OR vec_id % 10 = 3"))
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(purgedCells === srcCells,
+      "purged cells must be exactly the tombstones' cell footprint")
+    val untouchedRows = (path: String) => s.read.parquet(path)
+      .where(!col("cell").cast("long").isin(purgedCells.toSeq: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(untouchedRows(recPath) === untouchedRows(srcPath),
+      "tombstone-free cells must keep their exact row content")
+  }
+
   test("q_simsearch_drift: cohort counts and best-dot sums match a driver recompute") {
     val out = LlmData.simsearchDrift(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
