@@ -1683,43 +1683,59 @@ object Analytics {
     */
   private[graft] def supplierNbrs(s: SparkSession, d: String): DataFrame =
     LlmData.memo(s, s"supplier_nbrs:$d") {
-      import org.apache.spark.storage.StorageLevel
-      // the raw lists are persisted only for the duration of this build
-      // (stat action + capped materialization), then released — exactly
-      // ONE copy of the family's largest artifact stays resident
-      val lists = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-        .groupBy(col("c"))
-        .agg(collect_set(col("sp")).as("sps"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // HUB-DEGREE CAP: wedge cost per customer is deg², so one Zipf-heavy
-      // hub owns the job at scale. Lists longer than the corpus-derived cap
-      // ([[hubDegreeCap]]: 16× the mean degree, floored at 128 — inert on
-      // every fixture, where max deg is 102 at sf0.1) are cut to a
-      // DETERMINISTIC hash-ordered sample (sort by md5(sp), keep cap — an
-      // unbiased fixed-size sample, stable across runs/partitionings, and
-      // REPLAYABLE by the DuckDB oracle: md5 + ASCII hex ordering + the
-      // integer cap formula all exist on both engines, so the graph-family
-      // oracles apply the identical cap and stay hash-exact even on data
-      // where the cap actually fires — parity by replay, not by inertness.
-      // `deg_full` carries the pre-cap degree as the audit column, so a
-      // capped hub is visible to consumers rather than silently truncated.
-      // The stats pass is one control-plane agg over the persisted lists.
-      val stat = lists.agg(count(lit(1)).cast("long"),
-        coalesce(sum(size(col("sps"))).cast("long"), lit(0L))).head
-      val cap = hubDegreeCap(stat.getLong(0), stat.getLong(1))
-      val capped = lists
-        .withColumn("deg_full", size(col("sps")))
-        .withColumn("sps",
-          when(size(col("sps")) <= cap, col("sps"))
-            .otherwise(capListExpr("sps", cap)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      capped.count() // materialize from the resident raw copy...
-      lists.unpersist(false) // ...then release it
-      capped
+      // STAGED derived table (r11; the copurchase-edges doctrine): the
+      // capped lists are a deterministic function of lineitem ⋈ orders —
+      // the hub cap is corpus-derived and its sample md5-ordered — so the
+      // family's shared state lands once per fixture generation as
+      // fingerprint-keyed parquet and later JVMs read it back instead of
+      // re-paying the fact join + distinct + collect_set (the dominant
+      // cost of every graph query's cold start). ensureDerived
+      // fingerprints ONE table (lineitem), so the ORDERS generation is
+      // folded into the version string — either table regenerating mints
+      // a fresh tag. All consumers are element-order-insensitive (wedges
+      // canonicalize with least/greatest, degrees count, the cap sample
+      // re-sorts by md5), so freezing one collect_set arrival order in
+      // parquet is semantics-neutral.
+      val ordersFp = graft.Fixtures.datasetTag(d, "orders", "v")
+        .split("_").last
+      val path = graft.Fixtures.ensureDerived(
+        "graft_supplier_nbrs", d, "lineitem", s"sn1o$ordersFp") { staging =>
+        import org.apache.spark.storage.StorageLevel
+        // the raw lists are persisted only for the duration of this build
+        // (stat action + capped materialization), then released
+        val lists = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+          .groupBy(col("c"))
+          .agg(collect_set(col("sp")).as("sps"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // HUB-DEGREE CAP: wedge cost per customer is deg², so one Zipf-heavy
+        // hub owns the job at scale. Lists longer than the corpus-derived cap
+        // ([[hubDegreeCap]]: 16× the mean degree, floored at 128 — inert on
+        // every fixture, where max deg is 102 at sf0.1) are cut to a
+        // DETERMINISTIC hash-ordered sample (sort by md5(sp), keep cap — an
+        // unbiased fixed-size sample, stable across runs/partitionings, and
+        // REPLAYABLE by the DuckDB oracle: md5 + ASCII hex ordering + the
+        // integer cap formula all exist on both engines, so the graph-family
+        // oracles apply the identical cap and stay hash-exact even on data
+        // where the cap actually fires — parity by replay, not by inertness.
+        // `deg_full` carries the pre-cap degree as the audit column, so a
+        // capped hub is visible to consumers rather than silently truncated.
+        // The stats pass is one control-plane agg over the persisted lists.
+        val stat = lists.agg(count(lit(1)).cast("long"),
+          coalesce(sum(size(col("sps"))).cast("long"), lit(0L))).head
+        val cap = hubDegreeCap(stat.getLong(0), stat.getLong(1))
+        try lists
+          .withColumn("deg_full", size(col("sps")))
+          .withColumn("sps",
+            when(size(col("sps")) <= cap, col("sps"))
+              .otherwise(capListExpr("sps", cap)))
+          .write.mode("overwrite").parquet(staging.toString)
+        finally lists.unpersist(false)
+      }
+      s.read.parquet(path.toString)
     }
 
   /** The wedge-generation degree cap for an (nLists, nEdges) neighbor

@@ -197,7 +197,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "delete" -> graft.operators.LlmData.simsearchDelete(s, d),
         "compact" -> graft.operators.LlmData.simsearchCompact(s, d),
         "append_delete" -> graft.operators.LlmData.simsearchAppendDelete(s, d),
-        "batch_routed" -> graft.operators.LlmData.simsearchBatchRouted(s, d))
+        "batch_routed" -> graft.operators.LlmData.simsearchBatchRouted(s, d),
+        "reclaim" -> graft.operators.LlmData.simsearchReclaim(s, d))
       .foreach { case (name, df) =>
         val p = plan(df)
         assert(p.linesIterator.exists(l =>
