@@ -282,26 +282,42 @@ object Analytics {
       s.read.parquet(path.toString)
     }
 
+  /** The degree-ORIENTED adjacency of the co-purchase graph — (src,
+    * sorted out-neighbor array) under the (deg, id) total order that
+    * bounds out-degree O(√m) — STAGED as a derived fixture table (r11):
+    * orientation and the sorted arrays are deterministic functions of the
+    * edge set, so the artifact lands once per fixture generation and
+    * every later JVM's triangle count starts from the finished adjacency
+    * instead of re-paying the degree aggregate, the two orientation
+    * probes, and the groupBy+sort. Keyed on lineitem (the edge table's
+    * own source) with its own version.
+    */
+  private def copurchaseAdj(s: SparkSession, d: String): String =
+    graft.Fixtures.ensureDerived(
+      "graft_copurchase_adj", d, "lineitem", "cpadj1") { staging =>
+      val e = copurchaseEdges(s, d)
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val precedes = (da: Column, ia: Column, db: Column, ib: Column) =>
+        da < db || (da === db && ia < ib)
+      // deg is NODE-grain (20 K rows here; |V| ≪ |E| generally) — broadcast
+      // it so orientation never shuffles the edge table; the two probes are
+      // map-side hash lookups over the persisted edges. (Measured: the two
+      // shuffle joins this replaces were 4.4 s of the original 15 s.)
+      val degB = broadcast(deg)
+      e.join(degB.select(col("n").as("a"), col("deg").as("dega")), "a")
+        .join(degB.select(col("n").as("b"), col("deg").as("degb")), "b")
+        .select(
+          when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("a"))
+            .otherwise(col("b")).as("src"),
+          when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("b"))
+            .otherwise(col("a")).as("dst"))
+        .groupBy("src")
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val e = copurchaseEdges(s, d)
-    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-    val precedes = (da: Column, ia: Column, db: Column, ib: Column) =>
-      da < db || (da === db && ia < ib)
-    // deg is NODE-grain (20 K rows here; |V| ≪ |E| generally) — broadcast
-    // it so orientation never shuffles the edge table; the two probes are
-    // map-side hash lookups over the persisted edges. (Measured: the two
-    // shuffle joins this replaces were 4.4 s of the original 15 s.)
-    val degB = broadcast(deg)
-    val o = e
-      .join(degB.select(col("n").as("a"), col("deg").as("dega")), "a")
-      .join(degB.select(col("n").as("b"), col("deg").as("degb")), "b")
-      .select(
-        when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("a"))
-          .otherwise(col("b")).as("src"),
-        when(precedes(col("dega"), col("a"), col("degb"), col("b")), col("b"))
-          .otherwise(col("a")).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Never MATERIALIZE the wedge set (Σ outdeg² rows — 41M on the sf0.1
     // fixture, the whole cost of the naive two-pass formulation): the wedge
     // COUNT is pure degree arithmetic over the adjacency out-degrees, and
@@ -313,11 +329,13 @@ object Analytics {
     // the edge table never shuffles for either neighbor lookup (on a
     // cluster this is the size call SCALING.md makes per dim table; node
     // grain ≪ edge grain is what makes it safe). Persisted at node grain so
-    // the wedge count reuses it instead of re-shuffling the edges.
-    val adjRaw = o.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // the wedge count and oriented-edge explode reuse it.
+    val adjRaw = s.read.parquet(copurchaseAdj(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = broadcast(adjRaw)
+    // the oriented edge list is the adjacency, exploded — no second artifact
+    val o = adjRaw.select(col("src"), explode(col("nbrs")).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-edge |N⁺(u) ∩ N⁺(v)| via the codegen'd two-pointer merge over the
     // sorted adjacency arrays (graft_isect_count) — size(array_intersect)
     // builds a hash set and materializes the intersection per edge just to
@@ -331,12 +349,18 @@ object Analytics {
     val nWedges = adjRaw
       .select(size(col("nbrs")).cast("long").as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
+    // node count = every id appearing on either side of an edge — from the
+    // persisted adjacency alone (sinks with no out-edges appear only inside
+    // nbrs arrays, so the union with the exploded side is required)
+    val nNodes = adjRaw.select(col("src").as("n"))
+      .unionAll(adjRaw.select(explode(col("nbrs")).as("n")))
+      .agg(count_distinct(col("n")).as("n_nodes"))
     val stats = nTri
       .crossJoin(nWedges)
       // |oriented edges| ≡ |edges| (orientation is a bijection) — count the
       // already-persisted o rather than re-touching e
       .crossJoin(o.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(nNodes)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         // wedge-free graph (all oriented out-degrees ≤ 1): rate is 0, not
