@@ -1814,15 +1814,27 @@ object Analytics {
     * read. */
   private def supplierWedges(s: SparkSession, d: String): DataFrame =
     LlmData.memo(s, s"supplier_wedges:$d") {
-      supplierNbrs(s, d)
-        .where(size(col("sps")) > 1)
-        .select(posexplode(col("sps")).as(Seq("i", "x")), col("sps"))
-        .select(col("i"), col("x"), posexplode(col("sps")).as(Seq("j", "y")))
-        .where(col("i") < col("j"))
-        .select(least(col("x"), col("y")).as("sp1"),
-          greatest(col("x"), col("y")).as("sp2"))
-        .groupBy(col("sp1"), col("sp2"))
-        .agg(count(lit(1)).as("w"))
+      // STAGED like the neighbor lists it derives from (r11): the wedge
+      // aggregate is deterministic given the staged capped lists, so the
+      // Σ deg² explode runs once per fixture generation; the orders
+      // generation rides the version string for the same two-source
+      // invalidation reason as [[supplierNbrs]]
+      val ordersFp = graft.Fixtures.datasetTag(d, "orders", "v")
+        .split("_").last
+      val p = graft.Fixtures.ensureDerived(
+        "graft_supplier_wedges", d, "lineitem", s"sw1o$ordersFp") { staging =>
+        supplierNbrs(s, d)
+          .where(size(col("sps")) > 1)
+          .select(posexplode(col("sps")).as(Seq("i", "x")), col("sps"))
+          .select(col("i"), col("x"), posexplode(col("sps")).as(Seq("j", "y")))
+          .where(col("i") < col("j"))
+          .select(least(col("x"), col("y")).as("sp1"),
+            greatest(col("x"), col("y")).as("sp2"))
+          .groupBy(col("sp1"), col("sp2"))
+          .agg(count(lit(1)).as("w"))
+          .write.mode("overwrite").parquet(staging.toString)
+      }
+      s.read.parquet(p.toString)
     }
 
   def graphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
