@@ -1166,19 +1166,7 @@ object Analytics {
     // the support/confidence/lift arithmetic and the part-grain joins
     val pairsPath = graft.Fixtures.ensureDerived(
       "graft_basket_pairs", d, "lineitem", "bp1") { staging =>
-      baskets
-        .where(size(col("ps")) > 1)
-        // double posexplode + i<j filter beats explode-over-slice here:
-        // the slice variant halves Generate output but allocates a fresh
-        // suffix array per element, which measures ~25% slower end-to-end
-        .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
-        .select(col("i"), col("x"), posexplode(col("ps")).as(Seq("j", "y")))
-        .where(col("i") < col("j"))
-        .select(least(col("x"), col("y")).as("a"),
-          greatest(col("x"), col("y")).as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= 3)
-        .write.mode("overwrite").parquet(staging.toString)
+      basketPairBuild(baskets).write.mode("overwrite").parquet(staging.toString)
     }
     val pairs = s.read.parquet(pairsPath.toString)
     // item counts and the basket total are the other half of the
@@ -1196,6 +1184,30 @@ object Analytics {
     val items = s.read.parquet(itemsPath.toString)
     val item = items.select("l_partkey", "n_item")
     val total = items.select("n_orders").limit(1)
+    basketLiftRank(pairs, item, total)
+  }
+
+  /** The pair MAINTENANCE job's frame (the staged build above; also the
+    * plan-shape seam — the no-self-join guarantee lives in this plan,
+    * asserted in PlanShapeSpec): in-row double posexplode over the basket
+    * table, canonicalized, counted, min-support filtered.
+    */
+  private[graft] def basketPairBuild(baskets: DataFrame): DataFrame =
+    baskets
+      .where(size(col("ps")) > 1)
+      // double posexplode + i<j filter beats explode-over-slice here:
+      // the slice variant halves Generate output but allocates a fresh
+      // suffix array per element, which measures ~25% slower end-to-end
+      .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
+      .select(col("i"), col("x"), posexplode(col("ps")).as(Seq("j", "y")))
+      .where(col("i") < col("j"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+
+  private def basketLiftRank(pairs: DataFrame, item: DataFrame,
+      total: DataFrame): DataFrame = {
     pairs
       .join(broadcast(item.select(col("l_partkey").as("a"), col("n_item").as("n_a"))), "a")
       .join(broadcast(item.select(col("l_partkey").as("b"), col("n_item").as("n_b"))), "b")
@@ -1744,43 +1756,55 @@ object Analytics {
         .split("_").last
       val path = graft.Fixtures.ensureDerived(
         "graft_supplier_nbrs", d, "lineitem", s"sn1o$ordersFp") { staging =>
-        import org.apache.spark.storage.StorageLevel
-        // the raw lists are persisted only for the duration of this build
-        // (stat action + capped materialization), then released
-        val lists = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-          .distinct()
-          .groupBy(col("c"))
-          .agg(collect_set(col("sp")).as("sps"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // HUB-DEGREE CAP: wedge cost per customer is deg², so one Zipf-heavy
-        // hub owns the job at scale. Lists longer than the corpus-derived cap
-        // ([[hubDegreeCap]]: 16× the mean degree, floored at 128 — inert on
-        // every fixture, where max deg is 102 at sf0.1) are cut to a
-        // DETERMINISTIC hash-ordered sample (sort by md5(sp), keep cap — an
-        // unbiased fixed-size sample, stable across runs/partitionings, and
-        // REPLAYABLE by the DuckDB oracle: md5 + ASCII hex ordering + the
-        // integer cap formula all exist on both engines, so the graph-family
-        // oracles apply the identical cap and stay hash-exact even on data
-        // where the cap actually fires — parity by replay, not by inertness.
-        // `deg_full` carries the pre-cap degree as the audit column, so a
-        // capped hub is visible to consumers rather than silently truncated.
-        // The stats pass is one control-plane agg over the persisted lists.
-        val stat = lists.agg(count(lit(1)).cast("long"),
-          coalesce(sum(size(col("sps"))).cast("long"), lit(0L))).head
-        val cap = hubDegreeCap(stat.getLong(0), stat.getLong(1))
-        try lists
-          .withColumn("deg_full", size(col("sps")))
-          .withColumn("sps",
-            when(size(col("sps")) <= cap, col("sps"))
-              .otherwise(capListExpr("sps", cap)))
-          .write.mode("overwrite").parquet(staging.toString)
-        finally lists.unpersist(false)
+        val (capped, release) = supplierNbrsBuild(s, d)
+        try capped.write.mode("overwrite").parquet(staging.toString)
+        finally release()
       }
       s.read.parquet(path.toString)
     }
+
+  /** The neighbor-list MAINTENANCE job's frame (the staged build above;
+    * also the plan-shape seam — the hub-cap expression must live in the
+    * build's plan, asserted in PlanShapeSpec): raw lists from the fact
+    * join, then the cap applied. Returns the capped frame plus a release
+    * hook for the build-scoped persist.
+    */
+  private[graft] def supplierNbrsBuild(
+      s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    // the raw lists are persisted only for the duration of this build
+    // (stat action + capped materialization), then released
+    val lists = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+      .groupBy(col("c"))
+      .agg(collect_set(col("sp")).as("sps"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // HUB-DEGREE CAP: wedge cost per customer is deg², so one Zipf-heavy
+    // hub owns the job at scale. Lists longer than the corpus-derived cap
+    // ([[hubDegreeCap]]: 16× the mean degree, floored at 128 — inert on
+    // every fixture, where max deg is 102 at sf0.1) are cut to a
+    // DETERMINISTIC hash-ordered sample (sort by md5(sp), keep cap — an
+    // unbiased fixed-size sample, stable across runs/partitionings, and
+    // REPLAYABLE by the DuckDB oracle: md5 + ASCII hex ordering + the
+    // integer cap formula all exist on both engines, so the graph-family
+    // oracles apply the identical cap and stay hash-exact even on data
+    // where the cap actually fires — parity by replay, not by inertness.
+    // `deg_full` carries the pre-cap degree as the audit column, so a
+    // capped hub is visible to consumers rather than silently truncated.
+    // The stats pass is one control-plane agg over the persisted lists.
+    val stat = lists.agg(count(lit(1)).cast("long"),
+      coalesce(sum(size(col("sps"))).cast("long"), lit(0L))).head
+    val cap = hubDegreeCap(stat.getLong(0), stat.getLong(1))
+    val capped = lists
+      .withColumn("deg_full", size(col("sps")))
+      .withColumn("sps",
+        when(size(col("sps")) <= cap, col("sps"))
+          .otherwise(capListExpr("sps", cap)))
+    (capped, () => { lists.unpersist(false); () })
+  }
 
   /** The wedge-generation degree cap for an (nLists, nEdges) neighbor
     * table: 16× the mean degree, floored at 128. A hub at 16× the mean is

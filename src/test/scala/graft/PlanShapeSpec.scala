@@ -551,12 +551,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q_basket_lift: pairs come from posexplode, never a fact self-join") {
-    val df = operators.Analytics.basketLift(s, d)
-    val p = plan(df)
-    assert(!p.contains("CartesianProduct"), s"quadratic pair plan:\n$p")
-    assert(p.contains("Generate"), s"expected in-row basket posexplode:\n$p")
-    // lineitem is read for baskets and for item counts — but never joined
-    // against itself at row grain: every join input is grouped first
+    // the pair table is MAINTAINED state (staged per fixture generation),
+    // so the no-self-join guarantee lives in the maintenance job's plan —
+    // assert it on the build seam, and the serving guarantees on the query
+    import org.apache.spark.sql.functions.{col, collect_set}
+    val baskets = Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val pb = plan(operators.Analytics.basketPairBuild(baskets))
+    assert(!pb.contains("CartesianProduct"), s"quadratic pair build plan:\n$pb")
+    assert(pb.contains("Generate"), s"expected in-row basket posexplode:\n$pb")
+    val p = plan(operators.Analytics.basketLift(s, d))
+    assert(!p.contains("CartesianProduct"), s"quadratic serving plan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-50 must be a bounded heap, not a global sort:\n$p")
   }
@@ -601,10 +607,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // survives as the deg_full audit column. Inert on fixtures (max deg <
     // the 128 floor: the capped branch never fires), but the expression is
     // present at any data size.
-    val nbrs = operators.Analytics.supplierNbrs(s, d)
-    val analyzed = nbrs.queryExecution.analyzed.toString
+    // the lists are MAINTAINED state (staged per fixture generation), so
+    // the cap expression lives in the maintenance job's plan — assert it
+    // on the build seam; the staged read-back must carry the audit column
+    val (built, release) = operators.Analytics.supplierNbrsBuild(s, d)
+    val analyzed = try built.queryExecution.analyzed.toString
+      finally release()
     assert(analyzed.contains("md5") && analyzed.contains("slice"),
-      s"hub cap expression missing from the neighbor-list plan:\n$analyzed")
+      s"hub cap expression missing from the neighbor-list build plan:\n$analyzed")
+    val nbrs = operators.Analytics.supplierNbrs(s, d)
     assert(nbrs.columns.contains("deg_full"), "capped-degree audit column missing")
     // fixture inertness: nothing at this SF reaches the cap floor
     import org.apache.spark.sql.functions.{max => smax, col, size}
