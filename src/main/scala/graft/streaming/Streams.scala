@@ -151,14 +151,18 @@ object Streams {
   /** Number of state-store partitions for the streaming queries (fixed at
     * query start from spark.sql.shuffle.partitions; recorded in the
     * checkpoint thereafter). Unlike batch shuffles, streaming state cost is
-    * paid per partition per MICRO-BATCH (store open/snapshot/commit), so the
-    * right size tracks open-state volume, not input volume: windows ×
-    * event_types here is a few hundred rows, and even a 100 TB/day feed has
-    * open state orders of magnitude smaller than its throughput. Default 8
-    * locally; deployments with hundred-GB state raise it (env override).
+    * paid per partition per MICRO-BATCH (store open/snapshot/commit — a
+    * stream-stream join holds FOUR stores per partition), so the right
+    * size tracks open-state volume, not input volume: windows ×
+    * event_types here is a few hundred rows, and even a 100 TB/day feed
+    * has open state orders of magnitude smaller than its throughput.
+    * Default 4 locally (r11: measured ~7% family-wide and ~15% on the
+    * stream-stream joins vs 8 — the per-batch store lifecycles are the
+    * floor's biggest term); deployments with hundred-GB state raise it
+    * (env override).
     */
   private def streamStateParts: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
 
   /** Run `body` with shuffle partitions (→ state partitions) sized for
     * streaming state; restore the batch setting after.
