@@ -1745,6 +1745,34 @@ object LlmData {
   private[operators] def appendDeleteCond(ref: String): String =
     s"$ref % 20 = 7 OR $ref % 10 = 3"
 
+  /** q_simsearch_cell_stats — the index ANALYZE: per-cell population and
+    * corpus share (integer ppm) of the standing IVF index — the cell-
+    * BALANCE monitor that pairs with [[simsearchDrift]]'s quantizer-fit
+    * monitor: a skewed cell means probe-latency variance (one probed cell
+    * carries far more than ~N/nCells rows) and is the other signal that
+    * triggers re-quantization. Reads the staged index's cell column only
+    * (a metadata-thin scan), one keyed count, share from a single window
+    * over the ≤256-row result.
+    *
+    * Evidence value: this row makes the ENTIRE index assignment
+    * oracle-visible — the routing replay's `rasg` grouped per cell must
+    * match the staged index's physical cell populations exactly, so ANY
+    * misassigned row anywhere in the index fails the hash gate (the
+    * probe rows only ever exposed the probed cells).
+    */
+  def simsearchCellStats(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tag = ivfTag(d)
+    val centroids = ivfCentroids(s, d, tag)
+    val indexPath = ivfStagedIndexWith(s, d, tag, centroids)
+    s.read.parquet(indexPath)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm", expr(
+        "1000000 * n div sum(n) OVER ()"))
+      .orderBy("cell")
+  }
+
   /** q_simsearch_drift — QUANTIZER DRIFT monitoring, the control signal
     * that decides when the frozen-codebook lifecycle must rebuild: per
     * cohort (standing corpus vs appended batch), the count and the mean
@@ -4129,6 +4157,7 @@ object LlmData {
     "q_simsearch_compact" -> simsearchCompact _,
     "q_simsearch_append_delete" -> simsearchAppendDelete _,
     "q_simsearch_reclaim" -> simsearchReclaim _,
+    "q_simsearch_cell_stats" -> simsearchCellStats _,
     "q_simsearch_drift" -> simsearchDrift _,
     "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
@@ -4915,6 +4944,17 @@ object LlmData {
     "q_simsearch_reclaim" ->
       (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
         ivfProbeSelectSql(s"AND NOT (${appendDeleteCond("e.vec_id")}) ")),
+    // index ANALYZE: the routing replay's assignment table grouped per
+    // cell must equal the staged index's physical cell populations — the
+    // one row that oracle-checks the WHOLE assignment, not just probed
+    // cells. Integer-ppm share: Spark `div` truncates, DuckDB `//`
+    // floors — identical on these positive values.
+    "q_simsearch_cell_stats" ->
+      (s"WITH $ivfRouteSqlCtes, " +
+        "cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n " +
+        "FROM rasg GROUP BY cell) " +
+        "SELECT cell, n, 1000000 * n // (SELECT sum(n) FROM cs) AS share_ppm " +
+        "FROM cs ORDER BY cell"),
     // drift monitor: the routing replay's score table (frozen standing
     // codebook) reduced to per-vector best dots in exact integer micros,
     // grouped per cohort — a drifted centroid or one mis-scored vector

@@ -722,6 +722,17 @@ class LlmDataSpec extends AnyFunSuite {
       "tombstone-free cells must keep their exact row content")
   }
 
+  test("q_simsearch_cell_stats: populations cover the corpus exactly and shares are consistent") {
+    val out = LlmData.simsearchCellStats(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables(s, d, "embeddings").count()
+    assert(out.map(_._2).sum === n, "cell populations must sum to the corpus")
+    assert(out.map(_._1).distinct.length === out.length, "one row per cell")
+    out.foreach { case (cell, cn, ppm) =>
+      assert(ppm === 1000000L * cn / n, s"cell $cell share inconsistent")
+    }
+  }
+
   test("q_simsearch_drift: cohort counts and best-dot sums match a driver recompute") {
     val out = LlmData.simsearchDrift(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
