@@ -638,7 +638,14 @@ object LlmData {
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val (members, sh, sets) = collapsedSetsMemo(s, d)
-    dedupNearCore(members, sh, sets)
+    // signatures staged per fixture generation (the simhash-signature
+    // doctrine): deterministic xxhash64 min-aggregates over the rep
+    // shingles, 32 longs/rep read back instead of re-hashing per session
+    val p = graft.Fixtures.ensureDerived(
+      "graft_minhash_sigs", d, "documents", "mh1") { staging =>
+      minhashSigs(sh).write.mode("overwrite").parquet(staging.toString)
+    }
+    dedupNearCore(members, s.read.parquet(p.toString), sets)
   }
 
   /** The LSH pipeline from an arbitrary (doc_id, text) frame, with the
@@ -651,20 +658,25 @@ object LlmData {
   private[graft] def dedupNearFrom(s: SparkSession, docs: DataFrame,
       shOpt: Option[DataFrame] = None): DataFrame = {
     val (members, sh, sets) = collapsedSets(s, docs, shOpt)
-    dedupNearCore(members, sh, sets)
+    dedupNearCore(members, minhashSigs(sh), sets)
   }
 
-  private def dedupNearCore(members: DataFrame, sh: DataFrame,
-      sets: DataFrame): DataFrame = {
-    // Signature computation is explode + codegen'd hash aggregation, NOT
-    // array lambdas: higher-order-function lambdas evaluate interpreted in
-    // Spark (measured ~10 s for the equivalent per-row transform/array_min
-    // pipeline at sf0.01 vs <1 s for this shape), while min()-aggregates of
-    // xxhash64 run inside whole-stage codegen and combine map-side.
+  /** k=32 MinHash signatures over rep shingle rows. Explode + codegen'd
+    * hash aggregation, NOT array lambdas: higher-order-function lambdas
+    * evaluate interpreted in Spark (measured ~10 s for the equivalent
+    * per-row transform/array_min pipeline at sf0.01 vs <1 s for this
+    * shape), while min()-aggregates of xxhash64 run inside whole-stage
+    * codegen and combine map-side.
+    */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
     val k = 32
-    val sigs = sh.groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(min(xxhash64(col("sh"), lit(0))).as("m0"),
         (1 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i")): _*)
+  }
+
+  private def dedupNearCore(members: DataFrame, sigs: DataFrame,
+      sets: DataFrame): DataFrame = {
     // 16 bands x 2 rows: band hash of (m_{2b}, m_{2b+1})
     val bandCols = (0 until 16).map(b =>
       xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
