@@ -96,9 +96,26 @@ object Fixtures {
     * left to their owners.
     */
   def ensureDerived(family: String, d: String, table: String,
-      version: String)(build: Path => Unit): Path = {
+      version: String, extraTables: Seq[String] = Nil)(
+      build: Path => Unit): Path = {
     val parent = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), family)
-    val tag = datasetTag(d, table, version)
+    // multi-source artifacts COMBINE every source table's generation
+    // fingerprint into the one bare-hex fingerprint slot the sweep
+    // contract expects — folding a second fingerprint into the VERSION
+    // string instead (the r11 first cut) changes the identity prefix per
+    // generation, so sweepSuperseded never matches the superseded
+    // sibling and full artifact copies accumulate forever
+    val tag =
+      if (extraTables.isEmpty) datasetTag(d, table, version)
+      else {
+        val prefix = datasetPrefix(d, version)
+        val fps = (table +: extraTables)
+          .map(tb => datasetTag(d, tb, version).drop(prefix.length))
+        val combined = java.lang.Long.toHexString(
+          java.util.Arrays.hashCode(
+            fps.map(_.hashCode.toLong).toArray).toLong & 0xffffffffL)
+        s"$prefix$combined"
+      }
     val dir = ensure(parent.resolve(tag))(build)
     sweepSuperseded(family, d, version, tag)
     dir

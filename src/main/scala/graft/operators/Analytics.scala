@@ -1745,17 +1745,17 @@ object Analytics {
       // family's shared state lands once per fixture generation as
       // fingerprint-keyed parquet and later JVMs read it back instead of
       // re-paying the fact join + distinct + collect_set (the dominant
-      // cost of every graph query's cold start). ensureDerived
-      // fingerprints ONE table (lineitem), so the ORDERS generation is
-      // folded into the version string — either table regenerating mints
-      // a fresh tag. All consumers are element-order-insensitive (wedges
-      // canonicalize with least/greatest, degrees count, the cap sample
-      // re-sorts by md5), so freezing one collect_set arrival order in
-      // parquet is semantics-neutral.
-      val ordersFp = graft.Fixtures.datasetTag(d, "orders", "v")
-        .split("_").last
+      // cost of every graph query's cold start). BOTH source tables'
+      // generations enter the combined fingerprint (extraTables), so
+      // either regenerating mints a fresh tag AND the superseded sibling
+      // still matches the sweep. All consumers are
+      // element-order-insensitive (wedges canonicalize with
+      // least/greatest, degrees count, the cap sample re-sorts by md5),
+      // so freezing one collect_set arrival order in parquet is
+      // semantics-neutral.
       val path = graft.Fixtures.ensureDerived(
-        "graft_supplier_nbrs", d, "lineitem", s"sn1o$ordersFp") { staging =>
+        "graft_supplier_nbrs", d, "lineitem", "sn2",
+        extraTables = Seq("orders")) { staging =>
         val (capped, release) = supplierNbrsBuild(s, d)
         try capped.write.mode("overwrite").parquet(staging.toString)
         finally release()
@@ -1840,13 +1840,12 @@ object Analytics {
     LlmData.memo(s, s"supplier_wedges:$d") {
       // STAGED like the neighbor lists it derives from (r11): the wedge
       // aggregate is deterministic given the staged capped lists, so the
-      // Σ deg² explode runs once per fixture generation; the orders
-      // generation rides the version string for the same two-source
-      // invalidation reason as [[supplierNbrs]]
-      val ordersFp = graft.Fixtures.datasetTag(d, "orders", "v")
-        .split("_").last
+      // Σ deg² explode runs once per fixture generation; both source
+      // generations enter the combined fingerprint (extraTables), same
+      // two-source invalidation as [[supplierNbrs]]
       val p = graft.Fixtures.ensureDerived(
-        "graft_supplier_wedges", d, "lineitem", s"sw1o$ordersFp") { staging =>
+        "graft_supplier_wedges", d, "lineitem", "sw2",
+        extraTables = Seq("orders")) { staging =>
         supplierNbrs(s, d)
           .where(size(col("sps")) > 1)
           .select(posexplode(col("sps")).as(Seq("i", "x")), col("sps"))

@@ -1637,8 +1637,15 @@ object LlmData {
           }
         }
       }
-      work.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration(600, "s")))
+      // await EVERY future (success or failure) BEFORE surfacing the
+      // first error: pool.shutdown() does not cancel running tasks, and
+      // rethrowing while sibling rewrites are mid-write would let
+      // ensure's staging cleanup race live Spark writers (masking the
+      // real failure with a delete-vs-write error); quiescence first,
+      // then the original exception
+      val outcomes = work.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration(600, "s"))))
+      outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     } finally pool.shutdown()
   }
 
@@ -1893,6 +1900,19 @@ object LlmData {
     * appended-index probe ([[simsearchAppend]]), whose codebooks differ
     * but whose routing is the same O(1) decision.
     */
+  /** THE ranked probe-cell selection expression — pair (score,
+    * cell-ordinal), sort descending by score (ordinal breaks ties
+    * deterministically), take the top probeN — shared by the
+    * single-vector route ([[routeWith]]) and the batched route
+    * ([[simsearchBatchRoutedProbe]]): ONE engine-side copy, mirroring the
+    * [[defaultProbe]] doctrine, so a ranking or tie-break tuning change
+    * cannot silently diverge the two serving paths.
+    */
+  private def rankedProbeCellsSql(nCells: Int, probeN: Int): String =
+    s"""transform(slice(array_sort(
+       |  zip_with(scores, sequence(1, $nCells), (sc, i) -> struct(-sc AS s, i AS i))),
+       |  1, $probeN), p -> CAST(p.i AS BIGINT))""".stripMargin
+
   private def routeWith(s: SparkSession, d: String,
       centroids: Array[Array[Double]],
       probeOf: Int => Int): (Seq[Float], Seq[Long]) = {
@@ -1900,14 +1920,9 @@ object LlmData {
     // probe must never rank phantom null-padded cells ahead of real ones
     val nCells = centroids.length
     val probeN = math.min(math.max(probeOf(nCells), 1), nCells)
-    // ranked probe cells: pair (score, cell-ordinal), sort descending by
-    // score (ordinal breaks ties deterministically), take the top probeN
     val q = t(s, d, "embeddings").where(col("vec_id") === 0)
       .withColumn("scores", expr(ivfCellsExpr(centroids, "embedding")))
-      .withColumn("probe_cells", expr(
-        s"""transform(slice(array_sort(
-           |  zip_with(scores, sequence(1, $nCells), (sc, i) -> struct(-sc AS s, i AS i))),
-           |  1, $probeN), p -> CAST(p.i AS BIGINT))""".stripMargin))
+      .withColumn("probe_cells", expr(rankedProbeCellsSql(nCells, probeN)))
       .select(col("embedding").as("q_emb"), col("probe_cells"))
     // single evaluation: one collect yields both the routing cells and the
     // query vector (re-deriving q inside the probe would re-run the scoring
@@ -2534,10 +2549,7 @@ object LlmData {
     // cells as [[routeWith]] derives for one vector, one scan for all nq
     val routed = t(s, d, "embeddings").where(col("vec_id") < 8)
       .withColumn("scores", expr(ivfCellsExpr(centroids, "embedding")))
-      .withColumn("probe_cells", expr(
-        s"""transform(slice(array_sort(
-           |  zip_with(scores, sequence(1, $nCells), (sc, i) -> struct(-sc AS s, i AS i))),
-           |  1, $probeN), p -> CAST(p.i AS BIGINT))""".stripMargin))
+      .withColumn("probe_cells", expr(rankedProbeCellsSql(nCells, probeN)))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("probe_cells"))
       .collect() // nq routing rows — O(nq) control plane, not a data collect
@@ -4965,7 +4977,10 @@ object LlmData {
       (s"WITH $ivfRouteSqlCtes, " +
         "cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n " +
         "FROM rasg GROUP BY cell) " +
-        "SELECT cell, n, 1000000 * n // (SELECT sum(n) FROM cs) AS share_ppm " +
+        // DuckDB sum(BIGINT) is HUGEINT — cast back like every sibling
+        // oracle, so the column types match Spark's int64
+        "SELECT cell, n, CAST(1000000 * n // (SELECT sum(n) FROM cs) " +
+        "AS BIGINT) AS share_ppm " +
         "FROM cs ORDER BY cell"),
     // drift monitor: the routing replay's score table (frozen standing
     // codebook) reduced to per-vector best dots in exact integer micros,
