@@ -104,16 +104,21 @@ object Fixtures {
     // contract expects — folding a second fingerprint into the VERSION
     // string instead (the r11 first cut) changes the identity prefix per
     // generation, so sweepSuperseded never matches the superseded
-    // sibling and full artifact copies accumulate forever
+    // sibling and full artifact copies accumulate forever. The combine
+    // is a REAL digest (md5 truncated to 8 hex chars, same width as the
+    // single-table slot): composing Java hashCodes here would let a
+    // 32-bit-hashCode collision across fixture regenerations silently
+    // serve a stale artifact, which then fails the oracle gate with no
+    // pointer back to the cache
     val tag =
       if (extraTables.isEmpty) datasetTag(d, table, version)
       else {
         val prefix = datasetPrefix(d, version)
         val fps = (table +: extraTables)
           .map(tb => datasetTag(d, tb, version).drop(prefix.length))
-        val combined = java.lang.Long.toHexString(
-          java.util.Arrays.hashCode(
-            fps.map(_.hashCode.toLong).toArray).toLong & 0xffffffffL)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(fps.mkString("|").getBytes("UTF-8"))
+        val combined = md.take(4).map("%02x".format(_)).mkString
         s"$prefix$combined"
       }
     val dir = ensure(parent.resolve(tag))(build)

@@ -134,7 +134,7 @@ object LlmData {
     * shingle sets — ONE definition, so a change to the collapse (text
     * normalization, persistence) lands everywhere at once.
     */
-  private def collapsedSets(s: SparkSession, docs: DataFrame,
+  private[graft] def collapsedSets(s: SparkSession, docs: DataFrame,
       shOpt: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val shAll = shOpt.getOrElse(docs.select(col("doc_id"),
@@ -1375,6 +1375,12 @@ object LlmData {
     * entries, and publishing such a file would resurrect data the sink
     * already disowned. An entry with no action defaults to add (the shape
     * current Spark writes); an UNKNOWN action aborts rather than guessing.
+    *
+    * Actions resolve LAST-WINS per path in batch order (log files sorted
+    * by numeric batch id, entries in file order) — a path deleted by
+    * retention and later legitimately re-added stays published. The
+    * set-difference formulation (adds -- deletes) would pin such a path
+    * excluded forever regardless of entry order.
     */
   private[graft] def streamSinkCommittedFiles(
       sinkOut: java.nio.file.Path): Set[java.nio.file.Path] = {
@@ -1387,32 +1393,44 @@ object LlmData {
       try st.iterator().asScala.toList finally st.close()
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val adds = scala.collection.mutable.Set.empty[java.nio.file.Path]
-    val deletes = scala.collection.mutable.Set.empty[java.nio.file.Path]
-    logFiles.filterNot(_.getFileName.toString.startsWith(".")).foreach { lf =>
-      val lines = java.nio.file.Files.readAllLines(lf).asScala
-      val header = lines.headOption.getOrElse("")
-      require(header == "v1",
-        s"unsupported sink commit-log version '$header' in $lf — " +
-          "this publisher understands the v1 SinkFileStatus format only")
-      lines.filter(_.startsWith("{")).foreach { line =>
-        val node =
-          try mapper.readTree(line)
-          catch { case e: Exception =>
-            sys.error(s"unparseable sink commit-log line in $lf: $line ($e)")
+    // last action wins per path, so entry ORDER is load-bearing: sort log
+    // files by their numeric batch id ("7" and "7.compact" share id 7;
+    // plain-then-compact within an id matches Spark's write order, and
+    // compact files repeat prior live entries so replaying them under
+    // last-wins is idempotent)
+    def batchKey(p: java.nio.file.Path): (Long, Int) = {
+      val name = p.getFileName.toString
+      val compact = name.endsWith(".compact")
+      val id = name.stripSuffix(".compact").toLongOption.getOrElse(sys.error(
+        s"sink commit-log file with a non-numeric batch id: $name"))
+      (id, if (compact) 1 else 0)
+    }
+    val lastAction =
+      scala.collection.mutable.LinkedHashMap.empty[java.nio.file.Path, String]
+    logFiles.filterNot(_.getFileName.toString.startsWith("."))
+      .sortBy(batchKey).foreach { lf =>
+        val lines = java.nio.file.Files.readAllLines(lf).asScala
+        val header = lines.headOption.getOrElse("")
+        require(header == "v1",
+          s"unsupported sink commit-log version '$header' in $lf — " +
+            "this publisher understands the v1 SinkFileStatus format only")
+        lines.filter(_.startsWith("{")).foreach { line =>
+          val node =
+            try mapper.readTree(line)
+            catch { case e: Exception =>
+              sys.error(s"unparseable sink commit-log line in $lf: $line ($e)")
+            }
+          val p = Option(node.get("path")).map(_.asText).getOrElse(
+            sys.error(s"sink commit-log entry without a path in $lf: $line"))
+          val path = java.nio.file.Paths.get(java.net.URI.create(p))
+          Option(node.get("action")).map(_.asText).getOrElse("add") match {
+            case a @ ("add" | "delete") => lastAction(path) = a
+            case other => sys.error(
+              s"unknown sink commit-log action '$other' for $p in $lf")
           }
-        val p = Option(node.get("path")).map(_.asText).getOrElse(
-          sys.error(s"sink commit-log entry without a path in $lf: $line"))
-        val path = java.nio.file.Paths.get(java.net.URI.create(p))
-        Option(node.get("action")).map(_.asText).getOrElse("add") match {
-          case "add"    => adds += path
-          case "delete" => deletes += path
-          case other => sys.error(
-            s"unknown sink commit-log action '$other' for $p in $lf")
         }
       }
-    }
-    (adds -- deletes).toSet
+    lastAction.collect { case (p, "add") => p }.toSet
   }
 
   /** q_simsearch_filtered — FILTERED vector search, the ubiquitous

@@ -184,18 +184,20 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
-  test("collapse stress: a 10k-copy hot group completes within the wall bound") {
+  test("collapse stress: a 10k-copy hot group stays representative-sized before expansion") {
     import s.implicits._
-    // The mass-duplication WALL-TIME claim, asserted (r10 verdict item 5):
-    // 10,000 literally identical documents plus a near-dup pair and two
-    // unique docs. Collapsed, the PPJoin candidate machinery sees 5
-    // representatives and the only quadratic cost is OUTPUT EXPANSION —
-    // the C(10000,2) ≈ 50M true pairs themselves. Without the collapse the
-    // prefix join fans every identical doc against every other on each
-    // shared prefix shingle (~6 × 10^8 candidate rows) before
-    // deduplication and verification — an order of magnitude past the
-    // bound below, so REMOVING the collapse fails this test rather than
-    // quietly regressing.
+    // The mass-duplication claim, asserted (r10 verdict item 5, tripwire
+    // reworked per r11 advice): 10,000 literally identical documents plus
+    // a near-dup pair and two unique docs. Collapsed, the PPJoin candidate
+    // machinery sees 5 representatives and the only quadratic cost is
+    // OUTPUT EXPANSION — the C(10000,2) ≈ 50M true pairs themselves.
+    // Without the collapse the prefix join fans every identical doc
+    // against every other on each shared prefix shingle (~6 × 10^8
+    // candidate rows) before deduplication and verification. The tripwire
+    // is WORK-PROPORTIONAL, not wall-clock (a timing pin is load-sensitive
+    // on a contended host): assert the collapse seam hands the candidate
+    // machinery exactly the 5 representatives, then assert the end-to-end
+    // pair table is exact.
     val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val nearA = "one two three four five six seven eight nine ten eleven twelve"
     val nearB = "one two three four five six seven eight nine ten eleven thirteen"
@@ -204,22 +206,25 @@ class LlmDataSpec extends AnyFunSuite {
         (30000L, "completely different words occupy this document here today"),
         (30001L, "unrelated content again entirely disjoint vocabulary throughout"))
         .toDF("doc_id", "text"))
-    val t0 = System.nanoTime()
+    // the collapse seam: everything upstream of output expansion must see
+    // one row per DISTINCT text. 10,004 docs → 5 reps; removing the
+    // collapse puts 10,004 rows here and fails immediately, long before
+    // any wall-clock effect could be (mis)measured
+    val (members, repSh, repSets) = LlmData.collapsedSets(s, docs, None)
+    assert(members.select(countDistinct(col("rep"))).collect()(0).getLong(0) === 5L,
+      "candidate machinery must see exactly the 5 distinct-text representatives")
+    assert(repSets.count() === 5L,
+      "verification sets are built for representatives only")
+    assert(repSh.select(countDistinct(col("doc_id"))).collect()(0).getLong(0) === 5L,
+      "shingle rows (the prefix-join input) cover representatives only")
     val stats = LlmData.dedupNgramFrom(s, docs)
       .agg(count(lit(1)), sum(when(col("jac") === 1.0, 1L).otherwise(0L)))
       .collect()(0)
-    val secs = (System.nanoTime() - t0) / 1e9
     val expectIntra = 10000L * 9999L / 2
     assert(stats.getLong(0) === expectIntra + 1,
       s"pair table must hold every intra pair plus the near-dup pair, got ${stats.getLong(0)}")
     assert(stats.getLong(1) === expectIntra,
       "every intra pair reports J = 1 exactly")
-    // generous 4x headroom over the measured collapsed wall (see the
-    // commit recording the measurement); the uncollapsed path is >10x past
-    // this bound, so the assertion is a collapse-regression tripwire, not
-    // a flaky timing pin
-    assert(secs < 120.0,
-      f"mass-duplication pair build took $secs%.1f s — collapse regressed?")
   }
 
   test("collapse: NULL-text documents still report and never pair") {
@@ -643,6 +648,35 @@ class LlmDataSpec extends AnyFunSuite {
       val got = operators.LlmData.streamSinkCommittedFiles(d)
         .map(_.getFileName.toString)
       assert(got === Set("b.parquet"))
+    }
+    // delete-then-RE-ADD must publish: actions resolve last-wins in entry
+    // order, not as a set difference (r11 advice item)
+    withLog(Seq("v1", entry("a.parquet", "add"), entry("a.parquet", "delete"),
+      entry("a.parquet", "add"))) { d =>
+      val got = operators.LlmData.streamSinkCommittedFiles(d)
+        .map(_.getFileName.toString)
+      assert(got === Set("a.parquet"),
+        "a path deleted and later re-added stays published under last-wins")
+    }
+    // cross-file ordering is NUMERIC by batch id: batch 10's delete must
+    // land after batch 2's add (lexicographic "10" < "2" would flip it)
+    locally {
+      val dir = Files.createTempDirectory("graft_sinklog")
+      try {
+        val meta = dir.resolve("_spark_metadata")
+        Files.createDirectories(meta)
+        Files.writeString(meta.resolve("2"),
+          Seq("v1", entry("a.parquet", "add")).mkString("\n") + "\n")
+        Files.writeString(meta.resolve("10"),
+          Seq("v1", entry("a.parquet", "delete")).mkString("\n") + "\n")
+        assert(operators.LlmData.streamSinkCommittedFiles(dir).isEmpty,
+          "batch 10's delete must override batch 2's add under numeric order")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val w = Files.walk(dir)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
     }
     // a log-format bump must fail loudly at the parse site, not feed a
     // misparsed file set downstream
