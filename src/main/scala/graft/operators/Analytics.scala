@@ -1192,7 +1192,8 @@ object Analytics {
     * asserted in PlanShapeSpec): in-row double posexplode over the basket
     * table, canonicalized, counted, min-support filtered.
     */
-  private[graft] def basketPairBuild(baskets: DataFrame): DataFrame =
+  private[graft] def basketPairBuild(baskets: DataFrame,
+      minSupport: Int = 3): DataFrame =
     baskets
       .where(size(col("ps")) > 1)
       // double posexplode + i<j filter beats explode-over-slice here:
@@ -1204,7 +1205,7 @@ object Analytics {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= 3)
+      .where(col("n_ab") >= minSupport)
 
   private def basketLiftRank(pairs: DataFrame, item: DataFrame,
       total: DataFrame): DataFrame = {
@@ -2561,7 +2562,168 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  // --------------------------------------------------- connected components
+
+  /** The CC input graph — co-purchase pairs supported by ≥ 2 distinct
+    * orders — STAGED as a derived fixture table (the copurchase-edges /
+    * basket-pairs doctrine): a deterministic function of lineitem, built
+    * once per fixture generation by the same no-self-join pair kernel the
+    * basket maintenance job uses ([[basketPairBuild]], minSupport 2).
+    * Support ≥ 2 keeps the graph SPARSE (repeat co-purchases, not every
+    * incidental basket pairing) — the affinity-graph shape CC actually
+    * runs on in production — while still producing a giant sparse
+    * near-tree component on the mid-size fixture, the high-diameter case
+    * the alternating algorithm exists for.
+    */
+  private def ccEdges(s: SparkSession, d: String): DataFrame =
+    LlmData.memo(s, s"cc_edges:$d") {
+      val path = graft.Fixtures.ensureDerived(
+        "graft_cc_edges", d, "lineitem", "cce1") { staging =>
+        val baskets = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        basketPairBuild(baskets, minSupport = 2).select("a", "b")
+          .write.mode("overwrite").parquet(staging.toString)
+      }
+      s.read.parquet(path.toString)
+    }
+
+  /** One LARGE-STAR round: every node u connects its strictly-LARGER
+    * neighbors to m(u) = min(Γ(u) ∪ {u}). Output pairs keep the
+    * (big, small) orientation invariant (v > u ≥ m(u) for every emitted
+    * (v, m(u))). One groupBy (node-grain min) + one join, both keyed on
+    * the node — no step ever materializes anything bigger than the edge
+    * set itself.
+    */
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+    val dir = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = dir.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    dir.join(m, "u").where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR round: orient every edge to its smaller endpoint;
+    * each node u connects its smaller neighborhood (and itself) to
+    * m(u) = min(Γ⁻(u)), dropping m itself (no self-loops). Same
+    * node-keyed groupBy + join shape as the large-star.
+    */
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir.union(m.select(col("u"), col("u").as("v")))
+      .join(m, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Alternating large-star/small-star to fixpoint (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): O(log² n)
+    * rounds on ANY graph — including the high-diameter near-trees where
+    * plain min-label propagation ([[LlmData.dedupCluster]]'s shape, right
+    * for tiny dup clusters) needs O(diameter) rounds. At the fixpoint the
+    * edge set IS the component forest: one (node, component-min) star
+    * edge per non-root node. Returns (node, component) for every node in
+    * the input graph.
+    */
+  private[graft] def ccLabels(s: SparkSession, edges: DataFrame): DataFrame = {
+    // lineage is CUT each round (eager localCheckpoint), not just cached:
+    // unlike the 3-round BFS or the 2-3-round dup-cluster propagation,
+    // the star alternation runs ~log² n rounds, and a persisted-only loop
+    // nests every prior round's plan inside the next — analysis/optimizer
+    // time grows superlinearly and a ~25-round run stops planning
+    // altogether (measured: hung the sf0.01 fixture). The checkpoint makes
+    // each round's plan constant-size. On a cluster, localCheckpoint
+    // trades executor-loss recoverability for speed — the right trade for
+    // short supersteps (a lost executor restarts the job, it does not
+    // corrupt it); a reliable checkpoint dir is the belt-and-braces
+    // variant at 100 TB.
+    var e = edges.select(greatest(col("a"), col("b")).as("u"),
+      least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64,
+        "large-star/small-star failed to converge in 64 rounds — " +
+          "the O(log² n) bound makes this unreachable; edge state is corrupt")
+      val next = ccSmallStar(ccLargeStar(e)).localCheckpoint(true)
+      val nextCount = next.count()
+      // fixpoint test is EXACT set equality: same cardinality and no row
+      // of next outside e — two edge-grain jobs, the same grain as the
+      // round itself (a hash-checksum compare would be cheaper but admits
+      // collision-driven early stops)
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e.unpersist()
+      e = next
+      eCount = nextCount
+    }
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    labels
+  }
+
+  /** Test seam: the staged support-≥2 edge set (AnalyticsSpec re-checks the
+    * engine labeling against a driver-side union-find over these rows).
+    */
+  private[graft] def ccEdgesForTest(s: SparkSession, d: String): DataFrame =
+    ccEdges(s, d)
+
+  /** q_graph_connected_components — CONNECTED COMPONENTS of the repeat
+    * co-purchase graph: every part labeled with its component's minimum
+    * part id plus the component size — the global-clustering primitive
+    * behind householding, product-family resolution, and dup-cluster
+    * closure at catalog scale.
+    *
+    * Scale shape — the reason this is NOT [[LlmData.dedupCluster]]'s
+    * plain min-label propagation: propagation converges in O(diameter)
+    * rounds, and a 100 TB affinity graph's giant component is exactly
+    * where diameter blows up (this fixture's support-≥2 graph already
+    * fragments into a 1,860-node near-TREE at mid scale). The alternating
+    * star algorithm converges in O(log² n) rounds regardless of diameter,
+    * each round two node-keyed aggregates + two node-keyed joins at edge
+    * grain — the published MapReduce-scale recipe. AQE is pinned off for
+    * the iteration (the [[graphBfs]] doctrine: short supersteps with
+    * known shapes; adaptive re-planning serializes the DAG), and shuffle
+    * partitions are sized to the EDGE table, not the corpus (the
+    * dedupCluster discipline). The oracle walks the graph independently:
+    * a recursive-CTE reachability closure reduced by min — Σ|component|²
+    * rows, runnable only at oracle scale, which is exactly the point of
+    * the star formulation.
+    */
+  def graphConnectedComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = ccEdges(s, d)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey,
+      math.max(1L, edges.count() / 500000L).toString)
+    val labels =
+      try ccLabels(s, edges)
+      finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
+    // component-size attach: component grain ≪ node grain — broadcast
+    labels.join(broadcast(sizes), "component")
+      .select(col("node").as("part"), col("component"), col("csize"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_connected_components" -> graphConnectedComponents _,
     "q_graph_modularity" -> graphModularity _,
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
@@ -2657,6 +2819,25 @@ object Analytics {
       "16 * CAST(ceil(n_edges * 1.0 / greatest(n_lists, 1)) AS BIGINT)))"
 
   val oracle: Map[String, String] = Map(
+    // independent CC walk: recursive reachability closure reduced by min —
+    // (node, m) holds every id m reachable from node, so min(m) per node is
+    // the component label whatever round structure the engine used to get
+    // there. Σ|component|² rows: oracle-scale only, by design.
+    "q_graph_connected_components" ->
+      ("WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "pr AS (SELECT b1.p AS a, b2.p AS b FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr), " +
+        "reach(node, m) AS (" +
+        "SELECT u, u FROM (SELECT DISTINCT u FROM e) " +
+        "UNION SELECT r.node, e.v FROM reach r JOIN e ON e.u = r.m), " +
+        "comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node) " +
+        "SELECT CAST(node AS BIGINT) AS part, " +
+        "CAST(component AS BIGINT) AS component, " +
+        "CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize " +
+        "FROM comp ORDER BY part"),
     "q_graph_modularity" ->
       (s"WITH $cappedSupplierEdgeCtes, " +
         "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +

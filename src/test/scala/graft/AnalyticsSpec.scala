@@ -1347,4 +1347,70 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(bHi === (hi > madMilli * 5) && bLo === (lo > madMilli * 5))
     }
   }
+
+  test("connected components: high-diameter path + planted components, exact labels") {
+    import s.implicits._
+    // a 64-node PATH (diameter 63 — the case plain min-label propagation
+    // pays O(diameter) rounds for and the star alternation must not),
+    // plus a planted triangle, one extra 2-node component, and a ring
+    val path = (1L until 64L).map(i => (i, i + 1))
+    val planted = Seq((100L, 101L), (101L, 102L), (100L, 102L), // triangle
+      (200L, 201L)) // pair
+    val ring = (300L until 310L).map(i => (i, i + 1)) :+ (310L, 300L)
+    val edges = (path ++ planted ++ ring).toDF("a", "b")
+    val labels = Analytics.ccLabels(s, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 64L).foreach(n => assert(labels(n) === 1L,
+      s"path node $n must label to the path min"))
+    Seq(100L, 101L, 102L).foreach(n => assert(labels(n) === 100L))
+    assert(labels(200L) === 200L && labels(201L) === 200L)
+    (300L to 310L).foreach(n => assert(labels(n) === 300L))
+    assert(labels.size === 64 + 3 + 2 + 11, "every edge endpoint labeled once")
+  }
+
+  test("connected components: star rounds preserve connectivity and strictly shrink labels") {
+    import s.implicits._
+    // one large-star + one small-star on the path graph must (a) keep the
+    // node set connected exactly as before (same final components) and
+    // (b) never emit a pair (u, v) with v >= u — the orientation invariant
+    // the iteration's termination argument rests on
+    val edges = (1L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    val e0 = edges.select(col("a").as("u"), col("b").as("v"))
+    val once = Analytics.ccSmallStar(Analytics.ccLargeStar(e0))
+    val bad = once.where(col("v") >= col("u")).count()
+    assert(bad === 0L, "star rounds must keep the (big, small) orientation")
+    // connectivity preserved: running the full iteration from the
+    // once-transformed set gives the same single component
+    val fromOnce = Analytics.ccLabels(s,
+      once.select(col("u").as("a"), col("v").as("b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromOnce.values.toSet === Set(1L),
+      "one star round must not split or merge components")
+  }
+
+  test("q_graph_connected_components labels are a valid CC labeling of the support-2 graph") {
+    // engine output re-checked against a driver-side union-find over the
+    // SAME staged edge set: identical component labels (min-id canonical)
+    // and sizes — independent of the oracle's recursive-CTE walk
+    val out = Analytics.graphConnectedComponents(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = Analytics.ccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = parent.keys.map(n => n -> find(n)).toMap
+    val sizes = comp.values.groupBy(identity).map { case (c, g) => c -> g.size }
+    assert(out.length === comp.size)
+    out.foreach { case (part, component, csize) =>
+      assert(component === comp(part), s"component mismatch at $part")
+      assert(csize === sizes(comp(part)).toLong, s"size mismatch at $part")
+    }
+  }
 }

@@ -93,7 +93,8 @@ class ContractSpec extends AnyFunSuite {
     "q_scalar_rowhash", "q_stream_join_static", "q_event_attribution_decay",
     "q_dedup_sweep", "q_agg_ab_cuped", "q_graph_modularity", "q_scalar_dense_ids",
     "q_simsearch_compact", "q_simsearch_append_delete", "q_simsearch_batch_routed",
-    "q_simsearch_drift", "q_simsearch_reclaim", "q_simsearch_cell_stats")
+    "q_simsearch_drift", "q_simsearch_reclaim", "q_simsearch_cell_stats",
+    "q_graph_connected_components")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
