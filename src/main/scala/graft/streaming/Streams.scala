@@ -20,6 +20,17 @@ case class Ev(event_id: Long, ts: Instant, user_id: Long, event_type: String, va
   */
 case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
 
+/** Streaming-CDC fold state: the max-seq record seen so far for one key
+  * plus the total changelog record count (the count is the no-silent-drop
+  * proof — a late-filtered or lost record fails the oracle's count).
+  * Top-level (not nested in the object) — the state encoder's codegen
+  * instantiates it by constructor.
+  */
+case class CdcState(seqUs: Long, eventId: Long, lastType: String,
+    lastValue: Double, nChanges: Long)
+case class CdcOut(user_id: Long, n_changes: Long,
+    applied_seq_us: Long, last_type: String, last_value: Double)
+
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, total_value: Double)
 
@@ -670,6 +681,102 @@ object Streams {
     }
   }
 
+  /** The per-key CDC fold: keep whichever record carries the HIGHEST
+    * (ts, event_id) sequence — arrival order (micro-batch index) never
+    * decides, so a stale replay delivered last still loses — and emit the
+    * key's final state exactly once, when the event-time timer proves no
+    * earlier-sequenced record can still arrive. A key whose final record
+    * is a tombstone ('error' op) emits NOTHING: the delete is the absence.
+    */
+  private def cdcFold(userId: Long, rows: Iterator[Ev],
+      state: GroupState[CdcState]): Iterator[CdcOut] = {
+    import SessionFold.us
+    if (!rows.hasNext) { // timer fired: the fold is final
+      val st = state.get
+      state.remove()
+      if (st.lastType == "error") Iterator.empty
+      else Iterator.single(
+        CdcOut(userId, st.nChanges, st.seqUs, st.lastType, st.lastValue))
+    } else {
+      var st = state.getOption
+        .getOrElse(CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+      rows.foreach { e =>
+        val t = us(e.ts)
+        st =
+          if (t > st.seqUs || (t == st.seqUs && e.event_id > st.eventId))
+            CdcState(t, e.event_id, e.event_type, e.value, st.nChanges + 1)
+          else st.copy(nChanges = st.nChanges + 1)
+      }
+      state.update(st)
+      // fire as soon as the watermark moves past the fold's newest record
+      // (never at-or-before the current watermark — Spark rejects that)
+      state.setTimeoutTimestamp(
+        math.max(st.seqUs / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** q_stream_cdc_apply — streaming CHANGELOG APPLICATION: the ordered
+    * insert/update/delete fold of `q_cdc_apply`, continuous. The events
+    * feed is the changelog (key = user, sequence = (ts, event_id), op =
+    * 'error' ⇒ delete tombstone, anything else ⇒ upsert); micro-batch 2
+    * then delivers a derived correction wave OUT OF ORDER — per-user
+    * stale replays sequenced BEFORE records already applied (they must
+    * lose), genuine late corrections sequenced after (they must win), and
+    * fresh tombstones (those keys must vanish from the output). State is
+    * one fixed-size record per live key — the minimal CDC state bound —
+    * evicted on an event-time timer once the watermark proves the key
+    * final, so the memory-sink output is append-mode exactly-once.
+    *
+    * The watermark delay (90 days) is deliberately wider than the feed's
+    * whole span: a CDC log's sequence numbers are NOT its arrival times,
+    * so correctness must never depend on late-row filtering — the
+    * per-key change COUNT in the output turns any silently dropped
+    * record into an oracle failure.
+    *
+    * Scale: per micro-batch one keyed shuffle at changelog grain; state
+    * is live-key grain (one small struct per key, the same bound the
+    * batch fold's max(struct) carries per group); eviction is
+    * watermark-driven. The oracle replays the whole composed changelog in
+    * batch SQL: argmax by sequence per key, tombstones filtered.
+    */
+  def streamCdcApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = normalizedEvents(s, d)
+    val stats = ev.groupBy("user_id")
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    def wave(cond: org.apache.spark.sql.Column, idBase: Long,
+        tsCol: org.apache.spark.sql.Column, tpe: String,
+        value: Double) = stats.where(cond)
+      .select((lit(idBase) - col("user_id")).as("event_id"), tsCol.as("ts"),
+        col("user_id"), lit(tpe).as("event_type"), lit(value).as("value"))
+    val corrections =
+      // stale replays: sequenced before everything already applied
+      wave(col("user_id") % 3 === 0, -100L,
+        col("mn") - expr("INTERVAL 1 HOUR"), "stale", -999.0)
+        // genuine corrections: newest sequence so far
+        .unionByName(wave(col("user_id") % 4 === 0, -200L,
+          col("mx") + expr("INTERVAL 1 HOUR"), "correction", 123.45))
+        // tombstones: delete the key outright (sequenced after the
+        // correction, so a user in both waves still deletes)
+        .unionByName(wave(col("user_id") % 10 === 7, -300L,
+          col("mx") + expr("INTERVAL 2 HOUR"), "error", 0.0))
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "90 days")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(cdcFold)
+        .toDF(),
+      d, Seq(corrections.unionByName(sentinelBatch(s))),
+      firstBatchExtra = Nil, key = "cdc_apply")
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("n_changes"), col("applied_seq_us"),
+        col("last_type"), col("last_value"))
+      .orderBy("user_id")
+  }
+
   /** q_stream_foreach_upsert — the streaming lake-merge pattern:
     * `foreachBatch` lands each micro-batch into a day-partitioned parquet
     * lake under DYNAMIC partition overwrite, so a batch replaces exactly
@@ -766,6 +873,7 @@ object Streams {
     "q_stream_stateful" -> streamStateful _,
     "q_stream_stateful_tws" -> streamStatefulTws _,
     "q_stream_foreach_upsert" -> streamForeachUpsert _,
+    "q_stream_cdc_apply" -> streamCdcApply _,
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
@@ -842,7 +950,26 @@ object Streams {
         "sum(round(CASE WHEN CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events) " +
         "THEN value * 2 ELSE value END * 100, 0)) / 100 AS sum_value " +
         "FROM events GROUP BY day ORDER BY day"),
-    "q_stream_stateful" -> sessionOracleSql)
+    "q_stream_stateful" -> sessionOracleSql,
+    // the composed changelog (events + the derived correction wave)
+    // replayed in batch: argmax by (ts, event_id) per key, tombstones out
+    "q_stream_cdc_apply" ->
+      ("WITH ustats AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx " +
+        "FROM events GROUP BY user_id), " +
+        "log AS (SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "UNION ALL SELECT -100 - user_id, mn - INTERVAL 1 HOUR, user_id, " +
+        "'stale', CAST(-999.0 AS DOUBLE) FROM ustats WHERE user_id % 3 = 0 " +
+        "UNION ALL SELECT -200 - user_id, mx + INTERVAL 1 HOUR, user_id, " +
+        "'correction', CAST(123.45 AS DOUBLE) FROM ustats WHERE user_id % 4 = 0 " +
+        "UNION ALL SELECT -300 - user_id, mx + INTERVAL 2 HOUR, user_id, " +
+        "'error', CAST(0.0 AS DOUBLE) FROM ustats WHERE user_id % 10 = 7), " +
+        "lst AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) " +
+        "AS rn FROM log) " +
+        "SELECT user_id, n_changes, epoch_us(ts) AS applied_seq_us, " +
+        "event_type AS last_type, value AS last_value " +
+        "FROM lst WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"))
 
   private lazy val sessionOracleSql: String =
     "WITH g AS (SELECT user_id, ts, event_id, value, " +

@@ -158,4 +158,52 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_stream_cdc_apply: sequence order beats arrival order; tombstones delete; counts complete") {
+    val out = Streams.streamCdcApply(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    // the scenario genuinely fires all three correction waves:
+    // stale replays DELIVERED LAST must have lost to earlier-delivered
+    // higher-seq records (arrival order defeated) ...
+    val staleUsers = out.filter(_._1 % 3 == 0)
+    assert(staleUsers.nonEmpty, "mod-3 users must survive")
+    assert(out.forall(_._4 != "stale"),
+      "a stale replay (lowest sequence, latest arrival) must never win")
+    // ... tombstones delete their keys outright ...
+    assert(out.forall(_._1 % 10 != 7), "tombstoned keys must vanish")
+    // ... and genuine corrections win where nothing outsequences them
+    assert(out.exists(_._4 == "correction"),
+      "late corrections must take effect")
+    assert(out.filter(_._4 == "correction").forall(_._5 == 123.45))
+    // full batch replay of the composed changelog — the streaming fold's
+    // final state must equal the batch argmax, key for key
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stats = ev.groupBy("user_id")
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    def wave(m: Int, r: Int, idBase: Long, tsExpr: org.apache.spark.sql.Column,
+        tpe: String, v: Double) = stats.where(col("user_id") % m === r)
+      .select((lit(idBase) - col("user_id")).as("event_id"), tsExpr.as("ts"),
+        col("user_id"), lit(tpe).as("event_type"), lit(v).as("value"))
+    val log = ev
+      .unionByName(wave(3, 0, -100L, col("mn") - expr("INTERVAL 1 HOUR"), "stale", -999.0))
+      .unionByName(wave(4, 0, -200L, col("mx") + expr("INTERVAL 1 HOUR"), "correction", 123.45))
+      .unionByName(wave(10, 7, -300L, col("mx") + expr("INTERVAL 2 HOUR"), "error", 0.0))
+    val w = Window.partitionBy("user_id")
+    val expected = log
+      .withColumn("n_changes", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("n_changes"),
+        expr("unix_micros(ts)").as("seq_us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSet
+    assert(out.toSet === expected,
+      "streaming CDC final state must equal the batch changelog argmax")
+  }
 }
