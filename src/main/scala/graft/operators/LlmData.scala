@@ -1852,6 +1852,82 @@ object LlmData {
       .orderBy("cohort")
   }
 
+  /** q_simsearch_retrain — the RETRAIN the drift monitor triggers, closing
+    * the monitoring loop (`q_simsearch_drift` raises the flag; this is the
+    * action): one exact Lloyd refinement of the frozen standing codebook
+    * over the FULL merged index (standing + appended batch) — per-cell
+    * unit-normalized mean centroids — then both cohorts re-scored under
+    * frozen vs retrained centroids side by side. The batch cohort's mean
+    * best-centroid dot recovering toward the standing cohort's is the
+    * retrain succeeding; the readout is the same integer-micro Det fold
+    * the drift monitor reports, so the two keys share one measurement
+    * doctrine.
+    *
+    * Deterministic end to end, and oracle-checked END TO END: the oracle
+    * replays the frozen routing chain (`ivfRouteSqlCtesOver`, standing
+    * predicate), rebuilds every retrained centroid from the SQL-side
+    * assignment (per-dimension exact micro sums → one double division
+    * chain → unit normalization with the same ascending-index fold and
+    * float cast), and re-scores every vector — a drifted mean in any
+    * single dimension of any cell fails the hash gate.
+    *
+    * Scale shape: the mean build consumes the INDEX (the artifact the
+    * lifecycle already maintains), not a fresh corpus pass — one scan
+    * with 64 map-side-combinable micro-sum aggregates, shuffling ≤
+    * (cells × dims) partial rows; the collected result is control-plane
+    * (≤256 × 64 doubles, the codebook bound). Re-scoring is one scan
+    * with 2·nCells codegen'd literal-dot columns — the drift monitor's
+    * shape, doubled. At a billion vectors both passes ride existing
+    * maintenance scans; nothing is corpus-grain on the driver.
+    */
+  def simsearchRetrain(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tag = ivfAppendTag(d)
+    val centroids0 = ivfAppendCentroids(s, d, tag)
+    val indexPath = ivfAppendIndexWith(s, d, tag, centroids0)
+    val dims = centroids0(0).length
+    val sumCols = (0 until dims).map(i =>
+      sum(round(col("embedding").getItem(i).cast("double") * 1000000.0, 0))
+        .as(s"sm_$i"))
+    // per-cell exact micro sums; the collected frame is codebook-bounded
+    val perCell = s.read.parquet(indexPath)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .collect()
+    val retrained: Array[Array[Double]] = perCell.map { row =>
+      val n = row.getLong(row.fieldIndex("n"))
+      val mv = Array.tabulate(dims)(i =>
+        row.getDouble(row.fieldIndex(s"sm_$i")) / n / 1000000.0)
+      // ascending-index norm fold + float cast mirror the frozen
+      // codebook's normalization (the rcn CTE) exactly
+      var nn = 0.0
+      var i = 0
+      while (i < dims) { nn += mv(i) * mv(i); i += 1 }
+      val nrm = math.sqrt(nn)
+      val g = if (nrm == 0.0) 1.0 else nrm
+      mv.map(x => (x / g).toFloat.toDouble)
+    }
+    val sFrozen = ivfCellsExpr(centroids0, "embedding")
+    val sRetr = ivfCellsExpr(retrained, "embedding")
+    t(s, d, "embeddings")
+      .select(
+        when(expr(appendBatchCond), lit("batch")).otherwise(lit("standing"))
+          .as("cohort"),
+        expr(s"CAST(round(array_max($sFrozen) * 1000000, 0) AS BIGINT)")
+          .as("bf"),
+        expr(s"CAST(round(array_max($sRetr) * 1000000, 0) AS BIGINT)")
+          .as("br"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"),
+        sum(col("bf")).as("sum_frozen_micro"),
+        sum(col("br")).as("sum_retrained_micro"))
+      .withColumn("mean_best_frozen",
+        r(col("sum_frozen_micro") / lit(1000000.0) / col("n"), 6))
+      .withColumn("mean_best_retrained",
+        r(col("sum_retrained_micro") / lit(1000000.0) / col("n"), 6))
+      .orderBy("cohort")
+  }
+
   /** Test seam: the composed probe at a caller-chosen width (MaxValue →
     * brute force over standing+batch minus tombstones, asserted in
     * LlmDataSpec).
@@ -4201,6 +4277,7 @@ object LlmData {
     "q_simsearch_reclaim" -> simsearchReclaim _,
     "q_simsearch_cell_stats" -> simsearchCellStats _,
     "q_simsearch_drift" -> simsearchDrift _,
+    "q_simsearch_retrain" -> simsearchRetrain _,
     "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
@@ -5013,6 +5090,41 @@ object LlmData {
         "CAST(sum(bd) AS BIGINT) AS sum_best_micro, " +
         "round(sum(bd) / 1000000.0 / count(*) * 1000000, 0) / 1000000 AS mean_best " +
         "FROM bq GROUP BY 1 ORDER BY cohort"),
+    // retrain replay: frozen routing chain (standing codebook), retrained
+    // centroids rebuilt per cell from the SQL-side assignment — exact
+    // per-dimension micro sums, the same double-division chain, the same
+    // ascending-index norm fold and float cast — then every vector
+    // re-scored under both codebooks
+    "q_simsearch_retrain" ->
+      (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
+        "rdim AS (SELECT unnest(range(1, " +
+        "(SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i), " +
+        "rex AS (SELECT a.cell AS cell, rdim.i AS i, " +
+        "CAST(e.embedding[rdim.i] AS DOUBLE) AS x " +
+        "FROM rasg a JOIN embeddings e ON a.vec_id = e.vec_id CROSS JOIN rdim), " +
+        "rcm AS (SELECT cell, i, CAST(sum(round(x * 1000000, 0)) AS DOUBLE) " +
+        "/ count(*) / 1000000.0 AS mv FROM rex GROUP BY cell, i), " +
+        "rcv AS (SELECT cell, list(mv ORDER BY i) AS mvec FROM rcm GROUP BY cell), " +
+        "rc2 AS (SELECT cell, list_transform(mvec, x -> CAST(x / " +
+        "(CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS FLOAT)) AS cv2 " +
+        "FROM (SELECT cell, mvec, " +
+        s"sqrt(${VectorOps.sqlDot("mvec", "mvec")}) AS nrm FROM rcv)), " +
+        "rb1 AS (SELECT vec_id, CAST(round(max(score) * 1000000, 0) AS BIGINT) " +
+        "AS bf FROM rsc GROUP BY vec_id), " +
+        "rs2 AS (SELECT e.vec_id AS vec_id, " +
+        s"${VectorOps.sqlDot("e.embedding", "c.cv2")} AS score " +
+        "FROM embeddings e CROSS JOIN rc2 c), " +
+        "rb2 AS (SELECT vec_id, CAST(round(max(score) * 1000000, 0) AS BIGINT) " +
+        "AS br FROM rs2 GROUP BY vec_id) " +
+        s"SELECT CASE WHEN $appendBatchCond THEN 'batch' ELSE 'standing' END " +
+        "AS cohort, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(bf) AS BIGINT) AS sum_frozen_micro, " +
+        "CAST(sum(br) AS BIGINT) AS sum_retrained_micro, " +
+        "round(sum(bf) / 1000000.0 / count(*) * 1000000, 0) / 1000000 " +
+        "AS mean_best_frozen, " +
+        "round(sum(br) / 1000000.0 / count(*) * 1000000, 0) / 1000000 " +
+        "AS mean_best_retrained " +
+        "FROM rb1 JOIN rb2 USING (vec_id) GROUP BY 1 ORDER BY cohort"),
     // delete replay: the standing routing chain untouched (deletes never
     // retrain the quantizer), the tombstone predicate applied in the final
     // SELECT — a leaked tombstoned row or an over-deleted survivor fails

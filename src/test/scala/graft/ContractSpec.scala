@@ -94,7 +94,8 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_sweep", "q_agg_ab_cuped", "q_graph_modularity", "q_scalar_dense_ids",
     "q_simsearch_compact", "q_simsearch_append_delete", "q_simsearch_batch_routed",
     "q_simsearch_drift", "q_simsearch_reclaim", "q_simsearch_cell_stats",
-    "q_graph_connected_components", "q_stream_cdc_apply")
+    "q_graph_connected_components", "q_stream_cdc_apply",
+    "q_simsearch_retrain")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

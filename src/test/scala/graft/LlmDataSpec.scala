@@ -794,6 +794,39 @@ class LlmDataSpec extends AnyFunSuite {
       "standing best-dot micro sum must equal the driver fold")
   }
 
+  test("q_simsearch_retrain: Lloyd refinement improves both cohorts and narrows the drift gap") {
+    val out = LlmData.simsearchRetrain(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set("batch", "standing"))
+    // the normalized per-cell MEAN is the argmax of the cell's summed dot
+    // over unit vectors, so the retrained codebook can only raise each
+    // cell's total — and empirically raises both cohorts on the fixture
+    Seq("batch", "standing").foreach { c =>
+      val (_, frozen, retrained) = out(c)
+      assert(retrained > frozen,
+        s"$c cohort must score strictly better under the retrained codebook")
+    }
+    // drift recovery: the frozen per-vector mean GAP (standing − batch)
+    // must shrink after the retrain sees the batch's distribution
+    def meanMicro(t: (Long, Long, Long), retrained: Boolean): Double =
+      (if (retrained) t._3 else t._2).toDouble / t._1
+    val gapFrozen =
+      meanMicro(out("standing"), false) - meanMicro(out("batch"), false)
+    val gapRetrained =
+      meanMicro(out("standing"), true) - meanMicro(out("batch"), true)
+    assert(gapRetrained < gapFrozen,
+      s"retrain must narrow the drift gap (frozen $gapFrozen, retrained $gapRetrained)")
+    // the readout rides the drift monitor's own frozen-codebook numbers:
+    // the two keys must agree on the 'before' column exactly
+    val drift = LlmData.simsearchDrift(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    Seq("batch", "standing").foreach { c =>
+      assert(out(c)._2 === drift(c),
+        s"$c frozen sum must equal the drift monitor's reading")
+    }
+  }
+
   test("q_simsearch_batch_routed: full probe equals per-query brute force") {
     val full = LlmData.simsearchBatchRoutedProbe(s, d, _ => Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
