@@ -1882,31 +1882,8 @@ object LlmData {
     */
   def simsearchRetrain(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val tag = ivfAppendTag(d)
-    val centroids0 = ivfAppendCentroids(s, d, tag)
-    val indexPath = ivfAppendIndexWith(s, d, tag, centroids0)
-    val dims = centroids0(0).length
-    val sumCols = (0 until dims).map(i =>
-      sum(round(col("embedding").getItem(i).cast("double") * 1000000.0, 0))
-        .as(s"sm_$i"))
-    // per-cell exact micro sums; the collected frame is codebook-bounded
-    val perCell = s.read.parquet(indexPath)
-      .groupBy(col("cell").cast("int").as("cell"))
-      .agg(count(lit(1)).as("n"), sumCols: _*)
-      .collect()
-    val retrained: Array[Array[Double]] = perCell.map { row =>
-      val n = row.getLong(row.fieldIndex("n"))
-      val mv = Array.tabulate(dims)(i =>
-        row.getDouble(row.fieldIndex(s"sm_$i")) / n / 1000000.0)
-      // ascending-index norm fold + float cast mirror the frozen
-      // codebook's normalization (the rcn CTE) exactly
-      var nn = 0.0
-      var i = 0
-      while (i < dims) { nn += mv(i) * mv(i); i += 1 }
-      val nrm = math.sqrt(nn)
-      val g = if (nrm == 0.0) 1.0 else nrm
-      mv.map(x => (x / g).toFloat.toDouble)
-    }
+    val centroids0 = ivfAppendCentroids(s, d, ivfAppendTag(d))
+    val retrained = retrainedCentroids(s, d)
     val sFrozen = ivfCellsExpr(centroids0, "embedding")
     val sRetr = ivfCellsExpr(retrained, "embedding")
     t(s, d, "embeddings")
@@ -1926,6 +1903,104 @@ object LlmData {
       .withColumn("mean_best_retrained",
         r(col("sum_retrained_micro") / lit(1000000.0) / col("n"), 6))
       .orderBy("cohort")
+  }
+
+  /** JVM-lifetime cache of the retrained codebook, keyed like
+    * [[ivfCodebook]] (fixture fingerprint + scheme, so a regenerated
+    * fixture retrains).
+    */
+  private val retrainCodebook =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def ivfRetrainSchemeVersion = s"rt1-$ivfAppendSchemeVersion"
+
+  /** One exact Lloyd refinement of the frozen codebook over the merged
+    * index: per-cell unit-normalized means from exact integer-micro
+    * dimension sums. Centroids are ordered by ascending FROZEN cell id,
+    * so ordinal i in the retrained array ≡ the i-th smallest frozen cell
+    * — the tie-break identity the rebuild's routing/assignment oracle
+    * replay relies on. Shared by the retrain readout and the rebuild.
+    */
+  private def retrainedCentroids(s: SparkSession,
+      d: String): Array[Array[Double]] = {
+    val tagR = graft.Fixtures.datasetTag(d, "embeddings",
+      ivfRetrainSchemeVersion)
+    retrainCodebook.computeIfAbsent(tagR, _ => {
+      val tagA = ivfAppendTag(d)
+      val centroids0 = ivfAppendCentroids(s, d, tagA)
+      val indexPath = ivfAppendIndexWith(s, d, tagA, centroids0)
+      val dims = centroids0(0).length
+      val sumCols = (0 until dims).map(i =>
+        sum(round(col("embedding").getItem(i).cast("double") * 1000000.0, 0))
+          .as(s"sm_$i"))
+      // per-cell exact micro sums; the collected frame is codebook-bounded
+      val perCell = s.read.parquet(indexPath)
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .sortBy(_.getInt(0))
+      perCell.map { row =>
+        val n = row.getLong(row.fieldIndex("n"))
+        val mv = Array.tabulate(dims)(i =>
+          row.getDouble(row.fieldIndex(s"sm_$i")) / n / 1000000.0)
+        // ascending-index norm fold + float cast mirror the frozen
+        // codebook's normalization (the rcn CTE) exactly
+        var nn = 0.0
+        var i = 0
+        while (i < dims) { nn += mv(i) * mv(i); i += 1 }
+        val nrm = math.sqrt(nn)
+        val g = if (nrm == 0.0) 1.0 else nrm
+        mv.map(x => (x / g).toFloat.toDouble)
+      }
+    })
+  }
+
+  /** q_simsearch_rebuild — the REBUILD that serves the retrain: the full
+    * corpus re-assigned under the retrained codebook into a fresh
+    * cell-partitioned index generation (staged + atomically published,
+    * superseded generations swept), then probed through the SAME routing
+    * machinery every other probe uses — completing the lifecycle's
+    * monitoring arc: drift (detect) → retrain (recompute) → rebuild
+    * (re-partition) → serve. Nothing about the serving path changes:
+    * routing is the O(1) codebook decision, the probe scans ~probeN/nCells
+    * of the index, and the default width keeps the fixed ~⅛ scan
+    * fraction.
+    *
+    * Oracle-checked END TO END: the replay rebuilds the retrained
+    * centroids in SQL (the retrain CTE chain), re-derives every vector's
+    * retrained cell, re-derives the probe-cell choice — tie-breaks land
+    * identically because the engine's centroid array is ordered by
+    * ascending frozen cell id — and ranks the probed cells' members by
+    * exact cosine.
+    *
+    * Scale: the rebuild is ONE full-corpus assignment scan + a
+    * cell-partitioned write — the published cost of an IVF re-index, paid
+    * only when the drift monitor fires; probes thereafter are unchanged.
+    * The staged build lands once per fixture generation; concurrent
+    * readers see the old or the new generation, never a mix.
+    */
+  def simsearchRebuild(s: SparkSession, d: String): DataFrame =
+    simsearchRebuildProbe(s, d, defaultProbe)
+
+  /** Test seam: the rebuilt-index probe at a caller-chosen width
+    * (MaxValue → every cell scanned, must equal brute force —
+    * LlmDataSpec pins it).
+    */
+  private[graft] def simsearchRebuildProbe(s: SparkSession, d: String,
+      probeOf: Int => Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val c1 = retrainedCentroids(s, d)
+    val tagR = graft.Fixtures.datasetTag(d, "embeddings",
+      ivfRetrainSchemeVersion)
+    val dir = graft.Fixtures.ensure(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf_retrain", tagR)) { staging =>
+      frozenAssign(c1)(t(s, d, "embeddings"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    }.toString
+    graft.Fixtures.sweepSuperseded("graft_ivf_retrain", d,
+      ivfRetrainSchemeVersion, tagR)
+    val (qEmb, cells) = routeWith(s, d, c1, probeOf)
+    probeCells(s, dir, typedlit(qEmb), cells)
   }
 
   /** Test seam: the composed probe at a caller-chosen width (MaxValue →
@@ -4278,6 +4353,7 @@ object LlmData {
     "q_simsearch_cell_stats" -> simsearchCellStats _,
     "q_simsearch_drift" -> simsearchDrift _,
     "q_simsearch_retrain" -> simsearchRetrain _,
+    "q_simsearch_rebuild" -> simsearchRebuild _,
     "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
@@ -4478,6 +4554,28 @@ object LlmData {
     * would otherwise clash) for the IVFADC replay.
     */
   private def ivfRouteSqlCtes: String = ivfRouteSqlCtesOver("TRUE")
+
+  /** The retrained-codebook rebuild in SQL (appended after a routing-replay
+    * chain that provides `rasg`): per-cell per-dimension exact micro sums
+    * over the SQL-side frozen assignment, the identical division chain,
+    * list assembly in dimension order, and unit normalization with the
+    * same ascending fold + float cast the engine applies — ending in
+    * `rc2 (cell, cv2)`. Shared by the retrain readout and the rebuild
+    * probe oracles.
+    */
+  private def retrainedCentroidSqlCtes: String =
+    "rdim AS (SELECT unnest(range(1, " +
+      "(SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i), " +
+      "rex AS (SELECT a.cell AS cell, rdim.i AS i, " +
+      "CAST(e.embedding[rdim.i] AS DOUBLE) AS x " +
+      "FROM rasg a JOIN embeddings e ON a.vec_id = e.vec_id CROSS JOIN rdim), " +
+      "rcm AS (SELECT cell, i, CAST(sum(round(x * 1000000, 0)) AS DOUBLE) " +
+      "/ count(*) / 1000000.0 AS mv FROM rex GROUP BY cell, i), " +
+      "rcv AS (SELECT cell, list(mv ORDER BY i) AS mvec FROM rcm GROUP BY cell), " +
+      "rc2 AS (SELECT cell, list_transform(mvec, x -> CAST(x / " +
+      "(CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS FLOAT)) AS cv2 " +
+      "FROM (SELECT cell, mvec, " +
+      s"sqrt(${VectorOps.sqlDot("mvec", "mvec")}) AS nrm FROM rcv))"
 
   /** The routing-replay CTE chain over a codebook SOURCE predicate:
     * centroid count/step/sample derive from `FROM embeddings WHERE cond`
@@ -5097,18 +5195,7 @@ object LlmData {
     // re-scored under both codebooks
     "q_simsearch_retrain" ->
       (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
-        "rdim AS (SELECT unnest(range(1, " +
-        "(SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i), " +
-        "rex AS (SELECT a.cell AS cell, rdim.i AS i, " +
-        "CAST(e.embedding[rdim.i] AS DOUBLE) AS x " +
-        "FROM rasg a JOIN embeddings e ON a.vec_id = e.vec_id CROSS JOIN rdim), " +
-        "rcm AS (SELECT cell, i, CAST(sum(round(x * 1000000, 0)) AS DOUBLE) " +
-        "/ count(*) / 1000000.0 AS mv FROM rex GROUP BY cell, i), " +
-        "rcv AS (SELECT cell, list(mv ORDER BY i) AS mvec FROM rcm GROUP BY cell), " +
-        "rc2 AS (SELECT cell, list_transform(mvec, x -> CAST(x / " +
-        "(CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS FLOAT)) AS cv2 " +
-        "FROM (SELECT cell, mvec, " +
-        s"sqrt(${VectorOps.sqlDot("mvec", "mvec")}) AS nrm FROM rcv)), " +
+        s"$retrainedCentroidSqlCtes, " +
         "rb1 AS (SELECT vec_id, CAST(round(max(score) * 1000000, 0) AS BIGINT) " +
         "AS bf FROM rsc GROUP BY vec_id), " +
         "rs2 AS (SELECT e.vec_id AS vec_id, " +
@@ -5125,6 +5212,34 @@ object LlmData {
         "round(sum(br) / 1000000.0 / count(*) * 1000000, 0) / 1000000 " +
         "AS mean_best_retrained " +
         "FROM rb1 JOIN rb2 USING (vec_id) GROUP BY 1 ORDER BY cohort"),
+    // rebuild replay: the retrained-centroid chain, then the FULL routing
+    // layer re-derived under it — retrained assignment (rasg2), probe
+    // width over the retrained cell count, probe-cell choice for the
+    // query (rqp2) — and exact-cosine ranking inside the probed cells.
+    // Tie-breaks (ORDER BY score DESC, cell) land identically because the
+    // engine's retrained array is ordered by ascending frozen cell id.
+    "q_simsearch_rebuild" ->
+      (s"WITH ${ivfRouteSqlCtesOver(s"NOT ($appendBatchCond)")}, " +
+        s"$retrainedCentroidSqlCtes, " +
+        "rnc2 AS (SELECT CAST(count(*) AS BIGINT) AS ncells FROM rc2), " +
+        "rpn2 AS (SELECT LEAST(GREATEST(GREATEST(2, (ncells + 7) // 8), 1), " +
+        "ncells) AS probe_n FROM rnc2), " +
+        "rsc2 AS (SELECT e.vec_id AS vec_id, c.cell AS cell, " +
+        s"${VectorOps.sqlDot("e.embedding", "c.cv2")} AS score " +
+        "FROM embeddings e CROSS JOIN rc2 c), " +
+        "rasg2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) " +
+        "AS rk FROM rsc2) WHERE rk = 1), " +
+        "rqp2 AS (SELECT cell FROM (SELECT cell, " +
+        "row_number() OVER (ORDER BY score DESC, cell) AS rk " +
+        "FROM rsc2 WHERE vec_id = 0) WHERE rk <= (SELECT probe_n FROM rpn2)), " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id AS vec_id, round((" +
+        s"${VectorOps.sqlCosine("e.embedding", "q.qe")}" +
+        ") * 10000, 0) / 10000 AS cos " +
+        "FROM embeddings e JOIN rasg2 ON e.vec_id = rasg2.vec_id, q " +
+        "WHERE rasg2.cell IN (SELECT cell FROM rqp2) AND e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 20"),
     // delete replay: the standing routing chain untouched (deletes never
     // retrain the quantizer), the tombstone predicate applied in the final
     // SELECT — a leaked tombstoned row or an over-deleted survivor fails

@@ -827,6 +827,27 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_simsearch_rebuild: full probe equals brute force; default probe holds the recall floor") {
+    // probing EVERY retrained cell must reproduce exact brute-force top-20
+    // — the rebuilt index is a partition of the corpus, nothing more
+    val brute = LlmData.simsearchTopk(s, d).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = LlmData.simsearchRebuildProbe(s, d, _ => Int.MaxValue)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === brute,
+      "probing every rebuilt cell must reproduce brute force exactly")
+    // the declared ~1/8-fraction probe on the REBUILT index keeps the
+    // same floor the frozen index is held to: a retrain must never cost
+    // recall at equal scan fraction
+    val declared = LlmData.simsearchRebuild(s, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(declared.size === 20)
+    val recall = declared.intersect(brute).size.toDouble / 20
+    info(s"rebuilt-index declared-probe recall@20: $recall")
+    assert(recall >= 0.6,
+      s"rebuilt-index declared-probe recall $recall below the 0.6 floor")
+  }
+
   test("q_simsearch_batch_routed: full probe equals per-query brute force") {
     val full = LlmData.simsearchBatchRoutedProbe(s, d, _ => Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
