@@ -635,4 +635,26 @@ class PlanShapeSpec extends AnyFunSuite {
         s"window not partitioned by n_name (single-partition hazard):\n$l"))
     }
   }
+
+  test("connected-components star rounds plan equi hash joins, never quadratic or window operators") {
+    import s.implicits._
+    // one round over a live edge frame: every join in both star
+    // operations is an equi join on the node key — a CartesianProduct or
+    // BroadcastNestedLoopJoin here would turn each O(|E|) round into
+    // O(|E|·|V|) and sink the log²-round bound's whole point
+    val e = (1L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+    Seq(
+      "large-star" -> graft.operators.Analytics.ccLargeStar(e),
+      "small-star" -> graft.operators.Analytics.ccSmallStar(
+        graft.operators.Analytics.ccLargeStar(e))).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan a quadratic join:\n$p")
+      assert(!p.contains("Window"),
+        s"$name must not plan a window operator:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name should plan a keyed equi join:\n$p")
+    }
+  }
 }
