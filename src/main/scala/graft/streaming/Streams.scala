@@ -31,6 +31,15 @@ case class CdcState(seqUs: Long, eventId: Long, lastType: String,
 case class CdcOut(user_id: Long, n_changes: Long,
     applied_seq_us: Long, last_type: String, last_value: Double)
 
+/** One buffered changelog record of the streaming SCD2 materializer:
+  * everything needed to rebuild the key's version history once the
+  * watermark closes the reorder horizon.
+  */
+case class Scd2Rec(seqUs: Long, eventId: Long, evType: String, value: Double)
+case class Scd2Buf(recs: Seq[Scd2Rec])
+case class Scd2Out(user_id: Long, version_no: Long, valid_from_us: Long,
+    valid_to_us: Option[Long], event_type: String, value: Double)
+
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, total_value: Double)
 
@@ -740,27 +749,35 @@ object Streams {
     * watermark-driven. The oracle replays the whole composed changelog in
     * batch SQL: argmax by sequence per key, tombstones filtered.
     */
-  def streamCdcApply(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ev = normalizedEvents(s, d)
-    val stats = ev.groupBy("user_id")
+  /** The derived out-of-order correction wave — ONE definition shared by
+    * the streaming CDC fold and the streaming SCD2 materializer (and
+    * mirrored verbatim by [[cdcLogSqlCte]]): per-user stale replays
+    * sequenced BEFORE records already applied, genuine late corrections
+    * sequenced after everything, and fresh tombstones sequenced last.
+    */
+  private def cdcCorrectionWave(s: SparkSession, d: String): DataFrame = {
+    val stats = normalizedEvents(s, d).groupBy("user_id")
       .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
     def wave(cond: org.apache.spark.sql.Column, idBase: Long,
         tsCol: org.apache.spark.sql.Column, tpe: String,
         value: Double) = stats.where(cond)
       .select((lit(idBase) - col("user_id")).as("event_id"), tsCol.as("ts"),
         col("user_id"), lit(tpe).as("event_type"), lit(value).as("value"))
-    val corrections =
-      // stale replays: sequenced before everything already applied
-      wave(col("user_id") % 3 === 0, -100L,
-        col("mn") - expr("INTERVAL 1 HOUR"), "stale", -999.0)
-        // genuine corrections: newest sequence so far
-        .unionByName(wave(col("user_id") % 4 === 0, -200L,
-          col("mx") + expr("INTERVAL 1 HOUR"), "correction", 123.45))
-        // tombstones: delete the key outright (sequenced after the
-        // correction, so a user in both waves still deletes)
-        .unionByName(wave(col("user_id") % 10 === 7, -300L,
-          col("mx") + expr("INTERVAL 2 HOUR"), "error", 0.0))
+    // stale replays: sequenced before everything already applied
+    wave(col("user_id") % 3 === 0, -100L,
+      col("mn") - expr("INTERVAL 1 HOUR"), "stale", -999.0)
+      // genuine corrections: newest sequence so far
+      .unionByName(wave(col("user_id") % 4 === 0, -200L,
+        col("mx") + expr("INTERVAL 1 HOUR"), "correction", 123.45))
+      // tombstones: delete the key outright (sequenced after the
+      // correction, so a user in both waves still deletes)
+      .unionByName(wave(col("user_id") % 10 === 7, -300L,
+        col("mx") + expr("INTERVAL 2 HOUR"), "error", 0.0))
+  }
+
+  def streamCdcApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corrections = cdcCorrectionWave(s, d)
     runStagedBatches(s,
       src => src
         .withWatermark("ts", "90 days")
@@ -775,6 +792,75 @@ object Streams {
       .select(col("user_id"), col("n_changes"), col("applied_seq_us"),
         col("last_type"), col("last_value"))
       .orderBy("user_id")
+  }
+
+  /** The per-key SCD2 fold: BUFFER every changelog record until the
+    * event-time timer proves the reorder horizon closed, then rebuild the
+    * full version history in sequence order — each record a version,
+    * `valid_to` the next version's `valid_from` (NULL = still current).
+    * Buffering-then-sorting is what makes the history point-in-time
+    * CORRECT under late data: an eager version-splicer would have to
+    * rewrite already-emitted rows when a stale replay arrives; the
+    * watermark-bounded buffer turns that rewrite into a sort.
+    */
+  private def scd2Fold(userId: Long, rows: Iterator[Ev],
+      state: GroupState[Scd2Buf]): Iterator[Scd2Out] = {
+    import SessionFold.us
+    if (!rows.hasNext) { // timer: horizon closed, materialize the history
+      val recs = state.get.recs.sortBy(r => (r.seqUs, r.eventId))
+      state.remove()
+      recs.iterator.zipWithIndex.map { case (rec, i) =>
+        Scd2Out(userId, i + 1L, rec.seqUs,
+          if (i + 1 < recs.length) Some(recs(i + 1).seqUs) else None,
+          rec.evType, rec.value)
+      }
+    } else {
+      val prev = state.getOption.map(_.recs).getOrElse(Seq.empty)
+      val buf = prev ++ rows.map(e =>
+        Scd2Rec(us(e.ts), e.event_id, e.event_type, e.value))
+      state.update(Scd2Buf(buf))
+      state.setTimeoutTimestamp(
+        math.max(buf.iterator.map(_.seqUs).max / 1000 + 1,
+          state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** q_stream_scd2 — streaming SLOWLY-CHANGING-DIMENSION history: the
+    * other half of the engine's continuous CDC story. `q_stream_cdc_apply`
+    * keeps each key's LAST state; this materializes every key's full
+    * version HISTORY — (version_no, valid_from, valid_to) intervals in
+    * sequence order, the point-in-time-correct table temporal joins and
+    * training-data "as-of" reconstruction need (the batch sibling is
+    * `q_maintain_scd2`). Fed the same out-of-order correction wave:
+    * a stale replay must land at its SEQUENCE position in the history
+    * (splitting the interval that covered it), not at its arrival
+    * position — the ordering bug the buffered fold makes structurally
+    * impossible and an eager splicer gets wrong.
+    *
+    * Scale: state per key is the records inside the watermark's reorder
+    * horizon (not all history — a production run with a finite delay
+    * emits periodically as the watermark advances past each span); one
+    * keyed shuffle per micro-batch, history emitted exactly once. The
+    * oracle replays the composed changelog with one lead() window.
+    */
+  def streamScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corrections = cdcCorrectionWave(s, d)
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "90 days")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(scd2Fold)
+        .toDF(),
+      d, Seq(corrections.unionByName(sentinelBatch(s))),
+      firstBatchExtra = Nil, key = "scd2")
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("version_no"), col("valid_from_us"),
+        col("valid_to_us"), col("event_type"), col("value"))
+      .orderBy("user_id", "version_no")
   }
 
   /** q_stream_foreach_upsert — the streaming lake-merge pattern:
@@ -874,6 +960,7 @@ object Streams {
     "q_stream_stateful_tws" -> streamStatefulTws _,
     "q_stream_foreach_upsert" -> streamForeachUpsert _,
     "q_stream_cdc_apply" -> streamCdcApply _,
+    "q_stream_scd2" -> streamScd2 _,
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
@@ -954,22 +1041,40 @@ object Streams {
     // the composed changelog (events + the derived correction wave)
     // replayed in batch: argmax by (ts, event_id) per key, tombstones out
     "q_stream_cdc_apply" ->
-      ("WITH ustats AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx " +
-        "FROM events GROUP BY user_id), " +
-        "log AS (SELECT event_id, ts, user_id, event_type, value FROM events " +
-        "UNION ALL SELECT -100 - user_id, mn - INTERVAL 1 HOUR, user_id, " +
-        "'stale', CAST(-999.0 AS DOUBLE) FROM ustats WHERE user_id % 3 = 0 " +
-        "UNION ALL SELECT -200 - user_id, mx + INTERVAL 1 HOUR, user_id, " +
-        "'correction', CAST(123.45 AS DOUBLE) FROM ustats WHERE user_id % 4 = 0 " +
-        "UNION ALL SELECT -300 - user_id, mx + INTERVAL 2 HOUR, user_id, " +
-        "'error', CAST(0.0 AS DOUBLE) FROM ustats WHERE user_id % 10 = 7), " +
+      (s"WITH $cdcLogSqlCte, " +
         "lst AS (SELECT user_id, ts, event_id, event_type, value, " +
         "CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) " +
         "AS rn FROM log) " +
         "SELECT user_id, n_changes, epoch_us(ts) AS applied_seq_us, " +
         "event_type AS last_type, value AS last_value " +
-        "FROM lst WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"))
+        "FROM lst WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+    // the same composed changelog replayed as version history: one lead()
+    // window in sequence order per key
+    "q_stream_scd2" ->
+      (s"WITH $cdcLogSqlCte " +
+        "SELECT user_id, " +
+        "CAST(row_number() OVER w AS BIGINT) AS version_no, " +
+        "epoch_us(ts) AS valid_from_us, " +
+        "lead(epoch_us(ts)) OVER w AS valid_to_us, " +
+        "event_type, value FROM log " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, version_no"))
+
+  /** The composed-changelog CTE (events + the correction wave) — the SQL
+    * mirror of [[cdcCorrectionWave]], shared by the CDC-apply and SCD2
+    * oracles so the two replays cannot drift apart.
+    */
+  private lazy val cdcLogSqlCte: String =
+    "ustats AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx " +
+      "FROM events GROUP BY user_id), " +
+      "log AS (SELECT event_id, ts, user_id, event_type, value FROM events " +
+      "UNION ALL SELECT -100 - user_id, mn - INTERVAL 1 HOUR, user_id, " +
+      "'stale', CAST(-999.0 AS DOUBLE) FROM ustats WHERE user_id % 3 = 0 " +
+      "UNION ALL SELECT -200 - user_id, mx + INTERVAL 1 HOUR, user_id, " +
+      "'correction', CAST(123.45 AS DOUBLE) FROM ustats WHERE user_id % 4 = 0 " +
+      "UNION ALL SELECT -300 - user_id, mx + INTERVAL 2 HOUR, user_id, " +
+      "'error', CAST(0.0 AS DOUBLE) FROM ustats WHERE user_id % 10 = 7)"
 
   private lazy val sessionOracleSql: String =
     "WITH g AS (SELECT user_id, ts, event_id, value, " +

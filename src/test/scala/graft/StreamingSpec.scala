@@ -206,4 +206,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet === expected,
       "streaming CDC final state must equal the batch changelog argmax")
   }
+
+  test("q_stream_scd2: versions tile per key, late records splice at sequence position") {
+    val rows = Streams.streamScd2(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4)))
+    val byUser = rows.groupBy(_._1)
+    byUser.values.foreach { vs =>
+      val sorted = vs.sortBy(_._2)
+      // version numbers are dense from 1
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      // intervals TILE: each version's valid_to is the next valid_from;
+      // only the last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3),
+          s"user ${a._1}: version ${a._2} must close where ${b._2} opens")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, "the last version stays open")
+      assert(sorted.init.forall(_._4.nonEmpty), "every earlier version closed")
+    }
+    // the stale replay (sequenced before every natural record, DELIVERED
+    // last) must occupy version 1 — history position is sequence position
+    val staleUsers = byUser.keys.filter(u => u % 3 == 0)
+    assert(staleUsers.nonEmpty)
+    staleUsers.foreach { u =>
+      val v1 = byUser(u).find(_._2 == 1L).get
+      assert(v1._5 === "stale",
+        s"user $u: the stale replay must splice in as version 1")
+    }
+    // tombstoned keys keep their full history; the tombstone is the
+    // final (open) version — history materialization never loses the past
+    val tombUsers = byUser.keys.filter(u => u % 10 == 7)
+    assert(tombUsers.nonEmpty)
+    tombUsers.foreach { u =>
+      assert(byUser(u).maxBy(_._2)._5 === "error",
+        s"user $u: the tombstone must be the final version")
+    }
+    // cross-check with the CDC fold: every CDC survivor's last state is
+    // this history's open version
+    val cdc = Streams.streamCdcApply(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    cdc.foreach { case (u, (seqUs, tpe)) =>
+      val open = byUser(u).maxBy(_._2)
+      assert(open._3 === seqUs && open._5 === tpe,
+        s"user $u: CDC last state must equal the open SCD2 version")
+    }
+  }
 }
