@@ -1837,6 +1837,12 @@ object Analytics {
     * over [[supplierNbrs]]) — memoized: the wedge aggregate is the
     * expensive artifact both the link-prediction and the modularity query
     * read. */
+  /** Test seam: the staged wedge table (AnalyticsSpec recomputes the
+    * Louvain gains driver-side from the same rows).
+    */
+  private[graft] def supplierWedgesForTest(s: SparkSession,
+      d: String): DataFrame = supplierWedges(s, d)
+
   private def supplierWedges(s: SparkSession, d: String): DataFrame =
     LlmData.memo(s, s"supplier_wedges:$d") {
       // STAGED like the neighbor lists it derives from (r11): the wedge
@@ -2562,6 +2568,76 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** q_graph_louvain_step — one LOUVAIN local-move evaluation over the
+    * common-customer-weighted supplier graph with the nation partition as
+    * the current communities (the [[graphModularity]] graph, one
+    * refinement step later): per node, the best community move among its
+    * NEIGHBOR communities and the modularity gain it buys. This is the
+    * inner kernel of the standard community-detection loop — the
+    * one-superstep pattern of `q_graph_pagerank_step` / kmeans_step
+    * applied to Louvain.
+    *
+    * Exactness: the Louvain gain for moving u from A to B,
+    * ΔQ = (k_uB − k_uA)/W − k_u·(Σ_B − (Σ_A − k_u))/(2W²), is reported
+    * SCALED by 2W² — `gain_scaled = 2W(k_uB − k_uA) − k_u(Σ_B − Σ_A + k_u)`
+    * — which is exact integer arithmetic end to end (every term is an
+    * edge-weight sum), so the argmax and the move decision are
+    * bit-identical on both engines with NO floating point anywhere.
+    * Ties break to the lexicographically smallest candidate community.
+    *
+    * Scale: neighbor-community weights are one keyed aggregate over the
+    * directed edge view; strengths and community totals are node-grain;
+    * the per-node argmax is a node-PARTITIONED window (never global).
+    * Communities are a broadcast dimension. One step shuffles O(|E|)
+    * rows — the published Louvain-on-MapReduce bound per sweep.
+    */
+  def graphLouvainStep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = supplierWedges(s, d)
+    val dim = broadcast(t(s, d, "supplier")
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("sp"), col("n_name").as("comm")))
+    val dir = pairs.select(col("sp1").as("u"), col("sp2").as("v"), col("w"))
+      .union(pairs.select(col("sp2").as("u"), col("sp1").as("v"), col("w")))
+    val withComm = dir
+      .join(dim.select(col("sp").as("u"), col("comm").as("cu")), "u")
+      .join(dim.select(col("sp").as("v"), col("comm").as("cv")), "v")
+    // k_{u,c}: weight from u into each neighbor community
+    val kuc = withComm.groupBy("u", "cu", "cv").agg(sum(col("w")).as("k_uc"))
+    val ku = dir.groupBy("u").agg(sum(col("w")).as("k_u"))
+    val sigma = ku
+      .join(dim.select(col("sp").as("u"), col("comm")), "u")
+      .groupBy("comm").agg(sum(col("k_u")).as("sigma"))
+    val tw = pairs.agg(sum(col("w")).as("tw"))
+    val kua = kuc.where(col("cv") === col("cu"))
+      .select(col("u"), col("k_uc").as("k_ua"))
+    val cands = kuc.where(col("cv") =!= col("cu"))
+      .join(kua, Seq("u"), "left").na.fill(0L, Seq("k_ua"))
+      .join(ku, "u")
+      .join(broadcast(sigma.select(col("comm").as("cv"),
+        col("sigma").as("sig_b"))), "cv")
+      .join(broadcast(sigma.select(col("comm").as("cu"),
+        col("sigma").as("sig_a"))), "cu")
+      .crossJoin(broadcast(tw))
+      .select(col("u"), col("cv"),
+        (lit(2L) * col("tw") * (col("k_uc") - col("k_ua"))
+          - col("k_u") * (col("sig_b") - col("sig_a") + col("k_u")))
+          .as("gain"))
+    val wdw = Window.partitionBy("u").orderBy(desc("gain"), asc("cv"))
+    val best = cands.withColumn("rn", row_number().over(wdw))
+      .where(col("rn") === 1).select(col("u"), col("cv"), col("gain"))
+    // base = every node WITH edges (isolated-from-other-communities nodes
+    // have no candidate rows but still report a stay decision)
+    ku.join(dim.select(col("sp").as("u"), col("comm")), "u")
+      .join(best, Seq("u"), "left")
+      .select(col("u").as("supplier"), col("comm").as("community"),
+        when(col("gain") > 0, col("cv")).otherwise(col("comm"))
+          .as("best_community"),
+        greatest(coalesce(col("gain"), lit(0L)), lit(0L)).as("gain_scaled"),
+        coalesce(col("gain") > 0, lit(false)).as("moved"))
+      .orderBy("supplier")
+  }
+
   // --------------------------------------------------- connected components
 
   /** The CC input graph — co-purchase pairs supported by ≥ 2 distinct
@@ -2724,6 +2800,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_connected_components" -> graphConnectedComponents _,
+    "q_graph_louvain_step" -> graphLouvainStep _,
     "q_graph_modularity" -> graphModularity _,
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
@@ -2838,6 +2915,42 @@ object Analytics {
         "CAST(component AS BIGINT) AS component, " +
         "CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize " +
         "FROM comp ORDER BY part"),
+    // the Louvain move step over the same capped supplier wedge graph:
+    // pure integer gain arithmetic (scaled by 2W²), ties to the smallest
+    // candidate community — one mis-weighted edge shifts a gain and
+    // fails the hash gate
+    "q_graph_louvain_step" ->
+      (s"WITH $cappedSupplierEdgeCtes, " +
+        "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +
+        "FROM ec a JOIN ec b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2), " +
+        "dim AS (SELECT s_suppkey, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey), " +
+        "dirn AS (SELECT sp1 AS u, sp2 AS v, w FROM p " +
+        "UNION ALL SELECT sp2, sp1, w FROM p), " +
+        "wc AS (SELECT dirn.u AS u, du.n_name AS cu, dv.n_name AS cv, " +
+        "CAST(sum(w) AS BIGINT) AS k_uc FROM dirn " +
+        "JOIN dim du ON dirn.u = du.s_suppkey " +
+        "JOIN dim dv ON dirn.v = dv.s_suppkey GROUP BY 1, 2, 3), " +
+        "ku AS (SELECT u, CAST(sum(w) AS BIGINT) AS k_u FROM dirn GROUP BY u), " +
+        "sg AS (SELECT d.n_name AS comm, CAST(sum(k.k_u) AS BIGINT) AS sigma " +
+        "FROM ku k JOIN dim d ON k.u = d.s_suppkey GROUP BY 1), " +
+        "twl AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM p), " +
+        "kua AS (SELECT u, k_uc AS k_ua FROM wc WHERE cu = cv), " +
+        "cand AS (SELECT wc.u AS u, wc.cv AS cv, " +
+        "2 * twl.tw * (wc.k_uc - coalesce(kua.k_ua, 0)) " +
+        "- ku.k_u * (sb.sigma - sa.sigma + ku.k_u) AS gain " +
+        "FROM wc JOIN ku ON wc.u = ku.u " +
+        "JOIN sg sb ON sb.comm = wc.cv JOIN sg sa ON sa.comm = wc.cu " +
+        "LEFT JOIN kua ON kua.u = wc.u, twl WHERE wc.cv <> wc.cu), " +
+        "best AS (SELECT u, cv, gain, row_number() OVER " +
+        "(PARTITION BY u ORDER BY gain DESC, cv) AS rn FROM cand) " +
+        "SELECT k.u AS supplier, d.n_name AS community, " +
+        "CASE WHEN b.gain > 0 THEN b.cv ELSE d.n_name END AS best_community, " +
+        "CAST(greatest(coalesce(b.gain, 0), 0) AS BIGINT) AS gain_scaled, " +
+        "coalesce(b.gain > 0, FALSE) AS moved " +
+        "FROM ku k JOIN dim d ON k.u = d.s_suppkey " +
+        "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.u = k.u " +
+        "ORDER BY supplier"),
     "q_graph_modularity" ->
       (s"WITH $cappedSupplierEdgeCtes, " +
         "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +
