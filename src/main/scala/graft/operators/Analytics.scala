@@ -2591,7 +2591,20 @@ object Analytics {
     * Communities are a broadcast dimension. One step shuffles O(|E|)
     * rows — the published Louvain-on-MapReduce bound per sweep.
     */
-  def graphLouvainStep(s: SparkSession, d: String): DataFrame = {
+  def graphLouvainStep(s: SparkSession, d: String): DataFrame =
+    louvainDecisions(s, d)
+
+  /** The move-decision frame (one row per node with edges): shared by the
+    * step readout and the contraction, so both stages apply IDENTICAL
+    * decisions. Memo-persisted: the contraction consumes it twice
+    * (edge mapping + member counts) and Catalyst does not CSE subplans.
+    */
+  private def louvainDecisions(s: SparkSession, d: String): DataFrame =
+    LlmData.memo(s, s"louvain_decisions:$d") {
+      louvainDecisionsBody(s, d)
+    }
+
+  private def louvainDecisionsBody(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = supplierWedges(s, d)
     val dim = broadcast(t(s, d, "supplier")
@@ -2636,6 +2649,42 @@ object Analytics {
         greatest(coalesce(col("gain"), lit(0L)), lit(0L)).as("gain_scaled"),
         coalesce(col("gain") > 0, lit(false)).as("moved"))
       .orderBy("supplier")
+  }
+
+  /** q_graph_community_contract — the CONTRACTION that closes one Louvain
+    * level (move → contract → repeat at super-node grain): apply the move
+    * step's decisions, then collapse the weighted graph to one super-node
+    * per post-move community — inter-community edges sum into super-edges
+    * and intra-community weight becomes the super-node's SELF-LOOP (the
+    * term the next level's modularity needs; dropping it is the classic
+    * contraction bug). Output is the contracted weighted edge list plus
+    * per-super-node member counts.
+    *
+    * Scale: decisions attach to the edge view by two node-grain joins;
+    * the contraction is one keyed aggregate at edge grain — after which
+    * the graph is |communities|-sized and every later level is cheaper.
+    * The move/contract pair composes into the full distributed-Louvain
+    * loop with [[ccLabels]]-style iteration driving the outer passes.
+    */
+  def graphCommunityContract(s: SparkSession, d: String): DataFrame = {
+    val pairs = supplierWedges(s, d)
+    // post-move community per node — the SAME decision frame the step
+    // reports (one definition)
+    val assign = broadcast(louvainDecisions(s, d)
+      .select(col("supplier"), col("best_community")))
+    pairs
+      .join(assign.select(col("supplier").as("sp1"),
+        col("best_community").as("ca")), "sp1")
+      .join(assign.select(col("supplier").as("sp2"),
+        col("best_community").as("cb")), "sp2")
+      .select(least(col("ca"), col("cb")).as("comm_a"),
+        greatest(col("ca"), col("cb")).as("comm_b"), col("w"))
+      .groupBy("comm_a", "comm_b")
+      .agg(sum(col("w")).as("weight"))
+      .join(broadcast(louvainDecisions(s, d)
+        .groupBy(col("best_community").as("comm_a"))
+        .agg(count(lit(1)).as("n_members_a"))), Seq("comm_a"))
+      .orderBy("comm_a", "comm_b")
   }
 
   // --------------------------------------------------- connected components
@@ -2801,6 +2850,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_connected_components" -> graphConnectedComponents _,
     "q_graph_louvain_step" -> graphLouvainStep _,
+    "q_graph_community_contract" -> graphCommunityContract _,
     "q_graph_modularity" -> graphModularity _,
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
@@ -2876,6 +2926,38 @@ object Analytics {
       "detrend_milli - seasonal_milli AS remainder_milli " +
       "FROM tr JOIN se USING (dow))"
 
+  /** The Louvain move chain in SQL: the capped wedge graph `p`, the
+    * community dimension, neighbor-community weights, strengths,
+    * community totals, and the ranked per-node candidate gains ending in
+    * `best` — shared by the step readout and the contraction replay so
+    * the two oracles apply identical decisions.
+    */
+  private def louvainSqlCtes: String =
+    s"$cappedSupplierEdgeCtes, " +
+      "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +
+      "FROM ec a JOIN ec b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2), " +
+      "dim AS (SELECT s_suppkey, n_name FROM supplier " +
+      "JOIN nation ON s_nationkey = n_nationkey), " +
+      "dirn AS (SELECT sp1 AS u, sp2 AS v, w FROM p " +
+      "UNION ALL SELECT sp2, sp1, w FROM p), " +
+      "wc AS (SELECT dirn.u AS u, du.n_name AS cu, dv.n_name AS cv, " +
+      "CAST(sum(w) AS BIGINT) AS k_uc FROM dirn " +
+      "JOIN dim du ON dirn.u = du.s_suppkey " +
+      "JOIN dim dv ON dirn.v = dv.s_suppkey GROUP BY 1, 2, 3), " +
+      "ku AS (SELECT u, CAST(sum(w) AS BIGINT) AS k_u FROM dirn GROUP BY u), " +
+      "sg AS (SELECT d.n_name AS comm, CAST(sum(k.k_u) AS BIGINT) AS sigma " +
+      "FROM ku k JOIN dim d ON k.u = d.s_suppkey GROUP BY 1), " +
+      "twl AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM p), " +
+      "kua AS (SELECT u, k_uc AS k_ua FROM wc WHERE cu = cv), " +
+      "cand AS (SELECT wc.u AS u, wc.cv AS cv, " +
+      "2 * twl.tw * (wc.k_uc - coalesce(kua.k_ua, 0)) " +
+      "- ku.k_u * (sb.sigma - sa.sigma + ku.k_u) AS gain " +
+      "FROM wc JOIN ku ON wc.u = ku.u " +
+      "JOIN sg sb ON sb.comm = wc.cv JOIN sg sa ON sa.comm = wc.cu " +
+      "LEFT JOIN kua ON kua.u = wc.u, twl WHERE wc.cv <> wc.cu), " +
+      "best AS (SELECT u, cv, gain, row_number() OVER " +
+      "(PARTITION BY u ORDER BY gain DESC, cv) AS rn FROM cand)"
+
   /** DuckDB CTE chain replaying [[supplierNbrs]]'s hub-degree cap: the
     * customer-grain edge set `e`, corpus stats, and the capped edge set
     * `ec` — per customer, suppliers ranked by (md5 of decimal string,
@@ -2920,30 +3002,7 @@ object Analytics {
     // candidate community — one mis-weighted edge shifts a gain and
     // fails the hash gate
     "q_graph_louvain_step" ->
-      (s"WITH $cappedSupplierEdgeCtes, " +
-        "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +
-        "FROM ec a JOIN ec b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2), " +
-        "dim AS (SELECT s_suppkey, n_name FROM supplier " +
-        "JOIN nation ON s_nationkey = n_nationkey), " +
-        "dirn AS (SELECT sp1 AS u, sp2 AS v, w FROM p " +
-        "UNION ALL SELECT sp2, sp1, w FROM p), " +
-        "wc AS (SELECT dirn.u AS u, du.n_name AS cu, dv.n_name AS cv, " +
-        "CAST(sum(w) AS BIGINT) AS k_uc FROM dirn " +
-        "JOIN dim du ON dirn.u = du.s_suppkey " +
-        "JOIN dim dv ON dirn.v = dv.s_suppkey GROUP BY 1, 2, 3), " +
-        "ku AS (SELECT u, CAST(sum(w) AS BIGINT) AS k_u FROM dirn GROUP BY u), " +
-        "sg AS (SELECT d.n_name AS comm, CAST(sum(k.k_u) AS BIGINT) AS sigma " +
-        "FROM ku k JOIN dim d ON k.u = d.s_suppkey GROUP BY 1), " +
-        "twl AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM p), " +
-        "kua AS (SELECT u, k_uc AS k_ua FROM wc WHERE cu = cv), " +
-        "cand AS (SELECT wc.u AS u, wc.cv AS cv, " +
-        "2 * twl.tw * (wc.k_uc - coalesce(kua.k_ua, 0)) " +
-        "- ku.k_u * (sb.sigma - sa.sigma + ku.k_u) AS gain " +
-        "FROM wc JOIN ku ON wc.u = ku.u " +
-        "JOIN sg sb ON sb.comm = wc.cv JOIN sg sa ON sa.comm = wc.cu " +
-        "LEFT JOIN kua ON kua.u = wc.u, twl WHERE wc.cv <> wc.cu), " +
-        "best AS (SELECT u, cv, gain, row_number() OVER " +
-        "(PARTITION BY u ORDER BY gain DESC, cv) AS rn FROM cand) " +
+      (s"WITH $louvainSqlCtes " +
         "SELECT k.u AS supplier, d.n_name AS community, " +
         "CASE WHEN b.gain > 0 THEN b.cv ELSE d.n_name END AS best_community, " +
         "CAST(greatest(coalesce(b.gain, 0), 0) AS BIGINT) AS gain_scaled, " +
@@ -2951,6 +3010,23 @@ object Analytics {
         "FROM ku k JOIN dim d ON k.u = d.s_suppkey " +
         "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.u = k.u " +
         "ORDER BY supplier"),
+    // contraction replay: apply the SAME decisions, canonicalize the
+    // community pair, sum weights (intra weight = self-loop row), attach
+    // member counts
+    "q_graph_community_contract" ->
+      (s"WITH $louvainSqlCtes, " +
+        "cmap AS (SELECT k.u AS u, " +
+        "CASE WHEN b.gain > 0 THEN b.cv ELSE d.n_name END AS bc " +
+        "FROM ku k JOIN dim d ON k.u = d.s_suppkey " +
+        "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.u = k.u), " +
+        "ce AS (SELECT least(ma.bc, mb.bc) AS comm_a, " +
+        "greatest(ma.bc, mb.bc) AS comm_b, CAST(sum(p.w) AS BIGINT) AS weight " +
+        "FROM p JOIN cmap ma ON p.sp1 = ma.u JOIN cmap mb ON p.sp2 = mb.u " +
+        "GROUP BY 1, 2), " +
+        "nm AS (SELECT bc AS comm_a, CAST(count(*) AS BIGINT) AS n_members_a " +
+        "FROM cmap GROUP BY 1) " +
+        "SELECT ce.comm_a, ce.comm_b, ce.weight, nm.n_members_a " +
+        "FROM ce JOIN nm USING (comm_a) ORDER BY comm_a, comm_b"),
     "q_graph_modularity" ->
       (s"WITH $cappedSupplierEdgeCtes, " +
         "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +

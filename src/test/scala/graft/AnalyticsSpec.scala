@@ -1437,6 +1437,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.exists(_._5), "the nation partition should not be optimal")
   }
 
+  test("q_graph_community_contract conserves weight and members; self-loops carry intra weight") {
+    val contracted = Analytics.graphCommunityContract(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val wedges = Analytics.supplierWedgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val moves = Analytics.graphLouvainStep(s, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // total weight conserved: contraction re-buckets, never drops
+    assert(contracted.map(_._3).sum === wedges.map(_._3).sum,
+      "contracted edge weights must sum to the original graph's weight")
+    // member counts partition the node set
+    assert(contracted.map(c => c._1 -> c._4).distinct.map(_._2).sum
+      >= moves.size.toLong, "every node lands in some super-node")
+    val memberCounts = moves.values.groupBy(identity).map {
+      case (c, g) => c -> g.size.toLong
+    }
+    contracted.map(c => c._1 -> c._4).distinct.foreach { case (c, n) =>
+      assert(n === memberCounts(c), s"member count mismatch for $c")
+    }
+    // self-loop rows equal the driver-computed intra-community weight
+    val intra = wedges.collect {
+      case (a, b, w) if moves(a) == moves(b) => moves(a) -> w
+    }.groupBy(_._1).map { case (c, g) => c -> g.map(_._2).sum }
+    contracted.filter(c => c._1 == c._2).foreach { case (c, _, w, _) =>
+      assert(w === intra(c), s"self-loop weight mismatch for $c")
+    }
+    assert(contracted.exists(c => c._1 == c._2),
+      "some community must retain intra-community weight")
+    // the contracted graph is community-grain — strictly smaller
+    assert(contracted.length < wedges.length,
+      "contraction must shrink the edge list")
+  }
+
   test("q_graph_connected_components labels are a valid CC labeling of the support-2 graph") {
     // engine output re-checked against a driver-side union-find over the
     // SAME staged edge set: identical component labels (min-id canonical)

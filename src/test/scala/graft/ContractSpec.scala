@@ -96,7 +96,7 @@ class ContractSpec extends AnyFunSuite {
     "q_simsearch_drift", "q_simsearch_reclaim", "q_simsearch_cell_stats",
     "q_graph_connected_components", "q_stream_cdc_apply",
     "q_simsearch_retrain", "q_simsearch_rebuild", "q_stream_scd2",
-    "q_graph_louvain_step")
+    "q_graph_louvain_step", "q_graph_community_contract")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
