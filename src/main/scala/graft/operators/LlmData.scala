@@ -3670,6 +3670,67 @@ object LlmData {
         md5(concat_ws(",", col("fps")).cast("binary")).as("fp_sig"))
       .orderBy("doc_id")
 
+  /** q_text_substring_dedup — EXACT REPEATED-SUBSTRING detection, the
+    * "ExactSubstr" training-data dedup primitive (Lee et al., ACL'22
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * W-token window of every document is hashed, and a window occurring
+    * ≥2 times ANYWHERE in the corpus (cross-document or a within-document
+    * repeat — both are verbatim memorization risks) marks its span as
+    * duplicated. Per document: window count, duplicated-window count, the
+    * number of TOKENS covered by at least one duplicated window (span
+    * union, not window sum — overlapping hits don't double-count), and the
+    * integer-exact coverage ratio in micro-units. W = 6 here (the
+    * production value is ~50 tokens; 6 is chosen so the sf fixtures
+    * exercise real repetition — 1061 duplicated windows at sf0.01).
+    *
+    * Scale: this is the MapReduce-friendly equivalent of the paper's
+    * suffix-array pass — windows are a per-row projection (zero shuffle,
+    * one md5 per token position), and the only shuffles are a hash
+    * aggregate on the window hash plus one keyed equi-join back. Cost is
+    * LINEAR in corpus tokens with no pair machinery at all, so mass
+    * duplication cannot blow it up (a million identical documents produce
+    * a million rows per hot hash key, spread by hash partitioning — the
+    * aggregate is map-side-combined to one row per key per partition).
+    * Span-union counting explodes exactly W rows per duplicated window —
+    * bounded by W × corpus tokens worst-case, in practice the dup mass.
+    */
+  def textSubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 6
+    val base = t(s, d, "documents")
+      .select(col("doc_id"),
+        when(col("text").isNull, array().cast("array<string>"))
+          .otherwise(TextOps.tokens("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    // (doc_id, 0-based window pos, md5 of the space-joined W tokens) — a
+    // pure scan-side projection; positions only matter within a doc, so
+    // the 0-based posexplode index needs no cross-engine alignment
+    val wins = memo(s, s"substrwins:$W:$d") {
+      base.where(col("n_tokens") >= W)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, cast(n_tokens as int) - ${W - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(toks, i, $W))))")))
+        .toDF("doc_id", "wpos", "wh")
+    }
+    val dupHashes = wins.groupBy("wh")
+      .agg(count(lit(1)).as("n_occ")).where(col("n_occ") >= 2).select("wh")
+    val dup = wins.join(dupHashes, "wh").select("doc_id", "wpos")
+    val perDocDup = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    val cov = dup
+      .select(col("doc_id"), explode(sequence(col("wpos"), col("wpos") + (W - 1))).as("p"))
+      .groupBy("doc_id").agg(count_distinct(col("p")).as("covered_tokens"))
+    base.select("doc_id", "n_tokens")
+      .withColumn("n_windows", greatest(col("n_tokens") - (W - 1), lit(0L)))
+      .join(perDocDup, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_windows", "covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("n_dup_windows"), col("covered_tokens"),
+        expr("CASE WHEN n_tokens > 0 " +
+          "THEN (1000000 * covered_tokens) div n_tokens ELSE 0 END")
+          .as("dup_cover_micro"))
+      .orderBy("doc_id")
+  }
+
   /** q_corpus_mix_temperature — TEMPERATURE-WEIGHTED DOMAIN MIXTURE, the
     * standard pre-training rebalancer (multilingual-BERT / XLM-R exponent
     * smoothing, α = 0.5): raw per-source counts are smoothed to
@@ -4386,6 +4447,7 @@ object LlmData {
     "q_text_pii_scrub" -> textPiiScrub _,
     "q_text_containment" -> textContainment _,
     "q_text_fingerprint" -> textFingerprint _,
+    "q_text_substring_dedup" -> textSubstringDedup _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
@@ -4940,6 +5002,33 @@ object LlmData {
         "ELSE list_sort(list_distinct(hashes)) END AS fps FROM hs) " +
         "SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, " +
         "md5(array_to_string(fps, ',')) AS fp_sig FROM fp ORDER BY doc_id"),
+    // full replay of the W=6 window-hash pass: same md5-of-joined-tokens
+    // window keys, ≥2-occurrence dup set, and span-union coverage
+    "q_text_substring_dedup" ->
+      ("WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL THEN [] " +
+        "ELSE string_split(text, ' ') END AS t FROM documents), " +
+        "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toks), " +
+        "wins AS (SELECT doc_id, " +
+        "unnest(range(1, CAST(n_tokens AS INT) - 4)) AS wpos, " +
+        "unnest(list_transform(range(1, CAST(n_tokens AS INT) - 4), " +
+        "i -> md5(array_to_string(t[i:i+5], ' ')))) AS wh " +
+        "FROM base WHERE n_tokens >= 6), " +
+        "dh AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2), " +
+        "dup AS (SELECT w.doc_id, w.wpos FROM wins w JOIN dh ON w.wh = dh.wh), " +
+        "pdd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows " +
+        "FROM dup GROUP BY doc_id), " +
+        "cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens " +
+        "FROM (SELECT doc_id, unnest(range(wpos, wpos + 6)) AS p FROM dup) " +
+        "GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_tokens, " +
+        "CAST(greatest(b.n_tokens - 5, 0) AS BIGINT) AS n_windows, " +
+        "CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows, " +
+        "CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens, " +
+        "CASE WHEN b.n_tokens > 0 " +
+        "THEN (1000000 * CAST(coalesce(c.covered_tokens, 0) AS BIGINT)) // b.n_tokens " +
+        "ELSE 0 END AS dup_cover_micro " +
+        "FROM base b LEFT JOIN pdd p USING (doc_id) LEFT JOIN cov c USING (doc_id) " +
+        "ORDER BY b.doc_id"),
     // exact end-state of the MinHash-LSH pipeline: same shingle-overlap CTE
     // as q_dedup_ngram, projected to (doc_a, doc_b, jac) — see the
     // dedupNear scaladoc for why the probabilistic candidate stage is

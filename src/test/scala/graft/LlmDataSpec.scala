@@ -1757,4 +1757,38 @@ class LlmDataSpec extends AnyFunSuite {
     // diversity is a real signal on the fixture: TTR varies across docs
     assert(rows.map(_._5).distinct.length > 1)
   }
+
+  test("q_text_substring_dedup matches a brute-force window count replay") {
+    val rows = LlmData.textSubstringDedup(s, d)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.size === docs.length, "one row per document")
+    // oracle-independent replay: build every 6-token window in Scala,
+    // count global occurrences, and re-derive all four per-doc numbers
+    val W = 6
+    val wins = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - W).map(i => (id, i, t.slice(i, i + W).mkString(" ")))
+    }
+    val occ = wins.groupBy(_._3).map { case (k, v) => k -> v.size }
+    val dup = wins.filter(w => occ(w._3) >= 2)
+    val expDup = dup.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expCov = dup.groupBy(_._1).map { case (k, v) =>
+      k -> v.flatMap(w => w._2 until w._2 + W).distinct.size.toLong
+    }
+    assert(dup.nonEmpty, "fixture must contain repeated windows (non-vacuous)")
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val (nTok, nWin, nDup, cov, micro) = rows(id)
+      assert(nTok === n)
+      assert(nWin === math.max(n - (W - 1), 0L))
+      assert(nDup === expDup.getOrElse(id, 0L))
+      assert(cov === expCov.getOrElse(id, 0L))
+      assert(micro === (if (n > 0) 1000000L * cov / n else 0L))
+    }
+  }
 }
