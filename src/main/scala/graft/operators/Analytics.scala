@@ -375,6 +375,52 @@ object Analytics {
       .toSeq.toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_micro")
   }
 
+  /** q_graph_clustering_coeff — per-node LOCAL CLUSTERING COEFFICIENT
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over the co-purchase graph,
+    * in exact micro-units. Triangle CORNERS (not just the global count)
+    * come from the same degree-oriented adjacency as [[graphTriangles]]:
+    * for each oriented edge (u,v), every w ∈ N⁺(u) ∩ N⁺(v) closes the
+    * triangle {u,v,w} exactly once (the orientation is acyclic, so each
+    * triangle has a unique least source), and each corner credits all
+    * three vertices. Zero-triangle and degree-1 nodes report lcc 0, not
+    * NULL.
+    *
+    * Scale: identical join shape to the global triangle count — the
+    * node-grain adjacency (arrays O(√m)-bounded by the orientation)
+    * broadcasts, the edge table never shuffles for neighbor lookups, and
+    * the only new data volume is one row per triangle corner (3·#tri)
+    * into a hash aggregate. Per-node credit assignment is a keyed
+    * count — no windows, no quadratic wedge materialization.
+    */
+  def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    // the adjacency is a staged parquet artifact — re-scanning it per
+    // consumer is a cheap columnar read, so no persist (the output here is
+    // NODE-grain and stays distributed; nothing is collected)
+    val adjRaw = s.read.parquet(copurchaseAdj(s, d))
+    val adj = broadcast(adjRaw)
+    val o = adjRaw.select(col("src"), explode(col("nbrs")).as("dst"))
+    val tris = o
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val triPerNode = tris.select(col("u").as("n"))
+      .unionAll(tris.select(col("v").as("n")))
+      .unionAll(tris.select(col("w").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    // undirected degree: every edge appears exactly once in the exploded
+    // oriented edge list, crediting both endpoints
+    val deg = o.select(col("src").as("n"))
+      .unionAll(o.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("n").as("node"), col("deg"), col("n_tri"),
+        expr("CASE WHEN deg >= 2 THEN (2000000 * n_tri) div (deg * (deg - 1)) " +
+          "ELSE 0 END").as("lcc_micro"))
+      .orderBy("node")
+  }
+
   // ------------------------------------------------------------ sweep line
 
   /** q_interval_active_peak — PEAK CONCURRENCY via the sweep-line
@@ -2896,6 +2942,7 @@ object Analytics {
     "q_agg_gini" -> aggGini _,
     "q_scd2_snapshot" -> scd2Snapshot _,
     "q_graph_triangles" -> graphTriangles _,
+    "q_graph_clustering_coeff" -> graphClusteringCoeff _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
     "q_join_range_bucket" -> joinRangeBucket _,
@@ -3773,6 +3820,31 @@ object Analytics {
         "ON w.x = o.src AND w.y = o.dst) AS n_triangles) " +
         "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
         "(1000000 * n_triangles) // n_wedges AS closure_micro FROM stats"),
+    // same degree-ordered orientation as q_graph_triangles; triangles are
+    // enumerated with their corners (u -> v, u -> w, v -> w) and each
+    // corner credits its vertex
+    "q_graph_clustering_coeff" ->
+      ("WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b " +
+        "FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n), " +
+        "o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) " +
+        "THEN e.a ELSE e.b END AS src, " +
+        "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) " +
+        "THEN e.b ELSE e.a END AS dst " +
+        "FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n), " +
+        "tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w " +
+        "FROM o e1 JOIN o e2 ON e2.src = e1.src " +
+        "JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst), " +
+        "tpn AS (SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM " +
+        "(SELECT u AS n FROM tri UNION ALL SELECT v FROM tri " +
+        "UNION ALL SELECT w FROM tri) GROUP BY n) " +
+        "SELECT d.n AS node, d.deg, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri, " +
+        "CASE WHEN d.deg >= 2 THEN " +
+        "(2000000 * CAST(coalesce(t.n_tri, 0) AS BIGINT)) // (d.deg * (d.deg - 1)) " +
+        "ELSE 0 END AS lcc_micro " +
+        "FROM deg d LEFT JOIN tpn t ON d.n = t.n ORDER BY node"),
     "q_graph_pagerank_step" ->
       ("WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +

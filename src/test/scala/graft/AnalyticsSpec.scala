@@ -217,6 +217,27 @@ class AnalyticsSpec extends AnyFunSuite {
       s"banded join degenerated to a quadratic plan:\n$p")
   }
 
+  test("q_graph_clustering_coeff: per-node triangle credits sum to 3x the global count") {
+    val rows = Analytics.graphClusteringCoeff(s, d).collect()
+    val global = Analytics.graphTriangles(s, d).collect().head
+    assert(rows.map(_.getAs[Long]("n_tri")).sum === 3 * global.getAs[Long]("n_triangles"),
+      "every triangle must credit exactly its three corners")
+    assert(rows.length.toLong === global.getAs[Long]("n_nodes"), "one row per node")
+    assert(rows.map(_.getAs[Long]("deg")).sum === 2 * global.getAs[Long]("n_edges"),
+      "degree sum = 2m (handshake)")
+    rows.foreach { r =>
+      val (deg, tri, lcc) = (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+        r.getAs[Long]("lcc_micro"))
+      // triangles at v live on neighbor pairs; lcc is their closed fraction
+      assert(tri <= deg * (deg - 1) / 2, s"tri $tri exceeds C(deg,2) for deg $deg")
+      assert(lcc >= 0 && lcc <= 1000000)
+      assert(lcc === (if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L))
+    }
+    // non-vacuous: the co-purchase fixture closes some wedges but not all
+    assert(rows.exists(_.getAs[Long]("lcc_micro") > 0))
+    assert(rows.exists(r => r.getAs[Long]("deg") >= 2 && r.getAs[Long]("lcc_micro") < 1000000))
+  }
+
   test("q_graph_triangles equals the brute-force 3-way edge join; orientation caps out-degree") {
     val row = Analytics.graphTriangles(s, d).collect().head
     // brute force: every (a < b < c) with all three undirected edges present
