@@ -421,6 +421,41 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** q_graph_label_prop — two SYNCHRONOUS label-propagation steps
+    * (Raghavan et al. 2007) over the co-purchase graph, fully
+    * deterministic: labels start as node ids; each step replaces a node's
+    * label with the MODE of its neighbors' labels, ties broken by least
+    * label (step 1 therefore reduces to min-neighbor-id — every neighbor
+    * label is still distinct — and step 2 is the first genuinely
+    * frequency-driven round). The classic async/random-order LPA is not
+    * replayable; the synchronous min-tie-break variant is, bit-for-bit.
+    *
+    * Scale: one edge-list shuffle per step (groupBy dst-side label
+    * counts) plus a node-grain label table that BROADCASTS back onto the
+    * edges — the Pregel message-passing shape. The per-node argmax is
+    * max(struct(cnt, −label)) — a keyed aggregate, no windows, so no
+    * per-node sort and no skew beyond the hub keys AQE already splits.
+    */
+  def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+    val adjRaw = s.read.parquet(copurchaseAdj(s, d))
+    val o = adjRaw.select(col("src"), explode(col("nbrs")).as("dst"))
+    // undirected incidence: (v, u) once per edge direction
+    val und = o.select(col("src").as("v"), col("dst").as("u"))
+      .unionAll(o.select(col("dst").as("v"), col("src").as("u")))
+    val l1 = und.groupBy("v").agg(min(col("u")).as("lab"))
+    val counts = und
+      .join(broadcast(l1.select(col("v").as("u"), col("lab"))), "u")
+      .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
+    val l2 = counts
+      .groupBy("v")
+      .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("m"))
+      .select(col("v"), (-col("m.neg")).as("lab2"))
+    l1.join(l2, "v")
+      .select(col("v").as("node"), col("lab").as("label_1"),
+        col("lab2").as("label_2"))
+      .orderBy("node")
+  }
+
   // ------------------------------------------------------------ sweep line
 
   /** q_interval_active_peak — PEAK CONCURRENCY via the sweep-line
@@ -2943,6 +2978,7 @@ object Analytics {
     "q_scd2_snapshot" -> scd2Snapshot _,
     "q_graph_triangles" -> graphTriangles _,
     "q_graph_clustering_coeff" -> graphClusteringCoeff _,
+    "q_graph_label_prop" -> graphLabelProp _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
     "q_join_range_bucket" -> joinRangeBucket _,
@@ -3845,6 +3881,22 @@ object Analytics {
         "(2000000 * CAST(coalesce(t.n_tri, 0) AS BIGINT)) // (d.deg * (d.deg - 1)) " +
         "ELSE 0 END AS lcc_micro " +
         "FROM deg d LEFT JOIN tpn t ON d.n = t.n ORDER BY node"),
+    // synchronous LPA replay: step 1 = min neighbor id (all labels still
+    // distinct), step 2 = least-tie-broken mode of step-1 labels
+    "q_graph_label_prop" ->
+      ("WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b " +
+        "FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "und AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e), " +
+        "l1 AS (SELECT v, min(u) AS lab FROM und GROUP BY v), " +
+        "c2 AS (SELECT und.v, l1.lab, count(*) AS cnt " +
+        "FROM und JOIN l1 ON und.u = l1.v GROUP BY und.v, l1.lab), " +
+        "l2 AS (SELECT v, lab FROM (SELECT v, lab, " +
+        "row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c2) " +
+        "WHERE rn = 1) " +
+        "SELECT l1.v AS node, CAST(l1.lab AS BIGINT) AS label_1, " +
+        "CAST(l2.lab AS BIGINT) AS label_2 " +
+        "FROM l1 JOIN l2 ON l1.v = l2.v ORDER BY node"),
     "q_graph_pagerank_step" ->
       ("WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +

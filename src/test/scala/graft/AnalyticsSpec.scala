@@ -238,6 +238,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("deg") >= 2 && r.getAs[Long]("lcc_micro") < 1000000))
   }
 
+  test("q_graph_label_prop matches a driver-side synchronous LPA replay") {
+    val out = Analytics.graphLabelProp(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver replay from raw lineitem
+    val po = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = po.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nbrs = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (v, vs) => v -> vs.map(_._2) }
+    val l1 = nbrs.map { case (v, us) => v -> us.min }
+    val l2 = nbrs.map { case (v, us) =>
+      val cnt = us.map(l1).groupBy(identity).map { case (l, o) => (l, o.size) }
+      v -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    }
+    assert(out.size === nbrs.size, "one row per node")
+    nbrs.keys.foreach { v =>
+      assert(out(v) === ((l1(v), l2(v))), s"node $v labels diverge")
+    }
+    // step 2 must do real work: some node's label changes between steps
+    assert(nbrs.keys.exists(v => l1(v) != l2(v)), "fixture too small: LPA is a fixpoint at step 1")
+  }
+
   test("q_graph_triangles equals the brute-force 3-way edge join; orientation caps out-degree") {
     val row = Analytics.graphTriangles(s, d).collect().head
     // brute force: every (a < b < c) with all three undirected edges present
