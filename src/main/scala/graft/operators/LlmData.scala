@@ -3731,6 +3731,48 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_chunk_cdc — CONTENT-DEFINED CHUNKING at token granularity
+    * (the Rabin/FastCDC boundary idea re-expressed portably): a chunk
+    * boundary falls AFTER any token whose md5 starts with '0' or '1'
+    * (P = 1/8 → expected 8-token chunks), so boundaries depend only on
+    * LOCAL content — inserting or deleting a token reshuffles only the
+    * chunk it lands in, unlike fixed-stride windows (`q_text_chunk`)
+    * where one edit shifts every downstream chunk. Emits one row per
+    * chunk with its 0-based start, token count, and an md5 signature of
+    * the joined tokens — matching signatures across documents are
+    * shared-content blocks (the dedup storage primitive).
+    *
+    * Scale: per-token flags are a scan-side projection; the running
+    * boundary count is a window PARTITIONED BY doc (per-doc token counts
+    * are bounded — no global window), and chunk assembly is one keyed
+    * aggregate on (doc, chunk). Linear, two shuffles, no pair machinery.
+    */
+  def textChunkCdc(s: SparkSession, d: String): DataFrame =
+    chunkCdcFrom(t(s, d, "documents"))
+
+  /** Chunking core of [[textChunkCdc]] over any (doc_id, text) frame —
+    * separated so the spec can plant edited documents and assert the
+    * shift-invariance the operator sells. */
+  private[graft] def chunkCdcFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("toks", TextOps.tokens("text"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("flag",
+        when(substring(md5(col("tok")), 1, 1).isin("0", "1"), 1L).otherwise(0L))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cid = toks.withColumn("chunk_id", coalesce(sum(col("flag")).over(w), lit(0L)))
+    cid.groupBy("doc_id", "chunk_id")
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tok"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .cast("binary")).as("chunk_sig"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** q_corpus_mix_temperature — TEMPERATURE-WEIGHTED DOMAIN MIXTURE, the
     * standard pre-training rebalancer (multilingual-BERT / XLM-R exponent
     * smoothing, α = 0.5): raw per-source counts are smoothed to
@@ -4448,6 +4490,7 @@ object LlmData {
     "q_text_containment" -> textContainment _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_substring_dedup" -> textSubstringDedup _,
+    "q_text_chunk_cdc" -> textChunkCdc _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
@@ -5029,6 +5072,21 @@ object LlmData {
         "ELSE 0 END AS dup_cover_micro " +
         "FROM base b LEFT JOIN pdd p USING (doc_id) LEFT JOIN cov c USING (doc_id) " +
         "ORDER BY b.doc_id"),
+    // boundary-after-token replay: same md5-prefix gate, running boundary
+    // count over strictly-preceding tokens, ordered string_agg signature
+    "q_text_chunk_cdc" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
+        "FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1), " +
+        "tt AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS u FROM toks), " +
+        "fl AS (SELECT doc_id, pos, u, " +
+        "CASE WHEN substr(md5(u), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS flag FROM tt), " +
+        "cid AS (SELECT doc_id, pos, u, CAST(coalesce(sum(flag) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id " +
+        "FROM fl) " +
+        "SELECT doc_id, chunk_id, CAST(min(pos) - 1 AS BIGINT) AS start_pos, " +
+        "CAST(count(*) AS BIGINT) AS n_tok, " +
+        "md5(string_agg(u, ' ' ORDER BY pos)) AS chunk_sig " +
+        "FROM cid GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"),
     // exact end-state of the MinHash-LSH pipeline: same shingle-overlap CTE
     // as q_dedup_ngram, projected to (doc_a, doc_b, jac) — see the
     // dedupNear scaladoc for why the probabilistic candidate stage is

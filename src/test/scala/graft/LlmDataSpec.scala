@@ -1758,6 +1758,39 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.map(_._5).distinct.length > 1)
   }
 
+  test("q_text_chunk_cdc: boundaries are shift-invariant — a prefix edit leaves later chunks intact") {
+    import s.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six"
+    val edited = "INSERTED " + base
+    val out = LlmData.chunkCdcFrom(Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(r => r.getString(4)).toSeq }
+    // every chunk signature of the ORIGINAL doc except possibly the first
+    // (the one the edit lands in) must reappear verbatim in the edited doc
+    val survivors = out(1L).drop(1).toSet
+    assert(survivors.nonEmpty, "fixture sentence too short to form 2+ chunks")
+    assert(survivors.subsetOf(out(2L).toSet),
+      s"CDC must preserve post-edit chunks; lost ${survivors -- out(2L).toSet}")
+    // fixed-stride chunking would NOT have this property (stride shifts)
+    // — and chunk stats must be internally consistent on the real fixture
+    val rows = LlmData.textChunkCdc(s, d).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { ch =>
+      val sorted = ch.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(2) === 0L, "first chunk starts at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) === a.getLong(2) + a.getLong(3),
+            "chunks must tile the token sequence with no gaps/overlaps")
+        case _ =>
+      }
+    }
+    assert(rows.map(_.getLong(3)).max > 1, "degenerate: all chunks single-token")
+  }
+
   test("q_text_substring_dedup matches a brute-force window count replay") {
     val rows = LlmData.textSubstringDedup(s, d)
       .collect()
