@@ -3292,6 +3292,95 @@ object LlmData {
       .limit(10)
   }
 
+  /** q_simsearch_mmr — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    * Goldstein, SIGIR'98): from the top-16 cosine candidates, greedily pick
+    * 8 maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 0.7 — the
+    * standard diversity-aware serving rerank (RAG context selection, search
+    * result diversification). ALL arithmetic is integer micro-cosines
+    * (round(cos·10⁶) — the engine-bit-identical dot-fold doctrine), and the
+    * λ mix is the integer 7·rel − 3·div, so every greedy decision and
+    * tie-break (min vec_id) replays bit-for-bit in the SQL oracle, which
+    * unrolls the 8 greedy steps as chained CTEs.
+    *
+    * Scale: candidate generation is the brute-force top-k scan (or any
+    * index probe upstream); the greedy phase touches only K=16 candidate
+    * rows and their K² pair similarities — both computed IN-ENGINE (the
+    * 16×16 self-join is bounded by construction) — and only the K-row
+    * relevance list plus the 240-row pair list ever reach the driver. The
+    * sequential argmax is inherently driver-side and O(K·picks), the same
+    * bounded-control-plane class as the codebook seeds.
+    */
+  def simsearchMmr(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val K = 16
+    val picks = 8
+    val emb = t(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val cand = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
+          .cast("long").as("rel"))
+      .orderBy(desc("rel"), asc("vec_id")).limit(K)
+    val pairSims = cand.as("a").join(cand.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")) * 1000000d, 0)
+          .cast("long").as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rels = cand.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // integer greedy: pick argmax(7·rel − 3·maxsim-to-selected), tie → min id
+    var selected = Vector.empty[(Long, Long, Long, Long)] // id, rel, div, mmr
+    var remaining = rels.sortBy { case (id, rel) => (-rel, id) }.toVector
+    while (selected.length < picks && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel) =>
+        val div =
+          if (selected.isEmpty) 0L
+          else selected.map(sel => pairSims((id, sel._1))).max
+        (id, rel, div, 7L * rel - 3L * div)
+      }
+      val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, rel, div, mmr), i) => (i + 1L, id, rel, div, mmr) }
+      .toDF("pick", "vec_id", "rel_micro", "div_micro", "mmr_score")
+  }
+
+  /** Unrolled-greedy DuckDB replay of [[simsearchMmr]]: each pick is one
+    * CTE selecting the integer-mmr argmax over the not-yet-selected
+    * candidates, feeding the next pick's selected-set CTE. */
+  private def mmrSql: String = {
+    val qc = "q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+    val cand = "cand AS MATERIALIZED (SELECT vec_id, embedding, CAST(round((" +
+      VectorOps.sqlCosine("embedding", "qe") +
+      ") * 1000000, 0) AS BIGINT) AS rel FROM embeddings, q " +
+      "WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 16)"
+    val pair = "pair AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y, CAST(round((" +
+      VectorOps.sqlCosine("a.embedding", "b.embedding") +
+      ") * 1000000, 0) AS BIGINT) AS sim FROM cand a JOIN cand b " +
+      "ON a.vec_id <> b.vec_id)"
+    val s1 = "s1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS pick, vec_id, rel, " +
+      "CAST(0 AS BIGINT) AS div_m, 7 * rel AS mmr FROM cand " +
+      "ORDER BY rel DESC, vec_id LIMIT 1), sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"
+    val steps = (2 to 8).map { k =>
+      s"s$k AS MATERIALIZED (SELECT CAST($k AS BIGINT) AS pick, c.vec_id, c.rel, d.div_m, " +
+        "7 * c.rel - 3 * d.div_m AS mmr FROM cand c JOIN " +
+        "(SELECT p.x AS vec_id, max(p.sim) AS div_m FROM pair p " +
+        s"JOIN sel${k - 1} s ON p.y = s.vec_id GROUP BY p.x) d " +
+        "ON d.vec_id = c.vec_id " +
+        s"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1}) " +
+        s"ORDER BY mmr DESC, c.vec_id LIMIT 1), " +
+        s"sel$k AS MATERIALIZED (SELECT vec_id FROM sel${k - 1} UNION ALL SELECT vec_id FROM s$k)"
+    }.mkString(", ")
+    val fin = (1 to 8).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+    s"WITH $qc, $cand, $pair, $s1, $steps " +
+      "SELECT pick, vec_id, rel AS rel_micro, div_m AS div_micro, " +
+      s"mmr AS mmr_score FROM ($fin) ORDER BY pick"
+  }
+
   /** q_text_collocation_pmi — COLLOCATION MINING via pointwise mutual
     * information over adjacent token bigrams: PMI = log10(p(xy)/(p(x)p(y))),
     * the classic measure of "these two tokens co-occur far more than
@@ -4466,6 +4555,7 @@ object LlmData {
     "q_simsearch_batch_rerank" -> simsearchBatchRerank _,
     "q_simsearch_batch_routed" -> simsearchBatchRouted _,
     "q_simsearch_rerank" -> simsearchRerank _,
+    "q_simsearch_mmr" -> simsearchMmr _,
     "q_embed_quantize" -> embedQuantize _,
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
@@ -5196,6 +5286,7 @@ object LlmData {
         "CAST(sum(err_j) AS BIGINT) AS pq_err_micro " +
         "FROM best GROUP BY vec_id ORDER BY vec_id"),
     "q_simsearch_pq_adc" -> pqAdcSql,
+    "q_simsearch_mmr" -> mmrSql,
     // full-probe IVFADC scans every cell, so pruning contributes nothing
     // and the composed path must EQUAL the pure ADC scan — same oracle
     "q_simsearch_ivfpq_full" -> pqAdcSql,

@@ -1758,6 +1758,28 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.map(_._5).distinct.length > 1)
   }
 
+  test("q_simsearch_mmr: greedy scores are monotone and diversity reorders pure relevance") {
+    val rows = LlmData.simsearchMmr(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 8)
+    assert(rows.map(_._1).toSeq === (1L to 8L), "picks numbered 1..8 in order")
+    assert(rows.map(_._2).distinct.length === 8, "no vector picked twice")
+    // the greedy argmax can only shrink: candidate pool loses its best
+    // member and every div term grows with the selected set
+    val mmrs = rows.map(_._5)
+    assert(mmrs.zip(mmrs.tail).forall { case (a, b) => a >= b },
+      s"mmr scores must be non-increasing: ${mmrs.toSeq}")
+    rows.foreach { case (_, _, rel, div, mmr) =>
+      assert(mmr === 7 * rel - 3 * div, "integer lambda mix")
+    }
+    assert(rows.head._4 === 0L, "first pick has no diversity penalty")
+    // diversity must do real work on the fixture: the pick order is NOT
+    // pure relevance order (otherwise the operator degenerates to top-k)
+    val rels = rows.map(_._3)
+    assert(!rels.zip(rels.tail).forall { case (a, b) => a >= b },
+      "fixture degenerate: MMR picked in pure relevance order")
+  }
+
   test("q_text_chunk_cdc: boundaries are shift-invariant — a prefix edit leaves later chunks intact") {
     import s.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
