@@ -40,6 +40,14 @@ case class Scd2Buf(recs: Seq[Scd2Rec])
 case class Scd2Out(user_id: Long, version_no: Long, valid_from_us: Long,
     valid_to_us: Option[Long], event_type: String, value: Double)
 
+/** Running moments for streaming anomaly detection — integer cents so the
+  * fold is exact and order-stable; q = Σcents² stays < 2⁶³ for any realistic
+  * per-key stream (10⁶-cent values × 10⁹ events ≈ 10²¹ would need sharding,
+  * documented at the operator).
+  */
+case class AnomState(n: Long, s: Long, q: Long)
+case class AnomOut(event_id: Long, event_type: String, cents: Long, n_prior: Long)
+
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, total_value: Double)
 
@@ -654,6 +662,71 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Sequential 3-sigma gate over one key's micro-batch slice: prior-stats
+    * test THEN state fold, per event in (ts, event_id) order — so an
+    * anomaly never contaminates its own threshold but does harden the
+    * stream against repeats. Integer-exact: the σ comparison
+    * (n·v − S)² > 9·(n·Q − S²) is the 3-sigma rule cleared of divisions,
+    * evaluated in BigInt (the squares exceed 2⁶³ for hot keys; the oracle
+    * evaluates the same product in HUGEINT).
+    */
+  private def anomalyFold(key: String, rows: Iterator[Ev],
+      state: GroupState[AnomState]): Iterator[AnomOut] = {
+    import SessionFold.cents
+    var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+    val out = Seq.newBuilder[AnomOut]
+    rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      val c = cents(e.value)
+      if (st.n >= 30) {
+        val dev = BigInt(st.n) * c - BigInt(st.s)
+        val varN = BigInt(st.n) * st.q - BigInt(st.s) * st.s
+        if (dev * dev > 9 * varN) out += AnomOut(e.event_id, key, c, st.n)
+      }
+      st = AnomState(st.n + 1, st.s + c, st.q + c * c)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** q_stream_anomaly — STREAMING 3-SIGMA ANOMALY DETECTION: per
+    * event_type, a running (count, Σcents, Σcents²) state flags each
+    * arriving event whose value deviates from the PRIOR stream by more
+    * than 3σ (after a 30-event warm-up), emitting only the anomalies.
+    * Batch 2 plants three extreme purchases/clicks plus one normal row —
+    * the extremes must flash red across the batch boundary (state carried,
+    * not recomputed), the normal row must not.
+    *
+    * Scale: state is THREE LONGS per key — O(keys), never O(events) — and
+    * the only shuffle is the groupByKey on the anomaly key. The fixture
+    * keys on event_type (5 keys → parallelism 5 at local[32]); a
+    * production deployment keys on (entity, metric) — millions of keys —
+    * where the same plan distributes evenly; a single globally-hot key
+    * would shard by time-bucket with per-shard warm-up. The oracle replays
+    * the whole fold as one per-key ordered window pass.
+    */
+  def streamAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      Ev(2000001L, Instant.parse("2029-06-01T00:00:00Z"), 1L, "purchase", 9999.99),
+      Ev(2000002L, Instant.parse("2029-06-01T00:01:00Z"), 2L, "purchase", 1.0),
+      Ev(2000003L, Instant.parse("2029-06-01T00:02:00Z"), 3L, "purchase", 9999.99),
+      Ev(2000004L, Instant.parse("2029-06-01T00:03:00Z"), 4L, "click", 9999.99)).toDF()
+      // ONE part file: the running stream lists the staging dir continuously,
+      // so a multi-file append can be picked up in two micro-batches split
+      // MID-BATCH — and this fold's "prior stream" is arrival order, so a
+      // split that reorders rows 2000001/2000003 changes n_prior (observed
+      // flaking once in three runs). A single file is seen whole or not at
+      // all; 4 rows, so the coalesce costs nothing.
+      .coalesce(1)
+    runStagedBatches(s,
+      src => src.as[Ev].groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          anomalyFold)
+        .toDF(),
+      d, Seq(planted), key = "anomaly")
+      .orderBy("event_id")
+  }
+
   /** q_stream_stateful_tws — the SAME 30-minute-gap sessionization on
     * Spark 4's arbitrary-state API ([[StatefulProcessor]] via
     * `transformWithState`): typed ValueState + event-time timers replace
@@ -961,6 +1034,7 @@ object Streams {
     "q_stream_foreach_upsert" -> streamForeachUpsert _,
     "q_stream_cdc_apply" -> streamCdcApply _,
     "q_stream_scd2" -> streamScd2 _,
+    "q_stream_anomaly" -> streamAnomaly _,
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
@@ -1059,7 +1133,32 @@ object Streams {
         "lead(epoch_us(ts)) OVER w AS valid_to_us, " +
         "event_type, value FROM log " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
-        "ORDER BY user_id, version_no"))
+        "ORDER BY user_id, version_no"),
+    // full replay of the prior-stats 3-sigma fold (planted batch included):
+    // strictly-preceding window moments per event_type, HUGEINT products
+    "q_stream_anomaly" ->
+      ("WITH ev AS (SELECT event_id, ts, event_type, " +
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events " +
+        "UNION ALL SELECT CAST(event_id AS BIGINT), CAST(ts AS TIMESTAMP), " +
+        "event_type, CAST(cents AS BIGINT) FROM (VALUES " +
+        "(2000001, TIMESTAMP '2029-06-01 00:00:00', 'purchase', 999999), " +
+        "(2000002, TIMESTAMP '2029-06-01 00:01:00', 'purchase', 100), " +
+        "(2000003, TIMESTAMP '2029-06-01 00:02:00', 'purchase', 999999), " +
+        "(2000004, TIMESTAMP '2029-06-01 00:03:00', 'click', 999999)" +
+        ") v(event_id, ts, event_type, cents)), " +
+        "st AS (SELECT event_id, event_type, cents, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_prior, " +
+        "CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS s_prior, " +
+        "CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS q_prior " +
+        "FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, event_type, cents, n_prior FROM st " +
+        "WHERE n_prior >= 30 AND " +
+        "CAST(n_prior * cents - s_prior AS HUGEINT) * " +
+        "CAST(n_prior * cents - s_prior AS HUGEINT) > " +
+        "9 * (CAST(n_prior AS HUGEINT) * CAST(q_prior AS HUGEINT) - " +
+        "CAST(s_prior AS HUGEINT) * CAST(s_prior AS HUGEINT)) " +
+        "ORDER BY event_id"))
 
   /** The composed-changelog CTE (events + the correction wave) — the SQL
     * mirror of [[cdcCorrectionWave]], shared by the CDC-apply and SCD2

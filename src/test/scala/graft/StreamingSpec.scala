@@ -253,4 +253,24 @@ class StreamingSpec extends AnyFunSuite {
         s"user $u: CDC last state must equal the open SCD2 version")
     }
   }
+
+  test("q_stream_anomaly: planted extremes flag across the batch boundary, normal row doesn't") {
+    val rows = graft.streaming.Streams.streamAnomaly(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // batch-2 plants: two extreme purchases and one extreme click flagged...
+    Seq(2000001L, 2000003L, 2000004L).foreach { id =>
+      assert(rows.contains(id), s"planted extreme $id not flagged")
+    }
+    // ...the $1.00 purchase in between is not
+    assert(!rows.contains(2000002L), "normal planted row falsely flagged")
+    // state survived the batch boundary: the planted rows' prior-count is
+    // the whole fixture slice of their key, not a batch-local restart
+    val typeCounts = Tables(s, d, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows(2000001L)._3 === typeCounts("purchase"),
+      "n_prior must count the full carried state, not batch-2 alone")
+    assert(rows(2000004L)._3 === typeCounts("click"))
+    // the second extreme purchase sees one more prior event than the first
+    assert(rows(2000003L)._3 === typeCounts("purchase") + 2)
+  }
 }
