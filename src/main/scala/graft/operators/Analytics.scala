@@ -1948,6 +1948,38 @@ object Analytics {
       s.read.parquet(p.toString)
     }
 
+  /** q_graph_adamic_adar — ADAMIC–ADAR link-prediction scores over the
+    * customer-supplier bipartite wedges: for supplier pair (a, b),
+    * AA = Σ_{c ∈ Γ(a)∩Γ(b)} 1/log(|Γ(c)|) — common neighbors weighted so
+    * that promiscuous hubs (big customers) certify a link weakly and
+    * selective customers certify it strongly. Weights are
+    * round(10⁶/log10(k)) integer micro-units (log10 differs from the
+    * paper's ln by a constant factor — rank-identical — and micro-log10 is
+    * this repo's established cross-engine-exact form), so the sums and the
+    * top-20 cut replay bit-for-bit.
+    *
+    * Scale: identical wedge volume to [[graphCommonNeighbors]] — the
+    * STAGED hub-capped neighbor lists bound the explode at Σk² with the
+    * cap replayed in the oracle; per-wedge weights ride the same rows, and
+    * the aggregate is one hash shuffle on the pair key.
+    */
+  def graphAdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val lists = supplierNbrs(s, d).where(size(col("sps")) > 1)
+      .select(col("sps"), size(col("sps")).cast("long").as("k"))
+    lists
+      .select(col("sps"), col("k"), posexplode(col("sps")).as(Seq("i", "x")))
+      .select(col("k"), col("i"), col("x"), posexplode(col("sps")).as(Seq("j", "y")))
+      .where(col("i") < col("j"))
+      .select(least(col("x"), col("y")).as("sp1"),
+        greatest(col("x"), col("y")).as("sp2"), col("k"))
+      .withColumn("w_micro",
+        expr("CAST(round(1000000 / log10(CAST(k AS DOUBLE)), 0) AS BIGINT)"))
+      .groupBy("sp1", "sp2")
+      .agg(count(lit(1)).as("common"), sum(col("w_micro")).as("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("sp1"), col("sp2"))
+      .limit(20)
+  }
+
   def graphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
     val deg = supplierNbrs(s, d).select(explode(col("sps")).as("sp"))
       .groupBy(col("sp")).agg(count(lit(1)).as("deg"))
@@ -2946,6 +2978,7 @@ object Analytics {
     "q_agg_hhi" -> aggHhi _,
     "q_graph_kcore_peel" -> graphKcorePeel _,
     "q_graph_common_neighbors" -> graphCommonNeighbors _,
+    "q_graph_adamic_adar" -> graphAdamicAdar _,
     "q_agg_concentration" -> aggConcentration _,
     "q_window_beta" -> windowBeta _,
     "q_timeseries_decompose" -> timeseriesDecompose _,
@@ -3360,6 +3393,16 @@ object Analytics {
         s"${sqlR("common / (d1.dg + d2.dg - common)", 6)} AS jaccard " +
         "FROM p JOIN deg d1 ON d1.sp = p.sp1 JOIN deg d2 ON d2.sp = p.sp2 " +
         "ORDER BY common DESC, sp1, sp2 LIMIT 20"),
+    // same capped edge replay; per-wedge 1/log10(list size) micro weights
+    "q_graph_adamic_adar" ->
+      (s"WITH $cappedSupplierEdgeCtes, " +
+        "kk AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM ec GROUP BY c), " +
+        "w AS (SELECT a.sp AS sp1, b.sp AS sp2, kk.k FROM ec a " +
+        "JOIN ec b ON a.c = b.c AND a.sp < b.sp JOIN kk ON kk.c = a.c) " +
+        "SELECT sp1, sp2, CAST(count(*) AS BIGINT) AS common, " +
+        "CAST(sum(CAST(round(1000000 / log10(CAST(k AS DOUBLE)), 0) AS BIGINT)) " +
+        "AS BIGINT) AS aa_micro " +
+        "FROM w GROUP BY 1, 2 ORDER BY aa_micro DESC, sp1, sp2 LIMIT 20"),
     "q_agg_concentration" ->
       ("WITH spend AS (SELECT n_name, c_custkey, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +

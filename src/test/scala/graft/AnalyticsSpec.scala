@@ -238,6 +238,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("deg") >= 2 && r.getAs[Long]("lcc_micro") < 1000000))
   }
 
+  test("q_graph_adamic_adar matches a driver replay over the staged capped lists") {
+    val out = Analytics.graphAdamicAdar(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 20)
+    val scores = out.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "sorted desc")
+    // replay from the same staged lists the operator consumes
+    val lists = Analytics.supplierNbrs(s, d).collect()
+      .map(_.getSeq[Long](1)).filter(_.length > 1)
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    lists.foreach { sps =>
+      val w = math.round(1000000d / math.log10(sps.length.toDouble))
+      for (i <- sps.indices; j <- i + 1 until sps.length) {
+        val key = (math.min(sps(i), sps(j)), math.max(sps(i), sps(j)))
+        val (c0, a0) = acc.getOrElse(key, (0L, 0L))
+        acc(key) = (c0 + 1, a0 + w)
+      }
+    }
+    val top = acc.toSeq.map { case ((a, b), (c, aa)) => (a, b, c, aa) }
+      .sortBy { case (a, b, _, aa) => (-aa, a, b) }.take(20)
+    assert(out.toSeq === top, "top-20 AA pairs diverge from the replay")
+    // the weighting must matter: AA order != common-neighbor-count order
+    val byCommon = acc.toSeq.map { case ((a, b), (c, aa)) => (a, b, c, aa) }
+      .sortBy { case (a, b, c, _) => (-c, a, b) }.take(20)
+    assert(byCommon.map(t => (t._1, t._2)) !== top.map(t => (t._1, t._2)),
+      "fixture degenerate: AA equals plain common-neighbor ranking")
+  }
+
   test("q_graph_label_prop matches a driver-side synchronous LPA replay") {
     val out = Analytics.graphLabelProp(s, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
