@@ -496,7 +496,65 @@ object Quality {
       .orderBy("n_name", "seg")
   }
 
+  /** Shared Spark/DuckDB SQL fragments for [[privacyDpCount]] — ONE string
+    * evaluated by both engines, so the mechanism cannot drift between the
+    * operator and its oracle.
+    *
+    * `dpHexV`: first 3 hex digits of the group's keyed md5 as an integer in
+    * [0, 4096) via instr-table lookup (both engines lack a portable
+    * hex-parse; instr/substr/md5 are identical in both).
+    * `dpNoiseCase`: inverse-CDF ladder of the TWO-SIDED GEOMETRIC (discrete
+    * Laplace) distribution with α = 1/2 (ε = ln 2): P(k) = (1/3)·2^−|k| in
+    * exact /12288 units over the 4096-value draw (·3), tails beyond |k| = 8
+    * lumped into +9 (32/12288 ≈ 0.26% mass, documented truncation).
+    */
+  private val dpHexV: String = {
+    def digit(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"(${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)})"
+  }
+
+  private val dpNoiseCase: String = {
+    // cumulative thresholds in /12288 units, draw v scaled by 3
+    val ladder = Seq(0L -> 4096L) ++ (1 to 8).flatMap { k =>
+      Seq(k.toLong -> (4096L >> k), -k.toLong -> (4096L >> k))
+    }
+    val (cases, _) = ladder.foldLeft((Seq.empty[String], 0L)) {
+      case ((acc, cum), (k, mass)) =>
+        (acc :+ s"WHEN v * 3 < ${cum + mass} THEN CAST($k AS BIGINT)", cum + mass)
+    }
+    s"CASE ${cases.mkString(" ")} ELSE CAST(9 AS BIGINT) END"
+  }
+
+  /** q_privacy_dp_count — DIFFERENTIALLY-PRIVATE COUNT RELEASE via the
+    * geometric mechanism (Ghosh–Roughgarden–Sundararajan: the discrete
+    * Laplace, utility-optimal for counts): per (segment, nation) cell,
+    * count + two-sided-geometric noise at ε = ln 2, clamped at 0. The
+    * "draw" is a keyed md5 of the cell — deterministic so the release is
+    * reproducible and the oracle replays it; a production release would
+    * swap in a sealed RNG seed, changing nothing structural. `n_true` is
+    * emitted for the correctness gate (a real release drops it).
+    *
+    * Scale: one hash aggregate over the joined scan; noise is a scan-side
+    * projection on CELL-grain rows (|segments|×|nations|), so the noisy
+    * release costs the same as the raw GROUP BY at any corpus size.
+    */
+  def privacyDpCount(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("geo"))
+      .agg(count(lit(1)).as("n_true"))
+    cells
+      .withColumn("h", expr("md5(concat('graftdp:', seg, ':', geo))"))
+      .withColumn("v", expr(dpHexV))
+      .withColumn("noise", expr(dpNoiseCase))
+      .withColumn("n_dp", greatest(col("n_true") + col("noise"), lit(0L)))
+      .select("seg", "geo", "n_true", "noise", "n_dp")
+      .orderBy("seg", "geo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_dp_count" -> privacyDpCount _,
     "q_privacy_ldiversity" -> privacyLdiversity _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
@@ -509,6 +567,17 @@ object Quality {
     "q_anomaly_mad" -> anomalyMad _)
 
   val oracle: Map[String, String] = Map(
+    // the SAME dpHexV/dpNoiseCase strings the operator evaluates
+    "q_privacy_dp_count" ->
+      ("WITH cells AS (SELECT c_mktsegment AS seg, n_name AS geo, " +
+        "CAST(count(*) AS BIGINT) AS n_true " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "hv AS (SELECT seg, geo, n_true, " +
+        "md5(concat('graftdp:', seg, ':', geo)) AS h FROM cells), " +
+        s"nv AS (SELECT seg, geo, n_true, $dpHexV AS v FROM hv), " +
+        s"nz AS (SELECT seg, geo, n_true, $dpNoiseCase AS noise FROM nv) " +
+        "SELECT seg, geo, n_true, noise, " +
+        "greatest(n_true + noise, 0) AS n_dp FROM nz ORDER BY seg, geo"),
     "q_privacy_ldiversity" ->
       ("SELECT n_name, c_mktsegment AS seg, " +
         "CAST(count(*) AS BIGINT) AS n, " +

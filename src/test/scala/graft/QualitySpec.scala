@@ -238,4 +238,37 @@ class QualitySpec extends AnyFunSuite {
       .select(floor(col("c_acctbal") / 1000).cast("long")).distinct().count()
     assert(l === want)
   }
+
+  test("q_privacy_dp_count: noise replays from the keyed md5 and looks geometric") {
+    val rows = graft.operators.Quality.privacyDpCount(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // driver replay of the ladder: first 3 md5 hex digits -> inverse CDF
+    def noiseOf(seg: String, geo: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graftdp:$seg:$geo".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = Integer.parseInt(hex.take(3), 16)
+      val ladder = Seq(0L -> 4096L) ++ (1 to 8).flatMap { k =>
+        Seq(k.toLong -> (4096L >> k), -k.toLong -> (4096L >> k))
+      }
+      var cum = 0L
+      for ((k, mass) <- ladder) {
+        cum += mass
+        if (v * 3 < cum) return k
+      }
+      9L
+    }
+    rows.foreach { case (seg, geo, nTrue, noise, nDp) =>
+      assert(noise === noiseOf(seg, geo), s"cell ($seg,$geo) noise diverges")
+      assert(nDp === math.max(nTrue + noise, 0L))
+      assert(noise >= -8L && noise <= 9L)
+    }
+    // the mechanism must actually perturb, concentrated near zero:
+    // P(|k| <= 2) = 5/6 for alpha = 1/2 — allow wide slack on 125 cells
+    assert(rows.exists(_._4 != 0L), "all-zero noise: draw is broken")
+    val small = rows.count(r => math.abs(r._4) <= 2)
+    assert(small * 10 >= rows.length * 6,
+      s"noise too heavy-tailed for alpha=1/2: $small/${rows.length} within |2|")
+  }
 }
