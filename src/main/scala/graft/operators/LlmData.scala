@@ -3862,6 +3862,55 @@ object LlmData {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** q_text_rake — RAKE KEYWORD EXTRACTION (Rose et al. 2010 "Automatic
+    * Keyword Extraction from Individual Documents"): token runs between
+    * stopwords form candidate phrases (capped at 4 tokens); each word
+    * scores deg(w)/freq(w) where freq counts the word's occurrences inside
+    * candidates and deg adds the lengths of every candidate containing it
+    * (so words living in long phrases outrank loners); a phrase scores the
+    * sum of its words. Integer-exact: word scores are
+    * (10⁶·deg) div freq and phrase scores sum them, so the top-30 cut is
+    * deterministic in both engines. Ties → lexicographic phrase.
+    *
+    * Scale: phrase segmentation is a per-document gaps-islands window
+    * (PARTITIONED by doc — never global); word stats and phrase scores are
+    * keyed hash aggregates; the join back to score members broadcasts the
+    * word table only if small — here it shuffles on the word key, which
+    * distributes by Zipf mass exactly like every other token aggregate in
+    * this file.
+    */
+  def textRake(s: SparkSession, d: String): DataFrame = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    val tt = t(s, d, "documents")
+      .withColumn("toks", TextOps.tokens("text"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("stop", expr(s"CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cand = tt.withColumn("grp", sum(col("stop")).over(w))
+      .where(col("stop") === 0)
+      .select(col("doc_id"), col("grp"), col("pos"), col("tok"))
+    val phr = cand.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("n_tok"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("phrase"))
+      .where(col("n_tok") <= 4)
+    val members = cand.join(phr.select("doc_id", "grp", "n_tok"), Seq("doc_id", "grp"))
+    val wstats = members.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("n_tok")).as("deg"))
+      .withColumn("w_micro", expr("(1000000 * deg) div freq"))
+    val occScore = members.join(wstats.select("tok", "w_micro"), "tok")
+      .groupBy("doc_id", "grp").agg(sum(col("w_micro")).as("score_micro"))
+    phr.join(occScore, Seq("doc_id", "grp"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), min(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(30)
+  }
+
   /** q_corpus_mix_temperature — TEMPERATURE-WEIGHTED DOMAIN MIXTURE, the
     * standard pre-training rebalancer (multilingual-BERT / XLM-R exponent
     * smoothing, α = 0.5): raw per-source counts are smoothed to
@@ -4581,6 +4630,7 @@ object LlmData {
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_substring_dedup" -> textSubstringDedup _,
     "q_text_chunk_cdc" -> textChunkCdc _,
+    "q_text_rake" -> textRake _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
@@ -5177,6 +5227,30 @@ object LlmData {
         "CAST(count(*) AS BIGINT) AS n_tok, " +
         "md5(string_agg(u, ' ' ORDER BY pos)) AS chunk_sig " +
         "FROM cid GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"),
+    // full RAKE replay: stopword islands, deg/freq integer word scores,
+    // summed phrase scores, deterministic top-30
+    "q_text_rake" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
+        "FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1), " +
+        "tt AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok FROM toks), " +
+        s"fl AS (SELECT doc_id, pos, tok, CASE WHEN tok IN (${Stopwords.map(w => s"'$w'").mkString(", ")}) " +
+        "THEN 1 ELSE 0 END AS stop FROM tt), " +
+        "isl AS (SELECT doc_id, pos, tok, stop, sum(stop) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl), " +
+        "cand AS (SELECT doc_id, grp, pos, tok FROM isl WHERE stop = 0), " +
+        "phr AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n_tok, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS phrase FROM cand GROUP BY 1, 2 " +
+        "HAVING count(*) <= 4), " +
+        "members AS (SELECT c.doc_id, c.grp, c.tok, p.n_tok FROM cand c " +
+        "JOIN phr p ON c.doc_id = p.doc_id AND c.grp = p.grp), " +
+        "ws AS (SELECT tok, (1000000 * CAST(sum(n_tok) AS BIGINT)) // CAST(count(*) AS BIGINT) AS w_micro " +
+        "FROM members GROUP BY tok), " +
+        "osc AS (SELECT m.doc_id, m.grp, CAST(sum(ws.w_micro) AS BIGINT) AS score_micro " +
+        "FROM members m JOIN ws ON m.tok = ws.tok GROUP BY 1, 2) " +
+        "SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occ, " +
+        "CAST(min(o.score_micro) AS BIGINT) AS score_micro " +
+        "FROM phr p JOIN osc o ON p.doc_id = o.doc_id AND p.grp = o.grp " +
+        "GROUP BY p.phrase ORDER BY score_micro DESC, phrase LIMIT 30"),
     // exact end-state of the MinHash-LSH pipeline: same shingle-overlap CTE
     // as q_dedup_ngram, projected to (doc_a, doc_b, jac) — see the
     // dedupNear scaladoc for why the probabilistic candidate stage is

@@ -1758,6 +1758,42 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.map(_._5).distinct.length > 1)
   }
 
+  test("q_text_rake: phrases are stopword-free runs; scores recompute from deg/freq") {
+    val rows = LlmData.textRake(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 30)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    rows.foreach { case (phrase, nOcc, score) =>
+      val ws = phrase.split(" ")
+      assert(ws.length >= 1 && ws.length <= 4, s"phrase length cap: '$phrase'")
+      assert(!ws.exists(stop), s"stopword inside phrase '$phrase'")
+      assert(nOcc >= 1 && score > 0)
+    }
+    val scores = rows.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // multi-word phrases must surface: RAKE's whole point over unigram tf
+    assert(rows.exists(_._1.contains(" ")), "no multi-word keyword extracted")
+    // spot-recompute the top phrase's score from raw corpus statistics
+    val (top, _, topScore) = rows.head
+    val docs = Tables(s, d, "documents").select("text").collect().map(_.getString(0))
+    val cands = docs.flatMap { t =>
+      // islands between stopwords, capped at 4 tokens — same segmentation
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      t.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur ::= w
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.filter(_.length <= 4)
+    }
+    val freq = cands.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val deg = cands.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).map { case (w, o) => w -> o.map(_._2).sum }
+    val want = top.split(" ").map(w => 1000000L * deg(w) / freq(w)).sum
+    assert(topScore === want, s"top phrase '$top' score mismatch")
+  }
+
   test("q_simsearch_mmr: greedy scores are monotone and diversity reorders pure relevance") {
     val rows = LlmData.simsearchMmr(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
