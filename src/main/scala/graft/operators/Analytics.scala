@@ -85,6 +85,44 @@ object Analytics {
     * `last(ignoreNulls)` window pass fills the gaps. Day totals are exact
     * integer-cent sums, so carried values hash-match bit-exactly.
     */
+  /** q_timeseries_mann_kendall — MANN–KENDALL TREND TEST per account
+    * series: S = Σ_{i<j} sign(xⱼ − xᵢ) over monthly revenue totals, with
+    * Kendall's τ = S / C(n,2) in integer micro-units and a three-way trend
+    * call (|τ| < 0.1 ⇒ flat). The standard nonparametric trend detector —
+    * no distribution assumption, robust to outliers — and exact: monthly
+    * totals are integer cents, sign comparisons and the τ division are
+    * pure integer arithmetic.
+    *
+    * Scale: the pair space is a SELF-JOIN WITHIN each account's monthly
+    * series — n is bounded by the CALENDAR (~84 months here), not by the
+    * data volume, so pairs stay O(accounts · months²) at any corpus size
+    * while the monthly rollup absorbs the actual 100 TB scan as one hash
+    * aggregate. This is why the test runs on period totals, never raw rows.
+    */
+  def timeseriesMannKendall(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val pairs = obs.as("a").join(obs.as("b"),
+        col("a.acct") === col("b.acct") && col("a.mon") < col("b.mon"))
+      .select(col("a.acct").as("acct"),
+        when(col("b.cents") > col("a.cents"), 1L)
+          .when(col("b.cents") < col("a.cents"), -1L).otherwise(0L).as("sgn"))
+      .groupBy("acct").agg(sum(col("sgn")).as("s_stat"))
+    val n = obs.groupBy("acct").agg(count(lit(1)).as("n_periods"))
+    n.join(pairs, "acct")
+      .withColumn("tau_micro",
+        expr("(1000000 * s_stat) div (n_periods * (n_periods - 1) div 2)"))
+      .withColumn("trend",
+        when(col("tau_micro") > 100000L, lit("up"))
+          .when(col("tau_micro") < -100000L, lit("down"))
+          .otherwise(lit("flat")))
+      .select("acct", "n_periods", "s_stat", "tau_micro", "trend")
+      .orderBy("acct")
+  }
+
   def timeseriesGapfill(s: SparkSession, d: String): DataFrame = {
     val obs = t(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),
@@ -3014,6 +3052,7 @@ object Analytics {
     "q_graph_label_prop" -> graphLabelProp _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
+    "q_timeseries_mann_kendall" -> timeseriesMannKendall _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
     "q_agg_retention_cohort" -> aggRetentionCohort _,
@@ -3948,6 +3987,24 @@ object Analytics {
         "CAST(150000 + (850 * sum(1000000 // deg.deg)) // 1000 AS BIGINT) AS rank_micro " +
         "FROM e JOIN deg ON e.c = deg.c " +
         "GROUP BY e.sp ORDER BY s_suppkey"),
+    // exact pairwise-sign replay on the monthly cents rollup; both engines
+    // truncate integer division toward zero, so negative tau is safe
+    "q_timeseries_mann_kendall" ->
+      ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "p AS (SELECT a.acct, CAST(sum(CASE WHEN b.cents > a.cents THEN 1 " +
+        "WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat " +
+        "FROM obs a JOIN obs b ON a.acct = b.acct AND a.mon < b.mon GROUP BY 1), " +
+        "n AS (SELECT acct, CAST(count(*) AS BIGINT) AS n_periods FROM obs GROUP BY 1), " +
+        "t AS (SELECT n.acct, n.n_periods, p.s_stat, " +
+        "(1000000 * p.s_stat) // (n.n_periods * (n.n_periods - 1) // 2) AS tau_micro " +
+        "FROM n JOIN p USING (acct)) " +
+        "SELECT acct, n_periods, s_stat, tau_micro, " +
+        "CASE WHEN tau_micro > 100000 THEN 'up' " +
+        "WHEN tau_micro < -100000 THEN 'down' ELSE 'flat' END AS trend " +
+        "FROM t ORDER BY acct"),
     "q_timeseries_gapfill" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

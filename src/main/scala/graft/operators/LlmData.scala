@@ -3349,6 +3349,65 @@ object LlmData {
       .toDF("pick", "vec_id", "rel_micro", "div_micro", "mmr_score")
   }
 
+  /** q_simsearch_matryoshka — PREFIX-DIMENSION RETRIEVAL AUDIT (Kusupati
+    * et al., NeurIPS'22 Matryoshka Representation Learning): re-run the
+    * brute-force top-10 using only the first 8/16/32 dimensions of the
+    * 64-d embeddings and report overlap@10 against the full-dimension
+    * ranking — the measurement that decides how far a serving tier can
+    * truncate vectors (and cut memory 8×) before recall pays. Rankings
+    * order by integer micro-cosine then vec_id, so both engines cut
+    * identical top-10 sets.
+    *
+    * Scale: each audit is the same one-scan brute-force pass as
+    * `q_simsearch_topk` (prefix slicing is a scan-side projection); the
+    * overlap join touches 10-row frames. At 100 TB the same audit runs on
+    * a hash sample of queries — the per-query cost is the index probe,
+    * unchanged.
+    */
+  def simsearchMatryoshka(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    def topIds(k: Int): DataFrame = {
+      val (e, qq) =
+        if (k == 64) (col("embedding"), col("qe"))
+        else (expr(s"slice(embedding, 1, $k)"), expr(s"slice(qe, 1, $k)"))
+      emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(VectorOps.cosine(e, qq) * 1000000d, 0).cast("long").as("cm"))
+        .orderBy(desc("cm"), asc("vec_id")).limit(10).select("vec_id")
+    }
+    val full = topIds(64)
+    import s.implicits._
+    Seq(8, 16, 32).map { k =>
+      val overlap = topIds(k).join(full, "vec_id").count()
+      (k.toLong, overlap, 1000000L * overlap / 10L)
+    }.toDF("dim", "overlap10", "recall_micro").orderBy("dim")
+  }
+
+  /** DuckDB replay of [[simsearchMatryoshka]]: one micro-cosine top-10 CTE
+    * per prefix width, overlap counted against the full-width cut. */
+  private def matryoshkaSql: String = {
+    def cut(name: String, e: String, qe: String) =
+      s"$name AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id, " +
+        s"CAST(round((${VectorOps.sqlCosine(e, qe)}) * 1000000, 0) AS BIGINT) AS cm " +
+        "FROM base, q ORDER BY cm DESC, vec_id LIMIT 10))"
+    val cuts = Seq(
+      cut("t64", "embedding", "qe"),
+      cut("t8", "embedding[1:8]", "qe[1:8]"),
+      cut("t16", "embedding[1:16]", "qe[1:16]"),
+      cut("t32", "embedding[1:32]", "qe[1:32]"))
+    val rows = Seq(8, 16, 32).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS dim, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM t$k JOIN t64 USING (vec_id)) AS overlap10"
+    }.mkString(" UNION ALL ")
+    "WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0), " +
+      s"${cuts.mkString(", ")} " +
+      s"SELECT dim, overlap10, (1000000 * overlap10) // 10 AS recall_micro " +
+      s"FROM ($rows) ORDER BY dim"
+  }
+
   /** Unrolled-greedy DuckDB replay of [[simsearchMmr]]: each pick is one
     * CTE selecting the integer-mmr argmax over the not-yet-selected
     * candidates, feeding the next pick's selected-set CTE. */
@@ -3860,6 +3919,40 @@ object LlmData {
           expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
           .cast("binary")).as("chunk_sig"))
       .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q_text_oov_rate — TOKENIZER VOCABULARY COVERAGE with a MIN-FREQUENCY
+    * vocabulary (the BPE-training convention): a token joins the vocab iff
+    * its corpus count ≥ total_tokens div 500 (relative frequency ≥ 0.2%);
+    * each document reports its out-of-vocabulary token count and
+    * integer-micro OOV rate — the cheap pre-tokenization screen that
+    * catches encoding damage, wrong-language slices, and noise before GPU
+    * time is spent. (A top-K cut is the other convention; this corpus's
+    * 31-token synthetic vocabulary makes any K ≥ 31 vacuous, while the
+    * frequency floor correctly isolates the planted rare 'dup' token.)
+    *
+    * Scale: the RARE side of the threshold is the tail — the interesting
+    * and SMALL set — so it BROADCASTS onto the token stream (codebook
+    * doctrine); the threshold itself is a 1-row total. The per-doc rate
+    * never shuffles anything wider than (doc_id, counts), and no global
+    * window or sort exists anywhere in the plan.
+    */
+  def textOovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .withColumn("toks", TextOps.tokens("text"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("tot"))
+    val rare = counts.crossJoin(broadcast(total))
+      .where(expr("c < tot div 500"))
+      .select(col("tok"), lit(1).as("is_rare"))
+    toks.join(broadcast(rare), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_rare").isNotNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micro", expr("(1000000 * n_oov) div n_tokens"))
+      .orderBy("doc_id")
   }
 
   /** q_text_rake — RAKE KEYWORD EXTRACTION (Rose et al. 2010 "Automatic
@@ -4631,6 +4724,8 @@ object LlmData {
     "q_text_substring_dedup" -> textSubstringDedup _,
     "q_text_chunk_cdc" -> textChunkCdc _,
     "q_text_rake" -> textRake _,
+    "q_text_oov_rate" -> textOovRate _,
+    "q_simsearch_matryoshka" -> simsearchMatryoshka _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
@@ -5361,6 +5456,19 @@ object LlmData {
         "FROM best GROUP BY vec_id ORDER BY vec_id"),
     "q_simsearch_pq_adc" -> pqAdcSql,
     "q_simsearch_mmr" -> mmrSql,
+    "q_simsearch_matryoshka" -> matryoshkaSql,
+    "q_text_oov_rate" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM tk), " +
+        "rare AS (SELECT tok FROM (SELECT tok, CAST(count(*) AS BIGINT) AS c " +
+        "FROM tk GROUP BY tok), tot WHERE c < tot // 500), " +
+        "j AS (SELECT t.doc_id, CASE WHEN r.tok IS NULL THEN 0 ELSE 1 END AS oov " +
+        "FROM tk t LEFT JOIN rare r ON t.tok = r.tok) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "(1000000 * CAST(sum(oov) AS BIGINT)) // CAST(count(*) AS BIGINT) AS oov_micro " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id"),
     // full-probe IVFADC scans every cell, so pruning contributes nothing
     // and the composed path must EQUAL the pure ADC scan — same oracle
     "q_simsearch_ivfpq_full" -> pqAdcSql,

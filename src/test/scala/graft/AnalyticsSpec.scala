@@ -238,6 +238,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("deg") >= 2 && r.getAs[Long]("lcc_micro") < 1000000))
   }
 
+  test("q_timeseries_mann_kendall matches an exact driver replay of pairwise signs") {
+    val out = Analytics.timeseriesMannKendall(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val obs = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("acct", "mon").agg(sum("c").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byAcct = obs.groupBy(_._1)
+    assert(out.keySet === byAcct.keySet)
+    byAcct.foreach { case (acct, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      var sStat = 0L
+      for (i <- series.indices; j <- i + 1 until series.length)
+        sStat += java.lang.Long.signum(series(j) - series(i))
+      val pairs = n * (n - 1) / 2
+      val tau = 1000000L * sStat / pairs
+      val trend = if (tau > 100000) "up" else if (tau < -100000) "down" else "flat"
+      assert(out(acct) === ((n, sStat, tau, trend)), s"acct $acct diverges")
+      assert(math.abs(tau) <= 1000000L)
+    }
+  }
+
   test("q_graph_adamic_adar matches a driver replay over the staged capped lists") {
     val out = Analytics.graphAdamicAdar(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

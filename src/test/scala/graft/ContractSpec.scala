@@ -96,7 +96,11 @@ class ContractSpec extends AnyFunSuite {
     "q_simsearch_drift", "q_simsearch_reclaim", "q_simsearch_cell_stats",
     "q_graph_connected_components", "q_stream_cdc_apply",
     "q_simsearch_retrain", "q_simsearch_rebuild", "q_stream_scd2",
-    "q_graph_louvain_step", "q_graph_community_contract")
+    "q_graph_louvain_step", "q_graph_community_contract",
+    "q_text_substring_dedup", "q_text_chunk_cdc", "q_text_rake",
+    "q_text_oov_rate", "q_graph_clustering_coeff", "q_graph_label_prop",
+    "q_graph_adamic_adar", "q_simsearch_mmr", "q_simsearch_matryoshka",
+    "q_stream_anomaly", "q_privacy_dp_count", "q_timeseries_mann_kendall")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -1758,6 +1758,42 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.map(_._5).distinct.length > 1)
   }
 
+  test("q_text_oov_rate matches a driver replay; vocab cut is deterministic") {
+    val out = LlmData.textOovRate(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val total = counts.values.sum
+    val rare = counts.filter { case (_, c) => c < total / 500 }.keySet
+    assert(out.size === docs.length)
+    docs.foreach { case (id, toks) =>
+      val oov = toks.count(rare).toLong
+      assert(out(id) === ((toks.length.toLong, oov,
+        1000000L * oov / toks.length)), s"doc $id diverges")
+    }
+    // both ends of the spectrum exist on the fixture: the planted rare
+    // 'dup' token is below the 0.2% floor, the core vocab is not
+    assert(out.values.exists(_._2 > 0), "no OOV tokens at all — floor too low")
+    assert(out.values.exists(_._2 == 0), "every doc has OOV — floor too high")
+  }
+
+  test("q_simsearch_matryoshka: prefix-dim recall audit is sane and full-width is identity") {
+    val rows = LlmData.simsearchMatryoshka(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L))
+    rows.foreach { case (_, ov, rec) =>
+      assert(ov >= 0 && ov <= 10)
+      assert(rec === 1000000L * ov / 10)
+    }
+    // truncation must cost something at 8 dims on 64-d vectors, and keep
+    // something: an empty overlap would mean the slice is reading garbage
+    assert(rows.head._2 < 10 || rows.last._2 === 10,
+      "8-dim ranking identical to 64-dim — suspicious for random embeddings")
+    assert(rows.map(_._2).max > 0, "all prefixes lost the entire top-10")
+  }
+
   test("q_text_rake: phrases are stopword-free runs; scores recompute from deg/freq") {
     val rows = LlmData.textRake(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
