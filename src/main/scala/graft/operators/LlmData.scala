@@ -3385,6 +3385,41 @@ object LlmData {
     }.toDF("dim", "overlap10", "recall_micro").orderBy("dim")
   }
 
+  /** q_simsearch_binary — BINARY-QUANTIZED RETRIEVAL (the 1-bit embedding
+    * compression powering 32×-smaller RAG serving tiers): each 64-d vector
+    * collapses to one 64-bit sign mask (bit j = v[j] ≥ 0), candidates come
+    * from Hamming distance on the masks (XOR + popcount — integer-exact),
+    * and the top-50 Hamming cut is re-ranked by exact cosine to a final
+    * top-10 carrying both scores. Sign-random-projection theory (Charikar
+    * '02) makes Hamming a cosine proxy; the funnel shape (cheap wide cut →
+    * exact narrow rerank) is the same contract as the PQ/ADC family.
+    *
+    * Scale: the mask is ONE LONG per vector — the Hamming scan reads 8
+    * bytes/vector instead of 256 and is a pure codegen-able projection; the
+    * rerank touches 20 rows. At 100 TB the mask column is the thing you
+    * keep in memory; this operator IS the recipe.
+    */
+  def simsearchBinary(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    // Hamming of the two sign masks as a direct sign-disagreement fold —
+    // bit-identical to materializing the packed longs and XOR/popcounting
+    // them (the production layout), without the 1<<63 top-bit literal the
+    // oracle engine rejects
+    val scored = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), col("qe"),
+        expr("aggregate(zip_with(embedding, qe, " +
+          "(x, y) -> IF((x >= 0) = (y >= 0), 0L, 1L)), 0L, (acc, b) -> acc + b)")
+          .as("ham"))
+      .orderBy(asc("ham"), asc("vec_id")).limit(50)
+    scored
+      .select(col("vec_id"), col("ham"),
+        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
+          .cast("long").as("cos_micro"))
+      .orderBy(desc("cos_micro"), asc("vec_id")).limit(10)
+  }
+
   /** DuckDB replay of [[simsearchMatryoshka]]: one micro-cosine top-10 CTE
     * per prefix width, overlap counted against the full-width cut. */
   private def matryoshkaSql: String = {
@@ -3942,8 +3977,13 @@ object LlmData {
       .withColumn("toks", TextOps.tokens("text"))
       .where(size(col("toks")) >= 1)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("tot"))
+    // memo-persisted TYPE-grain counts (tiny): both the total and the rare
+    // set derive from it, so the token stream is scanned once for stats
+    // plus once for the per-doc join — not three times
+    val counts = memo(s, s"oov_counts:$d") {
+      toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    }
+    val total = counts.agg(sum(col("c")).as("tot"))
     val rare = counts.crossJoin(broadcast(total))
       .where(expr("c < tot div 500"))
       .select(col("tok"), lit(1).as("is_rare"))
@@ -3985,13 +4025,23 @@ object LlmData {
     val cand = tt.withColumn("grp", sum(col("stop")).over(w))
       .where(col("stop") === 0)
       .select(col("doc_id"), col("grp"), col("pos"), col("tok"))
-    val phr = cand.groupBy("doc_id", "grp")
-      .agg(count(lit(1)).as("n_tok"),
-        concat_ws(" ",
-          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
-          .as("phrase"))
-      .where(col("n_tok") <= 4)
-    val members = cand.join(phr.select("doc_id", "grp", "n_tok"), Seq("doc_id", "grp"))
+    // memo-persisted (shingle-table doctrine): phr feeds both the member
+    // scoring chain and the final phrase join — without the persist the
+    // whole segmentation window re-executes per consumer
+    val phr = memo(s, s"rake_phr:$d") {
+      cand.groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("n_tok"),
+          concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+            .as("phrase"))
+        .where(col("n_tok") <= 4)
+    }
+    // members re-derived by EXPLODING the assembled phrase rather than
+    // re-joining cand: one fewer shuffle join and a shorter codegen
+    // lineage (the sweep cost of this operator is stage-compile-bound —
+    // 0.13 s steady-state vs ~12 s cold with the extra join chain)
+    val members = phr.select(col("doc_id"), col("grp"), col("n_tok"),
+      explode(split(col("phrase"), " ")).as("tok"))
     val wstats = members.groupBy("tok")
       .agg(count(lit(1)).as("freq"), sum(col("n_tok")).as("deg"))
       .withColumn("w_micro", expr("(1000000 * deg) div freq"))
@@ -4726,6 +4776,7 @@ object LlmData {
     "q_text_rake" -> textRake _,
     "q_text_oov_rate" -> textOovRate _,
     "q_simsearch_matryoshka" -> simsearchMatryoshka _,
+    "q_simsearch_binary" -> simsearchBinary _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
@@ -5457,6 +5508,23 @@ object LlmData {
     "q_simsearch_pq_adc" -> pqAdcSql,
     "q_simsearch_mmr" -> mmrSql,
     "q_simsearch_matryoshka" -> matryoshkaSql,
+    // sign-mask + XOR/popcount Hamming cut, exact-cosine rerank — all
+    // integer until the final micro-rounded cosine
+    "q_simsearch_binary" ->
+      ("WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "h AS (SELECT vec_id, embedding, qe, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, 65), " +
+        "j -> CASE WHEN (embedding[j] >= 0) = (qe[j] >= 0) " +
+        "THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)), " +
+        "(acc, b) -> acc + b) AS BIGINT) AS ham " +
+        "FROM embeddings, q WHERE vec_id <> 0), " +
+        "cut AS (SELECT vec_id, embedding, qe, ham FROM h " +
+        "ORDER BY ham, vec_id LIMIT 50) " +
+        "SELECT vec_id, ham, CAST(round((" +
+        VectorOps.sqlCosine("embedding", "qe") +
+        ") * 1000000, 0) AS BIGINT) AS cos_micro FROM cut " +
+        "ORDER BY cos_micro DESC, vec_id LIMIT 10"),
     "q_text_oov_rate" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
         "FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1), " +

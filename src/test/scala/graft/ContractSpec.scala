@@ -100,7 +100,8 @@ class ContractSpec extends AnyFunSuite {
     "q_text_substring_dedup", "q_text_chunk_cdc", "q_text_rake",
     "q_text_oov_rate", "q_graph_clustering_coeff", "q_graph_label_prop",
     "q_graph_adamic_adar", "q_simsearch_mmr", "q_simsearch_matryoshka",
-    "q_stream_anomaly", "q_privacy_dp_count", "q_timeseries_mann_kendall")
+    "q_stream_anomaly", "q_privacy_dp_count", "q_timeseries_mann_kendall",
+    "q_simsearch_binary")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

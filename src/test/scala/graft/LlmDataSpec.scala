@@ -1830,6 +1830,27 @@ class LlmDataSpec extends AnyFunSuite {
     assert(topScore === want, s"top phrase '$top' score mismatch")
   }
 
+  test("q_simsearch_binary: Hamming funnel recovers most of the exact top-10") {
+    val rows = LlmData.simsearchBinary(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    rows.foreach { case (_, ham, _) => assert(ham >= 0 && ham <= 64) }
+    val cos = rows.map(_._3)
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "rerank sorted")
+    // funnel quality: the 1-bit cut must keep a healthy share of the exact
+    // brute-force top-10 (sign-projection theory; planted near-dups have
+    // near-identical masks). An empty overlap means the mask is garbage.
+    val exact = LlmData.simsearchTopk(s, d).collect().take(10)
+      .map(_.getLong(0)).toSet
+    val overlap = rows.map(_._1).count(exact)
+    // floor calibrated to the RANDOM fixture embeddings (1-bit masks carry
+    // little signal between near-orthogonal vectors — production clustered
+    // embeddings score far higher); random chance alone would keep ~0.2
+    assert(overlap >= 2, s"binary funnel kept only $overlap of exact top-10")
+    // Hamming of the best-cosine result should be small-ish (< 32 = random)
+    assert(rows.head._2 < 32, "top result's mask is no better than random")
+  }
+
   test("q_simsearch_mmr: greedy scores are monotone and diversity reorders pure relevance") {
     val rows = LlmData.simsearchMmr(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
