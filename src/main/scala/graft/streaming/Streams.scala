@@ -48,6 +48,12 @@ case class Scd2Out(user_id: Long, version_no: Long, valid_from_us: Long,
 case class AnomState(n: Long, s: Long, q: Long)
 case class AnomOut(event_id: Long, event_type: String, cents: Long, n_prior: Long)
 
+/** Pattern-matching state: the most recent signup's event-time micros
+  * (−1 = none seen). One long per live user. */
+case class PatState(sigUs: Long)
+case class PatOut(event_id: Long, user_id: Long, signup_us: Long,
+    purchase_us: Long, wait_us: Long)
+
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, total_value: Double)
 
@@ -727,6 +733,58 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** Per-user CEP fold: signup arms the state, each purchase within the
+    * 30-minute horizon emits a conversion (the signup is NOT consumed —
+    * one signup can convert several purchases; a later signup re-arms).
+    */
+  private def patternFold(uid: Long, rows: Iterator[Ev],
+      state: GroupState[PatState]): Iterator[PatOut] = {
+    import SessionFold.us
+    var sig = state.getOption.map(_.sigUs).getOrElse(-1L)
+    val out = Seq.newBuilder[PatOut]
+    rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      val t = us(e.ts)
+      e.event_type match {
+        case "signup" => sig = t
+        case "purchase" if sig >= 0 && t - sig <= 1800000000L =>
+          out += PatOut(e.event_id, uid, sig, t, t - sig)
+        case _ =>
+      }
+    }
+    state.update(PatState(sig))
+    out.result().iterator
+  }
+
+  /** q_stream_pattern — STREAMING SEQUENCE-PATTERN DETECTION
+    * (MATCH_RECOGNIZE-lite / the CEP conversion funnel): per user, detect
+    * signup → purchase within 30 minutes of event time and emit the
+    * conversion with its wait. Batch 2 plants a signup + one in-horizon
+    * purchase (must emit, with state carried across the batch boundary),
+    * one out-of-horizon purchase and one signup-less user (must not).
+    *
+    * Scale: state is ONE LONG per live user (the armed signup), keyed by
+    * user — the canonical CEP state bound; emission volume is the match
+    * count. The oracle replays the fold as a per-user running
+    * last-signup window over the composed event log.
+    */
+  def streamPattern(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      Ev(2100001L, Instant.parse("2029-06-01T00:00:00Z"), 424242L, "signup", 0.0),
+      Ev(2100002L, Instant.parse("2029-06-01T00:10:00Z"), 424242L, "purchase", 42.0),
+      Ev(2100003L, Instant.parse("2029-06-01T01:00:00Z"), 424242L, "purchase", 43.0),
+      Ev(2100004L, Instant.parse("2029-06-01T00:05:00Z"), 434343L, "purchase", 44.0))
+      .toDF()
+      .coalesce(1) // single file: arrival order must not split mid-batch
+    runStagedBatches(s,
+      src => src.as[Ev].groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          patternFold)
+        .toDF(),
+      d, Seq(planted), key = "pattern")
+      .orderBy("event_id")
+  }
+
   /** q_stream_stateful_tws — the SAME 30-minute-gap sessionization on
     * Spark 4's arbitrary-state API ([[StatefulProcessor]] via
     * `transformWithState`): typed ValueState + event-time timers replace
@@ -1035,6 +1093,7 @@ object Streams {
     "q_stream_cdc_apply" -> streamCdcApply _,
     "q_stream_scd2" -> streamScd2 _,
     "q_stream_anomaly" -> streamAnomaly _,
+    "q_stream_pattern" -> streamPattern _,
     "q_stream_dedup" -> streamDedup _)
 
   val oracle: Map[String, String] = Map(
@@ -1158,7 +1217,26 @@ object Streams {
         "CAST(n_prior * cents - s_prior AS HUGEINT) > " +
         "9 * (CAST(n_prior AS HUGEINT) * CAST(q_prior AS HUGEINT) - " +
         "CAST(s_prior AS HUGEINT) * CAST(s_prior AS HUGEINT)) " +
-        "ORDER BY event_id"))
+        "ORDER BY event_id"),
+    // per-user running last-signup window over the composed log (fixture
+    // plus the planted conversion wave), horizon-filtered at the purchases
+    "q_stream_pattern" ->
+      ("WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events " +
+        "UNION ALL SELECT CAST(event_id AS BIGINT), CAST(ts AS TIMESTAMP), " +
+        "CAST(user_id AS BIGINT), event_type FROM (VALUES " +
+        "(2100001, TIMESTAMP '2029-06-01 00:00:00', 424242, 'signup'), " +
+        "(2100002, TIMESTAMP '2029-06-01 00:10:00', 424242, 'purchase'), " +
+        "(2100003, TIMESTAMP '2029-06-01 01:00:00', 424242, 'purchase'), " +
+        "(2100004, TIMESTAMP '2029-06-01 00:05:00', 434343, 'purchase')" +
+        ") v(event_id, ts, user_id, event_type)), " +
+        "w AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, " +
+        "last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sig_us FROM ev) " +
+        "SELECT event_id, user_id, sig_us AS signup_us, us AS purchase_us, " +
+        "us - sig_us AS wait_us FROM w " +
+        "WHERE event_type = 'purchase' AND sig_us IS NOT NULL " +
+        "AND us - sig_us <= 1800000000 ORDER BY event_id"))
 
   /** The composed-changelog CTE (events + the correction wave) — the SQL
     * mirror of [[cdcCorrectionWave]], shared by the CDC-apply and SCD2

@@ -101,7 +101,7 @@ class ContractSpec extends AnyFunSuite {
     "q_text_oov_rate", "q_graph_clustering_coeff", "q_graph_label_prop",
     "q_graph_adamic_adar", "q_simsearch_mmr", "q_simsearch_matryoshka",
     "q_stream_anomaly", "q_privacy_dp_count", "q_timeseries_mann_kendall",
-    "q_simsearch_binary")
+    "q_simsearch_binary", "q_stream_pattern")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -273,4 +273,23 @@ class StreamingSpec extends AnyFunSuite {
     // the second extreme purchase sees one more prior event than the first
     assert(rows(2000003L)._3 === typeCounts("purchase") + 2)
   }
+
+  test("q_stream_pattern: planted conversion emits across the batch boundary, horizons hold") {
+    val rows = graft.streaming.Streams.streamPattern(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // the in-horizon planted purchase converts with a 10-minute wait...
+    assert(rows.contains(2100002L), "planted conversion missing")
+    assert(rows(2100002L)._4 === 600000000L, "wait must be exactly 10 min of micros")
+    // ...the 60-minute purchase and the signup-less user do not
+    assert(!rows.contains(2100003L), "out-of-horizon purchase converted")
+    assert(!rows.contains(2100004L), "signup-less purchase converted")
+    // every emission is a purchase that waited within the horizon
+    rows.values.foreach { case (_, sig, pur, wait) =>
+      assert(wait === pur - sig && wait >= 0 && wait <= 1800000000L)
+    }
+    // natural fixture conversions exist too — the operator is not only
+    // measuring its own plants
+    assert(rows.exists(_._1 < 2100001L), "no organic signup->purchase in fixture")
+  }
 }
