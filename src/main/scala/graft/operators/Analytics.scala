@@ -72,6 +72,42 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** q_graph_hits_step — one full HITS iteration (Kleinberg 1999) over the
+    * same customer → supplier purchase graph as [[graphPagerankStep]]:
+    * hubs (customers) start at 1, so the first authority pass gives each
+    * supplier its in-degree; the hub pass then scores each customer by the
+    * summed in-degrees of its suppliers; the second authority pass scores
+    * each supplier by the summed hub scores of its buyers — the 2-hop
+    * "bought by customers who buy from popular suppliers" signal. All
+    * sums are exact integer edge-count arithmetic (HITS's L2
+    * normalization only rescales — rank-irrelevant — so the release
+    * normalizes by the MAX instead: `auth_micro = 1e6·auth div max`,
+    * integer-exact on both engines).
+    *
+    * Scale: the edge list is the deduplicated (customer, supplier) pair
+    * set; each half-step is one keyed hash aggregate and one keyed join —
+    * the degree frames are supplier-/customer-grain (bounded dimensions),
+    * broadcast back onto the edge list, so no step shuffles more than the
+    * edge set itself.
+    */
+  def graphHitsStep(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    val auth1 = e.groupBy("sp").agg(count(lit(1)).as("indeg"))
+    val hub1 = e.join(broadcast(auth1), "sp")
+      .groupBy("c").agg(sum(col("indeg")).as("hub"))
+    val auth2 = e.join(broadcast(hub1), "c")
+      .groupBy("sp").agg(count(lit(1)).as("n_in"), sum(col("hub")).as("auth"))
+    auth2
+      .crossJoin(broadcast(auth2.agg(max(col("auth")).as("mx"))))
+      .select(col("sp").as("s_suppkey"), col("n_in"), col("auth"),
+        expr("(1000000 * auth) div mx").as("auth_micro"))
+      .orderBy("s_suppkey")
+  }
+
   // -------------------------------------------------------------- gapfill
 
   /** q_timeseries_gapfill — DAILY SERIES GAP-FILL with forward fill (LOCF):
@@ -120,6 +156,52 @@ object Analytics {
           .when(col("tau_micro") < -100000L, lit("down"))
           .otherwise(lit("flat")))
       .select("acct", "n_periods", "s_stat", "tau_micro", "trend")
+      .orderBy("acct")
+  }
+
+  /** q_timeseries_changepoint — SINGLE CHANGEPOINT DETECTION per account
+    * series via the CUSUM split estimator: over the monthly revenue
+    * totals, the split after position k maximizes
+    * T_k = |n·S_k − k·S_n| (S = prefix sum) — the integer-scaled form of
+    * the classic max-CUSUM statistic |S_k − (k/n)·S_n|, whose argmax is
+    * the least-squares single-break estimate. PURE INTEGER: monthly totals
+    * are exact cents, prefix sums and the cross-multiplied statistic never
+    * touch floating point, ties break to the earliest month. Emits the
+    * split month (last month of the left segment), the statistic, and the
+    * exact integer-division segment means — the before/after evidence a
+    * monitoring dashboard shows when a series regime-shifts.
+    *
+    * Scale: like [[timeseriesMannKendall]], the test runs on PERIOD TOTALS
+    * — n is calendar-bounded (~84 months), so every window partitions by
+    * account with O(months) state while the raw-volume rollup absorbs the
+    * corpus scan as one hash aggregate. T_k needs n·S_k < 2⁶³:
+    * safe while an account's total book < 9·10¹⁶ cents ($900 T).
+    */
+  def timeseriesChangepoint(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val ord = Window.partitionBy("acct").orderBy("mon")
+    val all = Window.partitionBy("acct")
+    val scored = obs
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("s_k", sum(col("cents"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all).cast("long"))
+      .withColumn("s_n", sum(col("cents")).over(all))
+      .where(col("k") < col("n"))
+      .withColumn("t_stat",
+        abs(col("n") * col("s_k") - col("k") * col("s_n")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("acct").orderBy(col("t_stat").desc, col("k"))))
+      .where(col("rk") === 1)
+      .select(col("acct"), col("n").as("n_mon"), col("k").as("split_k"),
+        col("mon").as("split_mon"), col("t_stat"),
+        expr("s_k div k").as("mean_before"),
+        expr("(s_n - s_k) div (n - k)").as("mean_after"))
       .orderBy("acct")
   }
 
@@ -864,6 +946,61 @@ object Analytics {
           "acc + shiftleft(CAST(1 AS BIGINT), CAST(29 - (d - s.fd) AS INT)))")
           .as("ewma_den"))
       .withColumn("ewma_cents", expr("ewma_num div ewma_den"))
+      .orderBy("acct", "day_str")
+  }
+
+  /** q_window_macd — MACD TREND-MOMENTUM INDICATOR on daily account flows,
+    * built EXACTLY from three dyadic-decay EMAs ([[windowEwma]]'s trick,
+    * three times): a FAST EMA decaying 1/4 per day (truncated at 15 days —
+    * terms beyond contribute < 4⁻¹⁵ ≈ 10⁻⁹ of a cent; weights
+    * 2^(2·(14−lag)) are exact integers), a SLOW EMA decaying 1/2 per day
+    * (30-day truncation, weights 2^(29−lag)), macd = fast − slow, and a
+    * SIGNAL line that is the 1/2-decay EMA of the macd series itself —
+    * the crossover histogram (macd − signal) is the standard buy/sell
+    * trigger. Every sum is order-independent integer arithmetic; the three
+    * integer divisions truncate toward zero identically on both engines
+    * (macd can be negative).
+    *
+    * Scale: all three EMAs partition by account over time-RANGE frames
+    * (≤30 structs of state; gaps decay through missing days). The signal
+    * EMA is a second window over the FIRST window's output — same
+    * partitioning and ordering, so Catalyst plans one exchange + one sort
+    * feeding both WindowExec passes. Overflow bound: Σ cents·2²⁸ needs
+    * daily flow < 2³⁴ cents/account — same envelope as [[windowEwma]].
+    */
+  def windowMacd(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("d",
+        datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    val wf = Window.partitionBy("acct").orderBy("d").rangeBetween(-14, 0)
+    val ws = Window.partitionBy("acct").orderBy("d").rangeBetween(-29, 0)
+    def emaOver(frame: String, shift: String): Column =
+      expr(s"aggregate($frame, CAST(0 AS BIGINT), (acc, x) -> " +
+        s"acc + x.fc * shiftleft(CAST(1 AS BIGINT), CAST($shift AS INT))) div " +
+        s"aggregate($frame, CAST(0 AS BIGINT), (acc, x) -> " +
+        s"acc + shiftleft(CAST(1 AS BIGINT), CAST($shift AS INT)))")
+    val withMacd = daily
+      .withColumn("ff", collect_list(
+        struct(col("d").as("fd"), col("cents").as("fc"))).over(wf))
+      .withColumn("fs", collect_list(
+        struct(col("d").as("fd"), col("cents").as("fc"))).over(ws))
+      .withColumn("fast_c", emaOver("ff", "2 * (14 - (d - x.fd))"))
+      .withColumn("slow_c", emaOver("fs", "29 - (d - x.fd)"))
+      .withColumn("macd_cents", col("fast_c") - col("slow_c"))
+      .drop("ff", "fs")
+    withMacd
+      .withColumn("fm", collect_list(
+        struct(col("d").as("fd"), col("macd_cents").as("fc"))).over(ws))
+      .withColumn("signal_cents", emaOver("fm", "29 - (d - x.fd)"))
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("fast_c"), col("slow_c"), col("macd_cents"),
+        col("signal_cents"),
+        (col("macd_cents") - col("signal_cents")).as("hist_cents"))
       .orderBy("acct", "day_str")
   }
 
@@ -2622,6 +2759,59 @@ object Analytics {
           (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("z_score"))
   }
 
+  /** q_agg_ks_test — TWO-SAMPLE KOLMOGOROV–SMIRNOV distance between the
+    * order-value distributions of two customer segments: D = max_x
+    * |F₁(x) − F₂(x)|, the standard distribution-drift test that needs no
+    * binning choice (the complement of q_dq_drift's PSI, which does).
+    * EXACT by cross-multiplication: with per-value cumulative counts the
+    * statistic is max |cum₁·n₂ − cum₂·n₁| — pure integers — and the only
+    * float is the final 6 dp division. Emits the achieving value
+    * (smallest on ties) so the drift is locatable, not just sized.
+    *
+    * Scale: the CDF prefix sum is the DISTRIBUTED TWO-STAGE SCAN of
+    * [[graft.operators.LlmData.packSequences]] — values shard by cents
+    * range (contiguous, so per-shard order concatenates globally), the
+    * per-shard window is embarrassingly parallel, and shard base offsets
+    * come from one tiny aggregate broadcast back. A naive global
+    * `Window.orderBy(cents)` would funnel every distinct value through one
+    * task. The argmax is a top-1 sort — a reduction, not a materialized
+    * order. The d_num cross-product needs n₁·n₂ < 2⁶³; past ~3·10⁹ rows a
+    * side, pre-aggregate to quantile grids before the test.
+    */
+  def aggKsTest(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g"))
+    val byVal = v.groupBy("cents").agg(
+      sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val sh = byVal.withColumn("shard", expr("cents div 1048576"))
+    val shardBase = sh.groupBy("shard")
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+      .withColumn("b1", coalesce(sum(col("s1")).over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("b2", coalesce(sum(col("s2")).over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("shard", "b1", "b2")
+    val w = Window.partitionBy("shard").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    sh.withColumn("l1", sum(col("c1")).over(w))
+      .withColumn("l2", sum(col("c2")).over(w))
+      .join(broadcast(shardBase), "shard")
+      .crossJoin(broadcast(totals))
+      .withColumn("d_num",
+        abs((col("b1") + col("l1")) * col("n2") -
+          (col("b2") + col("l2")) * col("n1")))
+      .orderBy(col("d_num").desc, col("cents"))
+      .limit(1)
+      .select(col("n1"), col("n2"), col("cents").as("at_cents"),
+        col("d_num"), r(col("d_num") / (col("n1") * col("n2")), 6).as("d_stat"))
+  }
+
   // ------------------------------------------------------------------ CUPED
 
   /** q_agg_ab_cuped — CUPED VARIANCE REDUCTION for the A/B readout: adjust
@@ -3016,6 +3206,7 @@ object Analytics {
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
     "q_agg_ab_test" -> aggAbTest _,
+    "q_agg_ks_test" -> aggKsTest _,
     "q_timeseries_anomaly_stl" -> timeseriesAnomalyStl _,
     "q_window_lag_features" -> windowLagFeatures _,
     "q_sample_balanced" -> sampleBalanced _,
@@ -3053,6 +3244,7 @@ object Analytics {
     "q_window_rsi" -> windowRsi _,
     "q_skyline_pareto" -> skylinePareto _,
     "q_window_ewma" -> windowEwma _,
+    "q_window_macd" -> windowMacd _,
     "q_window_rolling_median" -> windowRollingMedian _,
     "q_timeseries_ohlc" -> timeseriesOhlc _,
     "q_agg_gini" -> aggGini _,
@@ -3061,8 +3253,10 @@ object Analytics {
     "q_graph_clustering_coeff" -> graphClusteringCoeff _,
     "q_graph_label_prop" -> graphLabelProp _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
+    "q_graph_hits_step" -> graphHitsStep _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
     "q_timeseries_mann_kendall" -> timeseriesMannKendall _,
+    "q_timeseries_changepoint" -> timeseriesChangepoint _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
     "q_agg_retention_cohort" -> aggRetentionCohort _,
@@ -3288,6 +3482,23 @@ object Analytics {
           "sqrt(((x1 + x2) / (n1 + n2)) * (1.0 - (x1 + x2) / (n1 + n2)) * " +
           "(1.0 / n1 + 1.0 / n2))", 6)} AS z_score " +
         "FROM w"),
+    "q_agg_ks_test" ->
+      ("WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, " +
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), " +
+        "bv AS (SELECT cents, CAST(sum(g) AS BIGINT) AS c1, " +
+        "CAST(sum(1 - g) AS BIGINT) AS c2 FROM v GROUP BY cents), " +
+        "c AS (SELECT cents, " +
+        "sum(c1) OVER (ORDER BY cents) AS cum1, " +
+        "sum(c2) OVER (ORDER BY cents) AS cum2 FROM bv), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM bv), " +
+        "s AS (SELECT n1, n2, cents, " +
+        "CAST(abs(cum1 * n2 - cum2 * n1) AS BIGINT) AS d_num FROM c, t) " +
+        "SELECT n1, n2, cents AS at_cents, d_num, " +
+        s"${sqlR("d_num / (n1 * n2)", 6)} AS d_stat " +
+        "FROM s ORDER BY d_num DESC, cents LIMIT 1"),
     "q_window_lag_features" ->
       ("WITH grain AS (SELECT n_name, CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
@@ -3874,6 +4085,37 @@ object Analytics {
         "AS BIGINT) AS ewma_cents " +
         "FROM o a JOIN o b ON a.acct = b.acct AND b.d BETWEEN a.d - 29 AND a.d " +
         "GROUP BY a.acct, a.day, a.cents ORDER BY a.acct, day_str"),
+    "q_window_macd" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "o AS (SELECT acct, day, cents, " +
+        "CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT) AS d FROM daily), " +
+        "f AS (SELECT a.acct, a.d, " +
+        "CAST(sum(b.cents * (CAST(1 AS BIGINT) << CAST(2 * (14 - (a.d - b.d)) AS INT))) AS BIGINT) // " +
+        "CAST(sum(CAST(1 AS BIGINT) << CAST(2 * (14 - (a.d - b.d)) AS INT)) AS BIGINT) AS fast_c " +
+        "FROM o a JOIN o b ON a.acct = b.acct AND b.d BETWEEN a.d - 14 AND a.d " +
+        "GROUP BY a.acct, a.d), " +
+        "sl AS (SELECT a.acct, a.d, " +
+        "CAST(sum(b.cents * (CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT))) AS BIGINT) // " +
+        "CAST(sum(CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT)) AS BIGINT) AS slow_c " +
+        "FROM o a JOIN o b ON a.acct = b.acct AND b.d BETWEEN a.d - 29 AND a.d " +
+        "GROUP BY a.acct, a.d), " +
+        "m AS (SELECT o.acct, o.day, o.cents, o.d, f.fast_c, sl.slow_c, " +
+        "f.fast_c - sl.slow_c AS macd_cents FROM o " +
+        "JOIN f ON o.acct = f.acct AND o.d = f.d " +
+        "JOIN sl ON o.acct = sl.acct AND o.d = sl.d), " +
+        "sig AS (SELECT a.acct, a.d, " +
+        "CAST(sum(b.macd_cents * (CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT))) AS BIGINT) // " +
+        "CAST(sum(CAST(1 AS BIGINT) << CAST(29 - (a.d - b.d) AS INT)) AS BIGINT) AS signal_cents " +
+        "FROM m a JOIN m b ON a.acct = b.acct AND b.d BETWEEN a.d - 29 AND a.d " +
+        "GROUP BY a.acct, a.d) " +
+        "SELECT m.acct, strftime(m.day, '%Y-%m-%d') AS day_str, m.cents, " +
+        "m.fast_c, m.slow_c, m.macd_cents, sig.signal_cents, " +
+        "m.macd_cents - sig.signal_cents AS hist_cents " +
+        "FROM m JOIN sig ON m.acct = sig.acct AND m.d = sig.d " +
+        "ORDER BY m.acct, day_str"),
     "q_window_rolling_median" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +
@@ -3997,6 +4239,18 @@ object Analytics {
         "CAST(150000 + (850 * sum(1000000 // deg.deg)) // 1000 AS BIGINT) AS rank_micro " +
         "FROM e JOIN deg ON e.c = deg.c " +
         "GROUP BY e.sp ORDER BY s_suppkey"),
+    "q_graph_hits_step" ->
+      ("WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+        "a1 AS (SELECT sp, CAST(count(*) AS BIGINT) AS indeg FROM e GROUP BY sp), " +
+        "h1 AS (SELECT e.c, CAST(sum(a1.indeg) AS BIGINT) AS hub " +
+        "FROM e JOIN a1 ON e.sp = a1.sp GROUP BY e.c), " +
+        "a2 AS (SELECT e.sp, CAST(count(*) AS BIGINT) AS n_in, " +
+        "CAST(sum(h1.hub) AS BIGINT) AS auth " +
+        "FROM e JOIN h1 ON e.c = h1.c GROUP BY e.sp) " +
+        "SELECT sp AS s_suppkey, n_in, auth, " +
+        "(1000000 * auth) // (SELECT max(auth) FROM a2) AS auth_micro " +
+        "FROM a2 ORDER BY s_suppkey"),
     // exact pairwise-sign replay on the monthly cents rollup; both engines
     // truncate integer division toward zero, so negative tau is safe
     "q_timeseries_mann_kendall" ->
@@ -4015,6 +4269,25 @@ object Analytics {
         "CASE WHEN tau_micro > 100000 THEN 'up' " +
         "WHEN tau_micro < -100000 THEN 'down' ELSE 'flat' END AS trend " +
         "FROM t ORDER BY acct"),
+    // integer CUSUM split replay; all cents are positive so the integer
+    // divisions never see a negative operand
+    "q_timeseries_changepoint" ->
+      ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "w AS (SELECT acct, mon, " +
+        "CAST(row_number() OVER (PARTITION BY acct ORDER BY mon) AS BIGINT) AS k, " +
+        "CAST(sum(cents) OVER (PARTITION BY acct ORDER BY mon) AS BIGINT) AS s_k, " +
+        "CAST(count(*) OVER (PARTITION BY acct) AS BIGINT) AS n, " +
+        "CAST(sum(cents) OVER (PARTITION BY acct) AS BIGINT) AS s_n FROM obs), " +
+        "sc AS (SELECT *, CAST(abs(n * s_k - k * s_n) AS BIGINT) AS t_stat " +
+        "FROM w WHERE k < n), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY acct " +
+        "ORDER BY t_stat DESC, k) AS rk FROM sc) " +
+        "SELECT acct, n AS n_mon, k AS split_k, mon AS split_mon, t_stat, " +
+        "s_k // k AS mean_before, (s_n - s_k) // (n - k) AS mean_after " +
+        "FROM rk WHERE rk = 1 ORDER BY acct"),
     "q_timeseries_gapfill" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

@@ -3054,6 +3054,71 @@ object LlmData {
         length(col("text")).as("n_chars_txt"))
       .orderBy("doc_id")
 
+  /** q_text_gopher_rules — the Gopher rule-based document filter (Rae et
+    * al. 2021 §A1.1) as an auditable per-document RULE LEDGER: each rule is
+    * a named boolean column plus the raw integer statistic it reads, and
+    * `pass` is their conjunction — the shape a curation pipeline needs to
+    * report WHY a document was dropped, not just that it was. Rules,
+    * adapted to the fixture's lowercase space-tokenized text and evaluated
+    * as INTEGER CROSS-MULTIPLICATIONS so no ratio ever touches floating
+    * point:
+    *   r_wc    — token count in [30, 100000]
+    *   r_mwl   — mean word length in [3, 5]    (3·n ≤ Σlen ≤ 5·n)
+    *   r_stop  — ≥ 2 stopword occurrences       (gibberish screen)
+    *   r_alpha — ≥ 80% of tokens alphabetic     (5·n_alpha ≥ 4·n)
+    *   r_top2  — top 2-gram ≤ 8% of 2-gram occurrences (25·top ≤ 2·n2)
+    *   r_dup3  — duplicate 3-gram occurrences ≤ 30%    (10·dup ≤ 3·n3)
+    *
+    * Scale: the per-row statistics are scan-stage HOF projections; the two
+    * n-gram statistics are explode → (doc_id, gram) hash aggregates whose
+    * keys carry doc_id (gram skew cannot hot-spot a partition, map-side
+    * partials collapse within-doc duplicates before the shuffle) — the
+    * [[textRepetition]] layout, twice. Documents under 3 tokens drop out
+    * of the inner n-gram joins identically on both engines.
+    */
+  def textGopherRules(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("text"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("wl_sum",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        s"filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))"))
+        .cast("long"))
+      .withColumn("n_alpha",
+        size(expr("filter(toks, t -> t RLIKE '[a-z]')")).cast("long"))
+    val g2 = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1]))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top2_n"), sum(col("c")).as("n2"))
+    val g3 = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+        sum(col("c")).as("n3"))
+    base.join(g2, "doc_id").join(g3, "doc_id")
+      .withColumn("r_wc", col("n_tok") >= 30 && col("n_tok") <= 100000)
+      .withColumn("r_mwl",
+        lit(3) * col("n_tok") <= col("wl_sum") &&
+          col("wl_sum") <= lit(5) * col("n_tok"))
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_alpha", lit(5) * col("n_alpha") >= lit(4) * col("n_tok"))
+      .withColumn("r_top2", lit(25) * col("top2_n") <= lit(2) * col("n2"))
+      .withColumn("r_dup3", lit(10) * col("dup3") <= lit(3) * col("n3"))
+      .withColumn("pass",
+        col("r_wc") && col("r_mwl") && col("r_stop") && col("r_alpha") &&
+          col("r_top2") && col("r_dup3"))
+      .select("doc_id", "n_tok", "wl_sum", "n_stop", "n_alpha", "top2_n",
+        "n2", "dup3", "n3", "r_wc", "r_mwl", "r_stop", "r_alpha", "r_top2",
+        "r_dup3", "pass")
+      .orderBy("doc_id")
+  }
+
   /** q_text_repetition — Gopher-style repetition signals (Rae et al. 2021
     * §A1.1): the fraction of 3-gram occurrences that are duplicates within
     * the document, and the most-frequent token's share of the document.
@@ -4072,6 +4137,56 @@ object LlmData {
     * ranking on the hash — at 100 TB, rank-within-source distributes by
     * source-salted keys the same way `q_corpus_domain_cap`'s window does.
     */
+  /** First-2-hex-digit md5 bucket in [0, 256) — the engine-portable hashed
+    * feature map for [[corpusDsir]] (instr-table hex parse, the
+    * `Quality.dpHexV` discipline: md5/substr/instr behave identically in
+    * Spark and DuckDB, so the bucketing replays exactly). */
+  private val dsirBucketExpr: String = {
+    def digit(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"(${digit(1)} * 16 + ${digit(2)})"
+  }
+
+  /** q_corpus_dsir — DATA SELECTION VIA IMPORTANCE RESAMPLING (Xie et al.
+    * 2023): score every document by how target-domain-like its HASHED
+    * UNIGRAM distribution is. The target sample here is the English slice;
+    * features are 256 md5 buckets (hash collisions are the method's
+    * point — the feature space stays fixed while the vocabulary grows);
+    * bucket log-probabilities are add-one smoothed and fixed-point scaled
+    * to integer micro-log10s, so each token's importance weight
+    * lp_target − lp_raw is an exact integer and the per-doc sum is
+    * order-independent. `target_like` (mean weight > 0) is the resampling
+    * predicate a curation pipeline thresholds.
+    *
+    * Scale: the bucket table is 256 rows — computed by one hash aggregate
+    * over the token stream, broadcast back onto it; per-doc aggregation is
+    * a keyed hash agg with map-side partials. Two passes over the exploded
+    * tokens, zero corpus-sized shuffles beyond the (doc_id)-keyed agg.
+    */
+  def corpusDsir(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .withColumn("b", expr(dsirBucketExpr).cast("long"))
+    val buckets = toks.groupBy("b").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val tot = buckets.agg(sum(col("c_r")).as("tr"), sum(col("c_t")).as("tt"))
+    val table = buckets.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr("CAST(round(log10((c_t + 1) * 1.0 / (tt + 256)) * 1000000) AS BIGINT)") -
+          expr("CAST(round(log10((c_r + 1) * 1.0 / (tr + 256)) * 1000000) AS BIGINT)"))
+          .as("w_micro"))
+    toks.join(broadcast(table), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum(col("w_micro")).as("sum_w_micro"))
+      .withColumn("mean_w_micro", expr("sum_w_micro div n_tok"))
+      .withColumn("target_like", col("mean_w_micro") > 0)
+      .select("doc_id", "lang", "n_tok", "sum_w_micro", "mean_w_micro",
+        "target_like")
+      .orderBy("doc_id")
+  }
+
   def corpusMixTemperature(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
     val w = docs.groupBy("source").agg(count(lit(1)).as("n"))
@@ -4710,6 +4825,7 @@ object LlmData {
     "q_text_entropy" -> textEntropy _,
     "q_text_lexical" -> textLexical _,
     "q_corpus_mix_temperature" -> corpusMixTemperature _,
+    "q_corpus_dsir" -> corpusDsir _,
     "q_text_inverted_index" -> textInvertedIndex _,
     "q_embed_norm_audit" -> embedNormAudit _,
     "q_embed_pca_power" -> embedPcaPower _,
@@ -4756,6 +4872,7 @@ object LlmData {
     "q_multimodal_audio" -> multimodalAudio _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
+    "q_text_gopher_rules" -> textGopherRules _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
@@ -5088,6 +5205,27 @@ object LlmData {
         "(1000 * sum_len) // n_tokens AS toklen_milli, " +
         "(1000000 * n_vgroups) // n_tokens AS vowel_micro " +
         "FROM g JOIN v ON g.doc_id = v.doc_id ORDER BY g.doc_id"),
+    "q_corpus_dsir" ->
+      ("WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "hb AS (SELECT doc_id, lang, md5(tok) AS h FROM toks), " +
+        s"tb AS (SELECT doc_id, lang, CAST($dsirBucketExpr AS BIGINT) AS b FROM hb), " +
+        "bk AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t " +
+        "FROM tb GROUP BY b), " +
+        "tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS tr, " +
+        "CAST(sum(c_t) AS BIGINT) AS tt FROM bk), " +
+        "tbl AS (SELECT b, " +
+        "CAST(round(log10((c_t + 1) * 1.0 / (tt + 256)) * 1000000) AS BIGINT) - " +
+        "CAST(round(log10((c_r + 1) * 1.0 / (tr + 256)) * 1000000) AS BIGINT) " +
+        "AS w_micro FROM bk, tot), " +
+        "agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok, " +
+        "CAST(sum(w_micro) AS BIGINT) AS sum_w_micro " +
+        "FROM tb JOIN tbl ON tb.b = tbl.b GROUP BY doc_id, lang) " +
+        "SELECT doc_id, lang, n_tok, sum_w_micro, " +
+        "sum_w_micro // n_tok AS mean_w_micro, " +
+        "(sum_w_micro // n_tok) > 0 AS target_like " +
+        "FROM agg ORDER BY doc_id"),
     "q_corpus_mix_temperature" ->
       ("WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n " +
         "FROM documents GROUP BY source), " +
@@ -5780,6 +5918,36 @@ object LlmData {
         "0.4 * (n_stop * 1.0 / n_tokens) + 0.4 * (1.0 - n_punct * 1.0 / strlen(text)) + " +
         "0.2 * least((strlen(text) * 1.0 / n_tokens) / 10.0, 1.0) AS quality " +
         "FROM c ORDER BY doc_id"),
+    "q_text_gopher_rules" ->
+      ("WITH base AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS wl_sum, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN " +
+        s"(${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha FROM documents), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i + 1])) AS gram FROM base), " +
+        "gc2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2), " +
+        "m2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_n, " +
+        "CAST(sum(c) AS BIGINT) AS n2 FROM gc2 GROUP BY 1), " +
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram FROM base), " +
+        "gc3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2), " +
+        "m3 AS (SELECT doc_id, " +
+        "CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup3, " +
+        "CAST(sum(c) AS BIGINT) AS n3 FROM gc3 GROUP BY 1), " +
+        "j AS (SELECT b.doc_id, n_tok, wl_sum, n_stop, n_alpha, top2_n, n2, " +
+        "dup3, n3, (n_tok >= 30 AND n_tok <= 100000) AS r_wc, " +
+        "(3 * n_tok <= wl_sum AND wl_sum <= 5 * n_tok) AS r_mwl, " +
+        "(n_stop >= 2) AS r_stop, (5 * n_alpha >= 4 * n_tok) AS r_alpha, " +
+        "(25 * top2_n <= 2 * n2) AS r_top2, (10 * dup3 <= 3 * n3) AS r_dup3 " +
+        "FROM base b JOIN m2 ON b.doc_id = m2.doc_id " +
+        "JOIN m3 ON b.doc_id = m3.doc_id) " +
+        "SELECT doc_id, n_tok, wl_sum, n_stop, n_alpha, top2_n, n2, dup3, " +
+        "n3, r_wc, r_mwl, r_stop, r_alpha, r_top2, r_dup3, " +
+        "(r_wc AND r_mwl AND r_stop AND r_alpha AND r_top2 AND r_dup3) " +
+        "AS pass FROM j ORDER BY doc_id"),
     "q_text_repetition" ->
       ("WITH base AS (SELECT doc_id, string_split(text, ' ') AS t, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents " +

@@ -553,8 +553,47 @@ object Quality {
       .orderBy("seg", "geo")
   }
 
+  /** q_privacy_dp_sum — DIFFERENTIALLY-PRIVATE SUM RELEASE: per
+    * (segment, nation) cell, total order value with each ORDER's
+    * contribution CLIPPED at a fixed cap (the standard bounded-sensitivity
+    * move — without clipping a single whale order makes the sum's
+    * sensitivity unbounded and no finite noise privatizes it), then
+    * two-sided-geometric noise SCALED BY THE CAP added to the clipped sum
+    * (sensitivity = cap ⟹ noise · cap preserves the count mechanism's ε).
+    * Same deterministic keyed-md5 draw and inverse-CDF ladder as
+    * [[privacyDpCount]] (different salt, so the two releases draw
+    * independently); `sum_true`/`n_clipped` are emitted for the gate — a
+    * production release drops them.
+    *
+    * Scale: clipping is a scan-stage `least()`; the release costs one hash
+    * aggregate at cell grain regardless of corpus size, like dp_count.
+    */
+  def privacyDpSum(s: SparkSession, d: String): DataFrame = {
+    val cap = 500000L // cents — $5k per-order contribution bound
+    val cells = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment").as("seg"), col("n_name").as("geo"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("seg", "geo")
+      .agg(sum(col("cents")).as("sum_true"),
+        sum(least(col("cents"), lit(cap))).as("sum_clipped"),
+        sum(when(col("cents") > cap, 1L).otherwise(0L)).as("n_clipped"))
+    cells
+      .withColumn("h", expr("md5(concat('graftdpsum:', seg, ':', geo))"))
+      .withColumn("v", expr(dpHexV))
+      .withColumn("noise", expr(dpNoiseCase))
+      .withColumn("sum_dp",
+        greatest(col("sum_clipped") + col("noise") * lit(cap), lit(0L)))
+      .select("seg", "geo", "sum_true", "sum_clipped", "n_clipped", "noise",
+        "sum_dp")
+      .orderBy("seg", "geo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_privacy_dp_count" -> privacyDpCount _,
+    "q_privacy_dp_sum" -> privacyDpSum _,
     "q_privacy_ldiversity" -> privacyLdiversity _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
@@ -578,6 +617,21 @@ object Quality {
         s"nz AS (SELECT seg, geo, n_true, $dpNoiseCase AS noise FROM nv) " +
         "SELECT seg, geo, n_true, noise, " +
         "greatest(n_true + noise, 0) AS n_dp FROM nz ORDER BY seg, geo"),
+    "q_privacy_dp_sum" ->
+      ("WITH cells AS (SELECT c_mktsegment AS seg, n_name AS geo, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_true, " +
+        "CAST(sum(least(CAST(round(o_totalprice * 100, 0) AS BIGINT), 500000)) " +
+        "AS BIGINT) AS sum_clipped, " +
+        "CAST(sum(CASE WHEN CAST(round(o_totalprice * 100, 0) AS BIGINT) > 500000 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "hv AS (SELECT *, md5(concat('graftdpsum:', seg, ':', geo)) AS h FROM cells), " +
+        s"nv AS (SELECT *, $dpHexV AS v FROM hv), " +
+        s"nz AS (SELECT *, $dpNoiseCase AS noise FROM nv) " +
+        "SELECT seg, geo, sum_true, sum_clipped, n_clipped, noise, " +
+        "greatest(sum_clipped + noise * 500000, 0) AS sum_dp " +
+        "FROM nz ORDER BY seg, geo"),
     "q_privacy_ldiversity" ->
       ("SELECT n_name, c_mktsegment AS seg, " +
         "CAST(count(*) AS BIGINT) AS n, " +

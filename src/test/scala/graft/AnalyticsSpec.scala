@@ -1595,4 +1595,108 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(csize === sizes(comp(part)).toLong, s"size mismatch at $part")
     }
   }
+
+  test("q_graph_hits_step: auth recomputes from the 2-hop brute force; max normalizes to 1e6") {
+    val out = Analytics.graphHitsStep(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val edges = Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val indeg = edges.groupBy(_._2).map { case (sp, g) => sp -> g.size.toLong }
+    val hub = edges.groupBy(_._1).map { case (c, g) =>
+      c -> g.map(e => indeg(e._2)).sum }
+    val auth = edges.groupBy(_._2).map { case (sp, g) =>
+      sp -> g.map(e => hub(e._1)).sum }
+    val mx = auth.values.max
+    assert(out.length === auth.size)
+    out.foreach { case (sp, nIn, a, micro) =>
+      assert(a === auth(sp), s"auth mismatch at supplier $sp")
+      assert(nIn === indeg(sp).toLong)
+      assert(micro === 1000000L * a / mx)
+    }
+    assert(out.map(_._4).max === 1000000L, "max-normalization fixpoint")
+  }
+
+  test("q_agg_ks_test: D equals the brute-force max CDF gap; sharded prefix sums agree") {
+    val row = Analytics.aggKsTest(s, d).head
+    val (n1, n2, at, dNum, dStat) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    val v = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = v.filter(_._2 == "BUILDING").map(_._1).sorted
+    val b = v.filter(_._2 != "BUILDING").map(_._1).sorted
+    assert(n1 === a.length.toLong && n2 === b.length.toLong)
+    val values = (a ++ b).distinct.sorted
+    var best = -1L; var bestAt = Long.MaxValue
+    values.foreach { x =>
+      val t = math.abs(a.count(_ <= x).toLong * n2 - b.count(_ <= x).toLong * n1)
+      if (t > best || (t == best && x < bestAt)) { best = t; bestAt = x }
+    }
+    assert(dNum === best, "max cross-multiplied CDF gap")
+    assert(at === bestAt, "tie-break to smallest achieving value")
+    assert(math.abs(dStat - best.toDouble / (n1 * n2)) < 1e-6)
+  }
+
+  test("q_timeseries_changepoint: argmax T_k replays; segment means are exact divisions") {
+    val out = Analytics.timeseriesChangepoint(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val obs = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (acct, rows) =>
+        acct -> rows.sortBy(_._2).map(r => (r._2, r._3)) }
+    assert(out.length === obs.size)
+    out.foreach { case (acct, nMon, k, mon, tStat, mb, ma) =>
+      val series = obs(acct)
+      val n = series.length.toLong
+      assert(nMon === n)
+      val sn = series.map(_._2).sum
+      var cum = 0L; var best = -1L; var bestK = 0L
+      series.zipWithIndex.dropRight(1).foreach { case ((_, c), i) =>
+        cum += c
+        val t = math.abs(n * cum - (i + 1) * sn)
+        if (t > best) { best = t; bestK = i + 1 }
+      }
+      assert(tStat === best, s"T mismatch at acct $acct")
+      assert(k === bestK, s"argmax k mismatch at acct $acct")
+      assert(mon === series(bestK.toInt - 1)._1, "split month is k-th month")
+      val sk = series.take(bestK.toInt).map(_._2).sum
+      assert(mb === sk / bestK && ma === (sn - sk) / (n - bestK))
+    }
+  }
+
+  test("q_window_macd: hist closes the identity; fast EMA replays brute-force on a spot account") {
+    val out = Analytics.windowMacd(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, fast, slow, macd, sig, hist) =>
+      assert(macd === fast - slow, "macd = fast − slow")
+      assert(hist === macd - sig, "hist = macd − signal")
+    }
+    // brute-force replay of the fast EMA for the first account
+    val acct0 = out.head._1
+    val series = out.filter(_._1 == acct0).map(t => (t._2, t._3))
+    def dayNum(s0: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse(s0))
+    val byDay = series.map { case (ds, c) => dayNum(ds) -> c }.toMap
+    series.foreach { case (ds, _) =>
+      val d0 = dayNum(ds)
+      val frame = (d0 - 14 to d0).flatMap(dd => byDay.get(dd).map(c => (dd, c)))
+      val num = frame.map { case (dd, c) => c * (1L << (2 * (14 - (d0 - dd)).toInt)) }.sum
+      val den = frame.map { case (dd, _) => 1L << (2 * (14 - (d0 - dd)).toInt) }.sum
+      val want = num / den
+      val got = out.find(t => t._1 == acct0 && t._2 == ds).get._4
+      assert(got === want, s"fast EMA mismatch at $ds")
+    }
+  }
 }

@@ -1939,4 +1939,80 @@ class LlmDataSpec extends AnyFunSuite {
       assert(micro === (if (n > 0) 1000000L * cov / n else 0L))
     }
   }
+
+  test("q_text_gopher_rules: flags replay from raw text; pass is their conjunction") {
+    val rows = LlmData.textGopherRules(s, d).collect()
+    assert(rows.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val texts = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, nTok, wlSum, nStop, nAlpha) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (top2, n2, dup3, n3) =
+        (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      val flags = (9 to 14).map(r.getBoolean)
+      val pass = r.getBoolean(15)
+      val toks = texts(id).split(" ", -1)
+      assert(nTok === toks.length.toLong)
+      assert(wlSum === toks.map(_.length.toLong).sum)
+      assert(nStop === toks.count(stop).toLong)
+      assert(nAlpha === toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong)
+      val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val g3 = toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(n2 === g2.length.toLong)
+      assert(top2 === g2.groupBy(identity).values.map(_.size).max.toLong)
+      assert(n3 === g3.length.toLong)
+      assert(dup3 === g3.groupBy(identity).values.collect {
+        case g if g.size > 1 => g.size }.sum.toLong)
+      assert(flags(0) === (nTok >= 30 && nTok <= 100000))
+      assert(flags(1) === (3 * nTok <= wlSum && wlSum <= 5 * nTok))
+      assert(flags(2) === (nStop >= 2))
+      assert(flags(3) === (5 * nAlpha >= 4 * nTok))
+      assert(flags(4) === (25 * top2 <= 2 * n2))
+      assert(flags(5) === (10 * dup3 <= 3 * n3))
+      assert(pass === flags.forall(identity))
+    }
+    // the ledger must discriminate at fixture scale, not rubber-stamp
+    assert(rows.exists(!_.getBoolean(15)), "no document failed any rule")
+    assert(rows.exists(_.getBoolean(15)), "every document failed")
+  }
+
+  test("q_corpus_dsir: bucket weights replay; English docs score higher on average") {
+    val rows = LlmData.corpusDsir(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length === docs.length)
+    def bucket(tok: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 2), 16)
+    }
+    val all = docs.flatMap { case (_, lang, text) =>
+      text.split(" ", -1).map(t => (bucket(t), lang)) }
+    val cR = all.groupBy(_._1).map { case (b, g) => b -> g.size.toLong }
+    val cT = all.filter(_._2 == "en").groupBy(_._1)
+      .map { case (b, g) => b -> g.size.toLong }
+    val tr = all.length.toLong
+    val tt = all.count(_._2 == "en").toLong
+    def lpMicro(c: Long, tot: Long): Long =
+      math.round(math.log10((c + 1).toDouble / (tot + 256)) * 1000000)
+    val w = cR.keys.map { b =>
+      b -> (lpMicro(cT.getOrElse(b, 0L), tt) - lpMicro(cR(b), tr)) }.toMap
+    rows.foreach { case (id, _, nTok, sumW, meanW, targetLike) =>
+      val toks = docs.find(_._1 == id).get._3.split(" ", -1)
+      assert(nTok === toks.length.toLong)
+      val want = toks.map(t => w(bucket(t))).sum
+      assert(sumW === want, s"doc $id importance weight mismatch")
+      assert(meanW === sumW / nTok)
+      assert(targetLike === (meanW > 0))
+    }
+    // DSIR's point: the target slice self-selects
+    val en = rows.filter(_._2 == "en").map(_._5)
+    val non = rows.filter(_._2 != "en").map(_._5)
+    assert(en.sum / en.length > non.sum / non.length,
+      "target-domain docs must out-score the raw pool on average")
+  }
 }

@@ -271,4 +271,27 @@ class QualitySpec extends AnyFunSuite {
     assert(small * 10 >= rows.length * 6,
       s"noise too heavy-tailed for alpha=1/2: $small/${rows.length} within |2|")
   }
+
+  test("q_privacy_dp_sum: clipping bounds sensitivity; release closes over noise·cap") {
+    val cap = 500000L
+    val rows = Quality.privacyDpSum(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, sumTrue, sumClipped, nClipped, noise, sumDp) =>
+      assert(sumClipped <= sumTrue, "clipping can only reduce")
+      // every clipped order removed at least 1 cent, at most all its excess
+      if (nClipped == 0) assert(sumClipped === sumTrue)
+      else assert(sumClipped < sumTrue)
+      assert(noise >= -8L && noise <= 9L, "ladder range")
+      assert(sumDp === math.max(sumClipped + noise * cap, 0L))
+    }
+    // independence from dp_count: same cells, different salt, so the two
+    // noise vectors must not be identical
+    val cnt = Quality.privacyDpCount(s, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    val diff = rows.count { case (seg, geo, _, _, _, nz, _) =>
+      cnt.get((seg, geo)).exists(_ != nz) }
+    assert(diff > 0, "dp_sum draws must differ from dp_count draws")
+  }
 }
