@@ -108,6 +108,44 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** q_graph_assortativity — DEGREE ASSORTATIVITY of the customer →
+    * supplier purchase graph: the Pearson correlation, over edges, between
+    * the customer's out-degree and the supplier's in-degree — positive
+    * means heavy buyers concentrate on popular suppliers (hub-hub
+    * mixing), negative means they spread across the long tail. Computed
+    * from EXACT integer power sums over the edge list
+    * (r = (nΣxy − ΣxΣy)/√((nΣxx − Σx²)(nΣyy − Σy²))); the only floating
+    * steps are the final square roots and division, 6 dp.
+    *
+    * Scale: two degree aggregates (customer-/supplier-grain — bounded
+    * dimensions, broadcast back), one edge-list pass for the power sums,
+    * one row out. Overflow seam: Σxy ≤ E·max_deg² must stay under 2⁶³ —
+    * at web scale, cap or log-bucket degrees first (the
+    * [[graphCommonNeighbors]] hub-cap doctrine).
+    */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    val cdeg = e.groupBy("c").agg(count(lit(1)).as("x"))
+    val sdeg = e.groupBy("sp").agg(count(lit(1)).as("y"))
+    e.join(broadcast(cdeg), "c").join(broadcast(sdeg), "sp")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_edges"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"),
+        r((col("n_edges") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((col("n_edges") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("assortativity"))
+  }
+
   // -------------------------------------------------------------- gapfill
 
   /** q_timeseries_gapfill — DAILY SERIES GAP-FILL with forward fill (LOCF):
@@ -1001,6 +1039,48 @@ object Analytics {
         col("cents"), col("fast_c"), col("slow_c"), col("macd_cents"),
         col("signal_cents"),
         (col("macd_cents") - col("signal_cents")).as("hist_cents"))
+      .orderBy("acct", "day_str")
+  }
+
+  /** q_window_stochastic — STOCHASTIC OSCILLATOR (%K/%D) on daily account
+    * flows: %K locates today inside the trailing 14-day [min, max] band —
+    * k_micro = 10⁶·(today − min)/(max − min), INTEGER division on exact
+    * cents (NULL when the band is degenerate, identically on both
+    * engines) — and %D smooths %K over the trailing 3 days
+    * (Σk div count, integers again). The classic overbought/oversold
+    * trigger, here entirely float-free.
+    *
+    * Scale: two stacked account-partitioned time-RANGE windows (min/max
+    * over −13..0 days, then the %D sum over −2..0 on the derived column) —
+    * same partitioning and ordering, one exchange + one sort feed both
+    * WindowExec passes; per-frame state is O(14).
+    */
+  def windowStochastic(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("d",
+        datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    val band = Window.partitionBy("acct").orderBy("d").rangeBetween(-13, 0)
+    val sm = Window.partitionBy("acct").orderBy("d").rangeBetween(-2, 0)
+    daily
+      .withColumn("mn", min(col("cents")).over(band))
+      .withColumn("mx", max(col("cents")).over(band))
+      .withColumn("k_micro",
+        when(col("mx") > col("mn"),
+          expr("(1000000 * (cents - mn)) div (mx - mn)")).otherwise(lit(null)))
+      .withColumn("d_micro",
+        when(count(col("k_micro")).over(sm) > 0,
+          expr("sum(k_micro) OVER (PARTITION BY acct ORDER BY d " +
+            "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) div " +
+            "count(k_micro) OVER (PARTITION BY acct ORDER BY d " +
+            "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)"))
+          .otherwise(lit(null)))
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("mn"), col("mx"), col("k_micro"), col("d_micro"))
       .orderBy("acct", "day_str")
   }
 
@@ -3245,6 +3325,8 @@ object Analytics {
     "q_skyline_pareto" -> skylinePareto _,
     "q_window_ewma" -> windowEwma _,
     "q_window_macd" -> windowMacd _,
+    "q_window_stochastic" -> windowStochastic _,
+    "q_graph_assortativity" -> graphAssortativity _,
     "q_window_rolling_median" -> windowRollingMedian _,
     "q_timeseries_ohlc" -> timeseriesOhlc _,
     "q_agg_gini" -> aggGini _,
@@ -4116,6 +4198,42 @@ object Analytics {
         "m.macd_cents - sig.signal_cents AS hist_cents " +
         "FROM m JOIN sig ON m.acct = sig.acct AND m.d = sig.d " +
         "ORDER BY m.acct, day_str"),
+    "q_window_stochastic" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "o AS (SELECT acct, day, cents, " +
+        "CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT) AS d FROM daily), " +
+        "w AS (SELECT acct, day, cents, d, " +
+        "CAST(min(cents) OVER b AS BIGINT) AS mn, " +
+        "CAST(max(cents) OVER b AS BIGINT) AS mx FROM o " +
+        "WINDOW b AS (PARTITION BY acct ORDER BY d " +
+        "RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)), " +
+        "k AS (SELECT *, CASE WHEN mx > mn THEN " +
+        "(1000000 * (cents - mn)) // (mx - mn) ELSE NULL END AS k_micro FROM w), " +
+        "dd AS (SELECT *, CASE WHEN count(k_micro) OVER s3 > 0 THEN " +
+        "(sum(k_micro) OVER s3) // (count(k_micro) OVER s3) " +
+        "ELSE NULL END AS d_micro FROM k " +
+        "WINDOW s3 AS (PARTITION BY acct ORDER BY d " +
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)) " +
+        "SELECT acct, strftime(day, '%Y-%m-%d') AS day_str, cents, mn, mx, " +
+        "k_micro, d_micro FROM dd ORDER BY acct, day_str"),
+    "q_graph_assortativity" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "cd AS (SELECT c, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY c), " +
+        "sd AS (SELECT sp, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY sp), " +
+        "j AS (SELECT x, y FROM e JOIN cd USING (c) JOIN sd USING (sp)), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy FROM j) " +
+        "SELECT n_edges, sx, sy, sxx, syy, sxy, " +
+        s"${sqlR("(n_edges * sxy - sx * sy) / " +
+          "(sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)))", 6)} " +
+        "AS assortativity FROM a"),
     "q_window_rolling_median" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

@@ -3119,6 +3119,76 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_heaps — HEAPS'-LAW VOCABULARY GROWTH audit: the corpus is cut
+    * into 10 contiguous doc_id deciles; per decile the cumulative token
+    * count and cumulative DISTINCT vocabulary are exact integers (a
+    * token's decile of first appearance is `min(decile)` — one hash
+    * aggregate, no running distinct-count state), and the per-step Heaps
+    * exponent α = Δlog V / Δlog N is a per-row projection on those exact
+    * integers (micro-scaled; identical doubles → identical rounding on
+    * both engines). Sublinear α ≈ 0.4–0.9 is healthy natural text; α ≈ 1
+    * flags synthetic/ID-like tokens, α ≈ 0 flags template spam — a corpus
+    * composition dial curation pipelines watch as ingestion grows.
+    *
+    * Scale: first-appearance via groupBy(token).min — vocabulary-sized
+    * hash agg with map-side partials; decile rollups are 10-row frames, so
+    * the two prefix-sum windows run on BOUNDED relations (the
+    * packSequences shard-base doctrine — the corpus-sized pass never
+    * enters a global window).
+    */
+  def textHeaps(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    val base = docs
+      .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("mxid"))))
+      .withColumn("decile", least(expr("(doc_id * 10) div (mxid + 1)"), lit(9L)))
+    val tokPerDec = base.groupBy("decile").agg(sum(col("n_tok")).as("toks_dec"))
+    val vocabPerDec = base
+      .select(col("decile"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_vocab"))
+    val ord = Window.orderBy("decile")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokPerDec.join(vocabPerDec, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_vocab"))
+      .withColumn("cum_toks", sum(col("toks_dec")).over(cum))
+      .withColumn("cum_vocab", sum(col("new_vocab")).over(cum))
+      .withColumn("pt", lag(col("cum_toks"), 1).over(ord))
+      .withColumn("pv", lag(col("cum_vocab"), 1).over(ord))
+      .withColumn("alpha_micro", when(col("pt").isNotNull, expr(
+        "CAST(round(1000000 * (log10(CAST(cum_vocab AS DOUBLE)) - " +
+          "log10(CAST(pv AS DOUBLE))) / (log10(CAST(cum_toks AS DOUBLE)) - " +
+          "log10(CAST(pt AS DOUBLE)))) AS BIGINT)")))
+      .select("decile", "toks_dec", "new_vocab", "cum_toks", "cum_vocab",
+        "alpha_micro")
+      .orderBy("decile")
+  }
+
+  /** q_simsearch_range — RANGE RETRIEVAL: every corpus vector whose cosine
+    * to the query meets a fixed threshold (τ = 0.1 on the 4 dp-rounded
+    * score, so the boundary decision is bit-identical on both engines) —
+    * the "all sufficiently similar" primitive behind dedup-by-threshold
+    * and recall-complete candidate pulls, where top-k's fixed cut is the
+    * wrong contract. Output size is data-dependent by design.
+    *
+    * Scale: shipped form is the exact one-pass scan (broadcast query, no
+    * shuffle — same shape as [[simsearchTopk]]); at 100 TB the same
+    * predicate drops into the IVF cell-pruned scan exactly as
+    * [[simsearchFiltered]] pushes its filter (recall then follows the
+    * probe dial, measured in LlmDataSpec for the IVF family).
+    */
+  def simsearchRange(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        r(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .where(col("cos") >= 0.1)
+      .orderBy(desc("cos"), asc("vec_id"))
+  }
+
   /** q_text_repetition — Gopher-style repetition signals (Rae et al. 2021
     * §A1.1): the fraction of 3-gram occurrences that are duplicates within
     * the document, and the most-frequent token's share of the document.
@@ -4873,6 +4943,8 @@ object LlmData {
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
     "q_text_gopher_rules" -> textGopherRules _,
+    "q_text_heaps" -> textHeaps _,
+    "q_simsearch_range" -> simsearchRange _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
@@ -5636,6 +5708,38 @@ object LlmData {
         "SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
         ") * 10000, 0) / 10000 AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 50"),
+    "q_simsearch_range" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "sc AS (SELECT vec_id, round((" + VectorOps.sqlCosine("embedding", "qe") +
+        ") * 10000, 0) / 10000 AS cos FROM embeddings, q WHERE vec_id <> 0) " +
+        "SELECT vec_id, cos FROM sc WHERE cos >= 0.1 " +
+        "ORDER BY cos DESC, vec_id"),
+    "q_text_heaps" ->
+      ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "mx AS (SELECT max(doc_id) AS mxid FROM documents), " +
+        "base AS (SELECT doc_id, t, n_tok, " +
+        "least((doc_id * 10) // (mxid + 1), 9) AS decile FROM docs, mx), " +
+        "tpd AS (SELECT decile, CAST(sum(n_tok) AS BIGINT) AS toks_dec " +
+        "FROM base GROUP BY decile), " +
+        "fd AS (SELECT tok, min(decile) AS decile FROM " +
+        "(SELECT decile, unnest(t) AS tok FROM base) u GROUP BY tok), " +
+        "vpd AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_vocab " +
+        "FROM fd GROUP BY decile), " +
+        "j AS (SELECT t.decile, t.toks_dec, " +
+        "CAST(coalesce(v.new_vocab, 0) AS BIGINT) AS new_vocab " +
+        "FROM tpd t LEFT JOIN vpd v ON t.decile = v.decile), " +
+        "c AS (SELECT decile, toks_dec, new_vocab, " +
+        "CAST(sum(toks_dec) OVER (ORDER BY decile) AS BIGINT) AS cum_toks, " +
+        "CAST(sum(new_vocab) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab FROM j), " +
+        "l AS (SELECT *, lag(cum_toks) OVER (ORDER BY decile) AS pt, " +
+        "lag(cum_vocab) OVER (ORDER BY decile) AS pv FROM c) " +
+        "SELECT decile, toks_dec, new_vocab, cum_toks, cum_vocab, " +
+        "CASE WHEN pt IS NOT NULL THEN " +
+        "CAST(round(1000000 * (log10(CAST(cum_vocab AS DOUBLE)) - " +
+        "log10(CAST(pv AS DOUBLE))) / (log10(CAST(cum_toks AS DOUBLE)) - " +
+        "log10(CAST(pt AS DOUBLE)))) AS BIGINT) ELSE NULL END AS alpha_micro " +
+        "FROM l ORDER BY decile"),
     "q_embed_pq" ->
       (s"WITH $pqSqlCtes " +
         // codes is comma-joined to a VARCHAR on BOTH sides: the driver's

@@ -1699,4 +1699,54 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got === want, s"fast EMA mismatch at $ds")
     }
   }
+
+  test("q_window_stochastic: %K bounded and replays; %D is the trailing mean of %K") {
+    val out = Analytics.windowStochastic(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, cents, mn, mx, k, _) =>
+      assert(mn <= cents && cents <= mx, "band contains today")
+      k.foreach(v => assert(v >= 0L && v <= 1000000L, "%K in [0, 1e6]"))
+      assert(k.isDefined === (mx > mn), "NULL iff degenerate band")
+      k.foreach(v => assert(v === 1000000L * (cents - mn) / (mx - mn)))
+    }
+    // %D replay on one account: mean of non-null %K over trailing 3 days
+    val acct0 = out.head._1
+    def dayNum(s0: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse(s0))
+    val ks = out.filter(_._1 == acct0)
+      .map(t => dayNum(t._2) -> t._6).toMap
+    out.filter(_._1 == acct0).foreach { case (_, ds, _, _, _, _, dm) =>
+      val d0 = dayNum(ds)
+      val frame = (d0 - 2 to d0).flatMap(ks.get).flatten
+      if (frame.isEmpty) assert(dm.isEmpty)
+      else assert(dm.contains(frame.sum / frame.length), s"%D mismatch at $ds")
+    }
+  }
+
+  test("q_graph_assortativity: power sums replay from the edge list; r in [-1, 1]") {
+    val row = Analytics.graphAssortativity(s, d).head
+    val (n, sx, sy, sxx, syy, sxy, rr) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getDouble(6))
+    val edges = Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1)))
+    val cd = edges.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val sd = edges.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+    val xy = edges.map { case (c, sp) => (cd(c), sd(sp)) }
+    assert(n === xy.length.toLong)
+    assert(sx === xy.map(_._1).sum && sy === xy.map(_._2).sum)
+    assert(sxx === xy.map(p => p._1 * p._1).sum)
+    assert(syy === xy.map(p => p._2 * p._2).sum)
+    assert(sxy === xy.map(p => p._1 * p._2).sum)
+    assert(rr >= -1.0 && rr <= 1.0)
+    val want = (n.toDouble * sxy - sx.toDouble * sy) /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(math.abs(rr - want) < 1e-6)
+  }
 }

@@ -2015,4 +2015,64 @@ class LlmDataSpec extends AnyFunSuite {
     assert(en.sum / en.length > non.sum / non.length,
       "target-domain docs must out-score the raw pool on average")
   }
+
+  test("q_text_heaps: cumulative totals close over the corpus; alpha is sublinear") {
+    val rows = LlmData.textHeaps(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(rows.map(_._1) === rows.map(_._1).sorted, "decile order")
+    val docs = Tables(s, d, "documents").select("text").collect()
+      .map(_.getString(0).split(" ", -1))
+    assert(rows.last._4 === docs.map(_.length.toLong).sum, "token closure")
+    assert(rows.last._5 === docs.flatten.distinct.length.toLong, "vocab closure")
+    assert(rows.map(_._2).sum === rows.last._4)
+    assert(rows.map(_._3).sum === rows.last._5)
+    assert(rows.head._6.isEmpty, "first decile has no growth step")
+    rows.tail.foreach { r =>
+      val a = r._6.get
+      assert(a >= 0L && a <= 1000000L,
+        s"Heaps exponent must be sublinear on natural-ish text: $a")
+    }
+    // exact per-step replay
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        val want = math.round(1000000 *
+          (math.log10(c._5.toDouble) - math.log10(p._5.toDouble)) /
+          (math.log10(c._4.toDouble) - math.log10(p._4.toDouble)))
+        assert(c._6.contains(want))
+      case _ =>
+    }
+  }
+
+  test("q_simsearch_range: equals the brute-force threshold filter; consistent with topk") {
+    val rows = LlmData.simsearchRange(s, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, c) => assert(c >= 0.1) }
+    assert(rows.map(_._2).zip(rows.map(_._2).tail).forall { case (a, b) => a >= b })
+    // every topk hit above the threshold must be in the range result
+    val topk = LlmData.simsearchTopk(s, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val rangeSet = rows.map(_._1).toSet
+    topk.filter(_._2 >= 0.1).foreach { case (id, _) =>
+      assert(rangeSet.contains(id), s"topk hit $id missing from range result")
+    }
+    // and the range result is exactly the >= tau slice of the full scan
+    val full = Tables(s, d, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = full.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = full.filter(_._1 != 0L)
+      .map { case (id, v) => id -> math.round(cos(v, qv) * 10000) / 10000.0 }
+      .filter(_._2 >= 0.1).map(_._1).toSet
+    assert(rangeSet === want, "range result must equal brute force")
+  }
 }
