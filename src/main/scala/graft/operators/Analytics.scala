@@ -243,6 +243,85 @@ object Analytics {
       .orderBy("acct")
   }
 
+  /** q_timeseries_backtest — FORECAST BACKTESTING per account: the
+    * seasonal-naive forecast (this month = same month last year) scored
+    * against realized monthly revenue, with the MASE denominator from the
+    * one-month-naive baseline (Hyndman–Koehler) — the standard "is the
+    * model better than carrying last period forward?" audit, and the
+    * evaluation harness any forecasting layer needs before it earns
+    * dashboard space. Absolute errors, MAEs, and the MASE ratio are all
+    * exact integer cents / integer micro-divisions.
+    *
+    * Scale: the monthly rollup absorbs the corpus scan; both forecast
+    * joins are account-keyed equi-joins on EXACT month arithmetic
+    * (add_months, never string math), so the backtest costs two
+    * calendar-bounded self-joins at any volume.
+    */
+  def timeseriesBacktest(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    def errJoin(lagMonths: Int, nName: String, saeName: String) =
+      obs.as("a").join(obs.as("b"),
+          col("a.acct") === col("b.acct") &&
+            col("b.mon") === add_months(col("a.mon"), -lagMonths))
+        .groupBy(col("a.acct").as("acct"))
+        .agg(count(lit(1)).as(nName),
+          sum(abs(col("a.cents") - col("b.cents"))).as(saeName))
+    errJoin(12, "n_seasonal", "sae_seasonal")
+      .join(errJoin(1, "n_naive", "sae_naive"), "acct")
+      .withColumn("mae_seasonal", expr("sae_seasonal div n_seasonal"))
+      .withColumn("mae_naive", expr("sae_naive div n_naive"))
+      .withColumn("mase_micro",
+        expr("(1000000 * mae_seasonal) div mae_naive"))
+      .select("acct", "n_seasonal", "mae_seasonal", "n_naive", "mae_naive",
+        "mase_micro")
+      .orderBy("acct")
+  }
+
+  /** q_agg_chisq — PEARSON CHI-SQUARED INDEPENDENCE TEST between market
+    * segment and nation over the customer base: χ² = Σ (O−E)²/E with
+    * E = row·col/n. Each cell's contribution is computed as
+    * (O·n − row·col)²/(n·row·col) in micro-units — the cross-multiplied
+    * numerator is an EXACT long, squared in double (identical IEEE ops on
+    * identical longs both engines), rounded to an integer micro — so the
+    * FINAL SUM is integer and order-independent, where a naive Σ of
+    * per-cell doubles would depend on aggregation order. The categorical
+    * complement of [[aggKsTest]]'s continuous drift test.
+    *
+    * Scale: contingency cells (|segments|·|nations|) after one hash
+    * aggregate; margins are two more tiny aggregates broadcast back. The
+    * χ² needs O·n < 2⁶³ — n up to ~3·10⁹ customers before rescaling.
+    */
+  def aggChisq(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("geo"))
+      .agg(count(lit(1)).as("o"))
+    // densify: an absent (seg, geo) cell still contributes (0−E)²/E
+    val cells = obs.select("seg").distinct()
+      .crossJoin(obs.select("geo").distinct())
+      .join(obs, Seq("seg", "geo"), "left")
+      .na.fill(0L, Seq("o"))
+    val rowm = cells.groupBy("seg").agg(sum(col("o")).as("rt"))
+    val colm = cells.groupBy("geo").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("seg")).as("nr"), countDistinct(col("geo")).as("nc"))
+    cells.join(broadcast(rowm), "seg").join(broadcast(colm), "geo")
+      .crossJoin(broadcast(tot))
+      .withColumn("cell_micro", expr(
+        "CAST(round(CAST(o * n - rt * ct AS DOUBLE) * " +
+          "CAST(o * n - rt * ct AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * rt * ct) * 1000000) AS BIGINT)"))
+      .groupBy(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("cell_micro")).as("chi2_micro"))
+      .select("n", "dof", "n_cells", "chi2_micro")
+  }
+
   def timeseriesGapfill(s: SparkSession, d: String): DataFrame = {
     val obs = t(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),
@@ -1082,6 +1161,51 @@ object Analytics {
       .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
         col("cents"), col("mn"), col("mx"), col("k_micro"), col("d_micro"))
       .orderBy("acct", "day_str")
+  }
+
+  /** q_join_interval_overlap — INTERVAL × INTERVAL OVERLAP JOIN via
+    * banding: user activity intervals [ts, ts+10 min) against a derived
+    * set of 100 OVERLAPPING audit windows (length 2Δ, stride Δ, Δ = span
+    * div 100), counting activity per window. Spark plans a raw
+    * `a.st < b.en AND b.st < a.en` as a broadcast nested loop — O(N·M).
+    * The banded form EXPLODES each interval to the Δ-grain buckets it
+    * spans (activity: 1–2; windows: 2–3), joins as a plain hash join on
+    * the bucket, re-checks the exact predicate, and DEDUPLICATES
+    * pairs that share several buckets by keeping only the bucket
+    * containing the overlap's start (`b = greatest(st, w_st) div Δ` —
+    * each overlapping pair has exactly one such bucket). The
+    * [[joinRangeBucket]] doctrine generalized from point-in-range to
+    * interval-interval. All integer microseconds.
+    *
+    * Scale: replication factor = interval length / Δ + 1 per side — both
+    * bounded small here; at 100 TB choose Δ ≈ the typical interval length
+    * (the standard banding dial) and the join stays O(N + M) state with
+    * uniform bucket keys. The window table is 100 rows → broadcast.
+    */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(600000000L))
+    val bounds = ev.agg(min(col("st")).as("lo"), max(col("en")).as("hi"))
+      .withColumn("delta", expr("(hi - lo) div 100"))
+      .select("lo", "delta")
+    val win = bounds
+      .select(explode(sequence(lit(0L), lit(99L))).as("window_id"),
+        col("lo"), col("delta"))
+      .select(col("window_id"), col("delta"),
+        (col("lo") + col("window_id") * col("delta")).as("w_st"),
+        (col("lo") + (col("window_id") + 2) * col("delta")).as("w_en"))
+    val winB = win
+      .withColumn("b", explode(expr("sequence(w_st div delta, (w_en - 1) div delta)")))
+    val evB = ev.crossJoin(broadcast(bounds.select("delta")))
+      .withColumn("b", explode(expr("sequence(st div delta, (en - 1) div delta)")))
+    evB.join(broadcast(winB.drop("delta")), Seq("b"))
+      .where(col("st") < col("w_en") && col("w_st") < col("en") &&
+        col("b") === expr("greatest(st, w_st) div delta"))
+      .groupBy("window_id", "w_st", "w_en")
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_id")
   }
 
   // --------------------------------------------------------- interval merge
@@ -3321,6 +3445,7 @@ object Analytics {
     "q_timeseries_seasonal" -> timeseriesSeasonal _,
     "q_window_bollinger" -> windowBollinger _,
     "q_interval_merge" -> intervalMerge _,
+    "q_join_interval_overlap" -> joinIntervalOverlap _,
     "q_window_rsi" -> windowRsi _,
     "q_skyline_pareto" -> skylinePareto _,
     "q_window_ewma" -> windowEwma _,
@@ -3339,6 +3464,8 @@ object Analytics {
     "q_timeseries_gapfill" -> timeseriesGapfill _,
     "q_timeseries_mann_kendall" -> timeseriesMannKendall _,
     "q_timeseries_changepoint" -> timeseriesChangepoint _,
+    "q_timeseries_backtest" -> timeseriesBacktest _,
+    "q_agg_chisq" -> aggChisq _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
     "q_agg_retention_cohort" -> aggRetentionCohort _,
@@ -4102,6 +4229,18 @@ object Analytics {
         "(CAST(cents AS HUGEINT) * 20 - s) * (CAST(cents AS HUGEINT) * 20 - s) > " +
         "(20 * q - CAST(s AS HUGEINT) * s) * 4) AS breach_lo " +
         "FROM x WHERE n = 20 ORDER BY acct, day_str"),
+    "q_join_interval_overlap" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS st, " +
+        "epoch_us(ts) + 600000000 AS en FROM events), " +
+        "bounds AS (SELECT min(st) AS lo, max(en) AS hi, " +
+        "(max(en) - min(st)) // 100 AS delta FROM ev), " +
+        "win AS (SELECT k AS window_id, lo + k * delta AS w_st, " +
+        "lo + (k + 2) * delta AS w_en " +
+        "FROM bounds, (SELECT unnest(range(0, 100)) AS k) ks) " +
+        "SELECT window_id, w_st, w_en, CAST(count(*) AS BIGINT) AS n_overlaps, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM ev JOIN win ON st < w_en AND w_st < en " +
+        "GROUP BY 1, 2, 3 ORDER BY window_id"),
     "q_interval_merge" ->
       ("WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st, " +
         "epoch_us(ts) + 600000000 AS en FROM events), " +
@@ -4406,6 +4545,45 @@ object Analytics {
         "SELECT acct, n AS n_mon, k AS split_k, mon AS split_mon, t_stat, " +
         "s_k // k AS mean_before, (s_n - s_k) // (n - k) AS mean_after " +
         "FROM rk WHERE rk = 1 ORDER BY acct"),
+    "q_timeseries_backtest" ->
+      ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "s12 AS (SELECT a.acct, CAST(count(*) AS BIGINT) AS n_seasonal, " +
+        "CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS sae_s " +
+        "FROM obs a JOIN obs b ON a.acct = b.acct " +
+        "AND b.mon = a.mon - INTERVAL 12 MONTH GROUP BY 1), " +
+        "s1 AS (SELECT a.acct, CAST(count(*) AS BIGINT) AS n_naive, " +
+        "CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS sae_n " +
+        "FROM obs a JOIN obs b ON a.acct = b.acct " +
+        "AND b.mon = a.mon - INTERVAL 1 MONTH GROUP BY 1), " +
+        "j AS (SELECT s12.acct, n_seasonal, sae_s // n_seasonal AS mae_seasonal, " +
+        "n_naive, sae_n // n_naive AS mae_naive " +
+        "FROM s12 JOIN s1 ON s12.acct = s1.acct) " +
+        "SELECT acct, n_seasonal, mae_seasonal, n_naive, mae_naive, " +
+        "(1000000 * mae_seasonal) // mae_naive AS mase_micro " +
+        "FROM j ORDER BY acct"),
+    "q_agg_chisq" ->
+      ("WITH ob AS (SELECT c_mktsegment AS seg, n_name AS geo, " +
+        "CAST(count(*) AS BIGINT) AS o " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "grid AS (SELECT s.seg, g.geo FROM (SELECT DISTINCT seg FROM ob) s " +
+        "CROSS JOIN (SELECT DISTINCT geo FROM ob) g), " +
+        "cells AS (SELECT grid.seg, grid.geo, CAST(coalesce(ob.o, 0) AS BIGINT) AS o " +
+        "FROM grid LEFT JOIN ob ON grid.seg = ob.seg AND grid.geo = ob.geo), " +
+        "rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1), " +
+        "cm AS (SELECT geo, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(o) AS BIGINT) AS n, " +
+        "CAST(count(DISTINCT seg) AS BIGINT) AS nr, " +
+        "CAST(count(DISTINCT geo) AS BIGINT) AS nc FROM cells), " +
+        "pc AS (SELECT n, (nr - 1) * (nc - 1) AS dof, " +
+        "CAST(round(CAST(o * n - rt * ct AS DOUBLE) * " +
+        "CAST(o * n - rt * ct AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * rt * ct) * 1000000) AS BIGINT) AS cm2 " +
+        "FROM cells JOIN rm USING (seg) JOIN cm USING (geo), tt) " +
+        "SELECT n, dof, CAST(count(*) AS BIGINT) AS n_cells, " +
+        "CAST(sum(cm2) AS BIGINT) AS chi2_micro FROM pc GROUP BY 1, 2"),
     "q_timeseries_gapfill" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

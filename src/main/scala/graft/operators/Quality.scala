@@ -591,9 +591,40 @@ object Quality {
       .orderBy("seg", "geo")
   }
 
+  /** q_privacy_dp_topk — PRIVATE HEAVY HITTERS: release the top-10 part
+    * types by order volume, each count perturbed by the geometric
+    * mechanism and the release STABILITY-THRESHOLDED (only noisy counts
+    * ≥ τ are eligible — the standard guard that keeps rare categories,
+    * whose membership is itself sensitive, out of the release even when
+    * noise inflates them). Ranking happens on the NOISY counts with a
+    * deterministic name tie-break, so the released ORDER leaks nothing
+    * beyond the noisy values themselves. Same keyed-md5 draw discipline as
+    * [[privacyDpCount]] (salt `graftdptopk:`).
+    *
+    * Scale: category grain (~150 part types) after one fact-side hash
+    * aggregate; the noise projection, threshold, and top-10 sort all run
+    * on that bounded relation.
+    */
+  def privacyDpTopk(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "lineitem")
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type").as("cat"))
+      .agg(count(lit(1)).as("n_true"))
+    cells
+      .withColumn("h", expr("md5(concat('graftdptopk:', cat))"))
+      .withColumn("v", expr(dpHexV))
+      .withColumn("noise", expr(dpNoiseCase))
+      .withColumn("n_dp", greatest(col("n_true") + col("noise"), lit(0L)))
+      .where(col("n_dp") >= 20L)
+      .orderBy(col("n_dp").desc, col("cat"))
+      .limit(10)
+      .select("cat", "n_true", "noise", "n_dp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_privacy_dp_count" -> privacyDpCount _,
     "q_privacy_dp_sum" -> privacyDpSum _,
+    "q_privacy_dp_topk" -> privacyDpTopk _,
     "q_privacy_ldiversity" -> privacyLdiversity _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
@@ -632,6 +663,16 @@ object Quality {
         "SELECT seg, geo, sum_true, sum_clipped, n_clipped, noise, " +
         "greatest(sum_clipped + noise * 500000, 0) AS sum_dp " +
         "FROM nz ORDER BY seg, geo"),
+    "q_privacy_dp_topk" ->
+      ("WITH cells AS (SELECT p_type AS cat, CAST(count(*) AS BIGINT) AS n_true " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), " +
+        "hv AS (SELECT cat, n_true, md5(concat('graftdptopk:', cat)) AS h FROM cells), " +
+        s"nv AS (SELECT cat, n_true, $dpHexV AS v FROM hv), " +
+        s"nz AS (SELECT cat, n_true, $dpNoiseCase AS noise FROM nv), " +
+        "rel AS (SELECT cat, n_true, noise, " +
+        "greatest(n_true + noise, 0) AS n_dp FROM nz) " +
+        "SELECT cat, n_true, noise, n_dp FROM rel WHERE n_dp >= 20 " +
+        "ORDER BY n_dp DESC, cat LIMIT 10"),
     "q_privacy_ldiversity" ->
       ("SELECT n_name, c_mktsegment AS seg, " +
         "CAST(count(*) AS BIGINT) AS n, " +

@@ -1749,4 +1749,79 @@ class AnalyticsSpec extends AnyFunSuite {
         math.sqrt((n * syy - sy * sy).toDouble))
     assert(math.abs(rr - want) < 1e-6)
   }
+
+  test("q_timeseries_backtest: seasonal and naive errors replay from the monthly rollup") {
+    val out = Analytics.timeseriesBacktest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val obs = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+      .collect().map(r => ((r.getLong(0), r.getDate(1).toLocalDate), r.getLong(2)))
+      .toMap
+    out.foreach { case (acct, nS, maeS, nN, maeN, mase) =>
+      def errs(lag: Int) = obs.toSeq.collect {
+        case ((a, m), c) if a == acct && obs.contains((a, m.minusMonths(lag))) =>
+          math.abs(c - obs((a, m.minusMonths(lag))))
+      }
+      val (e12, e1) = (errs(12), errs(1))
+      assert(nS === e12.length.toLong && nN === e1.length.toLong)
+      assert(maeS === e12.sum / nS && maeN === e1.sum / nN)
+      assert(mase === 1000000L * maeS / maeN)
+    }
+  }
+
+  test("q_agg_chisq: statistic replays from the dense contingency table") {
+    val row = Analytics.aggChisq(s, d).head
+    val (n, dof, nCells, chi2) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    val obs = Tables(s, d, "customer")
+      .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val segs = obs.keys.map(_._1).toSeq.distinct
+    val geos = obs.keys.map(_._2).toSeq.distinct
+    assert(nCells === segs.length.toLong * geos.length)
+    assert(dof === (segs.length - 1).toLong * (geos.length - 1))
+    val total = obs.values.sum
+    assert(n === total)
+    val rt = segs.map(sg => sg -> geos.map(g => obs.getOrElse((sg, g), 0L)).sum).toMap
+    val ct = geos.map(g => g -> segs.map(sg => obs.getOrElse((sg, g), 0L)).sum).toMap
+    val want = (for (sg <- segs; g <- geos) yield {
+      val o = obs.getOrElse((sg, g), 0L)
+      val dd = (o * total - rt(sg) * ct(g)).toDouble
+      math.round(dd * dd / (total.toDouble * rt(sg) * ct(g)) * 1000000)
+    }).sum
+    assert(chi2 === want, "chi-squared micro sum")
+  }
+
+  test("q_join_interval_overlap: banded join equals the naive nested-loop overlap count") {
+    val out = Analytics.joinIntervalOverlap(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("st")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) + 600000000L))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._3).max
+    val delta = (hi - lo) / 100
+    val naive = (0L to 99L).flatMap { k =>
+      val (wSt, wEn) = (lo + k * delta, lo + (k + 2) * delta)
+      val hits = ev.filter { case (_, st, en) => st < wEn && wSt < en }
+      if (hits.isEmpty) None
+      else Some(k -> (wSt, wEn, hits.length.toLong,
+        hits.map(_._1).distinct.length.toLong))
+    }.toMap
+    assert(out.length === naive.size)
+    out.foreach { case (k, wSt, wEn, nOv, nUs) =>
+      val (st0, en0, cnt, users) = naive(k)
+      assert(wSt === st0 && wEn === en0)
+      assert(nOv === cnt, s"overlap count mismatch at window $k")
+      assert(nUs === users, s"user count mismatch at window $k")
+    }
+  }
 }

@@ -294,4 +294,18 @@ class QualitySpec extends AnyFunSuite {
       cnt.get((seg, geo)).exists(_ != nz) }
     assert(diff > 0, "dp_sum draws must differ from dp_count draws")
   }
+
+  test("q_privacy_dp_topk: stability-thresholded, noisy-rank-ordered, release closes") {
+    val rows = Quality.privacyDpTopk(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (_, nTrue, noise, nDp) =>
+      assert(noise >= -8L && noise <= 9L, "ladder range")
+      assert(nDp === math.max(nTrue + noise, 0L))
+      assert(nDp >= 20L, "stability threshold")
+    }
+    // ordered by the NOISY count (the released ranking), name tie-break
+    val keys = rows.map(r => (-r._4, r._1))
+    assert(keys === keys.sorted, "release must rank on noisy counts")
+  }
 }
