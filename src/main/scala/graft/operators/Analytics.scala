@@ -322,6 +322,106 @@ object Analytics {
       .select("n", "dof", "n_cells", "chi2_micro")
   }
 
+  /** q_agg_moments — HIGHER-MOMENT DISTRIBUTION PROFILE per market
+    * segment: mean, variance, skewness, and excess kurtosis of order
+    * values from EXACT integer raw power sums Σx..Σx⁴ (values in
+    * kilodollar units so x⁴ stays far inside long range — the documented
+    * rescale-before-powers seam of [[windowBeta]]). The four moments are
+    * pure projections on identical longs (same IEEE ops both engines,
+    * 6 dp) — the one-pass, order-independent alternative to the two-pass
+    * mean-centered formulas that don't distribute.
+    *
+    * Scale: one fact-side hash aggregate to 5 segment rows; power sums
+    * merge associatively under any partial-aggregation order. Long-range
+    * envelope: n·max(x)⁴ < 2⁶³ holds to ~10⁸ orders/segment at $600k
+    * max order; rescale units past that.
+    */
+  def aggMoments(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") / 1000, 0).cast("long").as("x"))
+    v.groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("x") * col("x")).as("sxxx"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("sxxxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("m2", col("sxx") / col("n") - col("mean") * col("mean"))
+      .withColumn("skew",
+        (col("sxxx") / col("n") - lit(3) * col("mean") * col("sxx") / col("n") +
+          lit(2) * col("mean") * col("mean") * col("mean")) /
+          pow(col("m2"), 1.5))
+      .withColumn("kurt",
+        (col("sxxxx") / col("n") - lit(4) * col("mean") * col("sxxx") / col("n") +
+          lit(6) * col("mean") * col("mean") * col("sxx") / col("n") -
+          lit(3) * col("mean") * col("mean") * col("mean") * col("mean")) /
+          (col("m2") * col("m2")) - lit(3))
+      .select(col("seg"), col("n"), col("sx"), col("sxx"), col("sxxx"),
+        col("sxxxx"), r(col("mean"), 6).as("mean"), r(col("m2"), 6).as("m2"),
+        r(col("skew"), 6).as("skew"), r(col("kurt"), 6).as("kurt"))
+      .orderBy("seg")
+  }
+
+  /** q_graph_powerlaw — POWER-LAW TAIL FIT of the supplier in-degree
+    * distribution: the discrete Clauset–Shalizi–Newman MLE
+    * α = 1 + n / Σᵢ ln(dᵢ / (d_min − ½)) at d_min = 1, with each node's
+    * log term fixed-point scaled to an integer micro BEFORE the sum — so
+    * the Σ is order-independent and α replays exactly as
+    * 10⁶ + (10¹²·n) div S. The "is this graph scale-free" audit that
+    * decides whether hub-capping ([[graphCommonNeighbors]]) is needed.
+    *
+    * Scale: degree table is supplier-grain (bounded); per-node log terms
+    * ride the degree aggregate. 10¹²·n needs n < 9·10⁶ nodes — past that,
+    * shift the fixed point (documented seam).
+    */
+  def graphPowerlaw(s: SparkSession, d: String): DataFrame = {
+    val deg = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+      .groupBy("sp").agg(count(lit(1)).as("deg"))
+    deg
+      .select(col("deg"),
+        expr("CAST(round(ln(CAST(2 * deg AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ln_micro"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("deg_max"),
+        sum(col("ln_micro")).as("sum_ln_micro"))
+      .select(col("n_nodes"), col("deg_max"), col("sum_ln_micro"),
+        expr("1000000 + (1000000000000 * n_nodes) div sum_ln_micro")
+          .as("alpha_micro"))
+  }
+
+  /** q_event_interarrival — INTER-ARRIVAL TIME PROFILE per event type:
+    * each event's gap to the SAME USER's previous event (any type),
+    * attributed to the follower's type — count, exact integer-division
+    * mean, and interpolated p50/p90 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the [[windowRollingMedian]] pairing). The cadence
+    * fingerprint behind rate alerting and bot detection.
+    *
+    * Scale: one shuffle on user_id for the lag window, then a hash agg at
+    * type grain; the exact percentile over a 5-row-type grain holds
+    * because gaps pre-aggregate per type — at raw-event grain use the
+    * approx-quantile family instead (documented trade).
+    */
+  def eventInterarrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_us"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_us"))
+      .withColumn("mean_us", expr("sum_us div n_gaps"))
+      .select("event_type", "n_gaps", "sum_us", "mean_us", "p50_us", "p90_us")
+      .orderBy("event_type")
+  }
+
   def timeseriesGapfill(s: SparkSession, d: String): DataFrame = {
     val obs = t(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),
@@ -3466,6 +3566,9 @@ object Analytics {
     "q_timeseries_changepoint" -> timeseriesChangepoint _,
     "q_timeseries_backtest" -> timeseriesBacktest _,
     "q_agg_chisq" -> aggChisq _,
+    "q_agg_moments" -> aggMoments _,
+    "q_graph_powerlaw" -> graphPowerlaw _,
+    "q_event_interarrival" -> eventInterarrival _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
     "q_agg_retention_cohort" -> aggRetentionCohort _,
@@ -4584,6 +4687,50 @@ object Analytics {
         "FROM cells JOIN rm USING (seg) JOIN cm USING (geo), tt) " +
         "SELECT n, dof, CAST(count(*) AS BIGINT) AS n_cells, " +
         "CAST(sum(cm2) AS BIGINT) AS chi2_micro FROM pc GROUP BY 1, 2"),
+    "q_agg_moments" ->
+      ("WITH v AS (SELECT c_mktsegment AS seg, " +
+        "CAST(round(o_totalprice / 1000, 0) AS BIGINT) AS x " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "a AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx, " +
+        "CAST(sum(x * x * x) AS BIGINT) AS sxxx, " +
+        "CAST(sum(x * x * x * x) AS BIGINT) AS sxxxx FROM v GROUP BY 1), " +
+        "m AS (SELECT *, sx / n AS mean FROM a), " +
+        "m2 AS (SELECT *, sxx / n - mean * mean AS mm2 FROM m) " +
+        "SELECT seg, n, sx, sxx, sxxx, sxxxx, " +
+        s"${sqlR("mean", 6)} AS mean, ${sqlR("mm2", 6)} AS m2, " +
+        s"${sqlR("(sxxx / n - 3 * mean * sxx / n + 2 * mean * mean * mean) / " +
+          "pow(mm2, 1.5)", 6)} AS skew, " +
+        s"${sqlR("(sxxxx / n - 4 * mean * sxxx / n + " +
+          "6 * mean * mean * sxx / n - 3 * mean * mean * mean * mean) / " +
+          "(mm2 * mm2) - 3", 6)} AS kurt " +
+        "FROM m2 ORDER BY seg"),
+    "q_graph_powerlaw" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "deg AS (SELECT sp, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY sp), " +
+        "lt AS (SELECT deg, " +
+        "CAST(round(ln(CAST(2 * deg AS DOUBLE)) * 1000000) AS BIGINT) AS ln_micro " +
+        "FROM deg), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(max(deg) AS BIGINT) AS deg_max, " +
+        "CAST(sum(ln_micro) AS BIGINT) AS sum_ln_micro FROM lt) " +
+        "SELECT n_nodes, deg_max, sum_ln_micro, " +
+        "1000000 + (1000000000000 * n_nodes) // sum_ln_micro AS alpha_micro " +
+        "FROM a"),
+    "q_event_interarrival" ->
+      ("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us " +
+        "FROM events), " +
+        "g AS (SELECT event_type, ts_us - lag(ts_us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us FROM ev), " +
+        "f AS (SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us FROM g " +
+        "WHERE gap_us IS NOT NULL) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+        "CAST(sum(gap_us) AS BIGINT) AS sum_us, " +
+        "CAST(sum(gap_us) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_us, " +
+        "quantile_cont(gap_us, 0.5) AS p50_us, " +
+        "quantile_cont(gap_us, 0.9) AS p90_us " +
+        "FROM f GROUP BY 1 ORDER BY 1"),
     "q_timeseries_gapfill" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

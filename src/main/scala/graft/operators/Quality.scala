@@ -621,10 +621,40 @@ object Quality {
       .select("cat", "n_true", "noise", "n_dp")
   }
 
+  /** q_dq_freshness — PARTITION-FRESHNESS AUDIT: per nation, the most
+    * recent order date, its staleness in days against the corpus
+    * watermark (the global max — the reference's daily cadence makes
+    * "how far behind is each feed" the operational question,
+    * report:59's yesterday-window semantics), and an SLA boolean at
+    * 7 days. The monitor a daily-ingest lake runs before trusting a
+    * partition.
+    *
+    * Scale: nation-grain aggregate; the watermark is a 1-row aggregate
+    * broadcast back — no window over the corpus.
+    */
+  def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    val perGeo = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("geo"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("n_orders"))
+    perGeo
+      .crossJoin(broadcast(perGeo.agg(max(col("last_day")).as("watermark"))))
+      .select(col("geo"),
+        date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+        col("n_orders"),
+        datediff(col("watermark"), col("last_day")).cast("long").as("days_stale"))
+      .withColumn("fresh", col("days_stale") <= 7L)
+      .orderBy("geo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_privacy_dp_count" -> privacyDpCount _,
     "q_privacy_dp_sum" -> privacyDpSum _,
     "q_privacy_dp_topk" -> privacyDpTopk _,
+    "q_dq_freshness" -> dqFreshness _,
     "q_privacy_ldiversity" -> privacyLdiversity _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
@@ -673,6 +703,17 @@ object Quality {
         "greatest(n_true + noise, 0) AS n_dp FROM nz) " +
         "SELECT cat, n_true, noise, n_dp FROM rel WHERE n_dp >= 20 " +
         "ORDER BY n_dp DESC, cat LIMIT 10"),
+    "q_dq_freshness" ->
+      ("WITH pg AS (SELECT n_name AS geo, " +
+        "max(CAST(o_orderdate AS DATE)) AS last_day, " +
+        "CAST(count(*) AS BIGINT) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1), " +
+        "wm AS (SELECT max(last_day) AS watermark FROM pg) " +
+        "SELECT geo, strftime(last_day, '%Y-%m-%d') AS last_day, n_orders, " +
+        "CAST(datediff('day', last_day, watermark) AS BIGINT) AS days_stale, " +
+        "datediff('day', last_day, watermark) <= 7 AS fresh " +
+        "FROM pg, wm ORDER BY geo"),
     "q_privacy_ldiversity" ->
       ("SELECT n_name, c_mktsegment AS seg, " +
         "CAST(count(*) AS BIGINT) AS n, " +

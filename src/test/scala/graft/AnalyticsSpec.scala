@@ -1824,4 +1824,76 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(nUs === users, s"user count mismatch at window $k")
     }
   }
+
+  test("q_agg_moments: power sums replay; moments agree with two-pass reference") {
+    val out = Analytics.aggMoments(s, d).collect()
+    assert(out.nonEmpty)
+    val vals = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") / 1000, 0).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2) }
+    out.foreach { r =>
+      val xs = vals(r.getString(0))
+      val n = xs.length.toLong
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === xs.sum)
+      assert(r.getLong(5) === xs.map(x => x * x * x * x).sum)
+      // two-pass reference within rounding tolerance
+      val mean = xs.sum.toDouble / n
+      val m2 = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+      assert(math.abs(r.getDouble(6) - mean) < 1e-4)
+      assert(math.abs(r.getDouble(7) - m2) < 1e-3 * math.max(1, m2))
+      assert(math.abs(r.getDouble(8) - m3 / math.pow(m2, 1.5)) < 1e-3)
+      assert(math.abs(r.getDouble(9) - (m4 / (m2 * m2) - 3)) < 1e-3)
+    }
+  }
+
+  test("q_graph_powerlaw: MLE replays from the degree table") {
+    val row = Analytics.graphPowerlaw(s, d).head
+    val degs = Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .groupBy("l_suppkey").count().collect().map(_.getLong(1))
+    assert(row.getLong(0) === degs.length.toLong)
+    assert(row.getLong(1) === degs.max)
+    val sumLn = degs.map(dg => math.round(math.log(2.0 * dg) * 1000000)).sum
+    assert(row.getLong(2) === sumLn)
+    assert(row.getLong(3) === 1000000L + 1000000000000L * degs.length / sumLn)
+    assert(row.getLong(3) > 1000000L, "alpha > 1 by construction")
+  }
+
+  test("q_event_interarrival: gaps replay; percentiles bracket the mean sanely") {
+    val out = Analytics.eventInterarrival(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      sorted.zip(sorted.tail).map { case (a, b) => (b._3, b._4 - a._4) }
+    }.toSeq.groupBy(_._1).map { case (k, g) => k -> g.map(_._2) }
+    out.foreach { case (tp, n, sumUs, meanUs, p50, p90) =>
+      val g = gaps(tp)
+      assert(n === g.length.toLong)
+      assert(sumUs === g.sum)
+      assert(meanUs === g.sum / n)
+      val sortedG = g.sorted
+      def q(p: Double): Double = {
+        val idx = p * (sortedG.length - 1)
+        val lo = sortedG(idx.toInt)
+        val hi = sortedG(math.min(idx.toInt + 1, sortedG.length - 1))
+        lo + (idx - idx.toInt) * (hi - lo)
+      }
+      assert(math.abs(p50 - q(0.5)) < 1e-6 * math.max(1, q(0.5)))
+      assert(math.abs(p90 - q(0.9)) < 1e-6 * math.max(1, q(0.9)))
+      assert(p50 <= p90)
+    }
+  }
 }

@@ -308,4 +308,20 @@ class QualitySpec extends AnyFunSuite {
     val keys = rows.map(r => (-r._4, r._1))
     assert(keys === keys.sorted, "release must rank on noisy counts")
   }
+
+  test("q_dq_freshness: staleness measures against the corpus watermark") {
+    val rows = Quality.dqFreshness(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val watermark = rows.map(_._2).max
+    rows.foreach { case (_, lastDay, nOrders, stale, fresh) =>
+      val want = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(lastDay), java.time.LocalDate.parse(watermark))
+      assert(stale === want, "staleness = watermark − last_day")
+      assert(fresh === (stale <= 7L))
+      assert(nOrders > 0L)
+    }
+    assert(rows.exists(_._4 == 0L), "the watermark nation itself is fresh")
+  }
 }
