@@ -322,6 +322,72 @@ object Analytics {
       .select("n", "dof", "n_cells", "chi2_micro")
   }
 
+  /** q_event_stickiness — DAU/MAU STICKINESS per calendar month: average
+    * daily active users over monthly active users — the engagement ratio
+    * product dashboards watch (1.0 = every monthly user shows up every
+    * active day). Exact: per-day and per-month distinct counts are
+    * integers, the average-DAU numerator stays a raw Σ, and the ratio is
+    * one integer micro-division over (n_days · mau).
+    *
+    * Scale: the month's user set never materializes twice — one (month,
+    * day, user) dedup aggregate feeds BOTH the daily Σ and (re-aggregated)
+    * the monthly distinct; all shuffles are keyed by month/day grains.
+    */
+  def eventStickiness(s: SparkSession, d: String): DataFrame = {
+    val dayUsers = t(s, d, "events")
+      .select(date_format(col("ts"), "yyyy-MM").as("mon"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val daily = dayUsers.groupBy("mon", "day")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy("mon")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val monthly = dayUsers.select("mon", "user_id").distinct()
+      .groupBy("mon").agg(count(lit(1)).as("mau"))
+    daily.join(monthly, "mon")
+      .withColumn("stickiness_micro",
+        expr("(1000000 * dau_sum) div (n_days * mau)"))
+      .select("mon", "n_days", "dau_sum", "mau", "stickiness_micro")
+      .orderBy("mon")
+  }
+
+  /** q_window_sharpe — ROLLING 30-DAY SHARPE RATIO of daily account flows:
+    * mean over standard deviation of the trailing window, computed from
+    * EXACT integer power sums (Σx, Σx² in cents) so the two divisions and
+    * one square root are the only floating steps (6 dp; NULL where the
+    * window variance is zero or the frame is a single day). The
+    * risk-adjusted companion to [[windowBeta]] — same power-sum doctrine,
+    * self-relative instead of market-relative.
+    *
+    * Scale: one account-partitioned RANGE window carrying two running
+    * sums; Σx² needs daily cents < ~3·10⁹ per account-day at 10⁶-day
+    * frames — rescale units past that ([[windowBeta]] seam).
+    */
+  def windowSharpe(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("d",
+        datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("acct").orderBy("d").rangeBetween(-29, 0)
+    daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("sharpe",
+        when(col("nw") > 1 && col("nw") * col("s2") > col("s1") * col("s1"),
+          r((col("s1") / col("nw")) /
+            sqrt((col("s2") / col("nw") -
+              (col("s1") / col("nw")) * (col("s1") / col("nw")))
+              .cast("double")), 6)))
+      .select(col("acct"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("cents"), col("nw"), col("s1"), col("s2"), col("sharpe"))
+      .orderBy("acct", "day_str")
+  }
+
   /** q_agg_moments — HIGHER-MOMENT DISTRIBUTION PROFILE per market
     * segment: mean, variance, skewness, and excess kurtosis of order
     * values from EXACT integer raw power sums Σx..Σx⁴ (values in
@@ -3569,6 +3635,8 @@ object Analytics {
     "q_agg_moments" -> aggMoments _,
     "q_graph_powerlaw" -> graphPowerlaw _,
     "q_event_interarrival" -> eventInterarrival _,
+    "q_event_stickiness" -> eventStickiness _,
+    "q_window_sharpe" -> windowSharpe _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
     "q_agg_retention_cohort" -> aggRetentionCohort _,
@@ -4731,6 +4799,36 @@ object Analytics {
         "quantile_cont(gap_us, 0.5) AS p50_us, " +
         "quantile_cont(gap_us, 0.9) AS p90_us " +
         "FROM f GROUP BY 1 ORDER BY 1"),
+    "q_event_stickiness" ->
+      ("WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m') AS mon, " +
+        "CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "dd AS (SELECT mon, day, CAST(count(*) AS BIGINT) AS dau " +
+        "FROM du GROUP BY 1, 2), " +
+        "daily AS (SELECT mon, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(dau) AS BIGINT) AS dau_sum FROM dd GROUP BY 1), " +
+        "monthly AS (SELECT mon, CAST(count(DISTINCT user_id) AS BIGINT) AS mau " +
+        "FROM du GROUP BY 1) " +
+        "SELECT d.mon, d.n_days, d.dau_sum, m.mau, " +
+        "(1000000 * d.dau_sum) // (d.n_days * m.mau) AS stickiness_micro " +
+        "FROM daily d JOIN monthly m ON d.mon = m.mon ORDER BY d.mon"),
+    "q_window_sharpe" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "o AS (SELECT acct, day, cents, " +
+        "CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT) AS d FROM daily), " +
+        "w AS (SELECT acct, day, cents, " +
+        "CAST(count(*) OVER f AS BIGINT) AS nw, " +
+        "CAST(sum(cents) OVER f AS BIGINT) AS s1, " +
+        "CAST(sum(cents * cents) OVER f AS BIGINT) AS s2 FROM o " +
+        "WINDOW f AS (PARTITION BY acct ORDER BY d " +
+        "RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) " +
+        "SELECT acct, strftime(day, '%Y-%m-%d') AS day_str, cents, nw, s1, s2, " +
+        "CASE WHEN nw > 1 AND nw * s2 > s1 * s1 THEN " +
+        s"${sqlR("(s1 / nw) / sqrt(CAST(s2 / nw - (s1 / nw) * (s1 / nw) AS DOUBLE))", 6)} " +
+        "ELSE NULL END AS sharpe " +
+        "FROM w ORDER BY acct, day_str"),
     "q_timeseries_gapfill" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

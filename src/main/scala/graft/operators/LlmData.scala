@@ -3178,6 +3178,46 @@ object LlmData {
     * [[simsearchFiltered]] pushes its filter (recall then follows the
     * probe dial, measured in LlmDataSpec for the IVF family).
     */
+  /** q_embed_centroid_eval — NEAREST-CENTROID LABEL EVALUATION: per-label
+    * centroids from the labeled embeddings and each vector's argmax-dot
+    * assignment back to a centroid, reported as per-label accuracy — the
+    * cheap linear probe that tells a pipeline whether its embedding space
+    * separates the taxonomy before anyone trains a head. EXACT: components
+    * are fixed-pointed to integer micros BEFORE any sum (a distributed
+    * float mean is merge-order-dependent — the same reason
+    * [[embedKmeansStep]] integerizes), centroids are integer-division
+    * means, scores are integer dot products, ties break to the smallest
+    * label.
+    *
+    * Scale: the centroid table is |labels|·dims rows — broadcast; scoring
+    * explodes each vector against ≤|labels| candidates (bounded fan-out)
+    * and reduces with one keyed hash agg. No vector-vector pair ever
+    * materializes (contrast brute-force kNN eval).
+    */
+  def embedCentroidEval(s: SparkSession, d: String): DataFrame = {
+    val ex = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("xm",
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)"))
+      .drop("x")
+    val cent = ex.groupBy(col("label").as("cl"), col("i"))
+      .agg(expr("sum(xm) div count(1)").as("cm"))
+    val scores = ex.join(broadcast(cent), "i")
+      .groupBy("vec_id", "label", "cl")
+      .agg(sum(col("xm") * col("cm")).as("score"))
+    scores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cl"))))
+      .where(col("rk") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("cl") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_micro", expr("(1000000 * n_correct) div n_vectors"))
+      .select("label", "n_vectors", "n_correct", "acc_micro")
+      .orderBy("label")
+  }
+
   def simsearchRange(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -4945,6 +4985,7 @@ object LlmData {
     "q_text_gopher_rules" -> textGopherRules _,
     "q_text_heaps" -> textHeaps _,
     "q_simsearch_range" -> simsearchRange _,
+    "q_embed_centroid_eval" -> embedCentroidEval _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
@@ -5714,6 +5755,24 @@ object LlmData {
         ") * 10000, 0) / 10000 AS cos FROM embeddings, q WHERE vec_id <> 0) " +
         "SELECT vec_id, cos FROM sc WHERE cos >= 0.1 " +
         "ORDER BY cos DESC, vec_id"),
+    "q_embed_centroid_eval" ->
+      ("WITH ex AS (SELECT vec_id, label, " +
+        "generate_subscripts(embedding, 1) AS i, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm " +
+        "FROM embeddings), " +
+        "cent AS (SELECT label AS cl, i, " +
+        "CAST(sum(xm) AS BIGINT) // CAST(count(*) AS BIGINT) AS cm " +
+        "FROM ex GROUP BY 1, 2), " +
+        "sc AS (SELECT e.vec_id, e.label, c.cl, " +
+        "CAST(sum(e.xm * c.cm) AS BIGINT) AS score " +
+        "FROM ex e JOIN cent c ON e.i = c.i GROUP BY 1, 2, 3), " +
+        "asg AS (SELECT vec_id, label, cl, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY score DESC, cl) AS rk FROM sc) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vectors, " +
+        "CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "(1000000 * CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT)) // " +
+        "CAST(count(*) AS BIGINT) AS acc_micro " +
+        "FROM asg WHERE rk = 1 GROUP BY label ORDER BY label"),
     "q_text_heaps" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +

@@ -470,6 +470,38 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** q_stream_window_distinct — EXACT DISTINCT-USER COUNT per 30-minute
+    * tumbling window on a stream: streaming can't nest two aggregations,
+    * so the classic exact-distinct recipe composes stateful DEDUP with ONE
+    * windowed aggregation — `dropDuplicatesWithinWatermark(user, bucket)`
+    * collapses each user to one row per bucket (state evicted at the
+    * watermark, so it holds one window's user set, not history), then the
+    * ordinary windowed count over the survivors IS the distinct count.
+    * The bucket column is the epoch-aligned window start, so the dedup key
+    * and the aggregation window coincide by construction.
+    *
+    * Scale: dedup state is (users active in open windows) — watermark-
+    * bounded like every other key here; the post-dedup aggregate carries
+    * one row per (user, window), the theoretical minimum for an exact
+    * distinct. The approximate alternative at extreme cardinality is the
+    * HLL family (`q_agg_sketch_merge`).
+    */
+  def streamWindowDistinct(s: SparkSession, d: String): DataFrame = {
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .withColumn("bucket", timestamp_micros(
+          expr("(unix_micros(ts) div 1800000000) * 1800000000")))
+        .dropDuplicatesWithinWatermark("user_id", "bucket")
+        .groupBy(window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_users")),
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "windist")
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_users"))
+      .where(col("win_start") < lit("2029-01-01").cast("timestamp"))
+      .orderBy("win_start")
+  }
+
   /** q_stream_session_window — Spark's native session windows (30-minute
     * gap) in append mode: the sentinel advances the watermark past every
     * real session's close so all of them flush. Cross-validates the custom
@@ -1080,6 +1112,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_join_static" -> streamJoinStatic _,
     "q_stream_tumbling" -> streamTumbling _,
+    "q_stream_window_distinct" -> streamWindowDistinct _,
     "q_stream_topk" -> streamTopk _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
@@ -1116,6 +1149,11 @@ object Streams {
         "date_trunc('minute', ts) + INTERVAL 1 MINUTE AS win_end, " +
         s"event_type, count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
         "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+    "q_stream_window_distinct" ->
+      ("SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS win_start, " +
+        "make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 + 1800000000) AS win_end, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1, 2 ORDER BY win_start"),
     "q_stream_sliding_session" ->
       ("WITH g AS (SELECT *, to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS g5 " +
         "FROM events), " +

@@ -1896,4 +1896,49 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(p50 <= p90)
     }
   }
+
+  test("q_event_stickiness: DAU/MAU replays; ratio bounded by 1") {
+    val out = Analytics.eventStickiness(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val ev = Tables(s, d, "events")
+      .select(date_format(col("ts"), "yyyy-MM").as("mon"),
+        to_date(col("ts")).as("day"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2))).distinct
+    out.foreach { case (mon, nDays, dauSum, mau, sticky) =>
+      val rows = ev.filter(_._1 == mon)
+      val days = rows.map(_._2).distinct
+      assert(nDays === days.length.toLong)
+      assert(dauSum === days.map(dd => rows.filter(_._2 == dd)
+        .map(_._3).distinct.length.toLong).sum)
+      assert(mau === rows.map(_._3).distinct.length.toLong)
+      assert(sticky === 1000000L * dauSum / (nDays * mau))
+      assert(sticky >= 0L && sticky <= 1000000L, "DAU/MAU is a fraction")
+    }
+  }
+
+  test("q_window_sharpe: power-sum identity; brute-force replay on a spot account") {
+    val out = Analytics.windowSharpe(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    assert(out.nonEmpty)
+    def dayNum(s0: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse(s0))
+    val acct0 = out.head._1
+    val series = out.filter(_._1 == acct0).map(t => (dayNum(t._2), t._3)).toMap
+    out.filter(_._1 == acct0).foreach { case (_, ds, _, nw, s1, s2, sharpe) =>
+      val d0 = dayNum(ds)
+      val frame = (d0 - 29 to d0).flatMap(series.get)
+      assert(nw === frame.length.toLong)
+      assert(s1 === frame.sum)
+      assert(s2 === frame.map(x => x * x).sum)
+      val mean = s1.toDouble / nw
+      val varr = s2.toDouble / nw - mean * mean
+      if (nw > 1 && nw * s2 > s1 * s1) {
+        assert(sharpe.isDefined)
+        assert(math.abs(sharpe.get - mean / math.sqrt(varr)) < 1e-4)
+      } else assert(sharpe.isEmpty)
+    }
+  }
 }

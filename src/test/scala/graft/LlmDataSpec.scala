@@ -2075,4 +2075,35 @@ class LlmDataSpec extends AnyFunSuite {
       .filter(_._2 >= 0.1).map(_._1).toSet
     assert(rangeSet === want, "range result must equal brute force")
   }
+
+  test("q_embed_centroid_eval: assignments replay from integer-micro centroids") {
+    val out = LlmData.embedCentroidEval(s, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = Tables(s, d, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+    assert(out.map(_._2).sum === vecs.length.toLong, "every vector evaluated")
+    out.foreach { case (_, n, correct, acc) =>
+      assert(correct >= 0L && correct <= n)
+      assert(acc === 1000000L * correct / n)
+    }
+    // full driver replay of the integer pipeline
+    val micro = vecs.map { case (id, lb, v) =>
+      (id, lb, v.map(x => math.round(x.toDouble * 1000000))) }
+    val dims = micro.head._3.length
+    val cents = micro.groupBy(_._2).map { case (lb, g) =>
+      lb -> Array.tabulate(dims)(i => g.map(_._3(i)).sum / g.length) }
+    val correctByLabel = micro.groupBy(_._2).map { case (lb, g) =>
+      lb -> g.count { case (_, _, vm) =>
+        val best = cents.toSeq.map { case (cl, cm) =>
+          (cl, vm.indices.map(i => vm(i) * cm(i)).sum) }
+          .sortBy { case (cl, sc) => (-sc, cl) }.head._1
+        best == lb
+      }.toLong }
+    out.foreach { case (lb, _, correct, _) =>
+      assert(correct === correctByLabel(lb), s"label $lb accuracy mismatch")
+    }
+    // the space must separate at least some labels better than chance
+    assert(out.map(_._3).sum * 10 > vecs.length.toLong,
+      "nearest-centroid no better than 10-way chance — suspicious")
+  }
 }

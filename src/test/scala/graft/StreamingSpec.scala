@@ -27,6 +27,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("q_stream_window_distinct equals the batch exact-distinct replay") {
+    val streamed = Streams.streamWindowDistinct(s, d).collect().toSeq
+    val batch = Tables(s, d, "events")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_users"))
+      .orderBy("win_start").collect().toSeq
+    assert(streamed === batch)
+    // distinct must actually bite: raw per-window event counts exceed it
+    val raw = Tables(s, d, "events")
+      .groupBy(window(col("ts"), "30 minutes")).count()
+      .agg(sum("count")).head.getLong(0)
+    assert(raw > streamed.map(_.getLong(2)).sum,
+      "no window had a repeat user — dedup untested")
+  }
+
   test("q_stream_sliding_session: every event lands in exactly two windows") {
     val total = Streams.streamSliding(s, d).agg(sum("n")).collect()(0).getLong(0)
     assert(total === 2 * Tables(s, d, "events").count())
