@@ -4297,6 +4297,85 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_corpus_token_budget — QUALITY-GREEDY TOKEN-BUDGET CUT: rank the
+    * corpus by quality (descending, doc_id tie-break) and keep the maximal
+    * prefix whose CUMULATIVE TOKEN COUNT stays under a fixed budget (40%
+    * of corpus tokens) — "fill the training budget with the best tokens
+    * first", the selection step between scoring and tokenization in every
+    * budgeted pretraining run. A doc is kept iff the tokens BEFORE it in
+    * rank order haven't exhausted the budget (`cum_before < B` — the
+    * standard greedy-prefix rule, so exactly one straddling doc may
+    * overrun). Quality is the [[withQualityScore]] expression fixed-pointed
+    * to integer micros; every cumulative is an exact integer.
+    *
+    * Scale: the global rank-order prefix sum uses the distributed
+    * two-stage scan — docs shard by QUALITY-VALUE RANGE (contiguous key
+    * ranges, so per-shard order concatenates globally), per-shard windows
+    * run in parallel, shard token bases come from one tiny broadcast
+    * aggregate. No global-order window ever sees the corpus
+    * (the [[packSequences]] / `q_agg_ks_test` doctrine).
+    */
+  def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = withQualityScore(t(s, d, "documents"))
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000, 0) AS BIGINT)").as("q_micro"),
+        col("n_tokens").cast("long").as("n_tok"))
+      .withColumn("key", lit(1000000L) - col("q_micro"))
+    val tot = docs.agg(sum(col("n_tok")).as("tt"))
+      .select(expr("(tt * 2) div 5").as("budget"))
+    val sh = docs.withColumn("shard", expr("key div 10000"))
+    val base = sh.groupBy("shard").agg(sum(col("n_tok")).as("st"))
+      .withColumn("b", coalesce(sum(col("st")).over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("shard", "b")
+    val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sh.withColumn("lc", sum(col("n_tok")).over(w))
+      .join(broadcast(base), "shard")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_before", col("b") + col("lc") - col("n_tok"))
+      .where(col("cum_before") < col("budget"))
+      .select("doc_id", "q_micro", "n_tok", "cum_before", "budget")
+      .orderBy("doc_id")
+  }
+
+  /** q_simsearch_maxsim — LATE-INTERACTION (MaxSim) RETRIEVAL, the
+    * ColBERT scoring rule: the query is a BAG of vectors (vec_ids 0–3),
+    * each document a bag too (vec_id div 4 groups the corpus into 4-vector
+    * docs), and score(doc) = Σ_q max_{v∈doc} ⟨q, v⟩ — each query vector
+    * finds its best-matching doc vector independently, which is what lets
+    * token-level embeddings beat single-vector retrieval. EXACT: dots are
+    * integer-micro products ([[embedCentroidEval]] discipline), max/sum
+    * are integer, top-10 ties break to the smaller doc id.
+    *
+    * Scale: the query bag is tiny → broadcast; the scan touches each
+    * corpus vector once per query vector (bounded fan-out, no doc-doc
+    * pairs); max-then-sum reduces with two keyed hash aggs. At 100 TB the
+    * same scoring drops onto an IVF-pruned candidate set exactly as the
+    * single-vector funnel does.
+    */
+  def simsearchMaxsim(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    def micro(c: String) = expr(
+      s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+    val q = emb.where(col("vec_id") <= 3)
+      .select(col("vec_id").as("qid"), micro("embedding").as("qm"))
+    val corpus = emb.where(col("vec_id") > 3)
+      .select(col("vec_id"), expr("vec_id div 4").as("doc_grp"),
+        micro("embedding").as("vm"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qm, vm, (a, b) -> a * b), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)"))
+      .groupBy("doc_grp", "qid")
+      .agg(max(col("dot")).as("best"))
+      .groupBy("doc_grp")
+      .agg(count(lit(1)).as("n_q"), sum(col("best")).as("score"))
+      .orderBy(col("score").desc, col("doc_grp"))
+      .limit(10)
+  }
+
   def corpusMixTemperature(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
     val w = docs.groupBy("source").agg(count(lit(1)).as("n"))
@@ -4986,6 +5065,8 @@ object LlmData {
     "q_text_heaps" -> textHeaps _,
     "q_simsearch_range" -> simsearchRange _,
     "q_embed_centroid_eval" -> embedCentroidEval _,
+    "q_corpus_token_budget" -> corpusTokenBudget _,
+    "q_simsearch_maxsim" -> simsearchMaxsim _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
@@ -5773,6 +5854,42 @@ object LlmData {
         "(1000000 * CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT)) // " +
         "CAST(count(*) AS BIGINT) AS acc_micro " +
         "FROM asg WHERE rk = 1 GROUP BY label ORDER BY label"),
+    // the quality CTEs replicate q_text_quality's oracle verbatim, then
+    // the greedy budget cut replays over the (key, doc_id) global order
+    "q_corpus_token_budget" ->
+      ("WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks, " +
+        "CAST(strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS n_punct " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens, n_punct, " +
+        s"CAST(len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop " +
+        "FROM b), " +
+        "q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tok, " +
+        "CAST(round((0.4 * (n_stop * 1.0 / n_tokens) + " +
+        "0.4 * (1.0 - n_punct * 1.0 / strlen(text)) + " +
+        "0.2 * least((strlen(text) * 1.0 / n_tokens) / 10.0, 1.0)) * 1000000, 0) " +
+        "AS BIGINT) AS q_micro FROM c), " +
+        "k AS (SELECT *, 1000000 - q_micro AS key FROM q), " +
+        "tot AS (SELECT (CAST(sum(n_tok) AS BIGINT) * 2) // 5 AS budget FROM k), " +
+        "w AS (SELECT doc_id, q_micro, n_tok, " +
+        "CAST(sum(n_tok) OVER (ORDER BY key, doc_id) - n_tok AS BIGINT) AS cum_before " +
+        "FROM k) " +
+        "SELECT doc_id, q_micro, n_tok, cum_before, budget FROM w, tot " +
+        "WHERE cum_before < budget ORDER BY doc_id"),
+    "q_simsearch_maxsim" ->
+      ("WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS m " +
+        "FROM embeddings), " +
+        "qx AS (SELECT vec_id AS qid, i, m AS qm FROM ex WHERE vec_id <= 3), " +
+        "dx AS (SELECT vec_id, vec_id // 4 AS doc_grp, i, m AS vm FROM ex " +
+        "WHERE vec_id > 3), " +
+        "dots AS (SELECT d.doc_grp, d.vec_id, q.qid, " +
+        "CAST(sum(q.qm * d.vm) AS BIGINT) AS dot " +
+        "FROM dx d JOIN qx q ON d.i = q.i GROUP BY 1, 2, 3), " +
+        "best AS (SELECT doc_grp, qid, CAST(max(dot) AS BIGINT) AS best " +
+        "FROM dots GROUP BY 1, 2) " +
+        "SELECT doc_grp, CAST(count(*) AS BIGINT) AS n_q, " +
+        "CAST(sum(best) AS BIGINT) AS score " +
+        "FROM best GROUP BY doc_grp ORDER BY score DESC, doc_grp LIMIT 10"),
     "q_text_heaps" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +

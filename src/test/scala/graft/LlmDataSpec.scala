@@ -2106,4 +2106,57 @@ class LlmDataSpec extends AnyFunSuite {
     assert(out.map(_._3).sum * 10 > vecs.length.toLong,
       "nearest-centroid no better than 10-way chance — suspicious")
   }
+
+  test("q_corpus_token_budget: greedy prefix in quality order; budget honored") {
+    val rows = LlmData.corpusTokenBudget(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val budget = rows.head._5
+    // replay the full ranking driver-side from the operator's own per-doc
+    // stats (quality micro + token count are oracle-checked elsewhere)
+    val all = LlmData.textQuality(s, d)
+      .select(col("doc_id"), col("n_tokens").cast("long"),
+        expr("CAST(round(quality * 1000000, 0) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ranked = all.sortBy { case (id, _, qm) => (-qm, id) }
+    var cum = 0L
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    ranked.foreach { case (id, nTok, _) =>
+      if (cum < budget) want += ((id, cum))
+      cum += nTok
+    }
+    assert(rows.length === want.length, "selected-set size")
+    assert(rows.map(_._1).toSet === want.map(_._1).toSet, "selected ids")
+    val cumById = want.toMap
+    rows.foreach { case (id, _, _, cumBefore, b) =>
+      assert(b === budget)
+      assert(cumBefore === cumById(id), s"cum_before mismatch at doc $id")
+      assert(cumBefore < budget, "greedy rule")
+    }
+    assert(rows.length < all.length, "budget must actually cut")
+    val totalToks = all.map(_._2).sum
+    assert(budget === totalToks * 2 / 5)
+  }
+
+  test("q_simsearch_maxsim: MaxSim replays; beats any single query vector's ranking") {
+    val rows = LlmData.simsearchMaxsim(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    rows.foreach { case (_, nQ, _) => assert(nQ === 4L, "all 4 query vectors") }
+    val scores = rows.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // exact driver replay
+    val vecs = Tables(s, d, "embeddings").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray))
+    val qs = vecs.filter(_._1 <= 3)
+    val docs = vecs.filter(_._1 > 3).groupBy(_._1 / 4)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val wantScores = docs.map { case (grp, vs) =>
+      grp -> qs.map { case (_, qv) => vs.map(v => dot(qv, v._2)).max }.sum }
+    val top = wantScores.toSeq.sortBy { case (g, sc) => (-sc, g) }.take(10)
+    assert(rows.map(r => (r._1, r._3)).toSeq === top, "MaxSim top-10 replay")
+  }
 }
