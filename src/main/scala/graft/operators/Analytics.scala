@@ -388,6 +388,36 @@ object Analytics {
       .orderBy("acct", "day_str")
   }
 
+  /** q_event_audience_overlap — AUDIENCE OVERLAP MATRIX: for every pair of
+    * event types, the exact distinct-user intersection and Jaccard
+    * similarity — "how much does the purchase audience overlap the search
+    * audience", the segmentation primitive behind campaign targeting and
+    * cannibalization checks. Exact integers end-to-end (micro Jaccard).
+    *
+    * Scale: the self-join runs on the DEDUPLICATED (type, user) grain
+    * keyed by user — each user contributes ≤ C(|types|, 2) pairs (types
+    * are a bounded dimension), so pair volume is O(users · types²), never
+    * O(events²); type sizes broadcast back onto the pair aggregate.
+    */
+  def eventAudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val tu = t(s, d, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.withColumnRenamed("event_type", "t1")
+        .withColumnRenamed("n", "n1")), "t1")
+      .join(broadcast(sizes.withColumnRenamed("event_type", "t2")
+        .withColumnRenamed("n", "n2")), "t2")
+      .withColumn("jaccard_micro",
+        expr("(1000000 * common) div (n1 + n2 - common)"))
+      .select("t1", "t2", "n1", "n2", "common", "jaccard_micro")
+      .orderBy("t1", "t2")
+  }
+
   /** q_agg_moments — HIGHER-MOMENT DISTRIBUTION PROFILE per market
     * segment: mean, variance, skewness, and excess kurtosis of order
     * values from EXACT integer raw power sums Σx..Σx⁴ (values in
@@ -3636,6 +3666,7 @@ object Analytics {
     "q_graph_powerlaw" -> graphPowerlaw _,
     "q_event_interarrival" -> eventInterarrival _,
     "q_event_stickiness" -> eventStickiness _,
+    "q_event_audience_overlap" -> eventAudienceOverlap _,
     "q_window_sharpe" -> windowSharpe _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
@@ -4811,6 +4842,17 @@ object Analytics {
         "SELECT d.mon, d.n_days, d.dau_sum, m.mau, " +
         "(1000000 * d.dau_sum) // (d.n_days * m.mau) AS stickiness_micro " +
         "FROM daily d JOIN monthly m ON d.mon = m.mon ORDER BY d.mon"),
+    "q_event_audience_overlap" ->
+      ("WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1), " +
+        "pr AS (SELECT a.event_type AS t1, b.event_type AS t2, " +
+        "CAST(count(*) AS BIGINT) AS common " +
+        "FROM tu a JOIN tu b ON a.user_id = b.user_id " +
+        "AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT t1, t2, s1.n AS n1, s2.n AS n2, common, " +
+        "(1000000 * common) // (s1.n + s2.n - common) AS jaccard_micro " +
+        "FROM pr JOIN sz s1 ON pr.t1 = s1.event_type " +
+        "JOIN sz s2 ON pr.t2 = s2.event_type ORDER BY t1, t2"),
     "q_window_sharpe" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

@@ -3119,6 +3119,39 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_novelty — PER-DOCUMENT N-GRAM NOVELTY against the ingestion
+    * order: the fraction of a document's DISTINCT 3-grams whose first
+    * corpus appearance (min doc_id over all docs) is this document — high
+    * novelty = genuinely new content, low = re-treads of earlier documents
+    * (the per-doc complement of [[textSubstringDedup]]'s span detector and
+    * the gram-grain sibling of [[textHeaps]]'s vocabulary curve). Exact
+    * integer counts and micro ratio.
+    *
+    * Scale: first-appearance is one gram-keyed hash aggregate (min is
+    * associative — no ordered scan); the re-attach join is keyed by gram
+    * with uniform md5-free keys, and per-doc reduction is a keyed agg.
+    * Nothing quadratic, no global order.
+    */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("gram"))
+      .distinct()
+    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micro",
+        expr("(1000000 * n_novel) div n_distinct_grams"))
+      .select("doc_id", "n_distinct_grams", "n_novel", "novelty_micro")
+      .orderBy("doc_id")
+  }
+
   /** q_text_heaps — HEAPS'-LAW VOCABULARY GROWTH audit: the corpus is cut
     * into 10 contiguous doc_id deciles; per decile the cumulative token
     * count and cumulative DISTINCT vocabulary are exact integers (a
@@ -5067,6 +5100,7 @@ object LlmData {
     "q_embed_centroid_eval" -> embedCentroidEval _,
     "q_corpus_token_budget" -> corpusTokenBudget _,
     "q_simsearch_maxsim" -> simsearchMaxsim _,
+    "q_text_novelty" -> textNovelty _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
@@ -5890,6 +5924,19 @@ object LlmData {
         "SELECT doc_grp, CAST(count(*) AS BIGINT) AS n_q, " +
         "CAST(sum(best) AS BIGINT) AS score " +
         "FROM best GROUP BY doc_grp ORDER BY score DESC, doc_grp LIMIT 10"),
+    "q_text_novelty" ->
+      ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram FROM b), " +
+        "fst AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram) " +
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_grams, " +
+        "CAST(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_novel, " +
+        "(1000000 * CAST(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END) " +
+        "AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_micro " +
+        "FROM g JOIN fst ON g.gram = fst.gram " +
+        "GROUP BY g.doc_id ORDER BY g.doc_id"),
     "q_text_heaps" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +

@@ -654,6 +654,56 @@ object PipelineIngest {
       .orderBy("version", "o_orderstatus")
   }
 
+  /** q_maintain_restore — VERSION RESTORE WITHOUT REWRITE: the lake-table
+    * undo button. A base commit (v1) and an append commit (v2) build the
+    * same manifest-versioned table as [[scanTimeTravel]]; the RESTORE then
+    * publishes v3 whose manifest is v1's FILE LIST VERBATIM — no data file
+    * is copied, moved, or rewritten (the whole point of manifest-style
+    * metadata: undo is a metadata commit, the appended files simply stop
+    * being referenced and remain reclaimable by vacuum). The output proves
+    * the contract: v3's aggregate must equal the pre-append state while v2
+    * still reads the appended rows.
+    *
+    * Scale: restore cost is one manifest write regardless of table size —
+    * the property that makes rollback viable on a 100 TB table.
+    */
+  def maintainRestore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_restore"
+    val tableDir = s"$root/table"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val orders = graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.where(col("o_orderkey") % 10 =!= 0)
+      .repartition(8).write.mode("overwrite").parquet(tableDir)
+    def listData(): Seq[String] = fs.listStatus(new Path(tableDir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq.sorted
+    import s.implicits._
+    val v1 = listData()
+    v1.toDF("path").coalesce(1).write.mode("overwrite").parquet(s"$root/v1")
+    orders.where(col("o_orderkey") % 10 === 0)
+      .repartition(2).write.mode("append").parquet(tableDir)
+    listData().toDF("path").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/v2")
+    // RESTORE: v3 manifest := v1 manifest (pure metadata commit)
+    s.read.parquet(s"$root/v1").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/v3")
+    def readAt(v: String): DataFrame = {
+      val files = s.read.parquet(s"$root/$v").select("path")
+        .collect().map(_.getString(0))
+      s.read.parquet(files: _*)
+    }
+    def agg(df: DataFrame, version: Int): DataFrame = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("sum_price"))
+      .select(lit(version).as("version"), col("o_orderstatus"), col("n"),
+        col("sum_price"))
+    agg(readAt("v2"), 2).unionByName(agg(readAt("v3"), 3))
+      .orderBy("version", "o_orderstatus")
+  }
+
   /** q_join_dpp — DYNAMIC PARTITION PRUNING: the fact side is a
     * day-partitioned lake table, the filter lives on the DIMENSION
     * (an attribute of the day, not the partition key itself), and Spark
@@ -696,6 +746,7 @@ object PipelineIngest {
     "q_maintain_clone" -> maintainClone _,
     "q_maintain_vacuum" -> maintainVacuum _,
     "q_scan_time_travel" -> scanTimeTravel _,
+    "q_maintain_restore" -> maintainRestore _,
     "q_join_dpp" -> joinDpp _,
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
@@ -722,6 +773,16 @@ object PipelineIngest {
         s"SELECT CAST(2 AS INT) AS version, o_orderstatus, count(*) AS n, " +
         s"${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
         "FROM orders GROUP BY o_orderstatus " +
+        "ORDER BY version, o_orderstatus"),
+    // v2 = full table (post-append), v3 = restored-to-v1 = base subset
+    "q_maintain_restore" ->
+      (s"SELECT CAST(2 AS INT) AS version, o_orderstatus, count(*) AS n, " +
+        s"${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
+        "FROM orders GROUP BY o_orderstatus " +
+        "UNION ALL " +
+        s"SELECT CAST(3 AS INT) AS version, o_orderstatus, count(*) AS n, " +
+        s"${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
+        "FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY o_orderstatus " +
         "ORDER BY version, o_orderstatus"),
     // DPP result == the flat attribute predicate applied directly
     "q_join_dpp" ->

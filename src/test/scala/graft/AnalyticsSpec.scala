@@ -1941,4 +1941,24 @@ class AnalyticsSpec extends AnyFunSuite {
       } else assert(sharpe.isEmpty)
     }
   }
+
+  test("q_event_audience_overlap: pairwise Jaccard replays from user sets") {
+    val rows = Analytics.eventAudienceOverlap(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val tu = Tables(s, d, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val types = tu.keys.toSeq.sorted
+    assert(rows.length === types.combinations(2).length,
+      "every type pair present")
+    rows.foreach { case (t1, t2, n1, n2, common, jac) =>
+      assert(t1 < t2, "canonical pair order")
+      assert(n1 === tu(t1).size.toLong && n2 === tu(t2).size.toLong)
+      assert(common === (tu(t1) & tu(t2)).size.toLong)
+      assert(jac === 1000000L * common / (n1 + n2 - common))
+    }
+  }
 }

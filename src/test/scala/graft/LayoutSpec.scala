@@ -200,4 +200,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(n(1) === expectedV1, s"v1 read drifted: ${n(1)} vs $expectedV1")
     assert(n(2) === expectedV2, s"v2 read drifted: ${n(2)} vs $expectedV2")
   }
+
+  test("q_maintain_restore: restore is a pure metadata commit (v3 ≡ v1, files untouched)") {
+    val rows = sources.PipelineIngest.maintainRestore(spark, sf).collect()
+    val n = rows.groupBy(_.getAs[Int]("version")).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val base = Tables(spark, sf, "orders")
+      .where(col("o_orderkey") % 10 =!= 0).count()
+    assert(n(3) === base, "restored version must equal the pre-append state")
+    assert(n(2) === Tables(spark, sf, "orders").count())
+    // restore must not copy data: v3 manifest references v1's files verbatim
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_restore"
+    val v1 = spark.read.parquet(s"$root/v1").collect().map(_.getString(0)).sorted
+    val v3 = spark.read.parquet(s"$root/v3").collect().map(_.getString(0)).sorted
+    assert(v1.toSeq === v3.toSeq, "v3 manifest must be v1's file list verbatim")
+  }
 }

@@ -2159,4 +2159,28 @@ class LlmDataSpec extends AnyFunSuite {
     val top = wantScores.toSeq.sortBy { case (g, sc) => (-sc, g) }.take(10)
     assert(rows.map(r => (r._1, r._3)).toSeq === top, "MaxSim top-10 replay")
   }
+
+  test("q_text_novelty: first-appearance attribution replays; doc 0 is fully novel") {
+    val rows = LlmData.textNovelty(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+    val gramsByDoc = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).map(_.mkString(" ")).toSet }.toMap
+    val firstDoc = gramsByDoc.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, o) => g -> o.map(_._2).min }
+    assert(rows.length === docs.length)
+    rows.foreach { case (id, nDistinct, nNovel, micro) =>
+      val gs = gramsByDoc(id)
+      assert(nDistinct === gs.size.toLong)
+      assert(nNovel === gs.count(g => firstDoc(g) == id).toLong,
+        s"novel-gram count mismatch at doc $id")
+      assert(micro === 1000000L * nNovel / nDistinct)
+    }
+    // the earliest doc owns all its grams; later docs must lose some
+    assert(rows.head._4 === 1000000L, "first doc fully novel")
+    assert(rows.exists(_._4 < 1000000L), "no re-tread detected — suspicious")
+  }
 }

@@ -657,4 +657,32 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name should plan a keyed equi join:\n$p")
     }
   }
+
+  test("q_join_interval_overlap: the interval×interval join is a keyed hash join on the bucket") {
+    val p = plan(graft.operators.Analytics.joinIntervalOverlap(s, d))
+    assert(!p.contains("CartesianProduct"),
+      s"interval overlap must not plan a cartesian product:\n$p")
+    // the interval join itself must be an equi join on the band bucket,
+    // carrying the exact overlap predicate as its residual; the only
+    // nested-loop allowed is the 1-row bounds/delta constant attach
+    val joinLine = p.linesIterator
+      .find(l => l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin"))
+      .getOrElse("")
+    assert(joinLine.contains("[b#") && joinLine.contains("w_en"),
+      s"expected the bucket equi join with the overlap residual:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row bounds attach may nested-loop:\n$p")
+  }
+
+  test("q_agg_ks_test's corpus-sized CDF window partitions by the value-range shard") {
+    val p = plan(graft.operators.Analytics.aggKsTest(s, d))
+    assert(p.contains("windowspecdefinition(shard"),
+      s"CDF prefix sum must run under the shard partitioning:\n$p")
+  }
+
+  test("q_corpus_token_budget's rank-prefix window partitions by the quality shard") {
+    val p = plan(graft.operators.LlmData.corpusTokenBudget(s, d))
+    assert(p.contains("windowspecdefinition(shard"),
+      s"budget prefix sum must run under the shard partitioning:\n$p")
+  }
 }
