@@ -418,6 +418,87 @@ object Analytics {
       .orderBy("t1", "t2")
   }
 
+  /** q_window_atr — AVERAGE TRUE RANGE on the weekly OHLC bars of
+    * [[timeseriesOhlc]]: true range = max(high − low, |high − prev close|,
+    * |low − prev close|) — the gap-aware volatility measure — smoothed by
+    * the dyadic-decay EWMA over the trailing 8 bars ([[windowEwma]]'s
+    * integer trick on ROW index instead of day, since bars are already
+    * the series grain). First bar's TR is high − low. All integer cents.
+    *
+    * Scale: the OHLC rollup absorbs the corpus scan; the lag and the
+    * 8-struct EWMA frame partition by account over week-grain rows
+    * (calendar-bounded).
+    */
+  def windowAtr(s: SparkSession, d: String): DataFrame = {
+    val ohlc = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("acct", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("week", date_format(date_trunc("week", col("day")), "yyyy-MM-dd"))
+      .groupBy("acct", "week")
+      .agg(max(col("cents")).as("high_cents"), min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("day")).as("close_cents"))
+    val ord = Window.partitionBy("acct").orderBy("week")
+    val withTr = ohlc
+      .withColumn("prev_close", lag(col("close_cents"), 1).over(ord))
+      .withColumn("tr",
+        when(col("prev_close").isNull, col("high_cents") - col("low_cents"))
+          .otherwise(greatest(col("high_cents") - col("low_cents"),
+            abs(col("high_cents") - col("prev_close")),
+            abs(col("low_cents") - col("prev_close")))))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+    val w8 = Window.partitionBy("acct").orderBy("rn").rangeBetween(-7, 0)
+    withTr
+      .withColumn("fr", collect_list(
+        struct(col("rn").as("fd"), col("tr").as("fc"))).over(w8))
+      .withColumn("atr_cents", expr(
+        "aggregate(fr, CAST(0 AS BIGINT), (acc, x) -> " +
+          "acc + x.fc * shiftleft(CAST(1 AS BIGINT), CAST(7 - (rn - x.fd) AS INT))) div " +
+          "aggregate(fr, CAST(0 AS BIGINT), (acc, x) -> " +
+          "acc + shiftleft(CAST(1 AS BIGINT), CAST(7 - (rn - x.fd) AS INT)))"))
+      .select("acct", "week", "high_cents", "low_cents", "close_cents",
+        "tr", "atr_cents")
+      .orderBy("acct", "week")
+  }
+
+  /** q_agg_raking_step — ONE ITERATIVE-PROPORTIONAL-FITTING (raking) step
+    * over the segment × nation contingency table: scale cell weights to
+    * hit a UNIFORM segment margin, then rescale the result to hit a
+    * uniform nation margin — the survey-weighting primitive behind
+    * post-stratification (each full IPF iteration is exactly this pair of
+    * passes). Integer micro weights with explicit truncating divisions,
+    * so both engines produce bit-identical weights; after the column pass
+    * the nation margins match the target to within per-cell truncation
+    * (asserted in the spec) while segment margins drift — which is WHY
+    * IPF iterates.
+    *
+    * Scale: all arithmetic at cell/margin grain after one corpus hash
+    * aggregate; a production raking loop runs this step k times over the
+    * same bounded table.
+    */
+  def aggRakingStep(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("geo"))
+      .agg(count(lit(1)).as("o"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("seg")).as("nr"), countDistinct(col("geo")).as("nc"))
+    val rowm = cells.groupBy("seg").agg(sum(col("o")).as("rt"))
+    val w1 = cells.join(broadcast(rowm), "seg").crossJoin(broadcast(tot))
+      // row pass: scale each seg row to the uniform target n/nr
+      .withColumn("w1_micro", expr("(1000000 * o * n) div (nr * rt)"))
+    val colm1 = w1.groupBy("geo").agg(sum(col("w1_micro")).as("ct1"))
+    w1.join(broadcast(colm1), "geo")
+      // column pass: rescale to the uniform nation target n/nc (micro)
+      .withColumn("w2_micro",
+        expr("(w1_micro * ((1000000 * n) div nc)) div ct1"))
+      .select("seg", "geo", "o", "w1_micro", "w2_micro")
+      .orderBy("seg", "geo")
+  }
+
   /** q_agg_moments — HIGHER-MOMENT DISTRIBUTION PROFILE per market
     * segment: mean, variance, skewness, and excess kurtosis of order
     * values from EXACT integer raw power sums Σx..Σx⁴ (values in
@@ -3667,6 +3748,8 @@ object Analytics {
     "q_event_interarrival" -> eventInterarrival _,
     "q_event_stickiness" -> eventStickiness _,
     "q_event_audience_overlap" -> eventAudienceOverlap _,
+    "q_window_atr" -> windowAtr _,
+    "q_agg_raking_step" -> aggRakingStep _,
     "q_window_sharpe" -> windowSharpe _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
@@ -4853,6 +4936,45 @@ object Analytics {
         "(1000000 * common) // (s1.n + s2.n - common) AS jaccard_micro " +
         "FROM pr JOIN sz s1 ON pr.t1 = s1.event_type " +
         "JOIN sz s2 ON pr.t2 = s2.event_type ORDER BY t1, t2"),
+    "q_window_atr" ->
+      ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "ohlc AS (SELECT acct, strftime(date_trunc('week', day), '%Y-%m-%d') AS week, " +
+        "CAST(max(cents) AS BIGINT) AS high_cents, " +
+        "CAST(min(cents) AS BIGINT) AS low_cents, " +
+        "arg_max(cents, day) AS close_cents " +
+        "FROM daily GROUP BY acct, week), " +
+        "tr0 AS (SELECT *, lag(close_cents) OVER " +
+        "(PARTITION BY acct ORDER BY week) AS prev_close FROM ohlc), " +
+        "trt AS (SELECT acct, week, high_cents, low_cents, close_cents, " +
+        "CASE WHEN prev_close IS NULL THEN high_cents - low_cents " +
+        "ELSE greatest(high_cents - low_cents, abs(high_cents - prev_close), " +
+        "abs(low_cents - prev_close)) END AS tr, " +
+        "CAST(row_number() OVER (PARTITION BY acct ORDER BY week) AS BIGINT) AS rn " +
+        "FROM tr0) " +
+        "SELECT a.acct, a.week, a.high_cents, a.low_cents, a.close_cents, a.tr, " +
+        "CAST(sum(b.tr * (CAST(1 AS BIGINT) << CAST(7 - (a.rn - b.rn) AS INT))) AS BIGINT) // " +
+        "CAST(sum(CAST(1 AS BIGINT) << CAST(7 - (a.rn - b.rn) AS INT)) AS BIGINT) AS atr_cents " +
+        "FROM trt a JOIN trt b ON a.acct = b.acct AND b.rn BETWEEN a.rn - 7 AND a.rn " +
+        "GROUP BY a.acct, a.week, a.high_cents, a.low_cents, a.close_cents, a.tr " +
+        "ORDER BY a.acct, a.week"),
+    "q_agg_raking_step" ->
+      ("WITH cells AS (SELECT c_mktsegment AS seg, n_name AS geo, " +
+        "CAST(count(*) AS BIGINT) AS o " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, " +
+        "CAST(count(DISTINCT seg) AS BIGINT) AS nr, " +
+        "CAST(count(DISTINCT geo) AS BIGINT) AS nc FROM cells), " +
+        "rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1), " +
+        "w1 AS (SELECT cells.seg, cells.geo, cells.o, " +
+        "(1000000 * cells.o * n) // (nr * rt) AS w1_micro, n, nc " +
+        "FROM cells JOIN rm ON cells.seg = rm.seg, tot), " +
+        "cm1 AS (SELECT geo, CAST(sum(w1_micro) AS BIGINT) AS ct1 FROM w1 GROUP BY 1) " +
+        "SELECT w1.seg, w1.geo, w1.o, w1.w1_micro, " +
+        "(w1.w1_micro * ((1000000 * n) // nc)) // ct1 AS w2_micro " +
+        "FROM w1 JOIN cm1 ON w1.geo = cm1.geo ORDER BY w1.seg, w1.geo"),
     "q_window_sharpe" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

@@ -83,6 +83,38 @@ object Relational {
       .select("l_orderkey", "l_extendedprice")
       .orderBy("l_orderkey", "l_extendedprice")
 
+  /** q_scan_observed — IN-FLIGHT QUERY METRICS via Spark's `Observation`
+    * API (`df.observe`): data-quality counters (row count, exact cent sum,
+    * null count, max date) ride the SAME scan that serves the query — no
+    * second pass over the data, which at 100 TB is the difference between
+    * "audited" and "audited at double cost". The observed values are
+    * collected by the AQE-safe observation listener after one action and
+    * released as a 1-row audit frame; the oracle recomputes them with a
+    * plain aggregate, proving the piggy-backed counters equal the ground
+    * truth.
+    *
+    * Scale: observe() adds a CollectMetrics node — an accumulator fold,
+    * no shuffle, no extra scan; the driver holds 4 scalars.
+    */
+  def scanObserved(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val base = t(s, d, "orders").observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(round(col("o_totalprice") * 100, 0).cast("long")).as("sum_cents"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+        .as("n_null_priority"),
+      max(to_date(col("o_orderdate"))).as("max_day"))
+    // the action the metrics ride on: a real consumer of the scan
+    base.where(col("o_orderkey") % 1000 === 0).count()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("sum_cents").asInstanceOf[Long],
+      m("n_null_priority").asInstanceOf[Long],
+      m("max_day").toString))
+      .toDF("n_rows", "sum_cents", "n_null_priority", "max_day")
+  }
+
   /** q_sink_partitioned — daily-partitioned write + partition-pruned re-read
     * (the reference's yesterday-cadence landing, script-dag-dock-report:59).
     * Writes under java.io.tmpdir; mode overwrite mirrors `replace=True`
@@ -1445,6 +1477,7 @@ object Relational {
     "q_sql_grouping_sets" -> sqlGroupingSets _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
+    "q_scan_observed" -> scanObserved _,
     "q_sink_partitioned" -> sinkPartitioned _,
     "q_filter_predicate" -> filterPredicate _,
     "q_project_expr" -> projectExpr _,
@@ -1552,6 +1585,13 @@ object Relational {
     "q_scan_pruned" ->
       ("SELECT l_orderkey, l_extendedprice FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '2000-01-01' ORDER BY l_orderkey, l_extendedprice"),
+    "q_scan_observed" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_null_priority, " +
+        "strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_day " +
+        "FROM orders"),
     "q_sink_partitioned" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, " +
         s"${sqlSumExact("value", 2)} AS sum_value " +

@@ -1961,4 +1961,58 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(jac === 1000000L * common / (n1 + n2 - common))
     }
   }
+
+  test("q_window_atr: true range replays; ATR is a convex combination of frame TRs") {
+    val out = Analytics.windowAtr(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    val acct0 = out.head._1
+    val series = out.filter(_._1 == acct0).sortBy(_._2)
+    series.zipWithIndex.foreach { case ((_, _, hi, lo, close, tr, atr), i) =>
+      val want = if (i == 0) hi - lo
+      else {
+        val prevClose = series(i - 1)._5
+        math.max(hi - lo, math.max(math.abs(hi - prevClose),
+          math.abs(lo - prevClose)))
+      }
+      assert(tr === want, s"TR mismatch at bar $i")
+      val frame = series.slice(math.max(0, i - 7), i + 1).map(_._6)
+      assert(atr >= frame.min - 1 && atr <= frame.max,
+        "ATR must lie within the frame's TR envelope")
+      // exact dyadic replay
+      val n = frame.length
+      val num = frame.zipWithIndex.map { case (t0, j) =>
+        t0 * (1L << (7 - (n - 1 - j))) }.sum
+      val den = frame.indices.map(j => 1L << (7 - (n - 1 - j))).sum
+      assert(atr === num / den, s"ATR fold mismatch at bar $i")
+    }
+  }
+
+  test("q_agg_raking_step: column margins hit the uniform target within truncation") {
+    val rows = Analytics.aggRakingStep(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._3).sum
+    val nr = rows.map(_._1).distinct.length
+    val nc = rows.map(_._2).distinct.length
+    // row pass: every segment's w1 sum hits n/nr within per-cell truncation
+    rows.groupBy(_._1).foreach { case (seg, g) =>
+      val target = 1000000L * n / nr
+      assert(math.abs(g.map(_._4).sum - target) <= g.length.toLong * nr,
+        s"segment $seg w1 margin off target")
+    }
+    // column pass: every nation's w2 sum hits n/nc within truncation
+    rows.groupBy(_._2).foreach { case (geo, g) =>
+      val target = 1000000L * n / nc
+      assert(math.abs(g.map(_._5).sum - target) <= g.length.toLong * nc + nc,
+        s"nation $geo w2 margin off target")
+    }
+    // and raking preserved positivity + zero cells stay zero
+    rows.foreach { case (_, _, o, w1, w2) =>
+      assert(w1 >= 0 && w2 >= 0)
+      if (o == 0) assert(w1 === 0L && w2 === 0L)
+    }
+  }
 }

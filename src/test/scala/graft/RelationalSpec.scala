@@ -429,4 +429,17 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getDouble(2) <= r.getDouble(3), "p50 exceeds p90")
     }
   }
+
+  test("q_scan_observed: piggy-backed metrics equal the direct aggregate") {
+    val row = operators.Relational.scanObserved(s, d).head
+    val direct = Tables(s, d, "orders").agg(
+      count(lit(1)),
+      sum(round(col("o_totalprice") * 100, 0).cast("long")),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)),
+      date_format(max(to_date(col("o_orderdate"))), "yyyy-MM-dd")).head
+    assert(row.getLong(0) === direct.getLong(0))
+    assert(row.getLong(1) === direct.getLong(1))
+    assert(row.getLong(2) === direct.getLong(2))
+    assert(row.getString(3) === direct.getString(3))
+  }
 }
