@@ -3293,6 +3293,46 @@ object Analytics {
         col("d_num"), r(col("d_num") / (col("n1") * col("n2")), 6).as("d_stat"))
   }
 
+  /** q_agg_delta_method — DELTA-METHOD STANDARD ERROR for a ratio metric
+    * (revenue per event): user-level ratios can't be averaged (users
+    * contribute unequal denominators) and the naive SE on the pooled ratio
+    * ignores user-level clustering — the delta method gives
+    * Var(ΣX/ΣY) ≈ (σ²_x + r²σ²_y − 2r·σ_xy) / (n·ȳ²), the standard fix
+    * every experimentation platform ships. All five moments are EXACT
+    * long power sums at user grain (cents · counts — bounded); the final
+    * ratio/variance/SE are identical-op doubles, 6 dp.
+    *
+    * Scale: one keyed agg to user grain, one global power-sum agg — a
+    * 1-row release at any corpus size.
+    */
+  def aggDeltaMethod(s: SparkSession, d: String): DataFrame = {
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("x"),
+        count(lit(1)).as("y"))
+    users.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("r", col("sx") / col("sy"))
+      .withColumn("mx", col("sx") / col("n"))
+      .withColumn("my", col("sy") / col("n"))
+      .withColumn("vx", col("sxx") / col("n") - col("mx") * col("mx"))
+      .withColumn("vy", col("syy") / col("n") - col("my") * col("my"))
+      .withColumn("cxy", col("sxy") / col("n") - col("mx") * col("my"))
+      .withColumn("var_r",
+        (col("vx") + col("r") * col("r") * col("vy") -
+          lit(2) * col("r") * col("cxy")) /
+          (col("n") * col("my") * col("my")))
+      .select(col("n"), col("sx"), col("sy"),
+        r(col("r"), 6).as("ratio"),
+        r(sqrt(col("var_r")), 6).as("se"),
+        r(col("r") - lit(1.96) * sqrt(col("var_r")), 6).as("ci_lo"),
+        r(col("r") + lit(1.96) * sqrt(col("var_r")), 6).as("ci_hi"))
+  }
+
   // ------------------------------------------------------------------ CUPED
 
   /** q_agg_ab_cuped — CUPED VARIANCE REDUCTION for the A/B readout: adjust
@@ -3688,6 +3728,7 @@ object Analytics {
     "q_event_attribution_decay" -> eventAttributionDecay _,
     "q_agg_ab_test" -> aggAbTest _,
     "q_agg_ks_test" -> aggKsTest _,
+    "q_agg_delta_method" -> aggDeltaMethod _,
     "q_timeseries_anomaly_stl" -> timeseriesAnomalyStl _,
     "q_window_lag_features" -> windowLagFeatures _,
     "q_sample_balanced" -> sampleBalanced _,
@@ -3993,6 +4034,24 @@ object Analytics {
         "SELECT n1, n2, cents AS at_cents, d_num, " +
         s"${sqlR("d_num / (n1 * n2)", 6)} AS d_stat " +
         "FROM s ORDER BY d_num DESC, cents LIMIT 1"),
+    "q_agg_delta_method" ->
+      ("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN " +
+        "CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY user_id), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy FROM u), " +
+        "m AS (SELECT *, sx / sy AS r, sx / n AS mx, sy / n AS my FROM a), " +
+        "v AS (SELECT *, sxx / n - mx * mx AS vx, syy / n - my * my AS vy, " +
+        "sxy / n - mx * my AS cxy FROM m), " +
+        "vr AS (SELECT *, (vx + r * r * vy - 2 * r * cxy) / (n * my * my) " +
+        "AS var_r FROM v) " +
+        s"SELECT n, sx, sy, ${sqlR("r", 6)} AS ratio, " +
+        s"${sqlR("sqrt(var_r)", 6)} AS se, " +
+        s"${sqlR("r - 1.96 * sqrt(var_r)", 6)} AS ci_lo, " +
+        s"${sqlR("r + 1.96 * sqrt(var_r)", 6)} AS ci_hi FROM vr"),
     "q_window_lag_features" ->
       ("WITH grain AS (SELECT n_name, CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +

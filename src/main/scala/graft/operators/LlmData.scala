@@ -3251,6 +3251,68 @@ object LlmData {
       .orderBy("label")
   }
 
+  /** q_embed_hard_negatives — HARD-NEGATIVE MINING for contrastive
+    * training: for each anchor vector, the top-3 most similar vectors with
+    * a DIFFERENT label — the examples a contrastive loss needs most (easy
+    * negatives teach nothing; the near-boundary ones define it). Anchors
+    * are the first 20 vectors; similarity is the exact integer-micro dot
+    * ([[embedCentroidEval]] discipline), ties break to the smaller
+    * candidate id.
+    *
+    * Scale: the anchor set is the bounded working set of one mining round
+    * → broadcast against one corpus scan (each vector scored against
+    * ≤|anchors|); per-anchor top-k reduces with bounded heaps. Production
+    * rounds sweep anchors in batches; each batch is this plan. At 100 TB
+    * the scan drops onto the IVF-pruned candidate cells per anchor.
+    */
+  def embedHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    def micro(c: String) = expr(
+      s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+    val anchors = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        micro("embedding").as("am"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .where(col("label") =!= col("anchor_label"))
+      .withColumn("vm", micro("embedding"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(am, vm, (a, b) -> a * b), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("dot").desc, col("vec_id"))))
+      .where(col("rk") <= 3)
+      .select(col("anchor_id"), col("anchor_label"), col("rk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"), col("dot"))
+      .orderBy("anchor_id", "rk")
+  }
+
+  /** q_sample_systematic — SYSTEMATIC (every k-th) SAMPLING by GLOBAL
+    * RANK, the stratified-in-time classic: order orders by key, keep ranks
+    * ≡ 3 (mod 97) — equal-probability, perfectly spread coverage that
+    * hash sampling ([[sampleHash]]) doesn't give (hash is uniform but not
+    * evenly SPACED along the sort dimension). The global rank is the
+    * distributed two-stage scan yet again — key-range shards, parallel
+    * per-shard ranks, broadcast shard bases — never a global-order window.
+    */
+  def sampleSystematic(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("shard", expr("o_orderkey div 8192"))
+    val base = o.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .withColumn("b", coalesce(sum(col("cnt")).over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("shard", "b")
+    val w = Window.partitionBy("shard").orderBy("o_orderkey")
+    o.withColumn("lr", row_number().over(w).cast("long"))
+      .join(broadcast(base), "shard")
+      .withColumn("rnk", col("b") + col("lr"))
+      .where(expr("rnk % 97 = 3"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "rnk")
+      .orderBy("rnk")
+  }
+
   def simsearchRange(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -5101,6 +5163,8 @@ object LlmData {
     "q_corpus_token_budget" -> corpusTokenBudget _,
     "q_simsearch_maxsim" -> simsearchMaxsim _,
     "q_text_novelty" -> textNovelty _,
+    "q_embed_hard_negatives" -> embedHardNegatives _,
+    "q_sample_systematic" -> sampleSystematic _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
@@ -5937,6 +6001,27 @@ object LlmData {
         "AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_micro " +
         "FROM g JOIN fst ON g.gram = fst.gram " +
         "GROUP BY g.doc_id ORDER BY g.doc_id"),
+    "q_embed_hard_negatives" ->
+      ("WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS m " +
+        "FROM embeddings), " +
+        "anch AS (SELECT vec_id AS anchor_id, label AS anchor_label, i, m AS am " +
+        "FROM ex WHERE vec_id < 20), " +
+        "sc AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label, " +
+        "CAST(sum(a.am * e.m) AS BIGINT) AS dot " +
+        "FROM ex e JOIN anch a ON e.i = a.i AND e.label <> a.anchor_label " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id " +
+        "ORDER BY dot DESC, vec_id) AS INT) AS rk FROM sc) " +
+        "SELECT anchor_id, anchor_label, rk, vec_id AS neg_id, " +
+        "label AS neg_label, dot FROM rk WHERE rk <= 3 " +
+        "ORDER BY anchor_id, rk"),
+    "q_sample_systematic" ->
+      ("WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rnk " +
+        "FROM orders) " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM r " +
+        "WHERE rnk % 97 = 3 ORDER BY rnk"),
     "q_text_heaps" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +

@@ -241,6 +241,33 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q_join_asof_forward — FORWARD AS-OF JOIN (pandas
+    * merge_asof(direction='forward')): each purchase matches its user's
+    * NEXT click — the "time-to-next-action" primitive behind response
+    * latency and next-touch attribution, where the backward join answers
+    * "what state was current". Same one-window shape as
+    * [[joinAsofRange]], mirrored: a min over the FOLLOWING frame
+    * (strictly after this row in the (ts, event_id) order, so a click
+    * sharing the purchase's timestamp but sorted earlier never matches —
+    * deterministic tie policy, replayed identically by the oracle).
+    *
+    * Scale: one shuffle on user_id, one ordered window pass, O(1) frame
+    * state — no event×event range join at any volume.
+    */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("next_click_us",
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("p_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("p_us").as("purchase_us"),
+        col("next_click_us"),
+        expr("(next_click_us - p_us) div 1000000").as("wait_s"))
+      .orderBy("event_id")
+  }
+
   /** q_join_asof_tolerance — AS-OF JOIN WITH MAX-STALENESS TOLERANCE
     * (pandas merge_asof(tolerance=...) / kdb aj semantics): each purchase
     * attributes to its user's most recent click ONLY if that click is at
@@ -1488,6 +1515,7 @@ object Relational {
     "q_join_outer" -> joinOuter _,
     "q_join_asof_range" -> joinAsofRange _,
     "q_join_asof_tolerance" -> joinAsofTolerance _,
+    "q_join_asof_forward" -> joinAsofForward _,
     "q_join_nullsafe" -> joinNullsafe _,
     "q_join_null_aware_anti" -> joinNullAwareAnti _,
     "q_agg_cms_merge" -> aggCmsMerge _,
@@ -1806,6 +1834,14 @@ object Relational {
         "last_click_us IS NOT NULL AND " +
         "epoch_us(ts) - last_click_us <= 7200000000 AS matched " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+    "q_join_asof_forward" ->
+      ("SELECT event_id, user_id, purchase_us, next_click_us, " +
+        "(next_click_us - purchase_us) // 1000000 AS wait_s FROM (" +
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS purchase_us, " +
+        "min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_us " +
+        "FROM events) t WHERE event_type = 'purchase' ORDER BY event_id"),
     "q_sql_lateral" ->
       ("SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice " +
         "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +

@@ -2183,4 +2183,45 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.head._4 === 1000000L, "first doc fully novel")
     assert(rows.exists(_._4 < 1000000L), "no re-tread detected — suspicious")
   }
+
+  test("q_embed_hard_negatives: label-disjoint, rank-ordered, brute-force exact") {
+    val rows = LlmData.embedHardNegatives(s, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))
+    val vecs = Tables(s, d, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray))
+    val anchors = vecs.filter(_._1 < 20)
+    assert(rows.length === anchors.length * 3)
+    rows.foreach { case (_, aLabel, _, _, nLabel, _) =>
+      assert(aLabel !== nLabel, "negative must carry a different label")
+    }
+    anchors.foreach { case (aid, albl, am) =>
+      val want = vecs.filter(_._2 != albl)
+        .map { case (id, lbl, vm) =>
+          (id, lbl, am.indices.map(i => am(i) * vm(i)).sum) }
+        .sortBy { case (id, _, dt) => (-dt, id) }.take(3)
+      val got = rows.filter(_._1 == aid).sortBy(_._3)
+        .map(r => (r._4, r._5, r._6)).toSeq
+      assert(got === want.toSeq, s"hard negatives mismatch for anchor $aid")
+    }
+  }
+
+  test("q_sample_systematic: global-rank spacing is exactly 97") {
+    val rows = LlmData.sampleSystematic(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_._2)
+    assert(ranks.forall(_ % 97 == 3))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => b - a == 97 },
+      "systematic sample must be evenly spaced in rank")
+    // rank replays from the global key order
+    val keys = Tables(s, d, "orders").select("o_orderkey").collect()
+      .map(_.getLong(0)).sorted
+    rows.foreach { case (k, rnk) =>
+      assert(keys((rnk - 1).toInt) === k, s"rank $rnk key mismatch")
+    }
+    val expected = keys.length / 97 + (if (keys.length % 97 >= 3) 1 else 0)
+    assert(rows.length === expected)
+  }
 }

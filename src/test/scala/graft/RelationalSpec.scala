@@ -442,4 +442,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getLong(2) === direct.getLong(2))
     assert(row.getString(3) === direct.getString(3))
   }
+
+  test("q_join_asof_forward: next click is strictly after; agrees with brute force") {
+    val out = operators.Relational.joinAsofForward(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.nonEmpty)
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    out.foreach { case (eid, uid, pUs, nextClick) =>
+      val mine = byUser(uid).sortBy(r => (r._4, r._2))
+      val idx = mine.indexWhere(_._2 == eid)
+      val want = mine.drop(idx + 1).filter(_._3 == "click").map(_._4)
+        .sorted.headOption
+      assert(nextClick === want, s"forward asof mismatch at event $eid")
+      nextClick.foreach(nc => assert(nc >= pUs - 0,
+        "next click cannot precede the purchase in event order"))
+    }
+    assert(out.exists(_._4.isEmpty), "some purchase has no later click")
+    assert(out.exists(_._4.isDefined), "no purchase matched — suspicious")
+  }
+
+  test("q_agg_delta_method: moments replay; CI brackets the ratio") {
+    val r0 = graft.operators.Analytics.aggDeltaMethod(s, d).head
+    val (n, sx, sy) = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
+    val (ratio, se, lo, hi) = (r0.getDouble(3), r0.getDouble(4),
+      r0.getDouble(5), r0.getDouble(6))
+    val users = Tables(s, d, "events").groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("x"),
+        count(lit(1)).as("y")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(n === users.length.toLong)
+    assert(sx === users.map(_._1).sum && sy === users.map(_._2).sum)
+    assert(math.abs(ratio - sx.toDouble / sy) < 1e-6)
+    assert(se > 0 && lo < ratio && ratio < hi)
+    assert(math.abs((hi - lo) - 2 * 1.96 * se) < 1e-4)
+  }
 }
