@@ -3152,6 +3152,36 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_text_watermark — LLM WATERMARK DETECTION (Kirchenbauer et al.
+    * 2023): a green-list watermark biases generation toward a keyed
+    * pseudo-random half of the vocabulary; the detector recounts each
+    * document's green fraction and scores the one-sided binomial
+    * z = (2·g − n)/√n (exactly p = ½ here: the green test is the PARITY
+    * OF THE FIRST md5 HEX DIGIT — 8 of 16 values — so the null is exact,
+    * not approximate). Documents are flagged at z ≥ 3 (≈1.3·10⁻³ false
+    * positive rate). Counts are exact integers; z is one IEEE
+    * divide-by-sqrt on identical longs, 4 dp.
+    *
+    * Scale: pure scan-stage projection per token + one doc-keyed hash
+    * agg; the "green list" is a hash function, not a table — nothing is
+    * broadcast, nothing shuffles but the doc-grain rows.
+    */
+  def textWatermark(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("green",
+        expr("CASE WHEN instr('02468ace', substr(md5(tok), 1, 1)) > 0 " +
+          "THEN 1 ELSE 0 END"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("green")).as("n_green"))
+      .withColumn("z", r(
+        (lit(2) * col("n_green") - col("n_tok")) /
+          sqrt(col("n_tok").cast("double")), 4))
+      .withColumn("flagged", col("z") >= 3.0)
+      .select("doc_id", "n_tok", "n_green", "z", "flagged")
+      .orderBy("doc_id")
+  }
+
   /** q_text_heaps — HEAPS'-LAW VOCABULARY GROWTH audit: the corpus is cut
     * into 10 contiguous doc_id deciles; per decile the cumulative token
     * count and cumulative DISTINCT vocabulary are exact integers (a
@@ -5164,6 +5194,7 @@ object LlmData {
     "q_simsearch_maxsim" -> simsearchMaxsim _,
     "q_text_novelty" -> textNovelty _,
     "q_embed_hard_negatives" -> embedHardNegatives _,
+    "q_text_watermark" -> textWatermark _,
     "q_sample_systematic" -> sampleSystematic _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
@@ -6016,6 +6047,17 @@ object LlmData {
         "SELECT anchor_id, anchor_label, rk, vec_id AS neg_id, " +
         "label AS neg_label, dot FROM rk WHERE rk <= 3 " +
         "ORDER BY anchor_id, rk"),
+    "q_text_watermark" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN instr('02468ace', substr(md5(tok), 1, 1)) > 0 " +
+        "THEN 1 ELSE 0 END AS green FROM toks), " +
+        "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+        "CAST(sum(green) AS BIGINT) AS n_green FROM g GROUP BY doc_id) " +
+        "SELECT doc_id, n_tok, n_green, " +
+        s"${sqlR("(2 * n_green - n_tok) / sqrt(CAST(n_tok AS DOUBLE))", 4)} AS z, " +
+        s"${sqlR("(2 * n_green - n_tok) / sqrt(CAST(n_tok AS DOUBLE))", 4)} >= 3.0 " +
+        "AS flagged FROM a ORDER BY doc_id"),
     "q_sample_systematic" ->
       ("WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice, " +
         "CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rnk " +

@@ -650,11 +650,46 @@ object Quality {
       .orderBy("geo")
   }
 
+  /** q_anomaly_iqr — TUKEY-FENCE OUTLIER AUDIT per market segment: Q1/Q3
+    * of order values (interpolated quantiles — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), fences at 1.5·IQR, and the count + extremes of the
+    * rows outside them. The rank-based robust complement to
+    * [[anomalyZscore]] (moment-based, masks under heavy tails) and
+    * [[anomalyMad]] (median-based): three detectors, three breakdown
+    * points, one family.
+    *
+    * Scale: quantiles reduce at segment grain; the fence pass is a second
+    * scan-stage filter against broadcast fences — two passes total, both
+    * keyed, no sort of the corpus.
+    */
+  def anomalyIqr(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val fences = v.groupBy("seg")
+      .agg(expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.75)").as("q3"),
+        count(lit(1)).as("n"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    v.join(broadcast(fences), "seg")
+      .groupBy("seg")
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(when(col("cents") > col("hi"), col("cents"))).as("max_outlier"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_privacy_dp_count" -> privacyDpCount _,
     "q_privacy_dp_sum" -> privacyDpSum _,
     "q_privacy_dp_topk" -> privacyDpTopk _,
     "q_dq_freshness" -> dqFreshness _,
+    "q_anomaly_iqr" -> anomalyIqr _,
     "q_privacy_ldiversity" -> privacyLdiversity _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
@@ -714,6 +749,21 @@ object Quality {
         "CAST(datediff('day', last_day, watermark) AS BIGINT) AS days_stale, " +
         "datediff('day', last_day, watermark) <= 7 AS fresh " +
         "FROM pg, wm ORDER BY geo"),
+    "q_anomaly_iqr" ->
+      ("WITH v AS (SELECT c_mktsegment AS seg, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "f AS (SELECT seg, quantile_cont(cents, 0.25) AS q1, " +
+        "quantile_cont(cents, 0.75) AS q3, CAST(count(*) AS BIGINT) AS n " +
+        "FROM v GROUP BY seg), " +
+        "fe AS (SELECT *, q1 - 1.5 * (q3 - q1) AS lo, " +
+        "q3 + 1.5 * (q3 - q1) AS hi FROM f) " +
+        "SELECT v.seg, max(fe.n) AS n, max(fe.q1) AS q1, max(fe.q3) AS q3, " +
+        "max(fe.lo) AS lo, max(fe.hi) AS hi, " +
+        "CAST(sum(CASE WHEN v.cents < fe.lo OR v.cents > fe.hi THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_outliers, " +
+        "max(CASE WHEN v.cents > fe.hi THEN v.cents END) AS max_outlier " +
+        "FROM v JOIN fe ON v.seg = fe.seg GROUP BY v.seg ORDER BY v.seg"),
     "q_privacy_ldiversity" ->
       ("SELECT n_name, c_mktsegment AS seg, " +
         "CAST(count(*) AS BIGINT) AS n, " +

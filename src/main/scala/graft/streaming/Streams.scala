@@ -385,6 +385,40 @@ object Streams {
     if (java.nio.file.Files.exists(p))
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
 
+  /** q_stream_complete_agg — COMPLETE OUTPUT MODE: the running per-type
+    * totals are re-emitted IN FULL every trigger from the state store —
+    * the dashboard-refresh contract (append emits only finalized windows,
+    * update only changed keys; complete is the third, whole-result mode,
+    * exercised nowhere else on this board). The feed runs in two
+    * micro-batches: the events table, then a sentinel-only batch — the
+    * final table must still carry the batch-1 totals for every real type,
+    * proving the emission re-reads retained state rather than recomputing
+    * from the last batch's rows. No watermark: complete-mode state is
+    * all groups, by contract.
+    *
+    * Scale: state = one row per group (5 types); complete mode is only
+    * viable at bounded group cardinality — which is exactly what this
+    * query demonstrates and its Scaladoc documents (unbounded keys →
+    * update mode + a compacting sink instead).
+    */
+  def streamCompleteAgg(s: SparkSession, d: String): DataFrame = {
+    withStreamParts(s) {
+      val name = "graft_stream_complete"
+      s.catalog.dropTempView(name)
+      withStagedFeed(s, d, laterBatches = Seq(sentinelBatch(s)),
+        firstBatchExtra = Nil) { src =>
+        src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+          .writeStream.outputMode(OutputMode.Complete()).format("memory")
+          .queryName(name).start()
+      }
+      s.table(name)
+        .where(col("event_type") =!= "sentinel")
+        .select("event_type", "n", "sum_value")
+        .orderBy("event_type")
+    }
+  }
+
   /** q_stream_topk — windowed TRENDING TOP-K (most-active users per
     * 10-minute window), the two-stage shape every production trending
     * feature uses because ranking is not an incremental streaming
@@ -1113,6 +1147,7 @@ object Streams {
     "q_stream_join_static" -> streamJoinStatic _,
     "q_stream_tumbling" -> streamTumbling _,
     "q_stream_window_distinct" -> streamWindowDistinct _,
+    "q_stream_complete_agg" -> streamCompleteAgg _,
     "q_stream_topk" -> streamTopk _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
@@ -1154,6 +1189,9 @@ object Streams {
         "make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 + 1800000000) AS win_end, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
         "FROM events GROUP BY 1, 2 ORDER BY win_start"),
+    "q_stream_complete_agg" ->
+      (s"SELECT event_type, count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_stream_sliding_session" ->
       ("WITH g AS (SELECT *, to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS g5 " +
         "FROM events), " +

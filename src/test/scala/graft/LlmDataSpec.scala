@@ -2224,4 +2224,29 @@ class LlmDataSpec extends AnyFunSuite {
     val expected = keys.length / 97 + (if (keys.length % 97 >= 3) 1 else 0)
     assert(rows.length === expected)
   }
+
+  test("q_text_watermark: green counts replay; z is the exact binomial score") {
+    val rows = LlmData.textWatermark(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    def green(tok: String): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "02468ace".contains(h.charAt(0))
+    }
+    val texts = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, n, g, z, flagged) =>
+      val toks = texts(id).split(" ", -1)
+      assert(n === toks.length.toLong)
+      assert(g === toks.count(green).toLong, s"green count mismatch at doc $id")
+      val want = math.round((2.0 * g - n) / math.sqrt(n.toDouble) * 10000) / 10000.0
+      assert(math.abs(z - want) < 1e-9)
+      assert(flagged === (z >= 3.0))
+    }
+    // natural (unwatermarked) text: the flag rate must be near the null
+    assert(rows.count(_._5) * 50 < rows.length,
+      "too many false positives for an exact p=1/2 null")
+  }
 }

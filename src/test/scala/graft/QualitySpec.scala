@@ -324,4 +324,33 @@ class QualitySpec extends AnyFunSuite {
     }
     assert(rows.exists(_._4 == 0L), "the watermark nation itself is fresh")
   }
+
+  test("q_anomaly_iqr: fences replay; outliers counted against them exactly") {
+    val rows = Quality.anomalyIqr(s, d).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100, 0).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sorted }
+    rows.foreach { r =>
+      val (seg, n, q1, q3, lo, hi, nOut) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6))
+      val xs = vals(seg)
+      assert(n === xs.length.toLong)
+      def q(p: Double): Double = {
+        val idx = p * (xs.length - 1)
+        val a = xs(idx.toInt)
+        val b = xs(math.min(idx.toInt + 1, xs.length - 1))
+        a + (idx - idx.toInt) * (b - a)
+      }
+      assert(math.abs(q1 - q(0.25)) < 1e-6 * math.max(1, q(0.25)))
+      assert(math.abs(q3 - q(0.75)) < 1e-6 * math.max(1, q(0.75)))
+      assert(math.abs(lo - (q1 - 1.5 * (q3 - q1))) < 1e-6)
+      assert(math.abs(hi - (q3 + 1.5 * (q3 - q1))) < 1e-6)
+      assert(nOut === xs.count(x => x < lo || x > hi).toLong)
+    }
+  }
 }

@@ -44,6 +44,18 @@ class StreamingSpec extends AnyFunSuite {
       "no window had a repeat user — dedup untested")
   }
 
+  test("q_stream_complete_agg: complete-mode re-emission retains state across batches") {
+    val streamed = Streams.streamCompleteAgg(s, d).collect().toSeq
+    val batch = Tables(s, d, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    // the final complete emission follows a sentinel-only micro-batch, so
+    // equality proves the totals came from retained state, not the last
+    // batch's rows
+    assert(streamed === batch)
+  }
+
   test("q_stream_sliding_session: every event lands in exactly two windows") {
     val total = Streams.streamSliding(s, d).agg(sum("n")).collect()(0).getLong(0)
     assert(total === 2 * Tables(s, d, "events").count())
