@@ -419,6 +419,57 @@ object Streams {
     }
   }
 
+  /** q_stream_update_agg — UPDATE OUTPUT MODE: hourly per-type counts
+    * where each trigger emits ONLY the (window, type) rows that changed —
+    * the incremental-sink contract between append (finalized-only) and
+    * complete (everything). The feed splits the events table by event_id
+    * parity into two micro-batches, so almost every window is UPDATED in
+    * trigger 2 and the memory sink accumulates both emissions; the final
+    * value per key is the LAST emission, recovered as max(n) (counts are
+    * monotone under updates — the property that makes update mode safe to
+    * consume idempotently). No watermark: with the feed split by ID, not
+    * time, batch 2 carries arbitrarily old events, and update mode
+    * without watermark keeps all windows live — the documented trade
+    * (bounded here by the calendar; an unbounded stream would watermark
+    * and accept late-drop instead).
+    *
+    * Scale: state = open (window, type) cells; emission volume per
+    * trigger is the CHANGED subset — the reason update mode feeds
+    * incremental upsert sinks ([[streamForeachUpsert]] is the sink half
+    * of this pattern).
+    */
+  def streamUpdateAgg(s: SparkSession, d: String): DataFrame = {
+    withStreamParts(s) {
+      val name = "graft_stream_update"
+      s.catalog.dropTempView(name)
+      val ev = normalizedEvents(s, d)
+      val dir = graft.Fixtures.tempDirCleanedAtExit("graft_stream_upd_")
+      ev.where(col("event_id") % 2 === 0)
+        .write.mode("append").parquet(dir.toString)
+      val src = s.readStream.schema(ev.schema).parquet(dir.toString)
+      val q = src
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode(OutputMode.Update()).format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        ev.where(col("event_id") % 2 === 1)
+          .write.mode("append").parquet(dir.toString)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(dir)
+        graft.Fixtures.removeFromExitCleanup(dir)
+      }
+      s.table(name)
+        .groupBy(col("window.start").as("win_start"),
+          col("window.end").as("win_end"), col("event_type"))
+        .agg(max(col("n")).as("n")) // last emission per key: n is monotone
+        .orderBy("win_start", "event_type")
+    }
+  }
+
   /** q_stream_topk — windowed TRENDING TOP-K (most-active users per
     * 10-minute window), the two-stage shape every production trending
     * feature uses because ranking is not an incremental streaming
@@ -1148,6 +1199,7 @@ object Streams {
     "q_stream_tumbling" -> streamTumbling _,
     "q_stream_window_distinct" -> streamWindowDistinct _,
     "q_stream_complete_agg" -> streamCompleteAgg _,
+    "q_stream_update_agg" -> streamUpdateAgg _,
     "q_stream_topk" -> streamTopk _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
@@ -1192,6 +1244,11 @@ object Streams {
     "q_stream_complete_agg" ->
       (s"SELECT event_type, count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_stream_update_agg" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, " +
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, " +
+        "event_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
     "q_stream_sliding_session" ->
       ("WITH g AS (SELECT *, to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS g5 " +
         "FROM events), " +

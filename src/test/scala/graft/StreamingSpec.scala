@@ -56,6 +56,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("q_stream_update_agg: update emissions accumulate; last-per-key equals batch") {
+    val streamed = Streams.streamUpdateAgg(s, d).collect().toSeq
+    val batch = Tables(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    // the raw sink must hold MORE rows than final keys: trigger 2 re-emitted
+    // updated windows (if equal, the second batch never updated anything and
+    // update mode was not actually exercised)
+    val raw = s.table("graft_stream_update").count()
+    assert(raw > streamed.length.toLong,
+      s"no cross-trigger updates observed: $raw raw vs ${streamed.length} keys")
+  }
+
   test("q_stream_sliding_session: every event lands in exactly two windows") {
     val total = Streams.streamSliding(s, d).agg(sum("n")).collect()(0).getLong(0)
     assert(total === 2 * Tables(s, d, "events").count())
