@@ -499,6 +499,74 @@ object Analytics {
       .orderBy("seg", "geo")
   }
 
+  /** q_agg_mix_entropy — SHANNON ENTROPY OF THE ORDER-PRIORITY MIX per
+    * nation: H = Σ (c/n)·log10(n/c), computed as the EXACT integer sum of
+    * per-category micro terms round(c·log10(n/c)·10⁶) divided by n at the
+    * end — order-independent where a Σ of per-category doubles is not.
+    * Plus the normalized evenness H/log10(k). Low entropy = one priority
+    * dominates (a mix-shift signal the PSI drift test reads pairwise;
+    * entropy reads it as one number per cell).
+    *
+    * Scale: category counts from one hash aggregate; the entropy fold
+    * runs at (nation × priority) grain.
+    */
+  def aggMixEntropy(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("geo"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("geo")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    cells.join(broadcast(tot), "geo")
+      .withColumn("term_micro", expr(
+        "CAST(round(c * log10(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)"))
+      .groupBy(col("geo"), col("n"), col("k"))
+      .agg(sum(col("term_micro")).as("sum_term_micro"))
+      .withColumn("h_micro", expr("sum_term_micro div n"))
+      .withColumn("evenness_micro", expr(
+        "CAST(round(1000000.0 * (sum_term_micro div n) / " +
+          "(1000000 * log10(CAST(k AS DOUBLE)))) AS BIGINT)"))
+      .select("geo", "n", "k", "h_micro", "evenness_micro")
+      .orderBy("geo")
+  }
+
+  /** q_event_segment_migration — RFM-STYLE SEGMENT MIGRATION MATRIX: users
+    * are assigned a value tier (high/mid/low by purchase cents terciles of
+    * engagement) in each HALF of the observation window, and the matrix
+    * counts every tier → tier transition — the "are my best users
+    * churning" view a retention team reads weekly. Tier cuts are integer
+    * thresholds (fixed cent bands, so the assignment replays exactly);
+    * users absent from a half land in the explicit 'none' tier, making the
+    * matrix a complete partition of the user base.
+    *
+    * Scale: two user-grain keyed aggs (one per half — both from one scan
+    * via conditional sums), a user-grain join, and a 4×4-cell aggregate.
+    */
+  def eventSegmentMigration(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .crossJoin(broadcast(t(s, d, "events").agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .withColumn("half",
+        when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), 1).otherwise(2))
+      .select(col("user_id"), col("half"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("cents"))
+    def tier(c: Column): Column =
+      when(c >= 20000L, "high").when(c >= 5000L, "mid")
+        .when(c > 0L, "low").otherwise("none")
+    val perUser = ev.groupBy("user_id")
+      .agg(sum(when(col("half") === 1, col("cents")).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, col("cents")).otherwise(0L)).as("c2"))
+      .select(col("user_id"), tier(col("c1")).as("tier_from"),
+        tier(col("c2")).as("tier_to"))
+    perUser.groupBy("tier_from", "tier_to")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("tier_from", "tier_to")
+  }
+
   /** q_agg_moments — HIGHER-MOMENT DISTRIBUTION PROFILE per market
     * segment: mean, variance, skewness, and excess kurtosis of order
     * values from EXACT integer raw power sums Σx..Σx⁴ (values in
@@ -3791,6 +3859,8 @@ object Analytics {
     "q_event_audience_overlap" -> eventAudienceOverlap _,
     "q_window_atr" -> windowAtr _,
     "q_agg_raking_step" -> aggRakingStep _,
+    "q_agg_mix_entropy" -> aggMixEntropy _,
+    "q_event_segment_migration" -> eventSegmentMigration _,
     "q_window_sharpe" -> windowSharpe _,
     "q_join_range_bucket" -> joinRangeBucket _,
     "q_window_gaps_islands" -> windowGapsIslands _,
@@ -5034,6 +5104,42 @@ object Analytics {
         "SELECT w1.seg, w1.geo, w1.o, w1.w1_micro, " +
         "(w1.w1_micro * ((1000000 * n) // nc)) // ct1 AS w2_micro " +
         "FROM w1 JOIN cm1 ON w1.geo = cm1.geo ORDER BY w1.seg, w1.geo"),
+    "q_agg_mix_entropy" ->
+      ("WITH cells AS (SELECT n_name AS geo, o_orderpriority AS pri, " +
+        "CAST(count(*) AS BIGINT) AS c " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "tot AS (SELECT geo, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS k FROM cells GROUP BY geo), " +
+        "tm AS (SELECT cells.geo, n, k, " +
+        "CAST(round(c * log10(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) " +
+        "AS term_micro FROM cells JOIN tot ON cells.geo = tot.geo), " +
+        "agg AS (SELECT geo, n, k, " +
+        "CAST(sum(term_micro) AS BIGINT) AS sum_term_micro " +
+        "FROM tm GROUP BY 1, 2, 3) " +
+        "SELECT geo, n, k, sum_term_micro // n AS h_micro, " +
+        "CAST(round(1000000.0 * (sum_term_micro // n) / " +
+        "(1000000 * log10(CAST(k AS DOUBLE)))) AS BIGINT) AS evenness_micro " +
+        "FROM agg ORDER BY geo"),
+    "q_event_segment_migration" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
+        "FROM events), " +
+        "ev AS (SELECT user_id, " +
+        "CASE WHEN epoch_us(ts) * 2 < lo + hi THEN 1 ELSE 2 END AS half, " +
+        "CASE WHEN event_type = 'purchase' THEN " +
+        "CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END AS cents " +
+        "FROM events, b), " +
+        "u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN half = 1 THEN cents ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN cents ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM ev GROUP BY user_id), " +
+        "tiers AS (SELECT user_id, " +
+        "CASE WHEN c1 >= 20000 THEN 'high' WHEN c1 >= 5000 THEN 'mid' " +
+        "WHEN c1 > 0 THEN 'low' ELSE 'none' END AS tier_from, " +
+        "CASE WHEN c2 >= 20000 THEN 'high' WHEN c2 >= 5000 THEN 'mid' " +
+        "WHEN c2 > 0 THEN 'low' ELSE 'none' END AS tier_to FROM u) " +
+        "SELECT tier_from, tier_to, CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM tiers GROUP BY 1, 2 ORDER BY tier_from, tier_to"),
     "q_window_sharpe" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

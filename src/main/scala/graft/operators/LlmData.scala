@@ -3317,6 +3317,42 @@ object LlmData {
       .orderBy("anchor_id", "rk")
   }
 
+  /** q_embed_triplet_margin — TRIPLET-MARGIN AUDIT for contrastive
+    * training data: per anchor, the hardest POSITIVE (nearest same-label
+    * vector — the easiest to satisfy) and hardest NEGATIVE (nearest
+    * other-label, [[embedHardNegatives]]'s top-1), margin = pos − neg,
+    * and the violation flag (margin ≤ 0 means the nearest neighbor is
+    * cross-label — the triplets a margin loss actually trains on). The
+    * per-label violation RATE is the standard embedding-health dashboard
+    * number. Exact integer-micro dots, id tie-breaks.
+    *
+    * Scale: anchors broadcast against one corpus scan; two bounded
+    * per-anchor max-aggregations. Same IVF-pruned path applies at 100 TB.
+    */
+  def embedTripletMargin(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    def micro(c: String) = expr(
+      s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+    val anchors = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        micro("embedding").as("am"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .where(col("vec_id") =!= col("anchor_id"))
+      .withColumn("vm", micro("embedding"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(am, vm, (a, b) -> a * b), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)"))
+      .withColumn("same", col("label") === col("anchor_label"))
+    scored.groupBy("anchor_id", "anchor_label")
+      .agg(max(when(col("same"), col("dot"))).as("pos_dot"),
+        max(when(!col("same"), col("dot"))).as("neg_dot"))
+      .withColumn("margin", col("pos_dot") - col("neg_dot"))
+      .withColumn("violation", col("margin") <= 0L)
+      .select("anchor_id", "anchor_label", "pos_dot", "neg_dot", "margin",
+        "violation")
+      .orderBy("anchor_id")
+  }
+
   /** q_sample_systematic — SYSTEMATIC (every k-th) SAMPLING by GLOBAL
     * RANK, the stratified-in-time classic: order orders by key, keep ranks
     * ≡ 3 (mod 97) — equal-probability, perfectly spread coverage that
@@ -5195,6 +5231,7 @@ object LlmData {
     "q_text_novelty" -> textNovelty _,
     "q_embed_hard_negatives" -> embedHardNegatives _,
     "q_text_watermark" -> textWatermark _,
+    "q_embed_triplet_margin" -> embedTripletMargin _,
     "q_sample_systematic" -> sampleSystematic _,
     "q_text_tokens" -> textTokens _,
     "q_text_repetition" -> textRepetition _,
@@ -6047,6 +6084,23 @@ object LlmData {
         "SELECT anchor_id, anchor_label, rk, vec_id AS neg_id, " +
         "label AS neg_label, dot FROM rk WHERE rk <= 3 " +
         "ORDER BY anchor_id, rk"),
+    "q_embed_triplet_margin" ->
+      ("WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS m " +
+        "FROM embeddings), " +
+        "anch AS (SELECT vec_id AS anchor_id, label AS anchor_label, i, m AS am " +
+        "FROM ex WHERE vec_id < 20), " +
+        "sc AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label, " +
+        "CAST(sum(a.am * e.m) AS BIGINT) AS dot " +
+        "FROM ex e JOIN anch a ON e.i = a.i AND e.vec_id <> a.anchor_id " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "agg AS (SELECT anchor_id, anchor_label, " +
+        "CAST(max(CASE WHEN label = anchor_label THEN dot END) AS BIGINT) AS pos_dot, " +
+        "CAST(max(CASE WHEN label <> anchor_label THEN dot END) AS BIGINT) AS neg_dot " +
+        "FROM sc GROUP BY 1, 2) " +
+        "SELECT anchor_id, anchor_label, pos_dot, neg_dot, " +
+        "pos_dot - neg_dot AS margin, pos_dot - neg_dot <= 0 AS violation " +
+        "FROM agg ORDER BY anchor_id"),
     "q_text_watermark" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
         "FROM documents), " +

@@ -2015,4 +2015,44 @@ class AnalyticsSpec extends AnyFunSuite {
       if (o == 0) assert(w1 === 0L && w2 === 0L)
     }
   }
+
+  test("q_agg_mix_entropy: entropy bounded by log k; uniform mix maximizes it") {
+    val rows = Analytics.aggMixEntropy(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (geo, n, k, h, even) =>
+      assert(h >= 0L, s"$geo entropy negative")
+      val hMax = math.round(math.log10(k.toDouble) * 1000000)
+      assert(h <= hMax + k, s"$geo entropy exceeds log k")
+      assert(even >= 0L && even <= 1000000L + 2, s"$geo evenness out of [0,1]")
+      assert(n > 0 && k > 0)
+    }
+    // priorities are near-uniform in TPC-H-ish fixtures: evenness is high
+    assert(rows.forall(_._5 > 900000L), "priority mix should be near-uniform")
+  }
+
+  test("q_event_segment_migration: matrix partitions users exactly; tiers replay") {
+    val rows = Analytics.eventSegmentMigration(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    def tier(c: Long) = if (c >= 20000) "high" else if (c >= 5000) "mid"
+      else if (c > 0) "low" else "none"
+    val want = ev.groupBy(_._1).toSeq.map { case (_, g) =>
+      val c1 = g.filter(r => r._2 * 2 < lo + hi).map(_._3).sum
+      val c2 = g.filter(r => r._2 * 2 >= lo + hi).map(_._3).sum
+      (tier(c1), tier(c2))
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    assert(rows.map(_._3).sum === ev.map(_._1).distinct.length.toLong,
+      "matrix must partition the user base")
+    rows.foreach { case (f, t0, n) =>
+      assert(want((f, t0)) === n, s"cell ($f -> $t0) mismatch")
+    }
+    assert(rows.length === want.size)
+  }
 }

@@ -2249,4 +2249,30 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.count(_._5) * 50 < rows.length,
       "too many false positives for an exact p=1/2 null")
   }
+
+  test("q_embed_triplet_margin: pos/neg extremes replay; flags agree with hard negatives") {
+    val rows = LlmData.embedTripletMargin(s, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val vecs = Tables(s, d, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray))
+    assert(rows.length === vecs.count(_._1 < 20))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    rows.foreach { case (aid, albl, pos, neg, margin, violation) =>
+      val am = vecs.find(_._1 == aid).get._3
+      val others = vecs.filter(_._1 != aid)
+      assert(pos === others.filter(_._2 == albl).map(v => dot(am, v._3)).max)
+      assert(neg === others.filter(_._2 != albl).map(v => dot(am, v._3)).max)
+      assert(margin === pos - neg)
+      assert(violation === (margin <= 0L))
+    }
+    // neg_dot must equal the rank-1 hard negative from the sibling operator
+    val hn = LlmData.embedHardNegatives(s, d).collect()
+      .filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(5)).toMap
+    rows.foreach { case (aid, _, _, neg, _, _) =>
+      assert(hn(aid) === neg, s"anchor $aid disagrees with q_embed_hard_negatives")
+    }
+  }
 }
