@@ -499,6 +499,41 @@ object Analytics {
       .orderBy("seg", "geo")
   }
 
+  /** q_window_streak — ACTIVITY STREAKS per account: from the daily
+    * calendar spine, maximal runs of CONSECUTIVE ACTIVE DAYS (the
+    * gaps-and-islands identity rn − datediff groups a run under one key
+    * with no self-join), summarized as longest streak, number of streaks,
+    * and whether the account was active on its last observed day — the
+    * engagement-streak metric consumer products track. Pure integer date
+    * arithmetic.
+    *
+    * Scale: one shuffle on account; the island key is a scan-stage
+    * projection after one ordered window pass (row_number), O(1) state.
+    */
+  def windowStreak(s: SparkSession, d: String): DataFrame = {
+    val active = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        to_date(col("o_orderdate")).as("day"))
+      .distinct()
+      .withColumn("d",
+        datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    val ord = Window.partitionBy("acct").orderBy("d")
+    val streaks = active
+      .withColumn("grp", col("d") - row_number().over(ord))
+      .groupBy("acct", "grp")
+      .agg(count(lit(1)).as("len"), max(col("d")).as("streak_end"))
+    val last = active.groupBy("acct").agg(max(col("d")).as("last_d"),
+      count(lit(1)).as("n_active_days"))
+    streaks.groupBy("acct")
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+        max(when(col("len") >= 3, 1L).otherwise(0L)).as("had_3day_streak"),
+        max_by(col("len"), col("streak_end")).as("current_len"))
+      .join(last, "acct")
+      .select("acct", "n_active_days", "n_streaks", "longest",
+        "had_3day_streak", "current_len")
+      .orderBy("acct")
+  }
+
   /** q_agg_mix_entropy — SHANNON ENTROPY OF THE ORDER-PRIORITY MIX per
     * nation: H = Σ (c/n)·log10(n/c), computed as the EXACT integer sum of
     * per-category micro terms round(c·log10(n/c)·10⁶) divided by n at the
@@ -3860,6 +3895,7 @@ object Analytics {
     "q_window_atr" -> windowAtr _,
     "q_agg_raking_step" -> aggRakingStep _,
     "q_agg_mix_entropy" -> aggMixEntropy _,
+    "q_window_streak" -> windowStreak _,
     "q_event_segment_migration" -> eventSegmentMigration _,
     "q_window_sharpe" -> windowSharpe _,
     "q_join_range_bucket" -> joinRangeBucket _,
@@ -5140,6 +5176,24 @@ object Analytics {
         "WHEN c2 > 0 THEN 'low' ELSE 'none' END AS tier_to FROM u) " +
         "SELECT tier_from, tier_to, CAST(count(*) AS BIGINT) AS n_users " +
         "FROM tiers GROUP BY 1, 2 ORDER BY tier_from, tier_to"),
+    "q_window_streak" ->
+      ("WITH active AS (SELECT DISTINCT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) " +
+        "AS BIGINT) AS d FROM orders), " +
+        "g AS (SELECT acct, d, d - row_number() OVER " +
+        "(PARTITION BY acct ORDER BY d) AS grp FROM active), " +
+        "st AS (SELECT acct, grp, CAST(count(*) AS BIGINT) AS len, " +
+        "CAST(max(d) AS BIGINT) AS streak_end FROM g GROUP BY 1, 2), " +
+        "summ AS (SELECT acct, CAST(count(*) AS BIGINT) AS n_streaks, " +
+        "CAST(max(len) AS BIGINT) AS longest, " +
+        "CAST(max(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS had_3day_streak, " +
+        "CAST(arg_max(len, streak_end) AS BIGINT) AS current_len " +
+        "FROM st GROUP BY acct), " +
+        "lastd AS (SELECT acct, CAST(count(*) AS BIGINT) AS n_active_days " +
+        "FROM active GROUP BY acct) " +
+        "SELECT summ.acct, n_active_days, n_streaks, longest, " +
+        "had_3day_streak, current_len " +
+        "FROM summ JOIN lastd ON summ.acct = lastd.acct ORDER BY summ.acct"),
     "q_window_sharpe" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

@@ -2055,4 +2055,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(rows.length === want.size)
   }
+
+  test("q_window_streak: islands replay from the active-day sets") {
+    val rows = Analytics.windowStreak(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val days = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sorted }
+    assert(rows.length === days.size)
+    rows.foreach { case (acct, nDays, nStreaks, longest, had3, cur) =>
+      val ds = days(acct)
+      assert(nDays === ds.length.toLong)
+      // rebuild islands
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var len = 1L
+      ds.zip(ds.tail).foreach { case (a, b) =>
+        if (b == a + 1) len += 1 else { runs += len; len = 1 } }
+      runs += len
+      assert(nStreaks === runs.length.toLong)
+      assert(longest === runs.max)
+      assert(had3 === (if (runs.exists(_ >= 3)) 1L else 0L))
+      assert(cur === runs.last, "current streak is the last island")
+    }
+  }
 }
