@@ -101,7 +101,23 @@ class ContractSpec extends AnyFunSuite {
     "q_text_oov_rate", "q_graph_clustering_coeff", "q_graph_label_prop",
     "q_graph_adamic_adar", "q_simsearch_mmr", "q_simsearch_matryoshka",
     "q_stream_anomaly", "q_privacy_dp_count", "q_timeseries_mann_kendall",
-    "q_simsearch_binary", "q_stream_pattern")
+    "q_simsearch_binary", "q_stream_pattern",
+    // round 12 (this session): analytics/curation/lifecycle additions
+    "q_text_gopher_rules", "q_graph_hits_step", "q_agg_ks_test",
+    "q_privacy_dp_sum", "q_timeseries_changepoint", "q_corpus_dsir",
+    "q_window_macd", "q_window_stochastic", "q_graph_assortativity",
+    "q_text_heaps", "q_simsearch_range", "q_privacy_dp_topk",
+    "q_timeseries_backtest", "q_agg_chisq", "q_join_interval_overlap",
+    "q_agg_moments", "q_graph_powerlaw", "q_event_interarrival",
+    "q_dq_freshness", "q_stream_window_distinct", "q_event_stickiness",
+    "q_window_sharpe", "q_embed_centroid_eval", "q_corpus_token_budget",
+    "q_simsearch_maxsim", "q_maintain_restore", "q_event_audience_overlap",
+    "q_text_novelty", "q_window_atr", "q_agg_raking_step",
+    "q_scan_observed", "q_join_asof_forward", "q_agg_delta_method",
+    "q_embed_hard_negatives", "q_sample_systematic",
+    "q_stream_complete_agg", "q_text_watermark", "q_anomaly_iqr",
+    "q_stream_update_agg", "q_embed_triplet_margin", "q_agg_mix_entropy",
+    "q_event_segment_migration", "q_window_streak")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
