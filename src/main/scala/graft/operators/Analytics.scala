@@ -2749,6 +2749,35 @@ object Analytics {
       .limit(20)
   }
 
+  /** q_graph_butterflies — BUTTERFLY COUNT (bipartite 4-cycles): a
+    * butterfly is two customers sharing two suppliers — THE motif of
+    * bipartite cohesion (triangles don't exist in a bipartite graph, so
+    * butterflies play their role in clustering/community metrics).
+    * B = Σ over supplier pairs C(common, 2), read DIRECTLY off the staged
+    * [[supplierWedges]] pair weights — no new pair enumeration — plus the
+    * supplier-centered wedge count Σ C(deg, 2) and the butterfly density
+    * B/wedges (each butterfly closes 2 supplier-centered wedges, so this
+    * is half the per-wedge closure rate — a fixed factor, rank-identical),
+    * in integer micro-units.
+    *
+    * Scale: both sums are aggregates over the staged hub-capped artifacts
+    * (the Σk² explode ran once per fixture generation); the release is
+    * one row.
+    */
+  def graphButterflies(s: SparkSession, d: String): DataFrame = {
+    val pairs = supplierWedges(s, d)
+    val b = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(expr("w * (w - 1) div 2")).as("n_butterflies"))
+    val wedges = supplierNbrs(s, d)
+      .select(explode(col("sps")).as("sp"))
+      .groupBy("sp").agg(count(lit(1)).as("dg"))
+      .agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    b.crossJoin(broadcast(wedges))
+      .withColumn("clustering_micro",
+        expr("(1000000 * n_butterflies) div n_wedges"))
+      .select("n_pairs", "n_butterflies", "n_wedges", "clustering_micro")
+  }
+
   def graphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
     val deg = supplierNbrs(s, d).select(explode(col("sps")).as("sp"))
       .groupBy(col("sp")).agg(count(lit(1)).as("deg"))
@@ -3396,6 +3425,53 @@ object Analytics {
         col("d_num"), r(col("d_num") / (col("n1") * col("n2")), 6).as("d_stat"))
   }
 
+  /** q_agg_mann_whitney — MANN–WHITNEY U (Wilcoxon rank-sum) between the
+    * two segments' order-value distributions: the nonparametric "is one
+    * distribution stochastically larger" test that KS ([[aggKsTest]])
+    * complements with its max-gap locus. Tie-corrected AVERAGE RANKS are
+    * exact in DOUBLED units (2·rank_avg = 2·cum_before + count + 1 per
+    * distinct value — integers), so R₁ and U₁ are exact integers in ×2
+    * units; the normal-approximation z is the only double (no tie
+    * variance correction — documented; ties here are sparse cents).
+    *
+    * Scale: same distributed two-stage CDF scan as the KS test
+    * (value-range shards + broadcast bases), then ONE global aggregate —
+    * the ranks never materialize as a global sort.
+    */
+  def aggMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g"))
+    val byVal = v.groupBy("cents").agg(
+      sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val sh = byVal.withColumn("shard", expr("cents div 1048576"))
+    val shardBase = sh.groupBy("shard")
+      .agg(sum(col("c1") + col("c2")).as("sct"))
+      .withColumn("b", coalesce(sum(col("sct")).over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("shard", "b")
+    val w = Window.partitionBy("shard").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sh.withColumn("lc", sum(col("c1") + col("c2")).over(w))
+      .join(broadcast(shardBase), "shard")
+      .withColumn("cb", col("b") + col("lc") - col("c1") - col("c2"))
+      // Σ c1 · 2·rank_avg, exact: 2·rank_avg = 2·cb + (c1 + c2) + 1
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (lit(2) * col("cb") + col("c1") + col("c2") + 1))
+          .as("r1_x2"))
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1))
+      .withColumn("u2_x2",
+        lit(2) * col("n1") * col("n2") - col("u1_x2"))
+      .withColumn("z", r(
+        (col("u1_x2") / lit(2.0) - col("n1") * col("n2") / lit(2.0)) /
+          sqrt((col("n1") * col("n2") * (col("n1") + col("n2") + 1) / lit(12.0))
+            .cast("double")), 6))
+      .select("n1", "n2", "r1_x2", "u1_x2", "u2_x2", "z")
+  }
+
   /** q_agg_delta_method — DELTA-METHOD STANDARD ERROR for a ratio metric
     * (revenue per event): user-level ratios can't be averaged (users
     * contribute unequal denominators) and the naive SE on the pooled ratio
@@ -3832,6 +3908,7 @@ object Analytics {
     "q_agg_ab_test" -> aggAbTest _,
     "q_agg_ks_test" -> aggKsTest _,
     "q_agg_delta_method" -> aggDeltaMethod _,
+    "q_agg_mann_whitney" -> aggMannWhitney _,
     "q_timeseries_anomaly_stl" -> timeseriesAnomalyStl _,
     "q_window_lag_features" -> windowLagFeatures _,
     "q_sample_balanced" -> sampleBalanced _,
@@ -3882,6 +3959,7 @@ object Analytics {
     "q_graph_label_prop" -> graphLabelProp _,
     "q_graph_pagerank_step" -> graphPagerankStep _,
     "q_graph_hits_step" -> graphHitsStep _,
+    "q_graph_butterflies" -> graphButterflies _,
     "q_timeseries_gapfill" -> timeseriesGapfill _,
     "q_timeseries_mann_kendall" -> timeseriesMannKendall _,
     "q_timeseries_changepoint" -> timeseriesChangepoint _,
@@ -4158,6 +4236,23 @@ object Analytics {
         s"${sqlR("sqrt(var_r)", 6)} AS se, " +
         s"${sqlR("r - 1.96 * sqrt(var_r)", 6)} AS ci_lo, " +
         s"${sqlR("r + 1.96 * sqrt(var_r)", 6)} AS ci_hi FROM vr"),
+    "q_agg_mann_whitney" ->
+      ("WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, " +
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), " +
+        "bv AS (SELECT cents, CAST(sum(g) AS BIGINT) AS c1, " +
+        "CAST(sum(1 - g) AS BIGINT) AS c2 FROM v GROUP BY cents), " +
+        "c AS (SELECT cents, c1, c2, " +
+        "CAST(sum(c1 + c2) OVER (ORDER BY cents) - c1 - c2 AS BIGINT) AS cb FROM bv), " +
+        "a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, " +
+        "CAST(sum(c1 * (2 * cb + c1 + c2 + 1)) AS BIGINT) AS r1_x2 FROM c), " +
+        "u AS (SELECT *, r1_x2 - n1 * (n1 + 1) AS u1_x2, " +
+        "2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2 FROM a) " +
+        "SELECT n1, n2, r1_x2, u1_x2, u2_x2, " +
+        s"${sqlR("(u1_x2 / 2.0 - n1 * n2 / 2.0) / " +
+          "sqrt(CAST(n1 * n2 * (n1 + n2 + 1) / 12.0 AS DOUBLE))", 6)} AS z " +
+        "FROM u"),
     "q_window_lag_features" ->
       ("WITH grain AS (SELECT n_name, CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
@@ -4312,6 +4407,17 @@ object Analytics {
         s"${sqlR("common / (d1.dg + d2.dg - common)", 6)} AS jaccard " +
         "FROM p JOIN deg d1 ON d1.sp = p.sp1 JOIN deg d2 ON d2.sp = p.sp2 " +
         "ORDER BY common DESC, sp1, sp2 LIMIT 20"),
+    "q_graph_butterflies" ->
+      (s"WITH $cappedSupplierEdgeCtes, " +
+        "p AS (SELECT a.sp AS sp1, b.sp AS sp2, CAST(count(*) AS BIGINT) AS w " +
+        "FROM ec a JOIN ec b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2), " +
+        "bf AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(w * (w - 1) // 2) AS BIGINT) AS n_butterflies FROM p), " +
+        "dg AS (SELECT sp, CAST(count(*) AS BIGINT) AS dg FROM ec GROUP BY sp), " +
+        "wg AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM dg) " +
+        "SELECT n_pairs, n_butterflies, n_wedges, " +
+        "(1000000 * n_butterflies) // n_wedges AS clustering_micro " +
+        "FROM bf, wg"),
     // same capped edge replay; per-wedge 1/log10(list size) micro weights
     "q_graph_adamic_adar" ->
       (s"WITH $cappedSupplierEdgeCtes, " +

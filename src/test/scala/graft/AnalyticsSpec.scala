@@ -2083,4 +2083,41 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(cur === runs.last, "current streak is the last island")
     }
   }
+
+  test("q_graph_butterflies: B replays from the wedge weights; density bounded") {
+    val row = Analytics.graphButterflies(s, d).head
+    val (nPairs, nBf, nWedges, micro) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    val wedges = Analytics.supplierWedgesForTest(s, d).collect()
+      .map(r => r.getLong(2))
+    assert(nPairs === wedges.length.toLong)
+    assert(nBf === wedges.map(w => w * (w - 1) / 2).sum)
+    assert(nWedges > 0 && micro === 1000000L * nBf / nWedges)
+    assert(nBf > 0, "a co-purchase graph with zero butterflies is suspicious")
+  }
+
+  test("q_agg_mann_whitney: U replays from brute-force average ranks") {
+    val row = Analytics.aggMannWhitney(s, d).head
+    val (n1, n2, r1x2, u1x2, u2x2, z) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5))
+    val v = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long"),
+        col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "BUILDING"))
+    assert(n1 === v.count(_._2).toLong && n2 === v.count(!_._2).toLong)
+    // brute-force tie-averaged ranks in doubled units
+    val sorted = v.map(_._1).sorted
+    val rankX2 = sorted.zipWithIndex.groupBy(_._1).map { case (value, g) =>
+      value -> (2L * g.head._2 + g.length + 1) // 2·cum_before + cnt + 1
+    }
+    val wantR1 = v.filter(_._2).map(t => rankX2(t._1)).sum
+    assert(r1x2 === wantR1, "doubled rank sum mismatch")
+    assert(u1x2 === wantR1 - n1 * (n1 + 1))
+    assert(u1x2 + u2x2 === 2 * n1 * n2, "U1 + U2 = n1·n2 identity")
+    val wantZ = (u1x2 / 2.0 - n1 * n2 / 2.0) /
+      math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12.0)
+    assert(math.abs(z - wantZ) < 1e-5)
+  }
 }
