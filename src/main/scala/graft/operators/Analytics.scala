@@ -388,6 +388,42 @@ object Analytics {
       .orderBy("acct", "day_str")
   }
 
+  /** q_event_markov_step — one POWER-ITERATION toward the stationary
+    * distribution of the event-type Markov chain: transition counts from
+    * consecutive same-user event pairs (the [[eventTransition]] grain),
+    * row-normalized to integer-micro probabilities, applied once to the
+    * uniform start vector — x₁(to) = Σ_from ⌊x₀·p(from→to)/10⁶⌋, every
+    * step explicit integer arithmetic so the iterate is bit-identical on
+    * both engines (the [[graphPagerankStep]] discipline on a BOUNDED
+    * 5-state chain). The stationary mix is the "where does user attention
+    * settle" summary; one audited step is the primitive an iterating
+    * driver loops.
+    *
+    * Scale: the corpus-sized work is the lag window + pair count; the
+    * chain itself is |types|² cells — control-plane forever.
+    */
+  def eventMarkovStep(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("to_t"))
+      .withColumn("from_t", lag(col("to_t"), 1).over(w))
+      .where(col("from_t").isNotNull)
+      .groupBy("from_t", "to_t").agg(count(lit(1)).as("cnt"))
+    val rowTot = pairs.groupBy("from_t").agg(sum(col("cnt")).as("tot"))
+    val p = pairs.join(broadcast(rowTot), "from_t")
+      .withColumn("p_micro", expr("(1000000 * cnt) div tot"))
+    val nTypes = p.select("from_t").distinct().count()
+    val x0 = 1000000L / nTypes
+    p.groupBy(col("to_t").as("event_type"))
+      .agg(sum(expr(s"($x0 * p_micro) div 1000000")).as("x1_micro"),
+        count(lit(1)).as("n_in_edges"))
+      .withColumn("x0_micro", lit(x0))
+      .withColumn("delta_micro", col("x1_micro") - col("x0_micro"))
+      .select("event_type", "n_in_edges", "x0_micro", "x1_micro", "delta_micro")
+      .orderBy("event_type")
+  }
+
   /** q_event_audience_overlap — AUDIENCE OVERLAP MATRIX: for every pair of
     * event types, the exact distinct-user intersection and Jaccard
     * similarity — "how much does the purchase audience overlap the search
@@ -3970,6 +4006,7 @@ object Analytics {
     "q_event_interarrival" -> eventInterarrival _,
     "q_event_stickiness" -> eventStickiness _,
     "q_event_audience_overlap" -> eventAudienceOverlap _,
+    "q_event_markov_step" -> eventMarkovStep _,
     "q_window_atr" -> windowAtr _,
     "q_agg_raking_step" -> aggRakingStep _,
     "q_agg_mix_entropy" -> aggMixEntropy _,
@@ -5207,6 +5244,21 @@ object Analytics {
         "(1000000 * common) // (s1.n + s2.n - common) AS jaccard_micro " +
         "FROM pr JOIN sz s1 ON pr.t1 = s1.event_type " +
         "JOIN sz s2 ON pr.t2 = s2.event_type ORDER BY t1, t2"),
+    "q_event_markov_step" ->
+      ("WITH seq AS (SELECT user_id, event_id, ts, event_type AS to_t, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_t " +
+        "FROM events), " +
+        "pairs AS (SELECT from_t, to_t, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM seq WHERE from_t IS NOT NULL GROUP BY 1, 2), " +
+        "rt AS (SELECT from_t, CAST(sum(cnt) AS BIGINT) AS tot FROM pairs GROUP BY 1), " +
+        "p AS (SELECT pairs.from_t, to_t, (1000000 * cnt) // tot AS p_micro " +
+        "FROM pairs JOIN rt ON pairs.from_t = rt.from_t), " +
+        "k AS (SELECT 1000000 // CAST(count(DISTINCT from_t) AS BIGINT) AS x0 FROM p) " +
+        "SELECT to_t AS event_type, CAST(count(*) AS BIGINT) AS n_in_edges, " +
+        "x0 AS x0_micro, " +
+        "CAST(sum((x0 * p_micro) // 1000000) AS BIGINT) AS x1_micro, " +
+        "CAST(sum((x0 * p_micro) // 1000000) AS BIGINT) - x0 AS delta_micro " +
+        "FROM p, k GROUP BY to_t, x0 ORDER BY event_type"),
     "q_window_atr" ->
       ("WITH daily AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "CAST(o_orderdate AS DATE) AS day, " +

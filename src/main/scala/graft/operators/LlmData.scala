@@ -4501,6 +4501,41 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_corpus_split_leakage — TRAIN/VAL SPLIT LEAKAGE AUDIT: split the
+    * corpus by keyed hash (md5 parity — the q_sample_hash discipline, so
+    * the split replays on any engine), then count validation documents
+    * sharing at least one 8-gram with ANY training document — the eval
+    * contamination every benchmark-hygiene pipeline must measure BEFORE
+    * trusting a validation loss (near-duplicate docs straddling the split
+    * silently leak; a clean random split of a deduped corpus should score
+    * ~0). Emits per-split sizes and the leaked-doc count + rate.
+    *
+    * Scale: 8-gram inventories explode per side and meet in ONE gram-keyed
+    * semi-join (train grams deduplicated first, so mass duplication never
+    * amplifies the join); all counts are exact integers.
+    */
+  def corpusSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 8)
+      .withColumn("is_val", expr(
+        "instr('02468ace', substr(md5(CAST(doc_id AS STRING)), 1, 1)) > 0"))
+    val grams = docs.select(col("doc_id"), col("is_val"), explode(expr(
+      "transform(sequence(0, size(toks) - 8), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
+        "toks[i+4], toks[i+5], toks[i+6], toks[i+7]))")).as("gram"))
+    val trainGrams = grams.where(!col("is_val")).select("gram").distinct()
+    val leakedVal = grams.where(col("is_val"))
+      .join(trainGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val sizes = docs.agg(
+      sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val"),
+      sum(when(!col("is_val"), 1L).otherwise(0L)).as("n_train"))
+    sizes.crossJoin(broadcast(leakedVal.agg(count(lit(1)).as("n_leaked"))))
+      .withColumn("leak_micro", expr("(1000000 * n_leaked) div n_val"))
+      .select("n_train", "n_val", "n_leaked", "leak_micro")
+  }
+
   /** q_simsearch_maxsim — LATE-INTERACTION (MaxSim) RETRIEVAL, the
     * ColBERT scoring rule: the query is a BAG of vectors (vec_ids 0–3),
     * each document a bag too (vec_id div 4 groups the corpus into 4-vector
@@ -5227,6 +5262,7 @@ object LlmData {
     "q_simsearch_range" -> simsearchRange _,
     "q_embed_centroid_eval" -> embedCentroidEval _,
     "q_corpus_token_budget" -> corpusTokenBudget _,
+    "q_corpus_split_leakage" -> corpusSplitLeakage _,
     "q_simsearch_maxsim" -> simsearchMaxsim _,
     "q_text_novelty" -> textNovelty _,
     "q_embed_hard_negatives" -> embedHardNegatives _,
@@ -6041,6 +6077,20 @@ object LlmData {
         "FROM k) " +
         "SELECT doc_id, q_micro, n_tok, cum_before, budget FROM w, tot " +
         "WHERE cum_before < budget ORDER BY doc_id"),
+    "q_corpus_split_leakage" ->
+      ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+        "instr('02468ace', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0 AS is_val " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 8), " +
+        "g AS (SELECT doc_id, is_val, unnest(list_transform(range(1, len(t) - 6), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || " +
+        "t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS gram FROM docs), " +
+        "tg AS (SELECT DISTINCT gram FROM g WHERE NOT is_val), " +
+        "lk AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_leaked " +
+        "FROM g WHERE is_val AND gram IN (SELECT gram FROM tg)), " +
+        "sz AS (SELECT CAST(sum(CASE WHEN is_val THEN 1 ELSE 0 END) AS BIGINT) AS n_val, " +
+        "CAST(sum(CASE WHEN is_val THEN 0 ELSE 1 END) AS BIGINT) AS n_train FROM docs) " +
+        "SELECT n_train, n_val, n_leaked, " +
+        "(1000000 * n_leaked) // n_val AS leak_micro FROM sz, lk"),
     "q_simsearch_maxsim" ->
       ("WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
         "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS m " +

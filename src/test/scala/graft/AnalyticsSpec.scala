@@ -2120,4 +2120,24 @@ class AnalyticsSpec extends AnyFunSuite {
       math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12.0)
     assert(math.abs(z - wantZ) < 1e-5)
   }
+
+  test("q_event_markov_step: probability rows sum to ~1; iterate replays") {
+    val rows = Analytics.eventMarkovStep(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val x0 = rows.head._3
+    assert(rows.forall(_._3 == x0), "uniform start vector")
+    rows.foreach { case (_, nIn, x00, x1, delta) =>
+      assert(delta === x1 - x00)
+      assert(nIn >= 1L)
+      assert(x1 >= 0L && x1 <= 1000000L)
+    }
+    // mass conservation within truncation: Σx1 ≤ Σx0, short by < #cells
+    val totalX1 = rows.map(_._4).sum
+    val cells = rows.map(_._2).sum
+    assert(totalX1 <= x0 * rows.length)
+    assert(x0 * rows.length - totalX1 <= cells + rows.length * rows.length,
+      "mass lost beyond per-cell truncation")
+  }
 }

@@ -2275,4 +2275,28 @@ class LlmDataSpec extends AnyFunSuite {
       assert(hn(aid) === neg, s"anchor $aid disagrees with q_embed_hard_negatives")
     }
   }
+
+  test("q_corpus_split_leakage: split + leakage replay from raw text") {
+    val row = LlmData.corpusSplitLeakage(s, d).head
+    val (nTrain, nVal, nLeaked, micro) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    def isVal(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "02468ace".contains(h.charAt(0))
+    }
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 8)
+    assert(nVal === docs.count(dd => isVal(dd._1)).toLong)
+    assert(nTrain === docs.count(dd => !isVal(dd._1)).toLong)
+    val trainGrams = docs.filter(dd => !isVal(dd._1))
+      .flatMap(_._2.sliding(8).map(_.mkString(" "))).toSet
+    val wantLeaked = docs.filter(dd => isVal(dd._1)).count { dd =>
+      dd._2.sliding(8).map(_.mkString(" ")).exists(trainGrams) }
+    assert(nLeaked === wantLeaked.toLong, "leaked-doc count mismatch")
+    assert(micro === 1000000L * nLeaked / nVal)
+    // the fixture plants near-duplicates: a split MUST leak some of them
+    assert(nLeaked > 0, "no leakage across a duplicated corpus — suspicious")
+  }
 }
