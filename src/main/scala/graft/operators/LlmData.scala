@@ -4041,6 +4041,38 @@ object LlmData {
     * are near-uniform after canonicalization; a hot page (true crawl
     * frequency skew) lands on AQE skew-split like any hot key.
     */
+  /** q_scalar_url_parse — URL COMPONENT EXTRACTION over the adversarial
+    * URL fixture: scheme (case-folded), host (port stripped,
+    * case-folded), effective port (explicit or scheme default), path,
+    * query (+ parameter count), fragment — the `parse_url` surface
+    * expressed as PORTABLE REGEXES (RE2 ∩ Java dialect, identical in both
+    * engines) because DuckDB has no URL parser and a UDF would leave
+    * codegen. The structured prelude to [[dedupUrl]]'s canonicalizer.
+    *
+    * Scale: scan-stage projections only — six regex extracts per row, all
+    * inside whole-stage codegen.
+    */
+  def scalarUrlParse(s: SparkSession, d: String): DataFrame = {
+    s.read.parquet(urlFixturePath(s, d))
+      .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+      .withColumn("hostport", regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+      .withColumn("host", lower(regexp_replace(col("hostport"), ":[0-9]+$", "")))
+      .withColumn("port_s", regexp_extract(col("hostport"), ":([0-9]+)$", 1))
+      .withColumn("port",
+        when(col("port_s") =!= "", col("port_s").cast("long"))
+          .when(col("scheme") === "https", 443L).otherwise(80L))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+      .withColumn("query", regexp_extract(col("url"), "\\?([^#]*)", 1))
+      .withColumn("n_params",
+        when(col("query") === "", 0L)
+          .otherwise(size(split(col("query"), "&")).cast("long")))
+      .withColumn("fragment", regexp_extract(col("url"), "#(.*)$", 1))
+      .select("doc_id", "url", "scheme", "host", "port", "path", "query",
+        "n_params", "fragment")
+      .orderBy("doc_id")
+  }
+
   def dedupUrl(s: SparkSession, d: String): DataFrame = {
     val raw = s.read.parquet(urlFixturePath(s, d))
     // chain order matters: fragment off, tracking query off, unreserved
@@ -5278,6 +5310,7 @@ object LlmData {
     "q_sample_hash" -> sampleHash _,
     "q_sample_weighted" -> sampleWeighted _,
     "q_dedup_url" -> dedupUrl _,
+    "q_scalar_url_parse" -> scalarUrlParse _,
     "q_text_bpe_step" -> textBpeStep _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
@@ -5734,6 +5767,40 @@ object LlmData {
     // the engine reads the staged parquet, the oracle rebuilds the same
     // values, so a staging bug (dropped row, stale generation) breaks the
     // hash gate
+    // shares q_dedup_url's raw-URL regeneration CTE verbatim
+    "q_scalar_url_parse" ->
+      ("WITH raw AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 23 = 0 THEN 'EXAMPLE.com' ELSE 'Example.COM' END) || " +
+        "(CASE WHEN doc_id % 17 = 0 THEN ':443' ELSE '' END) || " +
+        "'/pages/' || " +
+        "(CASE WHEN doc_id % 19 = 0 THEN '%7Earchive/' " +
+        "WHEN doc_id % 29 = 0 THEN '%7earchive/' ELSE '~archive/' END) || " +
+        "CAST(doc_id % 120 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 41 = 0 THEN '/' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x' " +
+        "WHEN doc_id % 11 = 0 THEN '?b=2&a=1' " +
+        "WHEN doc_id % 13 = 0 THEN '?a=1&b=2' " +
+        "WHEN doc_id % 31 = 0 THEN '?c=3&a=1&b=2' " +
+        "WHEN doc_id % 37 = 0 THEN '?b=2&c=3&a=1' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url " +
+        "FROM documents), " +
+        "px AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +
+        "regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport, " +
+        "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query, " +
+        "regexp_extract(url, '#(.*)$', 1) AS fragment FROM raw) " +
+        "SELECT doc_id, url, scheme, " +
+        "lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host, " +
+        "CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> '' " +
+        "THEN CAST(regexp_extract(hostport, ':([0-9]+)$', 1) AS BIGINT) " +
+        "WHEN scheme = 'https' THEN 443 ELSE 80 END AS port, " +
+        "path, query, " +
+        "CASE WHEN query = '' THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(len(string_split(query, '&')) AS BIGINT) END AS n_params, " +
+        "fragment FROM px ORDER BY doc_id"),
     "q_dedup_url" ->
       ("WITH raw AS (SELECT doc_id, " +
         "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) || " +

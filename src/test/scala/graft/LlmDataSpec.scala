@@ -2299,4 +2299,28 @@ class LlmDataSpec extends AnyFunSuite {
     // the fixture plants near-duplicates: a split MUST leak some of them
     assert(nLeaked > 0, "no leakage across a duplicated corpus — suspicious")
   }
+
+  test("q_scalar_url_parse: components replay via java.net.URI on every row") {
+    val rows = LlmData.scalarUrlParse(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (url, scheme, host, port, path, query, nParams, frag) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4),
+          r.getString(5), r.getString(6), r.getLong(7), r.getString(8))
+      val u = new java.net.URI(url)
+      assert(scheme === u.getScheme.toLowerCase)
+      assert(host === u.getHost.toLowerCase)
+      assert(port === (if (u.getPort != -1) u.getPort.toLong
+        else if (scheme == "https") 443L else 80L))
+      // URI decodes %-escapes in getPath; compare against the raw path
+      assert(path === u.getRawPath)
+      assert(query === Option(u.getRawQuery).getOrElse(""))
+      assert(nParams === (if (query.isEmpty) 0L
+        else query.split("&", -1).length.toLong))
+      assert(frag === Option(u.getRawFragment).getOrElse(""))
+    }
+    // the adversarial fixture exercises every component
+    assert(rows.exists(_.getLong(7) > 0) && rows.exists(_.getString(8).nonEmpty))
+    assert(rows.exists(r => r.getString(1).contains(":443")))
+  }
 }
