@@ -362,6 +362,13 @@ object Streams {
         b.write.mode("append").parquet(own.toString)
         q.processAllAvailable()
       }
+      // second drain: the watermark-only flush batch that follows the last
+      // data batch is scheduled by requiresAnotherBatch, and under host
+      // load the first processAllAvailable can return between the data
+      // batch's commit and that no-data batch's scheduling (observed once
+      // as an empty scd2 sink in a full-suite run). A repeat drain is a
+      // no-op when the flush already ran and completes it when it hasn't.
+      q.processAllAvailable()
       lastMicroBatchPlan =
         try {
           val se = q.getClass.getMethod("streamingQuery").invoke(q)
