@@ -137,6 +137,91 @@ object BinaryBatch {
     }
   }
 
+  /** One 64-bit dHash as four 16-bit band values (kept apart — 16-bit
+    * bands sidestep the sign-bit-literal problem a single BIGINT mask
+    * carries into SQL engines, and they ARE the LSH banding keys). */
+  case class DHashSig(img_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Decode one batch of image payloads into 8×8 difference-hash band
+    * signatures: REAL codec decode (ImageIO), 9×8 nearest-neighbor
+    * grayscale grid from the decoded pixels (integer luminance
+    * (299r+587g+114b)/1000), bit (gy·8+gx) = grid[gy][gx+1] > grid[gy][gx]
+    * — the standard dHash, brightness-shift-invariant by construction.
+    */
+  def dhashBatch(batch: Seq[(Long, Array[Byte])]): Seq[DHashSig] =
+    batch.map { case (id, bytes) =>
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      // fail loudly, not with a zero signature: an undecodable payload
+      // hashing to 0 would silently near-collide with every other failure
+      require(img != null, s"image $id failed to decode — dHash undefined")
+      val g = Array.ofDim[Int](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val p = img.getRGB(gx * img.getWidth / 9, gy * img.getHeight / 8)
+          g(gy)(gx) = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)) / 1000
+          gx += 1
+        }
+        gy += 1
+      }
+      val bands = new Array[Long](4)
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val j = gy * 8 + gx
+          if (g(gy)(gx + 1) > g(gy)(gx)) bands(j / 16) |= 1L << (j % 16)
+          gx += 1
+        }
+        gy += 1
+      }
+      DHashSig(id, bands(0), bands(1), bands(2), bands(3))
+    }
+
+  /** Batched dHash decode over an (img_id, content) frame. */
+  def dhash(spark: SparkSession, df: DataFrame): Dataset[DHashSig] = {
+    import spark.implicits._
+    df.as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => dhashBatch(g.toSeq)))
+  }
+
+  /** The pHash fixture's pixel formula — shared by the PNG generator and
+    * the DuckDB oracle (which recomputes the sampled grid from this
+    * formula while the engine decodes the PNG bytes; equality proves the
+    * decode really recovered the drawn pixels). Image ids 30–39 are
+    * uniform +16-brightness copies of families 0–9 (dHash-invariant —
+    * Hamming 0 planted dups); ids 40–44 copy families 0–4 with the ONE
+    * sampled pixel (10, 6) forced to white (≤ 2 dHash bits flip — planted
+    * near-dups); everything else is a distinct family. Channels stay
+    * ≤ 215 so the brightness shift never clamps.
+    */
+  def phashPixel(id: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val f =
+      if (id >= 30 && id < 40) id - 30
+      else if (id >= 40 && id < 45) id - 40
+      else id
+    val br = if (id >= 30 && id < 40) 16 else 0
+    if (id >= 40 && id < 45 && x == 10 && y == 6) (255, 255, 255)
+    else ((f * 37 + x * 11) % 200 + br, (f * 53 + y * 13) % 200 + br,
+      (f * 29 + x * y) % 200 + br)
+  }
+
+  /** Write the deterministic 24×16 PNG pHash fixtures `ph_<id>.png` from
+    * [[phashPixel]]. */
+  def writePhashFixtures(dir: java.nio.file.Path, n: Int = 48): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { id =>
+      val img = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val (r, g, b) = phashPixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      ImageIO.write(img, "png", dir.resolve(f"ph_$id%03d.png").toFile)
+    }
+  }
+
   /** Write deterministic PNG fixtures `img_<id>.png` (dimensions and pixels
     * are pure functions of the id) plus one non-image decoy that the
     * suffix filter must skip — the landed state a media ingest produces.

@@ -2892,6 +2892,107 @@ object LlmData {
       .orderBy("audio_id")
   }
 
+  /** q_dedup_image_phash — IMAGE NEAR-DUP DEDUP via perceptual difference
+    * hash: the dedup family extended to the modality the engine already
+    * decodes (r12 verdict item 2). A `binaryFile` scan lands the PNG
+    * fixture corpus, the batched REAL ImageIO decode
+    * ([[graft.functions.BinaryBatch.dhash]]) reduces each image to the
+    * standard 8×8 dHash (9×8 nearest-neighbor grayscale grid from the
+    * decoded pixels, bit = right neighbor brighter) kept as FOUR 16-bit
+    * band values, candidates come from the LSH band join (pairs sharing
+    * ≥ 1 identical band), and candidates are verified at Hamming ≤ 2 over
+    * the full 64 bits — the [[dedupSimhashVerified]] recipe on pixels.
+    * With 4 bands and t = 2 the banding is EXACT by pigeonhole (≤ 2
+    * differing bits leave ≥ 1 band identical), so the banded output
+    * EQUALS the all-pairs scan — which is what the DuckDB oracle runs,
+    * recomputing the sampled grid from the generator's pixel formula
+    * ([[graft.functions.BinaryBatch.phashPixel]]): the engine hashes
+    * DECODED BYTES, the oracle hashes the FORMULA, so the green row
+    * proves decode + downsample + hash end-to-end. The planted dup
+    * structure (brightness-shifted exact dups, one-pixel near-dups) is
+    * additionally pinned in LlmDataSpec.
+    *
+    * Scale: the decode + hash is embarrassingly parallel scan work (8
+    * bytes of signature per image — the thing you keep in memory at
+    * 100 TB); the band join is the same banded candidate machinery as
+    * every text dedup (no all-pairs anywhere in the engine path); the
+    * verify join touches candidates only.
+    */
+  def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_phash_media"))(
+      graft.functions.BinaryBatch.writePhashFixtures(_))
+    val scanned = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "ph_(\\d+)\\.png$", 1).cast("long").as("img_id"),
+        col("content"))
+    val sigs = graft.functions.BinaryBatch.dhash(s, scanned).toDF()
+    val bands = sigs.select(col("img_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("bi", "bv")))
+    val cand = bands.select(col("img_id").as("img_a"), col("bi"), col("bv"))
+      .join(bands.select(col("img_id").as("img_b"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .where(col("img_a") < col("img_b"))
+      .select("img_a", "img_b").distinct()
+    val left = sigs.select(col("img_id").as("img_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val right = sigs.select(col("img_id").as("img_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(left, "img_a").join(right, "img_b")
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .where(col("hamming") <= 2)
+      .select("img_a", "img_b", "hamming")
+      .orderBy("img_a", "img_b")
+  }
+
+  /** DuckDB replay of [[dedupImagePhash]]: the grid CTEs recompute the
+    * SAMPLED grayscale grid from [[graft.functions.BinaryBatch.phashPixel]]
+    * mirrored literally (the engine decodes real PNG bytes instead), the
+    * dHash bits come off a per-row lead window, and the pair scan is
+    * all-pairs Hamming ≤ 2 — equal to the engine's banded output by the
+    * 4-band pigeonhole (the linear-gradient fixture's closest UNRELATED
+    * families sit at exactly Hamming 3, so the threshold also makes the
+    * result set the planted dup structure and nothing else). */
+  private def imagePhashSql: String = {
+    val white = "img BETWEEN 40 AND 44 AND sx = 10 AND sy = 6"
+    "WITH ids AS (SELECT unnest(generate_series(0, 47)) AS img), " +
+      "cg AS (SELECT unnest(generate_series(0, 8)) AS gx), " +
+      "rg AS (SELECT unnest(generate_series(0, 7)) AS gy), " +
+      "pos AS (SELECT img, gx, gy, (gx * 24) // 9 AS sx, gy * 2 AS sy " +
+      "FROM ids, cg, rg), " +
+      "fam AS (SELECT img, gx, gy, sx, sy, " +
+      "CASE WHEN img BETWEEN 30 AND 39 THEN img - 30 " +
+      "WHEN img BETWEEN 40 AND 44 THEN img - 40 ELSE img END AS f, " +
+      "CASE WHEN img BETWEEN 30 AND 39 THEN 16 ELSE 0 END AS br FROM pos), " +
+      "pxl AS (SELECT img, gx, gy, " +
+      s"CASE WHEN $white THEN 255 ELSE (f*37 + sx*11) % 200 + br END AS r, " +
+      s"CASE WHEN $white THEN 255 ELSE (f*53 + sy*13) % 200 + br END AS g, " +
+      s"CASE WHEN $white THEN 255 ELSE (f*29 + sx*sy) % 200 + br END AS b " +
+      "FROM fam), " +
+      "gr AS (SELECT img, gx, gy, (299*r + 587*g + 114*b) // 1000 AS gray " +
+      "FROM pxl), " +
+      "bits AS (SELECT img, gy, gx, CASE WHEN " +
+      "lead(gray) OVER (PARTITION BY img, gy ORDER BY gx) > gray " +
+      "THEN 1 ELSE 0 END AS bit FROM gr), " +
+      "bnd AS (SELECT img, (gy*8 + gx) // 16 AS bi, " +
+      "CAST(sum(bit * (1 << ((gy*8 + gx) % 16))) AS BIGINT) AS bv " +
+      "FROM bits WHERE gx <= 7 GROUP BY img, (gy*8 + gx) // 16), " +
+      "sig AS (SELECT img, max(CASE WHEN bi = 0 THEN bv END) AS b0, " +
+      "max(CASE WHEN bi = 1 THEN bv END) AS b1, " +
+      "max(CASE WHEN bi = 2 THEN bv END) AS b2, " +
+      "max(CASE WHEN bi = 3 THEN bv END) AS b3 FROM bnd GROUP BY img) " +
+      "SELECT img_a, img_b, hamming FROM (" +
+      "SELECT a.img AS img_a, b.img AS img_b, " +
+      "CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + " +
+      "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) " +
+      "AS hamming FROM sig a JOIN sig b ON a.img < b.img) " +
+      "WHERE hamming <= 2 ORDER BY img_a, img_b"
+  }
+
   // ------------------------------------------------------------------ text
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
@@ -3694,8 +3795,10 @@ object LlmData {
     * order by integer micro-cosine then vec_id, so both engines cut
     * identical top-10 sets.
     *
-    * Scale: each audit is the same one-scan brute-force pass as
-    * `q_simsearch_topk` (prefix slicing is a scan-side projection); the
+    * Scale: ONE corpus scan computes all four prefix micro-cosines as
+    * sibling projections (r12 verdict: the previous four-scan form paid
+    * the embeddings read 4×); each width's top-10 is then a 10-row
+    * TakeOrdered over the persisted (vec_id, cm8..cm64) frame and the
     * overlap join touches 10-row frames. At 100 TB the same audit runs on
     * a hash sample of queries — the per-query cost is the index probe,
     * unchanged.
@@ -3704,21 +3807,24 @@ object LlmData {
     graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-    def topIds(k: Int): DataFrame = {
-      val (e, qq) =
-        if (k == 64) (col("embedding"), col("qe"))
-        else (expr(s"slice(embedding, 1, $k)"), expr(s"slice(qe, 1, $k)"))
-      emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          round(VectorOps.cosine(e, qq) * 1000000d, 0).cast("long").as("cm"))
-        .orderBy(desc("cm"), asc("vec_id")).limit(10).select("vec_id")
-    }
-    val full = topIds(64)
-    import s.implicits._
-    Seq(8, 16, 32).map { k =>
-      val overlap = topIds(k).join(full, "vec_id").count()
-      (k.toLong, overlap, 1000000L * overlap / 10L)
-    }.toDF("dim", "overlap10", "recall_micro").orderBy("dim")
+    val scored = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+      .select(col("vec_id") +: Seq(8, 16, 32, 64).map { k =>
+        val (e, qq) =
+          if (k == 64) (col("embedding"), col("qe"))
+          else (expr(s"slice(embedding, 1, $k)"), expr(s"slice(qe, 1, $k)"))
+        round(VectorOps.cosine(e, qq) * 1000000d, 0).cast("long").as(s"cm$k")
+      }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def topIds(k: Int): DataFrame =
+        scored.orderBy(desc(s"cm$k"), asc("vec_id")).limit(10).select("vec_id")
+      val full = topIds(64)
+      import s.implicits._
+      Seq(8, 16, 32).map { k =>
+        val overlap = topIds(k).join(full, "vec_id").count()
+        (k.toLong, overlap, 1000000L * overlap / 10L)
+      }.toDF("dim", "overlap10", "recall_micro").orderBy("dim")
+    } finally scored.unpersist(false)
   }
 
   /** q_simsearch_binary — BINARY-QUANTIZED RETRIEVAL (the 1-bit embedding
@@ -4146,6 +4252,150 @@ object LlmData {
           .as("url"))
         .write.mode("overwrite").parquet(staging.toString)
     }.toString
+
+  /** Staged-HTML fixture scheme: h1 — (doc_id, html), every document
+    * dressed as a full web page (title, nav, optional aside, main carrying
+    * the document text with doc_id-dependent inline markup, footer). Bump
+    * when the generation changes.
+    */
+  private val htmlSchemeVersion = "h1"
+
+  /** The staged (doc_id, html) fixture table [[textHtmlExtract]] reads —
+    * the landed state of a web crawl, built once per documents fixture
+    * (fingerprint-keyed, atomic publish) and deterministic from
+    * (doc_id, source, text) so the DuckDB oracle regenerates the identical
+    * column in SQL ([[dedupUrl]]'s staging doctrine). The dressing is
+    * adversarial enough to make extraction non-vacuous: boilerplate nav /
+    * footer / aside blocks dense with links, inline `<a>`/`<b>` markup
+    * INSIDE the main text on doc_id-dependent subsets (so tag stripping
+    * and link counting vary per row), and an aside block only some docs
+    * carry (so the segment inventory is data-dependent).
+    */
+  private[graft] def htmlFixturePath(s: SparkSession, d: String): String =
+    graft.Fixtures.ensureDerived("graft_html", d, "documents",
+      htmlSchemeVersion) { staging =>
+      t(s, d, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit(" "), col("source"), lit("</title></head><body>"),
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+            "<a href=\"/archive\">Archive</a></nav>"),
+          when(col("doc_id") % 4 === 0,
+            lit("<aside><a href=\"/rel1\">Related one</a> " +
+              "<a href=\"/rel2\">Related two</a> more reading</aside>"))
+            .otherwise(lit("")),
+          lit("<main><p>"),
+          when(col("doc_id") % 6 === 0,
+            lit("See <a href=\"/ref\">the reference</a> for context. "))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("<b>"), col("text"), lit("</b>")))
+            .otherwise(col("text")),
+          lit("</p></main>"),
+          lit("<footer>Copyright 2026 Example Corp " +
+            "<a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
+            "</footer></body></html>")).as("html"))
+        .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+
+  /** q_text_html_extract — HTML MAIN-TEXT (boilerplate) EXTRACTION, the
+    * web-corpus step BEFORE every downstream text operator (Gopher rules,
+    * LM scoring, dedup all presume extracted text; a crawl lands markup).
+    * Tag-aware and heuristic-driven: the page is segmented on its block
+    * tags (nav / aside / main / footer), each segment is tag-stripped and
+    * scored by LINK DENSITY (links per character — the classic
+    * boilerplate signal: navigation chrome is link-dense, content is
+    * text-dense), and the CONTENT segment is chosen as the minimum-density
+    * segment (ties to the longest, then tag name) — a rule, not a
+    * hardcoded tag, so chrome-shaped `<main>` blocks would lose. Output
+    * per page: title, picked segment, extracted-text length + md5 (the
+    * byte-exact extraction pin), link counts, and the boilerplate mass
+    * dropped. All regexes live in the RE2 ∩ Java dialect so both engines
+    * extract identical bytes; LlmDataSpec additionally proves nav/footer
+    * text is absent from the extraction and the density rule picks `main`
+    * on every fixture page.
+    *
+    * Scale: segmentation, stripping, and link counts are scan-stage regex
+    * projections (codegen'd, no shuffle); the 4-segments-per-page explode
+    * is bounded fan-out; the per-page argmin is a page-PARTITIONED window.
+    * At 100 TB this is exactly the shape of a production boilerplate pass
+    * (trafilatura-class rules as columnar expressions).
+    */
+  def textHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(htmlFixturePath(s, d))
+    def seg(name: String) = struct(lit(name).as("seg"),
+      regexp_extract(col("html"), s"<$name>(.*)</$name>", 1).as("raw"))
+    val stats = raw.select(col("doc_id"),
+      regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+      explode(array(seg("main"), seg("nav"), seg("aside"), seg("footer")))
+        .as("e"))
+      .select(col("doc_id"), col("title"), col("e.seg").as("seg"),
+        col("e.raw").as("raw"))
+      .withColumn("txt", regexp_replace(col("raw"), "<[^>]*>", ""))
+      .withColumn("tlen", length(col("txt")).cast("long"))
+      .withColumn("n_links", expr(
+        "CAST((length(raw) - length(replace(raw, '<a href', ''))) div 7 AS BIGINT)"))
+      .withColumn("density_ppm",
+        expr("CAST((1000000 * n_links) div greatest(tlen, 1) AS BIGINT)"))
+    val perDoc = Window.partitionBy("doc_id")
+    val pick = Window.partitionBy("doc_id")
+      .orderBy(asc("density_ppm"), desc("tlen"), asc("seg"))
+    stats.where(col("tlen") > 0)
+      .withColumn("all_len", sum(col("tlen")).over(perDoc))
+      .withColumn("all_links", sum(col("n_links")).over(perDoc))
+      .withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("title"), col("seg").as("picked"),
+        col("tlen").as("main_len"), md5(col("txt")).as("main_md5"),
+        col("n_links").as("main_links"), col("density_ppm"),
+        (col("all_len") - col("tlen")).as("boiler_len"),
+        col("all_links").as("total_links"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[textHtmlExtract]]: the `h` CTE REGENERATES the
+    * staged html fixture column deterministically from (doc_id, source,
+    * text) ([[htmlFixturePath]]'s generation, mirrored literally), then
+    * the same segmentation / stripping / density argmin replays in SQL —
+    * a staging bug (dropped row, stale generation) breaks the hash gate.
+    */
+  private def htmlExtractSql: String = {
+    val gen = "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ' " +
+      "|| source || '</title></head><body>' || " +
+      "'<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/archive\">Archive</a></nav>' || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '<aside><a href=\"/rel1\">Related one</a> " +
+      "<a href=\"/rel2\">Related two</a> more reading</aside>' ELSE '' END) || " +
+      "'<main><p>' || " +
+      "(CASE WHEN doc_id % 6 = 0 THEN 'See <a href=\"/ref\">the reference</a> " +
+      "for context. ' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '<b>' || text || '</b>' ELSE text END) || " +
+      "'</p></main>' || " +
+      "'<footer>Copyright 2026 Example Corp <a href=\"/terms\">Terms</a> " +
+      "<a href=\"/privacy\">Privacy</a></footer></body></html>'"
+    val segSel = Seq("main", "nav", "aside", "footer").map { n =>
+      s"SELECT doc_id, regexp_extract(html, '<title>([^<]*)</title>', 1) AS title, " +
+        s"'$n' AS seg, regexp_extract(html, '<$n>(.*)</$n>', 1) AS raw FROM h"
+    }.mkString(" UNION ALL ")
+    s"WITH h AS (SELECT doc_id, $gen AS html FROM documents), " +
+      s"segs AS ($segSel), " +
+      "st AS (SELECT doc_id, title, seg, " +
+      "regexp_replace(raw, '<[^>]*>', '', 'g') AS txt, " +
+      "CAST(len(regexp_replace(raw, '<[^>]*>', '', 'g')) AS BIGINT) AS tlen, " +
+      "CAST((len(raw) - len(replace(raw, '<a href', ''))) // 7 AS BIGINT) AS n_links " +
+      "FROM segs), " +
+      "pk AS (SELECT doc_id, title, seg, txt, tlen, n_links, " +
+      "CAST((1000000 * n_links) // greatest(tlen, 1) AS BIGINT) AS density_ppm, " +
+      "CAST(sum(tlen) OVER (PARTITION BY doc_id) AS BIGINT) AS all_len, " +
+      "CAST(sum(n_links) OVER (PARTITION BY doc_id) AS BIGINT) AS all_links, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY " +
+      "(1000000 * n_links) // greatest(tlen, 1) ASC, tlen DESC, seg ASC) AS rn " +
+      "FROM st WHERE tlen > 0) " +
+      "SELECT doc_id, title, seg AS picked, tlen AS main_len, " +
+      "md5(txt) AS main_md5, n_links AS main_links, density_ppm, " +
+      "all_len - tlen AS boiler_len, all_links AS total_links " +
+      "FROM pk WHERE rn = 1 ORDER BY doc_id"
+  }
 
   /** q_corpus_domain_cap — domain-mixture capping: no source contributes
     * more than `cap` documents (the standard rebalancing step before
@@ -5287,6 +5537,7 @@ object LlmData {
     "q_multimodal_frames" -> multimodalFrames _,
     "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
     "q_multimodal_audio" -> multimodalAudio _,
+    "q_dedup_image_phash" -> dedupImagePhash _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
     "q_text_gopher_rules" -> textGopherRules _,
@@ -5311,6 +5562,7 @@ object LlmData {
     "q_sample_weighted" -> sampleWeighted _,
     "q_dedup_url" -> dedupUrl _,
     "q_scalar_url_parse" -> scalarUrlParse _,
+    "q_text_html_extract" -> textHtmlExtract _,
     "q_text_bpe_step" -> textBpeStep _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
@@ -5835,6 +6087,8 @@ object LlmData {
         "SELECT curl, CAST(count(*) AS BIGINT) AS n_dups, " +
         "CAST(min(doc_id) AS BIGINT) AS keep_doc " +
         "FROM c GROUP BY curl ORDER BY curl"),
+    "q_text_html_extract" -> htmlExtractSql,
+    "q_dedup_image_phash" -> imagePhashSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
         "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +

@@ -119,7 +119,9 @@ class ContractSpec extends AnyFunSuite {
     "q_stream_update_agg", "q_embed_triplet_margin", "q_agg_mix_entropy",
     "q_event_segment_migration", "q_window_streak",
     "q_graph_butterflies", "q_agg_mann_whitney",
-    "q_corpus_split_leakage", "q_event_markov_step", "q_scalar_url_parse")
+    "q_corpus_split_leakage", "q_event_markov_step", "q_scalar_url_parse",
+    // round 13: web-corpus front door + image dedup + tokenizer end-to-end
+    "q_text_html_extract", "q_dedup_image_phash")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

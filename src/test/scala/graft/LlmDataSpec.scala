@@ -1613,6 +1613,66 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 1))
   }
 
+  test("q_dedup_image_phash recovers exactly the planted image dup structure") {
+    val got = LlmData.dedupImagePhash(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ids 30..39 are +16-brightness copies of families 0..9 — dHash is
+    // brightness-shift-invariant, so these MUST land at Hamming 0
+    val exact = (0 until 10).map(f => (f.toLong, (30 + f).toLong)).toSet
+    exact.foreach { case (a, b) =>
+      assert(got.exists(p => p._1 == a && p._2 == b && p._3 == 0L),
+        s"brightness-shifted copy ($a, $b) must be an exact dHash dup")
+    }
+    // ids 40..44 perturb ONE sampled pixel of families 0..4 — ≤ 2 bits
+    // flip, and the variant is equally close to the brightness twin
+    (0 until 5).foreach { f =>
+      assert(got.exists(p => p._1 == f && p._2 == 40 + f && p._3 <= 2L))
+      assert(got.exists(p => p._1 == 30 + f && p._2 == 40 + f && p._3 <= 2L))
+    }
+    // NOTHING else: unrelated families must not enter at this threshold
+    val planted = exact ++ (0 until 5).flatMap(f =>
+      Seq((f.toLong, (40 + f).toLong), ((30 + f).toLong, (40 + f).toLong)))
+    assert(got.map(p => (p._1, p._2)) === planted,
+      s"spurious pairs: ${got.map(p => (p._1, p._2)) -- planted}")
+  }
+
+  test("q_text_html_extract picks the content segment and drops boilerplate byte-exactly") {
+    val out = LlmData.textHtmlExtract(s, d).collect()
+    val docs = Tables(s, d, "documents").select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length === docs.length)
+    // the stripped text of each boilerplate block, from the fixture's
+    // literal dressing — independent of the engine's regex pipeline
+    val navTxt = "Home About Archive"
+    val asideTxt = "Related one Related two more reading"
+    val footTxt = "Copyright 2026 Example Corp Terms Privacy"
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val byId = docs.map { case (id, src, text) => id -> (src, text) }.toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (src, text) = byId(id)
+      // the density rule — not a hardcoded tag — must land on content
+      assert(r.getAs[String]("picked") === "main",
+        s"link-density rule must select the content segment for doc $id")
+      // byte-exact extraction: inline <a>/<b> markup stripped, anchor TEXT
+      // kept, nav/aside/footer text entirely absent
+      val expected =
+        (if (id % 6 == 0) "See the reference for context. " else "") + text
+      assert(r.getAs[Long]("main_len") === expected.length.toLong)
+      assert(r.getAs[String]("main_md5") === md5hex(expected))
+      assert(r.getAs[String]("title") === s"Doc $id $src")
+      val expBoiler = navTxt.length + footTxt.length +
+        (if (id % 4 == 0) asideTxt.length else 0)
+      assert(r.getAs[Long]("boiler_len") === expBoiler.toLong,
+        s"boilerplate text must be fully measured and excluded for doc $id")
+      val expLinks = 3L + 2L + (if (id % 4 == 0) 2L else 0L) +
+        (if (id % 6 == 0) 1L else 0L)
+      assert(r.getAs[Long]("total_links") === expLinks)
+    }
+  }
+
   test("q_text_chunk covers every token: stride-24 starts, full-width tail") {
     val chunks = LlmData.textChunk(s, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
