@@ -4060,6 +4060,174 @@ object LlmData {
       .limit(10)
   }
 
+  /** Number of BPE merge rounds the trainer runs — mirrored literally by
+    * the oracle's CTE chain; a tuning change edits this and the two SQL
+    * builders, nothing else. */
+  private val bpeMergeCount = 12
+
+  /** The staged BPE artifacts (r12 verdict item 6 — the train-to-vocab
+    * loop [[textBpeStep]] was one iteration of): `merges/` (the ordered
+    * merge table) and `vocab/` (every corpus token with its fully-merged
+    * symbol sequence), built once per documents fixture. Training follows
+    * the published recipe (Sennrich et al., ACL'16): ONE corpus scan
+    * collapses the corpus to the (token, count) frequency table, then
+    * every merge round runs at VOCAB grain — pair counts are
+    * count-weighted over the distinct tokens' symbol sequences, the
+    * argmax (count desc, pair asc — deterministic) is a 1-row
+    * control-plane collect per round, and the merge applies as a
+    * space-padded left-to-right literal replace (both engines' `replace`
+    * semantics — greedy non-overlapping, with one DEFINED divergence from
+    * canonical BPE: a pair immediately repeated back-to-back ("a b a b")
+    * merges alternately, because each match consumes its boundary space;
+    * published BPE implementations already differ on exactly this
+    * repeated-pair corner, and both engines here share one definition). Sequences are checkpointed per round so the loop's
+    * plan stays constant-size ([[graft.operators.Analytics]] ccLabels
+    * doctrine).
+    *
+    * Scale: the corpus-grain work is one token-count aggregate; the loop
+    * touches only the frequency table (bounded by vocabulary, not
+    * corpus), which is why BPE trainers scale — and the staged artifact
+    * means serving paths never re-pay training.
+    */
+  private def bpePath(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Fixtures.ensureDerived("graft_bpe", d, "documents", "b1") { staging =>
+      var vocab = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("seq",
+          concat(regexp_replace(col("tok"), "(.)", "$1 "), lit("</w>")))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var step = 1
+      while (step <= bpeMergeCount) {
+        val top = vocab
+          .select(col("cnt"), split(col("seq"), " ").as("sym"))
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(sym) - 2), " +
+              "i -> struct(sym[i] AS a, sym[i+1] AS b))")).as("pr"))
+          .groupBy("pr.a", "pr.b").agg(sum(col("cnt")).as("n"))
+          .orderBy(desc("n"), col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((step.toLong, a, b, n))
+        val prev = vocab
+        // literal (not regex) replace with Column args — symbol strings
+        // embed safely whatever characters the corpus tokens carry
+        vocab = vocab.withColumn("seq",
+          trim(replace(concat(lit(" "), col("seq"), lit(" ")),
+            lit(s" $a $b "), lit(s" $a$b "))))
+          .localCheckpoint(true)
+        prev.unpersist()
+        step += 1
+      }
+      import s.implicits._
+      merges.result().toDF("step", "sym_a", "sym_b", "pair_n")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("merges").toString)
+      vocab.select("tok", "cnt", "seq")
+        .write.mode("overwrite").parquet(staging.resolve("vocab").toString)
+      vocab.unpersist()
+    }
+
+  /** q_text_bpe_train — the full BPE TRAIN-TO-VOCAB loop ([[textBpeStep]]
+    * is one round's candidate scan; this runs [[bpeMergeCount]] rounds to
+    * a learned merge table): step, merge pair, merged symbol, and the
+    * count that won the round. The DuckDB oracle replays every round as a
+    * chained CTE pair (pair-count argmax + padded-replace application),
+    * so a single wrong merge anywhere in the chain breaks the hash gate.
+    */
+  def textBpeTrain(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(bpePath(s, d).resolve("merges").toString)
+      .select(col("step"), col("sym_a"), col("sym_b"),
+        concat(col("sym_a"), col("sym_b")).as("merged"), col("pair_n"))
+      .orderBy("step")
+
+  /** q_text_bpe_encode — TOKENIZER APPLY at corpus scale: every document
+    * is encoded under the learned [[textBpeTrain]] merges, reporting
+    * base-symbol and encoded-symbol counts, the compression ratio, and
+    * the md5 of the full encoded symbol stream (byte-exact pin of the
+    * whole encoding, order included) — the operator `q_pack_sequences`
+    * presumes, closing the tokenizer story end to end.
+    *
+    * Scale: encoding is a DICTIONARY JOIN — the corpus token stream joins
+    * the staged (token → merged sequence) vocab table, so the 12-round
+    * merge work never touches corpus grain (encode cost is one join +
+    * one doc-keyed aggregate, exactly how production tokenizers batch).
+    * The in-doc order pin rides a doc-partitioned sort of collected
+    * (pos, seq) structs — bounded by document length, never global.
+    */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val vocab = s.read.parquet(bpePath(s, d).resolve("vocab").toString)
+      .select("tok", "seq")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+      .join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(sum(length(col("tok")) + 1).cast("long").as("n_syms_base"),
+        sum(size(split(col("seq"), " "))).cast("long").as("n_syms_enc"),
+        expr("md5(array_join(transform(array_sort(" +
+          "collect_list(struct(pos, seq))), p -> p.seq), ' '))").as("enc_md5"))
+      .withColumn("compression_ppm",
+        expr("CAST((1000000 * n_syms_enc) div n_syms_base AS BIGINT)"))
+      .select("doc_id", "n_syms_base", "n_syms_enc", "compression_ppm",
+        "enc_md5")
+      .orderBy("doc_id")
+  }
+
+  /** The oracle's merge-replay CTE chain shared by the train and encode
+    * oracles: v0 is the corpus frequency table with char-split symbol
+    * sequences; each round k materializes its argmax pair (p_k) and the
+    * post-merge vocabulary (v_k) — [[bpePath]]'s loop, mirrored literally
+    * in SQL. */
+  private def bpeReplaySqlCtes: String = {
+    val v0 = "v0 AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cnt, " +
+      "regexp_replace(tok, '(.)', '\\1 ', 'g') || '</w>' AS seq " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "WHERE len(tok) > 0 GROUP BY tok)"
+    val steps = (1 to bpeMergeCount).map { k =>
+      val pv = s"v${k - 1}"
+      s"p$k AS MATERIALIZED (SELECT a, b, n FROM (" +
+        "SELECT w.sym[i] AS a, w.sym[i + 1] AS b, " +
+        "CAST(sum(cnt) AS BIGINT) AS n FROM " +
+        s"(SELECT cnt, string_split(seq, ' ') AS sym FROM $pv) w, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(w.sym) - 1)) AS i) g " +
+        "GROUP BY 1, 2) ORDER BY n DESC, a, b LIMIT 1), " +
+        s"v$k AS MATERIALIZED (SELECT tok, cnt, trim(replace(' ' || seq || ' ', " +
+        s"' ' || (SELECT a FROM p$k) || ' ' || (SELECT b FROM p$k) || ' ', " +
+        s"' ' || (SELECT a FROM p$k) || (SELECT b FROM p$k) || ' ')) AS seq " +
+        s"FROM $pv)"
+    }
+    (v0 +: steps).mkString(", ")
+  }
+
+  /** DuckDB replay of [[textBpeTrain]]. */
+  private def bpeTrainSql: String = {
+    val rows = (1 to bpeMergeCount).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, a AS sym_a, b AS sym_b, " +
+        s"a || b AS merged, n AS pair_n FROM p$k"
+    }.mkString(" UNION ALL ")
+    s"WITH $bpeReplaySqlCtes SELECT * FROM ($rows) ORDER BY step"
+  }
+
+  /** DuckDB replay of [[textBpeEncode]]: the same merge chain to v12,
+    * then the dictionary join against the corpus token stream. */
+  private def bpeEncodeSql: String =
+    s"WITH $bpeReplaySqlCtes, " +
+      "tk AS (SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok " +
+      "FROM documents, LATERAL (SELECT unnest(generate_series(1, " +
+      "len(string_split(text, ' ')))) AS i) g " +
+      "WHERE len(string_split(text, ' ')[i]) > 0) " +
+      "SELECT doc_id, CAST(sum(len(tok) + 1) AS BIGINT) AS n_syms_base, " +
+      "CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS n_syms_enc, " +
+      "CAST((1000000 * sum(len(string_split(v.seq, ' ')))) // " +
+      "sum(len(tok) + 1) AS BIGINT) AS compression_ppm, " +
+      "md5(string_agg(v.seq, ' ' ORDER BY pos)) AS enc_md5 " +
+      s"FROM tk JOIN v$bpeMergeCount v USING (tok) " +
+      "GROUP BY doc_id ORDER BY doc_id"
+
   /** q_sample_hash — DETERMINISTIC, ENGINE-PORTABLE stratified sampling:
     * each document's md5 over a salted doc_id yields a uniform 256-bucket
     * key, and per-language hex thresholds keep 50% of `en`, 25% of the
@@ -5564,6 +5732,8 @@ object LlmData {
     "q_scalar_url_parse" -> scalarUrlParse _,
     "q_text_html_extract" -> textHtmlExtract _,
     "q_text_bpe_step" -> textBpeStep _,
+    "q_text_bpe_train" -> textBpeTrain _,
+    "q_text_bpe_encode" -> textBpeEncode _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -6089,6 +6259,8 @@ object LlmData {
         "FROM c GROUP BY curl ORDER BY curl"),
     "q_text_html_extract" -> htmlExtractSql,
     "q_dedup_image_phash" -> imagePhashSql,
+    "q_text_bpe_train" -> bpeTrainSql,
+    "q_text_bpe_encode" -> bpeEncodeSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
         "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +

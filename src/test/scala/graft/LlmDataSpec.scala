@@ -1613,6 +1613,53 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 1))
   }
 
+  test("q_text_bpe_train/encode match a driver-side reference replay of the whole loop") {
+    // independent single-threaded reference over the raw text: frequency
+    // table, 12 argmax merges, padded-replace application (the declared
+    // merge semantics, via java.lang.String.replace), then per-doc encode
+    val texts = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var vocab: Map[String, Long] = texts.flatMap(_._2.split(" "))
+      .filter(_.nonEmpty).groupBy(identity)
+      .map { case (t, g) => t -> g.length.toLong }
+    var seqs: Map[String, String] = vocab.keys
+      .map(t => t -> (t.toCharArray.map(_ + " ").mkString + "</w>")).toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    (1 to 12).foreach { _ =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      vocab.foreach { case (t, c) =>
+        seqs(t).split(" ").sliding(2).foreach {
+          case Array(a, b) => pc((a, b)) += c
+          case _ =>
+        }
+      }
+      val ((a, b), n) = pc.minBy { case ((x, y), m) => (-m, x, y) }
+      merges += ((a, b, n))
+      seqs = seqs.map { case (t, q) =>
+        t -> (" " + q + " ").replace(s" $a $b ", s" $a$b ").trim
+      }
+    }
+    val gotTrain = LlmData.textBpeTrain(s, d).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(gotTrain === merges.toSeq)
+    // encode: base/enc counts and the md5 of the ordered symbol stream
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = texts.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val enc = toks.map(seqs)
+      (id, toks.map(_.length + 1L).sum, enc.map(_.split(" ").length.toLong).sum,
+        md5hex(enc.mkString(" ")))
+    }.sortBy(_._1).toSeq
+    val gotEnc = LlmData.textBpeEncode(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))).toSeq
+    assert(gotEnc === want)
+    // the learned vocab genuinely compresses the corpus
+    assert(want.forall { case (_, base, enc, _) => enc < base })
+  }
+
   test("q_dedup_image_phash recovers exactly the planted image dup structure") {
     val got = LlmData.dedupImagePhash(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
