@@ -1246,11 +1246,16 @@ object Relational {
       .write.mode("overwrite").parquet(s"$root/manifest")
     val manifest = s.read.parquet(s"$root/manifest")
     val (probeLo, probeHi) = ("1997-01-01", "1998-01-01")
-    val survivors = manifest
-      .where(col("hi") >= lit(probeLo).cast("timestamp") &&
-        col("lo") < lit(probeHi).cast("timestamp"))
-      .select("file").collect().map(_.getString(0))
-    val total = manifest.count().toInt
+    // ONE planning collect (file grain — the bounded control plane every
+    // lake format's driver-side planner reads; see docs/SCALING.md for
+    // the 10^6-file argument and the two-level escalation path): each
+    // manifest row carries its overlap verdict, so survivors and the
+    // total come from the same pass instead of a second count() job
+    val flagged = manifest.select(col("file"),
+      (col("hi") >= lit(probeLo).cast("timestamp") &&
+        col("lo") < lit(probeHi).cast("timestamp")).as("live")).collect()
+    val survivors = flagged.filter(_.getBoolean(1)).map(_.getString(0))
+    val total = flagged.length
     // a no-overlap probe prunes EVERY file; varargs-empty read would throw
     // "Unable to infer schema", so fall back to the full table under an
     // always-false filter — same (empty) result, schema preserved

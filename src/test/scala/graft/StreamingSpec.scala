@@ -16,6 +16,33 @@ class StreamingSpec extends AnyFunSuite {
   lazy val s = TestSpark.spark
   val d = TestSpark.sf
 
+  test("streaming micro-batch floors hold (no hidden extra batch / state blowup)") {
+    // docs/SCALING.md "Streaming harness floor": the staged-batch harness
+    // pays ~1.5–2 s fixed cost per micro-batch, and these three queries
+    // are pinned at their minimum batch counts (join_outer: two batches
+    // by eviction semantics; scd2/cdc: one data batch + flush). The
+    // ceilings are ~2× the documented contended upper range — loose
+    // enough for a busy host, tight enough that a regression re-adding a
+    // semantic batch or unbounding state fails HERE instead of waiting
+    // for a bench forensics pass (r12 verdict item 5).
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+    }
+    val floors = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, Double)](
+      ("q_stream_join_outer", Streams.streamJoinOuter, 12.0),
+      ("q_stream_scd2", Streams.streamScd2, 8.0),
+      ("q_stream_cdc_apply", Streams.streamCdcApply, 8.0))
+    floors.foreach { case (name, q, ceiling) =>
+      timed(q(s, d).collect()) // warm pass: fixture staging + first plans
+      val t = timed(q(s, d).collect())
+      assert(t <= ceiling,
+        f"$name took $t%.1f s — above its ${ceiling}%.0f s micro-batch " +
+          "floor ceiling; check for an extra batch or unbounded state " +
+          "(docs/SCALING.md streaming-floor entry)")
+    }
+  }
+
   test("q_stream_tumbling equals its batch replay") {
     val streamed = Streams.streamTumbling(s, d).collect().toSeq
     val batch = Tables(s, d, "events")
