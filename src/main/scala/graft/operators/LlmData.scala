@@ -3827,6 +3827,130 @@ object LlmData {
     } finally scored.unpersist(false)
   }
 
+  /** NSW graph parameters — out-degree M, beam width ef, hop count — all
+    * mirrored LITERALLY by [[nswSql]]'s unrolled CTE chain; a tuning
+    * change edits these and that builder, nothing else. */
+  private val nswDegree = 8
+  private val nswBeam = 8
+  private val nswHops = 6
+
+  /** The staged NSW adjacency (src → its [[nswDegree]] nearest corpus
+    * neighbors by integer micro-cosine, ties to the smaller id): built
+    * once per embeddings fixture. The build is all-pairs HERE (one-time,
+    * fixture-scale — the same Σn² class as the staged wedge tables); at
+    * 100 TB the published recipe bounds graph-build candidates with the
+    * existing IVF cells (probe neighboring cells, keep the M best), which
+    * approximates the kNN graph exactly the way production HNSW builders
+    * approximate theirs.
+    */
+  private[graft] def nswAdjPath(s: SparkSession, d: String): String =
+    graft.Fixtures.ensureDerived("graft_nsw", d, "embeddings", "n2") { staging =>
+      graft.functions.GraftFunctions.register(s)
+      val base = t(s, d, "embeddings").where(col("vec_id") =!= 0)
+      val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
+      val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+      val w = Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))
+      a.crossJoin(b).where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(VectorOps.cosine(col("ea"), col("eb")) * 1000000d, 0)
+            .cast("long").as("cm"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= nswDegree)
+        .select("src", "dst")
+        .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+
+  /** q_simsearch_nsw — GRAPH-BASED ANN (the industry-default serving
+    * index family HNSW belongs to; this is its one-layer NSW core,
+    * Malkov & Yashunin's navigable-small-world search without the
+    * hierarchy): a PERSISTED kNN graph ([[nswAdjPath]]) is walked
+    * greedily from a fixed entry point (the minimum corpus id — the
+    * deterministic stand-in for HNSW's top-layer descent), expanding a
+    * beam of the [[nswBeam]] best NEW nodes per hop for [[nswHops]] hops
+    * and returning the top-10 of everything visited. Every step is
+    * deterministic (integer micro-cosines, id tie-breaks), so the DuckDB
+    * oracle replays the ENTIRE walk — graph construction, entry choice,
+    * per-hop frontier sets, final cut — from the embeddings bytes, the
+    * same full-routing-replay doctrine as `q_simsearch_ivf_full`.
+    * LlmDataSpec measures recall@10 against brute force.
+    *
+    * Scale: the walk's state (frontier, visited) is O(ef·M·hops) —
+    * control-plane, like the IVF routing collect; each hop is one keyed
+    * lookup join against the adjacency table (a point-read batch in a
+    * serving store; a broadcast-frontier join here). Corpus work is the
+    * candidate scoring of visited nodes only — the graph's whole point:
+    * probe cost is hops·ef·M score evaluations, independent of corpus
+    * size. The hierarchy HNSW adds (log-scale entry descent) matters
+    * when the graph diameter grows; it composes on top of exactly this
+    * per-layer walk.
+    */
+  def simsearchNsw(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val adj = s.read.parquet(nswAdjPath(s, d))
+    val emb = t(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val base = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
+          .cast("long").as("cm_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val entry = base.agg(min("vec_id")).collect()(0).getLong(0)
+      var visited = Set(entry)
+      var frontier = Seq(entry)
+      var hop = 0
+      while (hop < nswHops && frontier.nonEmpty) {
+        // one keyed lookup join per hop; the collect is the walk's
+        // O(ef·M) control-plane state, not a data collect
+        val fresh = adj.where(col("src").isin(frontier: _*))
+          .select(col("dst").as("vec_id")).distinct()
+          .where(!col("vec_id").isin(visited.toSeq: _*))
+          .join(base, "vec_id")
+          .select("vec_id", "cm_micro").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        visited ++= fresh.map(_._1)
+        frontier = fresh.sortBy { case (id, cm) => (-cm, id) }
+          .take(nswBeam).map(_._1).toSeq
+        hop += 1
+      }
+      base.where(col("vec_id").isin(visited.toSeq: _*))
+        .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
+    } finally base.unpersist(false)
+  }
+
+  /** DuckDB replay of [[simsearchNsw]]: graph build (all-pairs kNN window
+    * — oracle-scale only; the engine reads its staged artifact), then the
+    * walk unrolled hop by hop (new-node set, visited union, beam cut). */
+  private def nswSql: String = {
+    val q = "q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings " +
+      "WHERE vec_id = 0)"
+    val base = "base AS MATERIALIZED (SELECT vec_id, embedding, " +
+      "CAST(round((" + VectorOps.sqlCosine("embedding", "qe") +
+      ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings, q WHERE vec_id <> 0)"
+    val adj = "adj AS MATERIALIZED (SELECT src, dst FROM (" +
+      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
+      VectorOps.sqlCosine("a.embedding", "b.embedding") +
+      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
+      s"FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= $nswDegree)"
+    val v0 = "v0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM base), " +
+      "f0 AS MATERIALIZED (SELECT vec_id FROM v0)"
+    val steps = (1 to nswHops).map { h =>
+      s"n$h AS MATERIALIZED (SELECT DISTINCT dst AS vec_id FROM adj " +
+        s"JOIN f${h - 1} f ON adj.src = f.vec_id " +
+        s"WHERE dst NOT IN (SELECT vec_id FROM v${h - 1})), " +
+        s"v$h AS MATERIALIZED (SELECT vec_id FROM v${h - 1} " +
+        s"UNION SELECT vec_id FROM n$h), " +
+        s"f$h AS MATERIALIZED (SELECT vec_id FROM (SELECT n.vec_id, b.cm " +
+        s"FROM n$h n JOIN base b USING (vec_id) " +
+        s"ORDER BY b.cm DESC, n.vec_id LIMIT $nswBeam))"
+    }.mkString(", ")
+    s"WITH $q, $base, $adj, $v0, $steps " +
+      "SELECT vec_id, cm AS cm_micro FROM base " +
+      s"WHERE vec_id IN (SELECT vec_id FROM v$nswHops) " +
+      "ORDER BY cm DESC, vec_id LIMIT 10"
+  }
+
   /** q_simsearch_binary — BINARY-QUANTIZED RETRIEVAL (the 1-bit embedding
     * compression powering 32×-smaller RAG serving tiers): each 64-d vector
     * collapses to one 64-bit sign mask (bit j = v[j] ≥ 0), candidates come
@@ -5745,6 +5869,7 @@ object LlmData {
     "q_text_oov_rate" -> textOovRate _,
     "q_simsearch_matryoshka" -> simsearchMatryoshka _,
     "q_simsearch_binary" -> simsearchBinary _,
+    "q_simsearch_nsw" -> simsearchNsw _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
@@ -6261,6 +6386,7 @@ object LlmData {
     "q_dedup_image_phash" -> imagePhashSql,
     "q_text_bpe_train" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
+    "q_simsearch_nsw" -> nswSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
         "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +

@@ -431,6 +431,28 @@ class LlmDataSpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("q_simsearch_nsw: graph walk recall@10 vs brute force, deterministic replay") {
+    val brute = LlmData.simsearchTopk(s, d).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = LlmData.simsearchNsw(s, d).collect()
+    assert(got.length === 10, s"NSW walk returned ${got.length} rows")
+    // ordering contract: micro-cosine desc, id-asc ties — the oracle's cut
+    val order = got.map(r => (r.getLong(1), r.getLong(0)))
+    order.sliding(2).foreach { case Array((ca, ia), (cb, ib)) =>
+      assert(ca > cb || (ca == cb && ia < ib), "result not in (cm desc, id asc) order")
+    }
+    val ids = got.map(_.getLong(0)).toSet
+    val recall = ids.intersect(brute).size.toDouble / 10
+    info(s"NSW recall@10 vs brute force: $recall")
+    // a 6-hop beam-8 walk over a degree-8 graph visits O(100) of the
+    // corpus; on the sf fixture that must recover most of the true
+    // top-10 (graph navigability, not scan coverage; measured 0.9)
+    assert(recall >= 0.7, s"NSW recall $recall below the 0.7 floor")
+    // the walk is integer-deterministic: a second run is byte-identical
+    val again = LlmData.simsearchNsw(s, d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("q_simsearch_append: merged index is complete and every row keeps the frozen assignment") {
     val idx = s.read.parquet(LlmData.ivfAppendIndexPath(s, d))
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
