@@ -3896,26 +3896,35 @@ object LlmData {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val entry = base.agg(min("vec_id")).collect()(0).getLong(0)
-      var visited = Set(entry)
-      var frontier = Seq(entry)
-      var hop = 0
-      while (hop < nswHops && frontier.nonEmpty) {
-        // one keyed lookup join per hop; the collect is the walk's
-        // O(ef·M) control-plane state, not a data collect
-        val fresh = adj.where(col("src").isin(frontier: _*))
-          .select(col("dst").as("vec_id")).distinct()
-          .where(!col("vec_id").isin(visited.toSeq: _*))
-          .join(base, "vec_id")
-          .select("vec_id", "cm_micro").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        visited ++= fresh.map(_._1)
-        frontier = fresh.sortBy { case (id, cm) => (-cm, id) }
-          .take(nswBeam).map(_._1).toSeq
-        hop += 1
-      }
+      val visited = nswWalk(adj, base, Seq(entry), nswBeam, nswHops)
       base.where(col("vec_id").isin(visited.toSeq: _*))
         .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
     } finally base.unpersist(false)
+  }
+
+  /** The shared beam walk: from `entry`, expand the [[nswBeam]]-class
+    * frontier of best NEW nodes per hop over `adj`, returning everything
+    * visited. Per-hop work is one keyed lookup join against the adjacency
+    * (a point-read batch in a serving store); the collects are the walk's
+    * O(ef·M) control-plane state, not data collects. */
+  private def nswWalk(adj: DataFrame, base: DataFrame, entry: Seq[Long],
+      beam: Int, hops: Int): Set[Long] = {
+    var visited = entry.toSet
+    var frontier = entry
+    var hop = 0
+    while (hop < hops && frontier.nonEmpty) {
+      val fresh = adj.where(col("src").isin(frontier: _*))
+        .select(col("dst").as("vec_id")).distinct()
+        .where(!col("vec_id").isin(visited.toSeq: _*))
+        .join(base, "vec_id")
+        .select("vec_id", "cm_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      visited ++= fresh.map(_._1)
+      frontier = fresh.sortBy { case (id, cm) => (-cm, id) }
+        .take(beam).map(_._1).toSeq
+      hop += 1
+    }
+    visited
   }
 
   /** DuckDB replay of [[simsearchNsw]]: graph build (all-pairs kNN window
@@ -3935,19 +3944,144 @@ object LlmData {
       s"FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= $nswDegree)"
     val v0 = "v0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM base), " +
       "f0 AS MATERIALIZED (SELECT vec_id FROM v0)"
-    val steps = (1 to nswHops).map { h =>
-      s"n$h AS MATERIALIZED (SELECT DISTINCT dst AS vec_id FROM adj " +
-        s"JOIN f${h - 1} f ON adj.src = f.vec_id " +
-        s"WHERE dst NOT IN (SELECT vec_id FROM v${h - 1})), " +
-        s"v$h AS MATERIALIZED (SELECT vec_id FROM v${h - 1} " +
-        s"UNION SELECT vec_id FROM n$h), " +
-        s"f$h AS MATERIALIZED (SELECT vec_id FROM (SELECT n.vec_id, b.cm " +
-        s"FROM n$h n JOIN base b USING (vec_id) " +
-        s"ORDER BY b.cm DESC, n.vec_id LIMIT $nswBeam))"
-    }.mkString(", ")
-    s"WITH $q, $base, $adj, $v0, $steps " +
+    s"WITH $q, $base, $adj, $v0, ${walkCtes("", "adj", nswBeam, nswHops)} " +
       "SELECT vec_id, cm AS cm_micro FROM base " +
       s"WHERE vec_id IN (SELECT vec_id FROM v$nswHops) " +
+      "ORDER BY cm DESC, vec_id LIMIT 10"
+  }
+
+  /** The walk's hop CTEs ([[nswWalk]] unrolled for DuckDB), shared by the
+    * flat and hierarchical replays: requires `${p}v0`/`${p}f0` (visited /
+    * frontier seeds) and a scored `base`; yields `${p}v$hops` as the
+    * final visited set. */
+  private def walkCtes(p: String, adjName: String, beam: Int, hops: Int): String =
+    (1 to hops).map { h =>
+      s"${p}n$h AS MATERIALIZED (SELECT DISTINCT dst AS vec_id FROM $adjName " +
+        s"JOIN ${p}f${h - 1} f ON $adjName.src = f.vec_id " +
+        s"WHERE dst NOT IN (SELECT vec_id FROM ${p}v${h - 1})), " +
+        s"${p}v$h AS MATERIALIZED (SELECT vec_id FROM ${p}v${h - 1} " +
+        s"UNION SELECT vec_id FROM ${p}n$h), " +
+        s"${p}f$h AS MATERIALIZED (SELECT vec_id FROM (SELECT n.vec_id, b.cm " +
+        s"FROM ${p}n$h n JOIN base b USING (vec_id) " +
+        s"ORDER BY b.cm DESC, n.vec_id LIMIT $beam))"
+    }.mkString(", ")
+
+  /** Upper-layer parameters for [[simsearchHnsw]]: the sparse layer keeps
+    * every 8th node (deterministic id rule — HNSW's geometric level draw
+    * made replayable), with a narrower out-degree and a short descent
+    * walk, exactly the hierarchy's role of finding a GOOD layer-0 entry
+    * cheaply. Mirrored literally by [[hnswSql]]. */
+  private val hnswL1Mod = 8
+  private val hnswL1Degree = 4
+  private val hnswL1Beam = 4
+  private val hnswL1Hops = 3
+
+  /** The staged upper-layer adjacency: [[nswDegree]]-style kNN edges
+    * restricted to the 1/[[hnswL1Mod]] sparse node subset, out-degree
+    * [[hnswL1Degree]]. Same one-time fixture-scale build doctrine as
+    * [[nswAdjPath]]. */
+  private[graft] def hnswL1AdjPath(s: SparkSession, d: String): String =
+    graft.Fixtures.ensureDerived("graft_nsw_l1", d, "embeddings", "h1") { staging =>
+      graft.functions.GraftFunctions.register(s)
+      val base = t(s, d, "embeddings")
+        .where(col("vec_id") =!= 0 && col("vec_id") % hnswL1Mod === 1)
+      val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
+      val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+      val w = Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))
+      a.crossJoin(b).where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(VectorOps.cosine(col("ea"), col("eb")) * 1000000d, 0)
+            .cast("long").as("cm"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= hnswL1Degree)
+        .select("src", "dst")
+        .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+
+  /** q_simsearch_hnsw — the HIERARCHY composed on [[simsearchNsw]]'s
+    * per-layer walk (Malkov & Yashunin's actual HNSW shape, two layers):
+    * a short walk over the SPARSE upper layer (every [[hnswL1Mod]]th
+    * node, out-degree [[hnswL1Degree]]) descends from the minimum sparse
+    * id, and the best [[nswBeam]] upper-layer nodes it saw — not a fixed
+    * global entry — seed the full layer-0 beam walk (hnswlib's ef
+    * candidate list entering the bottom layer). The entry
+    * descent is what makes graph ANN log-depth as the corpus grows: the
+    * upper walk pays O(beam·degree·hops) on 1/8 of the nodes to start
+    * layer 0 near the answer instead of wherever id 1 happens to sit.
+    * Both walks, the descent hand-off, and the final cut are integer-
+    * deterministic, so the DuckDB oracle replays the ENTIRE two-layer
+    * routing from the embeddings bytes; LlmDataSpec pins recall@10 and
+    * checks the hand-off node really is an upper-layer member.
+    *
+    * Scale: identical per-hop machinery to [[simsearchNsw]] (keyed
+    * adjacency lookups, O(ef·M·hops) control-plane state); the upper
+    * layer adds hops over an 8×-sparser table. Production HNSW stacks
+    * log₈(n) such layers; every additional layer is this same walk on a
+    * geometrically smaller adjacency, so the composition shown here IS
+    * the full algorithm's recursion step.
+    */
+  def simsearchHnsw(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val adj0 = s.read.parquet(nswAdjPath(s, d))
+    val adj1 = s.read.parquet(hnswL1AdjPath(s, d))
+    val emb = t(s, d, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val base = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
+          .cast("long").as("cm_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l1Entry = base.where(col("vec_id") % hnswL1Mod === 1)
+        .agg(min("vec_id")).collect()(0).getLong(0)
+      val upper = nswWalk(adj1, base, Seq(l1Entry), hnswL1Beam, hnswL1Hops)
+      // descent hand-off: the best [[nswBeam]] upper-layer nodes seen
+      // carry down as the layer-0 seed frontier (hnswlib's ef candidate
+      // list entering the bottom layer) — a single-node hand-off can trap
+      // the bottom walk in the entry's local cluster
+      val seeds = base.where(col("vec_id").isin(upper.toSeq: _*))
+        .orderBy(desc("cm_micro"), asc("vec_id")).limit(nswBeam)
+        .collect().map(_.getLong(0)).toSeq
+      val visited = nswWalk(adj0, base, seeds, nswBeam, nswHops)
+      base.where(col("vec_id").isin(visited.toSeq: _*))
+        .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
+    } finally base.unpersist(false)
+  }
+
+  /** DuckDB replay of [[simsearchHnsw]]: both adjacency builds, the
+    * upper-layer descent walk (prefix `a`), the hand-off argmax, and the
+    * layer-0 walk (prefix `b`), all unrolled. */
+  private def hnswSql: String = {
+    val q = "q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings " +
+      "WHERE vec_id = 0)"
+    val base = "base AS MATERIALIZED (SELECT vec_id, embedding, " +
+      "CAST(round((" + VectorOps.sqlCosine("embedding", "qe") +
+      ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings, q WHERE vec_id <> 0)"
+    val adj0 = "adj AS MATERIALIZED (SELECT src, dst FROM (" +
+      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
+      VectorOps.sqlCosine("a.embedding", "b.embedding") +
+      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
+      s"FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= $nswDegree)"
+    val adj1 = "lay1 AS MATERIALIZED (SELECT * FROM base " +
+      s"WHERE vec_id % $hnswL1Mod = 1), " +
+      "adj1 AS MATERIALIZED (SELECT src, dst FROM (" +
+      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
+      VectorOps.sqlCosine("a.embedding", "b.embedding") +
+      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
+      s"FROM lay1 a JOIN lay1 b ON a.vec_id <> b.vec_id) WHERE rn <= $hnswL1Degree)"
+    val av0 = "av0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM lay1), " +
+      "af0 AS MATERIALIZED (SELECT vec_id FROM av0)"
+    val handoff = s"bv0 AS MATERIALIZED (SELECT vec_id FROM base " +
+      s"WHERE vec_id IN (SELECT vec_id FROM av$hnswL1Hops) " +
+      s"ORDER BY cm DESC, vec_id LIMIT $nswBeam), " +
+      "bf0 AS MATERIALIZED (SELECT vec_id FROM bv0)"
+    s"WITH $q, $base, $adj0, $adj1, $av0, " +
+      s"${walkCtes("a", "adj1", hnswL1Beam, hnswL1Hops)}, $handoff, " +
+      s"${walkCtes("b", "adj", nswBeam, nswHops)} " +
+      "SELECT vec_id, cm AS cm_micro FROM base " +
+      s"WHERE vec_id IN (SELECT vec_id FROM bv$nswHops) " +
       "ORDER BY cm DESC, vec_id LIMIT 10"
   }
 
@@ -4823,6 +4957,79 @@ object LlmData {
           .as("dup_cover_micro"))
       .orderBy("doc_id")
   }
+
+  /** q_dedup_lines — C4-STYLE LINE DEDUPLICATION, the curation TRANSFORM
+    * the detector operators stop short of (Raffel et al. JMLR'20 §2.2
+    * dropped any three-sentence span occurring more than once in C4,
+    * keeping one occurrence): documents are cut into non-overlapping
+    * 8-token lines (the corpus has no newlines; fixed-width lines are the
+    * deterministic stand-in), every line occurring anywhere else in the
+    * corpus keeps only its GLOBALLY FIRST occurrence (min (doc_id,
+    * line_id)), and each document reports its line counts plus the md5 of
+    * its post-dedup text — the byte-exact pin of the cleaned document.
+    * Short tail lines (n mod 8 tokens) collide across the corpus by
+    * construction, so the drop path is provably non-vacuous (asserted in
+    * LlmDataSpec).
+    *
+    * Scale: linear, no pair machinery — line hashing is a scan-side
+    * projection, first-occurrence election is one keyed min-aggregate on
+    * the line hash, and the verdict joins back by hash. The same
+    * mass-duplication wall as `q_dedup_url`: a line duplicated 10⁹ times
+    * is still ONE aggregate row electing one winner. The first-occurrence
+    * key packs (doc_id, line_id) into one long (line ids are bounded by
+    * doc length ≪ 10⁶), so the election is a plain min, not a struct
+    * argmin.
+    */
+  def dedupLines(s: SparkSession, d: String): DataFrame = {
+    val L = 8
+    val lines = t(s, d, "documents")
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, CAST((n + ${L - 1}) div $L AS INT) - 1)"))
+          .as("li"))
+      .select(col("doc_id"), col("li").cast("long").as("line_id"),
+        expr(s"array_join(slice(toks, li * $L + 1, $L), ' ')").as("lt"))
+    val keyed = lines
+      .withColumn("h", md5(col("lt")))
+      .withColumn("k", col("doc_id") * 1000000L + col("line_id"))
+    val firsts = keyed.groupBy("h").agg(min("k").as("fk"))
+    keyed.join(firsts, "h")
+      .withColumn("keep", col("k") === col("fk"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_lines"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN " +
+            "struct(line_id, lt) END)), x -> x.lt)"), " ")).as("kept_md5"))
+      .withColumn("dropped_lines", col("n_lines") - col("kept_lines"))
+      .select("doc_id", "n_lines", "kept_lines", "dropped_lines", "kept_md5")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[dedupLines]]: same fixed-width line cut,
+    * first-occurrence election, and kept-text digest (string_agg ordered
+    * by line position; empty kept set coalesces to md5('')). */
+  private def dedupLinesSql: String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+      "FROM documents WHERE length(text) > 0), " +
+      "lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_id, " +
+      "array_to_string(list_slice(ts, CAST(i*8+1 AS BIGINT), CAST(i*8+8 AS BIGINT)), ' ') AS lt " +
+      "FROM toks, UNNEST(range(0, (len(ts) + 7) // 8)) AS u(i)), " +
+      "keyed AS (SELECT doc_id, line_id, lt, md5(lt) AS h, " +
+      "doc_id*1000000 + line_id AS k FROM lines), " +
+      "firsts AS (SELECT h, min(k) AS fk FROM keyed GROUP BY h), " +
+      "flagged AS (SELECT keyed.*, (k = fk) AS keep FROM keyed " +
+      "JOIN firsts USING (h)) " +
+      "SELECT doc_id, count(*) AS n_lines, " +
+      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines, " +
+      "CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS dropped_lines, " +
+      "md5(coalesce(string_agg(CASE WHEN keep THEN lt END, ' ' " +
+      "ORDER BY line_id), '')) AS kept_md5 " +
+      "FROM flagged GROUP BY doc_id ORDER BY doc_id"
 
   /** q_text_chunk_cdc — CONTENT-DEFINED CHUNKING at token granularity
     * (the Rabin/FastCDC boundary idea re-expressed portably): a chunk
@@ -5830,6 +6037,7 @@ object LlmData {
     "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_dedup_image_phash" -> dedupImagePhash _,
+    "q_dedup_lines" -> dedupLines _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
     "q_text_gopher_rules" -> textGopherRules _,
@@ -5870,6 +6078,7 @@ object LlmData {
     "q_simsearch_matryoshka" -> simsearchMatryoshka _,
     "q_simsearch_binary" -> simsearchBinary _,
     "q_simsearch_nsw" -> simsearchNsw _,
+    "q_simsearch_hnsw" -> simsearchHnsw _,
     "q_corpus_filter" -> corpusFilter _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
@@ -6384,9 +6593,11 @@ object LlmData {
         "FROM c GROUP BY curl ORDER BY curl"),
     "q_text_html_extract" -> htmlExtractSql,
     "q_dedup_image_phash" -> imagePhashSql,
+    "q_dedup_lines" -> dedupLinesSql,
     "q_text_bpe_train" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
     "q_simsearch_nsw" -> nswSql,
+    "q_simsearch_hnsw" -> hnswSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
         "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +

@@ -122,7 +122,8 @@ class ContractSpec extends AnyFunSuite {
     "q_corpus_split_leakage", "q_event_markov_step", "q_scalar_url_parse",
     // round 13: web-corpus front door + image dedup + tokenizer end-to-end
     "q_text_html_extract", "q_dedup_image_phash",
-    "q_text_bpe_train", "q_text_bpe_encode", "q_simsearch_nsw")
+    "q_text_bpe_train", "q_text_bpe_encode", "q_simsearch_nsw",
+    "q_simsearch_hnsw", "q_dedup_lines")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -453,6 +453,55 @@ class LlmDataSpec extends AnyFunSuite {
     assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_simsearch_hnsw: hierarchy descends through the sparse layer and holds the recall floor") {
+    val brute = LlmData.simsearchTopk(s, d).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = LlmData.simsearchHnsw(s, d).collect()
+    assert(got.length === 10, s"HNSW walk returned ${got.length} rows")
+    val ids = got.map(_.getLong(0)).toSet
+    val recall = ids.intersect(brute).size.toDouble / 10
+    info(s"HNSW recall@10 vs brute force: $recall")
+    assert(recall >= 0.7, s"HNSW recall $recall below the 0.7 floor")
+    // the upper layer is a strict subset: every adjacency endpoint obeys
+    // the sparse-node id rule on BOTH sides
+    val l1 = s.read.parquet(LlmData.hnswL1AdjPath(s, d)).collect()
+    assert(l1.nonEmpty, "upper-layer adjacency is empty")
+    l1.foreach { r =>
+      assert(r.getLong(0) % 8 === 1, s"layer-1 src ${r.getLong(0)} off-layer")
+      assert(r.getLong(1) % 8 === 1, s"layer-1 dst ${r.getLong(1)} off-layer")
+    }
+    // deterministic: a second run is byte-identical
+    val again = LlmData.simsearchHnsw(s, d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("q_dedup_lines: first occurrences survive, duplicate tail lines provably drop") {
+    val out = LlmData.dedupLines(s, d).collect()
+    val docs = Tables(s, d, "documents").where(length(col("text")) > 0).count()
+    assert(out.length.toLong === docs, "one row per non-empty document")
+    var dropped = 0L
+    out.foreach { r =>
+      val (n, kept, drop) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept + drop === n, s"doc ${r.getLong(0)}: kept+dropped != n_lines")
+      assert(kept >= 0 && drop >= 0)
+      dropped += drop
+    }
+    // short tail lines collide across the corpus by construction, so the
+    // C4-style drop path must actually fire
+    assert(dropped > 0, "no duplicate line was ever dropped — vacuous fixture")
+    // global first-occurrence contract: across the whole corpus each
+    // distinct line text keeps exactly one copy
+    val lines = Tables(s, d, "documents").where(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST((size(toks) + 7) div 8 AS INT) - 1), " +
+          "i -> array_join(slice(toks, i * 8 + 1, 8), ' '))")).as("lt"))
+    val distinctLines = lines.select("lt").distinct().count()
+    val totalKept = out.map(_.getLong(2)).sum
+    assert(totalKept === distinctLines,
+      s"kept $totalKept lines but corpus has $distinctLines distinct — dedup not exact")
+  }
+
   test("q_simsearch_append: merged index is complete and every row keeps the frozen assignment") {
     val idx = s.read.parquet(LlmData.ivfAppendIndexPath(s, d))
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
