@@ -3091,6 +3091,98 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_corpus_funnel_audit — the curation funnel's OBSERVABILITY face:
+    * per-stage survivor counts and token mass for the exact
+    * [[corpusFilter]] pipeline (raw → near-dup removal → quality gate →
+    * language agreement). Every production curation run ships this table
+    * — it is how a data team notices a filter suddenly eating 40% of a
+    * crawl — and because each stage evaluates the SAME expressions as the
+    * oracle-checked pipeline, the audit is itself exactly replayable.
+    *
+    * Scale: ONE documents pass computes all stage flags as cumulative
+    * booleans (p1 ⊇ p2 ⊇ p3) fused with the quality/langid projections;
+    * the stage table is a conditional aggregation over that pass —
+    * 4 output rows, no per-stage re-scans. The near-dup survivor marker
+    * joins from the session-memoized pair table shared with the dedup
+    * family.
+    */
+  def corpusFunnelAudit(s: SparkSession, d: String): DataFrame = {
+    val base = withLangScores(withQualityScore(t(s, d, "documents")))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok"),
+        col("quality"), col("lang_pred"), col("lang"))
+    val surv = dedupSurvivors(s, d).select(col("doc_id"), lit(1).as("sv"))
+    val flagged = base.join(surv, Seq("doc_id"), "left")
+      .withColumn("p1", col("sv").isNotNull)
+      .withColumn("p2", col("p1") && col("quality") >= 0.53)
+      .withColumn("p3", col("p2") && col("lang_pred") === col("lang"))
+    def d0(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def t0(c: Column) = sum(when(c, col("n_tok")).otherwise(0L))
+    flagged.agg(
+        count(lit(1)).as("c0"), sum("n_tok").as("m0"),
+        d0(col("p1")).as("c1"), t0(col("p1")).as("m1"),
+        d0(col("p2")).as("c2"), t0(col("p2")).as("m2"),
+        d0(col("p3")).as("c3"), t0(col("p3")).as("m3"))
+      .select(explode(array(
+        struct(lit(0L).as("stage_id"), lit("raw").as("stage"),
+          col("c0").as("docs_out"), col("m0").as("tokens_out")),
+        struct(lit(1L).as("stage_id"), lit("near_dedup").as("stage"),
+          col("c1").as("docs_out"), col("m1").as("tokens_out")),
+        struct(lit(2L).as("stage_id"), lit("quality").as("stage"),
+          col("c2").as("docs_out"), col("m2").as("tokens_out")),
+        struct(lit(3L).as("stage_id"), lit("langid").as("stage"),
+          col("c3").as("docs_out"), col("m3").as("tokens_out")))).as("r"))
+      .select("r.stage_id", "r.stage", "r.docs_out", "r.tokens_out")
+      .orderBy("stage_id")
+  }
+
+  /** DuckDB replay of [[corpusFunnelAudit]]: the [[corpusFilter]] oracle's
+    * stage CTEs (near-dup dropped set, quality score, language argmax)
+    * feed cumulative stage flags, and the four stage rows are conditional
+    * aggregates over that one flagged relation. */
+  private def funnelAuditSql: String = {
+    val langScores = Lexicons.map { case (l, lex) =>
+      s"CAST(len(list_intersect(dt, [${lex.map(w => s"'$w'").mkString(", ")}])) AS INT) AS s_$l"
+    }.mkString(", ")
+    val predCase = "CASE " + Lexicons.map { case (l, _) =>
+      s"WHEN s_$l = greatest(${Lexicons.map { case (m, _) => s"s_$m" }.mkString(", ")}) THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+      "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
+      "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common " +
+      "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+      "dropped AS (SELECT DISTINCT doc_b FROM pairs " +
+      "JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
+      "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5), " +
+      "q AS (SELECT doc_id, " +
+      s"0.4 * (len(list_filter(string_split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(string_split(text, ' '))) + " +
+      "0.4 * (1.0 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / strlen(text)) + " +
+      "0.2 * least((strlen(text) * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) AS quality " +
+      "FROM documents), " +
+      s"lp AS (SELECT doc_id, $predCase AS lang_pred FROM " +
+      s"(SELECT doc_id, $langScores FROM " +
+      "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents))), " +
+      "f AS (SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok, " +
+      "(d.doc_id NOT IN (SELECT doc_b FROM dropped)) AS p1, q.quality, lp.lang_pred, d.lang " +
+      "FROM documents d JOIN q USING (doc_id) JOIN lp USING (doc_id)), " +
+      "g AS (SELECT doc_id, n_tok, p1, (p1 AND quality >= 0.53) AS p2, " +
+      "(p1 AND quality >= 0.53 AND lang_pred = lang) AS p3 FROM f) " +
+      "SELECT * FROM (" +
+      "SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage, count(*) AS docs_out, " +
+      "CAST(sum(n_tok) AS BIGINT) AS tokens_out FROM g " +
+      "UNION ALL SELECT 1, 'near_dedup', " +
+      "CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT), " +
+      "CAST(sum(CASE WHEN p1 THEN n_tok ELSE 0 END) AS BIGINT) FROM g " +
+      "UNION ALL SELECT 2, 'quality', " +
+      "CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT), " +
+      "CAST(sum(CASE WHEN p2 THEN n_tok ELSE 0 END) AS BIGINT) FROM g " +
+      "UNION ALL SELECT 3, 'langid', " +
+      "CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT), " +
+      "CAST(sum(CASE WHEN p3 THEN n_tok ELSE 0 END) AS BIGINT) FROM g" +
+      ") ORDER BY stage_id"
+  }
+
   /** q_pack_sequences — training-sequence packing layout: documents are
     * concatenated in doc_id order and cut into fixed 512-token sequences;
     * each doc reports its token offset and the [first, last] sequence it
@@ -6080,6 +6172,7 @@ object LlmData {
     "q_simsearch_nsw" -> simsearchNsw _,
     "q_simsearch_hnsw" -> simsearchHnsw _,
     "q_corpus_filter" -> corpusFilter _,
+    "q_corpus_funnel_audit" -> corpusFunnelAudit _,
     "q_pack_sequences" -> packSequences _,
     "q_text_chunk" -> textChunk _,
     "q_shuffle_shard" -> shuffleShard _,
@@ -6594,6 +6687,7 @@ object LlmData {
     "q_text_html_extract" -> htmlExtractSql,
     "q_dedup_image_phash" -> imagePhashSql,
     "q_dedup_lines" -> dedupLinesSql,
+    "q_corpus_funnel_audit" -> funnelAuditSql,
     "q_text_bpe_train" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
     "q_simsearch_nsw" -> nswSql,

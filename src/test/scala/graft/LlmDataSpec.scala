@@ -502,6 +502,20 @@ class LlmDataSpec extends AnyFunSuite {
       s"kept $totalKept lines but corpus has $distinctLines distinct — dedup not exact")
   }
 
+  test("q_corpus_funnel_audit: stages shrink monotonically and the last equals the curated corpus") {
+    val rows = LlmData.corpusFunnelAudit(s, d).collect()
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("raw", "near_dedup", "quality", "langid"))
+    val docs = rows.map(_.getLong(2))
+    val toks = rows.map(_.getLong(3))
+    docs.sliding(2).foreach { case Array(a, b) => assert(b <= a, "docs grew across a filter stage") }
+    toks.sliding(2).foreach { case Array(a, b) => assert(b <= a, "tokens grew across a filter stage") }
+    assert(docs(0) === Tables(s, d, "documents").count(), "raw stage != corpus size")
+    assert(docs(3) === LlmData.corpusFilter(s, d).count(),
+      "final funnel stage disagrees with q_corpus_filter")
+    assert(docs(3) > 0, "curated corpus is empty — vacuous funnel")
+  }
+
   test("q_simsearch_append: merged index is complete and every row keeps the frozen assignment") {
     val idx = s.read.parquet(LlmData.ivfAppendIndexPath(s, d))
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
