@@ -4527,6 +4527,183 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_corpus_dataset_card — the DATASHEET aggregate every released
+    * training set ships (per-source composition, scale, length profile,
+    * language mix): docs, token and char mass, exact p50/p90 character
+    * lengths (rank-at-ceil positions — percentile_disc semantics, no
+    * interpolation, so the values are corpus members and integer-exact),
+    * distinct-language count, and the majority language with its
+    * parts-per-million share.
+    *
+    * Scale: two keyed aggregates (per-source, per-source×lang) and one
+    * per-source rank window for the percentiles. The window sorts WITHIN
+    * each source partition — bounded by the largest source, not the
+    * corpus; at 100× the same card computes from the per-source
+    * histogram sketch if even that bound breaks.
+    */
+  def corpusDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val stats = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      count_distinct(col("lang")).as("n_langs"))
+    val rn = Window.partitionBy("source").orderBy("n_chars")
+    val pct = base
+      .withColumn("rn", row_number().over(rn).cast("long"))
+      .join(stats.select("source", "n_docs"), "source")
+      .groupBy("source").agg(
+        max(when(col("rn") === expr("(n_docs + 1) div 2"), col("n_chars")))
+          .as("p50_chars"),
+        max(when(col("rn") === expr("(n_docs * 9 + 9) div 10"), col("n_chars")))
+          .as("p90_chars"))
+    val lw = Window.partitionBy("source").orderBy(desc("cnt"), asc("lang"))
+    val topLang = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(lw)).where(col("r") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("cnt"))
+    stats.join(pct, "source").join(topLang, "source")
+      .withColumn("top_lang_ppm",
+        expr("(1000000 * cnt) div n_docs"))
+      .select("source", "n_docs", "n_tokens", "n_chars", "p50_chars",
+        "p90_chars", "n_langs", "top_lang", "top_lang_ppm")
+      .orderBy("source")
+  }
+
+  /** DuckDB replay of [[corpusDatasetCard]]: identical rank-position
+    * percentiles ((n+1)//2 and ceil(0.9n) under an n_chars sort) and
+    * majority-language window. */
+  private def datasetCardSql: String =
+    "WITH base AS (SELECT source, lang, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "stats AS (SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+      "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM base GROUP BY source), " +
+      "ranked AS (SELECT source, n_chars, " +
+      "row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn FROM base), " +
+      "pct AS (SELECT r.source, " +
+      "max(CASE WHEN rn = (s.n_docs + 1) // 2 THEN r.n_chars END) AS p50_chars, " +
+      "max(CASE WHEN rn = (s.n_docs * 9 + 9) // 10 THEN r.n_chars END) AS p90_chars " +
+      "FROM ranked r JOIN stats s USING (source) GROUP BY r.source), " +
+      "tl AS (SELECT source, lang AS top_lang, cnt FROM (" +
+      "SELECT source, lang, count(*) AS cnt, " +
+      "row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS r " +
+      "FROM base GROUP BY source, lang) WHERE r = 1) " +
+      "SELECT s.source, s.n_docs, s.n_tokens, s.n_chars, p.p50_chars, " +
+      "p.p90_chars, s.n_langs, tl.top_lang, " +
+      "(1000000 * tl.cnt) // s.n_docs AS top_lang_ppm " +
+      "FROM stats s JOIN pct p USING (source) JOIN tl USING (source) " +
+      "ORDER BY s.source"
+
+  /** WordPiece vocab budget: the top-N weighted character n-grams (len
+    * 2..4) become the piece inventory; single characters are the implicit
+    * fallback alphabet. Mirrored literally by [[wordpieceEncodeSql]]. */
+  private val wpVocabSize = 64
+
+  /** q_text_wordpiece_encode — the SECOND industry tokenizer family
+    * (greedy longest-match-first, HuggingFace WordPiece's algorithm; BPE
+    * above is merge-rank-driven): the piece vocabulary is the top
+    * [[wpVocabSize]] character n-grams (length 2–4) by weighted corpus
+    * frequency (ties lexicographic), and every token is encoded by
+    * repeatedly taking the LONGEST vocab piece at the cursor, single-char
+    * fallback (the standard character backstop, so encoding never fails).
+    * Per document: token count, piece count, and the md5 of the full
+    * piece stream in token order — the byte-exact pin of the encoding.
+    * The DuckDB oracle recomputes the vocabulary and replays the greedy
+    * loop as a recursive CTE, so one wrong match anywhere breaks the
+    * hash gate.
+    *
+    * Scale: the vocabulary is BOUNDED ([[wpVocabSize]] rows — a
+    * control-plane collect, like the IVF routing tables), so the encoder
+    * compiles to a pure scan-stage `aggregate` fold over each token with
+    * the piece set as literal IN-lists — whole-stage codegen, no shuffle,
+    * no per-token join. Encoding runs at VOCAB grain (distinct tokens)
+    * and dictionary-joins back to the corpus, the [[textBpeEncode]]
+    * doctrine: the greedy loop never touches corpus-grain rows.
+    */
+  def textWordpieceEncode(s: SparkSession, d: String): DataFrame = {
+    val tokc = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val pieces = tokc.select(col("cnt"), explode(expr(
+        "flatten(transform(sequence(2, 4), k -> " +
+          "CASE WHEN length(tok) >= k THEN transform(sequence(1, length(tok) - k + 1), " +
+          "i -> substring(tok, i, k)) ELSE CAST(array() AS array<string>) END))")).as("p"))
+      .groupBy("p").agg(sum("cnt").as("f"))
+      .orderBy(desc("f"), asc("p")).limit(wpVocabSize)
+      .collect().map(_.getString(0).replace("'", "''")).toSeq
+    val maxLen = tokc.agg(max(length(col("tok")))).collect()(0).getInt(0)
+    val inList = pieces.map(p => s"'$p'").mkString(", ")
+    def whenK(k: Int) =
+      s"WHEN length(substring(tok, st.pos, $k)) = $k " +
+        s"AND substring(tok, st.pos, $k) IN ($inList) THEN substring(tok, st.pos, $k)"
+    val pick = s"CASE ${whenK(4)} ${whenK(3)} ${whenK(2)} " +
+      "ELSE substring(tok, st.pos, 1) END"
+    val fold =
+      s"aggregate(sequence(1, $maxLen), " +
+        "named_struct('pos', 1, 'np', CAST(0 AS BIGINT), 'acc', ''), " +
+        "(st, i) -> CASE WHEN st.pos > length(tok) THEN st ELSE named_struct(" +
+        s"'pos', st.pos + length($pick), " +
+        "'np', st.np + CAST(1 AS BIGINT), " +
+        s"'acc', CASE WHEN st.acc = '' THEN $pick " +
+        s"ELSE concat(st.acc, ' ', $pick) END) END)"
+    val enc = tokc.select(col("tok"), expr(fold).as("st"))
+      .select(col("tok"), col("st.np").as("np"), col("st.acc").as("acc"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+      .join(enc, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("np").as("n_pieces"),
+        expr("md5(array_join(transform(array_sort(" +
+          "collect_list(struct(pos, acc))), x -> x.acc), ' '))").as("enc_md5"))
+      .select("doc_id", "n_tokens", "n_pieces", "enc_md5")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[textWordpieceEncode]]: vocabulary selection, the
+    * greedy longest-match loop as a recursive CTE over (token, cursor)
+    * states, and the per-doc stream digest. */
+  private def wordpieceEncodeSql: String =
+    "WITH RECURSIVE " +
+      "tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "WHERE len(tok) > 0 GROUP BY tok), " +
+      "grams AS (SELECT g AS p, sum(cnt) AS f FROM (" +
+      "SELECT cnt, unnest(flatten(list_transform([2,3,4], k -> " +
+      "CASE WHEN len(tok) >= k THEN list_transform(range(1, len(tok) - k + 2), " +
+      "i -> substr(tok, CAST(i AS INT), k)) ELSE [] END))) AS g " +
+      "FROM tokc) GROUP BY g), " +
+      s"pieces AS MATERIALIZED (SELECT p FROM grams ORDER BY f DESC, p LIMIT $wpVocabSize), " +
+      "enc AS (" +
+      "SELECT tok, 1 AS pos, '' AS acc, CAST(0 AS BIGINT) AS np FROM tokc " +
+      "UNION ALL " +
+      "SELECT tok, pos + len(piece), " +
+      "CASE WHEN acc = '' THEN piece ELSE acc || ' ' || piece END, np + 1 " +
+      "FROM (SELECT tok, pos, acc, np, " +
+      "CASE WHEN len(substr(tok, pos, 4)) = 4 AND substr(tok, pos, 4) IN " +
+      "(SELECT p FROM pieces) THEN substr(tok, pos, 4) " +
+      "WHEN len(substr(tok, pos, 3)) = 3 AND substr(tok, pos, 3) IN " +
+      "(SELECT p FROM pieces) THEN substr(tok, pos, 3) " +
+      "WHEN len(substr(tok, pos, 2)) = 2 AND substr(tok, pos, 2) IN " +
+      "(SELECT p FROM pieces) THEN substr(tok, pos, 2) " +
+      "ELSE substr(tok, pos, 1) END AS piece " +
+      "FROM enc WHERE pos <= len(tok))), " +
+      "fin AS (SELECT tok, acc, np FROM enc WHERE pos > len(tok)), " +
+      "tk AS (SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok " +
+      "FROM documents, LATERAL (SELECT unnest(generate_series(1, " +
+      "len(string_split(text, ' ')))) AS i) g " +
+      "WHERE len(string_split(text, ' ')[i]) > 0) " +
+      "SELECT doc_id, count(*) AS n_tokens, CAST(sum(np) AS BIGINT) AS n_pieces, " +
+      "md5(string_agg(acc, ' ' ORDER BY pos)) AS enc_md5 " +
+      "FROM tk JOIN fin USING (tok) GROUP BY doc_id ORDER BY doc_id"
+
   /** The oracle's merge-replay CTE chain shared by the train and encode
     * oracles: v0 is the corpus frequency table with char-split symbol
     * sequences; each round k materializes its argmax pair (p_k) and the
@@ -6158,6 +6335,8 @@ object LlmData {
     "q_text_bpe_step" -> textBpeStep _,
     "q_text_bpe_train" -> textBpeTrain _,
     "q_text_bpe_encode" -> textBpeEncode _,
+    "q_text_wordpiece_encode" -> textWordpieceEncode _,
+    "q_corpus_dataset_card" -> corpusDatasetCard _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -6690,6 +6869,8 @@ object LlmData {
     "q_corpus_funnel_audit" -> funnelAuditSql,
     "q_text_bpe_train" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
+    "q_text_wordpiece_encode" -> wordpieceEncodeSql,
+    "q_corpus_dataset_card" -> datasetCardSql,
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_sample_weighted" ->

@@ -123,7 +123,8 @@ class ContractSpec extends AnyFunSuite {
     // round 13: web-corpus front door + image dedup + tokenizer end-to-end
     "q_text_html_extract", "q_dedup_image_phash",
     "q_text_bpe_train", "q_text_bpe_encode", "q_simsearch_nsw",
-    "q_simsearch_hnsw", "q_dedup_lines", "q_corpus_funnel_audit")
+    "q_simsearch_hnsw", "q_dedup_lines", "q_corpus_funnel_audit",
+    "q_text_wordpiece_encode", "q_corpus_dataset_card")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -502,6 +502,59 @@ class LlmDataSpec extends AnyFunSuite {
       s"kept $totalKept lines but corpus has $distinctLines distinct — dedup not exact")
   }
 
+  test("q_text_wordpiece_encode: engine encode equals a driver-side greedy reference") {
+    // independent reference: recompute vocab + greedy longest-match in
+    // plain Scala from the raw fixture, then compare md5s per doc
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(_._2.split(" ").filter(_.nonEmpty).foreach(t => cnt(t) += 1))
+    val gramF = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    cnt.foreach { case (tok, c) =>
+      for (k <- 2 to 4; i <- 0 to tok.length - k) gramF(tok.substring(i, i + k)) += c
+    }
+    val vocab = gramF.toSeq.sortBy { case (p, f) => (-f, p) }.take(64).map(_._1).toSet
+    def enc(tok: String): Seq[String] = {
+      val out = Seq.newBuilder[String]; var i = 0
+      while (i < tok.length) {
+        val k = (4 to 2 by -1).find(k => i + k <= tok.length &&
+          vocab(tok.substring(i, i + k))).getOrElse(1)
+        out += tok.substring(i, i + k); i += k
+      }
+      out.result()
+    }
+    val expected = docs.map { case (id, text) =>
+      val pcs = text.split(" ").filter(_.nonEmpty).toSeq.map(enc)
+      (id, pcs.map(_.length.toLong).sum,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(pcs.map(_.mkString(" ")).mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.sortBy(_._1).toSeq
+    val got = LlmData.textWordpieceEncode(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(got === expected)
+    // non-vacuous: multi-char pieces actually fire somewhere
+    val totalPieces = got.map(_._2).sum
+    val totalChars = docs.map(_._2.split(" ").filter(_.nonEmpty).map(_.length.toLong).sum).sum
+    assert(totalPieces < totalChars, "encoding never used a multi-char piece")
+  }
+
+  test("q_corpus_dataset_card: per-source card is internally consistent") {
+    val rows = LlmData.corpusDatasetCard(s, d).collect()
+    val srcDocs = Tables(s, d, "documents").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === srcDocs.keySet)
+    rows.foreach { r =>
+      val (src, n, p50, p90) =
+        (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(n === srcDocs(src))
+      assert(p50 <= p90, s"$src: p50 > p90")
+      val ppm = r.getLong(8)
+      assert(ppm > 0 && ppm <= 1000000, s"$src: top-lang share $ppm out of range")
+      assert(r.getLong(6) >= 1, s"$src: no languages?")
+    }
+  }
+
   test("q_corpus_funnel_audit: stages shrink monotonically and the last equals the curated corpus") {
     val rows = LlmData.corpusFunnelAudit(s, d).collect()
     assert(rows.map(_.getString(1)).toSeq ===
