@@ -4527,6 +4527,130 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** Lloyd-iteration count for [[embedKmeansTrain]] — mirrored literally
+    * by [[kmeansTrainSql]]'s unrolled CTE chain. */
+  private val kmeansIters = 6
+
+  /** q_embed_kmeans_train — the FULL k-means TRAINING LOOP
+    * ([[embedKmeansStep]] is one assignment pass; this runs
+    * [[kmeansIters]] Lloyd iterations to a convergence trace): k = 8
+    * centroids seeded from the first 8 vectors, each round re-assigns
+    * every vector to its nearest centroid (integer micro-unit squared
+    * distance, ties to the smaller centroid id) and recomputes centroids
+    * as per-dimension integer-micro means (truncating division — Spark
+    * `div` and DuckDB `//` agree on negatives). Per (iteration, cluster):
+    * member count, inertia, total centroid shift, and the first three
+    * centroid components — the convergence dashboard of every index
+    * build. ALL integer arithmetic, so the DuckDB oracle replays every
+    * iteration's assignments and every centroid update bit-exactly; one
+    * wrong assignment anywhere breaks the chain.
+    *
+    * Scale: per iteration, corpus work is ONE scan computing k codegen'd
+    * fold distances + the (cluster, dim) sum aggregate; centroids are
+    * k×64 longs of driver control-plane (the IVF codebook class), so the
+    * loop ships 512 values per round, never vectors. This is exactly how
+    * the IVF codebooks (`q_embed_pq`, `q_simsearch_retrain`) are trained
+    * at 100 TB — sample-train, broadcast, assign.
+    */
+  def embedKmeansTrain(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val emb = t(s, d, "embeddings")
+    val vm = emb.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+        .as("vm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Map[Int, Array[Long]] = vm.where(col("vec_id") < k)
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      for (iter <- 1 to kmeansIters) {
+        val d2Cols = (0 until k).map { c =>
+          expr(s"aggregate(zip_with(vm, array(${cents(c).mkString(", ")}), " +
+            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .as(s"d2_$c")
+        }
+        val withD2 = vm.select(col("vec_id") +: col("vm") +: d2Cols: _*)
+          .withColumn("d2", least((0 until k).map(c => col(s"d2_$c")): _*))
+        val cluster = (0 until k).foldRight(lit(-1): Column) { (c, e) =>
+          when(col(s"d2_$c") === col("d2"), lit(c)).otherwise(e)
+        }
+        val asg = withD2.withColumn("cid", cluster)
+          .select("vec_id", "vm", "cid", "d2")
+        // control-plane collects: ≤k stat rows + k×64 dimension sums
+        val stats = asg.groupBy("cid")
+          .agg(count(lit(1)).as("n"), sum("d2").as("inertia")).collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val sums = asg
+          .select(col("cid"), posexplode(col("vm")).as(Seq("dim", "v")))
+          .groupBy("cid", "dim").agg(sum("v").as("sv")).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val next = (0 until k).map { c =>
+          stats.get(c) match {
+            case Some((n, _)) =>
+              c -> Array.tabulate(cents(c).length)(j => sums((c, j)) / n)
+            case None => c -> cents(c) // empty cluster keeps its centroid
+          }
+        }.toMap
+        (0 until k).foreach { c =>
+          stats.get(c).foreach { case (n, inertia) =>
+            val shift = cents(c).indices
+              .map(j => math.abs(next(c)(j) - cents(c)(j))).sum
+            out += ((iter.toLong, c.toLong, n, inertia, shift,
+              next(c)(0), next(c)(1), next(c)(2)))
+          }
+        }
+        cents = next
+      }
+      import s.implicits._
+      out.result().toDF("iter", "cluster_id", "n", "inertia", "shift_micro",
+        "c0_micro", "c1_micro", "c2_micro").orderBy("iter", "cluster_id")
+    } finally vm.unpersist(false)
+  }
+
+  /** DuckDB replay of [[embedKmeansTrain]]: (vec, dim) micro rows, then
+    * per iteration the assignment argmin, the per-cluster stats, the
+    * truncating-mean centroid update (empty clusters coalesce to the
+    * previous round), and the shift aggregate — all chained CTEs. */
+  private def kmeansTrainSql: String = {
+    val vecs = "vecs AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS dim, " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vm " +
+      "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, " +
+      "len(embedding))) AS i) g)"
+    val c0 = "c0 AS MATERIALIZED (SELECT vec_id AS cid, dim, vm AS cm " +
+      "FROM vecs WHERE vec_id < 8)"
+    val steps = (1 to kmeansIters).map { it =>
+      val p = s"c${it - 1}"
+      s"a$it AS MATERIALIZED (SELECT v.vec_id, c.cid, " +
+        "CAST(sum((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS d2 " +
+        s"FROM vecs v JOIN $p c USING (dim) GROUP BY v.vec_id, c.cid), " +
+        s"m$it AS MATERIALIZED (SELECT vec_id, cid, d2, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk " +
+        s"FROM a$it), " +
+        s"n$it AS MATERIALIZED (SELECT cid, count(*) AS n, " +
+        s"CAST(sum(d2) AS BIGINT) AS inertia FROM m$it WHERE rk = 1 GROUP BY cid), " +
+        s"u$it AS MATERIALIZED (SELECT m.cid, v.dim, " +
+        "CAST(sum(v.vm) // count(*) AS BIGINT) AS cm " +
+        s"FROM m$it m JOIN vecs v USING (vec_id) WHERE m.rk = 1 " +
+        "GROUP BY m.cid, v.dim), " +
+        s"c$it AS MATERIALIZED (SELECT p.cid, p.dim, coalesce(u.cm, p.cm) AS cm " +
+        s"FROM $p p LEFT JOIN u$it u ON u.cid = p.cid AND u.dim = p.dim), " +
+        s"s$it AS MATERIALIZED (SELECT p.cid, " +
+        "CAST(sum(abs(c.cm - p.cm)) AS BIGINT) AS shift " +
+        s"FROM $p p JOIN c$it c ON c.cid = p.cid AND c.dim = p.dim GROUP BY p.cid), " +
+        s"r$it AS (SELECT CAST($it AS BIGINT) AS iter, " +
+        "CAST(n.cid AS BIGINT) AS cluster_id, n.n, n.inertia, s.shift AS shift_micro, " +
+        "max(CASE WHEN c.dim = 1 THEN c.cm END) AS c0_micro, " +
+        "max(CASE WHEN c.dim = 2 THEN c.cm END) AS c1_micro, " +
+        "max(CASE WHEN c.dim = 3 THEN c.cm END) AS c2_micro " +
+        s"FROM n$it n JOIN s$it s ON s.cid = n.cid JOIN c$it c ON c.cid = n.cid " +
+        "GROUP BY n.cid, n.n, n.inertia, s.shift)"
+    }.mkString(", ")
+    val union = (1 to kmeansIters).map(it => s"SELECT * FROM r$it")
+      .mkString(" UNION ALL ")
+    s"WITH $vecs, $c0, $steps SELECT * FROM ($union) ORDER BY iter, cluster_id"
+  }
+
   /** q_corpus_dataset_card — the DATASHEET aggregate every released
     * training set ships (per-source composition, scale, length profile,
     * language mix): docs, token and char mass, exact p50/p90 character
@@ -6337,6 +6461,7 @@ object LlmData {
     "q_text_bpe_encode" -> textBpeEncode _,
     "q_text_wordpiece_encode" -> textWordpieceEncode _,
     "q_corpus_dataset_card" -> corpusDatasetCard _,
+    "q_embed_kmeans_train" -> embedKmeansTrain _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -6871,6 +6996,7 @@ object LlmData {
     "q_text_bpe_encode" -> bpeEncodeSql,
     "q_text_wordpiece_encode" -> wordpieceEncodeSql,
     "q_corpus_dataset_card" -> datasetCardSql,
+    "q_embed_kmeans_train" -> kmeansTrainSql,
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_sample_weighted" ->

@@ -539,6 +539,26 @@ class LlmDataSpec extends AnyFunSuite {
     assert(totalPieces < totalChars, "encoding never used a multi-char piece")
   }
 
+  test("q_embed_kmeans_train: inertia is non-increasing and shifts decay") {
+    val rows = LlmData.embedKmeansTrain(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byIter = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(byIter.map(_._1) === (1L to 6L))
+    // Lloyd's invariant: total inertia never increases across iterations
+    val inertia = byIter.map(_._2.map(_._4).sum)
+    inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"inertia increased: $a -> $b")
+    }
+    info(s"inertia trace: ${inertia.mkString(" -> ")}")
+    // every iteration accounts for the whole corpus
+    val n = Tables(s, d, "embeddings").count()
+    byIter.foreach { case (it, g) =>
+      assert(g.map(_._3).sum === n, s"iter $it lost vectors") }
+    // convergence: the final shift is (weakly) below the first
+    val shifts = byIter.map(_._2.map(_._5).sum)
+    assert(shifts.last <= shifts.head, "centroid shifts did not decay")
+  }
+
   test("q_corpus_dataset_card: per-source card is internally consistent") {
     val rows = LlmData.corpusDatasetCard(s, d).collect()
     val srcDocs = Tables(s, d, "documents").groupBy("source").count()
