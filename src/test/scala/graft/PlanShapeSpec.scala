@@ -685,4 +685,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(shard"),
       s"budget prefix sum must run under the shard partitioning:\n$p")
   }
+
+  test("q_dedup_lines: election is a keyed aggregate, never a window or nested loop") {
+    val p = plan(graft.operators.LlmData.dedupLines(s, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup planned a quadratic join:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"first-occurrence election should partial-aggregate map-side:\n$p")
+  }
+
+  test("q_text_wordpiece_encode: the greedy fold is codegen'd, no per-character join") {
+    val df = graft.operators.LlmData.textWordpieceEncode(s, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one join: the vocab-grain dictionary join back to the corpus
+    val joins = p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins <= 2, s"wordpiece encode plans $joins joins (dictionary join only):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_corpus_dataset_card: percentile windows partition by source, never globally") {
+    val p = plan(graft.operators.LlmData.corpusDatasetCard(s, d))
+    assert(p.contains("windowspecdefinition(source"),
+      s"rank windows must partition by source:\n$p")
+    val global = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(") && !l.contains("windowspecdefinition(source"))
+    assert(!global, s"found a window not partitioned by source:\n$p")
+  }
 }
