@@ -6049,6 +6049,107 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** q_corpus_decontaminate — the DECONTAMINATION TRANSFORM the
+    * `q_corpus_contamination` detector stops short of (the GPT-3 appendix
+    * recipe: drop heavily-overlapping training docs, surgically remove
+    * the overlapping spans from the rest): against the held-out split
+    * (doc_id % 97 = 0, the detector's rule), every training document's
+    * 3-token windows are checked for exact eval overlap; a doc whose hit
+    * count reaches 1/10 of its windows is DROPPED, a doc with any lesser
+    * hit is SCRUBBED (all tokens covered by a hit window removed), clean
+    * docs pass through. Per doc: window/hit counts, the action taken,
+    * surviving token count, and the md5 of the cleaned text — the
+    * byte-exact pin of the released corpus.
+    *
+    * Scale: linear, the `q_text_substring_dedup` machinery pointed at an
+    * eval set — windows are scan-side projections, the eval shingle set
+    * broadcasts (benchmarks are small by definition), span coverage is a
+    * bounded explode (3 positions per hit), and the cleaned-text fold is
+    * doc-partitioned. No pair machinery, no corpus self-join.
+    */
+  def corpusDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val train = base.where(col("doc_id") % 97 =!= 0)
+    val evalSh = base.where(col("doc_id") % 97 === 0).where(col("n") >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, n - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("sh")).distinct()
+    val wins = train.where(col("n") >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, n - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as(Seq("wpos", "sh")))
+    val hits = wins.join(broadcast(evalSh), "sh").select("doc_id", "wpos")
+    val nHits = hits.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val covered = hits
+      .select(col("doc_id").as("cdoc"),
+        explode(sequence(col("wpos"), col("wpos") + 2)).as("p"))
+      .distinct()
+    val toksPos = train
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val keptAgg = toksPos.join(covered,
+        toksPos("doc_id") === covered("cdoc") && col("pos") === col("p"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "struct(pos, tok))), x -> x.tok), ' '))").as("kmd5"))
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    train.select(col("doc_id"), col("n"))
+      .join(nHits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_windows", greatest(col("n") - 2, lit(0)).cast("long"))
+      .withColumn("action",
+        when(col("n_hits") > 0 && col("n_hits") * 10 >= col("n_windows"), "drop")
+          .when(col("n_hits") > 0, "scrub").otherwise("keep"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("n_windows"), col("n_hits"), col("action"),
+        when(col("action") === "drop", 0L)
+          .otherwise(coalesce(col("kept"), lit(0L))).as("kept_tokens"),
+        when(col("action") === "drop", emptyMd5)
+          .otherwise(coalesce(col("kmd5"), lit(emptyMd5))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[corpusDecontaminate]]: eval shingle set, window
+    * hits, span-coverage union, cleaned-text digest, and the
+    * drop/scrub/keep decision — all from the raw documents bytes. */
+  private def decontaminateSql: String =
+    "WITH b AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+      "len(string_split(text, ' ')) AS n FROM documents), " +
+      "tr AS (SELECT * FROM b WHERE doc_id % 97 <> 0), " +
+      "ev AS (SELECT DISTINCT unnest(list_transform(range(1, n - 1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh " +
+      "FROM b WHERE doc_id % 97 = 0 AND n >= 3), " +
+      "w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wpos, " +
+      "t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh " +
+      "FROM tr, LATERAL (SELECT unnest(range(1, n - 1)) AS i) g WHERE n >= 3), " +
+      "h AS (SELECT w.doc_id, w.wpos FROM w JOIN ev USING (sh)), " +
+      "nh AS (SELECT doc_id, count(*) AS n_hits FROM h GROUP BY doc_id), " +
+      "cov AS (SELECT DISTINCT doc_id, wpos + o AS p FROM h, " +
+      "LATERAL (SELECT unnest([0, 1, 2]) AS o) q), " +
+      "tp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok " +
+      "FROM tr, LATERAL (SELECT unnest(range(1, n + 1)) AS i) g), " +
+      "ka AS (SELECT tp.doc_id, count(*) AS kept, " +
+      "md5(string_agg(tok, ' ' ORDER BY pos)) AS kmd5 " +
+      "FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.pos " +
+      "WHERE cov.p IS NULL GROUP BY tp.doc_id), " +
+      "dec AS (SELECT tr.doc_id, CAST(tr.n AS BIGINT) AS n_tokens, " +
+      "CAST(greatest(tr.n - 2, 0) AS BIGINT) AS n_windows, " +
+      "CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits " +
+      "FROM tr LEFT JOIN nh USING (doc_id)) " +
+      "SELECT d.doc_id, d.n_tokens, d.n_windows, d.n_hits, " +
+      "CASE WHEN d.n_hits > 0 AND d.n_hits * 10 >= d.n_windows THEN 'drop' " +
+      "WHEN d.n_hits > 0 THEN 'scrub' ELSE 'keep' END AS action, " +
+      "CASE WHEN d.n_hits > 0 AND d.n_hits * 10 >= d.n_windows " +
+      "THEN CAST(0 AS BIGINT) ELSE CAST(coalesce(ka.kept, 0) AS BIGINT) END " +
+      "AS kept_tokens, " +
+      "CASE WHEN d.n_hits > 0 AND d.n_hits * 10 >= d.n_windows " +
+      "THEN md5('') ELSE coalesce(ka.kmd5, md5('')) END AS clean_md5 " +
+      "FROM dec d LEFT JOIN ka USING (doc_id) ORDER BY doc_id"
+
   /** q_text_entropy — CHARACTER-ENTROPY quality scoring: Shannon entropy
     * of each document's character distribution, the cheap proxy for the
     * compression-ratio filter (low entropy ⇒ repeated boilerplate /
@@ -6462,6 +6563,7 @@ object LlmData {
     "q_text_wordpiece_encode" -> textWordpieceEncode _,
     "q_corpus_dataset_card" -> corpusDatasetCard _,
     "q_embed_kmeans_train" -> embedKmeansTrain _,
+    "q_corpus_decontaminate" -> corpusDecontaminate _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -6997,6 +7099,7 @@ object LlmData {
     "q_text_wordpiece_encode" -> wordpieceEncodeSql,
     "q_corpus_dataset_card" -> datasetCardSql,
     "q_embed_kmeans_train" -> kmeansTrainSql,
+    "q_corpus_decontaminate" -> decontaminateSql,
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_sample_weighted" ->

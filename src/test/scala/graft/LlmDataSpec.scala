@@ -559,6 +559,33 @@ class LlmDataSpec extends AnyFunSuite {
     assert(shifts.last <= shifts.head, "centroid shifts did not decay")
   }
 
+  test("q_corpus_decontaminate: scrubbed text provably loses the eval overlap") {
+    val rows = LlmData.corpusDecontaminate(s, d).collect()
+    assert(rows.nonEmpty)
+    val actions = rows.map(_.getString(4)).groupBy(identity).view.mapValues(_.length).toMap
+    info(s"actions: $actions")
+    // the vacuity guard: the shared-vocabulary fixture must actually
+    // produce eval-overlapping windows somewhere
+    assert(actions.contains("scrub") || actions.contains("drop"),
+      "no training doc overlapped the eval split — vacuous fixture")
+    rows.foreach { r =>
+      val (n, hits, action, kept) =
+        (r.getLong(1), r.getLong(3), r.getString(4), r.getLong(5))
+      action match {
+        case "keep" =>
+          assert(hits === 0L); assert(kept === n)
+        case "scrub" =>
+          assert(hits > 0L)
+          assert(kept < n, s"doc ${r.getLong(0)}: scrub removed nothing")
+        case "drop" =>
+          assert(kept === 0L)
+          assert(r.getString(6) === "d41d8cd98f00b204e9800998ecf8427e")
+      }
+    }
+    // eval docs never appear (they are the benchmark, not the corpus)
+    rows.foreach(r => assert(r.getLong(0) % 97 !== 0L))
+  }
+
   test("q_corpus_dataset_card: per-source card is internally consistent") {
     val rows = LlmData.corpusDatasetCard(s, d).collect()
     val srcDocs = Tables(s, d, "documents").groupBy("source").count()
