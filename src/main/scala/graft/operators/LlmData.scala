@@ -2957,9 +2957,13 @@ object LlmData {
     * 4-band pigeonhole (the linear-gradient fixture's closest UNRELATED
     * families sit at exactly Hamming 3, so the threshold also makes the
     * result set the planted dup structure and nothing else). */
-  private def imagePhashSql: String = {
+  /** The pHash oracle's shared CTE chain (grid recompute from the
+    * generator formula → dHash bits → banded signature → verified
+    * Hamming ≤ 2 pairs), reused by [[imagePhashSql]] and
+    * [[multimodalPairDedupSql]]. */
+  private def phashPairCtes: String = {
     val white = "img BETWEEN 40 AND 44 AND sx = 10 AND sy = 6"
-    "WITH ids AS (SELECT unnest(generate_series(0, 47)) AS img), " +
+    "ids AS (SELECT unnest(generate_series(0, 47)) AS img), " +
       "cg AS (SELECT unnest(generate_series(0, 8)) AS gx), " +
       "rg AS (SELECT unnest(generate_series(0, 7)) AS gy), " +
       "pos AS (SELECT img, gx, gy, (gx * 24) // 9 AS sx, gy * 2 AS sy " +
@@ -2984,14 +2988,61 @@ object LlmData {
       "sig AS (SELECT img, max(CASE WHEN bi = 0 THEN bv END) AS b0, " +
       "max(CASE WHEN bi = 1 THEN bv END) AS b1, " +
       "max(CASE WHEN bi = 2 THEN bv END) AS b2, " +
-      "max(CASE WHEN bi = 3 THEN bv END) AS b3 FROM bnd GROUP BY img) " +
-      "SELECT img_a, img_b, hamming FROM (" +
+      "max(CASE WHEN bi = 3 THEN bv END) AS b3 FROM bnd GROUP BY img), " +
+      "ipairs AS (SELECT img_a, img_b, hamming FROM (" +
       "SELECT a.img AS img_a, b.img AS img_b, " +
       "CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + " +
       "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) " +
       "AS hamming FROM sig a JOIN sig b ON a.img < b.img) " +
-      "WHERE hamming <= 2 ORDER BY img_a, img_b"
+      "WHERE hamming <= 2)"
   }
+
+  private def imagePhashSql: String =
+    s"WITH $phashPairCtes " +
+      "SELECT img_a, img_b, hamming FROM ipairs ORDER BY img_a, img_b"
+
+  /** q_multimodal_pair_dedup — CROSS-MODAL duplicate verification, the
+    * LAION-style image-text pair dedup: image near-dup candidates (the
+    * [[dedupImagePhash]] banded+verified pairs) are confirmed or refuted
+    * by CAPTION agreement. Captions attach by a deterministic rule
+    * (image < 40 → documents[img % 10]; the one-pixel variants ≥ 40 keep
+    * their own id), chosen so the brightness-shifted dups share captions
+    * (true pair-duplicates) while the pixel-edit variants do not — an
+    * image-only dedup would collapse both, a pair-level dedup must keep
+    * the second kind. Caption equality is md5-exact; output is every
+    * image-near-dup pair with its Hamming distance and the caption
+    * verdict.
+    *
+    * Scale: the pair set comes from the banded image machinery (never
+    * all-pairs); caption attachment is two keyed joins at PAIR grain
+    * against the doc digest projection — at 100 TB the digests live on
+    * the pair rows' metadata, making this one linear verification pass.
+    */
+  def multimodalPairDedup(s: SparkSession, d: String): DataFrame = {
+    def capRule(c: Column) = when(c < 40, c % 10).otherwise(c)
+    val docs = t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("cm"))
+    dedupImagePhash(s, d)
+      .withColumn("cap_a", capRule(col("img_a")))
+      .withColumn("cap_b", capRule(col("img_b")))
+      .join(docs.select(col("doc_id").as("cap_a"), col("cm").as("ma")), "cap_a")
+      .join(docs.select(col("doc_id").as("cap_b"), col("cm").as("mb")), "cap_b")
+      .select(col("img_a"), col("img_b"), col("hamming"),
+        col("cap_a"), col("cap_b"), (col("ma") === col("mb")).as("caption_match"))
+      .orderBy("img_a", "img_b")
+  }
+
+  /** DuckDB replay of [[multimodalPairDedup]]: the shared pHash pair CTEs
+    * plus the caption rule and md5-equality verdict over documents. */
+  private def multimodalPairDedupSql: String =
+    s"WITH $phashPairCtes, " +
+      "caps AS (SELECT p.img_a, p.img_b, p.hamming, " +
+      "CASE WHEN p.img_a < 40 THEN p.img_a % 10 ELSE p.img_a END AS cap_a, " +
+      "CASE WHEN p.img_b < 40 THEN p.img_b % 10 ELSE p.img_b END AS cap_b " +
+      "FROM ipairs p) " +
+      "SELECT c.img_a, c.img_b, c.hamming, c.cap_a, c.cap_b, " +
+      "(md5(da.text) = md5(db.text)) AS caption_match " +
+      "FROM caps c JOIN documents da ON da.doc_id = c.cap_a " +
+      "JOIN documents db ON db.doc_id = c.cap_b ORDER BY c.img_a, c.img_b"
 
   // ------------------------------------------------------------------ text
 
@@ -6564,6 +6615,7 @@ object LlmData {
     "q_corpus_dataset_card" -> corpusDatasetCard _,
     "q_embed_kmeans_train" -> embedKmeansTrain _,
     "q_corpus_decontaminate" -> corpusDecontaminate _,
+    "q_multimodal_pair_dedup" -> multimodalPairDedup _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -7100,6 +7152,7 @@ object LlmData {
     "q_corpus_dataset_card" -> datasetCardSql,
     "q_embed_kmeans_train" -> kmeansTrainSql,
     "q_corpus_decontaminate" -> decontaminateSql,
+    "q_multimodal_pair_dedup" -> multimodalPairDedupSql,
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_sample_weighted" ->

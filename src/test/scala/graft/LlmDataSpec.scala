@@ -586,6 +586,22 @@ class LlmDataSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) % 97 !== 0L))
   }
 
+  test("q_multimodal_pair_dedup: caption verdict splits the image near-dup classes") {
+    val rows = LlmData.multimodalPairDedup(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // brightness-shifted family (a < 10, b = a + 30): same caption → true dup
+    val shifted = rows.filter { case (a, b, _) => b == a + 30 && a < 10 }
+    assert(shifted.nonEmpty, "no brightness-shifted pair surfaced")
+    shifted.foreach { case (a, b, m) =>
+      assert(m, s"pair ($a,$b) should share its caption") }
+    // one-pixel variants (b >= 40): distinct caption → image dup, pair NOT dup
+    val variants = rows.filter { case (_, b, _) => b >= 40 }
+    assert(variants.nonEmpty, "no pixel-variant pair surfaced")
+    variants.foreach { case (a, b, m) =>
+      assert(!m, s"pair ($a,$b) should NOT share a caption") }
+  }
+
   test("q_corpus_dataset_card: per-source card is internally consistent") {
     val rows = LlmData.corpusDatasetCard(s, d).collect()
     val srcDocs = Tables(s, d, "documents").groupBy("source").count()
