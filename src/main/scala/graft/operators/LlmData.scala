@@ -6201,6 +6201,90 @@ object LlmData {
       "THEN md5('') ELSE coalesce(ka.kmd5, md5('')) END AS clean_md5 " +
       "FROM dec d LEFT JOIN ka USING (doc_id) ORDER BY doc_id"
 
+  /** q_stream_corpus_curate — CURATION ON ARRIVAL, the streaming face of
+    * [[corpusFilter]]: a new-document batch (doc_id % 10 = 0, the
+    * `q_dedup_incremental` split) arrives through a Structured Streaming
+    * file source; a streaming CONTENT aggregate (complete mode: per
+    * content hash, min doc id + copy count) collapses in-batch duplicates
+    * deterministically, and the survivors face the admission gate —
+    * never-seen-vs-standing-corpus, quality threshold, language
+    * agreement — before joining the corpus. Per distinct arrival content:
+    * the surviving doc, its copy count, and each verdict. The gate
+    * expressions are the SAME oracle-checked ones `q_corpus_filter` runs,
+    * so the DuckDB replay needs no streaming at all — which is the point:
+    * arrival-time curation must admit exactly what batch curation would.
+    *
+    * Scale: in-batch dedup state is one row per distinct arrival content
+    * (the aggregation state production keeps in RocksDB); the standing-
+    * corpus membership check is a digest anti-join (broadcast here; a
+    * bloom pre-filter + keyed join at 100 TB, `q_dedup_incremental`'s
+    * documented path). The quality/langid gate is stateless scan work on
+    * survivors only.
+    */
+  def streamCorpusCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val standing = docs.where(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val stage = graft.Fixtures.tempDirCleanedAtExit("graft_stream_docs_")
+    docs.where(col("doc_id") % 10 === 0)
+      .write.mode("overwrite").parquet(stage.toString)
+    val src = s.readStream.schema(docs.schema).parquet(stage.toString)
+    val perContent = src
+      .withColumn("h", md5(col("text")))
+      .groupBy("h").agg(min("doc_id").as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min("text").as("text"), min("lang").as("lang"))
+    val name = "graft_stream_curate"
+    s.catalog.dropTempView(name)
+    val q = perContent.writeStream.outputMode("complete").format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val scored = withLangScores(withQualityScore(s.table(name)))
+    scored.join(broadcast(standing.withColumn("old", lit(1))), Seq("h"), "left")
+      .select(col("doc_id"), col("n_copies"),
+        col("old").isNull.as("is_new"),
+        (col("quality") >= 0.53).as("quality_ok"),
+        (col("lang_pred") === col("lang")).as("lang_ok"),
+        (col("old").isNull && col("quality") >= 0.53 &&
+          col("lang_pred") === col("lang")).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[streamCorpusCurate]] — no streaming needed: the
+    * content collapse, standing-membership check, and the corpus_filter
+    * gate expressions reproduce the admission decisions exactly. */
+  private def streamCurateSql: String = {
+    val langScores = Lexicons.map { case (l, lex) =>
+      s"CAST(len(list_intersect(dt, [${lex.map(w => s"'$w'").mkString(", ")}])) AS INT) AS s_$l"
+    }.mkString(", ")
+    val predCase = "CASE " + Lexicons.map { case (l, _) =>
+      s"WHEN s_$l = greatest(${Lexicons.map { case (m, _) => s"s_$m" }.mkString(", ")}) THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    "WITH arr AS (SELECT * FROM documents WHERE doc_id % 10 = 0), " +
+      "pc AS (SELECT md5(text) AS h, min(doc_id) AS doc_id, " +
+      "count(*) AS n_copies FROM arr GROUP BY 1), " +
+      "att AS (SELECT pc.h, pc.doc_id, pc.n_copies, d.text, d.lang " +
+      "FROM pc JOIN arr d USING (doc_id)), " +
+      "st AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0), " +
+      "q AS (SELECT doc_id, " +
+      s"0.4 * (len(list_filter(string_split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(string_split(text, ' '))) + " +
+      "0.4 * (1.0 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / strlen(text)) + " +
+      "0.2 * least((strlen(text) * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) AS quality " +
+      "FROM att), " +
+      s"lp AS (SELECT doc_id, $predCase AS lang_pred FROM " +
+      s"(SELECT doc_id, $langScores FROM " +
+      "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM att))) " +
+      "SELECT a.doc_id, a.n_copies, " +
+      "(a.h NOT IN (SELECT h FROM st)) AS is_new, " +
+      "(q.quality >= 0.53) AS quality_ok, " +
+      "(lp.lang_pred = a.lang) AS lang_ok, " +
+      "(a.h NOT IN (SELECT h FROM st) AND q.quality >= 0.53 " +
+      "AND lp.lang_pred = a.lang) AS admitted " +
+      "FROM att a JOIN q USING (doc_id) JOIN lp USING (doc_id) " +
+      "ORDER BY a.doc_id"
+  }
+
   /** q_text_entropy — CHARACTER-ENTROPY quality scoring: Shannon entropy
     * of each document's character distribution, the cheap proxy for the
     * compression-ratio filter (low entropy ⇒ repeated boilerplate /
@@ -6616,6 +6700,7 @@ object LlmData {
     "q_embed_kmeans_train" -> embedKmeansTrain _,
     "q_corpus_decontaminate" -> corpusDecontaminate _,
     "q_multimodal_pair_dedup" -> multimodalPairDedup _,
+    "q_stream_corpus_curate" -> streamCorpusCurate _,
     "q_embed_kmeans_step" -> embedKmeansStep _,
     "q_corpus_domain_cap" -> corpusDomainCap _,
     "q_text_pii_scrub" -> textPiiScrub _,
@@ -7153,6 +7238,7 @@ object LlmData {
     "q_embed_kmeans_train" -> kmeansTrainSql,
     "q_corpus_decontaminate" -> decontaminateSql,
     "q_multimodal_pair_dedup" -> multimodalPairDedupSql,
+    "q_stream_corpus_curate" -> streamCurateSql,
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_sample_weighted" ->

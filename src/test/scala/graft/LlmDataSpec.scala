@@ -602,6 +602,24 @@ class LlmDataSpec extends AnyFunSuite {
       assert(!m, s"pair ($a,$b) should NOT share a caption") }
   }
 
+  test("q_stream_corpus_curate: arrival admissions equal the batch gate") {
+    val rows = LlmData.streamCorpusCurate(s, d).collect()
+    val arrivals = Tables(s, d, "documents")
+      .where(col("doc_id") % 10 === 0)
+    assert(rows.map(_.getLong(1)).sum === arrivals.count(),
+      "copy counts must cover every arriving doc")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // the admission verdict is the conjunction of its parts
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
+    }
+    val admitted = rows.count(_.getBoolean(5))
+    val rejected = rows.length - admitted
+    info(s"admitted $admitted / ${rows.length} (rejected $rejected)")
+    assert(admitted > 0, "gate admitted nothing — vacuous")
+    assert(rejected > 0, "gate rejected nothing — vacuous")
+  }
+
   test("q_corpus_dataset_card: per-source card is internally consistent") {
     val rows = LlmData.corpusDatasetCard(s, d).collect()
     val srcDocs = Tables(s, d, "documents").groupBy("source").count()
