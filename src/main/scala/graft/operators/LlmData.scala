@@ -4628,14 +4628,18 @@ object LlmData {
         }
         val asg = withD2.withColumn("cid", cluster)
           .select("vec_id", "vm", "cid", "d2")
-        // control-plane collects: ≤k stat rows + k×64 dimension sums
-        val stats = asg.groupBy("cid")
-          .agg(count(lit(1)).as("n"), sum("d2").as("inertia")).collect()
-          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-        val sums = asg
-          .select(col("cid"), posexplode(col("vm")).as(Seq("dim", "v")))
-          .groupBy("cid", "dim").agg(sum("v").as("sv")).collect()
+        // ONE control-plane collect per iteration (k×64 rows): every
+        // (cid, dim) group holds the cluster's full membership, so the
+        // per-dim rows carry n and inertia for free alongside the sums
+        val grouped = asg
+          .select(col("cid"), col("d2"), posexplode(col("vm")).as(Seq("dim", "v")))
+          .groupBy("cid", "dim")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"), sum("d2").as("i2"))
+          .collect()
+        val sums = grouped
           .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val stats = grouped.filter(_.getInt(1) == 0)
+          .map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
         val next = (0 until k).map { c =>
           stats.get(c) match {
             case Some((n, _)) =>
