@@ -4228,6 +4228,107 @@ object LlmData {
       "ORDER BY cm DESC, vec_id LIMIT 10"
   }
 
+  /** Batched-walk parameters — smaller beam/hops than the single-query
+    * walk because the batch amortizes each hop across every query.
+    * Mirrored literally by [[nswBatchSql]]. */
+  private val nswBatchBeam = 6
+  private val nswBatchHops = 5
+
+  /** q_simsearch_nsw_batch — BATCHED GRAPH SERVING, the NSW analogue of
+    * `q_simsearch_batch_routed`: a query batch (vec_id % 50 = 1) walks
+    * the staged kNN graph as ONE multi-source traversal — the frontier
+    * is a (query, node) relation, every hop is a single adjacency join
+    * for ALL queries, per-query beam cuts are one rank window, and the
+    * entire walk builds as a lazy plan with ZERO driver-side state (the
+    * single-query walk's collects become engine-side unions). Top-5 per
+    * query by integer micro-cosine. The DuckDB oracle replays the full
+    * multi-source walk with qid-partitioned hop CTEs.
+    *
+    * Scale: this is the shape a serving tier actually runs — hop cost is
+    * one keyed join whose left side is |batch|·beam·M rows regardless of
+    * corpus size, so batching B queries costs the SAME number of jobs as
+    * one query. Per-query state never touches the driver, so B can be
+    * millions (the offline re-ranking sweep) without changing the plan.
+    */
+  def simsearchNswBatch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val adj = s.read.parquet(nswAdjPath(s, d))
+    val emb = t(s, d, "embeddings")
+    val queries = emb.where(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scores = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
+          .cast("long").as("cm_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val entry = emb.where(col("vec_id") =!= 0)
+        .agg(min("vec_id")).collect()(0).getLong(0)
+      var visited = queries.select(col("qid"), lit(entry).as("vec_id"))
+      var frontier = visited
+      val w = Window.partitionBy("qid").orderBy(desc("cm_micro"), asc("vec_id"))
+      for (_ <- 1 to nswBatchHops) {
+        val fresh = frontier.join(adj, frontier("vec_id") === adj("src"))
+          .select(col("qid"), col("dst").as("vec_id")).distinct()
+          .join(visited, Seq("qid", "vec_id"), "left_anti")
+          .join(scores, Seq("qid", "vec_id"))
+        frontier = fresh.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= nswBatchBeam).select("qid", "vec_id")
+        visited = visited.unionByName(fresh.select("qid", "vec_id"))
+          .localCheckpoint(true)
+      }
+      visited.join(scores, Seq("qid", "vec_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cm_micro")
+        .orderBy("qid", "rank")
+    } finally scores.unpersist(false)
+  }
+
+  /** DuckDB replay of [[simsearchNswBatch]]: the multi-source walk
+    * unrolled with qid-carrying hop CTEs (per-query anti-join dedup,
+    * per-query beam rank windows). */
+  private def nswBatchSql: String = {
+    val base = "qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe " +
+      "FROM embeddings WHERE vec_id % 50 = 1), " +
+      "sc AS MATERIALIZED (SELECT q.qid, e.vec_id, CAST(round((" +
+      VectorOps.sqlCosine("e.embedding", "q.qe") +
+      ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings e, qs q " +
+      "WHERE e.vec_id <> 0), " +
+      "adj AS MATERIALIZED (SELECT src, dst FROM (" +
+      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
+      VectorOps.sqlCosine("a.embedding", "b.embedding") +
+      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
+      "FROM embeddings a JOIN embeddings b " +
+      "ON a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) " +
+      s"WHERE rn <= $nswDegree), " +
+      "e0 AS (SELECT min(vec_id) AS vec_id FROM embeddings WHERE vec_id <> 0), " +
+      "bv0 AS MATERIALIZED (SELECT q.qid, e.vec_id FROM qs q, e0 e), " +
+      "bf0 AS MATERIALIZED (SELECT qid, vec_id FROM bv0)"
+    val steps = (1 to nswBatchHops).map { h =>
+      s"bn$h AS MATERIALIZED (SELECT n.qid, n.vec_id FROM (" +
+        s"SELECT DISTINCT f.qid, a.dst AS vec_id FROM bf${h - 1} f " +
+        "JOIN adj a ON a.src = f.vec_id) n " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM bv${h - 1} v " +
+        "WHERE v.qid = n.qid AND v.vec_id = n.vec_id)), " +
+        s"bv$h AS MATERIALIZED (SELECT qid, vec_id FROM bv${h - 1} " +
+        s"UNION ALL SELECT qid, vec_id FROM bn$h), " +
+        s"bf$h AS MATERIALIZED (SELECT qid, vec_id FROM (" +
+        s"SELECT n.qid, n.vec_id, row_number() OVER (PARTITION BY n.qid " +
+        "ORDER BY s.cm DESC, n.vec_id) AS rn " +
+        s"FROM bn$h n JOIN sc s ON s.qid = n.qid AND s.vec_id = n.vec_id) " +
+        s"WHERE rn <= $nswBatchBeam)"
+    }.mkString(", ")
+    s"WITH $base, $steps " +
+      "SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cm AS cm_micro FROM (" +
+      "SELECT v.qid, v.vec_id, s.cm, row_number() OVER (PARTITION BY v.qid " +
+      "ORDER BY s.cm DESC, v.vec_id) AS rank " +
+      s"FROM bv$nswBatchHops v JOIN sc s ON s.qid = v.qid AND s.vec_id = v.vec_id) " +
+      "WHERE rank <= 5 ORDER BY qid, rank"
+  }
+
   /** q_simsearch_binary — BINARY-QUANTIZED RETRIEVAL (the 1-bit embedding
     * compression powering 32×-smaller RAG serving tiers): each 64-d vector
     * collapses to one 64-bit sign mask (bit j = v[j] ≥ 0), candidates come
@@ -6718,6 +6819,7 @@ object LlmData {
     "q_simsearch_binary" -> simsearchBinary _,
     "q_simsearch_nsw" -> simsearchNsw _,
     "q_simsearch_hnsw" -> simsearchHnsw _,
+    "q_simsearch_nsw_batch" -> simsearchNswBatch _,
     "q_corpus_filter" -> corpusFilter _,
     "q_corpus_funnel_audit" -> corpusFunnelAudit _,
     "q_pack_sequences" -> packSequences _,
@@ -7245,6 +7347,7 @@ object LlmData {
     "q_stream_corpus_curate" -> streamCurateSql,
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
+    "q_simsearch_nsw_batch" -> nswBatchSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
         "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +

@@ -537,6 +537,10 @@ class LlmDataSpec extends AnyFunSuite {
     val totalPieces = got.map(_._2).sum
     val totalChars = docs.map(_._2.split(" ").filter(_.nonEmpty).map(_.length.toLong).sum).sum
     assert(totalPieces < totalChars, "encoding never used a multi-char piece")
+    // lossless property: concatenating any token's pieces reconstructs it
+    cnt.keys.foreach { tok =>
+      assert(enc(tok).mkString("") === tok, s"encode of '$tok' is lossy")
+    }
   }
 
   test("q_embed_kmeans_train: inertia is non-increasing and shifts decay") {
@@ -648,6 +652,35 @@ class LlmDataSpec extends AnyFunSuite {
     assert(docs(3) === LlmData.corpusFilter(s, d).count(),
       "final funnel stage disagrees with q_corpus_filter")
     assert(docs(3) > 0, "curated corpus is empty — vacuous funnel")
+  }
+
+  test("q_simsearch_nsw_batch: every query gets 5 ranked results, recall holds batch-wide") {
+    val rows = LlmData.simsearchNswBatch(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq === (1L to 5L), s"query $q rank set broken")
+      val cms = g.sortBy(_._2).map(_._4)
+      cms.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    }
+    // batch-wide recall@5 vs brute force (self-inclusive, same as the walk)
+    val emb = Tables(s, d, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val corpus = emb.filter(_._1 != 0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val recalls = byQ.keys.toSeq.map { q =>
+      val qe = emb.find(_._1 == q).get._2
+      val brute = corpus
+        .map { case (id, v) => (id, math.round(cos(v, qe) * 1000000)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      byQ(q).map(_._3).toSet.intersect(brute).size.toDouble / 5
+    }
+    val mean = recalls.sum / recalls.length
+    info(s"batch mean recall@5: $mean")
+    assert(mean >= 0.8, s"batch recall $mean below floor (measured 1.0)")
   }
 
   test("q_simsearch_append: merged index is complete and every row keeps the frozen assignment") {
