@@ -4228,6 +4228,120 @@ object LlmData {
       "ORDER BY cm DESC, vec_id LIMIT 10"
   }
 
+  /** q_rag_index_retrieve — the RAG INGESTION ARC end to end in ONE
+    * declarative plan: context-window chunking (`q_text_chunk`'s exact
+    * 32/24 windows) → hashing-trick chunk embeddings (16 signed buckets
+    * keyed by an md5 HEX CHARACTER, sign from the second hex digit — no
+    * numeric hex conversion, so both engines derive identical vectors
+    * from string ops alone) → IVF-style cell assignment (argmin integer
+    * L2 against 4 chunk-seeded centroids, ties to the smaller cell) →
+    * retrieval for a query chunk probing ITS CELL ONLY, top-5 by integer
+    * dot product. The pipeline every embed-and-retrieve product runs,
+    * expressed as chained relational ops with zero driver state, and the
+    * DuckDB oracle replays chunking, embedding, assignment, and the
+    * probe ranking from the raw documents bytes.
+    *
+    * Scale: chunk + embed is scan work (the bucket counts are a keyed
+    * aggregate at (chunk, bucket) grain — 16 rows per chunk); the dense
+    * spine is a bounded 16× fan-out; assignment broadcasts 4×16 centroid
+    * rows; retrieval reads one cell of the chunk index, the IVF probe
+    * shape. Swap the hashing trick for a real encoder (mapInPandas) and
+    * the fixed centroids for `q_embed_kmeans_train`'s output and this IS
+    * the production ingest plan.
+    */
+  def ragIndexRetrieve(s: SparkSession, d: String): DataFrame = {
+    val hexChars = "0123456789abcdef".map(_.toString)
+    // chunk token rows — q_text_chunk's exact window arithmetic
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(
+          "sequence(0, CAST(((greatest(n - 32, 0) + 23) div 24) * 24 AS INT), 24)"))
+          .as("start"))
+      .select(col("doc_id"), expr("CAST(start div 24 AS INT)").as("chunk_id"),
+        explode(expr("slice(toks, start + 1, least(32, n - start))")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counts = toks
+      .withColumn("b", substring(md5(col("tok")), 1, 1))
+      .withColumn("sg",
+        when(substring(md5(col("tok")), 2, 1) < "8", 1L).otherwise(-1L))
+      .groupBy("doc_id", "chunk_id", "b").agg(sum("sg").as("c"))
+    import s.implicits._
+    val spine = counts.select("doc_id", "chunk_id").distinct()
+      .crossJoin(hexChars.toDF("b"))
+    val dense = spine.join(counts, Seq("doc_id", "chunk_id", "b"), "left")
+      .withColumn("v", coalesce(col("c"), lit(0L)))
+      .select("doc_id", "chunk_id", "b", "v")
+    val cents = dense.where(col("chunk_id") === 0 && col("doc_id") < 4)
+      .select(col("doc_id").cast("int").as("cell"), col("b"), col("v").as("cv"))
+    val asg = dense.join(broadcast(cents), "b")
+      .groupBy("doc_id", "chunk_id", "cell")
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id", "chunk_id").orderBy("d2", "cell")))
+      .where(col("rk") === 1).select("doc_id", "chunk_id", "cell")
+    val qv = dense.where(col("doc_id") === 1 && col("chunk_id") === 0)
+      .select(col("b"), col("v").as("qv"))
+    val qcell = asg.where(col("doc_id") === 1 && col("chunk_id") === 0)
+      .select(col("cell").as("qc"))
+    dense.join(asg, Seq("doc_id", "chunk_id"))
+      .join(broadcast(qcell), col("cell") === col("qc"))
+      .where(!(col("doc_id") === 1 && col("chunk_id") === 0))
+      .join(broadcast(qv), "b")
+      .groupBy("doc_id", "chunk_id", "cell")
+      .agg(sum(col("v") * col("qv")).as("dot"))
+      // bounded heap first (TakeOrdered), then the rank window rides 5 rows
+      .orderBy(desc("dot"), col("doc_id"), col("chunk_id")).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("dot"), col("doc_id"), col("chunk_id"))).cast("long"))
+      .select("rank", "doc_id", "chunk_id", "cell", "dot")
+      .orderBy("rank")
+  }
+
+  /** DuckDB replay of [[ragIndexRetrieve]]: same chunk windows, hex-char
+    * hashing-trick embedding, centroid assignment, and cell-probed
+    * ranking. */
+  private def ragSql: String =
+    "WITH b0 AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+      "len(string_split(text, ' ')) AS n FROM documents), " +
+      "st AS (SELECT doc_id, toks, n, " +
+      "unnest(generate_series(0, ((greatest(n - 32, 0) + 23) // 24) * 24, 24)) AS start " +
+      "FROM b0), " +
+      "tk AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id, " +
+      "unnest(list_slice(toks, start + 1, start + least(32, n - start))) AS tok " +
+      "FROM st), " +
+      "tkf AS (SELECT * FROM tk WHERE len(tok) > 0), " +
+      "cnt AS (SELECT doc_id, chunk_id, substr(md5(tok), 1, 1) AS b, " +
+      "CAST(sum(CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END) AS BIGINT) AS c " +
+      "FROM tkf GROUP BY doc_id, chunk_id, substr(md5(tok), 1, 1)), " +
+      "hx AS (SELECT unnest(['0','1','2','3','4','5','6','7','8','9'," +
+      "'a','b','c','d','e','f']) AS b), " +
+      "ch AS (SELECT DISTINCT doc_id, chunk_id FROM cnt), " +
+      "dense AS (SELECT ch.doc_id, ch.chunk_id, hx.b, " +
+      "CAST(coalesce(cnt.c, 0) AS BIGINT) AS v FROM ch CROSS JOIN hx " +
+      "LEFT JOIN cnt ON cnt.doc_id = ch.doc_id AND cnt.chunk_id = ch.chunk_id " +
+      "AND cnt.b = hx.b), " +
+      "cents AS (SELECT CAST(doc_id AS INT) AS cell, b, v AS cv FROM dense " +
+      "WHERE chunk_id = 0 AND doc_id < 4), " +
+      "asg AS (SELECT doc_id, chunk_id, cell FROM (" +
+      "SELECT d.doc_id, d.chunk_id, c.cell, " +
+      "sum((d.v - c.cv) * (d.v - c.cv)) AS d2, " +
+      "row_number() OVER (PARTITION BY d.doc_id, d.chunk_id " +
+      "ORDER BY sum((d.v - c.cv) * (d.v - c.cv)), c.cell) AS rk " +
+      "FROM dense d JOIN cents c USING (b) GROUP BY d.doc_id, d.chunk_id, c.cell) " +
+      "WHERE rk = 1), " +
+      "qv AS (SELECT b, v AS qv FROM dense WHERE doc_id = 1 AND chunk_id = 0), " +
+      "qc AS (SELECT cell AS qc FROM asg WHERE doc_id = 1 AND chunk_id = 0) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, doc_id, chunk_id, cell, dot FROM (" +
+      "SELECT d.doc_id, d.chunk_id, a.cell, " +
+      "CAST(sum(d.v * q.qv) AS BIGINT) AS dot, " +
+      "row_number() OVER (ORDER BY sum(d.v * q.qv) DESC, d.doc_id, d.chunk_id) AS rank " +
+      "FROM dense d JOIN asg a ON a.doc_id = d.doc_id AND a.chunk_id = d.chunk_id " +
+      "JOIN qc ON a.cell = qc.qc JOIN qv q USING (b) " +
+      "WHERE NOT (d.doc_id = 1 AND d.chunk_id = 0) " +
+      "GROUP BY d.doc_id, d.chunk_id, a.cell) WHERE rank <= 5 ORDER BY rank"
+
   /** Batched-walk parameters — smaller beam/hops than the single-query
     * walk because the batch amortizes each hop across every query.
     * Mirrored literally by [[nswBatchSql]]. */
@@ -6820,6 +6934,7 @@ object LlmData {
     "q_simsearch_nsw" -> simsearchNsw _,
     "q_simsearch_hnsw" -> simsearchHnsw _,
     "q_simsearch_nsw_batch" -> simsearchNswBatch _,
+    "q_rag_index_retrieve" -> ragIndexRetrieve _,
     "q_corpus_filter" -> corpusFilter _,
     "q_corpus_funnel_audit" -> corpusFunnelAudit _,
     "q_pack_sequences" -> packSequences _,
@@ -7348,6 +7463,7 @@ object LlmData {
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_simsearch_nsw_batch" -> nswBatchSql,
+    "q_rag_index_retrieve" -> ragSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
         "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +

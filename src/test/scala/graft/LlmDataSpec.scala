@@ -683,6 +683,17 @@ class LlmDataSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"batch recall $mean below floor (measured 1.0)")
   }
 
+  test("q_rag_index_retrieve: probe stays in the query's cell and ranks by dot") {
+    val rows = LlmData.ragIndexRetrieve(s, d).collect()
+    assert(rows.length === 5)
+    val cells = rows.map(_.getInt(3)).toSet
+    assert(cells.size === 1, "retrieval escaped the probed cell")
+    val dots = rows.sortBy(_.getLong(0)).map(_.getLong(4))
+    dots.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // the query chunk itself must not be returned
+    rows.foreach(r => assert(!(r.getLong(1) == 1L && r.getInt(2) == 0)))
+  }
+
   test("q_simsearch_append: merged index is complete and every row keeps the frozen assignment") {
     val idx = s.read.parquet(LlmData.ivfAppendIndexPath(s, d))
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
