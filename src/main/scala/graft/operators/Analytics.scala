@@ -257,6 +257,36 @@ object Analytics {
     * (add_months, never string math), so the backtest costs two
     * calendar-bounded self-joins at any volume.
     */
+  /** q_timeseries_ses — EXPONENTIAL-SMOOTHING LEVEL per account (simple
+    * exponential smoothing, α = 1/2): the sequential fold s_t =
+    * (x_t + s_{t-1}) div 2 over the monthly cents series, in EXACT
+    * integer halving so the chained state replays bit-identically — the
+    * forecast model `q_timeseries_backtest`'s harness would score next.
+    * Emits the month count, the last observation, and the smoothed level
+    * (= the one-step-ahead forecast).
+    *
+    * Scale: the corpus scan is absorbed by the monthly rollup; the fold
+    * runs INSIDE each account group over a calendar-bounded array
+    * (collect_list is capped by months-of-history, not data volume), so
+    * the sequential recurrence — unexpressible as a window without
+    * float-power weights — costs one keyed aggregate.
+    */
+  def timeseriesSes(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    obs.groupBy("acct")
+      .agg(count(lit(1)).as("n_months"),
+        expr("array_sort(collect_list(struct(mon, cents)))").as("arr"))
+      .select(col("acct"), col("n_months"),
+        expr("arr[size(arr) - 1].cents").as("last_cents"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0].cents, " +
+          "(s, x) -> (x.cents + s) div 2)").as("ses_cents"))
+      .orderBy("acct")
+  }
+
   def timeseriesBacktest(s: SparkSession, d: String): DataFrame = {
     val obs = t(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),
@@ -4025,6 +4055,7 @@ object Analytics {
     "q_timeseries_mann_kendall" -> timeseriesMannKendall _,
     "q_timeseries_changepoint" -> timeseriesChangepoint _,
     "q_timeseries_backtest" -> timeseriesBacktest _,
+    "q_timeseries_ses" -> timeseriesSes _,
     "q_agg_chisq" -> aggChisq _,
     "q_agg_moments" -> aggMoments _,
     "q_graph_powerlaw" -> graphPowerlaw _,
@@ -5163,6 +5194,21 @@ object Analytics {
         "SELECT acct, n AS n_mon, k AS split_k, mon AS split_mon, t_stat, " +
         "s_k // k AS mean_before, (s_n - s_k) // (n - k) AS mean_after " +
         "FROM rk WHERE rk = 1 ORDER BY acct"),
+    "q_timeseries_ses" ->
+      ("WITH RECURSIVE obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "ro AS (SELECT acct, mon, cents, " +
+        "row_number() OVER (PARTITION BY acct ORDER BY mon) AS r FROM obs), " +
+        "ses AS (SELECT acct, r, cents, cents AS s FROM ro WHERE r = 1 " +
+        "UNION ALL SELECT o.acct, o.r, o.cents, (o.cents + x.s) // 2 " +
+        "FROM ro o JOIN ses x ON o.acct = x.acct AND o.r = x.r + 1), " +
+        "fin AS (SELECT acct, max(r) AS r FROM ses GROUP BY acct) " +
+        "SELECT s.acct, CAST(s.r AS BIGINT) AS n_months, " +
+        "s.cents AS last_cents, s.s AS ses_cents " +
+        "FROM ses s JOIN fin f ON f.acct = s.acct AND f.r = s.r " +
+        "ORDER BY s.acct"),
     "q_timeseries_backtest" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +

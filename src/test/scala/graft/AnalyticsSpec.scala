@@ -2140,4 +2140,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(x0 * rows.length - totalX1 <= cells + rows.length * rows.length,
       "mass lost beyond per-cell truncation")
   }
+
+  test("q_timeseries_ses equals a driver-side sequential fold") {
+    val rows = Analytics.timeseriesSes(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // independent reference: re-derive the monthly series and fold it
+    val monthly = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("acct", "mon").agg(sum("c").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val byAcct = monthly.groupBy(_._1)
+    rows.foreach { case (acct, n, last, ses) =>
+      val series = byAcct(acct).sortBy(_._2).map(_._3)
+      assert(n === series.length.toLong)
+      assert(last === series.last)
+      val want = series.tail.foldLeft(series.head)((st, x) => (x + st) / 2)
+      assert(ses === want, s"acct $acct: ses $ses != fold $want")
+    }
+  }
 }
