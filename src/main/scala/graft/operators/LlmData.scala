@@ -2918,16 +2918,31 @@ object LlmData {
     * every text dedup (no all-pairs anywhere in the engine path); the
     * verify join touches candidates only.
     */
-  def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Fixtures.ensure(
+  /** Decode-once home for the dHash signatures (8 bytes/image): the
+    * banded self-join and the verify join reference the signature frame
+    * four times, and Catalyst does not CSE subplans — without staging,
+    * each reference would re-run the full binaryFile scan + ImageIO decode.
+    * Staged like `graft_simhash_sigs`: the signature table IS the
+    * maintained artifact at 100 TB, decode happens once per corpus. */
+  private def phashSigsPath(s: SparkSession): String = {
+    val media = graft.Fixtures.ensure(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_phash_media"))(
       graft.functions.BinaryBatch.writePhashFixtures(_))
-    val scanned = s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png").load(dir.toString)
-      .select(
-        regexp_extract(col("path"), "ph_(\\d+)\\.png$", 1).cast("long").as("img_id"),
-        col("content"))
-    val sigs = graft.functions.BinaryBatch.dhash(s, scanned).toDF()
+    graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_phash_sigs")) {
+      staging =>
+        val scanned = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load(media.toString)
+          .select(
+            regexp_extract(col("path"), "ph_(\\d+)\\.png$", 1).cast("long").as("img_id"),
+            col("content"))
+        graft.functions.BinaryBatch.dhash(s, scanned).toDF()
+          .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+  }
+
+  def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = s.read.parquet(phashSigsPath(s))
     val bands = sigs.select(col("img_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("bi", "bv")))
@@ -3186,17 +3201,36 @@ object LlmData {
       .orderBy("stage_id")
   }
 
-  /** DuckDB replay of [[corpusFunnelAudit]]: the [[corpusFilter]] oracle's
-    * stage CTEs (near-dup dropped set, quality score, language argmax)
-    * feed cumulative stage flags, and the four stage rows are conditional
-    * aggregates over that one flagged relation. */
-  private def funnelAuditSql: String = {
+  /** The corpus_filter gate's quality-score CTE, built ONCE and shared by
+    * every oracle that must evaluate the gate identically
+    * (corpus_filter, funnel audit, streaming curate) — the engine-side
+    * single source is [[withQualityScore]]; these are its SQL mirror. */
+  private def qualitySqlCte(src: String): String =
+    s"q AS (SELECT doc_id, " +
+      s"0.4 * (len(list_filter(string_split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(string_split(text, ' '))) + " +
+      "0.4 * (1.0 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / strlen(text)) + " +
+      "0.2 * least((strlen(text) * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) AS quality " +
+      s"FROM $src)"
+
+  /** The language-ID argmax CTE (SQL mirror of [[withLangScores]]),
+    * shared like [[qualitySqlCte]]. */
+  private def langidSqlCte(src: String): String = {
     val langScores = Lexicons.map { case (l, lex) =>
       s"CAST(len(list_intersect(dt, [${lex.map(w => s"'$w'").mkString(", ")}])) AS INT) AS s_$l"
     }.mkString(", ")
     val predCase = "CASE " + Lexicons.map { case (l, _) =>
       s"WHEN s_$l = greatest(${Lexicons.map { case (m, _) => s"s_$m" }.mkString(", ")}) THEN '$l'"
     }.mkString(" ") + " ELSE 'und' END"
+    s"lp AS (SELECT doc_id, $predCase AS lang_pred FROM " +
+      s"(SELECT doc_id, $langScores FROM " +
+      s"(SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM $src)))"
+  }
+
+  /** DuckDB replay of [[corpusFunnelAudit]]: the [[corpusFilter]] oracle's
+    * stage CTEs (near-dup dropped set, quality score, language argmax)
+    * feed cumulative stage flags, and the four stage rows are conditional
+    * aggregates over that one flagged relation. */
+  private def funnelAuditSql: String = {
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
       "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
@@ -3206,14 +3240,8 @@ object LlmData {
       "dropped AS (SELECT DISTINCT doc_b FROM pairs " +
       "JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
       "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5), " +
-      "q AS (SELECT doc_id, " +
-      s"0.4 * (len(list_filter(string_split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(string_split(text, ' '))) + " +
-      "0.4 * (1.0 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / strlen(text)) + " +
-      "0.2 * least((strlen(text) * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) AS quality " +
-      "FROM documents), " +
-      s"lp AS (SELECT doc_id, $predCase AS lang_pred FROM " +
-      s"(SELECT doc_id, $langScores FROM " +
-      "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents))), " +
+      s"${qualitySqlCte("documents")}, " +
+      s"${langidSqlCte("documents")}, " +
       "f AS (SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok, " +
       "(d.doc_id NOT IN (SELECT doc_b FROM dropped)) AS p1, q.quality, lp.lang_pred, d.lang " +
       "FROM documents d JOIN q USING (doc_id) JOIN lp USING (doc_id)), " +
@@ -3986,21 +4014,41 @@ object LlmData {
     * approximates the kNN graph exactly the way production HNSW builders
     * approximate theirs.
     */
+  /** The one kNN-adjacency build recipe (all-pairs micro-cosine,
+    * row_number per source, ties to the smaller id) shared by every graph
+    * layer — its SQL mirror is [[knnAdjSqlCte]]; a tie-break or rounding
+    * change edits exactly these two builders. */
+  private def knnAdjBuild(base: DataFrame, degree: Int,
+      staging: java.nio.file.Path): Unit = {
+    val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    val w = Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))
+    a.crossJoin(b).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorOps.cosine(col("ea"), col("eb")) * 1000000d, 0)
+          .cast("long").as("cm"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= degree)
+      .select("src", "dst")
+      .write.mode("overwrite").parquet(staging.toString)
+  }
+
+  /** [[knnAdjBuild]]'s oracle mirror: the adjacency CTE over `srcRel`
+    * (which must expose vec_id + embedding). */
+  private def knnAdjSqlCte(name: String, srcRel: String, degree: Int): String =
+    s"$name AS MATERIALIZED (SELECT src, dst FROM (" +
+      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
+      VectorOps.sqlCosine("a.embedding", "b.embedding") +
+      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
+      s"FROM $srcRel a JOIN $srcRel b ON a.vec_id <> b.vec_id) " +
+      s"WHERE rn <= $degree)"
+
   private[graft] def nswAdjPath(s: SparkSession, d: String): String =
     graft.Fixtures.ensureDerived("graft_nsw", d, "embeddings", "n2") { staging =>
       graft.functions.GraftFunctions.register(s)
-      val base = t(s, d, "embeddings").where(col("vec_id") =!= 0)
-      val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
-      val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-      val w = Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))
-      a.crossJoin(b).where(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          round(VectorOps.cosine(col("ea"), col("eb")) * 1000000d, 0)
-            .cast("long").as("cm"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= nswDegree)
-        .select("src", "dst")
-        .write.mode("overwrite").parquet(staging.toString)
+      knnAdjBuild(t(s, d, "embeddings").where(col("vec_id") =!= 0),
+        nswDegree, staging)
     }.toString
 
   /** q_simsearch_nsw — GRAPH-BASED ANN (the industry-default serving
@@ -4079,12 +4127,7 @@ object LlmData {
     val base = "base AS MATERIALIZED (SELECT vec_id, embedding, " +
       "CAST(round((" + VectorOps.sqlCosine("embedding", "qe") +
       ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings, q WHERE vec_id <> 0)"
-    val adj = "adj AS MATERIALIZED (SELECT src, dst FROM (" +
-      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
-      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
-      VectorOps.sqlCosine("a.embedding", "b.embedding") +
-      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
-      s"FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= $nswDegree)"
+    val adj = knnAdjSqlCte("adj", "base", nswDegree)
     val v0 = "v0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM base), " +
       "f0 AS MATERIALIZED (SELECT vec_id FROM v0)"
     s"WITH $q, $base, $adj, $v0, ${walkCtes("", "adj", nswBeam, nswHops)} " +
@@ -4126,19 +4169,9 @@ object LlmData {
   private[graft] def hnswL1AdjPath(s: SparkSession, d: String): String =
     graft.Fixtures.ensureDerived("graft_nsw_l1", d, "embeddings", "h1") { staging =>
       graft.functions.GraftFunctions.register(s)
-      val base = t(s, d, "embeddings")
-        .where(col("vec_id") =!= 0 && col("vec_id") % hnswL1Mod === 1)
-      val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
-      val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-      val w = Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))
-      a.crossJoin(b).where(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          round(VectorOps.cosine(col("ea"), col("eb")) * 1000000d, 0)
-            .cast("long").as("cm"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= hnswL1Degree)
-        .select("src", "dst")
-        .write.mode("overwrite").parquet(staging.toString)
+      knnAdjBuild(t(s, d, "embeddings")
+          .where(col("vec_id") =!= 0 && col("vec_id") % hnswL1Mod === 1),
+        hnswL1Degree, staging)
     }.toString
 
   /** q_simsearch_hnsw — the HIERARCHY composed on [[simsearchNsw]]'s
@@ -4200,20 +4233,10 @@ object LlmData {
     val base = "base AS MATERIALIZED (SELECT vec_id, embedding, " +
       "CAST(round((" + VectorOps.sqlCosine("embedding", "qe") +
       ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings, q WHERE vec_id <> 0)"
-    val adj0 = "adj AS MATERIALIZED (SELECT src, dst FROM (" +
-      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
-      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
-      VectorOps.sqlCosine("a.embedding", "b.embedding") +
-      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
-      s"FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= $nswDegree)"
+    val adj0 = knnAdjSqlCte("adj", "base", nswDegree)
     val adj1 = "lay1 AS MATERIALIZED (SELECT * FROM base " +
       s"WHERE vec_id % $hnswL1Mod = 1), " +
-      "adj1 AS MATERIALIZED (SELECT src, dst FROM (" +
-      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
-      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
-      VectorOps.sqlCosine("a.embedding", "b.embedding") +
-      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
-      s"FROM lay1 a JOIN lay1 b ON a.vec_id <> b.vec_id) WHERE rn <= $hnswL1Degree)"
+      knnAdjSqlCte("adj1", "lay1", hnswL1Degree)
     val av0 = "av0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM lay1), " +
       "af0 AS MATERIALIZED (SELECT vec_id FROM av0)"
     val handoff = s"bv0 AS MATERIALIZED (SELECT vec_id FROM base " +
@@ -4270,9 +4293,13 @@ object LlmData {
     import s.implicits._
     val spine = counts.select("doc_id", "chunk_id").distinct()
       .crossJoin(hexChars.toDF("b"))
+    // the dense vector frame feeds centroids, assignment, the query
+    // vector, and the probe — materialized once so the chunk+embed
+    // corpus work isn't re-executed per reference (no subplan CSE)
     val dense = spine.join(counts, Seq("doc_id", "chunk_id", "b"), "left")
       .withColumn("v", coalesce(col("c"), lit(0L)))
       .select("doc_id", "chunk_id", "b", "v")
+      .localCheckpoint(true)
     val cents = dense.where(col("chunk_id") === 0 && col("doc_id") < 4)
       .select(col("doc_id").cast("int").as("cell"), col("b"), col("v").as("cv"))
     val asg = dense.join(broadcast(cents), "b")
@@ -4410,14 +4437,9 @@ object LlmData {
       VectorOps.sqlCosine("e.embedding", "q.qe") +
       ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings e, qs q " +
       "WHERE e.vec_id <> 0), " +
-      "adj AS MATERIALIZED (SELECT src, dst FROM (" +
-      "SELECT a.vec_id AS src, b.vec_id AS dst, " +
-      "row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(round((" +
-      VectorOps.sqlCosine("a.embedding", "b.embedding") +
-      ") * 1000000, 0) AS BIGINT) DESC, b.vec_id) AS rn " +
-      "FROM embeddings a JOIN embeddings b " +
-      "ON a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) " +
-      s"WHERE rn <= $nswDegree), " +
+      "nb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings " +
+      "WHERE vec_id <> 0), " +
+      knnAdjSqlCte("adj", "nb", nswDegree) + ", " +
       "e0 AS (SELECT min(vec_id) AS vec_id FROM embeddings WHERE vec_id <> 0), " +
       "bv0 AS MATERIALIZED (SELECT q.qid, e.vec_id FROM qs q, e0 e), " +
       "bf0 AS MATERIALIZED (SELECT qid, vec_id FROM bv0)"
@@ -5019,10 +5041,14 @@ object LlmData {
     * doctrine: the greedy loop never touches corpus-grain rows.
     */
   def textWordpieceEncode(s: SparkSession, d: String): DataFrame = {
+    // vocab-grain frame consumed three times (piece selection, maxLen,
+    // the encode plan) — eagerly materialized once so the corpus-grain
+    // token aggregation never re-runs (Catalyst does not CSE subplans)
     val tokc = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val pieces = tokc.select(col("cnt"), explode(expr(
         "flatten(transform(sequence(2, 4), k -> " +
           "CASE WHEN length(tok) >= k THEN transform(sequence(1, length(tok) - k + 1), " +
@@ -6445,14 +6471,26 @@ object LlmData {
     val standing = docs.where(col("doc_id") % 10 =!= 0)
       .select(md5(col("text")).as("h")).distinct()
     val stage = graft.Fixtures.tempDirCleanedAtExit("graft_stream_docs_")
+    // the arrival batch carries PLANTED redeliveries (every 50th doc
+    // arrives twice, the clone under a shifted id and a different lang —
+    // the q_text_containment planted-VALUES precedent), so the in-batch
+    // dedup path is provably non-vacuous and survivor-attribute
+    // resolution (min_by doc_id, NOT min(lang)) is actually exercised
+    val clones = docs.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"),
+        lit("und").as("lang"), col("source"), col("n_chars"))
     docs.where(col("doc_id") % 10 === 0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(clones)
       .write.mode("overwrite").parquet(stage.toString)
-    val src = s.readStream.schema(docs.schema).parquet(stage.toString)
+    val src = s.readStream.schema(docs.select(
+      "doc_id", "text", "lang", "source", "n_chars").schema).parquet(stage.toString)
     val perContent = src
       .withColumn("h", md5(col("text")))
       .groupBy("h").agg(min("doc_id").as("doc_id"),
         count(lit(1)).as("n_copies"),
-        min("text").as("text"), min("lang").as("lang"))
+        min_by(col("text"), col("doc_id")).as("text"),
+        min_by(col("lang"), col("doc_id")).as("lang"))
     val name = "graft_stream_curate"
     s.catalog.dropTempView(name)
     val q = perContent.writeStream.outputMode("complete").format("memory")
@@ -6474,26 +6512,16 @@ object LlmData {
     * content collapse, standing-membership check, and the corpus_filter
     * gate expressions reproduce the admission decisions exactly. */
   private def streamCurateSql: String = {
-    val langScores = Lexicons.map { case (l, lex) =>
-      s"CAST(len(list_intersect(dt, [${lex.map(w => s"'$w'").mkString(", ")}])) AS INT) AS s_$l"
-    }.mkString(", ")
-    val predCase = "CASE " + Lexicons.map { case (l, _) =>
-      s"WHEN s_$l = greatest(${Lexicons.map { case (m, _) => s"s_$m" }.mkString(", ")}) THEN '$l'"
-    }.mkString(" ") + " ELSE 'und' END"
-    "WITH arr AS (SELECT * FROM documents WHERE doc_id % 10 = 0), " +
+    "WITH arr AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 = 0 " +
+      "UNION ALL SELECT doc_id + 1000000000, text, 'und' " +
+      "FROM documents WHERE doc_id % 50 = 0), " +
       "pc AS (SELECT md5(text) AS h, min(doc_id) AS doc_id, " +
       "count(*) AS n_copies FROM arr GROUP BY 1), " +
       "att AS (SELECT pc.h, pc.doc_id, pc.n_copies, d.text, d.lang " +
       "FROM pc JOIN arr d USING (doc_id)), " +
       "st AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0), " +
-      "q AS (SELECT doc_id, " +
-      s"0.4 * (len(list_filter(string_split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(string_split(text, ' '))) + " +
-      "0.4 * (1.0 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / strlen(text)) + " +
-      "0.2 * least((strlen(text) * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) AS quality " +
-      "FROM att), " +
-      s"lp AS (SELECT doc_id, $predCase AS lang_pred FROM " +
-      s"(SELECT doc_id, $langScores FROM " +
-      "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM att))) " +
+      s"${qualitySqlCte("att")}, " +
+      s"${langidSqlCte("att")} " +
       "SELECT a.doc_id, a.n_copies, " +
       "(a.h NOT IN (SELECT h FROM st)) AS is_new, " +
       "(q.quality >= 0.53) AS quality_ok, " +
@@ -8310,14 +8338,8 @@ object LlmData {
         "(off + n_tok - 1) // 512 AS last_seq, " +
         "(off + n_tok - 1) // 512 - off // 512 + 1 AS n_seqs " +
         "FROM o ORDER BY doc_id"),
-    "q_corpus_filter" -> {
-      val langScores = Lexicons.map { case (l, lex) =>
-        s"CAST(len(list_intersect(dt, [${lex.map(w => s"'$w'").mkString(", ")}])) AS INT) AS s_$l"
-      }.mkString(", ")
-      val predCase = "CASE " + Lexicons.map { case (l, _) =>
-        s"WHEN s_$l = greatest(${Lexicons.map { case (m, _) => s"s_$m" }.mkString(", ")}) THEN '$l'"
-      }.mkString(" ") + " ELSE 'und' END"
-      "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "q_corpus_filter" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
         "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM toks WHERE len(t) >= 3), " +
         "nc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
@@ -8326,19 +8348,12 @@ object LlmData {
         "dropped AS (SELECT DISTINCT doc_b FROM pairs " +
         "JOIN nc a ON a.doc_id = doc_a JOIN nc b ON b.doc_id = doc_b " +
         "WHERE common * 1.0 / (a.n + b.n - common) >= 0.5), " +
-        "q AS (SELECT doc_id, " +
-        s"0.4 * (len(list_filter(string_split(text, ' '), t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(string_split(text, ' '))) + " +
-        "0.4 * (1.0 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / strlen(text)) + " +
-        "0.2 * least((strlen(text) * 1.0 / len(string_split(text, ' '))) / 10.0, 1.0) AS quality " +
-        "FROM documents), " +
-        s"lp AS (SELECT doc_id, $predCase AS lang_pred FROM " +
-        s"(SELECT doc_id, $langScores FROM " +
-        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents))) " +
+        s"${qualitySqlCte("documents")}, " +
+        s"${langidSqlCte("documents")} " +
         "SELECT d.doc_id, d.lang, d.n_chars, q.quality " +
         "FROM documents d JOIN q USING (doc_id) JOIN lp USING (doc_id) " +
         "WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped) " +
-        "AND q.quality >= 0.53 AND lp.lang_pred = d.lang ORDER BY doc_id"
-    },
+        "AND q.quality >= 0.53 AND lp.lang_pred = d.lang ORDER BY doc_id"),
     "q_text_chunk" ->
       ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "n0 AS (SELECT doc_id, toks, len(toks) AS n FROM b), " +

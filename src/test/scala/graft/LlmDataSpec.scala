@@ -608,11 +608,19 @@ class LlmDataSpec extends AnyFunSuite {
 
   test("q_stream_corpus_curate: arrival admissions equal the batch gate") {
     val rows = LlmData.streamCorpusCurate(s, d).collect()
-    val arrivals = Tables(s, d, "documents")
-      .where(col("doc_id") % 10 === 0)
-    assert(rows.map(_.getLong(1)).sum === arrivals.count(),
-      "copy counts must cover every arriving doc")
+    val docs = Tables(s, d, "documents")
+    val arrivals = docs.where(col("doc_id") % 10 === 0).count() +
+      docs.where(col("doc_id") % 50 === 0).count() // planted redeliveries
+    assert(rows.map(_.getLong(1)).sum === arrivals,
+      "copy counts must cover every arriving doc incl. planted clones")
     assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // in-batch dedup is non-vacuous: the planted clones form multi-copy
+    // groups whose survivor is the ORIGINAL (smaller id) — its doc_id is
+    // never a clone id, proving min_by survivor-attribute resolution
+    val multi = rows.filter(_.getLong(1) > 1)
+    assert(multi.nonEmpty, "no multi-copy content group — dedup path vacuous")
+    multi.foreach(r => assert(r.getLong(0) < 1000000000L,
+      s"survivor ${r.getLong(0)} is a planted clone, not the original"))
     // the admission verdict is the conjunction of its parts
     rows.foreach { r =>
       assert(r.getBoolean(5) === (r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
