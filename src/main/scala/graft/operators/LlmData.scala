@@ -2923,13 +2923,17 @@ object LlmData {
     * four times, and Catalyst does not CSE subplans — without staging,
     * each reference would re-run the full binaryFile scan + ImageIO decode.
     * Staged like `graft_simhash_sigs`: the signature table IS the
-    * maintained artifact at 100 TB, decode happens once per corpus. */
+    * maintained artifact at 100 TB, decode happens once per corpus.
+    * The `_p1` suffix is the scheme-version tag (ensureDerived's
+    * convention): bump it with any change to phashPixel /
+    * writePhashFixtures / dhash, or a prior JVM run's tmpdir would
+    * silently serve stale signatures. */
   private def phashSigsPath(s: SparkSession): String = {
     val media = graft.Fixtures.ensure(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_phash_media"))(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_phash_media_p1"))(
       graft.functions.BinaryBatch.writePhashFixtures(_))
     graft.Fixtures.ensure(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_phash_sigs")) {
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_phash_sigs_p1")) {
       staging =>
         val scanned = s.read.format("binaryFile")
           .option("pathGlobFilter", "*.png").load(media.toString)
@@ -4017,19 +4021,24 @@ object LlmData {
   /** The one kNN-adjacency build recipe (all-pairs micro-cosine,
     * row_number per source, ties to the smaller id) shared by every graph
     * layer — its SQL mirror is [[knnAdjSqlCte]]; a tie-break or rounding
-    * change edits exactly these two builders. */
+    * change edits exactly these two builders. The edge row carries the
+    * DESTINATION VECTOR (`demb`) — the standard graph-ANN serving layout
+    * (hnswlib keeps neighbor vectors reachable with the edge): a hop
+    * scores its candidates straight off the adjacency row instead of
+    * paying a second corpus point-read join per hop. Storage cost is
+    * M× the corpus — the classic graph-index memory/IO trade. */
   private def knnAdjBuild(base: DataFrame, degree: Int,
       staging: java.nio.file.Path): Unit = {
     val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
     val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
     val w = Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))
     a.crossJoin(b).where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
+      .select(col("src"), col("dst"), col("eb"),
         round(VectorOps.cosine(col("ea"), col("eb")) * 1000000d, 0)
           .cast("long").as("cm"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= degree)
-      .select("src", "dst")
+      .select(col("src"), col("dst"), col("eb").as("demb"))
       .write.mode("overwrite").parquet(staging.toString)
   }
 
@@ -4045,7 +4054,7 @@ object LlmData {
       s"WHERE rn <= $degree)"
 
   private[graft] def nswAdjPath(s: SparkSession, d: String): String =
-    graft.Fixtures.ensureDerived("graft_nsw", d, "embeddings", "n2") { staging =>
+    graft.Fixtures.ensureDerived("graft_nsw", d, "embeddings", "n3") { staging =>
       graft.functions.GraftFunctions.register(s)
       knnAdjBuild(t(s, d, "embeddings").where(col("vec_id") =!= 0),
         nswDegree, staging)
@@ -4065,57 +4074,138 @@ object LlmData {
     * same full-routing-replay doctrine as `q_simsearch_ivf_full`.
     * LlmDataSpec measures recall@10 against brute force.
     *
-    * Scale: the walk's state (frontier, visited) is O(ef·M·hops) —
-    * control-plane, like the IVF routing collect; each hop is one keyed
-    * lookup join against the adjacency table (a point-read batch in a
-    * serving store; a broadcast-frontier join here). Corpus work is the
-    * candidate scoring of visited nodes only — the graph's whole point:
+    * Scale: the walk's state (frontier, visited) is O(ef·M·hops) rows
+    * per query — never the corpus. Cosines are computed JOIN-THEN-SCORE:
+    * each hop broadcasts the frontier into the adjacency lookup and
+    * scores candidates off the edge row's carried neighbor vector
+    * (seed rows score via one corpus point-read join, [[nswScore]]) —
     * probe cost is hops·ef·M score evaluations, independent of corpus
-    * size. The hierarchy HNSW adds (log-scale entry descent) matters
-    * when the graph diameter grows; it composes on top of exactly this
+    * size, and the plan matches that doctrine (no full-corpus score
+    * frame exists anywhere). The entry point comes from an id-only scan.
+    * The walk is the multi-source [[nswWalkBatch]] run with a one-row
+    * query table, so the whole probe is ONE lazy plan — a single job
+    * wave, not per-hop driver collects. The hierarchy HNSW adds
+    * (log-scale entry descent) composes on top of exactly this
     * per-layer walk.
     */
   def simsearchNsw(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val adj = s.read.parquet(nswAdjPath(s, d))
     val emb = t(s, d, "embeddings")
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val base = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
-          .cast("long").as("cm_micro"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val entry = base.agg(min("vec_id")).collect()(0).getLong(0)
-      val visited = nswWalk(adj, base, Seq(entry), nswBeam, nswHops)
-      base.where(col("vec_id").isin(visited.toSeq: _*))
-        .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
-    } finally base.unpersist(false)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val queries = emb.where(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qe"))
+    // entry from an id-only scan — no cosine is evaluated corpus-wide
+    val entry = corpus.agg(min("vec_id")).collect()(0).getLong(0)
+    val seeds = queries.withColumn("vec_id", lit(entry))
+    nswWalkBatch(adj, corpus, seeds, nswBeam, nswHops)
+      .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
+      .select("vec_id", "cm_micro")
   }
 
-  /** The shared beam walk: from `entry`, expand the [[nswBeam]]-class
-    * frontier of best NEW nodes per hop over `adj`, returning everything
-    * visited. Per-hop work is one keyed lookup join against the adjacency
-    * (a point-read batch in a serving store); the collects are the walk's
-    * O(ef·M) control-plane state, not data collects. */
-  private def nswWalk(adj: DataFrame, base: DataFrame, entry: Seq[Long],
-      beam: Int, hops: Int): Set[Long] = {
-    var visited = entry.toSet
-    var frontier = entry
-    var hop = 0
-    while (hop < hops && frontier.nonEmpty) {
-      val fresh = adj.where(col("src").isin(frontier: _*))
-        .select(col("dst").as("vec_id")).distinct()
-        .where(!col("vec_id").isin(visited.toSeq: _*))
-        .join(base, "vec_id")
-        .select("vec_id", "cm_micro").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      visited ++= fresh.map(_._1)
-      frontier = fresh.sortBy { case (id, cm) => (-cm, id) }
-        .take(beam).map(_._1).toSeq
-      hop += 1
-    }
-    visited
+  /** JOIN-THEN-SCORE for SEED rows: score an id-relation
+    * `(qid, vec_id, qe)` (qe = that query's vector, carried so the query
+    * batch is never re-read) by joining it to the embeddings table and
+    * evaluating the micro-cosine ONLY on rows that survive the join. The
+    * id side is broadcast (O(batch) seed rows), so the corpus side never
+    * shuffles and no corpus-grain — let alone corpus×batch — cosine
+    * frame is ever built; in a serving store this join is a point-read
+    * batch. Hop candidates don't come here at all: they score off the
+    * adjacency row's carried neighbor vector inside [[nswWalkBatch]]. */
+  private def nswScore(ids: DataFrame, corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(ids), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
+          .cast("long").as("cm_micro"), col("qe"))
+
+  /** The shared multi-source beam walk, join-then-score: the seed
+    * frontier `(qid, vec_id, qe)` is scored once via [[nswScore]], then
+    * each hop joins the per-query frontier to the adjacency, anti-joins
+    * the visited set, scores ONLY the fresh ids, and beam-cuts per query
+    * with one rank window. Returns the visited relation
+    * `(qid, vec_id, cm_micro)` as one lazy plan with ZERO driver-side
+    * state. Per-hop exchange budget: ONE broadcast job (frontier into
+    * the adjacency lookup — candidates score off the edge's carried
+    * vector, so no corpus join exists per hop) plus one Hash(qid)
+    * shuffle under which dedup, the SHUFFLE_HASH-hinted anti-join, and
+    * the beam cut all plan exchange-free.
+    * Each hop's scored fresh frame is lazily checkpointed — it feeds
+    * both the next frontier and the visited union, and without
+    * truncation the per-hop anti-join doubles the subplan each hop —
+    * so the whole walk still materializes in the single final action. */
+  private def nswWalkBatch(adj: DataFrame, corpus: DataFrame,
+      seeds: DataFrame, beam: Int, hops: Int,
+      truncate: Boolean = true): DataFrame = {
+    // The walk's interior frames are all control-plane-sized (ef·M rows
+    // per query per hop) — AQE has nothing to adapt, but its per-exchange
+    // re-planning turns each hop into ~2× the scheduler jobs (measured:
+    // 57 → 28 jobs, ~2× wall time on the 6-hop walk). Each lazy
+    // checkpoint bakes its physical plan HERE (Dataset.localCheckpoint
+    // calls toRdd at call time), so pinning AQE off around construction
+    // covers the whole interior; the session conf is restored before the
+    // caller's (corpus-scale, AQE-deserving) outer plan is built.
+    val spark = corpus.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      def cp(df: DataFrame): DataFrame =
+        if (truncate) df.localCheckpoint(false) else df
+      val w = Window.partitionBy("qid").orderBy(desc("cm_micro"), asc("vec_id"))
+      // dedup window: adjacency fanout rows for the same (qid, vec_id)
+      // are identical in every column, so rn = 1 keeps one of them
+      val wdd = Window.partitionBy("qid", "vec_id").orderBy(asc("vec_id"))
+      var visited = cp(nswScore(seeds, corpus))
+      var frontier = visited.select("qid", "vec_id", "qe")
+      for (_ <- 1 to hops) {
+        // frontier and visited are O(batch·ef·M·hops) control-plane rows:
+        // the frontier broadcasts into the adjacency lookup (the
+        // corpus-sized side never shuffles — ONE broadcast job per hop,
+        // the walk's floor) and each candidate scores straight off the
+        // edge row's carried neighbor vector, so no second corpus join
+        // exists. Everything downstream — dup-edge dedup, visited
+        // anti-join, and (next hop's) beam cut — runs under ONE
+        // Hash(qid) exchange: Hash(qid) satisfies every (qid, …)-keyed
+        // distribution these operators require, so no further exchange
+        // is planned per hop.
+        val fanout = broadcast(frontier)
+          .join(adj, frontier("vec_id") === adj("src"))
+          .select(col("qid"), col("dst").as("vec_id"),
+            round(VectorOps.cosine(col("demb"), col("qe")) * 1000000d, 0)
+              .cast("long").as("cm_micro"), col("qe"))
+        val fresh = cp(fanout
+          .repartition(col("qid"))
+          .withColumn("dd", row_number().over(wdd))
+          .where(col("dd") === 1).drop("dd")
+          .join(visited.select("qid", "vec_id").repartition(col("qid"))
+              .hint("SHUFFLE_HASH"),
+            Seq("qid", "vec_id"), "left_anti"))
+        frontier = fresh.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= beam).select("qid", "vec_id", "qe")
+        visited = visited.unionByName(fresh)
+      }
+      visited.select("qid", "vec_id", "cm_micro")
+    } finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  /** Test hook: [[simsearchNswBatch]]'s walk with `truncate = false` and
+    * two hops, so the full join-then-score subplan stays VISIBLE to
+    * PlanShapeSpec — the production walk's lazy checkpoints hide each
+    * hop's subplan behind an RDD scan, which would make a no-cross-
+    * product assertion on the production frame vacuous for the hops. */
+  private[graft] def nswBatchWalkPlanForTest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val adj = s.read.parquet(nswAdjPath(s, d))
+    val corpus = t(s, d, "embeddings").where(col("vec_id") =!= 0)
+    val queries = corpus.where(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // seed each query at its own id: a constant-id seed (the production
+    // entry) constant-folds its equi-join into a pushed-down point read
+    // plus a one-row broadcast fanout — correct, but it would read as a
+    // nested-loop operator and mask what this hook exists to assert
+    val seeds = queries.select(col("qid"), col("qid").as("vec_id"), col("qe"))
+    nswWalkBatch(adj, corpus, seeds, nswBatchBeam, 2, truncate = false)
   }
 
   /** DuckDB replay of [[simsearchNsw]]: graph build (all-pairs kNN window
@@ -4167,7 +4257,7 @@ object LlmData {
     * [[hnswL1Degree]]. Same one-time fixture-scale build doctrine as
     * [[nswAdjPath]]. */
   private[graft] def hnswL1AdjPath(s: SparkSession, d: String): String =
-    graft.Fixtures.ensureDerived("graft_nsw_l1", d, "embeddings", "h1") { staging =>
+    graft.Fixtures.ensureDerived("graft_nsw_l1", d, "embeddings", "h2") { staging =>
       graft.functions.GraftFunctions.register(s)
       knnAdjBuild(t(s, d, "embeddings")
           .where(col("vec_id") =!= 0 && col("vec_id") % hnswL1Mod === 1),
@@ -4189,10 +4279,13 @@ object LlmData {
     * routing from the embeddings bytes; LlmDataSpec pins recall@10 and
     * checks the hand-off node really is an upper-layer member.
     *
-    * Scale: identical per-hop machinery to [[simsearchNsw]] (keyed
-    * adjacency lookups, O(ef·M·hops) control-plane state); the upper
-    * layer adds hops over an 8×-sparser table. Production HNSW stacks
-    * log₈(n) such layers; every additional layer is this same walk on a
+    * Scale: identical per-hop machinery to [[simsearchNsw]] —
+    * join-then-score ([[nswScore]]), O(ef·M·hops) rows of walk state,
+    * no corpus-grain cosine frame anywhere; the upper layer adds hops
+    * over an 8×-sparser table, and the descent hand-off is a rank
+    * window over the (already scored) upper visited set, so the whole
+    * two-layer probe is ONE lazy plan. Production HNSW stacks log₈(n)
+    * such layers; every additional layer is this same walk on a
     * geometrically smaller adjacency, so the composition shown here IS
     * the full algorithm's recursion step.
     */
@@ -4201,27 +4294,27 @@ object LlmData {
     val adj0 = s.read.parquet(nswAdjPath(s, d))
     val adj1 = s.read.parquet(hnswL1AdjPath(s, d))
     val emb = t(s, d, "embeddings")
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val base = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
-          .cast("long").as("cm_micro"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val l1Entry = base.where(col("vec_id") % hnswL1Mod === 1)
-        .agg(min("vec_id")).collect()(0).getLong(0)
-      val upper = nswWalk(adj1, base, Seq(l1Entry), hnswL1Beam, hnswL1Hops)
-      // descent hand-off: the best [[nswBeam]] upper-layer nodes seen
-      // carry down as the layer-0 seed frontier (hnswlib's ef candidate
-      // list entering the bottom layer) — a single-node hand-off can trap
-      // the bottom walk in the entry's local cluster
-      val seeds = base.where(col("vec_id").isin(upper.toSeq: _*))
-        .orderBy(desc("cm_micro"), asc("vec_id")).limit(nswBeam)
-        .collect().map(_.getLong(0)).toSeq
-      val visited = nswWalk(adj0, base, seeds, nswBeam, nswHops)
-      base.where(col("vec_id").isin(visited.toSeq: _*))
-        .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
-    } finally base.unpersist(false)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val queries = emb.where(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qe"))
+    // sparse-layer entry from an id-only scan — no corpus-wide cosine
+    val l1Entry = corpus.where(col("vec_id") % hnswL1Mod === 1)
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    val upper = nswWalkBatch(adj1, corpus,
+      queries.withColumn("vec_id", lit(l1Entry)), hnswL1Beam, hnswL1Hops)
+    // descent hand-off: the best [[nswBeam]] upper-layer nodes seen
+    // carry down as the layer-0 seed frontier (hnswlib's ef candidate
+    // list entering the bottom layer) — a single-node hand-off can trap
+    // the bottom walk in the entry's local cluster. The upper visited
+    // set already carries scores, so the hand-off is a rank window (plus
+    // one re-attach of the query vector), not a re-score or a collect.
+    val w = Window.partitionBy("qid").orderBy(desc("cm_micro"), asc("vec_id"))
+    val seeds = upper.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nswBeam).select("qid", "vec_id")
+      .join(broadcast(queries), "qid")
+    nswWalkBatch(adj0, corpus, seeds, nswBeam, nswHops)
+      .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
+      .select("vec_id", "cm_micro")
   }
 
   /** DuckDB replay of [[simsearchHnsw]]: both adjacency builds, the
@@ -4388,47 +4481,29 @@ object LlmData {
     * Scale: this is the shape a serving tier actually runs — hop cost is
     * one keyed join whose left side is |batch|·beam·M rows regardless of
     * corpus size, so batching B queries costs the SAME number of jobs as
-    * one query. Per-query state never touches the driver, so B can be
-    * millions (the offline re-ranking sweep) without changing the plan.
+    * one query. Scoring is join-then-score ([[nswScore]]): cosines are
+    * evaluated only for ids a walk actually reaches, so no corpus×batch
+    * product is ever built — the quadratic frame a naive batch scorer
+    * materializes is exactly what this plan avoids. Per-query state
+    * never touches the driver, so B can be millions (the offline
+    * re-ranking sweep) without changing the plan.
     */
   def simsearchNswBatch(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val adj = s.read.parquet(nswAdjPath(s, d))
     val emb = t(s, d, "embeddings")
-    val queries = emb.where(col("vec_id") % 50 === 1)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val queries = corpus.where(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val scores = emb.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(queries))
-      .select(col("qid"), col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
-          .cast("long").as("cm_micro"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val entry = emb.where(col("vec_id") =!= 0)
-        .agg(min("vec_id")).collect()(0).getLong(0)
-      var visited = queries.select(col("qid"), lit(entry).as("vec_id"))
-      var frontier = visited
-      val w = Window.partitionBy("qid").orderBy(desc("cm_micro"), asc("vec_id"))
-      for (_ <- 1 to nswBatchHops) {
-        val fresh = frontier.join(adj, frontier("vec_id") === adj("src"))
-          .select(col("qid"), col("dst").as("vec_id")).distinct()
-          .join(visited, Seq("qid", "vec_id"), "left_anti")
-          .join(scores, Seq("qid", "vec_id"))
-        frontier = fresh.withColumn("rn", row_number().over(w))
-          .where(col("rn") <= nswBatchBeam).select("qid", "vec_id")
-        // LAZY checkpoint: truncates lineage (without it the per-hop
-        // anti-join doubles the subplan each hop → 2^hops recomputes)
-        // but defers materialization to the single final action —
-        // measured ~3 s faster than eager per-hop checkpoint jobs
-        visited = visited.unionByName(fresh.select("qid", "vec_id"))
-          .localCheckpoint(false)
-      }
-      visited.join(scores, Seq("qid", "vec_id"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 5)
-        .select("qid", "rank", "vec_id", "cm_micro")
-        .orderBy("qid", "rank")
-    } finally scores.unpersist(false)
+    // entry from an id-only scan — no cosine is evaluated corpus-wide
+    val entry = corpus.agg(min("vec_id")).collect()(0).getLong(0)
+    val seeds = queries.withColumn("vec_id", lit(entry))
+    val w = Window.partitionBy("qid").orderBy(desc("cm_micro"), asc("vec_id"))
+    nswWalkBatch(adj, corpus, seeds, nswBatchBeam, nswBatchHops)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cm_micro")
+      .orderBy("qid", "rank")
   }
 
   /** DuckDB replay of [[simsearchNswBatch]]: the multi-source walk
@@ -5059,7 +5134,14 @@ object LlmData {
           "i -> substring(tok, i, k)) ELSE CAST(array() AS array<string>) END))")).as("p"))
       .groupBy("p").agg(sum("cnt").as("f"))
       .orderBy(desc("f"), asc("p")).limit(wpVocabSize)
-      .collect().map(_.getString(0).replace("'", "''")).toSeq
+      .collect().map(_.getString(0)).toSeq
+    // pieces are spliced into expr()/SQL string literals below AND into
+    // the DuckDB oracle; quoting conventions differ between the two
+    // parsers (backslash is an escape in Spark literals, literal in
+    // DuckDB), so restrict the vocab to a charset both engines read
+    // identically instead of trying to escape per-dialect
+    pieces.foreach(p => require(p.matches("[a-z0-9]+"),
+      s"wordpiece vocab piece '$p' outside the splice-safe [a-z0-9]+ charset"))
     val maxLen = tokc.agg(max(length(col("tok")))).collect()(0).getInt(0)
     val inList = pieces.map(p => s"'$p'").mkString(", ")
     def whenK(k: Int) =

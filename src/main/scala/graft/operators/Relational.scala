@@ -1251,9 +1251,13 @@ object Relational {
     // the 10^6-file argument and the two-level escalation path): each
     // manifest row carries its overlap verdict, so survivors and the
     // total come from the same pass instead of a second count() job
+    // coalesce: a file with null lo/hi bounds (possible when a writer
+    // stats-skips a column) must degrade to non-matching, not NPE in
+    // the getBoolean below
     val flagged = manifest.select(col("file"),
-      (col("hi") >= lit(probeLo).cast("timestamp") &&
-        col("lo") < lit(probeHi).cast("timestamp")).as("live")).collect()
+      coalesce(col("hi") >= lit(probeLo).cast("timestamp") &&
+        col("lo") < lit(probeHi).cast("timestamp"), lit(false)).as("live"))
+      .collect()
     val survivors = flagged.filter(_.getBoolean(1)).map(_.getString(0))
     val total = flagged.length
     // a no-overlap probe prunes EVERY file; varargs-empty read would throw

@@ -713,4 +713,28 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("windowspecdefinition(") && !l.contains("windowspecdefinition(source"))
     assert(!global, s"found a window not partitioned by source:\n$p")
   }
+
+  test("NSW family walks are join-then-score: no corpus-grain cosine cross product") {
+    // the r13 shape crossJoin(broadcast(query))'d the whole corpus into a
+    // scored frame (BroadcastNestedLoopJoin) before walking; the rewrite
+    // scores only frontier-joined rows. The un-truncated walk hook keeps
+    // every hop's subplan visible (production lazy checkpoints hide them
+    // behind RDD scans): NO nested-loop or cartesian operator anywhere,
+    // and the frontier→embeddings score joins are broadcast hash joins.
+    val p = plan(graft.operators.LlmData.nswBatchWalkPlanForTest(s, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"NSW walk scores at corpus grain (cross product in plan):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier score join should broadcast the frontier side:\n$p")
+    // the production probes' outer plans (entry, final cut) are equally
+    // cross-product-free
+    for ((name, df) <- Seq(
+        "q_simsearch_nsw" -> graft.operators.LlmData.simsearchNsw(s, d),
+        "q_simsearch_hnsw" -> graft.operators.LlmData.simsearchHnsw(s, d),
+        "q_simsearch_nsw_batch" -> graft.operators.LlmData.simsearchNswBatch(s, d))) {
+      val po = plan(df)
+      assert(!po.contains("CartesianProduct") && !po.contains("BroadcastNestedLoopJoin"),
+        s"$name scores at corpus grain (cross product in plan):\n$po")
+    }
+  }
 }

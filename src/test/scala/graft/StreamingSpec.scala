@@ -33,11 +33,16 @@ class StreamingSpec extends AnyFunSuite {
       ("q_stream_join_outer", Streams.streamJoinOuter, 12.0),
       ("q_stream_scd2", Streams.streamScd2, 8.0),
       ("q_stream_cdc_apply", Streams.streamCdcApply, 8.0))
+    // wall-clock assertions flake on contended hosts even with the ~2×
+    // headroom; GRAFT_TIMING_SLACK (a multiplier, default 1.0) lets a
+    // functional-only CI run loosen or effectively disable them without
+    // losing the regression gate on timing-capable machines
+    val slack = sys.env.get("GRAFT_TIMING_SLACK").map(_.toDouble).getOrElse(1.0)
     floors.foreach { case (name, q, ceiling) =>
       timed(q(s, d).collect()) // warm pass: fixture staging + first plans
       val t = timed(q(s, d).collect())
-      assert(t <= ceiling,
-        f"$name took $t%.1f s — above its ${ceiling}%.0f s micro-batch " +
+      assert(t <= ceiling * slack,
+        f"$name took $t%.1f s — above its ${ceiling * slack}%.0f s micro-batch " +
           "floor ceiling; check for an extra batch or unbounded state " +
           "(docs/SCALING.md streaming-floor entry)")
     }
