@@ -4544,6 +4544,154 @@ object LlmData {
       "WHERE rank <= 5 ORDER BY qid, rank"
   }
 
+  /** NSW-insert scenario constants, mirrored literally by [[nswInsertSql]]:
+    * vectors with vec_id ≡ 3 (mod 10) are "today's arrivals" (disjoint
+    * from the IVF append family's ≡ 7 split); candidate generation uses
+    * [[nswInsertCents]] coarse cells (the smallest standing ids) with the
+    * new vector probing its [[nswInsertProbe]] best cells. */
+  private[operators] val nswInsertBatchCond = "vec_id % 10 = 3"
+  private val nswInsertCents = 4
+  private val nswInsertProbe = 2
+
+  /** The STANDING graph of the insert scenario: the [[knnAdjBuild]] recipe
+    * restricted to the standing subset — the index that existed before
+    * today's batch arrived, never touched by the insert. */
+  private[graft] def nswStandingAdjPath(s: SparkSession, d: String): String =
+    graft.Fixtures.ensureDerived("graft_nsw_std", d, "embeddings", "s1") { staging =>
+      graft.functions.GraftFunctions.register(s)
+      knnAdjBuild(t(s, d, "embeddings")
+          .where(col("vec_id") =!= 0 && !expr(nswInsertBatchCond)),
+        nswDegree, staging)
+    }.toString
+
+  /** The bounded insert edge set: each batch vector is assigned to its
+    * [[nswInsertProbe]] best coarse cells (integer micro-cosine argmax
+    * over [[nswInsertCents]] deterministic centroids), candidates are the
+    * STANDING vectors whose home cell is probed, and the [[nswDegree]]
+    * best survive — the documented IVF-bounded approximate-kNN-graph
+    * construction (docs/SCALING.md): candidate cost is |batch|·cell
+    * population, never |batch|·|corpus|. Returns
+    * (src=batch, dst=standing, semb, demb, cm). Exposed for the spec's
+    * non-vacuousness assertions. */
+  private[graft] def nswInsertEdges(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val corpus = t(s, d, "embeddings").where(col("vec_id") =!= 0)
+    val standing = corpus.where(!expr(nswInsertBatchCond))
+    val batch = corpus.where(expr(nswInsertBatchCond))
+    val cents = standing.orderBy(asc("vec_id")).limit(nswInsertCents)
+      .select(col("vec_id").as("cell"), col("embedding").as("cemb"))
+    // coarse assignment: the bounded-centroid cross is the standard IVF
+    // assignment shape (|corpus| × nCells, nCells a constant)
+    def cellRank(x: DataFrame): DataFrame = x.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        round(VectorOps.cosine(col("embedding"), col("cemb")) * 1000000d, 0)
+          .cast("long").as("ccm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccm"), asc("cell"))))
+    val sCell = cellRank(standing).where(col("crk") === 1)
+      .select(col("vec_id").as("dst"), col("embedding").as("demb"), col("cell"))
+    val bCell = cellRank(batch).where(col("crk") <= nswInsertProbe)
+      .select(col("vec_id").as("src"), col("embedding").as("semb"), col("cell"))
+    // a standing vector lives in exactly one cell, so each (src, dst)
+    // pair matches at most once — no dedup stage needed
+    bCell.join(sCell, "cell")
+      .select(col("src"), col("dst"), col("semb"), col("demb"),
+        round(VectorOps.cosine(col("semb"), col("demb")) * 1000000d, 0)
+          .cast("long").as("cm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))))
+      .where(col("rn") <= nswDegree)
+      .select("src", "dst", "semb", "demb")
+  }
+
+  /** q_simsearch_nsw_insert — GRAPH-INDEX INCREMENTAL INSERT, closing the
+    * NSW family's lifecycle the way `q_simsearch_append` closed IVF's: a
+    * standing kNN graph ([[nswStandingAdjPath]]) absorbs a new vector
+    * batch WITHOUT a rebuild. Each arrival gets out-edges to its
+    * [[nswDegree]] best standing vectors found through the IVF-bounded
+    * candidate rule ([[nswInsertEdges]]), plus the REVERSE edges that
+    * make it reachable (production HNSW's bidirectional link step) —
+    * standing rows are never read or rewritten by the insert. The
+    * ordinary [[nswWalkBatch]] probe then walks the merged adjacency
+    * from the STANDING entry point (the long-standing entry does not
+    * move on insert). Every step — standing graph build, coarse cells,
+    * probe-cell choice, top-M edge election, both edge directions, the
+    * whole walk — is integer-deterministic, so the DuckDB oracle replays
+    * the ENTIRE bounded build and merged walk from the embeddings bytes;
+    * LlmDataSpec pins recall and proves batch vectors actually became
+    * reachable.
+    *
+    * Scale: the insert job touches the batch and the probed cells'
+    * standing members only (a day's arrivals against bounded candidate
+    * lists); the merged adjacency is a UNION of immutable edge sets —
+    * the standing artifact plus ~2·M rows per arrival — exactly the
+    * append-only maintenance shape `q_simsearch_append` established.
+    */
+  def simsearchNswInsert(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val standing = corpus.where(!expr(nswInsertBatchCond))
+    val adjS = s.read.parquet(nswStandingAdjPath(s, d))
+    val newe = nswInsertEdges(s, d)
+    val merged = adjS.select("src", "dst", "demb")
+      .unionByName(newe.select(col("src"), col("dst"), col("demb")))
+      .unionByName(newe.select(col("dst").as("src"), col("src").as("dst"),
+        col("semb").as("demb")))
+    val queries = emb.where(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qe"))
+    // entry from an id-only scan over the STANDING subset
+    val entry = standing.agg(min("vec_id")).collect()(0).getLong(0)
+    nswWalkBatch(merged, corpus, queries.withColumn("vec_id", lit(entry)),
+      nswBeam, nswHops)
+      .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
+      .select("vec_id", "cm_micro")
+  }
+
+  /** DuckDB replay of [[simsearchNswInsert]]: standing adjacency build,
+    * coarse cells, probe-bounded candidate election, both edge
+    * directions, and the merged walk, all unrolled. */
+  private def nswInsertSql: String = {
+    val q = "q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings " +
+      "WHERE vec_id = 0)"
+    val std = "std AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings " +
+      s"WHERE vec_id <> 0 AND NOT ($nswInsertBatchCond))"
+    val bt = "bt AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings " +
+      s"WHERE $nswInsertBatchCond)"
+    val adjs = knnAdjSqlCte("adjs", "std", nswDegree)
+    val cents = "cents AS MATERIALIZED (SELECT vec_id AS cell, " +
+      s"embedding AS cemb FROM std ORDER BY vec_id LIMIT $nswInsertCents)"
+    def cellRankSql(name: String, rel: String, keep: String): String =
+      s"$name AS MATERIALIZED (SELECT vec_id, cell, embedding FROM (" +
+        "SELECT x.vec_id, c.cell, x.embedding, " +
+        "row_number() OVER (PARTITION BY x.vec_id ORDER BY CAST(round((" +
+        VectorOps.sqlCosine("x.embedding", "c.cemb") +
+        ") * 1000000, 0) AS BIGINT) DESC, c.cell) AS crk " +
+        s"FROM $rel x, cents c) WHERE $keep)"
+    val sCell = cellRankSql("scell", "std", "crk = 1")
+    val bCell = cellRankSql("bcell", "bt", s"crk <= $nswInsertProbe")
+    val newe = "newe AS MATERIALIZED (SELECT src, dst FROM (" +
+      "SELECT b.vec_id AS src, s.vec_id AS dst, " +
+      "row_number() OVER (PARTITION BY b.vec_id ORDER BY CAST(round((" +
+      VectorOps.sqlCosine("b.embedding", "s.embedding") +
+      ") * 1000000, 0) AS BIGINT) DESC, s.vec_id) AS rn " +
+      "FROM bcell b JOIN scell s USING (cell)) " +
+      s"WHERE rn <= $nswDegree)"
+    val medge = "medge AS MATERIALIZED (SELECT src, dst FROM adjs " +
+      "UNION ALL SELECT src, dst FROM newe " +
+      "UNION ALL SELECT dst AS src, src AS dst FROM newe)"
+    val base = "base AS MATERIALIZED (SELECT vec_id, " +
+      "CAST(round((" + VectorOps.sqlCosine("embedding", "qe") +
+      ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings, q WHERE vec_id <> 0)"
+    val v0 = "v0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM std), " +
+      "f0 AS MATERIALIZED (SELECT vec_id FROM v0)"
+    s"WITH $q, $std, $bt, $adjs, $cents, $sCell, $bCell, $newe, $medge, " +
+      s"$base, $v0, ${walkCtes("", "medge", nswBeam, nswHops)} " +
+      "SELECT vec_id, cm AS cm_micro FROM base " +
+      s"WHERE vec_id IN (SELECT vec_id FROM v$nswHops) " +
+      "ORDER BY cm DESC, vec_id LIMIT 10"
+  }
+
   /** q_simsearch_binary — BINARY-QUANTIZED RETRIEVAL (the 1-bit embedding
     * compression powering 32×-smaller RAG serving tiers): each 64-d vector
     * collapses to one 64-bit sign mask (bit j = v[j] ≥ 0), candidates come
@@ -7048,6 +7196,7 @@ object LlmData {
     "q_simsearch_nsw" -> simsearchNsw _,
     "q_simsearch_hnsw" -> simsearchHnsw _,
     "q_simsearch_nsw_batch" -> simsearchNswBatch _,
+    "q_simsearch_nsw_insert" -> simsearchNswInsert _,
     "q_rag_index_retrieve" -> ragIndexRetrieve _,
     "q_corpus_filter" -> corpusFilter _,
     "q_corpus_funnel_audit" -> corpusFunnelAudit _,
@@ -7577,6 +7726,7 @@ object LlmData {
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_simsearch_nsw_batch" -> nswBatchSql,
+    "q_simsearch_nsw_insert" -> nswInsertSql,
     "q_rag_index_retrieve" -> ragSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +

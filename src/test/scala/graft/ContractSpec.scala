@@ -127,7 +127,9 @@ class ContractSpec extends AnyFunSuite {
     "q_text_wordpiece_encode", "q_corpus_dataset_card",
     "q_embed_kmeans_train", "q_corpus_decontaminate",
     "q_multimodal_pair_dedup", "q_stream_corpus_curate",
-    "q_simsearch_nsw_batch", "q_rag_index_retrieve", "q_timeseries_ses")
+    "q_simsearch_nsw_batch", "q_rag_index_retrieve", "q_timeseries_ses",
+    // round 14: lifecycle + inference-seam + trained-gate + audio dedup
+    "q_simsearch_nsw_insert")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -453,6 +453,47 @@ class LlmDataSpec extends AnyFunSuite {
     assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_simsearch_nsw_insert: batch vectors become reachable, standing graph untouched") {
+    val brute = LlmData.simsearchTopk(s, d).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = LlmData.simsearchNswInsert(s, d).collect()
+    assert(got.length === 10)
+    val ids = got.map(_.getLong(0)).toSet
+    val recall = ids.intersect(brute).size.toDouble / 10
+    info(s"NSW-insert recall@10 vs full-corpus brute force: $recall")
+    assert(recall >= 0.7, s"insert recall $recall below the 0.7 floor")
+    // the bounded insert edges are non-vacuous and well-formed: every
+    // src is an arrival, every dst standing, out-degree capped at M
+    val edges = LlmData.nswInsertEdges(s, d)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "insert produced no edges — vacuous batch")
+    edges.foreach { case (src, dst) =>
+      assert(src % 10 === 3, s"edge src $src is not a batch vector")
+      assert(dst % 10 !== 3, s"edge dst $dst is not standing")
+    }
+    edges.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.length <= 8, s"batch vector $src has out-degree ${g.length} > M")
+    }
+    // reachability is real: if the true top-10 contains arrivals, the
+    // merged walk must surface at least one of them (the reverse edges'
+    // whole purpose); with none in the true top-10 the claim is vacuous
+    val batchInBrute = brute.filter(_ % 10 == 3)
+    if (batchInBrute.nonEmpty)
+      assert(ids.exists(_ % 10 == 3),
+        s"true top-10 contains arrivals $batchInBrute but the walk surfaced none")
+    // the standing artifact never contains a batch endpoint
+    val std = s.read.parquet(LlmData.nswStandingAdjPath(s, d))
+      .select("src", "dst").collect()
+    std.foreach { r =>
+      assert(r.getLong(0) % 10 != 3 && r.getLong(1) % 10 != 3,
+        "standing adjacency contains a batch vector")
+    }
+    // deterministic: a second run is byte-identical
+    val again = LlmData.simsearchNswInsert(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("q_simsearch_hnsw: hierarchy descends through the sparse layer and holds the recall floor") {
     val brute = LlmData.simsearchTopk(s, d).limit(10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
