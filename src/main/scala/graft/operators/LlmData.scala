@@ -4692,6 +4692,155 @@ object LlmData {
       "ORDER BY cm DESC, vec_id LIMIT 10"
   }
 
+  /** Inference-seam constants, mirrored literally by [[inferArrowSql]]:
+    * 16 hashed-bucket input features (the md5-hex-char trick both engines
+    * read identically), a 4-wide output embedding, batches of 64 rows,
+    * and the fixed deterministic weight matrix w(b, j) = ((7b + 3j) mod 5)
+    * − 2 standing in for trained parameters. */
+  private val inferFeats = 16
+  private val inferDims = 4
+  private[graft] val inferBatchRows = 64
+  private def inferWeight(b: Int, j: Int): Long = ((b * 7 + j * 3) % 5) - 2L
+
+  /** q_embed_infer_arrow — the MODEL-INFERENCE SEAM: documents flow
+    * through a columnar-batch encoder exactly the way a real model would
+    * be served from Spark (PySpark's `mapInArrow` contract, pinned here
+    * JVM-side): featurization is plan-side codegen (16 signed hashed
+    * buckets per document), then `mapPartitions` groups rows into
+    * [[inferBatchRows]]-row batches, lands each batch in REAL Arrow
+    * off-heap vectors (`BigIntVector` via a per-partition
+    * `RootAllocator`), runs a deterministic fixed-weight linear layer
+    * over the Arrow buffers batch-at-a-time, and emits one embedding row
+    * per document. The weights are a stand-in, the SEAM is the product:
+    * schema in/out, batch shape, columnar memory, and per-batch (never
+    * per-row) model invocation are all the contract a real encoder
+    * swap-in depends on — the swap replaces [[inferWeight]] with learned
+    * parameters and nothing else. The DuckDB oracle recomputes the same
+    * linear map relationally, so the whole batched path is value-pinned;
+    * LlmDataSpec asserts the batch shape through an accumulator (every
+    * batch ≤ 64 rows, full batches occur, far fewer invocations than
+    * rows).
+    *
+    * Scale: inference is embarrassingly parallel scan work — each
+    * partition's rows stream through bounded off-heap batches (64×16
+    * longs live at a time), so executor memory is independent of
+    * partition size; this is the exact shape GPU-backed encoders need
+    * (fixed-size batches, columnar layout, zero per-row overhead).
+    */
+  def embedInferArrow(s: SparkSession, d: String): DataFrame =
+    embedInferArrowImpl(s, d, None)
+
+  /** Test seam: `sizes`, when given, receives every batch's row count —
+    * the spec's proof that the encoder was invoked per BATCH. */
+  private[graft] def embedInferArrowImpl(s: SparkSession, d: String,
+      sizes: Option[org.apache.spark.util.CollectionAccumulator[java.lang.Long]])
+      : DataFrame = {
+    import s.implicits._
+    val nf = inferFeats
+    val nd = inferDims
+    val bs = inferBatchRows
+    // plan-side featurization (codegen'd fold, no UDF): signed token
+    // counts in 16 buckets keyed by the first md5 hex char, sign from
+    // the second — the ragIndexRetrieve portability trick
+    val feats = t(s, d, "documents").select(col("doc_id"), expr(
+      "aggregate(filter(split(text, ' '), t -> length(t) > 0), " +
+        s"array_repeat(CAST(0 AS BIGINT), $nf), " +
+        "(acc, t) -> transform(acc, (v, i) -> v + " +
+        "CASE WHEN locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1 = i " +
+        "THEN CASE WHEN substring(md5(t), 2, 1) < '8' THEN 1 ELSE -1 END " +
+        "ELSE 0 END))").as("f"))
+    val weights = Array.tabulate(nf, nd)(inferWeight)
+    val out = feats.select(col("doc_id"), col("f"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { rows =>
+        // Arrow's netty allocator needs reflective DirectByteBuffer
+        // access on JDK 17; harmless if netty is already initialized
+        System.setProperty("io.netty.tryReflectionSetAccessible", "true")
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        val closing = new scala.collection.AbstractIterator[(Long, Long, Long, Long, Long)] {
+          private val batches = rows.grouped(bs)
+          private var cur: Iterator[(Long, Long, Long, Long, Long)] = Iterator.empty
+          private var open = true
+          def hasNext: Boolean = {
+            while (!cur.hasNext && batches.hasNext) cur = encode(batches.next())
+            val h = cur.hasNext
+            if (!h && open) { alloc.close(); open = false }
+            h
+          }
+          def next(): (Long, Long, Long, Long, Long) = { hasNext; cur.next() }
+          /** one BATCH through the Arrow seam: fill off-heap vectors,
+            * run the model over the buffers, read the results back */
+          private def encode(batch: Seq[(Long, Seq[Long])])
+              : Iterator[(Long, Long, Long, Long, Long)] = {
+            val n = batch.length
+            sizes.foreach(_.add(n.toLong))
+            val docV = new org.apache.arrow.vector.BigIntVector("doc_id", alloc)
+            val featV = new org.apache.arrow.vector.BigIntVector("f", alloc)
+            val embV = new org.apache.arrow.vector.BigIntVector("e", alloc)
+            try {
+              docV.allocateNew(n); featV.allocateNew(n * nf); embV.allocateNew(n * nd)
+              var i = 0
+              while (i < n) {
+                docV.setSafe(i, batch(i)._1)
+                var b = 0
+                while (b < nf) { featV.setSafe(i * nf + b, batch(i)._2(b)); b += 1 }
+                i += 1
+              }
+              docV.setValueCount(n); featV.setValueCount(n * nf)
+              // the "model": one fixed-weight linear layer, evaluated
+              // for the WHOLE batch off the Arrow buffers
+              i = 0
+              while (i < n) {
+                var j = 0
+                while (j < nd) {
+                  var acc = 0L
+                  var b = 0
+                  while (b < nf) { acc += weights(b)(j) * featV.get(i * nf + b); b += 1 }
+                  embV.setSafe(i * nd + j, acc)
+                  j += 1
+                }
+                i += 1
+              }
+              embV.setValueCount(n * nd)
+              (0 until n).map { r =>
+                (docV.get(r), embV.get(r * nd), embV.get(r * nd + 1),
+                  embV.get(r * nd + 2), embV.get(r * nd + 3))
+              }.iterator
+            } finally { docV.close(); featV.close(); embV.close() }
+          }
+        }
+        closing
+      }
+    // materialize inference ONCE before the output sort: orderBy's
+    // range-partitioner sampling pass would otherwise re-run the whole
+    // encoder a second time (a real 2× at scale, and the spec's batch
+    // accumulator caught exactly that)
+    out.toDF("doc_id", "e0", "e1", "e2", "e3")
+      .localCheckpoint(true).orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[embedInferArrow]]: the same 16-bucket signed
+    * counts and the same ((7b + 3j) mod 5) − 2 linear map, relationally. */
+  private def inferArrowSql: String =
+    "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      "tkf AS (SELECT * FROM tk WHERE len(tok) > 0), " +
+      "cnt AS (SELECT doc_id, strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS b, " +
+      "CAST(sum(CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END) AS BIGINT) AS f " +
+      "FROM tkf GROUP BY 1, 2), " +
+      s"w AS (SELECT b.range AS b, j.range AS j, " +
+      s"CAST((b.range * 7 + j.range * 3) % 5 - 2 AS BIGINT) AS w " +
+      s"FROM range($inferFeats) b, range($inferDims) j), " +
+      "e AS (SELECT cnt.doc_id, w.j, CAST(sum(cnt.f * w.w) AS BIGINT) AS e " +
+      "FROM cnt JOIN w ON w.b = cnt.b GROUP BY cnt.doc_id, w.j) " +
+      "SELECT d.doc_id, " +
+      "coalesce(max(CASE WHEN e.j = 0 THEN e.e END), 0) AS e0, " +
+      "coalesce(max(CASE WHEN e.j = 1 THEN e.e END), 0) AS e1, " +
+      "coalesce(max(CASE WHEN e.j = 2 THEN e.e END), 0) AS e2, " +
+      "coalesce(max(CASE WHEN e.j = 3 THEN e.e END), 0) AS e3 " +
+      "FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id " +
+      "GROUP BY d.doc_id ORDER BY d.doc_id"
+
   /** q_simsearch_binary — BINARY-QUANTIZED RETRIEVAL (the 1-bit embedding
     * compression powering 32×-smaller RAG serving tiers): each 64-d vector
     * collapses to one 64-bit sign mask (bit j = v[j] ≥ 0), candidates come
@@ -7197,6 +7346,7 @@ object LlmData {
     "q_simsearch_hnsw" -> simsearchHnsw _,
     "q_simsearch_nsw_batch" -> simsearchNswBatch _,
     "q_simsearch_nsw_insert" -> simsearchNswInsert _,
+    "q_embed_infer_arrow" -> embedInferArrow _,
     "q_rag_index_retrieve" -> ragIndexRetrieve _,
     "q_corpus_filter" -> corpusFilter _,
     "q_corpus_funnel_audit" -> corpusFunnelAudit _,
@@ -7727,6 +7877,7 @@ object LlmData {
     "q_simsearch_hnsw" -> hnswSql,
     "q_simsearch_nsw_batch" -> nswBatchSql,
     "q_simsearch_nsw_insert" -> nswInsertSql,
+    "q_embed_infer_arrow" -> inferArrowSql,
     "q_rag_index_retrieve" -> ragSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +

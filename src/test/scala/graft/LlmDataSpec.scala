@@ -453,6 +453,24 @@ class LlmDataSpec extends AnyFunSuite {
     assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_embed_infer_arrow: the encoder runs per BATCH over Arrow buffers, never per row") {
+    val sizes = s.sparkContext.collectionAccumulator[java.lang.Long]("inferBatches")
+    val out = LlmData.embedInferArrowImpl(s, d, Some(sizes)).collect()
+    val docs = Tables(s, d, "documents").count()
+    assert(out.length.toLong === docs, "one embedding row per document")
+    val batchSizes = sizes.value.toArray.map(_.asInstanceOf[java.lang.Long].longValue)
+    assert(batchSizes.sum === docs, "batches must cover every row exactly once")
+    assert(batchSizes.forall(_ <= LlmData.inferBatchRows),
+      s"a batch exceeded the ${LlmData.inferBatchRows}-row contract: ${batchSizes.max}")
+    assert(batchSizes.exists(_ === LlmData.inferBatchRows.toLong),
+      "no full batch was ever formed — the seam degenerated to small groups")
+    assert(batchSizes.length.toLong < docs / 4,
+      s"${batchSizes.length} encoder invocations for $docs rows — looks per-row, not batched")
+    // non-vacuous: the linear map must actually separate documents
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .distinct.length > 1, "all embeddings identical — vacuous featurization")
+  }
+
   test("q_simsearch_nsw_insert: batch vectors become reachable, standing graph untouched") {
     val brute = LlmData.simsearchTopk(s, d).limit(10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
