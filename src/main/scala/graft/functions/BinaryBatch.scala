@@ -239,4 +239,108 @@ object BinaryBatch {
     }
     java.nio.file.Files.write(dir.resolve("notes.txt"), "not an image".getBytes("UTF-8"))
   }
+
+  // ------------------------------------------------- audio fingerprinting
+
+  /** Audio-fingerprint fixture scheme — ONE copy shared by the WAV writer
+    * and the DuckDB oracle builder: (id, freq, amp, kind). Bases 0–23;
+    * ids 10x+k are byte-exact duplicates of base k; ids 20x+k are
+    * amplitude-attenuated NEAR-duplicates (same waveform shape, ~8%
+    * quieter — loudness normalization); id 313 is base 13 with a small
+    * deterministic dither (kind 1, lands at Hamming 1) and id 416 is
+    * base 16 saturation-clipped at ±9000 (kind 2, Hamming 1) — the
+    * re-encode artifacts that exercise the verify stage's tolerance
+    * beyond exact signature equality. The waveform is an integer
+    * sawtooth so writer, codec round-trip, and oracle replay are all
+    * exact integer arithmetic — no float trig anywhere. */
+  def audioFpParams: Seq[(Int, Int, Int, Int)] =
+    (0 until 24).map(id => (id, 40 + 7 * id, 12000, 0)) ++
+      Seq(101, 104, 109).map(id => (id, 40 + 7 * (id % 100), 12000, 0)) ++
+      Seq(202, 206).map(id => (id, 40 + 7 * (id % 100), 11000, 0)) ++
+      Seq((313, 40 + 7 * 13, 12000, 1), (416, 40 + 7 * 16, 12000, 2))
+
+  val AudioFpRate = 8000
+  val AudioFpWindowLen = 48
+  /** 33 windows → 32 energy-difference bits → four 8-bit LSH bands. */
+  val AudioFpFrames: Int = 33 * AudioFpWindowLen
+
+  /** The integer sample at frame i: an exact sawtooth
+    * (`((i*f) % rate) * 2 * amp // rate - amp`, all operands
+    * non-negative before the subtract), plus the kind-selected
+    * perturbation — dither `(i mod 5 − 2)·40` (kind 1) or saturation
+    * clip at ±9000 (kind 2). Exact in both Scala and DuckDB. */
+  def audioFpSample(i: Int, f: Int, amp: Int, kind: Int): Int = {
+    val v = ((i * f) % AudioFpRate) * 2 * amp / AudioFpRate - amp
+    kind match {
+      case 1 => v + (i % 5 - 2) * 40
+      case 2 => math.max(-9000, math.min(9000, v))
+      case _ => v
+    }
+  }
+
+  /** Write the fingerprint-dedup WAV corpus `afp_<id>.wav` (16-bit mono
+    * PCM little-endian at [[AudioFpRate]], [[AudioFpFrames]] frames). */
+  def writeAudioFpFixtures(dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    audioFpParams.foreach { case (id, f, amp, kind) =>
+      val pcm = new Array[Byte](AudioFpFrames * 2)
+      var i = 0
+      while (i < AudioFpFrames) {
+        val v = audioFpSample(i, f, amp, kind)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(AudioFpRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, AudioFpFrames.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        dir.resolve(f"afp_$id%03d.wav").toFile)
+    }
+  }
+
+  /** One 32-bit audio fingerprint as four 8-bit band values (the LSH
+    * banding keys, mirroring [[DHashSig]]'s layout). */
+  case class AudioFpSig(audio_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Fingerprint one batch of WAV payloads: REAL codec decode
+    * (javax.sound.sampled), 33 fixed windows of per-window absolute
+    * energy, bit j = E(j+1) > E(j) — the chromaprint family's
+    * energy-difference shape, loudness-shift tolerant because only the
+    * SIGN of adjacent-window change survives into the bits. */
+  def audioFpBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioFpSig] =
+    batch.map { case (id, bytes) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"audio $id is not 16-bit mono LE PCM")
+        val data = ais.readAllBytes()
+        val nw = data.length / 2 / AudioFpWindowLen
+        require(nw >= 33, s"audio $id too short for a 33-window fingerprint")
+        val e = new Array[Long](33)
+        var i = 0
+        while (i < 33 * AudioFpWindowLen) {
+          val v = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+          e(i / AudioFpWindowLen) += math.abs(v)
+          i += 1
+        }
+        val bands = new Array[Long](4)
+        var j = 0
+        while (j < 32) {
+          if (e(j + 1) > e(j)) bands(j / 8) |= 1L << (j % 8)
+          j += 1
+        }
+        AudioFpSig(id, bands(0), bands(1), bands(2), bands(3))
+      } finally ais.close()
+    }
+
+  /** Batched fingerprint over an (audio_id, content) frame. */
+  def audioFp(spark: SparkSession, df: DataFrame): Dataset[AudioFpSig] = {
+    import spark.implicits._
+    df.as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => audioFpBatch(g.toSeq)))
+  }
 }

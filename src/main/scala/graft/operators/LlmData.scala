@@ -3020,6 +3020,107 @@ object LlmData {
     s"WITH $phashPairCtes " +
       "SELECT img_a, img_b, hamming FROM ipairs ORDER BY img_a, img_b"
 
+  /** Fingerprint-once home for the audio signatures (4 bytes/clip),
+    * staged like the pHash signatures and version-tagged the same way
+    * (`_f2` — bump with any change to the fixture scheme or
+    * [[graft.functions.BinaryBatch.audioFpBatch]]). */
+  private def audioFpSigsPath(s: SparkSession): String = {
+    val media = graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_audio_fp_f2"))(
+      graft.functions.BinaryBatch.writeAudioFpFixtures(_))
+    graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_audio_fp_sigs_f2")) {
+      staging =>
+        val scanned = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.wav").load(media.toString)
+          .select(
+            regexp_extract(col("path"), "afp_(\\d+)\\.wav$", 1).cast("long").as("audio_id"),
+            col("content"))
+        graft.functions.BinaryBatch.audioFp(s, scanned).toDF()
+          .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+  }
+
+  /** q_dedup_audio_fp — AUDIO NEAR-DUP DEDUP via an energy-difference
+    * fingerprint (the chromaprint family's shape), completing modality
+    * symmetry with [[dedupImagePhash]]: a `binaryFile` scan lands the WAV
+    * corpus, the batched REAL javax.sound decode
+    * ([[graft.functions.BinaryBatch.audioFpBatch]]) reduces each clip to
+    * 32 bits (bit j = window j+1's absolute energy exceeds window j's —
+    * only the SIGN of loudness change survives, so amplitude-attenuated
+    * re-encodes stay near-identical) kept as four 8-bit bands, candidates
+    * come from the LSH band join, and candidates are verified at
+    * Hamming ≤ 2 over the 32 bits. With 4 bands and t = 2 the banding is
+    * EXACT by pigeonhole, so the banded output EQUALS the all-pairs scan
+    * — which is what the DuckDB oracle runs, recomputing every
+    * fingerprint from the generator's integer sawtooth formula
+    * ([[graft.functions.BinaryBatch.audioFpSample]]): the engine hashes
+    * DECODED PCM, the oracle hashes the FORMULA, so the green row proves
+    * decode + window + hash end-to-end. Planted structure: byte-exact
+    * duplicate clips (Hamming 0) and ~8%-attenuated near-duplicates.
+    *
+    * Scale: decode + fingerprint is embarrassingly parallel scan work (4
+    * bytes of signature per clip); the band join is the standard banded
+    * candidate machinery (no all-pairs in the engine path); verification
+    * touches candidates only.
+    */
+  def dedupAudioFp(s: SparkSession, d: String): DataFrame = {
+    val sigs = s.read.parquet(audioFpSigsPath(s))
+    val bands = sigs.select(col("audio_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("bi", "bv")))
+    val cand = bands.select(col("audio_id").as("audio_a"), col("bi"), col("bv"))
+      .join(bands.select(col("audio_id").as("audio_b"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .where(col("audio_a") < col("audio_b"))
+      .select("audio_a", "audio_b").distinct()
+    val left = sigs.select(col("audio_id").as("audio_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val right = sigs.select(col("audio_id").as("audio_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(left, "audio_a").join(right, "audio_b")
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .where(col("hamming") <= 2)
+      .select("audio_a", "audio_b", "hamming")
+      .orderBy("audio_a", "audio_b")
+  }
+
+  /** DuckDB replay of [[dedupAudioFp]]: fingerprints recomputed from the
+    * integer sawtooth formula (the engine decodes real WAV bytes
+    * instead), then the all-pairs Hamming ≤ 2 scan — equal to the
+    * engine's banded output by the 4-band pigeonhole. */
+  private def audioFpSql: String = {
+    import graft.functions.BinaryBatch._
+    val vals = audioFpParams.map { case (id, f, a, k) => s"($id, $f, $a, $k)" }
+      .mkString(", ")
+    s"WITH p(id, f, amp, kind) AS (VALUES $vals), " +
+      s"raw AS (SELECT id, kind, i.range AS i, " +
+      s"((i.range * f) % $AudioFpRate) * 2 * amp // $AudioFpRate - amp AS v0 " +
+      s"FROM p, range($AudioFpFrames) i), " +
+      s"smp AS (SELECT id, i // $AudioFpWindowLen AS w, " +
+      "CASE WHEN kind = 1 THEN v0 + (i % 5 - 2) * 40 " +
+      "WHEN kind = 2 THEN greatest(-9000, least(9000, v0)) " +
+      "ELSE v0 END AS v FROM raw), " +
+      "win AS (SELECT id, w, CAST(sum(abs(v)) AS BIGINT) AS e " +
+      "FROM smp GROUP BY id, w), " +
+      "bits AS (SELECT id, w, CASE WHEN lead(e) OVER (PARTITION BY id " +
+      "ORDER BY w) > e THEN 1 ELSE 0 END AS bit FROM win), " +
+      "sig AS (SELECT id, " +
+      (0 until 4).map(k =>
+        s"CAST(sum(CASE WHEN w // 8 = $k THEN bit * (1 << (w % 8)) " +
+          s"ELSE 0 END) AS BIGINT) AS b$k").mkString(", ") +
+      " FROM bits WHERE w < 32 GROUP BY id) " +
+      "SELECT CAST(audio_a AS BIGINT) AS audio_a, " +
+      "CAST(audio_b AS BIGINT) AS audio_b, hamming FROM (" +
+      "SELECT a.id AS audio_a, b.id AS audio_b, " +
+      "CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) + " +
+      "bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) " +
+      "AS hamming FROM sig a JOIN sig b ON a.id < b.id) " +
+      "WHERE hamming <= 2 ORDER BY audio_a, audio_b"
+  }
+
   /** q_multimodal_pair_dedup — CROSS-MODAL duplicate verification, the
     * LAION-style image-text pair dedup: image near-dup candidates (the
     * [[dedupImagePhash]] banded+verified pairs) are confirmed or refuted
@@ -7347,6 +7448,7 @@ object LlmData {
     "q_simsearch_nsw_batch" -> simsearchNswBatch _,
     "q_simsearch_nsw_insert" -> simsearchNswInsert _,
     "q_embed_infer_arrow" -> embedInferArrow _,
+    "q_dedup_audio_fp" -> dedupAudioFp _,
     "q_rag_index_retrieve" -> ragIndexRetrieve _,
     "q_corpus_filter" -> corpusFilter _,
     "q_corpus_funnel_audit" -> corpusFunnelAudit _,
@@ -7878,6 +7980,7 @@ object LlmData {
     "q_simsearch_nsw_batch" -> nswBatchSql,
     "q_simsearch_nsw_insert" -> nswInsertSql,
     "q_embed_infer_arrow" -> inferArrowSql,
+    "q_dedup_audio_fp" -> audioFpSql,
     "q_rag_index_retrieve" -> ragSql,
     "q_sample_weighted" ->
       ("WITH p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +

@@ -453,6 +453,20 @@ class LlmDataSpec extends AnyFunSuite {
     assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_dedup_audio_fp: planted dup structure surfaces exactly, tolerance path fires") {
+    val got = LlmData.dedupAudioFp(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 5 identical-fingerprint pairs (byte dups + loudness variants)
+    // and the two waveform-perturbed re-encodes at Hamming 1 — nothing
+    // else: the closest unrelated frequencies never come within the gate
+    val expected = Seq(
+      (1L, 101L, 0L), (2L, 202L, 0L), (4L, 104L, 0L), (6L, 206L, 0L),
+      (9L, 109L, 0L), (13L, 313L, 1L), (16L, 416L, 1L))
+    assert(got.toSeq === expected)
+    // the Hamming <= 2 tolerance is load-bearing: nonzero distances occur
+    assert(got.exists(_._3 > 0), "no near-dup exercised the tolerance gate")
+  }
+
   test("q_embed_infer_arrow: the encoder runs per BATCH over Arrow buffers, never per row") {
     val sizes = s.sparkContext.collectionAccumulator[java.lang.Long]("inferBatches")
     val out = LlmData.embedInferArrowImpl(s, d, Some(sizes)).collect()
