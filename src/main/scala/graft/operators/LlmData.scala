@@ -7238,40 +7238,128 @@ object LlmData {
       .orderBy("vec_id")
   }
 
-  /** q_text_classify — LINEAR QUALITY CLASSIFIER over hashed features: the
-    * fastText-shaped scorer every production curation stack runs alongside
-    * the rule-based filters (`q_text_quality`) — score = Σ_tokens w(h(tok))
-    * over the 256 [[textHashVectorizer]] buckets, label = score > 0. The
-    * weight vector is a deterministic md5-derived stand-in for trained
-    * weights (w(b) ∈ [−127, 127] from the hex of md5("graftw:" ‖ b)): the
-    * plumbing — hashed features, in-expression weight lookup, one keyed
-    * aggregate — is exactly the production shape; only the weight VALUES
-    * change when a real model ships.
-    *
-    * Cross-engine determinism: weights and sums are exact integers; no
-    * division anywhere (a mean would hit the div-vs-floor divergence on
-    * negative scores), so the output is bit-stable by construction.
-    *
-    * Scale: the "model" is a pure expression — no broadcast, no dictionary,
-    * no state to version against a 100 TB corpus (the hashing-trick
-    * argument); scoring is scan-stage codegen plus ONE doc-keyed hash agg
-    * with map-side partials. A real weight table would broadcast at
-    * |buckets| rows — still never a corpus shuffle.
-    */
-  def textClassify(s: SparkSession, d: String): DataFrame = {
-    t(s, d, "documents")
+  /** TEACHER labels for the distilled quality classifier: the rule gate a
+    * production stack starts from (here: docs whose positive marker
+    * tokens outnumber the negative ones — the same role `q_text_quality`'s
+    * rules play). One copy, mirrored literally by [[classifySqlCtes]]. */
+  private def classifyLabels(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      (size(expr("filter(split(text, ' '), t -> t IN ('fast', 'big'))")) >
+        size(expr("filter(split(text, ' '), t -> t IN ('slow', 'small'))")))
+        .cast("int").as("y"))
+
+  /** Hashed RATE features — token counts per 256 md5-prefix buckets,
+    * scaled to exact per-mille rates (c·1000 div n): the rate form keeps
+    * document length out of the feature channel (raw counts made the
+    * one-step weights learn "long documents" instead of the signal —
+    * measured 0.50 vs 0.91 accuracy) and every value integer-exact. */
+  private def classifyX(s: SparkSession, d: String): DataFrame = {
+    val cnt = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("b", substring(md5(col("tok")), 1, 2))
-      .withColumn("w", expr(
-        "(ascii(substr(md5(concat('graftw:', b)), 1, 1)) * 31 + " +
-          "ascii(substr(md5(concat('graftw:', b)), 2, 1))) % 255 - 127"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val nt = cnt.groupBy("doc_id").agg(sum("c").as("n"))
+    cnt.join(nt, "doc_id")
+      .select(col("doc_id"), col("b"),
+        expr("c * 1000 div n").cast("long").as("x"), col("n"))
+  }
+
+  /** ONE exact-integer training step over a given feature frame: the
+    * full-batch gradient of a linear separator from w = 0 with per-class
+    * mean-rate normalization — w_b = (Σ_pos x)·1000 div n_pos −
+    * (Σ_neg x)·1000 div n_neg. The per-class normalization (not the
+    * npos·nneg cross products) keeps weight magnitudes INDEPENDENT of
+    * corpus size, so the same exact-integer form trains on 10¹² docs
+    * without Long overflow. All divisions are positive-over-positive, so
+    * Spark's `div` and DuckDB's `//` agree exactly. */
+  private def classifyWeightsFrom(s: SparkSession, d: String,
+      x: DataFrame): DataFrame = {
+    val lab = classifyLabels(s, d)
+    val np = lab.agg(sum("y").cast("long").as("npos"),
+      (count(lit(1)) - sum("y")).cast("long").as("nneg"))
+    x.join(lab, "doc_id").crossJoin(broadcast(np))
+      .groupBy("b", "npos", "nneg")
+      .agg(sum(col("y") * col("x")).as("px"),
+        sum((lit(1) - col("y")) * col("x")).as("nx"))
+      .select(col("b"),
+        (expr("px * 1000 div npos") - expr("nx * 1000 div nneg"))
+          .cast("long").as("w"))
+  }
+
+  /** q_text_classify_train — the TRAINING step that turns the rule gate
+    * into a learned linear scorer (teacher–student distillation, the way
+    * production quality classifiers are bootstrapped: a rule/LLM teacher
+    * labels, a fastText-shaped student learns): one exact-integer
+    * full-batch gradient step over the 256 hashed rate features
+    * ([[classifyWeightsFrom]]), emitting the weight table. The DuckDB
+    * oracle replays labels, features, class sizes, and the step itself,
+    * so a single wrong weight fails the hash gate; LlmDataSpec proves the
+    * trained gate actually separates the planted classes (≥ 0.85 teacher
+    * agreement, both classes predicted).
+    *
+    * Scale: training is one corpus pass at (doc, bucket) grain plus a
+    * bucket-grain aggregate — the same shape as `q_embed_kmeans_step`'s
+    * supervised sibling; the weight table is ≤ 256 rows of bounded
+    * magnitude (per-class rate normalization, see
+    * [[classifyWeightsFrom]]), a broadcastable artifact at any corpus
+    * size.
+    */
+  def textClassifyTrain(s: SparkSession, d: String): DataFrame =
+    classifyWeightsFrom(s, d, classifyX(s, d)).orderBy("b")
+
+  /** q_text_classify — LINEAR QUALITY CLASSIFIER over hashed features: the
+    * fastText-shaped scorer every production curation stack runs alongside
+    * the rule-based filters (`q_text_quality`) — score = Σ_b w_b·x_b over
+    * the 256 hashed rate features, label = score > 0. Since r14 the
+    * weights are TRAINED ([[textClassifyTrain]]'s one-step distillation of
+    * the teacher rule), replacing the r13 md5 stand-in: the gate is now
+    * demonstrably learned, and LlmDataSpec pins its agreement with the
+    * teacher on the planted classes. Serve trains in-plan here (the
+    * feature frame is computed once and checkpointed, weights broadcast
+    * back onto it); production persists the ≤ 256-row weight table and
+    * skips the training subplan.
+    *
+    * Cross-engine determinism: features, weights, and scores are exact
+    * integers; every division is positive-over-positive `div`, so the
+    * output is bit-stable by construction.
+    *
+    * Scale: scoring is a scan-stage feature computation, a broadcast join
+    * against ≤ 256 weight rows, and ONE doc-keyed hash agg with map-side
+    * partials — never a corpus shuffle.
+    */
+  def textClassify(s: SparkSession, d: String): DataFrame = {
+    val x = classifyX(s, d).localCheckpoint(false)
+    val w = classifyWeightsFrom(s, d, x)
+    x.join(broadcast(w), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        sum(col("w")).cast("long").as("score"))
+      .agg(max("n").cast("long").as("n_toks"),
+        sum(col("w") * col("x")).cast("long").as("score"))
       .select(col("doc_id"), col("n_toks"), col("score"),
         (col("score") > 0L).as("label"))
       .orderBy("doc_id")
   }
+
+  /** The distillation chain's oracle CTEs (teacher labels → rate features
+    * → class sizes → one-step weights), shared by the train and serve
+    * replays. */
+  private def classifySqlCtes: String =
+    "cd AS MATERIALIZED (SELECT doc_id, text, CASE WHEN " +
+      "len(list_filter(string_split(text, ' '), t -> t IN ('fast', 'big'))) > " +
+      "len(list_filter(string_split(text, ' '), t -> t IN ('slow', 'small'))) " +
+      "THEN 1 ELSE 0 END AS y FROM documents), " +
+      "cnp AS MATERIALIZED (SELECT CAST(sum(y) AS BIGINT) AS npos, " +
+      "CAST(sum(1 - y) AS BIGINT) AS nneg FROM cd), " +
+      "ctk AS (SELECT doc_id, substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b " +
+      "FROM cd), " +
+      "ccnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c " +
+      "FROM ctk GROUP BY 1, 2), " +
+      "cnt2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ccnt GROUP BY 1), " +
+      "cx AS MATERIALIZED (SELECT ccnt.doc_id, b, " +
+      "CAST(c * 1000 // n AS BIGINT) AS x, n " +
+      "FROM ccnt JOIN cnt2 USING (doc_id)), " +
+      "cw AS MATERIALIZED (SELECT b, CAST(sum(y * x) * 1000 // npos - " +
+      "sum((1 - y) * x) * 1000 // nneg AS BIGINT) AS w " +
+      "FROM cx JOIN cd USING (doc_id), cnp GROUP BY b, npos, nneg)"
 
   /** q_embed_project — JOHNSON-LINDENSTRAUSS SIGN PROJECTION: 64-dim
     * embeddings down to 8 dims through a deterministic ±1 matrix, the
@@ -7460,7 +7548,8 @@ object LlmData {
     "q_search_bm25" -> searchBm25 _,
     "q_simsearch_hybrid" -> simsearchHybrid _,
     "q_embed_project" -> embedProject _,
-    "q_text_classify" -> textClassify _)
+    "q_text_classify" -> textClassify _,
+    "q_text_classify_train" -> textClassifyTrain _)
 
   /** DuckDB replay of [[simhashesPortable]] plus brute-force Hamming ≤ 3
     * pair scan — the oracle side of `q_dedup_simhash_verified`. Signature
@@ -8917,14 +9006,13 @@ object LlmData {
         "SELECT e.vec_id, CAST(sm.p AS INT) AS p, " +
         s"CAST(round((${VectorOps.sqlDot("e.embedding", "sm.sv")}) * 1000000) AS BIGINT) " +
         "AS y_micro FROM embeddings e CROSS JOIN sm ORDER BY e.vec_id, p"),
+    "q_text_classify_train" ->
+      (s"WITH $classifySqlCtes SELECT b, w FROM cw ORDER BY b"),
     "q_text_classify" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-        "FROM documents), " +
-        "wt AS (SELECT doc_id, " +
-        "(ascii(substr(md5('graftw:' || substr(md5(tok), 1, 2)), 1, 1)) * 31 + " +
-        "ascii(substr(md5('graftw:' || substr(md5(tok), 1, 2)), 2, 1))) % 255 - 127 AS w " +
-        "FROM toks) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
-        "CAST(sum(w) AS BIGINT) AS score, CAST(sum(w) AS BIGINT) > 0 AS label " +
-        "FROM wt GROUP BY doc_id ORDER BY doc_id"))
+      (s"WITH $classifySqlCtes " +
+        "SELECT x.doc_id, CAST(max(x.n) AS BIGINT) AS n_toks, " +
+        "CAST(sum(w.w * x.x) AS BIGINT) AS score, " +
+        "CAST(sum(w.w * x.x) AS BIGINT) > 0 AS label " +
+        "FROM cx x JOIN cw w USING (b) " +
+        "GROUP BY x.doc_id ORDER BY doc_id"))
 }

@@ -2131,28 +2131,37 @@ class LlmDataSpec extends AnyFunSuite {
     assert(kept.forall(_._3.isEmpty))
   }
 
-  test("q_text_classify matches a driver-side md5-weight recompute; both labels occur") {
+  test("q_text_classify: the trained gate separates the planted classes") {
     val rows = LlmData.textClassify(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(rows.length === docs.size)
-    def md5hex(x: String): String = {
-      val dg = java.security.MessageDigest.getInstance("MD5")
-      dg.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the teacher rule, recomputed driver-side
+    def teacher(text: String): Boolean = {
+      val toks = text.split(" ", -1)
+      toks.count(t => t == "fast" || t == "big") >
+        toks.count(t => t == "slow" || t == "small")
     }
-    rows.take(25).foreach { case (id, nToks, score, label) =>
-      val toks = docs(id).split(" ", -1)
-      val expected = toks.map { tok =>
-        val wm = md5hex("graftw:" + md5hex(tok).substring(0, 2))
-        (wm(0).toInt * 31 + wm(1).toInt) % 255 - 127
-      }.map(_.toLong).sum
-      assert(nToks === toks.length.toLong)
-      assert(score === expected, s"doc $id score mismatch")
+    rows.foreach { case (id, nToks, score, label) =>
+      assert(nToks === docs(id).split(" ", -1).length.toLong)
       assert(label === (score > 0))
     }
-    // the hash-derived weights are centered: both classes occur
+    // both classes predicted — the one-step weights did not collapse
     assert(rows.exists(_._4) && rows.exists(!_._4))
+    // the trained student agrees with its teacher on the planted classes
+    // (measured 0.906 at sf0.001; rate features are what make this hold —
+    // raw-count features trained a length detector at 0.50)
+    val agree = rows.count { case (id, _, _, label) => label === teacher(docs(id)) }
+    val acc = agree.toDouble / rows.length
+    info(s"trained-gate teacher agreement: $acc")
+    assert(acc >= 0.85, s"trained gate agreement $acc below the 0.85 floor")
+    // the weight table is the bounded broadcastable artifact it claims
+    val w = LlmData.textClassifyTrain(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(w.length <= 256 && w.nonEmpty)
+    assert(w.exists(_._2 > 0) && w.exists(_._2 < 0),
+      "weights are one-sided — the step learned nothing")
   }
 
   test("q_embed_project: all 8 dims per vector, JL norm ratio in band") {
