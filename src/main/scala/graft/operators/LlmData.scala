@@ -4235,22 +4235,26 @@ object LlmData {
     * both the next frontier and the visited union, and without
     * truncation the per-hop anti-join doubles the subplan each hop —
     * so the whole walk still materializes in the single final action. */
+  /** Pin AQE off while `f` builds (and eagerly materializes) its plans:
+    * for CONTROL-PLANE-SIZED frames AQE has nothing to adapt, but its
+    * per-exchange re-planning doubles scheduler jobs (measured 57 → 28
+    * on the 6-hop walk, ~2× wall time). Checkpoints bake their physical
+    * plans at call time, so wrapping construction covers them; the
+    * session conf is restored before any corpus-scale outer plan is
+    * built. */
+  private def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try f finally spark.conf.set(aqeKey, aqePrev)
+  }
+
   private def nswWalkBatch(adj: DataFrame, corpus: DataFrame,
       seeds: DataFrame, beam: Int, hops: Int,
       truncate: Boolean = true): DataFrame = {
     // The walk's interior frames are all control-plane-sized (ef·M rows
-    // per query per hop) — AQE has nothing to adapt, but its per-exchange
-    // re-planning turns each hop into ~2× the scheduler jobs (measured:
-    // 57 → 28 jobs, ~2× wall time on the 6-hop walk). Each lazy
-    // checkpoint bakes its physical plan HERE (Dataset.localCheckpoint
-    // calls toRdd at call time), so pinning AQE off around construction
-    // covers the whole interior; the session conf is restored before the
-    // caller's (corpus-scale, AQE-deserving) outer plan is built.
-    val spark = corpus.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
+    // per query per hop) — see [[withAqeOff]].
+    withAqeOff(corpus.sparkSession) {
       def cp(df: DataFrame): DataFrame =
         if (truncate) df.localCheckpoint(false) else df
       val w = Window.partitionBy("qid").orderBy(desc("cm_micro"), asc("vec_id"))
@@ -4287,7 +4291,7 @@ object LlmData {
         visited = visited.unionByName(fresh)
       }
       visited.select("qid", "vec_id", "cm_micro")
-    } finally spark.conf.set(aqeKey, aqePrev)
+    }
   }
 
   /** Test hook: [[simsearchNswBatch]]'s walk with `truncate = false` and
@@ -4312,7 +4316,12 @@ object LlmData {
   /** DuckDB replay of [[simsearchNsw]]: graph build (all-pairs kNN window
     * — oracle-scale only; the engine reads its staged artifact), then the
     * walk unrolled hop by hop (new-node set, visited union, beam cut). */
-  private def nswSql: String = {
+  private def nswSql: String = nswSqlWhere("")
+
+  /** The flat-walk replay with an optional extra predicate on the FINAL
+    * cut only (the walk itself is untouched — exactly the mark-and-filter
+    * contract [[simsearchNswDelete]] shares with this builder). */
+  private def nswSqlWhere(extra: String): String = {
     val q = "q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings " +
       "WHERE vec_id = 0)"
     val base = "base AS MATERIALIZED (SELECT vec_id, embedding, " +
@@ -4323,7 +4332,7 @@ object LlmData {
       "f0 AS MATERIALIZED (SELECT vec_id FROM v0)"
     s"WITH $q, $base, $adj, $v0, ${walkCtes("", "adj", nswBeam, nswHops)} " +
       "SELECT vec_id, cm AS cm_micro FROM base " +
-      s"WHERE vec_id IN (SELECT vec_id FROM v$nswHops) " +
+      s"WHERE vec_id IN (SELECT vec_id FROM v$nswHops) $extra" +
       "ORDER BY cm DESC, vec_id LIMIT 10"
   }
 
@@ -4645,6 +4654,54 @@ object LlmData {
       "WHERE rank <= 5 ORDER BY qid, rank"
   }
 
+  /** Tombstoned-node predicate of the NSW delete scenario (disjoint from
+    * the insert split's mod-10 classes and the IVF families' conditions),
+    * mirrored literally by the [[simsearchNswDelete]] oracle. */
+  private[operators] val nswDeleteCond = "vec_id % 12 = 5"
+
+  /** Test seam: [[simsearchNswDelete]]'s walk BEFORE the tombstone filter
+    * — the spec proves deleted nodes are still ROUTED THROUGH (visited)
+    * even though none can surface. */
+  private[graft] def nswDeleteWalkForTest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val adj = s.read.parquet(nswAdjPath(s, d))
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val queries = emb.where(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qe"))
+    val entry = corpus.agg(min("vec_id")).collect()(0).getLong(0)
+    nswWalkBatch(adj, corpus, queries.withColumn("vec_id", lit(entry)),
+      nswBeam, nswHops)
+  }
+
+  /** q_simsearch_nsw_delete — GRAPH-INDEX DELETE, mark-and-filter (the
+    * hnswlib `markDelete` contract, and the other half of the lifecycle
+    * [[simsearchNswInsert]] opened): tombstoned vectors are REMOVED FROM
+    * RESULTS but REMAIN ROUTABLE — the walk still traverses them, because
+    * ripping nodes out of a navigable small world tears the shortcut
+    * structure the index's recall depends on (edges through deleted hubs
+    * are how the walk crosses the graph). The probe is [[simsearchNsw]]'s
+    * walk unchanged; only the FINAL cut filters the tombstone predicate,
+    * and the cut draws from the whole visited set, so 10 live results
+    * still surface. The DuckDB oracle replays the identical walk with the
+    * identical final filter; LlmDataSpec proves tombstones never surface,
+    * recall holds against brute force over survivors, and — the
+    * non-vacuous part — the walk genuinely visited deleted nodes.
+    * Physical reclamation composes later exactly as the IVF family's
+    * `q_simsearch_delete` → `q_simsearch_reclaim` arc showed: rebuild
+    * absorbs tombstones when their fraction crosses the rebuild
+    * threshold.
+    *
+    * Scale: identical to [[simsearchNsw]] — the filter is one predicate
+    * on O(ef·M·hops) visited rows; no index rewrite, no graph surgery,
+    * nothing corpus-sized moves on a delete.
+    */
+  def simsearchNswDelete(s: SparkSession, d: String): DataFrame =
+    nswDeleteWalkForTest(s, d)
+      .where(!expr(nswDeleteCond))
+      .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
+      .select("vec_id", "cm_micro")
+
   /** NSW-insert scenario constants, mirrored literally by [[nswInsertSql]]:
     * vectors with vec_id ≡ 3 (mod 10) are "today's arrivals" (disjoint
     * from the IVF append family's ≡ 7 split); candidate generation uses
@@ -4674,13 +4731,17 @@ object LlmData {
     * population, never |batch|·|corpus|. Returns
     * (src=batch, dst=standing, semb, demb, cm). Exposed for the spec's
     * non-vacuousness assertions. */
-  private[graft] def nswInsertEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nswInsertEdges(s: SparkSession, d: String): DataFrame =
+      withAqeOff(s) {
     graft.functions.GraftFunctions.register(s)
     val corpus = t(s, d, "embeddings").where(col("vec_id") =!= 0)
     val standing = corpus.where(!expr(nswInsertBatchCond))
     val batch = corpus.where(expr(nswInsertBatchCond))
+    // the coarse cells are referenced by both assignment passes —
+    // checkpoint the 4 rows so the TakeOrdered subplan runs once
     val cents = standing.orderBy(asc("vec_id")).limit(nswInsertCents)
       .select(col("vec_id").as("cell"), col("embedding").as("cemb"))
+      .localCheckpoint(true)
     // coarse assignment: the bounded-centroid cross is the standard IVF
     // assignment shape (|corpus| × nCells, nCells a constant)
     def cellRank(x: DataFrame): DataFrame = x.crossJoin(broadcast(cents))
@@ -4728,17 +4789,30 @@ object LlmData {
     * the standing artifact plus ~2·M rows per arrival — exactly the
     * append-only maintenance shape `q_simsearch_append` established.
     */
+  /** The staged INSERT DELTA — both directions of [[nswInsertEdges]],
+    * landed once per arrival batch as its own artifact. The standing
+    * adjacency's files are never read, rewritten, or copied by the
+    * insert job: the reader unions the two paths, which is exactly the
+    * append-only file layout `q_simsearch_append` established for the
+    * IVF index (new files beside immutable standing files; compaction
+    * composes later). */
+  private[graft] def nswInsertDeltaPath(s: SparkSession, d: String): String =
+    graft.Fixtures.ensureDerived("graft_nsw_delta", d, "embeddings", "m1") { staging =>
+      val newe = nswInsertEdges(s, d)
+      newe.select(col("src"), col("dst"), col("demb"))
+        .unionByName(newe.select(col("dst").as("src"), col("src").as("dst"),
+          col("semb").as("demb")))
+        .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+
   def simsearchNswInsert(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
     val corpus = emb.where(col("vec_id") =!= 0)
     val standing = corpus.where(!expr(nswInsertBatchCond))
-    val adjS = s.read.parquet(nswStandingAdjPath(s, d))
-    val newe = nswInsertEdges(s, d)
-    val merged = adjS.select("src", "dst", "demb")
-      .unionByName(newe.select(col("src"), col("dst"), col("demb")))
-      .unionByName(newe.select(col("dst").as("src"), col("src").as("dst"),
-        col("semb").as("demb")))
+    // merged index = standing files + delta files, one multi-path read
+    val merged = s.read.parquet(nswStandingAdjPath(s, d),
+      nswInsertDeltaPath(s, d))
     val queries = emb.where(col("vec_id") === 0)
       .select(lit(0L).as("qid"), col("embedding").as("qe"))
     // entry from an id-only scan over the STANDING subset
@@ -7535,6 +7609,7 @@ object LlmData {
     "q_simsearch_hnsw" -> simsearchHnsw _,
     "q_simsearch_nsw_batch" -> simsearchNswBatch _,
     "q_simsearch_nsw_insert" -> simsearchNswInsert _,
+    "q_simsearch_nsw_delete" -> simsearchNswDelete _,
     "q_embed_infer_arrow" -> embedInferArrow _,
     "q_dedup_audio_fp" -> dedupAudioFp _,
     "q_rag_index_retrieve" -> ragIndexRetrieve _,
@@ -8068,6 +8143,7 @@ object LlmData {
     "q_simsearch_hnsw" -> hnswSql,
     "q_simsearch_nsw_batch" -> nswBatchSql,
     "q_simsearch_nsw_insert" -> nswInsertSql,
+    "q_simsearch_nsw_delete" -> nswSqlWhere(s"AND NOT ($nswDeleteCond) "),
     "q_embed_infer_arrow" -> inferArrowSql,
     "q_dedup_audio_fp" -> audioFpSql,
     "q_rag_index_retrieve" -> ragSql,

@@ -526,6 +526,29 @@ class LlmDataSpec extends AnyFunSuite {
     assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_simsearch_nsw_delete: tombstones never surface but stay routable") {
+    val got = LlmData.simsearchNswDelete(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 10, "the cut must still fill 10 live results")
+    got.foreach { case (id, _) =>
+      assert(id % 12 != 5, s"tombstoned vector $id surfaced")
+    }
+    // recall vs brute force over SURVIVORS
+    val brute = LlmData.simsearchTopk(s, d)
+      .where(expr("NOT (vec_id % 12 = 5)")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.map(_._1).toSet.intersect(brute).size.toDouble / 10
+    info(s"NSW-delete recall@10 vs survivor brute force: $recall")
+    assert(recall >= 0.7, s"delete recall $recall below the 0.7 floor")
+    // mark-and-filter is non-vacuous: the walk VISITED deleted nodes
+    // (they stay routable — that's the whole point of not tearing the
+    // graph), they just can't surface
+    val visited = LlmData.nswDeleteWalkForTest(s, d)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(visited.exists(_ % 12 == 5),
+      "no deleted node was ever routed through — mark-and-filter untested")
+  }
+
   test("q_simsearch_hnsw: hierarchy descends through the sparse layer and holds the recall floor") {
     val brute = LlmData.simsearchTopk(s, d).limit(10)
       .select("vec_id").collect().map(_.getLong(0)).toSet

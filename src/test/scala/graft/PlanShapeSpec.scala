@@ -714,6 +714,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!global, s"found a window not partitioned by source:\n$p")
   }
 
+  test("q_dedup_audio_fp: the band join is equi, never all-pairs") {
+    val p = plan(graft.operators.LlmData.dedupAudioFp(s, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audio fingerprint dedup planned a quadratic join:\n$p")
+  }
+
+  test("q_simsearch_nsw_insert: edge election windows are keyed, never global") {
+    val p = plan(graft.operators.LlmData.nswInsertEdges(s, d))
+    // the 4-centroid assignment cross IS a bounded nested loop (the IVF
+    // assignment shape) — what must never appear is an unkeyed window or
+    // a true cartesian between corpus-grain relations
+    assert(!p.contains("CartesianProduct"), s"cartesian in insert edges:\n$p")
+    assert(p.contains("windowspecdefinition(vec_id"),
+      s"cell-rank window must partition by vec_id:\n$p")
+    assert(p.contains("windowspecdefinition(src"),
+      s"edge election window must partition by src:\n$p")
+  }
+
   test("NSW family walks are join-then-score: no corpus-grain cosine cross product") {
     // the r13 shape crossJoin(broadcast(query))'d the whole corpus into a
     // scored frame (BroadcastNestedLoopJoin) before walking; the rewrite
