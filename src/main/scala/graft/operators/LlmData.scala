@@ -4867,6 +4867,140 @@ object LlmData {
       "ORDER BY cm DESC, vec_id LIMIT 10"
   }
 
+  /** The COMPACTED graph of the delete scenario — [[simsearchNswDelete]]'s
+    * tombstones physically absorbed with HNSW-style EDGE REPAIR (the
+    * hnswlib rebuild-on-compaction contract): every edge touching a
+    * tombstoned node is dropped, and each surviving node that LOST
+    * out-edges is re-linked through its dead ex-neighbors — candidate
+    * replacements are exactly the live second-hop targets a→u→b reachable
+    * through a dead u (the nodes whose shortcuts the tombstone used to
+    * provide), deduplicated, already-linked pairs excluded, and the best
+    * `k` by integer micro-cosine elected per node, where `k` is the
+    * number of edges that node lost. The neighbor vector rides the
+    * repair edge row (`demb`, off the u→b edge it was carried on), so
+    * the walk's join-then-score layout is preserved without re-reading
+    * the corpus for edge payloads.
+    *
+    * Scale: the repair job is TOMBSTONE-SIZED, never corpus-sized — the
+    * candidate relation is |dead|·M² rows at most (two self-joins of the
+    * dead nodes' edge lists), scored via one broadcast into a corpus
+    * point-read; live edges are carried over untouched as a pass-through
+    * file copy (on a lake format, a metadata-only rewrite of affected
+    * files). This is the third arc of the graph index's lifecycle:
+    * insert appends ([[simsearchNswInsert]]), delete marks
+    * ([[simsearchNswDelete]]), compact absorbs. */
+  private[graft] def nswCompactAdjPath(s: SparkSession, d: String): String =
+    graft.Fixtures.ensureDerived("graft_nsw_cmp", d, "embeddings", "k1") { staging =>
+      graft.functions.GraftFunctions.register(s)
+      def dead(c: String) = expr(nswDeleteCond.replace("vec_id", c))
+      val adj = s.read.parquet(nswAdjPath(s, d))
+      val corpus = t(s, d, "embeddings").where(col("vec_id") =!= 0)
+      val live = adj.where(!dead("src") && !dead("dst"))
+      // per-survivor repair quota: how many of its out-edges died
+      val lost = adj.where(!dead("src") && dead("dst"))
+        .groupBy("src").agg(count(lit(1)).as("k"))
+      // candidates a→b through a dead u; all (a,u,b) triples collapse to
+      // one (a,b) row — demb is b's vector on every copy — and pairs the
+      // live graph already links are excluded
+      val intoDead = adj.where(!dead("src") && dead("dst"))
+        .select(col("src").as("a"), col("dst").as("u"))
+      val outOfDead = adj.where(dead("src") && !dead("dst"))
+        .select(col("src").as("u"), col("dst").as("b"), col("demb"))
+      val cand = intoDead.join(outOfDead, "u")
+        .where(col("a") =!= col("b"))
+        .select("a", "b", "demb").dropDuplicates("a", "b")
+        .join(live.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+      // score survivors only: broadcast the repair-sized candidate set
+      // into the corpus for the source vectors (a point-read batch)
+      val scored = corpus.select(col("vec_id").as("a"), col("embedding").as("aemb"))
+        .join(broadcast(cand), "a")
+        .select(col("a"), col("b"), col("demb"),
+          round(VectorOps.cosine(col("aemb"), col("demb")) * 1000000d, 0)
+            .cast("long").as("cm"))
+      val repair = scored
+        .join(broadcast(lost.withColumnRenamed("src", "a")), "a")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a").orderBy(desc("cm"), asc("b"))))
+        .where(col("rn") <= col("k"))
+        .select(col("a").as("src"), col("b").as("dst"), col("demb"))
+      live.select("src", "dst", "demb").unionByName(repair)
+        .write.mode("overwrite").parquet(staging.toString)
+    }.toString
+
+  /** q_simsearch_nsw_compact — GRAPH-INDEX COMPACTION, closing the third
+    * arc of the lifecycle the IVF family closed with
+    * `q_simsearch_compact`: once [[simsearchNswDelete]]'s tombstone
+    * fraction justifies paying for physical removal, the graph absorbs
+    * them — dead nodes leave the adjacency entirely and the navigability
+    * their shortcut edges provided is restored by bounded edge repair
+    * ([[nswCompactAdjPath]]). The probe is the ordinary [[nswWalkBatch]]
+    * over the compacted graph from the minimum LIVE id; no tombstone
+    * filter remains because nothing dead is reachable. Every step — the
+    * original build, the drop set, the repair election, the walk — is
+    * integer-deterministic, so the DuckDB oracle replays all of it from
+    * the embeddings bytes; LlmDataSpec proves the compacted graph holds
+    * no tombstone endpoint, that repair edges genuinely exist, and that
+    * survivor recall holds.
+    *
+    * Scale: probe cost identical to [[simsearchNsw]]; the one-time
+    * compaction job is tombstone-sized (see [[nswCompactAdjPath]]).
+    */
+  def simsearchNswCompact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val adj = s.read.parquet(nswCompactAdjPath(s, d))
+    val emb = t(s, d, "embeddings")
+    val live = emb.where(col("vec_id") =!= 0 && !expr(nswDeleteCond))
+    val queries = emb.where(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qe"))
+    // entry from an id-only scan over SURVIVORS (the old entry may be dead)
+    val entry = live.agg(min("vec_id")).collect()(0).getLong(0)
+    nswWalkBatch(adj, live, queries.withColumn("vec_id", lit(entry)),
+      nswBeam, nswHops)
+      .orderBy(desc("cm_micro"), asc("vec_id")).limit(10)
+      .select("vec_id", "cm_micro")
+  }
+
+  /** DuckDB replay of [[simsearchNswCompact]]: original graph build, the
+    * tombstone drop, lost-edge quotas, second-hop repair election, and
+    * the walk over the compacted adjacency, all unrolled. */
+  private def nswCompactSql: String = {
+    def dead(c: String) = nswDeleteCond.replace("vec_id", c)
+    val q = "q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings " +
+      "WHERE vec_id = 0)"
+    val base = "base AS MATERIALIZED (SELECT vec_id, embedding, " +
+      "CAST(round((" + VectorOps.sqlCosine("embedding", "qe") +
+      ") * 1000000, 0) AS BIGINT) AS cm FROM embeddings, q WHERE vec_id <> 0)"
+    val adj = knnAdjSqlCte("adj", "base", nswDegree)
+    val live = "live AS MATERIALIZED (SELECT src, dst FROM adj " +
+      s"WHERE NOT (${dead("src")}) AND NOT (${dead("dst")}))"
+    val lost = "lost AS MATERIALIZED (SELECT src, count(*) AS k FROM adj " +
+      s"WHERE NOT (${dead("src")}) AND (${dead("dst")}) GROUP BY src)"
+    val cand = "cand AS MATERIALIZED (SELECT DISTINCT t.src AS a, e.dst AS b " +
+      "FROM adj t JOIN adj e ON t.dst = e.src " +
+      s"WHERE NOT (${dead("t.src")}) AND (${dead("t.dst")}) " +
+      s"AND NOT (${dead("e.dst")}) AND e.dst <> t.src " +
+      "AND NOT EXISTS (SELECT 1 FROM live l WHERE l.src = t.src AND l.dst = e.dst))"
+    val repair = "repair AS MATERIALIZED (SELECT a AS src, b AS dst FROM (" +
+      "SELECT c.a, c.b, l.k, row_number() OVER (PARTITION BY c.a " +
+      "ORDER BY CAST(round((" +
+      VectorOps.sqlCosine("ea.embedding", "eb.embedding") +
+      ") * 1000000, 0) AS BIGINT) DESC, c.b) AS rn " +
+      "FROM cand c JOIN base ea ON ea.vec_id = c.a " +
+      "JOIN base eb ON eb.vec_id = c.b JOIN lost l ON l.src = c.a) " +
+      "WHERE rn <= k)"
+    val cadj = "cadj AS MATERIALIZED (SELECT src, dst FROM live " +
+      "UNION ALL SELECT src, dst FROM repair)"
+    val v0 = "v0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM base " +
+      s"WHERE NOT ($nswDeleteCond)), " +
+      "f0 AS MATERIALIZED (SELECT vec_id FROM v0)"
+    s"WITH $q, $base, $adj, $live, $lost, $cand, $repair, $cadj, $v0, " +
+      s"${walkCtes("", "cadj", nswBeam, nswHops)} " +
+      "SELECT vec_id, cm AS cm_micro FROM base " +
+      s"WHERE vec_id IN (SELECT vec_id FROM v$nswHops) " +
+      "ORDER BY cm DESC, vec_id LIMIT 10"
+  }
+
   /** Inference-seam constants, mirrored literally by [[inferArrowSql]]:
     * 16 hashed-bucket input features (the md5-hex-char trick both engines
     * read identically), a 4-wide output embedding, batches of 64 rows,
@@ -7610,6 +7744,7 @@ object LlmData {
     "q_simsearch_nsw_batch" -> simsearchNswBatch _,
     "q_simsearch_nsw_insert" -> simsearchNswInsert _,
     "q_simsearch_nsw_delete" -> simsearchNswDelete _,
+    "q_simsearch_nsw_compact" -> simsearchNswCompact _,
     "q_embed_infer_arrow" -> embedInferArrow _,
     "q_dedup_audio_fp" -> dedupAudioFp _,
     "q_rag_index_retrieve" -> ragIndexRetrieve _,
@@ -8144,6 +8279,7 @@ object LlmData {
     "q_simsearch_nsw_batch" -> nswBatchSql,
     "q_simsearch_nsw_insert" -> nswInsertSql,
     "q_simsearch_nsw_delete" -> nswSqlWhere(s"AND NOT ($nswDeleteCond) "),
+    "q_simsearch_nsw_compact" -> nswCompactSql,
     "q_embed_infer_arrow" -> inferArrowSql,
     "q_dedup_audio_fp" -> audioFpSql,
     "q_rag_index_retrieve" -> ragSql,

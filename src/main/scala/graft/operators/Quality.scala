@@ -496,6 +496,57 @@ object Quality {
       .orderBy("n_name", "seg")
   }
 
+  /** t-closeness release threshold in micro-TVD units (0.25): classes whose
+    * sensitive-value distribution sits within total-variation 0.25 of the
+    * global distribution may publish. Mirrored literally by the oracle. */
+  private val tcloseMicro = 250000L
+
+  /** q_privacy_tclose — T-CLOSENESS AUDIT (Li–Li–Venkatasubramanian,
+    * ICDE'07), the third privacy gate: a cell can pass k-anonymity
+    * ([[privacyKanon]]) and l-diversity ([[privacyLdiversity]]) yet still
+    * leak by SKEW — holding many distinct sensitive values whose
+    * distribution differs sharply from the population's (membership in
+    * the cell then shifts an attacker's posterior). Reports per
+    * (nation, segment) cell the TOTAL-VARIATION DISTANCE between the
+    * cell's balance-band distribution and the global one — the
+    * categorical EMD the paper prescribes — as an EXACT integer:
+    * TVD = Σ_b |c_b·N − g_b·n| / (2·n·N), computed as one integer
+    * numerator sum with a single final integer division to micro units
+    * (no per-band float ratios to drift), and the ≤ 0.25 release flag.
+    *
+    * Scale: the audit grid is CELL×BAND grain (|nations·segments| ×
+    * |bands| — control-plane-sized regardless of row count), built by
+    * crossing the cell table with the broadcast global band histogram
+    * and left-joining observed cell-band counts; the corpus is scanned
+    * once for the two keyed aggregates. The c_b·N exact form holds to
+    * ~10⁹ rows per side; past that the same audit runs on per-mille
+    * rates (the `q_text_classify_train` discipline), trading the last
+    * micro digit for overflow headroom.
+    */
+  def privacyTclose(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val global = base.groupBy("band").agg(count(lit(1)).as("g"))
+    val tot = base.agg(count(lit(1)).as("nn"))
+    val classes = base.groupBy("n_name", "seg").agg(count(lit(1)).as("n"))
+    val cellBand = base.groupBy("n_name", "seg", "band")
+      .agg(count(lit(1)).as("c"))
+    classes.crossJoin(broadcast(global))
+      .join(cellBand, Seq("n_name", "seg", "band"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_name"), col("seg"), col("n"))
+      .agg(sum(abs(col("c") * col("nn") - col("g") * col("n"))).as("num"),
+        max(col("nn")).as("nn"))
+      .select(col("n_name"), col("seg"), col("n"),
+        expr("(num * 1000000) div (2 * n * nn)").as("tvd_micro"))
+      .withColumn("ok", col("tvd_micro") <= lit(tcloseMicro))
+      .orderBy("n_name", "seg")
+  }
+
   /** Shared Spark/DuckDB SQL fragments for [[privacyDpCount]] — ONE string
     * evaluated by both engines, so the mechanism cannot drift between the
     * operator and its oracle.
@@ -691,6 +742,7 @@ object Quality {
     "q_dq_freshness" -> dqFreshness _,
     "q_anomaly_iqr" -> anomalyIqr _,
     "q_privacy_ldiversity" -> privacyLdiversity _,
+    "q_privacy_tclose" -> privacyTclose _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_drift" -> dqDrift _,
     "q_privacy_kanon" -> privacyKanon _,
@@ -764,6 +816,24 @@ object Quality {
         "AS BIGINT) AS n_outliers, " +
         "max(CASE WHEN v.cents > fe.hi THEN v.cents END) AS max_outlier " +
         "FROM v JOIN fe ON v.seg = fe.seg GROUP BY v.seg ORDER BY v.seg"),
+    "q_privacy_tclose" ->
+      ("WITH base AS (SELECT n_name, c_mktsegment AS seg, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS band " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey), " +
+        "g AS (SELECT band, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY band), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base), " +
+        "cls AS (SELECT n_name, seg, CAST(count(*) AS BIGINT) AS n " +
+        "FROM base GROUP BY n_name, seg), " +
+        "cb AS (SELECT n_name, seg, band, CAST(count(*) AS BIGINT) AS c " +
+        "FROM base GROUP BY n_name, seg, band) " +
+        "SELECT n_name, seg, n, tvd_micro, tvd_micro <= 250000 AS ok FROM (" +
+        "SELECT cls.n_name, cls.seg, cls.n, " +
+        "(CAST(sum(abs(coalesce(cb.c, 0) * tot.nn - g.g * cls.n)) AS BIGINT) " +
+        "* 1000000) // (2 * cls.n * max(tot.nn)) AS tvd_micro " +
+        "FROM cls CROSS JOIN g CROSS JOIN tot " +
+        "LEFT JOIN cb ON cb.n_name = cls.n_name AND cb.seg = cls.seg " +
+        "AND cb.band = g.band " +
+        "GROUP BY cls.n_name, cls.seg, cls.n) ORDER BY n_name, seg"),
     "q_privacy_ldiversity" ->
       ("SELECT n_name, c_mktsegment AS seg, " +
         "CAST(count(*) AS BIGINT) AS n, " +

@@ -549,6 +549,37 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_simsearch_nsw_compact: tombstones leave the graph, repair edges restore navigability") {
+    val adj = s.read.parquet(LlmData.nswCompactAdjPath(s, d))
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    adj.foreach { case (a, b) =>
+      assert(a % 12 != 5 && b % 12 != 5,
+        s"compacted graph retains tombstone endpoint ($a,$b)")
+    }
+    // repair is non-vacuous: some compacted edge was never in the
+    // original build — it was elected through a dead intermediate
+    val orig = s.read.parquet(LlmData.nswAdjPath(s, d))
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adj.exists(e => !orig.contains(e)),
+      "no repair edge was created — compaction untested")
+    val got = LlmData.simsearchNswCompact(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 10, "the cut must still fill 10 live results")
+    got.foreach { case (id, _) =>
+      assert(id % 12 != 5, s"tombstoned vector $id surfaced after compaction")
+    }
+    val brute = LlmData.simsearchTopk(s, d)
+      .where(expr("NOT (vec_id % 12 = 5)")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.map(_._1).toSet.intersect(brute).size.toDouble / 10
+    info(s"NSW-compact recall@10 vs survivor brute force: $recall")
+    assert(recall >= 0.7, s"compact recall $recall below the 0.7 floor")
+    // deterministic: a second run is byte-identical
+    val again = LlmData.simsearchNswCompact(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("q_simsearch_hnsw: hierarchy descends through the sparse layer and holds the recall floor") {
     val brute = LlmData.simsearchTopk(s, d).limit(10)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -239,6 +239,36 @@ class QualitySpec extends AnyFunSuite {
     assert(l === want)
   }
 
+  test("q_privacy_tclose: TVD recounted exactly for one cell, bounds hold") {
+    val rows = Quality.privacyTclose(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, tvd, ok) =>
+      assert(n >= 1)
+      assert(tvd >= 0 && tvd <= 1000000, s"TVD $tvd outside [0, 1]")
+      assert(ok === (tvd <= 250000L))
+    }
+    // cells partition the customer table exactly
+    assert(rows.map(_._3).sum === Tables(s, d, "customer").count())
+    // recount the first cell's TVD directly from raw bands
+    val (nat, seg, n, tvd, _) = rows.head
+    val bands = Tables(s, d, "customer")
+      .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val globalCnt = bands.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cellCnt = bands.filter(b => b._1 == nat && b._2 == seg)
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val bigN = bands.length.toLong
+    assert(cellCnt.values.sum === n)
+    val num = globalCnt.map { case (b, g) =>
+      math.abs(cellCnt.getOrElse(b, 0L) * bigN - g * n)
+    }.sum
+    assert(tvd === (num * 1000000L) / (2L * n * bigN))
+  }
+
   test("q_privacy_dp_count: noise replays from the keyed md5 and looks geometric") {
     val rows = graft.operators.Quality.privacyDpCount(s, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
