@@ -460,6 +460,95 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** Bloom geometry for [[dedupBloom]], mirrored literally by the oracle:
+    * 3 hash positions, each 4 md5 hex digits → a 65,536-bit filter (8 KB
+    * as a bitmap). Position j reads hex chars 4j+1..4j+4 via the
+    * instr-table trick both engines evaluate identically (the
+    * `q_privacy_dp_count` portability precedent). */
+  private def bloomPosExpr(j: Int): String = {
+    def digit(i: Int) =
+      s"(instr('0123456789abcdef', substr(h, ${4 * j + i}, 1)) - 1)"
+    s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+  }
+
+  /** q_dedup_bloom — BLOOM-GATED INCREMENTAL EXACT DEDUP: the two-level
+    * membership check every standing-corpus dedup runs at scale, made an
+    * operator (the escalation `q_stream_corpus_curate`'s doc describes).
+    * The standing corpus's content digests populate a 65,536-bit / 3-hash
+    * bloom filter; each arriving document probes its 3 bits and splits
+    * DEFINITE-NEW (any bit clear — the bloom's no-false-negative
+    * guarantee, no further work) from MAYBE-DUPLICATE (all bits set), and
+    * ONLY the maybes pay the exact digest join against the corpus. Per
+    * arrival: bits hit, the maybe flag, the verified duplicate verdict,
+    * and the false-positive flag (maybe yet not a dup — the rows that
+    * prove why the exact confirmation stage exists). The filter, probes,
+    * and verification all replay from md5 bytes in the DuckDB oracle.
+    *
+    * Scale: the filter is the piece that fits where the corpus doesn't —
+    * 8 KB here, sized at ~10 bits/insert in production (a 100 TB corpus
+    * of 10¹¹ documents is a ~125 GB partitioned bitmap, or Spark's
+    * `stat.bloomFilter` per the `q_join_bloom_pruned` machinery; the
+    * set-bit RELATION here is that bitmap's oracle-replayable stand-in,
+    * bounded by m = 65,536 rows, broadcast). The exact join's left side
+    * is the maybe subset — fp-rate·|arrivals| plus true dups — never the
+    * whole batch, and the corpus side is touched only by digest lookup.
+    */
+  def dedupBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), expr("md5(text)").as("h"))
+    val isNew = col("doc_id") % 10 === 0
+    val standing = docs.where(!isNew)
+    // the arrival batch = genuinely-new documents PLUS recrawls: every
+    // real feed re-delivers content the corpus already holds (the
+    // q_stream_corpus_curate redelivery scenario), planted here as
+    // standing docs re-arriving under fresh ids with identical bytes —
+    // exactly what the bloom must catch
+    val arrivals = docs.where(isNew)
+      .unionByName(standing.where(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("h")))
+    val posArr = array((0 to 2).map(j => expr(bloomPosExpr(j))): _*)
+    val bits = standing.select(explode(posArr).as("bit")).distinct()
+      .withColumn("set", lit(1L))
+    val probe = arrivals
+      .select(col("doc_id"), col("h"), explode(posArr).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy("doc_id", "h")
+      .agg(sum(coalesce(col("set"), lit(0L))).as("bloom_hits"))
+      .withColumn("maybe", col("bloom_hits") === 3)
+    // the exact stage reads ONLY the maybe subset (the gate is the point)
+    val confirmed = probe.where(col("maybe"))
+      .join(standing.select("h"), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("dup"))
+    probe.join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hits"), col("maybe"),
+        coalesce(col("dup"), lit(false)).as("is_dup"),
+        (col("maybe") && coalesce(!col("dup"), lit(true))).as("bloom_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[dedupBloom]]: same md5-positional bit addresses,
+    * set-bit relation, 3-bit probe, and maybe-gated exact confirmation. */
+  private def dedupBloomSql: String = {
+    def posSel(rel: String, cols: String) =
+      (0 to 2).map(j => s"SELECT $cols, ${bloomPosExpr(j)} AS bit FROM $rel")
+        .mkString(" UNION ALL ")
+    "WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+      "std AS (SELECT doc_id, h FROM docs WHERE NOT (doc_id % 10 = 0)), " +
+      "arr AS (SELECT doc_id, h FROM docs WHERE doc_id % 10 = 0 " +
+      "UNION ALL SELECT doc_id + 1000000, h FROM std WHERE doc_id % 17 = 3), " +
+      s"bits AS (SELECT DISTINCT bit FROM (${posSel("std", "doc_id")})), " +
+      s"probe AS (SELECT doc_id, h, CAST(sum(CASE WHEN b.bit IS NOT NULL " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits " +
+      s"FROM (${posSel("arr", "doc_id, h")}) p LEFT JOIN bits b USING (bit) " +
+      "GROUP BY doc_id, h), " +
+      "ver AS (SELECT DISTINCT p.doc_id FROM probe p JOIN std s ON s.h = p.h " +
+      "WHERE p.bloom_hits = 3) " +
+      "SELECT p.doc_id, p.bloom_hits, p.bloom_hits = 3 AS maybe, " +
+      "v.doc_id IS NOT NULL AS is_dup, " +
+      "(p.bloom_hits = 3 AND v.doc_id IS NULL) AS bloom_fp " +
+      "FROM probe p LEFT JOIN ver v ON v.doc_id = p.doc_id ORDER BY p.doc_id"
+  }
+
   /** q_dedup_cluster — duplicate-CLUSTER resolution: connected components
     * over the exact near-dup pair graph, labeling every involved document
     * with its component's minimum doc_id (the canonical representative a
@@ -7657,6 +7746,7 @@ object LlmData {
     "q_dedup_ngram" -> dedupNgram _,
     "q_dedup_cluster" -> dedupCluster _,
     "q_dedup_incremental" -> dedupIncremental _,
+    "q_dedup_bloom" -> dedupBloom _,
     "q_dedup_survivors" -> dedupSurvivors _,
     "q_dedup_near" -> dedupNear _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -8264,6 +8354,7 @@ object LlmData {
         "FROM c GROUP BY curl ORDER BY curl"),
     "q_text_html_extract" -> htmlExtractSql,
     "q_dedup_image_phash" -> imagePhashSql,
+    "q_dedup_bloom" -> dedupBloomSql,
     "q_dedup_lines" -> dedupLinesSql,
     "q_corpus_funnel_audit" -> funnelAuditSql,
     "q_text_bpe_train" -> bpeTrainSql,

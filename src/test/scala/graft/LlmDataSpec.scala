@@ -549,6 +549,37 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_dedup_bloom: no false negatives, gate is selective, verdict matches brute force") {
+    val rows = LlmData.dedupBloom(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4)))
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val standingDocs = docs.filter(_._1 % 10 != 0)
+    val standing = standingDocs.map(_._2).toSet
+    // arrivals = new docs plus the planted recrawls (standing content
+    // re-delivered under fresh ids — the operator's own construction)
+    val arrivals = docs.filter(_._1 % 10 == 0) ++
+      standingDocs.filter(_._1 % 17 == 3).map(p => (p._1 + 1000000L, p._2))
+    assert(rows.length === arrivals.length, "one verdict row per arrival")
+    val bruteDups = arrivals.filter(a => standing.contains(a._2)).map(_._1).toSet
+    assert(bruteDups.nonEmpty, "fixture has no cross-split exact dup — vacuous")
+    rows.foreach { case (id, hits, maybe, isDup, fp) =>
+      assert(hits >= 0 && hits <= 3)
+      assert(maybe === (hits == 3))
+      assert(isDup === bruteDups.contains(id),
+        s"doc $id bloom+verify verdict disagrees with brute-force digest join")
+      // the bloom's no-false-negative law: every true dup is a maybe
+      if (isDup) assert(maybe, s"doc $id is a dup but the bloom missed it")
+      assert(fp === (maybe && !isDup))
+    }
+    // the gate earns its keep: definite-new rows skip exact verification
+    val maybes = rows.count(_._3)
+    assert(maybes < rows.length,
+      "every arrival was a maybe — the filter is saturated and gates nothing")
+  }
+
   test("q_simsearch_nsw_compact: tombstones leave the graph, repair edges restore navigability") {
     val adj = s.read.parquet(LlmData.nswCompactAdjPath(s, d))
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
