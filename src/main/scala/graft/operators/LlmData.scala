@@ -5905,6 +5905,175 @@ object LlmData {
       "md5(string_agg(acc, ' ' ORDER BY pos)) AS enc_md5 " +
       "FROM tk JOIN fin USING (tok) GROUP BY doc_id ORDER BY doc_id"
 
+  /** Unigram-LM tokenizer constants, mirrored literally by
+    * [[unigramEncodeSql]]: the same 64-piece multi-char budget as
+    * WordPiece, the Viterbi DP's position-unroll cap (the oracle unrolls
+    * exactly this many chained CTEs, so the engine asserts the fixture
+    * fits), and micro-log10 piece scores. */
+  private val ugVocabSize = 64
+  private val ugMaxLen = 12
+
+  /** The unigram piece model: the top [[ugVocabSize]] multi-char n-grams
+    * (length 2–4, weighted corpus frequency, lexicographic ties) PLUS
+    * every single character (SentencePiece's always-kept base alphabet —
+    * segmentation can never fail), each scored
+    * lp = round(log10(f / F)·10⁶) with F the selected set's total mass.
+    * Vocabulary-sized → a control-plane collect, the WordPiece precedent.
+    * Exposed for the spec's driver-side brute-force replay. */
+  private[graft] def unigramModel(s: SparkSession, d: String)
+      : Seq[(String, Int, Long)] = {
+    val grams = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), explode(expr(
+        "flatten(transform(sequence(1, 4), k -> " +
+          "CASE WHEN length(tok) >= k THEN transform(sequence(1, length(tok) - k + 1), " +
+          "i -> substring(tok, i, k)) ELSE CAST(array() AS array<string>) END))")).as("p"))
+      .groupBy("p").agg(sum("cnt").as("f"))
+      .localCheckpoint(true)
+    val vocab = grams.where(length(col("p")) >= 2)
+      .orderBy(desc("f"), asc("p")).limit(ugVocabSize)
+      .unionByName(grams.where(length(col("p")) === 1))
+      .localCheckpoint(true)
+    // the micro-log scoring runs through Spark's round() so the engine
+    // and driver never disagree on a half-way case the oracle's round()
+    // also sees
+    vocab.crossJoin(broadcast(vocab.agg(sum("f").as("ft"))))
+      .select(col("p"), length(col("p")).as("l"),
+        expr("CAST(round(log10(f * 1.0 / ft) * 1000000) AS BIGINT)").as("lp"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+  }
+
+  /** Test seam: [[textUnigramEncode]]'s token-grain Viterbi results
+    * (tok, n_pieces, viterbi lp sum, piece stream) before doc expansion. */
+  private[graft] def unigramEncTokens(s: SparkSession, d: String): DataFrame = {
+    val model = unigramModel(s, d)
+    model.foreach { case (p, _, _) => require(p.matches("[a-z0-9]+"),
+      s"unigram vocab piece '$p' outside the splice-safe [a-z0-9]+ charset") }
+    val tokc = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val maxLen = tokc.agg(max(length(col("tok")))).collect()(0).getInt(0)
+    require(maxLen <= ugMaxLen,
+      s"token length $maxLen exceeds the oracle's $ugMaxLen-position DP unroll")
+    // per-length micro-log lookup compiled to a codegen'd literal CASE
+    def lpCase(l: Int, pieceExpr: String): String = {
+      val entries = model.filter(_._2 == l).sortBy(_._1)
+        .map { case (p, _, v) => s"WHEN '$p' THEN CAST($v AS BIGINT)" }
+      if (entries.isEmpty) "CAST(NULL AS BIGINT)"
+      else s"CASE $pieceExpr ${entries.mkString(" ")} END"
+    }
+    // Viterbi transition from position i-l: candidate = extend the best
+    // state at i-l with the length-l piece ending at i, when in-vocab.
+    // Struct field order IS the tie-break (array_max compares
+    // lexicographically): max score, then max(-np) = fewest pieces, then
+    // longest final piece — at fixed (i, l) the piece is unique, so the
+    // order is total and matches the oracle's (sc DESC, np ASC, l DESC).
+    def cand(l: Int): String = {
+      val piece = s"substring(tok, i - ${l - 1}, $l)"
+      val prev = s"element_at(st, i - ${l - 1})"
+      s"CASE WHEN i >= $l AND ${lpCase(l, piece)} IS NOT NULL " +
+        s"THEN named_struct('sc', $prev.sc + ${lpCase(l, piece)}, " +
+        s"'mnp', $prev.mnp - CAST(1 AS BIGINT), 'l', $l, " +
+        s"'acc', CASE WHEN $prev.acc = '' THEN $piece " +
+        s"ELSE concat($prev.acc, ' ', $piece) END) END"
+    }
+    val fold = s"aggregate(sequence(1, $maxLen), " +
+      "array(named_struct('sc', CAST(0 AS BIGINT), 'mnp', CAST(0 AS BIGINT), " +
+      "'l', 0, 'acc', '')), " +
+      "(st, i) -> CASE WHEN i > length(tok) THEN st ELSE concat(st, array(" +
+      s"array_max(filter(array(${(1 to 4).map(cand).mkString(", ")}), " +
+      "x -> x IS NOT NULL)))) END)"
+    tokc.select(col("tok"),
+        expr(s"element_at($fold, length(tok) + 1)").as("v"))
+      .select(col("tok"), (-col("v.mnp")).as("np"), col("v.sc").as("sc"),
+        col("v.acc").as("acc"))
+  }
+
+  /** q_text_unigram_encode — the THIRD industry tokenizer family
+    * (SentencePiece's unigram LM, Kudo 2018 — BPE above is
+    * merge-rank-driven, WordPiece is greedy longest-match; unigram picks
+    * the GLOBALLY best segmentation): every token is segmented by exact
+    * Viterbi over the piece model — maximize the summed micro-log piece
+    * probability, ties to fewer pieces then the longer final piece — as
+    * a pure codegen'd `aggregate` fold that carries the DP table (one
+    * best-state struct per prefix position) across the token. Per
+    * document: token count, piece count, the exact integer Viterbi score
+    * sum, and the md5 of the piece stream in token order. The DuckDB
+    * oracle recomputes the model and unrolls the identical DP position
+    * by position, so one wrong transition anywhere breaks the hash gate.
+    *
+    * Scale: the model is vocabulary-BOUNDED (a control-plane collect,
+    * [[textWordpieceEncode]]'s doctrine), the DP compiles to literal
+    * CASE folds — whole-stage codegen, no shuffle, no per-token join —
+    * and encoding runs at VOCAB grain (distinct tokens) before one
+    * dictionary join back to the corpus: the Viterbi never touches
+    * corpus-grain rows. The position cap is asserted, not assumed.
+    */
+  def textUnigramEncode(s: SparkSession, d: String): DataFrame = {
+    val enc = unigramEncTokens(s, d)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+      .join(enc, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("np").as("n_pieces"),
+        sum("sc").as("sum_lp_micro"),
+        expr("md5(array_join(transform(array_sort(" +
+          "collect_list(struct(pos, acc))), x -> x.acc), ' '))").as("enc_md5"))
+      .select("doc_id", "n_tokens", "n_pieces", "sum_lp_micro", "enc_md5")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[textUnigramEncode]]: gram mass, piece model,
+    * and the Viterbi DP unrolled position by position (s$i = the best
+    * state at prefix length i), then the per-doc stream digest. */
+  private def unigramEncodeSql: String = {
+    val tokc = "tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "WHERE len(tok) > 0 GROUP BY tok)"
+    val grams = "grams AS (SELECT g AS p, CAST(sum(cnt) AS BIGINT) AS f FROM (" +
+      "SELECT cnt, unnest(flatten(list_transform([1,2,3,4], k -> " +
+      "CASE WHEN len(tok) >= k THEN list_transform(range(1, len(tok) - k + 2), " +
+      "i -> substr(tok, CAST(i AS INT), k)) ELSE [] END))) AS g " +
+      "FROM tokc) GROUP BY g)"
+    val vocab = "vocab AS MATERIALIZED (SELECT p, f FROM " +
+      s"(SELECT p, f FROM grams WHERE len(p) >= 2 ORDER BY f DESC, p LIMIT $ugVocabSize) " +
+      "UNION ALL SELECT p, f FROM grams WHERE len(p) = 1)"
+    val lp = "lp AS MATERIALIZED (SELECT p, len(p) AS l, " +
+      "CAST(round(log10(f * 1.0 / (SELECT sum(f) FROM vocab)) * 1000000) " +
+      "AS BIGINT) AS lp FROM vocab)"
+    val s0 = "s0 AS (SELECT tok, CAST(0 AS BIGINT) AS sc, " +
+      "CAST(0 AS BIGINT) AS np, '' AS acc FROM tokc)"
+    val steps = (1 to ugMaxLen).map { i =>
+      val branches = (1 to 4).filter(_ <= i).map { l =>
+        s"SELECT s.tok, s.sc + v.lp AS sc, s.np + 1 AS np, " +
+          "CASE WHEN s.acc = '' THEN v.p ELSE s.acc || ' ' || v.p END AS acc, " +
+          s"$l AS l FROM s${i - l} s JOIN lp v ON v.l = $l " +
+          s"AND v.p = substr(s.tok, ${i - l + 1}, $l) WHERE len(s.tok) >= $i"
+      }.mkString(" UNION ALL ")
+      s"s$i AS (SELECT $i AS i, tok, sc, np, acc FROM (" +
+        "SELECT tok, sc, np, acc, row_number() OVER (PARTITION BY tok " +
+        s"ORDER BY sc DESC, np ASC, l DESC) AS rn FROM ($branches)) WHERE rn = 1)"
+    }.mkString(", ")
+    val fin = "fin AS (SELECT tok, sc, np, acc FROM (" +
+      (1 to ugMaxLen).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") +
+      ") WHERE i = len(tok))"
+    val tk = "tk AS (SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok " +
+      "FROM documents, LATERAL (SELECT unnest(generate_series(1, " +
+      "len(string_split(text, ' ')))) AS i) g " +
+      "WHERE len(string_split(text, ' ')[i]) > 0)"
+    s"WITH $tokc, $grams, $vocab, $lp, $s0, $steps, $fin, $tk " +
+      "SELECT doc_id, count(*) AS n_tokens, CAST(sum(np) AS BIGINT) AS n_pieces, " +
+      "CAST(sum(sc) AS BIGINT) AS sum_lp_micro, " +
+      "md5(string_agg(acc, ' ' ORDER BY pos)) AS enc_md5 " +
+      "FROM tk JOIN fin USING (tok) GROUP BY doc_id ORDER BY doc_id"
+  }
+
   /** The oracle's merge-replay CTE chain shared by the train and encode
     * oracles: v0 is the corpus frequency table with char-split symbol
     * sequences; each round k materializes its argmax pair (p_k) and the
@@ -7813,6 +7982,7 @@ object LlmData {
     "q_text_bpe_train" -> textBpeTrain _,
     "q_text_bpe_encode" -> textBpeEncode _,
     "q_text_wordpiece_encode" -> textWordpieceEncode _,
+    "q_text_unigram_encode" -> textUnigramEncode _,
     "q_corpus_dataset_card" -> corpusDatasetCard _,
     "q_embed_kmeans_train" -> embedKmeansTrain _,
     "q_corpus_decontaminate" -> corpusDecontaminate _,
@@ -8360,6 +8530,7 @@ object LlmData {
     "q_text_bpe_train" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
     "q_text_wordpiece_encode" -> wordpieceEncodeSql,
+    "q_text_unigram_encode" -> unigramEncodeSql,
     "q_corpus_dataset_card" -> datasetCardSql,
     "q_embed_kmeans_train" -> kmeansTrainSql,
     "q_corpus_decontaminate" -> decontaminateSql,

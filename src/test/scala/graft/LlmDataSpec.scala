@@ -549,6 +549,56 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_text_unigram_encode: Viterbi matches exhaustive enumeration on every token") {
+    val model = LlmData.unigramModel(s, d)
+    val lp = model.map { case (p, _, v) => p -> v }.toMap
+    // exhaustive best segmentation under the same objective: max score,
+    // then fewest pieces, then lexicographically-later piece list read
+    // right-to-left is NOT needed — the longest-final-piece tie-break is
+    // realized by enumerating and keying on (sc, -np, lastLen)
+    def segment(tok: String): Seq[Seq[String]] = {
+      if (tok.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, tok.length)).flatMap { l =>
+        val h = tok.substring(0, l)
+        if (lp.contains(h)) segment(tok.substring(l)).map(h +: _) else Seq.empty
+      }
+    }
+    // the DP's tie-break is applied at every position; realize it by
+    // folding candidates left-to-right with the same struct order the
+    // engine's array_max uses (score, -np, final-piece length)
+    def bestOf(segs: Seq[Seq[String]]): (Long, Long, Seq[String]) =
+      segs.map(g => (g.map(lp).sum, -g.length.toLong, g))
+        .reduceLeft { (a, b) =>
+          if (b._1 > a._1) b
+          else if (b._1 < a._1) a
+          else if (b._2 > a._2) b
+          else if (b._2 < a._2) a
+          else if (b._3.last.length > a._3.last.length) b else a
+        } match { case (sc, mnp, g) => (sc, -mnp, g) }
+    val got = LlmData.unigramEncTokens(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (tok, np, sc, acc) =>
+      val pieces = acc.split(" ").toSeq
+      assert(pieces.mkString("") === tok,
+        s"pieces of '$tok' do not reconstruct it: '$acc'")
+      assert(pieces.length.toLong === np)
+      assert(pieces.map(lp).sum === sc, s"score mismatch for '$tok'")
+      val (bsc, bnp, _) = bestOf(segment(tok))
+      assert(sc === bsc,
+        s"'$tok': engine Viterbi score $sc but exhaustive best is $bsc")
+      assert(np === bnp,
+        s"'$tok': engine used $np pieces but the best segmentation has $bnp")
+    }
+    // non-vacuous: multi-char pieces genuinely fire somewhere
+    assert(got.exists { case (tok, np, _, _) => np < tok.length },
+      "every token segmented char-by-char — the vocab never matched")
+    // deterministic re-run
+    val again = LlmData.unigramEncTokens(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("q_dedup_bloom: no false negatives, gate is selective, verdict matches brute force") {
     val rows = LlmData.dedupBloom(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),

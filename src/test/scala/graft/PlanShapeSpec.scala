@@ -705,6 +705,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_text_unigram_encode: the Viterbi fold is codegen'd, dictionary join only") {
+    val df = graft.operators.LlmData.textUnigramEncode(s, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the DP runs at vocab grain inside a fold; the only joins allowed
+    // are the dictionary join back to the corpus (plus the model's tiny
+    // total-mass cross)
+    val joins = p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins <= 2, s"unigram encode plans $joins joins (dictionary join only):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_corpus_dataset_card: percentile windows partition by source, never globally") {
     val p = plan(graft.operators.LlmData.corpusDatasetCard(s, d))
     assert(p.contains("windowspecdefinition(source"),
