@@ -343,4 +343,78 @@ object BinaryBatch {
     df.as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(g => audioFpBatch(g.toSeq)))
   }
+
+  // ------------------------------------------------- video scene fixture
+
+  /** Video-scene fixture geometry: [[VideoSceneVideos]] clips of
+    * [[VideoSceneFrames]] 16×12 PNG frames each (the frame-extracted
+    * layout video lands in after sampling). A CUT occurs at frame f ≥ 1
+    * iff (v·5 + f) mod 9 = 0; [[videoSceneOf]] counts cuts ≤ f. All
+    * constants are mirrored literally by the DuckDB oracle. */
+  val VideoSceneVideos = 6
+  val VideoSceneFrames = 24
+
+  /** Scene index of frame f in video v: the number of cuts at or before f. */
+  def videoSceneOf(v: Int, f: Int): Int =
+    (1 to f).count(ff => (v * 5 + ff) % 9 == 0)
+
+  /** The video fixture's pixel formula — shared by the PNG generator and
+    * the DuckDB oracle (the [[phashPixel]] doctrine): the color base is a
+    * function of (video, SCENE) with a ±2-level within-scene flicker on
+    * the red channel keyed by f mod 3, so consecutive same-scene frames
+    * differ by ≤ 1 luminance level per pixel while a cut re-rolls the
+    * whole base. */
+  def videoScenePixel(v: Int, f: Int, s: Int, x: Int, y: Int): (Int, Int, Int) =
+    ((v * 37 + s * 151 + x * 11) % 200 + f % 3,
+      (v * 53 + s * 103 + y * 13) % 200,
+      (v * 29 + s * 57 + x * y) % 200)
+
+  /** Write the deterministic frame fixtures `vid_<v>_f_<f>.png`. */
+  def writeVideoFixtures(dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    for (v <- 0 until VideoSceneVideos; f <- 0 until VideoSceneFrames) {
+      val s = videoSceneOf(v, f)
+      val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val (r, g, b) = videoScenePixel(v, f, s, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      ImageIO.write(img, "png",
+        dir.resolve(f"vid_${v}%02d_f_${f}%03d.png").toFile)
+    }
+  }
+
+  /** One decoded frame's luminance feature. */
+  case class FrameLum(video_id: Long, frame_no: Long, lum: Long)
+
+  /** Decode one batch of frames to the 8×6-grid luminance sum: REAL
+    * ImageIO decode, sample x = gx·w/8, y = gy·h/6 (= 2gx, 2gy on the
+    * 16×12 fixture — the constant the oracle mirrors), integer luminance
+    * (299r + 587g + 114b)/1000 summed over the grid. */
+  def frameLumBatch(batch: Seq[(Long, Long, Array[Byte])]): Seq[FrameLum] =
+    batch.map { case (v, f, bytes) =>
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"frame ($v, $f) failed to decode — feature undefined")
+      var lum = 0L
+      var gy = 0
+      while (gy < 6) {
+        var gx = 0
+        while (gx < 8) {
+          val p = img.getRGB(gx * img.getWidth / 8, gy * img.getHeight / 6)
+          lum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)) / 1000
+          gx += 1
+        }
+        gy += 1
+      }
+      FrameLum(v, f, lum)
+    }
+
+  /** Batched frame-luminance decode over a (video_id, frame_no, content)
+    * frame. */
+  def frameLum(spark: SparkSession, df: DataFrame): Dataset[FrameLum] = {
+    import spark.implicits._
+    df.as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => frameLumBatch(g.toSeq)))
+  }
 }

@@ -2981,6 +2981,87 @@ object LlmData {
       .orderBy("audio_id")
   }
 
+  /** Scene-cut luminance gap: the within-scene flicker moves the 8×6-grid
+    * feature by ≤ 34 (measured over the whole fixture grid; the per-pixel
+    * red flicker is ≤ 2 levels, applied OUTSIDE the mod so it can never
+    * wrap) while the smallest genuine cut moves it by 626 — the gate sits
+    * at 300 with ≥ 2× margin on both sides. Mirrored literally by
+    * [[videoSceneSql]]. */
+  private val videoSceneCutGap = 300L
+
+  /** q_multimodal_video_scene — VIDEO SCENE SEGMENTATION over real decoded
+    * frames: the temporal operator every video-curation pipeline runs
+    * before captioning/sampling (pick one keyframe per scene, not per
+    * frame). The fixture is the frame-extracted layout video actually
+    * lands in (PNG frames per clip, [[graft.functions.BinaryBatch
+    * .writeVideoFixtures]]); the engine decodes REAL codec bytes in
+    * batches ([[graft.functions.BinaryBatch.frameLum]] — the mapInPandas
+    * seam), reduces each frame to an 8×6-grid integer luminance sum, and
+    * detects cuts where the consecutive-frame feature gap exceeds
+    * [[videoSceneCutGap]]; scenes are the running cut count, reported as
+    * (video, scene) segments. The DuckDB oracle recomputes the luminance
+    * table FROM THE GENERATOR'S PIXEL FORMULA and replays the identical
+    * window chain — the engine hashes decoded bytes, the oracle the
+    * formula, so the green row proves decode + sample + detect
+    * end-to-end (the `q_dedup_image_phash` doctrine on the time axis).
+    *
+    * Scale: per-frame state is ONE integer (the 8-byte feature that fits
+    * in memory at any corpus size); decode is embarrassingly parallel
+    * scan work; the detector is one frame-ordered window per video — the
+    * sort is bounded by the longest clip, never the corpus. Segment
+    * output is scene-grain. At 100 TB the decode stage swaps PNG frames
+    * for a real video codec behind the same batch seam and nothing else
+    * moves.
+    */
+  def multimodalVideoScene(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_video_v2"))(
+      graft.functions.BinaryBatch.writeVideoFixtures(_))
+    val pat = "vid_(\\d+)_f_(\\d+)\\.png$"
+    val scanned = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), pat, 1).cast("long").as("video_id"),
+        regexp_extract(col("path"), pat, 2).cast("long").as("frame_no"),
+        col("content"))
+    val lum = graft.functions.BinaryBatch.frameLum(s, scanned).toDF()
+    val w = Window.partitionBy("video_id").orderBy("frame_no")
+    lum.withColumn("dl", col("lum") - lag(col("lum"), 1).over(w))
+      .withColumn("cut", when(col("dl").isNull, lit(0L))
+        .when(abs(col("dl")) > videoSceneCutGap, lit(1L)).otherwise(lit(0L)))
+      .withColumn("scene_no", sum(col("cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("video_id"), col("scene_no"))
+      .agg(min("frame_no").as("start_frame"), max("frame_no").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("video_id", "scene_no")
+  }
+
+  /** DuckDB replay of [[multimodalVideoScene]] from the generator formula:
+    * scene indices, per-frame grid luminance, and the cut/segment window
+    * chain — no table reads; the engine's input is the decoded bytes. */
+  private def videoSceneSql: String = {
+    val nv = graft.functions.BinaryBatch.VideoSceneVideos
+    val nf = graft.functions.BinaryBatch.VideoSceneFrames
+    s"WITH frames AS (SELECT v, f FROM range(0, $nv) t1(v), range(0, $nf) t2(f)), " +
+      s"sc AS (SELECT v, f, (SELECT count(*) FROM range(1, $nf) r(ff) " +
+      "WHERE ff <= f AND (v * 5 + ff) % 9 = 0) AS s FROM frames), " +
+      "lum AS (SELECT v, f, CAST(sum((" +
+      "299 * ((v*37 + s*151 + (2*gx)*11) % 200 + (f % 3)) + " +
+      "587 * ((v*53 + s*103 + (2*gy)*13) % 200) + " +
+      "114 * ((v*29 + s*57 + (2*gx)*(2*gy)) % 200)) // 1000) AS BIGINT) AS lum " +
+      "FROM sc, range(0, 8) gxs(gx), range(0, 6) gys(gy) GROUP BY v, f, s), " +
+      "dd AS (SELECT v, f, lum, lum - lag(lum) OVER " +
+      "(PARTITION BY v ORDER BY f) AS dl FROM lum), " +
+      "bb AS (SELECT v, f, CASE WHEN dl IS NULL THEN 0 " +
+      s"WHEN abs(dl) > $videoSceneCutGap THEN 1 ELSE 0 END AS cut FROM dd), " +
+      "sn AS (SELECT v, f, CAST(sum(cut) OVER (PARTITION BY v ORDER BY f) " +
+      "AS BIGINT) AS scene_no FROM bb) " +
+      "SELECT v AS video_id, scene_no, min(f) AS start_frame, " +
+      "max(f) AS end_frame, CAST(count(*) AS BIGINT) AS n_frames " +
+      "FROM sn GROUP BY v, scene_no ORDER BY video_id, scene_no"
+  }
+
   /** q_dedup_image_phash — IMAGE NEAR-DUP DEDUP via perceptual difference
     * hash: the dedup family extended to the modality the engine already
     * decodes (r12 verdict item 2). A `binaryFile` scan lands the PNG
@@ -7950,6 +8031,7 @@ object LlmData {
     "q_multimodal_binary" -> multimodalBinary _,
     "q_multimodal_frames" -> multimodalFrames _,
     "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
+    "q_multimodal_video_scene" -> multimodalVideoScene _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_dedup_image_phash" -> dedupImagePhash _,
     "q_dedup_lines" -> dedupLines _,
@@ -9365,6 +9447,7 @@ object LlmData {
         "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe, " +
         "CAST(length(text) AS INT) AS n_chars_txt " +
         "FROM documents ORDER BY doc_id"),
+    "q_multimodal_video_scene" -> videoSceneSql,
     "q_multimodal_frames" ->
       ("SELECT * FROM (VALUES " +
         (0 until 48).map { id =>

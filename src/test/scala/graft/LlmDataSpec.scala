@@ -549,6 +549,33 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_multimodal_video_scene: segments recover exactly the planted cuts from decoded bytes") {
+    import graft.functions.BinaryBatch
+    val segs = LlmData.multimodalVideoScene(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nv = BinaryBatch.VideoSceneVideos
+    val nf = BinaryBatch.VideoSceneFrames
+    // planted truth straight from the generator's cut rule
+    val wantSegs = (0 until nv).flatMap { v =>
+      (0 until nf).map(f => (v.toLong, BinaryBatch.videoSceneOf(v, f).toLong, f.toLong))
+        .groupBy(t => (t._1, t._2)).map { case ((vid, sc), fs) =>
+          (vid, sc, fs.map(_._3).min, fs.map(_._3).max, fs.length.toLong)
+        }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(segs.toSeq === wantSegs,
+      "detected segments differ from the generator's planted scene structure")
+    // non-vacuous: every video has at least 2 scenes and frames tile exactly
+    assert(segs.groupBy(_._1).forall(_._2.length >= 2), "a video had no cut")
+    assert(segs.map(_._5).sum === (nv * nf).toLong)
+    segs.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._4 + 1, "segments must tile frames")
+        case _ =>
+      }
+    }
+  }
+
   test("q_text_unigram_encode: Viterbi matches exhaustive enumeration on every token") {
     val model = LlmData.unigramModel(s, d)
     val lp = model.map { case (p, _, v) => p -> v }.toMap
