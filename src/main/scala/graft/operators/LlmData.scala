@@ -4025,6 +4025,75 @@ object LlmData {
     * hapax bigrams — the long tail — never enter it). Per-doc aggregation
     * is a keyed hash agg with map-side partials.
     */
+  /** q_text_kneser_ney — INTERPOLATED KNESER-NEY bigram smoothing (Chen &
+    * Goodman 1999's winner — the LM the perplexity filters everyone
+    * actually ships are built on; [[textBigramLp]]'s stupid backoff is
+    * the web-scale shortcut, this is the principled model): per corpus
+    * bigram, P(w2|w1) = max(c₁₂ − D, 0)/c₁ + λ(w1)·P_cont(w2) with
+    * absolute discount D = 3/4, λ(w1) = D·N₁₊(w1·)/c₁ the leaked mass,
+    * and the CONTINUATION probability P_cont(w2) = N₁₊(·w2)/|bigram
+    * types| — "how many contexts does w2 follow" rather than raw
+    * frequency, the insight that makes KN beat Good-Turing. D = 3/4 is
+    * exact in quarters, so every term is integer micro fixed-point with
+    * one floor division each — max(4c₁₂−3, 0)·10⁶ ÷ 4c₁, 3·N₁₊(w1·)·10⁶
+    * ÷ 4c₁, N₁₊(·w2)·10⁶ ÷ types — and the model is bit-identical across
+    * engines and partitionings. Per-history mass conservation
+    * (Σ discounted + λ = 1) is asserted in the spec.
+    *
+    * Scale: three keyed aggregates at bigram/history/successor grain and
+    * one row-count — all linear in bigram TYPES (hapax-heavy tails cost
+    * rows, not pairs); the types total broadcasts. The model lands as
+    * the maintained artifact a perplexity filter then dictionary-joins,
+    * exactly [[textBigramLp]]'s serving shape.
+    */
+  def textKneserNey(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(split(col("text"), " ").as("t"))
+    val bi = docs.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val hist = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1fwd"))
+    val succ = c12.groupBy("w2").agg(count(lit(1)).as("n1bwd"))
+    val types = c12.agg(count(lit(1)).as("ntypes"))
+    c12.join(hist, "w1").join(succ, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(greatest(4 * c12 - 3, 0) * 1000000) div (4 * c1)")
+          .as("disc_micro"),
+        expr("(3 * n1fwd * 1000000) div (4 * c1)").as("lambda_micro"),
+        expr("(n1bwd * 1000000) div ntypes").as("pcont_micro"))
+      .withColumn("p_micro", col("disc_micro") +
+        expr("(lambda_micro * pcont_micro) div 1000000"))
+      .orderBy("w1", "w2")
+  }
+
+  /** DuckDB replay of [[textKneserNey]]: identical bigram/history/
+    * successor aggregates and quarter-exact floor divisions. */
+  private def kneserNeySql: String =
+    "WITH bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM " +
+      "(SELECT string_split(text, ' ') AS t FROM documents) d, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g " +
+      "WHERE len(t) >= 2), " +
+      "c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 " +
+      "FROM bi GROUP BY w1, w2), " +
+      "hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS n1fwd FROM c12 GROUP BY w1), " +
+      "succ AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bwd " +
+      "FROM c12 GROUP BY w2), " +
+      "types AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c12) " +
+      "SELECT w1, w2, c12, disc_micro, lambda_micro, pcont_micro, " +
+      "disc_micro + (lambda_micro * pcont_micro) // 1000000 AS p_micro FROM (" +
+      "SELECT c.w1, c.w2, c.c12, " +
+      "(greatest(4 * c.c12 - 3, 0) * 1000000) // (4 * h.c1) AS disc_micro, " +
+      "(3 * h.n1fwd * 1000000) // (4 * h.c1) AS lambda_micro, " +
+      "(s.n1bwd * 1000000) // t.ntypes AS pcont_micro " +
+      "FROM c12 c JOIN hist h USING (w1) JOIN succ s USING (w2), types t) " +
+      "ORDER BY w1, w2"
+
   def textBigramLp(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -8053,6 +8122,7 @@ object LlmData {
     "q_text_repetition" -> textRepetition _,
     "q_text_unigram_lp" -> textUnigramLp _,
     "q_text_bigram_lp" -> textBigramLp _,
+    "q_text_kneser_ney" -> textKneserNey _,
     "q_text_tfidf" -> textTfidf _,
     "q_text_collocation_pmi" -> textCollocationPmi _,
     "q_sample_hash" -> sampleHash _,
@@ -9395,6 +9465,7 @@ object LlmData {
         "SELECT doc_id, n_toks, sum_lp_micro, " +
         "round(sum_lp_micro / 1000000.0 / n_toks * 10000, 0) / 10000 AS mean_lp " +
         "FROM agg ORDER BY doc_id"),
+    "q_text_kneser_ney" -> kneserNeySql,
     "q_text_bigram_lp" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "tok AS (SELECT doc_id, unnest(t) AS tok FROM docs), " +

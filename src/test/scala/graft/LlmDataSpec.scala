@@ -549,6 +549,42 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_text_kneser_ney: per-history mass conserves, one bigram recounted exactly") {
+    val rows = LlmData.textKneserNey(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // exact recount of the model's inputs from the raw corpus
+    val bigrams = Tables(s, d, "documents").collect()
+      .map(_.getAs[String]("text")).filter(_ != null)
+      .flatMap(t => { val w = t.split(" "); w.zip(w.drop(1)) })
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1fwd = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1bwd = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ntypes = c12.size.toLong
+    assert(rows.length.toLong === ntypes, "one model row per bigram type")
+    rows.foreach { case (w1, w2, c, disc, lam, pc, p) =>
+      assert(c === c12((w1, w2)))
+      assert(disc === (math.max(4 * c - 3, 0L) * 1000000L) / (4 * c1(w1)))
+      assert(lam === (3 * n1fwd(w1) * 1000000L) / (4 * c1(w1)))
+      assert(pc === (n1bwd(w2) * 1000000L) / ntypes)
+      assert(p === disc + (lam * pc) / 1000000L)
+      assert(p > 0 && p <= 1000000L)
+    }
+    // interpolated-KN mass conservation: for every history,
+    // sum(discounted seen mass) + lambda = 1 up to per-division floor slack
+    rows.groupBy(_._1).foreach { case (w1, g) =>
+      val mass = g.map(_._4).sum + g.head._5
+      val slack = g.length + 2
+      assert(math.abs(mass - 1000000L) <= slack,
+        s"history '$w1' mass $mass outside 1e6 ± $slack")
+    }
+    // the continuation distribution itself sums to ~1 over the vocabulary
+    val pcSum = rows.groupBy(_._2).map(_._2.head._6).sum
+    assert(math.abs(pcSum - 1000000L) <= n1bwd.size + 2)
+  }
+
   test("q_multimodal_video_scene: segments recover exactly the planted cuts from decoded bytes") {
     import graft.functions.BinaryBatch
     val segs = LlmData.multimodalVideoScene(s, d).collect()
