@@ -7046,6 +7046,72 @@ object LlmData {
     * aggregate. No global-order window ever sees the corpus
     * (the [[packSequences]] / `q_agg_ks_test` doctrine).
     */
+  /** q_corpus_curriculum — CURRICULUM PHASE ASSIGNMENT: order the corpus
+    * easiest-first (difficulty = exact mean token length in milli-chars,
+    * the cheap proxy curriculum papers start from; any scored column
+    * slots in) and tile it into 4 equal-token training phases, each
+    * capped at ⌈total/4⌉ tokens — the schedule a staged pre-training run
+    * consumes. A document straddling a boundary belongs to the phase its
+    * LAST token lands in (deterministic; documented). Output is the
+    * phase ledger: docs, tokens, difficulty range per phase.
+    *
+    * Scale: the global ordering is never materialized as a global sort —
+    * the [[corpusTokenBudget]] two-level cumulative: difficulty-BUCKET
+    * pre-sums (one tiny ordered window at bucket grain) plus
+    * within-bucket doc-ordered running sums (each bucket sorts its own
+    * partition), so the only global structure is the bounded bucket
+    * ledger. Phase assignment is then a scan-side division.
+    */
+  def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        expr("(1000 * CAST(n_chars AS BIGINT)) div n_tok").as("diff"))
+    val tot = docs.agg(sum("n_tok").as("tt"))
+      .select(expr("(tt + 3) div 4").as("budget"))
+    val base = docs.groupBy("diff").agg(sum("n_tok").as("st"))
+      .withColumn("b", coalesce(sum(col("st")).over(
+        Window.orderBy("diff").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("diff", "b")
+    val w = Window.partitionBy("diff").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("lc", sum(col("n_tok")).over(w))
+      .join(broadcast(base), "diff")
+      .crossJoin(broadcast(tot))
+      .withColumn("phase", expr("(b + lc - 1) div budget"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("diff").as("d_min"), max("diff").as("d_max"))
+      .orderBy("phase")
+  }
+
+  /** DuckDB replay of [[corpusCurriculum]]: identical bucket pre-sums,
+    * within-bucket running sums, and end-position phase division. */
+  private def curriculumSql: String =
+    "WITH docs AS (SELECT doc_id, n_tok, " +
+      "(1000 * CAST(n_chars AS BIGINT)) // n_tok AS diff FROM (" +
+      "SELECT doc_id, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+      "FROM documents WHERE text IS NOT NULL) WHERE n_tok > 0), " +
+      "tot AS (SELECT (CAST(sum(n_tok) AS BIGINT) + 3) // 4 AS budget FROM docs), " +
+      "base AS (SELECT diff, CAST(coalesce(sum(st) OVER (ORDER BY diff " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b " +
+      "FROM (SELECT diff, CAST(sum(n_tok) AS BIGINT) AS st " +
+      "FROM docs GROUP BY diff)), " +
+      "cum AS (SELECT d.doc_id, d.n_tok, d.diff, base.b + " +
+      "CAST(sum(d.n_tok) OVER (PARTITION BY d.diff ORDER BY d.doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c " +
+      "FROM docs d JOIN base USING (diff)) " +
+      "SELECT CAST((c - 1) // budget AS BIGINT) AS phase, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "min(diff) AS d_min, max(diff) AS d_max " +
+      "FROM cum, tot GROUP BY 1 ORDER BY phase"
+
   def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
     val docs = withQualityScore(t(s, d, "documents"))
       .select(col("doc_id"),
@@ -7210,6 +7276,69 @@ object LlmData {
     * so the op is total. Per-row higher-order-function compute only —
     * embarrassingly parallel, no shuffle except the output sort.
     */
+  /** q_embed_whiten — EMBEDDING WHITENING (the retrieval post-processing
+    * that fixes anisotropic encoder output — Su et al.'s whitening recipe
+    * diagonalized: per dimension, center on the corpus mean and scale to
+    * unit variance; full-covariance whitening composes by first rotating
+    * with [[embedPcaPower]]'s directions). Statistics are EXACT integer
+    * moments of the milli-quantized values (n, Σq, Σq² per dimension —
+    * order-independent longs), and each whitened value pays exactly one
+    * final IEEE (x − μ)/σ rounded to milli (the [[embedNormAudit]]
+    * discipline: exact sums, one float op at the edge). Output per
+    * vector: the first-4-dim whitened signature and the exact sum of
+    * squared whitened millis — the post-whitening norm audit.
+    *
+    * Scale: one posexplode scan into a DIM-grain moment aggregate
+    * (map-side partials; |dims| output rows broadcast back), then one
+    * keyed regroup per vector — no d×d covariance is ever materialized
+    * (diagonal whitening is exactly what remains tractable at 100 TB;
+    * the moments table is the maintained artifact, refreshed by the
+    * same incremental sum-merge as any sketch).
+    */
+  def embedWhiten(s: SparkSession, d: String): DataFrame = {
+    val q = "CAST(round(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)"
+    val rows = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "e")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"), expr(q).as("q"))
+    val stats = rows.groupBy("dim").agg(
+      count(lit(1)).as("n"), sum("q").as("sq"),
+      sum(col("q") * col("q")).as("sqq"))
+    val w = rows.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        expr("CAST(round((q - sq * 1.0 / n) / " +
+          "sqrt((sqq * 1.0 - sq * 1.0 * sq / n) / n) * 1000) AS BIGINT)")
+          .as("w"))
+    w.groupBy("vec_id").agg(
+        max(when(col("dim") === 1, col("w"))).as("w1_milli"),
+        max(when(col("dim") === 2, col("w"))).as("w2_milli"),
+        max(when(col("dim") === 3, col("w"))).as("w3_milli"),
+        max(when(col("dim") === 4, col("w"))).as("w4_milli"),
+        sum(col("w") * col("w")).as("wn2"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of [[embedWhiten]]: identical milli quantization,
+    * exact per-dim moments, and the same one-float-op whitening formula
+    * text evaluated over exact integer inputs. */
+  private def embedWhitenSql: String =
+    "WITH rows_ AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS q " +
+      "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, " +
+      "len(embedding))) AS i) g), " +
+      "stats AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq " +
+      "FROM rows_ GROUP BY dim), " +
+      "w AS (SELECT vec_id, dim, CAST(round((q - sq * 1.0 / n) / " +
+      "sqrt((sqq * 1.0 - sq * 1.0 * sq / n) / n) * 1000) AS BIGINT) AS w " +
+      "FROM rows_ JOIN stats USING (dim)) " +
+      "SELECT vec_id, " +
+      "max(CASE WHEN dim = 1 THEN w END) AS w1_milli, " +
+      "max(CASE WHEN dim = 2 THEN w END) AS w2_milli, " +
+      "max(CASE WHEN dim = 3 THEN w END) AS w3_milli, " +
+      "max(CASE WHEN dim = 4 THEN w END) AS w4_milli, " +
+      "CAST(sum(w * w) AS BIGINT) AS wn2 " +
+      "FROM w GROUP BY vec_id ORDER BY vec_id"
+
   def embedNormAudit(s: SparkSession, d: String): DataFrame = {
     def q(x: Column): Column = round(x.cast("double") * 1000d, 0).cast("long")
     val e = t(s, d, "embeddings")
@@ -8058,6 +8187,7 @@ object LlmData {
     "q_corpus_dsir" -> corpusDsir _,
     "q_text_inverted_index" -> textInvertedIndex _,
     "q_embed_norm_audit" -> embedNormAudit _,
+    "q_embed_whiten" -> embedWhiten _,
     "q_embed_pca_power" -> embedPcaPower _,
     "q_text_hash_vectorizer" -> textHashVectorizer _,
     "q_corpus_boilerplate" -> corpusBoilerplate _,
@@ -8111,6 +8241,7 @@ object LlmData {
     "q_simsearch_range" -> simsearchRange _,
     "q_embed_centroid_eval" -> embedCentroidEval _,
     "q_corpus_token_budget" -> corpusTokenBudget _,
+    "q_corpus_curriculum" -> corpusCurriculum _,
     "q_corpus_split_leakage" -> corpusSplitLeakage _,
     "q_simsearch_maxsim" -> simsearchMaxsim _,
     "q_text_novelty" -> textNovelty _,
@@ -8519,6 +8650,7 @@ object LlmData {
         "SELECT df.term, df.df, tf.tf, heads.postings_head " +
         "FROM df JOIN tf ON df.term = tf.term JOIN heads ON df.term = heads.term " +
         "WHERE df.df >= 25 ORDER BY df.term"),
+    "q_embed_whiten" -> embedWhitenSql,
     "q_embed_norm_audit" ->
       ("WITH base AS (SELECT vec_id, label, embedding, " +
         "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -8987,6 +9119,7 @@ object LlmData {
         "FROM asg WHERE rk = 1 GROUP BY label ORDER BY label"),
     // the quality CTEs replicate q_text_quality's oracle verbatim, then
     // the greedy budget cut replays over the (key, doc_id) global order
+    "q_corpus_curriculum" -> curriculumSql,
     "q_corpus_token_budget" ->
       ("WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks, " +
         "CAST(strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS n_punct " +

@@ -549,6 +549,57 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_corpus_curriculum: phases tile the corpus, budgets hold, difficulty is monotone") {
+    val phases = LlmData.corpusCurriculum(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(phases.length === 4, s"expected 4 phases, got ${phases.length}")
+    assert(phases.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val docs = Tables(s, d, "documents")
+      .where(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+    val totalTok = docs.agg(sum("n_tok")).collect()(0).getLong(0)
+    val budget = (totalTok + 3) / 4
+    // phases partition the corpus exactly
+    assert(phases.map(_._2).sum === docs.count())
+    assert(phases.map(_._3).sum === totalTok)
+    // no phase exceeds its token budget by more than one straddling doc
+    val maxDoc = docs.agg(max("n_tok")).collect()(0).getLong(0)
+    phases.foreach { case (p, _, tok, _, _) =>
+      assert(tok <= budget + maxDoc, s"phase $p holds $tok tokens vs budget $budget")
+    }
+    // the curriculum is monotone: each phase's difficulty range starts at
+    // or after the previous phase's start (bucket boundaries can overlap
+    // by one shared difficulty value, never invert)
+    phases.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 >= a._4 && b._5 >= a._5,
+          s"difficulty ranges invert between phases ${a._1} and ${b._1}")
+      case _ =>
+    }
+  }
+
+  test("q_embed_whiten: whitened dims center at 0 with unit variance") {
+    val perVec = LlmData.embedWhiten(s, d).collect()
+    assert(perVec.nonEmpty)
+    // reconstruct the first-4-dim whitened columns and check moments:
+    // mean within ±2 milli of 0, variance within 2% of 1 (rounding slack)
+    val n = perVec.length.toDouble
+    (1 to 4).foreach { j =>
+      val col = perVec.map(_.getLong(j))
+      val mean = col.sum / n
+      assert(math.abs(mean) <= 2.0, s"dim $j whitened mean $mean not ~0 milli")
+      val varr = col.map(v => v * v.toDouble).sum / n / 1e6 - mean * mean / 1e6
+      assert(math.abs(varr - 1.0) <= 0.02, s"dim $j whitened variance $varr not ~1")
+    }
+    // the norm audit column is the exact sum of squares of per-dim millis
+    perVec.foreach { r =>
+      assert(r.getLong(5) >= 0)
+    }
+    // non-vacuous: whitening changed values (not the identity transform)
+    assert(perVec.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("q_text_kneser_ney: per-history mass conserves, one bigram recounted exactly") {
     val rows = LlmData.textKneserNey(s, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
