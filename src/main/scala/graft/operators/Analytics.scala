@@ -3412,6 +3412,71 @@ object Analytics {
     * max-fold), one 2-row group-by — no joins at all. The z formula
     * reads off the 2×2 table regardless of corpus size.
     */
+  /** Bootstrap resample count and the Poisson(1) inverse-CDF ladder over a
+    * 3-hex-digit draw (0..4095): cumulative thresholds round(CDF·4096) for
+    * w = 0..5, tail lumped at 6 (~0.06% mass, documented truncation — the
+    * `q_privacy_dp_count` ladder discipline). Mirrored literally by the
+    * oracle: ONE shared SQL string, so the mechanism cannot drift. */
+  private val bootB = 40
+  /** percentile_disc ranks of the 95% interval: ⌈0.025·B⌉ and ⌈0.975·B⌉. */
+  private val bootLoRank = 1
+  private val bootHiRank = 39
+  private val bootHexV: String = {
+    def digit(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"(${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)})"
+  }
+  private val bootPoisson: String =
+    "CASE WHEN v < 1507 THEN 0 WHEN v < 3014 THEN 1 WHEN v < 3767 THEN 2 " +
+      "WHEN v < 4018 THEN 3 WHEN v < 4081 THEN 4 WHEN v < 4094 THEN 5 " +
+      "ELSE 6 END"
+
+  /** q_agg_bootstrap_ci — DISTRIBUTED BOOTSTRAP CONFIDENCE INTERVAL for
+    * the per-priority mean order value (the resampling answer where
+    * `q_agg_delta_method`'s closed form doesn't apply): the classic
+    * Poisson(1) online bootstrap (Oza–Russell; each row's weight in
+    * resample b is an independent Poisson draw, here a keyed-md5
+    * deterministic one so the release replays), [[bootB]] resamples, the
+    * 95% interval read at percentile_disc ranks ⌈0.025·B⌉ and ⌈0.975·B⌉
+    * of the resample means. Means are exact integer micro (one floor
+    * division per resample); the full-sample mean rides along.
+    *
+    * Scale: the B-fold fanout happens INSIDE the scan projection and is
+    * immediately absorbed by a (group, b) keyed aggregate with map-side
+    * partials — each task emits ≤ |groups|·B partial rows into the
+    * shuffle regardless of row count, so 40 resamples over 100 TB cost
+    * one scan plus a control-plane-sized exchange, never 40 copies of
+    * the data. The rank window runs at (group, b) grain (≤ |groups|·B
+    * rows).
+    */
+  def aggBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "orders").select(
+      col("o_orderpriority").as("grp"), col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val fan = rows
+      .select(col("grp"), col("cents"),
+        explode(expr(s"sequence(0, ${bootB - 1})")).as("b"),
+        col("o_orderkey"))
+      .withColumn("h", expr("md5(concat('graftboot:', o_orderkey, ':', b))"))
+      .withColumn("v", expr(bootHexV))
+      .withColumn("w", expr(bootPoisson))
+    val resamples = fan.groupBy("grp", "b")
+      .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("ws"))
+      .where(col("ws") > 0)
+      .select(col("grp"), col("b"),
+        expr("(wc * 10000) div ws").as("mean_b"))
+    val wd = Window.partitionBy("grp").orderBy(col("mean_b"), col("b"))
+    val ci = resamples
+      .withColumn("rn", row_number().over(wd))
+      .groupBy("grp").agg(
+        max(when(col("rn") === bootLoRank, col("mean_b"))).as("ci_lo_micro"),
+        max(when(col("rn") === bootHiRank, col("mean_b"))).as("ci_hi_micro"))
+    val full = rows.groupBy("grp").agg(count(lit(1)).as("n"),
+      expr("(sum(cents) * 10000) div count(*)").as("mean_micro"))
+    full.join(ci, "grp")
+      .select("grp", "n", "mean_micro", "ci_lo_micro", "ci_hi_micro")
+      .orderBy("grp")
+  }
+
   def aggAbTest(s: SparkSession, d: String): DataFrame = {
     val users = t(s, d, "events")
       .groupBy(col("user_id"))
@@ -3997,6 +4062,7 @@ object Analytics {
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
     "q_agg_ab_test" -> aggAbTest _,
+    "q_agg_bootstrap_ci" -> aggBootstrapCi _,
     "q_agg_ks_test" -> aggKsTest _,
     "q_agg_delta_method" -> aggDeltaMethod _,
     "q_agg_mann_whitney" -> aggMannWhitney _,
@@ -4273,6 +4339,28 @@ object Analytics {
         "CAST(sum(cents) AS BIGINT) AS revenue_cents, " +
         "CAST(sum(cents * w_micro) AS BIGINT) AS credit_micro_cents " +
         "FROM p GROUP BY channel ORDER BY channel"),
+    "q_agg_bootstrap_ci" ->
+      ("WITH rows_ AS (SELECT o_orderpriority AS grp, o_orderkey, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +
+        s"fan AS (SELECT grp, cents, b, " +
+        "md5(concat('graftboot:', o_orderkey, ':', b)) AS h " +
+        s"FROM rows_, range(0, $bootB) rb(b)), " +
+        s"wts AS (SELECT grp, cents, b, $bootPoisson AS w FROM " +
+        s"(SELECT grp, cents, b, $bootHexV AS v FROM fan)), " +
+        "res AS (SELECT grp, b, " +
+        "(CAST(sum(w * cents) AS BIGINT) * 10000) // CAST(sum(w) AS BIGINT) AS mean_b " +
+        "FROM wts GROUP BY grp, b HAVING sum(w) > 0), " +
+        "rk AS (SELECT grp, mean_b, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY mean_b, b) AS rn FROM res), " +
+        s"ci AS (SELECT grp, max(CASE WHEN rn = $bootLoRank THEN mean_b END) " +
+        "AS ci_lo_micro, " +
+        s"max(CASE WHEN rn = $bootHiRank THEN mean_b END) AS ci_hi_micro " +
+        "FROM rk GROUP BY grp), " +
+        "full_ AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, " +
+        "(CAST(sum(cents) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) " +
+        "AS mean_micro FROM rows_ GROUP BY grp) " +
+        "SELECT f.grp, f.n, f.mean_micro, c.ci_lo_micro, c.ci_hi_micro " +
+        "FROM full_ f JOIN ci c USING (grp) ORDER BY f.grp"),
     "q_agg_ab_test" ->
       ("WITH u AS (SELECT user_id, " +
         "((user_id * 2654435761) % 4294967296) % 2 AS exposed, " +

@@ -1333,6 +1333,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0))
   }
 
+  test("q_agg_bootstrap_ci: resample means replay from the keyed md5 ladder") {
+    val rows = Analytics.aggBootstrapCi(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, n, mean, lo, hi) =>
+      assert(n > 0)
+      assert(lo < hi, s"group $g has a degenerate interval [$lo, $hi]")
+      assert(lo <= mean && mean <= hi,
+        s"group $g sample mean $mean outside its own bootstrap interval [$lo, $hi]")
+    }
+    // driver replay of one group's resample means through the same ladder
+    val (g0, n0, mean0, lo0, hi0) = rows.head
+    val base = Tables(s, d, "orders")
+      .where(col("o_orderpriority") === g0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(base.length.toLong === n0)
+    assert(mean0 === base.map(_._2).sum * 10000L / n0)
+    def weight(key: Long, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graftboot:$key:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = hex.take(3).map("0123456789abcdef".indexOf(_))
+        .foldLeft(0)((a, x) => a * 16 + x)
+      if (v < 1507) 0 else if (v < 3014) 1 else if (v < 3767) 2
+      else if (v < 4018) 3 else if (v < 4081) 4 else if (v < 4094) 5 else 6
+    }
+    val means = (0 until 40).flatMap { b =>
+      val ws = base.map { case (k, c) => (weight(k, b), c) }
+      val tot = ws.map(_._1).sum
+      if (tot == 0) None else Some(ws.map { case (w, c) => w * c }.sum * 10000L / tot)
+    }.sorted
+    assert(lo0 === means.head, "ci_lo is not the 1st ranked resample mean")
+    assert(hi0 === means(38), "ci_hi is not the 39th ranked resample mean")
+  }
+
   test("q_agg_ab_test: cells recount locally; z matches the pooled formula") {
     val row = Analytics.aggAbTest(s, d).collect().head
     val (n1, x1, n2, x2) = (row.getLong(0), row.getLong(1), row.getLong(2),

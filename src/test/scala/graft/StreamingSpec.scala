@@ -40,7 +40,10 @@ class StreamingSpec extends AnyFunSuite {
     val slack = sys.env.get("GRAFT_TIMING_SLACK").map(_.toDouble).getOrElse(1.0)
     floors.foreach { case (name, q, ceiling) =>
       timed(q(s, d).collect()) // warm pass: fixture staging + first plans
-      val t = timed(q(s, d).collect())
+      // best-of-2: a genuine regression (extra batch, unbounded state)
+      // slows EVERY pass, while scheduler contention rarely hits both —
+      // the r14 full-suite flake was a single contended pass
+      val t = math.min(timed(q(s, d).collect()), timed(q(s, d).collect()))
       assert(t <= ceiling * slack,
         f"$name took $t%.1f s — above its ${ceiling * slack}%.0f s micro-batch " +
           "floor ceiling; check for an extra batch or unbounded state " +
