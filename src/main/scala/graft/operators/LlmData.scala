@@ -2794,6 +2794,86 @@ object LlmData {
     * per-query brute force over the corpus (asserted in LlmDataSpec, the
     * [[simsearchIvfFull]] symmetry batched).
     */
+  /** The batch-routed replay's CTE chain (routing per query_id + the
+    * per-query candidate cosines), shared by the `q_simsearch_batch_routed`
+    * oracle and the recall-eval oracle built on top of it. */
+  private def batchRoutedSqlCtes: String =
+    s"$ivfRouteSqlCtes, " +
+      "rqpb AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk " +
+      "FROM rsc WHERE vec_id < 8) WHERE rk <= (SELECT probe_n FROM rpn)), " +
+      "qb AS (SELECT vec_id AS query_id, embedding AS qe " +
+      "FROM embeddings WHERE vec_id < 8), " +
+      "candr AS (SELECT qb.query_id AS query_id, e.vec_id AS vec_id, " +
+      "round((" + VectorOps.sqlCosine("e.embedding", "qb.qe") +
+      ") * 10000, 0) / 10000 AS cos " +
+      "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id " +
+      "JOIN rqpb ON rasg.cell = rqpb.cell " +
+      "JOIN qb ON qb.query_id = rqpb.query_id " +
+      "WHERE e.vec_id >= 8)"
+
+  /** q_simsearch_recall_eval — the ANN QUALITY LEDGER every deployed
+    * index maintains (the eval pass that decides probeN, retrain cadence,
+    * and rebuild triggers): for the standing query batch, recall@10 of
+    * the IVF cell-routed probe ([[simsearchBatchRouted]]) against exact
+    * brute-force ground truth, one row per query (hits, recall ppm). A
+    * query whose probe missed everything still reports (left join from
+    * the query ledger, zero-filled). Both arms and the intersection are
+    * deterministic, so the WHOLE evaluation — routing replay, probe
+    * ranking, brute-force ranking, hit counting — is one oracle-checked
+    * relation, not a test-only number.
+    *
+    * Scale: ground truth is the expensive arm — at 100 TB it runs over a
+    * SAMPLED query panel (a few thousand queries) and lands as a
+    * maintained artifact refreshed with the index, so the recurring eval
+    * cost is the probe plus one candidate-grain join; the brute arm here
+    * is |corpus|×|panel| exact cosines with the panel broadcast, one
+    * scan.
+    */
+  def simsearchRecallEval(s: SparkSession, d: String): DataFrame = {
+    val w10 = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    val probe10 = simsearchBatchRouted(s, d)
+      .withColumn("rk", row_number().over(w10)).where(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val queries = t(s, d, "embeddings").where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val brute10 = t(s, d, "embeddings").where(col("vec_id") >= 8)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        r(VectorOps.cosine(col("embedding"), col("qe")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w10)).where(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = brute10.join(probe10, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    queries.select("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", col("n_hits") * 100000L)
+      .orderBy("query_id")
+  }
+
+  /** DuckDB replay of [[simsearchRecallEval]]: the batch-routed chain cut
+    * at 10, the brute-force arm, and the per-query hit count. */
+  private def recallEvalSql: String =
+    s"WITH $batchRoutedSqlCtes, " +
+      "probe10 AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
+      "AS rr FROM candr) WHERE rr <= 10), " +
+      "bruteall AS (SELECT qb.query_id, e.vec_id, round((" +
+      VectorOps.sqlCosine("e.embedding", "qb.qe") +
+      ") * 10000, 0) / 10000 AS cos FROM embeddings e, qb " +
+      "WHERE e.vec_id >= 8), " +
+      "brute10 AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
+      "AS rr FROM bruteall) WHERE rr <= 10), " +
+      "hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n " +
+      "FROM brute10 b JOIN probe10 p USING (query_id, vec_id) " +
+      "GROUP BY b.query_id) " +
+      "SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits, " +
+      "CAST(coalesce(h.n, 0) * 100000 AS BIGINT) AS recall_ppm " +
+      "FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8) q " +
+      "LEFT JOIN hits h USING (query_id) ORDER BY q.query_id"
+
   private[graft] def simsearchBatchRoutedProbe(s: SparkSession, d: String,
       probeOf: Int => Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -8223,6 +8303,7 @@ object LlmData {
     "q_simsearch_batch" -> simsearchBatch _,
     "q_simsearch_batch_rerank" -> simsearchBatchRerank _,
     "q_simsearch_batch_routed" -> simsearchBatchRouted _,
+    "q_simsearch_recall_eval" -> simsearchRecallEval _,
     "q_simsearch_rerank" -> simsearchRerank _,
     "q_simsearch_mmr" -> simsearchMmr _,
     "q_embed_quantize" -> embedQuantize _,
@@ -9330,20 +9411,9 @@ object LlmData {
     // ranks every query's probe cells with the same (score DESC, cell)
     // rule the single-vector rqp uses — then per-query exact-cosine
     // top-20 inside each query's own cells
+    "q_simsearch_recall_eval" -> recallEvalSql,
     "q_simsearch_batch_routed" ->
-      (s"WITH $ivfRouteSqlCtes, " +
-        "rqpb AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk " +
-        "FROM rsc WHERE vec_id < 8) WHERE rk <= (SELECT probe_n FROM rpn)), " +
-        "qb AS (SELECT vec_id AS query_id, embedding AS qe " +
-        "FROM embeddings WHERE vec_id < 8), " +
-        "candr AS (SELECT qb.query_id AS query_id, e.vec_id AS vec_id, " +
-        "round((" + VectorOps.sqlCosine("e.embedding", "qb.qe") +
-        ") * 10000, 0) / 10000 AS cos " +
-        "FROM embeddings e JOIN rasg ON e.vec_id = rasg.vec_id " +
-        "JOIN rqpb ON rasg.cell = rqpb.cell " +
-        "JOIN qb ON qb.query_id = rqpb.query_id " +
-        "WHERE e.vec_id >= 8) " +
+      (s"WITH $batchRoutedSqlCtes " +
         "SELECT query_id, vec_id, cos FROM (SELECT query_id, vec_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
         "AS rr FROM candr) WHERE rr <= 20 " +

@@ -549,6 +549,40 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_simsearch_recall_eval: ledger matches a direct intersection recount") {
+    val rows = LlmData.simsearchRecallEval(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 8, "one ledger row per standing query")
+    rows.foreach { case (_, hits, ppm) =>
+      assert(hits >= 0 && hits <= 10)
+      assert(ppm === hits * 100000L)
+    }
+    // direct recount for one query: probe top-10 vs exact brute top-10
+    val qid = rows.head._1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    val probe = LlmData.simsearchBatchRouted(s, d)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .where(col("query_id") === qid)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val qe = Tables(s, d, "embeddings").where(col("vec_id") === qid)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble)
+    val bruteIds = Tables(s, d, "embeddings").where(col("vec_id") >= 8)
+      .collect().map { r =>
+        val e = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+        val dot = e.zip(qe).map(p => p._1 * p._2).sum
+        val cos = dot / (math.sqrt(e.map(x => x * x).sum) *
+          math.sqrt(qe.map(x => x * x).sum))
+        (r.getLong(r.fieldIndex("vec_id")),
+          math.round(cos * 10000).toDouble / 10000)
+      }.sortBy(p => (-p._2, p._1)).take(10).map(_._1).toSet
+    assert(rows.head._2 === bruteIds.intersect(probe).size.toLong,
+      s"query $qid ledger disagrees with the direct recount")
+    // the eval is non-vacuous: recall is high but the probe is genuinely
+    // cell-pruned (assert the ledger isn't trivially all-zero)
+    assert(rows.map(_._2).sum > 0, "every query recalled nothing — eval vacuous")
+  }
+
   test("q_corpus_curriculum: phases tile the corpus, budgets hold, difficulty is monotone") {
     val phases = LlmData.corpusCurriculum(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
