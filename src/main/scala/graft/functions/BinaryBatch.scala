@@ -344,6 +344,90 @@ object BinaryBatch {
       .mapPartitions(_.grouped(BatchSize).flatMap(g => audioFpBatch(g.toSeq)))
   }
 
+  // --------------------------------------------- audio segment fixture
+
+  /** Audio-segment fixture geometry: [[AudioSegClips]] clips of
+    * [[AudioSegWindows]] windows × [[AudioSegWinLen]] samples (16-bit
+    * mono PCM LE at [[AudioFpRate]]). Window w of clip c is ACTIVE
+    * (speech/tone) iff (c·3 + w) mod 7 < 4 — runs of up to 4 active and
+    * 3 silent windows; silent windows are digital zero. Mirrored
+    * literally by the DuckDB oracle. */
+  val AudioSegClips = 8
+  val AudioSegWindows = 24
+  val AudioSegWinLen = 256
+
+  /** Active-window rule shared by the WAV writer, the spec, and the
+    * oracle. */
+  def audioSegActive(c: Int, w: Int): Boolean = (c * 3 + w) % 7 < 4
+
+  /** Sample i (clip-global) of clip c: the [[audioFpSample]] integer
+    * sawtooth at period 40 + 7c inside active windows, exact zero in
+    * silent ones. */
+  def audioSegSample(c: Int, i: Int): Int =
+    if (audioSegActive(c, i / AudioSegWinLen))
+      audioFpSample(i, 40 + 7 * c, 12000, 0)
+    else 0
+
+  /** Write the segment-detection WAV corpus `seg_<id>.wav`. */
+  def writeAudioSegFixtures(dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val frames = AudioSegWindows * AudioSegWinLen
+    (0 until AudioSegClips).foreach { c =>
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val v = audioSegSample(c, i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        AudioFpRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, frames.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        dir.resolve(f"seg_$c%03d.wav").toFile)
+    }
+  }
+
+  /** One decoded window's absolute-energy feature. */
+  case class WinEnergy(audio_id: Long, win: Long, energy: Long)
+
+  /** Decode one batch of WAV payloads to per-window absolute energies:
+    * REAL codec decode, [[AudioSegWinLen]]-sample windows, exact integer
+    * |sample| sums. */
+  def audioSegBatch(batch: Seq[(Long, Array[Byte])]): Seq[WinEnergy] =
+    batch.flatMap { case (id, bytes) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"audio $id is not 16-bit mono LE PCM")
+        val data = ais.readAllBytes()
+        val nw = data.length / 2 / AudioSegWinLen
+        (0 until nw).map { w =>
+          var e = 0L
+          var i = w * AudioSegWinLen
+          val end = i + AudioSegWinLen
+          while (i < end) {
+            val v = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+            e += math.abs(v)
+            i += 1
+          }
+          WinEnergy(id, w.toLong, e)
+        }
+      } finally ais.close()
+    }
+
+  /** Batched window-energy decode over an (audio_id, content) frame. */
+  def audioSeg(spark: SparkSession, df: DataFrame): Dataset[WinEnergy] = {
+    import spark.implicits._
+    df.as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => audioSegBatch(g.toSeq)))
+  }
+
   // ------------------------------------------------- video scene fixture
 
   /** Video-scene fixture geometry: [[VideoSceneVideos]] clips of

@@ -1213,6 +1213,48 @@ object Analytics {
     * the single-window formulation it replaces was key-bound at |groups|
     * tasks.
     */
+  /** q_agg_winsorize — WINSORIZED MEAN per order priority: the robust
+    * location metric production dashboards ship when trimming
+    * ([[anomalyIqr]]'s drop-the-outliers) would bias small groups — tail
+    * values are CLAMPED to the exact p5/p95 observed values
+    * (percentile_disc ranks ⌈0.05·n⌉ / ⌈0.95·n⌉ — corpus members, no
+    * interpolation) and the mean recomputed over the clamped column.
+    * Exact integer cents end-to-end: rank window, two rank-picked bounds,
+    * one clamped long sum, one final micro division. Reports raw vs
+    * winsorized mean and the clamp counts, so the metric's sensitivity to
+    * its tails is auditable.
+    *
+    * Scale: one rank window PER GROUP (bounded by the largest group, the
+    * [[aggWeightedMedian]] posture; at 100× the bounds come from the
+    * group's histogram sketch instead) + one keyed re-aggregate of the
+    * same scan.
+    */
+  def aggWinsorize(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "orders").select(
+      col("o_orderpriority").as("grp"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val w = Window.partitionBy("grp").orderBy(col("cents"))
+    val ranked = rows
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    val bounds = ranked.groupBy("grp").agg(
+      max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("cents")))
+        .as("p05"),
+      max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("cents")))
+        .as("p95"))
+    rows.join(broadcast(bounds), "grp")
+      .select(col("grp"), col("cents"), col("p05"), col("p95"),
+        greatest(least(col("cents"), col("p95")), col("p05")).as("wcents"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        expr("(sum(cents) * 10000) div count(*)").as("mean_micro"),
+        expr("(sum(wcents) * 10000) div count(*)").as("wins_mean_micro"),
+        sum(when(col("cents") < col("p05"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        max("p05").as("p05_cents"), max("p95").as("p95_cents"))
+      .orderBy("grp")
+  }
+
   def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
     val g = t(s, d, "lineitem")
       .select(col("l_returnflag"),
@@ -4063,6 +4105,7 @@ object Analytics {
     "q_event_attribution_decay" -> eventAttributionDecay _,
     "q_agg_ab_test" -> aggAbTest _,
     "q_agg_bootstrap_ci" -> aggBootstrapCi _,
+    "q_agg_winsorize" -> aggWinsorize _,
     "q_agg_ks_test" -> aggKsTest _,
     "q_agg_delta_method" -> aggDeltaMethod _,
     "q_agg_mann_whitney" -> aggMannWhitney _,
@@ -4339,6 +4382,27 @@ object Analytics {
         "CAST(sum(cents) AS BIGINT) AS revenue_cents, " +
         "CAST(sum(cents * w_micro) AS BIGINT) AS credit_micro_cents " +
         "FROM p GROUP BY channel ORDER BY channel"),
+    "q_agg_winsorize" ->
+      ("WITH rows_ AS (SELECT o_orderpriority AS grp, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +
+        "ranked AS (SELECT grp, cents, " +
+        "row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn, " +
+        "count(*) OVER (PARTITION BY grp) AS n FROM rows_), " +
+        "bounds AS (SELECT grp, " +
+        "max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS p05, " +
+        "max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS p95 " +
+        "FROM ranked GROUP BY grp) " +
+        "SELECT r.grp, CAST(count(*) AS BIGINT) AS n, " +
+        "(CAST(sum(r.cents) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) " +
+        "AS mean_micro, " +
+        "(CAST(sum(greatest(least(r.cents, b.p95), b.p05)) AS BIGINT) * 10000) " +
+        "// CAST(count(*) AS BIGINT) AS wins_mean_micro, " +
+        "CAST(sum(CASE WHEN r.cents < b.p05 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_clamped_lo, " +
+        "CAST(sum(CASE WHEN r.cents > b.p95 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_clamped_hi, " +
+        "max(b.p05) AS p05_cents, max(b.p95) AS p95_cents " +
+        "FROM rows_ r JOIN bounds b USING (grp) GROUP BY r.grp ORDER BY r.grp"),
     "q_agg_bootstrap_ci" ->
       ("WITH rows_ AS (SELECT o_orderpriority AS grp, o_orderkey, " +
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +

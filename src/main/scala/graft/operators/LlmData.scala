@@ -3061,6 +3061,79 @@ object LlmData {
       .orderBy("audio_id")
   }
 
+  /** Voice-activity energy gate: silent fixture windows are digital zero;
+    * active sawtooth windows carry ≈ amp/2·window ≈ 1.5M absolute energy
+    * — the gate sits 3 orders of magnitude under the active floor.
+    * Mirrored literally by [[audioSegSql]]. */
+  private val audioSegGate = 1000L
+
+  /** q_multimodal_audio_segments — AUDIO ACTIVITY SEGMENTATION over real
+    * decoded samples (the VAD-style pass every speech-data pipeline runs
+    * before transcription: split clips into voiced spans, drop silence):
+    * the WAV corpus is decoded by the REAL codec in batches
+    * ([[graft.functions.BinaryBatch.audioSeg]]), reduced to exact
+    * per-window absolute-energy integers, gated at [[audioSegGate]], and
+    * contiguous active windows become segments via the gaps-islands
+    * window identity (win − row_number is constant within a run). The
+    * DuckDB oracle recomputes every window's energy FROM THE GENERATOR'S
+    * INTEGER SAWTOOTH FORMULA and replays the identical island chain —
+    * decode + window + gate + segment proven end-to-end, the
+    * [[multimodalVideoScene]] doctrine on the audio axis.
+    *
+    * Scale: per-window state is one integer; decode is scan work; the
+    * island window is per-clip (bounded by the longest clip). Swap the
+    * energy gate for a learned VAD behind the same batch seam and the
+    * plan is unchanged.
+    */
+  def multimodalAudioSegments(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Fixtures.ensure(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_audioseg_a1"))(
+      graft.functions.BinaryBatch.writeAudioSegFixtures(_))
+    val scanned = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "seg_(\\d+)\\.wav$", 1).cast("long")
+          .as("audio_id"),
+        col("content"))
+    val en = graft.functions.BinaryBatch.audioSeg(s, scanned).toDF()
+    val w = Window.partitionBy("audio_id").orderBy("win")
+    en.where(col("energy") > audioSegGate)
+      .withColumn("isl", col("win") - row_number().over(w))
+      .groupBy(col("audio_id"), col("isl"))
+      .agg(min("win").as("start_win"), max("win").as("end_win"),
+        count(lit(1)).as("n_windows"), sum("energy").as("energy_sum"))
+      .withColumn("seg_no",
+        (row_number().over(Window.partitionBy("audio_id")
+          .orderBy("start_win")) - 1).cast("long"))
+      .select("audio_id", "seg_no", "start_win", "end_win", "n_windows",
+        "energy_sum")
+      .orderBy("audio_id", "seg_no")
+  }
+
+  /** DuckDB replay of [[multimodalAudioSegments]] from the generator
+    * formula: per-window sawtooth energy sums, the gate, and the island
+    * chain — no table reads; the engine's input is decoded codec bytes. */
+  private def audioSegSql: String = {
+    val bb = graft.functions.BinaryBatch
+    val rate = bb.AudioFpRate
+    s"WITH wins AS (SELECT c, w FROM range(0, ${bb.AudioSegClips}) t1(c), " +
+      s"range(0, ${bb.AudioSegWindows}) t2(w) WHERE (c * 3 + w) % 7 < 4), " +
+      "en AS (SELECT c, w, CAST(sum(abs(" +
+      s"((i * (40 + 7 * c)) % $rate) * 2 * 12000 // $rate - 12000" +
+      ")) AS BIGINT) AS energy FROM wins, " +
+      s"LATERAL (SELECT unnest(generate_series(w * ${bb.AudioSegWinLen}, " +
+      s"w * ${bb.AudioSegWinLen} + ${bb.AudioSegWinLen - 1})) AS i) g " +
+      "GROUP BY c, w), " +
+      "act AS (SELECT c, w, energy, w - row_number() OVER " +
+      s"(PARTITION BY c ORDER BY w) AS isl FROM en WHERE energy > $audioSegGate), " +
+      "seg AS (SELECT c, isl, min(w) AS start_win, max(w) AS end_win, " +
+      "CAST(count(*) AS BIGINT) AS n_windows, " +
+      "CAST(sum(energy) AS BIGINT) AS energy_sum FROM act GROUP BY c, isl) " +
+      "SELECT c AS audio_id, CAST(row_number() OVER (PARTITION BY c " +
+      "ORDER BY start_win) - 1 AS BIGINT) AS seg_no, start_win, end_win, " +
+      "n_windows, energy_sum FROM seg ORDER BY audio_id, seg_no"
+  }
+
   /** Scene-cut luminance gap: the within-scene flicker moves the 8×6-grid
     * feature by ≤ 34 (measured over the whole fixture grid; the per-pixel
     * red flicker is ≤ 2 levels, applied OUTSIDE the mod so it can never
@@ -8312,6 +8385,7 @@ object LlmData {
     "q_multimodal_frames" -> multimodalFrames _,
     "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
     "q_multimodal_video_scene" -> multimodalVideoScene _,
+    "q_multimodal_audio_segments" -> multimodalAudioSegments _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_dedup_image_phash" -> dedupImagePhash _,
     "q_dedup_lines" -> dedupLines _,
@@ -9722,6 +9796,7 @@ object LlmData {
         "CAST(length(text) AS INT) AS n_chars_txt " +
         "FROM documents ORDER BY doc_id"),
     "q_multimodal_video_scene" -> videoSceneSql,
+    "q_multimodal_audio_segments" -> audioSegSql,
     "q_multimodal_frames" ->
       ("SELECT * FROM (VALUES " +
         (0 until 48).map { id =>

@@ -1227,6 +1227,79 @@ object Relational {
   def scanManifestSkip(s: SparkSession, d: String): DataFrame =
     scanManifestSkipImpl(s, d)._1
 
+  /** Bloom-index bit addresses (3 hashes × 4 md5 hex digits → a
+    * 65,536-bit filter per file) — the `q_dedup_bloom` geometry at FILE
+    * grain, the instr-table form both engines and the driver replay
+    * identically. */
+  private def bloomIdxPos(j: Int): String = {
+    def digit(i: Int) =
+      s"(instr('0123456789abcdef', substr(h, ${4 * j + i}, 1)) - 1)"
+    s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+  }
+
+  /** q_scan_bloom_skip — PER-FILE BLOOM INDEX for point lookups (the
+    * Delta `bloomFilterIndex` / Iceberg bloom feature): the table lands
+    * range-partitioned by DATE (serving the date-pruning workload), so
+    * per-file min/max on the CUSTOMER key prunes nothing — every file's
+    * key range spans the domain. The landing pass persists a per-file
+    * bloom of the key column instead; a point lookup reads the KB-scale
+    * index, keeps only files whose bloom contains all 3 probe bits, and
+    * scans just those. No false negatives ⇒ the result EQUALS the full
+    * scan (the `q_join_bloom_pruned` doctrine: the oracle is the plain
+    * query); LayoutSpec asserts a strict file subset was read.
+    *
+    * Scale: the index is bits-per-distinct-key per file (~KB/file),
+    * planned driver-side like every manifest read (the
+    * `q_scan_manifest_skip` 10⁶-file argument applies unchanged — shard
+    * the index file beside the manifest); the set-bit RELATION stands in
+    * for the bitmap bytes so the construction stays oracle-replayable.
+    */
+  def scanBloomSkip(s: SparkSession, d: String): DataFrame =
+    scanBloomSkipImpl(s, d)._1
+
+  /** Implementation returning (result, filesRead, filesTotal) so LayoutSpec
+    * can assert real file-level pruning happened. */
+  private[graft] def scanBloomSkipImpl(
+      s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_scan_bloom_skip"
+    t(s, d, "orders")
+      .repartitionByRange(16, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(s"$root/table")
+    val posArr = array((0 to 2).map(j => expr(bloomIdxPos(j))): _*)
+    s.read.parquet(s"$root/table")
+      .select(input_file_name().as("file"),
+        expr("md5(CAST(o_custkey AS STRING))").as("h"))
+      .select(col("file"), explode(posArr).as("bit")).distinct()
+      .write.mode("overwrite").parquet(s"$root/bloomidx")
+    // the probed key: minimum customer, from an id-only scan
+    val probeKey = t(s, d, "orders")
+      .agg(min("o_custkey")).collect()(0).getLong(0)
+    // driver-side probe bit addresses — same md5-positional scheme
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(probeKey.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val probeBits = (0 to 2)
+      .map(j => Integer.parseInt(hex.substring(4 * j, 4 * j + 4), 16))
+    val need = probeBits.distinct.length
+    val idx = s.read.parquet(s"$root/bloomidx")
+    val total = idx.select("file").distinct().count().toInt
+    val hits = idx.where(col("bit").isin(probeBits.distinct: _*))
+      .groupBy("file").agg(countDistinct(col("bit")).as("nb"))
+      .where(col("nb") === need)
+      .select("file").collect().map(_.getString(0))
+    val source =
+      if (hits.isEmpty) s.read.parquet(s"$root/table").where(lit(false))
+      else s.read.parquet(hits.toIndexedSeq: _*)
+    val res = source.where(col("o_custkey") === probeKey)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("revenue_cents"))
+      .select(lit(probeKey).as("o_custkey"), col("n_orders"),
+        col("revenue_cents"))
+    (res, hits.length, total)
+  }
+
   /** Implementation returning (result, filesRead, filesTotal) so LayoutSpec
     * can assert real file-level pruning happened.
     */
@@ -1543,6 +1616,7 @@ object Relational {
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
     "q_scan_manifest_skip" -> scanManifestSkip _,
+    "q_scan_bloom_skip" -> scanBloomSkip _,
     "q_agg_percentile" -> aggPercentile _,
     "q_pivot_wide" -> pivotWide _,
     "q_unpivot_long" -> unpivotLong _,
@@ -1884,6 +1958,13 @@ object Relational {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     // file skipping must be invisible to results: the oracle is the plain
     // full-scan filter over the source table
+    // the bloom index has no false negatives, so the oracle is the plain
+    // point-lookup aggregate — a mis-pruned file would hash-mismatch here
+    "q_scan_bloom_skip" ->
+      ("WITH pk AS (SELECT min(o_custkey) AS k FROM orders) " +
+        "SELECT pk.k AS o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) " +
+        "AS revenue_cents FROM orders, pk WHERE o_custkey = pk.k GROUP BY pk.k"),
     "q_scan_manifest_skip" ->
       ("SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n, " +
         s"${sqlSumExact("o_totalprice", 2)} AS revenue " +

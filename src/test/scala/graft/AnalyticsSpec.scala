@@ -1333,6 +1333,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0))
   }
 
+  test("q_agg_winsorize: clamp bounds and robust mean recount exactly") {
+    val rows = Analytics.aggWinsorize(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val (g0, n0, mean0, wmean0, lo0, hi0, p05, p95) = rows.head
+    val cents = Tables(s, d, "orders")
+      .where(col("o_orderpriority") === g0)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(cents.length.toLong === n0)
+    assert(p05 === cents(((n0 * 5 + 99) / 100 - 1).toInt))
+    assert(p95 === cents(((n0 * 95 + 99) / 100 - 1).toInt))
+    assert(mean0 === cents.sum * 10000L / n0)
+    val clamped = cents.map(c => math.max(math.min(c, p95), p05))
+    assert(wmean0 === clamped.sum * 10000L / n0)
+    assert(lo0 === cents.count(_ < p05) && hi0 === cents.count(_ > p95))
+    // winsorizing must bite on a skewed revenue tail
+    rows.foreach { case (g, _, m, wm, l, h, _, _) =>
+      assert(l > 0 && h > 0, s"group $g clamped nothing — vacuous")
+      assert(wm !== m, s"group $g winsorized mean equals the raw mean")
+    }
+  }
+
   test("q_agg_bootstrap_ci: resample means replay from the keyed md5 ladder") {
     val rows = Analytics.aggBootstrapCi(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -64,6 +64,23 @@ class LayoutSpec extends AnyFunSuite {
       "increasing either coordinate increases zval from a fixed cell")
   }
 
+  test("q_scan_bloom_skip reads a strict subset of the files, correctly") {
+    val (df, read, total) = operators.Relational.scanBloomSkipImpl(spark, sf)
+    // the bloom must prune: a single customer's orders live in a handful
+    // of date-partitioned files, and false positives are rare at these
+    // fill ratios
+    assert(read < total, s"bloom index pruned nothing: $read of $total files")
+    // and pruning is invisible to results: equals the full-scan lookup
+    val probeKey = Tables(spark, sf, "orders")
+      .agg(min("o_custkey")).collect()(0).getLong(0)
+    val full = Tables(spark, sf, "orders")
+      .where(col("o_custkey") === probeKey)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents"))
+      .select(lit(probeKey).as("o_custkey"), col("n_orders"), col("revenue_cents"))
+    assert(df.collect() === full.collect())
+  }
+
   test("q_scan_manifest_skip reads a strict subset of the files, correctly") {
     val (df, read, total) = operators.Relational.scanManifestSkipImpl(spark, sf)
     // the probe year is ~1/6.5 of the table's date span: range-partitioned

@@ -670,6 +670,31 @@ class LlmDataSpec extends AnyFunSuite {
     assert(math.abs(pcSum - 1000000L) <= n1bwd.size + 2)
   }
 
+  test("q_multimodal_audio_segments: islands recover exactly the planted activity runs") {
+    import graft.functions.BinaryBatch
+    val segs = LlmData.multimodalAudioSegments(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // planted truth straight from the generator's active-window rule
+    val wantSegs = (0 until BinaryBatch.AudioSegClips).flatMap { c =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var w = 0
+      while (w < BinaryBatch.AudioSegWindows) {
+        if (BinaryBatch.audioSegActive(c, w)) {
+          val start = w
+          while (w < BinaryBatch.AudioSegWindows && BinaryBatch.audioSegActive(c, w)) w += 1
+          runs += ((start.toLong, (w - 1).toLong))
+        } else w += 1
+      }
+      runs.zipWithIndex.map { case ((a, b), i) =>
+        (c.toLong, i.toLong, a, b, b - a + 1)
+      }
+    }.toSeq
+    assert(segs.toSeq === wantSegs,
+      "detected segments differ from the generator's planted activity runs")
+    // non-vacuous: every clip splits into at least 2 segments
+    assert(segs.groupBy(_._1).forall(_._2.length >= 2), "a clip had one segment")
+  }
+
   test("q_multimodal_video_scene: segments recover exactly the planted cuts from decoded bytes") {
     import graft.functions.BinaryBatch
     val segs = LlmData.multimodalVideoScene(s, d).collect()
