@@ -6332,10 +6332,10 @@ object LlmData {
       .orderBy("doc_id")
   }
 
-  /** DuckDB replay of [[textUnigramEncode]]: gram mass, piece model,
-    * and the Viterbi DP unrolled position by position (s$i = the best
-    * state at prefix length i), then the per-doc stream digest. */
-  private def unigramEncodeSql: String = {
+  /** The unigram replay's CTE chain through `fin` (gram mass, piece
+    * model `lp`, the position-unrolled Viterbi, per-token results),
+    * shared by the encode oracle and the EM-step oracle. */
+  private def unigramSqlCtes: String = {
     val tokc = "tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
       "WHERE len(tok) > 0 GROUP BY tok)"
@@ -6366,16 +6366,67 @@ object LlmData {
     val fin = "fin AS (SELECT tok, sc, np, acc FROM (" +
       (1 to ugMaxLen).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") +
       ") WHERE i = len(tok))"
+    s"$tokc, $grams, $vocab, $lp, $s0, $steps, $fin"
+  }
+
+  /** DuckDB replay of [[textUnigramEncode]]: the shared chain plus the
+    * per-doc stream digest. */
+  private def unigramEncodeSql: String = {
     val tk = "tk AS (SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok " +
       "FROM documents, LATERAL (SELECT unnest(generate_series(1, " +
       "len(string_split(text, ' ')))) AS i) g " +
       "WHERE len(string_split(text, ' ')[i]) > 0)"
-    s"WITH $tokc, $grams, $vocab, $lp, $s0, $steps, $fin, $tk " +
+    s"WITH $unigramSqlCtes, $tk " +
       "SELECT doc_id, count(*) AS n_tokens, CAST(sum(np) AS BIGINT) AS n_pieces, " +
       "CAST(sum(sc) AS BIGINT) AS sum_lp_micro, " +
       "md5(string_agg(acc, ' ' ORDER BY pos)) AS enc_md5 " +
       "FROM tk JOIN fin USING (tok) GROUP BY doc_id ORDER BY doc_id"
   }
+
+  /** q_text_unigram_em_step — the TRAIN side of the unigram tokenizer
+    * ([[textUnigramEncode]] is the apply side), one hard-EM (Viterbi-EM)
+    * iteration — exactly SentencePiece's training loop body: E-step
+    * segments every distinct token under the current model (the
+    * engine's own Viterbi, corpus-frequency-weighted); M-step recounts
+    * piece mass over the segmentation and re-normalizes, emitting the
+    * refreshed model (piece, new mass, new micro-log prob). Pieces the
+    * Viterbi never uses leave the model — the EM prune that shrinks the
+    * seed vocabulary toward the kept one. Hard-EM monotonicity (the new
+    * parameters maximize the fixed segmentation's likelihood) is
+    * asserted in the spec within micro-rounding slack.
+    *
+    * Scale: E-step cost is [[textUnigramEncode]]'s (vocab-grain DP, one
+    * dictionary weight join); the M-step is one piece-grain aggregate of
+    * the segmented stream — the model stays a control-plane relation,
+    * and iterating the step is a driver loop over bounded artifacts
+    * (the `q_embed_kmeans_train` shape).
+    */
+  def textUnigramEmStep(s: SparkSession, d: String): DataFrame = {
+    val tokc = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val counts = unigramEncTokens(s, d).join(tokc, "tok")
+      .select(col("cnt"), explode(split(col("acc"), " ")).as("p"))
+      .groupBy("p").agg(sum("cnt").as("f1"))
+      .localCheckpoint(true)
+    counts.crossJoin(broadcast(counts.agg(sum("f1").as("ft"))))
+      .select(col("p"), col("f1"),
+        expr("CAST(round(log10(f1 * 1.0 / ft) * 1000000) AS BIGINT)")
+          .as("lp1_micro"))
+      .orderBy("p")
+  }
+
+  /** DuckDB replay of [[textUnigramEmStep]]: the shared Viterbi chain,
+    * the frequency-weighted piece recount, and the re-normalization. */
+  private def unigramEmStepSql: String =
+    s"WITH $unigramSqlCtes, " +
+      "em AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS f1 FROM (" +
+      "SELECT tokc.cnt, unnest(string_split(fin.acc, ' ')) AS p " +
+      "FROM fin JOIN tokc USING (tok)) GROUP BY p) " +
+      "SELECT p, f1, CAST(round(log10(f1 * 1.0 / " +
+      "(SELECT sum(f1) FROM em)) * 1000000) AS BIGINT) AS lp1_micro " +
+      "FROM em ORDER BY p"
 
   /** The oracle's merge-replay CTE chain shared by the train and encode
     * oracles: v0 is the corpus frequency table with char-split symbol
@@ -8421,6 +8472,7 @@ object LlmData {
     "q_text_bpe_encode" -> textBpeEncode _,
     "q_text_wordpiece_encode" -> textWordpieceEncode _,
     "q_text_unigram_encode" -> textUnigramEncode _,
+    "q_text_unigram_em_step" -> textUnigramEmStep _,
     "q_corpus_dataset_card" -> corpusDatasetCard _,
     "q_embed_kmeans_train" -> embedKmeansTrain _,
     "q_corpus_decontaminate" -> corpusDecontaminate _,
@@ -8970,6 +9022,7 @@ object LlmData {
     "q_text_bpe_encode" -> bpeEncodeSql,
     "q_text_wordpiece_encode" -> wordpieceEncodeSql,
     "q_text_unigram_encode" -> unigramEncodeSql,
+    "q_text_unigram_em_step" -> unigramEmStepSql,
     "q_corpus_dataset_card" -> datasetCardSql,
     "q_embed_kmeans_train" -> kmeansTrainSql,
     "q_corpus_decontaminate" -> decontaminateSql,

@@ -670,6 +670,38 @@ class LlmDataSpec extends AnyFunSuite {
     assert(math.abs(pcSum - 1000000L) <= n1bwd.size + 2)
   }
 
+  test("q_text_unigram_em_step: mass conserves and hard-EM likelihood never drops") {
+    val model0 = LlmData.unigramModel(s, d).map { case (p, _, v) => p -> v }.toMap
+    val enc = LlmData.unigramEncTokens(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tokCnt = Tables(s, d, "documents").select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0).groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = LlmData.textUnigramEmStep(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // M-step mass recounts exactly from the engine's own segmentation
+    val want = enc.flatMap { case (tok, _, _, acc) =>
+      acc.split(" ").map(p => p -> tokCnt(tok))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got.map(p => p._1 -> p._2).toMap === want)
+    // total piece mass = sum over tokens of cnt * np
+    assert(got.map(_._2).sum === enc.map { case (t0, np, _, _) => tokCnt(t0) * np }.sum)
+    // EM prune is real: the seed model carries pieces the Viterbi never
+    // uses, and they leave
+    assert(got.length < model0.size,
+      "no piece was pruned — the EM step is the identity on this fixture")
+    // hard-EM monotonicity: under the FIXED segmentation, the refreshed
+    // parameters cannot lower total log-likelihood (micro-rounding slack:
+    // one micro per piece occurrence)
+    val lp1 = got.map(p => p._1 -> p._3).toMap
+    val occ = enc.map { case (t0, np, _, _) => tokCnt(t0) * np }.sum
+    val ll0 = enc.map { case (t0, _, sc, _) => tokCnt(t0) * sc }.sum
+    val ll1 = enc.map { case (t0, _, _, acc) =>
+      tokCnt(t0) * acc.split(" ").map(lp1).sum
+    }.sum
+    assert(ll1 >= ll0 - occ, s"EM step lowered likelihood: $ll0 -> $ll1")
+  }
+
   test("q_multimodal_audio_segments: islands recover exactly the planted activity runs") {
     import graft.functions.BinaryBatch
     val segs = LlmData.multimodalAudioSegments(s, d).collect()
