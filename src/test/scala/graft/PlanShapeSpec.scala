@@ -705,6 +705,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_agg_bootstrap_ci: the 40-fold fanout partial-aggregates map-side, no quadratic join") {
+    val p = plan(graft.operators.Analytics.aggBootstrapCi(s, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bootstrap planned a quadratic join:\n$p")
+    assert(p.contains("partial_"),
+      s"the (group, b) aggregate must partial-aggregate before the exchange:\n$p")
+  }
+
+  test("q_embed_whiten: dim moments partial-aggregate and broadcast back") {
+    val p = plan(graft.operators.LlmData.embedWhiten(s, d))
+    assert(p.contains("partial_"),
+      s"the dim-grain moment aggregate must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the |dims|-row stats table must broadcast back, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_corpus_curriculum: windows run at bucket grain and within-bucket, never one global sort") {
+    val df = graft.operators.LlmData.corpusCurriculum(s, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-doc running sum must partition by the difficulty bucket —
+    // a window over an unpartitioned doc order would be the global-sort
+    // funnel the operator exists to avoid
+    assert(p.contains("windowspecdefinition(diff"),
+      s"per-doc cumulative window must partition by diff:\n$p")
+    // the broadcast of the 1-row budget scalar legitimately plans as a
+    // BroadcastNestedLoopJoin; only a genuine cartesian is forbidden
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_text_unigram_encode: the Viterbi fold is codegen'd, dictionary join only") {
     val df = graft.operators.LlmData.textUnigramEncode(s, d)
     df.collect()
