@@ -3166,7 +3166,10 @@ object LlmData {
     * for a real video codec behind the same batch seam and nothing else
     * moves.
     */
-  def multimodalVideoScene(s: SparkSession, d: String): DataFrame = {
+  /** The decoded, scene-assigned frame relation
+    * (video_id, frame_no, lum, scene_no) shared by [[multimodalVideoScene]]
+    * and [[multimodalKeyframe]]. */
+  private def videoSceneFrames(s: SparkSession, d: String): DataFrame = {
     val dir = graft.Fixtures.ensure(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_video_v2"))(
       graft.functions.BinaryBatch.writeVideoFixtures(_))
@@ -3184,19 +3187,58 @@ object LlmData {
         .when(abs(col("dl")) > videoSceneCutGap, lit(1L)).otherwise(lit(0L)))
       .withColumn("scene_no", sum(col("cut")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("video_id", "frame_no", "lum", "scene_no")
+  }
+
+  def multimodalVideoScene(s: SparkSession, d: String): DataFrame =
+    videoSceneFrames(s, d)
       .groupBy(col("video_id"), col("scene_no"))
       .agg(min("frame_no").as("start_frame"), max("frame_no").as("end_frame"),
         count(lit(1)).as("n_frames"))
+      .orderBy("video_id", "scene_no")
+
+  /** q_multimodal_keyframe — KEYFRAME ELECTION per scene, the step after
+    * [[multimodalVideoScene]] in every video-curation pipeline (caption
+    * ONE representative frame per scene, not 24 near-identical ones):
+    * within each scene, the keyframe is the LUMINANCE-MEDIAN frame
+    * (percentile_disc rank ⌈n/2⌉ under a (lum, frame_no) sort — an
+    * observed frame, deterministic ties), the standard cheap
+    * representativeness proxy (the median frame is maximally typical of
+    * the segment under the feature the cut detector already computed).
+    * Output: one ledger row per scene with the elected frame and its
+    * feature. The oracle replays decode (from the generator formula),
+    * scene assignment, and the median election in one chain.
+    *
+    * Scale: composes on [[videoSceneFrames]]'s per-clip windows — the
+    * election is one rank window at (video, scene) grain over frames the
+    * detector already carried; output is scene-grain (the 24× data
+    * reduction that makes downstream captioning affordable).
+    */
+  def multimodalKeyframe(s: SparkSession, d: String): DataFrame = {
+    val frames = videoSceneFrames(s, d)
+    val wk = Window.partitionBy("video_id", "scene_no")
+      .orderBy(col("lum"), col("frame_no"))
+    frames
+      .withColumn("rk", row_number().over(wk))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("video_id", "scene_no")))
+      .where(col("rk") === expr("(n + 1) div 2"))
+      .select(col("video_id"), col("scene_no"),
+        col("frame_no").as("key_frame"), col("lum").as("key_lum"),
+        col("n").as("n_frames"))
       .orderBy("video_id", "scene_no")
   }
 
   /** DuckDB replay of [[multimodalVideoScene]] from the generator formula:
     * scene indices, per-frame grid luminance, and the cut/segment window
     * chain — no table reads; the engine's input is the decoded bytes. */
-  private def videoSceneSql: String = {
+  /** The video-scene replay's CTE chain through `sn` (formula frames,
+    * grid luminance, cut detection, scene assignment — `sn` carries
+    * v, f, lum, scene_no), shared by the scene and keyframe oracles. */
+  private def videoSceneSqlCtes: String = {
     val nv = graft.functions.BinaryBatch.VideoSceneVideos
     val nf = graft.functions.BinaryBatch.VideoSceneFrames
-    s"WITH frames AS (SELECT v, f FROM range(0, $nv) t1(v), range(0, $nf) t2(f)), " +
+    s"frames AS (SELECT v, f FROM range(0, $nv) t1(v), range(0, $nf) t2(f)), " +
       s"sc AS (SELECT v, f, (SELECT count(*) FROM range(1, $nf) r(ff) " +
       "WHERE ff <= f AND (v * 5 + ff) % 9 = 0) AS s FROM frames), " +
       "lum AS (SELECT v, f, CAST(sum((" +
@@ -3206,14 +3248,28 @@ object LlmData {
       "FROM sc, range(0, 8) gxs(gx), range(0, 6) gys(gy) GROUP BY v, f, s), " +
       "dd AS (SELECT v, f, lum, lum - lag(lum) OVER " +
       "(PARTITION BY v ORDER BY f) AS dl FROM lum), " +
-      "bb AS (SELECT v, f, CASE WHEN dl IS NULL THEN 0 " +
+      "bb AS (SELECT v, f, lum, CASE WHEN dl IS NULL THEN 0 " +
       s"WHEN abs(dl) > $videoSceneCutGap THEN 1 ELSE 0 END AS cut FROM dd), " +
-      "sn AS (SELECT v, f, CAST(sum(cut) OVER (PARTITION BY v ORDER BY f) " +
-      "AS BIGINT) AS scene_no FROM bb) " +
+      "sn AS (SELECT v, f, lum, CAST(sum(cut) OVER (PARTITION BY v ORDER BY f) " +
+      "AS BIGINT) AS scene_no FROM bb)"
+  }
+
+  private def videoSceneSql: String =
+    s"WITH $videoSceneSqlCtes " +
       "SELECT v AS video_id, scene_no, min(f) AS start_frame, " +
       "max(f) AS end_frame, CAST(count(*) AS BIGINT) AS n_frames " +
       "FROM sn GROUP BY v, scene_no ORDER BY video_id, scene_no"
-  }
+
+  /** DuckDB replay of [[multimodalKeyframe]]: the shared scene chain plus
+    * the per-scene luminance-median rank election. */
+  private def keyframeSql: String =
+    s"WITH $videoSceneSqlCtes, " +
+      "rk AS (SELECT v, scene_no, f, lum, " +
+      "row_number() OVER (PARTITION BY v, scene_no ORDER BY lum, f) AS rk, " +
+      "count(*) OVER (PARTITION BY v, scene_no) AS n FROM sn) " +
+      "SELECT v AS video_id, scene_no, f AS key_frame, lum AS key_lum, " +
+      "CAST(n AS BIGINT) AS n_frames FROM rk WHERE rk = (n + 1) // 2 " +
+      "ORDER BY video_id, scene_no"
 
   /** q_dedup_image_phash — IMAGE NEAR-DUP DEDUP via perceptual difference
     * hash: the dedup family extended to the modality the engine already
@@ -8437,6 +8493,7 @@ object LlmData {
     "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
     "q_multimodal_video_scene" -> multimodalVideoScene _,
     "q_multimodal_audio_segments" -> multimodalAudioSegments _,
+    "q_multimodal_keyframe" -> multimodalKeyframe _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_dedup_image_phash" -> dedupImagePhash _,
     "q_dedup_lines" -> dedupLines _,
@@ -9850,6 +9907,7 @@ object LlmData {
         "FROM documents ORDER BY doc_id"),
     "q_multimodal_video_scene" -> videoSceneSql,
     "q_multimodal_audio_segments" -> audioSegSql,
+    "q_multimodal_keyframe" -> keyframeSql,
     "q_multimodal_frames" ->
       ("SELECT * FROM (VALUES " +
         (0 until 48).map { id =>

@@ -670,6 +670,24 @@ class LlmDataSpec extends AnyFunSuite {
     assert(math.abs(pcSum - 1000000L) <= n1bwd.size + 2)
   }
 
+  test("q_multimodal_keyframe: one median frame per scene, inside its segment") {
+    val segs = LlmData.multimodalVideoScene(s, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val keys = LlmData.multimodalKeyframe(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(keys.length === segs.size, "one keyframe per scene")
+    keys.foreach { case (v, sc, kf, _, n) =>
+      val (start, end, nf) = segs((v, sc))
+      assert(kf >= start && kf <= end, s"keyframe $kf outside scene [$start,$end]")
+      assert(n === nf)
+    }
+    // the election is the median, not the first frame: some keyframe must
+    // differ from its scene's start
+    assert(keys.exists { case (v, sc, kf, _, _) => kf != segs((v, sc))._1 },
+      "every keyframe is its scene's first frame — median election vacuous")
+  }
+
   test("q_text_unigram_em_step: mass conserves and hard-EM likelihood never drops") {
     val model0 = LlmData.unigramModel(s, d).map { case (p, _, v) => p -> v }.toMap
     val enc = LlmData.unigramEncTokens(s, d).collect()
