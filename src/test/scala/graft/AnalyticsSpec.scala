@@ -1378,9 +1378,11 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mean0 === base.map(_._2).sum * 10000L / n0)
     def weight(key: Long, b: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"graftboot:$key:$b".getBytes("UTF-8"))
+      // draw b reads digit group (b mod 10) of hash group (b div 10)
+      val hex = md.digest(s"graftboot:$key:${b / 10}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val v = hex.take(3).map("0123456789abcdef".indexOf(_))
+      val v = hex.slice((b % 10) * 3, (b % 10) * 3 + 3)
+        .map("0123456789abcdef".indexOf(_))
         .foldLeft(0)((a, x) => a * 16 + x)
       if (v < 1507) 0 else if (v < 3014) 1 else if (v < 3767) 2
       else if (v < 4018) 3 else if (v < 4081) 4 else if (v < 4094) 5 else 6
