@@ -1213,6 +1213,53 @@ object Analytics {
     * the single-window formulation it replaces was key-bound at |groups|
     * tasks.
     */
+  /** Normal quantiles of the standard power design (α = 0.05 two-sided,
+    * 80% power), pinned as micro-integer literals so both engines read
+    * the same constants: z_{α/2} = 1.959964, z_β = 0.841621. */
+  private val zAlphaMicro = 1959964L
+  private val zBetaMicro = 841621L
+
+  /** q_agg_mde_power — A/B SAMPLE-SIZE / POWER PLANNING per segment, the
+    * design-side member of the experimentation suite ([[aggAbTest]] /
+    * [[aggAbCuped]] / [[aggDeltaMethod]] / [[aggBootstrapCi]] analyze a
+    * finished experiment; this sizes the next one): from each segment's
+    * EXACT integer moments (n, Σ, Σ²) compute the observed mean and
+    * variance, the 2%-of-mean minimum detectable effect, and the classic
+    * two-sample requirement n/arm = 2·(z_{α/2}+z_β)²·σ²/δ² — one IEEE
+    * division chain over exact integer inputs, micro-rounded, with the
+    * z constants pinned as shared literals. Also reports the MDE the
+    * segment's CURRENT population could already detect (the inverse
+    * formula) — the two numbers every experiment-review asks for.
+    *
+    * Scale: one keyed moment aggregate with map-side partials; the power
+    * arithmetic is a projection on |segments| rows.
+    */
+  def aggMdePower(s: SparkSession, d: String): DataFrame = {
+    val z2 = "((" + zAlphaMicro + " + " + zBetaMicro + ") * 1.0 / 1000000)"
+    t(s, d, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+        sum(col("cents") * col("cents")).as("scc"))
+      .select(col("grp"), col("n"),
+        expr("(sc * 10000) div n").as("mean_micro"),
+        expr("CAST(round((scc * 1.0 - sc * 1.0 * sc / n) / n, 0) AS BIGINT)")
+          .as("var_cents2"),
+        // δ = 2% of the mean (in cents): the planning target
+        expr("CAST(round(" +
+          s"2 * $z2 * $z2 * ((scc * 1.0 - sc * 1.0 * sc / n) / n) / " +
+          "((0.02 * sc / n) * (0.02 * sc / n)), 0) AS BIGINT)")
+          .as("n_per_arm_2pct"),
+        // the MDE (ppm of mean) the current n could detect at the same
+        // design: δ/μ = sqrt(2·z²·σ²/(n/2)) / μ  (half the segment per arm)
+        expr("CAST(round(" +
+          s"sqrt(2 * $z2 * $z2 * ((scc * 1.0 - sc * 1.0 * sc / n) / n) / " +
+          "(n / 2)) / (sc * 1.0 / n) * 1000000, 0) AS BIGINT)")
+          .as("mde_ppm"))
+      .orderBy("grp")
+  }
+
   /** q_agg_winsorize — WINSORIZED MEAN per order priority: the robust
     * location metric production dashboards ship when trimming
     * ([[anomalyIqr]]'s drop-the-outliers) would bias small groups — tail
@@ -4123,6 +4170,7 @@ object Analytics {
     "q_agg_ab_test" -> aggAbTest _,
     "q_agg_bootstrap_ci" -> aggBootstrapCi _,
     "q_agg_winsorize" -> aggWinsorize _,
+    "q_agg_mde_power" -> aggMdePower _,
     "q_agg_ks_test" -> aggKsTest _,
     "q_agg_delta_method" -> aggDeltaMethod _,
     "q_agg_mann_whitney" -> aggMannWhitney _,
@@ -4399,6 +4447,21 @@ object Analytics {
         "CAST(sum(cents) AS BIGINT) AS revenue_cents, " +
         "CAST(sum(cents * w_micro) AS BIGINT) AS credit_micro_cents " +
         "FROM p GROUP BY channel ORDER BY channel"),
+    "q_agg_mde_power" -> {
+      val z2 = s"(($zAlphaMicro + $zBetaMicro) * 1.0 / 1000000)"
+      "SELECT grp, n, (sc * 10000) // n AS mean_micro, " +
+        "CAST(round((scc * 1.0 - sc * 1.0 * sc / n) / n, 0) AS BIGINT) " +
+        "AS var_cents2, " +
+        s"CAST(round(2 * $z2 * $z2 * ((scc * 1.0 - sc * 1.0 * sc / n) / n) / " +
+        "((0.02 * sc / n) * (0.02 * sc / n)), 0) AS BIGINT) AS n_per_arm_2pct, " +
+        s"CAST(round(sqrt(2 * $z2 * $z2 * ((scc * 1.0 - sc * 1.0 * sc / n) / n) / " +
+        "(n / 2)) / (sc * 1.0 / n) * 1000000, 0) AS BIGINT) AS mde_ppm " +
+        "FROM (SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sc, " +
+        "CAST(sum(cents * cents) AS BIGINT) AS scc FROM " +
+        "(SELECT o_orderpriority, CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "AS cents FROM orders) GROUP BY o_orderpriority) ORDER BY grp"
+    },
     "q_agg_winsorize" ->
       ("WITH rows_ AS (SELECT o_orderpriority AS grp, " +
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +

@@ -1333,6 +1333,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0))
   }
 
+  test("q_agg_mde_power: the design formula recounts from raw moments") {
+    val rows = Analytics.aggMdePower(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val (g0, n0, mean0, var0, nArm, mde) = rows.head
+    val cents = Tables(s, d, "orders")
+      .where(col("o_orderpriority") === g0)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(cents.length.toLong === n0)
+    val sc = cents.sum
+    val scc = cents.map(c => c * c).sum
+    assert(mean0 === sc * 10000L / n0)
+    val v = (scc.toDouble - sc.toDouble * sc / n0) / n0
+    assert(var0 === math.round(v))
+    val z = (1959964L + 841621L) / 1e6
+    val delta = 0.02 * sc / n0
+    assert(nArm === math.round(2 * z * z * v / (delta * delta)))
+    assert(mde === math.round(
+      math.sqrt(2 * z * z * v / (n0 / 2.0)) / (sc.toDouble / n0) * 1e6))
+    // the design numbers are meaningful: positive, and a segment needs
+    // MORE samples per arm than it currently holds iff its current MDE
+    // exceeds the 2% planning target
+    rows.foreach { case (g, n, _, _, arm, m) =>
+      assert(arm > 0 && m > 0)
+      assert((2 * arm > n) === (m > 20000L),
+        s"group $g: n/arm $arm vs n $n inconsistent with MDE $m ppm")
+    }
+  }
+
   test("q_agg_winsorize: clamp bounds and robust mean recount exactly") {
     val rows = Analytics.aggWinsorize(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
