@@ -1240,8 +1240,13 @@ object Analytics {
       .select(col("o_orderpriority").as("grp"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       .groupBy("grp")
+      // the second moment overflows BIGINT at scale (5·10⁷ cents squared
+      // × 10⁵ rows > 2⁶³) — sum it as DECIMAL(38,0), exact on both
+      // engines (DuckDB promotes to HUGEINT); it only ever feeds the
+      // float formula, never the output
       .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
-        sum(col("cents") * col("cents")).as("scc"))
+        sum(expr("CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))"))
+          .as("scc"))
       .select(col("grp"), col("n"),
         expr("(sc * 10000) div n").as("mean_micro"),
         expr("CAST(round((scc * 1.0 - sc * 1.0 * sc / n) / n, 0) AS BIGINT)")
@@ -4458,7 +4463,7 @@ object Analytics {
         "(n / 2)) / (sc * 1.0 / n) * 1000000, 0) AS BIGINT) AS mde_ppm " +
         "FROM (SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(cents) AS BIGINT) AS sc, " +
-        "CAST(sum(cents * cents) AS BIGINT) AS scc FROM " +
+        "sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS scc FROM " +
         "(SELECT o_orderpriority, CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
         "AS cents FROM orders) GROUP BY o_orderpriority) ORDER BY grp"
     },

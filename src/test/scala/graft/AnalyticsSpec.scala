@@ -1345,7 +1345,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(cents.length.toLong === n0)
     val sc = cents.sum
-    val scc = cents.map(c => c * c).sum
+    val scc = cents.map(c => BigInt(c) * BigInt(c)).sum
     assert(mean0 === sc * 10000L / n0)
     val v = (scc.toDouble - sc.toDouble * sc / n0) / n0
     assert(var0 === math.round(v))
