@@ -4255,53 +4255,164 @@ object LlmData {
     * the maintained artifact a perplexity filter then dictionary-joins,
     * exactly [[textBigramLp]]'s serving shape.
     */
-  def textKneserNey(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(split(col("text"), " ").as("t"))
-    val bi = docs.where(size(col("t")) >= 2)
+  /** The KN model's three relations over an arbitrary (text) frame:
+    * per-bigram rows (with disc/lambda/pcont/p), the history table
+    * (w1, c1, n1fwd, lambda), and the continuation table (w2, pcont) —
+    * shared by [[textKneserNey]] (full corpus) and
+    * [[textKnPerplexity]] (training split). */
+  private def knModel(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bi = docs.select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(t) - 2), " +
           "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val types = c12.agg(count(lit(1)).as("ntypes"))
     val hist = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1fwd"))
+      .withColumn("lambda_micro", expr("(3 * n1fwd * 1000000) div (4 * c1)"))
     val succ = c12.groupBy("w2").agg(count(lit(1)).as("n1bwd"))
-    val types = c12.agg(count(lit(1)).as("ntypes"))
-    c12.join(hist, "w1").join(succ, "w2")
       .crossJoin(broadcast(types))
+      .withColumn("pcont_micro", expr("(n1bwd * 1000000) div ntypes"))
+      .select("w2", "pcont_micro")
+    val model = c12.join(hist, "w1").join(succ, "w2")
       .select(col("w1"), col("w2"), col("c12"),
         expr("(greatest(4 * c12 - 3, 0) * 1000000) div (4 * c1)")
           .as("disc_micro"),
-        expr("(3 * n1fwd * 1000000) div (4 * c1)").as("lambda_micro"),
-        expr("(n1bwd * 1000000) div ntypes").as("pcont_micro"))
+        col("lambda_micro"), col("pcont_micro"))
       .withColumn("p_micro", col("disc_micro") +
         expr("(lambda_micro * pcont_micro) div 1000000"))
-      .orderBy("w1", "w2")
+    (model, hist.select("w1", "lambda_micro"), succ)
   }
 
-  /** DuckDB replay of [[textKneserNey]]: identical bigram/history/
-    * successor aggregates and quarter-exact floor divisions. */
-  private def kneserNeySql: String =
-    "WITH bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM " +
-      "(SELECT string_split(text, ' ') AS t FROM documents) d, " +
+  def textKneserNey(s: SparkSession, d: String): DataFrame =
+    knModel(t(s, d, "documents"))._1
+      .select("w1", "w2", "c12", "disc_micro", "lambda_micro",
+        "pcont_micro", "p_micro")
+      .orderBy("w1", "w2")
+
+  /** OOV floor for bigrams whose history or successor the training split
+    * never saw: micro-log10 of 10⁻⁶. Mirrored literally by the oracle. */
+  private val knFloorMicro = -6000000L
+
+  /** The reference-LM training split (30% of the corpus — small enough
+    * that held-out documents genuinely contain pairs the model never
+    * saw, so the backoff path is exercised at every fixture tier).
+    * Mirrored literally by the oracle. */
+  private val knTrainCond = "doc_id % 10 IN (1, 2, 3)"
+
+  /** q_text_kn_perplexity — the KN model's SERVING pass (the CCNet-style
+    * perplexity filter: score incoming documents under a reference LM
+    * trained on the standing corpus): the model trains on the
+    * [[knTrainCond]] split and scores the held-out split's bigrams —
+    * seen bigrams at full interpolated probability, unseen-continuation
+    * bigrams through the REAL backoff path λ(w1)·P_cont(w2) (non-vacuous
+    * because held-out docs genuinely contain pairs the training split
+    * lacks), and OOV histories/successors at the [[knFloorMicro]] floor.
+    * Per document: bigram count, how many needed backoff or the floor,
+    * the exact micro-log sum, and the mean — the quality signal a
+    * perplexity gate thresholds.
+    *
+    * Scale: the model tables are bigram-type-grain maintained artifacts;
+    * scoring is one keyed join of the held-out bigram stream against
+    * them (model side broadcast when it fits, keyed shuffle otherwise —
+    * the [[textBigramLp]] posture) plus one per-doc aggregate.
+    */
+  def textKnPerplexity(s: SparkSession, d: String): DataFrame = {
+    val all = t(s, d, "documents")
+    val (model, hist, succ) = knModel(all.where(expr(knTrainCond)))
+    val heldout = all.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val scored = heldout
+      .join(model.select("w1", "w2", "p_micro"), Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(succ, Seq("w2"), "left")
+      .withColumn("p_eff", coalesce(col("p_micro"),
+        expr("(lambda_micro * pcont_micro) div 1000000")))
+      .withColumn("used_backoff",
+        col("p_micro").isNull && col("p_eff").isNotNull)
+      .withColumn("lp_micro", when(col("p_eff").isNotNull && col("p_eff") > 0,
+          expr("CAST(round(log10(p_eff * 1.0 / 1000000) * 1000000) AS BIGINT)"))
+        .otherwise(lit(knFloorMicro)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("used_backoff"), 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("lp_micro") === knFloorMicro &&
+          (col("p_eff").isNull || !(col("p_eff") > 0)), 1L).otherwise(0L))
+          .as("n_floor"),
+        sum("lp_micro").as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("n_floor"), col("sum_lp_micro"),
+        r(col("sum_lp_micro") / 1e6 / col("n_bigrams"), 4).as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
+  /** The KN model's oracle CTE chain over a parameterized training
+    * predicate — yields `c12`, `hist` (with lambda), `succ` (with pcont),
+    * and `model`; shared by the model oracle and the perplexity oracle. */
+  private def knSqlCtes(trainPred: String): String =
+    "bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM " +
+      s"(SELECT string_split(text, ' ') AS t FROM documents WHERE $trainPred) d, " +
       "LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g " +
       "WHERE len(t) >= 2), " +
       "c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 " +
       "FROM bi GROUP BY w1, w2), " +
       "hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, " +
-      "CAST(count(*) AS BIGINT) AS n1fwd FROM c12 GROUP BY w1), " +
-      "succ AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bwd " +
+      "CAST(count(*) AS BIGINT) AS n1fwd, " +
+      "(3 * CAST(count(*) AS BIGINT) * 1000000) // " +
+      "(4 * CAST(sum(c12) AS BIGINT)) AS lambda_micro FROM c12 GROUP BY w1), " +
+      "succ AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bwd, " +
+      "(CAST(count(*) AS BIGINT) * 1000000) // " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM c12) AS pcont_micro " +
       "FROM c12 GROUP BY w2), " +
-      "types AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c12) " +
-      "SELECT w1, w2, c12, disc_micro, lambda_micro, pcont_micro, " +
-      "disc_micro + (lambda_micro * pcont_micro) // 1000000 AS p_micro FROM (" +
-      "SELECT c.w1, c.w2, c.c12, " +
+      "model AS (SELECT c.w1, c.w2, c.c12, " +
       "(greatest(4 * c.c12 - 3, 0) * 1000000) // (4 * h.c1) AS disc_micro, " +
-      "(3 * h.n1fwd * 1000000) // (4 * h.c1) AS lambda_micro, " +
-      "(s.n1bwd * 1000000) // t.ntypes AS pcont_micro " +
-      "FROM c12 c JOIN hist h USING (w1) JOIN succ s USING (w2), types t) " +
-      "ORDER BY w1, w2"
+      "h.lambda_micro, s.pcont_micro, " +
+      "(greatest(4 * c.c12 - 3, 0) * 1000000) // (4 * h.c1) + " +
+      "(h.lambda_micro * s.pcont_micro) // 1000000 AS p_micro " +
+      "FROM c12 c JOIN hist h USING (w1) JOIN succ s USING (w2))"
+
+  /** DuckDB replay of [[textKneserNey]]: identical bigram/history/
+    * successor aggregates and quarter-exact floor divisions. */
+  private def kneserNeySql: String =
+    s"WITH ${knSqlCtes("TRUE")} " +
+      "SELECT w1, w2, c12, disc_micro, lambda_micro, pcont_micro, p_micro " +
+      "FROM model ORDER BY w1, w2"
+
+  /** DuckDB replay of [[textKnPerplexity]]: the split-trained model
+    * chain, the held-out bigram stream, the seen/backoff/floor ladder,
+    * and the per-doc aggregate. */
+  private def knPerplexitySql: String =
+    s"WITH ${knSqlCtes(knTrainCond)}, " +
+      "ho AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS t FROM documents " +
+      "WHERE doc_id % 10 = 0) d, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g " +
+      "WHERE len(t) >= 2), " +
+      "sc AS (SELECT ho.doc_id, m.p_micro, " +
+      "coalesce(m.p_micro, (h.lambda_micro * s.pcont_micro) // 1000000) AS p_eff " +
+      "FROM ho LEFT JOIN model m ON m.w1 = ho.w1 AND m.w2 = ho.w2 " +
+      "LEFT JOIN hist h ON h.w1 = ho.w1 LEFT JOIN succ s ON s.w2 = ho.w2), " +
+      "lp AS (SELECT doc_id, p_micro, p_eff, " +
+      "CASE WHEN p_eff IS NOT NULL AND p_eff > 0 THEN " +
+      "CAST(round(log10(p_eff * 1.0 / 1000000) * 1000000) AS BIGINT) " +
+      s"ELSE CAST($knFloorMicro AS BIGINT) END AS lp_micro FROM sc) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(sum(CASE WHEN p_micro IS NULL AND p_eff IS NOT NULL " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
+      "CAST(sum(CASE WHEN p_eff IS NULL OR NOT (p_eff > 0) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_floor, " +
+      "CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro, " +
+      "round(CAST(sum(lp_micro) AS BIGINT) / 1000000.0 / count(*) * 10000, 0) " +
+      "/ 10000 AS mean_lp " +
+      "FROM lp GROUP BY doc_id ORDER BY doc_id"
 
   def textBigramLp(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
@@ -8517,6 +8628,7 @@ object LlmData {
     "q_text_unigram_lp" -> textUnigramLp _,
     "q_text_bigram_lp" -> textBigramLp _,
     "q_text_kneser_ney" -> textKneserNey _,
+    "q_text_kn_perplexity" -> textKnPerplexity _,
     "q_text_tfidf" -> textTfidf _,
     "q_text_collocation_pmi" -> textCollocationPmi _,
     "q_sample_hash" -> sampleHash _,
@@ -9853,6 +9965,7 @@ object LlmData {
         "round(sum_lp_micro / 1000000.0 / n_toks * 10000, 0) / 10000 AS mean_lp " +
         "FROM agg ORDER BY doc_id"),
     "q_text_kneser_ney" -> kneserNeySql,
+    "q_text_kn_perplexity" -> knPerplexitySql,
     "q_text_bigram_lp" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "tok AS (SELECT doc_id, unnest(t) AS tok FROM docs), " +

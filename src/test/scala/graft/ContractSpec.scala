@@ -136,7 +136,8 @@ class ContractSpec extends AnyFunSuite {
     "q_text_kneser_ney", "q_embed_whiten", "q_corpus_curriculum",
     "q_agg_bootstrap_ci", "q_simsearch_recall_eval", "q_agg_winsorize",
     "q_scan_bloom_skip", "q_multimodal_audio_segments",
-    "q_text_unigram_em_step", "q_multimodal_keyframe", "q_agg_mde_power")
+    "q_text_unigram_em_step", "q_multimodal_keyframe", "q_agg_mde_power",
+    "q_text_kn_perplexity")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

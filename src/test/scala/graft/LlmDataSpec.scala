@@ -670,6 +670,28 @@ class LlmDataSpec extends AnyFunSuite {
     assert(math.abs(pcSum - 1000000L) <= n1bwd.size + 2)
   }
 
+  test("q_text_kn_perplexity: backoff path fires, floors bounded, scores bounded by seen-prob range") {
+    val rows = LlmData.textKnPerplexity(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // one row per held-out doc with >= 2 tokens
+    val heldout = Tables(s, d, "documents")
+      .where(col("doc_id") % 10 === 0 && col("text").isNotNull &&
+        size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong === heldout)
+    rows.foreach { case (id, n, nb, nf, sum, mean) =>
+      assert(id % 10 === 0)
+      assert(n >= 1 && nb >= 0 && nf >= 0 && nb + nf <= n)
+      assert(sum < 0, "log-probs must be negative")
+      assert(mean < 0 && mean >= -6.0)
+    }
+    // the REAL backoff path fires somewhere (held-out docs contain pairs
+    // the training split lacks) — otherwise the operator is just a join
+    assert(rows.map(_._3).sum > 0,
+      "no held-out bigram needed the backoff — the serving path is vacuous")
+  }
+
   test("q_multimodal_keyframe: one median frame per scene, inside its segment") {
     val segs = LlmData.multimodalVideoScene(s, d).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
