@@ -736,6 +736,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_text_kn_perplexity: model tables join the held-out stream, no quadratic shape") {
+    val df = graft.operators.LlmData.textKnPerplexity(s, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"perplexity serving planned a cartesian:\n$p")
+    // scoring is keyed joins + one keyed aggregate with map-side partials
+    assert(p.contains("partial_"),
+      s"the per-doc aggregate must partial-aggregate map-side:\n$p")
+  }
+
   test("q_text_unigram_encode: the Viterbi fold is codegen'd, dictionary join only") {
     val df = graft.operators.LlmData.textUnigramEncode(s, d)
     df.collect()
