@@ -502,10 +502,12 @@ object LlmData {
     // real feed re-delivers content the corpus already holds (the
     // q_stream_corpus_curate redelivery scenario), planted here as
     // standing docs re-arriving under fresh ids with identical bytes —
-    // exactly what the bloom must catch
+    // exactly what the bloom must catch; the synthetic id is NEGATIVE
+    // (-doc_id - 1) so it can never collide with a genuine arrival id
+    // at any corpus size (an additive offset would alias past 10⁶ rows)
     val arrivals = docs.where(isNew)
       .unionByName(standing.where(col("doc_id") % 17 === 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("h")))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("h")))
     val posArr = array((0 to 2).map(j => expr(bloomPosExpr(j))): _*)
     val bits = standing.select(explode(posArr).as("bit")).distinct()
       .withColumn("set", lit(1L))
@@ -535,7 +537,7 @@ object LlmData {
     "WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents), " +
       "std AS (SELECT doc_id, h FROM docs WHERE NOT (doc_id % 10 = 0)), " +
       "arr AS (SELECT doc_id, h FROM docs WHERE doc_id % 10 = 0 " +
-      "UNION ALL SELECT doc_id + 1000000, h FROM std WHERE doc_id % 17 = 3), " +
+      "UNION ALL SELECT -doc_id - 1, h FROM std WHERE doc_id % 17 = 3), " +
       s"bits AS (SELECT DISTINCT bit FROM (${posSel("std", "doc_id")})), " +
       s"probe AS (SELECT doc_id, h, CAST(sum(CASE WHEN b.bit IS NOT NULL " +
       "THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits " +
@@ -2845,10 +2847,17 @@ object LlmData {
       .select(col("query_id"), col("vec_id"))
     val hits = brute10.join(probe10, Seq("query_id", "vec_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n"))
+    // the denominator is the ACTUAL ground-truth size (min(10, eligible
+    // corpus)) — a hard-coded 10 would cap recall below 1e6 ppm on a
+    // corpus smaller than k, drifting the ledger's semantics
+    val gt = brute10.groupBy("query_id").agg(count(lit(1)).as("gt_n"))
     queries.select("query_id")
       .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_hits"))
-      .withColumn("recall_ppm", col("n_hits") * 100000L)
+      .join(gt, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_hits"),
+        coalesce(col("gt_n"), lit(0L)).as("gt_n"))
+      .withColumn("recall_ppm", when(col("gt_n") > 0,
+        expr("(n_hits * 1000000) div gt_n")).otherwise(lit(0L)))
       .orderBy("query_id")
   }
 
@@ -2868,11 +2877,17 @@ object LlmData {
       "AS rr FROM bruteall) WHERE rr <= 10), " +
       "hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n " +
       "FROM brute10 b JOIN probe10 p USING (query_id, vec_id) " +
-      "GROUP BY b.query_id) " +
+      "GROUP BY b.query_id), " +
+      "gt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS gt_n " +
+      "FROM brute10 GROUP BY query_id) " +
       "SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits, " +
-      "CAST(coalesce(h.n, 0) * 100000 AS BIGINT) AS recall_ppm " +
+      "CAST(coalesce(g.gt_n, 0) AS BIGINT) AS gt_n, " +
+      "CAST(CASE WHEN coalesce(g.gt_n, 0) > 0 THEN " +
+      "(coalesce(h.n, 0) * 1000000) // g.gt_n ELSE 0 END AS BIGINT) " +
+      "AS recall_ppm " +
       "FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8) q " +
-      "LEFT JOIN hits h USING (query_id) ORDER BY q.query_id"
+      "LEFT JOIN hits h USING (query_id) LEFT JOIN gt g USING (query_id) " +
+      "ORDER BY q.query_id"
 
   private[graft] def simsearchBatchRoutedProbe(s: SparkSession, d: String,
       probeOf: Int => Int): DataFrame = {
@@ -4313,7 +4328,10 @@ object LlmData {
     * lacks), and OOV histories/successors at the [[knFloorMicro]] floor.
     * Per document: bigram count, how many needed backoff or the floor,
     * the exact micro-log sum, and the mean — the quality signal a
-    * perplexity gate thresholds.
+    * perplexity gate thresholds. The two ledger columns are DISJOINT:
+    * a backoff pair whose λ·P_cont product floors to zero integer-micro
+    * counts as `n_floor`, not `n_backoff`, so
+    * n_backoff + n_floor ≤ n_bigrams holds by construction.
     *
     * Scale: the model tables are bigram-type-grain maintained artifacts;
     * scoring is one keyed join of the held-out bigram stream against
@@ -4337,7 +4355,7 @@ object LlmData {
       .withColumn("p_eff", coalesce(col("p_micro"),
         expr("(lambda_micro * pcont_micro) div 1000000")))
       .withColumn("used_backoff",
-        col("p_micro").isNull && col("p_eff").isNotNull)
+        col("p_micro").isNull && col("p_eff").isNotNull && col("p_eff") > 0)
       .withColumn("lp_micro", when(col("p_eff").isNotNull && col("p_eff") > 0,
           expr("CAST(round(log10(p_eff * 1.0 / 1000000) * 1000000) AS BIGINT)"))
         .otherwise(lit(knFloorMicro)))
@@ -4406,7 +4424,7 @@ object LlmData {
       s"ELSE CAST($knFloorMicro AS BIGINT) END AS lp_micro FROM sc) " +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
       "CAST(sum(CASE WHEN p_micro IS NULL AND p_eff IS NOT NULL " +
-      "THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
+      "AND p_eff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
       "CAST(sum(CASE WHEN p_eff IS NULL OR NOT (p_eff > 0) " +
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_floor, " +
       "CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro, " +
@@ -7657,7 +7675,10 @@ object LlmData {
     * final IEEE (x − μ)/σ rounded to milli (the [[embedNormAudit]]
     * discipline: exact sums, one float op at the edge). Output per
     * vector: the first-4-dim whitened signature and the exact sum of
-    * squared whitened millis — the post-whitening norm audit.
+    * squared whitened millis — the post-whitening norm audit. A
+    * zero-variance (constant) dimension whitens to NULL in BOTH engines
+    * via a `nullif` guard on the variance — never NaN/∞, which the two
+    * engines would cast differently.
     *
     * Scale: one posexplode scan into a DIM-grain moment aggregate
     * (map-side partials; |dims| output rows broadcast back), then one
@@ -7677,7 +7698,8 @@ object LlmData {
     val w = rows.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
         expr("CAST(round((q - sq * 1.0 / n) / " +
-          "sqrt((sqq * 1.0 - sq * 1.0 * sq / n) / n) * 1000) AS BIGINT)")
+          "sqrt(nullif(sqq * 1.0 - sq * 1.0 * sq / n, 0.0) / n) * 1000) " +
+          "AS BIGINT)")
           .as("w"))
     w.groupBy("vec_id").agg(
         max(when(col("dim") === 1, col("w"))).as("w1_milli"),
@@ -7700,7 +7722,8 @@ object LlmData {
       "CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq " +
       "FROM rows_ GROUP BY dim), " +
       "w AS (SELECT vec_id, dim, CAST(round((q - sq * 1.0 / n) / " +
-      "sqrt((sqq * 1.0 - sq * 1.0 * sq / n) / n) * 1000) AS BIGINT) AS w " +
+      "sqrt(nullif(sqq * 1.0 - sq * 1.0 * sq / n, 0.0) / n) * 1000) " +
+      "AS BIGINT) AS w " +
       "FROM rows_ JOIN stats USING (dim)) " +
       "SELECT vec_id, " +
       "max(CASE WHEN dim = 1 THEN w END) AS w1_milli, " +

@@ -551,11 +551,12 @@ class LlmDataSpec extends AnyFunSuite {
 
   test("q_simsearch_recall_eval: ledger matches a direct intersection recount") {
     val rows = LlmData.simsearchRecallEval(s, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.length === 8, "one ledger row per standing query")
-    rows.foreach { case (_, hits, ppm) =>
-      assert(hits >= 0 && hits <= 10)
-      assert(ppm === hits * 100000L)
+    rows.foreach { case (_, hits, gtN, ppm) =>
+      assert(gtN > 0 && gtN <= 10, "ground-truth size is min(10, corpus)")
+      assert(hits >= 0 && hits <= gtN)
+      assert(ppm === hits * 1000000L / gtN)
     }
     // direct recount for one query: probe top-10 vs exact brute top-10
     val qid = rows.head._1
@@ -856,7 +857,7 @@ class LlmDataSpec extends AnyFunSuite {
     // arrivals = new docs plus the planted recrawls (standing content
     // re-delivered under fresh ids — the operator's own construction)
     val arrivals = docs.filter(_._1 % 10 == 0) ++
-      standingDocs.filter(_._1 % 17 == 3).map(p => (p._1 + 1000000L, p._2))
+      standingDocs.filter(_._1 % 17 == 3).map(p => (-p._1 - 1L, p._2))
     assert(rows.length === arrivals.length, "one verdict row per arrival")
     val bruteDups = arrivals.filter(a => standing.contains(a._2)).map(_._1).toSet
     assert(bruteDups.nonEmpty, "fixture has no cross-split exact dup — vacuous")
