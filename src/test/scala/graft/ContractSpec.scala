@@ -137,7 +137,9 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_bootstrap_ci", "q_simsearch_recall_eval", "q_agg_winsorize",
     "q_scan_bloom_skip", "q_multimodal_audio_segments",
     "q_text_unigram_em_step", "q_multimodal_keyframe", "q_agg_mde_power",
-    "q_text_kn_perplexity")
+    "q_text_kn_perplexity",
+    // round 15: best-fit packing + SCC + forecasting + multimodal funnel
+    "q_pack_best_fit")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -1763,6 +1763,41 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"IVFPQ recall $recall below the 0.1 floor")
   }
 
+  test("q_pack_best_fit: conservation holds and waste is strictly below the greedy packer") {
+    val rows = LlmData.packBestFit(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val lens = Tables(s, d, "documents").where(col("text").isNotNull)
+      .select(least(size(split(col("text"), " ")).cast("long"), lit(512L)))
+      .collect().map(_.getLong(0))
+    // every document lands in exactly one pack slot; every token is packed
+    assert(rows.map(_._5).sum === lens.length.toLong, "doc conservation")
+    assert(rows.map(r => r._6 * r._4).sum === lens.sum, "token conservation")
+    rows.foreach { case (_, ls, npp, npk, nd, fill, waste, tw) =>
+      val parsed = ls.split(",").map(_.toLong)
+      assert(parsed.length.toLong === npp && parsed.sum === fill)
+      assert(fill <= 512 && waste === 512 - fill && tw === waste * npk)
+      assert(nd === npp * npk && npk >= 1)
+      // placement order is length-descending within a pack
+      assert(parsed.sameElements(parsed.sortBy(-_)), s"pack $ls not sorted")
+    }
+    // the point of best-fit: strictly less padding than the sequential
+    // non-splitting greedy packer (docs in doc_id order, close on misfit)
+    val docLens = Tables(s, d, "documents").where(col("text").isNotNull)
+      .orderBy("doc_id")
+      .select(least(size(split(col("text"), " ")).cast("long"), lit(512L)))
+      .collect().map(_.getLong(0))
+    var rem = 0L; var greedyPacks = 0L
+    docLens.foreach { l =>
+      if (l <= rem) rem -= l else { greedyPacks += 1; rem = 512L - l }
+    }
+    val greedyWaste = greedyPacks * 512L - docLens.sum
+    val bestFitWaste = rows.map(_._8).sum
+    assert(bestFitWaste < greedyWaste,
+      s"best-fit waste $bestFitWaste not below greedy $greedyWaste")
+  }
+
   test("q_pack_sequences is invariant to shard size (exact distributed prefix rebase)") {
     // 7: many tiny shards; 1_000_000: one shard ≡ the naive global window.
     // The two-level integer rebase must be bit-identical across all of them.
