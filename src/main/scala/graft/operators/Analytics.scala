@@ -287,6 +287,76 @@ object Analytics {
       .orderBy("acct")
   }
 
+  /** q_timeseries_holt_winters — ADDITIVE HOLT-WINTERS (level + trend +
+    * 12-month seasonality) per account over the monthly cents rollup, with
+    * DYADIC smoothing coefficients (α = 1/2, β = 1/4, γ = 1/2) so every
+    * recursion step is exact integer arithmetic (the `q_window_macd`
+    * discipline): ℓ_t = ((x_t − s_{t−12}) + ℓ_{t−1} + b_{t−1}) div 2,
+    * b_t = ((ℓ_t − ℓ_{t−1}) + 3·b_{t−1}) div 4, s_t = ((x_t − ℓ_t) +
+    * s_{t−12}) div 2. Textbook init (Hyndman–Athanasopoulos §7.3, integer
+    * form): ℓ₁₂ = mean of season 1, b₁₂ = (Σseason2 − Σseason1) div 144,
+    * s_j = x_j − ℓ₁₂; the recursion folds observations 13..n. Scored in
+    * [[timeseriesBacktest]]'s MASE frame: in-sample one-step SAE vs the
+    * one-month-naive baseline, all integer micro-divisions. Seasonality is
+    * POSITIONAL (12 consecutive observed months = one season);
+    * calendar-gap handling is [[timeseriesGapfill]]'s job upstream.
+    * Accounts need ≥ 25 observed months (two init seasons + 1 step).
+    *
+    * Scale: the corpus scan is absorbed by the monthly rollup; the
+    * sequential recurrence — unexpressible as a window without float-power
+    * weights — folds INSIDE each account group over a calendar-bounded
+    * array (the [[timeseriesSes]] shape), with O(12) state per step. The
+    * oracle unrolls the identical recursion as a recursive CTE carrying
+    * the 12-slot seasonal list.
+    */
+  def timeseriesHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    // the shared s_old / ℓ_t sub-terms, inlined exactly as the oracle
+    // spells them (both engines evaluate the same integer expression tree)
+    val sOld = "element_at(st.seas, CAST(st.t % 12 AS INT) + 1)"
+    val lNew = s"((x - $sOld) + st.l + st.b) div 2"
+    val hwFold =
+      s"""aggregate(
+         |  slice(xs, 13, CAST(n_months - 12 AS INT)),
+         |  named_struct(
+         |    'l', s1 div 12, 'b', (s2 - s1) div 144,
+         |    'seas', transform(slice(xs, 1, 12), v -> v - s1 div 12),
+         |    't', 12L, 'sae', 0L),
+         |  (st, x) -> named_struct(
+         |    'l', $lNew,
+         |    'b', (($lNew) - st.l + 3 * st.b) div 4,
+         |    'seas', transform(st.seas, (v, i) ->
+         |      IF(i = CAST(st.t % 12 AS INT),
+         |         ((x - ($lNew)) + $sOld) div 2, v)),
+         |    't', st.t + 1,
+         |    'sae', st.sae + abs(x - (st.l + st.b + $sOld))))""".stripMargin
+    obs.groupBy("acct")
+      .agg(count(lit(1)).as("n_months"),
+        expr("array_sort(collect_list(struct(mon, cents)))").as("arr"))
+      .where(col("n_months") >= 25)
+      .withColumn("xs", expr("transform(arr, p -> p.cents)"))
+      .withColumn("s1", expr("aggregate(slice(xs, 1, 12), 0L, (a, v) -> a + v)"))
+      .withColumn("s2", expr("aggregate(slice(xs, 13, 12), 0L, (a, v) -> a + v)"))
+      .withColumn("st", expr(hwFold))
+      .withColumn("sae_naive", expr(
+        "aggregate(slice(xs, 2, CAST(n_months - 1 AS INT)), " +
+          "named_struct('p', xs[0], 'sae', 0L), " +
+          "(st, v) -> named_struct('p', v, 'sae', st.sae + abs(v - st.p))).sae"))
+      .select(col("acct"), col("n_months"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+        expr("st.l + st.b + element_at(st.seas, CAST(n_months % 12 AS INT) + 1)")
+          .as("fc_next_cents"),
+        expr("st.sae div (n_months - 12)").as("mae_hw"),
+        expr("sae_naive div (n_months - 1)").as("mae_naive"),
+        expr("(1000000 * (st.sae div (n_months - 12))) div " +
+          "(sae_naive div (n_months - 1))").as("mase_micro"))
+      .orderBy("acct")
+  }
+
   def timeseriesBacktest(s: SparkSession, d: String): DataFrame = {
     val obs = t(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),
@@ -4165,8 +4235,215 @@ object Analytics {
       .orderBy("part")
   }
 
+  // ---------------------------------------------- strongly connected comps
+
+  /** The staged DIRECTED reorder graph: part a → part b when ≥ 2 customer
+    * order transitions bought a in one order and b in that customer's NEXT
+    * order (consecutive under the (o_orderdate, o_orderkey) total order) —
+    * the "bought, then bought" behavioral graph whose cycles are genuine
+    * repeat-purchase loops. Support counts RAW transition multiplicity
+    * (the oracle counts the same join rows). Built once per fixture
+    * generation, with a row-count manifest so the operator sizes its
+    * shuffles without a count() action (the [[ccEdgesPath]] recipe).
+    */
+  private def sccEdgesPath(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Fixtures.ensureDerived(
+      "graft_scc_edges", d, "lineitem", "scc1") { staging =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val seq = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("nk", lead(col("o_orderkey"), 1).over(w))
+        .where(col("nk").isNotNull)
+        .select(col("o_orderkey").as("k"), col("nk"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      seq
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("a")), "k")
+        .join(li.select(col("l_orderkey").as("nk"), col("l_partkey").as("b")), "nk")
+        .where(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("m"))
+        .where(col("m") >= 2)
+        .select("a", "b")
+        .write.mode("overwrite").parquet(staging.toString)
+      val n = s.read.parquet(staging.toString).count()
+      java.nio.file.Files.writeString(
+        staging.resolve("_ROWCOUNT.txt"), n.toString)
+    }
+
+  private def sccEdges(s: SparkSession, d: String): DataFrame =
+    LlmData.memo(s, s"scc_edges:$d") {
+      s.read.parquet(sccEdgesPath(s, d).toString)
+    }
+
+  private def sccEdgeCount(s: SparkSession, d: String): Long =
+    java.nio.file.Files.readString(
+      sccEdgesPath(s, d).resolve("_ROWCOUNT.txt")).trim.toLong
+
+  /** Test seam: the staged directed edge set (AnalyticsSpec re-labels it
+    * with a driver-side Tarjan and compares row-for-row). */
+  private[graft] def sccEdgesForTest(s: SparkSession, d: String): DataFrame =
+    sccEdges(s, d)
+
+  /** Min label reachable along `edges` from each node — FORWARD
+    * (min over out-reachable ∪ self) when `forward`, else BACKWARD (min
+    * over in-reachable ∪ self). Synchronous min-label propagation to
+    * fixpoint: each round one edge-grain keyed join + one node-grain min
+    * aggregate; convergence is detected by the EXACT Σlabel invariant —
+    * labels only decrease, so an unchanged node-grain sum means no label
+    * moved (no hash-collision early stop). Lineage is cut per round
+    * (eager localCheckpoint, the [[ccLabels]] discipline) so the plan
+    * stays constant-size across rounds.
+    */
+  private def sccMinReach(nodes: DataFrame, edges: DataFrame,
+      forward: Boolean): DataFrame = {
+    val (from, to) = if (forward) ("a", "b") else ("b", "a")
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    var sumLab = lab.agg(sum(col("lab"))).first().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 256,
+        "min-reach propagation failed to converge in 256 rounds — " +
+          "bounded by the live core's diameter; label state is corrupt")
+      val flow = edges
+        .join(lab.select(col("node").as(to), col("lab")), to)
+        .groupBy(col(from).as("node")).agg(min(col("lab")).as("nl"))
+      val next = lab.join(flow, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("lab"))).first().getLong(0)
+      converged = nextSum == sumLab
+      lab.unpersist()
+      lab = next
+      sumLab = nextSum
+    }
+    lab
+  }
+
+  /** Full SCC decomposition via the MULTISTEP recipe (Slota–Rajamanickam–
+    * Madduri, IPDPS'14): alternate (1) TRIM — peel every node with live
+    * in-degree 0 or out-degree 0 (it cannot sit on a cycle, so it is its
+    * own SCC) to fixpoint, then (2) one FORWARD/BACKWARD finalize — a node
+    * whose min forward-reachable label equals its min backward-reachable
+    * label m has m ∈ desc ∩ anc (or m = self), i.e. is mutually reachable
+    * with m, so it joins SCC(m); m is then provably the MIN of that SCC
+    * (fwdmin ranges over a superset of the SCC), so labels are canonical.
+    * Each outer round finalizes at least the SCC of the live minimum
+    * (fwdmin(min) = bwdmin(min) = min), so the loop terminates. Returns
+    * (node, scc) for every node of the input graph.
+    */
+  private[graft] def sccLabels(s: SparkSession, edges0: DataFrame): DataFrame = {
+    var edges = edges0.select("a", "b")
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+      .localCheckpoint(true)
+    val total = nodes.count()
+    var live = total
+    val done = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def retire(fin: DataFrame): Long = {
+      val n = fin.count()
+      if (n > 0) {
+        done += fin
+        val nextNodes = nodes.join(fin, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        val nextEdges = edges
+          .join(nextNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(nextNodes.select(col("node").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        nodes.unpersist(); edges.unpersist()
+        nodes = nextNodes; edges = nextEdges
+        live -= n
+      } else fin.unpersist()
+      n
+    }
+    var outer = 0
+    while (live > 0) {
+      outer += 1
+      require(outer <= 64,
+        "MultiStep failed to converge in 64 rounds — every round retires " +
+          "at least the live minimum's SCC; graph state is corrupt")
+      // TRIM to fixpoint: live in-degree and out-degree in ONE union-agg
+      // pass; a node absent from the live edge set (left-join null) is
+      // isolated and trims too.
+      var trimmed = -1L
+      while (trimmed != 0L && live > 0) {
+        val deg = edges
+          .select(col("a").as("node"), lit(1L).as("o"), lit(0L).as("i"))
+          .union(edges.select(col("b").as("node"), lit(0L).as("o"), lit(1L).as("i")))
+          .groupBy("node").agg(sum(col("o")).as("outd"), sum(col("i")).as("ind"))
+        trimmed = retire(nodes.join(deg, Seq("node"), "left")
+          .where(col("outd").isNull || col("outd") === 0L || col("ind") === 0L)
+          .select(col("node"), col("node").as("scc"))
+          .localCheckpoint(true))
+      }
+      if (live > 0) {
+        // one FW-BW finalize round over the trimmed core
+        val fwd = sccMinReach(nodes, edges, forward = true)
+          .withColumnRenamed("lab", "fmin")
+        val bwd = sccMinReach(nodes, edges, forward = false)
+          .withColumnRenamed("lab", "bmin")
+        val fin = fwd.join(bwd, "node").where(col("fmin") === col("bmin"))
+          .select(col("node"), col("fmin").as("scc"))
+          .localCheckpoint(true)
+        fwd.unpersist(); bwd.unpersist()
+        val n = retire(fin)
+        require(n > 0, "FW-BW finalized nothing — the live minimum's SCC " +
+          "always satisfies fwdmin = bwdmin; label state is corrupt")
+      }
+    }
+    nodes.unpersist(); edges.unpersist()
+    require(done.nonEmpty || total == 0L, "empty decomposition")
+    done.reduce(_ unionByName _)
+  }
+
+  /** q_graph_scc — STRONGLY CONNECTED COMPONENTS of the directed
+    * repeat-purchase transition graph ([[sccEdgesPath]]): every part
+    * labeled with its SCC's minimum part id plus the SCC size — the
+    * cycle-structure primitive behind dependency resolution, feedback-loop
+    * detection, and condensation-DAG scheduling.
+    *
+    * Scale shape — why MULTISTEP and not Tarjan-on-the-driver or naive
+    * closure: trimming is two node-grain aggregates per round and peels
+    * the acyclic fringe (on this fixture's mid/large tiers it retires
+    * MOST nodes before any reachability runs — at bench scale the whole
+    * graph trims away in ~6 rounds); the FW-BW finalize is min-label
+    * propagation bounded by the live CORE's diameter, not the graph's,
+    * and each outer round provably retires the live minimum's SCC. Every
+    * step is an edge-grain keyed join or node-grain aggregate — state
+    * lives in DataFrames, never on the driver, and shuffle partitions are
+    * sized to the staged edge table ([[graphConnectedComponents]]'s
+    * discipline). The oracle labels the same graph INDEPENDENTLY: a
+    * recursive-CTE reachability closure intersected with its transpose —
+    * Σ|SCC|² rows, runnable only at oracle scale, which is exactly the
+    * point of the MultiStep formulation. AQE pinned off for the iteration
+    * (the [[graphBfs]] doctrine: short supersteps with known shapes).
+    */
+  def graphScc(s: SparkSession, d: String): DataFrame = {
+    val edges = sccEdges(s, d)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey,
+      math.max(1L, sccEdgeCount(s, d) / 500000L).toString)
+    val labels =
+      try sccLabels(s, edges)
+      finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+    val sizes = labels.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+    // SCC grain ≪ node grain — broadcast the size attach
+    labels.join(broadcast(sizes), "scc")
+      .select(col("node").as("part"), col("scc"), col("scc_size"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_connected_components" -> graphConnectedComponents _,
+    "q_graph_scc" -> graphScc _,
     "q_graph_louvain_step" -> graphLouvainStep _,
     "q_graph_community_contract" -> graphCommunityContract _,
     "q_graph_modularity" -> graphModularity _,
@@ -4235,6 +4512,7 @@ object Analytics {
     "q_timeseries_changepoint" -> timeseriesChangepoint _,
     "q_timeseries_backtest" -> timeseriesBacktest _,
     "q_timeseries_ses" -> timeseriesSes _,
+    "q_timeseries_holt_winters" -> timeseriesHoltWinters _,
     "q_agg_chisq" -> aggChisq _,
     "q_agg_moments" -> aggMoments _,
     "q_graph_powerlaw" -> graphPowerlaw _,
@@ -4347,6 +4625,28 @@ object Analytics {
         "CAST(component AS BIGINT) AS component, " +
         "CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize " +
         "FROM comp ORDER BY part"),
+    // the directed repeat-purchase graph labeled INDEPENDENTLY: full
+    // reachability closure intersected with its transpose (mutual
+    // reachability), reduced by min — Σ|SCC|² rows, oracle-scale only
+    "q_graph_scc" ->
+      ("WITH RECURSIVE seq AS (SELECT o_custkey c, o_orderkey k, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) nk FROM orders), " +
+        "e AS (SELECT l1.l_partkey a, l2.l_partkey b " +
+        "FROM seq JOIN lineitem l1 ON l1.l_orderkey = seq.k " +
+        "JOIN lineitem l2 ON l2.l_orderkey = seq.nk " +
+        "WHERE seq.nk IS NOT NULL AND l1.l_partkey <> l2.l_partkey " +
+        "GROUP BY a, b HAVING count(*) >= 2), " +
+        "nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e), " +
+        "reach AS (SELECT a AS src, b AS dst FROM e " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst), " +
+        "mut AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1 " +
+        "JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src), " +
+        "lab AS (SELECT n.v AS node, least(n.v, coalesce(min(m.u), n.v)) " +
+        "AS scc FROM nodes n LEFT JOIN mut m ON m.v = n.v GROUP BY n.v) " +
+        "SELECT CAST(node AS BIGINT) AS part, CAST(scc AS BIGINT) AS scc, " +
+        "CAST(count(*) OVER (PARTITION BY scc) AS BIGINT) AS scc_size " +
+        "FROM lab ORDER BY part"),
     // the Louvain move step over the same capped supplier wedge graph:
     // pure integer gain arithmetic (scaled by 2W²), ties to the smallest
     // candidate community — one mis-weighted edge shifts a gain and
@@ -5447,6 +5747,51 @@ object Analytics {
         "s.cents AS last_cents, s.s AS ses_cents " +
         "FROM ses s JOIN fin f ON f.acct = s.acct AND f.r = s.r " +
         "ORDER BY s.acct"),
+    // the additive Holt-Winters recursion unrolled: a recursive CTE
+    // carrying (level, trend, 12-slot seasonal LIST, running SAE), exact
+    // integer dyadic updates, scored against the one-month-naive MAE
+    "q_timeseries_holt_winters" ->
+      ("WITH RECURSIVE obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "ro AS (SELECT acct, cents, row_number() OVER " +
+        "(PARTITION BY acct ORDER BY mon) AS r FROM obs), " +
+        "nn AS (SELECT acct, CAST(max(r) AS BIGINT) AS n FROM ro " +
+        "GROUP BY acct HAVING max(r) >= 25), " +
+        "s0 AS (SELECT acct, " +
+        "CAST(sum(CASE WHEN r <= 12 THEN cents END) AS BIGINT) AS s1, " +
+        "CAST(sum(CASE WHEN r BETWEEN 13 AND 24 THEN cents END) AS BIGINT) AS s2 " +
+        "FROM ro GROUP BY acct), " +
+        "ini AS (SELECT s0.acct, s0.s1 // 12 AS l, (s0.s2 - s0.s1) // 144 AS b, " +
+        "(SELECT list(x.cents - s0.s1 // 12 ORDER BY x.r) FROM ro x " +
+        "WHERE x.acct = s0.acct AND x.r <= 12) AS seas " +
+        "FROM s0 JOIN nn ON nn.acct = s0.acct), " +
+        "hw AS (SELECT acct, CAST(12 AS BIGINT) AS t, l, b, seas, " +
+        "CAST(0 AS BIGINT) AS sae FROM ini " +
+        "UNION ALL SELECT h.acct, h.t + 1, " +
+        "((o.cents - h.seas[CAST(h.t % 12 AS INT) + 1]) + h.l + h.b) // 2, " +
+        "((((o.cents - h.seas[CAST(h.t % 12 AS INT) + 1]) + h.l + h.b) // 2) " +
+        "- h.l + 3 * h.b) // 4, " +
+        "h.seas[1:CAST(h.t % 12 AS INT)] || " +
+        "[((o.cents - (((o.cents - h.seas[CAST(h.t % 12 AS INT) + 1]) " +
+        "+ h.l + h.b) // 2)) + h.seas[CAST(h.t % 12 AS INT) + 1]) // 2] || " +
+        "h.seas[CAST(h.t % 12 AS INT) + 2:12], " +
+        "h.sae + abs(o.cents - (h.l + h.b + h.seas[CAST(h.t % 12 AS INT) + 1])) " +
+        "FROM hw h JOIN ro o ON o.acct = h.acct AND o.r = h.t + 1), " +
+        "fin AS (SELECT h.acct, nn.n, h.l, h.b, h.seas, h.sae FROM hw h " +
+        "JOIN nn ON nn.acct = h.acct AND h.t = nn.n), " +
+        "nv AS (SELECT a.acct, CAST(sum(abs(a.cents - b.cents)) AS BIGINT) " +
+        "AS sae_n FROM ro a JOIN ro b ON a.acct = b.acct AND b.r = a.r - 1 " +
+        "GROUP BY a.acct) " +
+        "SELECT f.acct, f.n AS n_months, f.l AS level_cents, " +
+        "f.b AS trend_cents, " +
+        "f.l + f.b + f.seas[CAST(f.n % 12 AS INT) + 1] AS fc_next_cents, " +
+        "f.sae // (f.n - 12) AS mae_hw, " +
+        "nv.sae_n // (f.n - 1) AS mae_naive, " +
+        "(1000000 * (f.sae // (f.n - 12))) // (nv.sae_n // (f.n - 1)) " +
+        "AS mase_micro FROM fin f JOIN nv ON nv.acct = f.acct " +
+        "ORDER BY f.acct"),
     "q_timeseries_backtest" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +

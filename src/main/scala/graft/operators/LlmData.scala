@@ -2991,6 +2991,59 @@ object LlmData {
         sha2(col("content"), 256).as("sha256_hex"))
       .orderBy("doc_id")
 
+  /** Alignment gate (micro-cosine): across all three fixture tiers the
+    * planted misaligned pairs land in [−421k, 342k] and aligned pairs in
+    * [521k, 857k] — the gate sits at 450k with ≥ 71k margin on both
+    * sides. Mirrored literally by the oracle. */
+  private val alignGateMicro = 450000L
+
+  /** q_multimodal_align — IMAGE-TEXT ALIGNMENT FILTER (the CLIP-score gate
+    * every multimodal curation pipeline runs before a caption pair enters
+    * training): each document's text-tower embedding is scored against its
+    * paired image-tower embedding by cosine, and the pair is kept only
+    * above [[alignGateMicro]] — the LAION-style "does the caption actually
+    * describe the image" filter, completing the multimodal funnel
+    * (decode → dedup → ALIGN → pack). The fixture models the image tower
+    * deterministically: image(d) blends the embeddings of rows i1/i2 —
+    * the document's own vector and its neighbor for aligned pairs, two
+    * unrelated vectors for every 5th document (the planted mismatch the
+    * gate must drop). Scores are exact: the blend is double arithmetic
+    * cast back to float (IEEE-identical in both engines), the cosine is
+    * the bit-identical left-fold [[graft.functions.DotExpr]] kernel, and
+    * the ledger (verdict + signed margin) is integer micro.
+    *
+    * Scale: two vec_id-keyed equi-joins (at 100 TB the image embeddings
+    * arrive as their own table keyed by pair id — same plan) + one
+    * codegen'd scan-grain cosine; no shuffle beyond the pair joins, output
+    * is doc-grain. The gate threshold is the control-plane constant a
+    * curation run tunes against a human-rated sample.
+    */
+  def multimodalAlign(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.agg(count(lit(1)).as("n"))
+    val pairs = e.select(col("vec_id").as("doc_id"), col("embedding").as("te"))
+      .crossJoin(broadcast(n))
+      .withColumn("i1",
+        expr("(doc_id + IF(doc_id % 5 = 0, 3, 0)) % n"))
+      .withColumn("i2",
+        expr("(doc_id + IF(doc_id % 5 = 0, 4, 1)) % n"))
+      .join(e.select(col("vec_id").as("i1"), col("embedding").as("e1")), "i1")
+      .join(e.select(col("vec_id").as("i2"), col("embedding").as("e2")), "i2")
+      .withColumn("ie", expr(
+        "zip_with(e1, e2, (x, y) -> " +
+          "CAST((CAST(x AS DOUBLE) + CAST(y AS DOUBLE)) / 2 AS FLOAT))"))
+    val cos = graft.functions.VectorOps.cosine(col("te"), col("ie"))
+    pairs
+      .withColumn("cos_micro",
+        (round(cos * 1000000d, 0)).cast("long"))
+      .select(col("doc_id"), col("cos_micro"),
+        when(col("cos_micro") >= alignGateMicro, lit("keep"))
+          .otherwise(lit("drop")).as("verdict"),
+        (col("cos_micro") - alignGateMicro).as("margin_micro"))
+      .orderBy("doc_id")
+  }
+
   /** q_multimodal_frames — REAL image decode over landed binary media: a
     * `binaryFile` scan of deterministic PNG fixtures, batched ImageIO decode
     * through the [[graft.functions.BinaryBatch]] seam (mapInPandas-shaped:
@@ -3184,18 +3237,27 @@ object LlmData {
   /** The decoded, scene-assigned frame relation
     * (video_id, frame_no, lum, scene_no) shared by [[multimodalVideoScene]]
     * and [[multimodalKeyframe]]. */
-  private def videoSceneFrames(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Fixtures.ensure(
+  /** The staged PNG-frame fixture dir (shared by the batch and streaming
+    * transports). */
+  private def videoFixtureDir(): java.nio.file.Path =
+    graft.Fixtures.ensure(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_video_v2"))(
       graft.functions.BinaryBatch.writeVideoFixtures(_))
-    val pat = "vid_(\\d+)_f_(\\d+)\\.png$"
-    val scanned = s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png").load(dir.toString)
-      .select(
-        regexp_extract(col("path"), pat, 1).cast("long").as("video_id"),
-        regexp_extract(col("path"), pat, 2).cast("long").as("frame_no"),
-        col("content"))
-    val lum = graft.functions.BinaryBatch.frameLum(s, scanned).toDF()
+
+  private val videoFramePat = "vid_(\\d+)_f_(\\d+)\\.png$"
+
+  /** (path, content) → (video_id, frame_no, content); shared by the batch
+    * scan and the streaming source (a stateless projection, so it rides a
+    * micro-batch unchanged). */
+  private def videoFrameKeys(scanned: DataFrame): DataFrame =
+    scanned.select(
+      regexp_extract(col("path"), videoFramePat, 1).cast("long").as("video_id"),
+      regexp_extract(col("path"), videoFramePat, 2).cast("long").as("frame_no"),
+      col("content"))
+
+  /** The cut detector: per-clip frame-ordered window over the decoded
+    * (video_id, frame_no, lum) features — shared by both transports. */
+  private def videoSceneAssign(lum: DataFrame): DataFrame = {
     val w = Window.partitionBy("video_id").orderBy("frame_no")
     lum.withColumn("dl", col("lum") - lag(col("lum"), 1).over(w))
       .withColumn("cut", when(col("dl").isNull, lit(0L))
@@ -3205,12 +3267,90 @@ object LlmData {
       .select("video_id", "frame_no", "lum", "scene_no")
   }
 
-  def multimodalVideoScene(s: SparkSession, d: String): DataFrame =
-    videoSceneFrames(s, d)
+  private def videoSceneFrames(s: SparkSession, d: String): DataFrame = {
+    val dir = videoFixtureDir()
+    val scanned = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir.toString)
+    videoSceneAssign(
+      graft.functions.BinaryBatch.frameLum(s, videoFrameKeys(scanned)).toDF())
+  }
+
+  /** (video, scene) segment rollup — shared by both transports. */
+  private def videoSceneSegments(frames: DataFrame): DataFrame =
+    frames
       .groupBy(col("video_id"), col("scene_no"))
       .agg(min("frame_no").as("start_frame"), max("frame_no").as("end_frame"),
         count(lit(1)).as("n_frames"))
       .orderBy("video_id", "scene_no")
+
+  def multimodalVideoScene(s: SparkSession, d: String): DataFrame =
+    videoSceneSegments(videoSceneFrames(s, d))
+
+  /** Test seam: the streamed per-frame feature table (LlmDataSpec compares
+    * it row-for-row against the batch decode). */
+  private[graft] def streamVideoFeatures(s: SparkSession): DataFrame =
+    s.read.parquet(streamVideoFeaturePath(s).toString)
+
+  /** Build-or-reuse the STREAM-DECODED feature table: the PNG frames flow
+    * through a `binaryFile` file-source stream (3 micro-batches under
+    * maxFilesPerTrigger, AvailableNow), the batched real ImageIO decode
+    * rides each micro-batch as a stateless projection, and the 8-byte
+    * per-frame features land in a transactional parquet sink whose
+    * COMMITTED files (only) are published — the [[ivfStreamIndexWith]]
+    * lakehouse-commit recipe pointed at the decode stage.
+    */
+  private def streamVideoFeaturePath(s: SparkSession): java.nio.file.Path =
+    graft.Fixtures.ensure(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_video_stream_feat_v1")) { staging =>
+      val dir = videoFixtureDir()
+      val work = graft.Fixtures.tempDirCleanedAtExit("graft_video_stream_work_")
+      val sinkOut = work.resolve("data")
+      val schema = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(dir.toString).schema
+      val src = s.readStream.format("binaryFile").schema(schema)
+        .option("pathGlobFilter", "*.png")
+        // 3 micro-batches over the 144-frame fixture: the decode must be
+        // provably incremental, not a single-batch special case
+        .option("maxFilesPerTrigger", "48")
+        .load(dir.toString)
+      val feats =
+        graft.functions.BinaryBatch.frameLum(s, videoFrameKeys(src)).toDF()
+      val q = feats.writeStream.format("parquet")
+        .option("path", sinkOut.toString)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      java.nio.file.Files.createDirectories(staging)
+      streamSinkCommittedFiles(sinkOut).foreach { f =>
+        java.nio.file.Files.move(f,
+          staging.resolve(s"stream-${f.getFileName.toString}"))
+      }
+    }
+
+  /** q_stream_video_scene — the STREAMING transport of
+    * [[multimodalVideoScene]]: frames arrive as a `binaryFile` file-source
+    * stream, the real batched decode ([[graft.functions.BinaryBatch
+    * .frameLum]]) runs per micro-batch, and per-frame features land in an
+    * exactly-once parquet sink; the cut detector then runs its frame-
+    * ordered window over the SUNK FEATURE TABLE. Output is content-
+    * identical to the batch operator (the `q_simsearch_stream_append`
+    * identity doctrine: same rows, different transport), so this key
+    * shares `q_multimodal_video_scene`'s oracle verbatim — and the spec
+    * pins the streamed feature table row-for-row against the batch decode.
+    *
+    * Why the detector stays batch-side: scene assignment needs each
+    * clip's TOTAL frame order, and a file stream promises arrival, not
+    * order — a stateful streaming detector would buffer out-of-order
+    * frames in state stores just to rebuild the sort the feature table
+    * gives for free. The DECODE is the stage that is petabyte-sized at
+    * 100 TB (and is exactly what should land incrementally as clips
+    * arrive); detection is control-plane work over features 10⁶× smaller
+    * than the video bytes. Continuous deployments run the sink publish
+    * per micro-batch and the detector on a schedule — the lakehouse
+    * ingest posture.
+    */
+  def streamVideoScene(s: SparkSession, d: String): DataFrame =
+    videoSceneSegments(videoSceneAssign(streamVideoFeatures(s)))
 
   /** q_multimodal_keyframe — KEYFRAME ELECTION per scene, the step after
     * [[multimodalVideoScene]] in every video-curation pipeline (caption
@@ -8799,6 +8939,8 @@ object LlmData {
     "q_multimodal_frames" -> multimodalFrames _,
     "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
     "q_multimodal_video_scene" -> multimodalVideoScene _,
+    "q_multimodal_align" -> multimodalAlign _,
+    "q_stream_video_scene" -> streamVideoScene _,
     "q_multimodal_audio_segments" -> multimodalAudioSegments _,
     "q_multimodal_keyframe" -> multimodalKeyframe _,
     "q_multimodal_audio" -> multimodalAudio _,
@@ -10216,6 +10358,34 @@ object LlmData {
         "CAST(length(text) AS INT) AS n_chars_txt " +
         "FROM documents ORDER BY doc_id"),
     "q_multimodal_video_scene" -> videoSceneSql,
+    // the streaming transport is content-identical to the batch operator
+    // (same decoded frames, same detector) — shared oracle verbatim
+    "q_stream_video_scene" -> videoSceneSql,
+    // the alignment filter replayed: same blend (double mean cast to
+    // float), same left-fold cosine, same micro gate
+    "q_multimodal_align" -> {
+      val dot = (a: String, b: String) => graft.functions.VectorOps.sqlDot(a, b)
+      val cos = s"${dot("t.te", "t.ie")} / (sqrt(${dot("t.te", "t.te")}) * " +
+        s"sqrt(${dot("t.ie", "t.ie")}))"
+      "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), " +
+        "k AS (SELECT e.vec_id AS doc_id, e.embedding AS te, " +
+        "(e.vec_id + CASE WHEN e.vec_id % 5 = 0 THEN 3 ELSE 0 END) % n.n AS i1, " +
+        "(e.vec_id + CASE WHEN e.vec_id % 5 = 0 THEN 4 ELSE 1 END) % n.n AS i2 " +
+        "FROM embeddings e, n), " +
+        "t AS (SELECT k.doc_id, k.te, " +
+        "list_transform(range(1, len(a.embedding) + 1), i -> " +
+        "CAST((CAST(a.embedding[i] AS DOUBLE) + CAST(b.embedding[i] AS DOUBLE)) " +
+        "/ 2 AS FLOAT)) AS ie " +
+        "FROM k JOIN embeddings a ON a.vec_id = k.i1 " +
+        "JOIN embeddings b ON b.vec_id = k.i2), " +
+        s"sc AS (SELECT doc_id, CAST(round(($cos) * 1000000) AS BIGINT) " +
+        "AS cos_micro FROM t) " +
+        "SELECT doc_id, cos_micro, " +
+        s"CASE WHEN cos_micro >= $alignGateMicro THEN 'keep' ELSE 'drop' END " +
+        "AS verdict, " +
+        s"cos_micro - $alignGateMicro AS margin_micro " +
+        "FROM sc ORDER BY doc_id"
+    },
     "q_multimodal_audio_segments" -> audioSegSql,
     "q_multimodal_keyframe" -> keyframeSql,
     "q_multimodal_frames" ->

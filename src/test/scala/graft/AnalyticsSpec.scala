@@ -1690,6 +1690,128 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_scc labels match a driver-side Tarjan over the staged directed graph") {
+    // engine MultiStep decomposition re-checked against an iterative
+    // Tarjan over the SAME staged edge set (min-id canonical labels) —
+    // independent of the oracle's recursive-CTE mutual-reachability walk
+    val out = Analytics.graphScc(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = Analytics.sccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val g = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+      .withDefaultValue(Array.empty[Long])
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onstk = scala.collection.mutable.Set[Long]()
+    val stk = scala.collection.mutable.ArrayBuffer[Long]()
+    val label = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    def strong(v0: Long): Unit = {
+      val work = scala.collection.mutable.Stack[(Long, Int)]((v0, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.pop()
+        if (pi == 0) {
+          idx(v) = counter; low(v) = counter; counter += 1
+          stk += v; onstk += v
+        }
+        var recursed = false
+        var i = pi
+        val nb = g(v)
+        while (i < nb.length && !recursed) {
+          val w = nb(i)
+          if (!idx.contains(w)) {
+            work.push((v, i + 1)); work.push((w, 0)); recursed = true
+          } else {
+            if (onstk(w)) low(v) = math.min(low(v), idx(w))
+            i += 1
+          }
+        }
+        if (!recursed) {
+          if (low(v) == idx(v)) {
+            var comp = List.empty[Long]
+            var stop = false
+            while (!stop) {
+              val w = stk.remove(stk.length - 1); onstk -= w; comp ::= w
+              if (w == v) stop = true
+            }
+            val m = comp.min
+            comp.foreach(n => label(n) = m)
+          }
+          if (work.nonEmpty) {
+            val (pv, _) = work.top
+            low(pv) = math.min(low(pv), low(v))
+          }
+        }
+      }
+    }
+    nodes.foreach(v => if (!idx.contains(v)) strong(v))
+    val sizes = label.values.groupBy(identity).map { case (c, m) => c -> m.size }
+    assert(out.length === nodes.length)
+    out.foreach { case (part, scc, sz) =>
+      assert(scc === label(part), s"scc mismatch at $part")
+      assert(sz === sizes(label(part)).toLong, s"scc size mismatch at $part")
+    }
+  }
+
+  test("q_graph_scc: planted cycle collapses, planted DAG edge stays out") {
+    import s.implicits._
+    // cycle 10→11→12→10, a DAG edge hanging off it (12→13), and a
+    // disconnected 2-chain — trim must retire 13/20/21 as singletons,
+    // FW-BW must collapse the cycle to its min id
+    val e = Seq((10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), (20L, 21L))
+      .toDF("a", "b")
+    val lab = Analytics.sccLabels(s, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lab.size === 6)
+    assert(lab(10L) === 10L && lab(11L) === 10L && lab(12L) === 10L,
+      "cycle members must share the min-id label")
+    assert(lab(13L) === 13L, "the DAG successor of a cycle is its own SCC")
+    assert(lab(20L) === 20L && lab(21L) === 21L)
+  }
+
+  test("q_timeseries_holt_winters replays driver-side from the monthly rollup") {
+    val out = Analytics.timeseriesHoltWinters(s, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val obs = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    def di(a: Long, b: Long): Long = a / b // Long / truncates — Spark div law
+    val expected = obs.groupBy(_._1).collect {
+      case (acct, rows) if rows.length >= 25 =>
+        val xs = rows.sortBy(_._2).map(_._3)
+        val n = xs.length
+        val s1 = xs.slice(0, 12).sum
+        val s2 = xs.slice(12, 24).sum
+        var l = di(s1, 12)
+        var b = di(s2 - s1, 144)
+        val seas = xs.slice(0, 12).map(_ - l)
+        var sae = 0L
+        (13 to n).foreach { t =>
+          val x = xs(t - 1)
+          val j = (t - 1) % 12
+          val so = seas(j)
+          sae += math.abs(x - (l + b + so))
+          val ln = di((x - so) + l + b, 2)
+          val bn = di((ln - l) + 3 * b, 4)
+          seas(j) = di((x - ln) + so, 2)
+          l = ln; b = bn
+        }
+        val maeHw = di(sae, n - 12)
+        val maeNaive = di((1 until n).map(i => math.abs(xs(i) - xs(i - 1))).sum, n - 1)
+        acct -> ((n.toLong, l, b, l + b + seas(n % 12), maeHw, maeNaive,
+          di(1000000L * maeHw, maeNaive)))
+    }
+    assert(out.keySet === expected.map(_._1).toSet)
+    expected.foreach { case (acct, exp) =>
+      assert(out(acct) === exp, s"Holt-Winters state mismatch at acct $acct")
+    }
+  }
+
   test("q_graph_hits_step: auth recomputes from the 2-hop brute force; max normalizes to 1e6") {
     val out = Analytics.graphHitsStep(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -795,6 +795,40 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_video_scene: streamed decode equals an independent driver decode; segments identical to batch") {
+    import graft.functions.BinaryBatch
+    // transport identity: same segments, same order, as the batch operator
+    val out = LlmData.streamVideoScene(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val batch = LlmData.multimodalVideoScene(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === batch.toSeq,
+      "streaming transport must be content-identical to the batch operator")
+    // the SUNK feature table re-decoded independently on the driver
+    // (ImageIO over the raw fixture bytes) — catches a sink that dropped,
+    // duplicated, or mis-keyed a micro-batch's frames
+    val feats = LlmData.streamVideoFeatures(s).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_video_v2")
+    val pat = "vid_(\\d+)_f_(\\d+)\\.png$".r
+    val st = java.nio.file.Files.list(dir)
+    val pngs =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".png")).toList
+      } finally st.close()
+    assert(pngs.nonEmpty)
+    assert(feats.size === pngs.length,
+      "sink must publish exactly one feature row per fixture frame")
+    pngs.foreach { f =>
+      val m = pat.findFirstMatchIn(f.toString).get
+      val (v, fr) = (m.group(1).toLong, m.group(2).toLong)
+      val lum = BinaryBatch.frameLumBatch(
+        Seq((v, fr, java.nio.file.Files.readAllBytes(f)))).head.lum
+      assert(feats((v, fr)) === lum, s"streamed feature mismatch at ($v, $fr)")
+    }
+  }
+
   test("q_text_unigram_encode: Viterbi matches exhaustive enumeration on every token") {
     val model = LlmData.unigramModel(s, d)
     val lp = model.map { case (p, _, v) => p -> v }.toMap
@@ -1985,6 +2019,21 @@ class LlmDataSpec extends AnyFunSuite {
     val r = LlmData.multimodalJoin(s, d)
     assert(r.count() === 500)
     assert(r.where(col("dim") =!= 64).count() === 0)
+  }
+
+  test("q_multimodal_align: planted mismatches drop, genuine pairs keep, margins signed") {
+    // the gate must recover the PLANTED pairing exactly: every 5th doc's
+    // image blends two unrelated vectors (mismatch), the rest blend the
+    // doc's own vector with its neighbor (aligned) — and the ledger's
+    // margin is the signed distance to the 450k micro gate
+    val out = LlmData.multimodalAlign(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, cm, v, mg) =>
+      assert(mg === cm - 450000L, s"margin must be signed gate distance at $id")
+      if (id % 5 == 0) assert(v === "drop", s"planted mismatch $id must drop")
+      else assert(v === "keep", s"aligned pair $id must keep")
+    }
   }
 
   test("q_multimodal_binary hashes are well-formed") {

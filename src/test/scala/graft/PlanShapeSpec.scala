@@ -178,6 +178,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx === 1, s"expected exactly the one 8-group agg exchange, saw $hashEx:\n$p")
   }
 
+  test("q_multimodal_align: equi-join pairing, native dot kernel, no cartesian") {
+    val p = plan(graft.operators.LlmData.multimodalAlign(s, d))
+    assert(!p.contains("CartesianProduct"),
+      s"the pair attach must stay an equi-join:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1,
+      s"only the 1-row corpus-count attach may nest-loop, saw $bnlj:\n$p")
+    assert(p.contains("graft_dot"),
+      s"cosine must run the native codegen'd dot kernel:\n$p")
+  }
+
+  test("q_timeseries_holt_winters folds inside the account group: no join, no window") {
+    val p = plan(graft.operators.Analytics.timeseriesHoltWinters(s, d))
+    assert(!p.contains("Join"),
+      s"the recursion must fold inside the keyed aggregate, not join:\n$p")
+    assert(!p.contains("Window"),
+      s"no window — the fold state is the aggregate buffer:\n$p")
+  }
+
   test("q_text_tfidf broadcasts the vocabulary-sized df table") {
     val p = plan(graft.operators.LlmData.textTfidf(s, d))
     assert(p.contains("BroadcastHashJoin"), s"df join should broadcast:\n$p")
