@@ -1208,6 +1208,105 @@ object Relational {
       .orderBy("zval", "o_orderkey")
   }
 
+  /** Hilbert resolution: 2¹⁷ cells per dimension — covers o_custkey and the
+    * epoch-day domain at every fixture tier with headroom; hval < 3·4¹⁷
+    * fits a long with 28 bits to spare. */
+  private[graft] val hilbertBits = 17
+
+  /** Appends `hval`, the HILBERT-CURVE index of integer columns (x, y) at
+    * [[hilbertBits]] resolution: the classic per-level quadrant fold —
+    * at each level s = 2^k the quadrant bits (rx, ry) contribute
+    * s²·((3·rx) XOR ry) and the frame rotates/reflects (flip-then-swap
+    * when ry = 0) so the next level continues the curve. Pure integer
+    * shift/mask/CASE arithmetic evaluated bit-identically by Spark and
+    * DuckDB (the oracle chains the same 17 steps as CTEs); two's-
+    * complement `&` keeps the transiently negative reflected frames
+    * identical in both engines. LayoutSpec pins bijectivity + unit-step
+    * continuity of the same fold exhaustively at a small order.
+    */
+  private[graft] def hilbertVal(df: DataFrame, x: Column, y: Column): DataFrame = {
+    var cur = df.withColumn("hx", x.cast("long"))
+      .withColumn("hy", y.cast("long"))
+      .withColumn("hval", lit(0L))
+    ((hilbertBits - 1) to 0 by -1).foreach { lvl =>
+      val sv = 1L << lvl
+      cur = cur
+        .withColumn("rx",
+          when(col("hx").bitwiseAND(lit(sv)) =!= 0L, lit(1L)).otherwise(lit(0L)))
+        .withColumn("ry",
+          when(col("hy").bitwiseAND(lit(sv)) =!= 0L, lit(1L)).otherwise(lit(0L)))
+        .withColumn("hval", col("hval") + lit(sv * sv) * expr("(3 * rx) ^ ry"))
+        .withColumn("nx",
+          when(col("ry") === 1L, col("hx"))
+            .otherwise(when(col("rx") === 1L, lit(sv - 1) - col("hy"))
+              .otherwise(col("hy"))))
+        .withColumn("ny",
+          when(col("ry") === 1L, col("hy"))
+            .otherwise(when(col("rx") === 1L, lit(sv - 1) - col("hx"))
+              .otherwise(col("hx"))))
+        .withColumn("hx", col("nx"))
+        .withColumn("hy", col("ny"))
+    }
+    cur.drop("hx", "hy", "rx", "ry", "nx", "ny")
+  }
+
+  /** The 17-step DuckDB CTE chain mirroring [[hilbertVal]]: `h17` seeds
+    * (carry…, hx, hy, hval = 0) from `srcCte`; each `h{k}` consumes level
+    * k's quadrant bits and rotates the frame; `h0` holds the final hval.
+    * `carry` columns ride through unchanged. */
+  private def hilbertSqlCtes(srcCte: String, carry: Seq[String]): String = {
+    val carryCols = carry.mkString(", ")
+    val seed = s"h$hilbertBits AS (SELECT $carryCols, hx, hy, " +
+      s"CAST(0 AS BIGINT) AS hval FROM $srcCte)"
+    val steps = ((hilbertBits - 1) to 0 by -1).map { lvl =>
+      val sv = 1L << lvl
+      s"h$lvl AS (SELECT $carryCols, " +
+        s"CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN ${sv - 1} - hy ELSE hy END AS hx, " +
+        s"CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN ${sv - 1} - hx ELSE hx END AS hy, " +
+        s"hval + ${sv * sv} * xor(3 * rx, ry) AS hval " +
+        s"FROM (SELECT *, CASE WHEN (hx & $sv) <> 0 THEN 1 ELSE 0 END AS rx, " +
+        s"CASE WHEN (hy & $sv) <> 0 THEN 1 ELSE 0 END AS ry FROM h${lvl + 1}))"
+    }
+    (seed +: steps).mkString(", ")
+  }
+
+  /** q_layout_hilbert — HILBERT-CURVE DATA LAYOUT, [[layoutZorder]]'s
+    * locality upgrade (the ordering behind Databricks liquid clustering's
+    * clustering keys): orders are laid out along the Hilbert curve over
+    * (o_custkey, order day), range-partitioned and sorted by the curve
+    * index, written, then probed with the same 2-D box predicate as the
+    * Z-order layout.
+    *
+    * Why a second curve is a first-class operator: the Z-curve's bit
+    * interleave takes LONG DIAGONAL JUMPS at quadrant seams (…0111→1000
+    * flips every bit), so a file of consecutive zvals can span a wide
+    * (x, y) bounding box exactly where the seam lands; the Hilbert curve
+    * moves ONE GRID STEP at a time (unit-step continuity, LayoutSpec-
+    * pinned), so consecutive curve positions are always spatially
+    * adjacent and per-file min/max boxes stay tight — the measured reason
+    * lake formats moved their multi-dim clustering from Z-order to
+    * Hilbert. Same write shape as the Z layout (one sampled range
+    * exchange + local sort, amortized over every probe); the probe's
+    * file-skipping economics are the [[layoutZorder]] doctrine with a
+    * tighter box per file. The oracle replays the identical 17-level
+    * integer fold in chained CTEs — layout must never change results.
+    */
+  def layoutHilbert(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_layout_hilbert"
+    hilbertVal(
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day")),
+      col("o_custkey"), col("day"))
+      .repartitionByRange(16, col("hval"))
+      .sortWithinPartitions("hval")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .where(col("o_custkey") < 40 &&
+        col("day") >= lit(9862) && col("day") < lit(10227)) // 1997-01-01..1998-01-01
+      .select("o_orderkey", "o_custkey", "day", "hval")
+      .orderBy("hval", "o_orderkey")
+  }
+
   /** q_scan_manifest_skip — MANIFEST-BASED FILE SKIPPING, the explicit-index
     * complement of [[layoutZorder]]'s implicit row-group stats: the table is
     * landed range-partitioned on the skip column (so each file owns a tight
@@ -1630,6 +1729,7 @@ object Relational {
     "q_sql_lateral" -> sqlLateral _,
     "q_agg_heavy_hitters" -> aggHeavyHitters _,
     "q_layout_zorder" -> layoutZorder _,
+    "q_layout_hilbert" -> layoutHilbert _,
     "q_scan_manifest_skip" -> scanManifestSkip _,
     "q_scan_bloom_skip" -> scanBloomSkip _,
     "q_agg_percentile" -> aggPercentile _,
@@ -1798,6 +1898,18 @@ object Relational {
         "SELECT o_orderkey, o_custkey, day, zval FROM z " +
         "WHERE o_custkey < 40 AND day >= 9862 AND day < 10227 " +
         "ORDER BY zval, o_orderkey"),
+    // the 17-level Hilbert fold replayed as chained CTEs over the source
+    // table — layout must never change query results
+    "q_layout_hilbert" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        "CAST(o_custkey AS BIGINT) AS hx, " +
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) " +
+        "AS BIGINT) AS hy FROM orders), " +
+        hilbertSqlCtes("base", Seq("o_orderkey", "o_custkey", "day")) + " " +
+        "SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day, hval FROM h0 " +
+        "WHERE o_custkey < 40 AND day >= 9862 AND day < 10227 " +
+        "ORDER BY hval, o_orderkey"),
     "q_agg_heavy_hitters" ->
       ("SELECT user_id, count(*) AS n FROM events " +
         "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20"),

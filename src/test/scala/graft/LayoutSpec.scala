@@ -64,6 +64,79 @@ class LayoutSpec extends AnyFunSuite {
       "increasing either coordinate increases zval from a fixed cell")
   }
 
+  /** Driver-side reference of the Hilbert fold (the construction whose
+    * bijectivity + continuity the order-5 test proves exhaustively). */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var dsum = 0L
+    var lvl = bits - 1
+    while (lvl >= 0) {
+      val s = 1L << lvl
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      dsum += s * s * ((3 * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      lvl -= 1
+    }
+    dsum
+  }
+
+  test("hilbert fold is a bijection with unit-step continuity (exhaustive, order 5)") {
+    val b = 5; val n = 1 << b
+    val cells = (for (x <- 0 until n; y <- 0 until n)
+      yield hilbertRef(b, x, y) -> ((x, y))).toMap
+    assert(cells.size === n * n, "fold must be a bijection onto 0..n²-1")
+    assert(cells.keys.min === 0L && cells.keys.max === (n * n - 1).toLong)
+    (0L until (n * n - 1).toLong).foreach { dd =>
+      val (x1, y1) = cells(dd); val (x2, y2) = cells(dd + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve must move one grid step at d=$dd — this is the property " +
+          "that keeps per-file bounding boxes tight")
+    }
+  }
+
+  test("q_layout_hilbert: engine fold equals the driver reference on every order") {
+    import spark.implicits._
+    val got = operators.Relational.hilbertVal(
+      Tables(spark, sf, "orders")
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day")),
+      col("o_custkey"), col("day"))
+      .select("o_custkey", "day", "hval").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (x, y, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(h === hilbertRef(operators.Relational.hilbertBits, x, y),
+        s"engine hval mismatch at ($x, $y)")
+    }
+  }
+
+  test("q_layout_hilbert writes files with disjoint hval ranges; box probe prunes") {
+    operators.Relational.layoutHilbert(spark, sf).collect()
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_layout_hilbert"
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("hval").as("lo"), max("hval").as("hi"),
+        min("o_custkey").as("xlo"), max("o_custkey").as("xhi"),
+        min("day").as("ylo"), max("day").as("yhi"))
+      .orderBy("lo")
+      .collect()
+    assert(perFile.length > 1, "layout should produce multiple files")
+    perFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"overlapping hval ranges: $a vs $b")
+    }
+    val touched = perFile.count { r =>
+      r.getAs[Long]("xlo") < 40 &&
+        r.getAs[Long]("yhi") >= 9862 && r.getAs[Long]("ylo") < 10227
+    }
+    assert(touched < perFile.length,
+      s"box probe should prune at least one of ${perFile.length} files")
+  }
+
   test("q_scan_bloom_skip reads a strict subset of the files, correctly") {
     val (df, read, total) = operators.Relational.scanBloomSkipImpl(spark, sf)
     // the bloom must prune: a single customer's orders live in a handful
