@@ -7750,6 +7750,82 @@ object LlmData {
     * partition), so the only global structure is the bounded bucket
     * ledger. Phase assignment is then a scan-side division.
     */
+  /** q_corpus_reweight — DOMAIN MIX REWEIGHTING, DoReMi-flavored (Xie et
+    * al. 2023): one first-order multiplicative-weights step over the
+    * per-domain EXCESS LOSS — domains whose realized per-token loss
+    * exceeds the reference's are upweighted for the next epoch, the
+    * principled alternative to hand-tuned mix tables. Loss here is the
+    * corpus-unigram micro-log model ([[textUnigramLp]]'s exact integer
+    * discipline) standing in for the proxy model's loss table — the
+    * domain-grain join seam where a trained proxy's losses plug in
+    * unchanged; the reference is the domain-agnostic global mean. The
+    * update is the linear (first-order Taylor) form of DoReMi's
+    * exponentiated-gradient step — w' ∝ w·(1 + η·excess), η = 1, all
+    * integer micro so the new mix replays exactly — and the ledger emits
+    * per-domain: token share before, loss, excess, share after, and the
+    * next epoch's token budget.
+    *
+    * Scale: the vocabulary table broadcasts (the unigram_lp precedent);
+    * the only corpus-grain work is one token join + one (domain) keyed
+    * aggregate with map-side partials; everything after is domain-grain
+    * (bounded — a corpus has dozens of domains, not millions).
+    */
+  def corpusReweight(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .select(col("tok"),
+        expr("CAST(round(log10(cnt * 1.0 / total) * 1000000) AS BIGINT)")
+          .as("lp_micro"))
+    val dom = toks.join(broadcast(vocab), "tok")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_toks"), sum(col("lp_micro")).as("slp"))
+    val scored = dom
+      .crossJoin(broadcast(dom.agg(sum(col("n_toks")).as("tt"),
+        sum(col("slp")).as("ts"))))
+      .withColumn("loss_micro", expr("-(slp div n_toks)"))
+      .withColumn("excess_micro",
+        expr("greatest(CAST(0 AS BIGINT), loss_micro - (-(ts div tt)))"))
+      .withColumn("mix_pmille_before", expr("(1000 * n_toks) div tt"))
+      .withColumn("score", expr("mix_pmille_before * (1000000 + excess_micro)"))
+    scored
+      .crossJoin(broadcast(scored.agg(sum(col("score")).as("ss"))))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        col("mix_pmille_before"), col("loss_micro"), col("excess_micro"),
+        expr("(1000 * score) div ss").as("mix_pmille_after"),
+        expr("(((1000 * score) div ss) * tt) div 1000").as("next_epoch_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB replay of [[corpusReweight]]: same unigram micro-log table,
+    * same domain rollup, same first-order multiplicative-weights step. */
+  private def corpusReweightSql: String =
+    "WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) " +
+      "AS tok FROM documents), " +
+      "vocab AS (SELECT tok, CAST(round(log10(count(*) * 1.0 / " +
+      "(SELECT count(*) FROM toks)) * 1000000) AS BIGINT) AS lp_micro " +
+      "FROM toks GROUP BY tok), " +
+      "dom AS (SELECT source, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs, " +
+      "CAST(count(*) AS BIGINT) AS n_toks, CAST(sum(v.lp_micro) AS BIGINT) AS slp " +
+      "FROM toks t JOIN vocab v ON v.tok = t.tok GROUP BY source), " +
+      "tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tt, " +
+      "CAST(sum(slp) AS BIGINT) AS ts FROM dom), " +
+      "sc AS (SELECT dom.*, tt, " +
+      "-(slp // n_toks) AS loss_micro, " +
+      "greatest(CAST(0 AS BIGINT), -(slp // n_toks) - (-(ts // tt))) AS excess_micro, " +
+      "(1000 * n_toks) // tt AS mix_pmille_before, " +
+      "((1000 * n_toks) // tt) * (1000000 + " +
+      "greatest(CAST(0 AS BIGINT), -(slp // n_toks) - (-(ts // tt)))) AS score " +
+      "FROM dom, tot), " +
+      "ss AS (SELECT CAST(sum(score) AS BIGINT) AS ss FROM sc) " +
+      "SELECT source, n_docs, n_toks, mix_pmille_before, loss_micro, " +
+      "excess_micro, (1000 * score) // ss AS mix_pmille_after, " +
+      "(((1000 * score) // ss) * tt) // 1000 AS next_epoch_tokens " +
+      "FROM sc, ss ORDER BY source"
+
   def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .where(col("text").isNotNull)
@@ -8954,6 +9030,7 @@ object LlmData {
     "q_embed_centroid_eval" -> embedCentroidEval _,
     "q_corpus_token_budget" -> corpusTokenBudget _,
     "q_corpus_curriculum" -> corpusCurriculum _,
+    "q_corpus_reweight" -> corpusReweight _,
     "q_corpus_split_leakage" -> corpusSplitLeakage _,
     "q_simsearch_maxsim" -> simsearchMaxsim _,
     "q_text_novelty" -> textNovelty _,
@@ -9836,6 +9913,7 @@ object LlmData {
     // the quality CTEs replicate q_text_quality's oracle verbatim, then
     // the greedy budget cut replays over the (key, doc_id) global order
     "q_corpus_curriculum" -> curriculumSql,
+    "q_corpus_reweight" -> corpusReweightSql,
     "q_corpus_token_budget" ->
       ("WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks, " +
         "CAST(strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS n_punct " +

@@ -584,6 +584,36 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum > 0, "every query recalled nothing — eval vacuous")
   }
 
+  test("q_corpus_reweight: the multiplicative-weights step replays driver-side; hard domains rise") {
+    val out = LlmData.corpusReweight(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    // replay the whole update from the per-domain (n_toks, loss) columns —
+    // the ledger must be self-consistent, not just well-typed
+    val tt = out.map(_._3).sum
+    val scores = out.map { case (_, _, nt, _, _, ex, _, _) =>
+      (1000L * nt / tt) * (1000000L + ex) }
+    val ss = scores.sum
+    out.zip(scores).foreach { case ((src, _, nt, before, _, ex, after, budget), sc) =>
+      assert(ex >= 0L, s"excess must clamp at zero ($src)")
+      assert(before === 1000L * nt / tt, s"before-share mismatch ($src)")
+      assert(after === 1000L * sc / ss, s"MW update mismatch ($src)")
+      assert(budget === (1000L * sc / ss) * tt / 1000L, s"budget mismatch ($src)")
+    }
+    // non-vacuous: some domain sits above the reference, and upweighting
+    // is real — every positive-excess domain's share ratio beats every
+    // zero-excess domain's (the DoReMi direction)
+    assert(out.exists(_._6 > 0L), "fixture must have at least one hard domain")
+    val hardRatio = out.filter(_._6 > 0L)
+      .map(r => r._7.toDouble / math.max(1L, r._4)).min
+    val easyRatio = out.filter(_._6 === 0L)
+      .map(r => r._7.toDouble / math.max(1L, r._4)).max
+    if (out.exists(_._6 === 0L))
+      assert(hardRatio >= easyRatio,
+        "hard domains must be upweighted relative to easy ones")
+  }
+
   test("q_corpus_curriculum: phases tile the corpus, budgets hold, difficulty is monotone") {
     val phases = LlmData.corpusCurriculum(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
