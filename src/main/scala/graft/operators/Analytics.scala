@@ -2415,6 +2415,61 @@ object Analytics {
 
   // ------------------------------------------------------------- seq match
 
+  /** q_seq_prefixspan — FREQUENT SEQUENTIAL PATTERN MINING (PrefixSpan,
+    * Pei et al. 2001 — the parallel form MLlib ships): over each user's
+    * ONBOARDING WINDOW (first 8 events under the (ts, event_id) total
+    * order — the bounded-window framing that makes support discriminative
+    * on dense streams, and the product question: "which early journeys
+    * are common?"), mine all length ≤ 3 event-type patterns contained as
+    * gap-tolerant subsequences by ≥ 20% of users. Level-wise projected
+    * growth: level k+1 extends only level-k FREQUENT prefixes (the
+    * antimonotone pruning that IS PrefixSpan), and containment uses the
+    * greedy first-occurrence scan (min position after the prefix's match
+    * position — the standard subsequence check, exact). Support counts
+    * DISTINCT users.
+    *
+    * Scale: the window bounds per-user state (8 rows) regardless of
+    * stream volume; each level is one user-keyed equi-join position-
+    * filtered against the projected suffix plus one (prefix, type) keyed
+    * distinct-count — no per-user blowup, no pattern-alphabet explosion
+    * beyond the frequent frontier. The oracle replays the identical
+    * position chain and threshold.
+    */
+  def seqPrefixspan(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pos = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("p", row_number().over(w).cast("long"))
+      .where(col("p") <= 8)
+      .select("user_id", "event_type", "p")
+    val nu = pos.agg(countDistinct(col("user_id")).as("nu"))
+    def frequent(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(nu)).where(col("sup") * 5 >= col("nu")).drop("nu")
+    val l1 = frequent(pos.groupBy(col("event_type").as("t1"))
+      .agg(countDistinct(col("user_id")).as("sup")))
+    // projected suffixes of frequent 1-prefixes: first occurrence per user
+    val p1 = pos.groupBy(col("user_id"), col("event_type").as("t1"))
+      .agg(min(col("p")).as("p1"))
+      .join(broadcast(l1.select("t1")), "t1")
+    val ext1 = p1.join(pos, "user_id").where(col("p") > col("p1"))
+      .select(col("user_id"), col("t1"), col("event_type").as("t2"), col("p"))
+    val l2 = frequent(ext1.groupBy("t1", "t2")
+      .agg(countDistinct(col("user_id")).as("sup")))
+    val p2 = ext1.groupBy("user_id", "t1", "t2").agg(min(col("p")).as("p2"))
+      .join(broadcast(l2.select("t1", "t2")), Seq("t1", "t2"))
+    val l3 = frequent(p2.join(pos, "user_id").where(col("p") > col("p2"))
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(countDistinct(col("user_id")).as("sup")))
+    l1.select(col("t1").as("pattern"), lit(1L).as("len"), col("sup"))
+      .unionByName(l2.select(
+        concat_ws(">", col("t1"), col("t2")).as("pattern"),
+        lit(2L).as("len"), col("sup")))
+      .unionByName(l3.select(
+        concat_ws(">", col("t1"), col("t2"), col("t3")).as("pattern"),
+        lit(3L).as("len"), col("sup")))
+      .orderBy("len", "pattern")
+  }
+
   /** q_seq_match — SEQUENTIAL PATTERN MATCHING over per-user event
     * journeys (the MATCH_RECOGNIZE / funnel-regex primitive): each user's
     * events compress to an ordered type-initial string ("vvcp…"), and
@@ -4479,6 +4534,7 @@ object Analytics {
     "q_graph_degree_stats" -> graphDegreeStats _,
     "q_agg_cohort_ltv" -> aggCohortLtv _,
     "q_seq_match" -> seqMatch _,
+    "q_seq_prefixspan" -> seqPrefixspan _,
     "q_survival_hazard" -> survivalHazard _,
     "q_basket_lift" -> basketLift _,
     "q_agg_rfm" -> aggRfm _,
@@ -5261,6 +5317,37 @@ object Analytics {
         "(1000000 * CAST(sum(CASE WHEN regexp_matches(journey, pattern) " +
         "THEN 1 ELSE 0 END) AS BIGINT)) // (SELECT n_total FROM n) AS share_micro " +
         "FROM sq, p GROUP BY pattern_name, pattern ORDER BY pattern_name"),
+    // the level-wise PrefixSpan replay: onboarding-window positions,
+    // first-occurrence projections, frequent-prefix filters, same 20%
+    // support threshold
+    "q_seq_prefixspan" ->
+      ("WITH pos AS (SELECT user_id, event_type, p FROM (" +
+        "SELECT user_id, event_type, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS p " +
+        "FROM events) WHERE p <= 8), " +
+        "nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM pos), " +
+        "l1 AS (SELECT event_type AS t1, CAST(count(DISTINCT user_id) AS BIGINT) " +
+        "AS sup FROM pos GROUP BY 1 HAVING count(DISTINCT user_id) * 5 >= " +
+        "(SELECT nu FROM nu)), " +
+        "p1 AS (SELECT pos.user_id, pos.event_type AS t1, min(pos.p) AS p1 " +
+        "FROM pos JOIN l1 ON l1.t1 = pos.event_type GROUP BY 1, 2), " +
+        "ext1 AS (SELECT p1.user_id, p1.t1, pos.event_type AS t2, pos.p " +
+        "FROM p1 JOIN pos ON pos.user_id = p1.user_id AND pos.p > p1.p1), " +
+        "l2 AS (SELECT t1, t2, CAST(count(DISTINCT user_id) AS BIGINT) AS sup " +
+        "FROM ext1 GROUP BY 1, 2 HAVING count(DISTINCT user_id) * 5 >= " +
+        "(SELECT nu FROM nu)), " +
+        "p2 AS (SELECT e.user_id, e.t1, e.t2, min(e.p) AS p2 FROM ext1 e " +
+        "JOIN l2 ON l2.t1 = e.t1 AND l2.t2 = e.t2 GROUP BY 1, 2, 3), " +
+        "l3 AS (SELECT p2.t1, p2.t2, pos.event_type AS t3, " +
+        "CAST(count(DISTINCT pos.user_id) AS BIGINT) AS sup " +
+        "FROM p2 JOIN pos ON pos.user_id = p2.user_id AND pos.p > p2.p2 " +
+        "GROUP BY 1, 2, 3 HAVING count(DISTINCT pos.user_id) * 5 >= " +
+        "(SELECT nu FROM nu)) " +
+        "SELECT pattern, len, sup FROM (" +
+        "SELECT t1 AS pattern, CAST(1 AS BIGINT) AS len, sup FROM l1 " +
+        "UNION ALL SELECT t1 || '>' || t2, CAST(2 AS BIGINT), sup FROM l2 " +
+        "UNION ALL SELECT t1 || '>' || t2 || '>' || t3, CAST(3 AS BIGINT), sup " +
+        "FROM l3) ORDER BY len, pattern"),
     "q_survival_hazard" ->
       ("WITH s AS (SELECT user_id, min(ts) AS t0 FROM events " +
         "WHERE event_type = 'signup' GROUP BY user_id), " +

@@ -1812,6 +1812,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_seq_prefixspan equals brute-force subsequence counting over the onboarding windows") {
+    val out = Analytics.seqPrefixspan(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // driver-side ground truth: every length<=3 pattern's support by the
+    // DEFINITION (gap-tolerant subsequence containment), no projections,
+    // no first-occurrence shortcut — proves the PrefixSpan projections
+    // and the greedy scan implement the definition exactly
+    val seqs = Tables(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(t => (t._3.getTime, t._4)).take(8).map(_._2).toList }
+      .toList
+    val alphabet = seqs.flatten.distinct.sorted
+    def contains(seq: List[String], pat: List[String]): Boolean = {
+      var rest = seq
+      pat.forall { t =>
+        val i = rest.indexOf(t)
+        if (i < 0) false else { rest = rest.drop(i + 1); true }
+      }
+    }
+    val nu = seqs.length.toLong
+    val pats = alphabet.map(List(_)) ++
+      (for (a <- alphabet; b <- alphabet) yield List(a, b)) ++
+      (for (a <- alphabet; b <- alphabet; c <- alphabet) yield List(a, b, c))
+    val want = pats
+      .map(p => (p.mkString(">"), p.length.toLong,
+        seqs.count(contains(_, p)).toLong))
+      .filter { case (_, _, sup) => sup * 5 >= nu }
+      .sortBy(t => (t._2, t._1))
+    assert(out.toList === want, "mined patterns must equal the brute force")
+    assert(want.exists(_._2 === 3L), "fixture must surface length-3 patterns")
+    assert(pats.size.toLong > want.size,
+      "the support threshold must actually prune")
+  }
+
   test("q_graph_hits_step: auth recomputes from the 2-hop brute force; max normalizes to 1e6") {
     val out = Analytics.graphHitsStep(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
