@@ -110,6 +110,9 @@ object GraftFunctions {
       exprs => QuantErrExpr(floatArray(exprs(0)))),
     ("graft_bloom_contains", classOf[BloomContainsExpr],
       exprs => BloomContainsExpr(Cast(exprs(0), LongType), exprs(1))),
+    ("graft_hilbert", classOf[HilbertExpr],
+      exprs => HilbertExpr(Cast(exprs(0), LongType), Cast(exprs(1), LongType),
+        bits = intArg(exprs(2)))),
     ("graft_isect_count", classOf[SortedIntersectCountExpr],
       exprs => SortedIntersectCountExpr(
         Cast(exprs(0), ArrayType(LongType, containsNull = true)),

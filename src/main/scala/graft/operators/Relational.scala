@@ -1223,6 +1223,13 @@ object Relational {
     * complement `&` keeps the transiently negative reflected frames
     * identical in both engines. LayoutSpec pins bijectivity + unit-step
     * continuity of the same fold exhaustively at a small order.
+    *
+    * This COLUMN-FOLD form is the PARITY REFERENCE ([[graft.functions
+    * .HilbertExpr]] is the shipping kernel): Catalyst's projection
+    * collapse inlines the 17 mutually-referencing levels into one
+    * multiplicatively-grown expression tree — measured 3.9 s isolated at
+    * sf0.1, nearly all analysis/codegen — so the operator runs the native
+    * loop expression instead; LayoutSpec asserts the two agree row-for-row.
     */
   private[graft] def hilbertVal(df: DataFrame, x: Column, y: Column): DataFrame = {
     var cur = df.withColumn("hx", x.cast("long"))
@@ -1292,11 +1299,13 @@ object Relational {
     * integer fold in chained CTEs — layout must never change results.
     */
   def layoutHilbert(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_layout_hilbert"
-    hilbertVal(
-      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day")),
-      col("o_custkey"), col("day"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day"))
+      .withColumn("hval",
+        expr(s"graft_hilbert(o_custkey, day, $hilbertBits)"))
       .repartitionByRange(16, col("hval"))
       .sortWithinPartitions("hval")
       .write.mode("overwrite").parquet(out)

@@ -97,19 +97,26 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
-  test("q_layout_hilbert: engine fold equals the driver reference on every order") {
-    import spark.implicits._
-    val got = operators.Relational.hilbertVal(
-      Tables(spark, sf, "orders")
-        .select(col("o_custkey"),
-          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-            .cast("long").as("day")),
-      col("o_custkey"), col("day"))
-      .select("o_custkey", "day", "hval").collect()
+  test("q_layout_hilbert: native kernel = column fold = driver reference on every order") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+    val bits = operators.Relational.hilbertBits
+    // the shipping codegen'd loop vs the CASE-chain fold (the oracle's
+    // formulation) vs the interpreted driver reference — all three must
+    // agree bit-for-bit, so neither the codegen nor the collapsed
+    // projection can drift from the published construction
+    val got = operators.Relational.hilbertVal(base, col("o_custkey"), col("day"))
+      .withColumn("hnative", expr(s"graft_hilbert(o_custkey, day, $bits)"))
+      .select("o_custkey", "day", "hval", "hnative").collect()
     assert(got.nonEmpty)
     got.foreach { r =>
-      val (x, y, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      assert(h === hilbertRef(operators.Relational.hilbertBits, x, y),
+      val (x, y, hFold, hNat) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hNat === hFold, s"native kernel != column fold at ($x, $y)")
+      assert(hNat === hilbertRef(bits, x, y),
         s"engine hval mismatch at ($x, $y)")
     }
   }
