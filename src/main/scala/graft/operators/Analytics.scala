@@ -4455,6 +4455,59 @@ object Analytics {
     done.reduce(_ unionByName _)
   }
 
+  /** 16-bit integer from the first 4 hex digits of an md5 hex string
+    * expression — the `bloomIdxPos` instr-table construction, portable
+    * to DuckDB digit for digit. */
+  private def md5h4(hexExpr: String): String = {
+    def digit(i: Int) =
+      s"(instr('0123456789abcdef', substr($hexExpr, $i, 1)) - 1)"
+    s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+  }
+
+  /** q_graph_random_walk — DETERMINISTIC RANDOM WALKS over the directed
+    * repeat-purchase graph ([[sccEdgesPath]]'s staged table): from every
+    * node, a 4-step walk where step i leaves node v through out-neighbor
+    * rank md5("graftwalk:v:i") mod outdeg under the sorted-neighbor
+    * order — the DeepWalk/node2vec CORPUS-SAMPLING pass (walks are the
+    * sentences a graph-embedding trainer consumes), with the md5-seeded
+    * choice standing in for the RNG so every walk replays bit-identically
+    * in both engines (the portable-hash discipline). Dead ends terminate
+    * the walk (nulls thereafter); the ledger carries the visited chain
+    * and realized length.
+    *
+    * Scale: each step is ONE equi-join of the walk frontier against the
+    * ranked adjacency (edge-grain, keyed on the current node) with the
+    * rank pick as a residual predicate — no per-node neighbor collection,
+    * no driver state; k steps = k joins, the standard batched-walk shape.
+    * Walk count scales with nodes, never edges².
+    */
+  def graphRandomWalk(s: SparkSession, d: String): DataFrame = {
+    val e = sccEdges(s, d)
+    val wA = Window.partitionBy("a")
+    val adj = e
+      .withColumn("rn", row_number().over(wA.orderBy("b")).cast("long"))
+      .withColumn("deg", count(lit(1)).over(wA).cast("long"))
+    var walk = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+      .select(col("node").as("seed"), col("node").as("cur"))
+    (1 to 4).foreach { i =>
+      val pick = md5h4(
+        s"md5(concat('graftwalk:', CAST(cur AS STRING), ':$i'))")
+      walk = walk
+        .join(adj, col("cur") === col("a") &&
+          col("rn") === expr(s"($pick % deg) + 1"), "left")
+        .select(col("seed") +:
+          ((1 to i - 1).map(j => col(s"s$j")) :+ col("b").as(s"s$i")): _*)
+        .withColumn("cur", col(s"s$i"))
+    }
+    walk
+      .select(col("seed"), col("s1"), col("s2"), col("s3"), col("s4"),
+        (lit(4L) - col("s1").isNull.cast("long") - col("s2").isNull.cast("long")
+          - col("s3").isNull.cast("long") - col("s4").isNull.cast("long"))
+          .as("walk_len"))
+      .orderBy("seed")
+  }
+
   /** q_graph_scc — STRONGLY CONNECTED COMPONENTS of the directed
     * repeat-purchase transition graph ([[sccEdgesPath]]): every part
     * labeled with its SCC's minimum part id plus the SCC size — the
@@ -4499,6 +4552,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_connected_components" -> graphConnectedComponents _,
     "q_graph_scc" -> graphScc _,
+    "q_graph_random_walk" -> graphRandomWalk _,
     "q_graph_louvain_step" -> graphLouvainStep _,
     "q_graph_community_contract" -> graphCommunityContract _,
     "q_graph_modularity" -> graphModularity _,
@@ -4681,6 +4735,40 @@ object Analytics {
         "CAST(component AS BIGINT) AS component, " +
         "CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize " +
         "FROM comp ORDER BY part"),
+    // the walks replayed: same staged-graph build, same ranked adjacency,
+    // same md5-digit pick arithmetic, four chained left joins
+    "q_graph_random_walk" -> {
+      def pick(cur: String, i: Int) = md5h4(
+        s"md5(concat('graftwalk:', CAST($cur AS VARCHAR), ':$i'))")
+      "WITH seq AS (SELECT o_custkey c, o_orderkey k, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) nk FROM orders), " +
+        "e AS (SELECT l1.l_partkey a, l2.l_partkey b " +
+        "FROM seq JOIN lineitem l1 ON l1.l_orderkey = seq.k " +
+        "JOIN lineitem l2 ON l2.l_orderkey = seq.nk " +
+        "WHERE seq.nk IS NOT NULL AND l1.l_partkey <> l2.l_partkey " +
+        "GROUP BY a, b HAVING count(*) >= 2), " +
+        "adj AS (SELECT a, b, CAST(row_number() OVER (PARTITION BY a " +
+        "ORDER BY b) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY a) " +
+        "AS BIGINT) AS deg FROM e), " +
+        "nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e), " +
+        "w1 AS (SELECT n.v AS seed, adj.b AS s1 FROM nodes n LEFT JOIN adj " +
+        s"ON adj.a = n.v AND adj.rn = (${pick("n.v", 1)} % adj.deg) + 1), " +
+        "w2 AS (SELECT w1.seed, w1.s1, adj.b AS s2 FROM w1 LEFT JOIN adj " +
+        s"ON adj.a = w1.s1 AND adj.rn = (${pick("w1.s1", 2)} % adj.deg) + 1), " +
+        "w3 AS (SELECT w2.seed, w2.s1, w2.s2, adj.b AS s3 FROM w2 " +
+        "LEFT JOIN adj " +
+        s"ON adj.a = w2.s2 AND adj.rn = (${pick("w2.s2", 3)} % adj.deg) + 1), " +
+        "w4 AS (SELECT w3.seed, w3.s1, w3.s2, w3.s3, adj.b AS s4 FROM w3 " +
+        "LEFT JOIN adj " +
+        s"ON adj.a = w3.s3 AND adj.rn = (${pick("w3.s3", 4)} % adj.deg) + 1) " +
+        "SELECT seed, s1, s2, s3, s4, " +
+        "CAST(4 - (CASE WHEN s1 IS NULL THEN 1 ELSE 0 END) " +
+        "- (CASE WHEN s2 IS NULL THEN 1 ELSE 0 END) " +
+        "- (CASE WHEN s3 IS NULL THEN 1 ELSE 0 END) " +
+        "- (CASE WHEN s4 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS walk_len " +
+        "FROM w4 ORDER BY seed"
+    },
     // the directed repeat-purchase graph labeled INDEPENDENTLY: full
     // reachability closure intersected with its transpose (mutual
     // reachability), reduced by min — Σ|SCC|² rows, oracle-scale only

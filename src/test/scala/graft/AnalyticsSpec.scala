@@ -1812,6 +1812,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_random_walk replays driver-side: md5 picks, sorted ranks, dead-end nulls") {
+    val out = Analytics.graphRandomWalk(s, d).collect()
+      .map(r => (r.getLong(0),
+        (1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+        r.getLong(5)))
+    val edges = Analytics.sccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (a, es) =>
+      a -> es.map(_._2).sorted.toIndexedSeq }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h4(str: String): Long = {
+      val hex = md.digest(str.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    def walkOf(seed: Long): Seq[Option[Long]] = {
+      var cur: Option[Long] = Some(seed)
+      (1 to 4).map { i =>
+        cur = cur.flatMap { v =>
+          adj.get(v).map(ns => ns((h4(s"graftwalk:$v:$i") % ns.length).toInt))
+        }
+        cur
+      }
+    }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(out.length === nodes.length)
+    out.foreach { case (seed, steps, len) =>
+      val want = walkOf(seed)
+      assert(steps === want, s"walk mismatch from $seed")
+      assert(len === want.count(_.isDefined).toLong)
+      // every realized step follows an actual out-edge
+      (Some(seed) +: steps).sliding(2).foreach {
+        case Seq(Some(u), Some(v)) =>
+          assert(adj(u).contains(v), s"step $u→$v is not an edge")
+        case _ =>
+      }
+    }
+    assert(out.count(_._3 === 4L) > 0, "some walks must run the full 4 steps")
+  }
+
   test("q_seq_prefixspan equals brute-force subsequence counting over the onboarding windows") {
     val out = Analytics.seqPrefixspan(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
