@@ -352,8 +352,12 @@ object Analytics {
           .as("fc_next_cents"),
         expr("st.sae div (n_months - 12)").as("mae_hw"),
         expr("sae_naive div (n_months - 1)").as("mae_naive"),
+        // nullif: a constant series has naive MAE 0 — Spark div would
+        // yield NULL while DuckDB // raises, so the degenerate case is
+        // pinned to NULL identically in both engines (the embedWhiten
+        // guard discipline)
         expr("(1000000 * (st.sae div (n_months - 12))) div " +
-          "(sae_naive div (n_months - 1))").as("mase_micro"))
+          "nullif(sae_naive div (n_months - 1), 0)").as("mase_micro"))
       .orderBy("acct")
   }
 
@@ -4451,8 +4455,17 @@ object Analytics {
       }
     }
     nodes.unpersist(); edges.unpersist()
-    require(done.nonEmpty || total == 0L, "empty decomposition")
-    done.reduce(_ unionByName _)
+    // a graph with no edges has no nodes here — return the typed empty
+    // relation instead of reducing an empty buffer
+    if (done.isEmpty)
+      edges0.sparkSession.createDataFrame(
+        edges0.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("scc",
+            org.apache.spark.sql.types.LongType))))
+    else done.reduce(_ unionByName _)
   }
 
   /** 16-bit integer from the first 4 hex digits of an md5 hex string
@@ -5964,7 +5977,7 @@ object Analytics {
         "f.l + f.b + f.seas[CAST(f.n % 12 AS INT) + 1] AS fc_next_cents, " +
         "f.sae // (f.n - 12) AS mae_hw, " +
         "nv.sae_n // (f.n - 1) AS mae_naive, " +
-        "(1000000 * (f.sae // (f.n - 12))) // (nv.sae_n // (f.n - 1)) " +
+        "(1000000 * (f.sae // (f.n - 12))) // nullif(nv.sae_n // (f.n - 1), 0) " +
         "AS mase_micro FROM fin f JOIN nv ON nv.acct = f.acct " +
         "ORDER BY f.acct"),
     "q_timeseries_backtest" ->

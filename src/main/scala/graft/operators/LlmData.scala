@@ -7795,8 +7795,13 @@ object LlmData {
       .crossJoin(broadcast(scored.agg(sum(col("score")).as("ss"))))
       .select(col("source"), col("n_docs"), col("n_toks"),
         col("mix_pmille_before"), col("loss_micro"), col("excess_micro"),
-        expr("(1000 * score) div ss").as("mix_pmille_after"),
-        expr("(((1000 * score) div ss) * tt) div 1000").as("next_epoch_tokens"))
+        // nullif: with > 1000 domains every per-mille share can floor to
+        // 0 and Σscore with it — Spark div would NULL where DuckDB //
+        // raises, so the degenerate case is pinned to NULL identically
+        // (a corpus that wide needs ppm shares, documented above)
+        expr("(1000 * score) div nullif(ss, 0)").as("mix_pmille_after"),
+        expr("(((1000 * score) div nullif(ss, 0)) * tt) div 1000")
+          .as("next_epoch_tokens"))
       .orderBy("source")
   }
 
@@ -7822,8 +7827,8 @@ object LlmData {
       "FROM dom, tot), " +
       "ss AS (SELECT CAST(sum(score) AS BIGINT) AS ss FROM sc) " +
       "SELECT source, n_docs, n_toks, mix_pmille_before, loss_micro, " +
-      "excess_micro, (1000 * score) // ss AS mix_pmille_after, " +
-      "(((1000 * score) // ss) * tt) // 1000 AS next_epoch_tokens " +
+      "excess_micro, (1000 * score) // nullif(ss, 0) AS mix_pmille_after, " +
+      "(((1000 * score) // nullif(ss, 0)) * tt) // 1000 AS next_epoch_tokens " +
       "FROM sc, ss ORDER BY source"
 
   def corpusCurriculum(s: SparkSession, d: String): DataFrame = {
