@@ -361,6 +361,66 @@ object Analytics {
       .orderBy("acct")
   }
 
+  /** q_timeseries_dtw — DYNAMIC-TIME-WARPING similarity of every account's
+    * monthly revenue trajectory to the anchor account (acct 0): the
+    * trajectory-similarity primitive behind "which accounts move like
+    * this one" search (the REPOSE top-k trajectory-search problem class,
+    * PAPERS.md), exact because costs are integer cents and the DP is pure
+    * integer min-plus. Sakoe–Chiba banded (width max(12, |n−m|) months):
+    * warp paths may not stray more than a year, the standard constraint
+    * that makes DTW O(n·band) instead of O(n²). Emits the total warp cost
+    * and the per-step cost (length-normalized comparability).
+    *
+    * Scale: series fold INSIDE each account group over calendar-bounded
+    * arrays (the [[timeseriesSes]] discipline) — the anchor is a
+    * broadcast 1-row table, the DP state is one (m+1)-length integer row,
+    * and accounts are embarrassingly parallel. The ORACLE replays the
+    * same DP as an ANTI-DIAGONAL wavefront recursion (diag k depends only
+    * on diags k−1, k−2 — no intra-step dependency), the classic parallel
+    * formulation; two shapes, one integer answer, so the green row proves
+    * both. INF = 10¹⁵: band-blocked cells stay ≥ 3 orders above any real
+    * path cost and never overflow a long.
+    */
+  def timeseriesDtw(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val ser = obs.groupBy("acct")
+      .agg(expr("transform(array_sort(collect_list(struct(mon, cents))), " +
+        "p -> p.cents)").as("xs"))
+      .withColumn("n", expr("CAST(size(xs) AS BIGINT)"))
+    val anchor = ser.where(col("acct") === 0L)
+      .select(col("xs").as("ys"), col("n").as("m"))
+    val inf = "CAST(1000000000000000 AS BIGINT)"
+    val dp =
+      s"""aggregate(
+         |  sequence(1, CAST(n AS INT)),
+         |  concat(array(CAST(0 AS BIGINT)),
+         |         transform(sequence(1, CAST(m AS INT)), x -> $inf)),
+         |  (row, i) -> aggregate(
+         |    sequence(1, CAST(m AS INT)),
+         |    named_struct('arr', array($inf), 'last', $inf),
+         |    (a, j) -> named_struct(
+         |      'arr', concat(a.arr, array(
+         |        IF(abs(i - j) > bnd, $inf,
+         |           abs(element_at(xs, i) - element_at(ys, j)) +
+         |           least(element_at(row, j + 1), a.last, element_at(row, j))))),
+         |      'last',
+         |        IF(abs(i - j) > bnd, $inf,
+         |           abs(element_at(xs, i) - element_at(ys, j)) +
+         |           least(element_at(row, j + 1), a.last, element_at(row, j)))),
+         |    a -> a.arr))""".stripMargin
+    ser.where(col("acct") =!= 0L)
+      .crossJoin(broadcast(anchor))
+      .withColumn("bnd", expr("greatest(CAST(12 AS BIGINT), abs(n - m))"))
+      .withColumn("dtw_cents", expr(s"element_at($dp, CAST(m AS INT) + 1)"))
+      .select(col("acct"), col("n").as("n_months"), col("dtw_cents"),
+        expr("dtw_cents div (n + m)").as("dtw_per_step"))
+      .orderBy("acct")
+  }
+
   def timeseriesBacktest(s: SparkSession, d: String): DataFrame = {
     val obs = t(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),
@@ -4636,6 +4696,7 @@ object Analytics {
     "q_timeseries_backtest" -> timeseriesBacktest _,
     "q_timeseries_ses" -> timeseriesSes _,
     "q_timeseries_holt_winters" -> timeseriesHoltWinters _,
+    "q_timeseries_dtw" -> timeseriesDtw _,
     "q_agg_chisq" -> aggChisq _,
     "q_agg_moments" -> aggMoments _,
     "q_graph_powerlaw" -> graphPowerlaw _,
@@ -5980,6 +6041,42 @@ object Analytics {
         "(1000000 * (f.sae // (f.n - 12))) // nullif(nv.sae_n // (f.n - 1), 0) " +
         "AS mase_micro FROM fin f JOIN nv ON nv.acct = f.acct " +
         "ORDER BY f.acct"),
+    // the DTW DP replayed as an ANTI-DIAGONAL wavefront recursion (diag k
+    // depends only on diags k-1/k-2 — the parallel formulation), against
+    // the engine's row-wise in-group fold: two shapes, one integer answer
+    "q_timeseries_dtw" ->
+      ("WITH RECURSIVE obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "ser AS (SELECT acct, list(cents ORDER BY mon) AS xs FROM obs " +
+        "GROUP BY acct), " +
+        "anc AS (SELECT xs AS ys, CAST(len(xs) AS BIGINT) AS m FROM ser " +
+        "WHERE acct = 0), " +
+        "pairs AS (SELECT s.acct, s.xs, CAST(len(s.xs) AS BIGINT) AS n, " +
+        "a.ys, a.m, greatest(12, abs(CAST(len(s.xs) AS BIGINT) - a.m)) AS bnd " +
+        "FROM ser s, anc a WHERE s.acct <> 0), " +
+        "dp AS (SELECT acct, xs, n, ys, m, bnd, CAST(1 AS BIGINT) AS k, " +
+        "[CAST(0 AS BIGINT)] AS d2, " +
+        "[CAST(1000000000000000 AS BIGINT), " +
+        "CAST(1000000000000000 AS BIGINT)] AS d1 FROM pairs " +
+        "UNION ALL SELECT acct, xs, n, ys, m, bnd, k + 1, d1, " +
+        "list_transform(generate_series(greatest(0, k + 1 - m), " +
+        "least(n, k + 1)), i -> CASE " +
+        "WHEN i = 0 OR (k + 1 - i) = 0 THEN CAST(1000000000000000 AS BIGINT) " +
+        "WHEN abs(i - (k + 1 - i)) > bnd THEN CAST(1000000000000000 AS BIGINT) " +
+        "ELSE least(" +
+        "coalesce(d1[CAST(i - greatest(0, k - m) AS INT)], " +
+        "CAST(1000000000000000 AS BIGINT)), " +
+        "coalesce(d1[CAST(i + 1 - greatest(0, k - m) AS INT)], " +
+        "CAST(1000000000000000 AS BIGINT)), " +
+        "coalesce(d2[CAST(i - greatest(0, k - 1 - m) AS INT)], " +
+        "CAST(1000000000000000 AS BIGINT))) " +
+        "+ abs(xs[CAST(i AS INT)] - ys[CAST(k + 1 - i AS INT)]) END) " +
+        "FROM dp WHERE k < n + m) " +
+        "SELECT acct, n AS n_months, d1[1] AS dtw_cents, " +
+        "d1[1] // (n + m) AS dtw_per_step " +
+        "FROM dp WHERE k = n + m ORDER BY acct"),
     "q_timeseries_backtest" ->
       ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +

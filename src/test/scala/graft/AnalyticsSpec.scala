@@ -1812,6 +1812,47 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_timeseries_dtw replays driver-side; banded paths stay finite") {
+    val out = Analytics.timeseriesDtw(s, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val obs = Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val ser = obs.groupBy(_._1).map { case (a, rows) =>
+      a -> rows.sortBy(_._2).map(_._3) }
+    val ys = ser(0L); val m = ys.length
+    val inf = 1000000000000000L
+    def dtw(xs: Array[Long], band: Long): Long = {
+      val n = xs.length
+      var prev = (0L +: Array.fill(m)(inf)).toArray
+      (1 to n).foreach { i =>
+        val cur = Array.fill(m + 1)(inf)
+        (1 to m).foreach { j =>
+          if (math.abs(i - j) <= band)
+            cur(j) = math.abs(xs(i - 1) - ys(j - 1)) +
+              math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        }
+        prev = cur
+      }
+      prev(m)
+    }
+    val want = ser.collect { case (a, xs) if a != 0L =>
+      val cost = dtw(xs, math.max(12L, math.abs(xs.length - m).toLong))
+      a -> ((xs.length.toLong, cost, cost / (xs.length + m)))
+    }
+    assert(out.keySet === want.keySet)
+    want.foreach { case (a, exp) =>
+      assert(out(a) === exp, s"DTW mismatch at acct $a")
+    }
+    // finite = a warp path exists inside the band for every account, and
+    // costs are genuinely discriminative (not all equal)
+    assert(out.values.forall(_._2 < inf))
+    assert(out.values.map(_._2).toSet.size > 1)
+  }
+
   test("q_graph_random_walk replays driver-side: md5 picks, sorted ranks, dead-end nulls") {
     val out = Analytics.graphRandomWalk(s, d).collect()
       .map(r => (r.getLong(0),
