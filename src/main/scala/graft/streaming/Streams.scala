@@ -676,6 +676,53 @@ object Streams {
       .orderBy("c_event", "p_event")
   }
 
+  /** q_stream_join_multiway — CHAINED 3-WAY stream-stream interval join
+    * (the multi-way streaming shape of the EDBT/ICDE multi-way stream-join
+    * literature): complete view → click → purchase funnel instances, each
+    * hop bounded to 6 event-time hours — two stateful join operators in
+    * ONE streaming query, the intermediate join's event-time column
+    * feeding the second join's state eviction. Both hops are INNER (emit
+    * on match), so the staged replay equals the batch 3-way join → the
+    * oracle. State per side is bounded by window + watermark exactly as
+    * in [[streamJoinInterval]]; the intermediate relation is funnel-
+    * instance grain, never a cross product (each hop carries the
+    * time-range predicate).
+    */
+  def streamJoinMultiway(s: SparkSession, d: String): DataFrame = {
+    runStagedBatches(s,
+      src => {
+        val views = src.where(col("event_type") === "view")
+          .select(col("event_id").as("v_event"), col("user_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes")
+        val clicks = src.where(col("event_type") === "click")
+          .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = src.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", "10 minutes")
+        views
+          .join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
+          // exactly ONE event-time column may feed the next stateful
+          // operator: keep c_ts (the second hop's anchor), project away
+          // the view-side watermark column (v_event stays as data)
+          .select(col("v_event"), col("user_id"), col("c_event"), col("c_ts"))
+          .join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
+      },
+      d, Seq.empty, key = "join_multiway")
+      .select(col("v_event"), col("c_event"), col("p_event"), col("user_id"),
+        col("value").as("purchase_value"))
+      .orderBy("v_event", "c_event", "p_event")
+  }
+
   /** q_stream_join_outer — stream-stream LEFT OUTER interval join: clicks
     * with no purchase in the following hour emit with NULL purchase columns
     * — but only once the watermark proves no match can still arrive (the
@@ -1212,6 +1259,7 @@ object Streams {
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
     "q_stream_join_interval" -> streamJoinInterval _,
+    "q_stream_join_multiway" -> streamJoinMultiway _,
     "q_stream_join_outer" -> streamJoinOuter _,
     "q_stream_sink_files" -> streamSinkFiles _,
     "q_stream_stateful" -> streamStateful _,
@@ -1282,6 +1330,20 @@ object Streams {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE " +
         "ORDER BY c_event, p_event"),
+    // chained inner interval joins emit on match → the staged replay
+    // equals the batch 3-way join
+    "q_stream_join_multiway" ->
+      ("SELECT v.event_id AS v_event, c.event_id AS c_event, " +
+        "p.event_id AS p_event, v.user_id AS user_id, " +
+        "p.value AS purchase_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON c.user_id = v.user_id " +
+        "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON p.user_id = v.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR " +
+        "ORDER BY v_event, c_event, p_event"),
     "q_stream_join_outer" ->
       ("SELECT c.event_id AS c_event, p.event_id AS p_event, " +
         "c.user_id AS user_id, p.value AS purchase_value " +

@@ -151,6 +151,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_.isNullAt(1)), "fixture should contain unmatched clicks")
   }
 
+  test("q_stream_join_multiway equals the batch 3-way join (chained stateful joins)") {
+    val ev = Tables(s, d, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("v_event"), col("user_id"), col("ts").as("v_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val batch = views
+      .join(clicks, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
+      .join(purchases, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("v_event"), col("c_event"), col("p_event"), col("user_id"),
+        col("value").as("purchase_value"))
+      .orderBy("v_event", "c_event", "p_event")
+      .collect().toSeq
+    val streamed = Streams.streamJoinMultiway(s, d).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture should contain complete funnel instances")
+  }
+
   test("restart from checkpoint resumes exactly-once: second run processes only new files") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Fixtures.tempDirCleanedAtExit("graft_resume_src_")
