@@ -1882,6 +1882,70 @@ object Analytics {
       .orderBy("window_id")
   }
 
+  /** q_interval_allen — ALLEN'S INTERVAL ALGEBRA classification (Allen
+    * 1983): every (activity, audit-window) pair classified into the 13
+    * exhaustive, mutually-exclusive temporal relations — equals, starts/
+    * started_by, finishes/finished_by, during/contains, overlaps/
+    * overlapped_by, meets/met_by, before/after — the temporal-reasoning
+    * vocabulary behind compliance questions ("which sessions fully
+    * contain an audit window?"). Exact integer-microsecond endpoint
+    * comparisons; the histogram is densified to all 13 relations (zero
+    * counts included) and the spec asserts Σcounts = |activities|·
+    * |windows| — the partition property that catches a mis-ordered CASE.
+    *
+    * Scale: the window table is control-plane-sized (100 rows), so ONE
+    * broadcast pass with a codegen'd CASE chain is the right plan — no
+    * shuffle, no pair materialization beyond the scan. When BOTH sides
+    * are data-sized, each relation class keeps a natural join algorithm:
+    * the 9 intersecting classes ride [[joinIntervalOverlap]]'s banded
+    * equi-join, meets/met_by are plain ENDPOINT equi-joins, and
+    * before/after fall out arithmetically as rank lookups into the
+    * sorted endpoint array (n·m minus the rest) — documented here, same
+    * classification either way.
+    */
+  def intervalAllen(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(600000000L))
+    val bounds = ev.agg(min(col("st")).as("lo"), max(col("en")).as("hi"))
+      .withColumn("delta", expr("(hi - lo) div 100"))
+      .select("lo", "delta")
+    val win = bounds
+      .select(explode(sequence(lit(0L), lit(99L))).as("window_id"),
+        col("lo"), col("delta"))
+      .select(col("window_id"),
+        (col("lo") + col("window_id") * col("delta")).as("w_st"),
+        (col("lo") + (col("window_id") + 2) * col("delta")).as("w_en"))
+    val classified = ev.crossJoin(broadcast(win))
+      .select(expr(
+        """CASE
+          |  WHEN st = w_st AND en = w_en THEN 'equals'
+          |  WHEN st = w_st AND en < w_en THEN 'starts'
+          |  WHEN st = w_st AND en > w_en THEN 'started_by'
+          |  WHEN en = w_en AND st > w_st THEN 'finishes'
+          |  WHEN en = w_en AND st < w_st THEN 'finished_by'
+          |  WHEN st > w_st AND en < w_en THEN 'during'
+          |  WHEN st < w_st AND en > w_en THEN 'contains'
+          |  WHEN en = w_st THEN 'meets'
+          |  WHEN st = w_en THEN 'met_by'
+          |  WHEN st < w_st AND en > w_st THEN 'overlaps'
+          |  WHEN st > w_st AND st < w_en THEN 'overlapped_by'
+          |  WHEN en < w_st THEN 'before'
+          |  ELSE 'after'
+          |END""".stripMargin).as("relation"))
+      .groupBy("relation").agg(count(lit(1)).as("n_pairs"))
+    val all13 = s.createDataFrame(
+      s.sparkContext.parallelize(Seq("after", "before", "contains", "during",
+        "equals", "finished_by", "finishes", "meets", "met_by", "overlapped_by",
+        "overlaps", "started_by", "starts").map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("relation",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    all13.join(classified, Seq("relation"), "left")
+      .select(col("relation"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("relation")
+  }
+
   // --------------------------------------------------------- interval merge
 
   /** q_interval_merge — INTERVAL COALESCING: per user, merge the 10-minute
@@ -4673,6 +4737,7 @@ object Analytics {
     "q_timeseries_seasonal" -> timeseriesSeasonal _,
     "q_window_bollinger" -> windowBollinger _,
     "q_interval_merge" -> intervalMerge _,
+    "q_interval_allen" -> intervalAllen _,
     "q_join_interval_overlap" -> joinIntervalOverlap _,
     "q_window_rsi" -> windowRsi _,
     "q_skyline_pareto" -> skylinePareto _,
@@ -5677,6 +5742,37 @@ object Analytics {
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
         "FROM ev JOIN win ON st < w_en AND w_st < en " +
         "GROUP BY 1, 2, 3 ORDER BY window_id"),
+    // the 13-way CASE replayed over the plain cross product (oracle-scale
+    // only) — order of the CASE arms is part of the contract
+    "q_interval_allen" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS st, " +
+        "epoch_us(ts) + 600000000 AS en FROM events), " +
+        "bounds AS (SELECT min(st) AS lo, (max(en) - min(st)) // 100 AS delta " +
+        "FROM ev), " +
+        "win AS (SELECT w AS window_id, lo + w * delta AS w_st, " +
+        "lo + (w + 2) * delta AS w_en FROM bounds, range(0, 100) r(w)), " +
+        "cls AS (SELECT CASE " +
+        "WHEN st = w_st AND en = w_en THEN 'equals' " +
+        "WHEN st = w_st AND en < w_en THEN 'starts' " +
+        "WHEN st = w_st AND en > w_en THEN 'started_by' " +
+        "WHEN en = w_en AND st > w_st THEN 'finishes' " +
+        "WHEN en = w_en AND st < w_st THEN 'finished_by' " +
+        "WHEN st > w_st AND en < w_en THEN 'during' " +
+        "WHEN st < w_st AND en > w_en THEN 'contains' " +
+        "WHEN en = w_st THEN 'meets' " +
+        "WHEN st = w_en THEN 'met_by' " +
+        "WHEN st < w_st AND en > w_st THEN 'overlaps' " +
+        "WHEN st > w_st AND st < w_en THEN 'overlapped_by' " +
+        "WHEN en < w_st THEN 'before' " +
+        "ELSE 'after' END AS relation FROM ev, win), " +
+        "hist AS (SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM cls GROUP BY relation), " +
+        "all13 AS (SELECT unnest(['after','before','contains','during'," +
+        "'equals','finished_by','finishes','meets','met_by'," +
+        "'overlapped_by','overlaps','started_by','starts']) AS relation) " +
+        "SELECT a.relation, coalesce(h.n_pairs, 0) AS n_pairs " +
+        "FROM all13 a LEFT JOIN hist h ON h.relation = a.relation " +
+        "ORDER BY a.relation"),
     "q_interval_merge" ->
       ("WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st, " +
         "epoch_us(ts) + 600000000 AS en FROM events), " +

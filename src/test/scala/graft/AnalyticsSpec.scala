@@ -1812,6 +1812,22 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_interval_allen: the 13 relations partition the pair space exactly") {
+    val out = Analytics.intervalAllen(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.keySet.size === 13)
+    val nEvents = Tables(s, d, "events").count()
+    // the partition property: every (activity, window) pair lands in
+    // exactly one relation — a mis-ordered or overlapping CASE arm breaks
+    // this sum before it breaks any single count
+    assert(out.values.sum === nEvents * 100L,
+      "relation counts must partition activities x windows")
+    assert(out("during") > 0L, "short activities inside long windows")
+    assert(out("before") > 0L && out("after") > 0L)
+    assert(out("overlaps") + out("overlapped_by") > 0L,
+      "window edges must cut some activities")
+  }
+
   test("q_timeseries_dtw replays driver-side; banded paths stay finite") {
     val out = Analytics.timeseriesDtw(s, d).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
