@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -672,6 +673,70 @@ object Quality {
       .select("cat", "n_true", "noise", "n_dp")
   }
 
+  /** q_privacy_dp_quantile — DIFFERENTIALLY-PRIVATE MEDIAN via the
+    * EXPONENTIAL MECHANISM (McSherry–Talwar — the OTHER canonical DP
+    * primitive; the geometric releases add noise to VALUES, this one
+    * samples an OUTPUT by utility): per segment, account balances land in
+    * a fixed 64-bucket grid over the clipped domain (bounded domain =
+    * bounded sensitivity, the dp_sum clipping move), each bucket k is
+    * scored by median rank loss |n − 2·cum≤k| (sensitivity 1), weighted
+    * 4096 >> min(loss, 12) — the exact dyadic form of exp(−loss·ln 2),
+    * i.e. ε = 2 ln 2, with the ≥ 12 tail floored at weight 1 so a
+    * degenerate distribution still releases — and the released bucket is
+    * drawn by the deterministic keyed-md5 draw ([[privacyDpCount]]'s
+    * discipline, salt `graftdpq:`): smallest k with 4096·cumw > v·totw.
+    * True-median columns ride along for the gate; a real release drops
+    * them.
+    *
+    * Scale: one hash aggregate to the (segment, 64-bucket) histogram;
+    * everything after — losses, weights, cumulative draw — is window
+    * arithmetic on ≤ 64 rows per segment. The released value never
+    * touches row grain, which is the point of the mechanism.
+    */
+  def privacyDpQuantile(s: SparkSession, d: String): DataFrame = {
+    val lo = -102400L // cents; grid covers [-1024.00, 10035.20) in 64 steps
+    val w = 17280L
+    val hist = t(s, d, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      .withColumn("bucket", expr(
+        s"least(greatest((cents - ($lo)) div $w, CAST(0 AS BIGINT)), " +
+          "CAST(63 AS BIGINT))"))
+      .groupBy("seg", "bucket").agg(count(lit(1)).as("cnt"))
+    val dense = hist.select("seg").distinct()
+      .select(col("seg"), explode(sequence(lit(0L), lit(63L))).as("bucket"))
+      .join(hist, Seq("seg", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val ord = Window.partitionBy("seg").orderBy("bucket")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("seg")
+    val scored = dense
+      .withColumn("cumle", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("loss", abs(col("n") - lit(2L) * col("cumle")))
+      .withColumn("wt", expr(
+        "shiftright(CAST(4096 AS BIGINT), CAST(least(loss, 12) AS INT))"))
+      .withColumn("cumw", sum(col("wt")).over(cum))
+      .withColumn("totw", sum(col("wt")).over(all))
+      .withColumn("h", expr("md5(concat('graftdpq:', seg))"))
+      .withColumn("v", expr(dpHexV))
+    val released = scored.where(expr("4096 * cumw > v * totw"))
+      .withColumn("rk", row_number().over(ord))
+      .where(col("rk") === 1)
+      .select(col("seg"), col("n"), col("v").cast("long").as("draw"),
+        col("bucket").as("released_bucket"),
+        col("loss").as("released_loss"),
+        (lit(lo) + col("bucket") * lit(w) + lit(w / 2)).as("released_cents"))
+    val truem = scored.where(expr("2 * cumle >= n"))
+      .withColumn("rk", row_number().over(ord))
+      .where(col("rk") === 1)
+      .select(col("seg"), col("bucket").as("true_bucket"))
+    released.join(truem, "seg")
+      .select("seg", "n", "draw", "released_bucket", "released_loss",
+        "released_cents", "true_bucket")
+      .orderBy("seg")
+  }
+
   /** q_dq_freshness — PARTITION-FRESHNESS AUDIT: per nation, the most
     * recent order date, its staleness in days against the corpus
     * watermark (the global max — the reference's daily cadence makes
@@ -739,6 +804,7 @@ object Quality {
     "q_privacy_dp_count" -> privacyDpCount _,
     "q_privacy_dp_sum" -> privacyDpSum _,
     "q_privacy_dp_topk" -> privacyDpTopk _,
+    "q_privacy_dp_quantile" -> privacyDpQuantile _,
     "q_dq_freshness" -> dqFreshness _,
     "q_anomaly_iqr" -> anomalyIqr _,
     "q_privacy_ldiversity" -> privacyLdiversity _,
@@ -790,6 +856,42 @@ object Quality {
         "greatest(n_true + noise, 0) AS n_dp FROM nz) " +
         "SELECT cat, n_true, noise, n_dp FROM rel WHERE n_dp >= 20 " +
         "ORDER BY n_dp DESC, cat LIMIT 10"),
+    // the exponential mechanism replayed: same grid, same dyadic weights,
+    // same keyed draw and cumulative pick
+    "q_privacy_dp_quantile" ->
+      ("WITH cust AS (SELECT c_mktsegment AS seg, " +
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer), " +
+        "hist AS (SELECT seg, " +
+        "least(greatest((cents - (-102400)) // 17280, 0), 63) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY 1, 2), " +
+        "dense AS (SELECT sg.seg, sg.b AS bucket, coalesce(h.cnt, 0) AS cnt " +
+        "FROM (SELECT s.seg, g.b FROM (SELECT DISTINCT seg FROM hist) s, " +
+        "range(0, 64) g(b)) sg " +
+        "LEFT JOIN hist h ON h.seg = sg.seg AND h.bucket = sg.b), " +
+        "sc AS (SELECT seg, bucket, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumle, " +
+        "CAST(sum(cnt) OVER (PARTITION BY seg) AS BIGINT) AS n FROM dense), " +
+        "wts AS (SELECT *, abs(n - 2 * cumle) AS loss, " +
+        "CAST(4096 >> CAST(least(abs(n - 2 * cumle), 12) AS INT) AS BIGINT) " +
+        "AS wt FROM sc), " +
+        "cw AS (SELECT *, CAST(sum(wt) OVER (PARTITION BY seg ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw, " +
+        "CAST(sum(wt) OVER (PARTITION BY seg) AS BIGINT) AS totw, " +
+        "md5(concat('graftdpq:', seg)) AS h FROM wts), " +
+        s"dv AS (SELECT *, $dpHexV AS v FROM cw), " +
+        "rel AS (SELECT seg, n, v AS draw, bucket AS released_bucket, " +
+        "loss AS released_loss, " +
+        "-102400 + bucket * 17280 + 8640 AS released_cents, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY bucket) AS rk " +
+        "FROM dv WHERE 4096 * cumw > v * totw), " +
+        "tm AS (SELECT seg, bucket AS true_bucket, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY bucket) AS rk " +
+        "FROM dv WHERE 2 * cumle >= n) " +
+        "SELECT r.seg, r.n, r.draw, r.released_bucket, r.released_loss, " +
+        "r.released_cents, t.true_bucket " +
+        "FROM rel r JOIN tm t ON t.seg = r.seg AND t.rk = 1 " +
+        "WHERE r.rk = 1 ORDER BY r.seg"),
     "q_dq_freshness" ->
       ("WITH pg AS (SELECT n_name AS geo, " +
         "max(CAST(o_orderdate AS DATE)) AS last_day, " +

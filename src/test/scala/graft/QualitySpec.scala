@@ -302,6 +302,45 @@ class QualitySpec extends AnyFunSuite {
       s"noise too heavy-tailed for alpha=1/2: $small/${rows.length} within |2|")
   }
 
+  test("q_privacy_dp_quantile: the exponential mechanism replays driver-side") {
+    val rows = graft.operators.Quality.privacyDpQuantile(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val cust = Tables(s, d, "customer")
+      .select(col("c_mktsegment"), round(col("c_acctbal") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case (seg, n, draw, relB, relLoss, relCents, trueB) =>
+      val cents = cust.filter(_._1 == seg).map(_._2)
+      assert(n === cents.length.toLong)
+      val hist = Array.fill(64)(0L)
+      cents.foreach { c =>
+        hist(math.min(63L, math.max(0L, (c + 102400L) / 17280L)).toInt) += 1 }
+      val cumle = hist.scanLeft(0L)(_ + _).tail
+      val loss = (0 until 64).map(k => math.abs(n - 2 * cumle(k)))
+      val wt = loss.map(l => 4096L >> math.min(l, 12L).toInt)
+      val tot = wt.sum
+      val cumw = wt.scanLeft(0L)(_ + _).tail
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graftdpq:$seg".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = Integer.parseInt(hex.take(3), 16).toLong
+      assert(draw === v, s"$seg draw diverges")
+      val k = (0 until 64).find(i => 4096L * cumw(i) > v * tot).get
+      assert(relB === k.toLong, s"$seg released bucket diverges")
+      assert(relLoss === loss(k))
+      assert(relCents === -102400L + k * 17280L + 8640L)
+      assert(trueB === (0 until 64).find(i => 2 * cumle(i) >= n).get.toLong)
+      // utility: with exp(-loss·ln2) weights the draw concentrates around
+      // the true median; at sf0.001's sparse n (~30/segment) the weight
+      // plateau is wide (loss grows ~1 per 2 buckets), so the bound is 8
+      // cells — tight enough to catch an inverted CDF or a broken weight
+      // ladder, loose enough for the legitimate plateau spread
+      assert(math.abs(relB - trueB) <= 8L,
+        s"$seg released $relB vs true $trueB — mechanism utility broken")
+    }
+  }
+
   test("q_privacy_dp_sum: clipping bounds sensitivity; release closes over noise·cap") {
     val cap = 500000L
     val rows = Quality.privacyDpSum(s, d).collect()
