@@ -1050,6 +1050,45 @@ object Relational {
         Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
       .orderBy(asc("o_custkey"), desc("o_totalprice"), asc("o_orderkey"))
 
+  /** q_join_rank — RANK JOIN (top-k join, Ilyas–Aref–Elmagarmid): the
+    * global top-10 same-nation (customer, supplier) pairs by combined
+    * account balance WITHOUT materializing the join. The pair score is
+    * MONOTONE in both inputs, so a global top-10 pair must combine a
+    * top-10 customer with a top-10 supplier OF ITS NATION — under the
+    * strict (cents desc, key asc) total order the domination argument is
+    * exact even through balance ties (ten lexicographically-greater
+    * same-nation partners each yield a pair sorting strictly above). Each
+    * side prunes to per-nation bounded heaps via the engine's custom
+    * [[graft.plans.TopKPerKey]] operator, the join runs on
+    * 10·|nations|-row prefixes, and the final cut is a TakeOrdered. The
+    * oracle is the FULL join ORDER BY LIMIT — identical rows, the plan
+    * difference is the point.
+    *
+    * Scale: the naive join is |C|·|S|/|nations| rows then a global sort;
+    * the rank join touches 10·|nations| rows per side after two bounded-
+    * heap passes that never sort whole partitions — the classic monotone-
+    * score pruning that makes top-k joins feasible over fact×fact.
+    */
+  def joinRank(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val cust = t(s, d, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"), col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("c_cents"))
+    val supp = t(s, d, "supplier")
+      .select(col("s_nationkey").cast("long").as("nk"), col("s_suppkey"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("s_cents"))
+    val topC = graft.plans.TopKPerKey(cust, Seq("nk"),
+      Seq(("c_cents", true), ("c_custkey", false)), k)
+    val topS = graft.plans.TopKPerKey(supp, Seq("nk"),
+      Seq(("s_cents", true), ("s_suppkey", false)), k)
+    topC.join(topS, "nk")
+      .select(col("nk"), col("c_custkey"), col("s_suppkey"),
+        col("c_cents"), col("s_cents"),
+        (col("c_cents") + col("s_cents")).as("pair_cents"))
+      .orderBy(desc("pair_cents"), asc("c_custkey"), asc("s_suppkey"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- set ops
 
   /** q_set_ops — union / intersect / except over yearly active-customer key
@@ -1757,6 +1796,7 @@ object Relational {
     "q_sort_limit" -> sortLimit _,
     "q_topk" -> topk _,
     "q_topk_per_key" -> topkPerKey _,
+    "q_join_rank" -> joinRank _,
     "q_set_ops" -> setOps _,
     "q_dedup_exact" -> dedupExact _,
     "q_window_rank" -> windowRank _,
@@ -2149,6 +2189,16 @@ object Relational {
         "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
         "WHERE rn <= 3 " +
         "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"),
+    // the rank join must equal the FULL join's top-10 — the oracle pays
+    // the materialized join the operator exists to avoid
+    "q_join_rank" ->
+      ("SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey, s_suppkey, " +
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT) AS c_cents, " +
+        "CAST(round(s_acctbal * 100, 0) AS BIGINT) AS s_cents, " +
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT) + " +
+        "CAST(round(s_acctbal * 100, 0) AS BIGINT) AS pair_cents " +
+        "FROM customer JOIN supplier ON c_nationkey = s_nationkey " +
+        "ORDER BY pair_cents DESC, c_custkey, s_suppkey LIMIT 10"),
     "q_set_ops" ->
       ("WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1997), " +
         "b AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1998) " +

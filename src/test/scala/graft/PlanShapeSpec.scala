@@ -178,6 +178,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx === 1, s"expected exactly the one 8-group agg exchange, saw $hashEx:\n$p")
   }
 
+  test("q_join_rank prunes via bounded heaps, never sorts or joins the full sides") {
+    val p = plan(Relational.joinRank(s, d))
+    assert(p.contains("TopKPerKey"),
+      s"both sides must prune through the bounded-heap operator:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the final cut must be a bounded TakeOrdered, not sort+limit:\n$p")
+    assert(!p.contains("Window"),
+      s"no window formulation — heaps replace the per-partition sort:\n$p")
+  }
+
   test("q_multimodal_align: equi-join pairing, native dot kernel, no cartesian") {
     val p = plan(graft.operators.LlmData.multimodalAlign(s, d))
     assert(!p.contains("CartesianProduct"),
