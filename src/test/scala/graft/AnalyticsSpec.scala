@@ -1690,6 +1690,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_coreness: h-index fixpoint equals driver-side min-degree peeling") {
+    // the engine runs the DECENTRALIZED h-index iteration; this replay
+    // runs the SEQUENTIAL peeling definition — their equality is the
+    // Lü–Zhou theorem the operator stands on, re-proven on the fixture
+    val out = Analytics.graphCoreness(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = Analytics.ccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+    }
+    val deg = scala.collection.mutable.Map(adj.map { case (v, ns) => v -> ns.size }.toSeq: _*)
+    val live = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0
+    while (live.nonEmpty) {
+      k = math.max(k, live.iterator.map(deg).min)
+      val peel = scala.collection.mutable.Queue(live.filter(deg(_) <= k).toSeq: _*)
+      while (peel.nonEmpty) {
+        val v = peel.dequeue()
+        if (live.remove(v)) {
+          core(v) = k.toLong
+          adj(v).foreach { u =>
+            if (live(u)) {
+              deg(u) -= 1
+              if (deg(u) <= k) peel += u
+            }
+          }
+        }
+      }
+    }
+    assert(out.size === core.size)
+    core.foreach { case (v, c) =>
+      assert(out(v) === c, s"coreness mismatch at $v")
+    }
+    assert(out.values.max >= 2L, "fixture must have a nontrivial core")
+  }
+
   test("q_graph_scc labels match a driver-side Tarjan over the staged directed graph") {
     // engine MultiStep decomposition re-checked against an iterative
     // Tarjan over the SAME staged edge set (min-id canonical labels) —
