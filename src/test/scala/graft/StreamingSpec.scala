@@ -32,7 +32,11 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.DataFrame, Double)](
       ("q_stream_join_outer", Streams.streamJoinOuter, 12.0),
       ("q_stream_scd2", Streams.streamScd2, 8.0),
-      ("q_stream_cdc_apply", Streams.streamCdcApply, 8.0))
+      ("q_stream_cdc_apply", Streams.streamCdcApply, 8.0),
+      // two chained stateful joins = twice the per-batch state-store
+      // lifecycle (4 stores per join per partition) — the highest fixed
+      // floor in the family; ceiling sized like join_outer's
+      ("q_stream_join_multiway", Streams.streamJoinMultiway, 12.0))
     // wall-clock assertions flake on contended hosts even with the ~2×
     // headroom; GRAFT_TIMING_SLACK (a multiplier, default 1.0) lets a
     // functional-only CI run loosen or effectively disable them without
