@@ -4243,6 +4243,69 @@ object Analytics {
       .orderBy("comm_a", "comm_b")
   }
 
+  /** q_graph_louvain_level2 — the SECOND Louvain level, closing the
+    * multi-level loop the step/contract pair opens (move → contract →
+    * MOVE AGAIN at super-node grain): the contracted weighted graph
+    * (inter-community super-edges + intra-community self-loops from
+    * [[graphCommunityContract]]'s decisions) restarts with every
+    * super-node its own community, and the level-1 gain formula
+    * specializes exactly — k_uA = 0, Σ_A = k_u, Σ_B = k_v — to the MERGE
+    * GAIN 2W·w_uv − k_u·k_v per super-edge, with super-node strength
+    * k_u = Σ external weight + 2·self-loop (self-loops ride the node,
+    * the convention the modularity term needs). All exact integer; ties
+    * to the smallest community name; W is invariant under contraction
+    * (spec-pinned), so both levels share one modularity scale.
+    *
+    * Scale: the level-2 graph is |communities|-sized — the whole point of
+    * contraction — so this step is one keyed aggregate + one argmax
+    * window over super-edges; the full distributed-Louvain loop is this
+    * pair iterated, each level geometrically cheaper.
+    */
+  def graphLouvainLevel2(s: SparkSession, d: String): DataFrame = {
+    val pairs = supplierWedges(s, d)
+    val assign = broadcast(louvainDecisions(s, d)
+      .select(col("supplier"), col("best_community")))
+    val contracted = pairs
+      .join(assign.select(col("supplier").as("sp1"),
+        col("best_community").as("ca")), "sp1")
+      .join(assign.select(col("supplier").as("sp2"),
+        col("best_community").as("cb")), "sp2")
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+    val nonself = contracted.where(col("a") =!= col("b"))
+    val selfw = contracted.where(col("a") === col("b"))
+      .select(col("a").as("u"), col("w").as("w_self"))
+    val dir = nonself.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(nonself.select(col("b").as("u"), col("a").as("v"), col("w")))
+    val nodes = louvainDecisions(s, d)
+      .select(col("best_community").as("u")).distinct()
+    val kNode = nodes
+      .join(dir.groupBy("u").agg(sum(col("w")).as("k_ext")), Seq("u"), "left")
+      .join(selfw, Seq("u"), "left")
+      .na.fill(0L, Seq("k_ext", "w_self"))
+      .select(col("u"), (col("k_ext") + lit(2L) * col("w_self")).as("k_u"))
+    val tw = contracted.agg(sum(col("w")).as("tw"))
+    val cand = dir
+      .join(kNode, "u")
+      .join(kNode.select(col("u").as("v"), col("k_u").as("k_v")), "v")
+      .crossJoin(broadcast(tw))
+      .select(col("u"), col("v"),
+        (lit(2L) * col("tw") * col("w") - col("k_u") * col("k_v")).as("gain"))
+    val wdw = Window.partitionBy("u").orderBy(desc("gain"), asc("v"))
+    val best = cand.withColumn("rn", row_number().over(wdw))
+      .where(col("rn") === 1).select(col("u"), col("v"), col("gain"))
+    val members = louvainDecisions(s, d)
+      .groupBy(col("best_community").as("u")).agg(count(lit(1)).as("n_members"))
+    kNode.join(broadcast(members), "u")
+      .join(best, Seq("u"), "left")
+      .select(col("u").as("supernode"), col("n_members"), col("k_u"),
+        when(col("gain") > 0, col("v")).otherwise(col("u")).as("best_merge"),
+        greatest(coalesce(col("gain"), lit(0L)), lit(0L)).as("gain_scaled"),
+        coalesce(col("gain") > 0, lit(false)).as("moved"))
+      .orderBy("supernode")
+  }
+
   // --------------------------------------------------- connected components
 
   /** The CC input graph — co-purchase pairs supported by ≥ 2 distinct
@@ -4753,6 +4816,7 @@ object Analytics {
     "q_graph_random_walk" -> graphRandomWalk _,
     "q_graph_louvain_step" -> graphLouvainStep _,
     "q_graph_community_contract" -> graphCommunityContract _,
+    "q_graph_louvain_level2" -> graphLouvainLevel2 _,
     "q_graph_modularity" -> graphModularity _,
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
@@ -5051,6 +5115,44 @@ object Analytics {
         "FROM cmap GROUP BY 1) " +
         "SELECT ce.comm_a, ce.comm_b, ce.weight, nm.n_members_a " +
         "FROM ce JOIN nm USING (comm_a) ORDER BY comm_a, comm_b"),
+    // level 2 replayed on top of the contract chain: singleton restart,
+    // merge gain 2W·w_uv − k_u·k_v, strengths with 2× self-loops
+    "q_graph_louvain_level2" ->
+      (s"WITH $louvainSqlCtes, " +
+        "cmap AS (SELECT k.u AS u, " +
+        "CASE WHEN b.gain > 0 THEN b.cv ELSE d.n_name END AS bc " +
+        "FROM ku k JOIN dim d ON k.u = d.s_suppkey " +
+        "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.u = k.u), " +
+        "ce AS (SELECT least(ma.bc, mb.bc) AS a, " +
+        "greatest(ma.bc, mb.bc) AS b, CAST(sum(p.w) AS BIGINT) AS w " +
+        "FROM p JOIN cmap ma ON p.sp1 = ma.u JOIN cmap mb ON p.sp2 = mb.u " +
+        "GROUP BY 1, 2), " +
+        "ns AS (SELECT a, b, w FROM ce WHERE a <> b), " +
+        "sw AS (SELECT a AS u, w AS w_self FROM ce WHERE a = b), " +
+        "nodes AS (SELECT DISTINCT bc AS u FROM cmap), " +
+        "dir2 AS (SELECT a AS u, b AS v, w FROM ns " +
+        "UNION ALL SELECT b, a, w FROM ns), " +
+        "kx AS (SELECT u, CAST(sum(w) AS BIGINT) AS k_ext FROM dir2 " +
+        "GROUP BY u), " +
+        "kn AS (SELECT n.u, CAST(coalesce(kx.k_ext, 0) + " +
+        "2 * coalesce(sw.w_self, 0) AS BIGINT) AS k_u FROM nodes n " +
+        "LEFT JOIN kx ON kx.u = n.u LEFT JOIN sw ON sw.u = n.u), " +
+        "tw2 AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM ce), " +
+        "cand2 AS (SELECT d.u, d.v, " +
+        "2 * tw2.tw * d.w - ka.k_u * kb.k_u AS gain " +
+        "FROM dir2 d JOIN kn ka ON ka.u = d.u " +
+        "JOIN kn kb ON kb.u = d.v, tw2), " +
+        "best2 AS (SELECT u, v, gain, row_number() OVER " +
+        "(PARTITION BY u ORDER BY gain DESC, v) AS rn FROM cand2), " +
+        "mem AS (SELECT bc AS u, CAST(count(*) AS BIGINT) AS n_members " +
+        "FROM cmap GROUP BY 1) " +
+        "SELECT kn.u AS supernode, mem.n_members, kn.k_u, " +
+        "CASE WHEN b.gain > 0 THEN b.v ELSE kn.u END AS best_merge, " +
+        "CAST(greatest(coalesce(b.gain, 0), 0) AS BIGINT) AS gain_scaled, " +
+        "coalesce(b.gain > 0, false) AS moved " +
+        "FROM kn JOIN mem ON mem.u = kn.u " +
+        "LEFT JOIN (SELECT * FROM best2 WHERE rn = 1) b ON b.u = kn.u " +
+        "ORDER BY supernode"),
     "q_graph_modularity" ->
       (s"WITH $cappedSupplierEdgeCtes, " +
         "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +

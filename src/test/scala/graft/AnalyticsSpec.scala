@@ -1690,6 +1690,50 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_louvain_level2: gains replay from the contracted graph; W is invariant") {
+    val out = Analytics.graphLouvainLevel2(s, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5))))
+    assert(out.nonEmpty)
+    val contracted = Analytics.graphCommunityContract(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // contraction preserves total weight — both levels share one
+    // modularity scale
+    val twContracted = contracted.map(_._3).sum
+    val twWedges = Analytics.supplierWedgesForTest(s, d)
+      .agg(sum(col("w"))).head.getLong(0)
+    assert(twContracted === twWedges, "contraction must preserve W")
+    // driver replay of the singleton-restart merge gains
+    val selfW = contracted.collect { case (a, b, w) if a == b => a -> w }.toMap
+    val nonself = contracted.filter(t => t._1 != t._2)
+    val kExt = (nonself.map(t => t._1 -> t._3) ++
+      nonself.map(t => t._2 -> t._3))
+      .groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).sum }
+    val nodes = out.map(_._1)
+    val kU = nodes.map(u =>
+      u -> (kExt.getOrElse(u, 0L) + 2L * selfW.getOrElse(u, 0L))).toMap
+    val nbrs = (nonself.map(t => (t._1, t._2, t._3)) ++
+      nonself.map(t => (t._2, t._1, t._3)))
+    out.foreach { case (u, (nMembers, k, bestMerge, gainScaled, moved)) =>
+      assert(k === kU(u), s"strength mismatch at $u")
+      val cands = nbrs.filter(_._1 == u)
+        .map { case (_, v, w) => (v, 2L * twContracted * w - kU(u) * kU(v)) }
+      if (cands.isEmpty) {
+        assert(!moved && bestMerge === u && gainScaled === 0L)
+      } else {
+        val (bv, bg) = cands.minBy { case (v, g) => (-g, v) }
+        if (bg > 0L) {
+          assert(moved && bestMerge === bv && gainScaled === bg,
+            s"merge decision mismatch at $u")
+        } else {
+          assert(!moved && bestMerge === u && gainScaled === 0L)
+        }
+      }
+      assert(moved === (bestMerge != u))
+    }
+    assert(out.exists(_._2._5), "the level-2 pass must find at least one merge")
+  }
+
   test("q_graph_coreness: h-index fixpoint equals driver-side min-degree peeling") {
     // the engine runs the DECENTRALIZED h-index iteration; this replay
     // runs the SEQUENTIAL peeling definition — their equality is the

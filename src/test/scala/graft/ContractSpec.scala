@@ -143,7 +143,8 @@ class ContractSpec extends AnyFunSuite {
     "q_multimodal_align", "q_stream_video_scene", "q_layout_hilbert",
     "q_corpus_reweight", "q_seq_prefixspan", "q_graph_random_walk",
     "q_timeseries_dtw", "q_stream_join_multiway", "q_interval_allen",
-    "q_privacy_dp_quantile", "q_join_rank", "q_graph_coreness")
+    "q_privacy_dp_quantile", "q_join_rank", "q_graph_coreness",
+    "q_graph_louvain_level2")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
