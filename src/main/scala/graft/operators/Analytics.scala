@@ -2564,6 +2564,10 @@ object Analytics {
     * position chain and threshold.
     */
   def seqPrefixspan(s: SparkSession, d: String): DataFrame = {
+    // the onboarding-window position table feeds all three levels (five
+    // plan references); left UNCACHED deliberately — AQE's exchange reuse
+    // already serves the repeated window pass from one shuffle, and a
+    // persist adds a materialization barrier (measured +1 s cold)
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pos = t(s, d, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
