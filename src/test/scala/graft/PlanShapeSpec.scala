@@ -178,6 +178,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx === 1, s"expected exactly the one 8-group agg exchange, saw $hashEx:\n$p")
   }
 
+  test("q_interval_allen: one broadcast cross, classification never leaves the scan stage") {
+    val p = plan(graft.operators.Analytics.intervalAllen(s, d))
+    // the 100-row window table rides ONE broadcast nested loop (the
+    // intended control-plane cross); nothing may sort-merge or shuffle
+    // pairs
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj === 1, s"expected exactly the one window-table cross:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no pair shuffle:\n$p")
+    // the classification must be ONE projection over the cross — a
+    // second pair-grain exchange would mean the CASE left the scan stage
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"only the 13-row histogram aggregate may hash-exchange:\n$p")
+  }
+
   test("q_join_rank prunes via bounded heaps, never sorts or joins the full sides") {
     val p = plan(Relational.joinRank(s, d))
     assert(p.contains("TopKPerKey"),
