@@ -131,6 +131,35 @@ object PipelineIngest {
       .orderBy("event_type")
   }
 
+  /** q_source_gzip_roundtrip — COMPRESSED-CODEC source/sink seam: the
+    * documents extract written as GZIP JSON-lines (the wire format crawl
+    * deliveries actually arrive in) and schema-inferred back through the
+    * codec, aggregate oracle-checked against the original parquet. The
+    * spec asserts the .json.gz extension actually landed — a silent
+    * codec fallback would still round-trip and hide the seam.
+    *
+    * Scale note (the real 100 TB lesson this op exists to record): gzip
+    * is NOT SPLITTABLE — one .gz file = one task, however large, so a
+    * compressed text lake must control FILE SIZE at write time (sized
+    * output partitions, as here) or land a splittable codec
+    * (zstd/bzip2/block-gzip); a single 100 GB .gz file turns a
+    * 1000-executor scan into one straggler. Parquet sidesteps this by
+    * compressing pages inside a splittable container, which is why the
+    * engine's own tables are parquet and gzip appears only at the ingest
+    * seam.
+    */
+  def sourceGzipRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_out/q_source_gzip"
+    graft.Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").option("compression", "gzip").json(out)
+    s.read.json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
+
   /** q_source_csv_roundtrip — CSV source/sink breadth: a headered CSV
     * extract of orders (the reference's landed files are CSV-in-zip,
     * script-dag-dock-report:209-216), schema-inferred back in and
@@ -751,6 +780,7 @@ object PipelineIngest {
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip _,
+    "q_source_gzip_roundtrip" -> sourceGzipRoundtrip _,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "q_source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "q_source_text_roundtrip" -> sourceTextRoundtrip _,
@@ -820,6 +850,9 @@ object PipelineIngest {
     "q_source_json_roundtrip" ->
       (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value, " +
         "max(event_id) AS max_event_id FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_source_gzip_roundtrip" ->
+      ("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "max(doc_id) AS max_doc FROM documents GROUP BY lang ORDER BY lang"),
     "q_source_csv_roundtrip" ->
       (s"SELECT o_orderstatus, count(*) AS n, ${Det.sqlSumExact("o_totalprice", 2)} AS sum_price, " +
         "max(o_orderkey) AS max_orderkey FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),

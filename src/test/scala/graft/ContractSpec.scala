@@ -144,7 +144,7 @@ class ContractSpec extends AnyFunSuite {
     "q_corpus_reweight", "q_seq_prefixspan", "q_graph_random_walk",
     "q_timeseries_dtw", "q_stream_join_multiway", "q_interval_allen",
     "q_privacy_dp_quantile", "q_join_rank", "q_graph_coreness",
-    "q_graph_louvain_level2")
+    "q_graph_louvain_level2", "q_source_gzip_roundtrip")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -45,6 +45,24 @@ class PipelineMainSpec extends AnyFunSuite {
     finally server.stop(0)
   }
 
+  test("q_source_gzip_roundtrip actually lands gzip files (no silent codec fallback)") {
+    val out = sources.PipelineIngest.queries("q_source_gzip_roundtrip")(
+      s, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_out", "q_source_gzip")
+    val st = java.nio.file.Files.list(dir)
+    val dataFiles =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toList
+      } finally st.close()
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.forall(_.endsWith(".json.gz")),
+      s"codec must land as .json.gz, saw: $dataFiles")
+  }
+
   test("report DAG runs end-to-end and lands the exact fixture aggregate") {
     val landing = Fixtures.ensure(
       Paths.get(sys.props("java.io.tmpdir"), "graft_landing"))(
