@@ -2060,9 +2060,13 @@ object Analytics {
       .join(overall, "acct")
       .select(col("acct"), col("dow"), col("n_days"), col("sum_cents"),
         expr("sum_cents div n_days").as("mean_cents"),
-        // negated-numerator form: integral division only ever sees
-        // positives (Spark div truncates, DuckDB // floors — they agree
-        // only above zero; the q_text_zipf precedent)
+        // negated-numerator form keeps the integral division on positives.
+        // Doctrine note (r15 advisory reconciliation): BOTH engines
+        // truncate integer division toward zero on negatives (verified —
+        // the q_timeseries_mann_kendall oracle relies on it), so this
+        // sign-split is belt-and-braces for readability, not a
+        // correctness requirement; do NOT "fix" truncating div sites
+        // elsewhere with sign-splitting on the strength of this comment
         expr("CASE WHEN sum_cents div n_days >= mean_all " +
           "THEN (1000000 * (sum_cents div n_days - mean_all)) div mean_all " +
           "ELSE -((1000000 * (mean_all - sum_cents div n_days)) div mean_all) END")
@@ -3323,9 +3327,12 @@ object Analytics {
       .withColumn("detrend_milli", col("cents") * 1000 - col("trend_milli"))
       .withColumn("dow",
         datediff(col("day"), to_date(lit("1970-01-05"))) % 7)
-    // the detrended sum CAN be negative, and integer division semantics
-    // diverge on negatives (Spark `div` truncates toward zero, DuckDB `//`
-    // floors) — so divide magnitudes and reapply the sign explicitly
+    // the detrended sum CAN be negative. Doctrine note (r15 advisory
+    // reconciliation): Spark `div` and DuckDB `//` BOTH truncate toward
+    // zero on negatives (verified; the q_timeseries_mann_kendall and
+    // Holt-Winters sites divide negatives directly) — the explicit
+    // magnitude-divide-and-resign here is kept for readability and as a
+    // historical artifact, not because the engines disagree
     val seasonal = trended.groupBy(col("dow"))
       .agg(expr("(CASE WHEN sum(detrend_milli) < 0 THEN -1 ELSE 1 END) * " +
         "(abs(sum(detrend_milli)) div count(*))").as("seasonal_milli"))
@@ -4475,13 +4482,16 @@ object Analytics {
     */
   def graphConnectedComponents(s: SparkSession, d: String): DataFrame = {
     val edges = ccEdges(s, d)
+    // sized BEFORE any conf.set: the first ccEdgeCount call can trigger the
+    // staged-fixture build, and a throw there must not leave the session
+    // with AQE off / shuffle partitions unrestored (r15 advisory)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey)
     val partsKey = "spark.sql.shuffle.partitions"
     val partsWas = s.conf.get(partsKey)
     s.conf.set(aqeKey, "false")
-    s.conf.set(partsKey,
-      math.max(1L, ccEdgeCount(s, d) / 500000L).toString)
+    s.conf.set(partsKey, edgeParts)
     val labels =
       try ccLabels(s, edges)
       finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
@@ -4499,18 +4509,24 @@ object Analytics {
     * ≥ h); the fixpoint IS the coreness — the decentralized alternative
     * to sequential min-degree peeling ([[graphKcorePeel]] is the one-shot
     * median peel; this one labels every node with its exact core).
-    * Engine h-index: one rank window per round over the neighbor-value
-    * relation, h = max(min(rank, value)); convergence by the exact Σc
-    * invariant (values only decrease). Driver-side peeling replay in the
-    * spec pins h-fixpoint = peeling coreness.
+    * Engine h-index (r16: histogram form): neighbor values clamped at the
+    * receiver's own value fold into a map-side-combinable (v, val) → count
+    * histogram; h = max over histogram rows of min(val, suffix-count) —
+    * no per-node sort of the raw neighbor list, so a 10⁸-degree hub costs
+    * a combinable aggregate, not a single-task window (r15 verdict's
+    * straggler seam, closed). Convergence by the exact Σc invariant
+    * (values only decrease). Driver-side peeling replay in the spec pins
+    * h-fixpoint = peeling coreness.
     *
     * Scale: each round is one edge-grain join (labels onto both endpoint
-    * directions) + one node-grain window/aggregate — no sequential peel
-    * order, no global priority queue, the reason the h-iteration is the
-    * published distributed recipe. Rounds are data-bounded (≤ 21 on any
-    * fixture tier; the oracle unrolls 24 chained CTE rounds — idempotent
-    * past the fixpoint — with the h-search capped at 64 ≫ max degree).
-    * Lineage cut per round (the [[ccLabels]] discipline).
+    * directions) + one edge-grain combinable aggregate + one
+    * histogram-grain window — no sequential peel order, no global
+    * priority queue, the reason the h-iteration is the published
+    * distributed recipe. Rounds are data-bounded (≤ 21 on any fixture
+    * tier; the oracle unrolls 24 chained CTE rounds — idempotent past the
+    * fixpoint — with the h-search capped at 64 ≫ max degree; the spec's
+    * oracle-validity test re-checks BOTH constants per tier, r15
+    * advisory). Lineage cut per round (the [[ccLabels]] discipline).
     */
   def graphCoreness(s: SparkSession, d: String): DataFrame = {
     val edges = ccEdges(s, d) // (a, b) undirected, a < b
@@ -4523,25 +4539,50 @@ object Analytics {
       var c = und.groupBy(col("v").as("node")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
       var sumC = c.agg(sum(col("c"))).first().getLong(0)
+      // provable round bound (r15 advisory — no fixed constant): values are
+      // monotone non-increasing positive integers, so every non-final round
+      // drops Σc by ≥ 1 and the loop runs at most Σc₀ rounds
+      val maxRounds = sumC
       var converged = false
       var rounds = 0
       while (!converged) {
         rounds += 1
-        require(rounds <= 64,
-          "h-index iteration failed to converge in 64 rounds — values are " +
-            "monotone non-increasing positive integers; state is corrupt")
+        require(rounds <= maxRounds,
+          "h-index iteration failed to converge — values are monotone " +
+            "non-increasing positive integers, so rounds are bounded by " +
+            "the initial Σc; state is corrupt")
+        // VALUE-HISTOGRAM h-index (r15 verdict: cap the hub straggler) —
+        // no per-node sort of the raw neighbor list. Each neighbor value
+        // is clamped at the receiver's own current value (next is
+        // least(c, h), so thresholds above c(v) are irrelevant and the
+        // clamp provably preserves least(c, h)); the clamped values fold
+        // into a (v, val) → count histogram by a MAP-SIDE-COMBINABLE
+        // edge-grain aggregate, and the per-node pass runs at HISTOGRAM
+        // grain (≤ min(c(v), #distinct neighbor values) rows) instead of
+        // neighbor-list grain — a 10⁸-degree hub no longer funnels 10⁸
+        // rows into one task's sort. h = max over histogram rows of
+        // min(val, |{neighbors ≥ val}|), the exact h-index: for any
+        // value v_j the min is ≤ h by definition, and the smallest
+        // present value ≥ h achieves it.
         val nbrVals = und
           .join(c.select(col("node").as("u"), col("c").as("val")), "u")
-          .select(col("v"), col("val"))
-        val rw = Window.partitionBy("v").orderBy(col("val").desc)
-        val h = nbrVals
-          .withColumn("rk", row_number().over(rw).cast("long"))
+          .join(c.select(col("node").as("v"), col("c").as("cv")), "v")
+          .select(col("v"), least(col("val"), col("cv")).as("val"))
+        val hist = nbrVals.groupBy(col("v"), col("val"))
+          .agg(count(lit(1)).as("cnt"))
+        val sw = Window.partitionBy("v").orderBy(col("val").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val h = hist
+          .withColumn("ge", sum(col("cnt")).over(sw))
           .groupBy(col("v").as("node"))
-          .agg(max(least(col("rk"), col("val"))).as("h"))
+          .agg(max(least(col("val"), col("ge"))).as("h"))
         val next = c.join(h, "node")
           .select(col("node"), least(col("c"), col("h")).as("c"))
           .localCheckpoint(true)
         val nextSum = next.agg(sum(col("c"))).first().getLong(0)
+        require(nextSum <= sumC,
+          "h-index Σc increased — values are monotone non-increasing; " +
+            "state is corrupt")
         converged = nextSum == sumC
         c.unpersist()
         c = next
@@ -4610,9 +4651,15 @@ object Analytics {
     * moved (no hash-collision early stop). Lineage is cut per round
     * (eager localCheckpoint, the [[ccLabels]] discipline) so the plan
     * stays constant-size across rounds.
+    *
+    * `maxRounds` is the live node count: propagation is bounded by the
+    * live core's diameter, which cannot exceed its node count — the
+    * PROVABLE worst case (r15 advisory: a fixed 256 cap would crash a
+    * correct run on a longer-than-256 cycle at a bigger tier). The Σlabel
+    * monotonicity require stays as the secondary corruption invariant.
     */
   private def sccMinReach(nodes: DataFrame, edges: DataFrame,
-      forward: Boolean): DataFrame = {
+      forward: Boolean, maxRounds: Long): DataFrame = {
     val (from, to) = if (forward) ("a", "b") else ("b", "a")
     var lab = nodes.select(col("node"), col("node").as("lab"))
       .localCheckpoint(true)
@@ -4621,9 +4668,10 @@ object Analytics {
     var rounds = 0
     while (!converged) {
       rounds += 1
-      require(rounds <= 256,
-        "min-reach propagation failed to converge in 256 rounds — " +
-          "bounded by the live core's diameter; label state is corrupt")
+      require(rounds <= maxRounds,
+        s"min-reach propagation failed to converge in $maxRounds rounds — " +
+          "bounded by the live core's diameter ≤ its node count; " +
+          "label state is corrupt")
       val flow = edges
         .join(lab.select(col("node").as(to), col("lab")), to)
         .groupBy(col(from).as("node")).agg(min(col("lab")).as("nl"))
@@ -4632,6 +4680,9 @@ object Analytics {
           least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
         .localCheckpoint(true)
       val nextSum = next.agg(sum(col("lab"))).first().getLong(0)
+      require(nextSum <= sumLab,
+        "min-reach Σlabel increased — labels are monotone non-increasing; " +
+          "state is corrupt")
       converged = nextSum == sumLab
       lab.unpersist()
       lab = next
@@ -4699,9 +4750,9 @@ object Analytics {
       }
       if (live > 0) {
         // one FW-BW finalize round over the trimmed core
-        val fwd = sccMinReach(nodes, edges, forward = true)
+        val fwd = sccMinReach(nodes, edges, forward = true, maxRounds = live)
           .withColumnRenamed("lab", "fmin")
-        val bwd = sccMinReach(nodes, edges, forward = false)
+        val bwd = sccMinReach(nodes, edges, forward = false, maxRounds = live)
           .withColumnRenamed("lab", "bmin")
         val fin = fwd.join(bwd, "node").where(col("fmin") === col("bmin"))
           .select(col("node"), col("fmin").as("scc"))
@@ -4803,13 +4854,16 @@ object Analytics {
     */
   def graphScc(s: SparkSession, d: String): DataFrame = {
     val edges = sccEdges(s, d)
+    // sized BEFORE any conf.set — sccEdgeCount can trigger the staged
+    // fixture build, and a throw there must not leak the pinned confs
+    // (the graphConnectedComponents ordering, r15 advisory)
+    val edgeParts = math.max(1L, sccEdgeCount(s, d) / 500000L).toString
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey)
     val partsKey = "spark.sql.shuffle.partitions"
     val partsWas = s.conf.get(partsKey)
     s.conf.set(aqeKey, "false")
-    s.conf.set(partsKey,
-      math.max(1L, sccEdgeCount(s, d) / 500000L).toString)
+    s.conf.set(partsKey, edgeParts)
     val labels =
       try sccLabels(s, edges)
       finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }

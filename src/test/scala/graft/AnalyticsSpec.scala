@@ -1774,6 +1774,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.values.max >= 2L, "fixture must have a nontrivial core")
   }
 
+  test("q_graph_coreness oracle validity bounds hold on every oracle tier") {
+    // the DuckDB oracle pins 24 unrolled h-index rounds and an h-search
+    // cap of 64 — valid only while the tier's max degree ≤ 64 and the
+    // iteration converges within 24 rounds (r15 advisory: check the
+    // bound, don't assume it). Replayed driver-side on the spec tier AND
+    // the driver's sf0.01 oracle tier.
+    Seq(d, "/root/testdata/sf0.01").distinct
+      .filter(t => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(t)))
+      .foreach { tier =>
+        val edges = Analytics.ccEdgesForTest(s, tier).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        edges.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer()) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer()) += a
+        }
+        val maxDeg = adj.values.map(_.size).max
+        assert(maxDeg <= 64,
+          s"$tier: max degree $maxDeg exceeds the oracle's h-search cap 64")
+        // h-index iteration, counting rounds to the exact fixpoint
+        var c = adj.map { case (v, ns) => v -> ns.size.toLong }.toMap
+        var rounds = 0
+        var converged = false
+        while (!converged) {
+          rounds += 1
+          assert(rounds <= 24,
+            s"$tier: h-index iteration needs > 24 rounds — oracle unroll too shallow")
+          val next = adj.map { case (v, ns) =>
+            val vals = ns.map(c).sortBy(-_)
+            var h = 0L
+            vals.zipWithIndex.foreach { case (value, i) =>
+              h = math.max(h, math.min(i + 1L, value))
+            }
+            v -> math.min(c(v), h)
+          }.toMap
+          converged = next == c
+          c = next
+        }
+      }
+  }
+
   test("q_graph_scc labels match a driver-side Tarjan over the staged directed graph") {
     // engine MultiStep decomposition re-checked against an iterative
     // Tarjan over the SAME staged edge set (min-id canonical labels) —
