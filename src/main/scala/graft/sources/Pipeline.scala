@@ -733,6 +733,149 @@ object PipelineIngest {
       .orderBy("version", "o_orderstatus")
   }
 
+  // ---------------------------------------------------------------- merge
+
+  /** The MERGE key-space split, shared by the operator, the spec, and the
+    * oracle: "hot" keys (the merge batch's update/delete band) are every
+    * key below max(o_orderkey) div 10 — key-LOCAL by construction, so the
+    * range-partitioned landing keeps the rewrite to a strict file subset.
+    */
+  private[graft] def mergeCutoff(s: SparkSession, d: String): Long =
+    graft.Tables(s, d, "orders")
+      .agg(max(col("o_orderkey"))).first().getLong(0) / 10
+
+  /** The merge batch: one row per change, op ∈ {U, I, D}.
+    *   - I (not-matched-insert): the o_orderkey % 10 = 0 rows the base
+    *     landing excluded, at their original values;
+    *   - U (matched-update): odd hot keys, absolute new price 3×
+    *     (ABSOLUTE source values, not an in-place transform — the property
+    *     that makes re-merging the same batch idempotent);
+    *   - D (matched-delete): even hot keys.
+    */
+  private[graft] def mergeSource(s: SparkSession, d: String, cutoff: Long): DataFrame =
+    graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .where(col("o_orderkey") % 10 === 0 || col("o_orderkey") < cutoff)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice"))
+          .otherwise(col("o_totalprice") * 3).as("o_totalprice"),
+        when(col("o_orderkey") % 10 === 0, lit("I"))
+          .when(col("o_orderkey") % 2 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+
+  /** Apply ONE atomic MERGE of `source` into the manifest-versioned table
+    * at `root` (current file list = manifest `vIn`), committing manifest
+    * `vOut`. Semantics are the production MERGE INTO verb:
+    * matched & D → delete; matched & U/I → update to the source row's
+    * values; not-matched & U/I → insert; not-matched & D → no-op.
+    * Copy-on-write at FILE grain: only files containing a source key are
+    * rewritten, unmatched inserts land as new files, and every untouched
+    * file is carried into `vOut` BY REFERENCE (the [[maintainRestore]]
+    * file-identity discipline — superseded files become vacuum-able
+    * orphans, never in-place edits). Returns (untouched, rewritten,
+    * inserted) file lists for the spec's identity assertions.
+    */
+  private[graft] def mergeApply(s: SparkSession, root: String,
+      source: DataFrame, vIn: String, vOut: String)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val current = s.read.parquet(s"$root/$vIn").select("path")
+      .collect().map(_.getString(0)).toSeq
+    val srcCols = source.select(col("o_orderkey").as("k"), col("op"),
+      col("o_orderstatus").as("s_status"), col("o_totalprice").as("s_price"))
+    // LOCATE: the files holding any source key — a key-column-only scan
+    // (column pruning keeps it metadata-cheap) semi-joined to the batch
+    // keys; the result is control-plane (a file list, never rows)
+    val affected = s.read.parquet(current: _*)
+      .select(col("o_orderkey"), input_file_name().as("f"))
+      .join(srcCols.select(col("k").as("o_orderkey")), Seq("o_orderkey"),
+        "left_semi")
+      .select("f").distinct().collect()
+      .map(r => new Path(r.getString(0)).toString).toSeq
+    val untouched = current.filterNot(affected.toSet)
+    def listData(dir: String): Seq[String] =
+      fs.listStatus(new Path(dir))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).toSeq.sorted
+    // REWRITE the affected files only: matched D rows drop, matched U/I
+    // rows take the source row's absolute values, everything else carries
+    val rwDir = s"$root/files_$vOut/rewritten"
+    val rewritten = if (affected.isEmpty) Seq.empty[String] else {
+      s.read.parquet(affected: _*)
+        .join(srcCols, col("o_orderkey") === col("k"), "left")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("o_orderkey"),
+          coalesce(col("s_status"), col("o_orderstatus")).as("o_orderstatus"),
+          coalesce(col("s_price"), col("o_totalprice")).as("o_totalprice"))
+        .repartition(math.max(1, affected.length))
+        .write.mode("overwrite").parquet(rwDir)
+      listData(rwDir)
+    }
+    // INSERT the not-matched U/I rows as new files (anti-join against the
+    // live key set — the standard distributed-merge shape; D rows that
+    // match nothing are no-ops by the MERGE contract)
+    val insDir = s"$root/files_$vOut/inserted"
+    source.where(col("op") =!= "D")
+      .join(s.read.parquet(current: _*).select("o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(insDir)
+    val inserted = listData(insDir)
+    // COMMIT: one manifest write — the atomicity boundary (readers plan
+    // from a manifest version, so they see all of the merge or none)
+    (untouched ++ rewritten ++ inserted).toDF("path").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$vOut")
+    (untouched, rewritten, inserted)
+  }
+
+  /** q_maintain_merge — DECLARATIVE MERGE INTO over the manifest-versioned
+    * lake (r15 verdict's top ask): one source batch carrying updates,
+    * inserts, and delete markers folds into the table in a single atomic
+    * manifest commit — matched-update / not-matched-insert /
+    * matched-delete, the most-used lake mutation in production and the
+    * generalization of the reference's `replace=True` idempotent
+    * re-landing (script-dag-dock-report:172, script-dag-dock-statements
+    * .py:152). Built from the [[maintainRestore]] manifest machinery +
+    * the [[maintainDelete]] copy-on-write locate/rewrite discipline.
+    *
+    * Scale: the base lands RANGE-PARTITIONED on the merge key, so the hot
+    * band's update/delete rewrite touches a strict file subset (LayoutSpec
+    * asserts untouched files carry by path identity); the locate pass is a
+    * key-column scan semi-joined to the batch; inserts are one anti-join;
+    * at 100 TB the merge moves O(batch + affected files), never the table.
+    * Source values are ABSOLUTE, so re-merging the same batch is a no-op
+    * (idempotence spec) — exactly-once delivery is not required of the
+    * upstream. The oracle replays the merge as a FULL OUTER JOIN + CASE.
+    */
+  def maintainMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_merge"
+    val tableDir = s"$root/table"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val orders = graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.where(col("o_orderkey") % 10 =!= 0)
+      .repartitionByRange(16, col("o_orderkey"))
+      .write.mode("overwrite").parquet(tableDir)
+    fs.listStatus(new Path(tableDir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq.sorted
+      .toDF("path").coalesce(1).write.mode("overwrite").parquet(s"$root/v1")
+    val source = mergeSource(s, d, mergeCutoff(s, d))
+    mergeApply(s, root, source, "v1", "v2")
+    val files = s.read.parquet(s"$root/v2").select("path")
+      .collect().map(_.getString(0))
+    s.read.parquet(files: _*)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q_join_dpp — DYNAMIC PARTITION PRUNING: the fact side is a
     * day-partitioned lake table, the filter lives on the DIMENSION
     * (an attribute of the day, not the partition key itself), and Spark
@@ -776,6 +919,7 @@ object PipelineIngest {
     "q_maintain_vacuum" -> maintainVacuum _,
     "q_scan_time_travel" -> scanTimeTravel _,
     "q_maintain_restore" -> maintainRestore _,
+    "q_maintain_merge" -> maintainMerge _,
     "q_join_dpp" -> joinDpp _,
     "q_pipeline_ingest" -> pipelineIngest _,
     "q_ingest_json" -> ingestJson _,
@@ -814,6 +958,28 @@ object PipelineIngest {
         s"${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
         "FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY o_orderstatus " +
         "ORDER BY version, o_orderstatus"),
+    // the merge replayed as FULL OUTER JOIN + CASE: matched-D rows (and
+    // no-op unmatched-D markers) drop, matched U/I take the source row's
+    // absolute values, unmatched U/I insert, everything else carries
+    "q_maintain_merge" ->
+      ("WITH cut AS (SELECT max(o_orderkey) // 10 AS c FROM orders), " +
+        "tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "src AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice " +
+        "ELSE o_totalprice * 3 END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN 'I' " +
+        "WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'U' END AS op " +
+        "FROM orders, cut WHERE o_orderkey % 10 = 0 OR o_orderkey < cut.c), " +
+        "m AS (SELECT CASE WHEN s.o_orderkey IS NOT NULL " +
+        "THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN s.o_orderkey IS NOT NULL " +
+        "THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice, s.op " +
+        "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey) " +
+        "SELECT o_orderstatus, count(*) AS n, " +
+        s"${Det.sqlSumExact("o_totalprice", 2)} AS sum_price " +
+        "FROM m WHERE coalesce(op, '') <> 'D' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // DPP result == the flat attribute predicate applied directly
     "q_join_dpp" ->
       (s"SELECT event_type, count(*) AS n, ${Det.sqlSumExact("value", 2)} AS sum_value " +

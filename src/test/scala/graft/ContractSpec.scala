@@ -144,7 +144,12 @@ class ContractSpec extends AnyFunSuite {
     "q_corpus_reweight", "q_seq_prefixspan", "q_graph_random_walk",
     "q_timeseries_dtw", "q_stream_join_multiway", "q_interval_allen",
     "q_privacy_dp_quantile", "q_join_rank", "q_graph_coreness",
-    "q_graph_louvain_level2", "q_source_gzip_roundtrip")
+    "q_graph_louvain_level2", "q_source_gzip_roundtrip",
+    // round 16: declarative lake MERGE + iterative-graph closures +
+    // streaming full-outer + biased walks + image gate
+    "q_maintain_merge", "q_graph_pagerank_full", "q_stream_join_full_outer",
+    "q_graph_node2vec_walk", "q_multimodal_image_filter",
+    "q_graph_louvain_full")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -312,4 +312,38 @@ class LayoutSpec extends AnyFunSuite {
     val v3 = spark.read.parquet(s"$root/v3").collect().map(_.getString(0)).sorted
     assert(v1.toSeq === v3.toSeq, "v3 manifest must be v1's file list verbatim")
   }
+
+  test("q_maintain_merge: copy-on-write file identity + idempotent re-merge") {
+    sources.PipelineIngest.maintainMerge(spark, sf).collect()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_merge"
+    def manifest(v: String): Set[String] =
+      spark.read.parquet(s"$root/$v").collect().map(_.getString(0)).toSet
+    val v1 = manifest("v1")
+    val v2 = manifest("v2")
+    // the hot band rewrites a STRICT subset: some v1 files retire, the
+    // rest carry into v2 by path identity (no byte of them moved)
+    val retired = v1 -- v2
+    val carried = v1 intersect v2
+    assert(retired.nonEmpty, "the merge must rewrite at least one file")
+    assert(carried.nonEmpty,
+      "the rewrite must be a strict file subset — untouched files carry by reference")
+    assert((v2 -- v1).nonEmpty, "rewritten + inserted files must be new")
+    // idempotence: re-applying the SAME batch commits v3 with identical
+    // content (absolute source values; deletes find nothing; inserts are
+    // matched and update to their own values)
+    val cutoff = sources.PipelineIngest.mergeCutoff(spark, sf)
+    val source = sources.PipelineIngest.mergeSource(spark, sf, cutoff)
+    sources.PipelineIngest.mergeApply(spark, root, source, "v2", "v3")
+    def content(v: String): Seq[(Long, String, Double)] = {
+      val files = manifest(v).toSeq
+      spark.read.parquet(files: _*)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    }
+    assert(content("v3") === content("v2"),
+      "re-merging the same batch must be a content no-op")
+    // and the re-merge still never rewrote an untouched file
+    assert((manifest("v3") intersect carried) === carried,
+      "files untouched by the batch must survive every re-merge by reference")
+  }
 }
