@@ -4874,8 +4874,100 @@ object Analytics {
       .orderBy("part")
   }
 
+  /** Rounds the full-PageRank loop runs (and the oracle unrolls). The
+    * engine may exit early on an EXACT fixpoint — each round is a pure
+    * function of the previous rank table, so extra unrolled oracle rounds
+    * are idempotent past the fixpoint (the [[graphCoreness]] doctrine).
+    */
+  private[graft] val PagerankRounds = 8
+
+  /** q_graph_pagerank_full — PAGERANK TO CONVERGENCE over the directed
+    * repeat-purchase graph ([[sccEdgesPath]]'s staged table), closing the
+    * iterative loop `q_graph_pagerank_step` opened (r15 verdict ask #2):
+    * the standard link-quality signal a web-corpus curation pipeline
+    * feeds into sampling weights. Damping 0.85, teleport + dangling mass
+    * redistributed uniformly — in EXACT INTEGER micro-units with total
+    * mass conserved bit-exactly each round:
+    *
+    *   share(u)  = r(u) div outdeg(u)            (dangling u shares 0)
+    *   damped(v) = (85 · Σ_{u→v} share(u)) div 100
+    *   residue   = M − Σ damped                  (teleport ∪ dangling ∪ dust)
+    *   r'(v)     = damped(v) + residue div N  (+ residue mod N on the
+    *               minimum node id — sub-micro dust pinned to ONE
+    *               deterministic node, < 1 rank unit, so both engines
+    *               replay the distribution without a global sort)
+    *
+    * Σ r' = Σ damped + N·(residue div N) + residue mod N = M exactly —
+    * the conservation invariant the spec pins per round in a driver
+    * replay. Runs ≤ [[PagerankRounds]] rounds with an exact-fixpoint
+    * early exit (r' ≡ r ⇒ every later round is identity, so the
+    * fixed-depth oracle unroll stays equal).
+    *
+    * Scale: each round is one edge-grain keyed join + one node-grain
+    * aggregate + two one-row global sums — the Pregel superstep expressed
+    * relationally, state always a (node, rank) table, never
+    * driver-resident. AQE pinned off, shuffle partitions sized to the
+    * staged edge table, lineage cut per round (the
+    * [[graphConnectedComponents]] iteration discipline). The oracle
+    * unrolls the identical rounds as chained MATERIALIZED CTEs.
+    */
+  def graphPagerankFull(s: SparkSession, d: String): DataFrame = {
+    val e = sccEdges(s, d)
+    // sized before any conf.set (the graphScc ordering): a staged-build
+    // throw must not leak the pinned confs
+    val edgeParts = math.max(1L, sccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      val nodes = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node"))).distinct()
+        .localCheckpoint(true)
+      val n = nodes.count()
+      val m = n * 1000000L
+      val minNode = nodes.agg(min(col("node"))).first().getLong(0)
+      val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      var r = nodes.select(col("node"), lit(1000000L).as("r"))
+        .localCheckpoint(true)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < PagerankRounds) {
+        rounds += 1
+        val share = r.join(outdeg, col("node") === col("a"))
+          .select(col("a").as("u"), expr("r div d").as("share"))
+        val inflow = e.join(share, col("a") === col("u"))
+          .groupBy(col("b").as("node")).agg(sum(col("share")).as("t"))
+        val damped = nodes.join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(expr("(85 * t) div 100"), lit(0L)).as("dmp"))
+          .localCheckpoint(true)
+        val dSum = damped.agg(sum(col("dmp"))).first().getLong(0)
+        val residue = m - dSum
+        require(residue >= 0L,
+          "damped mass exceeded total mass — rank state is corrupt")
+        val next = damped
+          .select(col("node"),
+            (col("dmp") + lit(residue / n) +
+              when(col("node") === minNode, lit(residue % n))
+                .otherwise(lit(0L))).as("r"))
+          .localCheckpoint(true)
+        damped.unpersist()
+        converged = next.except(r).isEmpty
+        r.unpersist()
+        r = next
+      }
+      r.select(col("node").as("part"), col("r").as("rank_micro"))
+        .orderBy("part")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_connected_components" -> graphConnectedComponents _,
+    "q_graph_pagerank_full" -> graphPagerankFull _,
     "q_graph_scc" -> graphScc _,
     "q_graph_coreness" -> graphCoreness _,
     "q_graph_random_walk" -> graphRandomWalk _,
@@ -5127,6 +5219,45 @@ object Analytics {
         "- (CASE WHEN s3 IS NULL THEN 1 ELSE 0 END) " +
         "- (CASE WHEN s4 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS walk_len " +
         "FROM w4 ORDER BY seed"
+    },
+    // the full PageRank loop unrolled as chained MATERIALIZED CTE rounds
+    // (the coreness pattern — idempotent past the engine's exact
+    // fixpoint): identical integer share/damp/residue arithmetic, all
+    // operands non-negative so // and div agree
+    "q_graph_pagerank_full" -> {
+      val rounds = (1 to PagerankRounds).map { i =>
+        s"inf$i AS (SELECT e.b AS node, CAST(sum(r.r // od.d) AS BIGINT) AS t " +
+          s"FROM e JOIN r${i - 1} r ON r.node = e.a " +
+          "JOIN od ON od.a = e.a GROUP BY e.b), " +
+          s"dm$i AS MATERIALIZED (SELECT n.node, " +
+          s"CAST(coalesce((85 * q.t) // 100, 0) AS BIGINT) AS dmp " +
+          s"FROM nodes n LEFT JOIN inf$i q ON q.node = n.node), " +
+          s"r$i AS MATERIALIZED (SELECT d.node, " +
+          "CAST(d.dmp + (m0.m - ds.s) // m0.n + " +
+          "CASE WHEN d.node = m0.mn THEN (m0.m - ds.s) % m0.n ELSE 0 END " +
+          "AS BIGINT) AS r " +
+          s"FROM dm$i d, (SELECT CAST(sum(dmp) AS BIGINT) AS s FROM dm$i) ds, m0)"
+      }.mkString(", ")
+      "WITH seq AS (SELECT o_custkey c, o_orderkey k, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) nk FROM orders), " +
+        "e AS MATERIALIZED (SELECT l1.l_partkey a, l2.l_partkey b " +
+        "FROM seq JOIN lineitem l1 ON l1.l_orderkey = seq.k " +
+        "JOIN lineitem l2 ON l2.l_orderkey = seq.nk " +
+        "WHERE seq.nk IS NOT NULL AND l1.l_partkey <> l2.l_partkey " +
+        "GROUP BY a, b HAVING count(*) >= 2), " +
+        "nodes AS MATERIALIZED (SELECT a AS node FROM e " +
+        "UNION SELECT b FROM e), " +
+        "m0 AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) * 1000000 AS m, " +
+        "CAST(min(node) AS BIGINT) AS mn FROM nodes), " +
+        "od AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS d " +
+        "FROM e GROUP BY a), " +
+        "r0 AS MATERIALIZED (SELECT CAST(node AS BIGINT) AS node, " +
+        "CAST(1000000 AS BIGINT) AS r FROM nodes), " +
+        rounds + " " +
+        s"SELECT node AS part, r AS rank_micro FROM r$PagerankRounds " +
+        "ORDER BY part"
     },
     // the directed repeat-purchase graph labeled INDEPENDENTLY: full
     // reachability closure intersected with its transpose (mutual

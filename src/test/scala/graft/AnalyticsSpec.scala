@@ -1815,6 +1815,32 @@ class AnalyticsSpec extends AnyFunSuite {
       }
   }
 
+  test("q_graph_pagerank_full: mass conserved every round; engine equals the driver replay") {
+    val out = Analytics.graphPagerankFull(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Analytics.sccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val m = n * 1000000L
+    val mn = nodes.min
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to Analytics.PagerankRounds).foreach { round =>
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (a, b) => inflow(b) += r(a) / outdeg(a) }
+      val damped = nodes.map(v => v -> 85L * inflow(v) / 100L).toMap
+      val residue = m - damped.values.sum
+      assert(residue >= 0L, s"round $round: damped mass exceeded total")
+      r = nodes.map(v =>
+        v -> (damped(v) + residue / n + (if (v == mn) residue % n else 0L))).toMap
+      assert(r.values.sum === m, s"round $round: mass not conserved")
+    }
+    assert(out.values.sum === m, "engine output must carry the full mass")
+    assert(out === r, "engine fixpoint must equal the exact-integer replay")
+    assert(out.values.toSet.size > 1, "ranks must differentiate nodes")
+  }
+
   test("q_graph_scc labels match a driver-side Tarjan over the staged directed graph") {
     // engine MultiStep decomposition re-checked against an iterative
     // Tarjan over the SAME staged edge set (min-id canonical labels) —
