@@ -782,6 +782,56 @@ object Streams {
       .orderBy(col("c_event"), col("p_event").asc_nulls_first)
   }
 
+  /** q_stream_join_full_outer — stream-stream FULL OUTER interval join
+    * (r15 verdict ask #3), the two-sided completion of
+    * [[streamJoinOuter]]: clicks with no purchase in the following hour
+    * emit with NULL purchase columns AND purchases preceded by no click
+    * emit with NULL click columns — each only once the watermark proves
+    * no match can still arrive. This is the complete-reconciliation view
+    * (every click's outcome and every orphaned purchase in one relation)
+    * an attribution audit needs; Spark supports it natively and the
+    * typed-sentinel two-batch machinery generalizes verbatim. The output
+    * key is COALESCED across sides (a purchase-only row carries no click
+    * user_id). State per side stays watermark-bounded exactly as in the
+    * left-outer variant (~70 min of events); null rows on both sides are
+    * emitted by state eviction in the one post-data batch. NULLS FIRST
+    * is pinned on BOTH sort keys (Spark defaults nulls-first, DuckDB
+    * nulls-last — the left-outer lesson, now needed on c_event too).
+    */
+  def streamJoinFullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // typed sentinels, one per branch (the streamJoinOuter doctrine):
+    // >60 min apart in 2030 so they can never match each other, negative
+    // ids so the final filter drops any row they could ever surface
+    val sentinels = Seq(
+      Ev(-2L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "click", 0.0),
+      Ev(-3L, Instant.parse("2030-06-01T00:00:00Z"), -2L, "purchase", 0.0)).toDF()
+    runStagedBatches(s,
+      src => {
+        val clicks = src.where(col("event_type") === "click")
+          .select(col("event_id").as("c_event"), col("user_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = src.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", "10 minutes")
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"),
+          "full_outer")
+      },
+      d, Seq(sentinels), firstBatchExtra = Seq(sentinels),
+      key = "join_full_outer")
+      .where(coalesce(col("c_event"), lit(0L)) >= 0 &&
+        coalesce(col("p_event"), lit(0L)) >= 0)
+      .select(col("c_event"), col("p_event"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("value").as("purchase_value"))
+      .orderBy(col("c_event").asc_nulls_first, col("p_event").asc_nulls_first)
+  }
+
   /** Sessionization state function on GroupState (semantics from the
     * shared [[SessionFold]] kernel): sorts the batch's events, extends or
     * closes the open session on each >30-minute gap, emits closed sessions,
@@ -1261,6 +1311,7 @@ object Streams {
     "q_stream_join_interval" -> streamJoinInterval _,
     "q_stream_join_multiway" -> streamJoinMultiway _,
     "q_stream_join_outer" -> streamJoinOuter _,
+    "q_stream_join_full_outer" -> streamJoinFullOuter _,
     "q_stream_sink_files" -> streamSinkFiles _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_stateful_tws" -> streamStatefulTws _,
@@ -1352,6 +1403,17 @@ object Streams {
         "ON c.user_id = p.user_id " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE " +
         "ORDER BY c_event, p_event NULLS FIRST"),
+    // both unmatched sides in one relation; NULLS FIRST pinned on both
+    // sort keys (Spark nulls-first vs DuckDB nulls-last)
+    "q_stream_join_full_outer" ->
+      ("SELECT c.event_id AS c_event, p.event_id AS p_event, " +
+        "coalesce(c.user_id, p.user_id) AS user_id, " +
+        "p.value AS purchase_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE " +
+        "ORDER BY c_event NULLS FIRST, p_event NULLS FIRST"),
     "q_stream_session_window" ->
       ("WITH g AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +

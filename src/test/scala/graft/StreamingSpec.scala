@@ -155,6 +155,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_.isNullAt(1)), "fixture should contain unmatched clicks")
   }
 
+  test("q_stream_join_full_outer equals the batch full join (both null sides evicted exactly once)") {
+    val ev = Tables(s, d, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") && col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"), "full_outer")
+      .select(col("c_event"), col("p_event"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("value").as("purchase_value"))
+      .orderBy(col("c_event").asc_nulls_first, col("p_event").asc_nulls_first)
+      .collect().toSeq
+    val streamed = Streams.streamJoinFullOuter(s, d).collect().toSeq
+    assert(streamed === batch)
+    // state EVICTION produced both unmatched sides — once each (the
+    // set-equality above rules out duplicates; these rule out an
+    // inner-join degeneration that silently drops the null rows)
+    assert(streamed.exists(_.isNullAt(1)), "fixture should contain unmatched clicks")
+    assert(streamed.exists(_.isNullAt(0)), "fixture should contain unmatched purchases")
+    // no sentinel leaked through the eviction pass
+    assert(streamed.forall(r => r.isNullAt(2) || r.getLong(2) >= 0))
+  }
+
   test("q_stream_join_multiway equals the batch 3-way join (chained stateful joins)") {
     val ev = Tables(s, d, "events")
     val views = ev.where(col("event_type") === "view")
