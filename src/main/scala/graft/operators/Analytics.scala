@@ -4830,6 +4830,79 @@ object Analytics {
       .orderBy("seed")
   }
 
+  /** q_graph_node2vec_walk — (p, q)-BIASED SECOND-ORDER WALKS (node2vec,
+    * Grover–Leskovec KDD'16) over the same directed repeat-purchase graph
+    * as [[graphRandomWalk]], with p = 1, q = 2 — the production
+    * graph-embedding sampler's bias (q > 1 keeps walks LOCAL/BFS-like,
+    * the structural-equivalence regime). Step 1 is first-order (no
+    * previous hop); each later step carries the PREVIOUS hop in the
+    * frontier and classifies every out-edge cur→x:
+    * RETURN (x = prev, weight 1/p) / COMMON (edge prev→x exists, weight
+    * 1) / FORWARD (else, weight 1/q) — held exact as INTEGER weights
+    * scaled by 2 (2/2/1). The pick is md5-seeded over the cumulative
+    * weight line: slot = md5h4("graftn2v:prev:cur:i") mod Σw selects the
+    * unique out-edge whose [cum−w, cum) interval contains it under the
+    * sorted-neighbor order — bit-identical in both engines (the
+    * [[graphRandomWalk]] portable-RNG discipline, now distribution-
+    * weighted). Dead ends terminate the walk (nulls thereafter).
+    *
+    * Scale: each step is ONE equi-join of the frontier against the edge
+    * list plus ONE (prev, x)-keyed edge lookup for the common test, with
+    * the cumulative-weight window partitioned per walk over the current
+    * node's out-list (bounded by out-degree — the hub-cap caveat of the
+    * adjacency family applies). k steps = k joins; no per-node neighbor
+    * collection, no driver state; the previous hop is ONE extra frontier
+    * column — exactly the delta the second-order literature prescribes.
+    */
+  def graphNode2vecWalk(s: SparkSession, d: String): DataFrame = {
+    val e = sccEdges(s, d)
+    val wA = Window.partitionBy("a")
+    val adj = e
+      .withColumn("rn", row_number().over(wA.orderBy("b")).cast("long"))
+      .withColumn("deg", count(lit(1)).over(wA).cast("long"))
+    // step 1: first-order uniform pick under the n2v hash namespace
+    val pick1 = md5h4("md5(concat('graftn2v:', CAST(seed AS STRING), ':1'))")
+    var walk = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+      .select(col("node").as("seed"))
+      .join(adj, col("seed") === col("a") &&
+        col("rn") === expr(s"($pick1 % deg) + 1"), "left")
+      .select(col("seed"), col("b").as("s1"))
+    (2 to 4).foreach { i =>
+      val prevCol = if (i == 2) "seed" else s"s${i - 2}"
+      val curCol = s"s${i - 1}"
+      val pick = md5h4(
+        s"md5(concat('graftn2v:', CAST($prevCol AS STRING), ':', " +
+          s"CAST($curCol AS STRING), ':$i'))")
+      val cand = walk
+        .join(e, col(curCol) === col("a"), "left")
+        .join(e.select(col("a").as("pa"), col("b").as("pb")),
+          col("pa") === col(prevCol) && col("pb") === col("b"), "left")
+        .withColumn("wt",
+          when(col("b") === col(prevCol), lit(2L))      // return (1/p · 2)
+            .when(col("pa").isNotNull, lit(2L))         // common (1 · 2)
+            .otherwise(lit(1L)))                        // forward (1/q · 2)
+      val ws = Window.partitionBy("seed")
+      val live = when(col("b").isNotNull, col("wt")).otherwise(lit(0L))
+      val picked = cand
+        .withColumn("cum", sum(live)
+          .over(ws.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(live).over(ws))
+        .where(col("b").isNull ||
+          (expr(s"$pick % tot") >= col("cum") - col("wt") &&
+            expr(s"$pick % tot") < col("cum")))
+      walk = picked.select(col("seed") +:
+        ((1 until i).map(j => col(s"s$j")) :+ col("b").as(s"s$i")): _*)
+    }
+    walk
+      .select(col("seed"), col("s1"), col("s2"), col("s3"), col("s4"),
+        (lit(4L) - col("s1").isNull.cast("long") - col("s2").isNull.cast("long")
+          - col("s3").isNull.cast("long") - col("s4").isNull.cast("long"))
+          .as("walk_len"))
+      .orderBy("seed")
+  }
+
   /** q_graph_scc — STRONGLY CONNECTED COMPONENTS of the directed
     * repeat-purchase transition graph ([[sccEdgesPath]]): every part
     * labeled with its SCC's minimum part id plus the SCC size — the
@@ -4971,6 +5044,7 @@ object Analytics {
     "q_graph_scc" -> graphScc _,
     "q_graph_coreness" -> graphCoreness _,
     "q_graph_random_walk" -> graphRandomWalk _,
+    "q_graph_node2vec_walk" -> graphNode2vecWalk _,
     "q_graph_louvain_step" -> graphLouvainStep _,
     "q_graph_community_contract" -> graphCommunityContract _,
     "q_graph_louvain_level2" -> graphLouvainLevel2 _,
@@ -5213,6 +5287,54 @@ object Analytics {
         "w4 AS (SELECT w3.seed, w3.s1, w3.s2, w3.s3, adj.b AS s4 FROM w3 " +
         "LEFT JOIN adj " +
         s"ON adj.a = w3.s3 AND adj.rn = (${pick("w3.s3", 4)} % adj.deg) + 1) " +
+        "SELECT seed, s1, s2, s3, s4, " +
+        "CAST(4 - (CASE WHEN s1 IS NULL THEN 1 ELSE 0 END) " +
+        "- (CASE WHEN s2 IS NULL THEN 1 ELSE 0 END) " +
+        "- (CASE WHEN s3 IS NULL THEN 1 ELSE 0 END) " +
+        "- (CASE WHEN s4 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS walk_len " +
+        "FROM w4 ORDER BY seed"
+    },
+    // the biased walks replayed: same staged graph, same integer 2/2/1
+    // return/common/forward weights, same md5-slot pick over the
+    // cumulative weight line under the sorted-neighbor order
+    "q_graph_node2vec_walk" -> {
+      def pick(prev: String, cur: String, i: Int) = md5h4(
+        s"md5(concat('graftn2v:', CAST($prev AS VARCHAR), ':', " +
+          s"CAST($cur AS VARCHAR), ':$i'))")
+      val pick1 = md5h4("md5(concat('graftn2v:', CAST(n.v AS VARCHAR), ':1'))")
+      def step(i: Int): String = {
+        val prev = if (i == 2) "seed" else s"s${i - 2}"
+        val cur = s"s${i - 1}"
+        val carry = (1 until i).map(j => s"w.s$j").mkString(", ")
+        val p = pick(s"w.$prev", s"w.$cur", i)
+        s"c$i AS (SELECT w.seed, e.b AS x, " +
+          s"CASE WHEN e.b = w.$prev THEN 2 " +
+          "WHEN pe.a IS NOT NULL THEN 2 ELSE 1 END AS wt " +
+          s"FROM w${i - 1} w JOIN e ON e.a = w.$cur " +
+          s"LEFT JOIN e pe ON pe.a = w.$prev AND pe.b = e.b), " +
+          s"k$i AS (SELECT seed, x, wt, " +
+          "CAST(sum(wt) OVER (PARTITION BY seed ORDER BY x " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          s"CAST(sum(wt) OVER (PARTITION BY seed) AS BIGINT) AS tot FROM c$i), " +
+          s"w$i AS (SELECT w.seed, $carry, k.x AS s$i FROM w${i - 1} w " +
+          s"LEFT JOIN k$i k ON k.seed = w.seed " +
+          s"AND ($p % k.tot) >= k.cum - k.wt AND ($p % k.tot) < k.cum)"
+      }
+      "WITH seq AS (SELECT o_custkey c, o_orderkey k, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) nk FROM orders), " +
+        "e AS MATERIALIZED (SELECT l1.l_partkey a, l2.l_partkey b " +
+        "FROM seq JOIN lineitem l1 ON l1.l_orderkey = seq.k " +
+        "JOIN lineitem l2 ON l2.l_orderkey = seq.nk " +
+        "WHERE seq.nk IS NOT NULL AND l1.l_partkey <> l2.l_partkey " +
+        "GROUP BY a, b HAVING count(*) >= 2), " +
+        "adj AS (SELECT a, b, CAST(row_number() OVER (PARTITION BY a " +
+        "ORDER BY b) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY a) " +
+        "AS BIGINT) AS deg FROM e), " +
+        "nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e), " +
+        "w1 AS (SELECT n.v AS seed, adj.b AS s1 FROM nodes n LEFT JOIN adj " +
+        s"ON adj.a = n.v AND adj.rn = ($pick1 % adj.deg) + 1), " +
+        step(2) + ", " + step(3) + ", " + step(4) + " " +
         "SELECT seed, s1, s2, s3, s4, " +
         "CAST(4 - (CASE WHEN s1 IS NULL THEN 1 ELSE 0 END) " +
         "- (CASE WHEN s2 IS NULL THEN 1 ELSE 0 END) " +

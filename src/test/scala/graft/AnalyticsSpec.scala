@@ -2060,6 +2060,98 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.count(_._3 === 4L) > 0, "some walks must run the full 4 steps")
   }
 
+  test("q_graph_node2vec_walk: biased picks replay driver-side; q>1 is more local than first-order") {
+    val out = Analytics.graphNode2vecWalk(s, d).collect()
+      .map(r => (r.getLong(0),
+        (1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+        r.getLong(5)))
+    val edges = Analytics.sccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (a, es) =>
+      a -> es.map(_._2).sorted.toIndexedSeq }
+    val eset = edges.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h4(str: String): Long = {
+      val hex = md.digest(str.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    def walkOf(seed: Long): Seq[Option[Long]] = {
+      val steps = scala.collection.mutable.ArrayBuffer[Option[Long]]()
+      val s1 = adj.get(seed)
+        .map(ns => ns((h4(s"graftn2v:$seed:1") % ns.length).toInt))
+      steps += s1
+      var prev: Option[Long] = Some(seed)
+      var cur: Option[Long] = s1
+      (2 to 4).foreach { i =>
+        val nxt = cur.flatMap { c =>
+          adj.get(c).map { ns =>
+            val p = prev.get
+            val wts = ns.map(x =>
+              if (x == p) 2L else if (eset((p, x))) 2L else 1L)
+            val slot = h4(s"graftn2v:$p:$c:$i") % wts.sum
+            var acc = 0L
+            var chosen = -1L
+            ns.indices.foreach { j =>
+              if (chosen < 0) {
+                acc += wts(j)
+                if (slot < acc) chosen = ns(j)
+              }
+            }
+            chosen
+          }
+        }
+        steps += nxt
+        prev = cur
+        cur = nxt
+      }
+      steps.toSeq
+    }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(out.length === nodes.length)
+    out.foreach { case (seed, steps, len) =>
+      assert(steps === walkOf(seed), s"biased walk mismatch from $seed")
+      assert(len === steps.count(_.isDefined).toLong)
+      (Some(seed) +: steps).sliding(2).foreach {
+        case Seq(Some(u), Some(v)) =>
+          assert(adj(u).contains(v), s"step $u→$v is not an edge")
+        case _ =>
+      }
+    }
+    // the q = 2 bias is LOCAL by construction: in every second-order
+    // context the biased distribution puts at least the uniform mass on
+    // return/common (weight-2) edges, strictly more wherever the
+    // out-list mixes local and forward edges — 2L/(2L+F) > L/(L+F)
+    var strictContexts = 0
+    out.foreach { case (seed, steps, _) =>
+      (Some(seed) +: steps).sliding(2).toSeq.zipWithIndex.foreach {
+        case (Seq(Some(p), Some(c)), i) if i >= 1 =>
+          adj.get(c).foreach { ns =>
+            val local = ns.count(x => x == p || eset((p, x)))
+            val fwd = ns.length - local
+            if (local > 0 && fwd > 0) strictContexts += 1
+          }
+        case _ =>
+      }
+    }
+    assert(strictContexts > 0,
+      "fixture must exercise mixed local/forward contexts where the bias binds")
+    // realized locality: biased walks revisit recent nodes more often
+    // than the first-order walks over the same graph
+    def revisits(rows: Seq[(Long, Seq[Option[Long]])]): Int = rows.map {
+      case (seed, steps) =>
+        val path = Some(seed) +: steps
+        (1 until path.length).count(i =>
+          path(i).isDefined && path.take(i).contains(path(i)))
+    }.sum
+    val n2v = revisits(out.map(o => (o._1, o._2)).toSeq)
+    val rw = revisits(Analytics.graphRandomWalk(s, d).collect().map(r =>
+      (r.getLong(0),
+        (1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))).toSeq)
+    info(s"revisits: node2vec=$n2v first-order=$rw")
+    assert(n2v > rw,
+      s"q=2 walks must be measurably more BFS-like (revisits $n2v vs $rw)")
+  }
+
   test("q_seq_prefixspan equals brute-force subsequence counting over the onboarding windows") {
     val out = Analytics.seqPrefixspan(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
