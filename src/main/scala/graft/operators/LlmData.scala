@@ -3109,6 +3109,39 @@ object LlmData {
       .select("doc_id", "n_bytes", "n_frames", "frames_sig", "resized_sig")
       .orderBy("doc_id")
 
+  /** q_multimodal_image_filter — IMAGE QUALITY PRE-FILTER (r15 verdict ask
+    * #5): the LAION-style first gate a multimodal curation pipeline runs
+    * BEFORE pHash dedup and alignment scoring — minimum resolution
+    * (min dim ≥ 10), aspect-ratio band (max dim ≤ 2 × min dim), minimum
+    * pixel budget (≥ 150), and the byte-size floor (≥ 68, the smallest
+    * structurally valid PNG — codec-defined, so its oracle mirror is the
+    * literal TRUE every decodable fixture satisfies; the other three
+    * gates are recomputed by the oracle FROM THE GENERATOR FORMULA, the
+    * [[multimodalFrames]] doctrine). Keep/drop ledger with per-rule
+    * booleans (the `q_text_gopher_rules` ledger shape) so a curation run
+    * can audit WHY an image dropped, not just that it did.
+    *
+    * Scale: rides the same memoized one-pass batched ImageIO decode as
+    * the frames pair — dimensions come from the codec, the gates are
+    * scan-grain boolean arithmetic, output is image-grain. The
+    * thresholds are control-plane constants tuned against a rated
+    * sample, exactly like [[multimodalAlign]]'s gate.
+    */
+  def multimodalImageFilter(s: SparkSession, d: String): DataFrame = {
+    val minDim = least(col("width"), col("height"))
+    val maxDim = greatest(col("width"), col("height"))
+    framesDecoded(s, d)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        (minDim >= 10).as("pass_res"),
+        (maxDim <= minDim * 2).as("pass_aspect"),
+        (col("n_pixels") >= 150L).as("pass_pixels"),
+        (col("n_bytes") >= 68L).as("pass_bytes"))
+      .withColumn("verdict",
+        when(col("pass_res") && col("pass_aspect") && col("pass_pixels") &&
+          col("pass_bytes"), lit("keep")).otherwise(lit("drop")))
+      .orderBy("doc_id")
+  }
+
   /** q_multimodal_audio — REAL audio decode: `binaryFile` scan of generated
     * WAV fixtures, batched javax.sound codec parse (sample rate, channels,
     * frame count, duration all from the codec). The oracle is the fixture
@@ -9018,6 +9051,7 @@ object LlmData {
     "q_multimodal_join" -> multimodalJoin _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_multimodal_frames" -> multimodalFrames _,
+    "q_multimodal_image_filter" -> multimodalImageFilter _,
     "q_multimodal_frames_sigs" -> multimodalFramesSigs _,
     "q_multimodal_video_scene" -> multimodalVideoScene _,
     "q_multimodal_align" -> multimodalAlign _,
@@ -10473,6 +10507,25 @@ object LlmData {
     "q_multimodal_keyframe" -> keyframeSql,
     "q_multimodal_frames" ->
       ("SELECT * FROM (VALUES " +
+        (0 until 48).map { id =>
+          val w = 8 + id % 16
+          val h = 8 + (id * 7) % 16
+          s"(CAST($id AS BIGINT), $w, $h, CAST(${w * h} AS BIGINT))"
+        }.mkString(", ") +
+        ") t(doc_id, width, height, n_pixels) ORDER BY doc_id"),
+    // the three dimension gates recomputed from the generator formula;
+    // pass_bytes mirrors as literal TRUE (codec-defined byte counts — the
+    // 68-byte floor is the smallest structurally valid PNG, which every
+    // decodable fixture clears by construction)
+    "q_multimodal_image_filter" ->
+      ("SELECT doc_id, width, height, n_pixels, " +
+        "least(width, height) >= 10 AS pass_res, " +
+        "greatest(width, height) <= 2 * least(width, height) AS pass_aspect, " +
+        "n_pixels >= 150 AS pass_pixels, TRUE AS pass_bytes, " +
+        "CASE WHEN least(width, height) >= 10 " +
+        "AND greatest(width, height) <= 2 * least(width, height) " +
+        "AND n_pixels >= 150 THEN 'keep' ELSE 'drop' END AS verdict " +
+        "FROM (VALUES " +
         (0 until 48).map { id =>
           val w = 8 + id % 16
           val h = 8 + (id * 7) % 16

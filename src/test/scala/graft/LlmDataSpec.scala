@@ -2094,6 +2094,25 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_image_filter: every gate binds both ways; verdict is the conjunction") {
+    val rows = LlmData.multimodalImageFilter(s, d).collect()
+    assert(rows.length === 48)
+    Seq("pass_res", "pass_aspect", "pass_pixels").foreach { rule =>
+      assert(rows.exists(_.getAs[Boolean](rule)), s"$rule never passes")
+      assert(rows.exists(!_.getAs[Boolean](rule)),
+        s"$rule never fails — the gate is inert on the fixture")
+    }
+    // the byte floor is codec-defined: every decodable PNG clears it
+    assert(rows.forall(_.getAs[Boolean]("pass_bytes")))
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("pass_res") && r.getAs[Boolean]("pass_aspect") &&
+        r.getAs[Boolean]("pass_pixels") && r.getAs[Boolean]("pass_bytes")
+      assert(r.getAs[String]("verdict") === (if (keep) "keep" else "drop"))
+    }
+    // the planted split on the generator formula: 27 keep / 21 drop
+    assert(rows.count(_.getAs[String]("verdict") == "keep") === 27)
+  }
+
   test("q_multimodal_frames_sigs: every fixture has frames and a non-degenerate signature") {
     val rows = LlmData.multimodalFramesSigs(s, d).collect()
     assert(rows.length === 48)
