@@ -4324,6 +4324,131 @@ object Analytics {
       .orderBy("supernode")
   }
 
+  /** Levels the full-Louvain loop runs (and the oracle unrolls). The
+    * engine short-circuits once a level records zero moves — a converged
+    * level's contraction is the identity, so every later level replays
+    * with identical stats and the fixed-depth oracle unroll stays equal
+    * (the [[graphCoreness]] idempotence doctrine).
+    */
+  private[graft] val LouvainLevels = 8
+
+  /** q_graph_louvain_full — the FULL MULTI-LEVEL LOUVAIN LOOP (r15
+    * verdict ask #6), closing the family the way `q_text_bpe_train`
+    * closed BPE: level 1 is the staged nation-seeded move
+    * ([[louvainDecisions]]); its contraction restarts every super-node as
+    * its own community and the merge-gain kernel of
+    * [[graphLouvainLevel2]] runs again — move → contract → move — until
+    * a level records NO applied move (≤ [[LouvainLevels]] levels; the
+    * tail is provably idempotent). Merges apply DOWNHILL-ONLY (toward
+    * the smaller label — see the inline oscillation note; the
+    * single-level operators keep reporting raw argmax decisions, the
+    * loop applies the oscillation-safe subset). The output is the CONVERGENCE
+    * LEDGER: per level, nodes entering, moves taken, total scaled gain,
+    * and communities remaining — the trace a community-detection run
+    * publishes. All gains stay integers scaled by the SAME 2W² (W is
+    * invariant under contraction, self-loops included), so levels are
+    * comparable on one modularity scale.
+    *
+    * Scale: level 1 is the O(|E|)-per-sweep published bound; every later
+    * level runs on the |communities|-sized contracted graph — each level
+    * geometrically cheaper, the whole point of the multi-level recipe.
+    * Level state (graph, nodes, decisions) lives in DataFrames with
+    * lineage cut per level; the ledger rows the driver folds are
+    * one-row aggregates (control-plane). The oracle chains every level's
+    * replay through the shared [[louvainSqlCtes]] decision chain.
+    */
+  def graphLouvainFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = supplierWedges(s, d)
+    val dec1 = louvainDecisions(s, d)
+      .select(col("supplier").as("u"), col("best_community").as("bc"),
+        col("gain_scaled").as("g"), col("moved").as("mv"))
+    def stats(dec: DataFrame): (Long, Long, Long, Long) = {
+      val r = dec.agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("mv"), lit(1L)).otherwise(lit(0L))).as("n_moved"),
+        sum(col("g")).as("gain_total"),
+        countDistinct(col("bc")).as("n_comms")).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val ledger = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+    val s1 = stats(dec1)
+    ledger += ((1, s1._1, s1._2, s1._3, s1._4))
+    // level-1 contraction (the graphCommunityContract kernel)
+    val assign = broadcast(dec1.select(col("u"), col("bc")))
+    var g = pairs
+      .join(assign.select(col("u").as("sp1"), col("bc").as("ca")), "sp1")
+      .join(assign.select(col("u").as("sp2"), col("bc").as("cb")), "sp2")
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    var nodes = dec1.select(col("bc").as("u")).distinct().localCheckpoint(true)
+    var converged = s1._2 == 0L
+    (2 to LouvainLevels).foreach { k =>
+      if (converged) {
+        // idempotent tail: a no-move level's contraction is the identity
+        val n = ledger.last._5
+        ledger += ((k, n, 0L, 0L, n))
+      } else {
+        val nonself = g.where(col("a") =!= col("b"))
+        val selfw = g.where(col("a") === col("b"))
+          .select(col("a").as("u"), col("w").as("w_self"))
+        val dir = nonself.select(col("a").as("u"), col("b").as("v"), col("w"))
+          .union(nonself.select(col("b").as("u"), col("a").as("v"), col("w")))
+        val kNode = nodes
+          .join(dir.groupBy("u").agg(sum(col("w")).as("k_ext")), Seq("u"), "left")
+          .join(selfw, Seq("u"), "left")
+          .na.fill(0L, Seq("k_ext", "w_self"))
+          .select(col("u"), (col("k_ext") + lit(2L) * col("w_self")).as("k_u"))
+        val tw = g.agg(sum(col("w")).as("tw"))
+        val cand = dir
+          .join(kNode, "u")
+          .join(kNode.select(col("u").as("v"), col("k_u").as("k_v")), "v")
+          .crossJoin(broadcast(tw))
+          .select(col("u"), col("v"),
+            (lit(2L) * col("tw") * col("w") - col("k_u") * col("k_v")).as("gain"))
+        val wdw = Window.partitionBy("u").orderBy(desc("gain"), asc("v"))
+        val best = cand.withColumn("rn", row_number().over(wdw))
+          .where(col("rn") === 1).select(col("u"), col("v"), col("gain"))
+        // DOWNHILL-ONLY apply (oscillation breaker): a merge is applied
+        // only toward a LEXICOGRAPHICALLY SMALLER label. Simultaneous
+        // unrestricted merges livelock — u→v and v→u swap labels forever
+        // (observed on the fixture: two supernodes trading places every
+        // level) — while downhill moves cannot cycle (u→v needs v < u)
+        // and every applied level strictly removes the largest mover's
+        // label, so n_comms strictly decreases and convergence is
+        // PROVABLE within |communities| levels. The standard distributed-
+        // Louvain ordering heuristic; the single-level operators keep
+        // reporting the raw argmax decisions.
+        val applied = col("gain") > 0 && col("v") < col("u")
+        val dec = nodes.join(best, Seq("u"), "left")
+          .select(col("u"),
+            when(applied, col("v")).otherwise(col("u")).as("bc"),
+            when(applied, col("gain")).otherwise(lit(0L)).as("g"),
+            coalesce(applied, lit(false)).as("mv"))
+          .localCheckpoint(true)
+        val sk = stats(dec)
+        ledger += ((k, sk._1, sk._2, sk._3, sk._4))
+        converged = sk._2 == 0L
+        if (!converged && k < LouvainLevels) {
+          val nextG = g
+            .join(dec.select(col("u").as("a"), col("bc").as("ma")), "a")
+            .join(dec.select(col("u").as("b"), col("bc").as("mb")), "b")
+            .select(least(col("ma"), col("mb")).as("a"),
+              greatest(col("ma"), col("mb")).as("b"), col("w"))
+            .groupBy("a", "b").agg(sum(col("w")).as("w"))
+            .localCheckpoint(true)
+          val nextNodes = dec.select(col("bc").as("u")).distinct()
+            .localCheckpoint(true)
+          g.unpersist(); nodes.unpersist()
+          g = nextG; nodes = nextNodes
+        }
+      }
+    }
+    ledger.toSeq.toDF("level", "n_nodes", "n_moved", "gain_total", "n_comms")
+      .orderBy("level")
+  }
+
   // --------------------------------------------------- connected components
 
   /** The CC input graph — co-purchase pairs supported by ≥ 2 distinct
@@ -5048,6 +5173,7 @@ object Analytics {
     "q_graph_louvain_step" -> graphLouvainStep _,
     "q_graph_community_contract" -> graphCommunityContract _,
     "q_graph_louvain_level2" -> graphLouvainLevel2 _,
+    "q_graph_louvain_full" -> graphLouvainFull _,
     "q_graph_modularity" -> graphModularity _,
     "q_agg_ab_cuped" -> aggAbCuped _,
     "q_event_attribution_decay" -> eventAttributionDecay _,
@@ -5471,6 +5597,66 @@ object Analytics {
         "FROM kn JOIN mem ON mem.u = kn.u " +
         "LEFT JOIN (SELECT * FROM best2 WHERE rn = 1) b ON b.u = kn.u " +
         "ORDER BY supernode"),
+    // the full multi-level loop: level 1 through the shared decision
+    // chain, then the merge-gain kernel + contraction replayed per level
+    // (idempotent past the engine's no-move convergence), ledger per level
+    "q_graph_louvain_full" -> {
+      def lvl(k: Int): String = {
+        val contract = if (k < LouvainLevels)
+          s", g${k + 1} AS MATERIALIZED (SELECT least(ma.bc, mb.bc) AS a, " +
+            "greatest(ma.bc, mb.bc) AS b, CAST(sum(g0.w) AS BIGINT) AS w " +
+            s"FROM g$k g0 JOIN dc$k ma ON ma.u = g0.a " +
+            s"JOIN dc$k mb ON mb.u = g0.b GROUP BY 1, 2), " +
+            s"nd${k + 1} AS MATERIALIZED (SELECT DISTINCT bc AS u FROM dc$k)"
+        else ""
+        s"ns$k AS (SELECT a, b, w FROM g$k WHERE a <> b), " +
+          s"sl$k AS (SELECT a AS u, w AS w_self FROM g$k WHERE a = b), " +
+          s"dr$k AS (SELECT a AS u, b AS v, w FROM ns$k " +
+          s"UNION ALL SELECT b, a, w FROM ns$k), " +
+          s"kn$k AS (SELECT n.u, CAST(coalesce(kx.k_ext, 0) + " +
+          "2 * coalesce(sl.w_self, 0) AS BIGINT) AS k_u " +
+          s"FROM nd$k n LEFT JOIN (SELECT u, CAST(sum(w) AS BIGINT) AS k_ext " +
+          s"FROM dr$k GROUP BY u) kx ON kx.u = n.u " +
+          s"LEFT JOIN sl$k sl ON sl.u = n.u), " +
+          s"tw$k AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM g$k), " +
+          s"cd$k AS (SELECT d.u, d.v, " +
+          s"2 * tw$k.tw * d.w - ka.k_u * kb.k_u AS gain " +
+          s"FROM dr$k d JOIN kn$k ka ON ka.u = d.u " +
+          s"JOIN kn$k kb ON kb.u = d.v, tw$k), " +
+          s"bs$k AS (SELECT u, v, gain, row_number() OVER " +
+          s"(PARTITION BY u ORDER BY gain DESC, v) AS rn FROM cd$k), " +
+          s"dc$k AS (SELECT n.u, " +
+          "CASE WHEN b.gain > 0 AND b.v < n.u THEN b.v ELSE n.u END AS bc, " +
+          "CAST(CASE WHEN b.gain > 0 AND b.v < n.u THEN b.gain ELSE 0 END " +
+          "AS BIGINT) AS g, " +
+          "coalesce(b.gain > 0 AND b.v < n.u, FALSE) AS mv " +
+          s"FROM nd$k n LEFT JOIN (SELECT * FROM bs$k WHERE rn = 1) b " +
+          "ON b.u = n.u)" + contract
+      }
+      def row(k: Int, rel: String): String =
+        s"SELECT CAST($k AS INT) AS level, " +
+          "CAST(count(*) AS BIGINT) AS n_nodes, " +
+          "CAST(sum(CASE WHEN mv THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
+          "CAST(sum(g) AS BIGINT) AS gain_total, " +
+          s"CAST(count(DISTINCT bc) AS BIGINT) AS n_comms FROM $rel"
+      s"WITH $louvainSqlCtes, " +
+        "dc1 AS (SELECT k.u AS u, " +
+        "CASE WHEN b.gain > 0 THEN b.cv ELSE d.n_name END AS bc, " +
+        "CAST(greatest(coalesce(b.gain, 0), 0) AS BIGINT) AS g, " +
+        "coalesce(b.gain > 0, FALSE) AS mv " +
+        "FROM ku k JOIN dim d ON k.u = d.s_suppkey " +
+        "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.u = k.u), " +
+        "g2 AS MATERIALIZED (SELECT least(ma.bc, mb.bc) AS a, " +
+        "greatest(ma.bc, mb.bc) AS b, CAST(sum(p.w) AS BIGINT) AS w " +
+        "FROM p JOIN dc1 ma ON p.sp1 = ma.u JOIN dc1 mb ON p.sp2 = mb.u " +
+        "GROUP BY 1, 2), " +
+        "nd2 AS MATERIALIZED (SELECT DISTINCT bc AS u FROM dc1), " +
+        (2 to LouvainLevels).map(lvl).mkString(", ") + " " +
+        "SELECT * FROM (" +
+        ((row(1, "dc1") +: (2 to LouvainLevels).map(k => row(k, s"dc$k")))
+          .mkString(" UNION ALL ")) +
+        ") ORDER BY level"
+    },
     "q_graph_modularity" ->
       (s"WITH $cappedSupplierEdgeCtes, " +
         "p AS (SELECT a.sp AS sp1, b.sp AS sp2, count(*) AS w " +

@@ -1734,6 +1734,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.exists(_._2._5), "the level-2 pass must find at least one merge")
   }
 
+  test("q_graph_louvain_full: ledger matches the level operators and converges") {
+    val rows = Analytics.graphLouvainFull(s, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1 to Analytics.LouvainLevels).toSeq)
+    // level 1 equals the staged move step's own readout
+    val d1 = Analytics.graphLouvainStep(s, d).collect()
+    assert(rows(0)._2 === d1.length.toLong)
+    assert(rows(0)._3 === d1.count(_.getAs[Boolean]("moved")).toLong)
+    assert(rows(0)._4 === d1.map(_.getAs[Long]("gain_scaled")).sum)
+    // level 2 runs the level-2 operator's kernel on the same contracted
+    // graph; the loop APPLIES the downhill-only (oscillation-safe) subset
+    // of its positive-gain decisions, so its stats are bounded by the
+    // raw readout's
+    val d2 = Analytics.graphLouvainLevel2(s, d).collect()
+    assert(rows(1)._2 === d2.length.toLong)
+    assert(rows(1)._3 <= d2.count(_.getAs[Boolean]("moved")).toLong)
+    assert(rows(1)._3 > 0L, "level 2 must apply at least one merge")
+    assert(rows(1)._4 <= d2.map(_.getAs[Long]("gain_scaled")).sum)
+    // communities only ever collapse, and the loop reaches a no-move level
+    assert(rows.map(_._5).sliding(2).forall(p => p(1) <= p(0)))
+    assert(rows.last._3 === 0L,
+      "the loop must converge (zero moves) within the unrolled levels")
+    assert(rows.exists(_._3 > 0L), "at least one level must move")
+  }
+
   test("q_graph_coreness: h-index fixpoint equals driver-side min-degree peeling") {
     // the engine runs the DECENTRALIZED h-index iteration; this replay
     // runs the SEQUENTIAL peeling definition — their equality is the
