@@ -701,6 +701,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_node2vec_walk: every hop is a keyed equi join, never quadratic") {
+    // the frontier expansion and the (prev, x) common-test lookup must both
+    // plan as equi joins on the node key with the weight/slot arithmetic as
+    // residual predicates — a CartesianProduct/BNLJ would make each hop
+    // O(|frontier|·|E|) and sink the k-joins-for-k-steps bound
+    val p = plan(graft.operators.Analytics.graphNode2vecWalk(s, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"biased walk must not plan a quadratic join:\n$p")
+  }
+
   test("q_join_interval_overlap: the interval×interval join is a keyed hash join on the bucket") {
     val p = plan(graft.operators.Analytics.joinIntervalOverlap(s, d))
     assert(!p.contains("CartesianProduct"),
