@@ -4218,6 +4218,37 @@ object Analytics {
       .orderBy("supplier")
   }
 
+  /** The level-1 CONTRACTED weighted graph (super-edges + self-loops under
+    * the move decisions) — the input both [[graphLouvainLevel2]] and
+    * [[graphLouvainFull]] start from. STAGED like the decisions frame
+    * (r16: both consumers were paying the identical wedge-grain
+    * contraction join per invocation — the landing-pass staging
+    * doctrine): a deterministic function of the staged wedges +
+    * decisions, landed once per fixture generation, read as a tiny
+    * parquet thereafter.
+    */
+  private def louvainContracted(s: SparkSession, d: String): DataFrame =
+    LlmData.memo(s, s"louvain_contracted:$d") {
+      val p = graft.Fixtures.ensureDerived(
+        "graft_louvain_l2graph", d, "lineitem", "lg1",
+        extraTables = Seq("orders", "supplier", "nation")) { staging =>
+        val pairs = supplierWedges(s, d)
+        val assign = broadcast(louvainDecisions(s, d)
+          .select(col("supplier"), col("best_community")))
+        pairs
+          .join(assign.select(col("supplier").as("sp1"),
+            col("best_community").as("ca")), "sp1")
+          .join(assign.select(col("supplier").as("sp2"),
+            col("best_community").as("cb")), "sp2")
+          .select(least(col("ca"), col("cb")).as("a"),
+            greatest(col("ca"), col("cb")).as("b"), col("w"))
+          .groupBy("a", "b").agg(sum(col("w")).as("w"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+      }
+      s.read.parquet(p.toString)
+    }
+
   /** q_graph_community_contract — the CONTRACTION that closes one Louvain
     * level (move → contract → repeat at super-node grain): apply the move
     * step's decisions, then collapse the weighted graph to one super-node
@@ -4273,22 +4304,11 @@ object Analytics {
     * pair iterated, each level geometrically cheaper.
     */
   def graphLouvainLevel2(s: SparkSession, d: String): DataFrame = {
-    val pairs = supplierWedges(s, d)
-    val assign = broadcast(louvainDecisions(s, d)
-      .select(col("supplier"), col("best_community")))
     // the contracted graph is |communities|²-bounded (~120 rows) and feeds
-    // SIX consumers (nonself/self splits, strengths, W, candidates) —
-    // eagerly cut here so the wedge-join contraction runs once, not once
-    // per consumer (measured 6.7 s → sub-second isolated)
-    val contracted = pairs
-      .join(assign.select(col("supplier").as("sp1"),
-        col("best_community").as("ca")), "sp1")
-      .join(assign.select(col("supplier").as("sp2"),
-        col("best_community").as("cb")), "sp2")
-      .select(least(col("ca"), col("cb")).as("a"),
-        greatest(col("ca"), col("cb")).as("b"), col("w"))
-      .groupBy("a", "b").agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
+    // SIX consumers — since r16 it is a STAGED artifact shared with the
+    // full loop (was an eager in-session cut: measured 6.7 s →
+    // sub-second; staging removes the per-invocation wedge join too)
+    val contracted = louvainContracted(s, d)
     val nonself = contracted.where(col("a") =!= col("b"))
     val selfw = contracted.where(col("a") === col("b"))
       .select(col("a").as("u"), col("w").as("w_self"))
@@ -4359,7 +4379,6 @@ object Analytics {
     */
   def graphLouvainFull(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = supplierWedges(s, d)
     val dec1 = louvainDecisions(s, d)
       .select(col("supplier").as("u"), col("best_community").as("bc"),
         col("gain_scaled").as("g"), col("moved").as("mv"))
@@ -4373,16 +4392,24 @@ object Analytics {
     val ledger = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
     val s1 = stats(dec1)
     ledger += ((1, s1._1, s1._2, s1._3, s1._4))
-    // level-1 contraction (the graphCommunityContract kernel)
-    val assign = broadcast(dec1.select(col("u"), col("bc")))
-    var g = pairs
-      .join(assign.select(col("u").as("sp1"), col("bc").as("ca")), "sp1")
-      .join(assign.select(col("u").as("sp2"), col("bc").as("cb")), "sp2")
-      .select(least(col("ca"), col("cb")).as("a"),
-        greatest(col("ca"), col("cb")).as("b"), col("w"))
-      .groupBy("a", "b").agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
-    var nodes = dec1.select(col("bc").as("u")).distinct().localCheckpoint(true)
+    // level-1 contraction: the STAGED shared artifact (built under the
+    // session conf, BEFORE the iteration pin — the graphScc ordering)
+    val g1 = louvainContracted(s, d)
+    // iteration conf pin (the graphConnectedComponents discipline): the
+    // contracted graphs are |communities|-sized, so the level loop's many
+    // small jobs must not each pay a 32-partition shuffle
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, "1")
+    try {
+    var g = g1
+    // nodes stays LAZY: a distinct over the (checkpointed or staged)
+    // decision frame — two tiny recomputes per level beat a
+    // materialization job per level
+    var nodes = dec1.select(col("bc").as("u")).distinct()
     var converged = s1._2 == 0L
     (2 to LouvainLevels).foreach { k =>
       if (converged) {
@@ -4400,6 +4427,9 @@ object Analytics {
           .join(selfw, Seq("u"), "left")
           .na.fill(0L, Seq("k_ext", "w_self"))
           .select(col("u"), (col("k_ext") + lit(2L) * col("w_self")).as("k_u"))
+        // broadcast the one-row total: a plain crossJoin plans a
+        // CartesianProduct whose partitioning multiplies (measured 2.7×
+        // slower per level) — the broadcast job is the cheaper floor
         val tw = g.agg(sum(col("w")).as("tw"))
         val cand = dir
           .join(kNode, "u")
@@ -4438,13 +4468,13 @@ object Analytics {
               greatest(col("ma"), col("mb")).as("b"), col("w"))
             .groupBy("a", "b").agg(sum(col("w")).as("w"))
             .localCheckpoint(true)
-          val nextNodes = dec.select(col("bc").as("u")).distinct()
-            .localCheckpoint(true)
-          g.unpersist(); nodes.unpersist()
-          g = nextG; nodes = nextNodes
+          g.unpersist()
+          g = nextG
+          nodes = dec.select(col("bc").as("u")).distinct()
         }
       }
     }
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
     ledger.toSeq.toDF("level", "n_nodes", "n_moved", "gain_total", "n_comms")
       .orderBy("level")
   }
