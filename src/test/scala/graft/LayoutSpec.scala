@@ -346,4 +346,17 @@ class LayoutSpec extends AnyFunSuite {
     assert((manifest("v3") intersect carried) === carried,
       "files untouched by the batch must survive every re-merge by reference")
   }
+
+  test("q_maintain_mv_refresh: the refresh never reads the base table") {
+    sources.PipelineIngest.maintainMvRefresh(spark, sf).collect()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_maintain_mv_refresh"
+    val refreshInputs = sources.PipelineIngest.mvRefresh(spark, root).inputFiles
+    assert(refreshInputs.nonEmpty)
+    assert(refreshInputs.forall(f => !f.contains("/base/")),
+      s"incremental refresh must read only the MV and the delta batch:\n" +
+        refreshInputs.mkString("\n"))
+    assert(refreshInputs.exists(_.contains("/mv_v1")) &&
+      refreshInputs.exists(_.contains("/delta")),
+      "refresh must read both the standing MV and the delta")
+  }
 }
