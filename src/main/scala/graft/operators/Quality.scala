@@ -577,6 +577,47 @@ object Quality {
     s"CASE ${cases.mkString(" ")} ELSE CAST(9 AS BIGINT) END"
   }
 
+  /** q_privacy_local_dp — LOCAL differential privacy via RANDOMIZED
+    * RESPONSE (Warner 1965; the RAPPOR/telemetry paradigm — r16,
+    * completing the privacy family's second production model: the
+    * curator never sees a truthful bit): each customer's sensitive bit
+    * ("high-balance") is randomized ON THE ROW before any aggregation —
+    * report the truth if coin₁ = 0, else report coin₂ — giving
+    * P(report = truth's value) = 3/4, i.e. ε = ln 3 per user. The
+    * segment-level estimate DEBIASES the aggregate:
+    * n̂ = 2·reported − n/2, held exact as quarters
+    * (est_quarters = 8·reported − 2n). Coins are the first two hex
+    * digits of a keyed md5 of the user id (deterministic draw, the
+    * [[privacyDpCount]] discipline — a sealed per-user seed swaps in
+    * structurally unchanged). `n_true` is emitted for the gate; a real
+    * deployment never materializes it (that is the POINT of the local
+    * model: the truthful column need never leave the device).
+    *
+    * Scale: the randomization is a scan-stage projection (per-row hash +
+    * two bit tests); the release is one hash aggregate at segment grain
+    * — local DP costs the same as the raw GROUP BY at any corpus size,
+    * and unlike the central mechanisms there is no sensitive
+    * intermediate to protect.
+    */
+  def privacyLocalDp(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        (col("c_acctbal") >= 5000d).as("truth"),
+        expr("md5(concat('graftldp:', CAST(c_custkey AS STRING)))").as("h"))
+      .withColumn("coin1",
+        expr("(instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 2"))
+      .withColumn("coin2",
+        expr("(instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 2"))
+      .withColumn("reported",
+        when(col("coin1") === 0, col("truth")).otherwise(col("coin2") === 1))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("reported"), 1L).otherwise(0L)).as("n_reported"))
+      .select(col("seg"), col("n"), col("n_true"), col("n_reported"),
+        (lit(8L) * col("n_reported") - lit(2L) * col("n")).as("est_quarters"))
+      .orderBy("seg")
+
   /** q_privacy_dp_count — DIFFERENTIALLY-PRIVATE COUNT RELEASE via the
     * geometric mechanism (Ghosh–Roughgarden–Sundararajan: the discrete
     * Laplace, utility-optimal for counts): per (segment, nation) cell,
@@ -802,6 +843,7 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_privacy_dp_count" -> privacyDpCount _,
+    "q_privacy_local_dp" -> privacyLocalDp _,
     "q_privacy_dp_sum" -> privacyDpSum _,
     "q_privacy_dp_topk" -> privacyDpTopk _,
     "q_privacy_dp_quantile" -> privacyDpQuantile _,
@@ -821,6 +863,23 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     // the SAME dpHexV/dpNoiseCase strings the operator evaluates
+    // the per-row randomized response replayed digit for digit, then the
+    // same debiasing arithmetic
+    "q_privacy_local_dp" ->
+      ("WITH r AS (SELECT c_mktsegment AS seg, c_acctbal >= 5000 AS truth, " +
+        "md5(concat('graftldp:', CAST(c_custkey AS VARCHAR))) AS h " +
+        "FROM customer), " +
+        "b AS (SELECT seg, truth, " +
+        "(instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 2 AS coin1, " +
+        "(instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 2 AS coin2 FROM r), " +
+        "rep AS (SELECT seg, truth, " +
+        "CASE WHEN coin1 = 0 THEN truth ELSE coin2 = 1 END AS reported FROM b) " +
+        "SELECT seg, count(*) AS n, " +
+        "CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true, " +
+        "CAST(sum(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT) AS n_reported, " +
+        "CAST(8 * sum(CASE WHEN reported THEN 1 ELSE 0 END) " +
+        "- 2 * count(*) AS BIGINT) AS est_quarters " +
+        "FROM rep GROUP BY seg ORDER BY seg"),
     "q_privacy_dp_count" ->
       ("WITH cells AS (SELECT c_mktsegment AS seg, n_name AS geo, " +
         "CAST(count(*) AS BIGINT) AS n_true " +

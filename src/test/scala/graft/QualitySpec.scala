@@ -269,6 +269,26 @@ class QualitySpec extends AnyFunSuite {
     assert(tvd === (num * 1000000L) / (2L * n * bigN))
   }
 
+  test("q_privacy_local_dp: randomized response flips both ways and debiases") {
+    val rows = graft.operators.Quality.privacyLocalDp(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, n, nTrue, nReported, estQ) =>
+      // debias identity holds exactly
+      assert(estQ === 8L * nReported - 2L * n)
+      // the deterministic-coin estimate lands near the truth: the RR
+      // estimator's sd is ~sqrt(3n)/2 quarters·4 — allow 5 sd
+      val err = math.abs(estQ / 4.0 - nTrue)
+      assert(err <= math.max(10.0, 5.0 * math.sqrt(3.0 * n) / 2.0),
+        s"$seg: debiased estimate $err off the truth — coins are biased")
+      // privacy is real: the reported count differs from the truth (some
+      // rows flipped), in expectation by ~n/4 toward 1/2
+      assert(nReported != nTrue || n < 20,
+        s"$seg: no row flipped — the mechanism is leaking truth verbatim")
+    }
+  }
+
   test("q_privacy_dp_count: noise replays from the keyed md5 and looks geometric") {
     val rows = graft.operators.Quality.privacyDpCount(s, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
