@@ -50,6 +50,15 @@ case class AnomOut(event_id: Long, event_type: String, cents: Long, n_prior: Lon
 
 /** Pattern-matching state: the most recent signup's event-time micros
   * (−1 = none seen). One long per live user. */
+/** As-of join buffers: clicks within the match horizon and purchases not
+  * yet provably complete, both as (ts_us, event_id) pairs. */
+case class AsofState(clicks: Seq[(Long, Long)], pending: Seq[(Long, Long)])
+
+/** One finalized purchase row: its as-of click (None = no click within the
+  * horizon) and the realized lag. */
+case class AsofOut(p_event: Long, user_id: Long, c_event: Option[Long],
+    lag_us: Option[Long])
+
 case class PatState(sigUs: Long)
 case class PatOut(event_id: Long, user_id: Long, signup_us: Long,
     purchase_us: Long, wait_us: Long)
@@ -889,6 +898,85 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** As-of state fold for one user: buffer arriving clicks and purchases;
+    * a purchase FINALIZES once the watermark strictly passes its event
+    * time (no click with c_ts ≤ p_ts can still arrive — a ts == watermark
+    * row is not late), matching the latest buffered click within the
+    * 60-minute horizon (ties to the larger click id); clicks evict once
+    * they can no longer match any non-late future purchase
+    * (c_ts < wm − 60 min). The timeout path (empty iterator) is the flush:
+    * the advanced watermark finalizes everything still pending.
+    */
+  private def asofFold(userId: Long, rows: Iterator[Ev],
+      state: GroupState[AsofState]): Iterator[AsofOut] = {
+    import SessionFold.us
+    val horizonUs = 3600000000L // 60 minutes
+    val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+    val evs = if (rows.hasNext) rows.toSeq else Seq.empty
+    var clicks = st.clicks ++ evs.filter(_.event_type == "click")
+      .map(e => (us(e.ts), e.event_id))
+    var pending = st.pending ++ evs.filter(_.event_type == "purchase")
+      .map(e => (us(e.ts), e.event_id))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (ready, still) = pending.partition(_._1 < wmUs)
+    val out = ready.sortBy(identity).map { case (pts, pid) =>
+      val cand = clicks.filter(c => c._1 <= pts && pts - c._1 <= horizonUs)
+      if (cand.isEmpty) AsofOut(pid, userId, None, None)
+      else {
+        val best = cand.maxBy(identity)
+        AsofOut(pid, userId, Some(best._2), Some(pts - best._1))
+      }
+    }
+    clicks = clicks.filter(_._1 >= wmUs - horizonUs)
+    if (still.isEmpty && clicks.isEmpty) {
+      if (state.exists) state.remove()
+    } else {
+      state.update(AsofState(clicks, still))
+      // wake when the watermark can have passed the earliest pending
+      // purchase (or just past the current watermark if only clicks
+      // remain — Spark rejects a timeout at or behind the watermark)
+      val wakeMs = still.map(_._1 / 1000L).minOption
+        .getOrElse(state.getCurrentWatermarkMs())
+      state.setTimeoutTimestamp(
+        math.max(wakeMs + 1, state.getCurrentWatermarkMs() + 1))
+    }
+    out.iterator
+  }
+
+  /** q_stream_join_asof — STREAMING AS-OF JOIN (temporal join, r16 —
+    * Flink's temporal-join capability on the Spark state API, the stream
+    * face of the batch `q_join_asof_*` family): every purchase is
+    * attributed to the LATEST same-user click at-or-before it within 60
+    * minutes, and emits EXACTLY ONCE — matched or null — as soon as the
+    * watermark proves its answer final (no click with c_ts ≤ p_ts can
+    * still arrive once wm > p_ts). Spark's built-in stream-stream joins
+    * cannot express "latest preceding" (they emit every edge in the
+    * window, and outer variants cannot rank); the custom
+    * flatMapGroupsWithState fold buys the argmax with watermark-bounded
+    * buffers.
+    *
+    * Scale: state per user = clicks inside one 60-minute horizon + the
+    * purchases inside one watermark delay — O(rate × window), never
+    * O(stream); eviction rides the same watermark that drives
+    * finalization. The oracle is the batch as-of replay (rank-1 window
+    * over the interval join), so streaming-equals-batch is hash-checked.
+    */
+  def streamJoinAsof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(asofFold)
+        .toDF(),
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "join_asof")
+      .where(col("user_id") =!= -1L)
+      .select(col("p_event"), col("user_id"), col("c_event"), col("lag_us"))
+      .orderBy("p_event")
+  }
+
   /** Sequential 3-sigma gate over one key's micro-batch slice: prior-stats
     * test THEN state fold, per event in (ts, event_id) order — so an
     * anomaly never contaminates its own threshold but does harden the
@@ -1312,6 +1400,7 @@ object Streams {
     "q_stream_join_multiway" -> streamJoinMultiway _,
     "q_stream_join_outer" -> streamJoinOuter _,
     "q_stream_join_full_outer" -> streamJoinFullOuter _,
+    "q_stream_join_asof" -> streamJoinAsof _,
     "q_stream_sink_files" -> streamSinkFiles _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_stateful_tws" -> streamStatefulTws _,
@@ -1403,6 +1492,24 @@ object Streams {
         "ON c.user_id = p.user_id " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE " +
         "ORDER BY c_event, p_event NULLS FIRST"),
+    // the batch as-of replay: rank-1 window over the interval join, then
+    // every purchase carried through a left join (unmatched → nulls)
+    "q_stream_join_asof" ->
+      ("WITH p AS (SELECT event_id AS p_event, user_id, ts AS p_ts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id AS c_event, user_id, ts AS c_ts " +
+        "FROM events WHERE event_type = 'click'), " +
+        "m AS (SELECT p.p_event, c.c_event, c.c_ts, " +
+        "row_number() OVER (PARTITION BY p.p_event " +
+        "ORDER BY c.c_ts DESC, c.c_event DESC) AS rn " +
+        "FROM p JOIN c ON p.user_id = c.user_id " +
+        "AND c.c_ts <= p.p_ts AND p.p_ts - c.c_ts <= INTERVAL 60 MINUTE), " +
+        "best AS (SELECT p_event, c_event, c_ts FROM m WHERE rn = 1) " +
+        "SELECT p.p_event, p.user_id, best.c_event, " +
+        "CASE WHEN best.c_event IS NULL THEN NULL " +
+        "ELSE epoch_us(p.p_ts) - epoch_us(best.c_ts) END AS lag_us " +
+        "FROM p LEFT JOIN best ON best.p_event = p.p_event " +
+        "ORDER BY p.p_event"),
     // both unmatched sides in one relation; NULLS FIRST pinned on both
     // sort keys (Spark nulls-first vs DuckDB nulls-last)
     "q_stream_join_full_outer" ->

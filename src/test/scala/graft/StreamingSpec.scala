@@ -155,6 +155,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_.isNullAt(1)), "fixture should contain unmatched clicks")
   }
 
+  test("q_stream_join_asof equals the batch as-of replay (argmax click per purchase, exactly once)") {
+    val ev = Tables(s, d, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_event").orderBy(col("c_ts").desc, col("c_event").desc)
+    val best = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("p_ts") - col("c_ts") <= expr("INTERVAL 60 MINUTES"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("p_event"), col("c_event"), col("c_ts"))
+    val batch = p.join(best, Seq("p_event"), "left")
+      .select(col("p_event"), col("user_id"), col("c_event"),
+        when(col("c_event").isNull, lit(null))
+          .otherwise(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .cast("long").as("lag_us"))
+      .orderBy("p_event").collect().toSeq
+    val streamed = Streams.streamJoinAsof(s, d).collect().toSeq
+    assert(streamed === batch)
+    // every purchase emits exactly once; both outcomes exercised
+    assert(streamed.map(_.getLong(0)).distinct.size === streamed.size)
+    assert(streamed.exists(_.isNullAt(2)), "fixture should contain unattributed purchases")
+    assert(streamed.exists(!_.isNullAt(2)), "fixture should contain attributed purchases")
+  }
+
   test("q_stream_join_full_outer equals the batch full join (both null sides evicted exactly once)") {
     val ev = Tables(s, d, "events")
     val clicks = ev.where(col("event_type") === "click")
