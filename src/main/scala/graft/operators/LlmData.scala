@@ -8962,6 +8962,45 @@ object LlmData {
       .orderBy("vec_id", "p")
   }
 
+  /** q_search_phrase — POSITIONAL PHRASE MATCH (r16, the capability that
+    * separates a positional inverted index from `q_text_inverted_index`'s
+    * bag-of-terms postings: "exact phrase" queries are POSITION
+    * ADJACENCY, not co-occurrence): the corpus's most frequent bigram
+    * (deterministic: count desc, then lexicographic) is elected as the
+    * query phrase, and every document containing it as ADJACENT tokens
+    * reports its match count and first hit position — the classic
+    * two-posting positional probe (match ⟺ the two terms' postings share
+    * a (doc, pos)/(doc, pos+1) pair).
+    *
+    * Scale: positions ride the postings for free (posexplode at tokenize
+    * time); the phrase PROBE is one equi-join of two term postings keyed
+    * on (doc_id, pos) — at 100 TB it touches only the queried terms'
+    * lists, never the corpus (the bm25 probe discipline; the corpus-wide
+    * bigram election shown here is the query-SELECTION step a production
+    * run replaces with a user query). No window, no collect: the
+    * adjacency join IS the phrase semantics.
+    */
+  def searchPhrase(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("term"))
+    val adj = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+        col("a.term").as("w1"), col("b.term").as("w2"))
+    val top = broadcast(adj.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+      .select("w1", "w2"))
+    adj.join(top, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** q_search_bm25 — RANKED RETRIEVAL: top-20 documents for a fixed
     * three-term query by summed Okapi BM25 (k1 = 1.2, b = 0.75 — the
     * [[textTfidf]] weighting, micro-integer scored). The missing half of
@@ -9130,6 +9169,7 @@ object LlmData {
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_simhash_verified" -> dedupSimhashVerified _,
     "q_search_bm25" -> searchBm25 _,
+    "q_search_phrase" -> searchPhrase _,
     "q_simsearch_hybrid" -> simsearchHybrid _,
     "q_embed_project" -> embedProject _,
     "q_text_classify" -> textClassify _,
@@ -10609,6 +10649,21 @@ object LlmData {
         "drp.dropped_by IS NULL AS kept " +
         "FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id ORDER BY asg.vec_id"),
     "q_search_bm25" -> (s"WITH $bm25SqlCtes $bm25TopSelect"),
+    // the same bigram election + positional adjacency, parallel unnests
+    // zipping terms with 1-based positions
+    "q_search_phrase" ->
+      ("WITH toks AS (SELECT doc_id, unnest(t) AS term, " +
+        "CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)), " +
+        "adj AS (SELECT a.doc_id, a.pos, a.term AS w1, b.term AS w2 " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id " +
+        "AND b.pos = a.pos + 1), " +
+        "top AS (SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS c FROM adj " +
+        "GROUP BY 1, 2) ORDER BY c DESC, w1, w2 LIMIT 1) " +
+        "SELECT adj.doc_id, CAST(count(*) AS BIGINT) AS n_matches, " +
+        "min(adj.pos) AS first_pos " +
+        "FROM adj JOIN top ON adj.w1 = top.w1 AND adj.w2 = top.w2 " +
+        "GROUP BY adj.doc_id ORDER BY adj.doc_id"),
     // hybrid replay: both branch rankings re-derived from their own
     // already-proven CTEs, ranked, full-outer fused with integer-micro RRF
     "q_simsearch_hybrid" ->

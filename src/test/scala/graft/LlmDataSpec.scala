@@ -2692,6 +2692,26 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q_search_phrase matches a driver-side positional replay") {
+    val out = LlmData.searchPhrase(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables(s, d, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val bigrams = docs.flatMap { case (_, ts) => ts.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))) }
+    // election: highest count, ties to the SMALLEST (w1, w2)
+    val counts = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val maxC = counts.values.max
+    val elected = counts.filter(_._2 == maxC).keys.toSeq.min
+    val expected = docs.flatMap { case (id, ts) =>
+      val hits = ts.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if (a, b) == elected => i + 1L }.toSeq
+      if (hits.isEmpty) None else Some((id, hits.length.toLong, hits.min))
+    }.sortBy(_._1)
+    assert(out.toSeq === expected.toSeq)
+    assert(out.nonEmpty, "the elected phrase must match somewhere")
+  }
+
   test("q_search_bm25 ranks by summed BM25, descending, capped at 20") {
     val rows = LlmData.searchBm25(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
