@@ -712,6 +712,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"biased walk must not plan a quadratic join:\n$p")
   }
 
+  test("q_search_phrase: the positional probe is a keyed equi join, never quadratic") {
+    val p = plan(graft.operators.LlmData.searchPhrase(s, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase adjacency must not plan a quadratic join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"phrase adjacency should plan a keyed equi join:\n$p")
+  }
+
   test("q_join_interval_overlap: the interval×interval join is a keyed hash join on the bucket") {
     val p = plan(graft.operators.Analytics.joinIntervalOverlap(s, d))
     assert(!p.contains("CartesianProduct"),
