@@ -5163,6 +5163,7 @@ object Analytics {
         .localCheckpoint(true)
       var rounds = 0
       var converged = false
+      var prevDSum = -1L
       while (!converged && rounds < PagerankRounds) {
         rounds += 1
         val share = r.join(outdeg, col("node") === col("a"))
@@ -5184,7 +5185,12 @@ object Analytics {
                 .otherwise(lit(0L))).as("r"))
           .localCheckpoint(true)
         damped.unpersist()
-        converged = next.except(r).isEmpty
+        // exact-fixpoint test, cheaply gated: r' ≡ r forces an unchanged
+        // damped sum, so an unequal sum skips the set-compare job — the
+        // except() runs only on candidate fixpoints (exactness preserved;
+        // a false candidate is rejected by the except itself)
+        converged = dSum == prevDSum && next.except(r).isEmpty
+        prevDSum = dSum
         r.unpersist()
         r = next
       }
