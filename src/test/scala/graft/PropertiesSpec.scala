@@ -137,6 +137,32 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram h-index law: max over values of min(val, |≥val|) equals the naive h-index") {
+    // the identity graphCoreness's r16 histogram rewrite stands on,
+    // proven over random multisets INCLUDING the receiver-side clamp:
+    // min(naive-h(vals), c) == histogram-h(vals clamped at c)
+    val cases = samples(for {
+      n <- Gen.choose(1, 40)
+      vals <- Gen.listOfN(n, Gen.choose(1L, 30L))
+      c <- Gen.choose(1L, 30L)
+    } yield (vals, c), 300)
+    cases.foreach { case (vals, c) =>
+      def naiveH(vs: Seq[Long]): Long =
+        (1L to vs.length.toLong).filter(t => vs.count(_ >= t) >= t)
+          .maxOption.getOrElse(0L)
+      val clamped = vals.map(v => math.min(v, c))
+      // histogram formulation: per distinct value, the suffix count
+      val hist = clamped.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val histH = hist.keys.map { v =>
+        val ge = hist.filter(_._1 >= v).values.sum
+        math.min(v, ge)
+      }.max
+      assert(histH === naiveH(clamped), s"histogram law broke on $clamped")
+      assert(math.min(naiveH(vals), c) === math.min(c, histH),
+        s"clamp law broke on vals=$vals c=$c")
+    }
+  }
+
   test("CronSchedule.nextAfter always lands strictly in the future, within 24h, at M/H") {
     val cases = samples(for {
       now <- Gen.choose(0L, 2000000000L)
