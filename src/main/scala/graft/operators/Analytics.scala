@@ -5141,6 +5141,24 @@ object Analytics {
     */
   def graphPagerankFull(s: SparkSession, d: String): DataFrame = {
     val e = sccEdges(s, d)
+    // teleport set = ALL nodes → uniform PageRank (initial vector m/N =
+    // exactly 1e6 per node, residue redistributed uniformly)
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    pagerankLoop(s, d, e, nodes)
+      .select(col("node").as("part"), col("r").as("rank_micro"))
+      .orderBy("part")
+  }
+
+  /** The exact-integer damped-iteration kernel shared by
+    * [[graphPagerankFull]] (teleport to every node) and [[graphPpr]]
+    * (teleport to the seed set): total mass m = N·10⁶ is conserved
+    * bit-exactly every round — damped inflow plus the residue
+    * redistributed as residue div |T| over the teleport set T with the
+    * sub-micro remainder pinned to T's minimum node.
+    */
+  private def pagerankLoop(s: SparkSession, d: String, e: DataFrame,
+      teleport: DataFrame): DataFrame = {
     // sized before any conf.set (the graphScc ordering): a staged-build
     // throw must not leak the pinned confs
     val edgeParts = math.max(1L, sccEdgeCount(s, d) / 500000L).toString
@@ -5156,11 +5174,21 @@ object Analytics {
         .localCheckpoint(true)
       val n = nodes.count()
       val m = n * 1000000L
-      val minNode = nodes.agg(min(col("node"))).first().getLong(0)
+      val tset = teleport.select(col("node")).distinct().localCheckpoint(true)
+      val tCount = tset.count()
+      val tMin = tset.agg(min(col("node"))).first().getLong(0)
+      require(tCount > 0L, "teleport set must be non-empty")
       val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
-      var r = nodes.select(col("node"), lit(1000000L).as("r"))
-        .localCheckpoint(true)
+      def distribute(base: DataFrame, pool: Long): DataFrame = base
+        .join(tset.select(col("node"), lit(1).as("is_t")), Seq("node"), "left")
+        .select(col("node"),
+          (col("dmp") +
+            when(col("is_t").isNotNull, lit(pool / tCount)).otherwise(lit(0L)) +
+            when(col("node") === tMin, lit(pool % tCount)).otherwise(lit(0L)))
+            .as("r"))
+      var r = distribute(
+        nodes.select(col("node"), lit(0L).as("dmp")), m).localCheckpoint(true)
       var rounds = 0
       var converged = false
       var prevDSum = -1L
@@ -5178,12 +5206,7 @@ object Analytics {
         val residue = m - dSum
         require(residue >= 0L,
           "damped mass exceeded total mass — rank state is corrupt")
-        val next = damped
-          .select(col("node"),
-            (col("dmp") + lit(residue / n) +
-              when(col("node") === minNode, lit(residue % n))
-                .otherwise(lit(0L))).as("r"))
-          .localCheckpoint(true)
+        val next = distribute(damped, residue).localCheckpoint(true)
         damped.unpersist()
         // exact-fixpoint test, cheaply gated: r' ≡ r forces an unchanged
         // damped sum, so an unequal sum skips the set-compare job — the
@@ -5194,14 +5217,45 @@ object Analytics {
         r.unpersist()
         r = next
       }
-      r.select(col("node").as("part"), col("r").as("rank_micro"))
-        .orderBy("part")
+      r
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
+  /** q_graph_ppr — PERSONALIZED PAGERANK / random walk with restart (r16,
+    * the recommender-system primitive: "parts relevant TO THESE SEEDS",
+    * the similarity kernel behind Pinterest-style related-item serving):
+    * the [[graphPagerankFull]] kernel with the teleport vector
+    * concentrated on the SEED SET (every 10th part id) instead of
+    * uniform — all restart mass returns to seeds, so rank mass measures
+    * proximity to the seed neighborhood. Same exact-integer mass
+    * conservation (the residue redistributes over seeds, remainder
+    * pinned to the minimum seed), same ≤ [[PagerankRounds]] rounds with
+    * the gated exact-fixpoint early exit, same idempotent oracle unroll.
+    * The spec pins LOCALITY: seeds hold strictly more mass under PPR
+    * than under uniform PageRank.
+    *
+    * Scale: identical per-round shape to the full loop — one edge-grain
+    * keyed join + one node-grain aggregate; the teleport set is one
+    * node-grain semi-join column. Seed-set personalization at serving
+    * scale runs one loop per query SET (not per user) — users share a
+    * seed cohort, the standard production batching.
+    */
+  def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val e = sccEdges(s, d)
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    val seeds = nodes.where(col("node") % 10 === 0)
+    pagerankLoop(s, d, e, seeds)
+      .join(seeds.select(col("node"), lit(true).as("s")), Seq("node"), "left")
+      .select(col("node").as("part"), col("r").as("ppr_micro"),
+        coalesce(col("s"), lit(false)).as("is_seed"))
+      .orderBy("part")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_connected_components" -> graphConnectedComponents _,
     "q_graph_pagerank_full" -> graphPagerankFull _,
+    "q_graph_ppr" -> graphPpr _,
     "q_graph_scc" -> graphScc _,
     "q_graph_coreness" -> graphCoreness _,
     "q_graph_random_walk" -> graphRandomWalk _,
@@ -5542,6 +5596,50 @@ object Analytics {
         rounds + " " +
         s"SELECT node AS part, r AS rank_micro FROM r$PagerankRounds " +
         "ORDER BY part"
+    },
+    // the personalized loop unrolled: identical arithmetic with the
+    // teleport mass concentrated on the seed set
+    "q_graph_ppr" -> {
+      val rounds = (1 to PagerankRounds).map { i =>
+        s"inf$i AS (SELECT e.b AS node, CAST(sum(r.r // od.d) AS BIGINT) AS t " +
+          s"FROM e JOIN r${i - 1} r ON r.node = e.a " +
+          "JOIN od ON od.a = e.a GROUP BY e.b), " +
+          s"dm$i AS MATERIALIZED (SELECT n.node, " +
+          s"CAST(coalesce((85 * q.t) // 100, 0) AS BIGINT) AS dmp " +
+          s"FROM nodes n LEFT JOIN inf$i q ON q.node = n.node), " +
+          s"r$i AS MATERIALIZED (SELECT d.node, " +
+          "CAST(d.dmp + CASE WHEN sd.node IS NOT NULL " +
+          "THEN (m0.m - ds.s) // s0.tc ELSE 0 END + " +
+          "CASE WHEN d.node = s0.tmn THEN (m0.m - ds.s) % s0.tc ELSE 0 END " +
+          "AS BIGINT) AS r " +
+          s"FROM dm$i d LEFT JOIN sd ON sd.node = d.node, " +
+          s"(SELECT CAST(sum(dmp) AS BIGINT) AS s FROM dm$i) ds, m0, s0)"
+      }.mkString(", ")
+      "WITH seq AS (SELECT o_custkey c, o_orderkey k, " +
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) nk FROM orders), " +
+        "e AS MATERIALIZED (SELECT l1.l_partkey a, l2.l_partkey b " +
+        "FROM seq JOIN lineitem l1 ON l1.l_orderkey = seq.k " +
+        "JOIN lineitem l2 ON l2.l_orderkey = seq.nk " +
+        "WHERE seq.nk IS NOT NULL AND l1.l_partkey <> l2.l_partkey " +
+        "GROUP BY a, b HAVING count(*) >= 2), " +
+        "nodes AS MATERIALIZED (SELECT a AS node FROM e " +
+        "UNION SELECT b FROM e), " +
+        "sd AS MATERIALIZED (SELECT node FROM nodes WHERE node % 10 = 0), " +
+        "s0 AS (SELECT CAST(count(*) AS BIGINT) AS tc, " +
+        "CAST(min(node) AS BIGINT) AS tmn FROM sd), " +
+        "m0 AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) * 1000000 AS m FROM nodes), " +
+        "od AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS d " +
+        "FROM e GROUP BY a), " +
+        "r0 AS MATERIALIZED (SELECT CAST(n.node AS BIGINT) AS node, " +
+        "CAST(CASE WHEN sd.node IS NOT NULL THEN m0.m // s0.tc ELSE 0 END + " +
+        "CASE WHEN n.node = s0.tmn THEN m0.m % s0.tc ELSE 0 END " +
+        "AS BIGINT) AS r " +
+        "FROM nodes n LEFT JOIN sd ON sd.node = n.node, m0, s0), " +
+        rounds + " " +
+        s"SELECT node AS part, r AS ppr_micro, node % 10 = 0 AS is_seed " +
+        s"FROM r$PagerankRounds ORDER BY part"
     },
     // the directed repeat-purchase graph labeled INDEPENDENTLY: full
     // reachability closure intersected with its transpose (mutual

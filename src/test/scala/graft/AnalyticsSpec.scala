@@ -1866,6 +1866,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.values.toSet.size > 1, "ranks must differentiate nodes")
   }
 
+  test("q_graph_ppr: mass conserved; seeds concentrate mass vs uniform PageRank") {
+    val ppr = Analytics.graphPpr(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val uniform = Analytics.graphPagerankFull(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ppr.length.toLong
+    assert(ppr.map(_._2).sum === n * 1000000L, "PPR must conserve total mass")
+    assert(ppr.exists(_._3) && ppr.exists(!_._3))
+    // restart mass returns to seeds, so the seed set holds strictly more
+    // mass under PPR than under the uniform teleport
+    val seedPpr = ppr.filter(_._3).map(_._2).sum
+    val seedUniform = ppr.filter(_._3).map(t => uniform(t._1)).sum
+    assert(seedPpr > seedUniform,
+      s"personalization must concentrate mass on seeds ($seedPpr vs $seedUniform)")
+    // non-seed mass only arrives through edges: any positive non-seed
+    // rank is flow-through, and some must exist on this graph
+    assert(ppr.exists(t => !t._3 && t._2 > 0L))
+  }
+
   test("q_graph_scc labels match a driver-side Tarjan over the staged directed graph") {
     // engine MultiStep decomposition re-checked against an iterative
     // Tarjan over the SAME staged edge set (min-id canonical labels) —
