@@ -2923,6 +2923,40 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** q_timeseries_crosscorr — LEAD/LAG CROSS-CORRELATION against the
+    * anchor account (r16, [[timeseriesAutocorr]]'s two-series sibling —
+    * the "which series LEADS the anchor" diagnostic read before building
+    * any leading-indicator feature): per account, Pearson r between its
+    * monthly cents and the ANCHOR's (acct 0) series shifted by lag
+    * −3..+3 months (positive lag = the account's month m pairs with the
+    * anchor's m+lag, i.e. the account LEADS), over the months where both
+    * are observed, released only at n ≥ 12 overlapping months (the same
+    * small-sample floor a production signal screen applies).
+    *
+    * Scale: the 100 TB fact scan collapses to (account, month) grain
+    * first (exact integer cents, map-side combinable); the anchor series
+    * is calendar-bounded and broadcast; the 7-lag explode multiplies
+    * month-grain rows only. Pearson runs in double identically on both
+    * engines (the autocorr 6 dp rounding precedent).
+    */
+  def timeseriesCrosscorr(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .groupBy((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+    val anchor = obs.where(col("acct") === 0L)
+      .select(col("mon").as("mon2"), col("cents").as("y"))
+    obs.where(col("acct") =!= 0L)
+      .select(col("acct"), col("mon"), col("cents").as("x"),
+        explode(expr("sequence(-3, 3)")).as("lag"))
+      .withColumn("mon2", expr("add_months(mon, lag)"))
+      .join(broadcast(anchor), "mon2")
+      .groupBy(col("acct"), col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), r(corr(col("x"), col("y")), 6).as("xcf_r"))
+      .where(col("n_pairs") >= 12)
+      .orderBy("acct", "lag")
+  }
+
   // ----------------------------------------------------------------- cusum
 
   /** q_anomaly_cusum — CUSUM DRIFT DETECTION over the daily revenue
@@ -5290,6 +5324,7 @@ object Analytics {
     "q_timeseries_decompose" -> timeseriesDecompose _,
     "q_agg_var_cvar" -> aggVarCvar _,
     "q_timeseries_autocorr" -> timeseriesAutocorr _,
+    "q_timeseries_crosscorr" -> timeseriesCrosscorr _,
     "q_anomaly_cusum" -> anomalyCusum _,
     "q_event_sessionize" -> eventSessionize _,
     "q_agg_corr_matrix" -> aggCorrMatrix _,
@@ -6251,6 +6286,24 @@ object Analytics {
         s"${sqlR("corr(p.x, b.cents)", 6)} AS acf_r " +
         "FROM probe p JOIN ser b ON b.day = p.day + CAST(p.lag AS INT) " +
         "GROUP BY p.lag ORDER BY lag"),
+    // same month-grain rollup, anchor shift via month-interval
+    // arithmetic, same 6 dp Pearson release, n >= 12 floor
+    "q_timeseries_crosscorr" ->
+      ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "anchor AS (SELECT mon AS mon2, cents AS y FROM obs WHERE acct = 0), " +
+        "probe AS (SELECT o.acct, o.cents AS x, t.lag, " +
+        "o.mon + t.lag * INTERVAL 1 MONTH AS mon2 " +
+        "FROM obs o, (SELECT unnest(generate_series(-3, 3)) AS lag) t " +
+        "WHERE o.acct <> 0) " +
+        "SELECT p.acct, CAST(p.lag AS BIGINT) AS lag, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        s"${sqlR("corr(p.x, a.y)", 6)} AS xcf_r " +
+        "FROM probe p JOIN anchor a ON a.mon2 = p.mon2 " +
+        "GROUP BY p.acct, p.lag HAVING count(*) >= 12 " +
+        "ORDER BY acct, lag"),
     "q_anomaly_cusum" ->
       ("WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS cents " +

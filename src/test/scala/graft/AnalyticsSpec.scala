@@ -1866,6 +1866,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.values.toSet.size > 1, "ranks must differentiate nodes")
   }
 
+  test("q_timeseries_crosscorr: one coefficient replays driver-side; bounds hold") {
+    val out = Analytics.timeseriesCrosscorr(s, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { case ((_, lag), (n, rr)) =>
+      assert(lag >= -3L && lag <= 3L)
+      assert(n >= 12L, "the release floor must hold")
+      assert(rr.isNaN || (rr >= -1.000001 && rr <= 1.000001))
+    }
+    // driver replay of one released coefficient from the raw rollup
+    val obs = Tables(s, d, "orders")
+      .groupBy((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"))
+      .agg(sum(round(col("o_totalprice") * 100, 0)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val anchor = obs.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    val ((acct, lag), (nOut, rOut)) = out.head
+    val pairs = obs.filter(_._1 == acct).flatMap { case (_, mon, x) =>
+      anchor.get(mon.plusMonths(lag)).map(y => (x.toDouble, y.toDouble))
+    }
+    assert(pairs.length.toLong === nOut)
+    val n = pairs.length
+    val mx = pairs.map(_._1).sum / n
+    val my = pairs.map(_._2).sum / n
+    val cov = pairs.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val rRef = cov / (sx * sy)
+    assert(math.abs(rRef - rOut) < 1e-4,
+      s"acct=$acct lag=$lag: engine $rOut vs replay $rRef")
+  }
+
   test("q_graph_ppr: mass conserved; seeds concentrate mass vs uniform PageRank") {
     val ppr = Analytics.graphPpr(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

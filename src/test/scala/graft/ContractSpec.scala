@@ -150,7 +150,8 @@ class ContractSpec extends AnyFunSuite {
     "q_maintain_merge", "q_graph_pagerank_full", "q_stream_join_full_outer",
     "q_graph_node2vec_walk", "q_multimodal_image_filter",
     "q_graph_louvain_full", "q_maintain_mv_refresh", "q_privacy_local_dp",
-    "q_stream_join_asof", "q_search_phrase", "q_graph_ppr")
+    "q_stream_join_asof", "q_search_phrase", "q_graph_ppr",
+    "q_timeseries_crosscorr")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
