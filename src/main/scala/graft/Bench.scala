@@ -148,25 +148,61 @@ object Bench {
     // bench_full.json is cross-round comparable ONLY for full runs, so a
     // subset run (args given) writes bench_subset.json instead of
     // clobbering the canonical record with incomparable totals.
+    //
+    // r16 verdict item 8: the file is JSONL with a "role" field per line —
+    // the CANONICAL record (the best clean full run at the CURRENT key
+    // count, carried forward verbatim across runs) plus this run's SWEEP
+    // record — so a host-contended driver sweep no longer overwrites the
+    // clean number and cross-round diffs compare canonical-to-canonical.
+    // A run over a different key count resets the canonical (totals are
+    // only comparable at equal n).
     val fullQs = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val isoQs =
       if (isolated.isEmpty) ""
       else isolated.map { case (k, v) => s"\"$k\":${fmt(v)}" }
         .mkString(""","isolated":{""", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs$isoQs,"sf":"$sfDir"}"""
+    def record(role: String): String =
+      s"""{"role":"$role","metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs$isoQs,"sf":"$sfDir"}"""
     val recordFile = if (args.isEmpty) "bench_full.json" else "bench_subset.json"
+    // prior canonical at the same key count and a lower-or-equal total
+    // survives; otherwise this run becomes the canonical
+    val priorCanonical: Option[(Double, Long, String)] =
+      try {
+        val p = java.nio.file.Paths.get(recordFile)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          import scala.jdk.CollectionConverters._
+          val vRe = """"value":([0-9.]+)""".r
+          val nRe = """"n":(\d+)""".r
+          java.nio.file.Files.readAllLines(p).asScala
+            .find(_.contains("\"role\":\"canonical\""))
+            .flatMap { line =>
+              for {
+                v <- vRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+                n <- nRe.findFirstMatchIn(line).map(_.group(1).toLong)
+              } yield (v, n, line)
+            }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prior record unreadable: $e"); None
+      }
+    val (canonicalLine, canonicalTotal) = priorCanonical match {
+      case Some((v, n, line)) if n == results.size && v <= total => (line, v)
+      case _ => (record("canonical"), total)
+    }
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(recordFile),
-        (fullLine + "\n").getBytes("UTF-8"))
+        (canonicalLine + "\n" + record("sweep") + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    val canonPart =
+      s""""canonical_total":${fmt(canonicalTotal)},"canonical_n":${results.size},"""
     // compact stdout line — must fit the 2000-char tail window whole
     def compact(scale: Long, unit: String): String = {
       val qs = results.map { case (k, v) =>
         s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","queries":$qs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$canonPart"qunit":"$unit","prefix":"q_","queries":$qs}"""
     }
     // Degrade precision until the line fits the window. If even integer
     // seconds overflow (96 queries put the cs line at 2052 chars in r4;
@@ -186,7 +222,7 @@ object Bench {
         else isolated.map { case (k, v) =>
           s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}"
         }.mkString(""","isolated":{""", ",", "}")
-      val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"$unit","prefix":"q_","n":${results.size},"mean_ms":$meanMs,"queries_file":"bench_full.json","slowest":{"""
+      val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$canonPart"qunit":"$unit","prefix":"q_","n":${results.size},"mean_ms":$meanMs,"queries_file":"bench_full.json","slowest":{"""
       val entries = results.sortBy(-_._2).iterator
         .map { case (k, v) => s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}" }
       val sb = new StringBuilder(header)

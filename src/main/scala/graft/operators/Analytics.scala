@@ -4782,6 +4782,105 @@ object Analytics {
     } finally s.conf.set(aqeKey, aqeWas)
   }
 
+  /** Betweenness horizon and sample size: shortest paths of length ≤ 3
+    * from 8 md5-ranked sources. Both are CONTRACT constants (they define
+    * the measure, like the walk length in [[graphRandomWalk]]), not tuning
+    * knobs — the oracle unrolls exactly these depths.
+    */
+  private val BetweennessDepth = 3
+  private val BetweennessSources = 8
+
+  /** q_graph_betweenness — SAMPLED BOUNDED-HORIZON BETWEENNESS CENTRALITY
+    * (Brandes, "A faster algorithm for betweenness centrality", 2001;
+    * source-sampled per Brandes–Pich 2007) over the support-≥2 co-purchase
+    * graph: from k = 8 deterministic md5-ranked sources (the walk-seed
+    * doctrine), count shortest paths of length ≤ 3 (σ via the multi-source
+    * BFS DAG) and accumulate path dependencies backward level by level —
+    * δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)) — in EXACT INTEGER
+    * MICRO-UNITS with truncating division, so both engines replay the
+    * recurrence bit-identically. The bounded horizon is part of the
+    * measure's contract (ego/bounded-distance betweenness): at 100 TB full
+    * Brandes is O(|V|·|E|) and nobody runs it — sampling sources and
+    * bounding the horizon is the published scale recipe, and "deeper" is
+    * the SAME superstep looped more times.
+    *
+    * Scale: the k sources run as ONE multi-source BFS keyed by
+    * (src, node) — per level one edge-grain equi-join + one (src, node)
+    * anti-join against the last two frontiers (the [[graphBfs]] undirected
+    * two-frontier visited proof, valid per source) + one combinable σ-sum;
+    * the backward pass is one keyed equi-join per level (verdict ask).
+    * State never leaves DataFrames; lineage cut per level; AQE pinned off
+    * and shuffle partitions sized to the staged edge table (the
+    * [[graphConnectedComponents]] iteration discipline).
+    */
+  def graphBetweenness(s: SparkSession, d: String): DataFrame = {
+    val edges = ccEdges(s, d)
+    // sized BEFORE any conf.set (the r15 advisory ordering)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      // both-directions edge view (v → u), materialized once: referenced
+      // by every forward expansion and every backward dependency join
+      val und = edges.select(col("a").as("v"), col("b").as("u"))
+        .union(edges.select(col("b").as("v"), col("a").as("u")))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+      val srcs = nodes
+        .withColumn("h",
+          expr(md5h4("md5(concat('graftbc:', CAST(node AS STRING)))")))
+        .orderBy(col("h"), col("node")).limit(BetweennessSources)
+        .select("node")
+      val l0 = srcs.select(col("node").as("src"), col("node"),
+        lit(1L).as("sigma")).localCheckpoint(true)
+      // forward pass: levels 1..D of the multi-source BFS DAG, σ summed
+      // over predecessors; visited check = the last two frontiers per src
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+      (1 to BetweennessDepth).foreach { _ =>
+        val prev = levels.last
+        val recent = levels.takeRight(2).reduce(_ unionByName _)
+        val next = und
+          .join(prev.select(col("src"), col("node").as("v"), col("sigma")), "v")
+          .select(col("src"), col("u").as("node"), col("sigma"))
+          .join(recent.select("src", "node"), Seq("src", "node"), "left_anti")
+          .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
+          .localCheckpoint(true)
+        levels += next
+      }
+      // backward pass: δ at the horizon is 0; each level is ONE keyed
+      // equi-join of (level ℓ) ⋈ edges ⋈ (level ℓ+1 with δ), the integer
+      // micro recurrence (σv · (10⁶ + δw)) div σw summed per (src, v).
+      // NOT lineage-cut: the chain is ≤ D−1 plans deep and PlanShapeSpec
+      // reads the join shapes off the final frame.
+      var delta = levels.last
+        .select(col("src"), col("node"), lit(0L).as("delta"))
+      val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      ((BetweennessDepth - 1) to 1 by -1).foreach { l =>
+        val succ = levels(l + 1)
+          .join(delta, Seq("src", "node"), "left")
+          .select(col("src"), col("node").as("u"), col("sigma").as("sig_w"),
+            coalesce(col("delta"), lit(0L)).as("dw"))
+        val dl = levels(l)
+          .select(col("src"), col("node").as("v"), col("sigma").as("sig_v"))
+          .join(und, "v")
+          .join(succ, Seq("src", "u"))
+          .groupBy(col("src"), col("v").as("node"))
+          .agg(sum(expr("(sig_v * (1000000 + dw)) div sig_w")).as("delta"))
+        contribs += dl
+        delta = dl
+      }
+      contribs.reduce(_ unionByName _)
+        .groupBy(col("node").as("part"))
+        .agg(sum(col("delta")).as("bc_micro"))
+        .orderBy("part")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
   // ---------------------------------------------- strongly connected comps
 
   /** The staged DIRECTED reorder graph: part a → part b when ≥ 2 customer
@@ -5210,8 +5309,11 @@ object Analytics {
       val m = n * 1000000L
       val tset = teleport.select(col("node")).distinct().localCheckpoint(true)
       val tCount = tset.count()
-      val tMin = tset.agg(min(col("node"))).first().getLong(0)
+      // guard BEFORE the min aggregation: min over an empty frame is a
+      // null Row, and getLong on it would surface as an NPE instead of
+      // this message (r16 advisory)
       require(tCount > 0L, "teleport set must be non-empty")
+      val tMin = tset.agg(min(col("node"))).first().getLong(0)
       val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
       def distribute(base: DataFrame, pool: Long): DataFrame = base
@@ -5292,6 +5394,7 @@ object Analytics {
     "q_graph_ppr" -> graphPpr _,
     "q_graph_scc" -> graphScc _,
     "q_graph_coreness" -> graphCoreness _,
+    "q_graph_betweenness" -> graphBetweenness _,
     "q_graph_random_walk" -> graphRandomWalk _,
     "q_graph_node2vec_walk" -> graphNode2vecWalk _,
     "q_graph_louvain_step" -> graphLouvainStep _,
@@ -5510,6 +5613,50 @@ object Analytics {
         rounds + " " +
         "SELECT CAST(node AS BIGINT) AS part, c AS coreness FROM c24 " +
         "ORDER BY part"
+    },
+    // the sampled Brandes DAG replayed: same staged graph, same md5-ranked
+    // 8 sources, the 3-level multi-source BFS with σ path counts, and the
+    // backward integer-micro dependency recurrence as two chained joins
+    "q_graph_betweenness" -> {
+      val h = md5h4("md5(concat('graftbc:', CAST(n.node AS VARCHAR)))")
+      def lvl(i: Int, excl: Seq[Int]): String = {
+        val notIn = excl.map(j =>
+          s"NOT EXISTS (SELECT 1 FROM l$j x WHERE x.src = l.src " +
+            "AND x.node = e.u)").mkString(" AND ")
+        s"l$i AS MATERIALIZED (SELECT l.src, e.u AS node, " +
+          "CAST(sum(l.sigma) AS BIGINT) AS sigma " +
+          s"FROM l${i - 1} l JOIN und e ON e.v = l.node " +
+          s"WHERE $notIn GROUP BY 1, 2)"
+      }
+      "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "pr AS (SELECT b1.p AS a, b2.p AS b FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "und AS MATERIALIZED (SELECT a AS v, b AS u FROM pr " +
+        "UNION ALL SELECT b, a FROM pr), " +
+        "nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr), " +
+        s"srcs AS (SELECT n.node FROM nodes n ORDER BY $h, n.node LIMIT 8), " +
+        "l0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma " +
+        "FROM srcs), " +
+        lvl(1, Seq(0)) + ", " + lvl(2, Seq(0, 1)) + ", " +
+        lvl(3, Seq(1, 2)) + ", " +
+        "dep2 AS MATERIALIZED (SELECT c.src, c.node, " +
+        "CAST(sum((c.sigma * 1000000) // w.sigma) AS BIGINT) AS delta " +
+        "FROM l2 c JOIN und e ON e.v = c.node " +
+        "JOIN l3 w ON w.src = c.src AND w.node = e.u GROUP BY 1, 2), " +
+        "dep1 AS MATERIALIZED (SELECT c.src, c.node, " +
+        "CAST(sum((c.sigma * (1000000 + coalesce(d.delta, 0))) // w.sigma) " +
+        "AS BIGINT) AS delta " +
+        "FROM l1 c JOIN und e ON e.v = c.node " +
+        "JOIN l2 w ON w.src = c.src AND w.node = e.u " +
+        "LEFT JOIN dep2 d ON d.src = w.src AND d.node = w.node " +
+        "GROUP BY 1, 2) " +
+        "SELECT CAST(node AS BIGINT) AS part, " +
+        "CAST(sum(delta) AS BIGINT) AS bc_micro FROM " +
+        "(SELECT node, delta FROM dep1 " +
+        "UNION ALL SELECT node, delta FROM dep2) " +
+        "GROUP BY node ORDER BY part"
     },
     // the walks replayed: same staged-graph build, same ranked adjacency,
     // same md5-digit pick arithmetic, four chained left joins

@@ -2833,4 +2833,57 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(ses === want, s"acct $acct: ses $ses != fold $want")
     }
   }
+
+  test("q_graph_betweenness: engine DAG equals a driver-side Brandes replay") {
+    import scala.collection.mutable
+    val edges = Analytics.ccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    def h4(node: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graftbc:$node".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    val srcs = adj.keys.toSeq.sortBy(n => (h4(n), n)).take(8)
+    assert(srcs.nonEmpty, "staged graph must have nodes")
+    val bc = mutable.Map.empty[Long, Long]
+    srcs.foreach { src =>
+      var lv = Vector(Map(src -> 1L))
+      (1 to 3).foreach { _ =>
+        val recent = lv.takeRight(2).flatMap(_.keys).toSet
+        val next = mutable.Map.empty[Long, Long]
+        lv.last.foreach { case (v, sig) =>
+          adj.getOrElse(v, mutable.Set.empty).foreach { u =>
+            if (!recent.contains(u)) next(u) = next.getOrElse(u, 0L) + sig
+          }
+        }
+        lv = lv :+ next.toMap
+      }
+      var delta = lv(3).map { case (n, _) => n -> 0L }
+      (2 to 1 by -1).foreach { l =>
+        val nextLvl = lv(l + 1)
+        val dl = mutable.Map.empty[Long, Long]
+        lv(l).foreach { case (v, sigv) =>
+          adj.getOrElse(v, mutable.Set.empty).foreach { u =>
+            nextLvl.get(u).foreach { sigw =>
+              val dw = delta.getOrElse(u, 0L)
+              dl(v) = dl.getOrElse(v, 0L) + (sigv * (1000000L + dw)) / sigw
+            }
+          }
+        }
+        dl.foreach { case (v, dv) => bc(v) = bc.getOrElse(v, 0L) + dv }
+        delta = dl.toMap
+      }
+    }
+    val got = Analytics.graphBetweenness(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === bc.toSeq.sorted,
+      s"engine betweenness diverged from the driver replay " +
+        s"(got ${got.size} rows, want ${bc.size})")
+  }
 }

@@ -151,7 +151,10 @@ class ContractSpec extends AnyFunSuite {
     "q_graph_node2vec_walk", "q_multimodal_image_filter",
     "q_graph_louvain_full", "q_maintain_mv_refresh", "q_privacy_local_dp",
     "q_stream_join_asof", "q_search_phrase", "q_graph_ppr",
-    "q_timeseries_crosscorr")
+    "q_timeseries_crosscorr",
+    // round 17: persisted quantile partials + centrality/truss closures +
+    // the ER funnel + AR(p) forecasting + the OPQ rotation step
+    "q_agg_quantile_sketch_merge", "q_graph_betweenness")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -712,6 +712,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"biased walk must not plan a quadratic join:\n$p")
   }
 
+  test("q_graph_betweenness: the dependency pass plans keyed equi joins only") {
+    // the backward δ-accumulation is deliberately NOT lineage-cut, so the
+    // final frame's plan carries both dependency-level joins: they must be
+    // keyed equi joins (src/node) — a CartesianProduct/BNLJ would make each
+    // level O(|level|·|E|) and sink the one-join-per-level bound
+    val p = plan(graft.operators.Analytics.graphBetweenness(s, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dependency accumulation must not plan a quadratic join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"dependency accumulation should plan keyed equi joins:\n$p")
+  }
+
   test("q_search_phrase: the positional probe is a keyed equi join, never quadratic") {
     val p = plan(graft.operators.LlmData.searchPhrase(s, d))
     assert(!p.contains("CartesianProduct") &&

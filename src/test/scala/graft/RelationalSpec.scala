@@ -110,6 +110,48 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_quantile_sketch_merge: merge never reads raw rows and prunes to the window") {
+    Relational.aggQuantileSketchMerge(s, d).collect()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_agg_quantile_sketch_merge"
+    val inputs = Relational.quantileSketchMergeFrame(s, root).inputFiles
+    assert(inputs.nonEmpty)
+    assert(inputs.forall(_.contains("/daily/")),
+      s"rollup must read only the persisted sketch table:\n${inputs.mkString("\n")}")
+    assert(inputs.forall(!_.contains("events.parquet")),
+      "rollup must never rescan the raw feed")
+    // day-partition pruning must reach the physical scan (inputFiles is the
+    // pre-pruning listing, so the assertion reads the executed plan): the
+    // window predicate must sit in PartitionFilters, not a post-scan Filter
+    val p = Relational.quantileSketchMergeFrame(s, root)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("day")),
+      s"expected the day window as a partition filter on the sketch scan:\n$p")
+  }
+
+  test("q_agg_quantile_sketch_merge: merged quantiles bracket the exact ones") {
+    val out = Relational.aggQuantileSketchMerge(s, d).collect()
+    val sorted = Tables(s, d, "events")
+      .where(to_date(col("ts")) >= lit("2024-01-08").cast("date") &&
+        to_date(col("ts")) < lit("2024-01-22").cast("date"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[scala.collection.Seq[Double]]("vs")).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vs = sorted(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      assert(r.getAs[Long]("n_days") === 14L)
+      Seq(("p50_lo", 0.5), ("p90_lo", 0.9), ("p99_lo", 0.99)).foreach { case (c, q) =>
+        val lo = r.getAs[Long](c)
+        val exact = vs(math.ceil(q * vs.length).toInt - 1)
+        assert(exact >= lo && exact < lo + 5,
+          s"ceil-rank q=$q value $exact outside sketch bin [$lo, ${lo + 5})")
+      }
+    }
+  }
+
   test("q_agg_heavy_hitters: sketch path certifies on the fixture and matches full groupBy") {
     val (df, certified) = Relational.heavyHittersImpl(s, d)
     assert(certified, "fixture distribution should be certified by the MG bound")
