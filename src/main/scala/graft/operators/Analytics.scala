@@ -4881,6 +4881,94 @@ object Analytics {
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
 
+  /** The truss threshold: every surviving edge closes ≥ KTrussK − 2
+    * triangles WITHIN the surviving subgraph. A contract constant (it
+    * names the subgraph, like the betweenness horizon) — k = 10 peels the
+    * incidental co-purchase pairs off the basket-clique cores.
+    */
+  private val KTrussK = 10
+
+  /** Test seam: the staged co-purchase edge table (AnalyticsSpec replays
+    * the truss peel driver-side over these rows on every oracle tier). */
+  private[graft] def copurchaseEdgesForTest(s: SparkSession, d: String): DataFrame =
+    copurchaseEdges(s, d)
+
+  /** Triangle support of every edge WITHIN the given (a < b) edge set:
+    * one row per edge with ≥ 1 triangle, sup = |N(a) ∩ N(b)|. Two keyed
+    * equi-joins (neighbors of a; then match on (b, w)) + one edge-grain
+    * combinable count — the published parallel truss-peel round shape
+    * (Cohen's MapReduce truss): wedge rows are Σ_edges deg(a), never
+    * materialized beyond the join, and every shuffle is keyed. The
+    * degree-ordered orientation ([[graphTriangles]]) bounds a one-shot
+    * count tighter; the peel recomputes per round, where the plain keyed
+    * form keeps each round two joins with no adjacency rebuild.
+    */
+  private def trussSupport(e: DataFrame): DataFrame = {
+    val u = e.select(col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("b").as("v"), col("a").as("u")))
+    e.join(u.select(col("v").as("a"), col("u").as("w")), "a")
+      .join(u.select(col("v").as("b"), col("u").as("w")), Seq("b", "w"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+  }
+
+  /** q_graph_ktruss — K-TRUSS SUBGRAPH by support peeling (Cohen 2008;
+    * the r16 verdict ask): iteratively delete every co-purchase edge
+    * closing < k − 2 triangles within the survivors until the edge set is
+    * stable — the cohesive-subgraph extraction between "has a triangle"
+    * and "is a clique", the community-core primitive k-core degrees are
+    * too coarse for. Emits the k = 10 truss's edges with their
+    * within-truss support.
+    *
+    * Scale: each round is [[trussSupport]] (two keyed equi-joins + one
+    * combinable edge-grain count) + a threshold filter — no peel order,
+    * no priority queue, the parallel peeling recipe. The peel is
+    * MONOTONE (next ⊆ current), so an unchanged edge COUNT is an exact
+    * fixpoint test (no set compare needed) and rounds are provably
+    * bounded by |E|. Lineage cut per round, AQE pinned off, shuffle
+    * partitions sized to the edge table (the
+    * [[graphConnectedComponents]] iteration discipline). The oracle
+    * unrolls 12 support-recompute rounds — idempotent past the fixpoint;
+    * AnalyticsSpec re-checks the 12-round bound per oracle tier (the
+    * coreness guard discipline).
+    */
+  def graphKtruss(s: SparkSession, d: String): DataFrame = {
+    val edges0 = copurchaseEdges(s, d)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    try {
+      var e = edges0.select("a", "b").localCheckpoint(true)
+      var n = e.count()
+      // sized AFTER the first action (the staged build may run inside it)
+      // but before the loop's shuffles; restored in the finally
+      s.conf.set(partsKey, math.max(1L, n / 500000L).toString)
+      val maxRounds = n + 1
+      var rounds = 0
+      var converged = n == 0L
+      while (!converged) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          "truss peel failed to converge — each non-final round removes " +
+            "at least one edge, so rounds are bounded by |E|; state is corrupt")
+        val next = trussSupport(e)
+          .where(col("sup") >= KTrussK - 2).select("a", "b")
+          .localCheckpoint(true)
+        val m = next.count()
+        require(m <= n,
+          "truss peel grew the edge set — the peel is monotone; state is corrupt")
+        converged = m == n
+        e.unpersist()
+        e = next
+        n = m
+      }
+      trussSupport(e)
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("sup"))
+        .orderBy("part_a", "part_b")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
   // ---------------------------------------------- strongly connected comps
 
   /** The staged DIRECTED reorder graph: part a → part b when ≥ 2 customer
@@ -5395,6 +5483,7 @@ object Analytics {
     "q_graph_scc" -> graphScc _,
     "q_graph_coreness" -> graphCoreness _,
     "q_graph_betweenness" -> graphBetweenness _,
+    "q_graph_ktruss" -> graphKtruss _,
     "q_graph_random_walk" -> graphRandomWalk _,
     "q_graph_node2vec_walk" -> graphNode2vecWalk _,
     "q_graph_louvain_step" -> graphLouvainStep _,
@@ -5613,6 +5702,32 @@ object Analytics {
         rounds + " " +
         "SELECT CAST(node AS BIGINT) AS part, c AS coreness FROM c24 " +
         "ORDER BY part"
+    },
+    // the truss peel unrolled: 12 support-recompute rounds (sf0.01 reaches
+    // the fixpoint in 8; later rounds are idempotent — AnalyticsSpec
+    // re-checks the bound per tier), each round the same wedge join +
+    // HAVING threshold the engine runs
+    "q_graph_ktruss" -> {
+      val rounds = (1 to 12).map { i =>
+        s"e$i AS MATERIALIZED (SELECT c.a, c.b FROM e${i - 1} c " +
+          s"JOIN u${i - 1} n1 ON n1.v = c.a " +
+          s"JOIN u${i - 1} n2 ON n2.v = c.b AND n2.u = n1.u " +
+          s"GROUP BY 1, 2 HAVING count(*) >= ${KTrussK - 2}), " +
+          s"u$i AS MATERIALIZED (SELECT a AS v, b AS u FROM e$i " +
+          s"UNION ALL SELECT b, a FROM e$i)"
+      }.mkString(", ")
+      "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT b1.p AS a, b2.p AS b " +
+        "FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p), " +
+        "u0 AS MATERIALIZED (SELECT a AS v, b AS u FROM e0 " +
+        "UNION ALL SELECT b, a FROM e0), " +
+        rounds + " " +
+        "SELECT CAST(c.a AS BIGINT) AS part_a, CAST(c.b AS BIGINT) AS part_b, " +
+        "CAST(count(*) AS BIGINT) AS sup FROM e12 c " +
+        "JOIN u12 n1 ON n1.v = c.a " +
+        "JOIN u12 n2 ON n2.v = c.b AND n2.u = n1.u " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"
     },
     // the sampled Brandes DAG replayed: same staged graph, same md5-ranked
     // 8 sources, the 3-level multi-source BFS with σ path counts, and the

@@ -2886,4 +2886,54 @@ class AnalyticsSpec extends AnyFunSuite {
       s"engine betweenness diverged from the driver replay " +
         s"(got ${got.size} rows, want ${bc.size})")
   }
+
+  test("q_graph_ktruss: engine peel equals a driver replay; oracle unroll bound holds per tier") {
+    import scala.collection.mutable
+    // driver-side support peel, counting rounds to the fixpoint — the
+    // oracle pins 12 unrolled rounds (idempotent past the fixpoint), so
+    // the bound is RE-CHECKED on the spec tier AND the driver's sf0.01
+    // oracle tier (the coreness-guard discipline)
+    def peel(edges: Seq[(Long, Long)]): (Map[(Long, Long), Long], Int) = {
+      var cur = edges
+      var rounds = 0
+      var converged = cur.isEmpty
+      var sup = Map.empty[(Long, Long), Long]
+      def supports(es: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+        val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+        es.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, mutable.Set.empty) += b
+          adj.getOrElseUpdate(b, mutable.Set.empty) += a
+        }
+        es.map { case (a, b) =>
+          val (sm, lg) =
+            if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+          (a, b) -> sm.count(lg.contains).toLong
+        }.toMap
+      }
+      while (!converged) {
+        rounds += 1
+        assert(rounds <= 12, "truss peel needs > 12 rounds — oracle unroll too shallow")
+        sup = supports(cur)
+        val next = cur.filter(e => sup(e) >= 8L)
+        converged = next.size == cur.size
+        cur = next
+      }
+      (supports(cur).filter(_._2 > 0L), rounds)
+    }
+    Seq(d, "/root/testdata/sf0.01").distinct
+      .filter(t => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(t)))
+      .foreach { tier =>
+        val edges = Analytics.copurchaseEdgesForTest(s, tier).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val (want, rounds) = peel(edges)
+        assert(rounds >= 1 && want.nonEmpty, s"$tier: degenerate truss fixture")
+        if (tier == d) {
+          val got = Analytics.graphKtruss(s, tier).collect()
+            .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+          assert(got === want,
+            s"engine truss diverged from the driver peel " +
+              s"(got ${got.size} edges, want ${want.size})")
+        }
+      }
+  }
 }
