@@ -2545,6 +2545,92 @@ object Analytics {
       .orderBy("name_a", "name_b")
   }
 
+  /** q_er_resolve — the ENTITY-RESOLUTION FUNNEL end to end (r16 verdict
+    * ask): block → score → cluster → survivorship, composed from the
+    * proven stage kernels — [[joinFuzzyName]]'s lossless length-band
+    * blocking and thresholded Levenshtein scoring, [[ccLabels]]'s
+    * alternating-star connected components over the match graph, and a
+    * deterministic survivorship rule (the most-populous spelling, ties to
+    * the lexicographic minimum) — emitting the AUDIT LEDGER every
+    * production ER pipeline is judged by: one row per stage with its
+    * row count, so reviewers see exactly where candidates were cut.
+    *
+    * Scale: every stage runs at VOCABULARY grain (distinct names), never
+    * record grain — the record table contributes one hash agg up front
+    * and its counts ride the name rows. Blocking bounds candidates by
+    * length-band equi-join (no all-pairs); clustering runs on the matched
+    * PAIRS only (≪ names); survivorship is one component-keyed window.
+    * Name-grain frames are lineage-cut once and feed all ledger counts.
+    * The oracle replays the full funnel — blocking, scoring, a recursive-
+    * CTE closure, survivorship, and all eight ledger counts.
+    */
+  def erResolve(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("nid"))
+      .localCheckpoint(true)
+    // BLOCK: edit distance ≤ 2 implies |len(a)−len(b)| ≤ 2, so one side
+    // replicates into the 5 adjacent length buckets (lossless blocking)
+    val probe = names.select(col("name").as("name_a"), col("nid").as("nid_a"),
+      explode(expr("sequence(length(name) - 2, length(name) + 2)")).as("cand_len"))
+    val build = names.select(col("name").as("name_b"), col("nid").as("nid_b"),
+      length(col("name")).as("cand_len"))
+    val cand = probe.join(build, "cand_len")
+      .where(col("name_a") < col("name_b"))
+      .select("name_a", "nid_a", "name_b", "nid_b")
+      .localCheckpoint(true)
+    // SCORE: the exact residual filter on the blocked candidates
+    val matched = cand
+      .where(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .localCheckpoint(true)
+    // CLUSTER: components of the match graph (alternating-star kernel,
+    // O(log² n) rounds), run under the iteration confs on the tiny
+    // pair-grain graph
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, "1")
+    val comps =
+      try ccLabels(s, matched.select(col("nid_a").as("a"), col("nid_b").as("b")))
+        .localCheckpoint(true)
+      finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+    val resolved = names
+      .join(comps.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+      .select(col("name"), col("n_parts"),
+        coalesce(col("component"), col("nid")).as("component"))
+      .localCheckpoint(true)
+    // SURVIVORSHIP: canonical spelling per cluster = most parts, then
+    // lexicographic min — one component-keyed window
+    val reps = resolved
+      .withColumn("rk", row_number().over(Window.partitionBy("component")
+        .orderBy(col("n_parts").desc, col("name"))))
+      .where(col("rk") === 1)
+      .select(col("component"), col("name").as("canon"))
+    val mapping = resolved.join(reps, "component")
+      .select("name", "n_parts", "canon")
+      .localCheckpoint(true)
+    // the audit ledger: one row per funnel stage
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.select(lit(stage).as("stage"), col("n"))
+    row("1_parts", names.agg(sum(col("n_parts")).as("n")))
+      .unionByName(row("2_names", names.agg(count(lit(1)).as("n"))))
+      .unionByName(row("3_candidate_pairs", cand.agg(count(lit(1)).as("n"))))
+      .unionByName(row("4_matched_pairs", matched.agg(count(lit(1)).as("n"))))
+      .unionByName(row("5_clusters_multi",
+        resolved.groupBy("component").agg(count(lit(1)).as("sz"))
+          .where(col("sz") >= 2).agg(count(lit(1)).as("n"))))
+      .unionByName(row("6_names_merged",
+        mapping.where(col("name") =!= col("canon")).agg(count(lit(1)).as("n"))))
+      .unionByName(row("7_parts_merged",
+        mapping.where(col("name") =!= col("canon"))
+          .agg(coalesce(sum(col("n_parts")), lit(0L)).as("n"))))
+      .unionByName(row("8_entities",
+        mapping.agg(countDistinct(col("canon")).as("n"))))
+      .orderBy("stage")
+  }
+
   // ------------------------------------------------------------- seq match
 
   /** q_seq_prefixspan — FREQUENT SEQUENTIAL PATTERN MINING (PrefixSpan,
@@ -5530,6 +5616,7 @@ object Analytics {
     "q_agg_rfm" -> aggRfm _,
     "q_event_transition" -> eventTransition _,
     "q_join_fuzzy_name" -> joinFuzzyName _,
+    "q_er_resolve" -> erResolve _,
     "q_join_spatial_grid" -> joinSpatialGrid _,
     "q_corpus_mix_epochs" -> corpusMixEpochs _,
     "q_graph_bfs" -> graphBfs _,
@@ -6800,6 +6887,47 @@ object Analytics {
         "FROM nm a JOIN nm b ON a.p_name < b.p_name " +
         "WHERE levenshtein(a.p_name, b.p_name) <= 2 " +
         "ORDER BY name_a, name_b"),
+    // the full funnel replayed: length-band blocking, Levenshtein scoring,
+    // a recursive-CTE closure over the match graph, survivorship, and all
+    // eight ledger counts
+    "q_er_resolve" ->
+      ("WITH RECURSIVE names AS (SELECT p_name AS name, " +
+        "CAST(count(*) AS BIGINT) AS n_parts, " +
+        "CAST(min(p_partkey) AS BIGINT) AS nid FROM part GROUP BY 1), " +
+        "cand AS (SELECT a.name AS name_a, a.nid AS nid_a, " +
+        "b.name AS name_b, b.nid AS nid_b FROM names a JOIN names b " +
+        "ON length(b.name) >= length(a.name) - 2 " +
+        "AND length(b.name) <= length(a.name) + 2 AND a.name < b.name), " +
+        "matched AS (SELECT * FROM cand " +
+        "WHERE levenshtein(name_a, name_b) <= 2), " +
+        "e AS (SELECT nid_a AS u, nid_b AS v FROM matched " +
+        "UNION ALL SELECT nid_b, nid_a FROM matched), " +
+        "reach(node, m) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) " +
+        "UNION SELECT r.node, e.v FROM reach r JOIN e ON e.u = r.m), " +
+        "comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node), " +
+        "resolved AS (SELECT n.name, n.n_parts, " +
+        "coalesce(c.component, n.nid) AS component " +
+        "FROM names n LEFT JOIN comp c ON c.node = n.nid), " +
+        "reps AS (SELECT component, name AS canon FROM (" +
+        "SELECT component, name, row_number() OVER (PARTITION BY component " +
+        "ORDER BY n_parts DESC, name) AS rk FROM resolved) WHERE rk = 1), " +
+        "mapping AS (SELECT r.name, r.n_parts, p.canon FROM resolved r " +
+        "JOIN reps p ON p.component = r.component) " +
+        "SELECT stage, n FROM (" +
+        "SELECT '1_parts' AS stage, CAST(sum(n_parts) AS BIGINT) AS n FROM names " +
+        "UNION ALL SELECT '2_names', CAST(count(*) AS BIGINT) FROM names " +
+        "UNION ALL SELECT '3_candidate_pairs', CAST(count(*) AS BIGINT) FROM cand " +
+        "UNION ALL SELECT '4_matched_pairs', CAST(count(*) AS BIGINT) FROM matched " +
+        "UNION ALL SELECT '5_clusters_multi', CAST(count(*) AS BIGINT) FROM (" +
+        "SELECT component FROM resolved GROUP BY component " +
+        "HAVING count(*) >= 2) " +
+        "UNION ALL SELECT '6_names_merged', CAST(count(*) AS BIGINT) " +
+        "FROM mapping WHERE name <> canon " +
+        "UNION ALL SELECT '7_parts_merged', " +
+        "CAST(coalesce(sum(n_parts), 0) AS BIGINT) " +
+        "FROM mapping WHERE name <> canon " +
+        "UNION ALL SELECT '8_entities', CAST(count(DISTINCT canon) AS BIGINT) " +
+        "FROM mapping) ORDER BY stage"),
     // the naive O(N·M) cross-product formulation the grid join replaces
     "q_join_spatial_grid" ->
       ("WITH c AS (SELECT c_custkey, (c_custkey * 2654435761) % 10000 AS cx, " +

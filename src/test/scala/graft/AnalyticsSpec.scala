@@ -2887,6 +2887,61 @@ class AnalyticsSpec extends AnyFunSuite {
         s"(got ${got.size} rows, want ${bc.size})")
   }
 
+  test("q_er_resolve: the ledger equals a driver-side funnel replay and conserves names") {
+    import scala.collection.mutable
+    val parts = graft.Tables(s, d, "part").select("p_partkey", "p_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val names = parts.groupBy(_._2).map { case (n, ps) => n -> ps.length.toLong }
+    val keys = names.keys.toSeq.sorted
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      (1 to b.length).foreach { j =>
+        var prev = dp(0); dp(0) = j
+        (1 to a.length).foreach { i =>
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val cand = for {
+      a <- keys; b <- keys
+      if a < b && math.abs(a.length - b.length) <= 2
+    } yield (a, b)
+    val matched = cand.filter { case (a, b) => lev(a, b) <= 2 }
+    // union-find over matched names
+    val par = mutable.Map(keys.map(k => k -> k): _*)
+    def find(x: String): String =
+      if (par(x) == x) x else { par(x) = find(par(x)); par(x) }
+    matched.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) par(ra) = rb
+    }
+    val clusters = keys.groupBy(find)
+    val canon = clusters.values.flatMap { ms =>
+      val c = ms.sortBy(m => (-names(m), m)).head // count desc, name asc
+      ms.map(_ -> c)
+    }.toMap
+    val merged = keys.filter(k => canon(k) != k)
+    val want = Seq(
+      "1_parts" -> names.values.sum,
+      "2_names" -> keys.length.toLong,
+      "3_candidate_pairs" -> cand.length.toLong,
+      "4_matched_pairs" -> matched.length.toLong,
+      "5_clusters_multi" -> clusters.values.count(_.length >= 2).toLong,
+      "6_names_merged" -> merged.length.toLong,
+      "7_parts_merged" -> merged.map(names).sum,
+      "8_entities" -> clusters.size.toLong)
+    val got = Analytics.erResolve(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === want, s"ledger diverged:\ngot  $got\nwant $want")
+    // conservation: every name is either merged away or a surviving entity
+    val ledger = got.toMap
+    assert(ledger("2_names") === ledger("6_names_merged") + ledger("8_entities"))
+    assert(ledger("4_matched_pairs") <= ledger("3_candidate_pairs"))
+  }
+
   test("q_graph_ktruss: engine peel equals a driver replay; oracle unroll bound holds per tier") {
     import scala.collection.mutable
     // driver-side support peel, counting rounds to the fixpoint — the
