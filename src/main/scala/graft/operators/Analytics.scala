@@ -361,6 +361,94 @@ object Analytics {
       .orderBy("acct")
   }
 
+  /** q_timeseries_ar — AR(2) FORECASTING per account by EXACT INTEGER
+    * ordinary least squares (r16 verdict ask): fit x_t = c + φ₁x_{t−1} +
+    * φ₂x_{t−2} on the monthly series via the normal equations, solved by
+    * 3×3 Cramer determinants over the NINE integer sufficient statistics
+    * (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y — the
+    * [[graft.operators.Scalars.aggGroupedFit]] doctrine lifted to two
+    * regressors), coefficients emitted in integer micro-units with
+    * truncating division so both engines replay the solve bit-identically.
+    * Scored in [[timeseriesBacktest]]'s MASE frame: in-sample one-step MAE
+    * vs the one-month-naive baseline on the SAME eval rows, directly
+    * comparable to the SES / Holt-Winters rows.
+    *
+    * Units are integer KILODOLLARS (cents div 100000): determinant terms
+    * are O(n³x⁵), and the kilodollar rescale keeps 10⁶·det inside
+    * DECIMAL(38,0)/HUGEINT through the sf0.1 bench tier (~10³⁴) — the
+    * declared unit-rescale doctrine for second-and-higher moments; at
+    * larger tiers rescale units again (the fit is scale-equivariant).
+    * Degenerate (singular) systems pin coefficients to NULL via
+    * nullif(det, 0) in both engines.
+    *
+    * Scale: the corpus scan is absorbed by the monthly rollup; lag
+    * features are ONE account-keyed ordered window
+    * ([[windowLagFeatures]]); the fit is one account-grain aggregate of
+    * nine combinable integer sums (O(1) state per group, any row order);
+    * the eval joins the account-grain model back by broadcast.
+    */
+  def timeseriesAr(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(expr("sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) div 100000")
+        .as("x"))
+    val w = Window.partitionBy("acct").orderBy("mon")
+    val rows = obs
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .withColumn("x2", lag(col("x"), 2).over(w))
+      .where(col("x2").isNotNull)
+    // nine sufficient statistics, all exact Longs (map-side combinable)
+    val stats = rows.groupBy("acct").agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x")).as("sy"),
+      sum(expr("x1 * x1")).as("s11"), sum(expr("x2 * x2")).as("s22"),
+      sum(expr("x1 * x2")).as("s12"),
+      sum(expr("x1 * x")).as("s1y"), sum(expr("x2 * x")).as("s2y"))
+      .where(col("n") >= 10)
+    // 3×3 Cramer in DECIMAL(38,0) — the second-moment width doctrine
+    def dc(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    val det =
+      s"(${dc("n")} * (${dc("s11")} * ${dc("s22")} - ${dc("s12")} * ${dc("s12")}) " +
+        s"- ${dc("s1")} * (${dc("s1")} * ${dc("s22")} - ${dc("s12")} * ${dc("s2")}) " +
+        s"+ ${dc("s2")} * (${dc("s1")} * ${dc("s12")} - ${dc("s11")} * ${dc("s2")}))"
+    val detC =
+      s"(${dc("sy")} * (${dc("s11")} * ${dc("s22")} - ${dc("s12")} * ${dc("s12")}) " +
+        s"- ${dc("s1")} * (${dc("s1y")} * ${dc("s22")} - ${dc("s12")} * ${dc("s2y")}) " +
+        s"+ ${dc("s2")} * (${dc("s1y")} * ${dc("s12")} - ${dc("s11")} * ${dc("s2y")}))"
+    val detP1 =
+      s"(${dc("n")} * (${dc("s1y")} * ${dc("s22")} - ${dc("s12")} * ${dc("s2y")}) " +
+        s"- ${dc("sy")} * (${dc("s1")} * ${dc("s22")} - ${dc("s12")} * ${dc("s2")}) " +
+        s"+ ${dc("s2")} * (${dc("s1")} * ${dc("s2y")} - ${dc("s1y")} * ${dc("s2")}))"
+    val detP2 =
+      s"(${dc("n")} * (${dc("s11")} * ${dc("s2y")} - ${dc("s1y")} * ${dc("s12")}) " +
+        s"- ${dc("s1")} * (${dc("s1")} * ${dc("s2y")} - ${dc("s1y")} * ${dc("s2")}) " +
+        s"+ ${dc("sy")} * (${dc("s1")} * ${dc("s12")} - ${dc("s11")} * ${dc("s2")}))"
+    val model = stats.select(col("acct"), col("n"),
+      expr(s"CAST((1000000 * $detC) div nullif($det, 0) AS BIGINT)").as("c_micro"),
+      expr(s"CAST((1000000 * $detP1) div nullif($det, 0) AS BIGINT)").as("phi1_micro"),
+      expr(s"CAST((1000000 * $detP2) div nullif($det, 0) AS BIGINT)").as("phi2_micro"))
+    // eval on the SAME rows the fit used: one-step AR prediction vs the
+    // one-month-naive baseline, the backtest harness's MASE frame
+    rows.join(broadcast(model), "acct")
+      .select(col("acct"), col("n"),
+        col("c_micro"), col("phi1_micro"), col("phi2_micro"),
+        col("x"), col("x1"), col("x2"))
+      .withColumn("pred",
+        expr("(c_micro + phi1_micro * x1 + phi2_micro * x2) div 1000000"))
+      .groupBy("acct", "n", "c_micro", "phi1_micro", "phi2_micro")
+      .agg(sum(abs(col("x") - col("pred"))).as("sae_ar"),
+        sum(abs(col("x") - col("x1"))).as("sae_naive"))
+      .select(col("acct"), col("n"),
+        col("c_micro"), col("phi1_micro"), col("phi2_micro"),
+        expr("sae_ar div n").as("mae_ar"),
+        expr("sae_naive div n").as("mae_naive"),
+        expr("(1000000 * (sae_ar div n)) div nullif(sae_naive div n, 0)")
+          .as("mase_micro"))
+      .orderBy("acct")
+  }
+
   /** q_timeseries_dtw — DYNAMIC-TIME-WARPING similarity of every account's
     * monthly revenue trajectory to the anchor account (acct 0): the
     * trajectory-similarity primitive behind "which accounts move like
@@ -5647,6 +5735,7 @@ object Analytics {
     "q_timeseries_backtest" -> timeseriesBacktest _,
     "q_timeseries_ses" -> timeseriesSes _,
     "q_timeseries_holt_winters" -> timeseriesHoltWinters _,
+    "q_timeseries_ar" -> timeseriesAr _,
     "q_timeseries_dtw" -> timeseriesDtw _,
     "q_agg_chisq" -> aggChisq _,
     "q_agg_moments" -> aggMoments _,
@@ -7351,6 +7440,54 @@ object Analytics {
         "SELECT acct, n AS n_mon, k AS split_k, mon AS split_mon, t_stat, " +
         "s_k // k AS mean_before, (s_n - s_k) // (n - k) AS mean_after " +
         "FROM rk WHERE rk = 1 ORDER BY acct"),
+    // the exact-integer normal-equation solve replayed: same kilodollar
+    // rollup, same nine sufficient statistics, same 3×3 Cramer
+    // determinants in HUGEINT, same truncating micro division, same
+    // in-sample MASE frame
+    "q_timeseries_ar" -> {
+      def det3(r1: (String, String, String), r2: (String, String, String),
+          r3: (String, String, String)): String =
+        s"(${r1._1} * (${r2._2} * ${r3._3} - ${r2._3} * ${r3._2}) " +
+          s"- ${r1._2} * (${r2._1} * ${r3._3} - ${r2._3} * ${r3._1}) " +
+          s"+ ${r1._3} * (${r2._1} * ${r3._2} - ${r2._2} * ${r3._1}))"
+      val det = det3(("n", "s1", "s2"), ("s1", "s11", "s12"), ("s2", "s12", "s22"))
+      val detC = det3(("sy", "s1", "s2"), ("s1y", "s11", "s12"), ("s2y", "s12", "s22"))
+      val detP1 = det3(("n", "sy", "s2"), ("s1", "s1y", "s12"), ("s2", "s2y", "s22"))
+      val detP2 = det3(("n", "s1", "sy"), ("s1", "s11", "s1y"), ("s2", "s12", "s2y"))
+      "WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
+        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) // 100000 AS x " +
+        "FROM orders GROUP BY 1, 2), " +
+        "lagged AS (SELECT acct, x, " +
+        "lag(x, 1) OVER (PARTITION BY acct ORDER BY mon) AS x1, " +
+        "lag(x, 2) OVER (PARTITION BY acct ORDER BY mon) AS x2 FROM obs), " +
+        "fitrows AS (SELECT * FROM lagged WHERE x2 IS NOT NULL), " +
+        "stats AS (SELECT acct, CAST(count(*) AS HUGEINT) AS n, " +
+        "CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2, " +
+        "CAST(sum(x) AS HUGEINT) AS sy, " +
+        "CAST(sum(x1 * x1) AS HUGEINT) AS s11, " +
+        "CAST(sum(x2 * x2) AS HUGEINT) AS s22, " +
+        "CAST(sum(x1 * x2) AS HUGEINT) AS s12, " +
+        "CAST(sum(x1 * x) AS HUGEINT) AS s1y, " +
+        "CAST(sum(x2 * x) AS HUGEINT) AS s2y " +
+        "FROM fitrows GROUP BY acct HAVING count(*) >= 10), " +
+        "model AS (SELECT acct, CAST(n AS BIGINT) AS n, " +
+        s"CAST((1000000 * $detC) // nullif($det, 0) AS BIGINT) AS c_micro, " +
+        s"CAST((1000000 * $detP1) // nullif($det, 0) AS BIGINT) AS phi1_micro, " +
+        s"CAST((1000000 * $detP2) // nullif($det, 0) AS BIGINT) AS phi2_micro " +
+        "FROM stats), " +
+        "ev AS (SELECT r.acct, m.n, m.c_micro, m.phi1_micro, m.phi2_micro, " +
+        "r.x, r.x1, (m.c_micro + m.phi1_micro * r.x1 + m.phi2_micro * r.x2) " +
+        "// 1000000 AS pred " +
+        "FROM fitrows r JOIN model m ON m.acct = r.acct) " +
+        "SELECT acct, n, c_micro, phi1_micro, phi2_micro, " +
+        "CAST(sum(abs(x - pred)) // n AS BIGINT) AS mae_ar, " +
+        "CAST(sum(abs(x - x1)) // n AS BIGINT) AS mae_naive, " +
+        "CAST((1000000 * (sum(abs(x - pred)) // n)) // " +
+        "nullif(sum(abs(x - x1)) // n, 0) AS BIGINT) AS mase_micro " +
+        "FROM ev GROUP BY acct, n, c_micro, phi1_micro, phi2_micro " +
+        "ORDER BY acct"
+    },
     "q_timeseries_ses" ->
       ("WITH RECURSIVE obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
