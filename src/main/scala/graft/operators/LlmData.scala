@@ -2610,6 +2610,224 @@ object LlmData {
     }
   }
 
+  /** JVM-lifetime cache of the OPQ model (rotations + rebuilt codebooks),
+    * keyed by the fixture fingerprint like [[pqCodebook]].
+    */
+  private val opqCache = new java.util.concurrent.ConcurrentHashMap[String,
+    (Array[Array[Array[Float]]], Array[Array[Array[Float]]],
+      Seq[(Int, Int, Double, Double)], Long, Long)]()
+
+  /** The OPQ step's model — one Procrustes-statistics pass + one grouped
+    * mean pass, both engine-side aggregates with control-plane collects:
+    *
+    *   1. Encode under the frozen trained codebook; against the assigned
+    *      reconstruction c*(x) aggregate the exact integer-micro
+    *      alignment sums T_g = Σ round(x_g·c*_g·10⁶) and, for the 64
+    *      cross-subspace candidate pairs (p, q) = (dim i of subspace j,
+    *      dim i of subspace j+1 mod m — 8 disjoint rings), the torque
+    *      B = Σ [round(x_p·c*_q·10⁶) − round(x_q·c*_p·10⁶)].
+    *   2. LOCAL-MAX matching picks a deterministic disjoint pair set
+    *      without a sequential greedy: a candidate is accepted iff its
+    *      (|B|, j) key strictly exceeds both ring neighbours' keys —
+    *      local maxima of a total order are never adjacent, so accepted
+    *      pairs never share a dimension, and each ring's global max
+    *      guarantees ≥ 1 acceptance. Per accepted pair the RESTRICTED
+    *      PROCRUSTES angle (Ge et al.'s R-step confined to one Givens
+    *      plane): (c, s) = (A, B)/√(A²+B²) with A = T_p + T_q EXACTLY
+    *      minimizes Σ‖Rx − c*(x)‖² over the pair's rotations — identity
+    *      scores A, the optimum √(A²+B²) ≥ A (strict, B ≠ 0), so the
+    *      rotation is PROVABLY non-increasing before the C-step even
+    *      runs. Computed from the two integer sums via +,×,/,√ only —
+    *      every step correctly rounded IEEE, so DuckDB rebuilds
+    *      bit-identical (c, s) from the same integers.
+    *   3. One Lloyd C-step under FROZEN assignments, twice: per-(j, code)
+    *      means of the original subvectors (the pure-Lloyd baseline) and
+    *      of the ROTATED subvectors (the OPQ path), from exact
+    *      integer-micro element sums (the [[retrainedCentroids]]
+    *      order-free doctrine); empty codes keep their frozen centroid.
+    *      Each coordinate's group mean minimizes that coordinate's SSE,
+    *      so the chain rotate → re-mean → re-encode is monotone
+    *      non-increasing end to end.
+    *
+    * Returns (cbLloyd, cbOpq, rotations, e0Total, nVecs).
+    */
+  private def opqModel(s: SparkSession, d: String)
+      : (Array[Array[Array[Float]]], Array[Array[Array[Float]]],
+        Seq[(Int, Int, Double, Double)], Long, Long) =
+    opqCache.computeIfAbsent(graft.Fixtures.datasetTag(d, "embeddings", "opq1"), _ => {
+      graft.functions.GraftFunctions.register(s)
+      val cb = pqCentroids(s, d)
+      val sub = cb(0)(0).length
+      val dims = pqM * sub
+      val best = t(s, d, "embeddings")
+        .select(col("vec_id") +: col("embedding") +: pqBestCols(cb): _*)
+      val cbLit = (0 until pqM).map(j => typedlit(cb(j).map(_.toSeq).toSeq))
+      // assigned-centroid component for global dim g (the frozen code's
+      // reconstruction), as a double
+      def ceExpr(g: Int): Column = {
+        val j = g / sub
+        element_at(element_at(cbLit(j), col(s"best_$j").getField("c") + 1),
+          g % sub + 1).cast("double")
+      }
+      def xExpr(g: Int): Column = col("embedding").getItem(g).cast("double")
+      val errCols = (0 until pqM).map { j =>
+        val xs = expr(s"slice(embedding, ${j * sub + 1}, $sub)")
+        round((VectorOps.dot(xs, xs) + col(s"best_$j").getField("s")) * 1000000, 0)
+          .cast("long")
+      }
+      val withR = best
+        .withColumn("xce", array((0 until dims).map(g =>
+          round(xExpr(g) * ceExpr(g) * 1000000, 0).cast("long")): _*))
+        .withColumn("e0j", errCols.reduce(_ + _))
+      val cands = for { j <- 0 until pqM; i <- 0 until sub }
+        yield (j, i, j * sub + i, ((j + 1) % pqM) * sub + i)
+      // T_g = Σ round(x_g·c*_g·10⁶); B_(p,q) = Σ [round(x_p·c*_q·10⁶) −
+      // round(x_q·c*_p·10⁶)] — the exact integer inputs to the restricted
+      // Procrustes angle (A = T_p + T_q, maximize c·A + s·B)
+      val crossB = cands.map { case (j, i, p, q) =>
+        sum(round(xExpr(p) * ceExpr(q) * 1000000, 0).cast("long") -
+          round(xExpr(q) * ceExpr(p) * 1000000, 0).cast("long")).as(s"b_${j}_$i")
+      }
+      val aggs =
+        (0 until dims).map(g => sum(col("xce").getItem(g)).as(s"t_$g")) ++
+          crossB ++ Seq(sum(col("e0j")).as("e0"), count(lit(1)).as("nv"))
+      val a = withR.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val tg = (0 until dims).map(g => a.getLong(a.fieldIndex(s"t_$g")))
+      def bv(j: Int, i: Int): Long = a.getLong(a.fieldIndex(s"b_${j}_$i"))
+      val e0 = a.getLong(a.fieldIndex("e0"))
+      val nv = a.getLong(a.fieldIndex("nv"))
+      val ord = Ordering.Tuple2[Long, Int]
+      def key(j: Int, i: Int): (Long, Int) = (math.abs(bv(j, i)), j)
+      val accepted = cands.filter { case (j, i, _, _) =>
+        bv(j, i) != 0L &&
+          ord.gt(key(j, i), key((j + pqM - 1) % pqM, i)) &&
+          ord.gt(key(j, i), key((j + 1) % pqM, i))
+      }
+      val rots = accepted.map { case (j, i, p, q) =>
+        // (c, s) = (A, B)/√(A²+B²) maximizes c·A + s·B over the circle —
+        // the exact Procrustes solution restricted to this Givens pair;
+        // gain √(A²+B²) − A ≥ 0, strict because B ≠ 0
+        val aa = (tg(p) + tg(q)).toDouble
+        val bb = bv(j, i).toDouble
+        val hyp = math.sqrt(aa * aa + bb * bb)
+        (p, q, aa / hyp, bb / hyp)
+      }
+      val byP = rots.map(r => r._1 -> r).toMap
+      val byQ = rots.map(r => r._2 -> r).toMap
+      def xpExpr(g: Int): Column = (byP.get(g), byQ.get(g)) match {
+        case (Some((p, q, c0, s0)), _) =>
+          (lit(c0) * col("embedding").getItem(p).cast("double") -
+            lit(s0) * col("embedding").getItem(q).cast("double")).cast("float")
+        case (_, Some((p, q, c0, s0))) =>
+          (lit(s0) * col("embedding").getItem(p).cast("double") +
+            lit(c0) * col("embedding").getItem(q).cast("double")).cast("float")
+        case _ => col("embedding").getItem(g)
+      }
+      // pass 2: per-(j, code) exact micro sums of x and x′ under the
+      // FROZEN assignments — one exploded keyed aggregate
+      val perJ = (0 until pqM).map { j =>
+        struct(lit(j).as("j"), col(s"best_$j").getField("c").as("code"),
+          array((0 until sub).map(i =>
+            round(col("embedding").getItem(j * sub + i).cast("double") * 1000000,
+              0)): _*).as("xm"),
+          array((0 until sub).map(i =>
+            round(xpExpr(j * sub + i).cast("double") * 1000000, 0)): _*).as("xpm"))
+      }
+      val gsums = best.select(explode(array(perJ: _*)).as("s")).select("s.*")
+        .groupBy("j", "code")
+        .agg(count(lit(1)).as("n"),
+          ((0 until sub).map(i => sum(col("xm").getItem(i)).as(s"sx_$i")) ++
+            (0 until sub).map(i => sum(col("xpm").getItem(i)).as(s"sp_$i"))): _*)
+        .collect()
+      def rebuilt(pfx: String): Array[Array[Array[Float]]] = {
+        val out = Array.tabulate(pqM, pqKs)((j, c) => cb(j)(c).clone)
+        gsums.foreach { r =>
+          val j = r.getInt(r.fieldIndex("j"))
+          val c = r.getInt(r.fieldIndex("code"))
+          val n = r.getLong(r.fieldIndex("n"))
+          out(j)(c) = Array.tabulate(sub)(i =>
+            (r.getDouble(r.fieldIndex(s"${pfx}_$i")) / n / 1000000.0).toFloat)
+        }
+        out
+      }
+      (rebuilt("sx"), rebuilt("sp"), rots, e0, nv)
+    })
+
+  /** The rotated-corpus frame (x′ = R·x cast back to float, identity off
+    * the accepted pairs) and the rotation list — the spec's seam for the
+    * ADC-recall re-score.
+    */
+  private[graft] def opqRotated(s: SparkSession, d: String): DataFrame = {
+    val (_, _, rots, _, _) = opqModel(s, d)
+    val cb = pqCentroids(s, d)
+    val dims = pqM * cb(0)(0).length
+    val byP = rots.map(r => r._1 -> r).toMap
+    val byQ = rots.map(r => r._2 -> r).toMap
+    def xpExpr(g: Int): Column = (byP.get(g), byQ.get(g)) match {
+      case (Some((p, q, c0, s0)), _) =>
+        (lit(c0) * col("embedding").getItem(p).cast("double") -
+          lit(s0) * col("embedding").getItem(q).cast("double")).cast("float")
+      case (_, Some((p, q, c0, s0))) =>
+        (lit(s0) * col("embedding").getItem(p).cast("double") +
+          lit(c0) * col("embedding").getItem(q).cast("double")).cast("float")
+      case _ => col("embedding").getItem(g)
+    }
+    t(s, d, "embeddings").select(col("vec_id"),
+      array((0 until dims).map(xpExpr): _*).as("embedding"))
+  }
+
+  private[graft] def opqModelForTest(s: SparkSession, d: String)
+      : (Array[Array[Array[Float]]], Array[Array[Array[Float]]],
+        Seq[(Int, Int, Double, Double)]) = {
+    val (cbL, cbO, rots, _, _) = opqModel(s, d)
+    (cbL, cbO, rots)
+  }
+
+  /** q_simsearch_opq — ONE OPQ ROTATION REFINEMENT over PQ residuals
+    * (Ge et al., "Optimized Product Quantization", CVPR 2013 — the
+    * alternating R-step/C-step, with the R-step restricted to exact
+    * single-Givens Procrustes rotations on disjoint cross-subspace dim
+    * pairs so the whole refinement is deterministic and
+    * DuckDB-replayable; the r16 verdict ask). Audit shape mirrors
+    * [[simsearchRetrain]]: the SAME reconstruction-error measure under
+    * three codebooks side by side — frozen, pure-Lloyd C-step (the
+    * rotation's marginal value is visible against this, not against
+    * frozen), and rotation + C-step. Both refits are PROVABLY ≤ frozen
+    * (the restricted Procrustes angle maximizes the alignment term
+    * exactly; the mean minimizes within-group SSE; re-encode only
+    * decreases), and the spec additionally re-scores ADC recall frozen
+    * vs rotated against the exact scan (rotation is orthogonal, so the
+    * exact ground truth is invariant).
+    *
+    * Scale: pass 1 is one corpus scan with codegen'd encode + 128
+    * combinable integer aggregates; pass 2 one exploded keyed aggregate
+    * at (m × ks) grain; the model is control-plane (≤ m·ks·sub floats);
+    * re-scoring is the [[embedPq]] scan twice. Nothing corpus-grain ever
+    * lands on the driver — the [[simsearchRetrain]] shape exactly.
+    */
+  def simsearchOpq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (cbL, cbO, rots, e0, nv) = opqModel(s, d)
+    val sub = cbL(0)(0).length
+    def errSum(frame: DataFrame, cbX: Array[Array[Array[Float]]]): Long = {
+      val b = frame.select(col("embedding") +: pqBestCols(cbX): _*)
+      val ec = (0 until pqM).map { j =>
+        val xs = expr(s"slice(embedding, ${j * sub + 1}, $sub)")
+        round((VectorOps.dot(xs, xs) + col(s"best_$j").getField("s")) * 1000000, 0)
+          .cast("long")
+      }
+      b.select(ec.reduce(_ + _).as("e")).agg(sum(col("e"))).first().getLong(0)
+    }
+    val eL = errSum(t(s, d, "embeddings"), cbL)
+    val eO = errSum(opqRotated(s, d), cbO)
+    import s.implicits._
+    Seq(("a_frozen", nv, 0L, e0), ("b_lloyd", nv, 0L, eL),
+      ("c_opq", nv, rots.length.toLong, eO))
+      .toDF("variant", "n_vecs", "n_rot", "err_total_micro")
+      .withColumn("err_mean_micro", expr("err_total_micro div n_vecs"))
+      .orderBy("variant")
+  }
+
   /** q_simsearch_ivfpq — the composed FAISS-style IVFADC pipeline: IVF
     * routing prunes WHICH cells are read (static partition pruning over
     * the staged index, ~⅛ of the files), and inside the probed cells the
@@ -9078,6 +9296,7 @@ object LlmData {
     "q_simsearch_filtered" -> simsearchFiltered _,
     "q_embed_pq" -> embedPq _,
     "q_simsearch_pq_adc" -> simsearchPqAdc _,
+    "q_simsearch_opq" -> simsearchOpq _,
     "q_simsearch_ivfpq" -> simsearchIvfPq _,
     "q_simsearch_ivfpq_full" -> simsearchIvfPqFull _,
     "q_simsearch_batch" -> simsearchBatch _,
@@ -9407,6 +9626,105 @@ object LlmData {
   private def pqAdcSql: String =
     s"WITH $pqAdcCtes SELECT vec_id, adc_micro FROM adc " +
       "ORDER BY adc_micro, vec_id LIMIT 20"
+
+  /** DuckDB replay of the OPQ step end to end: rebuild the trained
+    * codebook + frozen codes ([[pqSqlCtes]]), derive the exact
+    * integer-micro alignment sums T_g and cross-subspace ring torques B,
+    * the local-max disjoint pair selection (row-value comparison — never
+    * a sequential greedy), the restricted-Procrustes (c, s) =
+    * (A, B)/√(A²+B²) from the same integer sums, the rotated corpus,
+    * BOTH C-step codebooks from exact micro means under frozen
+    * assignments, and both re-encodes. Dims are pinned 64 = 8×8 (the
+    * fixture contract, like the binary oracle's range(1, 65)).
+    */
+  private def opqSql: String = {
+    def encodeChain(src: String, vecCol: String, cbn: String, sfx: String): String =
+      s"sub$sfx AS (SELECT e.vec_id AS vec_id, c.j AS j, c.c AS c, " +
+        s"e.$vecCol[c.j*8+1 : (c.j+1)*8] AS xs, c.ce AS ce " +
+        s"FROM $src e CROSS JOIN $cbn c), " +
+        s"sc$sfx AS (SELECT vec_id, j, c, (${VectorOps.sqlDot("ce", "ce")} " +
+        s"- 2.0 * ${VectorOps.sqlDot("xs", "ce")}) AS score, " +
+        s"${VectorOps.sqlDot("xs", "xs")} AS xx FROM sub$sfx), " +
+        s"m$sfx AS (SELECT vec_id, j, score, xx, " +
+        s"row_number() OVER (PARTITION BY vec_id, j ORDER BY score, c) AS rk " +
+        s"FROM sc$sfx), " +
+        s"best$sfx AS (SELECT vec_id, j, " +
+        "CAST(round((xx + score) * 1000000, 0) AS BIGINT) AS err_j " +
+        s"FROM m$sfx WHERE rk = 1)"
+    s"WITH $pqSqlCtes, " +
+      "asgc AS (SELECT b.vec_id AS vec_id, b.j AS j, cb.ce AS ce " +
+      "FROM best b JOIN cb ON cb.j = b.j AND cb.c = b.code), " +
+      "fullce AS (SELECT vec_id, flatten(list(ce ORDER BY j)) AS fce " +
+      "FROM asgc GROUP BY vec_id), " +
+      "gidx AS (SELECT unnest(range(1, 65)) AS g), " +
+      "tsum AS (SELECT g.g AS g, " +
+      "CAST(sum(round(CAST(e.embedding[g.g] AS DOUBLE) * " +
+      "CAST(f.fce[g.g] AS DOUBLE) * 1000000, 0)) AS BIGINT) AS tg " +
+      "FROM embeddings e JOIN fullce f USING (vec_id), gidx g GROUP BY 1), " +
+      "cnd AS (SELECT j.j AS j, i.i AS i, j.j*8 + i.i + 1 AS p, " +
+      "((j.j+1)%8)*8 + i.i + 1 AS q " +
+      "FROM (SELECT unnest(range(8)) AS j) j, " +
+      "(SELECT unnest(range(8)) AS i) i), " +
+      "bsum AS (SELECT c.j AS j, c.i AS i, c.p AS p, c.q AS q, " +
+      "CAST(sum(round(CAST(e.embedding[c.p] AS DOUBLE) * " +
+      "CAST(f.fce[c.q] AS DOUBLE) * 1000000, 0) - " +
+      "round(CAST(e.embedding[c.q] AS DOUBLE) * " +
+      "CAST(f.fce[c.p] AS DOUBLE) * 1000000, 0)) AS BIGINT) AS b " +
+      "FROM embeddings e JOIN fullce f USING (vec_id), cnd c " +
+      "GROUP BY 1, 2, 3, 4), " +
+      "sel AS (SELECT c.p, c.q, c.b FROM bsum c " +
+      "JOIN bsum pn ON pn.i = c.i AND pn.j = (c.j + 7) % 8 " +
+      "JOIN bsum nx ON nx.i = c.i AND nx.j = (c.j + 1) % 8 " +
+      "WHERE c.b <> 0 AND (abs(c.b), c.j) > (abs(pn.b), pn.j) " +
+      "AND (abs(c.b), c.j) > (abs(nx.b), nx.j)), " +
+      "rt0 AS (SELECT s.p, s.q, CAST(tp.tg + tq.tg AS DOUBLE) AS aa, " +
+      "CAST(s.b AS DOUBLE) AS bb FROM sel s " +
+      "JOIN tsum tp ON tp.g = s.p JOIN tsum tq ON tq.g = s.q), " +
+      "rot AS (SELECT p, q, aa / sqrt(aa * aa + bb * bb) AS c0, " +
+      "bb / sqrt(aa * aa + bb * bb) AS s0 FROM rt0), " +
+      "xe AS (SELECT e.vec_id AS vec_id, g.g AS g, " +
+      "CAST(e.embedding[g.g] AS DOUBLE) AS x FROM embeddings e, gidx g), " +
+      "xp0 AS (SELECT xe.vec_id AS vec_id, xe.g AS g, " +
+      "CASE WHEN rp.p IS NOT NULL THEN CAST(rp.c0 * xe.x - rp.s0 * xq.x AS FLOAT) " +
+      "WHEN rq.q IS NOT NULL THEN CAST(rq.s0 * xpp.x + rq.c0 * xe.x AS FLOAT) " +
+      "ELSE CAST(xe.x AS FLOAT) END AS xv FROM xe " +
+      "LEFT JOIN rot rp ON rp.p = xe.g " +
+      "LEFT JOIN rot rq ON rq.q = xe.g " +
+      "LEFT JOIN xe xq ON rp.q = xq.g AND xq.vec_id = xe.vec_id " +
+      "LEFT JOIN xe xpp ON rq.p = xpp.g AND xpp.vec_id = xe.vec_id), " +
+      "xparr AS (SELECT vec_id, list(xv ORDER BY g) AS xpe " +
+      "FROM xp0 GROUP BY vec_id), " +
+      "iidx AS (SELECT unnest(range(8)) AS i), " +
+      "cl AS (SELECT b.j AS j, b.code AS code, i.i AS i, count(*) AS n, " +
+      "sum(round(CAST(e.embedding[b.j*8 + i.i + 1] AS DOUBLE) * 1000000, 0)) AS sx, " +
+      "sum(round(CAST(x.xpe[b.j*8 + i.i + 1] AS DOUBLE) * 1000000, 0)) AS sp " +
+      "FROM best b JOIN embeddings e USING (vec_id) " +
+      "JOIN xparr x USING (vec_id), iidx i GROUP BY 1, 2, 3), " +
+      "cbl AS (SELECT cb.j AS j, cb.c AS c, CASE WHEN count(cl.i) = 0 " +
+      "THEN cb.ce ELSE list(CAST(cl.sx / cl.n / 1000000.0 AS FLOAT) " +
+      "ORDER BY cl.i) END AS ce FROM cb " +
+      "LEFT JOIN cl ON cl.j = cb.j AND cl.code = cb.c " +
+      "GROUP BY cb.j, cb.c, cb.ce), " +
+      "cbo AS (SELECT cb.j AS j, cb.c AS c, CASE WHEN count(cl.i) = 0 " +
+      "THEN cb.ce ELSE list(CAST(cl.sp / cl.n / 1000000.0 AS FLOAT) " +
+      "ORDER BY cl.i) END AS ce FROM cb " +
+      "LEFT JOIN cl ON cl.j = cb.j AND cl.code = cb.c " +
+      "GROUP BY cb.j, cb.c, cb.ce), " +
+      encodeChain("embeddings", "embedding", "cbl", "l") + ", " +
+      encodeChain("xparr", "xpe", "cbo", "o") + ", " +
+      "nvr AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM embeddings) " +
+      "SELECT variant, n_vecs, n_rot, err_total_micro, " +
+      "err_total_micro // n_vecs AS err_mean_micro FROM (" +
+      "SELECT 'a_frozen' AS variant, (SELECT nv FROM nvr) AS n_vecs, " +
+      "CAST(0 AS BIGINT) AS n_rot, " +
+      "(SELECT CAST(sum(err_j) AS BIGINT) FROM best) AS err_total_micro " +
+      "UNION ALL SELECT 'b_lloyd', (SELECT nv FROM nvr), CAST(0 AS BIGINT), " +
+      "(SELECT CAST(sum(err_j) AS BIGINT) FROM bestl) " +
+      "UNION ALL SELECT 'c_opq', (SELECT nv FROM nvr), " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM rot), " +
+      "(SELECT CAST(sum(err_j) AS BIGINT) FROM besto)" +
+      ") ORDER BY variant"
+  }
 
   /** The batched ADC oracle CTE chain: per-query distance tables over the
     * replayed codebook, summed per (query, vector) into `sc2` — shared by
@@ -10137,6 +10455,7 @@ object LlmData {
         "CAST(sum(err_j) AS BIGINT) AS pq_err_micro " +
         "FROM best GROUP BY vec_id ORDER BY vec_id"),
     "q_simsearch_pq_adc" -> pqAdcSql,
+    "q_simsearch_opq" -> opqSql,
     "q_simsearch_mmr" -> mmrSql,
     "q_simsearch_matryoshka" -> matryoshkaSql,
     // sign-mask + XOR/popcount Hamming cut, exact-cosine rerank — all

@@ -3317,4 +3317,74 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(7) > 0) && rows.exists(_.getString(8).nonEmpty))
     assert(rows.exists(r => r.getString(1).contains(":443")))
   }
+
+  test("q_simsearch_opq: monotone error chain; ADC recall re-score under rotation") {
+    val out = LlmData.simsearchOpq(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (nv, _, e0) = out("a_frozen")
+    val (_, _, eL) = out("b_lloyd")
+    val (_, nRot, eO) = out("c_opq")
+    assert(nv > 0 && nRot >= 1, "the fixture must accept at least one rotation")
+    assert(eL <= e0, "the Lloyd C-step must not increase reconstruction error")
+    assert(eO <= e0,
+      "rotation + C-step must not increase reconstruction error (the " +
+        "restricted-Procrustes + group-mean monotonicity law)")
+    // ADC recall re-score vs the exact scan: rotation is orthogonal, so
+    // the exact L2 ground truth is invariant — only the quantizer moves
+    val cb0 = LlmData.pqTrainedCentroids(s, d)
+    val (_, cbO, rots) = LlmData.opqModelForTest(s, d)
+    val m = cb0.length
+    val sub = cb0(0)(0).length
+    val rowsRaw = graft.Tables(s, d, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def rotate(x: Array[Float]): Array[Float] = {
+      val y = x.map(_.toDouble)
+      val o = y.clone()
+      rots.foreach { case (p, q, c0, s0) =>
+        o(p) = c0 * y(p) - s0 * y(q)
+        o(q) = s0 * y(p) + c0 * y(q)
+      }
+      o.map(_.toFloat)
+    }
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def adcTop(cb: Array[Array[Array[Float]]],
+        vecs: Seq[(Long, Array[Float])], qv: Array[Float]): Seq[Long] =
+      vecs.filter(_._1 != 0L).map { case (id, x) =>
+        var dist = 0.0
+        (0 until m).foreach { j =>
+          val xs = x.slice(j * sub, j * sub + sub)
+          var bk = 0; var bs = Double.PositiveInfinity
+          cb(j).indices.foreach { k =>
+            val sc = fold(cb(j)(k), cb(j)(k)) - 2.0 * fold(xs, cb(j)(k))
+            if (sc < bs) { bs = sc; bk = k }
+          }
+          val ce = cb(j)(bk)
+          val qs = qv.slice(j * sub, j * sub + sub)
+          (0 until sub).foreach { i2 =>
+            val t2 = qs(i2).toDouble - ce(i2).toDouble; dist += t2 * t2
+          }
+        }
+        (dist, id)
+      }.sortBy(identity).take(20).map(_._2)
+    val qv = rowsRaw.find(_._1 == 0L).get._2
+    val exact = rowsRaw.filter(_._1 != 0L).map { case (id, x) =>
+      var dd = 0.0
+      x.indices.foreach { i2 =>
+        val t2 = x(i2).toDouble - qv(i2).toDouble; dd += t2 * t2
+      }
+      (dd, id)
+    }.sortBy(identity).take(20).map(_._2).toSet
+    val rFrozen = adcTop(cb0, rowsRaw.toSeq, qv).count(exact).toDouble / 20
+    val rotVecs = rowsRaw.toSeq.map { case (id, x) => id -> rotate(x) }
+    val rRot = adcTop(cbO, rotVecs, rotate(qv)).count(exact).toDouble / 20
+    info(s"ADC recall@20 frozen=$rFrozen rotated=$rRot")
+    assert(rRot >= rFrozen - 0.15,
+      s"rotated ADC recall $rRot collapsed vs frozen $rFrozen")
+    assert(rRot >= 0.3, s"rotated ADC recall $rRot below the 0.3 floor")
+  }
 }
