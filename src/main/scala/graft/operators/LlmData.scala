@@ -9652,12 +9652,18 @@ object LlmData {
         "CAST(round((xx + score) * 1000000, 0) AS BIGINT) AS err_j " +
         s"FROM m$sfx WHERE rk = 1)"
     s"WITH $pqSqlCtes, " +
-      "asgc AS (SELECT b.vec_id AS vec_id, b.j AS j, cb.ce AS ce " +
-      "FROM best b JOIN cb ON cb.j = b.j AND cb.c = b.code), " +
-      "fullce AS (SELECT vec_id, flatten(list(ce ORDER BY j)) AS fce " +
+      // bestm/cbm pin the shared training chain once: best/cb are
+      // referenced three-plus times below, and un-materialized CTE
+      // references re-inline the whole unrolled-Lloyd chain per use (the
+      // coreness-oracle MATERIALIZED doctrine)
+      "bestm AS MATERIALIZED (SELECT * FROM best), " +
+      "cbm AS MATERIALIZED (SELECT * FROM cb), " +
+      "asgc AS MATERIALIZED (SELECT b.vec_id AS vec_id, b.j AS j, cb.ce AS ce " +
+      "FROM bestm b JOIN cbm cb ON cb.j = b.j AND cb.c = b.code), " +
+      "fullce AS MATERIALIZED (SELECT vec_id, flatten(list(ce ORDER BY j)) AS fce " +
       "FROM asgc GROUP BY vec_id), " +
       "gidx AS (SELECT unnest(range(1, 65)) AS g), " +
-      "tsum AS (SELECT g.g AS g, " +
+      "tsum AS MATERIALIZED (SELECT g.g AS g, " +
       "CAST(sum(round(CAST(e.embedding[g.g] AS DOUBLE) * " +
       "CAST(f.fce[g.g] AS DOUBLE) * 1000000, 0)) AS BIGINT) AS tg " +
       "FROM embeddings e JOIN fullce f USING (vec_id), gidx g GROUP BY 1), " +
@@ -9665,7 +9671,7 @@ object LlmData {
       "((j.j+1)%8)*8 + i.i + 1 AS q " +
       "FROM (SELECT unnest(range(8)) AS j) j, " +
       "(SELECT unnest(range(8)) AS i) i), " +
-      "bsum AS (SELECT c.j AS j, c.i AS i, c.p AS p, c.q AS q, " +
+      "bsum AS MATERIALIZED (SELECT c.j AS j, c.i AS i, c.p AS p, c.q AS q, " +
       "CAST(sum(round(CAST(e.embedding[c.p] AS DOUBLE) * " +
       "CAST(f.fce[c.q] AS DOUBLE) * 1000000, 0) - " +
       "round(CAST(e.embedding[c.q] AS DOUBLE) * " +
@@ -9680,9 +9686,9 @@ object LlmData {
       "rt0 AS (SELECT s.p, s.q, CAST(tp.tg + tq.tg AS DOUBLE) AS aa, " +
       "CAST(s.b AS DOUBLE) AS bb FROM sel s " +
       "JOIN tsum tp ON tp.g = s.p JOIN tsum tq ON tq.g = s.q), " +
-      "rot AS (SELECT p, q, aa / sqrt(aa * aa + bb * bb) AS c0, " +
+      "rot AS MATERIALIZED (SELECT p, q, aa / sqrt(aa * aa + bb * bb) AS c0, " +
       "bb / sqrt(aa * aa + bb * bb) AS s0 FROM rt0), " +
-      "xe AS (SELECT e.vec_id AS vec_id, g.g AS g, " +
+      "xe AS MATERIALIZED (SELECT e.vec_id AS vec_id, g.g AS g, " +
       "CAST(e.embedding[g.g] AS DOUBLE) AS x FROM embeddings e, gidx g), " +
       "xp0 AS (SELECT xe.vec_id AS vec_id, xe.g AS g, " +
       "CASE WHEN rp.p IS NOT NULL THEN CAST(rp.c0 * xe.x - rp.s0 * xq.x AS FLOAT) " +
@@ -9692,22 +9698,22 @@ object LlmData {
       "LEFT JOIN rot rq ON rq.q = xe.g " +
       "LEFT JOIN xe xq ON rp.q = xq.g AND xq.vec_id = xe.vec_id " +
       "LEFT JOIN xe xpp ON rq.p = xpp.g AND xpp.vec_id = xe.vec_id), " +
-      "xparr AS (SELECT vec_id, list(xv ORDER BY g) AS xpe " +
+      "xparr AS MATERIALIZED (SELECT vec_id, list(xv ORDER BY g) AS xpe " +
       "FROM xp0 GROUP BY vec_id), " +
       "iidx AS (SELECT unnest(range(8)) AS i), " +
-      "cl AS (SELECT b.j AS j, b.code AS code, i.i AS i, count(*) AS n, " +
+      "cl AS MATERIALIZED (SELECT b.j AS j, b.code AS code, i.i AS i, count(*) AS n, " +
       "sum(round(CAST(e.embedding[b.j*8 + i.i + 1] AS DOUBLE) * 1000000, 0)) AS sx, " +
       "sum(round(CAST(x.xpe[b.j*8 + i.i + 1] AS DOUBLE) * 1000000, 0)) AS sp " +
-      "FROM best b JOIN embeddings e USING (vec_id) " +
+      "FROM bestm b JOIN embeddings e USING (vec_id) " +
       "JOIN xparr x USING (vec_id), iidx i GROUP BY 1, 2, 3), " +
       "cbl AS (SELECT cb.j AS j, cb.c AS c, CASE WHEN count(cl.i) = 0 " +
       "THEN cb.ce ELSE list(CAST(cl.sx / cl.n / 1000000.0 AS FLOAT) " +
-      "ORDER BY cl.i) END AS ce FROM cb " +
+      "ORDER BY cl.i) END AS ce FROM cbm cb " +
       "LEFT JOIN cl ON cl.j = cb.j AND cl.code = cb.c " +
       "GROUP BY cb.j, cb.c, cb.ce), " +
       "cbo AS (SELECT cb.j AS j, cb.c AS c, CASE WHEN count(cl.i) = 0 " +
       "THEN cb.ce ELSE list(CAST(cl.sp / cl.n / 1000000.0 AS FLOAT) " +
-      "ORDER BY cl.i) END AS ce FROM cb " +
+      "ORDER BY cl.i) END AS ce FROM cbm cb " +
       "LEFT JOIN cl ON cl.j = cb.j AND cl.code = cb.c " +
       "GROUP BY cb.j, cb.c, cb.ce), " +
       encodeChain("embeddings", "embedding", "cbl", "l") + ", " +
@@ -9717,7 +9723,7 @@ object LlmData {
       "err_total_micro // n_vecs AS err_mean_micro FROM (" +
       "SELECT 'a_frozen' AS variant, (SELECT nv FROM nvr) AS n_vecs, " +
       "CAST(0 AS BIGINT) AS n_rot, " +
-      "(SELECT CAST(sum(err_j) AS BIGINT) FROM best) AS err_total_micro " +
+      "(SELECT CAST(sum(err_j) AS BIGINT) FROM bestm) AS err_total_micro " +
       "UNION ALL SELECT 'b_lloyd', (SELECT nv FROM nvr), CAST(0 AS BIGINT), " +
       "(SELECT CAST(sum(err_j) AS BIGINT) FROM bestl) " +
       "UNION ALL SELECT 'c_opq', (SELECT nv FROM nvr), " +

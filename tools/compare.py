@@ -14,6 +14,7 @@ the working directory — per-query schema_match/rows_match/hash_match plus
 a summary — so the round's correctness is self-reported even when the
 driver's own artifact fails to land (the r16 empty-{} incident).
 """
+import gc
 import os
 import json
 import math
@@ -43,10 +44,22 @@ def cells_equal(a, b):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def connect(limit="16GB"):
+        c = duckdb.connect()
+        # long sessions accumulate allocator fragmentation across hundreds
+        # of MATERIALIZED-CTE oracles; a temp dir lets big intermediates
+        # spill to disk instead of dying on allocation (r17: the opq oracle
+        # OOM'd at query 380 of a shared session but passes fresh)
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # modest per-instance cap: the buffer pool RETAINS cached blocks up
+        # to this limit and close() only releases them once no relation
+        # references the instance — heavy oracles spill to temp_directory
+        c.execute(f"SET memory_limit='{limit}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+    con = connect()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     try:
         errors = json.load(open(f"{out_dir}/errors.json"))
@@ -61,16 +74,51 @@ def main():
         if note:
             engine[name]["note"] = note
 
+    since_reconnect = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        # proactive reconnect every 25 queries: one long-lived session
+        # accumulates buffer-pool state across hundreds of heavy
+        # MATERIALIZED-CTE oracles until real allocation failures appear
+        since_reconnect += 1
+        if since_reconnect > 25:
+            got = exp = None
+            gc.collect()
+            try:
+                con.close()
+            except Exception:
+                pass
+            gc.collect()
+            con = connect()
+            since_reconnect = 0
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [c.lower() for c in got.columns]
             got_rows = got.fetchall()
-            exp = con.sql(sql)
-            exp_cols = [c.lower() for c in exp.columns]
-            exp_rows = exp.fetchall()
+            try:
+                exp = con.sql(sql)
+                exp_cols = [c.lower() for c in exp.columns]
+                exp_rows = exp.fetchall()
+            except Exception:
+                # one retry on a FRESH connection: session-lifetime
+                # fragmentation is not a correctness verdict
+                # (got_cols/got_rows are already materialized — drop the
+                # relation handles so the old instance can actually free)
+                got = exp = None
+                gc.collect()
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                gc.collect()
+                # escalated limit: a few oracles (opq, unigram-EM) peak
+                # over the lean cap in pinned blocks that cannot spill
+                con = connect("64GB")
+                since_reconnect = 0
+                exp = con.sql(sql)
+                exp_cols = [c.lower() for c in exp.columns]
+                exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             rec(name, False, False, False, str(e)[:200])
