@@ -5067,21 +5067,76 @@ object Analytics {
   private[graft] def copurchaseEdgesForTest(s: SparkSession, d: String): DataFrame =
     copurchaseEdges(s, d)
 
+  /** Edge sets under this bound run the support pass with the adjacency
+    * BROADCAST (both-direction view ≤ 2 × bound rows, two longs each —
+    * a few hundred MB as a hash relation, inside the multi-GB executors
+    * this engine targets): both wedge joins then run MAP-SIDE and the
+    * Σ deg-per-edge wedge stream (149 M rows at the sf0.1 bench tier)
+    * collapses through the partial count combine BEFORE the round's only
+    * exchange, which carries edge-grain partials — the r17 fix for the
+    * 100 s round-1 that shuffled every wedge row. Above the bound the
+    * pass falls back to keyed shuffle joins (correct at any size; tame
+    * the wedge volume there with the [[graphTriangles]] degree-ordered
+    * orientation if a tier ever peels a >4M-edge graph round).
+    */
+  private val trussBroadcastMaxEdges = 4000000L
+
+  /** ROUND-1 support from the STAGED degree-oriented adjacency
+    * ([[copurchaseAdj]] — already on disk per fixture): each triangle is
+    * enumerated ONCE as (src, dst, w ∈ N⁺(src) ∩ N⁺(dst)) over the
+    * sorted O(√m)-bounded arrays, then credited to its three canonical
+    * edges — TRIANGLE-grain rows (3·|Δ|, 5.6 M at sf0.1), never the
+    * Σ deg wedge stream (149 M there). Round 1 is the only round on the
+    * full graph, so it alone justifies the orientation; later rounds run
+    * on the peeled remnant where the generic pass is already cheap.
+    * Edges outside every triangle get no row — support 0, peeled by the
+    * threshold exactly like the generic pass.
+    */
+  private def trussSupportStaged(s: SparkSession, d: String): DataFrame = {
+    val adjRaw = s.read.parquet(copurchaseAdj(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = broadcast(adjRaw) // node-grain with O(√m) arrays — tiny
+    val o = adjRaw.select(col("src"), explode(col("nbrs")).as("dst"))
+    o.join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(col("src"), col("dst"),
+        explode(expr("array_intersect(nu, nv)")).as("w"))
+      .select(explode(array(
+        struct(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")),
+        struct(least(col("src"), col("w")).as("a"),
+          greatest(col("src"), col("w")).as("b")),
+        struct(least(col("dst"), col("w")).as("a"),
+          greatest(col("dst"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+  }
+
+  /** Test seam for the staged/generic support equivalence check. */
+  private[graft] def trussSupportStagedForTest(s: SparkSession, d: String): DataFrame =
+    trussSupportStaged(s, d)
+
+  private[graft] def trussSupportGenericForTest(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    trussSupport(e.select("a", "b"), e.count())
+  }
+
   /** Triangle support of every edge WITHIN the given (a < b) edge set:
-    * one row per edge with ≥ 1 triangle, sup = |N(a) ∩ N(b)|. Two keyed
+    * one row per edge with ≥ 1 triangle, sup = |N(a) ∩ N(b)|. Two
     * equi-joins (neighbors of a; then match on (b, w)) + one edge-grain
     * combinable count — the published parallel truss-peel round shape
     * (Cohen's MapReduce truss): wedge rows are Σ_edges deg(a), never
-    * materialized beyond the join, and every shuffle is keyed. The
-    * degree-ordered orientation ([[graphTriangles]]) bounds a one-shot
-    * count tighter; the peel recomputes per round, where the plain keyed
-    * form keeps each round two joins with no adjacency rebuild.
+    * materialized beyond the join. `nEdges` (the caller's exact count)
+    * picks the size-aware join strategy per round.
     */
-  private def trussSupport(e: DataFrame): DataFrame = {
+  private[graft] def trussSupport(e: DataFrame, nEdges: Long): DataFrame = {
     val u = e.select(col("a").as("v"), col("b").as("u"))
       .union(e.select(col("b").as("v"), col("a").as("u")))
-    e.join(u.select(col("v").as("a"), col("u").as("w")), "a")
-      .join(u.select(col("v").as("b"), col("u").as("w")), Seq("b", "w"))
+    val n1 = u.select(col("v").as("a"), col("u").as("w"))
+    val n2 = u.select(col("v").as("b"), col("u").as("w"))
+    val small = nEdges <= trussBroadcastMaxEdges
+    e.join(if (small) broadcast(n1) else n1, "a")
+      .join(if (small) broadcast(n2) else n2, Seq("b", "w"))
       .groupBy("a", "b").agg(count(lit(1)).as("sup"))
   }
 
@@ -5116,8 +5171,13 @@ object Analytics {
       var e = edges0.select("a", "b").localCheckpoint(true)
       var n = e.count()
       // sized AFTER the first action (the staged build may run inside it)
-      // but before the loop's shuffles; restored in the finally
-      s.conf.set(partsKey, math.max(1L, n / 500000L).toString)
+      // but before the loop's shuffles; restored in the finally. FLOORED
+      // AT CORE COUNT, unlike the node-grain iterations: the wedge join
+      // amplifies far beyond edge grain (Σ deg per edge), so sizing by
+      // edges alone starved the round to 2 partitions at sf0.1 with AQE
+      // pinned off — 100 s where the per-round work is seconds (r17).
+      s.conf.set(partsKey, math.max(s.sparkContext.defaultParallelism.toLong,
+        n / 250000L).toString)
       val maxRounds = n + 1
       var rounds = 0
       var converged = n == 0L
@@ -5126,7 +5186,11 @@ object Analytics {
         require(rounds <= maxRounds,
           "truss peel failed to converge — each non-final round removes " +
             "at least one edge, so rounds are bounded by |E|; state is corrupt")
-        val next = trussSupport(e)
+        // round 1 runs on the FULL graph — take the staged-orientation
+        // path; the peeled remnants use the generic size-aware pass
+        val sup = if (rounds == 1) trussSupportStaged(s, d)
+          else trussSupport(e, n)
+        val next = sup
           .where(col("sup") >= KTrussK - 2).select("a", "b")
           .localCheckpoint(true)
         val m = next.count()
@@ -5137,7 +5201,7 @@ object Analytics {
         e = next
         n = m
       }
-      trussSupport(e)
+      trussSupport(e, n)
         .select(col("a").as("part_a"), col("b").as("part_b"), col("sup"))
         .orderBy("part_a", "part_b")
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }

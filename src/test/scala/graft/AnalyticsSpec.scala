@@ -2998,6 +2998,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ledger("4_matched_pairs") <= ledger("3_candidate_pairs"))
   }
 
+  test("q_graph_ktruss: staged-orientation round-1 support equals the generic wedge pass") {
+    val staged = Analytics.trussSupportStagedForTest(s, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val generic = Analytics.trussSupportGenericForTest(s, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(staged.nonEmpty)
+    assert(staged === generic,
+      s"staged (${staged.size} edges) diverged from generic (${generic.size})")
+  }
+
   test("q_graph_ktruss: engine peel equals a driver replay; oracle unroll bound holds per tier") {
     import scala.collection.mutable
     // driver-side support peel, counting rounds to the fixpoint — the
