@@ -5207,6 +5207,107 @@ object Analytics {
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
 
+  /** The weighted repeat-co-purchase edge set (a, b, m = co-purchase
+    * support) — the [[ccEdges]] graph WITH its support weights, memoized
+    * per session (one shuffle; the oracle replays the same pair count).
+    */
+  private def ccWeightedEdges(s: SparkSession, d: String): DataFrame =
+    LlmData.memo(s, s"cc_wedges:$d") {
+      val baskets = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+      basketPairBuild(baskets, minSupport = 2)
+        .select(col("a"), col("b"), col("n_ab").as("m"))
+    }
+
+  /** q_graph_mst — MAXIMUM-AFFINITY SPANNING FOREST by Borůvka rounds
+    * (the AFFINITY-CLUSTERING primitive, Bateni et al., "Affinity
+    * Clustering: Hierarchical Clustering at Scale", NeurIPS 2017 — their
+    * distributed hierarchical clusterer IS Borůvka on the affinity
+    * graph): per round every component nominates its strongest incident
+    * cross-edge under the TOTAL order (support DESC, a, b) — distinct
+    * keys make the selection graph cycle-free beyond mutual picks, the
+    * classic Borůvka correctness argument — the nominated edges join the
+    * forest, and nominated components contract via the alternating-star
+    * kernel ([[ccLabels]]). Emits every forest edge with its support and
+    * the round that found it (the affinity-clustering DENDROGRAM level).
+    *
+    * Scale: each round is two node-keyed label joins + one
+    * component-keyed window over cross-edges + the star contraction on
+    * the (component-grain) nomination graph; active components at least
+    * HALVE per round, so rounds ≤ log₂|V| — the published bound — and
+    * the 64-round require is provable headroom for any |V| < 2⁶⁴.
+    * Lineage cut per round; AQE pinned off; shuffle partitions sized to
+    * the edge table (the [[graphConnectedComponents]] discipline). The
+    * oracle unrolls 8 rounds — idempotent past the fixpoint (sf0.01
+    * converges in 5) — each with a recursive-CTE contraction; the spec
+    * re-checks the 8-round bound per tier and replays the whole forest
+    * driver-side with union-find.
+    */
+  def graphMst(s: SparkSession, d: String): DataFrame = {
+    val we = ccWeightedEdges(s, d)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      val e = we.localCheckpoint(true)
+      var comp = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node"))).distinct()
+        .select(col("node"), col("node").as("comp"))
+        .localCheckpoint(true)
+      val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var rounds = 0
+      var done = false
+      while (!done) {
+        rounds += 1
+        require(rounds <= 64,
+          "Borůvka failed to converge in 64 rounds — active components " +
+            "at least halve per round, so rounds ≤ log₂|V|; state is corrupt")
+        val cross = e
+          .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
+          .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
+          .where(col("ca") =!= col("cb"))
+        val cand = cross.select(col("ca").as("c"), col("a"), col("b"), col("m"))
+          .unionByName(cross.select(col("cb").as("c"), col("a"), col("b"), col("m")))
+        val sel = cand
+          .withColumn("rk", row_number().over(Window.partitionBy("c")
+            .orderBy(col("m").desc, col("a"), col("b"))))
+          .where(col("rk") === 1)
+          .select("a", "b", "m").distinct()
+          .localCheckpoint(true)
+        if (sel.count() == 0L) done = true
+        else {
+          forest += sel.withColumn("round_found", lit(rounds.toLong))
+          val compEdges = sel
+            .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
+            .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
+            .select(col("ca").as("a"), col("cb").as("b"))
+          val merged = ccLabels(s, compEdges)
+          val next = comp
+            .join(merged.select(col("node").as("comp"), col("component")),
+              Seq("comp"), "left")
+            .select(col("node"),
+              coalesce(col("component"), col("comp")).as("comp"))
+            .localCheckpoint(true)
+          comp.unpersist()
+          comp = next
+        }
+      }
+      if (forest.isEmpty)
+        e.select(col("a").as("part_a"), col("b").as("part_b"),
+          col("m").as("support"), lit(0L).as("round_found"))
+          .where(lit(false))
+      else forest.reduce(_ unionByName _)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("m").as("support"), col("round_found"))
+        .orderBy("part_a", "part_b")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
   // ---------------------------------------------- strongly connected comps
 
   /** The staged DIRECTED reorder graph: part a → part b when ≥ 2 customer
@@ -5722,6 +5823,7 @@ object Analytics {
     "q_graph_coreness" -> graphCoreness _,
     "q_graph_betweenness" -> graphBetweenness _,
     "q_graph_ktruss" -> graphKtruss _,
+    "q_graph_mst" -> graphMst _,
     "q_graph_random_walk" -> graphRandomWalk _,
     "q_graph_node2vec_walk" -> graphNode2vecWalk _,
     "q_graph_louvain_step" -> graphLouvainStep _,
@@ -5942,6 +6044,48 @@ object Analytics {
         rounds + " " +
         "SELECT CAST(node AS BIGINT) AS part, c AS coreness FROM c24 " +
         "ORDER BY part"
+    },
+    // Borůvka unrolled: 8 nomination+contraction rounds (sf0.01 converges
+    // in 5; later rounds are idempotent — no cross edges, empty selection),
+    // each contraction a recursive-CTE closure over the component-grain
+    // nomination graph
+    "q_graph_mst" -> {
+      val rounds = (1 to 8).map { i =>
+        s"cross$i AS (SELECT e.a, e.b, e.m, la.c AS ca, lb.c AS cb " +
+          s"FROM e JOIN c${i - 1} la ON la.node = e.a " +
+          s"JOIN c${i - 1} lb ON lb.node = e.b WHERE la.c <> lb.c), " +
+          s"sel$i AS MATERIALIZED (SELECT DISTINCT a, b, m FROM (" +
+          "SELECT c, a, b, m, row_number() OVER (PARTITION BY c " +
+          "ORDER BY m DESC, a, b) AS rk FROM (" +
+          s"SELECT ca AS c, a, b, m FROM cross$i " +
+          s"UNION ALL SELECT cb, a, b, m FROM cross$i)) WHERE rk = 1), " +
+          s"ce$i AS MATERIALIZED (SELECT la.c AS u, lb.c AS v FROM sel$i s " +
+          s"JOIN c${i - 1} la ON la.node = s.a " +
+          s"JOIN c${i - 1} lb ON lb.node = s.b " +
+          "UNION ALL " +
+          s"SELECT lb.c, la.c FROM sel$i s " +
+          s"JOIN c${i - 1} la ON la.node = s.a " +
+          s"JOIN c${i - 1} lb ON lb.node = s.b), " +
+          s"reach$i(c, mn) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ce$i) " +
+          s"UNION SELECT r.c, ce.v FROM reach$i r JOIN ce$i ce ON ce.u = r.mn), " +
+          s"nl$i AS (SELECT c, min(mn) AS nc FROM reach$i GROUP BY c), " +
+          s"c$i AS MATERIALIZED (SELECT cp.node, coalesce(nl.nc, cp.c) AS c " +
+          s"FROM c${i - 1} cp LEFT JOIN nl$i nl ON nl.c = cp.c)"
+      }.mkString(", ")
+      val forest = (1 to 8).map(i =>
+        s"SELECT a, b, m, $i AS rf FROM sel$i").mkString(" UNION ALL ")
+      "WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT b1.p AS a, b2.p AS b, " +
+        "CAST(count(*) AS BIGINT) AS m FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "c0 AS MATERIALIZED (SELECT node, node AS c FROM " +
+        "(SELECT a AS node FROM e UNION SELECT b FROM e)), " +
+        rounds + " " +
+        "SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b, " +
+        s"m AS support, CAST(rf AS BIGINT) AS round_found FROM ($forest) " +
+        "ORDER BY part_a, part_b"
     },
     // the truss peel unrolled: 12 support-recompute rounds (sf0.01 reaches
     // the fixpoint in 8; later rounds are idempotent — AnalyticsSpec

@@ -2998,6 +2998,73 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ledger("4_matched_pairs") <= ledger("3_candidate_pairs"))
   }
 
+  test("q_graph_mst: forest equals a driver Borůvka replay; oracle round bound holds per tier") {
+    import scala.collection.mutable
+    def boruvka(rows: Seq[(Long, Long, Long)])
+        : (Set[(Long, Long, Long, Long)], Int, Long) = {
+      val nodes = rows.flatMap(r => Seq(r._1, r._2)).distinct
+      val par = mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (par(x) == x) x else { par(x) = find(par(x)); par(x) }
+      val forest = mutable.Set.empty[(Long, Long, Long, Long)]
+      var rounds = 0
+      var progressed = true
+      while (progressed) {
+        val best = mutable.Map.empty[Long, (Long, Long, Long)]
+        rows.foreach { case (a, b, m) =>
+          val (ca, cb) = (find(a), find(b))
+          if (ca != cb) {
+            val key = (-m, a, b)
+            Seq(ca, cb).foreach { c =>
+              if (!best.contains(c) ||
+                Ordering.Tuple3[Long, Long, Long].lt(key,
+                  (-best(c)._3, best(c)._1, best(c)._2)))
+                best(c) = (a, b, m)
+            }
+          }
+        }
+        progressed = best.nonEmpty
+        if (progressed) {
+          rounds += 1
+          assert(rounds <= 8, "Borůvka needs > 8 rounds — oracle unroll too shallow")
+          best.values.toSet[(Long, Long, Long)].foreach { case (a, b, m) =>
+            val (ca, cb) = (find(a), find(b))
+            if (ca != cb) {
+              par(math.max(ca, cb)) = math.min(ca, cb)
+              forest += ((a, b, m, rounds.toLong))
+            }
+          }
+        }
+      }
+      (forest.toSet, rounds, nodes.map(find).distinct.size.toLong)
+    }
+    Seq(d, "/root/testdata/sf0.01").distinct
+      .filter(t => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(t)))
+      .foreach { tier =>
+        val rows = graft.Tables(s, tier, "lineitem")
+          .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+               |  transform(slice(ps, i + 2, size(ps)), y ->
+               |    struct(least(x, y) AS a, greatest(x, y) AS b))))"""
+              .stripMargin)).as("p"))
+          .groupBy("p.a", "p.b").agg(count(lit(1)).as("m"))
+          .where(col("m") >= 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val (want, rounds, nComp) = boruvka(rows)
+        val nNodes = rows.flatMap(r => Seq(r._1, r._2)).distinct.size.toLong
+        // the spanning-forest law: |forest| + |components| = |nodes|
+        assert(want.size.toLong + nComp === nNodes, s"$tier: forest law broken")
+        if (tier == d) {
+          val got = Analytics.graphMst(s, tier).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toSet
+          assert(got === want,
+            s"engine forest (${got.size}) diverged from driver Borůvka (${want.size})")
+        }
+      }
+  }
+
   test("q_graph_ktruss: staged-orientation round-1 support equals the generic wedge pass") {
     val staged = Analytics.trussSupportStagedForTest(s, d).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
