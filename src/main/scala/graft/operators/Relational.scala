@@ -1595,15 +1595,29 @@ object Relational {
     * the integer cross-multiplied threshold — both engines pick the
     * same bin.
     */
-  private[graft] def quantileSketchMergeFrame(s: SparkSession, root: String): DataFrame = {
-    val daily = s.read.parquet(s"$root/daily")
+  private[graft] def quantileSketchMergeFrame(s: SparkSession, root: String): DataFrame =
+    quantileRollup(s.read.parquet(s"$root/daily"))
+
+  /** Merge + quantile read over ANY (day, event_type, bin, cnt) partial
+    * frame — shared by the lake rollup above and the streaming-maintained
+    * sketch ([[graft.streaming.Streams.streamQuantileSketch]]), so
+    * "streaming-maintained ≡ batch-built partials" is checked by the SAME
+    * oracle SQL on both keys.
+    */
+  private[graft] def quantileRollup(daily0: DataFrame): DataFrame = {
+    val daily = daily0
       .where(col("day") >= lit("2024-01-08").cast("date") &&
         col("day") < lit("2024-01-22").cast("date"))
     val merged = daily.groupBy("event_type", "bin")
       .agg(sum(col("cnt")).as("cnt"))
-    // sketch-coverage audit: how many day-partials contributed per type
+    // sketch-coverage audit: how many day-partials contributed per type.
+    // The join key is RENAMED (nd_type) so the rollup's two branches over
+    // the same source never share output attributes — a memory-sink view
+    // source (the streaming caller) fails Catalyst's self-join dedup with
+    // "conflicting references" otherwise (r17).
     val nd = daily.groupBy("event_type")
       .agg(countDistinct(col("day")).as("n_days"))
+      .select(col("event_type").as("nd_type"), col("n_days"))
     val w = Window.partitionBy("event_type").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy("event_type")
@@ -1616,7 +1630,7 @@ object Relational {
         min(when(col("cum") * 100L >= col("n") * 90L, col("bin") * 5)).as("p90_lo"),
         min(when(col("cum") * 100L >= col("n") * 99L, col("bin") * 5)).as("p99_lo"),
         max(col("n")).as("n"))
-      .join(broadcast(nd), "event_type")
+      .join(broadcast(nd), col("event_type") === col("nd_type"))
       .select(col("event_type"), col("n"), col("n_days"),
         col("p50_lo"), col("p90_lo"), col("p99_lo"))
       .orderBy("event_type")

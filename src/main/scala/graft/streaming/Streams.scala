@@ -516,6 +516,33 @@ object Streams {
       .orderBy("win_start", "rk")
   }
 
+  /** q_stream_quantile_sketch — STREAMING-MAINTAINED QUANTILE PARTIALS:
+    * the stream face of `q_agg_quantile_sketch_merge`. The stream itself
+    * maintains the (day, type, bin) fixed-bin histogram — one append-mode
+    * windowed aggregate, watermark-flushed, state bounded by open
+    * (day × type × bin) cells — and the quantile read runs over the
+    * FLUSHED partials through the SAME rollup tail as the lake path
+    * ([[graft.operators.Relational.quantileRollup]]), so both keys are
+    * gated by the IDENTICAL oracle SQL: streaming-maintained ≡
+    * batch-built partials, hash-checked. At 100 TB/day this is how the
+    * sketch table of the lake pattern actually gets written — the stream
+    * absorbs the feed with map-side partials into keyed state and lands
+    * day-grain rows; nothing downstream changes.
+    */
+  def streamQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val flushed = runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"),
+          floor(col("value") / 5.0d).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt")),
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "qsketch")
+      .where(col("event_type") =!= "sentinel")
+    graft.operators.Relational.quantileRollup(
+      flushed.select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("bin"), col("cnt")))
+  }
+
   /** q_stream_watermark_late — hourly tumbling counts in APPEND mode with a
     * 10-minute watermark, demonstrating late-data drop (the streaming
     * analogue of the reference's bounded sensor wait,
@@ -1393,6 +1420,7 @@ object Streams {
     "q_stream_complete_agg" -> streamCompleteAgg _,
     "q_stream_update_agg" -> streamUpdateAgg _,
     "q_stream_topk" -> streamTopk _,
+    "q_stream_quantile_sketch" -> streamQuantileSketch _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
@@ -1418,6 +1446,10 @@ object Streams {
         s"count(*) AS n, ${sqlSumExact("value", 2)} AS sum_value " +
         "FROM events JOIN nation ON n_nationkey = user_id % 25 " +
         "GROUP BY 1, 2, 3 ORDER BY win_start, n_name"),
+    "q_stream_quantile_sketch" ->
+      // the IDENTICAL SQL as the lake rollup: streaming-maintained
+      // partials must reproduce the batch-built sketch bit for bit
+      graft.operators.Relational.oracle("q_agg_quantile_sketch_merge"),
     "q_stream_topk" ->
       ("WITH wc AS (SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) " +
         "AS w0, user_id, count(*) AS n FROM events GROUP BY 1, 2), " +

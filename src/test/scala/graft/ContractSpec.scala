@@ -155,7 +155,8 @@ class ContractSpec extends AnyFunSuite {
     // round 17: persisted quantile partials + centrality/truss closures +
     // the ER funnel + AR(p) forecasting + the OPQ rotation step
     "q_agg_quantile_sketch_merge", "q_graph_betweenness", "q_graph_ktruss",
-    "q_er_resolve", "q_timeseries_ar", "q_simsearch_opq", "q_graph_mst")
+    "q_er_resolve", "q_timeseries_ar", "q_simsearch_opq", "q_graph_mst",
+    "q_stream_quantile_sketch")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

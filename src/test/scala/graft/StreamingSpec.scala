@@ -457,4 +457,19 @@ class StreamingSpec extends AnyFunSuite {
     // measuring its own plants
     assert(rows.exists(_._1 < 2100001L), "no organic signup->purchase in fixture")
   }
+
+  test("q_stream_quantile_sketch: streaming-maintained partials equal the lake rollup") {
+    // both keys share one rollup tail and one oracle; this pins the
+    // stronger engine-side law directly — the watermark-flushed sketch
+    // reproduces the batch-built sketch row for row
+    val stream = graft.streaming.Streams.streamQuantileSketch(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val lake = graft.operators.Relational.aggQuantileSketchMerge(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(stream.nonEmpty)
+    assert(stream === lake,
+      s"streaming sketch diverged from the lake rollup:\n$stream\nvs\n$lake")
+  }
 }
