@@ -4821,6 +4821,10 @@ object Analytics {
   private[graft] def ccEdgesForTest(s: SparkSession, d: String): DataFrame =
     ccEdges(s, d)
 
+  /** Test seam: the weighted co-purchase edges the SSSP/MST keys relax. */
+  private[graft] def ccEdgesWeightedForTest(s: SparkSession, d: String): DataFrame =
+    ccWeightedEdges(s, d)
+
   /** q_graph_connected_components — CONNECTED COMPONENTS of the repeat
     * co-purchase graph: every part labeled with its component's minimum
     * part id plus the component size — the global-clustering primitive
@@ -5051,6 +5055,175 @@ object Analytics {
       contribs.reduce(_ unionByName _)
         .groupBy(col("node").as("part"))
         .agg(sum(col("delta")).as("bc_micro"))
+        .orderBy("part")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
+  /** Sampled-source horizon/sample for closeness — contract constants
+    * naming the measured subgraph, exactly like the betweenness pair. */
+  private val ClosenessDepth = 4
+  private val ClosenessSources = 8
+
+  /** q_graph_closeness — SAMPLED HARMONIC CLOSENESS CENTRALITY over the
+    * co-purchase graph (harmonic variant per Boldi & Vigna, "Axioms for
+    * centrality", 2014 — the production form, because Σ 1/d handles
+    * disconnected pairs with a 0 term instead of breaking the mean;
+    * sampling per Eppstein & Wang 2001: k md5-ranked pivot sources
+    * approximate the full measure). For each of [[ClosenessSources]]
+    * seeds a bounded-horizon BFS ([[ClosenessDepth]] levels — the same
+    * two-frontier visited discipline as [[graphBetweenness]]: a neighbor
+    * of level ℓ can only live in ℓ−1/ℓ/ℓ+1 on an undirected graph, so
+    * anti-joining the last two levels yields exactly the new frontier)
+    * assigns first-visit distances; each node's score is the exact
+    * integer Σ (10⁶ div dist) over the sources that reached it, plus the
+    * reached count. The DuckDB oracle unrolls all four BFS levels with
+    * the identical exclusion sets, so one mis-leveled node fails the gate.
+    *
+    * Scale: per level ONE edge-grain equi-join + a keyed anti-join —
+    * frontier state is (src, node) pairs, never node×node; shuffles are
+    * sized by the staged edge count like every cc-family iteration, AQE
+    * pinned off so the per-level sizing holds. Deeper horizons or more
+    * pivots repeat the same superstep — the published scale recipe for
+    * closeness on billion-edge graphs (pivot sampling), not an
+    * all-pairs-shortest-paths pass.
+    */
+  def graphCloseness(s: SparkSession, d: String): DataFrame = {
+    val edges = ccEdges(s, d)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      val und = edges.select(col("a").as("v"), col("b").as("u"))
+        .union(edges.select(col("b").as("v"), col("a").as("u")))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+      val srcs = nodes
+        .withColumn("h",
+          expr(md5h4("md5(concat('graftcl:', CAST(node AS STRING)))")))
+        .orderBy(col("h"), col("node")).limit(ClosenessSources)
+        .select("node")
+      val l0 = srcs.select(col("node").as("src"), col("node"))
+        .localCheckpoint(true)
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+      (1 to ClosenessDepth).foreach { _ =>
+        val prev = levels.last
+        val recent = levels.takeRight(2).reduce(_ unionByName _)
+        val next = und
+          .join(prev.select(col("src"), col("node").as("v")), "v")
+          .select(col("src"), col("u").as("node")).distinct()
+          .join(recent, Seq("src", "node"), "left_anti")
+          .localCheckpoint(true)
+        levels += next
+      }
+      (1 to ClosenessDepth).map { l =>
+        levels(l).select(col("node"), lit(l.toLong).as("dist"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("node").as("part"))
+        .agg(count(lit(1)).as("reached"),
+          sum(expr("1000000 div dist")).as("hc_micro"))
+        .orderBy("part")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
+  /** Round bound for the SSSP relaxation — a provable-headroom guard like
+    * the MST family's 64 (the fixture converges well inside it; the spec
+    * re-checks the bound per tier, and the engine FAILS LOUDLY if a tier
+    * ever needs more, rather than emitting unconverged distances). */
+  private val SsspRounds = 12
+
+  /** One Bellman-Ford relaxation: dist′(v) = min(dist(v), min over edges
+    * (u→v) of dist(u) + w) — ONE edge-grain equi-join + one node-keyed
+    * min-aggregate, the superstep every distributed SSSP (Pregel,
+    * delta-stepping's inner loop) repeats. */
+  private def ssspStep(und: DataFrame, dist: DataFrame): DataFrame =
+    dist.select(col("node"), col("dist"))
+      .unionByName(und
+        .join(dist.select(col("node").as("v"), col("dist").as("dv")), "v")
+        .select(col("u").as("node"), (col("dv") + col("w")).as("dist")))
+      .groupBy("node").agg(min(col("dist")).as("dist"))
+
+  /** Test seam: two un-checkpointed relaxation rounds over the real
+    * weighted graph, so PlanShapeSpec can read the join shapes (the
+    * production loop lineage-cuts per round, hiding them). */
+  private[graft] def ssspStepForTest(s: SparkSession, d: String): DataFrame = {
+    val we = ccWeightedEdges(s, d)
+    val und = we.select(col("a").as("v"), col("b").as("u"),
+        expr("1000000 div m").as("w"))
+      .union(we.select(col("b").as("v"), col("a").as("u"),
+        expr("1000000 div m").as("w")))
+    // the seed is derived by aggregation, not a literal: a constant-id
+    // one-row frame constant-folds its equi-join into a BNLJ point read
+    // (the nswBatchWalkPlanForTest note) and would mask the shapes this
+    // hook exists to assert
+    val d0 = we.agg(min(col("a")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    ssspStep(und, ssspStep(und, d0))
+  }
+
+  /** q_graph_sssp — WEIGHTED SINGLE-SOURCE SHORTEST PATHS over the
+    * co-purchase affinity graph by monotone Bellman-Ford rounds (the
+    * Pregel SSSP superstep; delta-stepping's bucket refinement composes
+    * on this same relaxation when weight spreads demand it). Affinity
+    * becomes distance via the exact integer w = 10⁶ div support —
+    * strongly co-purchased parts are CLOSE — and the source is the
+    * minimum part id (deterministic, mirrored literally). Each round is
+    * [[ssspStep]]; the fixpoint is detected by the monotone (reached
+    * count, Σ dist) signature — counts never shrink and per-node
+    * distances never grow, so an unchanged pair proves an unchanged
+    * frontier (the ccLabels iteration discipline) — and the engine
+    * REQUIRES convergence within [[SsspRounds]] rather than serving
+    * unconverged distances. The DuckDB oracle unrolls all 12 rounds
+    * (idempotent past the fixpoint — sf0.01 converges in far fewer;
+    * AnalyticsSpec re-measures the bound per tier and replays the whole
+    * distance table driver-side).
+    *
+    * Scale: relaxation state is (node, dist) — node-grain, never
+    * node×node; each round ONE edge-keyed equi-join + one keyed
+    * min-combine (map-side partial), shuffles sized by the staged edge
+    * count, lineage cut per round, AQE pinned off. Rounds scale with the
+    * weighted hop diameter, not |V| — the published distributed-SSSP
+    * shape at any graph size.
+    */
+  def graphSssp(s: SparkSession, d: String): DataFrame = {
+    val we = ccWeightedEdges(s, d)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      val und = we.select(col("a").as("v"), col("b").as("u"),
+          expr("1000000 div m").as("w"))
+        .union(we.select(col("b").as("v"), col("a").as("u"),
+          expr("1000000 div m").as("w")))
+        .localCheckpoint(true)
+      // seed from the same aggregation the oracle's s0 derives — no
+      // driver collect, and the round-1 join stays a keyed equi-join
+      var dist = we.agg(min(col("a")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var signature = (1L, 0L)
+      var converged = false
+      var round = 0
+      while (!converged && round < SsspRounds) {
+        round += 1
+        val next = ssspStep(und, dist).localCheckpoint(true)
+        val Array(row) = next.agg(count(lit(1)), sum(col("dist"))).collect()
+        val sig = (row.getLong(0), row.getLong(1))
+        converged = sig == signature
+        signature = sig
+        dist = next
+      }
+      require(converged,
+        s"SSSP did not reach its fixpoint within $SsspRounds rounds")
+      dist.select(col("node").as("part"), col("dist").as("dist_micro"))
         .orderBy("part")
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
@@ -5822,6 +5995,8 @@ object Analytics {
     "q_graph_scc" -> graphScc _,
     "q_graph_coreness" -> graphCoreness _,
     "q_graph_betweenness" -> graphBetweenness _,
+    "q_graph_closeness" -> graphCloseness _,
+    "q_graph_sssp" -> graphSssp _,
     "q_graph_ktruss" -> graphKtruss _,
     "q_graph_mst" -> graphMst _,
     "q_graph_random_walk" -> graphRandomWalk _,
@@ -6156,6 +6331,60 @@ object Analytics {
         "(SELECT node, delta FROM dep1 " +
         "UNION ALL SELECT node, delta FROM dep2) " +
         "GROUP BY node ORDER BY part"
+    },
+    // the four BFS levels unrolled with the identical two-frontier
+    // exclusion sets, harmonic 10⁶ div dist summed per node
+    "q_graph_closeness" -> {
+      val h = md5h4("md5(concat('graftcl:', CAST(n.node AS VARCHAR)))")
+      def lvl(i: Int, excl: Seq[Int]): String = {
+        val notIn = excl.map(j =>
+          s"NOT EXISTS (SELECT 1 FROM c$j x WHERE x.src = l.src " +
+            "AND x.node = e.u)").mkString(" AND ")
+        s"c$i AS MATERIALIZED (SELECT DISTINCT l.src, e.u AS node " +
+          s"FROM c${i - 1} l JOIN und e ON e.v = l.node WHERE $notIn)"
+      }
+      "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "pr AS (SELECT b1.p AS a, b2.p AS b FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "und AS MATERIALIZED (SELECT a AS v, b AS u FROM pr " +
+        "UNION ALL SELECT b, a FROM pr), " +
+        "nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr), " +
+        s"srcs AS (SELECT n.node FROM nodes n ORDER BY $h, n.node LIMIT 8), " +
+        "c0 AS (SELECT node AS src, node FROM srcs), " +
+        lvl(1, Seq(0)) + ", " + lvl(2, Seq(0, 1)) + ", " +
+        lvl(3, Seq(1, 2)) + ", " + lvl(4, Seq(2, 3)) + " " +
+        "SELECT CAST(node AS BIGINT) AS part, " +
+        "CAST(count(*) AS BIGINT) AS reached, " +
+        "CAST(sum(1000000 // dist) AS BIGINT) AS hc_micro FROM (" +
+        "SELECT node, 1 AS dist FROM c1 " +
+        "UNION ALL SELECT node, 2 FROM c2 " +
+        "UNION ALL SELECT node, 3 FROM c3 " +
+        "UNION ALL SELECT node, 4 FROM c4) " +
+        "GROUP BY node ORDER BY part"
+    },
+    // the 12 relaxation rounds unrolled (idempotent past the fixpoint),
+    // exact integer affinity distances
+    "q_graph_sssp" -> {
+      val rounds = (1 to 12).map { r =>
+        s"s$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (" +
+          s"SELECT node, dist FROM s${r - 1} " +
+          s"UNION ALL SELECT e.u, s.dist + e.w FROM s${r - 1} s " +
+          "JOIN und e ON e.v = s.node) GROUP BY node)"
+      }.mkString(", ")
+      "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT b1.p AS a, b2.p AS b, " +
+        "CAST(count(*) AS BIGINT) AS m FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "und AS MATERIALIZED (SELECT a AS v, b AS u, 1000000 // m AS w " +
+        "FROM e UNION ALL SELECT b, a, 1000000 // m FROM e), " +
+        "s0 AS (SELECT min(a) AS node, CAST(0 AS BIGINT) AS dist FROM e), " +
+        rounds + " " +
+        "SELECT CAST(node AS BIGINT) AS part, CAST(dist AS BIGINT) " +
+        "AS dist_micro FROM s12 ORDER BY part"
     },
     // the walks replayed: same staged-graph build, same ranked adjacency,
     // same md5-digit pick arithmetic, four chained left joins

@@ -2887,6 +2887,82 @@ class AnalyticsSpec extends AnyFunSuite {
         s"(got ${got.size} rows, want ${bc.size})")
   }
 
+  test("q_graph_closeness: engine BFS levels equal a driver-side pivot replay") {
+    import scala.collection.mutable
+    val edges = Analytics.ccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    def h4(node: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graftcl:$node".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    val srcs = adj.keys.toSeq.sortBy(n => (h4(n), n)).take(8)
+    assert(srcs.nonEmpty, "staged graph must have nodes")
+    val reached = mutable.Map.empty[Long, Long]
+    val hc = mutable.Map.empty[Long, Long]
+    srcs.foreach { src =>
+      var lv = Vector(Set(src))
+      (1 to 4).foreach { _ =>
+        val recent = lv.takeRight(2).reduce(_ ++ _)
+        lv = lv :+ lv.last.flatMap(v => adj.getOrElse(v, mutable.Set.empty))
+          .filterNot(recent.contains).toSet
+      }
+      (1 to 4).foreach { dist =>
+        lv(dist).foreach { n =>
+          reached(n) = reached.getOrElse(n, 0L) + 1L
+          hc(n) = hc.getOrElse(n, 0L) + 1000000L / dist
+        }
+      }
+    }
+    val got = Analytics.graphCloseness(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val want = reached.keys.map(n => (n, reached(n), hc(n))).toSeq.sorted
+    assert(got === want,
+      s"engine closeness diverged from the driver replay " +
+        s"(got ${got.size} rows, want ${want.size})")
+  }
+
+  test("q_graph_sssp: distances equal a driver Bellman-Ford and converge inside the round bound") {
+    import scala.collection.mutable
+    val edges = Analytics.ccEdgesWeightedForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    edges.foreach { case (a, b, m) =>
+      val w = 1000000L / m
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, w))
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, w))
+    }
+    val src = edges.map(_._1).min
+    var dist = Map(src -> 0L)
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      rounds += 1
+      val next = mutable.Map.empty[Long, Long] ++ dist
+      dist.foreach { case (v, dv) =>
+        adj.getOrElse(v, mutable.ArrayBuffer.empty).foreach { case (u, w) =>
+          if (!next.contains(u) || next(u) > dv + w) next(u) = dv + w
+        }
+      }
+      changed = next.toMap != dist
+      dist = next.toMap
+    }
+    // the engine's 12-round require has provable headroom on this tier
+    // (the driver fixpoint, +1 detection round, must fit inside it)
+    info(s"driver Bellman-Ford fixpoint after $rounds rounds")
+    assert(rounds + 1 <= 12, s"tier needs $rounds rounds + detection — raise SsspRounds")
+    val got = Analytics.graphSssp(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === dist.toSeq.sorted,
+      s"engine SSSP diverged from the driver replay (got ${got.size} rows, want ${dist.size})")
+  }
+
   test("q_timeseries_ar: the integer normal-equation solve replays in BigInt") {
     val obs = graft.Tables(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),

@@ -453,6 +453,35 @@ class LlmDataSpec extends AnyFunSuite {
     assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_simsearch_nsw_build: cell-bounded graph holds the edge-agreement floor vs the exact kNN graph") {
+    import org.apache.spark.sql.expressions.Window
+    val built = pairs(LlmData.simsearchNswBuild(s, d), "src", "dst")
+    // exact all-pairs kNN graph, constructed HERE at test scale only — the
+    // quadratic product the production build exists to avoid
+    val base = Tables(s, d, "embeddings").where(col("vec_id") =!= 0)
+    val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    val w = Window.partitionBy("src").orderBy(desc("cm"), asc("dst"))
+    val exact = pairs(a.crossJoin(b).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.functions.VectorOps.cosine(col("ea"), col("eb")) * 1000000d, 0)
+          .cast("long").as("cm"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 8)
+      .select("src", "dst"), "src", "dst")
+    val agreement = built.intersect(exact).size.toDouble / exact.size
+    info(f"cell-bounded vs exact kNN edge agreement: $agreement%.3f " +
+      s"(built ${built.size}, exact ${exact.size})")
+    // the 3-cell probe bound trims candidates, not quality: the bounded
+    // graph must recover the large majority of the true kNN edges
+    // (measured value recorded in docs/SCALING.md)
+    assert(agreement >= 0.9, s"edge agreement $agreement below the 0.9 floor")
+    // coverage: every corpus vector keeps a full out-degree — the bound
+    // never strands a source with an empty candidate pool
+    val n = base.count()
+    val srcs = built.map(_._1).size.toLong
+    assert(srcs === n, s"build covered $srcs of $n sources")
+  }
+
   test("q_dedup_audio_fp: planted dup structure surfaces exactly, tolerance path fires") {
     val got = LlmData.dedupAudioFp(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

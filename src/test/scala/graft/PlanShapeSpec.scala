@@ -725,6 +725,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dependency accumulation should plan keyed equi joins:\n$p")
   }
 
+  test("q_graph_closeness: the harmonic rollup plans keyed equi joins only") {
+    // per-level plans are lineage-cut; the final frame still carries the
+    // distance union + keyed aggregation — no quadratic operator anywhere
+    val p = plan(graft.operators.Analytics.graphCloseness(s, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"closeness rollup must not plan a quadratic join:\n$p")
+  }
+
+  test("q_graph_sssp: the relaxation superstep plans keyed equi joins only") {
+    // two un-checkpointed rounds keep the join shapes visible (the
+    // production loop lineage-cuts per round)
+    val p = plan(graft.operators.Analytics.ssspStepForTest(s, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"SSSP relaxation must not plan a quadratic join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"SSSP relaxation should plan keyed equi joins:\n$p")
+  }
+
   test("q_search_phrase: the positional probe is a keyed equi join, never quadratic") {
     val p = plan(graft.operators.LlmData.searchPhrase(s, d))
     assert(!p.contains("CartesianProduct") &&
@@ -859,6 +879,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in insert edges:\n$p")
     assert(p.contains("windowspecdefinition(vec_id"),
       s"cell-rank window must partition by vec_id:\n$p")
+    assert(p.contains("windowspecdefinition(src"),
+      s"edge election window must partition by src:\n$p")
+  }
+
+  test("q_simsearch_nsw_build: graph construction is cell-bounded, never all-pairs") {
+    // the r17 build was a corpus×corpus crossJoin — the one flagged
+    // scale-killer. The cell-bounded rewrite must plan as scan +
+    // literal-codebook scoring + ONE cell-keyed equi-join + a src-keyed
+    // rank window: no cartesian or nested-loop operator anywhere.
+    val p = plan(graft.operators.LlmData.nswBuildPlanForTest(s, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN-graph build degenerated to the quadratic plan it replaces:\n$p")
+    // candidates come from the cell equi-join; the election is per-source
     assert(p.contains("windowspecdefinition(src"),
       s"edge election window must partition by src:\n$p")
   }
