@@ -5932,10 +5932,11 @@ object LlmData {
       .orderBy("qid", "rank")
   }
 
-  /** DuckDB replay of [[simsearchNswBatch]]: the multi-source walk
-    * unrolled with qid-carrying hop CTEs (per-query anti-join dedup,
-    * per-query beam rank windows). */
-  private def nswBatchSql: String = {
+  /** The multi-source batch walk's CTE chain (queries, score table,
+    * adjacency build, hop steps) — shared VERBATIM by the batch-serving
+    * replay ([[nswBatchSql]]) and the walk's recall ledger
+    * ([[nswRecallSql]]), so the graded walk IS the served walk. */
+  private def nswBatchWalkCtes: String = {
     val base = "qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe " +
       "FROM embeddings WHERE vec_id % 50 = 1), " +
       "sc AS MATERIALIZED (SELECT q.qid, e.vec_id, CAST(round((" +
@@ -5962,12 +5963,95 @@ object LlmData {
         s"FROM bn$h n JOIN sc s ON s.qid = n.qid AND s.vec_id = n.vec_id) " +
         s"WHERE rn <= $nswBatchBeam)"
     }.mkString(", ")
-    s"WITH $base, $steps " +
+    s"$base, $steps"
+  }
+
+  /** DuckDB replay of [[simsearchNswBatch]]: the multi-source walk
+    * unrolled with qid-carrying hop CTEs (per-query anti-join dedup,
+    * per-query beam rank windows). */
+  private def nswBatchSql: String =
+    s"WITH $nswBatchWalkCtes " +
       "SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cm AS cm_micro FROM (" +
       "SELECT v.qid, v.vec_id, s.cm, row_number() OVER (PARTITION BY v.qid " +
       "ORDER BY s.cm DESC, v.vec_id) AS rank " +
       s"FROM bv$nswBatchHops v JOIN sc s ON s.qid = v.qid AND s.vec_id = v.vec_id) " +
       "WHERE rank <= 5 ORDER BY qid, rank"
+
+  /** DuckDB replay of [[simsearchNswRecall]]: the batch walk's own CTE
+    * chain cut at 10, the brute arm straight off the walk's score table
+    * (`sc` IS the exact per-query ground truth), per-query hit counts,
+    * zero-filled misses. */
+  private def nswRecallSql: String =
+    s"WITH $nswBatchWalkCtes, " +
+      "walk10 AS (SELECT qid, vec_id FROM (SELECT v.qid, v.vec_id, " +
+      "row_number() OVER (PARTITION BY v.qid ORDER BY s.cm DESC, v.vec_id) " +
+      s"AS rk FROM bv$nswBatchHops v " +
+      "JOIN sc s ON s.qid = v.qid AND s.vec_id = v.vec_id) WHERE rk <= 10), " +
+      "brute10 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS rk " +
+      "FROM sc) WHERE rk <= 10), " +
+      "hits AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n " +
+      "FROM brute10 b JOIN walk10 p USING (qid, vec_id) GROUP BY b.qid), " +
+      "gt AS (SELECT qid, CAST(count(*) AS BIGINT) AS gt_n " +
+      "FROM brute10 GROUP BY qid) " +
+      "SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits, " +
+      "CAST(coalesce(g.gt_n, 0) AS BIGINT) AS gt_n, " +
+      "CAST(CASE WHEN coalesce(g.gt_n, 0) > 0 THEN " +
+      "(coalesce(h.n, 0) * 1000000) // g.gt_n ELSE 0 END AS BIGINT) " +
+      "AS recall_ppm " +
+      "FROM (SELECT qid FROM qs) q " +
+      "LEFT JOIN hits h USING (qid) LEFT JOIN gt g USING (qid) " +
+      "ORDER BY q.qid"
+
+  /** q_simsearch_nsw_recall — the GRAPH-ANN RECALL LEDGER, closing the
+    * quality loop for the NSW/HNSW dials the way
+    * [[simsearchRecallEval]] closed it for the IVF probe: the batch
+    * walk's top-10 per query is graded against exact brute-force
+    * top-10 (the walk's own integer score table is the ground truth
+    * arm), recall in exact integer ppm, misses zero-filled so a query
+    * whose walk strands reads as 0, not as an absent row. The beam/hop
+    * parameters now have an oracle-visible quality signal — the eval
+    * pass is what decides those dials, per the IVF family's doctrine.
+    * The DuckDB oracle shares [[nswBatchWalkCtes]] with the serving
+    * replay verbatim, so the graded walk is provably the served walk.
+    *
+    * Scale: the walk arm is the serving plan unchanged; the brute arm
+    * is the eval pass's inherent exact scan (corpus × bounded query
+    * sample — the recallEval shape), run offline at eval cadence, never
+    * at serve time.
+    */
+  def simsearchNswRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val adj = s.read.parquet(nswAdjPath(s, d))
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val queries = corpus.where(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val entry = corpus.agg(min("vec_id")).collect()(0).getLong(0)
+    val seeds = queries.withColumn("vec_id", lit(entry))
+    val w = Window.partitionBy("qid").orderBy(desc("cm_micro"), asc("vec_id"))
+    val walk10 = nswWalkBatch(adj, corpus, seeds, nswBatchBeam, nswBatchHops)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .select("qid", "vec_id")
+    val wb = Window.partitionBy("qid").orderBy(desc("cm"), asc("vec_id"))
+    val brute10 = corpus
+      .crossJoin(broadcast(queries.select(col("qid"), col("qe"))))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qe")) * 1000000d, 0)
+          .cast("long").as("cm"))
+      .withColumn("rk", row_number().over(wb)).where(col("rk") <= 10)
+      .select("qid", "vec_id")
+    val hits = walk10.join(brute10, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n"))
+    val gt = brute10.groupBy("qid").agg(count(lit(1)).as("gt_n"))
+    queries.select("qid")
+      .join(hits, Seq("qid"), "left")
+      .join(gt, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n"), lit(0L)).as("n_hits"),
+        coalesce(col("gt_n"), lit(0L)).as("gt_n"))
+      .withColumn("recall_ppm", when(col("gt_n") > 0,
+        expr("(n_hits * 1000000) div gt_n")).otherwise(lit(0L)))
+      .orderBy("qid")
   }
 
   /** Tombstoned-node predicate of the NSW delete scenario (disjoint from
@@ -9561,6 +9645,7 @@ object LlmData {
     "q_simsearch_binary" -> simsearchBinary _,
     "q_simsearch_nsw" -> simsearchNsw _,
     "q_simsearch_nsw_build" -> simsearchNswBuild _,
+    "q_simsearch_nsw_recall" -> simsearchNswRecall _,
     "q_simsearch_hnsw" -> simsearchHnsw _,
     "q_simsearch_nsw_batch" -> simsearchNswBatch _,
     "q_simsearch_nsw_insert" -> simsearchNswInsert _,
@@ -10208,6 +10293,7 @@ object LlmData {
     "q_stream_corpus_curate" -> streamCurateSql,
     "q_simsearch_nsw" -> nswSql,
     "q_simsearch_nsw_build" -> nswBuildSql,
+    "q_simsearch_nsw_recall" -> nswRecallSql,
     "q_simsearch_hnsw" -> hnswSql,
     "q_simsearch_nsw_batch" -> nswBatchSql,
     "q_simsearch_nsw_insert" -> nswInsertSql,

@@ -160,7 +160,8 @@ class ContractSpec extends AnyFunSuite {
     // round 18: the cell-bounded NN-Descent graph construction (the r17
     // judge's single `weak` item made a first-class oracle-checked key),
     // sampled harmonic closeness
-    "q_simsearch_nsw_build", "q_graph_closeness", "q_graph_sssp")
+    "q_simsearch_nsw_build", "q_graph_closeness", "q_graph_sssp",
+    "q_simsearch_nsw_recall")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

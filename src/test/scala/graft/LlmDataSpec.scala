@@ -578,6 +578,24 @@ class LlmDataSpec extends AnyFunSuite {
       "no deleted node was ever routed through — mark-and-filter untested")
   }
 
+  test("q_simsearch_nsw_recall: walk ledger is consistent and holds the mean-recall floor") {
+    val rows = LlmData.simsearchNswRecall(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "one ledger row per batch query")
+    rows.foreach { case (qid, hits, gtN, ppm) =>
+      assert(qid % 50 === 1, "ledger rows keyed by the walk's query batch")
+      assert(gtN > 0 && gtN <= 10, "ground-truth size is min(10, corpus)")
+      assert(hits >= 0 && hits <= gtN)
+      assert(ppm === hits * 1000000L / gtN)
+    }
+    // the dial-quality signal is non-vacuous: the batch walk's mean
+    // recall on the fixture holds a real floor (measured; the beam/hop
+    // dials are graded by exactly this ledger)
+    val mean = rows.map(_._4).sum.toDouble / rows.length / 1000000.0
+    info(s"NSW batch-walk mean recall@10: $mean")
+    assert(mean >= 0.6, s"mean walk recall $mean below the 0.6 floor")
+  }
+
   test("q_simsearch_recall_eval: ledger matches a direct intersection recount") {
     val rows = LlmData.simsearchRecallEval(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
