@@ -572,6 +572,102 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q_agg_theta_sketch_diff — REAGGREGATABLE SET ALGEBRA over PERSISTED
+    * theta sketches (Apache DataSketches Theta, built into Spark 4.1):
+    * the missing third of the sketch-rollup family — [[aggSketchMerge]]
+    * proves UNION (HLL), [[aggHllOverlap]] approximates INTERSECTION by
+    * inclusion-exclusion, but set DIFFERENCE ("distinct users active in
+    * window A and NOT in window B" — the churn question) needs theta's
+    * first-class A-NOT-B operator; HLL cannot express it at all. The
+    * daily job persists one theta sketch per (event_type, day) as a
+    * day-partitioned parquet sketch table; the rollup
+    * ([[thetaDiffMergeFrame]]) unions each half-window's dailies per
+    * type (`theta_union_agg`) and applies `theta_difference` /
+    * `theta_intersection` / `theta_union` WITHOUT rescanning raw rows —
+    * RelationalSpec asserts the merge frame's inputFiles exclude the
+    * raw events table (the quantile-sketch discipline). Exact counts
+    * ride along as the oracle surface; the sketch estimates are asserted
+    * within the theta error envelope as booleans (the [[aggHllOverlap]]
+    * pattern — at fixture cardinality the sketches are in exact mode, so
+    * the bound has wide slack; the fixed DataSketches seed makes the
+    * booleans deterministic).
+    *
+    * Scale: day-grain sketches are KB at any row count; every
+    * retention/churn window question costs O(window × types) sketch rows
+    * merged per group instead of a raw-history self-join — and the
+    * difference estimate is one sketch op, where the exact formulation
+    * is a distinct-pass anti-join per (A, B) window pair.
+    */
+  def aggThetaSketchDiff(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_agg_theta_sketch_diff"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    // the daily sketch job: one theta sketch per (type, day), persisted
+    // day-partitioned — rebuilt here as fixture setup; production appends
+    // each day's partition once and never touches it again
+    t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$root/daily")
+    val est = thetaDiffMergeFrame(s, root)
+    // exact arm (the oracle surface): distinct user sets per half-window
+    val du = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val ua = du.where(col("day") < lit(thetaWindowAEnd).cast("date"))
+      .select(col("event_type"), col("user_id")).distinct()
+    val ub = du.where(col("day") >= lit(thetaWindowBStart).cast("date"))
+      .select(col("event_type"), col("user_id")).distinct()
+    val nA = ua.groupBy("event_type").agg(count(lit(1)).as("n_a_exact"))
+    val nB = ub.groupBy("event_type").agg(count(lit(1)).as("n_b_exact"))
+    val nInt = ua.join(ub, Seq("event_type", "user_id"), "left_semi")
+      .groupBy("event_type").agg(count(lit(1)).as("n_int_exact"))
+    nA.join(nB, "event_type")
+      .join(nInt, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_a_exact"), col("n_b_exact"),
+        coalesce(col("n_int_exact"), lit(0L)).as("n_int_exact"))
+      .withColumn("n_diff_exact", col("n_a_exact") - col("n_int_exact"))
+      .join(est, "event_type")
+      .select(col("event_type"), col("n_a_exact"), col("n_b_exact"),
+        col("n_int_exact"), col("n_diff_exact"),
+        (abs(col("est_diff") - col("n_diff_exact")) <=
+          col("n_a_exact") * 0.05 + 16).as("diff_est_ok"),
+        (abs(col("est_int") - col("n_int_exact")) <=
+          (col("n_a_exact") + col("n_b_exact")) * 0.05 + 16).as("int_est_ok"),
+        (abs(col("est_union") -
+          (col("n_a_exact") + col("n_b_exact") - col("n_int_exact"))) <=
+          (col("n_a_exact") + col("n_b_exact")) * 0.05 + 16).as("union_est_ok"))
+      .orderBy("event_type")
+  }
+
+  /** The theta rollup's two DISJOINT windows — contract constants framing
+    * the retention question ("week-1 cohort still active in the final
+    * week?"): A = the feed's first week, B = its last nine days. Disjoint
+    * (not adjacent-halves) windows keep the difference operator
+    * non-vacuous on every tier — with overlapping 15-day halves the
+    * fixture's small user universe appears in both and A∖B is empty. */
+  private val thetaWindowAEnd = "2024-01-08"
+  private val thetaWindowBStart = "2024-01-22"
+
+  /** The merge-only set-algebra frame over the persisted theta sketch
+    * table: each half-window's dailies union per type, then difference /
+    * intersection / union estimates — reading ONLY the day-partitioned
+    * partials (RelationalSpec asserts no raw-table file enters the
+    * plan). */
+  private[graft] def thetaDiffMergeFrame(s: SparkSession, root: String): DataFrame = {
+    val daily = s.read.parquet(s"$root/daily")
+    val a = daily.where(col("day") < lit(thetaWindowAEnd).cast("date"))
+      .groupBy("event_type").agg(expr("theta_union_agg(sk, 12)").as("sk_a"))
+    val b = daily.where(col("day") >= lit(thetaWindowBStart).cast("date"))
+      .groupBy("event_type").agg(expr("theta_union_agg(sk, 12)").as("sk_b"))
+    a.join(b, "event_type")
+      .select(col("event_type"),
+        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").as("est_diff"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").as("est_int"),
+        expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").as("est_union"))
+  }
+
   /** q_agg_percentile — exact interpolated percentiles per group (both
     * engines implement the standard (n-1)·p linear interpolation; results
     * round through [[Det.r]] to absorb last-ulp libm differences). Exact
@@ -1852,6 +1948,7 @@ object Relational {
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_sketch_merge" -> aggSketchMerge _,
     "q_agg_hll_overlap" -> aggHllOverlap _,
+    "q_agg_theta_sketch_diff" -> aggThetaSketchDiff _,
     "q_agg_approx_quantile" -> aggApproxQuantile _,
     "q_agg_histogram_merge" -> aggHistogramMerge _,
     "q_agg_quantile_sketch_merge" -> aggQuantileSketchMerge _,
@@ -2100,6 +2197,26 @@ object Relational {
         "FROM i JOIN n na ON i.type_a = na.event_type " +
         "JOIN n nb ON i.type_b = nb.event_type " +
         "ORDER BY type_a, type_b"),
+    "q_agg_theta_sketch_diff" ->
+      ("WITH du AS (SELECT DISTINCT event_type, user_id, " +
+        "CAST(ts AS DATE) AS day FROM events), " +
+        "ua AS (SELECT DISTINCT event_type, user_id FROM du " +
+        "WHERE day < DATE '2024-01-08'), " +
+        "ub AS (SELECT DISTINCT event_type, user_id FROM du " +
+        "WHERE day >= DATE '2024-01-22'), " +
+        "na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a_exact " +
+        "FROM ua GROUP BY 1), " +
+        "nb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_b_exact " +
+        "FROM ub GROUP BY 1), " +
+        "ni AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_int_exact " +
+        "FROM ua a JOIN ub b USING (event_type, user_id) GROUP BY 1) " +
+        "SELECT na.event_type, n_a_exact, n_b_exact, " +
+        "coalesce(n_int_exact, 0) AS n_int_exact, " +
+        "n_a_exact - coalesce(n_int_exact, 0) AS n_diff_exact, " +
+        "true AS diff_est_ok, true AS int_est_ok, true AS union_est_ok " +
+        "FROM na JOIN nb USING (event_type) " +
+        "LEFT JOIN ni ON ni.event_type = na.event_type " +
+        "ORDER BY na.event_type"),
     "q_agg_approx_quantile" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
         s"${sqlR("quantile_cont(o_totalprice, 0.5)", 4)} AS p50_exact, " +

@@ -129,6 +129,28 @@ class RelationalSpec extends AnyFunSuite {
       s"expected the day window as a partition filter on the sketch scan:\n$p")
   }
 
+  test("q_agg_theta_sketch_diff: set algebra never reads raw rows, estimates are exact-mode") {
+    val out = Relational.aggThetaSketchDiff(s, d).collect()
+    assert(out.nonEmpty)
+    // every bound boolean holds (the oracle pins them as literal true)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("diff_est_ok") && r.getAs[Boolean]("int_est_ok") &&
+        r.getAs[Boolean]("union_est_ok"),
+        s"theta estimate outside the error envelope: $r")
+    }
+    // the merge frame reads ONLY the persisted sketch table
+    val root = s"${sys.props("java.io.tmpdir")}/graft_out/q_agg_theta_sketch_diff"
+    val inputs = Relational.thetaDiffMergeFrame(s, root).inputFiles
+    assert(inputs.nonEmpty)
+    assert(inputs.forall(_.contains("/daily/")),
+      s"set algebra must read only the persisted sketch table:\n${inputs.mkString("\n")}")
+    assert(inputs.forall(!_.contains("events.parquet")),
+      "set algebra must never rescan the raw feed")
+    // difference is genuinely exercised: some type has churned users
+    assert(out.exists(_.getAs[Long]("n_diff_exact") > 0),
+      "no churned users anywhere — the difference operator is vacuous")
+  }
+
   test("q_agg_quantile_sketch_merge: merged quantiles bracket the exact ones") {
     val out = Relational.aggQuantileSketchMerge(s, d).collect()
     val sorted = Tables(s, d, "events")
