@@ -387,7 +387,33 @@ object Analytics {
     * nine combinable integer sums (O(1) state per group, any row order);
     * the eval joins the account-grain model back by broadcast.
     */
-  def timeseriesAr(s: SparkSession, d: String): DataFrame = {
+  def timeseriesAr(s: SparkSession, d: String): DataFrame =
+    arFitEval(s, d, lag2 = 2)
+
+  /** q_timeseries_seasonal_ar — the SEASONAL extension of
+    * [[timeseriesAr]] (SAR: one seasonal-lag regressor, the classical
+    * Box-Jenkins seasonal term): x_t = c + phi1*x_{t-1} + sphi12*x_{t-12},
+    * fit by the IDENTICAL exact integer normal equations with the second
+    * basis column moved from lag 2 to the annual lag 12 — monthly
+    * revenue's dominant cycle — and scored in the same MASE backtest
+    * harness against the one-month-naive baseline. One shared fit
+    * builder ([[arFitEval]]) serves both keys, so a rounding or guard
+    * change cannot diverge the family; the oracle replays the seasonal
+    * basis with the same HUGEINT Cramer chain.
+    */
+  def timeseriesSeasonalAr(s: SparkSession, d: String): DataFrame =
+    arFitEval(s, d, lag2 = 12)
+      .withColumnRenamed("phi2_micro", "sphi12_micro")
+
+  /** Shared AR(1 + one extra lag) exact-integer fit + backtest: the
+    * second regressor is lag `lag2` (2 = the plain AR(2) basis, 12 = the
+    * seasonal basis). Cramer solve in DECIMAL(38,0); a determinant term
+    * that OVERFLOWS decimal width raises loudly (raise_error) instead of
+    * the silent NULL non-ANSI Spark would emit — NULL coefficients are
+    * reserved for genuinely singular fits (nullif(det, 0)), so the two
+    * conditions are no longer indistinguishable (r17 advisory).
+    */
+  private def arFitEval(s: SparkSession, d: String, lag2: Int): DataFrame = {
     val obs = t(s, d, "orders")
       .select((col("o_custkey") % 20).cast("long").as("acct"),
         trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
@@ -397,7 +423,7 @@ object Analytics {
     val w = Window.partitionBy("acct").orderBy("mon")
     val rows = obs
       .withColumn("x1", lag(col("x"), 1).over(w))
-      .withColumn("x2", lag(col("x"), 2).over(w))
+      .withColumn("x2", lag(col("x"), lag2).over(w))
       .where(col("x2").isNotNull)
     // nine sufficient statistics, all exact Longs (map-side combinable)
     val stats = rows.groupBy("acct").agg(
@@ -425,10 +451,18 @@ object Analytics {
       s"(${dc("n")} * (${dc("s11")} * ${dc("s2y")} - ${dc("s1y")} * ${dc("s12")}) " +
         s"- ${dc("s1")} * (${dc("s1")} * ${dc("s2y")} - ${dc("s1y")} * ${dc("s2")}) " +
         s"+ ${dc("sy")} * (${dc("s1")} * ${dc("s12")} - ${dc("s11")} * ${dc("s2")}))"
+    // overflow guard: every input stat is non-null, so a NULL determinant
+    // term can ONLY mean DECIMAL(38,0) overflow — raise, never emit
+    // coefficients that silently read as a singular fit
+    def coef(detX: String, name: String) =
+      expr(s"CASE WHEN $det IS NULL OR ($detX) IS NULL THEN " +
+        "CAST(raise_error('q_timeseries_ar: Cramer term overflowed " +
+        "DECIMAL(38,0) — inputs exceed the documented headroom') AS BIGINT) " +
+        s"ELSE CAST((1000000 * $detX) div nullif($det, 0) AS BIGINT) END")
+        .as(name)
     val model = stats.select(col("acct"), col("n"),
-      expr(s"CAST((1000000 * $detC) div nullif($det, 0) AS BIGINT)").as("c_micro"),
-      expr(s"CAST((1000000 * $detP1) div nullif($det, 0) AS BIGINT)").as("phi1_micro"),
-      expr(s"CAST((1000000 * $detP2) div nullif($det, 0) AS BIGINT)").as("phi2_micro"))
+      coef(detC, "c_micro"), coef(detP1, "phi1_micro"),
+      coef(detP2, "phi2_micro"))
     // eval on the SAME rows the fit used: one-step AR prediction vs the
     // one-month-naive baseline, the backtest harness's MASE frame
     rows.join(broadcast(model), "acct")
@@ -6077,6 +6111,7 @@ object Analytics {
     "q_timeseries_ses" -> timeseriesSes _,
     "q_timeseries_holt_winters" -> timeseriesHoltWinters _,
     "q_timeseries_ar" -> timeseriesAr _,
+    "q_timeseries_seasonal_ar" -> timeseriesSeasonalAr _,
     "q_timeseries_dtw" -> timeseriesDtw _,
     "q_agg_chisq" -> aggChisq _,
     "q_agg_moments" -> aggMoments _,
@@ -6169,6 +6204,55 @@ object Analytics {
       "ORDER BY md5(CAST(sp AS VARCHAR)), sp) AS rk FROM e), " +
       "ec AS (SELECT c, sp FROM erk, cst WHERE rk <= greatest(128, " +
       "16 * CAST(ceil(n_edges * 1.0 / greatest(n_lists, 1)) AS BIGINT)))"
+
+
+  /** The AR fit oracle, parameterized by the second basis lag (2 = plain
+    * AR(2), 12 = the seasonal basis) and the alias of its coefficient —
+    * the HUGEINT Cramer chain mirroring [[arFitEval]] term for term. */
+  private def arOracleSql(lag2: Int, phi2Name: String): String = {
+    def det3(r1: (String, String, String), r2: (String, String, String),
+        r3: (String, String, String)): String =
+      s"(${r1._1} * (${r2._2} * ${r3._3} - ${r2._3} * ${r3._2}) " +
+        s"- ${r1._2} * (${r2._1} * ${r3._3} - ${r2._3} * ${r3._1}) " +
+        s"+ ${r1._3} * (${r2._1} * ${r3._2} - ${r2._2} * ${r3._1}))"
+    val det = det3(("n", "s1", "s2"), ("s1", "s11", "s12"), ("s2", "s12", "s22"))
+    val detC = det3(("sy", "s1", "s2"), ("s1y", "s11", "s12"), ("s2y", "s12", "s22"))
+    val detP1 = det3(("n", "sy", "s2"), ("s1", "s1y", "s12"), ("s2", "s2y", "s22"))
+    val detP2 = det3(("n", "s1", "sy"), ("s1", "s11", "s1y"), ("s2", "s12", "s2y"))
+    ("WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
+      "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
+      "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) // 100000 AS x " +
+      "FROM orders GROUP BY 1, 2), " +
+      "lagged AS (SELECT acct, x, " +
+      "lag(x, 1) OVER (PARTITION BY acct ORDER BY mon) AS x1, " +
+      s"lag(x, $lag2) OVER (PARTITION BY acct ORDER BY mon) AS x2 FROM obs), " +
+      "fitrows AS (SELECT * FROM lagged WHERE x2 IS NOT NULL), " +
+      "stats AS (SELECT acct, CAST(count(*) AS HUGEINT) AS n, " +
+      "CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2, " +
+      "CAST(sum(x) AS HUGEINT) AS sy, " +
+      "CAST(sum(x1 * x1) AS HUGEINT) AS s11, " +
+      "CAST(sum(x2 * x2) AS HUGEINT) AS s22, " +
+      "CAST(sum(x1 * x2) AS HUGEINT) AS s12, " +
+      "CAST(sum(x1 * x) AS HUGEINT) AS s1y, " +
+      "CAST(sum(x2 * x) AS HUGEINT) AS s2y " +
+      "FROM fitrows GROUP BY acct HAVING count(*) >= 10), " +
+      "model AS (SELECT acct, CAST(n AS BIGINT) AS n, " +
+      s"CAST((1000000 * $detC) // nullif($det, 0) AS BIGINT) AS c_micro, " +
+      s"CAST((1000000 * $detP1) // nullif($det, 0) AS BIGINT) AS phi1_micro, " +
+      s"CAST((1000000 * $detP2) // nullif($det, 0) AS BIGINT) AS PHI2COL " +
+      "FROM stats), " +
+      "ev AS (SELECT r.acct, m.n, m.c_micro, m.phi1_micro, m.PHI2COL, " +
+      "r.x, r.x1, (m.c_micro + m.phi1_micro * r.x1 + m.PHI2COL * r.x2) " +
+      "// 1000000 AS pred " +
+      "FROM fitrows r JOIN model m ON m.acct = r.acct) " +
+      "SELECT acct, n, c_micro, phi1_micro, PHI2COL, " +
+      "CAST(sum(abs(x - pred)) // n AS BIGINT) AS mae_ar, " +
+      "CAST(sum(abs(x - x1)) // n AS BIGINT) AS mae_naive, " +
+      "CAST((1000000 * (sum(abs(x - pred)) // n)) // " +
+      "nullif(sum(abs(x - x1)) // n, 0) AS BIGINT) AS mase_micro " +
+      "FROM ev GROUP BY acct, n, c_micro, phi1_micro, PHI2COL " +
+      "ORDER BY acct").replace("PHI2COL", phi2Name)
+  }
 
   val oracle: Map[String, String] = Map(
     // independent CC walk: recursive reachability closure reduced by min —
@@ -7881,50 +7965,8 @@ object Analytics {
     // rollup, same nine sufficient statistics, same 3×3 Cramer
     // determinants in HUGEINT, same truncating micro division, same
     // in-sample MASE frame
-    "q_timeseries_ar" -> {
-      def det3(r1: (String, String, String), r2: (String, String, String),
-          r3: (String, String, String)): String =
-        s"(${r1._1} * (${r2._2} * ${r3._3} - ${r2._3} * ${r3._2}) " +
-          s"- ${r1._2} * (${r2._1} * ${r3._3} - ${r2._3} * ${r3._1}) " +
-          s"+ ${r1._3} * (${r2._1} * ${r3._2} - ${r2._2} * ${r3._1}))"
-      val det = det3(("n", "s1", "s2"), ("s1", "s11", "s12"), ("s2", "s12", "s22"))
-      val detC = det3(("sy", "s1", "s2"), ("s1y", "s11", "s12"), ("s2y", "s12", "s22"))
-      val detP1 = det3(("n", "sy", "s2"), ("s1", "s1y", "s12"), ("s2", "s2y", "s22"))
-      val detP2 = det3(("n", "s1", "sy"), ("s1", "s11", "s1y"), ("s2", "s12", "s2y"))
-      "WITH obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
-        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +
-        "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) // 100000 AS x " +
-        "FROM orders GROUP BY 1, 2), " +
-        "lagged AS (SELECT acct, x, " +
-        "lag(x, 1) OVER (PARTITION BY acct ORDER BY mon) AS x1, " +
-        "lag(x, 2) OVER (PARTITION BY acct ORDER BY mon) AS x2 FROM obs), " +
-        "fitrows AS (SELECT * FROM lagged WHERE x2 IS NOT NULL), " +
-        "stats AS (SELECT acct, CAST(count(*) AS HUGEINT) AS n, " +
-        "CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2, " +
-        "CAST(sum(x) AS HUGEINT) AS sy, " +
-        "CAST(sum(x1 * x1) AS HUGEINT) AS s11, " +
-        "CAST(sum(x2 * x2) AS HUGEINT) AS s22, " +
-        "CAST(sum(x1 * x2) AS HUGEINT) AS s12, " +
-        "CAST(sum(x1 * x) AS HUGEINT) AS s1y, " +
-        "CAST(sum(x2 * x) AS HUGEINT) AS s2y " +
-        "FROM fitrows GROUP BY acct HAVING count(*) >= 10), " +
-        "model AS (SELECT acct, CAST(n AS BIGINT) AS n, " +
-        s"CAST((1000000 * $detC) // nullif($det, 0) AS BIGINT) AS c_micro, " +
-        s"CAST((1000000 * $detP1) // nullif($det, 0) AS BIGINT) AS phi1_micro, " +
-        s"CAST((1000000 * $detP2) // nullif($det, 0) AS BIGINT) AS phi2_micro " +
-        "FROM stats), " +
-        "ev AS (SELECT r.acct, m.n, m.c_micro, m.phi1_micro, m.phi2_micro, " +
-        "r.x, r.x1, (m.c_micro + m.phi1_micro * r.x1 + m.phi2_micro * r.x2) " +
-        "// 1000000 AS pred " +
-        "FROM fitrows r JOIN model m ON m.acct = r.acct) " +
-        "SELECT acct, n, c_micro, phi1_micro, phi2_micro, " +
-        "CAST(sum(abs(x - pred)) // n AS BIGINT) AS mae_ar, " +
-        "CAST(sum(abs(x - x1)) // n AS BIGINT) AS mae_naive, " +
-        "CAST((1000000 * (sum(abs(x - pred)) // n)) // " +
-        "nullif(sum(abs(x - x1)) // n, 0) AS BIGINT) AS mase_micro " +
-        "FROM ev GROUP BY acct, n, c_micro, phi1_micro, phi2_micro " +
-        "ORDER BY acct"
-    },
+    "q_timeseries_ar" -> arOracleSql(2, "phi2_micro"),
+    "q_timeseries_seasonal_ar" -> arOracleSql(12, "sphi12_micro"),
     "q_timeseries_ses" ->
       ("WITH RECURSIVE obs AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS acct, " +
         "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon, " +

@@ -3019,6 +3019,58 @@ class AnalyticsSpec extends AnyFunSuite {
       "AR(2) should beat the naive baseline on most accounts")
   }
 
+  test("q_timeseries_seasonal_ar: the seasonal-lag fit replays in BigInt and differs from AR(2)") {
+    val obs = graft.Tables(s, d, "orders")
+      .select((col("o_custkey") % 20).cast("long").as("acct"),
+        trunc(col("o_orderdate"), "MM").as("mon"), col("o_totalprice"))
+      .groupBy("acct", "mon")
+      .agg(expr("sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) div 100000")
+        .as("x"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val want = obs.groupBy(_._1).flatMap { case (acct, rows0) =>
+      val xs = rows0.sortBy(_._2).map(_._3)
+      // the seasonal basis: x1 = lag 1, x2 = the ANNUAL lag 12
+      val rows = xs.indices.drop(12).map(i => (xs(i), xs(i - 1), xs(i - 12)))
+      if (rows.length < 10) None else {
+        def bi(l: Long) = BigInt(l)
+        val n = bi(rows.length)
+        val s1 = rows.map(r => bi(r._2)).sum; val s2 = rows.map(r => bi(r._3)).sum
+        val sy = rows.map(r => bi(r._1)).sum
+        val s11 = rows.map(r => bi(r._2) * bi(r._2)).sum
+        val s22 = rows.map(r => bi(r._3) * bi(r._3)).sum
+        val s12 = rows.map(r => bi(r._2) * bi(r._3)).sum
+        val s1y = rows.map(r => bi(r._2) * bi(r._1)).sum
+        val s2y = rows.map(r => bi(r._3) * bi(r._1)).sum
+        def det3(m: Seq[Seq[BigInt]]) =
+          m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+            m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+            m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+        val dd = det3(Seq(Seq(n, s1, s2), Seq(s1, s11, s12), Seq(s2, s12, s22)))
+        assert(dd != 0, s"acct $acct: singular seasonal system on the fixture")
+        val dc = det3(Seq(Seq(sy, s1, s2), Seq(s1y, s11, s12), Seq(s2y, s12, s22)))
+        val d1 = det3(Seq(Seq(n, sy, s2), Seq(s1, s1y, s12), Seq(s2, s2y, s22)))
+        val d2 = det3(Seq(Seq(n, s1, sy), Seq(s1, s11, s1y), Seq(s2, s12, s2y)))
+        val (c, p1, p2) = ((BigInt(1000000) * dc / dd).toLong,
+          (BigInt(1000000) * d1 / dd).toLong, (BigInt(1000000) * d2 / dd).toLong)
+        Some(acct -> (rows.length.toLong, c, p1, p2))
+      }
+    }
+    val got = Analytics.timeseriesSeasonalAr(s, d).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (acct, w) =>
+      assert(got(acct) === w, s"acct $acct: seasonal AR replay mismatch")
+    }
+    // non-vacuous: the seasonal coefficient is not just AR(2)'s phi2 —
+    // the annual basis genuinely changes the fit somewhere
+    val plain = Analytics.timeseriesAr(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got.exists { case (acct, (_, _, _, sphi)) =>
+      plain.get(acct).exists(_ != sphi) },
+      "seasonal fit identical to AR(2) on every account — basis change vacuous")
+  }
+
   test("q_er_resolve: the ledger equals a driver-side funnel replay and conserves names") {
     import scala.collection.mutable
     val parts = graft.Tables(s, d, "part").select("p_partkey", "p_name")
