@@ -161,12 +161,20 @@ object Bench {
       if (isolated.isEmpty) ""
       else isolated.map { case (k, v) => s"\"$k\":${fmt(v)}" }
         .mkString(""","isolated":{""", ",", "}")
+    // key-set fingerprint: totals are only comparable over the SAME keys —
+    // equal counts with one key swapped for another would otherwise carry
+    // an incomparable canonical forward (r17 advisory)
+    val kset = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(results.map(_._1).sorted.mkString(",").getBytes("UTF-8"))
+      md.digest().take(4).map("%02x".format(_)).mkString
+    }
     def record(role: String): String =
-      s"""{"role":"$role","metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs$isoQs,"sf":"$sfDir"}"""
+      s"""{"role":"$role","metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"kset":"$kset","queries":$fullQs$isoQs,"sf":"$sfDir"}"""
     val recordFile = if (args.isEmpty) "bench_full.json" else "bench_subset.json"
     // prior canonical at the same key count and a lower-or-equal total
     // survives; otherwise this run becomes the canonical
-    val priorCanonical: Option[(Double, Long, String)] =
+    val priorCanonical: Option[(Double, Long, Option[String], String)] =
       try {
         val p = java.nio.file.Paths.get(recordFile)
         if (!java.nio.file.Files.exists(p)) None
@@ -174,20 +182,24 @@ object Bench {
           import scala.jdk.CollectionConverters._
           val vRe = """"value":([0-9.]+)""".r
           val nRe = """"n":(\d+)""".r
+          val kRe = """"kset":"([0-9a-f]+)"""".r
           java.nio.file.Files.readAllLines(p).asScala
             .find(_.contains("\"role\":\"canonical\""))
             .flatMap { line =>
               for {
                 v <- vRe.findFirstMatchIn(line).map(_.group(1).toDouble)
                 n <- nRe.findFirstMatchIn(line).map(_.group(1).toLong)
-              } yield (v, n, line)
+              } yield (v, n, kRe.findFirstMatchIn(line).map(_.group(1)), line)
             }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] prior record unreadable: $e"); None
       }
+    // carry the prior canonical ONLY over an identical key set (a prior
+    // record without a fingerprint resets — safe, never incomparable)
     val (canonicalLine, canonicalTotal) = priorCanonical match {
-      case Some((v, n, line)) if n == results.size && v <= total => (line, v)
+      case Some((v, n, Some(k), line))
+        if n == results.size && k == kset && v <= total => (line, v)
       case _ => (record("canonical"), total)
     }
     try {

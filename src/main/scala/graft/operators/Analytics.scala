@@ -5299,7 +5299,11 @@ object Analytics {
     * Edges outside every triangle get no row — support 0, peeled by the
     * threshold exactly like the generic pass.
     */
-  private def trussSupportStaged(s: SparkSession, d: String): DataFrame = {
+  /** Returns (support frame, the persisted adjacency): the CALLER must
+    * unpersist the adjacency once the support frame is materialized —
+    * round 1 is this pass's only use, so leaving it cached leaked one
+    * relation per invocation for the JVM lifetime (r17 advisory). */
+  private def trussSupportStaged(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val adjRaw = s.read.parquet(copurchaseAdj(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = broadcast(adjRaw) // node-grain with O(√m) arrays — tiny
@@ -5316,12 +5320,19 @@ object Analytics {
         struct(least(col("dst"), col("w")).as("a"),
           greatest(col("dst"), col("w")).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup")) -> adjRaw
   }
 
-  /** Test seam for the staged/generic support equivalence check. */
-  private[graft] def trussSupportStagedForTest(s: SparkSession, d: String): DataFrame =
-    trussSupportStaged(s, d)
+  /** Test seam for the staged/generic support equivalence check —
+    * materializes the support frame so the cached adjacency can be
+    * released before returning (the checkpointed frame no longer reads
+    * through the cache). */
+  private[graft] def trussSupportStagedForTest(s: SparkSession, d: String): DataFrame = {
+    val (sup, adjRaw) = trussSupportStaged(s, d)
+    val out = sup.localCheckpoint(true)
+    adjRaw.unpersist()
+    out
+  }
 
   private[graft] def trussSupportGenericForTest(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
@@ -5395,11 +5406,16 @@ object Analytics {
             "at least one edge, so rounds are bounded by |E|; state is corrupt")
         // round 1 runs on the FULL graph — take the staged-orientation
         // path; the peeled remnants use the generic size-aware pass
-        val sup = if (rounds == 1) trussSupportStaged(s, d)
-          else trussSupport(e, n)
+        val (sup, stagedAdj) = if (rounds == 1) {
+          val (s0, adjRaw) = trussSupportStaged(s, d)
+          (s0, Some(adjRaw))
+        } else (trussSupport(e, n), None)
         val next = sup
           .where(col("sup") >= KTrussK - 2).select("a", "b")
           .localCheckpoint(true)
+        // the eager checkpoint above materialized the round-1 support —
+        // the staged adjacency cache has served its one purpose
+        stagedAdj.foreach(_.unpersist())
         val m = next.count()
         require(m <= n,
           "truss peel grew the edge set — the peel is monotone; state is corrupt")
