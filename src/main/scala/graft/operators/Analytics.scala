@@ -5164,6 +5164,94 @@ object Analytics {
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
 
+  /** Horizon of the neighborhood function — a contract constant like the
+    * closeness depth. */
+  private val AnfHorizon = 4
+
+  /** One HyperANF sketch round: ball-sketch(v) absorbs every neighbor's
+    * previous ball sketch — self rows union neighbor-joined rows, ONE
+    * keyed hll_union_agg. Exposed un-checkpointed for PlanShapeSpec. */
+  private def anfStep(und: DataFrame, sk: DataFrame): DataFrame =
+    sk.unionByName(
+      und.join(sk.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("sk")))
+      .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
+
+  /** Test seam: two un-checkpointed sketch rounds over the real graph. */
+  private[graft] def anfStepForTest(s: SparkSession, d: String): DataFrame = {
+    val edges = ccEdges(s, d)
+    val und = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val sk0 = nodes.groupBy("node").agg(expr("hll_sketch_agg(node, 12)").as("sk"))
+    anfStep(und, anfStep(und, sk0))
+  }
+
+  /** q_graph_neighborhood — the NEIGHBORHOOD FUNCTION N(h) = Σ_v |ball(v,
+    * h)| by HLL-sketch propagation (HyperANF, Boldi & Vigna, "HyperANF:
+    * approximating the neighbourhood function of very large graphs on a
+    * budget", WWW'11 — the published algorithm for distance
+    * distributions / effective diameter on billion-edge graphs,
+    * descending from Palmer et al.'s ANF): every node carries an HLL
+    * sketch of its ball; one round unions each node's sketch with its
+    * neighbors' previous sketches ([[anfStep]] — self rows ∪ one
+    * edge-keyed equi-join, then a single keyed `hll_union_agg`), so
+    * after h rounds the sketch estimates |ball(v, h)| and N(h) is one
+    * sum. The EXACT arm (the reach-pair iteration) rides along as the
+    * eval surface — fixture-grade ground truth, exactly the
+    * recall-ledger doctrine — and the output pins per-horizon exact
+    * counts plus an error-envelope boolean (5 % + 16·|V|, generous for
+    * lgK 12's ~1.6 % per-sketch error; the fixed sketch hash seed makes
+    * the boolean deterministic).
+    *
+    * Scale: the sketch arm's state is one KB-scale sketch per node
+    * (production HyperANF dials lgK down to 7–10), each round ONE
+    * edge-grain equi-join + one keyed union-agg with map-side partials —
+    * never a pair table; N(h) for all h up to the diameter costs
+    * diameter rounds over node-grain state where the exact formulation
+    * materializes the transitive closure. The exact arm is the EVAL
+    * pass only — at 100 TB it runs on a sampled node panel or not at
+    * all, while the sketch arm is the product.
+    */
+  def graphNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val edges = ccEdges(s, d)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      val und = edges.select(col("a").as("v"), col("b").as("u"))
+        .union(edges.select(col("b").as("v"), col("a").as("u")))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+        .localCheckpoint(true)
+      val nNodes = nodes.count()
+      var sk = nodes.groupBy("node")
+        .agg(expr("hll_sketch_agg(node, 12)").as("sk")).localCheckpoint(true)
+      var reach = nodes.select(col("node").as("c"), col("node").as("u"))
+        .localCheckpoint(true)
+      val out = (1 to AnfHorizon).map { h =>
+        sk = anfStep(und, sk).localCheckpoint(true)
+        reach = reach.unionByName(
+            und.join(reach.select(col("c"), col("u").as("v")), "v")
+              .select(col("c"), col("u")))
+          .distinct().localCheckpoint(true)
+        val nfExact = reach.count()
+        val nfEst = sk.agg(sum(expr("hll_sketch_estimate(sk)")))
+          .collect()(0).getLong(0)
+        (h.toLong, nNodes, nfExact,
+          math.abs(nfEst - nfExact) <= nfExact * 0.05 + 16.0 * nNodes)
+      }
+      import s.implicits._
+      out.toDF("h", "n_nodes", "nf_exact", "nf_est_ok").orderBy("h")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
   /** Round bound for the SSSP relaxation — a provable-headroom guard like
     * the MST family's 64 (the fixture converges well inside it; the spec
     * re-checks the bound per tier, and the engine FAILS LOUDLY if a tier
@@ -6047,6 +6135,7 @@ object Analytics {
     "q_graph_betweenness" -> graphBetweenness _,
     "q_graph_closeness" -> graphCloseness _,
     "q_graph_sssp" -> graphSssp _,
+    "q_graph_neighborhood" -> graphNeighborhood _,
     "q_graph_ktruss" -> graphKtruss _,
     "q_graph_mst" -> graphMst _,
     "q_graph_random_walk" -> graphRandomWalk _,
@@ -7981,6 +8070,31 @@ object Analytics {
     // rollup, same nine sufficient statistics, same 3×3 Cramer
     // determinants in HUGEINT, same truncating micro division, same
     // in-sample MASE frame
+    // the exact reach-pair iteration unrolled per horizon; the sketch
+    // estimates are DataSketches-defined, pinned by the envelope boolean
+    "q_graph_neighborhood" -> {
+      val rounds = (1 to 4).map { r =>
+        s"r$r AS MATERIALIZED (SELECT c, u FROM r${r - 1} " +
+          s"UNION SELECT r.c, e.u FROM r${r - 1} r JOIN und e ON e.v = r.u)"
+      }.mkString(", ")
+      val levels = (1 to 4).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS h, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM r$r) AS nf_exact, " +
+          "true AS nf_est_ok"
+      }.mkString(" UNION ALL ")
+      "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "pr AS (SELECT b1.p AS a, b2.p AS b FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "und AS MATERIALIZED (SELECT a AS v, b AS u FROM pr " +
+        "UNION ALL SELECT b, a FROM pr), " +
+        "nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr), " +
+        "r0 AS (SELECT node AS c, node AS u FROM nodes), " +
+        rounds + " " +
+        s"SELECT h, n_nodes, nf_exact, nf_est_ok FROM ($levels) ORDER BY h"
+    },
     "q_timeseries_ar" -> arOracleSql(2, "phi2_micro"),
     "q_timeseries_seasonal_ar" -> arOracleSql(12, "sphi12_micro"),
     "q_timeseries_ses" ->

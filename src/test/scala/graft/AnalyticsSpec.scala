@@ -2928,6 +2928,36 @@ class AnalyticsSpec extends AnyFunSuite {
         s"(got ${got.size} rows, want ${want.size})")
   }
 
+  test("q_graph_neighborhood: exact counts equal a driver ball expansion, sketches inside the envelope") {
+    import scala.collection.mutable
+    val edges = Analytics.ccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    var reach: Map[Long, Set[Long]] = adj.keys.map(n => n -> Set(n)).toMap
+    val wantNf = (1 to 4).map { _ =>
+      reach = reach.map { case (c, ball) =>
+        c -> (ball ++ ball.flatMap(u => adj.getOrElse(u, mutable.Set.empty)))
+      }
+      reach.values.map(_.size.toLong).sum
+    }
+    val got = Analytics.graphNeighborhood(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSeq === (1L to 4L))
+    assert(got.map(_._3).toSeq === wantNf, "exact neighborhood function diverged")
+    assert(got.forall(_._4), "a sketch estimate left the error envelope")
+    assert(got.forall(_._2 === adj.size.toLong))
+    // monotone: balls only grow
+    got.map(_._3).sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    // non-vacuous: by the horizon the balls are genuinely bigger than
+    // the seed singletons (the sketch arm measured something)
+    assert(got.last._3 > adj.size.toLong,
+      "N(4) never exceeded |V| — the expansion is vacuous")
+  }
+
   test("q_graph_sssp: distances equal a driver Bellman-Ford and converge inside the round bound") {
     import scala.collection.mutable
     val edges = Analytics.ccEdgesWeightedForTest(s, d).collect()

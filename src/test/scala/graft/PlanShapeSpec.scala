@@ -734,6 +734,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"closeness rollup must not plan a quadratic join:\n$p")
   }
 
+  test("q_graph_neighborhood: the sketch round plans keyed equi joins only") {
+    val p = plan(graft.operators.Analytics.anfStepForTest(s, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"HyperANF round must not plan a quadratic join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"HyperANF round should plan keyed equi joins:\n$p")
+  }
+
   test("q_graph_sssp: the relaxation superstep plans keyed equi joins only") {
     // two un-checkpointed rounds keep the join shapes visible (the
     // production loop lineage-cuts per round)
