@@ -611,8 +611,20 @@ object Relational {
       .groupBy("event_type", "day")
       .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
       .write.mode("overwrite").partitionBy("day").parquet(s"$root/daily")
-    val est = thetaDiffMergeFrame(s, root)
-    // exact arm (the oracle surface): distinct user sets per half-window
+    thetaAlgebra(s, d, thetaDiffMergeFrame(s, root))
+  }
+
+  /** The theta set-algebra READOUT over ANY per-window estimate frame
+    * `(event_type, est_diff, est_int, est_union)` — shared by the lake
+    * rollup above and the streaming-maintained sketch
+    * ([[graft.streaming.Streams.streamThetaSketch]]), so
+    * "streaming-maintained ≡ batch-built partials" is checked by the
+    * SAME oracle SQL on both keys. The exact arm (one distinct pass per
+    * window over raw events) is the oracle surface; estimates only ever
+    * surface through the envelope booleans.
+    */
+  private[graft] def thetaAlgebra(s: SparkSession, d: String,
+      est: DataFrame): DataFrame = {
     val du = t(s, d, "events")
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
     val ua = du.where(col("day") < lit(thetaWindowAEnd).cast("date"))
@@ -655,13 +667,22 @@ object Relational {
     * intersection / union estimates — reading ONLY the day-partitioned
     * partials (RelationalSpec asserts no raw-table file enters the
     * plan). */
-  private[graft] def thetaDiffMergeFrame(s: SparkSession, root: String): DataFrame = {
-    val daily = s.read.parquet(s"$root/daily")
+  private[graft] def thetaDiffMergeFrame(s: SparkSession, root: String): DataFrame =
+    thetaEstimates(s.read.parquet(s"$root/daily"))
+
+  /** Window-union + set-operator estimates over ANY (day, event_type, sk)
+    * partial frame. The B branch's join key is RENAMED (b_type) so the
+    * two branches over the same source never share output attributes — a
+    * memory-sink view source (the streaming caller) fails Catalyst's
+    * self-join dedup with "conflicting references" otherwise (the
+    * quantileRollup r17 lesson). */
+  private[graft] def thetaEstimates(daily: DataFrame): DataFrame = {
     val a = daily.where(col("day") < lit(thetaWindowAEnd).cast("date"))
       .groupBy("event_type").agg(expr("theta_union_agg(sk, 12)").as("sk_a"))
     val b = daily.where(col("day") >= lit(thetaWindowBStart).cast("date"))
       .groupBy("event_type").agg(expr("theta_union_agg(sk, 12)").as("sk_b"))
-    a.join(b, "event_type")
+      .select(col("event_type").as("b_type"), col("sk_b"))
+    a.join(b, col("event_type") === col("b_type"))
       .select(col("event_type"),
         expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").as("est_diff"),
         expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").as("est_int"),

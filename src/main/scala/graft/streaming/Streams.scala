@@ -543,6 +543,38 @@ object Streams {
         col("event_type"), col("bin"), col("cnt")))
   }
 
+  /** q_stream_theta_sketch — STREAMING-MAINTAINED THETA SKETCH PARTIALS,
+    * the stream face of `q_agg_theta_sketch_diff` exactly as
+    * [[streamQuantileSketch]] is the stream face of the quantile
+    * partials: the stream maintains one theta sketch per (day,
+    * event_type) as a single append-mode windowed aggregate
+    * (watermark-flushed — at 100 TB/day this is how the lake pattern's
+    * sketch table gets WRITTEN: map-side sketch partials into keyed
+    * state, day-grain sketch rows out), and the set-algebra readout
+    * (window unions, difference / intersection / union, exact-arm
+    * envelope booleans) runs over the flushed partials through the SAME
+    * tail as the lake path ([[graft.operators.Relational.thetaAlgebra]]).
+    * Gated by the IDENTICAL oracle SQL as the lake key — streaming-
+    * maintained ≡ batch-built, hash-checked — plus a row-for-row
+    * engine-side equality spec. Sketch state is KB per open (day, type)
+    * cell; merge order across micro-batches cannot perturb the readout
+    * (theta sketches are order-insensitive in estimate, and the fixture
+    * cardinality keeps them in exact mode).
+    */
+  def streamThetaSketch(s: SparkSession, d: String): DataFrame = {
+    val flushed = runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(expr("theta_sketch_agg(user_id, 12)").as("sk")),
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "thsketch")
+      .where(col("event_type") =!= "sentinel")
+    graft.operators.Relational.thetaAlgebra(s, d,
+      graft.operators.Relational.thetaEstimates(
+        flushed.select(col("window.start").cast("date").as("day"),
+          col("event_type"), col("sk"))))
+  }
+
   /** q_stream_watermark_late — hourly tumbling counts in APPEND mode with a
     * 10-minute watermark, demonstrating late-data drop (the streaming
     * analogue of the reference's bounded sensor wait,
@@ -1421,6 +1453,7 @@ object Streams {
     "q_stream_update_agg" -> streamUpdateAgg _,
     "q_stream_topk" -> streamTopk _,
     "q_stream_quantile_sketch" -> streamQuantileSketch _,
+    "q_stream_theta_sketch" -> streamThetaSketch _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
@@ -1450,6 +1483,9 @@ object Streams {
       // the IDENTICAL SQL as the lake rollup: streaming-maintained
       // partials must reproduce the batch-built sketch bit for bit
       graft.operators.Relational.oracle("q_agg_quantile_sketch_merge"),
+    "q_stream_theta_sketch" ->
+      // the IDENTICAL SQL as the lake set-algebra readout
+      graft.operators.Relational.oracle("q_agg_theta_sketch_diff"),
     "q_stream_topk" ->
       ("WITH wc AS (SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) " +
         "AS w0, user_id, count(*) AS n FROM events GROUP BY 1, 2), " +

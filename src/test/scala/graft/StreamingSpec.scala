@@ -472,4 +472,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === lake,
       s"streaming sketch diverged from the lake rollup:\n$stream\nvs\n$lake")
   }
+
+  test("q_stream_theta_sketch: streaming-maintained sketches equal the lake set algebra") {
+    // same law as the quantile pair: one readout tail, one oracle — the
+    // watermark-flushed theta sketches must reproduce the batch-built
+    // table's readout row for row (exact counts AND envelope booleans)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toSeq
+    val stream = rows(graft.streaming.Streams.streamThetaSketch(s, d))
+    val lake = rows(graft.operators.Relational.aggThetaSketchDiff(s, d))
+    assert(stream.nonEmpty)
+    assert(stream === lake,
+      s"streaming theta sketch diverged from the lake readout:\n$stream\nvs\n$lake")
+  }
 }
