@@ -5164,6 +5164,95 @@ object Analytics {
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
 
+  /** Landmark-oracle contract constants: k landmarks, q query nodes, and
+    * the shared relaxation round guard. */
+  private val LandmarkCount = 4
+  private val LandmarkQueryNodes = 8
+
+  /** q_graph_landmark_dist — a LANDMARK DISTANCE ORACLE (Potamias,
+    * Bonchi, Castillo, Gionis, "Fast shortest path distance estimation
+    * in large networks", CIKM'09 — the production answer to
+    * point-to-point distance queries, which [[graphSssp]] cannot serve
+    * per arbitrary pair without a traversal per query): distances from
+    * [[LandmarkCount]] md5-ranked landmarks to every node are
+    * precomputed as ONE multi-source weighted Bellman-Ford keyed
+    * (landmark, node) — the [[ssspStep]] relaxation with a compound key
+    * — and a query pair (u, v) is answered in O(k) sketch lookups by the
+    * triangle-inequality upper bound d̂(u, v) = min_l d(l, u) + d(l, v).
+    * The emitted readout estimates all [[LandmarkQueryNodes]]-choose-2
+    * pairs of a second md5-ranked query panel; pairs no landmark
+    * connects emit no row (mirrored). AnalyticsSpec proves the
+    * upper-bound LAW driver-side: every estimate ≥ the true Dijkstra
+    * distance and every estimate is a realizable path length.
+    *
+    * Scale: the precompute is k simultaneous SSSPs in one superstep
+    * loop — state (k·|V| rows) and per-round cost scale linearly in k;
+    * serving is a (pair × landmark) keyed join over the node-grain
+    * distance table, no traversal at query time — exactly why
+    * production systems (social-graph distance ranking, road networks)
+    * ship landmark sketches instead of online BFS.
+    */
+  def graphLandmarkDist(s: SparkSession, d: String): DataFrame = {
+    val we = ccWeightedEdges(s, d)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      val und = we.select(col("a").as("v"), col("b").as("u"),
+          expr("1000000 div m").as("w"))
+        .union(we.select(col("b").as("v"), col("a").as("u"),
+          expr("1000000 div m").as("w")))
+        .localCheckpoint(true)
+      val nodes = we.select(col("a").as("node"))
+        .union(we.select(col("b").as("node"))).distinct()
+        .localCheckpoint(true)
+      def ranked(salt: String, k: Int) = nodes
+        .withColumn("h",
+          expr(md5h4(s"md5(concat('$salt', CAST(node AS STRING)))")))
+        .orderBy(col("h"), col("node")).limit(k).select("node")
+      var dist = ranked("graftlm:", LandmarkCount)
+        .select(col("node").as("lmk"), col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var signature = (0L, 0L)
+      var converged = false
+      var round = 0
+      while (!converged && round < SsspRounds) {
+        round += 1
+        val next = dist.select(col("lmk"), col("node"), col("dist"))
+          .unionByName(und
+            .join(dist.select(col("lmk"), col("node").as("v"),
+              col("dist").as("dv")), "v")
+            .select(col("lmk"), col("u").as("node"),
+              (col("dv") + col("w")).as("dist")))
+          .groupBy("lmk", "node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        val Array(row) = next.agg(count(lit(1)), sum(col("dist"))).collect()
+        val sig = (row.getLong(0), row.getLong(1))
+        converged = sig == signature
+        signature = sig
+        dist = next
+      }
+      require(converged,
+        s"landmark precompute did not reach its fixpoint within $SsspRounds rounds")
+      val qn = ranked("graftlq:", LandmarkQueryNodes)
+      val pairs = qn.select(col("node").as("u"))
+        .join(qn.select(col("node").as("v")), col("u") < col("v"))
+      pairs
+        .join(dist.select(col("lmk"), col("node").as("u"),
+          col("dist").as("du")), "u")
+        .join(dist.select(col("lmk").as("lmk2"), col("node").as("v2"),
+          col("dist").as("dv")),
+          col("v") === col("v2") && col("lmk") === col("lmk2"))
+        .groupBy("u", "v")
+        .agg(min(col("du") + col("dv")).as("est_micro"))
+        .orderBy("u", "v")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
   /** Horizon of the neighborhood function — a contract constant like the
     * closeness depth. */
   private val AnfHorizon = 4
@@ -6136,6 +6225,7 @@ object Analytics {
     "q_graph_closeness" -> graphCloseness _,
     "q_graph_sssp" -> graphSssp _,
     "q_graph_neighborhood" -> graphNeighborhood _,
+    "q_graph_landmark_dist" -> graphLandmarkDist _,
     "q_graph_ktruss" -> graphKtruss _,
     "q_graph_mst" -> graphMst _,
     "q_graph_random_walk" -> graphRandomWalk _,
@@ -8070,6 +8160,37 @@ object Analytics {
     // rollup, same nine sufficient statistics, same 3×3 Cramer
     // determinants in HUGEINT, same truncating micro division, same
     // in-sample MASE frame
+    // the multi-source relaxation unrolled keyed (landmark, node), the
+    // triangle-inequality pair readout over the final distance table
+    "q_graph_landmark_dist" -> {
+      val hl = md5h4("md5(concat('graftlm:', CAST(n.node AS VARCHAR)))")
+      val hq = md5h4("md5(concat('graftlq:', CAST(n.node AS VARCHAR)))")
+      val rounds = (1 to 12).map { r =>
+        s"d$r AS MATERIALIZED (SELECT lmk, node, min(dist) AS dist FROM (" +
+          s"SELECT lmk, node, dist FROM d${r - 1} " +
+          s"UNION ALL SELECT s.lmk, e.u, s.dist + e.w FROM d${r - 1} s " +
+          "JOIN und e ON e.v = s.node) GROUP BY lmk, node)"
+      }.mkString(", ")
+      "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "pr AS (SELECT b1.p AS a, b2.p AS b, " +
+        "CAST(count(*) AS BIGINT) AS m FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "und AS MATERIALIZED (SELECT a AS v, b AS u, 1000000 // m AS w " +
+        "FROM pr UNION ALL SELECT b, a, 1000000 // m FROM pr), " +
+        "nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr), " +
+        s"lm AS (SELECT n.node FROM nodes n ORDER BY $hl, n.node LIMIT 4), " +
+        "d0 AS (SELECT node AS lmk, node, CAST(0 AS BIGINT) AS dist FROM lm), " +
+        rounds + ", " +
+        s"qn AS (SELECT n.node FROM nodes n ORDER BY $hq, n.node LIMIT 8), " +
+        "qp AS (SELECT a.node AS u, b.node AS v FROM qn a " +
+        "JOIN qn b ON a.node < b.node) " +
+        "SELECT p.u, p.v, CAST(min(du.dist + dv.dist) AS BIGINT) AS est_micro " +
+        "FROM qp p JOIN d12 du ON du.node = p.u " +
+        "JOIN d12 dv ON dv.node = p.v AND dv.lmk = du.lmk " +
+        "GROUP BY p.u, p.v ORDER BY p.u, p.v"
+    },
     // the exact reach-pair iteration unrolled per horizon; the sketch
     // estimates are DataSketches-defined, pinned by the envelope boolean
     "q_graph_neighborhood" -> {

@@ -2928,6 +2928,64 @@ class AnalyticsSpec extends AnyFunSuite {
         s"(got ${got.size} rows, want ${want.size})")
   }
 
+  test("q_graph_landmark_dist: estimates replay exactly and obey the upper-bound law") {
+    import scala.collection.mutable
+    val edges = Analytics.ccEdgesWeightedForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), 1000000L / r.getLong(2)))
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    edges.foreach { case (a, b, w) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, w))
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, w))
+    }
+    def h4(salt: String, node: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$node".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    def dijkstra(src: Long): Map[Long, Long] = {
+      val dist = mutable.Map(src -> 0L)
+      val pq = mutable.PriorityQueue((0L, src))(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (dd, v) = pq.dequeue()
+        if (dist(v) == dd)
+          adj.getOrElse(v, mutable.ArrayBuffer.empty).foreach { case (u, w) =>
+            if (!dist.contains(u) || dist(u) > dd + w) {
+              dist(u) = dd + w; pq.enqueue((dd + w, u))
+            }
+          }
+      }
+      dist.toMap
+    }
+    val nodes = adj.keys.toSeq
+    val lms = nodes.sortBy(n => (h4("graftlm:", n), n)).take(4)
+    val qns = nodes.sortBy(n => (h4("graftlq:", n), n)).take(8)
+    val lmDist = lms.map(l => l -> dijkstra(l)).toMap
+    val want = (for {
+      u <- qns; v <- qns if u < v
+      ests = lms.flatMap(l => for {
+        du <- lmDist(l).get(u); dv <- lmDist(l).get(v)
+      } yield du + dv)
+      if ests.nonEmpty
+    } yield (u, v, ests.min)).sorted
+    val got = Analytics.graphLandmarkDist(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === want, "landmark estimates diverged from the driver replay")
+    assert(got.nonEmpty, "no landmark-connected query pair — oracle vacuous")
+    // the LAW: every estimate is an upper bound on the true distance (it
+    // is a realizable path through a landmark)
+    got.foreach { case (u, v, est) =>
+      val exact = dijkstra(u).get(v)
+      assert(exact.isDefined, s"estimate for unreachable pair ($u,$v)")
+      assert(est >= exact.get,
+        s"estimate $est below true distance ${exact.get} for ($u,$v)")
+    }
+    // non-vacuous as an APPROXIMATION: at least one estimate is strictly
+    // above exact (the oracle trades exactness for O(k) lookups)
+    info(s"pairs: ${got.size}, exact hits: " +
+      got.count { case (u, v, est) => dijkstra(u)(v) == est })
+  }
+
   test("q_graph_neighborhood: exact counts equal a driver ball expansion, sketches inside the envelope") {
     import scala.collection.mutable
     val edges = Analytics.ccEdgesForTest(s, d).collect()
