@@ -4903,6 +4903,80 @@ object Analytics {
       .orderBy("part")
   }
 
+  /** The incremental-CC scenario's "today's arrivals" split — a contract
+    * constant mirrored by the spec's non-vacuity checks: every edge
+    * INCIDENT to a mod-10 node class arrives today, so those nodes are
+    * unseen by the standing graph (singleton components) and the batch
+    * provably merges on every tier — a random edge split would not cut
+    * the fixture's dense blob and the merge path would go untested. */
+  private[operators] val ccIncrBatchCond = "a % 10 = 7 OR b % 10 = 7"
+
+  /** q_graph_cc_incremental — INCREMENTAL CONNECTED-COMPONENT
+    * MAINTENANCE: a standing label table absorbs an edge batch WITHOUT
+    * re-running CC on the full graph — the graph analogue of
+    * `q_agg_incremental`'s partial-merge law, and the maintenance shape
+    * every production graph store runs on append (edges only ever ADD
+    * connectivity, so new edges can merge components but never split
+    * them — the monotonicity that makes increments sound). The batch is
+    * LIFTED to the component graph (each endpoint replaced by its
+    * standing label; unseen endpoints are their own singletons), CC runs
+    * on that |batch|-bounded graph ([[ccLabels]] reused verbatim), and
+    * the resulting label-to-label merge map relabels the standing table.
+    * Labels are component-minimum node ids, so min composes: the merged
+    * label is the global minimum, exactly what a full recompute yields —
+    * and the DuckDB oracle IS the full recompute over all edges
+    * (identical SQL as `q_graph_connected_components`'s recursive
+    * closure), so "incremental ≡ full" is hash-checked, with an
+    * engine-side equality spec on top.
+    *
+    * Scale: the increment's cost is CC on the component graph —
+    * |batch| edges over label-grain nodes — plus one keyed relabel join;
+    * the standing graph is never rescanned. At 100 TB of edges with a
+    * daily arrival batch this is the difference between a label-table
+    * merge job and a full multi-round recompute over the history.
+    */
+  def graphCcIncremental(s: SparkSession, d: String): DataFrame = {
+    val edges = ccEdges(s, d)
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
+    try {
+      val standing = edges.where(!expr(ccIncrBatchCond)).localCheckpoint(true)
+      val batch = edges.where(expr(ccIncrBatchCond)).localCheckpoint(true)
+      // the standing label table — in production a MAINTAINED artifact,
+      // rebuilt here as scenario setup
+      val base = ccLabels(s, standing).localCheckpoint(true)
+      // lift the batch to the component graph: endpoints the standing
+      // graph never saw are their own singleton components
+      val lifted = batch
+        .join(base.select(col("node").as("a"), col("component").as("ca")),
+          Seq("a"), "left")
+        .join(base.select(col("node").as("b"), col("component").as("cb")),
+          Seq("b"), "left")
+        .select(coalesce(col("ca"), col("a")).as("a"),
+          coalesce(col("cb"), col("b")).as("b"))
+        .where(col("a") =!= col("b"))
+      // CC on the component graph — |batch|-bounded, never the history
+      val merge = ccLabels(s, lifted)
+      val allNodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+      val relabeled = allNodes
+        .join(base, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("oldc"))
+        .join(merge.select(col("node").as("oldc"), col("component").as("newc")),
+          Seq("oldc"), "left")
+        .select(col("node"), coalesce(col("newc"), col("oldc")).as("component"))
+      val sizes = relabeled.groupBy("component").agg(count(lit(1)).as("csize"))
+      relabeled.join(broadcast(sizes), "component")
+        .select(col("node").as("part"), col("component"), col("csize"))
+        .orderBy("part")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+  }
+
   /** q_graph_coreness — FULL CORE DECOMPOSITION (core number per node) of
     * the support-≥2 co-purchase graph via the H-INDEX ITERATION (Lü–Zhou
     * et al., Nature Comm. 2016): c₀(v) = deg(v); c_{t+1}(v) = the h-index
@@ -6226,6 +6300,7 @@ object Analytics {
     "q_graph_sssp" -> graphSssp _,
     "q_graph_neighborhood" -> graphNeighborhood _,
     "q_graph_landmark_dist" -> graphLandmarkDist _,
+    "q_graph_cc_incremental" -> graphCcIncremental _,
     "q_graph_ktruss" -> graphKtruss _,
     "q_graph_mst" -> graphMst _,
     "q_graph_random_walk" -> graphRandomWalk _,
@@ -6455,6 +6530,24 @@ object Analytics {
     // the component label whatever round structure the engine used to get
     // there. Σ|component|² rows: oracle-scale only, by design.
     "q_graph_connected_components" ->
+      ("WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem), " +
+        "pr AS (SELECT b1.p AS a, b2.p AS b FROM b b1 " +
+        "JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr), " +
+        "reach(node, m) AS (" +
+        "SELECT u, u FROM (SELECT DISTINCT u FROM e) " +
+        "UNION SELECT r.node, e.v FROM reach r JOIN e ON e.u = r.m), " +
+        "comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node) " +
+        "SELECT CAST(node AS BIGINT) AS part, " +
+        "CAST(component AS BIGINT) AS component, " +
+        "CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize " +
+        "FROM comp ORDER BY part"),
+    // incremental ≡ full: the increment answers to the IDENTICAL
+    // recursive-closure recompute over ALL edges — a component the merge
+    // failed to unite (or over-united) fails the hash gate
+    "q_graph_cc_incremental" ->
       ("WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
         "FROM lineitem), " +
         "pr AS (SELECT b1.p AS a, b2.p AS b FROM b b1 " +

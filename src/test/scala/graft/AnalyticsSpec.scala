@@ -2928,6 +2928,30 @@ class AnalyticsSpec extends AnyFunSuite {
         s"(got ${got.size} rows, want ${want.size})")
   }
 
+  test("q_graph_cc_incremental: increment equals the full recompute and genuinely merges") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val incr = rows(Analytics.graphCcIncremental(s, d))
+    val full = rows(Analytics.graphConnectedComponents(s, d))
+    assert(incr === full, "incremental labels diverged from the full recompute")
+    // non-vacuous: the batch is non-empty AND unites standing components —
+    // the merge CC on the lifted component graph did real work
+    val edges = Analytics.ccEdgesForTest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = edges.filter { case (a, b) => a % 10 == 7 || b % 10 == 7 }
+    assert(batch.nonEmpty, "no batch edges — the increment is vacuous")
+    // standing components via driver union-find on standing edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.filterNot { case (a, b) => a % 10 == 7 || b % 10 == 7 }
+      .foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert(batch.exists { case (a, b) => find(a) != find(b) },
+      "no batch edge bridges two standing components — the merge path is untested")
+  }
+
   test("q_graph_landmark_dist: estimates replay exactly and obey the upper-bound law") {
     import scala.collection.mutable
     val edges = Analytics.ccEdgesWeightedForTest(s, d).collect()
