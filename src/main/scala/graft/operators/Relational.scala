@@ -560,10 +560,23 @@ object Relational {
     // level 1: the per-day sketch table (what a production job would persist)
     val daily = ev.groupBy("event_type", "day")
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    hllMergeReadout(s, d, daily)
+  }
+
+  /** Union-merge + exact-envelope readout over ANY (event_type, sk)
+    * partial frame — shared by the lake rollup above and the
+    * streaming-maintained sketch
+    * ([[graft.streaming.Streams.streamHllSketch]]), the same one-tail
+    * discipline as the quantile and theta pairs. HLL union is
+    * register-wise max — order-insensitive EXACTLY — so the streaming
+    * transport's micro-batch merge order cannot perturb the estimate. */
+  private[graft] def hllMergeReadout(s: SparkSession, d: String,
+      daily: DataFrame): DataFrame = {
     // level 2: union daily sketches per type — no raw-data access
     val merged = daily.groupBy("event_type")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_est"))
-    val exact = ev.groupBy("event_type")
+    val exact = t(s, d, "events")
+      .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"))
     merged.join(exact, "event_type")
       .select(col("event_type"), col("n_exact"),

@@ -575,6 +575,31 @@ object Streams {
           col("event_type"), col("sk"))))
   }
 
+  /** q_stream_hll_sketch — STREAMING-MAINTAINED HLL SKETCH PARTIALS,
+    * completing the stream/lake symmetry for all three persisted-sketch
+    * rollups (quantile partials, theta set algebra, and now the HLL
+    * distinct-count union of `q_agg_sketch_merge`): the stream maintains
+    * one HLL sketch per (day, event_type) as a single append-mode
+    * windowed aggregate, watermark-flushed, and the union-merge readout
+    * runs over the flushed partials through the SAME tail as the lake
+    * path ([[graft.operators.Relational.hllMergeReadout]]). HLL union is
+    * register-wise max — exactly order-insensitive — so micro-batch
+    * merge order cannot perturb the estimate, and the key is gated by
+    * the IDENTICAL oracle SQL as the lake key plus a row-for-row
+    * engine-side equality spec.
+    */
+  def streamHllSketch(s: SparkSession, d: String): DataFrame = {
+    val flushed = runStagedBatches(s,
+      src => src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk")),
+      d, Seq.empty, firstBatchExtra = Seq(sentinelBatch(s)), key = "hllsketch")
+      .where(col("event_type") =!= "sentinel")
+    graft.operators.Relational.hllMergeReadout(s, d,
+      flushed.select(col("event_type"), col("sk")))
+  }
+
   /** q_stream_watermark_late — hourly tumbling counts in APPEND mode with a
     * 10-minute watermark, demonstrating late-data drop (the streaming
     * analogue of the reference's bounded sensor wait,
@@ -1454,6 +1479,7 @@ object Streams {
     "q_stream_topk" -> streamTopk _,
     "q_stream_quantile_sketch" -> streamQuantileSketch _,
     "q_stream_theta_sketch" -> streamThetaSketch _,
+    "q_stream_hll_sketch" -> streamHllSketch _,
     "q_stream_sliding_session" -> streamSliding _,
     "q_stream_watermark_late" -> streamWatermarkLate _,
     "q_stream_session_window" -> streamSessionWindow _,
@@ -1486,6 +1512,9 @@ object Streams {
     "q_stream_theta_sketch" ->
       // the IDENTICAL SQL as the lake set-algebra readout
       graft.operators.Relational.oracle("q_agg_theta_sketch_diff"),
+    "q_stream_hll_sketch" ->
+      // the IDENTICAL SQL as the lake union-merge readout
+      graft.operators.Relational.oracle("q_agg_sketch_merge"),
     "q_stream_topk" ->
       ("WITH wc AS (SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) " +
         "AS w0, user_id, count(*) AS n FROM events GROUP BY 1, 2), " +

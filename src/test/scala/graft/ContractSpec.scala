@@ -164,7 +164,7 @@ class ContractSpec extends AnyFunSuite {
     "q_simsearch_nsw_recall", "q_agg_theta_sketch_diff",
     "q_timeseries_seasonal_ar", "q_graph_neighborhood",
     "q_stream_theta_sketch", "q_graph_landmark_dist",
-    "q_graph_cc_incremental")
+    "q_graph_cc_incremental", "q_stream_hll_sketch")
 
   test("every SURVEY.md §2B key is implemented") {
     val missing = surveyKeys -- SparkEntry.queries.keySet

@@ -486,4 +486,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === lake,
       s"streaming theta sketch diverged from the lake readout:\n$stream\nvs\n$lake")
   }
+
+  test("q_stream_hll_sketch: streaming-maintained sketches equal the lake union merge") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val stream = rows(graft.streaming.Streams.streamHllSketch(s, d))
+    val lake = rows(graft.operators.Relational.aggSketchMerge(s, d))
+    assert(stream.nonEmpty)
+    assert(stream === lake,
+      s"streaming HLL sketch diverged from the lake readout:\n$stream\nvs\n$lake")
+  }
 }
