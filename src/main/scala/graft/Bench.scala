@@ -44,6 +44,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optimization-round measurement aid (guide §1.5): SPARK_GRAFT_PROFILE=1
+    // prints one stderr line per Spark job (wall ms + description) so a hot
+    // query's time decomposes into its constituent jobs without the UI.
+    // Inert unless the env var is set — the driver's runs never see it.
+    val profiling = sys.env.contains("SPARK_GRAFT_PROFILE")
+    if (profiling) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          t0.put(js.jobId, (System.nanoTime(),
+            Option(js.properties.getProperty("spark.job.description")).getOrElse("") +
+              " stages=" + js.stageInfos.size))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(t0.remove(je.jobId)).foreach { case (t, desc) =>
+            System.err.println(
+              f"[prof] job ${je.jobId}%4d ${(System.nanoTime() - t) / 1e6}%8.1f ms  $desc")
+          }
+      })
+    }
     // Untimed warm-up. Whichever query runs first otherwise absorbs ~4.5 s
     // of one-time session cost (codegen JIT, file-format writer/committer
     // init): r3's "q_source_orc_roundtrip regressed 4.5x" was exactly this
@@ -97,6 +116,7 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else args.toSeq.distinct.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
       .map { case (name, fn) =>
+        if (profiling) System.err.println(s"[prof] >>> $name")
         val t0 = System.nanoTime()
         val sec =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
