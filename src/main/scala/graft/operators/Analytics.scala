@@ -4646,6 +4646,11 @@ object Analytics {
     val partsWas = s.conf.get(partsKey)
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, "1")
+    // level graphs are |communities|-grain; the level-1 ledger row's
+    // community count gates the hand-placed broadcasts (the [[ccLabels]]
+    // gate — AQE is off for the level loop, checkpointed/staged frames
+    // carry no stats)
+    val tiny = s1._4 <= graphBroadcastMaxRows(s)
     try {
     var g = g1
     // nodes stays LAZY: a distinct over the (checkpointed or staged)
@@ -4665,8 +4670,9 @@ object Analytics {
         val dir = nonself.select(col("a").as("u"), col("b").as("v"), col("w"))
           .union(nonself.select(col("b").as("u"), col("a").as("v"), col("w")))
         val kNode = nodes
-          .join(dir.groupBy("u").agg(sum(col("w")).as("k_ext")), Seq("u"), "left")
-          .join(selfw, Seq("u"), "left")
+          .join(bcastIf(dir.groupBy("u").agg(sum(col("w")).as("k_ext")), tiny),
+            Seq("u"), "left")
+          .join(bcastIf(selfw, tiny), Seq("u"), "left")
           .na.fill(0L, Seq("k_ext", "w_self"))
           .select(col("u"), (col("k_ext") + lit(2L) * col("w_self")).as("k_u"))
         // broadcast the one-row total: a plain crossJoin plans a
@@ -4674,8 +4680,9 @@ object Analytics {
         // slower per level) — the broadcast job is the cheaper floor
         val tw = g.agg(sum(col("w")).as("tw"))
         val cand = dir
-          .join(kNode, "u")
-          .join(kNode.select(col("u").as("v"), col("k_u").as("k_v")), "v")
+          .join(bcastIf(kNode, tiny), "u")
+          .join(bcastIf(kNode.select(col("u").as("v"), col("k_u").as("k_v")),
+            tiny), "v")
           .crossJoin(broadcast(tw))
           .select(col("u"), col("v"),
             (lit(2L) * col("tw") * col("w") - col("k_u") * col("k_v")).as("gain"))
@@ -4693,7 +4700,7 @@ object Analytics {
         // Louvain ordering heuristic; the single-level operators keep
         // reporting the raw argmax decisions.
         val applied = col("gain") > 0 && col("v") < col("u")
-        val dec = nodes.join(best, Seq("u"), "left")
+        val dec = nodes.join(bcastIf(best, tiny), Seq("u"), "left")
           .select(col("u"),
             when(applied, col("v")).otherwise(col("u")).as("bc"),
             when(applied, col("gain")).otherwise(lit(0L)).as("g"),
@@ -4704,8 +4711,8 @@ object Analytics {
         converged = sk._2 == 0L
         if (!converged && k < LouvainLevels) {
           val nextG = g
-            .join(dec.select(col("u").as("a"), col("bc").as("ma")), "a")
-            .join(dec.select(col("u").as("b"), col("bc").as("mb")), "b")
+            .join(bcastIf(dec.select(col("u").as("a"), col("bc").as("ma")), tiny), "a")
+            .join(bcastIf(dec.select(col("u").as("b"), col("bc").as("mb")), tiny), "b")
             .select(least(col("ma"), col("mb")).as("a"),
               greatest(col("ma"), col("mb")).as("b"), col("w"))
             .groupBy("a", "b").agg(sum(col("w")).as("w"))
@@ -4762,34 +4769,60 @@ object Analytics {
     java.nio.file.Files.readString(
       ccEdgesPath(s, d).resolve("_ROWCOUNT.txt")).trim.toLong
 
+  /** Row-count ceiling under which the iteration loops may BROADCAST
+    * their node-grain side tables (the min-label table, the component
+    * map) instead of shuffling both join sides. The label tables are
+    * ≤ 16 bytes/row, so the default 1M-row cutoff bounds any broadcast
+    * at ~16 MB — comfortably inside executor memory — while a
+    * production-scale edge table (≫ 1M rows) keeps the shuffled
+    * sort-merge path unchanged. This is the size-derived join choice of
+    * guide §3.1 applied where AQE cannot make it (the loops pin AQE off
+    * because per-round re-planning serializes the superstep DAG, and
+    * localCheckpointed frames carry no size statistics, so the static
+    * planner would never broadcast on its own). Conf-overridable for
+    * deployments with more/less executor headroom.
+    */
+  private def graphBroadcastMaxRows(s: SparkSession): Long =
+    s.conf.get("spark.graft.graph.broadcastMaxRows", "1000000").toLong
+
+  private def bcastIf(df: DataFrame, tiny: Boolean): DataFrame =
+    if (tiny) broadcast(df) else df
+
   /** One LARGE-STAR round: every node u connects its strictly-LARGER
     * neighbors to m(u) = min(Γ(u) ∪ {u}). Output pairs keep the
     * (big, small) orientation invariant (v > u ≥ m(u) for every emitted
     * (v, m(u))). One groupBy (node-grain min) + one join, both keyed on
     * the node — no step ever materializes anything bigger than the edge
-    * set itself.
+    * set itself. No terminal distinct: only the v > u orientation
+    * survives, so the output is ≤ |E| rows with possible duplicate
+    * (v, m) pairs — [[ccSmallStar]]'s min aggregate is
+    * multiplicity-insensitive and its own terminal distinct dedupes the
+    * round result, so the extra exchange bought nothing (guide §2.4).
+    * `tiny` broadcasts the node-grain min table (see
+    * [[graphBroadcastMaxRows]]).
     */
-  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+  private[graft] def ccLargeStar(e: DataFrame, tiny: Boolean = false): DataFrame = {
     val dir = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val m = dir.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
-    dir.join(m, "u").where(col("v") > col("u"))
+    dir.join(bcastIf(m, tiny), "u").where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** One SMALL-STAR round: orient every edge to its smaller endpoint;
     * each node u connects its smaller neighborhood (and itself) to
     * m(u) = min(Γ⁻(u)), dropping m itself (no self-loops). Same
-    * node-keyed groupBy + join shape as the large-star.
+    * node-keyed groupBy + join shape as the large-star; the terminal
+    * distinct here is the ROUND's dedup (its output feeds the exact
+    * set-equality convergence check).
     */
-  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+  private[graft] def ccSmallStar(e: DataFrame, tiny: Boolean = false): DataFrame = {
     val dir = e.select(greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
     val m = dir.groupBy("u").agg(min(col("v")).as("m"))
     dir.union(m.select(col("u"), col("u").as("v")))
-      .join(m, "u")
+      .join(bcastIf(m, tiny), "u")
       .where(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
@@ -4821,6 +4854,7 @@ object Analytics {
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
     var eCount = e.count()
+    val bcastMax = graphBroadcastMaxRows(s)
     var converged = eCount == 0L
     var rounds = 0
     while (!converged) {
@@ -4828,8 +4862,13 @@ object Analytics {
       require(rounds <= 64,
         "large-star/small-star failed to converge in 64 rounds — " +
           "the O(log² n) bound makes this unreachable; edge state is corrupt")
-      val next = ccSmallStar(ccLargeStar(e)).localCheckpoint(true)
+      // the node-grain min tables are ≤ |e| rows, so the round's edge
+      // count decides the join strategy exactly (guide §3.1)
+      val tiny = eCount <= bcastMax
+      val next = ccSmallStar(ccLargeStar(e, tiny), tiny).localCheckpoint(true)
       val nextCount = next.count()
+      if (sys.env.contains("SPARK_GRAFT_PROFILE"))
+        System.err.println(s"[prof-cc] round=$rounds edges=$nextCount (was $eCount)")
       // fixpoint test is EXACT set equality: same cardinality and no row
       // of next outside e — two edge-grain jobs, the same grain as the
       // round itself (a hash-checksum compare would be cheaper but admits
@@ -4842,8 +4881,8 @@ object Analytics {
     val nodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
     val labels = nodes
-      .join(e.select(col("u").as("node"), col("v").as("component")),
-        Seq("node"), "left")
+      .join(bcastIf(e.select(col("u").as("node"), col("v").as("component")),
+        eCount <= bcastMax), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
     labels
@@ -4947,16 +4986,20 @@ object Analytics {
     try {
       val standing = edges.where(!expr(ccIncrBatchCond)).localCheckpoint(true)
       val batch = edges.where(expr(ccIncrBatchCond)).localCheckpoint(true)
+      // label tables are node-grain ≤ 2|E| — the staged manifest count
+      // decides the relabel joins' strategy (the [[ccLabels]] broadcast
+      // gate, guide §3.1)
+      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       // the standing label table — in production a MAINTAINED artifact,
       // rebuilt here as scenario setup
       val base = ccLabels(s, standing).localCheckpoint(true)
       // lift the batch to the component graph: endpoints the standing
       // graph never saw are their own singleton components
       val lifted = batch
-        .join(base.select(col("node").as("a"), col("component").as("ca")),
-          Seq("a"), "left")
-        .join(base.select(col("node").as("b"), col("component").as("cb")),
-          Seq("b"), "left")
+        .join(bcastIf(base.select(col("node").as("a"), col("component").as("ca")),
+          tiny), Seq("a"), "left")
+        .join(bcastIf(base.select(col("node").as("b"), col("component").as("cb")),
+          tiny), Seq("b"), "left")
         .select(coalesce(col("ca"), col("a")).as("a"),
           coalesce(col("cb"), col("b")).as("b"))
         .where(col("a") =!= col("b"))
@@ -4965,10 +5008,10 @@ object Analytics {
       val allNodes = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node"))).distinct()
       val relabeled = allNodes
-        .join(base, Seq("node"), "left")
+        .join(bcastIf(base, tiny), Seq("node"), "left")
         .select(col("node"), coalesce(col("component"), col("node")).as("oldc"))
-        .join(merge.select(col("node").as("oldc"), col("component").as("newc")),
-          Seq("oldc"), "left")
+        .join(bcastIf(merge.select(col("node").as("oldc"),
+          col("component").as("newc")), tiny), Seq("oldc"), "left")
         .select(col("node"), coalesce(col("newc"), col("oldc")).as("component"))
       val sizes = relabeled.groupBy("component").agg(count(lit(1)).as("csize"))
       relabeled.join(broadcast(sizes), "component")
@@ -5005,9 +5048,18 @@ object Analytics {
     */
   def graphCoreness(s: SparkSession, d: String): DataFrame = {
     val edges = ccEdges(s, d) // (a, b) undirected, a < b
+    // iteration conf pin (the [[graphConnectedComponents]] discipline,
+    // previously missing here): shuffle partitions sized to the EDGE
+    // table, not the session's scan-oriented default — the h-iteration's
+    // many small supersteps otherwise each pay a core-count-wide shuffle
+    val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+    val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
     s.conf.set(aqeKey, "false")
+    s.conf.set(partsKey, edgeParts)
     try {
       val und = edges.select(col("a").as("v"), col("b").as("u"))
         .union(edges.select(col("b").as("v"), col("a").as("u")))
@@ -5039,9 +5091,11 @@ object Analytics {
         // min(val, |{neighbors ≥ val}|), the exact h-index: for any
         // value v_j the min is ≤ h by definition, and the smallest
         // present value ≥ h achieves it.
+        // the value table is node-grain — broadcast both attach joins when
+        // the staged edge count proves it small (the [[ccLabels]] gate)
         val nbrVals = und
-          .join(c.select(col("node").as("u"), col("c").as("val")), "u")
-          .join(c.select(col("node").as("v"), col("c").as("cv")), "v")
+          .join(bcastIf(c.select(col("node").as("u"), col("c").as("val")), tiny), "u")
+          .join(bcastIf(c.select(col("node").as("v"), col("c").as("cv")), tiny), "v")
           .select(col("v"), least(col("val"), col("cv")).as("val"))
         val hist = nbrVals.groupBy(col("v"), col("val"))
           .agg(count(lit(1)).as("cnt"))
@@ -5051,7 +5105,7 @@ object Analytics {
           .withColumn("ge", sum(col("cnt")).over(sw))
           .groupBy(col("v").as("node"))
           .agg(max(least(col("val"), col("ge"))).as("h"))
-        val next = c.join(h, "node")
+        val next = c.join(bcastIf(h, tiny), "node")
           .select(col("node"), least(col("c"), col("h")).as("c"))
           .localCheckpoint(true)
         val nextSum = next.agg(sum(col("c"))).first().getLong(0)
@@ -5065,7 +5119,7 @@ object Analytics {
       }
       c.select(col("node").as("part"), col("c").as("coreness"))
         .orderBy("part")
-    } finally s.conf.set(aqeKey, aqeWas)
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
 
   /** Betweenness horizon and sample size: shortest paths of length ≤ 3
@@ -5124,6 +5178,10 @@ object Analytics {
         .select("node")
       val l0 = srcs.select(col("node").as("src"), col("node"),
         lit(1L).as("sigma")).localCheckpoint(true)
+      // frontier frames are (src, node) grain ≤ k·|V| — broadcast them
+      // into the edge-grain expansions when the staged edge count proves
+      // the graph small (the [[ccLabels]] gate; k = 8 sources)
+      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       // forward pass: levels 1..D of the multi-source BFS DAG, σ summed
       // over predecessors; visited check = the last two frontiers per src
       val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
@@ -5131,9 +5189,11 @@ object Analytics {
         val prev = levels.last
         val recent = levels.takeRight(2).reduce(_ unionByName _)
         val next = und
-          .join(prev.select(col("src"), col("node").as("v"), col("sigma")), "v")
+          .join(bcastIf(prev.select(col("src"), col("node").as("v"),
+            col("sigma")), tiny), "v")
           .select(col("src"), col("u").as("node"), col("sigma"))
-          .join(recent.select("src", "node"), Seq("src", "node"), "left_anti")
+          .join(bcastIf(recent.select("src", "node"), tiny),
+            Seq("src", "node"), "left_anti")
           .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
           .localCheckpoint(true)
         levels += next
@@ -5148,13 +5208,14 @@ object Analytics {
       val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       ((BetweennessDepth - 1) to 1 by -1).foreach { l =>
         val succ = levels(l + 1)
-          .join(delta, Seq("src", "node"), "left")
+          .join(bcastIf(delta, tiny), Seq("src", "node"), "left")
           .select(col("src"), col("node").as("u"), col("sigma").as("sig_w"),
             coalesce(col("delta"), lit(0L)).as("dw"))
-        val dl = levels(l)
-          .select(col("src"), col("node").as("v"), col("sigma").as("sig_v"))
-          .join(und, "v")
-          .join(succ, Seq("src", "u"))
+        val dl = und
+          .join(bcastIf(levels(l)
+            .select(col("src"), col("node").as("v"), col("sigma").as("sig_v")),
+            tiny), "v")
+          .join(bcastIf(succ, tiny), Seq("src", "u"))
           .groupBy(col("src"), col("v").as("node"))
           .agg(sum(expr("(sig_v * (1000000 + dw)) div sig_w")).as("delta"))
         contribs += dl
@@ -5217,14 +5278,18 @@ object Analytics {
         .select("node")
       val l0 = srcs.select(col("node").as("src"), col("node"))
         .localCheckpoint(true)
+      // frontiers are (src, node) grain — broadcast them into the
+      // edge-grain expansion when the staged edge count proves the graph
+      // small (the [[ccLabels]] gate; k = 8 sources)
+      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
       (1 to ClosenessDepth).foreach { _ =>
         val prev = levels.last
         val recent = levels.takeRight(2).reduce(_ unionByName _)
         val next = und
-          .join(prev.select(col("src"), col("node").as("v")), "v")
+          .join(bcastIf(prev.select(col("src"), col("node").as("v")), tiny), "v")
           .select(col("src"), col("u").as("node")).distinct()
-          .join(recent, Seq("src", "node"), "left_anti")
+          .join(bcastIf(recent, tiny), Seq("src", "node"), "left_anti")
           .localCheckpoint(true)
         levels += next
       }
@@ -5291,6 +5356,10 @@ object Analytics {
       var dist = ranked("graftlm:", LandmarkCount)
         .select(col("node").as("lmk"), col("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
+      // the distance table is (landmark, node) grain ≤ k·|V| — broadcast
+      // it into the edge-grain relaxation when the staged edge count
+      // proves the graph small (the [[ccLabels]] gate; k = 4)
+      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       var signature = (0L, 0L)
       var converged = false
       var round = 0
@@ -5298,8 +5367,8 @@ object Analytics {
         round += 1
         val next = dist.select(col("lmk"), col("node"), col("dist"))
           .unionByName(und
-            .join(dist.select(col("lmk"), col("node").as("v"),
-              col("dist").as("dv")), "v")
+            .join(bcastIf(dist.select(col("lmk"), col("node").as("v"),
+              col("dist").as("dv")), tiny), "v")
             .select(col("lmk"), col("u").as("node"),
               (col("dv") + col("w")).as("dist")))
           .groupBy("lmk", "node").agg(min(col("dist")).as("dist"))
@@ -5316,10 +5385,10 @@ object Analytics {
       val pairs = qn.select(col("node").as("u"))
         .join(qn.select(col("node").as("v")), col("u") < col("v"))
       pairs
-        .join(dist.select(col("lmk"), col("node").as("u"),
-          col("dist").as("du")), "u")
-        .join(dist.select(col("lmk").as("lmk2"), col("node").as("v2"),
-          col("dist").as("dv")),
+        .join(bcastIf(dist.select(col("lmk"), col("node").as("u"),
+          col("dist").as("du")), tiny), "u")
+        .join(bcastIf(dist.select(col("lmk").as("lmk2"), col("node").as("v2"),
+          col("dist").as("dv")), tiny),
           col("v") === col("v2") && col("lmk") === col("lmk2"))
         .groupBy("u", "v")
         .agg(min(col("du") + col("dv")).as("est_micro"))
@@ -5334,9 +5403,14 @@ object Analytics {
   /** One HyperANF sketch round: ball-sketch(v) absorbs every neighbor's
     * previous ball sketch — self rows union neighbor-joined rows, ONE
     * keyed hll_union_agg. Exposed un-checkpointed for PlanShapeSpec. */
-  private def anfStep(und: DataFrame, sk: DataFrame): DataFrame =
+  private def anfStep(und: DataFrame, sk: DataFrame,
+      tiny: Boolean = false): DataFrame =
     sk.unionByName(
-      und.join(sk.withColumnRenamed("node", "v"), "v")
+      // the EDGE view is the broadcast side here (not the sketch table —
+      // node-grain × KB-scale sketches outgrows a broadcast first): the
+      // sketch stream then reaches the keyed union-agg without its own
+      // pre-join exchange
+      bcastIf(und, tiny).join(sk.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("sk")))
       .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
 
@@ -5398,10 +5472,15 @@ object Analytics {
         .agg(expr("hll_sketch_agg(node, 12)").as("sk")).localCheckpoint(true)
       var reach = nodes.select(col("node").as("c"), col("node").as("u"))
         .localCheckpoint(true)
+      // broadcast the EDGE view into both propagation joins when the
+      // staged count proves it small — the reach table (pair grain) and
+      // the sketch table (KB-scale sketches) are the sides that outgrow
+      // a broadcast first, so they stream (the [[ccLabels]] gate)
+      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       val out = (1 to AnfHorizon).map { h =>
-        sk = anfStep(und, sk).localCheckpoint(true)
+        sk = anfStep(und, sk, tiny).localCheckpoint(true)
         reach = reach.unionByName(
-            und.join(reach.select(col("c"), col("u").as("v")), "v")
+            bcastIf(und, tiny).join(reach.select(col("c"), col("u").as("v")), "v")
               .select(col("c"), col("u")))
           .distinct().localCheckpoint(true)
         val nfExact = reach.count()
@@ -5425,10 +5504,12 @@ object Analytics {
     * (u→v) of dist(u) + w) — ONE edge-grain equi-join + one node-keyed
     * min-aggregate, the superstep every distributed SSSP (Pregel,
     * delta-stepping's inner loop) repeats. */
-  private def ssspStep(und: DataFrame, dist: DataFrame): DataFrame =
+  private def ssspStep(und: DataFrame, dist: DataFrame,
+      tiny: Boolean = false): DataFrame =
     dist.select(col("node"), col("dist"))
       .unionByName(und
-        .join(dist.select(col("node").as("v"), col("dist").as("dv")), "v")
+        .join(bcastIf(dist.select(col("node").as("v"), col("dist").as("dv")),
+          tiny), "v")
         .select(col("u").as("node"), (col("dv") + col("w")).as("dist")))
       .groupBy("node").agg(min(col("dist")).as("dist"))
 
@@ -5494,12 +5575,16 @@ object Analytics {
       var dist = we.agg(min(col("a")).as("node"))
         .select(col("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
+      // the distance table is node-grain — broadcast it into the
+      // edge-grain relaxation when the staged edge count proves the graph
+      // small (the [[ccLabels]] gate)
+      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       var signature = (1L, 0L)
       var converged = false
       var round = 0
       while (!converged && round < SsspRounds) {
         round += 1
-        val next = ssspStep(und, dist).localCheckpoint(true)
+        val next = ssspStep(und, dist, tiny).localCheckpoint(true)
         val Array(row) = next.agg(count(lit(1)), sum(col("dist"))).collect()
         val sig = (row.getLong(0), row.getLong(1))
         converged = sig == signature
@@ -5729,6 +5814,10 @@ object Analytics {
     s.conf.set(partsKey, edgeParts)
     try {
       val e = we.localCheckpoint(true)
+      // node/component tables are ≤ 2|E| rows — the staged edge manifest
+      // count decides the loop's join strategy once (guide §3.1; the
+      // [[ccLabels]] broadcast gate)
+      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       var comp = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node"))).distinct()
         .select(col("node"), col("node").as("comp"))
@@ -5742,28 +5831,34 @@ object Analytics {
           "Borůvka failed to converge in 64 rounds — active components " +
             "at least halve per round, so rounds ≤ log₂|V|; state is corrupt")
         val cross = e
-          .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
-          .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
+          .join(bcastIf(comp.select(col("node").as("a"), col("comp").as("ca")),
+            tiny), "a")
+          .join(bcastIf(comp.select(col("node").as("b"), col("comp").as("cb")),
+            tiny), "b")
           .where(col("ca") =!= col("cb"))
-        val cand = cross.select(col("ca").as("c"), col("a"), col("b"), col("m"))
-          .unionByName(cross.select(col("cb").as("c"), col("a"), col("b"), col("m")))
+        val cand = cross.select(col("ca").as("c"), col("a"), col("b"), col("m"),
+            col("ca"), col("cb"))
+          .unionByName(cross.select(col("cb").as("c"), col("a"), col("b"),
+            col("m"), col("ca"), col("cb")))
+        // ca/cb ride along under the window — (a, b) determines them, so
+        // the 5-column distinct selects exactly the rows the 3-column one
+        // did, and the contraction below reuses them instead of re-joining
+        // the component map onto sel (two joins per round, guide §2.4)
         val sel = cand
           .withColumn("rk", row_number().over(Window.partitionBy("c")
             .orderBy(col("m").desc, col("a"), col("b"))))
           .where(col("rk") === 1)
-          .select("a", "b", "m").distinct()
+          .select("a", "b", "m", "ca", "cb").distinct()
           .localCheckpoint(true)
         if (sel.count() == 0L) done = true
         else {
-          forest += sel.withColumn("round_found", lit(rounds.toLong))
-          val compEdges = sel
-            .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
-            .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
-            .select(col("ca").as("a"), col("cb").as("b"))
+          forest += sel.select(col("a"), col("b"), col("m"))
+            .withColumn("round_found", lit(rounds.toLong))
+          val compEdges = sel.select(col("ca").as("a"), col("cb").as("b"))
           val merged = ccLabels(s, compEdges)
           val next = comp
-            .join(merged.select(col("node").as("comp"), col("component")),
-              Seq("comp"), "left")
+            .join(bcastIf(merged.select(col("node").as("comp"), col("component")),
+              tiny), Seq("comp"), "left")
             .select(col("node"),
               coalesce(col("component"), col("comp")).as("comp"))
             .localCheckpoint(true)
@@ -5848,7 +5943,7 @@ object Analytics {
     * monotonicity require stays as the secondary corruption invariant.
     */
   private def sccMinReach(nodes: DataFrame, edges: DataFrame,
-      forward: Boolean, maxRounds: Long): DataFrame = {
+      forward: Boolean, maxRounds: Long, tiny: Boolean = false): DataFrame = {
     val (from, to) = if (forward) ("a", "b") else ("b", "a")
     var lab = nodes.select(col("node"), col("node").as("lab"))
       .localCheckpoint(true)
@@ -5862,9 +5957,9 @@ object Analytics {
           "bounded by the live core's diameter ≤ its node count; " +
           "label state is corrupt")
       val flow = edges
-        .join(lab.select(col("node").as(to), col("lab")), to)
+        .join(bcastIf(lab.select(col("node").as(to), col("lab")), tiny), to)
         .groupBy(col(from).as("node")).agg(min(col("lab")).as("nl"))
-      val next = lab.join(flow, Seq("node"), "left")
+      val next = lab.join(bcastIf(flow, tiny), Seq("node"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
         .localCheckpoint(true)
@@ -5892,7 +5987,8 @@ object Analytics {
     * (fwdmin(min) = bwdmin(min) = min), so the loop terminates. Returns
     * (node, scc) for every node of the input graph.
     */
-  private[graft] def sccLabels(s: SparkSession, edges0: DataFrame): DataFrame = {
+  private[graft] def sccLabels(s: SparkSession, edges0: DataFrame,
+      tiny: Boolean = false): DataFrame = {
     var edges = edges0.select("a", "b")
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
     var nodes = edges.select(col("a").as("node"))
@@ -5905,11 +6001,13 @@ object Analytics {
       val n = fin.count()
       if (n > 0) {
         done += fin
-        val nextNodes = nodes.join(fin, Seq("node"), "left_anti")
+        val nextNodes = nodes.join(bcastIf(fin, tiny), Seq("node"), "left_anti")
           .localCheckpoint(true)
         val nextEdges = edges
-          .join(nextNodes.select(col("node").as("a")), Seq("a"), "left_semi")
-          .join(nextNodes.select(col("node").as("b")), Seq("b"), "left_semi")
+          .join(bcastIf(nextNodes.select(col("node").as("a")), tiny),
+            Seq("a"), "left_semi")
+          .join(bcastIf(nextNodes.select(col("node").as("b")), tiny),
+            Seq("b"), "left_semi")
           .localCheckpoint(true)
         nodes.unpersist(); edges.unpersist()
         nodes = nextNodes; edges = nextEdges
@@ -5932,18 +6030,21 @@ object Analytics {
           .select(col("a").as("node"), lit(1L).as("o"), lit(0L).as("i"))
           .union(edges.select(col("b").as("node"), lit(0L).as("o"), lit(1L).as("i")))
           .groupBy("node").agg(sum(col("o")).as("outd"), sum(col("i")).as("ind"))
-        trimmed = retire(nodes.join(deg, Seq("node"), "left")
+        trimmed = retire(nodes.join(bcastIf(deg, tiny), Seq("node"), "left")
           .where(col("outd").isNull || col("outd") === 0L || col("ind") === 0L)
           .select(col("node"), col("node").as("scc"))
           .localCheckpoint(true))
       }
       if (live > 0) {
         // one FW-BW finalize round over the trimmed core
-        val fwd = sccMinReach(nodes, edges, forward = true, maxRounds = live)
+        val fwd = sccMinReach(nodes, edges, forward = true, maxRounds = live,
+            tiny = tiny)
           .withColumnRenamed("lab", "fmin")
-        val bwd = sccMinReach(nodes, edges, forward = false, maxRounds = live)
+        val bwd = sccMinReach(nodes, edges, forward = false, maxRounds = live,
+            tiny = tiny)
           .withColumnRenamed("lab", "bmin")
-        val fin = fwd.join(bwd, "node").where(col("fmin") === col("bmin"))
+        val fin = fwd.join(bcastIf(bwd, tiny), "node")
+          .where(col("fmin") === col("bmin"))
           .select(col("node"), col("fmin").as("scc"))
           .localCheckpoint(true)
         fwd.unpersist(); bwd.unpersist()
@@ -6127,7 +6228,8 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     val labels =
-      try sccLabels(s, edges)
+      try sccLabels(s, edges,
+        tiny = sccEdgeCount(s, d) <= graphBroadcastMaxRows(s))
       finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
     val sizes = labels.groupBy("scc").agg(count(lit(1)).as("scc_size"))
     // SCC grain ≪ node grain — broadcast the size attach
@@ -6217,8 +6319,15 @@ object Analytics {
       val tMin = tset.agg(min(col("node"))).first().getLong(0)
       val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
+      // every per-round side table (rank vector, outdegree, teleport set,
+      // inflow) is node-grain; the staged edge manifest count gates the
+      // hand-placed broadcasts exactly as in [[graphBfsBody]] (guide §3.1
+      // — AQE is off for the superstep DAG, checkpointed frames carry no
+      // stats, so the static planner would shuffle every one of these)
+      val tiny = sccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
       def distribute(base: DataFrame, pool: Long): DataFrame = base
-        .join(tset.select(col("node"), lit(1).as("is_t")), Seq("node"), "left")
+        .join(bcastIf(tset.select(col("node"), lit(1).as("is_t")), tiny),
+          Seq("node"), "left")
         .select(col("node"),
           (col("dmp") +
             when(col("is_t").isNotNull, lit(pool / tCount)).otherwise(lit(0L)) +
@@ -6226,16 +6335,23 @@ object Analytics {
             .as("r"))
       var r = distribute(
         nodes.select(col("node"), lit(0L).as("dmp")), m).localCheckpoint(true)
+      // per-round lineage cut lives on the DAMPED table only: the final
+      // distribute is a map-side attach (broadcast teleport set) over the
+      // checkpointed damped frame, so materializing it separately bought
+      // a whole extra job per round for a plan two operators deep.
+      // `backing` is the checkpointed frame the CURRENT lazy r reads —
+      // releasable only after the round's except() has consumed r.
+      var backing = r
       var rounds = 0
       var converged = false
       var prevDSum = -1L
       while (!converged && rounds < PagerankRounds) {
         rounds += 1
-        val share = r.join(outdeg, col("node") === col("a"))
+        val share = r.join(bcastIf(outdeg, tiny), col("node") === col("a"))
           .select(col("a").as("u"), expr("r div d").as("share"))
-        val inflow = e.join(share, col("a") === col("u"))
+        val inflow = e.join(bcastIf(share, tiny), col("a") === col("u"))
           .groupBy(col("b").as("node")).agg(sum(col("share")).as("t"))
-        val damped = nodes.join(inflow, Seq("node"), "left")
+        val damped = nodes.join(bcastIf(inflow, tiny), Seq("node"), "left")
           .select(col("node"),
             coalesce(expr("(85 * t) div 100"), lit(0L)).as("dmp"))
           .localCheckpoint(true)
@@ -6243,15 +6359,15 @@ object Analytics {
         val residue = m - dSum
         require(residue >= 0L,
           "damped mass exceeded total mass — rank state is corrupt")
-        val next = distribute(damped, residue).localCheckpoint(true)
-        damped.unpersist()
+        val next = distribute(damped, residue)
         // exact-fixpoint test, cheaply gated: r' ≡ r forces an unchanged
         // damped sum, so an unequal sum skips the set-compare job — the
         // except() runs only on candidate fixpoints (exactness preserved;
         // a false candidate is rejected by the except itself)
         converged = dSum == prevDSum && next.except(r).isEmpty
         prevDSum = dSum
-        r.unpersist()
+        backing.unpersist()
+        backing = damped
         r = next
       }
       r

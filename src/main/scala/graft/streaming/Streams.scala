@@ -384,6 +384,16 @@ object Streams {
           val ex = se.getClass.getMethod("lastExecution").invoke(se)
           ex.getClass.getMethod("executedPlan").invoke(ex).toString
         } catch { case scala.util.control.NonFatal(_) => "(unavailable)" }
+      // Optimization-round measurement aid (guide §1): SPARK_GRAFT_PROFILE=1
+      // dumps each micro-batch's durationMs breakdown (triggerExecution,
+      // queryPlanning, walCommit, addBatch, stateStore commit...) so the
+      // streaming harness floor decomposes. Inert without the env var.
+      if (sys.env.contains("SPARK_GRAFT_PROFILE"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[prof-stream] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs} state=${p.stateOperators.map(o =>
+              s"(commit=${o.commitTimeMs}ms rows=${o.numRowsTotal})").mkString(",")}")
+        }
     } finally {
       q.stop()
       // the sink holds the results; the query-private staged copies would
