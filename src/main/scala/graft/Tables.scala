@@ -33,7 +33,39 @@ object Tables {
     * rather than assuming one encoding, so a fixture regeneration is a no-op
     * here.
     */
+  /** Per-session memo of the RESOLVED plan, NOT of any data: every
+    * `spark.read.parquet` call lists the path and reads the footer on the
+    * driver to infer the schema — ~10-40 ms of pure metadata work that the
+    * bench/verify drivers would otherwise repeat for every one of the
+    * ~400 queries × 1-3 tables each. The cached object is a lazy
+    * DataFrame (no persist): every action over it still scans the parquet
+    * from disk, so no result or data caching crosses query boundaries.
+    * Keyed weakly by session so test sessions do not pin each other.
+    */
+  private val planCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        planCache.put(spark, m)
+      }
+      m
+    }
+    val key = s"$sfDir/$name"
+    val existing = perSession.get(key)
+    if (existing != null) existing
+    else {
+      val built = load(spark, sfDir, name)
+      val prev = perSession.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2655,47 +2655,80 @@ object LlmData {
       : (Array[Array[Array[Float]]], Array[Array[Array[Float]]],
         Seq[(Int, Int, Double, Double)], Long, Long) =
     opqCache.computeIfAbsent(graft.Fixtures.datasetTag(d, "embeddings", "opq1"), _ => {
+      def mark(what: String): Unit =
+        if (sys.env.contains("SPARK_GRAFT_PROFILE"))
+          System.err.println(s"[prof-opq] $what @${System.nanoTime() / 1000000}")
+      mark("model:start")
       graft.functions.GraftFunctions.register(s)
       val cb = pqCentroids(s, d)
+      mark("model:centroids")
       val sub = cb(0)(0).length
       val dims = pqM * sub
-      val best = t(s, d, "embeddings")
-        .select(col("vec_id") +: col("embedding") +: pqBestCols(cb): _*)
       val cbLit = (0 until pqM).map(j => typedlit(cb(j).map(_.toSeq).toSeq))
-      // assigned-centroid component for global dim g (the frozen code's
-      // reconstruction), as a double
-      def ceExpr(g: Int): Column = {
-        val j = g / sub
-        element_at(element_at(cbLit(j), col(s"best_$j").getField("c") + 1),
-          g % sub + 1).cast("double")
-      }
-      def xExpr(g: Int): Column = col("embedding").getItem(g).cast("double")
       val errCols = (0 until pqM).map { j =>
         val xs = expr(s"slice(embedding, ${j * sub + 1}, $sub)")
         round((VectorOps.dot(xs, xs) + col(s"best_$j").getField("s")) * 1000000, 0)
           .cast("long")
       }
-      val withR = best
-        .withColumn("xce", array((0 until dims).map(g =>
-          round(xExpr(g) * ceExpr(g) * 1000000, 0).cast("long")): _*))
-        .withColumn("e0j", errCols.reduce(_ + _))
+      // ENCODE ONCE, MATERIALIZED (optimization-round restructure; same
+      // integer terms, same sums): the flat formulation re-embedded the
+      // (ks × sub)-float codebook literal and the argmin struct inside
+      // every one of the ~190 aggregate terms, which made analysis +
+      // whole-stage codegen of the statistics pass the dominant cost
+      // (~6 s of driver/Janino work at any data size). The encode
+      // (argmin structs), the assigned-reconstruction array `ce`, the
+      // codes and the per-row e₀ are computed once here and cut to a
+      // bounded checkpoint (corpus-grain rows of ~0.6 KB — the same
+      // per-row footprint the raw embedding already has), so every
+      // downstream term is two element_at lookups over row-local arrays.
+      val enc = t(s, d, "embeddings")
+        .select(col("vec_id") +: col("embedding") +: pqBestCols(cb): _*)
+        .withColumn("code", array((0 until pqM).map(j =>
+          col(s"best_$j").getField("c")): _*))
+        .withColumn("ce", flatten(array((0 until pqM).map(j =>
+          element_at(cbLit(j), col(s"best_$j").getField("c") + 1)): _*)))
+        .withColumn("e0row", errCols.reduce(_ + _))
+        .select("vec_id", "embedding", "code", "ce", "e0row")
+        .localCheckpoint(true)
+      mark("model:enc-done")
+      // term expressions over the materialized row: exactly the values the
+      // flat formulation computed (x_g·c*_g etc. with identical IEEE ops
+      // and identical per-element rounding), via row-local lookups
+      def ceExpr(g: Int): Column = col("ce").getItem(g).cast("double")
+      def xExpr(g: Int): Column = col("embedding").getItem(g).cast("double")
       val cands = for { j <- 0 until pqM; i <- 0 until sub }
         yield (j, i, j * sub + i, ((j + 1) % pqM) * sub + i)
       // T_g = Σ round(x_g·c*_g·10⁶); B_(p,q) = Σ [round(x_p·c*_q·10⁶) −
       // round(x_q·c*_p·10⁶)] — the exact integer inputs to the restricted
-      // Procrustes angle (A = T_p + T_q, maximize c·A + s·B)
-      val crossB = cands.map { case (j, i, p, q) =>
-        sum(round(xExpr(p) * ceExpr(q) * 1000000, 0).cast("long") -
-          round(xExpr(q) * ceExpr(p) * 1000000, 0).cast("long")).as(s"b_${j}_$i")
+      // Procrustes angle (A = T_p + T_q, maximize c·A + s·B). The
+      // statistics run as ONE exploded keyed aggregate (dim-keyed rows,
+      // four sum buffers) instead of a 130-column flat aggregate: the
+      // per-g integer terms are identical and integer addition is
+      // order-free, so every collected statistic is bit-equal, while the
+      // generated aggregate class shrinks ~30× (the flat form's
+      // analysis + Janino compile dominated the whole operator). Each
+      // candidate pair (j, i) keys its torque term by p = j·sub + i; the
+      // per-row e₀ rides on g = 0 exactly once.
+      val gTerms = cands.map { case (j, i, pp, qq) =>
+        struct(lit(pp).as("g"),
+          round(xExpr(pp) * ceExpr(pp) * 1000000, 0).cast("long").as("t"),
+          (round(xExpr(pp) * ceExpr(qq) * 1000000, 0).cast("long") -
+            round(xExpr(qq) * ceExpr(pp) * 1000000, 0).cast("long")).as("bt"),
+          (if (pp == 0) col("e0row") else lit(0L)).as("e"))
       }
-      val aggs =
-        (0 until dims).map(g => sum(col("xce").getItem(g)).as(s"t_$g")) ++
-          crossB ++ Seq(sum(col("e0j")).as("e0"), count(lit(1)).as("nv"))
-      val a = withR.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val tg = (0 until dims).map(g => a.getLong(a.fieldIndex(s"t_$g")))
-      def bv(j: Int, i: Int): Long = a.getLong(a.fieldIndex(s"b_${j}_$i"))
-      val e0 = a.getLong(a.fieldIndex("e0"))
-      val nv = a.getLong(a.fieldIndex("nv"))
+      val ga = enc.select(explode(array(gTerms: _*)).as("s")).select("s.*")
+        .groupBy("g").agg(sum(col("t")).as("t"), sum(col("bt")).as("b"),
+          sum(col("e")).as("e"), count(lit(1)).as("n"))
+        .collect()
+      mark("model:stats-done")
+      val byG = ga.map(r => r.getInt(r.fieldIndex("g")) -> r).toMap
+      require(byG.size == dims, "OPQ statistics pass lost a dimension group")
+      val tg = (0 until dims).map(g => byG(g).getLong(byG(g).fieldIndex("t")))
+      def bv(j: Int, i: Int): Long = {
+        val r = byG(j * sub + i); r.getLong(r.fieldIndex("b"))
+      }
+      val e0 = byG(0).getLong(byG(0).fieldIndex("e"))
+      val nv = byG(0).getLong(byG(0).fieldIndex("n"))
       val ord = Ordering.Tuple2[Long, Int]
       def key(j: Int, i: Int): (Long, Int) = (math.abs(bv(j, i)), j)
       val accepted = cands.filter { case (j, i, _, _) =>
@@ -2726,14 +2759,16 @@ object LlmData {
       // pass 2: per-(j, code) exact micro sums of x and x′ under the
       // FROZEN assignments — one exploded keyed aggregate
       val perJ = (0 until pqM).map { j =>
-        struct(lit(j).as("j"), col(s"best_$j").getField("c").as("code"),
+        struct(lit(j).as("j"), col("code").getItem(j).as("code"),
           array((0 until sub).map(i =>
             round(col("embedding").getItem(j * sub + i).cast("double") * 1000000,
               0)): _*).as("xm"),
           array((0 until sub).map(i =>
             round(xpExpr(j * sub + i).cast("double") * 1000000, 0)): _*).as("xpm"))
       }
-      val gsums = best.select(explode(array(perJ: _*)).as("s")).select("s.*")
+      // reads the materialized encode — the flat formulation re-ran the
+      // argmin structs a second time here
+      val gsums = enc.select(explode(array(perJ: _*)).as("s")).select("s.*")
         .groupBy("j", "code")
         .agg(count(lit(1)).as("n"),
           ((0 until sub).map(i => sum(col("xm").getItem(i)).as(s"sx_$i")) ++
@@ -2750,7 +2785,11 @@ object LlmData {
         }
         out
       }
-      (rebuilt("sx"), rebuilt("sp"), rots, e0, nv)
+      mark("model:gsums-done")
+      val out = (rebuilt("sx"), rebuilt("sp"), rots, e0, nv)
+      // the model is fully collected — release the bounded encode frame
+      enc.unpersist()
+      out
     })
 
   /** The rotated-corpus frame (x′ = R·x cast back to float, identity off
@@ -2806,8 +2845,12 @@ object LlmData {
     * lands on the driver — the [[simsearchRetrain]] shape exactly.
     */
   def simsearchOpq(s: SparkSession, d: String): DataFrame = {
+    def mark(what: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_PROFILE"))
+        System.err.println(s"[prof-opq] $what @${System.nanoTime() / 1000000}")
     graft.functions.GraftFunctions.register(s)
     val (cbL, cbO, rots, e0, nv) = opqModel(s, d)
+    mark("opq:model-done")
     val sub = cbL(0)(0).length
     def errSum(frame: DataFrame, cbX: Array[Array[Array[Float]]]): Long = {
       val b = frame.select(col("embedding") +: pqBestCols(cbX): _*)
@@ -2819,7 +2862,9 @@ object LlmData {
       b.select(ec.reduce(_ + _).as("e")).agg(sum(col("e"))).first().getLong(0)
     }
     val eL = errSum(t(s, d, "embeddings"), cbL)
+    mark("opq:errL-done")
     val eO = errSum(opqRotated(s, d), cbO)
+    mark("opq:errO-done")
     import s.implicits._
     Seq(("a_frozen", nv, 0L, e0), ("b_lloyd", nv, 0L, eL),
       ("c_opq", nv, rots.length.toLong, eO))
