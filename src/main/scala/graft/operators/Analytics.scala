@@ -1564,12 +1564,19 @@ object Analytics {
   }
 
   def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    // the (flag, cents) → weight HISTOGRAM is persisted for the two
+    // passes below: its grain is distinct price values per group (value
+    // histogram, not row grain — bounded at any corpus size), and both
+    // the bucket pass and the crossing-slice pass read it, so one scan +
+    // a cache read beats two full lineitem scans (guide §5: reuse ×
+    // recompute cost). Released after the tiny result materializes.
     val g = t(s, d, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
         round(col("l_quantity"), 0).cast("long").as("wt"))
       .groupBy("l_returnflag", "cents")
       .agg(sum(col("wt")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // TWO-PASS BUCKET REFINEMENT instead of one window over the whole
     // per-group value sort: with only |groups| window partitions (3 flags
     // here) a plain cumulative window is key-bound — 3 tasks sort
@@ -1579,9 +1586,9 @@ object Analytics {
     // crossing plus the cumulative weight BEFORE it; pass 2 re-sorts only
     // the crossing bucket's slice (~1/160 of rows). Exactness is
     // unchanged — the crossing value is in the crossing bucket because
-    // weights are positive. The value table is deliberately NOT persisted:
-    // two pruned scans with map-side partials beat pinning it, and beat
-    // the key-bound sort by construction.
+    // weights are positive. Both passes read the persisted
+    // value histogram above (bounded at value grain), so the raw rows
+    // are scanned exactly once.
     val bucketed = g.withColumn("bkt", expr("cents div 65536"))
       .groupBy("l_returnflag", "bkt").agg(sum(col("w")).as("bw"))
     val bord = Window.partitionBy("l_returnflag").orderBy("bkt")
@@ -1607,6 +1614,10 @@ object Analytics {
       .groupBy("l_returnflag")
       .agg(min(col("cents")).as("wmedian_cents"), min(col("totw")).as("total_weight"))
       .orderBy("l_returnflag")
+      // group-grain rows: snapshot them so the histogram cache can be
+      // released inside the operator instead of leaking per invocation
+      .localCheckpoint(true)
+    g.unpersist()
     out
   }
 
@@ -6102,11 +6113,16 @@ object Analytics {
     var walk = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
       .select(col("node").as("seed"), col("node").as("cur"))
+    // the adjacency (edge-grain + rank columns) broadcasts into each hop
+    // when the staged count proves it small — the walk is one lazy plan,
+    // so the hint is the only join-strategy control that reaches the
+    // final action (the [[ccLabels]] gate rationale)
+    val tiny = sccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
     (1 to 4).foreach { i =>
       val pick = md5h4(
         s"md5(concat('graftwalk:', CAST(cur AS STRING), ':$i'))")
       walk = walk
-        .join(adj, col("cur") === col("a") &&
+        .join(bcastIf(adj, tiny), col("cur") === col("a") &&
           col("rn") === expr(s"($pick % deg) + 1"), "left")
         .select(col("seed") +:
           ((1 to i - 1).map(j => col(s"s$j")) :+ col("b").as(s"s$i")): _*)
@@ -6152,10 +6168,13 @@ object Analytics {
       .withColumn("deg", count(lit(1)).over(wA).cast("long"))
     // step 1: first-order uniform pick under the n2v hash namespace
     val pick1 = md5h4("md5(concat('graftn2v:', CAST(seed AS STRING), ':1'))")
+    // broadcast the adjacency/edge lookups into every step when the
+    // staged count proves them small (the [[graphRandomWalk]] gate)
+    val tiny = sccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
     var walk = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
       .select(col("node").as("seed"))
-      .join(adj, col("seed") === col("a") &&
+      .join(bcastIf(adj, tiny), col("seed") === col("a") &&
         col("rn") === expr(s"($pick1 % deg) + 1"), "left")
       .select(col("seed"), col("b").as("s1"))
     (2 to 4).foreach { i =>
@@ -6165,8 +6184,8 @@ object Analytics {
         s"md5(concat('graftn2v:', CAST($prevCol AS STRING), ':', " +
           s"CAST($curCol AS STRING), ':$i'))")
       val cand = walk
-        .join(e, col(curCol) === col("a"), "left")
-        .join(e.select(col("a").as("pa"), col("b").as("pb")),
+        .join(bcastIf(e, tiny), col(curCol) === col("a"), "left")
+        .join(bcastIf(e.select(col("a").as("pa"), col("b").as("pb")), tiny),
           col("pa") === col(prevCol) && col("pb") === col("b"), "left")
         .withColumn("wt",
           when(col("b") === col(prevCol), lit(2L))      // return (1/p · 2)
