@@ -48,6 +48,13 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = planCache.synchronized {
+      // the cached DataFrames strongly reference their session, so weak-key
+      // eviction alone never fires (value → key). Explicitly drop entries
+      // whose underlying context has stopped — the lifecycle test suites
+      // actually have (one session per suite, context stopped at the end) —
+      // so closed sessions do not stay pinned for the JVM lifetime
+      // (r18 advisory).
+      planCache.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       var m = planCache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

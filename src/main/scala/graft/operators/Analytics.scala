@@ -5189,10 +5189,12 @@ object Analytics {
         .select("node")
       val l0 = srcs.select(col("node").as("src"), col("node"),
         lit(1L).as("sigma")).localCheckpoint(true)
-      // frontier frames are (src, node) grain ≤ k·|V| — broadcast them
-      // into the edge-grain expansions when the staged edge count proves
-      // the graph small (the [[ccLabels]] gate; k = 8 sources)
-      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
+      // frontier frames are (src, node) grain ≤ k·|V| ≤ 2k·|E| (and the
+      // two-level `recent` union ≤ 4k·|E|), so the gate scales the edge
+      // count by 4k — the plain node-grain cutoff would admit hinted
+      // broadcasts of up to k× the stated ~16 MB bound (r18 advisory)
+      val tiny = ccEdgeCount(s, d) * (4L * BetweennessSources) <=
+        graphBroadcastMaxRows(s)
       // forward pass: levels 1..D of the multi-source BFS DAG, σ summed
       // over predecessors; visited check = the last two frontiers per src
       val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
@@ -5289,10 +5291,12 @@ object Analytics {
         .select("node")
       val l0 = srcs.select(col("node").as("src"), col("node"))
         .localCheckpoint(true)
-      // frontiers are (src, node) grain — broadcast them into the
-      // edge-grain expansion when the staged edge count proves the graph
-      // small (the [[ccLabels]] gate; k = 8 sources)
-      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
+      // frontiers are (src, node) grain ≤ k·|V| ≤ 2k·|E| (the two-level
+      // `recent` union ≤ 4k·|E|) — the gate scales the edge count by 4k so
+      // the ~16 MB broadcast bound holds for the multi-source frames too
+      // (r18 advisory)
+      val tiny = ccEdgeCount(s, d) * (4L * ClosenessSources) <=
+        graphBroadcastMaxRows(s)
       val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
       (1 to ClosenessDepth).foreach { _ =>
         val prev = levels.last
@@ -5367,10 +5371,11 @@ object Analytics {
       var dist = ranked("graftlm:", LandmarkCount)
         .select(col("node").as("lmk"), col("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
-      // the distance table is (landmark, node) grain ≤ k·|V| — broadcast
-      // it into the edge-grain relaxation when the staged edge count
-      // proves the graph small (the [[ccLabels]] gate; k = 4)
-      val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
+      // the distance table is (landmark, node) grain ≤ k·|V| ≤ 2k·|E| —
+      // the gate scales the edge count by 2k so the ~16 MB broadcast bound
+      // holds at (landmark, node) grain too (r18 advisory)
+      val tiny = ccEdgeCount(s, d) * (2L * LandmarkCount) <=
+        graphBroadcastMaxRows(s)
       var signature = (0L, 0L)
       var converged = false
       var round = 0
@@ -6389,7 +6394,12 @@ object Analytics {
         backing = damped
         r = next
       }
-      r
+      // materialize the final rank vector so the LAST damped checkpoint is
+      // releasable too — the lazy r read it, and returning r unmaterialized
+      // leaked one node-grain cached frame per invocation (r18 advisory)
+      val out = r.localCheckpoint(true)
+      backing.unpersist()
+      out
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
 

@@ -2690,6 +2690,7 @@ object LlmData {
         .withColumn("e0row", errCols.reduce(_ + _))
         .select("vec_id", "embedding", "code", "ce", "e0row")
         .localCheckpoint(true)
+      try {
       mark("model:enc-done")
       // term expressions over the materialized row: exactly the values the
       // flat formulation computed (x_g·c*_g etc. with identical IEEE ops
@@ -2786,10 +2787,12 @@ object LlmData {
         out
       }
       mark("model:gsums-done")
-      val out = (rebuilt("sx"), rebuilt("sp"), rots, e0, nv)
-      // the model is fully collected — release the bounded encode frame
-      enc.unpersist()
-      out
+      (rebuilt("sx"), rebuilt("sp"), rots, e0, nv)
+      // the model is fully collected by here — the finally releases the
+      // bounded encode frame on the failure paths too (a throw in the stats
+      // or gsums pass previously leaked it for the session lifetime,
+      // r18 advisory)
+      } finally enc.unpersist()
     })
 
   /** The rotated-corpus frame (x′ = R·x cast back to float, identity off
