@@ -116,7 +116,24 @@ object GraftFunctions {
     ("graft_isect_count", classOf[SortedIntersectCountExpr],
       exprs => SortedIntersectCountExpr(
         Cast(exprs(0), ArrayType(LongType, containsNull = true)),
-        Cast(exprs(1), ArrayType(LongType, containsNull = true)))))
+        Cast(exprs(1), ArrayType(LongType, containsNull = true)))),
+    ("graft_pq_best", classOf[PqBestExpr],
+      exprs => PqBestExpr(floatArray(exprs(0)), offset = intArg(exprs(1)),
+        cb = {
+          // per-subspace codebook from the (foldable) array<array<float>>
+          // literal argument, decoded once at plan build
+          val arr = exprs(2).eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+        })),
+    ("graft_kmeans_best", classOf[KmeansBestExpr],
+      exprs => KmeansBestExpr(
+        Cast(exprs(0), ArrayType(LongType, containsNull = true)),
+        cents = {
+          val arr = exprs(1).eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          Array.tabulate(arr.numElements())(i => arr.getArray(i).toLongArray())
+        })))
 
   def register(spark: SparkSession): Unit =
     defs.foreach { case (name, _, builder) =>

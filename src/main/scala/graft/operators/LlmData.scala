@@ -2479,22 +2479,20 @@ object LlmData {
   /** Per-subspace argmin columns for the PQ encoder: for each subspace j a
     * struct(score, code) where score = c·c − 2·x_j·c (the x_j·x_j term is
     * constant within a subspace, so the argmin is unchanged by dropping
-    * it) and code is the tie-lowest centroid — array_sort on the struct
-    * orders (score asc, code asc), exactly the oracle's
-    * row_number() OVER (ORDER BY score, c).
+    * it) and code is the tie-lowest centroid — the native
+    * [[graft.functions.PqBestExpr]] kernel, one JITted loop per subspace
+    * instead of a ks-cell expression tree (the tree form's array_sort top
+    * was a CodegenFallback that forced the ~m·ks literal-centroid dot
+    * kernels into interpreted per-row eval; see PqBestExpr for the bit-
+    * parity argument — same fold order, same Catalyst double ordering,
+    * same tie-lowest code, the oracle's row_number(ORDER BY score, c)).
+    * Callers must have run [[graft.functions.GraftFunctions.register]].
     */
   private def pqBestCols(cb: Array[Array[Array[Float]]]): Seq[Column] = {
     val sub = cb(0)(0).length
     (0 until pqM).map { j =>
-      val xs = expr(s"slice(embedding, ${j * sub + 1}, $sub)")
-      val cells = (0 until cb(j).length).map { c =>
-        val ce = cb(j)(c)
-        val cc = foldDot(ce, ce)
-        struct(
-          (lit(cc) - lit(2.0) * VectorOps.dot(xs, typedlit(ce.toSeq))).as("s"),
-          lit(c).as("c"))
-      }
-      element_at(array_sort(array(cells: _*)), 1).as(s"best_$j")
+      call_function("graft_pq_best", col("embedding"), lit(j * sub),
+        typedlit(cb(j).map(_.toSeq).toSeq)).as(s"best_$j")
     }
   }
 
@@ -6498,13 +6496,19 @@ object LlmData {
     val bs = inferBatchRows
     // plan-side featurization (codegen'd fold, no UDF): signed token
     // counts in 16 buckets keyed by the first md5 hex char, sign from
-    // the second — the ragIndexRetrieve portability trick
+    // the second — the ragIndexRetrieve portability trick. The md5 is
+    // hoisted to ONE evaluation per token (a transform to its leading
+    // two hex chars) BEFORE the bucket fold: inlined in the fold lambda
+    // it was re-evaluated per (token, bucket) — 32 md5 calls per token —
+    // and dominated the whole inference scan (guide §1.2 step 2: fix the
+    // per-task work). Same buckets, same signs, bit-identical features.
     val feats = t(s, d, "documents").select(col("doc_id"), expr(
-      "aggregate(filter(split(text, ' '), t -> length(t) > 0), " +
+      "aggregate(transform(filter(split(text, ' '), t -> length(t) > 0), " +
+        "t -> substring(md5(t), 1, 2)), " +
         s"array_repeat(CAST(0 AS BIGINT), $nf), " +
-        "(acc, t) -> transform(acc, (v, i) -> v + " +
-        "CASE WHEN locate(substring(md5(t), 1, 1), '0123456789abcdef') - 1 = i " +
-        "THEN CASE WHEN substring(md5(t), 2, 1) < '8' THEN 1 ELSE -1 END " +
+        "(acc, h) -> transform(acc, (v, i) -> v + " +
+        "CASE WHEN locate(substring(h, 1, 1), '0123456789abcdef') - 1 = i " +
+        "THEN CASE WHEN substring(h, 2, 1) < '8' THEN 1 ELSE -1 END " +
         "ELSE 0 END))").as("f"))
     val weights = Array.tabulate(nf, nd)(inferWeight)
     val out = feats.select(col("doc_id"), col("f"))
@@ -6985,40 +6989,47 @@ object LlmData {
         .collect()
         .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
       val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      val dims = cents(0).length
+      graft.functions.GraftFunctions.register(s)
+      // ONE native-kernel statement per Lloyd round (optimization round,
+      // guide §1.2 step 2 + §4.2): the previous form embedded each round's
+      // centroids as array literals inside zip_with/aggregate lambdas —
+      // higher-order functions are CodegenFallback, so the k 64-term
+      // distance kernels ran INTERPRETED per row, and every round planned
+      // a fresh statement. [[graft.functions.KmeansBestExpr]] runs the
+      // whole assignment as one JITted loop, carries the round's centroids
+      // on the expression object (a codegen reference slot, so every
+      // round's generated code is byte-identical → codegen cache hits),
+      // and the per-cluster stats collapse to one flat Long hash
+      // aggregate. Same integers ((a−b)² exact in Long, ties to the
+      // lowest cid), same truncating-mean update, bit-equal output.
       for (iter <- 1 to kmeansIters) {
-        val d2Cols = (0 until k).map { c =>
-          expr(s"aggregate(zip_with(vm, array(${cents(c).mkString(", ")}), " +
-            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-            .as(s"d2_$c")
-        }
-        val withD2 = vm.select(col("vec_id") +: col("vm") +: d2Cols: _*)
-          .withColumn("d2", least((0 until k).map(c => col(s"d2_$c")): _*))
-        val cluster = (0 until k).foldRight(lit(-1): Column) { (c, e) =>
-          when(col(s"d2_$c") === col("d2"), lit(c)).otherwise(e)
-        }
-        val asg = withD2.withColumn("cid", cluster)
-          .select("vec_id", "vm", "cid", "d2")
-        // ONE control-plane collect per iteration (k×64 rows): every
-        // (cid, dim) group holds the cluster's full membership, so the
-        // per-dim rows carry n and inertia for free alongside the sums
+        val centsLit = typedlit((0 until k).map(c => cents(c).toSeq))
+        val asg = vm.select(col("vec_id"), col("vm"),
+          call_function("graft_kmeans_best", col("vm"), centsLit).as("m"))
+        // ONE control-plane collect per iteration (k rows × 66 cols): the
+        // per-cluster count, inertia, and flat per-dimension sums
         val grouped = asg
-          .select(col("cid"), col("d2"), posexplode(col("vm")).as(Seq("dim", "v")))
-          .groupBy("cid", "dim")
-          .agg(sum("v").as("sv"), count(lit(1)).as("n"), sum("d2").as("i2"))
+          .groupBy(col("m").getField("cid").as("cid"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("m").getField("d2")).as("i2") +:
+              (0 until dims).map(j =>
+                sum(col("vm").getItem(j)).as(s"sv_$j")): _*)
           .collect()
-        val sums = grouped
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-        val stats = grouped.filter(_.getInt(1) == 0)
-          .map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+        val stats = grouped.map(r => r.getInt(r.fieldIndex("cid")) -> r).toMap
         val next = (0 until k).map { c =>
           stats.get(c) match {
-            case Some((n, _)) =>
-              c -> Array.tabulate(cents(c).length)(j => sums((c, j)) / n)
+            case Some(r) =>
+              val n = r.getLong(r.fieldIndex("n"))
+              c -> Array.tabulate(dims)(j =>
+                r.getLong(r.fieldIndex(s"sv_$j")) / n)
             case None => c -> cents(c) // empty cluster keeps its centroid
           }
         }.toMap
         (0 until k).foreach { c =>
-          stats.get(c).foreach { case (n, inertia) =>
+          stats.get(c).foreach { r =>
+            val n = r.getLong(r.fieldIndex("n"))
+            val inertia = r.getLong(r.fieldIndex("i2"))
             val shift = cents(c).indices
               .map(j => math.abs(next(c)(j) - cents(c)(j))).sum
             out += ((iter.toLong, c.toLong, n, inertia, shift,
