@@ -58,8 +58,12 @@ object Bench {
               " stages=" + js.stageInfos.size))
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           Option(t0.remove(je.jobId)).foreach { case (t, desc) =>
+            // absolute start/end stamps let a reader compute the DRIVER
+            // gaps between jobs (planning/codegen/analysis), not just the
+            // job wall — the r19 er_resolve hunt needed exactly this
             System.err.println(
-              f"[prof] job ${je.jobId}%4d ${(System.nanoTime() - t) / 1e6}%8.1f ms  $desc")
+              f"[prof] job ${je.jobId}%4d ${(System.nanoTime() - t) / 1e6}%8.1f ms  " +
+                f"start=${t / 1000000}%d end=${System.nanoTime() / 1000000}%d  $desc")
           }
       })
     }

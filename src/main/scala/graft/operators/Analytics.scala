@@ -2671,8 +2671,11 @@ object Analytics {
       col("n_parts").as("n_parts_b"), length(col("p_name")).as("cand_len"))
     probe.join(build, "cand_len")
       .where(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= 2)
+      // banded 3-arg form: −1 past the threshold, the exact distance
+      // inside it — same surviving pairs, same emitted distances, O(t·n)
+      // per pair instead of O(n²) (guide §1.2 step 2)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .where(col("dist") >= 0 && col("dist") <= 2)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         col("n_parts_a"), col("n_parts_b"))
       .orderBy("name_a", "name_b")
@@ -2698,70 +2701,111 @@ object Analytics {
     * CTE closure, survivorship, and all eight ledger counts.
     */
   def erResolve(s: SparkSession, d: String): DataFrame = {
-    val names = t(s, d, "part")
-      .groupBy(col("p_name").as("name"))
-      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("nid"))
-      .localCheckpoint(true)
+    // the WHOLE funnel runs under static planning (AQE off): every frame
+    // past the first aggregate is vocabulary-grain, the shapes are known,
+    // and adaptive re-planning only fragments the funnel into extra
+    // stage-jobs of scheduling overhead (the [[graphBfs]] doctrine)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey)
+    s.conf.set(aqeKey, "false")
+    val names =
+      try t(s, d, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("nid"))
+        .localCheckpoint(true)
+      catch { case e: Throwable => s.conf.set(aqeKey, aqeWas); throw e }
+    try {
+    // the one cardinality the whole funnel is bounded by — read off the
+    // already-materialized checkpoint (a metadata-cheap job) and reused
+    // for the funnel's shuffle sizing below
+    val nNames = names.count()
+    // Shuffle partitions DERIVED from the name vocabulary (match pairs ≤
+    // names after blocking at this grain) — the previous hardcoded 1 was
+    // a serial point the vocabulary size never justified by measurement
+    // (r18 verdict item 4).
+    s.conf.set(partsKey, math.max(1L, nNames / 500000L).toString)
     // BLOCK: edit distance ≤ 2 implies |len(a)−len(b)| ≤ 2, so one side
     // replicates into the 5 adjacent length buckets (lossless blocking)
     val probe = names.select(col("name").as("name_a"), col("nid").as("nid_a"),
       explode(expr("sequence(length(name) - 2, length(name) + 2)")).as("cand_len"))
     val build = names.select(col("name").as("name_b"), col("nid").as("nid_b"),
       length(col("name")).as("cand_len"))
-    val cand = probe.join(build, "cand_len")
+    // SCORE rides the same checkpoint as BLOCK (optimization round): the
+    // thresholded Levenshtein becomes an is_match flag on the candidate
+    // rows, so candidates and matches share ONE materialization instead
+    // of two chained ones (guide §5: cache only what is reused). The
+    // 3-arg levenshtein computes the BANDED distance (O(t·n) with early
+    // abandon, returning −1 past the threshold) instead of the full
+    // O(n²) matrix — ~10× less per-pair work on ~25-char names, exactly
+    // the same match set (guide §1.2 step 2).
+    val scored = probe.join(build, "cand_len")
       .where(col("name_a") < col("name_b"))
-      .select("name_a", "nid_a", "name_b", "nid_b")
+      .select(col("name_a"), col("nid_a"), col("name_b"), col("nid_b"),
+        (levenshtein(col("name_a"), col("name_b"), 2) >= 0).as("is_match"))
       .localCheckpoint(true)
-    // SCORE: the exact residual filter on the blocked candidates
-    val matched = cand
-      .where(levenshtein(col("name_a"), col("name_b")) <= 2)
-      .localCheckpoint(true)
-    // CLUSTER: components of the match graph (alternating-star kernel,
-    // O(log² n) rounds), run under the iteration confs on the tiny
-    // pair-grain graph
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.get(aqeKey)
-    val partsKey = "spark.sql.shuffle.partitions"
-    val partsWas = s.conf.get(partsKey)
-    s.conf.set(aqeKey, "false")
-    s.conf.set(partsKey, "1")
-    val comps =
-      try ccLabels(s, matched.select(col("nid_a").as("a"), col("nid_b").as("b")))
+    // the cluster/survivorship/ledger tail ALSO runs under the pinned
+    // static-planning confs and is materialized before they restore:
+    // every frame here is vocabulary-grain, and letting the deferred
+    // final action run under session AQE split it into ~10 per-exchange
+    // stage-jobs of pure scheduling overhead (the r18 verdict's "8
+    // sequential ledger jobs", measured as half this query's wall time)
+      // comps feeds exactly one consumer (the resolved build) — lazy over
+      // ccLabels' own checkpointed fixpoint state, no extra checkpoint
+      val comps = ccLabels(s, scored.where(col("is_match"))
+        .select(col("nid_a").as("a"), col("nid_b").as("b")))
+      val resolved = names
+        .join(comps.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+        .select(col("name"), col("n_parts"),
+          coalesce(col("component"), col("nid")).as("component"))
         .localCheckpoint(true)
-      finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
-    val resolved = names
-      .join(comps.withColumnRenamed("node", "nid"), Seq("nid"), "left")
-      .select(col("name"), col("n_parts"),
-        coalesce(col("component"), col("nid")).as("component"))
-      .localCheckpoint(true)
-    // SURVIVORSHIP: canonical spelling per cluster = most parts, then
-    // lexicographic min — one component-keyed window
-    val reps = resolved
-      .withColumn("rk", row_number().over(Window.partitionBy("component")
-        .orderBy(col("n_parts").desc, col("name"))))
-      .where(col("rk") === 1)
-      .select(col("component"), col("name").as("canon"))
-    val mapping = resolved.join(reps, "component")
-      .select("name", "n_parts", "canon")
-      .localCheckpoint(true)
-    // the audit ledger: one row per funnel stage
-    def row(stage: String, df: DataFrame): DataFrame =
-      df.select(lit(stage).as("stage"), col("n"))
-    row("1_parts", names.agg(sum(col("n_parts")).as("n")))
-      .unionByName(row("2_names", names.agg(count(lit(1)).as("n"))))
-      .unionByName(row("3_candidate_pairs", cand.agg(count(lit(1)).as("n"))))
-      .unionByName(row("4_matched_pairs", matched.agg(count(lit(1)).as("n"))))
-      .unionByName(row("5_clusters_multi",
-        resolved.groupBy("component").agg(count(lit(1)).as("sz"))
-          .where(col("sz") >= 2).agg(count(lit(1)).as("n"))))
-      .unionByName(row("6_names_merged",
-        mapping.where(col("name") =!= col("canon")).agg(count(lit(1)).as("n"))))
-      .unionByName(row("7_parts_merged",
-        mapping.where(col("name") =!= col("canon"))
-          .agg(coalesce(sum(col("n_parts")), lit(0L)).as("n"))))
-      .unionByName(row("8_entities",
-        mapping.agg(countDistinct(col("canon")).as("n"))))
-      .orderBy("stage")
+      // SURVIVORSHIP: canonical spelling per cluster = most parts, then
+      // lexicographic min — one component-keyed window
+      val reps = resolved
+        .withColumn("rk", row_number().over(Window.partitionBy("component")
+          .orderBy(col("n_parts").desc, col("name"))))
+        .where(col("rk") === 1)
+        .select(col("component"), col("name").as("canon"))
+      // mapping feeds exactly one consumer (the fused ledger aggregate) —
+      // the previous checkpoint bought nothing
+      val mapping = resolved.join(reps, "component")
+        .select("name", "n_parts", "canon")
+      // the audit ledger, FUSED (r18 verdict item 2): the eight stage
+      // counts previously ran as eight separate aggregate legs; mapping
+      // carries names 1:1 (reps is unique per component), so stages
+      // 1/2/6/7/8 are one aggregate over mapping, 3/4 one aggregate over
+      // scored, and 5 its two-level component rollup — three aggregate
+      // subtrees in ONE materialized job instead of eight legs. Values
+      // are identical: count of a filtered frame = count(when(cond, 1));
+      // empty-input nulls match the originals (sums stay null, counts
+      // stay 0, 7 keeps coalesce 0).
+      val aggM = mapping.agg(
+        sum(col("n_parts")).as("v1"),
+        count(lit(1)).as("v2"),
+        count(when(col("name") =!= col("canon"), lit(1))).as("v6"),
+        coalesce(sum(when(col("name") =!= col("canon"), col("n_parts"))),
+          lit(0L)).as("v7"),
+        countDistinct(col("canon")).as("v8"))
+      val aggS = scored.agg(
+        count(lit(1)).as("v3"),
+        count(when(col("is_match"), lit(1))).as("v4"))
+      val agg5 = resolved.groupBy("component").agg(count(lit(1)).as("sz"))
+        .where(col("sz") >= 2).agg(count(lit(1)).as("v5"))
+      aggM.crossJoin(aggS).crossJoin(agg5)
+        .select(explode(array(
+          struct(lit("1_parts").as("stage"), col("v1").as("n")),
+          struct(lit("2_names").as("stage"), col("v2").as("n")),
+          struct(lit("3_candidate_pairs").as("stage"), col("v3").as("n")),
+          struct(lit("4_matched_pairs").as("stage"), col("v4").as("n")),
+          struct(lit("5_clusters_multi").as("stage"), col("v5").as("n")),
+          struct(lit("6_names_merged").as("stage"), col("v6").as("n")),
+          struct(lit("7_parts_merged").as("stage"), col("v7").as("n")),
+          struct(lit("8_entities").as("stage"), col("v8").as("n")))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.n").as("n"))
+        .localCheckpoint(true)
+        .orderBy("stage")
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }
 
   // ------------------------------------------------------------- seq match
@@ -4877,14 +4921,25 @@ object Analytics {
       // count decides the join strategy exactly (guide §3.1)
       val tiny = eCount <= bcastMax
       val next = ccSmallStar(ccLargeStar(e, tiny), tiny).localCheckpoint(true)
-      val nextCount = next.count()
+      // fixpoint test is EXACT set equality: same cardinality and no row
+      // of next outside e — previously a count() job plus, on matching
+      // counts, a second except() job; both rows of e and next are
+      // distinct (the smallStar terminal distinct), so ONE left-join
+      // aggregate yields the round count and the outside-count together
+      // (one edge-grain job per round instead of two — the convergence
+      // probe was half of every round's job budget on small graphs;
+      // guide §1.2 step 1). A hash-checksum compare would be cheaper
+      // still but admits collision-driven early stops.
+      val probe = next
+        .join(bcastIf(e.select(col("u"), col("v"), lit(1).as("in_e")), tiny),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("in_e").isNull, lit(1))).as("miss"))
+        .first()
+      val nextCount = probe.getLong(0)
       if (sys.env.contains("SPARK_GRAFT_PROFILE"))
         System.err.println(s"[prof-cc] round=$rounds edges=$nextCount (was $eCount)")
-      // fixpoint test is EXACT set equality: same cardinality and no row
-      // of next outside e — two edge-grain jobs, the same grain as the
-      // round itself (a hash-checksum compare would be cheaper but admits
-      // collision-driven early stops)
-      converged = nextCount == eCount && next.except(e).isEmpty
+      converged = nextCount == eCount && probe.getLong(1) == 0L
       e.unpersist()
       e = next
       eCount = nextCount
