@@ -5040,8 +5040,37 @@ object Analytics {
     * daily arrival batch this is the difference between a label-table
     * merge job and a full multi-round recompute over the history.
     */
+  /** The STANDING label table of the incremental-CC scenario — in
+    * production a MAINTAINED artifact, so it is staged ONCE per fixture
+    * generation like every other maintained index (the [[ccEdgesPath]]
+    * recipe; r18 verdict item 8: the query previously re-ran full CC on
+    * the standing graph every invocation as "scenario setup", which made
+    * the key time the rebuild, not the MAINTENANCE path it declares).
+    * Version-tagged: bump "ccbase1" whenever [[ccEdgesPath]]'s scheme
+    * version or [[ccIncrBatchCond]] changes — the build derives from
+    * both. The oracle is unaffected: it replays the FULL recompute over
+    * all edges and hash-gates the merged result.
+    */
+  private def ccBasePath(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Fixtures.ensureDerived(
+      "graft_cc_base", d, "lineitem", "ccbase1") { staging =>
+      val edges = ccEdges(s, d)
+      val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeWas = s.conf.get(aqeKey)
+      val partsKey = "spark.sql.shuffle.partitions"
+      val partsWas = s.conf.get(partsKey)
+      s.conf.set(aqeKey, "false")
+      s.conf.set(partsKey, edgeParts)
+      try {
+        val standing = edges.where(!expr(ccIncrBatchCond)).localCheckpoint(true)
+        ccLabels(s, standing).write.mode("overwrite").parquet(staging.toString)
+      } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
+    }
+
   def graphCcIncremental(s: SparkSession, d: String): DataFrame = {
     val edges = ccEdges(s, d)
+    val basePath = ccBasePath(s, d).toString
     val edgeParts = math.max(1L, ccEdgeCount(s, d) / 500000L).toString
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = s.conf.get(aqeKey)
@@ -5050,15 +5079,14 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
-      val standing = edges.where(!expr(ccIncrBatchCond)).localCheckpoint(true)
-      val batch = edges.where(expr(ccIncrBatchCond)).localCheckpoint(true)
+      val batch = edges.where(expr(ccIncrBatchCond))
       // label tables are node-grain ≤ 2|E| — the staged manifest count
       // decides the relabel joins' strategy (the [[ccLabels]] broadcast
       // gate, guide §3.1)
       val tiny = ccEdgeCount(s, d) <= graphBroadcastMaxRows(s)
-      // the standing label table — in production a MAINTAINED artifact,
-      // rebuilt here as scenario setup
-      val base = ccLabels(s, standing).localCheckpoint(true)
+      // the standing label table, read from its staged artifact (memoized
+      // lazy plan only — every action re-reads the parquet)
+      val base = LlmData.memo(s, s"cc_base:$d") { s.read.parquet(basePath) }
       // lift the batch to the component graph: endpoints the standing
       // graph never saw are their own singleton components
       val lifted = batch
@@ -5079,6 +5107,10 @@ object Analytics {
         .join(bcastIf(merge.select(col("node").as("oldc"),
           col("component").as("newc")), tiny), Seq("oldc"), "left")
         .select(col("node"), coalesce(col("newc"), col("oldc")).as("component"))
+        // node-grain, consumed twice (size rollup + final attach): cut
+        // once so the staged-base scan and both relabel joins run once,
+        // not once per consumer
+        .localCheckpoint(true)
       val sizes = relabeled.groupBy("component").agg(count(lit(1)).as("csize"))
       relabeled.join(broadcast(sizes), "component")
         .select(col("node").as("part"), col("component"), col("csize"))
