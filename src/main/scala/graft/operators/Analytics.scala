@@ -5957,14 +5957,68 @@ object Analytics {
         else {
           forest += sel.select(col("a"), col("b"), col("m"))
             .withColumn("round_found", lit(rounds.toLong))
-          val compEdges = sel.select(col("ca").as("a"), col("cb").as("b"))
-          val merged = ccLabels(s, compEdges)
+          // CONTRACTION BY POINTER DOUBLING (r18 verdict item 5): the
+          // nomination graph is a forest rooted at mutual picks — under
+          // the total order (m desc, a, b) every directed pick cycle has
+          // length exactly 2 (a length-≥3 cycle needs strictly improving
+          // picks around the loop, impossible under a total order) — so
+          // labeling its components needs parent-pointer doubling, not
+          // the full alternating-star fixpoint the previous code ran as
+          // a loop-in-loop (ccLabels: ~8+ jobs per Borůvka round; this:
+          // one window statement + 2 jobs per jump, and tree depth
+          // halves per jump). Labels only need to be CONSISTENT per
+          // merged component — the next round's window partitions by
+          // label VALUE only and the emitted forest carries no labels —
+          // and they are injective across components: each tree's root
+          // label is the min of its unique mutual pair, and a component
+          // id belongs to exactly one tree.
+          // parent(c) = partner in c's own pick = c's best incident sel
+          // edge (pick(c) ∈ sel, and no better edge incident to c exists
+          // anywhere, so the per-c window minimum over sel IS the pick)
+          val inc = sel.select(col("ca").as("c"), col("cb").as("p"),
+              col("m"), col("a"), col("b"))
+            .unionByName(sel.select(col("cb").as("c"), col("ca").as("p"),
+              col("m"), col("a"), col("b")))
+          val par0 = inc
+            .withColumn("rk", row_number().over(Window.partitionBy("c")
+              .orderBy(col("m").desc, col("a"), col("b"))))
+            .where(col("rk") === 1).select(col("c"), col("p"))
+          // self-root the mutual pairs at min(c, p); chains keep pointing
+          var par = par0
+            .join(bcastIf(par0.select(col("c").as("p"), col("p").as("gp")),
+              tiny), "p")
+            .select(col("c"),
+              when(col("gp") === col("c"), least(col("c"), col("p")))
+                .otherwise(col("p")).as("p"))
+            .localCheckpoint(true)
+          var jumping = true
+          var jumps = 0
+          while (jumping) {
+            jumps += 1
+            require(jumps <= 64,
+              "pointer doubling failed to converge — the nomination graph " +
+                "is a forest whose depth halves per jump; state is corrupt")
+            val j = par
+              .join(bcastIf(par.select(col("c").as("p"), col("p").as("p2")),
+                tiny), "p")
+              .select(col("c"), col("p"), col("p2"))
+              .localCheckpoint(true)
+            if (j.where(col("p2") =!= col("p")).isEmpty) jumping = false
+            else {
+              val advanced = j.select(col("c"), col("p2").as("p"))
+                .localCheckpoint(true)
+              par.unpersist()
+              par = advanced
+            }
+            j.unpersist()
+          }
           val next = comp
-            .join(bcastIf(merged.select(col("node").as("comp"), col("component")),
+            .join(bcastIf(par.select(col("c").as("comp"), col("p").as("component")),
               tiny), Seq("comp"), "left")
             .select(col("node"),
               coalesce(col("component"), col("comp")).as("comp"))
             .localCheckpoint(true)
+          par.unpersist()
           comp.unpersist()
           comp = next
         }
