@@ -37,6 +37,15 @@ object Fixtures {
     dir
   }
 
+  /** Register an externally-created dir (e.g. under a RAM-backed root
+    * rather than tmpdir) for exit-time deletion — the crash-safety net
+    * behind the streaming harness's transient checkpoint dirs.
+    */
+  def registerForExitCleanup(dir: Path): Unit = {
+    exitHook
+    cleanupAtExit.add(dir)
+  }
+
   /** For dirs already removed on the normal path — keeps the hook's set small. */
   def removeFromExitCleanup(dir: Path): Unit = cleanupAtExit.remove(dir)
 

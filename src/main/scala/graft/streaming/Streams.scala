@@ -281,12 +281,50 @@ object Streams {
       .select("event_id", "ts", "user_id", "event_type", "value")
 
   /** One-row constant batch whose far-future timestamp advances the
-    * watermark past every real window/session close time.
+    * watermark past every real window/session close time. Memoized per
+    * session so [[withStagedFeed]] can recognize it by identity and stage
+    * its parquet bytes by FILE COPY instead of running a one-row
+    * distributed write job per query (≈100-160 ms each, ~20 stream keys).
     */
-  private def sentinelBatch(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)).toDF()
-  }
+  private val sentinelMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def sentinelBatch(s: SparkSession): DataFrame =
+    sentinelMemo.computeIfAbsent(s, _ => {
+      import s.implicits._
+      Seq(Ev(-1L, Instant.parse("2030-01-01T00:00:00Z"), -1L, "sentinel", 0.0)).toDF()
+    })
+
+  /** The sentinel row as staged parquet bytes, written ONCE per session
+    * (same engine write path — identical bytes to what the per-query
+    * write produced), then file-copied into each query's private feed dir.
+    */
+  private val sentinelStaged =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.nio.file.Path]()
+
+  private def stagedSentinelDir(s: SparkSession): java.nio.file.Path =
+    sentinelStaged.computeIfAbsent(s, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        streamCkptRoot, "graft_stream_sentinel_")
+      graft.Fixtures.registerForExitCleanup(dir)
+      sentinelBatch(s).coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      dir
+    })
+
+  /** Append one staged batch into a query-private feed dir: the memoized
+    * sentinel goes in as a file copy; anything else pays the distributed
+    * write it needs.
+    */
+  private def appendBatch(s: SparkSession, b: DataFrame,
+      own: java.nio.file.Path): Unit =
+    if (b eq sentinelBatch(s)) {
+      val src = stagedSentinelDir(s)
+      val st = java.nio.file.Files.list(src)
+      try st.filter(_.getFileName.toString.startsWith("part-")).forEach { p =>
+        java.nio.file.Files.copy(p,
+          own.resolve(s"sentinel-${java.util.UUID.randomUUID()}.parquet"))
+      } finally st.close()
+    } else b.write.mode("append").parquet(own.toString)
 
   /** Per-dataset immutable staging of the events table (one distributed
     * parquet write per JVM per dataset): every staged-batch streaming query
@@ -301,8 +339,11 @@ object Streams {
     stagedEvents.computeIfAbsent(d, _ => {
       // exit-hook cleanup: the shared copy lives for the whole session, so
       // without it every Verify/Bench/test JVM would leave one events-table
-      // clone per dataset in tmpdir forever
-      val dir = graft.Fixtures.tempDirCleanedAtExit("graft_stream_events_")
+      // clone per dataset in tmpdir forever. Lives on the RAM-backed root
+      // (transient, a few MB at bench scale) so feed reads skip disk.
+      val dir = java.nio.file.Files.createTempDirectory(
+        streamCkptRoot, "graft_stream_events_")
+      graft.Fixtures.registerForExitCleanup(dir)
       normalizedEvents(s, d).write.mode("overwrite").parquet(dir.toString)
       dir.toString
     })
@@ -343,13 +384,45 @@ object Streams {
     * and the foreachBatch upsert — a fix to the scaffold lands in one
     * place.
     */
+  /** Root for the harness's TRANSIENT per-query checkpoints (offset/commit
+    * WAL + state store deltas). Every query here creates its checkpoint,
+    * drains a finite feed, and discards it at stop — durability across a
+    * host reboot buys nothing — yet the default tmpdir placement put every
+    * WAL fsync and state-commit delta on ext4 (measured 90-160 ms of
+    * wal/offset commits plus 140-1300 ms of summed state commits per
+    * micro-batch at sf0.1). A RAM-backed root removes that I/O from the
+    * trigger path (guide §6). Long-lived production queries need a durable
+    * root instead — the env override is the deployment seam.
+    */
+  private lazy val streamCkptRoot: java.nio.file.Path = {
+    val root = sys.env.get("SPARK_GRAFT_STREAM_CKPT_ROOT")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+      .getOrElse(java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    root
+  }
+
   private def withStagedFeed(s: SparkSession, d: String,
       laterBatches: Seq[DataFrame], firstBatchExtra: Seq[DataFrame])(
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    // harness-phase stamps (guide §1.5): only under SPARK_GRAFT_PROFILE
+    val profT0 = System.nanoTime()
+    def phase(what: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_PROFILE"))
+        System.err.println(
+          f"[prof-stream-phase] $what +${(System.nanoTime() - profT0) / 1e6}%.0f ms")
     val shared = java.nio.file.Paths.get(stagedEventsDir(s, d))
+    phase("staged-events")
     // registered for exit cleanup too: the finally below removes it on the
-    // normal path, the hook covers a JVM killed mid-query
-    val own = graft.Fixtures.tempDirCleanedAtExit("graft_stream_stage_")
+    // normal path, the hook covers a JVM killed mid-query; same RAM root
+    // as the shared dir so the {shared,own} glob stays one-component
+    val own = java.nio.file.Files.createTempDirectory(
+      streamCkptRoot, "graft_stream_stage_")
+    graft.Fixtures.registerForExitCleanup(own)
     // single-component alternation (both dirs sit in tmpdir) — Hadoop globs
     // do not allow '/' inside {}
     val glob = s"${shared.getParent}/{${shared.getFileName},${own.getFileName}}"
@@ -360,15 +433,33 @@ object Streams {
     // runs-and-awaits the watermark-only flush batch — one data batch
     // instead of two. (Stream-stream OUTER-join eviction does NOT run in
     // that no-data batch — q_stream_join_outer keeps its double-sentinel.)
-    firstBatchExtra.foreach(_.write.mode("append").parquet(own.toString))
+    firstBatchExtra.foreach(appendBatch(s, _, own))
+    phase("first-batch-extra")
     // no maxFilesPerTrigger → each drain consumes every staged file in one
     // micro-batch, keeping intra-batch rows ahead of the watermark
     val src = s.readStream.schema(normalizedEvents(s, d).schema).parquet(glob)
-    val q = start(src)
+    // transient checkpoint on the RAM-backed root (see [[streamCkptRoot]]);
+    // session-conf scoped so the builder lambdas stay untouched, restored
+    // immediately after start, deleted in the finally below
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      streamCkptRoot, "graft_stream_ckpt_")
+    graft.Fixtures.registerForExitCleanup(ckpt)
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val ckptWas = s.conf.getOption(ckptKey)
+    val q =
+      try {
+        s.conf.set(ckptKey, ckpt.toString)
+        start(src)
+      } finally ckptWas match {
+        case Some(v) => s.conf.set(ckptKey, v)
+        case None => s.conf.unset(ckptKey)
+      }
+    phase("started")
     try {
       q.processAllAvailable()
+      phase("drain-1")
       laterBatches.foreach { b =>
-        b.write.mode("append").parquet(own.toString)
+        appendBatch(s, b, own)
         q.processAllAvailable()
       }
       // second drain: the watermark-only flush batch that follows the last
@@ -378,6 +469,7 @@ object Streams {
       // as an empty scd2 sink in a full-suite run). A repeat drain is a
       // no-op when the flush already ran and completes it when it hasn't.
       q.processAllAvailable()
+      phase("drained")
       lastMicroBatchPlan =
         try {
           val se = q.getClass.getMethod("streamingQuery").invoke(q)
@@ -395,12 +487,17 @@ object Streams {
               s"(commit=${o.commitTimeMs}ms rows=${o.numRowsTotal})").mkString(",")}")
         }
     } finally {
+      phase("pre-stop")
       q.stop()
-      // the sink holds the results; the query-private staged copies would
-      // otherwise accumulate per invocation (the shared events staging is
-      // one copy per dataset per JVM, reused read-only)
+      phase("stopped")
+      // the sink holds the results; the query-private staged copies and
+      // the transient checkpoint would otherwise accumulate per
+      // invocation (the shared events staging is one copy per dataset
+      // per JVM, reused read-only)
       deleteRecursively(own)
       graft.Fixtures.removeFromExitCleanup(own)
+      deleteRecursively(ckpt)
+      graft.Fixtures.removeFromExitCleanup(ckpt)
     }
   }
 
