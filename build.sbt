@@ -39,4 +39,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // GC diagnostics for bench-variance hunts: GRAFT_GC_LOG=/path enables
   // unified GC logging in the forked JVM (off by default — zero overhead)
-  sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq
+  sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq ++
+  // A/B aid for the graph loops' size-gated broadcasts: GRAFT_BCAST_MAX=0
+  // forces every superstep onto the shuffled path (SparkSession picks the
+  // spark.* system property up into the session conf). Off by default.
+  sys.env.get("GRAFT_BCAST_MAX")
+    .map(v => s"-Dspark.graft.graph.broadcastMaxRows=$v").toSeq

@@ -5159,8 +5159,16 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
+      // loop-invariant edge view, pre-partitioned on the first per-round
+      // join key (u) and materialized once (guide §2.4, r18 verdict item
+      // 4): every h-iteration round previously re-derived the doubled
+      // view from the parquet scan and re-shuffled it; now the u-keyed
+      // value attach is exchange-free above the broadcast cutoff and the
+      // rounds read cached partitions below it.
       val und = edges.select(col("a").as("v"), col("b").as("u"))
         .union(edges.select(col("b").as("v"), col("a").as("u")))
+        .repartition(col("u"))
+        .localCheckpoint(true)
       var c = und.groupBy(col("v").as("node")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
       var sumC = c.agg(sum(col("c"))).first().getLong(0)
@@ -5215,6 +5223,7 @@ object Analytics {
         c = next
         sumC = nextSum
       }
+      und.unpersist()
       c.select(col("node").as("part"), col("c").as("coreness"))
         .orderBy("part")
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
@@ -5262,10 +5271,14 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
-      // both-directions edge view (v → u), materialized once: referenced
-      // by every forward expansion and every backward dependency join
+      // both-directions edge view (v → u), PRE-PARTITIONED on the
+      // per-level join key (v) and materialized once (guide §2.4, r18
+      // verdict item 4): above the broadcast cutoff every forward
+      // expansion and backward dependency join now reshuffles only the
+      // (src, node)-grain frontier side
       val und = edges.select(col("a").as("v"), col("b").as("u"))
         .union(edges.select(col("b").as("v"), col("a").as("u")))
+        .repartition(col("v"))
         .localCheckpoint(true)
       val nodes = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node"))).distinct()
@@ -5366,8 +5379,12 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
+      // pre-partitioned on the per-level join key (v), see
+      // [[graphBetweenness]] — only the frontier side shuffles per level
+      // above the broadcast cutoff
       val und = edges.select(col("a").as("v"), col("b").as("u"))
         .union(edges.select(col("b").as("v"), col("a").as("u")))
+        .repartition(col("v"))
         .localCheckpoint(true)
       val nodes = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node"))).distinct()
@@ -5443,10 +5460,14 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
+      // pre-partitioned on the relaxation join key (v), see
+      // [[graphBetweenness]] — only the (landmark, node) distance table
+      // shuffles per round above the broadcast cutoff
       val und = we.select(col("a").as("v"), col("b").as("u"),
           expr("1000000 div m").as("w"))
         .union(we.select(col("b").as("v"), col("a").as("u"),
           expr("1000000 div m").as("w")))
+        .repartition(col("v"))
         .localCheckpoint(true)
       val nodes = we.select(col("a").as("node"))
         .union(we.select(col("b").as("node"))).distinct()
@@ -5564,8 +5585,12 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
+      // pre-partitioned on the propagation join key (v), see
+      // [[graphBetweenness]] — only the sketch/reach side shuffles per
+      // round above the broadcast cutoff
       val und = edges.select(col("a").as("v"), col("b").as("u"))
         .union(edges.select(col("b").as("v"), col("a").as("u")))
+        .repartition(col("v"))
         .localCheckpoint(true)
       val nodes = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node"))).distinct()
@@ -5634,6 +5659,29 @@ object Analytics {
     ssspStep(und, ssspStep(und, d0))
   }
 
+  /** Test seam for the r19 exchange-reuse claim: ONE un-checkpointed
+    * relaxation over the PRODUCTION loop state — the pre-partitioned,
+    * lineage-cut edge view — with the broadcast gate forced off, so
+    * PlanShapeSpec can assert that the edge side of the per-round join
+    * plans NO exchange (its checkpoint carries hashpartitioning(v)) and
+    * only the node-grain distance side shuffles (guide §2.4).
+    */
+  private[graft] def ssspStepShuffledForTest(s: SparkSession, d: String): DataFrame = {
+    // conf pinning (AQE off, fixed partitions, auto-broadcast off to model
+    // the production loop's stats-free checkpointed side tables) is the
+    // CALLER's job — the plan must be inspected under the same confs
+    val we = ccWeightedEdges(s, d)
+    val und = we.select(col("a").as("v"), col("b").as("u"),
+        expr("1000000 div m").as("w"))
+      .union(we.select(col("b").as("v"), col("a").as("u"),
+        expr("1000000 div m").as("w")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    val d0 = we.agg(min(col("a")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    ssspStep(und, d0)
+  }
+
   /** q_graph_sssp — WEIGHTED SINGLE-SOURCE SHORTEST PATHS over the
     * co-purchase affinity graph by monotone Bellman-Ford rounds (the
     * Pregel SSSP superstep; delta-stepping's bucket refinement composes
@@ -5668,10 +5716,14 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
+      // pre-partitioned on the relaxation join key (v), see
+      // [[graphBetweenness]] — only the node-grain distance table
+      // shuffles per round above the broadcast cutoff
       val und = we.select(col("a").as("v"), col("b").as("u"),
           expr("1000000 div m").as("w"))
         .union(we.select(col("b").as("v"), col("a").as("u"),
           expr("1000000 div m").as("w")))
+        .repartition(col("v"))
         .localCheckpoint(true)
       // seed from the same aggregation the oracle's s0 derives — no
       // driver collect, and the round-1 join stays a keyed equi-join
@@ -6470,8 +6522,18 @@ object Analytics {
     s.conf.set(aqeKey, "false")
     s.conf.set(partsKey, edgeParts)
     try {
-      val nodes = e.select(col("a").as("node"))
-        .union(e.select(col("b").as("node"))).distinct()
+      // loop-invariant edge view, PRE-PARTITIONED on the per-round join
+      // key and materialized once (guide §2.4: two operations keyed the
+      // same way share one exchange; r18 verdict item 4): every damped
+      // round previously re-read the staged parquet and re-shuffled the
+      // EDGE side of the inflow join — above the broadcast cutoff only
+      // the node-grain share table moves per round now, and below it the
+      // rounds read the cached partitions instead of re-scanning disk.
+      // localCheckpoint preserves the hash partitioning, and the pinned
+      // shuffle-partition count keeps both sides' partitioning aligned.
+      val eLoop = e.repartition(col("a")).localCheckpoint(true)
+      val nodes = eLoop.select(col("a").as("node"))
+        .union(eLoop.select(col("b").as("node"))).distinct()
         .localCheckpoint(true)
       val n = nodes.count()
       val m = n * 1000000L
@@ -6482,7 +6544,8 @@ object Analytics {
       // this message (r16 advisory)
       require(tCount > 0L, "teleport set must be non-empty")
       val tMin = tset.agg(min(col("node"))).first().getLong(0)
-      val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      // keyed on a — reuses eLoop's partitioning, no exchange
+      val outdeg = eLoop.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
       // every per-round side table (rank vector, outdegree, teleport set,
       // inflow) is node-grain; the staged edge manifest count gates the
@@ -6514,7 +6577,7 @@ object Analytics {
         rounds += 1
         val share = r.join(bcastIf(outdeg, tiny), col("node") === col("a"))
           .select(col("a").as("u"), expr("r div d").as("share"))
-        val inflow = e.join(bcastIf(share, tiny), col("a") === col("u"))
+        val inflow = eLoop.join(bcastIf(share, tiny), col("a") === col("u"))
           .groupBy(col("b").as("node")).agg(sum(col("share")).as("t"))
         val damped = nodes.join(bcastIf(inflow, tiny), Seq("node"), "left")
           .select(col("node"),
@@ -6540,6 +6603,7 @@ object Analytics {
       // leaked one node-grain cached frame per invocation (r18 advisory)
       val out = r.localCheckpoint(true)
       backing.unpersist()
+      eLoop.unpersist()
       out
     } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partsKey, partsWas) }
   }

@@ -734,6 +734,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"closeness rollup must not plan a quadratic join:\n$p")
   }
 
+  test("graph supersteps above the broadcast cutoff: the pre-partitioned " +
+    "edge view shares one exchange, only the node-grain side shuffles") {
+    // r19 exchange-reuse (guide §2.4): the loop-invariant edge views are
+    // repartition(col(<join key>)) + localCheckpoint'd once, so on the
+    // shuffled path each round's relaxation join must NOT re-exchange the
+    // edge side — exactly one hashpartitioning(v) exchange may appear
+    // (the node-grain distance side), the edge side reads its cached
+    // partitioning. Confs model the production loop: AQE off, pinned
+    // partition count matching the pre-partitioned view, auto-broadcast
+    // off (checkpointed side tables carry no stats).
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val was = keys.map { case (k, _) => k -> s.conf.get(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val p = plan(graft.operators.Analytics.ssspStepShuffledForTest(s, d))
+      val vExchanges = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning(v#"))
+      assert(vExchanges === 1,
+        s"expected exactly 1 v-keyed exchange (the distance side), got $vExchanges:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"the edge side should read the checkpointed partitioning:\n$p")
+    } finally was.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("q_graph_neighborhood: the sketch round plans keyed equi joins only") {
     val p = plan(graft.operators.Analytics.anfStepForTest(s, d))
     assert(!p.contains("CartesianProduct") &&
