@@ -133,6 +133,24 @@ object GraftFunctions {
           val arr = exprs(1).eval()
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           Array.tabulate(arr.numElements())(i => arr.getArray(i).toLongArray())
+        })),
+    ("graft_opq_stats", classOf[OpqStatsExpr],
+      exprs => OpqStatsExpr(floatArray(exprs(0)), floatArray(exprs(1)),
+        Cast(exprs(2), LongType), m = intArg(exprs(3)), sub = intArg(exprs(4)))),
+    ("graft_opq_perj", classOf[OpqPerJExpr],
+      exprs => OpqPerJExpr(floatArray(exprs(0)),
+        Cast(exprs(1), ArrayType(org.apache.spark.sql.types.IntegerType,
+          containsNull = true)),
+        m = intArg(exprs(2)), sub = intArg(exprs(3)),
+        rots = {
+          // four parallel (foldable) literal arrays: p, q, c0, s0
+          def arr(e: Expression) =
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val ps = arr(exprs(4)).toIntArray()
+          val qs = arr(exprs(5)).toIntArray()
+          val cs = arr(exprs(6)).toDoubleArray()
+          val ss = arr(exprs(7)).toDoubleArray()
+          Array.tabulate(ps.length)(i => (ps(i), qs(i), cs(i), ss(i)))
         })))
 
   def register(spark: SparkSession): Unit =

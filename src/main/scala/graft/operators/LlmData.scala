@@ -2690,32 +2690,22 @@ object LlmData {
         .localCheckpoint(true)
       try {
       mark("model:enc-done")
-      // term expressions over the materialized row: exactly the values the
+      // term kernel over the materialized row: exactly the values the
       // flat formulation computed (x_g·c*_g etc. with identical IEEE ops
-      // and identical per-element rounding), via row-local lookups
-      def ceExpr(g: Int): Column = col("ce").getItem(g).cast("double")
-      def xExpr(g: Int): Column = col("embedding").getItem(g).cast("double")
+      // and identical per-element rounding) — see
+      // [[graft.functions.OpqStatsExpr]] for the parity argument. The
+      // statistics run as ONE exploded keyed aggregate (dim-keyed rows,
+      // four sum buffers); the 64-struct literal-array expression this
+      // replaces spent ~2 s of analysis + codegen per build (r18 verdict
+      // item 7). T_g = Σ round(x_g·c*_g·10⁶); B_(p,q) = Σ
+      // [round(x_p·c*_q·10⁶) − round(x_q·c*_p·10⁶)] — the exact integer
+      // inputs to the restricted Procrustes angle (A = T_p + T_q,
+      // maximize c·A + s·B); the per-row e₀ rides on g = 0 exactly once.
       val cands = for { j <- 0 until pqM; i <- 0 until sub }
         yield (j, i, j * sub + i, ((j + 1) % pqM) * sub + i)
-      // T_g = Σ round(x_g·c*_g·10⁶); B_(p,q) = Σ [round(x_p·c*_q·10⁶) −
-      // round(x_q·c*_p·10⁶)] — the exact integer inputs to the restricted
-      // Procrustes angle (A = T_p + T_q, maximize c·A + s·B). The
-      // statistics run as ONE exploded keyed aggregate (dim-keyed rows,
-      // four sum buffers) instead of a 130-column flat aggregate: the
-      // per-g integer terms are identical and integer addition is
-      // order-free, so every collected statistic is bit-equal, while the
-      // generated aggregate class shrinks ~30× (the flat form's
-      // analysis + Janino compile dominated the whole operator). Each
-      // candidate pair (j, i) keys its torque term by p = j·sub + i; the
-      // per-row e₀ rides on g = 0 exactly once.
-      val gTerms = cands.map { case (j, i, pp, qq) =>
-        struct(lit(pp).as("g"),
-          round(xExpr(pp) * ceExpr(pp) * 1000000, 0).cast("long").as("t"),
-          (round(xExpr(pp) * ceExpr(qq) * 1000000, 0).cast("long") -
-            round(xExpr(qq) * ceExpr(pp) * 1000000, 0).cast("long")).as("bt"),
-          (if (pp == 0) col("e0row") else lit(0L)).as("e"))
-      }
-      val ga = enc.select(explode(array(gTerms: _*)).as("s")).select("s.*")
+      val ga = enc.select(explode(call_function("graft_opq_stats",
+          col("embedding"), col("ce"), col("e0row"),
+          lit(pqM), lit(sub))).as("s")).select("s.*")
         .groupBy("g").agg(sum(col("t")).as("t"), sum(col("bt")).as("b"),
           sum(col("e")).as("e"), count(lit(1)).as("n"))
         .collect()
@@ -2756,18 +2746,17 @@ object LlmData {
         case _ => col("embedding").getItem(g)
       }
       // pass 2: per-(j, code) exact micro sums of x and x′ under the
-      // FROZEN assignments — one exploded keyed aggregate
-      val perJ = (0 until pqM).map { j =>
-        struct(lit(j).as("j"), col("code").getItem(j).as("code"),
-          array((0 until sub).map(i =>
-            round(col("embedding").getItem(j * sub + i).cast("double") * 1000000,
-              0)): _*).as("xm"),
-          array((0 until sub).map(i =>
-            round(xpExpr(j * sub + i).cast("double") * 1000000, 0)): _*).as("xpm"))
-      }
-      // reads the materialized encode — the flat formulation re-ran the
-      // argmin structs a second time here
-      val gsums = enc.select(explode(array(perJ: _*)).as("s")).select("s.*")
+      // FROZEN assignments — one exploded keyed aggregate over the
+      // [[graft.functions.OpqPerJExpr]] kernel (identical per-element
+      // rounding and the identical float-cast rotation arithmetic; the
+      // 8-struct/16-array literal expression it replaces paid ~1 s of
+      // analysis + codegen per build). Reads the materialized encode —
+      // the flat formulation re-ran the argmin structs a second time here.
+      val gsums = enc.select(explode(call_function("graft_opq_perj",
+          col("embedding"), col("code"), lit(pqM), lit(sub),
+          typedlit(rots.map(_._1)), typedlit(rots.map(_._2)),
+          typedlit(rots.map(_._3)), typedlit(rots.map(_._4)))).as("s"))
+        .select("s.*")
         .groupBy("j", "code")
         .agg(count(lit(1)).as("n"),
           ((0 until sub).map(i => sum(col("xm").getItem(i)).as(s"sx_$i")) ++
