@@ -168,6 +168,24 @@ object Bench {
         }
         name -> (if (passes.min == Double.MaxValue) -1.0 else passes.min)
       }
+    // r18 verdict item 9: keys whose ISOLATED re-measure reads a
+    // driver-held model cache deliberately retained across clearMemo
+    // (trained PQ/IVF codebooks, the OPQ model, the incremental batch
+    // count) or a staged on-disk index — for these the isolated number is
+    // a warm-model read and the sweep number carries the build; naming
+    // them in the record stops a reader from quoting isolated as full
+    // cost. Retention is intentional: the artifacts persist across JVMs
+    // anyway, so both numbers reuse them ALIKE only when they are on
+    // disk — the JVM-held models are the asymmetry this flags.
+    def memoRetained(name: String): Boolean =
+      name.startsWith("q_simsearch_") || name == "q_embed_pq" ||
+        name == "q_dedup_incremental"
+    val retainedPart = {
+      val names = isolated.map(_._1).filter(memoRetained)
+      if (names.isEmpty) ""
+      else names.map(n => s""""${n.stripPrefix("q_")}"""")
+        .mkString(""","memo_retained":[""", ",", "]")
+    }
     // complete canonical record — full names, seconds — to a repo file.
     // bench_full.json is cross-round comparable ONLY for full runs, so a
     // subset run (args given) writes bench_subset.json instead of
@@ -182,9 +200,9 @@ object Bench {
     // only comparable at equal n).
     val fullQs = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val isoQs =
-      if (isolated.isEmpty) ""
+      (if (isolated.isEmpty) ""
       else isolated.map { case (k, v) => s"\"$k\":${fmt(v)}" }
-        .mkString(""","isolated":{""", ",", "}")
+        .mkString(""","isolated":{""", ",", "}")) + retainedPart
     // key-set fingerprint: totals are only comparable over the SAME keys —
     // equal counts with one key swapped for another would otherwise carry
     // an incomparable canonical forward (r17 advisory)
@@ -254,10 +272,10 @@ object Bench {
       // which "regressions" are artifacts — the honest numbers are
       // reserved in the byte budget FIRST, sweep entries fill what's left
       val isoPart =
-        if (isolated.isEmpty) ""
+        (if (isolated.isEmpty) ""
         else isolated.map { case (k, v) =>
           s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}"
-        }.mkString(""","isolated":{""", ",", "}")
+        }.mkString(""","isolated":{""", ",", "}")) + retainedPart
       val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$canonPart"qunit":"$unit","prefix":"q_","n":${results.size},"mean_ms":$meanMs,"queries_file":"bench_full.json","slowest":{"""
       val entries = results.sortBy(-_._2).iterator
         .map { case (k, v) => s"\"${k.stripPrefix("q_")}\":${math.round(v * scale)}" }

@@ -134,6 +134,12 @@ object GraftFunctions {
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           Array.tabulate(arr.numElements())(i => arr.getArray(i).toLongArray())
         })),
+    ("graft_micro", classOf[MicroExpr],
+      exprs => MicroExpr(floatArray(exprs(0)))),
+    ("graft_dot_long", classOf[DotLongExpr],
+      exprs => DotLongExpr(
+        Cast(exprs(0), ArrayType(LongType, containsNull = true)),
+        Cast(exprs(1), ArrayType(LongType, containsNull = true)))),
     ("graft_opq_stats", classOf[OpqStatsExpr],
       exprs => OpqStatsExpr(floatArray(exprs(0)), floatArray(exprs(1)),
         Cast(exprs(2), LongType), m = intArg(exprs(3)), sub = intArg(exprs(4)))),

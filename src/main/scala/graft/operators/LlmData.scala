@@ -4614,17 +4614,31 @@ object LlmData {
     * materializes (contrast brute-force kNN eval).
     */
   def embedCentroidEval(s: SparkSession, d: String): DataFrame = {
-    val ex = t(s, d, "embeddings")
+    graft.functions.GraftFunctions.register(s)
+    // integer micros at ARRAY grain (one native kernel per row), not the
+    // previous (vec, dim)-exploded rows: the old scoring path joined the
+    // 64×-exploded corpus against the (label, dim) centroid table ON THE
+    // DIMENSION ALONE — a |corpus|·64·|labels|-row intermediate reduced
+    // by a wide-key hash agg. Scoring now runs at (vector × label) grain
+    // with one exact native Long dot per pair (guide §1.2 step 1: fix
+    // the algorithm's row count, then the per-row work). Same integers:
+    // identical per-element rounding, identical Σ xm·cm sums.
+    val emb = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("xm",
-        expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)"))
-      .drop("x")
-    val cent = ex.groupBy(col("label").as("cl"), col("i"))
+        call_function("graft_micro", col("embedding")).as("vm"))
+    // per-label per-dim integer-mean centroids — the exploded pass runs
+    // once at (label, dim) grain, then re-assembles to label-grain arrays
+    // (|labels| rows) for the scoring scan
+    val cent = emb
+      .select(col("label").as("cl"), posexplode(col("vm")).as(Seq("i", "xm")))
+      .groupBy("cl", "i")
       .agg(expr("sum(xm) div count(1)").as("cm"))
-    val scores = ex.join(broadcast(cent), "i")
-      .groupBy("vec_id", "label", "cl")
-      .agg(sum(col("xm") * col("cm")).as("score"))
+      .groupBy("cl")
+      .agg(expr("transform(sort_array(collect_list(struct(i, cm))), p -> p.cm)")
+        .as("cm"))
+    val scores = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("cl"),
+        call_function("graft_dot_long", col("vm"), col("cm")).as("score"))
     scores
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("score").desc, col("cl"))))
@@ -4652,18 +4666,21 @@ object LlmData {
     * the scan drops onto the IVF-pruned candidate cells per anchor.
     */
   def embedHardNegatives(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
-    def micro(c: String) = expr(
-      s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+    // native micro kernel HOISTED before the crossJoin (the interpreted
+    // transform previously re-ran per (vector × anchor) pair) and the
+    // interpreted zip_with fold replaced by the exact native Long dot —
+    // identical integers (guide §1.2 step 2)
     val anchors = emb.where(col("vec_id") < 20)
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
-        micro("embedding").as("am"))
-    val scored = emb.crossJoin(broadcast(anchors))
+        call_function("graft_micro", col("embedding")).as("am"))
+    val scored = emb
+      .select(col("vec_id"), col("label"),
+        call_function("graft_micro", col("embedding")).as("vm"))
+      .crossJoin(broadcast(anchors))
       .where(col("label") =!= col("anchor_label"))
-      .withColumn("vm", micro("embedding"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(am, vm, (a, b) -> a * b), CAST(0 AS BIGINT), " +
-          "(acc, v) -> acc + v)"))
+      .withColumn("dot", call_function("graft_dot_long", col("am"), col("vm")))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("anchor_id").orderBy(col("dot").desc, col("vec_id"))))
@@ -4686,18 +4703,19 @@ object LlmData {
     * per-anchor max-aggregations. Same IVF-pruned path applies at 100 TB.
     */
   def embedTripletMargin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
-    def micro(c: String) = expr(
-      s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+    // native micro kernel hoisted before the crossJoin + native Long dot
+    // (the [[embedHardNegatives]] rewrite) — identical integers
     val anchors = emb.where(col("vec_id") < 20)
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
-        micro("embedding").as("am"))
-    val scored = emb.crossJoin(broadcast(anchors))
+        call_function("graft_micro", col("embedding")).as("am"))
+    val scored = emb
+      .select(col("vec_id"), col("label"),
+        call_function("graft_micro", col("embedding")).as("vm"))
+      .crossJoin(broadcast(anchors))
       .where(col("vec_id") =!= col("anchor_id"))
-      .withColumn("vm", micro("embedding"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(am, vm, (a, b) -> a * b), CAST(0 AS BIGINT), " +
-          "(acc, v) -> acc + v)"))
+      .withColumn("dot", call_function("graft_dot_long", col("am"), col("vm")))
       .withColumn("same", col("label") === col("anchor_label"))
     scored.groupBy("anchor_id", "anchor_label")
       .agg(max(when(col("same"), col("dot"))).as("pos_dot"),
@@ -8529,18 +8547,18 @@ object LlmData {
     * single-vector funnel does.
     */
   def simsearchMaxsim(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
-    def micro(c: String) = expr(
-      s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+    // native micro + exact native Long dot (the [[embedHardNegatives]]
+    // rewrite) — identical integers
     val q = emb.where(col("vec_id") <= 3)
-      .select(col("vec_id").as("qid"), micro("embedding").as("qm"))
+      .select(col("vec_id").as("qid"),
+        call_function("graft_micro", col("embedding")).as("qm"))
     val corpus = emb.where(col("vec_id") > 3)
       .select(col("vec_id"), expr("vec_id div 4").as("doc_grp"),
-        micro("embedding").as("vm"))
+        call_function("graft_micro", col("embedding")).as("vm"))
     corpus.crossJoin(broadcast(q))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qm, vm, (a, b) -> a * b), CAST(0 AS BIGINT), " +
-          "(acc, v) -> acc + v)"))
+      .withColumn("dot", call_function("graft_dot_long", col("qm"), col("vm")))
       .groupBy("doc_grp", "qid")
       .agg(max(col("dot")).as("best"))
       .groupBy("doc_grp")
