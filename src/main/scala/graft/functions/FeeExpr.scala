@@ -134,6 +134,10 @@ object GraftFunctions {
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           Array.tabulate(arr.numElements())(i => arr.getArray(i).toLongArray())
         })),
+    ("graft_isect", classOf[SortedIntersectExpr],
+      exprs => SortedIntersectExpr(
+        Cast(exprs(0), ArrayType(LongType, containsNull = true)),
+        Cast(exprs(1), ArrayType(LongType, containsNull = true)))),
     ("graft_micro", classOf[MicroExpr],
       exprs => MicroExpr(floatArray(exprs(0)))),
     ("graft_dot_long", classOf[DotLongExpr],

@@ -92,3 +92,64 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native A ∩ B ELEMENTS over two ascending-sorted, deduplicated
+  * `array<long>` columns — the triangle-ENUMERATION kernel behind the
+  * staged k-truss round-1 support (each w ∈ N⁺(u) ∩ N⁺(v) credits three
+  * edges, so the elements are needed, not just the count).
+  *
+  * Replaces `array_intersect(nu, nv)`: the built-in builds an OpenHashSet
+  * per row; on sorted deduplicated inputs its result (left order, deduped)
+  * IS the sorted merge intersection, so a two-pointer walk produces the
+  * identical array with zero hashing. Sortedness/dedup is the caller's
+  * contract exactly as for [[SortedIntersectCountExpr]], and the null
+  * semantics mirror it: NULL array → NULL, any null element → NULL.
+  */
+case class SortedIntersectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_isect"
+
+  /** The merge kernel — public so generated code can call it. */
+  def isect(aa: Any, bb: Any): ArrayData = {
+    val x = aa.asInstanceOf[ArrayData]
+    val y = bb.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var k = 0
+    while (k < n) { if (x.isNullAt(k)) return null; k += 1 }
+    k = 0
+    while (k < m) { if (y.isNullAt(k)) return null; k += 1 }
+    val buf = new Array[Long](math.min(n, m))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { buf(c) = xv; c += 1; i += 1; j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(buf, c))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = isect(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("isect", this, classOf[SortedIntersectExpr].getName)
+      s"""
+         |${ev.value} = $ref.isect($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectExpr =
+    copy(left = newLeft, right = newRight)
+}

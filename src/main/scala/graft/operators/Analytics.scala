@@ -5795,14 +5795,19 @@ object Analytics {
     * round 1 is this pass's only use, so leaving it cached leaked one
     * relation per invocation for the JVM lifetime (r17 advisory). */
   private def trussSupportStaged(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
     val adjRaw = s.read.parquet(copurchaseAdj(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = broadcast(adjRaw) // node-grain with O(√m) arrays — tiny
     val o = adjRaw.select(col("src"), explode(col("nbrs")).as("dst"))
     o.join(adj.select(col("src"), col("nbrs").as("nu")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      // sorted-merge intersect (the staged arrays are sorted + deduped):
+      // the built-in array_intersect built an OpenHashSet per oriented
+      // edge — |E| hash sets per round-1 pass — where the two-pointer
+      // walk produces the identical array ([[SortedIntersectExpr]])
       .select(col("src"), col("dst"),
-        explode(expr("array_intersect(nu, nv)")).as("w"))
+        explode(call_function("graft_isect", col("nu"), col("nv"))).as("w"))
       .select(explode(array(
         struct(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")),
