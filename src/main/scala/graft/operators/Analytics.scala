@@ -1338,11 +1338,14 @@ object Analytics {
     val adjRaw = s.read.parquet(copurchaseAdj(s, d))
     val adj = broadcast(adjRaw)
     val o = adjRaw.select(col("src"), explode(col("nbrs")).as("dst"))
+    graft.functions.GraftFunctions.register(s)
     val tris = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      // sorted-merge intersect over the sorted staged arrays — identical
+      // elements, no per-edge OpenHashSet ([[SortedIntersectExpr]])
       .select(col("src").as("u"), col("dst").as("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        explode(call_function("graft_isect", col("nu"), col("nv"))).as("w"))
     val triPerNode = tris.select(col("u").as("n"))
       .unionAll(tris.select(col("v").as("n")))
       .unionAll(tris.select(col("w").as("n")))

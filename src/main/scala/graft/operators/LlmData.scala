@@ -313,6 +313,9 @@ object LlmData {
     * the full inverted-index formulation — and to the DuckDB oracle.
     */
   private def verifyJaccardWith(sets: DataFrame, cands: DataFrame): DataFrame = {
+    // sorted-merge intersection count: the shingle arrays are sorted +
+    // deduplicated by construction, so the two-pointer kernel equals
+    // size(array_intersect(...)) without the per-pair OpenHashSet
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
@@ -320,7 +323,8 @@ object LlmData {
       .withColumn("nb", size(col("shs_b")).cast("long"))
       .where(col("nb") * JaccardThreshold <= col("na") &&
         col("na") * JaccardThreshold <= col("nb"))
-      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("common",
+        call_function("graft_isect_count", col("shs_a"), col("shs_b")))
       .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jac") >= JaccardThreshold)
       .select("doc_a", "doc_b", "na", "nb", "common", "jac")
@@ -699,7 +703,9 @@ object LlmData {
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .withColumn("na", size(col("shs_a")).cast("long"))
       .withColumn("nb", size(col("shs_b")).cast("long"))
-      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      // sorted-merge count — the verifyJaccardWith rationale
+      .withColumn("common",
+        call_function("graft_isect_count", col("shs_a"), col("shs_b")))
       .withColumn("cont", col("common").cast("double") / least(col("na"), col("nb")))
       .where(col("cont") >= ContainmentThreshold)
       .withColumn("jac",
